@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+import graft.model.Telemetry
+
+/** Column-level binary codecs for the telemetry wire format
+  * (svc/svc/handler.cpp:23-95): native Catalyst expressions with codegen so
+  * frame decode stays inside WholeStageCodegen — the hot path of the
+  * reference's pipeline (O-8/O-9 in SURVEY.md §2.2).
+  */
+object codecs {
+
+  private[functions] def col(e: Expression): Column = Bridge.column(e)
+  private[functions] def expr(c: Column): Expression = Bridge.expression(c)
+
+  /** Little-endian u16 read at fixed `offset` of a binary column → Int.
+    * Null when the buffer is too short (mirrors the reference's
+    * wait-for-more-bytes protocol, handler.cpp:99-102).
+    */
+  case class LeU16(child: Expression, offset: Int) extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[Array[Byte]]
+      if (b.length < offset + 2) null
+      else (b(offset) & 0xff) | ((b(offset + 1) & 0xff) << 8)
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        b => s"""
+          |if ($b.length < ${offset + 2}) { ${ev.isNull} = true; }
+          |else { ${ev.value} = ($b[$offset] & 0xff) | (($b[${offset + 1}] & 0xff) << 8); }
+          |""".stripMargin
+      )
+    override protected def withNewChildInternal(c: Expression): LeU16 = copy(child = c)
+  }
+
+  /** Little-endian i64 read at fixed `offset` of a binary column → Long.
+    * The reference's u64 fields (client_id/sequence/timestamp,
+    * handler.cpp:64-78) land in Long; values ≥ 2^63 wrap (documented edge,
+    * SURVEY.md §7.4).
+    */
+  case class LeI64(child: Expression, offset: Int) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[Array[Byte]]
+      if (b.length < offset + 8) null
+      else {
+        var r = 0L
+        var i = 7
+        while (i >= 0) { r = (r << 8) | (b(offset + i) & 0xffL); i -= 1 }
+        r
+      }
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        b => {
+          val terms = (0 until 8)
+            .map(i => s"(($b[${offset + i}] & 0xffL) << ${8 * i})")
+            .mkString(" | ")
+          s"""
+          |if ($b.length < ${offset + 8}) { ${ev.isNull} = true; }
+          |else { ${ev.value} = $terms; }
+          |""".stripMargin
+        }
+      )
+    override protected def withNewChildInternal(c: Expression): LeI64 = copy(child = c)
+  }
+
+  /** Split a byte buffer into complete `[u16 len][u16 type][body]` frames →
+    * array&lt;binary&gt; of whole frames; incomplete trailing bytes are
+    * dropped (batch twin of the reference's drain loop, tcp.cpp:128-139).
+    */
+  case class FrameSplit(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(BinaryType)
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val buf = v.asInstanceOf[Array[Byte]]
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var off = 0
+      var ok = true
+      while (ok && buf.length - off >= Telemetry.HeaderSize) {
+        val len = (buf(off) & 0xff) | ((buf(off + 1) & 0xff) << 8)
+        if (len < Telemetry.HeaderSize || buf.length - off < len) ok = false
+        else {
+          out += java.util.Arrays.copyOfRange(buf, off, off + len)
+          off += len
+        }
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        b => {
+          val lst = ctx.freshName("frames")
+          val off = ctx.freshName("off")
+          val len = ctx.freshName("len")
+          s"""
+          |java.util.ArrayList<byte[]> $lst = new java.util.ArrayList<byte[]>();
+          |int $off = 0;
+          |while ($b.length - $off >= ${Telemetry.HeaderSize}) {
+          |  int $len = ($b[$off] & 0xff) | (($b[$off + 1] & 0xff) << 8);
+          |  if ($len < ${Telemetry.HeaderSize} || $b.length - $off < $len) break;
+          |  $lst.add(java.util.Arrays.copyOfRange($b, $off, $off + $len));
+          |  $off += $len;
+          |}
+          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($lst.toArray());
+          |""".stripMargin
+        }
+      )
+    override protected def withNewChildInternal(c: Expression): FrameSplit = copy(child = c)
+  }
+
+  // ---- public Column API -------------------------------------------------
+
+  /** LE u16 at `offset` (frame `len` at 0, `type` at 2). */
+  def le_u16(c: Column, offset: Int): Column = col(LeU16(expr(c), offset))
+
+  /** LE 64-bit at `offset`. */
+  def le_i64(c: Column, offset: Int): Column = col(LeI64(expr(c), offset))
+
+  /** Complete frames in a buffer, as array&lt;binary&gt;. */
+  def frame_split(c: Column): Column = col(FrameSplit(expr(c)))
+
+  /** Frame type field (`u16` at offset 2, handler.cpp:42-62). */
+  def frame_type(frame: Column): Column = le_u16(frame, Telemetry.LengthPrefixSize)
+
+  /** Frame length field (`u16` at offset 0). */
+  def frame_len(frame: Column): Column = le_u16(frame, 0)
+
+  /** Heartbeat fields from a WHOLE frame (body offsets 0/8/16 shifted past
+    * the 4-byte header, handler.cpp:64-78).
+    */
+  def hb_client_id(frame: Column): Column = le_i64(frame, Telemetry.HeaderSize)
+  def hb_sequence(frame: Column): Column = le_i64(frame, Telemetry.HeaderSize + 8)
+  def hb_timestamp(frame: Column): Column = le_i64(frame, Telemetry.HeaderSize + 16)
+
+  // ---- encode side (cold path: test scaffolding / simulator O-4) ---------
+
+  private def packLe(bb: java.nio.ByteBuffer): java.nio.ByteBuffer =
+    bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+
+  /** UDF building a heartbeat frame from (client_id, sequence, timestamp) —
+    * the simulator's serialize (sim.cpp:36-48). Encode is the cold path, so
+    * a UDF is fine; decode above is codegen'd.
+    */
+  val encode_heartbeat: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (c: Long, s: Long, t: Long) =>
+      Telemetry.encodeHeartbeat(Telemetry.Heartbeat(c, s, t))
+    }
+
+  /** UDF building a dyn_message frame (type=1) from raw payload bytes. */
+  val encode_dyn: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (payload: Array[Byte]) =>
+      Telemetry.encodeFrame(Telemetry.TypeDynMessage, payload)
+    }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal) join and range join — relational operators Spark lacks
+  * as built-ins (SURVEY.md §2.5), composed from existing operators per the
+  * preference order (compose &gt; custom plan).
+  *
+  * The as-of join uses the union-sort trick: tag both sides, union them,
+  * and carry the latest right-side values forward with a
+  * `last(..., ignoreNulls)` running window per key. Cost is ONE shuffle +
+  * sort on (key, time) — the same work a sort-merge join would do — and it
+  * never builds the |L|·|R| intermediate that a naive
+  * `join + filter + row_number` plan creates. This is the scalable layout
+  * for 100 TB event streams.
+  */
+object AsOfJoin {
+
+  /** For each left row, attach the most recent right row with
+    * `right.timeCol <= left.timeCol`, matching on `byCol` (backward as-of,
+    * the pandas/DuckDB default). Right value columns = everything except
+    * (byCol, timeCol), carried forward under their own names.
+    */
+  def asofBackward(
+      left: DataFrame,
+      right: DataFrame,
+      byCol: String,
+      timeCol: String
+  ): DataFrame = {
+    val valueCols = right.columns.filterNot(c => c == byCol || c == timeCol).toSeq
+    val lTagged = left
+      .withColumn("_side", lit(1))
+      .withColumns(valueCols.map(c => c -> lit(null).cast(right.schema(c).dataType)).toMap)
+    val rTagged = right
+      .select((Seq(col(byCol), col(timeCol)) ++ valueCols.map(col)): _*)
+      .withColumn("_side", lit(0))
+      .withColumns(left.columns.filterNot(c => c == byCol || c == timeCol).map { c =>
+        c -> lit(null).cast(left.schema(c).dataType)
+      }.toMap)
+    val unioned = lTagged.unionByName(rTagged)
+    // Right rows sort before left rows at the same timestamp (side 0 < 1):
+    // a right row AT the left timestamp is visible — the `<=` semantic.
+    val w = Window
+      .partitionBy(col(byCol))
+      .orderBy(col(timeCol), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = valueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(when(col("_side") === 0, col(c)), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1).drop("_side")
+  }
+
+  /** Range join: pairs (l, r) with `r.point` in [l.lower, l.upper).
+    * Bucketized: both sides explode to coarse buckets of width
+    * `bucketWidth`, equi-join on (key?, bucket), then the exact range
+    * predicate refines. Turns an O(|L|·|R|) theta join into a hash join
+    * whose fan-out is interval_width / bucketWidth — pick bucketWidth near
+    * the typical interval length.
+    */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      lower: String,
+      upper: String,
+      point: String,
+      bucketWidth: Long
+  ): DataFrame = {
+    val l = left.withColumn(
+      "_bucket",
+      explode(sequence(floor(col(lower) / bucketWidth), floor((col(upper) - 1) / bucketWidth)))
+    )
+    val r = right.withColumn("_bucket", floor(col(point) / bucketWidth))
+    l.join(r, Seq("_bucket"))
+      .filter(col(point) >= col(lower) && col(point) < col(upper))
+      .drop("_bucket")
+  }
+}

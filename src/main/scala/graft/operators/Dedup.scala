@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. Designed for the 100 TB case:
+  *
+  *   - exact dedup groups on a 128-bit digest, never on the document text,
+  *     so the shuffle moves 16-byte keys;
+  *   - near-dup candidate generation is LSH only — candidates come from
+  *     equality joins on band/block keys (hash-partitioned, no cross
+  *     product); exact similarity is computed only on candidate pairs;
+  *   - all hashing uses Spark's codegen'd `xxhash64`/`hash` — no UDFs.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest `idCol` per normalized-text digest.
+    * min() as the representative choice is deterministic under any
+    * partitioning.
+    */
+  def exact(df: DataFrame, text: Column, idCol: Column): DataFrame =
+    df.select(TextOps.fingerprintMd5(text).as("fp"), idCol.as("keep_id"))
+      .groupBy(col("fp"))
+      .agg(min(col("keep_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word `n`-gram shingles of a text column → array&lt;string&gt;.
+    * Documents shorter than `n` tokens yield their whole text as the single
+    * shingle (so they can still match exactly).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    val count = size(toks) - (n - 1)
+    when(
+      count <= 0,
+      array(concat_ws(" ", toks))
+    ).otherwise(
+      transform(
+        sequence(lit(1), count),
+        i => concat_ws(" ", slice(toks, i, lit(n)))
+      )
+    )
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum over the shingle set of `xxhash64(seed_i, shingle)` →
+    * array&lt;long&gt; length `numHashes`. One pass over the shingle array
+    * per hash (transform + array_min, all codegen'd).
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
+    val sh = array_distinct(shingleCol)
+    array(
+      (0 until numHashes).map { seed =>
+        array_min(transform(sh, s => xxhash64(lit(seed), s)))
+      }: _*
+    )
+  }
+
+  /** LSH banding: split a signature of `numHashes` values into `bands`
+    * bands of `numHashes / bands` rows each; each band hashes to one
+    * bucket key. Two docs collide in a band iff that band's slice of the
+    * signature is identical (classic MinHash-LSH, Broder '97 /
+    * Leskovec-Rajaraman-Ullman ch.3).
+    */
+  def bandKeys(sig: Column, numHashes: Int, bands: Int): Column = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    array(
+      (0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          xxhash64(concat_ws("_", slice(sig, b * rows + 1, rows).cast("array<string>")).as("k")).as("bucket")
+        )
+      }: _*
+    )
+  }
+
+  /** MinHash-LSH near-duplicate pairs with exact Jaccard verification.
+    *
+    * Pipeline: shingle → signature → explode band keys → self-join on
+    * (band, bucket) → distinct candidate pairs → exact Jaccard on shingle
+    * sets → filter ≥ `threshold`. The join is a plain equality hash join on
+    * the band key; with b bands the shuffle is b rows per doc — at 100 TB
+    * this is the standard linear-scaling layout (no pairwise blowup outside
+    * genuinely colliding buckets).
+    */
+  def minhashPairs(
+      df: DataFrame,
+      text: Column,
+      idCol: Column,
+      n: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.8
+  ): DataFrame = {
+    val docs = df
+      .select(idCol.as("id"), array_distinct(shingles(text, n)).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = docs
+      .select(col("id"), col("sh"), explode(bandKeys(col("sig"), numHashes, bands)).as("bk"))
+      .select(col("id"), col("sh"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val cand = l
+      .join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+      )
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash 64-bit fingerprint (Charikar '02 / Manku et al. WWW'07):
+    * per token hash, each of the 64 bit positions votes ±1; fingerprint bit
+    * = sign of the vote sum. Explode-free: a fold over the token array with
+    * a 64-slot vote vector would not be codegen'd, so instead each bit is
+    * an independent sum over the token array — 64 codegen'd aggregates of
+    * the exploded hash, grouped per doc.
+    */
+  def simhash(df: DataFrame, text: Column, idCol: Column): DataFrame = {
+    val tok = df.select(idCol.as("id"), explode(array_distinct(split(text, " "))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val agg = tok.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+    val fp = (0 until 64)
+      .map(b => when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+    agg.select(col("id"), fp.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block the 64-bit fingerprint into `blocks`
+    * equal slices; by pigeonhole, any pair within Hamming distance
+    * `maxHamming` &lt; `blocks` shares at least one exact block → equality
+    * join per block, then exact Hamming filter (Manku et al.'s
+    * permute-and-block scheme).
+    */
+  def simhashPairs(
+      df: DataFrame,
+      text: Column,
+      idCol: Column,
+      maxHamming: Int = 3,
+      blocks: Int = 4
+  ): DataFrame = {
+    val width = 64 / blocks
+    val fps = simhash(df, text, idCol)
+    val blocked = fps.select(
+      col("id"),
+      col("simhash"),
+      explode(
+        array((0 until blocks).map { b =>
+          struct(
+            lit(b).as("blk"),
+            shiftright(col("simhash"), b * width)
+              .bitwiseAND((1L << width) - 1)
+              .as("key")
+          )
+        }: _*)
+      ).as("bk")
+    ).select(col("id"), col("simhash"), col("bk.blk").as("blk"), col("bk.key").as("key"))
+    val l = blocked.select(col("blk"), col("key"), col("id").as("id_a"), col("simhash").as("fp_a"))
+    val r = blocked.select(col("blk"), col("key"), col("id").as("id_b"), col("simhash").as("fp_b"))
+    l.join(r, Seq("blk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming(col("fp_a"), col("fp_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard similarity for ALL pairs above a threshold.
+    * Candidate generation by inverted index on shingles (explode + equi-join
+    * on the shingle itself), counting shared shingles per pair, then
+    * |A∩B| / (|A| + |B| − |A∩B|) — never materializes the full cross
+    * product; pairs sharing zero shingles never meet. This is the exact
+    * (non-probabilistic) twin of [[minhashPairs]]; at 100 TB prefer MinHash
+    * (bounded b·docs shuffle) — the inverted index explodes with shingle
+    * frequency skew.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      text: Column,
+      idCol: Column,
+      n: Int = 3,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val docs = df.select(idCol.as("id"), array_distinct(shingles(text, n)).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+    val inv = docs.select(col("id"), col("nsh"), explode(col("sh")).as("s"))
+    val l = inv.select(col("s"), col("id").as("id_a"), col("nsh").as("n_a"))
+    val r = inv.select(col("s"), col("id").as("id_b"), col("nsh").as("n_b"))
+    l.join(r, Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn(
+        "jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double")
+      )
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

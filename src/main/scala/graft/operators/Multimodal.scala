@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed per-partition in batches.
+  *
+  * The actual media decode (libjpeg/ffmpeg/…) is NOT available in this
+  * environment, so the decode kernel is a clearly-marked deterministic
+  * stub ([[stubDecode]]); everything Spark-side — schema, encoders,
+  * partition-batch shape, metadata extraction, feature vectors, frame
+  * sampling — is real and tested. Swapping [[stubDecode]] for a JNI/ffi
+  * decoder changes no plan shape.
+  *
+  * Scale note: media blobs ride the scan as `BinaryType`; per-partition
+  * `mapPartitions` keeps decode zero-shuffle and lets one task amortize
+  * decoder init across its whole partition (the reason for mapPartitions
+  * over a per-row UDF).
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, media_type: String, content: Array[Byte])
+
+  final case class DecodedMedia(
+      doc_id: Long,
+      media_type: String,
+      byte_len: Int,
+      width: Int,
+      height: Int,
+      channels: Int,
+      features: Array[Float]
+  )
+
+  /** STUB decode — deterministic fake in place of a real image/audio
+    * decoder (none available in this container). Dimensions derive from a
+    * stable hash of the content; the feature vector is a REAL computation
+    * (folded byte histogram, 8 bins, L1-normalized) so downstream
+    * similarity plumbing has honest numbers to chew on.
+    */
+  def stubDecode(r: MediaRow): DecodedMedia = {
+    val h = java.util.Arrays.hashCode(r.content)
+    val hist = new Array[Float](8)
+    var i = 0
+    while (i < r.content.length) {
+      hist((r.content(i) & 0xff) >> 5) += 1f
+      i += 1
+    }
+    val total = math.max(1f, r.content.length.toFloat)
+    DecodedMedia(
+      doc_id = r.doc_id,
+      media_type = r.media_type,
+      byte_len = r.content.length,
+      width = 64 + math.floorMod(h, 1856), // fake 64..1919
+      height = 64 + math.floorMod(h / 1856, 1016), // fake 64..1079
+      channels = 3,
+      features = hist.map(_ / total)
+    )
+  }
+
+  /** Decode a media Dataset per partition (batched, zero-shuffle). */
+  def decode(ds: Dataset[MediaRow]): Dataset[DecodedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(stubDecode))
+  }
+
+  /** "Video" frame sampling: treat content as fixed-size frame blocks and
+    * keep every `stride`-th block — pure column ops (no UDF): slice the
+    * binary into `frameSize` chunks via substring arithmetic.
+    */
+  def sampleFrames(df: DataFrame, content: String, frameSize: Int, stride: Int): DataFrame = {
+    val nFrames = floor(length(col(content)) / frameSize).cast("int")
+    df.withColumn(
+      "frame_idx",
+      explode(filter(sequence(lit(0), greatest(nFrames - 1, lit(0))), i => i % stride === 0))
+    ).withColumn(
+      "frame",
+      substring(col(content), (col("frame_idx") * frameSize + 1).cast("int"), lit(frameSize))
+    )
+  }
+
+  /** Build a MediaRow dataset from the documents table (text bytes stand in
+    * for media content — the driver testdata has no true binary column).
+    */
+  def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs
+      .select(
+        col("doc_id"),
+        concat(lit("media/"), col("source")).as("media_type"),
+        encode(col("text"), "UTF-8").as("content")
+      )
+      .as[MediaRow]
+  }
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.Telemetry
+
+/** Row-transform operators of the reference pipeline (SURVEY.md §2.2/§2.3),
+  * each a pure `DataFrame => DataFrame` so batch and streaming plans share
+  * the code (the central payoff of the Spark rewrite, SURVEY.md §7.3).
+  */
+object Pipeline {
+
+  /** O-10 — type dispatch. Tags each frame row with its telemetry branch;
+    * unknown types raise, mirroring `throw "Unsupported message type"`
+    * (svc/svc/handler.cpp:108-117). `strict=false` tags instead of raising
+    * (for drop accounting).
+    */
+  def dispatch(tpe: Column, strict: Boolean = true): Column = {
+    val base = when(tpe === Telemetry.TypeHeartbeat, lit("heartbeat"))
+      .when(tpe === Telemetry.TypeDynMessage, lit("dyn_message"))
+    if (strict)
+      base.otherwise(raise_error(concat(lit("Unsupported message type: "), tpe)))
+    else base.otherwise(lit("unsupported"))
+  }
+
+  /** O-9 — heartbeat text rendering:
+    * `"client_id=… sequence=… epoch=…"` (svc/svc/handler.cpp:122-131).
+    */
+  def heartbeatText(clientId: Column, sequence: Column, epoch: Column): Column =
+    format_string("client_id=%d sequence=%d epoch=%d", clientId, sequence, epoch)
+
+  /** O-11 — envelope construction for the heartbeat branch
+    * (svc/svc/handler.cpp:168-181): key = client_id rendered as string
+    * bytes, properties = {"type": "heartbeat"}, payload = rendered text.
+    */
+  def heartbeatEnvelope(df: DataFrame, clientId: Column, sequence: Column, epoch: Column): DataFrame =
+    df.select(
+      encode(clientId.cast("string"), "UTF-8").as("key"),
+      lit(null).cast("string").as("subject"),
+      map(lit("type"), lit("heartbeat")).as("properties"),
+      encode(heartbeatText(clientId, sequence, epoch), "UTF-8").as("payload")
+    )
+
+  /** O-12 — passthrough relabel (svc/svc/handler.cpp:193-236): forward the
+    * payload with `subject` set to the configured topic.
+    */
+  def relabel(df: DataFrame, topic: String, subjectCol: String = "subject"): DataFrame =
+    df.withColumn(subjectCol, lit(topic))
+
+  /** O-15 — windowed throughput statistics (libdsp/libdsp/stat.hpp:23-99):
+    * per 1-second tumbling window, message count + byte count + MPS/Bps.
+    * Works identically on a batch or streaming DataFrame (`window` is
+    * supported in both); streaming adds a watermark upstream.
+    */
+  def throughput(df: DataFrame, ts: Column, sizeBytes: Column, every: String = "1 second"): DataFrame =
+    df.groupBy(window(ts, every).as("win"))
+      .agg(
+        count(lit(1)).as("messages"),
+        sum(sizeBytes).as("bytes")
+      )
+      .select(
+        col("win.start").as("window_start"),
+        col("messages"),
+        col("bytes"),
+        col("messages").cast("double").as("mps"),
+        col("bytes").cast("double").as("bps")
+      )
+
+  /** O-15 `summary()` — lifetime totals (stat.hpp:71-84). */
+  def throughputSummary(df: DataFrame, sizeBytes: Column): DataFrame =
+    df.agg(
+      count(lit(1)).as("total_messages"),
+      sum(sizeBytes).as("total_bytes")
+    )
+
+  /** O-17 — labeled counters: metric families keyed by label values
+    * (libdsp/libdsp/metrics.hpp:28-97) re-expressed as a group-by over the
+    * label column(s).
+    */
+  def labeledCounter(df: DataFrame, labels: Column*): DataFrame =
+    df.groupBy(labels: _*).agg(count(lit(1)).as("value"))
+
+  /** O-7 — broadcast fan-out to N named sinks (cache.hpp:51-117). In batch,
+    * the multicast materializes as one cached pass + N writes; the streaming
+    * twin lives in [[graft.streaming.FanOutSink]]. Returns per-sink success
+    * AND-combined like `cache::send` (cache.hpp:65-76).
+    */
+  def fanOut(df: DataFrame, sinks: Map[String, DataFrame => Boolean]): Boolean = {
+    df.persist()
+    try sinks.values.map(write => write(df)).forall(identity)
+    finally df.unpersist()
+  }
+
+  /** O-14 — load-shed accounting. Spark backpressures rather than drops
+    * (semantic swap documented in SURVEY.md §7.4); the metric surface is
+    * preserved: classify rows by a queue-full predicate and count by
+    * drop_type, mirroring `drop_messages_total{drop_type=load_shed}`
+    * (svc/svc/handler.cpp:142-166).
+    */
+  def shedMetrics(df: DataFrame, queueFull: Column): DataFrame =
+    df.groupBy(when(queueFull, lit("load_shed")).otherwise(lit("sent")).as("drop_type"))
+      .agg(count(lit(1)).as("value"))
+}

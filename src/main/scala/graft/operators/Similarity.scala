@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array&lt;float&gt;). Two paths:
+  *
+  *   - [[bruteForceTopK]] — exact cosine top-k, the correctness baseline.
+  *     Cost is |Q|·|C|; run it with a broadcast query set (queries are
+  *     always the small side).
+  *   - [[lshTopK]] — random-hyperplane LSH (Charikar '02): sign-bit
+  *     signatures bucket the corpus; only colliding buckets are re-ranked
+  *     exactly. At 100 TB the corpus is hash-partitioned by bucket and the
+  *     per-bucket work is a broadcast join — no cross product.
+  *
+  * All vector math uses codegen'd higher-order functions
+  * (`zip_with` + `aggregate`) over the array column — no UDFs, no MLlib
+  * dependency, runs inside WholeStageCodegen.
+  */
+object Similarity {
+
+  /** Dot product of two array&lt;float/double&gt; columns (double acc,
+    * sequential fold → deterministic).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query row. `queries` must be small
+    * (it is broadcast); the corpus side streams — one scan, no shuffle of
+    * the corpus, a per-partition top-k via the rank window on
+    * (query, similarity).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vec: String,
+      id: String,
+      k: Int
+  ): DataFrame = {
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"))
+    val scored = c
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  /** Random-hyperplane signature: `bits` deterministic pseudo-random
+    * hyperplanes; bit i = sign(dot(v, h_i)). Hyperplane components are
+    * derived from xxhash64(seed=i, dim=j) mapped to [-1, 1] — fully
+    * deterministic across engines and runs, no stored model.
+    */
+  def hyperplaneSignature(vec: Column, bits: Int): Column = {
+    val planes = (0 until bits).map { i =>
+      val proj = aggregate(
+        zip_with(
+          vec,
+          transform(sequence(lit(0), size(vec) - 1), j => {
+            (xxhash64(lit(i), j).cast("double") / lit(Long.MaxValue.toDouble))
+          }),
+          (x, h) => x * h
+        ),
+        lit(0.0d),
+        (acc, v) => acc + v
+      )
+      when(proj >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }
+    planes.reduce(_.bitwiseOR(_))
+  }
+
+  /** ANN top-k: candidates = corpus rows whose signature matches the query
+    * signature in at least one of `blocks` signature blocks (multi-probe by
+    * pigeonhole, same blocking trick as [[Dedup.simhashPairs]]); candidates
+    * are re-ranked by exact cosine. Recall is tunable via bits/blocks.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vec: String,
+      id: String,
+      k: Int,
+      bits: Int = 16,
+      blocks: Int = 4
+  ): DataFrame = {
+    val width = bits / blocks
+    def blockKeys(sig: Column): Column = array((0 until blocks).map { b =>
+      struct(lit(b).as("blk"), shiftright(sig, b * width).bitwiseAND((1L << width) - 1).as("key"))
+    }: _*)
+
+    val c = corpus
+      .select(col(id).as("neighbor_id"), col(vec).as("cv"), hyperplaneSignature(col(vec), bits).as("sig"))
+      .select(col("neighbor_id"), col("cv"), explode(blockKeys(col("sig"))).as("bk"))
+      .select(col("neighbor_id"), col("cv"), col("bk.blk").as("blk"), col("bk.key").as("key"))
+    val q = queries
+      .select(col(id).as("query_id"), col(vec).as("qv"), hyperplaneSignature(col(vec), bits).as("sig"))
+      .select(col("query_id"), col("qv"), explode(blockKeys(col("sig"))).as("bk"))
+      .select(col("query_id"), col("qv"), col("bk.blk").as("blk"), col("bk.key").as("key"))
+
+    val cand = c
+      .join(broadcast(q), Seq("blk", "key"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    cand
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language-ID, quality scoring, token counting, fingerprinting. All are
+  * pure column expressions (codegen'd, no UDFs) so they run inside
+  * WholeStageCodegen and scale linearly with input splits — no shuffle at
+  * all for the per-document scores.
+  *
+  * Every function here is deliberately expressible in ANSI SQL so the
+  * DuckDB oracle can replay it exactly (deterministic arithmetic only).
+  */
+object TextOps {
+
+  /** Whitespace token count (single-space tokenized corpora). */
+  def tokenCount(text: Column): Column =
+    size(split(text, " "))
+
+  /** BPE-ish token count: alternating letter runs / digit runs / single
+    * non-alphanumerics, the shape of a byte-level BPE pre-tokenizer split.
+    */
+  def tokenCountRegex(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Occurrences of literal `marker` in `text` via replace-length
+    * arithmetic — exact, engine-portable (no regex dialect drift).
+    */
+  def occurrences(text: Column, marker: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(marker), ""))) / marker.length).cast("int")
+
+  /** Language-ID marker words: high-frequency function words per language.
+    * Public-knowledge heuristic (stopword n-gram profiling).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "les", "des"),
+    "zh" -> Seq("的", "是", "在")
+  )
+
+  private def markerScore(tokens: Column, markers: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(markers.map(lit): _*)))
+
+  /** Language-ID: argmax of per-language marker-token counts with a fixed
+    * tie-break order (declaration order above); all-zero → "und".
+    */
+  def langId(text: Column): Column = {
+    val toks = split(text, " ")
+    val scores = langMarkers.map { case (lang, ms) => lang -> markerScore(toks, ms) }
+    val total = scores.map(_._2).reduce(_ + _)
+    val best = scores.zipWithIndex.foldRight(lit("und")) { case (((lang, s), i), elseCol) =>
+      val beatsLater = scores.drop(i + 1).map { case (_, s2) => s >= s2 }
+      val beatsEarlier = scores.take(i).map { case (_, s2) => s > s2 }
+      val isMax = (beatsLater ++ beatsEarlier).foldLeft(lit(true))(_ && _)
+      when(isMax, lit(lang)).otherwise(elseCol)
+    }
+    when(total === 0, lit("und")).otherwise(best)
+  }
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Quality scoring: token count, mean token length, stopword ratio,
+    * punctuation ratio, plus a composite score in [0,1]. Deterministic
+    * double arithmetic (single divisions over exact integer counts).
+    */
+  def qualityFeatures(df: DataFrame, text: Column): DataFrame = {
+    val toks = split(text, " ")
+    val ntok = size(toks).cast("double")
+    val nchar = length(text).cast("double")
+    val nstop = size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double")
+    val npunct = (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("double")
+    df.withColumn("n_tokens", size(toks))
+      .withColumn("mean_tok_len", (nchar - (ntok - 1)) / ntok)
+      .withColumn("stopword_ratio", nstop / ntok)
+      .withColumn("punct_ratio", npunct / nchar)
+  }
+
+  /** Composite quality score in [0,1]: rewards moderate length and a
+    * natural stopword ratio, penalizes punctuation soup. The exact shape is
+    * a heuristic; determinism is what matters for the oracle.
+    */
+  def qualityScore: Column = {
+    val lenScore = least(col("n_tokens").cast("double") / 50.0, lit(1.0))
+    val stopScore = least(col("stopword_ratio") * 5.0, lit(1.0))
+    val punctPenalty = least(col("punct_ratio") * 10.0, lit(1.0))
+    (lenScore + stopScore) / 2.0 * (lit(1.0) - punctPenalty)
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text —
+    * the exact-dedup key for a 100 TB corpus (hash once, group on 128-bit
+    * key instead of full text; shuffle carries 16 bytes not documents).
+    */
+  def fingerprintMd5(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Rolling (polynomial) hash fingerprint over tokens — Karp-Rabin style,
+    * base 257 mod 2^31-1 (Mersenne; keeps acc*257+h < 2^40, no ANSI long
+    * overflow), computed with Spark's `aggregate` higher-order function
+    * (sequential fold, deterministic). Spark-only (verified by ScalaTest,
+    * not the SQL oracle).
+    */
+  def fingerprintRolling(text: Column): Column = {
+    val mod = 2147483647L // 2^31 - 1
+    aggregate(
+      split(text, " "),
+      lit(0L),
+      (acc, tok) => pmod(acc * 257 + pmod(xxhash64(tok), lit(mod)), lit(mod))
+    )
+  }
+}

@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Training-data-pipeline extensions (builder prompt): deduplication,
+  * similarity search, text analysis, multimodal plumbing — the operations a
+  * 100 TB corpus pipeline needs beyond the reference's surface.
+  *
+  * Oracle policy: everything whose math is engine-portable (md5, exact
+  * integer counts, deterministic double division) gets a DuckDB twin.
+  * LSH-based operators (minhash/simhash/hyperplane) hash with xxhash64,
+  * which DuckDB does not implement — those are rows-only here and verified
+  * against exact brute-force results in ScalaTest instead.
+  */
+object ExtensionQueries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup on a 128-bit digest (shuffle carries 16-byte keys).
+    "x1_dedup_exact" -> ((s, dir) => {
+      Dedup
+        .exact(T(s, dir, "documents"), col("text"), col("doc_id"))
+        .orderBy(col("fp"))
+    }),
+
+    // Token counting: whitespace + BPE-ish regex pre-tokenizer.
+    "x2_token_count" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tok"),
+          TextOps.tokenCountRegex(col("text")).as("n_tok_bpe")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality features + composite score.
+    "x3_quality" -> ((s, dir) => {
+      TextOps
+        .qualityFeatures(T(s, dir, "documents"), col("text"))
+        .withColumn("quality", TextOps.qualityScore)
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          col("mean_tok_len"),
+          col("stopword_ratio"),
+          col("punct_ratio"),
+          col("quality")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language-ID vs the labeled lang column.
+    "x4_langid" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Content fingerprints: md5 (oracle-checked) + rolling hash (test-checked).
+    "x5_fingerprint" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprintMd5(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact n-gram Jaccard near-dup pairs via inverted index (no LSH, no
+    // cross product) — the completeness baseline for the LSH variants.
+    "x6_ngram_jaccard" -> ((s, dir) => {
+      Dedup
+        .ngramJaccardPairs(T(s, dir, "documents"), col("text"), col("doc_id"), n = 3, threshold = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // MinHash-LSH near-dup candidates (rows-only; recall vs x6 in tests).
+    "x7_minhash_lsh" -> ((s, dir) => {
+      Dedup
+        .minhashPairs(T(s, dir, "documents"), col("text"), col("doc_id"),
+          n = 3, numHashes = 32, bands = 16, threshold = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash near-dup candidates (rows-only; verified in tests).
+    "x8_simhash" -> ((s, dir) => {
+      Dedup
+        .simhashPairs(T(s, dir, "documents"), col("text"), col("doc_id"), maxHamming = 12, blocks = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Exact cosine top-k (brute force, broadcast queries): rank output
+    // only — double math is engine-portable, ranks are robust.
+    "x9_knn_bruteforce" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Similarity
+        .bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ANN via random-hyperplane LSH (rows-only; recall vs x9 in tests).
+    "x10_knn_lsh" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Similarity
+        .lshTopK(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5, bits = 16, blocks = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Embedding table stats (exact ints only).
+    "x11_embedding_stats" -> ((s, dir) => {
+      T(s, dir, "embeddings")
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("vec_id")).as("min_id"),
+          max(col("vec_id")).as("max_id"),
+          max(size(col("embedding"))).as("dim")
+        )
+        .orderBy(col("label"))
+    }),
+
+    // Multimodal metadata extraction: binary columns + typed metadata
+    // (byte length is exact; decode internals are the stub).
+    "x12_multimodal_meta" -> ((s, dir) => {
+      val media = Multimodal.fromDocuments(s, T(s, dir, "documents"))
+      Multimodal
+        .decode(media)
+        .toDF()
+        .select(col("doc_id"), col("media_type"), col("byte_len"), col("channels"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Multimodal frame sampling plumbing (every 4th 16-byte block).
+    "x13_frame_sample" -> ((s, dir) => {
+      val media = Multimodal
+        .fromDocuments(s, T(s, dir, "documents"))
+        .toDF()
+      Multimodal
+        .sampleFrames(media, "content", frameSize = 16, stride = 4)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sampled"), sum(length(col("frame"))).cast("long").as("sampled_bytes"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x1_dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |  MIN(doc_id) AS keep_id, COUNT(1) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x2_token_count" ->
+      """SELECT doc_id,
+        |  LEN(STRING_SPLIT(text, ' ')) AS n_tok,
+        |  LEN(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tok_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x3_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+        |    CAST(LENGTH(text) AS DOUBLE) AS nchar,
+        |    CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+        |      t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS nstop,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS npunct
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  (nchar - (CAST(n_tokens AS DOUBLE) - 1)) / CAST(n_tokens AS DOUBLE) AS mean_tok_len,
+        |  nstop / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+        |  npunct / nchar AS punct_ratio,
+        |  (LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) + LEAST(nstop / CAST(n_tokens AS DOUBLE) * 5.0, 1.0)) / 2.0
+        |    * (1.0 - LEAST(npunct / nchar * 10.0, 1.0)) AS quality
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "x4_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS toks FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    LEN(LIST_FILTER(toks, t -> t IN ('the','and','of'))) AS s_en,
+        |    LEN(LIST_FILTER(toks, t -> t IN ('el','la','de'))) AS s_es,
+        |    LEN(LIST_FILTER(toks, t -> t IN ('der','die','und'))) AS s_de,
+        |    LEN(LIST_FILTER(toks, t -> t IN ('le','les','des'))) AS s_fr,
+        |    LEN(LIST_FILTER(toks, t -> t IN ('的','是','在'))) AS s_zh
+        |  FROM s)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_en + s_es + s_de + s_fr + s_zh = 0 THEN 'und'
+        |       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "x5_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x6_ngram_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id, LIST_DISTINCT(
+        |    CASE WHEN LEN(STRING_SPLIT(text, ' ')) < 3 THEN [text]
+        |         ELSE LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+        |           i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' '))
+        |    END) AS sh
+        |  FROM documents),
+        |inv AS (SELECT doc_id, LEN(sh) AS nsh, UNNEST(sh) AS s FROM docs),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.nsh AS n_a, b.nsh AS n_b,
+        |    COUNT(1) AS inter
+        |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b,
+        |  ROUND(CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard
+        |FROM pairs
+        |WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+    "x9_knn_bruteforce" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 10),
+        |s AS (SELECT qid AS query_id, e.vec_id AS neighbor_id,
+        |        list_cosine_similarity(qv, v) AS sim
+        |      FROM q, e WHERE e.vec_id != qid),
+        |r AS (SELECT query_id, neighbor_id,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "x11_embedding_stats" ->
+      """SELECT label, COUNT(1) AS n, MIN(vec_id) AS min_id, MAX(vec_id) AS max_id,
+        |  MAX(LEN(embedding)) AS dim
+        |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x12_multimodal_meta" ->
+      """SELECT doc_id, 'media/' || source AS media_type,
+        |  CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS INT) AS byte_len, 3 AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x13_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, GREATEST(LENGTH(text) // 16 - 1, 0) AS max_idx, LENGTH(text) AS len
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, len, UNNEST(RANGE(0, max_idx + 1)) AS i FROM f)
+        |SELECT doc_id, COUNT(1) AS n_sampled,
+        |  CAST(SUM(LEAST(16, len - i * 16)) AS BIGINT) AS sampled_bytes
+        |FROM idx WHERE i % 4 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+import graft.model.Message
+
+/** Streaming runtime: the `dsp::service` analog (SURVEY.md §3.3). Wires
+  * sources → handler transforms → sinks as Structured Streaming queries.
+  * All transforms are the SAME `DataFrame => DataFrame` code as the batch
+  * path ([[graft.operators.Pipeline]], [[graft.operators.Router]]) — the
+  * central payoff of the Spark rewrite (SURVEY.md §7.3).
+  */
+object StreamRuntime {
+
+  /** O-1 — Kafka consumer source (kafka.hpp:801-925). `batchSize` maps to
+    * maxOffsetsPerTrigger, `includeHeaders` carries the properties map.
+    * Yields the canonical message schema: subject=topic, properties from
+    * headers, key/payload binary.
+    */
+  def kafkaSource(
+      spark: SparkSession,
+      bootstrap: String,
+      topics: Seq[String],
+      batchSize: Option[Long] = None
+  ): DataFrame = {
+    val r = spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topics.mkString(","))
+      .option("includeHeaders", "true")
+    val withBatch = batchSize.fold(r)(b => r.option("maxOffsetsPerTrigger", b.toString))
+    normalizeKafka(withBatch.load())
+  }
+
+  /** Kafka row → canonical message envelope (SURVEY.md §1.1/§1.2). */
+  def normalizeKafka(df: DataFrame): DataFrame =
+    df.select(
+      col("key"),
+      col("topic").as("subject"),
+      map_from_entries(
+        transform(
+          coalesce(col("headers"), array()),
+          h => struct(h.getField("key"), decode(h.getField("value"), "UTF-8"))
+        )
+      ).as("properties"),
+      col("value").as("payload")
+    )
+
+  /** O-5 — Kafka producer sink (kafka.hpp:557-792): map the envelope back
+    * to the sink columns (subject→topic, properties→headers); delivery
+    * acks/flush are Spark's epoch commit.
+    */
+  def kafkaSink(
+      df: DataFrame,
+      bootstrap: String,
+      checkpoint: String
+  ): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.select(
+      col("key"),
+      col("subject").as("topic"),
+      transform(
+        map_entries(coalesce(col("properties"), map())),
+        e => struct(e.getField("key").as("key"), encode(e.getField("value"), "UTF-8").as("value"))
+      ).as("headers"),
+      col("payload").as("value")
+    ).writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("checkpointLocation", checkpoint)
+
+  /** O-16 — run-until-drained: `Trigger.AvailableNow` processes everything
+    * available then stops — the idiomatic twin of the reference's
+    * partition-EOF stop (handler.hpp:101-128, svc/main.cpp:144-155).
+    */
+  def drainAndStop(w: DataStreamWriter[org.apache.spark.sql.Row]): StreamingQuery = {
+    val q = w.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
+  /** O-7 — broadcast fan-out: ONE streaming query, each micro-batch
+    * persisted once and written to every attached named sink
+    * (cache::send semantics, cache.hpp:65-76: overall success = AND —
+    * here, any sink failure fails the epoch and Spark retries it).
+    */
+  def fanOutSink(
+      df: DataFrame,
+      sinks: Map[String, DataFrame => Unit]
+  ): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      batch.persist()
+      try sinks.values.foreach(write => write(batch))
+      finally { batch.unpersist(); () }
+    }
+
+  /** O-15 — streaming throughput: watermarked 1 s tumbling counts.
+    * Same aggregation as the batch twin [[graft.operators.Pipeline.throughput]].
+    */
+  def throughput(df: DataFrame, tsCol: String, sizeBytes: org.apache.spark.sql.Column): DataFrame =
+    graft.operators.Pipeline.throughput(
+      df.withWatermark(tsCol, "10 seconds"),
+      col(tsCol),
+      sizeBytes
+    )
+
+  /** Typed facade: canonical envelope rows as Dataset[Message]. */
+  def asMessages(df: DataFrame): org.apache.spark.sql.Dataset[Message] = {
+    implicit val enc: org.apache.spark.sql.Encoder[Message] =
+      org.apache.spark.sql.Encoders.product[Message]
+    df.select(col("key"), col("subject"), col("properties"), col("payload")).as[Message]
+  }
+}

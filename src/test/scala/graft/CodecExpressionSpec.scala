@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+import graft.functions.codecs
+import graft.model.Telemetry
+import graft.model.Telemetry._
+
+/** Column-level codecs (native Catalyst expressions with codegen) must
+  * agree with the pure-Scala codec byte-for-byte.
+  */
+class CodecExpressionSpec extends SparkTestBase {
+
+  test("le_u16 / le_i64 read little-endian fields (eval + codegen paths)") {
+    import spark.implicits._
+    val r = new Random(11)
+    val hbs = Seq.fill(64)(Heartbeat(r.nextLong(), r.nextLong(), r.nextLong()))
+    val df = hbs.map(h => Tuple1(encodeHeartbeat(h))).toDF("frame")
+    val got = df
+      .select(
+        codecs.frame_len($"frame").as("len"),
+        codecs.frame_type($"frame").as("tpe"),
+        codecs.hb_client_id($"frame").as("c"),
+        codecs.hb_sequence($"frame").as("s"),
+        codecs.hb_timestamp($"frame").as("t")
+      )
+      .collect()
+      .map(row => (row.getInt(0), row.getInt(1), Heartbeat(row.getLong(2), row.getLong(3), row.getLong(4))))
+    assert(got.map(_._3).toSeq == hbs)
+    assert(got.forall(g => g._1 == 28 && g._2 == TypeHeartbeat))
+  }
+
+  test("le reads return null on short buffers (wait-for-more-bytes protocol)") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("b")
+    val row = df.select(codecs.le_i64($"b", 0), codecs.le_u16($"b", 2)).collect()(0)
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
+
+  test("frame_split agrees with pure-Scala drain on random multi-frame buffers") {
+    import spark.implicits._
+    val r = new Random(13)
+    val bufs = Seq.fill(50) {
+      val n = 1 + r.nextInt(6)
+      val frames = Seq.fill(n) {
+        if (r.nextBoolean()) encodeHeartbeat(Heartbeat(r.nextLong(), r.nextLong(), r.nextLong()))
+        else { val b = new Array[Byte](r.nextInt(100)); r.nextBytes(b); encodeFrame(TypeDynMessage, b) }
+      }
+      val tail = new Array[Byte](r.nextInt(3)) // partial garbage tail
+      frames.toArray.flatten ++ tail
+    }
+    val df = bufs.map(Tuple1(_)).toDF("buf")
+    val got = df.select(codecs.frame_split($"buf").as("fs")).as[Seq[Array[Byte]]].collect()
+    bufs.zip(got).foreach { case (buf, frames) =>
+      val expected = drain(buf)._1
+      assert(frames.length == expected.length)
+      frames.zip(expected).foreach { case (f, e) =>
+        assert(decodeOne(f, 0).get.body.toSeq == e.body.toSeq)
+      }
+    }
+  }
+
+  test("whole-stage codegen stays enabled for codec projections") {
+    // parquet-backed input: literals would constant-fold to a LocalTableScan
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(codecs.encode_heartbeat(col("user_id"), col("event_id"), unix_millis(col("ts"))).as("frame"))
+      .select(codecs.hb_client_id(col("frame")).as("c"), codecs.frame_type(col("frame")).as("t"))
+    val codegenNodes = ev.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenNodes.nonEmpty, s"expected codegen in:\n${ev.queryExecution.executedPlan}")
+  }
+
+  test("encode UDFs produce reference layout (type ids handler.cpp:46-49)") {
+    import spark.implicits._
+    val df = Seq((5L, 6L, 7L)).toDF("c", "s", "t")
+      .select(codecs.encode_heartbeat($"c", $"s", $"t").as("f"))
+    val bytes = df.as[Array[Byte]].collect()(0)
+    assert(decodeOne(bytes, 0).get.msgType == Telemetry.TypeHeartbeat)
+    assert(decodeHeartbeat(decodeOne(bytes, 0).get.body) == Heartbeat(5, 6, 7))
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** LSH operators verified against their exact brute-force twins — the
+  * correctness story for the rows-only queries (x7/x8/x10).
+  */
+class DedupSimilaritySpec extends SparkTestBase {
+
+  private lazy val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+  private lazy val emb = graft.sources.Tables
+    .load(spark, sfDir, "embeddings")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+
+  test("exact dedup: identical texts collapse to min id") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y")).toDF("doc_id", "text")
+    val out = Dedup
+      .exact(df, col("text"), col("doc_id"))
+      .collect()
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies")))
+      .toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("shingles: 3-gram count and short-doc fallback") {
+    import spark.implicits._
+    val df = Seq(Tuple1("a b c d e"), Tuple1("a b")).toDF("text")
+    val got = df.select(Dedup.shingles(col("text"), 3).as("s")).as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d", "c d e"))
+    assert(got(1) == Seq("a b"))
+  }
+
+  test("minhash-LSH pairs are a subset of exact jaccard pairs; high-sim pairs are found") {
+    val exact = Dedup
+      .ngramJaccardPairs(docs, col("text"), col("doc_id"), n = 3, threshold = 0.2)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    val lsh = Dedup
+      .minhashPairs(docs, col("text"), col("doc_id"), n = 3, numHashes = 32, bands = 16, threshold = 0.2)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    // LSH verifies candidates with the SAME exact jaccard -> subset + equal values
+    lsh.foreach { case (pair, j) =>
+      assert(exact.contains(pair), s"LSH produced non-exact pair $pair")
+      assert(math.abs(exact(pair) - j) < 1e-12)
+    }
+    // recall on the clearly-similar tail (collision prob ≥ ~97% at J≥0.5 with r=2,b=16)
+    val strong = exact.filter(_._2 >= 0.5).keySet
+    val found = strong.intersect(lsh.keySet)
+    assert(strong.isEmpty || found.size.toDouble / strong.size >= 0.8,
+      s"minhash recall too low: ${found.size}/${strong.size}")
+  }
+
+  test("simhash: identical docs collide at hamming 0; near-dup recall vs exact") {
+    import spark.implicits._
+    val df = Seq((1L, "spark query engine test alpha"), (2L, "spark query engine test alpha"), (3L, "zz yy xx ww vv"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.simhash(df, col("text"), col("doc_id")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(3L)) > 10)
+    val pairs = Dedup
+      .simhashPairs(df, col("text"), col("doc_id"), maxHamming = 3, blocks = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs.contains((1L, 2L)) && !pairs.contains((1L, 3L)))
+  }
+
+  test("cosine: known vectors") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)), (Seq(1.0, 0.0), Seq(-1.0, 0.0)))
+      .toDF("a", "b")
+    val sims = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(sims(0) - 0.0) < 1e-12)
+    assert(math.abs(sims(1) - 1.0) < 1e-12)
+    assert(math.abs(sims(2) + 1.0) < 1e-12)
+  }
+
+  test("LSH ANN recall ≥ 0.4 vs brute force top-5 (16 bits / 4 blocks multi-probe)") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val bf = Similarity
+      .bruteForceTopK(emb, queries, "embedding", "vec_id", 5)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val ann = Similarity
+      .lshTopK(emb, queries, "embedding", "vec_id", 5, bits = 16, blocks = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val recall = bf.intersect(ann).size.toDouble / bf.size
+    assert(recall >= 0.4, s"ANN recall $recall too low")
+  }
+}

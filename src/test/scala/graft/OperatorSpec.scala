@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Multimodal, Pipeline, TextOps}
+
+/** Unit coverage for the remaining operators: pipeline row transforms,
+  * as-of/range join, text analysis, multimodal plumbing.
+  */
+class OperatorSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("dispatch: heartbeat/dyn branches; strict mode raises on unknown (O-10)") {
+    val df = Seq(0, 1).toDF("t")
+    val got = df.select(Pipeline.dispatch(col("t")).as("b")).as[String].collect().toSeq
+    assert(got == Seq("heartbeat", "dyn_message"))
+    val bad = Seq(7).toDF("t").select(Pipeline.dispatch(col("t")).as("b"))
+    assertThrows[Exception](bad.collect())
+    val lenient = Seq(7).toDF("t").select(Pipeline.dispatch(col("t"), strict = false).as("b"))
+    assert(lenient.as[String].collect().toSeq == Seq("unsupported"))
+  }
+
+  test("heartbeat envelope matches reference shape (O-11, handler.cpp:168-181)") {
+    val df = Seq((72L, 5L, 1700L)).toDF("c", "s", "t")
+    val env = Pipeline.heartbeatEnvelope(df, col("c"), col("s"), col("t")).collect()(0)
+    assert(new String(env.getAs[Array[Byte]]("key"), "UTF-8") == "72")
+    assert(env.getAs[Map[String, String]]("properties") == Map("type" -> "heartbeat"))
+    assert(new String(env.getAs[Array[Byte]]("payload"), "UTF-8") == "client_id=72 sequence=5 epoch=1700")
+  }
+
+  test("batch fanOut writes every sink and ANDs success (O-7, cache.hpp:65-76)") {
+    val df = Seq(1, 2, 3).toDF("v")
+    var counts = Vector.empty[Long]
+    val ok = Pipeline.fanOut(df, Map(
+      "a" -> (b => { counts :+= b.count(); true }),
+      "b" -> (b => { counts :+= b.count(); true })
+    ))
+    assert(ok && counts == Vector(3L, 3L))
+    val fail = Pipeline.fanOut(df, Map("a" -> (_ => true), "bad" -> (_ => false)))
+    assert(!fail)
+  }
+
+  test("asof backward join: picks latest right ≤ left ts, equal-ts visible") {
+    val left = Seq((1L, 100L, "l1"), (1L, 200L, "l2"), (2L, 50L, "l3")).toDF("k", "t", "lv")
+    val right = Seq((1L, 90L, "r1"), (1L, 200L, "r2"), (2L, 60L, "r3")).toDF("k", "t", "rv")
+    val got = AsOfJoin
+      .asofBackward(left, right, "k", "t")
+      .select(col("lv"), col("rv"))
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+      .toSet
+    assert(got == Set(("l1", Some("r1")), ("l2", Some("r2")), ("l3", None)))
+  }
+
+  test("range join: containment with overlapping intervals, no cross product") {
+    val intervals = Seq((1L, 0.0, 10.0), (2L, 5.0, 15.0)).toDF("iid", "lo", "hi")
+    val points = Seq((100L, 7.0), (101L, 12.0), (102L, 20.0)).toDF("pid", "p")
+    val got = AsOfJoin
+      .rangeJoin(intervals, points, "lo", "hi", "p", 5L)
+      .select(col("iid"), col("pid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got == Set((1L, 100L), (2L, 100L), (2L, 101L)))
+  }
+
+  test("text ops: token counts, langid markers, fingerprints deterministic") {
+    val df = Seq(
+      (1L, "the cat and the dog"),
+      (2L, "el gato y la casa de la playa"),
+      (3L, "xyzzy plugh")
+    ).toDF("doc_id", "text")
+    val got = df
+      .select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n"),
+        TextOps.langId(col("text")).as("lang"),
+        TextOps.fingerprintRolling(col("text")).as("fp")
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(got(0)._2 == 5 && got(0)._3 == "en")
+    assert(got(1)._3 == "es")
+    assert(got(2)._3 == "und")
+    // deterministic across runs
+    val again = df.select(TextOps.fingerprintRolling(col("text"))).as[Long].collect()
+    assert(again.toSeq == got.map(_._4).toSeq)
+  }
+
+  test("multimodal: stub decode keeps real histogram features, frame sampling shapes") {
+    val docs = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789abcdefghijkl", "en", "src1", 48L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.fromDocuments(spark, docs)
+    val dec = Multimodal.decode(media).collect()(0)
+    assert(dec.byte_len == 48 && dec.channels == 3)
+    assert(math.abs(dec.features.sum - 1.0f) < 1e-5) // L1-normalized histogram
+    val frames = Multimodal
+      .sampleFrames(media.toDF(), "content", frameSize = 16, stride = 2)
+      .select(col("frame_idx"), length(col("frame")).as("len"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+      .toSet
+    assert(frames == Set((0, 16), (2, 16))) // 3 frames of 16B, stride 2 keeps 0 and 2
+  }
+
+  test("throughput summary totals (O-15 stat.hpp:71-84)") {
+    val df = Seq(("a", 10), ("b", 20)).toDF("m", "sz")
+    val row = Pipeline.throughputSummary(df, col("sz")).collect()(0)
+    assert(row.getLong(0) == 2 && row.getLong(1) == 30)
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+import graft.operators.{Pipeline, Router}
+import graft.streaming.StreamRuntime
+
+/** Batch/stream symmetry: the SAME operator code (Pipeline/Router) runs
+  * under a streaming source, producing the same results — the reference's
+  * pipelines §3.1/§3.2 as Structured Streaming queries.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String, mode: String = "append") = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("streaming router multicast == batch router multicast (O-13)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L, "heartbeat"), (2L, "other"), (3L, "heartbeat"))
+    val streamDf = input
+      .toDF()
+      .toDF("id", "tpe")
+      .withColumn("properties", map(lit("type"), col("tpe")))
+    val routed = Router.route(streamDf, Router.referenceRules)
+    val got = runToMemory(routed.select(col("id"), col("subject")), "routed_stream")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toSet
+    assert(got == Set((1L, "heartbeats"), (3L, "heartbeats"), (2L, "dev-test")))
+  }
+
+  test("streaming 1s throughput window with watermark (O-15)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val input = MemoryStream[(Timestamp, Int)]
+    input.addData(
+      (new Timestamp(base + 100), 10),
+      (new Timestamp(base + 600), 20),
+      (new Timestamp(base + 1200), 30),
+      (new Timestamp(base + 30000), 1) // watermark pusher
+    )
+    val df = input.toDF().toDF("ts", "size")
+    val agg = StreamRuntime.throughput(df, "ts", col("size"))
+    val got = runToMemory(agg, "tp_stream")
+      .select(unix_millis(col("window_start")).as("w"), col("messages"), col("bytes"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got.contains((base, 2L, 30L)))
+    assert(got.contains((base + 1000, 1L, 30L)))
+  }
+
+  test("AvailableNow drain processes everything then stops (O-16)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    input.addData(1L to 100L: _*)
+    val w = input.toDF().toDF("v").writeStream.format("memory").queryName("drain_t")
+    val q = StreamRuntime.drainAndStop(w)
+    assert(!q.isActive) // stopped by itself after draining
+    assert(spark.table("drain_t").count() == 100)
+  }
+
+  test("fan-out: one micro-batch lands in every attached sink (O-7)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    input.addData(1L, 2L, 3L)
+    val sunk = scala.collection.concurrent.TrieMap.empty[String, Long]
+    val sinks = Map[String, org.apache.spark.sql.DataFrame => Unit](
+      "main-nb" -> (b => sunk.updateWith("main-nb")(v => Some(v.getOrElse(0L) + b.count()))),
+      "log-nb" -> (b => sunk.updateWith("log-nb")(v => Some(v.getOrElse(0L) + b.count())))
+    )
+    val q = StreamRuntime.fanOutSink(input.toDF().toDF("v"), sinks).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(sunk("main-nb") == 3 && sunk("log-nb") == 3)
+  }
+
+  test("streaming codec pipeline: frames decode in-stream (O-8/O-9)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.codecs
+    val input = MemoryStream[(Long, Long, Long)]
+    input.addData((72L, 0L, 1700L), (72L, 1L, 1701L))
+    val df = input
+      .toDF()
+      .toDF("c", "s", "t")
+      .select(codecs.encode_heartbeat(col("c"), col("s"), col("t")).as("frame"))
+      .select(codecs.hb_client_id(col("frame")).as("client_id"), codecs.hb_sequence(col("frame")).as("seq"))
+    val got = runToMemory(df, "codec_stream").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((72L, 0L), (72L, 1L)))
+  }
+}
