@@ -169,6 +169,22 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
 
+    // O-15 one-pass typed Aggregator: lifetime totals + MBps/kMPS summary
+    // (stat.hpp:71-84) in a single scan.
+    "p13_throughput_agg" -> ((s, dir) => {
+      import graft.operators.ThroughputAggregator
+      import graft.operators.ThroughputAggregator.Obs
+      val sess = s
+      import sess.implicits._
+      val obs = ev(s, dir)
+        .select(unix_millis(col("ts")).as("tsMillis"), length(col("props")).cast("long").as("bytes"))
+        .as[Obs]
+      obs
+        .select(ThroughputAggregator.summaryColumn)
+        .toDF()
+        .select(col("messages"), col("bytes"), col("span_ms"), col("mbps"), col("kmps"))
+    }),
+
     // JSON payload extraction (props is a JSON string ≈ headers).
     "p12_json_extract" -> ((s, dir) => {
       ev(s, dir)
@@ -226,6 +242,13 @@ object PipelineQueries {
       """SELECT event_type, COUNT(1) AS dropped FROM events
         |WHERE event_type NOT IN ('purchase', 'click')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p13_throughput_agg" ->
+      """SELECT COUNT(1) AS messages,
+        |  CAST(SUM(LENGTH(props)) AS BIGINT) AS bytes,
+        |  MAX(epoch_ms(ts)) - MIN(epoch_ms(ts)) AS span_ms,
+        |  SUM(LENGTH(props)) / 1e6 / (GREATEST(1, MAX(epoch_ms(ts)) - MIN(epoch_ms(ts))) / 1e3) AS mbps,
+        |  COUNT(1) / 1e3 / (GREATEST(1, MAX(epoch_ms(ts)) - MIN(epoch_ms(ts))) / 1e3) AS kmps
+        |FROM events""".stripMargin,
     "p12_json_extract" ->
       """SELECT event_id,
         |  CAST(REPLACE(REPLACE(props, '{"k": ', ''), '}', '') AS INT) AS k

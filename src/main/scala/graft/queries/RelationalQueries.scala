@@ -265,6 +265,42 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Session windows (batch mode session_window; 1-hour gap). The oracle
+    // reconstructs sessionization with lag + cumulative sum — same
+    // semantics, classic SQL formulation.
+    "q21_session_window" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "1 hour").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          unix_millis(col("sw.start")).as("session_start_ms"),
+          col("n_events")
+        )
+        .orderBy(col("user_id"), col("session_start_ms"))
+    }),
+
+    // Exact distinct counting (the approx/HLL twin is q23, rows-only).
+    "q22_count_distinct" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows")
+        )
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Approx distinct via HLL++ (engine-specific sketch -> rows-only;
+    // accuracy vs exact is asserted in RelationalExtraSpec).
+    "q23_approx_distinct" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Range join via bucketized equi-join (interval containment).
     "q20_range_join" -> ((s, dir) => {
       val bands = T(s, dir, "nation")
@@ -398,6 +434,27 @@ object RelationalQueries {
         |  (SELECT user_id, ts, event_id AS signup_event FROM events WHERE event_type = 'signup') s
         |ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q21_session_window" ->
+      """WITH t AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) >= 3600000000
+        |         OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM t)
+        |SELECT user_id, MIN(ts_us) // 1000 AS session_start_ms, COUNT(1) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_ms""".stripMargin,
+    "q22_count_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(1) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q20_range_join" ->
       """SELECT n_nationkey, COUNT(1) AS n_in_band
         |FROM (SELECT n_nationkey,

@@ -1,0 +1,128 @@
+package graft.runtime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Router
+import graft.streaming.StreamRuntime
+
+/** Config-driven service: the `dsp::service` analog (SURVEY.md §3.3,
+  * dsp.hpp:128-319). A YAML config in the reference's shape
+  * (res/dsp.yaml / res/dsp-k2k.yaml — re-typed, not copied) wires
+  * southbound source → router → northbound sinks as one streaming query
+  * with fan-out; `start()` returns the StreamingQuery (the listener
+  * jthread analog), graceful stop = `query.stop()`.
+  */
+object GraftService {
+
+  sealed trait Southbound
+  final case class TcpSouth(port: Int) extends Southbound
+  final case class KafkaSouth(address: String, groupId: String, topics: Seq[String], batchSize: Option[Long])
+      extends Southbound
+
+  final case class Northbound(name: String, tpe: String, address: String, enabled: Boolean)
+
+  final case class ServiceConfig(
+      southbound: Southbound,
+      northbound: Seq[Northbound],
+      rules: Seq[Router.Rule],
+      appTopic: Option[String]
+  )
+
+  /** Parse the reference-shaped YAML (keys per dsp.hpp:200-255 and
+    * res/dsp.yaml:19-29).
+    */
+  def parseConfig(yaml: String): ServiceConfig = {
+    val root = YamlLite.parse(yaml)
+    val sb = root("interfaces.southbound")
+    val south = sb("type").str match {
+      case "tcp" => TcpSouth(sb("port").int)
+      case "kafka" =>
+        KafkaSouth(
+          sb("address").str,
+          sb.get("groupid").map(_.str).getOrElse("graft-consumer"),
+          sb("topics").list.map(_.str),
+          sb.get("batchSize").map(_.long)
+        )
+      case other => throw new IllegalArgumentException(s"unknown southbound type '$other'")
+    }
+    val norths = root.get("interfaces.northbound").map(_.list).getOrElse(Seq.empty).map { n =>
+      Northbound(
+        n("name").str,
+        n("type").str,
+        n.get("address").map(_.str).getOrElse(""),
+        n.get("enabled").map(_.bool).getOrElse(true)
+      )
+    }
+    val rules = root.get("rules").map(_.list).getOrElse(Seq.empty).map { r =>
+      Router.Rule(
+        name = r("name").str,
+        priority = r("priority").int,
+        field = r("condition")("field").str,
+        value = r("condition")("value").str,
+        action = r("action").str match {
+          case "allow" => Router.Allow
+          case "deny"  => Router.Deny
+          case other   => throw new IllegalArgumentException(s"unknown action '$other'")
+        },
+        destination = r("destination").str,
+        subject = r("subject").str,
+        matcher = r("condition").get("matcher").map(_.str).getOrElse("exact")
+      )
+    }
+    ServiceConfig(south, norths, rules, root.get("topic").map(_.str))
+  }
+
+  /** Build the southbound DataFrame in the canonical envelope schema. */
+  def southboundFrame(spark: SparkSession, cfg: ServiceConfig): DataFrame = {
+    import org.apache.spark.sql.functions._
+    cfg.southbound match {
+      case TcpSouth(port) =>
+        spark.readStream
+          .format("graft-tcp")
+          .option("port", port.toString)
+          .load()
+          .select(
+            lit(null).cast("binary").as("key"),
+            lit(cfg.appTopic.orNull).cast("string").as("subject"),
+            map(
+              lit("type"),
+              when(col("msg_type") === graft.model.Telemetry.TypeHeartbeat, "heartbeat")
+                .otherwise("dyn_message")
+            ).as("properties"),
+            col("payload")
+          )
+      case KafkaSouth(address, _, topics, batchSize) =>
+        StreamRuntime.kafkaSource(spark, address, topics, batchSize)
+    }
+  }
+
+  /** Wire the full pipeline. `sinkFactory` resolves a northbound config to
+    * a batch-write function (tests pass memory/collect sinks; production
+    * passes kafka/console writers keyed by `tpe`).
+    */
+  def start(
+      spark: SparkSession,
+      cfg: ServiceConfig,
+      sinkFactory: Northbound => DataFrame => Unit,
+      trigger: Trigger = Trigger.ProcessingTime(0L)
+  ): StreamingQuery = {
+    val src = southboundFrame(spark, cfg)
+    val routed =
+      if (cfg.rules.nonEmpty) Router.route(src, cfg.rules)
+      else src.withColumn("destination", org.apache.spark.sql.functions.lit("*"))
+    val sinks = cfg.northbound.filter(_.enabled)
+    val writers: Map[String, DataFrame => Unit] = sinks.map { nb =>
+      val write = sinkFactory(nb)
+      // each sink sees only traffic routed to it (or broadcast '*')
+      nb.name -> { (batch: DataFrame) =>
+        write(
+          batch.filter(
+            org.apache.spark.sql.functions.col("destination").isin(nb.name, "*")
+          )
+        )
+      }
+    }.toMap
+    StreamRuntime.fanOutSink(routed, writers).trigger(trigger).start()
+  }
+}

@@ -105,6 +105,42 @@ object StreamRuntime {
       sizeBytes
     )
 
+  /** O-4 — heartbeat simulator (svc/svc/sim.cpp:72-97): a `rate` source
+    * emitting one serialized heartbeat per tick, sequence = rate value,
+    * timestamp = wall clock — the reference's 1 s cadence is
+    * rowsPerSecond=1.
+    */
+  def heartbeatSimulator(spark: SparkSession, clientId: Long, rowsPerSecond: Int = 1): DataFrame =
+    simulateHeartbeats(
+      spark.readStream.format("rate").option("rowsPerSecond", rowsPerSecond.toString).load(),
+      clientId
+    )
+
+  /** The simulator's frame-building transform over any (timestamp, value)
+    * input — shared by the streaming rate path and batch tests.
+    */
+  def simulateHeartbeats(df: DataFrame, clientId: Long): DataFrame =
+    df.select(
+      graft.functions.codecs
+        .encode_heartbeat(lit(clientId), col("value"), unix_millis(col("timestamp")))
+        .as("frame")
+    )
+
+  /** O-17 — observation metrics: labeled counters riding the query itself
+    * (no second pass), the Spark-native twin of the metrics registry
+    * (libdsp/libdsp/metrics.hpp:28-97). Returns the instrumented frame and
+    * the Observation to read after an action.
+    */
+  def observeCounters(df: DataFrame, name: String): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val instrumented = df.observe(
+      obs,
+      count(lit(1)).as("process_messages_total"),
+      sum(length(col("payload"))).as("process_bytes_total")
+    )
+    (instrumented, obs)
+  }
+
   /** Typed facade: canonical envelope rows as Dataset[Message]. */
   def asMessages(df: DataFrame): org.apache.spark.sql.Dataset[Message] = {
     implicit val enc: org.apache.spark.sql.Encoder[Message] =

@@ -1,0 +1,117 @@
+package graft
+
+import java.net.{ServerSocket, Socket}
+
+import graft.model.Telemetry._
+import graft.runtime.{GraftService, YamlLite}
+
+/** Config parsing (reference YAML shape, res/dsp.yaml re-typed) and the
+  * full config→TCP→router→fan-out service lifecycle (§3.3 entry point C).
+  */
+class ServiceSpec extends SparkTestBase {
+
+  private val fixtureYaml =
+    """# service config (shape of res/dsp.yaml:1-29)
+      |topic: dev-test
+      |handler: telemetry
+      |interfaces:
+      |  southbound:
+      |    type: tcp
+      |    port: %PORT%
+      |  northbound:
+      |    - enabled: true
+      |      name: main-nb
+      |      type: memory
+      |      address: localhost:9092
+      |    - enabled: true
+      |      name: audit-nb
+      |      type: memory
+      |  metrics:
+      |    enabled: true
+      |    port: 9555
+      |daemon-interval: 1
+      |rules:
+      |  - name: hb
+      |    priority: 1
+      |    condition: {field: type, value: heartbeat, matcher: exact}
+      |    action: allow
+      |    destination: main-nb
+      |    subject: heartbeats
+      |  - name: mirror
+      |    priority: 2
+      |    condition: {field: '*', value: '*'}
+      |    action: allow
+      |    destination: audit-nb
+      |    subject: all
+      |""".stripMargin
+
+  test("YamlLite parses the reference config shape") {
+    val n = YamlLite.parse(fixtureYaml.replace("%PORT%", "7200"))
+    assert(n("topic").str == "dev-test")
+    assert(n("interfaces.southbound.type").str == "tcp")
+    assert(n("interfaces.southbound.port").int == 7200)
+    val nbs = n("interfaces.northbound").list
+    assert(nbs.map(_("name").str) == Seq("main-nb", "audit-nb"))
+    assert(nbs.head("enabled").bool)
+    val rules = n("rules").list
+    assert(rules.head("condition")("field").str == "type")
+    assert(rules(1)("condition")("value").str == "*")
+    assert(n("daemon-interval").int == 1)
+  }
+
+  test("k2k config shape (res/dsp-k2k.yaml) parses: kafka southbound with topic list") {
+    val k2k =
+      """topic: dev-test-2
+        |interfaces:
+        |  southbound:
+        |    type: kafka
+        |    address: localhost:9092
+        |    groupid: dsp-consumer
+        |    topics: [dev-test]
+        |    batchSize: 10
+        |    pollTimeoutMs: 100
+        |""".stripMargin
+    val cfg = GraftService.parseConfig(k2k)
+    val south = cfg.southbound.asInstanceOf[GraftService.KafkaSouth]
+    assert(south.topics == Seq("dev-test") && south.batchSize.contains(10L))
+    assert(cfg.appTopic.contains("dev-test-2"))
+  }
+
+  test("service lifecycle: config → TCP ingress → router → per-destination fan-out") {
+    val port = { val s = new ServerSocket(0); try s.getLocalPort finally s.close() }
+    val cfg = GraftService.parseConfig(fixtureYaml.replace("%PORT%", port.toString))
+    assert(cfg.rules.length == 2 && cfg.northbound.length == 2)
+
+    val received = scala.collection.concurrent.TrieMap.empty[String, Vector[String]]
+    val q = GraftService.start(
+      spark,
+      cfg,
+      nb =>
+        batch => {
+          val subjects = batch.collect().map(_.getAs[String]("subject")).toVector
+          received.updateWith(nb.name)(v => Some(v.getOrElse(Vector.empty) ++ subjects))
+        }
+    )
+    try {
+      Thread.sleep(300)
+      val sock = new Socket("127.0.0.1", port)
+      sock.getOutputStream.write(
+        encodeHeartbeat(Heartbeat(72, 0, 1L)) ++
+          encodeFrame(TypeDynMessage, "payload".getBytes("UTF-8"))
+      )
+      sock.close()
+      val deadline = System.currentTimeMillis() + 15000
+      while (
+        (received.getOrElse("main-nb", Vector.empty).length < 1 ||
+          received.getOrElse("audit-nb", Vector.empty).length < 2) &&
+        System.currentTimeMillis() < deadline
+      ) {
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+      // main-nb gets only the allowed heartbeat; audit-nb mirrors everything
+      assert(received("main-nb") == Vector("heartbeats"))
+      assert(received("audit-nb").sorted == Vector("all", "all"))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.ThroughputAggregator
+import graft.operators.ThroughputAggregator.Obs
+import graft.streaming.StreamRuntime
+
+/** Kafka edge mappings (testable without a broker), simulator transform,
+  * observation metrics, typed aggregator, and custom state
+  * (mapGroupsWithState) — the remaining SURVEY.md §2 rows.
+  */
+class StreamRuntimeSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("kafka row → envelope normalization (O-1 consumed-message view §1.2)") {
+    val kafkaShaped = Seq(
+      (
+        "k1".getBytes("UTF-8"),
+        "payload-1".getBytes("UTF-8"),
+        "dev-test",
+        Seq(("ts", "1234".getBytes("UTF-8"))),
+        0,
+        42L
+      )
+    ).toDF("key", "value", "topic", "headers", "partition", "offset")
+      .withColumn("headers", col("headers").cast("array<struct<key:string,value:binary>>"))
+    val env = StreamRuntime.normalizeKafka(kafkaShaped).collect()(0)
+    assert(new String(env.getAs[Array[Byte]]("key"), "UTF-8") == "k1")
+    assert(env.getAs[String]("subject") == "dev-test")
+    assert(env.getAs[Map[String, String]]("properties") == Map("ts" -> "1234"))
+    assert(new String(env.getAs[Array[Byte]]("payload"), "UTF-8") == "payload-1")
+  }
+
+  test("kafka normalization tolerates null headers (includeHeaders edge)") {
+    val df = Seq((Array[Byte](1), Array[Byte](2), "t"))
+      .toDF("key", "value", "topic")
+      .withColumn("headers", lit(null).cast("array<struct<key:string,value:binary>>"))
+    val env = StreamRuntime.normalizeKafka(df).collect()(0)
+    assert(env.getAs[Map[String, String]]("properties") == Map.empty)
+  }
+
+  test("heartbeat simulator transform builds reference frames (O-4)") {
+    val fake = Seq((new java.sql.Timestamp(1700000000000L), 5L)).toDF("timestamp", "value")
+    val frame = StreamRuntime.simulateHeartbeats(fake, clientId = 72).as[Array[Byte]].collect()(0)
+    val hb = graft.model.Telemetry.decodeHeartbeat(graft.model.Telemetry.decodeOne(frame, 0).get.body)
+    assert(hb == graft.model.Telemetry.Heartbeat(72, 5, 1700000000000L))
+  }
+
+  test("observation counters ride the query (O-17 metrics names)") {
+    val df = Seq("abc", "defg").toDF("s").select(encode(col("s"), "UTF-8").as("payload"))
+    val (instrumented, obs) = StreamRuntime.observeCounters(df, "proc")
+    instrumented.count()
+    val m = obs.get
+    assert(m("process_messages_total") == 2L && m("process_bytes_total") == 7L)
+  }
+
+  test("one-pass throughput aggregator matches reference summary math (stat.hpp:71-84)") {
+    val ds = Seq(Obs(0L, 1000000L), Obs(500L, 1000000L), Obs(1000L, 0L)).toDS()
+    val s = ds.select(ThroughputAggregator.summaryColumn).collect()(0)
+    assert(s.messages == 3 && s.bytes == 2000000L && s.span_ms == 1000L)
+    assert(math.abs(s.mbps - 2.0) < 1e-9) // 2 MB over 1 s
+    assert(math.abs(s.kmps - 0.003) < 1e-9)
+  }
+
+  test("custom per-key state via mapGroupsWithState (sequence-gap detector)") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference semantics: heartbeat sequence increments per client; state
+    // tracks last seq per client and flags gaps (the kind of handler state
+    // the reference keeps per connection, doc/test.adoc:51-53).
+    val input = MemoryStream[(Long, Long)]
+    input.addData((1L, 0L), (1L, 1L), (2L, 0L))
+    input.addData((1L, 3L), (2L, 1L)) // client 1 skips seq 2
+    val gaps = input
+      .toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (client: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val seqs = rows.map(_._2).toSeq.sorted
+          val start = state.getOption.getOrElse(-1L)
+          val all = start +: seqs
+          val gapCount = all.sliding(2).count { case Seq(a, b) => b - a > 1 }.toLong
+          state.update(seqs.last)
+          (client, gapCount)
+      }
+    val q = gaps.toDF("client", "gaps").writeStream
+      .format("memory").queryName("gap_state").outputMode(OutputMode.Update).start()
+    q.processAllAvailable()
+    q.stop()
+    val byClient = spark.table("gap_state").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(byClient(1L) == 1 && byClient(2L) == 0)
+  }
+
+  test("approx_count_distinct within 5% of exact (q23 accuracy contract)") {
+    val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+    val exact = li.select(countDistinct(col("l_partkey"))).as[Long].collect()(0)
+    val approx = li.select(approx_count_distinct(col("l_partkey"), 0.02)).as[Long].collect()(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+
+  test("kafka sink column mapping shape (O-5) — dry plan, no broker") {
+    val env = Seq(
+      (Array[Byte](1), "topic-a", Map("h" -> "v"), Array[Byte](9))
+    ).toDF("key", "subject", "properties", "payload")
+    // reuse the sink's projection by rebuilding it (writer itself needs a broker)
+    val projected = env.select(
+      col("key"),
+      col("subject").as("topic"),
+      transform(
+        map_entries(coalesce(col("properties"), map())),
+        e => struct(e.getField("key").as("key"), encode(e.getField("value"), "UTF-8").as("value"))
+      ).as("headers"),
+      col("payload").as("value")
+    )
+    val row = projected.collect()(0)
+    assert(row.getAs[String]("topic") == "topic-a")
+    val hdr = row.getAs[Seq[org.apache.spark.sql.Row]]("headers").head
+    assert(hdr.getAs[String]("key") == "h" && new String(hdr.getAs[Array[Byte]]("value"), "UTF-8") == "v")
+    assert(projected.schema.fieldNames.toSeq == Seq("key", "topic", "headers", "value"))
+  }
+}
