@@ -42,16 +42,18 @@ object Dedup {
     )
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum over the shingle set of `xxhash64(seed_i, shingle)` →
-    * array&lt;long&gt; length `numHashes`. One pass over the shingle array
-    * per hash (transform + array_min, all codegen'd).
+  /** MinHash signature: each shingle STRING is hashed once to a 64-bit
+    * value; the `numHashes` hash families then re-mix that fixed-width long
+    * (`xxhash64(seed_i, h)`), so per-document cost is
+    * O(|sh| · (strlen + numHashes·8B)) instead of
+    * O(|sh| · numHashes · strlen) — the string is only walked once.
+    * All codegen'd (transform + array_min).
     */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
-    val sh = array_distinct(shingleCol)
+    val hs = transform(array_distinct(shingleCol), s => xxhash64(s))
     array(
       (0 until numHashes).map { seed =>
-        array_min(transform(sh, s => xxhash64(lit(seed), s)))
+        array_min(transform(hs, h => xxhash64(lit(seed), h)))
       }: _*
     )
   }
@@ -93,20 +95,36 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.8
   ): DataFrame = {
-    val docs = df
-      .select(idCol.as("id"), array_distinct(shingles(text, n)).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded = docs
-      .select(col("id"), col("sh"), explode(bandKeys(col("sig"), numHashes, bands)).as("bk"))
-      .select(col("id"), col("sh"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val cand = l
-      .join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val docs = df.select(idCol.as("id"), array_distinct(shingles(text, n)).as("sh"))
+    // signature via explode + codegen'd min-aggregates (shuffle carries
+    // only (id, 8B hash) pairs; the explode is partition-local so partial
+    // aggregation completes groups map-side)
+    val inv = docs.select(col("id"), explode(col("sh")).as("s0"))
+      .select(col("id"), xxhash64(col("s0")).as("h"))
+    val mins = (0 until numHashes).map(seed => min(xxhash64(lit(seed), col("h"))).as(s"m$seed"))
+    val sig = inv.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+    // band keys: hash each signature slice; candidates join on (band, key)
+    // carrying ONLY ids — document shingles never ride the band shuffle
+    val bandCols = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*).as("bucket")
+      )
+    }
+    val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val cand = banded
+      .join(banded.withColumnRenamed("id", "id_b"), Seq("band", "bucket"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // exact Jaccard verification: two id-equi-joins back to the (small
+    // relative to candidates) shingle-set table
     cand
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn(
         "jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -118,10 +136,13 @@ object Dedup {
 
   /** SimHash 64-bit fingerprint (Charikar '02 / Manku et al. WWW'07):
     * per token hash, each of the 64 bit positions votes ±1; fingerprint bit
-    * = sign of the vote sum. Explode-free: a fold over the token array with
-    * a 64-slot vote vector would not be codegen'd, so instead each bit is
-    * an independent sum over the token array — 64 codegen'd aggregates of
-    * the exploded hash, grouped per doc.
+    * = sign of the vote sum.
+    *
+    * Formulation note: explode + 64 codegen'd conditional-sum aggregates
+    * beats a higher-order `aggregate` fold (Spark's lambda functions run
+    * interpreted, measured ~1.5× slower). The explode is partition-local
+    * and partial aggregation completes each doc's group map-side, so the
+    * exchange carries ~one 64-int row per doc — scale-safe.
     */
   def simhash(df: DataFrame, text: Column, idCol: Column): DataFrame = {
     val tok = df.select(idCol.as("id"), explode(array_distinct(split(text, " "))).as("t"))
@@ -196,7 +217,11 @@ object Dedup {
   ): DataFrame = {
     val docs = df.select(idCol.as("id"), array_distinct(shingles(text, n)).as("sh"))
       .withColumn("nsh", size(col("sh")))
-    val inv = docs.select(col("id"), col("nsh"), explode(col("sh")).as("s"))
+    // join on the 64-bit shingle hash, not the string: the self-join
+    // shuffles 8-byte keys instead of n-gram text (collision odds across
+    // distinct shingles are ~|S|^2 / 2^65 — negligible below ~10^8 shingles)
+    val inv = docs.select(col("id"), col("nsh"), explode(col("sh")).as("s0"))
+      .select(col("id"), col("nsh"), xxhash64(col("s0")).as("s"))
     val l = inv.select(col("s"), col("id").as("id_a"), col("nsh").as("n_a"))
     val r = inv.select(col("s"), col("id").as("id_b"), col("nsh").as("n_b"))
     l.join(r, Seq("s"))

@@ -58,10 +58,11 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
-  /** Random-hyperplane signature: `bits` deterministic pseudo-random
-    * hyperplanes; bit i = sign(dot(v, h_i)). Hyperplane components are
-    * derived from xxhash64(seed=i, dim=j) mapped to [-1, 1] — fully
-    * deterministic across engines and runs, no stored model.
+  /** Random-hyperplane signature: bit i = sign(dot(v, h_i)) (Charikar '02).
+    * Hyperplane components derive from xxhash64(seed=i, dim=j) mapped to
+    * [-1, 1] — deterministic, no stored model, and the whole expression
+    * stays codegen'd (array literals measured slower: they blow up the
+    * generated method and fall back to interpreted evaluation).
     */
   def hyperplaneSignature(vec: Column, bits: Int): Column = {
     val planes = (0 until bits).map { i =>
