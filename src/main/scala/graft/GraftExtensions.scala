@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+import graft.functions.codecs
+
+/** SparkSessionExtensions injection point: registers the engine's native
+  * expressions under SQL names so `spark.sql` users get the full surface:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  * spark.sql("SELECT graft_hb_client_id(frame) FROM frames")
+  * }}}
+  *
+  * Functions: graft_le_u16(bin, off), graft_le_i64(bin, off),
+  * graft_frame_split(bin), graft_frame_type(bin), graft_frame_len(bin),
+  * graft_hb_client_id/sequence/timestamp(bin).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def off(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other =>
+      throw new IllegalArgumentException(s"offset must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+    def register(name: String, builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction(
+        (
+          FunctionIdentifier(name),
+          new ExpressionInfo("graft", name),
+          (exprs: Seq[Expression]) => builder(exprs)
+        )
+      )
+
+    register("graft_le_u16", es => codecs.LeU16(es(0), off(es(1))))
+    register("graft_le_i64", es => codecs.LeI64(es(0), off(es(1))))
+    register("graft_frame_split", es => codecs.FrameSplit(es(0)))
+    register("graft_frame_type", es => codecs.LeU16(es(0), graft.model.Telemetry.LengthPrefixSize))
+    register("graft_frame_len", es => codecs.LeU16(es(0), 0))
+    register("graft_hb_client_id", es => codecs.LeI64(es(0), graft.model.Telemetry.HeaderSize))
+    register("graft_hb_sequence", es => codecs.LeI64(es(0), graft.model.Telemetry.HeaderSize + 8))
+    register("graft_hb_timestamp", es => codecs.LeI64(es(0), graft.model.Telemetry.HeaderSize + 16))
+  }
+}

@@ -82,6 +82,47 @@ object Similarity {
     planes.reduce(_.bitwiseOR(_))
   }
 
+  /** Embedding-cosine near-duplicate pairs: corpus rows whose vectors are
+    * near-identical (cosine ≥ threshold), the embedding-space twin of
+    * [[Dedup.minhashPairs]]. Candidates come from hyperplane-signature
+    * block collisions (pigeonhole multi-probe) and are verified with exact
+    * cosine — an equality hash join on block keys, no cross product.
+    */
+  def cosineNearDupPairs(
+      corpus: DataFrame,
+      vec: String,
+      id: String,
+      threshold: Double = 0.95,
+      bits: Int = 16,
+      blocks: Int = 4
+  ): DataFrame = {
+    val width = bits / blocks
+    val signed = corpus.select(
+      col(id).as("vid"),
+      col(vec).as("v"),
+      hyperplaneSignature(col(vec), bits).as("sig")
+    )
+    val blocked = signed
+      .select(
+        col("vid"),
+        col("v"),
+        explode(array((0 until blocks).map { b =>
+          struct(lit(b).as("blk"), shiftright(col("sig"), b * width).bitwiseAND((1L << width) - 1).as("key"))
+        }: _*)).as("bk")
+      )
+      .select(col("vid"), col("v"), col("bk.blk").as("blk"), col("bk.key").as("key"))
+    blocked
+      .join(
+        blocked.select(col("blk"), col("key"), col("vid").as("vid_b"), col("v").as("v_b")),
+        Seq("blk", "key")
+      )
+      .filter(col("vid") < col("vid_b"))
+      .dropDuplicates("vid", "vid_b")
+      .withColumn("cos", cosine(col("v"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("vid").as("id_a"), col("vid_b").as("id_b"), col("cos"))
+  }
+
   /** ANN top-k: candidates = corpus rows whose signature matches the query
     * signature in at least one of `blocks` signature blocks (multi-probe by
     * pigeonhole, same blocking trick as [[Dedup.simhashPairs]]); candidates

@@ -115,6 +115,17 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Embedding-cosine near-dup pairs (LSH candidates + exact verify;
+    // rows-only — verified against brute force in DedupSimilaritySpec).
+    "x14_embedding_neardup" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Similarity
+        .cosineNearDupPairs(emb, "embedding", "vec_id", threshold = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Embedding table stats (exact ints only).
     "x11_embedding_stats" -> ((s, dir) => {
       T(s, dir, "embeddings")

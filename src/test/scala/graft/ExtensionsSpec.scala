@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.model.Telemetry._
+import graft.operators.Similarity
+import graft.streaming.MetricsBridge
+
+/** SQL function registration (SparkSessionExtensions), the metrics bridge,
+  * and embedding-cosine near-dup.
+  */
+class ExtensionsSpec extends SparkTestBase {
+
+  test("GraftExtensions registers codec functions for spark.sql") {
+    // session with extensions — separate from the shared one
+    val s2 = SparkSession
+      .builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      Seq(Tuple1(encodeHeartbeat(Heartbeat(72, 5, 1700L))))
+        .toDF("frame")
+        .createOrReplaceTempView("frames")
+      val row = s2
+        .sql(
+          """SELECT graft_frame_len(frame) AS len, graft_frame_type(frame) AS tpe,
+            |  graft_hb_client_id(frame) AS c, graft_hb_sequence(frame) AS s,
+            |  graft_hb_timestamp(frame) AS t, graft_le_u16(frame, 0) AS len2
+            |FROM frames""".stripMargin
+        )
+        .collect()(0)
+      assert(row.getInt(0) == 28 && row.getInt(1) == 0)
+      assert(row.getLong(2) == 72 && row.getLong(3) == 5 && row.getLong(4) == 1700L)
+      assert(row.getInt(5) == 28)
+    } finally {
+      // do not stop(): shares the local SparkContext with the suite session
+      ()
+    }
+  }
+
+  test("metrics bridge accumulates reference-named counters from query progress") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bridge = new MetricsBridge
+    spark.streams.addListener(bridge)
+    try {
+      val input = MemoryStream[Long]
+      input.addData(1L to 50L: _*)
+      val q = input.toDF().writeStream.format("memory").queryName("metrics_q").start()
+      q.processAllAvailable()
+      input.addData(51L to 60L: _*)
+      q.processAllAvailable()
+      q.stop()
+      // listener events are async — poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (bridge.counterValue("process_messages_total", "metrics_q") < 60 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(bridge.counterValue("process_messages_total", "metrics_q") == 60)
+      val scrape = bridge.scrape()
+      assert(scrape.contains("""process_messages_total{query="metrics_q"}"""))
+      assert(scrape.contains("""batch_count{query="metrics_q"}"""))
+    } finally spark.streams.removeListener(bridge)
+  }
+
+  test("embedding-cosine near-dup pairs = exact brute-force subset, all above threshold") {
+    val emb = graft.sources.Tables
+      .load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val got = Similarity
+      .cosineNearDupPairs(emb, "embedding", "vec_id", threshold = 0.3)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    // exact pairs via self cross join (500 vecs at sf0.001 -> 125k pairs)
+    val l = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+    val r = emb.select(col("vec_id").as("b"), col("embedding").as("vb"))
+    val exact = l
+      .join(r, col("a") < col("b"))
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= 0.3)
+      .collect()
+      .map(rr => ((rr.getAs[Long]("a"), rr.getAs[Long]("b")), rr.getAs[Double]("cos")))
+      .toMap
+    got.foreach { case (pair, c) =>
+      assert(exact.contains(pair), s"non-exact pair $pair")
+      assert(math.abs(exact(pair) - c) < 1e-12)
+      assert(c >= 0.3)
+    }
+    // LSH with 16 bits/4 blocks finds most strongly-similar pairs
+    val strong = exact.filter(_._2 >= 0.5).keySet
+    if (strong.nonEmpty) {
+      val rec = strong.intersect(got.keySet).size.toDouble / strong.size
+      assert(rec >= 0.5, s"near-dup recall $rec")
+    }
+  }
+}
