@@ -301,6 +301,18 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Exact interpolated percentiles (median & quartiles) per group.
+    "q24_percentiles" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          percentile(col("o_totalprice"), lit(0.25)).as("p25"),
+          percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+          percentile(col("o_totalprice"), lit(0.75)).as("p75")
+        )
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Range join via bucketized equi-join (interval containment).
     "q20_range_join" -> ((s, dir) => {
       val bands = T(s, dir, "nation")
@@ -455,6 +467,12 @@ object RelationalQueries {
         |  COUNT(DISTINCT l_suppkey) AS n_supps,
         |  COUNT(1) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q24_percentiles" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.25) AS p25,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.75) AS p75
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q20_range_join" ->
       """SELECT n_nationkey, COUNT(1) AS n_in_band
         |FROM (SELECT n_nationkey,
