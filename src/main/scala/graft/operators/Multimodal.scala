@@ -79,6 +79,23 @@ object Multimodal {
     )
   }
 
+  /** "Resize" stub: nearest-neighbor downsample of the raw byte plane by
+    * `factor` (every factor-th byte), run per-partition over the typed
+    * Dataset — the same zero-shuffle batch shape a real resampling kernel
+    * (JNI libjpeg/swscale) would use; swapping the loop body changes no
+    * plan.
+    */
+  def resizeDataset(ds: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    require(factor >= 1)
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val out = new Array[Byte]((r.content.length + factor - 1) / factor)
+      var i = 0
+      while (i < out.length) { out(i) = r.content(i * factor); i += 1 }
+      r.copy(content = out)
+    })
+  }
+
   /** Build a MediaRow dataset from the documents table (text bytes stand in
     * for media content — the driver testdata has no true binary column).
     */

@@ -82,6 +82,98 @@ object Similarity {
     planes.reduce(_.bitwiseOR(_))
   }
 
+  /** Squared L2 distance between two array columns. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
+
+  /** IVF (inverted-file) ANN — the clustering scale path (à la FAISS IVF,
+    * public design): k-means-lite partitions the corpus into `nlist` cells;
+    * a query probes its `nprobe` nearest cells and only those are reranked
+    * exactly. At 100 TB the corpus is hash-partitioned by cell id, the
+    * centroid table (nlist × dim, KBs) broadcasts, and each query touches
+    * nprobe/nlist of the data — the scan shrinks by that factor.
+    *
+    * Training: `iters` Lloyd rounds, centroids seeded from the first
+    * `nlist` rows by id (deterministic). Assignment is a broadcast cross
+    * join + argmin window — no literal-array blowup in codegen.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vec: String,
+      id: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 2
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(id).as("cid"), col(vec).as("cv"))
+
+    def centroidDf(cents: Seq[(Int, Seq[Double])]): DataFrame =
+      cents.toDF("cell", "centroid")
+
+    def assign(df: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+      val w = Window.partitionBy(col("cid")).orderBy(col("d"), col("cell"))
+      df.join(broadcast(centroidDf(cents)))
+        .withColumn("d", l2sq(col("cv"), col("centroid")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn", "d", "centroid")
+    }
+
+    // seed: first nlist vectors by id
+    var cents: Seq[(Int, Seq[Double])] = c
+      .orderBy(col("cid"))
+      .limit(nlist)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }
+      .toSeq
+
+    // Lloyd rounds: element-wise mean per cell (posexplode + avg per slot)
+    (1 to iters).foreach { _ =>
+      val assigned = assign(c, cents)
+      val means = assigned
+        .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("centroid"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .toSeq
+      // keep empty cells' old centroids
+      val got = means.map(_._1).toSet
+      cents = means ++ cents.filterNot { case (i, _) => got.contains(i) }
+    }
+
+    val cells = assign(c, cents) // (cid, cv, cell)
+
+    // queries probe their nprobe nearest cells
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("d"), col("cell"))
+    val probes = q
+      .join(broadcast(centroidDf(cents)))
+      .withColumn("d", l2sq(col("qv"), col("centroid")))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+
+    // rerank exactly within the probed cells
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    cells
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("cid"))
+      .withColumnRenamed("cid", "neighbor_id")
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: corpus rows whose vectors are
     * near-identical (cosine ≥ threshold), the embedding-space twin of
     * [[Dedup.minhashPairs]]. Candidates come from hyperplane-signature

@@ -115,6 +115,17 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF ANN (cluster-then-probe scale path; rows-only — recall vs brute
+    // force asserted in ExtensionsSpec).
+    "x15_knn_ivf" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Similarity
+        .ivfTopK(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Embedding-cosine near-dup pairs (LSH candidates + exact verify;
     // rows-only — verified against brute force in DedupSimilaritySpec).
     "x14_embedding_neardup" -> ((s, dir) => {

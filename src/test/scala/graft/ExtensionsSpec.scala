@@ -68,6 +68,26 @@ class ExtensionsSpec extends SparkTestBase {
     } finally spark.streams.removeListener(bridge)
   }
 
+  test("IVF ANN: results are exact within probed cells, recall ≥ 0.5 vs brute force") {
+    val emb = graft.sources.Tables
+      .load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val queries = emb.filter(col("vec_id") < 10)
+    val bf = Similarity
+      .bruteForceTopK(emb, queries, "embedding", "vec_id", 5)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val ivf = Similarity
+      .ivfTopK(emb, queries, "embedding", "vec_id", 5, nlist = 16, nprobe = 6)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    assert(ivf.nonEmpty && ivf.groupBy(_._1).size == 10) // every query answered
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
   test("embedding-cosine near-dup pairs = exact brute-force subset, all above threshold") {
     val emb = graft.sources.Tables
       .load(spark, sfDir, "embeddings")

@@ -95,6 +95,9 @@ class OperatorSpec extends SparkTestBase {
     val dec = Multimodal.decode(media).collect()(0)
     assert(dec.byte_len == 48 && dec.channels == 3)
     assert(math.abs(dec.features.sum - 1.0f) < 1e-5) // L1-normalized histogram
+    val resized = Multimodal.resizeDataset(media, 4).collect()(0)
+    assert(resized.content.length == 12) // 48 bytes / 4
+    assert(resized.content(1) == 'e'.toByte) // byte at original offset 4
     val frames = Multimodal
       .sampleFrames(media.toDF(), "content", frameSize = 16, stride = 2)
       .select(col("frame_idx"), length(col("frame")).as("len"))
