@@ -19,32 +19,43 @@ import graft.functions.codecs
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name), new ExpressionInfo("graft", name), builder)
+      )
+    }
+  }
+}
+
+object GraftExtensions {
+
   private def off(e: Expression): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other =>
       throw new IllegalArgumentException(s"offset must be an integer literal, got $other")
   }
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    import org.apache.spark.sql.catalyst.FunctionIdentifier
-    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_le_u16" -> (es => codecs.LeU16(es(0), off(es(1)))),
+    "graft_le_i64" -> (es => codecs.LeI64(es(0), off(es(1)))),
+    "graft_frame_split" -> (es => codecs.FrameSplit(es(0))),
+    "graft_frame_type" -> (es => codecs.LeU16(es(0), graft.model.Telemetry.LengthPrefixSize)),
+    "graft_frame_len" -> (es => codecs.LeU16(es(0), 0)),
+    "graft_hb_client_id" -> (es => codecs.LeI64(es(0), graft.model.Telemetry.HeaderSize)),
+    "graft_hb_sequence" -> (es => codecs.LeI64(es(0), graft.model.Telemetry.HeaderSize + 8)),
+    "graft_hb_timestamp" -> (es => codecs.LeI64(es(0), graft.model.Telemetry.HeaderSize + 16))
+  )
 
-    def register(name: String, builder: Seq[Expression] => Expression): Unit =
-      ext.injectFunction(
-        (
-          FunctionIdentifier(name),
-          new ExpressionInfo("graft", name),
-          (exprs: Seq[Expression]) => builder(exprs)
-        )
-      )
-
-    register("graft_le_u16", es => codecs.LeU16(es(0), off(es(1))))
-    register("graft_le_i64", es => codecs.LeI64(es(0), off(es(1))))
-    register("graft_frame_split", es => codecs.FrameSplit(es(0)))
-    register("graft_frame_type", es => codecs.LeU16(es(0), graft.model.Telemetry.LengthPrefixSize))
-    register("graft_frame_len", es => codecs.LeU16(es(0), 0))
-    register("graft_hb_client_id", es => codecs.LeI64(es(0), graft.model.Telemetry.HeaderSize))
-    register("graft_hb_sequence", es => codecs.LeI64(es(0), graft.model.Telemetry.HeaderSize + 8))
-    register("graft_hb_timestamp", es => codecs.LeI64(es(0), graft.model.Telemetry.HeaderSize + 16))
-  }
+  /** Register into an already-running session (the builder-time path is
+    * `withExtensions(new GraftExtensions)`; this covers sessions you don't
+    * construct, e.g. notebook/shell environments).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
 }

@@ -55,6 +55,15 @@ object SqlSurfaceDemo {
     Thread.sleep(500) // listener delivery is async
     print("[scrape]\n" + bridge.scrape())
 
+    // live-session registration path (no builder access, e.g. notebooks)
+    val live = spark.newSession()
+    graft.GraftExtensions.register(live)
+    val n = live
+      .sql("SELECT graft_le_u16(X'1c000000', 0) AS v")
+      .collect()(0)
+      .getInt(0)
+    println(s"[register] graft_le_u16 on live session -> $n")
+
     // salted join equals plain join
     val left = (1 to 1000).map(i => ("hot", i)).toDF("k", "v")
     val right = Seq(("hot", 2)).toDF("k", "w")

@@ -5,7 +5,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
-  * (array&lt;float&gt;). Two paths:
+  * (array&lt;float&gt;). (Distributed top-k similarity framing follows the
+  * published stream/batch designs — e.g. "Time Series Similarity Search
+  * for Streaming Data in Distributed Systems", EDBT 2019, and
+  * "Incremental Based Framework for Efficient Top-K Similarity Search",
+  * EDBT 2020 — see PAPERS.md.) Three paths:
   *
   *   - [[bruteForceTopK]] — exact cosine top-k, the correctness baseline.
   *     Cost is |Q|·|C|; run it with a broadcast query set (queries are

@@ -14,34 +14,25 @@ import graft.streaming.MetricsBridge
 class ExtensionsSpec extends SparkTestBase {
 
   test("GraftExtensions registers codec functions for spark.sql") {
-    // session with extensions — separate from the shared one
-    val s2 = SparkSession
-      .builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    try {
-      import s2.implicits._
-      Seq(Tuple1(encodeHeartbeat(Heartbeat(72, 5, 1700L))))
-        .toDF("frame")
-        .createOrReplaceTempView("frames")
-      val row = s2
-        .sql(
-          """SELECT graft_frame_len(frame) AS len, graft_frame_type(frame) AS tpe,
-            |  graft_hb_client_id(frame) AS c, graft_hb_sequence(frame) AS s,
-            |  graft_hb_timestamp(frame) AS t, graft_le_u16(frame, 0) AS len2
-            |FROM frames""".stripMargin
-        )
-        .collect()(0)
-      assert(row.getInt(0) == 28 && row.getInt(1) == 0)
-      assert(row.getLong(2) == 72 && row.getLong(3) == 5 && row.getLong(4) == 1700L)
-      assert(row.getInt(5) == 28)
-    } finally {
-      // do not stop(): shares the local SparkContext with the suite session
-      ()
-    }
+    // live-session registration path (builder path is driven by
+    // demo.SqlSurfaceDemo in its own JVM — getOrCreate here would return
+    // the shared extension-less session)
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq(Tuple1(encodeHeartbeat(Heartbeat(72, 5, 1700L))))
+      .toDF("frame")
+      .createOrReplaceTempView("frames")
+    val row = spark
+      .sql(
+        """SELECT graft_frame_len(frame) AS len, graft_frame_type(frame) AS tpe,
+          |  graft_hb_client_id(frame) AS c, graft_hb_sequence(frame) AS s,
+          |  graft_hb_timestamp(frame) AS t, graft_le_u16(frame, 0) AS len2
+          |FROM frames""".stripMargin
+      )
+      .collect()(0)
+    assert(row.getInt(0) == 28 && row.getInt(1) == 0)
+    assert(row.getLong(2) == 72 && row.getLong(3) == 5 && row.getLong(4) == 1700L)
+    assert(row.getInt(5) == 28)
   }
 
   test("metrics bridge accumulates reference-named counters from query progress") {
