@@ -85,6 +85,48 @@ class StreamingSpec extends SparkTestBase {
     assert(sunk("main-nb") == 3 && sunk("log-nb") == 3)
   }
 
+  test("streaming dedup: dropDuplicatesWithinWatermark bounds state") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val input = MemoryStream[(Timestamp, String)]
+    input.addData(
+      (new Timestamp(base), "a"),
+      (new Timestamp(base + 100), "a"), // dup within watermark
+      (new Timestamp(base + 200), "b")
+    )
+    val deduped = input
+      .toDF()
+      .toDF("ts", "k")
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("k")
+    val got = runToMemory(deduped, "dedup_stream").collect().map(_.getString(1)).sorted.toSeq
+    assert(got == Seq("a", "b"))
+  }
+
+  test("streaming session windows with watermark (gap merge)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val input = MemoryStream[(Timestamp, Long)]
+    input.addData(
+      (new Timestamp(base), 1L),
+      (new Timestamp(base + 2000), 1L), // same session (gap 5s)
+      (new Timestamp(base + 20000), 1L), // new session
+      (new Timestamp(base + 600000), 2L) // watermark pusher
+    )
+    val sessions = input
+      .toDF()
+      .toDF("ts", "user")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(col("user"), session_window(col("ts"), "5 seconds").as("sw"))
+      .agg(count(lit(1)).as("n"))
+    val got = runToMemory(sessions, "session_stream")
+      .select(col("user"), col("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got.contains((1L, 2L)) && got.contains((1L, 1L)))
+  }
+
   test("streaming codec pipeline: frames decode in-stream (O-8/O-9)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.functions.codecs
