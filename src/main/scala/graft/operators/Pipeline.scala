@@ -92,6 +92,40 @@ object Pipeline {
     finally df.unpersist()
   }
 
+  /** Consumed-message text rendering with the reference's format spec
+    * (kafka.hpp:957-991, the `{:lkvh}` formatter): flags select fields —
+    * `l` length, `k` key, `v` value/payload, `h` headers — rendered as
+    * space-separated `name=value` pairs. The consumer FT expects
+    * `key=keyA value=hello kafka` for spec "kv"
+    * (scripts/ft-kafka-consumer.stage.sh, FIXTURES.md §1).
+    */
+  def renderMessage(
+      spec: String,
+      key: Column,
+      payload: Column,
+      properties: Column
+  ): Column = {
+    val parts: Seq[Column] = spec.map {
+      case 'l' => concat(lit("len="), length(payload).cast("string"))
+      case 'k' => concat(lit("key="), coalesce(decode(key, "UTF-8"), lit("null")))
+      case 'v' => concat(lit("value="), decode(payload, "UTF-8"))
+      case 'h' =>
+        concat(
+          lit("headers=["),
+          array_join(
+            transform(
+              map_entries(coalesce(properties, map())),
+              e => concat(e.getField("key"), lit("="), e.getField("value"))
+            ),
+            ", "
+          ),
+          lit("]")
+        )
+      case c => throw new IllegalArgumentException(s"unknown format flag '$c' (spec: l,k,v,h)")
+    }
+    concat_ws(" ", parts: _*)
+  }
+
   /** O-14 — load-shed accounting. Spark backpressures rather than drops
     * (semantic swap documented in SURVEY.md §7.4); the metric surface is
     * preserved: classify rows by a queue-full predicate and count by

@@ -185,6 +185,23 @@ object PipelineQueries {
         .select(col("messages"), col("bytes"), col("span_ms"), col("mbps"), col("kmps"))
     }),
 
+    // kcat-style :kv message rendering (kafka.hpp:957-991; consumer FT).
+    "p14_render_kv" -> ((s, dir) => {
+      ev(s, dir)
+        .select(
+          col("event_id"),
+          Pipeline
+            .renderMessage(
+              "kv",
+              encode(col("user_id").cast("string"), "UTF-8"),
+              encode(col("props"), "UTF-8"),
+              map()
+            )
+            .as("rendered")
+        )
+        .orderBy(col("event_id"))
+    }),
+
     // JSON payload extraction (props is a JSON string ≈ headers).
     "p12_json_extract" -> ((s, dir) => {
       ev(s, dir)
@@ -249,6 +266,10 @@ object PipelineQueries {
         |  SUM(LENGTH(props)) / 1e6 / (GREATEST(1, MAX(epoch_ms(ts)) - MIN(epoch_ms(ts))) / 1e3) AS mbps,
         |  COUNT(1) / 1e3 / (GREATEST(1, MAX(epoch_ms(ts)) - MIN(epoch_ms(ts))) / 1e3) AS kmps
         |FROM events""".stripMargin,
+    "p14_render_kv" ->
+      """SELECT event_id,
+        |  'key=' || CAST(user_id AS VARCHAR) || ' value=' || props AS rendered
+        |FROM events ORDER BY event_id""".stripMargin,
     "p12_json_extract" ->
       """SELECT event_id,
         |  CAST(REPLACE(REPLACE(props, '{"k": ', ''), '}', '') AS INT) AS k

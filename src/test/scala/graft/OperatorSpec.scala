@@ -107,6 +107,40 @@ class OperatorSpec extends SparkTestBase {
     assert(frames == Set((0, 16), (2, 16))) // 3 frames of 16B, stride 2 keeps 0 and 2
   }
 
+  test("consumer FT fixtures render via :kv formatter (kafka.hpp:957-991)") {
+    // FIXTURES.md §1: keyA/hello kafka, keyB/hello again, expect
+    // `key=keyA value=hello kafka`
+    val msgs = Seq(
+      ("keyA".getBytes("UTF-8"), "hello kafka".getBytes("UTF-8")),
+      ("keyB".getBytes("UTF-8"), "hello again".getBytes("UTF-8"))
+    ).toDF("key", "payload").withColumn("properties", map(lit("ts"), lit("1234")))
+    val rendered = msgs
+      .select(Pipeline.renderMessage("kv", col("key"), col("payload"), col("properties")).as("r"))
+      .as[String].collect().toSeq
+    assert(rendered == Seq("key=keyA value=hello kafka", "key=keyB value=hello again"))
+    val full = msgs.limit(1)
+      .select(Pipeline.renderMessage("lkvh", col("key"), col("payload"), col("properties")).as("r"))
+      .as[String].collect()(0)
+    assert(full == "len=11 key=keyA value=hello kafka headers=[ts=1234]")
+  }
+
+  test("producer FT fixture: null key, 200B payload, ts header (FIXTURES.md §1)") {
+    val payload = Array.fill[Byte](200)('x')
+    val df = Seq(Tuple1(payload)).toDF("payload")
+      .withColumn("key", lit(null).cast("binary"))
+      .withColumn("properties", map(lit("ts"), lit("1234")))
+    val row = df.select(
+      col("key"),
+      length(col("payload")).as("len"),
+      map_keys(col("properties")).getItem(0).as("h0")
+    ).collect()(0)
+    assert(row.isNullAt(0) && row.getInt(1) == 200 && row.getString(2) == "ts")
+    // render tolerates the null key
+    val r = df.select(Pipeline.renderMessage("lk", col("key"), col("payload"), col("properties")))
+      .as[String].collect()(0)
+    assert(r == "len=200 key=null")
+  }
+
   test("throughput summary totals (O-15 stat.hpp:71-84)") {
     val df = Seq(("a", 10), ("b", 20)).toDF("m", "sz")
     val row = Pipeline.throughputSummary(df, col("sz")).collect()(0)
