@@ -67,12 +67,90 @@ object Bench {
     val mbps = pipelined * msgSize / 1e6 / pipeSec
     val kmps = pipelined / 1e3 / pipeSec
 
+    // Apples-to-apples with the reference's perf-tcp stage
+    // (doc/perf.adoc:36-42: 200 B frames through the TCP server): blast
+    // frames through the graft-tcp DSv2 source from client sockets and
+    // measure ingest throughput.
+    // best-of-2: listener-delivery lag and trigger tails add up-to-500 ms
+    // noise to a ~2 s stage
+    val tcpRuns = Seq.fill(2)(tcpIngest(spark, nClients = 4, framesPerClient = 500000))
+    val (tcpMbps, tcpKmps) = tcpRuns.maxBy(_._1)
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum + pipeSec
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_mbps":$mbps,"pipeline_kmps":$kmps,"pipeline_msgs":$pipelined,"failed":$failedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_mbps":$mbps,"pipeline_kmps":$kmps,"pipeline_msgs":$pipelined,"tcp_mbps":$tcpMbps,"tcp_kmps":$tcpKmps,"failed":$failedJson}"""
     )
     spark.stop()
+  }
+
+  /** TCP ingest stage: N client sockets write 200-byte dyn frames into the
+    * graft-tcp source; elapsed time from first byte to all frames counted.
+    */
+  private def tcpIngest(
+      spark: org.apache.spark.sql.SparkSession,
+      nClients: Int,
+      framesPerClient: Int
+  ): (Double, Double) = {
+    import java.net.Socket
+    val msgSize = 200
+    val port = { val s = new java.net.ServerSocket(0); try s.getLocalPort finally s.close() }
+    // count via the progress listener (no extra per-batch job) into a noop
+    // sink; 250 ms trigger batches the backlog into few large jobs
+    val counter = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        counter.addAndGet(e.progress.numInputRows); ()
+      }
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val q = spark.readStream
+      .format("graft-tcp")
+      .option("port", port.toString)
+      .load()
+      .writeStream
+      .format("noop")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L))
+      .start()
+    try {
+      // wait for the listener to bind
+      var bound = false
+      while (!bound) {
+        try { new Socket("127.0.0.1", port).close(); bound = true }
+        catch { case _: java.io.IOException => Thread.sleep(100) }
+      }
+      val frame = graft.model.Telemetry.encodeFrame(
+        graft.model.Telemetry.TypeDynMessage,
+        Array.fill[Byte](msgSize - graft.model.Telemetry.HeaderSize)('x')
+      )
+      // pre-pack 100 frames per write for realistic client batching
+      val chunk = Array.fill(100)(frame).flatten
+      val t0 = System.nanoTime()
+      val clients = (1 to nClients).map { _ =>
+        val t = new Thread(() => {
+          val s = new Socket("127.0.0.1", port)
+          val out = new java.io.BufferedOutputStream(s.getOutputStream, 1 << 20)
+          (1 to framesPerClient / 100).foreach(_ => out.write(chunk))
+          out.flush()
+          s.close()
+        })
+        t.start(); t
+      }
+      clients.foreach(_.join())
+      val totalFrames = nClients.toLong * (framesPerClient / 100) * 100
+      val deadline = System.currentTimeMillis() + 120000
+      while (counter.get() < totalFrames && System.currentTimeMillis() < deadline) {
+        Thread.sleep(50)
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (counter.get() < totalFrames) (-1.0, -1.0)
+      else (totalFrames * msgSize / 1e6 / sec, totalFrames / 1e3 / sec)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
   }
 }
