@@ -150,6 +150,16 @@ object ExtensionQueries {
         .orderBy(col("label"))
     }),
 
+    // Word count (explode + aggregate + top-k): the table-function path.
+    "x16_token_freq" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    }),
+
     // Multimodal metadata extraction: binary columns + typed metadata
     // (byte length is exact; decode internals are the stub).
     "x12_multimodal_meta" -> ((s, dir) => {
@@ -252,6 +262,10 @@ object ExtensionQueries {
         |      FROM s)
         |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "x16_token_freq" ->
+      """SELECT token, COUNT(1) AS n
+        |FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin,
     "x11_embedding_stats" ->
       """SELECT label, COUNT(1) AS n, MIN(vec_id) AS min_id, MAX(vec_id) AS max_id,
         |  MAX(LEN(embedding)) AS dim

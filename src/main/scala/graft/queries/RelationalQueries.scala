@@ -313,6 +313,16 @@ object RelationalQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Pivot: event_type counts to columns per user.
+    "q25_pivot" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    }),
+
     // Range join via bucketized equi-join (interval containment).
     "q20_range_join" -> ((s, dir) => {
       val bands = T(s, dir, "nation")
@@ -467,6 +477,14 @@ object RelationalQueries {
         |  COUNT(DISTINCT l_suppkey) AS n_supps,
         |  COUNT(1) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q25_pivot" ->
+      """SELECT user_id,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS "view"
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q24_percentiles" ->
       """SELECT o_orderstatus,
         |  quantile_cont(o_totalprice, 0.25) AS p25,
