@@ -48,7 +48,10 @@ class TcpFrameSource extends TableProvider with DataSourceRegister {
       schema: StructType,
       partitioning: Array[Transform],
       properties: java.util.Map[String, String]
-  ): Table = new TcpFrameTable(properties.get("port").toInt)
+  ): Table = new TcpFrameTable(
+    properties.get("port").toInt,
+    Option(properties.get("maxFramesPerTrigger")).map(_.toLong)
+  )
 }
 
 object TcpFrameSource {
@@ -61,7 +64,9 @@ object TcpFrameSource {
   )
 }
 
-private[sources] class TcpFrameTable(port: Int) extends Table with SupportsRead {
+private[sources] class TcpFrameTable(port: Int, maxFramesPerTrigger: Option[Long])
+    extends Table
+    with SupportsRead {
   override def name(): String = s"graft-tcp:$port"
   override def schema(): StructType = TcpFrameSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -71,7 +76,7 @@ private[sources] class TcpFrameTable(port: Int) extends Table with SupportsRead 
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = TcpFrameSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new TcpFrameStream(port)
+          new TcpFrameStream(port, maxFramesPerTrigger)
       }
     }
 }
@@ -99,8 +104,14 @@ private[sources] final case class FrameChunk(
 /** Driver-side chunk log + listener; offsets are monotone CHUNK indices
   * (batches align to network-read boundaries — valid for a source that
   * defines its own offsets, and keeps planning O(#chunks)).
+  * `maxFramesPerTrigger` is the admission-control twin of the reference's
+  * southbound `batchSize` (dsp.hpp:217-221) / Kafka maxOffsetsPerTrigger:
+  * latestOffset stops advancing once a trigger would exceed the cap.
   */
-private[sources] class TcpFrameStream(port: Int) extends MicroBatchStream {
+private[sources] class TcpFrameStream(port: Int, maxFramesPerTrigger: Option[Long] = None)
+    extends MicroBatchStream {
+
+  private var lastPlannedEnd = 0L // chunk index of the previous batch end
 
   private val log = ArrayBuffer.empty[FrameChunk]
   private var trimmed = 0L // chunks GC'd from the head of `log`
@@ -166,13 +177,28 @@ private[sources] class TcpFrameStream(port: Int) extends MicroBatchStream {
   acceptThread.start()
 
   override def initialOffset(): Offset = FrameOffset(0L)
-  override def latestOffset(): Offset =
-    log.synchronized(FrameOffset(trimmed + log.length))
+  override def latestOffset(): Offset = log.synchronized {
+    val head = trimmed + log.length
+    maxFramesPerTrigger match {
+      case None => FrameOffset(head)
+      case Some(cap) =>
+        // admit whole chunks until the frame budget is spent
+        var idx = math.max(lastPlannedEnd, trimmed)
+        var budget = cap
+        while (idx < head && budget > 0) {
+          val frames = log((idx - trimmed).toInt).frames
+          if (frames <= budget || budget == cap) { budget -= frames; idx += 1 }
+          else budget = 0
+        }
+        FrameOffset(idx)
+    }
+  }
   override def deserializeOffset(json: String): Offset = FrameOffset(json.toLong)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FrameOffset].index
     val e = end.asInstanceOf[FrameOffset].index
+    lastPlannedEnd = e
     val chunks = log.synchronized {
       log.slice((s - trimmed).toInt, (e - trimmed).toInt).toArray
     }

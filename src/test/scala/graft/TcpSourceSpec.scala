@@ -68,6 +68,48 @@ class TcpSourceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("maxFramesPerTrigger admission control caps batch sizes (batchSize parity)") {
+    val port = freePort()
+    val df = spark.readStream
+      .format("graft-tcp")
+      .option("port", port.toString)
+      .option("maxFramesPerTrigger", "2")
+      .load()
+    val progressSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        if (e.progress.numInputRows > 0) { progressSizes += e.progress.numInputRows; () }
+      }
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val q = df.writeStream.format("memory").queryName("tcp_capped").start()
+    try {
+      Thread.sleep(300)
+      val sock = new Socket("127.0.0.1", port)
+      // 6 frames in ONE write → one chunk; cap=2 still admits whole chunks,
+      // so write in separate flushes to create multiple chunks
+      (1 to 6).foreach { i =>
+        sock.getOutputStream.write(encodeHeartbeat(Heartbeat(i, i, i)))
+        sock.getOutputStream.flush()
+        Thread.sleep(100)
+      }
+      sock.close()
+      val deadline = System.currentTimeMillis() + 15000
+      while (spark.table("tcp_capped").count() < 6 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+      assert(spark.table("tcp_capped").count() == 6)
+      // every non-empty batch respected the cap (chunks of 1 frame each)
+      assert(progressSizes.nonEmpty && progressSizes.forall(_ <= 2), s"batches: $progressSizes")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("TCP rows feed the same downstream operators as the batch path") {
     val port = freePort()
     val df = spark.readStream
