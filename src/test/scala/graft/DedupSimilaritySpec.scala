@@ -56,6 +56,16 @@ class DedupSimilaritySpec extends SparkTestBase {
       s"minhash recall too low: ${found.size}/${strong.size}")
   }
 
+  test("prefix-filtered jaccard join == naive inverted-index join (PPJoin theorem)") {
+    def collectPairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => ((r.getLong(0), r.getLong(1)), math.round(r.getDouble(2) * 1e9))).toMap
+    for (t <- Seq(0.2, 0.5)) {
+      val naive = collectPairs(Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"), 3, t))
+      val prefix = collectPairs(Dedup.ngramJaccardPairsPrefix(docs, col("text"), col("doc_id"), 3, t))
+      assert(prefix == naive, s"threshold $t: prefix=${prefix.size} naive=${naive.size}")
+    }
+  }
+
   test("simhash: identical docs collide at hamming 0; near-dup recall vs exact") {
     import spark.implicits._
     val df = Seq((1L, "spark query engine test alpha"), (2L, "spark query engine test alpha"), (3L, "zz yy xx ww vv"))
