@@ -56,6 +56,23 @@ class DedupSimilaritySpec extends SparkTestBase {
       s"minhash recall too low: ${found.size}/${strong.size}")
   }
 
+  test("minhash column API: identical shingle sets give identical signatures and band keys") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v")).toDF("doc_id", "text")
+    val sigs = df
+      .select(
+        col("doc_id"),
+        Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 16).as("sig")
+      )
+      .withColumn("bands", Dedup.bandKeys(col("sig"), 16, 4))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[org.apache.spark.sql.Row](2)))
+    val byId = sigs.map(s => s._1 -> s).toMap
+    assert(byId(1L)._2 == byId(2L)._2 && byId(1L)._3 == byId(2L)._3)
+    assert(byId(1L)._2 != byId(3L)._2)
+    assert(byId(1L)._2.length == 16 && byId(1L)._3.length == 4)
+  }
+
   test("prefix-filtered jaccard join == naive inverted-index join (PPJoin theorem)") {
     def collectPairs(d: org.apache.spark.sql.DataFrame) =
       d.collect().map(r => ((r.getLong(0), r.getLong(1)), math.round(r.getDouble(2) * 1e9))).toMap

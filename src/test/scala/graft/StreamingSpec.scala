@@ -127,6 +127,39 @@ class StreamingSpec extends SparkTestBase {
     assert(got.contains((1L, 2L)) && got.contains((1L, 1L)))
   }
 
+  test("checkpoint recovery: restart resumes from committed offsets, no reprocessing") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    val dataDir = root.resolve("data").toString
+    val ckpt = root.resolve("ckpt").toString
+    val seen = scala.collection.concurrent.TrieMap.empty[Long, Int]
+
+    def writeBatch(ids: Seq[Long]): Unit =
+      ids.toDF("id").coalesce(1).write.mode("append").parquet(dataDir)
+
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("id LONG")
+        .parquet(dataDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => seen.updateWith(r.getLong(0))(v => Some(v.getOrElse(0) + 1)))
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    writeBatch(1L to 5L)
+    runOnce()
+    assert(seen.keySet == (1L to 5L).toSet)
+    writeBatch(6L to 8L)
+    runOnce() // same checkpoint: must process ONLY the new files
+    assert(seen.keySet == (1L to 8L).toSet)
+    assert(seen.values.forall(_ == 1), s"reprocessed rows: ${seen.filter(_._2 > 1)}")
+  }
+
   test("streaming codec pipeline: frames decode in-stream (O-8/O-9)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.functions.codecs
