@@ -113,6 +113,14 @@ private[sources] class TcpFrameStream(port: Int, maxFramesPerTrigger: Option[Lon
 
   private var lastPlannedEnd = 0L // chunk index of the previous batch end
 
+  // Restart semantics: a TCP stream is NOT replayable (like Spark's own
+  // socket source) — frames buffered before a crash are gone. On restart
+  // the checkpoint hands back an offset larger than the fresh in-memory
+  // log; `shift` re-bases logical offsets so the query continues instead
+  // of slicing negatively; the unreplayable gap is empty batches.
+  private var shift = 0L
+  private def logicalHead: Long = shift + trimmed + log.length
+
   private val log = ArrayBuffer.empty[FrameChunk]
   private var trimmed = 0L // chunks GC'd from the head of `log`
   private val connIds = new AtomicInteger(0)
@@ -178,29 +186,35 @@ private[sources] class TcpFrameStream(port: Int, maxFramesPerTrigger: Option[Lon
 
   override def initialOffset(): Offset = FrameOffset(0L)
   override def latestOffset(): Offset = log.synchronized {
-    val head = trimmed + log.length
+    val head = logicalHead
     maxFramesPerTrigger match {
       case None => FrameOffset(head)
       case Some(cap) =>
         // admit whole chunks until the frame budget is spent
-        var idx = math.max(lastPlannedEnd, trimmed)
+        var idx = math.max(lastPlannedEnd, shift + trimmed)
         var budget = cap
         while (idx < head && budget > 0) {
-          val frames = log((idx - trimmed).toInt).frames
+          val frames = log((idx - shift - trimmed).toInt).frames
           if (frames <= budget || budget == cap) { budget -= frames; idx += 1 }
           else budget = 0
         }
         FrameOffset(idx)
     }
   }
-  override def deserializeOffset(json: String): Offset = FrameOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = log.synchronized {
+    val v = json.toLong
+    if (v > logicalHead) shift = v - (trimmed + log.length) // restored checkpoint
+    FrameOffset(v)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[FrameOffset].index
-    val e = end.asInstanceOf[FrameOffset].index
-    lastPlannedEnd = e
+    val s0 = start.asInstanceOf[FrameOffset].index
+    val e0 = end.asInstanceOf[FrameOffset].index
+    lastPlannedEnd = e0
     val chunks = log.synchronized {
-      log.slice((s - trimmed).toInt, (e - trimmed).toInt).toArray
+      val s = math.max(s0 - shift - trimmed, 0L).toInt
+      val e = math.max(e0 - shift - trimmed, 0L).toInt
+      log.slice(s, e).toArray
     }
     // Chunks ride inside the partition descriptors (serializable), so the
     // batch is correct with remote executors too. Split by BYTES, not
@@ -246,8 +260,8 @@ private[sources] class TcpFrameStream(port: Int, maxFramesPerTrigger: Option[Lon
   override def commit(end: Offset): Unit = {
     val e = end.asInstanceOf[FrameOffset].index
     log.synchronized {
-      val drop = (e - trimmed).toInt
-      if (drop > 0) { log.remove(0, drop); trimmed = e }
+      val drop = math.min((e - shift - trimmed).toInt, log.length)
+      if (drop > 0) { log.remove(0, drop); trimmed += drop }
     }
   }
 

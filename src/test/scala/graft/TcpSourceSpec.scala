@@ -110,6 +110,49 @@ class TcpSourceSpec extends SparkTestBase {
     }
   }
 
+  test("checkpoint restart: restored offsets re-base, fresh frames still flow") {
+    val port = freePort()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tcp_ckpt").toString
+
+    val seen = scala.collection.concurrent.TrieMap.empty[Long, Int]
+
+    def runAndSend(hb: Heartbeat): Unit = {
+      val q = spark.readStream
+        .format("graft-tcp")
+        .option("port", port.toString)
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach { r =>
+            val c = decodeHeartbeat(r.getAs[Array[Byte]]("payload"))
+            seen.updateWith(c.clientId)(v => Some(v.getOrElse(0) + 1))
+          }
+          ()
+        }
+        .start()
+      try {
+        Thread.sleep(400)
+        val sock = new Socket("127.0.0.1", port)
+        sock.getOutputStream.write(encodeHeartbeat(hb))
+        sock.close()
+        val deadline = System.currentTimeMillis() + 15000
+        while (!seen.contains(hb.clientId) && System.currentTimeMillis() < deadline) {
+          q.processAllAvailable()
+          Thread.sleep(100)
+        }
+      } finally q.stop()
+    }
+
+    // first incarnation processes one frame and commits offsets
+    runAndSend(Heartbeat(1, 1, 1))
+    assert(seen.toMap == Map(1L -> 1))
+    // second incarnation restores a checkpoint whose offset exceeds the
+    // fresh in-memory log — must NOT crash, and new frames must arrive
+    runAndSend(Heartbeat(2, 2, 2))
+    assert(seen.toMap == Map(1L -> 1, 2L -> 1), s"got $seen")
+  }
+
   test("TCP rows feed the same downstream operators as the batch path") {
     val port = freePort()
     val df = spark.readStream
