@@ -30,6 +30,13 @@ object AsOfJoin {
       timeCol: String
   ): DataFrame = {
     val valueCols = right.columns.filterNot(c => c == byCol || c == timeCol).toSeq
+    val clash = valueCols.toSet.intersect(
+      left.columns.filterNot(c => c == byCol || c == timeCol).toSet
+    )
+    require(
+      clash.isEmpty,
+      s"asofBackward requires disjoint value column names; rename on one side: ${clash.mkString(", ")}"
+    )
     val lTagged = left
       .withColumn("_side", lit(1))
       .withColumns(valueCols.map(c => c -> lit(null).cast(right.schema(c).dataType)).toMap)
@@ -67,9 +74,12 @@ object AsOfJoin {
       point: String,
       bucketWidth: Long
   ): DataFrame = {
+    // floor(upper/width) may include one empty extra bucket when `upper`
+    // sits exactly on a boundary — harmless (the exact predicate refines),
+    // and correct for fractional bounds where `upper - 1` would not be.
     val l = left.withColumn(
       "_bucket",
-      explode(sequence(floor(col(lower) / bucketWidth), floor((col(upper) - 1) / bucketWidth)))
+      explode(sequence(floor(col(lower) / bucketWidth), floor(col(upper) / bucketWidth)))
     )
     val r = right.withColumn("_bucket", floor(col(point) / bucketWidth))
     l.join(r, Seq("_bucket"))

@@ -53,7 +53,9 @@ object Pipeline {
     * Works identically on a batch or streaming DataFrame (`window` is
     * supported in both); streaming adds a watermark upstream.
     */
-  def throughput(df: DataFrame, ts: Column, sizeBytes: Column, every: String = "1 second"): DataFrame =
+  def throughput(df: DataFrame, ts: Column, sizeBytes: Column, every: String = "1 second"): DataFrame = {
+    val winSec =
+      (unix_millis(col("win.end")) - unix_millis(col("win.start"))).cast("double") / 1000.0
     df.groupBy(window(ts, every).as("win"))
       .agg(
         count(lit(1)).as("messages"),
@@ -63,9 +65,10 @@ object Pipeline {
         col("win.start").as("window_start"),
         col("messages"),
         col("bytes"),
-        col("messages").cast("double").as("mps"),
-        col("bytes").cast("double").as("bps")
+        (col("messages") / winSec).as("mps"),
+        (col("bytes") / winSec).as("bps")
       )
+  }
 
   /** O-15 `summary()` — lifetime totals (stat.hpp:71-84). */
   def throughputSummary(df: DataFrame, sizeBytes: Column): DataFrame =
