@@ -146,4 +146,34 @@ class OperatorSpec extends SparkTestBase {
     val row = Pipeline.throughputSummary(df, col("sz")).collect()(0)
     assert(row.getLong(0) == 2 && row.getLong(1) == 30)
   }
+
+  test("throughput windows scale rates by window length (5s windows)") {
+    val base = 1700000000000L
+    val df = (0 until 10)
+      .map(i => (new java.sql.Timestamp(base + i * 500), 100))
+      .toDF("ts", "sz") // 10 msgs over 4.5s -> one 5s window
+    val row = Pipeline
+      .throughput(df, col("ts"), col("sz"), "5 seconds")
+      .collect()(0)
+    assert(row.getAs[Long]("messages") == 10)
+    assert(math.abs(row.getAs[Double]("mps") - 2.0) < 1e-9) // 10 msgs / 5 s
+    assert(math.abs(row.getAs[Double]("bps") - 200.0) < 1e-9)
+  }
+
+  test("shed metrics preserve the drop_type counter surface (O-14)") {
+    val df = Seq(1, 2, 3, 4, 5).toDF("v")
+    val m = Pipeline
+      .shedMetrics(df, col("v") > 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toMap
+    assert(m == Map("load_shed" -> 2L, "sent" -> 3L))
+  }
+
+  test("asofBackward rejects clashing value column names with a named error") {
+    val l = Seq((1L, 1L, "x")).toDF("k", "t", "v")
+    val r = Seq((1L, 1L, "y")).toDF("k", "t", "v")
+    val e = intercept[IllegalArgumentException](AsOfJoin.asofBackward(l, r, "k", "t"))
+    assert(e.getMessage.contains("v"))
+  }
 }

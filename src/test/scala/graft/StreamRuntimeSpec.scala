@@ -102,6 +102,15 @@ class StreamRuntimeSpec extends SparkTestBase {
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
   }
 
+  test("asMessages typed facade roundtrips the envelope") {
+    val env = Seq(
+      ("k".getBytes("UTF-8"), "topic", Map("a" -> "1"), "pay".getBytes("UTF-8"))
+    ).toDF("key", "subject", "properties", "payload")
+    val msg = StreamRuntime.asMessages(env).collect()(0)
+    assert(new String(msg.key, "UTF-8") == "k" && msg.subject == "topic")
+    assert(msg.properties == Map("a" -> "1") && new String(msg.payload, "UTF-8") == "pay")
+  }
+
   test("kafka sink column mapping shape (O-5) — dry plan, no broker") {
     val env = Seq(
       (Array[Byte](1), "topic-a", Map("h" -> "v"), Array[Byte](9))
