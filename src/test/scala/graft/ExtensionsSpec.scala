@@ -35,6 +35,30 @@ class ExtensionsSpec extends SparkTestBase {
     assert(row.getInt(5) == 28)
   }
 
+  test("user UDF/UDAF surface: register + SQL use (the reference's scripting-hook intent)") {
+    import spark.implicits._
+    // scalar UDF (the svc Lua hook would have done per-message rewrites,
+    // svc/handler.cpp:211-221 - here: payload annotation)
+    spark.udf.register("annotate", (s: String) => s"[graft] $s")
+    // typed UDAF via Aggregator
+    val sumSq = new org.apache.spark.sql.expressions.Aggregator[Long, Long, Long] {
+      def zero = 0L
+      def reduce(b: Long, a: Long) = b + a * a
+      def merge(a: Long, b: Long) = a + b
+      def finish(b: Long) = b
+      def bufferEncoder = org.apache.spark.sql.Encoders.scalaLong
+      def outputEncoder = org.apache.spark.sql.Encoders.scalaLong
+    }
+    spark.udf.register("sum_sq", org.apache.spark.sql.functions.udaf(sumSq))
+    Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "v").createOrReplaceTempView("udf_t")
+    val rows = spark
+      .sql("SELECT annotate(k) AS ak, sum_sq(v) AS s FROM udf_t GROUP BY k ORDER BY ak")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    assert(rows == Seq(("[graft] a", 5L), ("[graft] b", 9L)))
+  }
+
   test("metrics bridge accumulates reference-named counters from query progress") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
