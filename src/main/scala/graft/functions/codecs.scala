@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -150,23 +150,78 @@ object codecs {
   def hb_sequence(frame: Column): Column = le_i64(frame, Telemetry.HeaderSize + 8)
   def hb_timestamp(frame: Column): Column = le_i64(frame, Telemetry.HeaderSize + 16)
 
-  // ---- encode side (cold path: test scaffolding / simulator O-4) ---------
+  // ---- encode side (also codegen'd: the simulator O-4 and the bench
+  // pipeline run encode per message, so it is a hot path too) -------------
 
-  private def packLe(bb: java.nio.ByteBuffer): java.nio.ByteBuffer =
-    bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
-
-  /** UDF building a heartbeat frame from (client_id, sequence, timestamp) —
-    * the simulator's serialize (sim.cpp:36-48). Encode is the cold path, so
-    * a UDF is fine; decode above is codegen'd.
+  /** Native heartbeat-frame builder (sim.cpp:36-48): 28-byte frame,
+    * LE u16 len=28, u16 type=0, then client/sequence/timestamp as LE i64.
     */
-  val encode_heartbeat: org.apache.spark.sql.expressions.UserDefinedFunction =
-    org.apache.spark.sql.functions.udf { (c: Long, s: Long, t: Long) =>
-      Telemetry.encodeHeartbeat(Telemetry.Heartbeat(c, s, t))
-    }
+  case class HeartbeatEncode(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(c: Any, s: Any, t: Any): Any =
+      Telemetry.encodeHeartbeat(
+        Telemetry.Heartbeat(c.asInstanceOf[Long], s.asInstanceOf[Long], t.asInstanceOf[Long])
+      )
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        (c, s, t) => {
+          val out = ctx.freshName("hb")
+          val fill = (v: String, base: Int) =>
+            (0 until 8).map(i => s"$out[${base + i}] = (byte) ($v >>> ${8 * i});").mkString(" ")
+          s"""
+          |byte[] $out = new byte[28];
+          |$out[0] = 28; $out[1] = 0; $out[2] = 0; $out[3] = 0;
+          |${fill(c, 4)}
+          |${fill(s, 12)}
+          |${fill(t, 20)}
+          |${ev.value} = $out;
+          |""".stripMargin
+        }
+      )
+    override protected def withNewChildrenInternal(
+        f: Expression,
+        s: Expression,
+        t: Expression
+    ): HeartbeatEncode = copy(first = f, second = s, third = t)
+  }
 
-  /** UDF building a dyn_message frame (type=1) from raw payload bytes. */
-  val encode_dyn: org.apache.spark.sql.expressions.UserDefinedFunction =
-    org.apache.spark.sql.functions.udf { (payload: Array[Byte]) =>
-      Telemetry.encodeFrame(Telemetry.TypeDynMessage, payload)
-    }
+  /** Native dyn_message-frame builder: `[u16 len][u16 type=1][payload]`;
+    * throws on frames over 65535 bytes like the pure-Scala codec.
+    */
+  case class DynEncode(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      Telemetry.encodeFrame(Telemetry.TypeDynMessage, v.asInstanceOf[Array[Byte]])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        p => {
+          val out = ctx.freshName("dyn")
+          val len = ctx.freshName("len")
+          s"""
+          |int $len = $p.length + 4;
+          |if ($len > 0xffff) throw new IllegalArgumentException("frame too large: " + $len);
+          |byte[] $out = new byte[$len];
+          |$out[0] = (byte) $len; $out[1] = (byte) ($len >>> 8);
+          |$out[2] = 1; $out[3] = 0;
+          |System.arraycopy($p, 0, $out, 4, $p.length);
+          |${ev.value} = $out;
+          |""".stripMargin
+        }
+      )
+    override protected def withNewChildInternal(c: Expression): DynEncode = copy(child = c)
+  }
+
+  /** Heartbeat frame from (client_id, sequence, timestamp) columns. */
+  def encode_heartbeat(c: Column, s: Column, t: Column): Column =
+    col(HeartbeatEncode(expr(c.cast("long")), expr(s.cast("long")), expr(t.cast("long"))))
+
+  /** dyn_message frame (type=1) from raw payload bytes. */
+  def encode_dyn(payload: Column): Column = col(DynEncode(expr(payload)))
 }

@@ -313,6 +313,22 @@ object RelationalQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Correlated scalar subquery: orders above their customer's own
+    // average (exact decimal avg both sides: sum/count in decimal).
+    "q26_correlated_subquery" -> ((s, dir) => {
+      T(s, dir, "orders").createOrReplaceTempView("orders_c")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_c o
+          |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (
+          |    SELECT COUNT(1) FROM orders_c i WHERE i.o_custkey = o.o_custkey
+          |  ) > (
+          |    SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          |    FROM orders_c i WHERE i.o_custkey = o.o_custkey
+          |  )
+          |ORDER BY o_orderkey""".stripMargin
+      )
+    }),
+
     // Pivot: event_type counts to columns per user.
     "q25_pivot" -> ((s, dir) => {
       T(s, dir, "events")
@@ -477,6 +493,15 @@ object RelationalQueries {
         |  COUNT(DISTINCT l_suppkey) AS n_supps,
         |  COUNT(1) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q26_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (
+        |    SELECT COUNT(1) FROM orders i WHERE i.o_custkey = o.o_custkey
+        |  ) > (
+        |    SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FROM orders i WHERE i.o_custkey = o.o_custkey
+        |  )
+        |ORDER BY o_orderkey""".stripMargin,
     "q25_pivot" ->
       """SELECT user_id,
         |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
