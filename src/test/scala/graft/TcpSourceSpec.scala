@@ -87,15 +87,16 @@ class TcpSourceSpec extends SparkTestBase {
     val q = df.writeStream.format("memory").queryName("tcp_capped").start()
     try {
       Thread.sleep(300)
-      val sock = new Socket("127.0.0.1", port)
-      // 6 frames in ONE write → one chunk; cap=2 still admits whole chunks,
-      // so write in separate flushes to create multiple chunks
+      // one connection per frame → each frame is its own chunk, so the
+      // cap=2 admission control is deterministic (frames on a shared
+      // connection could coalesce into one oversized chunk, which the
+      // contract admits whole)
       (1 to 6).foreach { i =>
+        val sock = new Socket("127.0.0.1", port)
         sock.getOutputStream.write(encodeHeartbeat(Heartbeat(i, i, i)))
-        sock.getOutputStream.flush()
-        Thread.sleep(100)
+        sock.close()
+        Thread.sleep(50)
       }
-      sock.close()
       val deadline = System.currentTimeMillis() + 15000
       while (spark.table("tcp_capped").count() < 6 && System.currentTimeMillis() < deadline) {
         q.processAllAvailable()
