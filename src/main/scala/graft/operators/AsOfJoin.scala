@@ -59,6 +59,39 @@ object AsOfJoin {
     carried.filter(col("_side") === 1).drop("_side")
   }
 
+  /** Time-series resampling: a regular grid of `every` per key over each
+    * key's [floor(min ts), max ts] span, forward-filled with the latest
+    * observation at or before each grid point (grid + as-of composition —
+    * no new operator machinery, one shuffle for the grid bounds and one
+    * for the as-of sort).
+    */
+  def resample(
+      df: DataFrame,
+      byCol: String,
+      timeCol: String,
+      every: String,
+      valueCols: Seq[String]
+  ): DataFrame = {
+    val unit = every.split(" ")(1) match {
+      case u if u.startsWith("hour")   => "hour"
+      case u if u.startsWith("minute") => "minute"
+      case u if u.startsWith("day")    => "day"
+      case u => throw new IllegalArgumentException(s"unsupported grid unit '$u'")
+    }
+    val grid = df
+      .groupBy(col(byCol))
+      .agg(
+        date_trunc(unit, min(col(timeCol))).as("_mn"),
+        max(col(timeCol)).as("_mx")
+      )
+      .select(
+        col(byCol),
+        explode(sequence(col("_mn"), col("_mx"), expr(s"interval $every"))).as(timeCol)
+      )
+    val right = df.select((byCol +: timeCol +: valueCols).map(col): _*)
+    asofBackward(grid, right, byCol, timeCol)
+  }
+
   /** Range join: pairs (l, r) with `r.point` in [l.lower, l.upper).
     * Bucketized: both sides explode to coarse buckets of width
     * `bucketWidth`, equi-join on (key?, bucket), then the exact range

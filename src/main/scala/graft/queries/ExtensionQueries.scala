@@ -150,6 +150,21 @@ object ExtensionQueries {
         .orderBy(col("label"))
     }),
 
+    // Time-series resampling: hourly grid per user, forward-filled with
+    // the latest event value (grid + as-of composition).
+    "x17_resample" -> ((s, dir) => {
+      graft.operators.AsOfJoin
+        .resample(
+          T(s, dir, "events").select(col("user_id"), col("ts"), col("value")),
+          "user_id",
+          "ts",
+          "1 hour",
+          Seq("value")
+        )
+        .select(col("user_id"), unix_millis(col("ts")).as("grid_ms"), col("value"))
+        .orderBy(col("user_id"), col("grid_ms"))
+    }),
+
     // Word count (explode + aggregate + top-k): the table-function path.
     "x16_token_freq" -> ((s, dir) => {
       T(s, dir, "documents")
@@ -262,6 +277,17 @@ object ExtensionQueries {
         |      FROM s)
         |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "x17_resample" ->
+      """WITH b AS (
+        |  SELECT user_id, date_trunc('hour', MIN(ts)) AS mn, MAX(ts) AS mx
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT user_id, UNNEST(generate_series(CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP), INTERVAL 1 HOUR)) AS gts
+        |  FROM b)
+        |SELECT g.user_id, epoch_ms(gts) AS grid_ms, e.value
+        |FROM g ASOF LEFT JOIN events e
+        |  ON g.user_id = e.user_id AND g.gts >= e.ts
+        |ORDER BY g.user_id, grid_ms""".stripMargin,
     "x16_token_freq" ->
       """SELECT token, COUNT(1) AS n
         |FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)

@@ -21,6 +21,17 @@ object Tables {
     "spark.sql.session.timeZone" -> "UTC"
   )
 
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings"
+  )
+
+  /** Register every table as a temp view so `spark.sql` reaches the whole
+    * schema (the catalog convenience the reference never had).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (df.schema.exists(f => f.name == "ts" && f.dataType == LongType))

@@ -170,6 +170,31 @@ class OperatorSpec extends SparkTestBase {
     assert(m == Map("load_shed" -> 2L, "sent" -> 3L))
   }
 
+  test("resample: hourly grid forward-fills last observation, null before first") {
+    val base = 3600000L * 1000 // hour-aligned epoch
+    val df = Seq(
+      (1L, new java.sql.Timestamp(base + 600000), 10.0), // 00:10
+      (1L, new java.sql.Timestamp(base + 4500000), 20.0) // 01:15
+    ).toDF("user_id", "ts", "value")
+    val got = AsOfJoin
+      .resample(df, "user_id", "ts", "1 hour", Seq("value"))
+      .select(col("user_id"), unix_millis(col("ts")).as("g"), col("value"))
+      .collect()
+      .map(r => (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .sortBy(_._1)
+      .toSeq
+    // grid 00:00 (before first obs -> null), 01:00 (ffill 10.0); stops at
+    // max ts 01:15 so no 02:00 point
+    assert(got == Seq((base, None), (base + 3600000, Some(10.0))))
+  }
+
+  test("Tables.registerAll exposes the whole schema to spark.sql") {
+    graft.sources.Tables.registerAll(spark, sfDir)
+    val n = spark.sql("SELECT COUNT(1) FROM lineitem JOIN orders ON l_orderkey = o_orderkey").collect()(0).getLong(0)
+    assert(n > 0)
+    assert(spark.sql("SELECT COUNT(1) FROM events").collect()(0).getLong(0) == 1000)
+  }
+
   test("asofBackward rejects clashing value column names with a named error") {
     val l = Seq((1L, 1L, "x")).toDF("k", "t", "v")
     val r = Seq((1L, 1L, "y")).toDF("k", "t", "v")
