@@ -150,6 +150,15 @@ object ExtensionQueries {
         .orderBy(col("label"))
     }),
 
+    // One-pass data-quality profile of the orders table.
+    "x18_profile" -> ((s, dir) => {
+      graft.operators.Audit
+        .profile(
+          T(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        )
+    }),
+
     // Time-series resampling: hourly grid per user, forward-filled with
     // the latest event value (grid + as-of composition).
     "x17_resample" -> ((s, dir) => {
@@ -277,6 +286,17 @@ object ExtensionQueries {
         |      FROM s)
         |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "x18_profile" ->
+      """SELECT COUNT(1) AS n_rows,
+        |  COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS o_orderkey_nulls,
+        |  MIN(o_orderkey) AS o_orderkey_min, MAX(o_orderkey) AS o_orderkey_max,
+        |  COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS o_custkey_nulls,
+        |  MIN(o_custkey) AS o_custkey_min, MAX(o_custkey) AS o_custkey_max,
+        |  COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS o_orderstatus_nulls,
+        |  COUNT(DISTINCT o_orderstatus) AS o_orderstatus_distinct,
+        |  COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END) AS o_totalprice_nulls,
+        |  MIN(o_totalprice) AS o_totalprice_min, MAX(o_totalprice) AS o_totalprice_max
+        |FROM orders""".stripMargin,
     "x17_resample" ->
       """WITH b AS (
         |  SELECT user_id, date_trunc('hour', MIN(ts)) AS mn, MAX(ts) AS mx

@@ -102,6 +102,46 @@ class StreamRuntimeSpec extends SparkTestBase {
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
   }
 
+  test("k2k pipeline end-to-end: kafka-shaped rows -> normalize -> relabel -> sink shape (§3.2)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Array[Byte], Array[Byte], String, Int, Long)]
+    input.addData(
+      ("k1".getBytes("UTF-8"), "v1".getBytes("UTF-8"), "dev-test", 0, 0L),
+      ("k2".getBytes("UTF-8"), "v2".getBytes("UTF-8"), "dev-test", 0, 1L)
+    )
+    val kafkaShaped = input
+      .toDF()
+      .toDF("key", "value", "topic", "partition", "offset")
+      .withColumn("headers", lit(null).cast("array<struct<key:string,value:binary>>"))
+    // the whole §3.2 pipeline: normalize -> relabel -> kafka sink columns
+    val out = graft.operators.Pipeline
+      .relabel(StreamRuntime.normalizeKafka(kafkaShaped), "dev-test-2")
+      .select(
+        col("key"),
+        col("subject").as("topic"),
+        col("payload").as("value")
+      )
+    val q = out.writeStream.format("memory").queryName("k2k").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark
+      .table("k2k")
+      .collect()
+      .map(r => (new String(r.getAs[Array[Byte]]("key"), "UTF-8"), r.getString(1), new String(r.getAs[Array[Byte]]("value"), "UTF-8")))
+      .toSet
+    assert(rows == Set(("k1", "dev-test-2", "v1"), ("k2", "dev-test-2", "v2")))
+  }
+
+  test("audit profile: nulls, ranges, distincts in one pass") {
+    val df = Seq((1L, Some("a"), 1.5), (2L, None, -0.5), (3L, Some("a"), 9.0))
+      .toDF("id", "s", "v")
+    val row = graft.operators.Audit.profile(df).collect()(0)
+    assert(row.getAs[Long]("n_rows") == 3)
+    assert(row.getAs[Long]("s_nulls") == 1 && row.getAs[Long]("s_distinct") == 1)
+    assert(row.getAs[Double]("v_min") == -0.5 && row.getAs[Double]("v_max") == 9.0)
+    assert(row.getAs[Long]("id_nulls") == 0)
+  }
+
   test("asMessages typed facade roundtrips the envelope") {
     val env = Seq(
       ("k".getBytes("UTF-8"), "topic", Map("a" -> "1"), "pay".getBytes("UTF-8"))
