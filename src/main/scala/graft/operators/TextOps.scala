@@ -24,12 +24,6 @@ object TextOps {
   def tokenCountRegex(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
 
-  /** Occurrences of literal `marker` in `text` via replace-length
-    * arithmetic — exact, engine-portable (no regex dialect drift).
-    */
-  def occurrences(text: Column, marker: String): Column =
-    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(marker), ""))) / marker.length).cast("int")
-
   /** Language-ID marker words: high-frequency function words per language.
     * Public-knowledge heuristic (stopword n-gram profiling).
     */

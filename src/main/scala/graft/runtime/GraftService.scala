@@ -19,6 +19,8 @@ object GraftService {
   final case class TcpSouth(port: Int) extends Southbound
   final case class KafkaSouth(address: String, groupId: String, topics: Seq[String], batchSize: Option[Long])
       extends Southbound
+  /** O-4 — the heartbeat simulator as a config-wired source (type `sim`). */
+  final case class SimSouth(clientId: Long, rowsPerSecond: Int) extends Southbound
 
   final case class Northbound(name: String, tpe: String, address: String, enabled: Boolean)
 
@@ -43,6 +45,11 @@ object GraftService {
           sb.get("groupid").map(_.str).getOrElse("graft-consumer"),
           sb("topics").list.map(_.str),
           sb.get("batchSize").map(_.long)
+        )
+      case "sim" =>
+        SimSouth(
+          sb.get("clientId").map(_.long).getOrElse(72L), // sim.cpp:56 default
+          sb.get("rowsPerSecond").map(_.int).getOrElse(1)
         )
       case other => throw new IllegalArgumentException(s"unknown southbound type '$other'")
     }
@@ -94,6 +101,15 @@ object GraftService {
           )
       case KafkaSouth(address, _, topics, batchSize) =>
         StreamRuntime.kafkaSource(spark, address, topics, batchSize)
+      case SimSouth(clientId, rps) =>
+        StreamRuntime
+          .heartbeatSimulator(spark, clientId, rps)
+          .select(
+            lit(null).cast("binary").as("key"),
+            lit(cfg.appTopic.orNull).cast("string").as("subject"),
+            map(lit("type"), lit("heartbeat")).as("properties"),
+            col("frame").as("payload")
+          )
     }
   }
 

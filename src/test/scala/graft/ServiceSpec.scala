@@ -77,6 +77,53 @@ class ServiceSpec extends SparkTestBase {
     assert(cfg.appTopic.contains("dev-test-2"))
   }
 
+  test("YamlLite: block scalar lists and comments") {
+    val n = YamlLite.parse(
+      """topics: # inline comment
+        |  - dev-test
+        |  - dev-test-2
+        |nested:
+        |  inner: 'quoted # not a comment'
+        |""".stripMargin
+    )
+    assert(n("topics").list.map(_.str) == Seq("dev-test", "dev-test-2"))
+    assert(n("nested.inner").str == "quoted # not a comment")
+  }
+
+  test("sim southbound: config-wired heartbeat simulator streams frames (O-4)") {
+    val cfg = GraftService.parseConfig(
+      """topic: hb-out
+        |interfaces:
+        |  southbound:
+        |    type: sim
+        |    clientId: 72
+        |    rowsPerSecond: 50
+        |  northbound:
+        |    - {enabled: true, name: log-nb, type: log}
+        |""".stripMargin
+    )
+    assert(cfg.southbound == GraftService.SimSouth(72L, 50))
+    val received = new java.util.concurrent.atomic.AtomicLong(0)
+    val clientIds = scala.collection.concurrent.TrieMap.empty[Long, Unit]
+    val q = GraftService.start(
+      spark,
+      cfg,
+      _ =>
+        batch =>
+          batch.collect().foreach { row =>
+            received.incrementAndGet()
+            val hb = decodeHeartbeat(decodeOne(row.getAs[Array[Byte]]("payload"), 0).get.body)
+            clientIds.put(hb.clientId, ())
+          }
+    )
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      while (received.get() < 5 && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(received.get() >= 5, s"only ${received.get()} frames")
+      assert(clientIds.keySet == Set(72L))
+    } finally q.stop()
+  }
+
   test("service lifecycle: config → TCP ingress → router → per-destination fan-out") {
     val port = { val s = new ServerSocket(0); try s.getLocalPort finally s.close() }
     val cfg = GraftService.parseConfig(fixtureYaml.replace("%PORT%", port.toString))
