@@ -150,6 +150,27 @@ object ExtensionQueries {
         .orderBy(col("label"))
     }),
 
+    // The corpus-cleaning composite (the end-to-end training-data journey):
+    // quality-gate -> language filter -> exact-dedup representative ->
+    // per-language cleaned counts. Each stage is an already-oracle-checked
+    // operator; this query proves they compose.
+    "x19_corpus_clean" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val scored = TextOps
+        .qualityFeatures(docs, col("text"))
+        .withColumn("quality", TextOps.qualityScore)
+        .withColumn("lang_pred", TextOps.langId(col("text")))
+        .filter(col("quality") >= 0.3 && col("n_tokens") >= 20)
+      val deduped = scored
+        .withColumn("fp", TextOps.fingerprintMd5(col("text")))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), min(col("lang_pred")).as("lang_pred"))
+      deduped
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"), min(col("keep_id")).as("first_doc"))
+        .orderBy(col("lang_pred"))
+    }),
+
     // One-pass data-quality profile of the orders table.
     "x18_profile" -> ((s, dir) => {
       graft.operators.Audit
@@ -297,6 +318,42 @@ object ExtensionQueries {
         |  COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END) AS o_totalprice_nulls,
         |  MIN(o_totalprice) AS o_totalprice_min, MAX(o_totalprice) AS o_totalprice_max
         |FROM orders""".stripMargin,
+    "x19_corpus_clean" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+        |    CAST(LENGTH(text) AS DOUBLE) AS nchar,
+        |    CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+        |      t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS nstop,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS npunct,
+        |    STRING_SPLIT(text, ' ') AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    (LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) + LEAST(nstop / CAST(n_tokens AS DOUBLE) * 5.0, 1.0)) / 2.0
+        |      * (1.0 - LEAST(npunct / nchar * 10.0, 1.0)) AS quality,
+        |    LEN(LIST_FILTER(toks, t -> t IN ('the','and','of'))) AS s_en,
+        |    LEN(LIST_FILTER(toks, t -> t IN ('el','la','de'))) AS s_es,
+        |    LEN(LIST_FILTER(toks, t -> t IN ('der','die','und'))) AS s_de,
+        |    LEN(LIST_FILTER(toks, t -> t IN ('le','les','des'))) AS s_fr,
+        |    LEN(LIST_FILTER(toks, t -> t IN ('的','是','在'))) AS s_zh
+        |  FROM f),
+        |lp AS (
+        |  SELECT doc_id, text, n_tokens, quality,
+        |    CASE WHEN s_en + s_es + s_de + s_fr + s_zh = 0 THEN 'und'
+        |         WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |         WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |         WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |         WHEN s_fr >= s_zh THEN 'fr'
+        |         ELSE 'zh' END AS lang_pred
+        |  FROM q
+        |  WHERE quality >= 0.3 AND n_tokens >= 20),
+        |d AS (
+        |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |    MIN(doc_id) AS keep_id, MIN(lang_pred) AS lang_pred
+        |  FROM lp GROUP BY 1)
+        |SELECT lang_pred, COUNT(1) AS n_docs, MIN(keep_id) AS first_doc
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "x17_resample" ->
       """WITH b AS (
         |  SELECT user_id, date_trunc('hour', MIN(ts)) AS mn, MAX(ts) AS mx
