@@ -75,14 +75,71 @@ object Bench {
     // noise to a ~2 s stage
     val tcpRuns = Seq.fill(2)(tcpIngest(spark, nClients = 4, framesPerClient = 500000))
     val (tcpMbps, tcpKmps) = tcpRuns.maxBy(_._1)
+    // raw socket+decoder (no micro-batch engine): the apples-to-apples
+    // twin of the reference's perf-tcp counting loop (doc/perf.adoc:36-42,
+    // which also had no downstream) — and far less run-to-run variance
+    val (tcpRawMbps, tcpRawKmps) = tcpRaw(nClients = 4, framesPerClient = 500000)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum + pipeSec
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_mbps":$mbps,"pipeline_kmps":$kmps,"pipeline_msgs":$pipelined,"tcp_mbps":$tcpMbps,"tcp_kmps":$tcpKmps,"failed":$failedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_mbps":$mbps,"pipeline_kmps":$kmps,"pipeline_msgs":$pipelined,"tcp_mbps":$tcpMbps,"tcp_kmps":$tcpKmps,"tcp_raw_mbps":$tcpRawMbps,"tcp_raw_kmps":$tcpRawKmps,"failed":$failedJson}"""
     )
     spark.stop()
+  }
+
+  /** Raw TCP stage: the per-connection accept/read/decode path alone —
+    * sockets + [[graft.model.Telemetry.StreamDecoder]], no Spark engine.
+    */
+  private def tcpRaw(nClients: Int, framesPerClient: Int): (Double, Double) = {
+    import java.net.{ServerSocket, Socket}
+    val msgSize = 200
+    val server = new ServerSocket(0)
+    val port = server.getLocalPort
+    val counter = new java.util.concurrent.atomic.AtomicLong(0)
+    val accept = new Thread(() => {
+      try while (true) {
+        val sock = server.accept()
+        val t = new Thread(() => {
+          val dec = new graft.model.Telemetry.StreamDecoder
+          val in = sock.getInputStream
+          val buf = new Array[Byte](1 << 16)
+          var n = in.read(buf)
+          while (n >= 0) {
+            if (n > 0) counter.addAndGet(dec.feed(java.util.Arrays.copyOf(buf, n)).length.toLong)
+            n = in.read(buf)
+          }
+        })
+        t.setDaemon(true); t.start()
+      }
+      catch { case _: java.io.IOException => () }
+    })
+    accept.setDaemon(true); accept.start()
+    try {
+      val frame = graft.model.Telemetry.encodeFrame(
+        graft.model.Telemetry.TypeDynMessage,
+        Array.fill[Byte](msgSize - graft.model.Telemetry.HeaderSize)('x')
+      )
+      val chunk = Array.fill(100)(frame).flatten
+      val t0 = System.nanoTime()
+      val clients = (1 to nClients).map { _ =>
+        val t = new Thread(() => {
+          val s = new Socket("127.0.0.1", port)
+          val out = new java.io.BufferedOutputStream(s.getOutputStream, 1 << 20)
+          (1 to framesPerClient / 100).foreach(_ => out.write(chunk))
+          out.flush(); s.close()
+        })
+        t.start(); t
+      }
+      clients.foreach(_.join())
+      val total = nClients.toLong * (framesPerClient / 100) * 100
+      val deadline = System.currentTimeMillis() + 60000
+      while (counter.get() < total && System.currentTimeMillis() < deadline) Thread.sleep(10)
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (counter.get() < total) (-1.0, -1.0)
+      else (total * msgSize / 1e6 / sec, total / 1e3 / sec)
+    } finally server.close()
   }
 
   /** TCP ingest stage: N client sockets write 200-byte dyn frames into the
