@@ -12,7 +12,11 @@ import graft.operators.AsOfJoin
   * has an exact DuckDB twin in [[oracle]].
   *
   * Numeric discipline for cross-engine hash equality: monetary aggregates
-  * run in DECIMAL (exact, order-independent); raw doubles are only ever
+  * run in DECIMAL (exact, order-independent) but every FINAL output column
+  * is cast to DOUBLE — the exact decimal value converts to the same IEEE
+  * double in both engines (unscaled < 2^53 at bench scale), while a decimal
+  * OUTPUT can never hash-match the driver (Spark parquet decodes to Decimal
+  * objects, DuckDB's pandas bridge to float64). Raw doubles are only ever
   * passed through or compared, never re-aggregated.
   */
 object RelationalQueries {
@@ -27,15 +31,18 @@ object RelationalQueries {
   // differently across engines (Spark HALF_UP vs DuckDB HALF_EVEN).
   private def dec4(c: org.apache.spark.sql.Column) = c.cast("decimal(38,4)")
 
+  // Final-output cast: exact decimal -> double (see class doc).
+  private def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 flavor: full-scan aggregate, the bulk-throughput headliner.
     "q1_pricing_summary" -> ((s, dir) => {
       T(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dec(sum(dec(col("l_quantity")))).as("sum_qty"),
-          dec(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
-          dec4(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("sum_disc_price"),
+          dbl(sum(dec(col("l_quantity")))).as("sum_qty"),
+          dbl(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          dbl(dec4(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))).as("sum_disc_price"),
           count(lit(1)).as("count_order")
         )
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -54,7 +61,7 @@ object RelationalQueries {
         .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          dec(sum(dec(col("o_totalprice")))).as("revenue"),
+          dbl(sum(dec(col("o_totalprice")))).as("revenue"),
           count(lit(1)).as("n_orders")
         )
         .orderBy(col("r_name"), col("n_name"))
@@ -65,7 +72,7 @@ object RelationalQueries {
       val li = T(s, dir, "lineitem")
       val orders = T(s, dir, "orders")
       li.groupBy(col("l_orderkey"))
-        .agg(dec4(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"))
+        .agg(dbl(dec4(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))).as("revenue"))
         .join(orders, col("l_orderkey") === orders("o_orderkey"))
         .select(col("o_orderkey"), col("o_orderpriority"), col("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
@@ -102,7 +109,7 @@ object RelationalQueries {
         .groupBy(col("c_custkey"))
         .agg(
           count(col("o_orderkey")).as("n_orders"),
-          dec(coalesce(sum(dec(col("o_totalprice"))), lit(0))).as("total_spent")
+          dbl(coalesce(sum(dec(col("o_totalprice"))), lit(0))).as("total_spent")
         )
         .orderBy(col("c_custkey"))
     }),
@@ -129,9 +136,9 @@ object RelationalQueries {
         .select(
           col("o_custkey"),
           col("o_orderkey"),
-          dec(sum(dec(col("o_totalprice"))).over(run)).as("run_spent"),
-          dec(lag(dec(col("o_totalprice")), 1).over(w)).as("prev_price"),
-          dec(lead(dec(col("o_totalprice")), 1).over(w)).as("next_price"),
+          dbl(sum(dec(col("o_totalprice"))).over(run)).as("run_spent"),
+          dbl(lag(dec(col("o_totalprice")), 1).over(w)).as("prev_price"),
+          dbl(lead(dec(col("o_totalprice")), 1).over(w)).as("next_price"),
           rank().over(w).as("rnk")
         )
         .orderBy(col("o_custkey"), col("o_orderkey"))
@@ -159,7 +166,7 @@ object RelationalQueries {
     "q11_rollup" -> ((s, dir) => {
       T(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), dec(sum(dec(col("l_quantity")))).as("qty"))
+        .agg(count(lit(1)).as("n"), dbl(sum(dec(col("l_quantity")))).as("qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
@@ -193,7 +200,7 @@ object RelationalQueries {
           length(col("p_name")).as("name_len"),
           concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
           (col("p_size") * 2 + 1).as("size2"),
-          dec(round(dec(col("p_retailprice")) * 110 / 100, 2)).as("price_with_tax")
+          dbl(round(dec(col("p_retailprice")) * 110 / 100, 2)).as("price_with_tax")
         )
         .orderBy(col("p_partkey"))
     }),
@@ -233,7 +240,7 @@ object RelationalQueries {
     "q17_having" -> ((s, dir) => {
       T(s, dir, "orders")
         .groupBy(col("o_custkey"))
-        .agg(count(lit(1)).as("n_orders"), dec(sum(dec(col("o_totalprice")))).as("spent"))
+        .agg(count(lit(1)).as("n_orders"), dbl(sum(dec(col("o_totalprice")))).as("spent"))
         .filter(col("n_orders") >= 3)
         .orderBy(col("o_custkey"))
     }),
@@ -359,14 +366,14 @@ object RelationalQueries {
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
         |  COUNT(1) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q2_revenue_by_nation" ->
       """SELECT r_name, n_name,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  COUNT(1) AS n_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
@@ -376,7 +383,7 @@ object RelationalQueries {
     "q3_top_orders" ->
       """SELECT o_orderkey, o_orderpriority, revenue FROM (
         |  SELECT l_orderkey,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
         |  FROM lineitem GROUP BY 1) r
         |JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
@@ -391,7 +398,7 @@ object RelationalQueries {
         |ORDER BY c_custkey""".stripMargin,
     "q6_outer_join" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
-        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS total_spent
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q7_window_topk" ->
@@ -405,11 +412,11 @@ object RelationalQueries {
       """SELECT o_custkey, o_orderkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
         |    (PARTITION BY o_custkey ORDER BY o_orderkey
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run_spent,
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_spent,
         |  CAST(LAG(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER
-        |    (PARTITION BY o_custkey ORDER BY o_orderkey) AS DECIMAL(18,2)) AS prev_price,
+        |    (PARTITION BY o_custkey ORDER BY o_orderkey) AS DOUBLE) AS prev_price,
         |  CAST(LEAD(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER
-        |    (PARTITION BY o_custkey ORDER BY o_orderkey) AS DECIMAL(18,2)) AS next_price,
+        |    (PARTITION BY o_custkey ORDER BY o_orderkey) AS DOUBLE) AS next_price,
         |  RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rnk
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q9_set_ops" ->
@@ -426,7 +433,7 @@ object RelationalQueries {
         |ORDER BY 1, 2""".stripMargin,
     "q11_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(1) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q12_cube" ->
@@ -442,7 +449,7 @@ object RelationalQueries {
         |  LENGTH(p_name) AS name_len,
         |  CONCAT_WS('/', p_brand, p_type) AS brand_type,
         |  p_size * 2 + 1 AS size2,
-        |  CAST(ROUND(CAST(p_retailprice AS DECIMAL(18,2)) * 110 / 100, 2) AS DECIMAL(18,2)) AS price_with_tax
+        |  CAST(ROUND(CAST(p_retailprice AS DECIMAL(18,2)) * 110 / 100, 2) AS DOUBLE) AS price_with_tax
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q15_date_funcs" ->
       """SELECT o_orderkey,
@@ -459,7 +466,7 @@ object RelationalQueries {
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q17_having" ->
       """SELECT o_custkey, COUNT(1) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS spent
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spent
         |FROM orders GROUP BY 1 HAVING COUNT(1) >= 3 ORDER BY 1""".stripMargin,
     "q18_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders

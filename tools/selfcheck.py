@@ -21,8 +21,13 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = pd.to_datetime(s).dt.floor("us").astype("datetime64[us]")
         elif s.dtype == object:
             import decimal
-            if s.map(lambda v: v is None or isinstance(v, decimal.Decimal)).all() and not s.isna().all():
-                df[c] = s.astype("float64")
+            if s.map(lambda v: isinstance(v, decimal.Decimal)).any():
+                # Decimal output columns are driver-UNSAFE: the driver hashes
+                # the exact representation (Spark parquet -> Decimal objects,
+                # DuckDB .df() -> float64), so they can never hash-match even
+                # when values are equal. Flag loudly instead of masking.
+                print(f"  WARNING: decimal-typed column {c!r} — driver hash will fail; emit DOUBLE on both sides")
+                df[c] = s.map(lambda v: str(v) if v is not None else None)
             else:
                 df[c] = s.map(lambda v: str(v) if v is not None else None)
         elif pd.api.types.is_integer_dtype(s) or pd.api.types.is_bool_dtype(s):
