@@ -5,13 +5,18 @@ import org.apache.spark.sql.functions._
 
 /** Benchmark main. Runs every SparkEntry query on SPARK_GRAFT_SF_DIR and a
   * message-pipeline throughput stage comparable to the reference's perf
-  * stages (doc/perf.adoc: 200-byte messages, MBps/MPS), then prints ONE
-  * JSON line: {"metric":"total","value":sec,"unit":"sec","queries":{...},
-  * "sf":...} plus informational extras (pipeline_mbps, pipeline_kmps,
-  * failed).
+  * stages (doc/perf.adoc: 200-byte messages, MBps/MPS).
+  *
+  * Output contract: the LAST stdout line is one compact (<1 KB) JSON
+  * summary — {"metric":"total","value":sec,"unit":"sec",...,"tcp_mbps":...,
+  * "failed":[...]} with only the 5 slowest queries inlined — because the
+  * driver captures a bounded tail of stdout and a full 58-entry per-query
+  * map overflowed it (round-1 BENCH parsed:null). The full per-query map is
+  * written to bench_queries.json and printed on an earlier stdout line.
   *
   * Methodology: one warm-up pass of q1 to absorb session/codegen start-up,
-  * then each query timed once end-to-end (plan + execute + count). Query
+  * then each query timed twice end-to-end (plan + execute + count), min
+  * kept. TCP ingest is median-of-3 with the run spread reported. Query
   * failures are recorded as -1 and named in "failed" — never silently
   * dropped.
   */
@@ -70,21 +75,33 @@ object Bench {
     // Apples-to-apples with the reference's perf-tcp stage
     // (doc/perf.adoc:36-42: 200 B frames through the TCP server): blast
     // frames through the graft-tcp DSv2 source from client sockets and
-    // measure ingest throughput.
-    // best-of-2: listener-delivery lag and trigger tails add up-to-500 ms
-    // noise to a ~2 s stage
-    val tcpRuns = Seq.fill(2)(tcpIngest(spark, nClients = 4, framesPerClient = 500000))
-    val (tcpMbps, tcpKmps) = tcpRuns.maxBy(_._1)
+    // measure ingest throughput. Median-of-3 longer runs: listener-delivery
+    // lag and trigger tails add up-to-500 ms noise per run, so a single
+    // short run swings ±50%; the median over ~4 s runs is stable, and the
+    // min/max spread is reported alongside.
+    val tcpRuns = Seq.fill(3)(tcpIngest(spark, nClients = 4, framesPerClient = 1000000))
+    val tcpSorted = tcpRuns.map(_._1).sorted
+    val (tcpMbps, tcpKmps) = tcpRuns.sortBy(_._1).apply(1)
     // raw socket+decoder (no micro-batch engine): the apples-to-apples
     // twin of the reference's perf-tcp counting loop (doc/perf.adoc:36-42,
     // which also had no downstream) — and far less run-to-run variance
     val (tcpRawMbps, tcpRawKmps) = tcpRaw(nClients = 4, framesPerClient = 500000)
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def f3(v: Double): String = if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum + pipeSec
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Per-query detail: to a file plus an EARLY stdout line. The driver
+    // captures only a bounded tail of stdout, so the machine-read summary
+    // must be the LAST line and stay small (<1 KB).
+    val detail = s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_queries.json"), detail)
+    catch { case _: Throwable => () }
+    println(detail)
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_mbps":$mbps,"pipeline_kmps":$kmps,"pipeline_msgs":$pipelined,"tcp_mbps":$tcpMbps,"tcp_kmps":$tcpKmps,"tcp_raw_mbps":$tcpRawMbps,"tcp_raw_kmps":$tcpRawKmps,"failed":$failedJson}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","queries":$slowest,"queries_file":"bench_queries.json","n_queries":${results.size},"pipeline_mbps":${f3(mbps)},"pipeline_kmps":${f3(kmps)},"tcp_mbps":${f3(tcpMbps)},"tcp_kmps":${f3(tcpKmps)},"tcp_mbps_runs":[${tcpSorted.map(f3).mkString(",")}],"tcp_raw_mbps":${f3(tcpRawMbps)},"tcp_raw_kmps":${f3(tcpRawKmps)},"failed":$failedJson}"""
     )
     spark.stop()
   }

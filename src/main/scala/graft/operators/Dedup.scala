@@ -173,6 +173,11 @@ object Dedup {
       maxHamming: Int = 3,
       blocks: Int = 4
   ): DataFrame = {
+    require(
+      blocks > maxHamming,
+      s"pigeonhole needs blocks > maxHamming (got blocks=$blocks, maxHamming=$maxHamming): " +
+        s"a pair at distance >= $blocks can differ in every block and would be silently missed"
+    )
     val width = 64 / blocks
     val fps = simhash(df, text, idCol)
     val blocked = fps.select(

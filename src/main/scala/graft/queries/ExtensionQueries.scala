@@ -87,10 +87,13 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // SimHash near-dup candidates (rows-only; verified in tests).
+    // SimHash near-dup candidates at the standard Manku 64-bit setting
+    // (radius 3, 4 blocks → 16-bit block keys): pigeonhole guarantees 100%
+    // recall because blocks > maxHamming (recall asserted at these exact
+    // parameters in DedupSimilaritySpec).
     "x8_simhash" -> ((s, dir) => {
       Dedup
-        .simhashPairs(T(s, dir, "documents"), col("text"), col("doc_id"), maxHamming = 12, blocks = 4)
+        .simhashPairs(T(s, dir, "documents"), col("text"), col("doc_id"), maxHamming = 3, blocks = 4)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

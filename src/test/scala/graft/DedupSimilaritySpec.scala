@@ -98,6 +98,33 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(pairs.contains((1L, 2L)) && !pairs.contains((1L, 3L)))
   }
 
+  test("simhashPairs == brute-force Hamming pairs at the x8 query parameters (maxHamming=3, blocks=4)") {
+    val fps = Dedup.simhash(docs, col("text"), col("doc_id"))
+    val a = fps.select(col("id").as("id_a"), col("simhash").as("fp_a"))
+    val b = fps.select(col("id").as("id_b"), col("simhash").as("fp_b"))
+    val exact = a
+      .crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .filter(Dedup.hamming(col("fp_a"), col("fp_b")) <= 3)
+      .select("id_a", "id_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val blocked = Dedup
+      .simhashPairs(docs, col("text"), col("doc_id"), maxHamming = 3, blocks = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(blocked == exact, s"blocked=${blocked.size} exact=${exact.size}: pigeonhole recall must be total")
+    assert(exact.nonEmpty, "test corpus must contain at least one near-dup pair at radius 3")
+  }
+
+  test("simhashPairs rejects parameters that violate the pigeonhole precondition") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, col("text"), col("doc_id"), maxHamming = 12, blocks = 4)
+    }
+  }
+
   test("cosine: known vectors") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)), (Seq(1.0, 0.0), Seq(-1.0, 0.0)))
