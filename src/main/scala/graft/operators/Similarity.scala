@@ -98,8 +98,12 @@ object Similarity {
     * nprobe/nlist of the data — the scan shrinks by that factor.
     *
     * Training: `iters` Lloyd rounds, centroids seeded from the first
-    * `nlist` rows by id (deterministic). Assignment is a broadcast cross
-    * join + argmin window — no literal-array blowup in codegen.
+    * `nlist` rows by id (deterministic). Assignment is SHUFFLE-FREE: the
+    * centroid table (nlist × dim doubles, KBs) rides into the plan as one
+    * `typedlit` literal and the argmin is a pure column expression — a
+    * cross-join + window formulation would re-shuffle nlist× the corpus
+    * every Lloyd round. The only exchanges left are the (nlist × dim)-row
+    * partial-aggregated mean per round and the final per-query top-k.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -111,35 +115,38 @@ object Similarity {
       nprobe: Int = 4,
       iters: Int = 2
   ): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val c = corpus.select(col(id).as("cid"), col(vec).as("cv"))
 
-    def centroidDf(cents: Seq[(Int, Seq[Double])]): DataFrame =
-      cents.toDF("cell", "centroid")
+    // `n` nearest cells of `v` as array<struct<d,cell>>: struct sort gives
+    // the (distance, cell) tie-break; index i in the literal IS the cell id.
+    def nearestCells(v: Column, cents: Seq[Seq[Double]], n: Int): Column =
+      slice(
+        array_sort(
+          transform(
+            typedlit(cents),
+            (ct, i) => struct(l2sq(v, ct).as("d"), i.as("cell"))
+          )
+        ),
+        1,
+        n
+      )
 
-    def assign(df: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
-      val w = Window.partitionBy(col("cid")).orderBy(col("d"), col("cell"))
-      df.join(broadcast(centroidDf(cents)))
-        .withColumn("d", l2sq(col("cv"), col("centroid")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .drop("rn", "d", "centroid")
-    }
+    def withCell(df: DataFrame, vc: String, cents: Seq[Seq[Double]]): DataFrame =
+      df.withColumn("cell", element_at(nearestCells(col(vc), cents, 1), 1).getField("cell"))
 
     // seed: first nlist vectors by id
-    var cents: Seq[(Int, Seq[Double])] = c
+    var cents: Seq[Seq[Double]] = c
       .orderBy(col("cid"))
       .limit(nlist)
       .collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](1)) }
-      .toSeq
+      .map(_.getSeq[Double](1).toVector)
+      .toVector
 
-    // Lloyd rounds: element-wise mean per cell (posexplode + avg per slot)
+    // Lloyd rounds: element-wise mean per cell (posexplode + avg per slot;
+    // partial aggregation completes map-side, the exchange carries only
+    // ~nlist×dim rows per input partition). Empty cells keep old centroids.
     (1 to iters).foreach { _ =>
-      val assigned = assign(c, cents)
-      val means = assigned
+      val means = withCell(c, "cv", cents)
         .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
         .agg(avg(col("x")).as("m"))
@@ -147,24 +154,18 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("centroid"))
         .collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
-        .toSeq
-      // keep empty cells' old centroids
-      val got = means.map(_._1).toSet
-      cents = means ++ cents.filterNot { case (i, _) => got.contains(i) }
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toVector))
+        .toMap
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toVector
     }
 
-    val cells = assign(c, cents) // (cid, cv, cell)
+    val cells = withCell(c, "cv", cents) // (cid, cv, cell) — still no shuffle
 
     // queries probe their nprobe nearest cells
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
-    val probeW = Window.partitionBy(col("query_id")).orderBy(col("d"), col("cell"))
     val probes = q
-      .join(broadcast(centroidDf(cents)))
-      .withColumn("d", l2sq(col("qv"), col("centroid")))
-      .withColumn("rn", row_number().over(probeW))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cell"))
+      .withColumn("pc", explode(nearestCells(col("qv"), cents, nprobe)))
+      .select(col("query_id"), col("qv"), col("pc").getField("cell").as("cell"))
 
     // rerank exactly within the probed cells
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
@@ -183,14 +184,27 @@ object Similarity {
     * [[Dedup.minhashPairs]]. Candidates come from hyperplane-signature
     * block collisions (pigeonhole multi-probe) and are verified with exact
     * cosine — an equality hash join on block keys, no cross product.
+    *
+    * Scale shape: 32 signature bits in 4 blocks → 8-bit block keys. Narrow
+    * keys (4-bit) make near-uniform buckets of n/16 rows each and the
+    * self-join degenerates toward n²/16 candidate pairs; 8-bit keys cut
+    * candidates 16× while keeping recall ≥ 0.97 for true near-dups
+    * (cos ≥ 0.99 → per-bit flip prob ≈ 0.045 → P(≥1 of 4 blocks matches)
+    * ≈ 1−(1−0.955⁸)⁴; planted-pair recall asserted in ExtensionsSpec).
+    * The signed relation is persisted so the O(bits·dim) signature is
+    * computed once, not once per self-join side. Buckets larger than
+    * `maxBucket` are dropped (they carry no near-dup signal — a bucket
+    * that big means the key bits don't discriminate) and REPORTED to
+    * stderr, never silently ballooned.
     */
   def cosineNearDupPairs(
       corpus: DataFrame,
       vec: String,
       id: String,
       threshold: Double = 0.95,
-      bits: Int = 16,
-      blocks: Int = 4
+      bits: Int = 32,
+      blocks: Int = 4,
+      maxBucket: Int = 4096
   ): DataFrame = {
     val width = bits / blocks
     val signed = corpus.select(
@@ -207,9 +221,21 @@ object Similarity {
         }: _*)).as("bk")
       )
       .select(col("vid"), col("v"), col("bk.blk").as("blk"), col("bk.key").as("key"))
-    blocked
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = blocked
+      .groupBy(col("blk"), col("key"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+    val nHot = hot.count()
+    if (nHot > 0)
+      System.err.println(
+        s"[cosineNearDupPairs] dropping $nHot over-full buckets (> $maxBucket rows) — " +
+          "signature bits do not discriminate there; raise bits or maxBucket to keep them"
+      )
+    val kept = blocked.join(broadcast(hot.select(col("blk"), col("key"))), Seq("blk", "key"), "left_anti")
+    kept
       .join(
-        blocked.select(col("blk"), col("key"), col("vid").as("vid_b"), col("v").as("v_b")),
+        kept.select(col("blk"), col("key"), col("vid").as("vid_b"), col("v").as("v_b")),
         Seq("blk", "key")
       )
       .filter(col("vid") < col("vid_b"))

@@ -134,4 +134,31 @@ class ExtensionsSpec extends SparkTestBase {
       assert(rec >= 0.5, s"near-dup recall $rec")
     }
   }
+
+  test("near-dup pairs: planted near-duplicates (cos>=0.99) recalled at the x14 parameters") {
+    import spark.implicits._
+    // The driver's synthetic embeddings are i.i.d. gaussian — no true
+    // near-dups exist, so recall there is vacuous. Plant them: every vector
+    // id < 100 gets a +100000 twin nudged by a tiny deterministic delta
+    // (cosine vs original >= 0.99), then demand the default-parameter
+    // operator recover >= 90% of the planted pairs.
+    val emb = graft.sources.Tables
+      .load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val twins = emb
+      .filter(col("vec_id") < 100)
+      .select(
+        (col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) => x + sin(i.cast("double") + col("vec_id")) * lit(0.02)).as("embedding")
+      )
+    val planted = emb.unionByName(twins)
+    val got = Similarity
+      .cosineNearDupPairs(planted, "embedding", "vec_id", threshold = 0.95)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val expected = (0L until 100L).map(i => (i, i + 100000L)).toSet
+    val rec = expected.intersect(got).size.toDouble / expected.size
+    assert(rec >= 0.9, s"planted near-dup recall $rec (found ${got.size} pairs)")
+  }
 }
