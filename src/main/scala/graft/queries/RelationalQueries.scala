@@ -299,12 +299,22 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
-    // Approx distinct via HLL++ (engine-specific sketch -> rows-only;
-    // accuracy vs exact is asserted in RelationalExtraSpec).
+    // Approx distinct via HLL++, driver-checkable: the sketch value is
+    // engine-specific, so emit the EXACT count (DuckDB-replayable) plus a
+    // deterministic within-tolerance boolean the oracle asserts as TRUE
+    // (rsd 0.02 -> 5% tolerance has wide margin).
     "q23_approx_distinct" -> ((s, dir) => {
       T(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx")
+        )
+        .select(
+          col("l_returnflag"),
+          col("n_parts"),
+          (abs(col("approx") - col("n_parts")).cast("double") / col("n_parts") < 0.05).as("approx_ok")
+        )
         .orderBy(col("l_returnflag"))
     }),
 
@@ -494,6 +504,9 @@ object RelationalQueries {
         |SELECT user_id, MIN(ts_us) // 1000 AS session_start_ms, COUNT(1) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start_ms""".stripMargin,
+    "q23_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, TRUE AS approx_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q22_count_distinct" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_partkey) AS n_parts,
