@@ -141,4 +141,32 @@ object GraftService {
     }.toMap
     StreamRuntime.fanOutSink(routed, writers).trigger(trigger).start()
   }
+
+  /** Full daemon lifecycle: the service query plus the metrics bridge, the
+    * `/metrics` HTTP exposer, and a shutdown-hook graceful stop — the
+    * `dsp::service` run loop analog (dsp.hpp:275-310 wires exposer +
+    * metrics push; daemon.hpp:80-141 the signal-driven stop).
+    * `metricsPort = 0` picks a free port (read back via
+    * [[GraftDaemon.metricsPort]]).
+    */
+  def startDaemon(
+      spark: SparkSession,
+      cfg: ServiceConfig,
+      sinkFactory: Northbound => DataFrame => Unit,
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      metricsPort: Int = 0
+  ): GraftDaemon = {
+    val bridge = new graft.streaming.MetricsBridge
+    spark.streams.addListener(bridge)
+    val server = graft.streaming.MetricsHttpServer.start(bridge, metricsPort)
+    try {
+      val query = start(spark, cfg, sinkFactory, trigger)
+      new GraftDaemon(spark, query, bridge, server)
+    } catch {
+      case e: Throwable =>
+        spark.streams.removeListener(bridge)
+        server.stop()
+        throw e
+    }
+  }
 }

@@ -124,6 +124,61 @@ class ServiceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("daemon lifecycle: /metrics served over HTTP; stop() leaves no dangling query, listener, or socket") {
+    val cfg = GraftService.parseConfig(
+      """topic: hb-out
+        |interfaces:
+        |  southbound:
+        |    type: sim
+        |    clientId: 72
+        |    rowsPerSecond: 50
+        |  northbound:
+        |    - {enabled: true, name: log-nb, type: log}
+        |""".stripMargin
+    )
+    val received = new java.util.concurrent.atomic.AtomicLong(0)
+    val daemon = GraftService.startDaemon(
+      spark,
+      cfg,
+      _ => batch => { received.addAndGet(batch.count()); () }
+    )
+    def scrapeHttp(): String = {
+      val conn = new java.net.URL(s"http://127.0.0.1:${daemon.metricsPort}/metrics")
+        .openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      try {
+        assert(conn.getResponseCode == 200)
+        assert(conn.getContentType.startsWith("text/plain"))
+        new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      } finally conn.disconnect()
+    }
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      while (received.get() < 5 && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(received.get() >= 5, s"only ${received.get()} rows")
+      // progress events arrive async — poll the scrape until the counter shows
+      var body = scrapeHttp()
+      while (!body.contains("process_messages_total{query=") && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); body = scrapeHttp()
+      }
+      assert(body.contains("process_messages_total{query="), s"scrape missing counter:\n$body")
+      assert(body.contains("batch_count{query="))
+    } finally daemon.stop()
+
+    // clean teardown: query gone, listener detached, scrape socket closed
+    assert(!daemon.query.isActive)
+    assert(!spark.streams.active.map(_.id).contains(daemon.query.id))
+    intercept[java.io.IOException] {
+      val conn = new java.net.URL(s"http://127.0.0.1:${daemon.metricsPort}/metrics")
+        .openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(2000)
+      conn.getResponseCode
+    }
+    // stop() is idempotent
+    daemon.stop()
+  }
+
   test("service lifecycle: config → TCP ingress → router → per-destination fan-out") {
     val port = { val s = new ServerSocket(0); try s.getLocalPort finally s.close() }
     val cfg = GraftService.parseConfig(fixtureYaml.replace("%PORT%", port.toString))
