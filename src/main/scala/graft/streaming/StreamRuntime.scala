@@ -48,6 +48,22 @@ object StreamRuntime {
       col("value").as("payload")
     )
 
+  /** Envelope → Kafka producer columns (subject→topic, properties→headers,
+    * key/payload passthrough): the exact projection [[kafkaSink]] writes,
+    * exposed separately so brokerless tests replay the REAL mapping, not a
+    * copy of it.
+    */
+  def toKafkaColumns(df: DataFrame): DataFrame =
+    df.select(
+      col("key"),
+      col("subject").as("topic"),
+      transform(
+        map_entries(coalesce(col("properties"), map())),
+        e => struct(e.getField("key").as("key"), encode(e.getField("value"), "UTF-8").as("value"))
+      ).as("headers"),
+      col("payload").as("value")
+    )
+
   /** O-5 — Kafka producer sink (kafka.hpp:557-792): map the envelope back
     * to the sink columns (subject→topic, properties→headers); delivery
     * acks/flush are Spark's epoch commit.
@@ -57,15 +73,7 @@ object StreamRuntime {
       bootstrap: String,
       checkpoint: String
   ): DataStreamWriter[org.apache.spark.sql.Row] =
-    df.select(
-      col("key"),
-      col("subject").as("topic"),
-      transform(
-        map_entries(coalesce(col("properties"), map())),
-        e => struct(e.getField("key").as("key"), encode(e.getField("value"), "UTF-8").as("value"))
-      ).as("headers"),
-      col("payload").as("value")
-    ).writeStream
+    toKafkaColumns(df).writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("checkpointLocation", checkpoint)

@@ -151,24 +151,83 @@ class StreamRuntimeSpec extends SparkTestBase {
     assert(msg.properties == Map("a" -> "1") && new String(msg.payload, "UTF-8") == "pay")
   }
 
-  test("kafka sink column mapping shape (O-5) — dry plan, no broker") {
+  test("kafka sink column mapping (O-5) — the real toKafkaColumns projection, no broker") {
     val env = Seq(
       (Array[Byte](1), "topic-a", Map("h" -> "v"), Array[Byte](9))
     ).toDF("key", "subject", "properties", "payload")
-    // reuse the sink's projection by rebuilding it (writer itself needs a broker)
-    val projected = env.select(
-      col("key"),
-      col("subject").as("topic"),
-      transform(
-        map_entries(coalesce(col("properties"), map())),
-        e => struct(e.getField("key").as("key"), encode(e.getField("value"), "UTF-8").as("value"))
-      ).as("headers"),
-      col("payload").as("value")
-    )
+    val projected = StreamRuntime.toKafkaColumns(env)
     val row = projected.collect()(0)
     assert(row.getAs[String]("topic") == "topic-a")
     val hdr = row.getAs[Seq[org.apache.spark.sql.Row]]("headers").head
     assert(hdr.getAs[String]("key") == "h" && new String(hdr.getAs[Array[Byte]]("value"), "UTF-8") == "v")
     assert(projected.schema.fieldNames.toSeq == Seq("key", "topic", "headers", "value"))
+  }
+
+  test("kafka deep round-trip: recorded consumer rows → normalize → route → sink rows match FT fixtures") {
+    // Recorded frames in the EXACT Spark kafka-source schema (key/value
+    // binary, topic, headers array<struct<key,value:binary>>, partition,
+    // offset, timestamp, timestampType) covering the edges a broker
+    // delivers: null key, null headers, empty headers, multi/duplicate-free
+    // headers, multiple topics. Fixture content = the consumer FT's kcat
+    // input (scripts/ft-kafka-consumer.stage.sh:31-40, FIXTURES.md §1)
+    // plus the producer FT's null-key/ts-header message
+    // (scripts/ft-kafka-producer.stage.sh:23-28).
+    val ts = new java.sql.Timestamp(1700000000000L)
+    val recorded = Seq(
+      // consumer FT fixtures on topic ft-test-consumer (5 partitions)
+      ("keyA".getBytes("UTF-8"), "hello kafka".getBytes("UTF-8"), "ft-test-consumer",
+        Seq(("ts", "1234".getBytes("UTF-8"))), 0, 0L, ts, 0),
+      ("keyB".getBytes("UTF-8"), "hello again".getBytes("UTF-8"), "ft-test-consumer",
+        Seq(("ts", "1234".getBytes("UTF-8")), ("trace", "abc".getBytes("UTF-8"))), 3, 1L, ts, 0),
+      // producer FT shape: null key, null headers, other topic
+      (null.asInstanceOf[Array[Byte]], Array.fill[Byte](200)('x'), "ft-test-producer",
+        null.asInstanceOf[Seq[(String, Array[Byte])]], 1, 7L, ts, 0),
+      // empty (non-null) header array
+      ("keyC".getBytes("UTF-8"), "drop me".getBytes("UTF-8"), "ft-test-consumer",
+        Seq.empty[(String, Array[Byte])], 2, 2L, ts, 0)
+    ).toDF("key", "value", "topic", "headers", "partition", "offset", "timestamp", "timestampType")
+      .withColumn("headers", col("headers").cast("array<struct<key:string,value:binary>>"))
+
+    val envelope = StreamRuntime.normalizeKafka(recorded)
+
+    // route like the FT service config: ts-header traffic to main-nb with
+    // subject rewrite, everything else denied from main-nb but mirrored.
+    val rules = Seq(
+      graft.operators.Router.Rule("ts", 1, "ts", "1234", graft.operators.Router.Allow, "main-nb", "dev-test-2", "exact"),
+      graft.operators.Router.Rule("rest", 2, "*", "*", graft.operators.Router.Allow, "audit-nb", "audit", "exact")
+    )
+    val routed = graft.operators.Router.route(envelope, rules)
+    val sinkRows = StreamRuntime
+      .toKafkaColumns(routed.filter(col("destination") === "main-nb"))
+      .orderBy(col("key"))
+      .collect()
+
+    // byte-for-byte sink rows: only the two ts-header fixtures, relabeled
+    assert(sinkRows.length == 2)
+    assert(sinkRows.map(_.getAs[String]("topic")).toSeq == Seq("dev-test-2", "dev-test-2"))
+    assert(new String(sinkRows(0).getAs[Array[Byte]]("key"), "UTF-8") == "keyA")
+    assert(new String(sinkRows(0).getAs[Array[Byte]]("value"), "UTF-8") == "hello kafka")
+    val h0 = sinkRows(0).getSeq[org.apache.spark.sql.Row](sinkRows(0).fieldIndex("headers"))
+    assert(h0.map(h => h.getAs[String]("key") -> new String(h.getAs[Array[Byte]]("value"), "UTF-8")).toSeq ==
+      Seq("ts" -> "1234"))
+    val h1 = sinkRows(1).getSeq[org.apache.spark.sql.Row](sinkRows(1).fieldIndex("headers"))
+    assert(h1.map(h => h.getAs[String]("key") -> new String(h.getAs[Array[Byte]]("value"), "UTF-8")).toMap ==
+      Map("ts" -> "1234", "trace" -> "abc"))
+
+    // audit mirror keeps everything incl. null key / null+empty headers
+    val audit = routed.filter(col("destination") === "audit-nb")
+    assert(audit.count() == 4)
+    val nullKey = audit.filter(col("key").isNull).collect()
+    assert(nullKey.length == 1 && nullKey(0).getAs[Array[Byte]]("payload").length == 200)
+    assert(nullKey(0).getAs[Map[String, String]]("properties") == Map.empty)
+
+    // the FT's grep lines reproduce exactly (ft-kafka-consumer.stage.sh:45-46)
+    val rendered = envelope
+      .filter(col("subject") === "ft-test-consumer" && col("key").isNotNull)
+      .orderBy(col("key"))
+      .limit(2)
+      .select(graft.operators.Pipeline.renderMessage("kv", col("key"), col("payload"), col("properties")).as("r"))
+      .as[String].collect().toSeq
+    assert(rendered == Seq("key=keyA value=hello kafka", "key=keyB value=hello again"))
   }
 }
