@@ -25,9 +25,15 @@ object Skew {
       saltFactor: Int
   ): DataFrame = {
     require(saltFactor > 1, "saltFactor must be > 1")
-    // deterministic salt (hash of whole row via monotonic id would break
-    // determinism across retries — derive from the key + a spread column)
-    val l = left.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltFactor)).cast("int"))
+    // salt from the whole row's content hash: DETERMINISTIC across task
+    // retries (spark_partition_id/monotonically_increasing_id are not, and
+    // a nondeterministic salt recomputed on retry could double- or
+    // drop-count rows under stage reruns). Identical duplicate rows share a
+    // salt — acceptable: real skew is many DISTINCT rows per hot key.
+    val l = left.withColumn(
+      "_salt",
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(saltFactor)).cast("int")
+    )
     val r = right.withColumn("_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
     l.join(r, Seq(key, "_salt")).drop("_salt")
   }

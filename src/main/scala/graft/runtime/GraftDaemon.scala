@@ -17,15 +17,38 @@ import java.util.concurrent.atomic.AtomicBoolean
   */
 final class GraftDaemon private[runtime] (
     spark: SparkSession,
-    val query: StreamingQuery,
+    initialQuery: StreamingQuery,
     val metrics: MetricsBridge,
-    metricsServer: MetricsHttpServer
+    metricsServer: MetricsHttpServer,
+    restartFn: Option[GraftService.ServiceConfig => StreamingQuery] = None
 ) {
+
+  @volatile private var _query: StreamingQuery = initialQuery
+
+  /** The currently-running service query (changes across [[reload]]). */
+  def query: StreamingQuery = _query
 
   /** Port the `/metrics` endpoint is listening on. */
   def metricsPort: Int = metricsServer.port
 
   private val stopped = new AtomicBoolean(false)
+
+  /** Runtime reconfiguration: gracefully stop the current query and start a
+    * fresh one from `cfg` — the config-reload→query-restart flow behind the
+    * reference's (disabled) `/reload` OAM endpoint (svc/svc/main.cpp:203-230)
+    * under the restart-on-change stance of SURVEY §7.4. The metrics bridge
+    * and `/metrics` exposer survive the swap, so counters keep accumulating
+    * across reloads.
+    */
+  def reload(cfg: GraftService.ServiceConfig): StreamingQuery = synchronized {
+    require(!stopped.get(), "daemon is stopped")
+    val fn = restartFn.getOrElse(
+      throw new UnsupportedOperationException("daemon was built without a restart function")
+    )
+    if (_query.isActive) _query.stop()
+    _query = fn(cfg)
+    _query
+  }
   // SIGTERM/SIGINT → JVM shutdown → graceful query stop (daemon.hpp:97-108
   // registers sigterm/sigint handlers for the same purpose)
   private val hook = new Thread(() => doStop(), "graft-daemon-shutdown")
@@ -33,7 +56,7 @@ final class GraftDaemon private[runtime] (
 
   private def doStop(): Unit =
     if (stopped.compareAndSet(false, true)) {
-      try if (query.isActive) query.stop()
+      try if (_query.isActive) _query.stop()
       finally {
         spark.streams.removeListener(metrics)
         metricsServer.stop()
@@ -51,6 +74,6 @@ final class GraftDaemon private[runtime] (
     * rethrows a query failure. Negative timeout = wait forever.
     */
   def awaitTermination(timeoutMs: Long = -1L): Boolean =
-    if (timeoutMs < 0) { query.awaitTermination(); true }
-    else query.awaitTermination(timeoutMs)
+    if (timeoutMs < 0) { _query.awaitTermination(); true }
+    else _query.awaitTermination(timeoutMs)
 }

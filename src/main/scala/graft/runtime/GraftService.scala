@@ -161,7 +161,7 @@ object GraftService {
     val server = graft.streaming.MetricsHttpServer.start(bridge, metricsPort)
     try {
       val query = start(spark, cfg, sinkFactory, trigger)
-      new GraftDaemon(spark, query, bridge, server)
+      new GraftDaemon(spark, query, bridge, server, Some(c => start(spark, c, sinkFactory, trigger)))
     } catch {
       case e: Throwable =>
         spark.streams.removeListener(bridge)

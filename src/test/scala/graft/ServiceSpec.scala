@@ -179,6 +179,51 @@ class ServiceSpec extends SparkTestBase {
     daemon.stop()
   }
 
+  test("config reload restarts the query in place; metrics and exposer survive the swap") {
+    def simCfg(clientId: Long) = GraftService.parseConfig(
+      s"""topic: hb-out
+         |interfaces:
+         |  southbound:
+         |    type: sim
+         |    clientId: $clientId
+         |    rowsPerSecond: 50
+         |  northbound:
+         |    - {enabled: true, name: log-nb, type: log}
+         |""".stripMargin
+    )
+    val clientIds = scala.collection.concurrent.TrieMap.empty[Long, Unit]
+    val daemon = GraftService.startDaemon(
+      spark,
+      simCfg(72L),
+      _ =>
+        batch =>
+          batch.collect().foreach { row =>
+            val hb = decodeHeartbeat(decodeOne(row.getAs[Array[Byte]]("payload"), 0).get.body)
+            clientIds.put(hb.clientId, ())
+          }
+    )
+    try {
+      val firstQuery = daemon.query
+      val deadline = System.currentTimeMillis() + 20000
+      while (!clientIds.contains(72L) && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(clientIds.keySet == Set(72L))
+
+      val secondQuery = daemon.reload(simCfg(99L))
+      assert(!firstQuery.isActive && secondQuery.isActive && (daemon.query eq secondQuery))
+      while (!clientIds.contains(99L) && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(clientIds.keySet == Set(72L, 99L))
+
+      // exposer survived the swap and reports the new query's counters
+      val conn = new java.net.URL(s"http://127.0.0.1:${daemon.metricsPort}/metrics")
+        .openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      try assert(conn.getResponseCode == 200)
+      finally conn.disconnect()
+    } finally daemon.stop()
+    assert(!daemon.query.isActive)
+    intercept[IllegalArgumentException](daemon.reload(simCfg(1L)))
+  }
+
   test("service lifecycle: config → TCP ingress → router → per-destination fan-out") {
     val port = { val s = new ServerSocket(0); try s.getLocalPort finally s.close() }
     val cfg = GraftService.parseConfig(fixtureYaml.replace("%PORT%", port.toString))
