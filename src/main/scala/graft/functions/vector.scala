@@ -1,0 +1,212 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector math under the ANN/dedup
+  * operators ([[graft.operators.Similarity]]). The higher-order-function
+  * formulations (`aggregate(zip_with(...))`) evaluate their lambdas
+  * interpreted, one closure call per element; these run as tight JIT'd
+  * loops over `ArrayData` and stay inside WholeStageCodegen. The fused
+  * cosine does one pass for dot + both norms instead of three traversals.
+  *
+  * Numeric contract: identical fold order (sequential, double accumulator)
+  * to the HOF versions, so results are bit-equal and the DuckDB oracles and
+  * recall tests are unaffected.
+  */
+object vector {
+
+  /** dot(a, b): Σ a_i·b_i over min(len) — one pass, double accumulator. */
+  case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0.0d
+      var i = 0
+      while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+      s
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        (a, b) => {
+          val n = ctx.freshName("n")
+          val i = ctx.freshName("i")
+          val s = ctx.freshName("s")
+          s"""
+          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+          |double $s = 0.0;
+          |for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $b.getDouble($i); }
+          |${ev.value} = $s;
+          |""".stripMargin
+        }
+      )
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+      copy(left = l, right = r)
+  }
+
+  /** Fused cosine similarity: dot/(√Σa²·√Σb²) in ONE pass over both arrays
+    * (the HOF twin traverses three times). Same expression order as
+    * `dot / (sqrt(na) * sqrt(nb))` so results are bit-equal.
+    */
+  case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var dot = 0.0d
+      var na = 0.0d
+      var nb = 0.0d
+      var i = 0
+      while (i < n) {
+        val x = a.getDouble(i)
+        val y = b.getDouble(i)
+        dot += x * y
+        na += x * x
+        nb += y * y
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        (a, b) => {
+          val n = ctx.freshName("n")
+          val i = ctx.freshName("i")
+          val dot = ctx.freshName("dot")
+          val na = ctx.freshName("na")
+          val nb = ctx.freshName("nb")
+          val x = ctx.freshName("x")
+          val y = ctx.freshName("y")
+          s"""
+          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+          |for (int $i = 0; $i < $n; $i++) {
+          |  double $x = $a.getDouble($i); double $y = $b.getDouble($i);
+          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+          |}
+          |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+          |""".stripMargin
+        }
+      )
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+      copy(left = l, right = r)
+  }
+
+  /** Squared L2 distance: Σ (a_i−b_i)² — one pass. */
+  case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0.0d
+      var i = 0
+      while (i < n) { val d = a.getDouble(i) - b.getDouble(i); s += d * d; i += 1 }
+      s
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        (a, b) => {
+          val n = ctx.freshName("n")
+          val i = ctx.freshName("i")
+          val s = ctx.freshName("s")
+          val d = ctx.freshName("d")
+          s"""
+          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+          |double $s = 0.0;
+          |for (int $i = 0; $i < $n; $i++) {
+          |  double $d = $a.getDouble($i) - $b.getDouble($i); $s += $d * $d;
+          |}
+          |${ev.value} = $s;
+          |""".stripMargin
+        }
+      )
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): L2Sq =
+      copy(left = l, right = r)
+  }
+
+  /** Random-hyperplane signature (Charikar '02): bit b = sign(Σ_j v_j·h_bj),
+    * h_bj = xxhash64(b, j)/Long.MaxValue — the SAME plane values as the HOF
+    * formulation in round 1 (xxhash64 chains seed 42 → hashInt(b) →
+    * hashInt(j)), so signatures are bit-identical. The plane matrix depends
+    * only on (bits, dim): it is precomputed once per task on first row and
+    * reused, turning O(bits·dim) hash calls per ROW into O(bits·dim)
+    * multiply-adds per row.
+    */
+  case class HyperplaneSig(child: Expression, bits: Int) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+
+    // benign race: concurrent first rows compute identical matrices
+    @transient private var planeDim: Int = -1
+    @transient private var planes: Array[Array[Double]] = _
+
+    private def planesFor(dim: Int): Array[Array[Double]] = {
+      if (planeDim != dim) {
+        val m = Array.ofDim[Double](bits, dim)
+        var b = 0
+        while (b < bits) {
+          val seedB = XXH64.hashInt(b, 42L)
+          var j = 0
+          while (j < dim) {
+            m(b)(j) = XXH64.hashInt(j, seedB).toDouble / Long.MaxValue.toDouble
+            j += 1
+          }
+          b += 1
+        }
+        planes = m
+        planeDim = dim
+      }
+      planes
+    }
+
+    /** Invoked from both eval and generated code. */
+    def compute(v: ArrayData): Long = {
+      val dim = v.numElements()
+      val m = planesFor(dim)
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        val row = m(b)
+        var proj = 0.0d
+        var j = 0
+        while (j < dim) { proj += v.getDouble(j) * row(j); j += 1 }
+        if (proj >= 0) sig |= 1L << b
+        b += 1
+      }
+      sig
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("hyperplaneSig", this, classOf[HyperplaneSig].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+    }
+    override protected def withNewChildInternal(c: Expression): HyperplaneSig = copy(child = c)
+  }
+
+  def dot(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  def cosine(a: Column, b: Column): Column =
+    Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+  def l2sq(a: Column, b: Column): Column =
+    Bridge.column(L2Sq(Bridge.expression(a), Bridge.expression(b)))
+  def hyperplane_sig(v: Column, bits: Int): Column =
+    Bridge.column(HyperplaneSig(Bridge.expression(v), bits))
+}

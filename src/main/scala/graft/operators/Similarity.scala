@@ -19,24 +19,27 @@ import org.apache.spark.sql.functions._
   *     exactly. At 100 TB the corpus is hash-partitioned by bucket and the
   *     per-bucket work is a broadcast join — no cross product.
   *
-  * All vector math uses codegen'd higher-order functions
-  * (`zip_with` + `aggregate`) over the array column — no UDFs, no MLlib
-  * dependency, runs inside WholeStageCodegen.
+  * All vector math runs as native Catalyst expressions with codegen
+  * ([[graft.functions.vector]]) — no UDFs, no MLlib dependency, tight
+  * JIT'd loops inside WholeStageCodegen (higher-order functions measured
+  * slower: their lambdas evaluate interpreted per element).
   */
 object Similarity {
 
-  /** Dot product of two array&lt;float/double&gt; columns (double acc,
-    * sequential fold → deterministic).
+  /** Dot product of two array&lt;double&gt; columns (double acc, sequential
+    * fold → deterministic). Native codegen expression — the HOF
+    * formulation (`aggregate(zip_with(...))`) evaluates its lambdas
+    * interpreted per element ([[graft.functions.vector]]).
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = graft.functions.vector.dot(a, b)
 
   /** L2 norm. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity: fused one-pass native expression, bit-equal to
+    * dot/(norm·norm).
+    */
+  def cosine(a: Column, b: Column): Column = graft.functions.vector.cosine(a, b)
 
   /** Exact top-k neighbors for each query row. `queries` must be small
     * (it is broadcast); the corpus side streams — one scan, no shuffle of
@@ -64,31 +67,16 @@ object Similarity {
 
   /** Random-hyperplane signature: bit i = sign(dot(v, h_i)) (Charikar '02).
     * Hyperplane components derive from xxhash64(seed=i, dim=j) mapped to
-    * [-1, 1] — deterministic, no stored model, and the whole expression
-    * stays codegen'd (array literals measured slower: they blow up the
-    * generated method and fall back to interpreted evaluation).
+    * [-1, 1] — deterministic, no stored model. Native expression with a
+    * per-task precomputed plane matrix ([[graft.functions.vector]]): the
+    * HOF formulation recomputed O(bits·dim) interpreted hash calls per ROW;
+    * signatures are bit-identical.
     */
-  def hyperplaneSignature(vec: Column, bits: Int): Column = {
-    val planes = (0 until bits).map { i =>
-      val proj = aggregate(
-        zip_with(
-          vec,
-          transform(sequence(lit(0), size(vec) - 1), j => {
-            (xxhash64(lit(i), j).cast("double") / lit(Long.MaxValue.toDouble))
-          }),
-          (x, h) => x * h
-        ),
-        lit(0.0d),
-        (acc, v) => acc + v
-      )
-      when(proj >= 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }
-    planes.reduce(_.bitwiseOR(_))
-  }
+  def hyperplaneSignature(vec: Column, bits: Int): Column =
+    graft.functions.vector.hyperplane_sig(vec, bits)
 
-  /** Squared L2 distance between two array columns. */
-  def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
+  /** Squared L2 distance between two array columns (native, one pass). */
+  def l2sq(a: Column, b: Column): Column = graft.functions.vector.l2sq(a, b)
 
   /** IVF (inverted-file) ANN — the clustering scale path (à la FAISS IVF,
     * public design): k-means-lite partitions the corpus into `nlist` cells;
