@@ -28,19 +28,8 @@ object Dedup {
     * Documents shorter than `n` tokens yield their whole text as the single
     * shingle (so they can still match exactly).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    val count = size(toks) - (n - 1)
-    when(
-      count <= 0,
-      array(concat_ws(" ", toks))
-    ).otherwise(
-      transform(
-        sequence(lit(1), count),
-        i => concat_ws(" ", slice(toks, i, lit(n)))
-      )
-    )
-  }
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.text.word_shingles(text, n)
 
   /** MinHash signature: each shingle STRING is hashed once to a 64-bit
     * value; the `numHashes` hash families then re-mix that fixed-width long

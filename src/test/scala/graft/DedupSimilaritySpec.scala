@@ -33,6 +33,19 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(got(1) == Seq("a b"))
   }
 
+  test("native shingles are bit-equal to the declarative split/slice formulation on the corpus") {
+    val declarative = {
+      val toks = split(col("text"), " ")
+      val count = size(toks) - 2
+      when(count <= 0, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(1), count), i => concat_ws(" ", slice(toks, i, lit(3)))))
+    }
+    val mismatches = docs
+      .select(Dedup.shingles(col("text"), 3).as("n"), declarative.as("d"))
+      .filter(col("n") =!= col("d"))
+    assert(mismatches.count() == 0)
+  }
+
   test("minhash-LSH pairs are a subset of exact jaccard pairs; high-sim pairs are found") {
     val exact = Dedup
       .ngramJaccardPairs(docs, col("text"), col("doc_id"), n = 3, threshold = 0.2)
