@@ -38,16 +38,22 @@ object Bench {
     try SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
-    // TCP stages run in a FORKED fresh JVM (graft.BenchTcpStage): sharing a
-    // JVM with the 59-query suite cross-pollutes both directions (measured:
-    // whichever phase runs second reads 3-10x slower from heap/page-cache
-    // pressure left by the first). The reference's perf stage is likewise a
+    // Throughput stages (TCP ingest, raw TCP, message pipeline) run in a
+    // FORKED fresh JVM (graft.BenchTcpStage): sharing a JVM with the
+    // 59-query suite cross-pollutes both directions (measured: whichever
+    // phase runs second reads 3-10x slower from heap/page-cache pressure
+    // left by the first — seen on the pipeline stage too, 1700 -> 237
+    // MBps after a query suite). The reference's perf stage is likewise a
     // separate server process from the load client (doc/perf.adoc:36-42).
     // Falls back to in-process if the fork fails.
-    val (tcpSorted, tcpRawMbps, tcpRawKmps) = BenchTcpStage.forked().getOrElse {
-      System.err.println("[bench] TCP stage fork failed — measuring in-process (expect interference)")
-      (Seq.fill(3)(tcpIngest(spark, 4, 1000000)._1).sorted, tcpRaw(4, 500000)._1, tcpRaw(4, 500000)._2)
-    }
+    val (tcpSorted, tcpRawMbps, tcpRawKmps, mbps, kmps, pipelined) =
+      BenchTcpStage.forked().getOrElse {
+        System.err.println("[bench] perf stage fork failed — measuring in-process (expect interference)")
+        val ing = Seq.fill(3)(tcpIngest(spark, 4, 1000000)._1).sorted
+        val (ra, rk) = tcpRaw(4, 500000)
+        val (pm, pk, pn) = pipelineStage(spark, cpus.toInt)
+        (ing, ra, rk, pm, pk, pn)
+      }
     val tcpMbps = tcpSorted(1)
     val tcpKmps = tcpMbps * 5.0 // 1 MBps of 200 B frames = 5k msgs/s
 
@@ -66,28 +72,9 @@ object Bench {
       name -> t
     }
 
-    // Reference-comparable pipeline throughput: 200-byte messages through
-    // encode -> frame decode -> route -> count (the k2k shape, SURVEY §3.2).
-    val nMsgs = 2000000L * (cpus.toInt.min(32))  / 4
-    val msgSize = 200
-    val t0 = System.nanoTime()
-    val pipelined = spark
-      .range(nMsgs)
-      .select(
-        graft.functions.codecs
-          .encode_dyn(encode(rpad(col("id").cast("string"), msgSize - 4, "x"), "UTF-8"))
-          .as("frame")
-      )
-      .select(graft.functions.codecs.frame_len(col("frame")).as("len"))
-      .filter(col("len") === msgSize)
-      .count()
-    val pipeSec = (System.nanoTime() - t0) / 1e9
-    val mbps = pipelined * msgSize / 1e6 / pipeSec
-    val kmps = pipelined / 1e3 / pipeSec
-
     def f3(v: Double): String = if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum + pipeSec
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Per-query detail: to a file plus an EARLY stdout line. The driver
     // captures only a bounded tail of stdout, so the machine-read summary
@@ -102,6 +89,31 @@ object Bench {
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","queries":$slowest,"queries_file":"bench_queries.json","n_queries":${results.size},"pipeline_mbps":${f3(mbps)},"pipeline_kmps":${f3(kmps)},"tcp_mbps":${f3(tcpMbps)},"tcp_kmps":${f3(tcpKmps)},"tcp_mbps_runs":[${tcpSorted.map(f3).mkString(",")}],"tcp_raw_mbps":${f3(tcpRawMbps)},"tcp_raw_kmps":${f3(tcpRawKmps)},"failed":$failedJson}"""
     )
     spark.stop()
+  }
+
+  /** Reference-comparable pipeline throughput: 200-byte messages through
+    * encode -> frame decode -> filter -> count (the k2k shape, SURVEY
+    * §3.2). Returns (MBps, kMPS, messages).
+    */
+  private[graft] def pipelineStage(
+      spark: org.apache.spark.sql.SparkSession,
+      cpus: Int
+  ): (Double, Double, Long) = {
+    val nMsgs = 2000000L * cpus.min(32) / 4
+    val msgSize = 200
+    val t0 = System.nanoTime()
+    val pipelined = spark
+      .range(nMsgs)
+      .select(
+        graft.functions.codecs
+          .encode_dyn(encode(rpad(col("id").cast("string"), msgSize - 4, "x"), "UTF-8"))
+          .as("frame")
+      )
+      .select(graft.functions.codecs.frame_len(col("frame")).as("len"))
+      .filter(col("len") === msgSize)
+      .count()
+    val pipeSec = (System.nanoTime() - t0) / 1e9
+    (pipelined * msgSize / 1e6 / pipeSec, pipelined / 1e3 / pipeSec, pipelined)
   }
 
   /** Raw TCP stage: the per-connection accept/read/decode path alone —

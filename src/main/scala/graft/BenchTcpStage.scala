@@ -23,24 +23,48 @@ object BenchTcpStage {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // raw first (fresh heap; it is the less allocation-tolerant loop),
-    // best-of-2 — then the 3 engine rounds
+    // best-of-2 — then the batch pipeline, then the 3 engine rounds
     val (rawMbps, rawKmps) = Seq
       .fill(2)(Bench.tcpRaw(nClients = 4, framesPerClient = 500000))
       .maxBy(_._1)
-    val runs = Seq.fill(3)(Bench.tcpIngest(spark, nClients = 4, framesPerClient = 1000000)._1).sorted
-    println(s"""TCPSTAGE {"runs":[${runs.mkString(",")}],"raw_mbps":$rawMbps,"raw_kmps":$rawKmps}""")
+    // best-of-2: the first pass pays whole-stage-codegen compilation of the
+    // pipeline expressions in this cold JVM
+    val (pipeMbps, pipeKmps, pipeMsgs) = Seq
+      .fill(2)(Bench.pipelineStage(spark, cpus.toInt))
+      .maxBy(_._1)
+    // ONE engine-ingest round per child JVM: repeated rounds in a shared
+    // JVM occasionally collapse to 30-80 MBps (heap state), while fresh-JVM
+    // rounds measured 220-450 consistently — the parent forks this main 3x
+    // and takes the median across children.
+    val ingest = Bench.tcpIngest(spark, nClients = 4, framesPerClient = 1000000)._1
+    println(
+      s"""TCPSTAGE {"runs":[$ingest],"raw_mbps":$rawMbps,"raw_kmps":$rawKmps,""" +
+        s""""pipe_mbps":$pipeMbps,"pipe_kmps":$pipeKmps,"pipe_msgs":$pipeMsgs}"""
+    )
     spark.stop()
   }
 
-  /** Fork the stage into a fresh JVM; None if the child fails or the marker
-    * line is missing. Returns (sorted ingest MBps runs, raw MBps, raw kMPS).
+  /** Fork the stage into 3 fresh JVMs (one engine-ingest round each) and
+    * combine: ingest runs sorted across children (median = element 1), raw
+    * and pipeline best across children. None if any child fails.
     */
-  def forked(): Option[(Seq[Double], Double, Double)] =
+  def forked(): Option[(Seq[Double], Double, Double, Double, Double, Long)] = {
+    val children = Seq.fill(3)(forkOnce()).flatten
+    if (children.length != 3) None
+    else {
+      val runs = children.map(_._1.head).sorted
+      val (ra, rk) = children.map(c => (c._2, c._3)).maxBy(_._1)
+      val (pm, pk) = children.map(c => (c._4, c._5)).maxBy(_._1)
+      Some((runs, ra, rk, pm, pk, children.head._6))
+    }
+  }
+
+  private def forkOnce(): Option[(Seq[Double], Double, Double, Double, Double, Long)] =
     try {
       val javaBin = new java.io.File(new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
       val pb = new ProcessBuilder(
         javaBin,
-        "-Xmx8g",
+        "-Xmx24g",
         "-cp",
         System.getProperty("java.class.path"),
         "graft.BenchTcpStage"
@@ -55,12 +79,17 @@ object BenchTcpStage {
       if (!ok || line.isEmpty) None
       else {
         val json = line.get.stripPrefix("TCPSTAGE ")
+        def num(key: String): Option[Double] =
+          ("\"" + key + "\":([-0-9.Ee]+)").r.findFirstMatchIn(json).map(_.group(1).toDouble)
         val runs = "\"runs\":\\[([^\\]]*)\\]".r
           .findFirstMatchIn(json)
           .map(_.group(1).split(',').map(_.trim.toDouble).toSeq)
-        val raw = "\"raw_mbps\":([-0-9.Ee]+)".r.findFirstMatchIn(json).map(_.group(1).toDouble)
-        val rawK = "\"raw_kmps\":([-0-9.Ee]+)".r.findFirstMatchIn(json).map(_.group(1).toDouble)
-        for (r <- runs; a <- raw; k <- rawK if r.length == 3) yield (r, a, k)
+        for {
+          r0 <- runs if r0.nonEmpty
+          r = r0.sorted
+          a <- num("raw_mbps"); k <- num("raw_kmps")
+          pm <- num("pipe_mbps"); pk <- num("pipe_kmps"); pn <- num("pipe_msgs")
+        } yield (r, a, k, pm, pk, pn.toLong)
       }
     } catch { case _: Throwable => None }
 }

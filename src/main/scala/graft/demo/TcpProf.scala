@@ -31,7 +31,9 @@ object TcpProf {
       override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
     spark.streams.addListener(listener)
-    val q = spark.readStream.format("graft-tcp").option("port", port.toString).load()
+    val q = spark.readStream.format("graft-tcp").option("port", port.toString)
+      .option("maxFramesPerTrigger", sys.env.getOrElse("CAP", "0") match { case "0" => Long.MaxValue.toString; case v => v })
+      .load()
       .writeStream.format("noop").trigger(Trigger.ProcessingTime(trigMs)).start()
     var bound = false
     while (!bound) {
