@@ -34,6 +34,50 @@ object Stress {
         .filter(col("c") >= 0)
         .count()
     }
+    // 1M-doc minhash-LSH dedup with REALISTIC distinctness (round-1 stress
+    // used near-identical synthetic docs — every doc LSH-collided with
+    // every neighbor, a corpus artifact, not an operator property). Here:
+    // 40-token docs drawn from a 100k-token vocabulary via id-salted
+    // hashes (distinct with overwhelming probability), plus 1% planted
+    // near-dup twins (5 of 40 tokens perturbed, J ≈ 0.78 > threshold).
+    // Scale check: candidate pairs stay O(planted), not O(n^2).
+    time("minhash-LSH dedup, 1M docs (1% planted near-dups)") {
+      val n = 1000000L
+      val base = spark
+        .range(n)
+        .select(
+          col("id"),
+          concat_ws(
+            " ",
+            (0 until 40).map(k => pmod(xxhash64(col("id"), lit(k)), lit(100000)).cast("string")): _*
+          ).as("text")
+        )
+      val twins = spark
+        .range(n / 100)
+        .select(
+          (col("id") + 10000000L).as("id"),
+          concat_ws(
+            " ",
+            (0 until 40).map { k =>
+              if (k < 5) pmod(xxhash64(col("id"), lit(k), lit(1)), lit(100000)).cast("string")
+              else pmod(xxhash64(col("id"), lit(k)), lit(100000)).cast("string")
+            }: _*
+          ).as("text")
+        )
+      // persist: time the OPERATOR, not per-scan regeneration of the
+      // synthetic corpus (minhashPairs scans its input multiple times —
+      // real corpora come from storage)
+      val corpus = base.unionByName(twins).persist()
+      corpus.count()
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Dedup
+        .minhashPairs(corpus, col("text"), col("id"),
+          n = 3, numHashes = 32, bands = 16, threshold = 0.5)
+        .count()
+      println(f"[stress]   near-dup pairs found: $pairs (planted ${n / 100}) in ${(System.nanoTime() - t0) / 1e9}%.1f s (corpus materialization excluded)")
+      corpus.unpersist()
+      pairs
+    }
     spark.stop()
   }
 }

@@ -58,4 +58,64 @@ object text {
 
   def word_shingles(textCol: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(textCol), n))
+
+  /** MinHash signature of a shingle array → array&lt;long&gt; of
+    * `numHashes` minima, in ONE pass per row — no explode, no
+    * aggregation, NO SHUFFLE for signatures (the declarative explode +
+    * 32-min-agg formulation shuffles an (id, 32-long) row per doc and pays
+    * agg machinery per exploded shingle; measured 86 s for the 1M-doc
+    * stress, dominated by that stage).
+    *
+    * Hash chain is bit-identical to the declarative twin:
+    * token hash `h = xxhash64(tok)` = XXH64(utf8 bytes, seed 42); per-seed
+    * value `xxhash64(lit(seed), h)` = hashLong(h, hashInt(seed, 42)).
+    * The per-seed bases are precomputed once per expression instance.
+    */
+  case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+    require(numHashes >= 1, "numHashes must be >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    @transient private lazy val seedBases: Array[Long] = {
+      val a = new Array[Long](numHashes)
+      var s = 0
+      while (s < numHashes) {
+        a(s) = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(s, 42L)
+        s += 1
+      }
+      a
+    }
+
+    /** Invoked from both eval and generated code. */
+    def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData = {
+      val bases = seedBases
+      val mins = Array.fill[Long](numHashes)(Long.MaxValue)
+      val n = arr.numElements()
+      var j = 0
+      while (j < n) {
+        val tok = arr.getUTF8String(j)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(tok.getBaseObject, tok.getBaseOffset, tok.numBytes(), 42L)
+        var s = 0
+        while (s < numHashes) {
+          val v = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h, bases(s))
+          if (v < mins(s)) mins(s) = v
+          s += 1
+        }
+        j += 1
+      }
+      new GenericArrayData(mins)
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      compute(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSig].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  }
+
+  def minhash_sig(shinglesCol: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSig(Bridge.expression(shinglesCol), numHashes))
 }

@@ -87,19 +87,17 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val docs = df.select(idCol.as("id"), array_distinct(shingles(text, n)).as("sh"))
-    // signature via explode + codegen'd min-aggregates (shuffle carries
-    // only (id, 8B hash) pairs; the explode is partition-local so partial
-    // aggregation completes groups map-side)
-    val inv = docs.select(col("id"), explode(col("sh")).as("s0"))
-      .select(col("id"), xxhash64(col("s0")).as("h"))
-    val mins = (0 until numHashes).map(seed => min(xxhash64(lit(seed), col("h"))).as(s"m$seed"))
-    val sig = inv.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+    // signature as ONE native-expression pass per row — no explode, no
+    // aggregation, no shuffle at all until the band join (the former
+    // explode + 32-min-agg stage dominated the 1M-doc stress at 86 s;
+    // bit-identical hash chain, see graft.functions.text.MinHashSig)
+    val sig = docs.select(col("id"), graft.functions.text.minhash_sig(col("sh"), numHashes).as("sig"))
     // band keys: hash each signature slice; candidates join on (band, key)
     // carrying ONLY ids — document shingles never ride the band shuffle
     val bandCols = (0 until bands).map { b =>
       struct(
         lit(b).as("band"),
-        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*).as("bucket")
+        xxhash64((b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*).as("bucket")
       )
     }
     val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))

@@ -46,6 +46,23 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(mismatches.count() == 0)
   }
 
+  test("native minhash signature is bit-equal to the declarative explode+min-agg formulation") {
+    val sh = docs.select(col("doc_id").as("id"), array_distinct(Dedup.shingles(col("text"), 3)).as("sh"))
+    val native = sh.select(col("id"), graft.functions.text.minhash_sig(col("sh"), 32).as("sig"))
+    val declarative = {
+      val inv = sh
+        .select(col("id"), explode(col("sh")).as("s0"))
+        .select(col("id"), xxhash64(col("s0")).as("h"))
+      val mins = (0 until 32).map(seed => min(xxhash64(lit(seed), col("h"))).as(s"m$seed"))
+      inv.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+        .select(col("id"), array((0 until 32).map(i => col(s"m$i")): _*).as("sig"))
+    }
+    val mismatches = native.alias("n")
+      .join(declarative.alias("d"), Seq("id"))
+      .filter(col("n.sig") =!= col("d.sig"))
+    assert(mismatches.count() == 0)
+  }
+
   test("minhash-LSH pairs are a subset of exact jaccard pairs; high-sim pairs are found") {
     val exact = Dedup
       .ngramJaccardPairs(docs, col("text"), col("doc_id"), n = 3, threshold = 0.2)
