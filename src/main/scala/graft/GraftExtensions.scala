@@ -15,7 +15,11 @@ import graft.functions.codecs
   *
   * Functions: graft_le_u16(bin, off), graft_le_i64(bin, off),
   * graft_frame_split(bin), graft_frame_type(bin), graft_frame_len(bin),
-  * graft_hb_client_id/sequence/timestamp(bin).
+  * graft_hb_client_id/sequence/timestamp(bin); vector math
+  * graft_dot/graft_cosine/graft_l2sq(arr, arr),
+  * graft_hyperplane_sig(arr, bits); text kernels
+  * graft_word_shingles(str, n), graft_minhash_sig(arr, k),
+  * graft_simhash64(arr).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -46,7 +50,14 @@ object GraftExtensions {
     "graft_frame_len" -> (es => codecs.LeU16(es(0), 0)),
     "graft_hb_client_id" -> (es => codecs.LeI64(es(0), graft.model.Telemetry.HeaderSize)),
     "graft_hb_sequence" -> (es => codecs.LeI64(es(0), graft.model.Telemetry.HeaderSize + 8)),
-    "graft_hb_timestamp" -> (es => codecs.LeI64(es(0), graft.model.Telemetry.HeaderSize + 16))
+    "graft_hb_timestamp" -> (es => codecs.LeI64(es(0), graft.model.Telemetry.HeaderSize + 16)),
+    "graft_dot" -> (es => graft.functions.vector.DotProduct(es(0), es(1))),
+    "graft_cosine" -> (es => graft.functions.vector.CosineSim(es(0), es(1))),
+    "graft_l2sq" -> (es => graft.functions.vector.L2Sq(es(0), es(1))),
+    "graft_hyperplane_sig" -> (es => graft.functions.vector.HyperplaneSig(es(0), off(es(1)))),
+    "graft_word_shingles" -> (es => graft.functions.text.WordShingles(es(0), off(es(1)))),
+    "graft_minhash_sig" -> (es => graft.functions.text.MinHashSig(es(0), off(es(1)))),
+    "graft_simhash64" -> (es => graft.functions.text.SimHash64(es(0)))
   )
 
   /** Register into an already-running session (the builder-time path is

@@ -118,4 +118,49 @@ object text {
 
   def minhash_sig(shinglesCol: Column, numHashes: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(shinglesCol), numHashes))
+
+  /** SimHash 64-bit fingerprint of a token array (Charikar '02 / Manku
+    * WWW'07): per token hash, each of the 64 bit positions votes ±1, bit =
+    * sign of the vote sum — ONE pass per row, replacing the explode + 64
+    * conditional-sum aggregates (and their per-doc shuffle). Bit-identical
+    * to the declarative twin: token hash = xxhash64(tok) (utf8 bytes,
+    * seed 42), vote b from bit b of the hash, ties (vote sum 0) → 0.
+    */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+
+    /** Invoked from both eval and generated code. */
+    def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+      val votes = new Array[Int](64)
+      val n = arr.numElements()
+      var j = 0
+      while (j < n) {
+        val tok = arr.getUTF8String(j)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(tok.getBaseObject, tok.getBaseOffset, tok.numBytes(), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        j += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) sig |= 1L << b; b += 1 }
+      sig
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      compute(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("simhash64", this, classOf[SimHash64].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  }
+
+  def simhash64(tokensCol: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokensCol)))
 }

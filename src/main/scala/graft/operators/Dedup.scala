@@ -125,24 +125,20 @@ object Dedup {
     * per token hash, each of the 64 bit positions votes ±1; fingerprint bit
     * = sign of the vote sum.
     *
-    * Formulation note: explode + 64 codegen'd conditional-sum aggregates
-    * beats a higher-order `aggregate` fold (Spark's lambda functions run
-    * interpreted, measured ~1.5× slower). The explode is partition-local
-    * and partial aggregation completes each doc's group map-side, so the
-    * exchange carries ~one 64-int row per doc — scale-safe.
+    * Formulation history: a higher-order `aggregate` fold loses to
+    * explode + 64 codegen'd conditional-sum aggregates (interpreted
+    * lambdas, measured ~1.5× slower), which in turn loses to the current
+    * single native-expression pass — zero shuffle, no aggregation
+    * machinery at all.
     */
-  def simhash(df: DataFrame, text: Column, idCol: Column): DataFrame = {
-    val tok = df.select(idCol.as("id"), explode(array_distinct(split(text, " "))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
-    }
-    val agg = tok.groupBy(col("id")).agg(votes.head, votes.tail: _*)
-    val fp = (0 until 64)
-      .map(b => when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
-      .reduce(_.bitwiseOR(_))
-    agg.select(col("id"), fp.as("simhash"))
-  }
+  def simhash(df: DataFrame, text: Column, idCol: Column): DataFrame =
+    // one native-expression pass per row — no explode, no 64 vote
+    // aggregates, no shuffle (bit-identical hash/vote chain, see
+    // graft.functions.text.SimHash64; ids are assumed unique per doc)
+    df.select(
+      idCol.as("id"),
+      graft.functions.text.simhash64(array_distinct(split(text, " "))).as("simhash")
+    )
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -46,6 +46,28 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(mismatches.count() == 0)
   }
 
+  test("native simhash is bit-equal to the declarative explode+vote-agg formulation") {
+    val declarative = {
+      val tok = docs
+        .select(col("doc_id").as("id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+        .withColumn("h", xxhash64(col("t")))
+      val votes = (0 until 64).map { b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
+      }
+      val agg = tok.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      val fp = (0 until 64)
+        .map(b => when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+        .reduce(_.bitwiseOR(_))
+      agg.select(col("id"), fp.as("simhash"))
+    }
+    val native = Dedup.simhash(docs, col("text"), col("doc_id"))
+    val mismatches = native.alias("n")
+      .join(declarative.alias("d"), Seq("id"))
+      .filter(col("n.simhash") =!= col("d.simhash"))
+    assert(mismatches.count() == 0)
+    assert(native.count() == declarative.count())
+  }
+
   test("native minhash signature is bit-equal to the declarative explode+min-agg formulation") {
     val sh = docs.select(col("doc_id").as("id"), array_distinct(Dedup.shingles(col("text"), 3)).as("sh"))
     val native = sh.select(col("id"), graft.functions.text.minhash_sig(col("sh"), 32).as("sig"))

@@ -35,6 +35,28 @@ class ExtensionsSpec extends SparkTestBase {
     assert(row.getInt(5) == 28)
   }
 
+  test("GraftExtensions registers vector/text kernels for spark.sql") {
+    GraftExtensions.register(spark)
+    val row = spark
+      .sql(
+        """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+          |  graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+          |  graft_l2sq(array(0.0d, 0.0d), array(3.0d, 4.0d)) AS l2,
+          |  graft_word_shingles('a b c d', 3) AS sh,
+          |  size(graft_minhash_sig(array('a', 'b'), 8)) AS nsig,
+          |  graft_simhash64(array('spark')) = graft_simhash64(array('spark')) AS stable,
+          |  graft_hyperplane_sig(array(1.0d, 2.0d), 16) IS NOT NULL AS hsig
+          |""".stripMargin
+      )
+      .collect()(0)
+    assert(row.getDouble(0) == 11.0)
+    assert(row.getDouble(1) == 1.0)
+    assert(row.getDouble(2) == 25.0)
+    assert(row.getSeq[String](3) == Seq("a b c", "b c d"))
+    assert(row.getInt(4) == 8)
+    assert(row.getBoolean(5) && row.getBoolean(6))
+  }
+
   test("user UDF/UDAF surface: register + SQL use (the reference's scripting-hook intent)") {
     import spark.implicits._
     // scalar UDF (the svc Lua hook would have done per-message rewrites,
