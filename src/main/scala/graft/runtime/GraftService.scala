@@ -16,7 +16,12 @@ import graft.streaming.StreamRuntime
 object GraftService {
 
   sealed trait Southbound
-  final case class TcpSouth(port: Int) extends Southbound
+  /** `batchSize` → maxFramesPerTrigger (admission control); `bufferLimit` →
+    * maxBufferedBytes (O-14 drop-on-full, counted in
+    * [[graft.sources.TcpShedMetrics]]).
+    */
+  final case class TcpSouth(port: Int, batchSize: Option[Long] = None, bufferLimit: Option[Long] = None)
+      extends Southbound
   final case class KafkaSouth(address: String, groupId: String, topics: Seq[String], batchSize: Option[Long])
       extends Southbound
   /** O-4 — the heartbeat simulator as a config-wired source (type `sim`). */
@@ -38,7 +43,12 @@ object GraftService {
     val root = YamlLite.parse(yaml)
     val sb = root("interfaces.southbound")
     val south = sb("type").str match {
-      case "tcp" => TcpSouth(sb("port").int)
+      case "tcp" =>
+        TcpSouth(
+          sb("port").int,
+          sb.get("batchSize").map(_.long),
+          sb.get("bufferLimit").map(_.long)
+        )
       case "kafka" =>
         KafkaSouth(
           sb("address").str,
@@ -84,11 +94,13 @@ object GraftService {
   def southboundFrame(spark: SparkSession, cfg: ServiceConfig): DataFrame = {
     import org.apache.spark.sql.functions._
     cfg.southbound match {
-      case TcpSouth(port) =>
-        spark.readStream
+      case TcpSouth(port, batchSize, bufferLimit) =>
+        val r0 = spark.readStream
           .format("graft-tcp")
           .option("port", port.toString)
-          .load()
+        val r1 = batchSize.fold(r0)(b => r0.option("maxFramesPerTrigger", b.toString))
+        val r2 = bufferLimit.fold(r1)(b => r1.option("maxBufferedBytes", b.toString))
+        r2.load()
           .select(
             lit(null).cast("binary").as("key"),
             lit(cfg.appTopic.orNull).cast("string").as("subject"),

@@ -50,7 +50,8 @@ class TcpFrameSource extends TableProvider with DataSourceRegister {
       properties: java.util.Map[String, String]
   ): Table = new TcpFrameTable(
     properties.get("port").toInt,
-    Option(properties.get("maxFramesPerTrigger")).map(_.toLong)
+    Option(properties.get("maxFramesPerTrigger")).map(_.toLong),
+    Option(properties.get("maxBufferedBytes")).map(_.toLong)
   )
 }
 
@@ -64,8 +65,11 @@ object TcpFrameSource {
   )
 }
 
-private[sources] class TcpFrameTable(port: Int, maxFramesPerTrigger: Option[Long])
-    extends Table
+private[sources] class TcpFrameTable(
+    port: Int,
+    maxFramesPerTrigger: Option[Long],
+    maxBufferedBytes: Option[Long]
+) extends Table
     with SupportsRead {
   override def name(): String = s"graft-tcp:$port"
   override def schema(): StructType = TcpFrameSource.schema
@@ -76,9 +80,34 @@ private[sources] class TcpFrameTable(port: Int, maxFramesPerTrigger: Option[Long
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = TcpFrameSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new TcpFrameStream(port, maxFramesPerTrigger)
+          new TcpFrameStream(port, maxFramesPerTrigger, maxBufferedBytes)
       }
     }
+}
+
+/** O-14 load-shed accounting for the TCP ingress, the reference's
+  * drop-on-full counter surface (`drop_messages_total{drop_type=load_shed}`,
+  * kafka.hpp:684-696 try_send + svc/handler.cpp:142-166): per-port counters
+  * of frames/bytes dropped because the buffer cap was hit. A registry
+  * object (not per-stream state) so services, tests, and scrapes can read
+  * it without holding the stream.
+  */
+object TcpShedMetrics {
+  private val frames = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAdder]()
+  private val bytes = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAdder]()
+  private def adder(m: java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAdder], port: Int) =
+    m.computeIfAbsent(port, _ => new java.util.concurrent.atomic.LongAdder)
+  private[sources] def record(port: Int, nFrames: Int, nBytes: Int): Unit = {
+    adder(frames, port).add(nFrames.toLong)
+    adder(bytes, port).add(nBytes.toLong)
+  }
+  def shedFrames(port: Int): Long = Option(frames.get(port)).map(_.sum()).getOrElse(0L)
+  def shedBytes(port: Int): Long = Option(bytes.get(port)).map(_.sum()).getOrElse(0L)
+  /** Prometheus text lines for a port (appended to a /metrics scrape). */
+  def scrape(port: Int): String =
+    s"""drop_messages_total{drop_type="load_shed",port="$port"} ${shedFrames(port)}
+       |drop_bytes_total{drop_type="load_shed",port="$port"} ${shedBytes(port)}
+       |""".stripMargin
 }
 
 private[sources] case class FrameOffset(index: Long) extends Offset {
@@ -119,10 +148,14 @@ private[sources] object TcpFrameStream {
     Integer.getInteger("graft.tcp.parts", 4).intValue()
 }
 
-private[sources] class TcpFrameStream(port: Int, maxFramesPerTrigger: Option[Long] = None)
-    extends MicroBatchStream {
+private[sources] class TcpFrameStream(
+    port: Int,
+    maxFramesPerTrigger: Option[Long] = None,
+    maxBufferedBytes: Option[Long] = None
+) extends MicroBatchStream {
 
   private var lastPlannedEnd = 0L // chunk index of the previous batch end
+  private var bufferedBytes = 0L // blob bytes currently in `log` (guarded by log lock)
 
   // Restart semantics: a TCP stream is NOT replayable (like Spark's own
   // socket source) — frames buffered before a crash are gone. On restart
@@ -172,7 +205,21 @@ private[sources] class TcpFrameStream(port: Int, maxFramesPerTrigger: Option[Lon
           val frames = decoder.feed(java.util.Arrays.copyOf(buf, n))
           if (frames.nonEmpty) {
             val chunk = pack(conn, frames)
-            log.synchronized { log += chunk; () }
+            // O-14 drop-on-full: with a buffer cap, an over-cap chunk is
+            // SHED (dropped + counted), never buffered — the try_send
+            // semantics of the reference (kafka.hpp:684-696) applied to
+            // the ingress buffer, and the bound that keeps the driver-side
+            // log from growing without limit when downstream lags.
+            log.synchronized {
+              val cap = maxBufferedBytes.getOrElse(Long.MaxValue)
+              if (bufferedBytes + chunk.blob.length > cap) {
+                TcpShedMetrics.record(port, chunk.frames, chunk.blob.length)
+              } else {
+                log += chunk
+                bufferedBytes += chunk.blob.length
+              }
+              ()
+            }
           }
         }
         n = in.read(buf)
@@ -275,7 +322,12 @@ private[sources] class TcpFrameStream(port: Int, maxFramesPerTrigger: Option[Lon
     val e = end.asInstanceOf[FrameOffset].index
     log.synchronized {
       val drop = math.min((e - shift - trimmed).toInt, log.length)
-      if (drop > 0) { log.remove(0, drop); trimmed += drop }
+      if (drop > 0) {
+        var i = 0
+        while (i < drop) { bufferedBytes -= log(i).blob.length; i += 1 }
+        log.remove(0, drop)
+        trimmed += drop
+      }
     }
   }
 

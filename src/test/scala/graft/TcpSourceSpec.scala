@@ -111,6 +111,45 @@ class TcpSourceSpec extends SparkTestBase {
     }
   }
 
+  test("maxBufferedBytes load-sheds on overload and counts drops (O-14 drop-on-full)") {
+    val port = freePort()
+    val df = spark.readStream
+      .format("graft-tcp")
+      .option("port", port.toString)
+      .option("maxBufferedBytes", "4096")
+      .load()
+    val q = df.writeStream.format("memory").queryName("tcp_shed").start()
+    try {
+      Thread.sleep(300)
+      val hb = encodeHeartbeat(Heartbeat(72, 0, 1700L))
+      val sock = new Socket("127.0.0.1", port)
+      val out = sock.getOutputStream
+      // trickle first: small chunks fit the 4 KB cap and must pass
+      (1 to 3).foreach { _ => out.write(hb); out.flush(); Thread.sleep(150) }
+      // then a burst far over the cap in one write: over-cap chunks are
+      // shed (dropped + counted), never buffered
+      val burst = Array.fill(10000)(hb).flatten
+      out.write(burst); out.flush()
+      sock.close()
+
+      val total = 10003L
+      def processed(): Long = { q.processAllAvailable(); spark.table("tcp_shed").count() }
+      val deadline = System.currentTimeMillis() + 20000
+      while (processed() + graft.sources.TcpShedMetrics.shedFrames(port) < total &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      val done = processed()
+      val shed = graft.sources.TcpShedMetrics.shedFrames(port)
+      assert(done + shed == total, s"conservation: processed=$done shed=$shed total=$total")
+      assert(done >= 3, s"trickle frames must pass the cap (processed=$done)")
+      assert(shed > 0, "the burst must shed")
+      // shed bytes count decoded BODY bytes (24 per heartbeat), the same
+      // unit the buffer cap is accounted in — not the 28 wire bytes
+      assert(graft.sources.TcpShedMetrics.shedBytes(port) == shed * 24)
+      assert(graft.sources.TcpShedMetrics.scrape(port)
+        .contains(s"""drop_messages_total{drop_type="load_shed",port="$port"} $shed"""))
+    } finally q.stop()
+  }
+
   test("checkpoint restart: restored offsets re-base, fresh frames still flow") {
     val port = freePort()
     val ckpt = java.nio.file.Files.createTempDirectory("graft_tcp_ckpt").toString
