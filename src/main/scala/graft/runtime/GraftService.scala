@@ -170,7 +170,12 @@ object GraftService {
   ): GraftDaemon = {
     val bridge = new graft.streaming.MetricsBridge
     spark.streams.addListener(bridge)
-    val server = graft.streaming.MetricsHttpServer.start(bridge, metricsPort)
+    // tcp southbounds append their O-14 shed counters to the scrape
+    val extraScrape: () => String = cfg.southbound match {
+      case TcpSouth(port, _, _) => () => graft.sources.TcpShedMetrics.scrape(port)
+      case _                    => () => ""
+    }
+    val server = graft.streaming.MetricsHttpServer.start(bridge, metricsPort, extraScrape)
     try {
       val query = start(spark, cfg, sinkFactory, trigger)
       new GraftDaemon(spark, query, bridge, server, Some(c => start(spark, c, sinkFactory, trigger)))

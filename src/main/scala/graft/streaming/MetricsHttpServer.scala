@@ -18,16 +18,22 @@ final class MetricsHttpServer private (server: HttpServer) {
 
 object MetricsHttpServer {
 
-  /** Start serving `bridge.scrape()` on `/metrics`. `port = 0` picks a free
-    * ephemeral port (read it back via [[MetricsHttpServer.port]]).
+  /** Start serving `bridge.scrape()` on `/metrics` (plus any extra
+    * exposition lines from `extraScrape`, e.g. the TCP ingress shed
+    * counters). `port = 0` picks a free ephemeral port (read it back via
+    * [[MetricsHttpServer.port]]).
     */
-  def start(bridge: MetricsBridge, port: Int = 0): MetricsHttpServer = {
+  def start(
+      bridge: MetricsBridge,
+      port: Int = 0,
+      extraScrape: () => String = () => ""
+  ): MetricsHttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext(
       "/metrics",
       new HttpHandler {
         override def handle(ex: HttpExchange): Unit = {
-          val body = bridge.scrape().getBytes(StandardCharsets.UTF_8)
+          val body = (bridge.scrape() + extraScrape()).getBytes(StandardCharsets.UTF_8)
           ex.getResponseHeaders.add("Content-Type", "text/plain; version=0.0.4; charset=utf-8")
           ex.sendResponseHeaders(200, body.length.toLong)
           val os = ex.getResponseBody
