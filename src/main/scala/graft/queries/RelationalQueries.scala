@@ -356,6 +356,60 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Rank-family window variants: ntile / percent_rank / cume_dist /
+    // dense_rank (exact rational outputs -> bit-stable doubles).
+    "q27_rank_variants" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"), col("o_orderkey"))
+      T(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          col("o_orderstatus"),
+          ntile(4).over(w).as("quartile"),
+          dense_rank().over(w).as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist")
+        )
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Bag semantics: EXCEPT ALL / INTERSECT ALL (multiplicity-preserving).
+    "q28_set_ops_all" -> ((s, dir) => {
+      val c = T(s, dir, "customer").select(col("c_nationkey").as("k"))
+      val sup = T(s, dir, "supplier").select(col("s_nationkey").as("k"))
+      val e = c.exceptAll(sup).groupBy(col("k")).agg(count(lit(1)).as("n")).withColumn("tag", lit("except_all"))
+      val i = c.intersectAll(sup).groupBy(col("k")).agg(count(lit(1)).as("n")).withColumn("tag", lit("intersect_all"))
+      e.unionAll(i).select(col("tag"), col("k"), col("n")).orderBy(col("tag"), col("k"))
+    }),
+
+    // Scalar gallery 2: translate / reverse / repeat / lpad / split_part /
+    // position — the rest of the portable string surface.
+    "q29_string_funcs2" -> ((s, dir) => {
+      T(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          translate(col("p_brand"), "#", "-").as("brand_t"),
+          reverse(col("p_name")).as("rname"),
+          repeat(col("p_brand"), 2).as("brand2"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("key_pad"),
+          split_part(col("p_type"), lit(" "), lit(1)).as("type_head"),
+          instr(col("p_name"), "a").as("a_pos")
+        )
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Date gallery 2: quarter / last_day / add_months / ISO weekday.
+    "q30_date_funcs2" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          quarter(col("o_orderdate")).as("q"),
+          last_day(col("o_orderdate")).as("month_end"),
+          add_months(to_date(col("o_orderdate")), 2).as("plus2m"),
+          (weekday(col("o_orderdate")) + 1).as("isodow")
+        )
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Range join via bucketized equi-join (interval containment).
     "q20_range_join" -> ((s, dir) => {
       val bands = T(s, dir, "nation")
@@ -536,6 +590,40 @@ object RelationalQueries {
         |  quantile_cont(o_totalprice, 0.5) AS p50,
         |  quantile_cont(o_totalprice, 0.75) AS p75
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q27_rank_variants" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  NTILE(4) OVER w AS quartile,
+        |  DENSE_RANK() OVER w AS drnk,
+        |  PERCENT_RANK() OVER w AS prnk,
+        |  CUME_DIST() OVER w AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q28_set_ops_all" ->
+      """WITH c AS (SELECT c_nationkey AS k FROM customer),
+        |     s AS (SELECT s_nationkey AS k FROM supplier)
+        |SELECT 'except_all' AS tag, k, COUNT(1) AS n
+        |FROM (SELECT k FROM c EXCEPT ALL SELECT k FROM s) GROUP BY k
+        |UNION ALL
+        |SELECT 'intersect_all' AS tag, k, COUNT(1) AS n
+        |FROM (SELECT k FROM c INTERSECT ALL SELECT k FROM s) GROUP BY k
+        |ORDER BY tag, k""".stripMargin,
+    "q29_string_funcs2" ->
+      """SELECT p_partkey,
+        |  TRANSLATE(p_brand, '#', '-') AS brand_t,
+        |  REVERSE(p_name) AS rname,
+        |  REPEAT(p_brand, 2) AS brand2,
+        |  LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS key_pad,
+        |  SPLIT_PART(p_type, ' ', 1) AS type_head,
+        |  POSITION('a' IN p_name) AS a_pos
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q30_date_funcs2" ->
+      """SELECT o_orderkey,
+        |  QUARTER(o_orderdate) AS q,
+        |  CAST(LAST_DAY(o_orderdate) AS DATE) AS month_end,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |  ISODOW(o_orderdate) AS isodow
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q20_range_join" ->
       """SELECT n_nationkey, COUNT(1) AS n_in_band
         |FROM (SELECT n_nationkey,
