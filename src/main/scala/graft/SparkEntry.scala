@@ -8,7 +8,7 @@ import graft.queries.{ExtensionQueries, PipelineQueries, RelationalQueries}
   *
   * The query inventory lives in [[graft.queries]]:
   *   - [[RelationalQueries]] — joins/sorts/set ops/windows/grouping sets
-  *     (SURVEY.md §2.5 relational surface), q1..q30;
+  *     (SURVEY.md §2.5 relational surface), q1..q32;
   *   - [[PipelineQueries]] — the reference's own operators O-5..O-17
   *     (codec, dispatch, router, relabel, throughput, fan-out), p1..p14;
   *   - [[ExtensionQueries]] — dedup / similarity / text analysis /

@@ -410,6 +410,31 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Explode / UNNEST: token-level rows from a string column, re-aggregated.
+    "q31_unnest_tokens" -> ((s, dir) => {
+      T(s, dir, "part")
+        .select(col("p_partkey"), explode(split(col("p_type"), " ")).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"), min(col("p_partkey")).as("min_key"))
+        .orderBy(col("tok"))
+    }),
+
+    // GROUPING() disambiguation of rollup subtotal rows (a real NULL vs a
+    // rolled-up NULL are distinguishable only via the grouping flags).
+    "q32_grouping_flags" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).as("g_flag"),
+          grouping(col("l_linestatus")).as("g_status"),
+          count(lit(1)).as("n")
+        )
+        .select(col("l_returnflag"), col("l_linestatus"), col("g_flag"), col("g_status"), col("n"))
+        .orderBy(
+          col("g_flag"), col("g_status"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
     // Range join via bucketized equi-join (interval containment).
     "q20_range_join" -> ((s, dir) => {
       val bands = T(s, dir, "nation")
@@ -624,6 +649,17 @@ object RelationalQueries {
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
         |  ISODOW(o_orderdate) AS isodow
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q31_unnest_tokens" ->
+      """SELECT tok, COUNT(1) AS n, MIN(p_partkey) AS min_key
+        |FROM (SELECT p_partkey, UNNEST(STRING_SPLIT(p_type, ' ')) AS tok FROM part)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q32_grouping_flags" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+        |  COUNT(1) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status,
+        |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q20_range_join" ->
       """SELECT n_nationkey, COUNT(1) AS n_in_band
         |FROM (SELECT n_nationkey,
