@@ -86,7 +86,7 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","queries":$slowest,"queries_file":"bench_queries.json","n_queries":${results.size},"pipeline_mbps":${f3(mbps)},"pipeline_kmps":${f3(kmps)},"tcp_mbps":${f3(tcpMbps)},"tcp_kmps":${f3(tcpKmps)},"tcp_mbps_runs":[${tcpSorted.map(f3).mkString(",")}],"tcp_raw_mbps":${f3(tcpRawMbps)},"tcp_raw_kmps":${f3(tcpRawKmps)},"failed":$failedJson}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","queries":$slowest,"queries_file":"bench_queries.json","n_queries":${results.size},"pipeline_mbps":${f3(mbps)},"pipeline_kmps":${f3(kmps)},"pipeline_msgs":$pipelined,"tcp_mbps":${f3(tcpMbps)},"tcp_kmps":${f3(tcpKmps)},"tcp_mbps_runs":[${tcpSorted.map(f3).mkString(",")}],"tcp_raw_mbps":${f3(tcpRawMbps)},"tcp_raw_kmps":${f3(tcpRawKmps)},"failed":$failedJson}"""
     )
     spark.stop()
   }
