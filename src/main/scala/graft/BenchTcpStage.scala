@@ -22,21 +22,21 @@ object BenchTcpStage {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // raw first (fresh heap; it is the less allocation-tolerant loop),
-    // best-of-2 — then the batch pipeline, then the 3 engine rounds
+    // ONE engine-ingest round per child JVM, run FIRST on the fresh heap:
+    // any sizeable stage run before it in the same JVM (raw's 400 MB, the
+    // pipeline's 3.2 GB churn) can collapse the ingest round to 70-80 MBps
+    // where fresh-heap rounds measure 220-450 — the parent forks this main
+    // 3x and takes the median across children.
+    val ingest = Bench.tcpIngest(spark, nClients = 4, framesPerClient = 1000000)._1
+    // raw next (the less allocation-tolerant loop), best-of-2
     val (rawMbps, rawKmps) = Seq
       .fill(2)(Bench.tcpRaw(nClients = 4, framesPerClient = 500000))
       .maxBy(_._1)
     // best-of-2: the first pass pays whole-stage-codegen compilation of the
-    // pipeline expressions in this cold JVM
+    // pipeline expressions
     val (pipeMbps, pipeKmps, pipeMsgs) = Seq
       .fill(2)(Bench.pipelineStage(spark, cpus.toInt))
       .maxBy(_._1)
-    // ONE engine-ingest round per child JVM: repeated rounds in a shared
-    // JVM occasionally collapse to 30-80 MBps (heap state), while fresh-JVM
-    // rounds measured 220-450 consistently — the parent forks this main 3x
-    // and takes the median across children.
-    val ingest = Bench.tcpIngest(spark, nClients = 4, framesPerClient = 1000000)._1
     println(
       s"""TCPSTAGE {"runs":[$ingest],"raw_mbps":$rawMbps,"raw_kmps":$rawKmps,""" +
         s""""pipe_mbps":$pipeMbps,"pipe_kmps":$pipeKmps,"pipe_msgs":$pipeMsgs}"""
