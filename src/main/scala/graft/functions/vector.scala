@@ -153,12 +153,17 @@ object vector {
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
 
-    // benign race: concurrent first rows compute identical matrices
-    @transient private var planeDim: Int = -1
-    @transient private var planes: Array[Array[Double]] = _
+    // cache is published atomically as one immutable (dim, matrix) pair via
+    // a single volatile field: concurrent evaluators (driver-side
+    // interpreted eval, mixed-dimension rows) each read a consistent pair
+    // or rebuild locally — never a matrix for the wrong dimension or a
+    // half-published array
+    @transient @volatile private var cached: (Int, Array[Array[Double]]) = _
 
     private def planesFor(dim: Int): Array[Array[Double]] = {
-      if (planeDim != dim) {
+      val c = cached
+      if (c != null && c._1 == dim) c._2
+      else {
         val m = Array.ofDim[Double](bits, dim)
         var b = 0
         while (b < bits) {
@@ -170,10 +175,9 @@ object vector {
           }
           b += 1
         }
-        planes = m
-        planeDim = dim
+        cached = (dim, m)
+        m
       }
-      planes
     }
 
     /** Invoked from both eval and generated code. */

@@ -179,11 +179,20 @@ object Similarity {
     * candidates 16× while keeping recall ≥ 0.97 for true near-dups
     * (cos ≥ 0.99 → per-bit flip prob ≈ 0.045 → P(≥1 of 4 blocks matches)
     * ≈ 1−(1−0.955⁸)⁴; planted-pair recall asserted in ExtensionsSpec).
-    * The signed relation is persisted so the O(bits·dim) signature is
-    * computed once, not once per self-join side. Buckets larger than
-    * `maxBucket` are dropped (they carry no near-dup signal — a bucket
-    * that big means the key bits don't discriminate) and REPORTED to
-    * stderr, never silently ballooned.
+    * Buckets larger than `maxBucket` are dropped (they carry no near-dup
+    * signal — a bucket that big means the key bits don't discriminate),
+    * never silently ballooned; the drop count is surfaced LAZILY through a
+    * named observation (`cosine_neardup_shed`: dropped_rows, max_bucket —
+    * read it with a QueryExecutionListener), so the operator stays a pure
+    * `DataFrame => DataFrame` with no eager job, no cached relation to
+    * leak, and no work until the caller runs an action.
+    *
+    * Plan shape: bucket sizes come from a count window over (blk, key)
+    * INSIDE the plan — the window's shuffle is on the same keys the
+    * self-join needs, and the two identical join sides collapse into one
+    * computation via Spark's exchange reuse, so the O(bits·dim) signature
+    * is still computed once per row per side at most (and once total when
+    * the exchange is reused), with zero persistence.
     */
   def cosineNearDupPairs(
       corpus: DataFrame,
@@ -209,18 +218,14 @@ object Similarity {
         }: _*)).as("bk")
       )
       .select(col("vid"), col("v"), col("bk.blk").as("blk"), col("bk.key").as("key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hot = blocked
-      .groupBy(col("blk"), col("key"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxBucket)
-    val nHot = hot.count()
-    if (nHot > 0)
-      System.err.println(
-        s"[cosineNearDupPairs] dropping $nHot over-full buckets (> $maxBucket rows) — " +
-          "signature bits do not discriminate there; raise bits or maxBucket to keep them"
+    val sized = blocked
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("blk"), col("key"))))
+      .observe(
+        "cosine_neardup_shed",
+        sum(when(col("bn") > maxBucket, lit(1L)).otherwise(lit(0L))).as("dropped_rows"),
+        max(col("bn")).as("max_bucket")
       )
-    val kept = blocked.join(broadcast(hot.select(col("blk"), col("key"))), Seq("blk", "key"), "left_anti")
+    val kept = sized.filter(col("bn") <= maxBucket).drop("bn")
     kept
       .join(
         kept.select(col("blk"), col("key"), col("vid").as("vid_b"), col("v").as("v_b")),

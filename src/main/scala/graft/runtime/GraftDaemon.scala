@@ -14,19 +14,31 @@ import java.util.concurrent.atomic.AtomicBoolean
   * bridge listener and the `/metrics` HTTP exposer and tears both down
   * with the query, so a stopped daemon leaves no dangling listener,
   * server socket, or active streaming query behind.
+  *
+  * [[reload]] and the stop path share one monitor: a SIGTERM racing a
+  * reload can no longer stop the outgoing query while the reload starts a
+  * replacement that nothing ever stops.
   */
 final class GraftDaemon private[runtime] (
     spark: SparkSession,
     initialQuery: StreamingQuery,
     val metrics: MetricsBridge,
     metricsServer: MetricsHttpServer,
+    initialConfig: GraftService.ServiceConfig,
     restartFn: Option[GraftService.ServiceConfig => StreamingQuery] = None
 ) {
 
   @volatile private var _query: StreamingQuery = initialQuery
+  @volatile private var _config: GraftService.ServiceConfig = initialConfig
 
   /** The currently-running service query (changes across [[reload]]). */
   def query: StreamingQuery = _query
+
+  /** The config the current query was started from (changes across
+    * [[reload]]) — scrape wiring and OAM reads resolve ports from here,
+    * never from the construction-time config.
+    */
+  def currentConfig: GraftService.ServiceConfig = _config
 
   /** Port the `/metrics` endpoint is listening on. */
   def metricsPort: Int = metricsServer.port
@@ -47,6 +59,7 @@ final class GraftDaemon private[runtime] (
     )
     if (_query.isActive) _query.stop()
     _query = fn(cfg)
+    _config = cfg
     _query
   }
   // SIGTERM/SIGINT → JVM shutdown → graceful query stop (daemon.hpp:97-108
@@ -54,7 +67,7 @@ final class GraftDaemon private[runtime] (
   private val hook = new Thread(() => doStop(), "graft-daemon-shutdown")
   Runtime.getRuntime.addShutdownHook(hook)
 
-  private def doStop(): Unit =
+  private def doStop(): Unit = synchronized {
     if (stopped.compareAndSet(false, true)) {
       try if (_query.isActive) _query.stop()
       finally {
@@ -62,6 +75,7 @@ final class GraftDaemon private[runtime] (
         metricsServer.stop()
       }
     }
+  }
 
   /** Graceful stop: idempotent, callable from any thread. */
   def stop(): Unit = {
@@ -70,10 +84,27 @@ final class GraftDaemon private[runtime] (
     catch { case _: IllegalStateException => () } // already shutting down
   }
 
-  /** Block until the query terminates (via [[stop]], a signal, or failure);
-    * rethrows a query failure. Negative timeout = wait forever.
+  /** Block until the daemon's query terminates (via [[stop]], a signal, or
+    * failure); rethrows a query failure. Negative timeout = wait forever.
+    * A [[reload]] mid-wait is NOT a termination: the wait re-attaches to
+    * the replacement query (reading `_query` under the reload monitor, so
+    * an old-query stop observed here can't race the swap).
     */
-  def awaitTermination(timeoutMs: Long = -1L): Boolean =
-    if (timeoutMs < 0) { _query.awaitTermination(); true }
-    else _query.awaitTermination(timeoutMs)
+  def awaitTermination(timeoutMs: Long = -1L): Boolean = {
+    val deadlineNs =
+      if (timeoutMs < 0) Long.MaxValue else System.nanoTime() + timeoutMs * 1000000L
+    var terminated = false
+    while (!terminated && !stopped.get()) {
+      val q = synchronized(_query)
+      if (timeoutMs < 0) q.awaitTermination()
+      else {
+        val leftMs = (deadlineNs - System.nanoTime()) / 1000000L
+        if (leftMs <= 0 || !q.awaitTermination(leftMs)) return false
+      }
+      // q terminated: real termination unless a reload swapped in a
+      // replacement (then keep waiting on the new query)
+      terminated = synchronized(_query eq q)
+    }
+    true
+  }
 }

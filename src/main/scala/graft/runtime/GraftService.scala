@@ -170,15 +170,31 @@ object GraftService {
   ): GraftDaemon = {
     val bridge = new graft.streaming.MetricsBridge
     spark.streams.addListener(bridge)
-    // tcp southbounds append their O-14 shed counters to the scrape
-    val extraScrape: () => String = cfg.southbound match {
-      case TcpSouth(port, _, _) => () => graft.sources.TcpShedMetrics.scrape(port)
-      case _                    => () => ""
+    // tcp southbounds append their O-14 shed counters to the scrape; the
+    // port resolves from the daemon's CURRENT config at scrape time, so a
+    // reload onto a different port re-points the exposition with it
+    @volatile var daemonRef: GraftDaemon = null
+    val extraScrape: () => String = () => {
+      val south = Option(daemonRef).map(_.currentConfig).getOrElse(cfg).southbound
+      south match {
+        case TcpSouth(port, _, _) => graft.sources.TcpShedMetrics.scrape(port)
+        case _                    => ""
+      }
     }
     val server = graft.streaming.MetricsHttpServer.start(bridge, metricsPort, extraScrape)
     try {
       val query = start(spark, cfg, sinkFactory, trigger)
-      new GraftDaemon(spark, query, bridge, server, Some(c => start(spark, c, sinkFactory, trigger)))
+      val daemon =
+        new GraftDaemon(spark, query, bridge, server, cfg, Some(c => start(spark, c, sinkFactory, trigger)))
+      daemonRef = daemon
+      // HTTP OAM: POST a YAML config to /reload → parse + restart-in-place
+      // (the reference's svc/main.cpp:203-230 endpoint, there disabled;
+      // loopback-only here, like the /metrics bind)
+      server.addContext("/reload") { body =>
+        val q = daemon.reload(parseConfig(body))
+        (200, s"reloaded: query ${q.id}\n")
+      }
+      daemon
     } catch {
       case e: Throwable =>
         spark.streams.removeListener(bridge)

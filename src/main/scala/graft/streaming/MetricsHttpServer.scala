@@ -2,7 +2,7 @@ package graft.streaming
 
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 
-import java.net.InetSocketAddress
+import java.net.{InetAddress, InetSocketAddress}
 import java.nio.charset.StandardCharsets
 
 /** HTTP exposer for [[MetricsBridge]]: serves the Prometheus text
@@ -10,13 +10,48 @@ import java.nio.charset.StandardCharsets
   * surface (libdsp/libdsp/interfaces.hpp:205-216 declares the exposer;
   * dsp.hpp:275-284 wires it into the service). JDK-built-in
   * `com.sun.net.httpserver` — a scrape endpoint needs no framework.
+  *
+  * Binds the LOOPBACK address: an unauthenticated OAM surface must not be
+  * reachable from the network by default (the reference ships its HTTP OAM
+  * endpoint disabled for the same reason, svc/svc/main.cpp:203-230).
   */
 final class MetricsHttpServer private (server: HttpServer) {
   def port: Int = server.getAddress.getPort
   def stop(): Unit = server.stop(0)
+
+  /** Register an additional OAM endpoint (e.g. `/reload`). `fn` receives
+    * the UTF-8 request body and returns (status, response body); handler
+    * failures answer 500 instead of leaking the exchange.
+    */
+  def addContext(path: String)(fn: String => (Int, String)): Unit = {
+    server.createContext(path, MetricsHttpServer.guarded { ex =>
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      fn(body)
+    })
+    ()
+  }
 }
 
 object MetricsHttpServer {
+
+  /** Wrap a handler body so an exception answers 500 and always closes the
+    * exchange — an unguarded throw on the dispatcher thread would leak the
+    * connection and kill the serving loop for subsequent scrapes.
+    */
+  private def guarded(fn: HttpExchange => (Int, String)): HttpHandler =
+    new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        try {
+          val (status, text) = try fn(ex)
+          catch { case e: Throwable => (500, s"error: ${e.getMessage}\n") }
+          val body = text.getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.add("Content-Type", "text/plain; version=0.0.4; charset=utf-8")
+          ex.sendResponseHeaders(status, body.length.toLong)
+          val os = ex.getResponseBody
+          try os.write(body)
+          finally os.close()
+        } finally ex.close()
+    }
 
   /** Start serving `bridge.scrape()` on `/metrics` (plus any extra
     * exposition lines from `extraScrape`, e.g. the TCP ingress shed
@@ -28,20 +63,11 @@ object MetricsHttpServer {
       port: Int = 0,
       extraScrape: () => String = () => ""
   ): MetricsHttpServer = {
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
-    server.createContext(
-      "/metrics",
-      new HttpHandler {
-        override def handle(ex: HttpExchange): Unit = {
-          val body = (bridge.scrape() + extraScrape()).getBytes(StandardCharsets.UTF_8)
-          ex.getResponseHeaders.add("Content-Type", "text/plain; version=0.0.4; charset=utf-8")
-          ex.sendResponseHeaders(200, body.length.toLong)
-          val os = ex.getResponseBody
-          try os.write(body)
-          finally os.close()
-        }
-      }
-    )
+    val server =
+      HttpServer.create(new InetSocketAddress(InetAddress.getLoopbackAddress, port), 0)
+    server.createContext("/metrics", guarded { _ =>
+      (200, bridge.scrape() + extraScrape())
+    })
     server.setExecutor(null) // serve on the dispatcher thread: scrapes are tiny
     server.start()
     new MetricsHttpServer(server)

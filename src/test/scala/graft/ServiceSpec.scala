@@ -180,7 +180,7 @@ class ServiceSpec extends SparkTestBase {
   }
 
   test("config reload restarts the query in place; metrics and exposer survive the swap") {
-    def simCfg(clientId: Long) = GraftService.parseConfig(
+    def simYaml(clientId: Long) =
       s"""topic: hb-out
          |interfaces:
          |  southbound:
@@ -190,7 +190,7 @@ class ServiceSpec extends SparkTestBase {
          |  northbound:
          |    - {enabled: true, name: log-nb, type: log}
          |""".stripMargin
-    )
+    def simCfg(clientId: Long) = GraftService.parseConfig(simYaml(clientId))
     val clientIds = scala.collection.concurrent.TrieMap.empty[Long, Unit]
     val daemon = GraftService.startDaemon(
       spark,
@@ -212,6 +212,32 @@ class ServiceSpec extends SparkTestBase {
       assert(!firstQuery.isActive && secondQuery.isActive && (daemon.query eq secondQuery))
       while (!clientIds.contains(99L) && System.currentTimeMillis() < deadline) Thread.sleep(200)
       assert(clientIds.keySet == Set(72L, 99L))
+
+      // HTTP OAM: POST a raw YAML config to /reload → third restart in
+      // place (the reference's svc/main.cpp:203-230 endpoint, live here)
+      val post = new java.net.URL(s"http://127.0.0.1:${daemon.metricsPort}/reload")
+        .openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      post.setRequestMethod("POST")
+      post.setDoOutput(true)
+      post.getOutputStream.write(simYaml(123L).getBytes("UTF-8"))
+      try assert(post.getResponseCode == 200)
+      finally post.disconnect()
+      assert((daemon.query ne secondQuery) && daemon.query.isActive && !secondQuery.isActive)
+      assert(daemon.currentConfig == simCfg(123L))
+      while (!clientIds.contains(123L) && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(clientIds.contains(123L))
+
+      // a malformed config answers 500 and leaves the current query running
+      val bad = new java.net.URL(s"http://127.0.0.1:${daemon.metricsPort}/reload")
+        .openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      bad.setRequestMethod("POST")
+      bad.setDoOutput(true)
+      bad.getOutputStream.write("interfaces:\n  southbound:\n    type: bogus\n".getBytes("UTF-8"))
+      try assert(bad.getResponseCode == 500)
+      finally bad.disconnect()
+      assert(daemon.query.isActive)
 
       // exposer survived the swap and reports the new query's counters
       val conn = new java.net.URL(s"http://127.0.0.1:${daemon.metricsPort}/metrics")
