@@ -46,13 +46,13 @@ object Bench {
     // MBps after a query suite). The reference's perf stage is likewise a
     // separate server process from the load client (doc/perf.adoc:36-42).
     // Falls back to in-process if the fork fails.
-    val (tcpSorted, tcpRawMbps, tcpRawKmps, mbps, kmps, pipelined) =
+    val (tcpSorted, tcpRawMbps, tcpRawKmps, mbps, kmps, pipelined, tcpAttempts) =
       BenchTcpStage.forked().getOrElse {
         System.err.println("[bench] perf stage fork failed — measuring in-process (expect interference)")
         val ing = Seq.fill(3)(tcpIngest(spark, 4, 1000000)._1).sorted
         val (ra, rk) = tcpRaw(4, 500000)
         val (pm, pk, pn) = pipelineStage(spark, cpus.toInt)
-        (ing, ra, rk, pm, pk, pn)
+        (ing, ra, rk, pm, pk, pn, 3)
       }
     val tcpMbps = tcpSorted(1)
     val tcpKmps = tcpMbps * 5.0 // 1 MBps of 200 B frames = 5k msgs/s
@@ -86,7 +86,7 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","queries":$slowest,"queries_file":"bench_queries.json","n_queries":${results.size},"pipeline_mbps":${f3(mbps)},"pipeline_kmps":${f3(kmps)},"pipeline_msgs":$pipelined,"tcp_mbps":${f3(tcpMbps)},"tcp_kmps":${f3(tcpKmps)},"tcp_mbps_runs":[${tcpSorted.map(f3).mkString(",")}],"tcp_raw_mbps":${f3(tcpRawMbps)},"tcp_raw_kmps":${f3(tcpRawKmps)},"failed":$failedJson}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","queries":$slowest,"queries_file":"bench_queries.json","n_queries":${results.size},"pipeline_mbps":${f3(mbps)},"pipeline_kmps":${f3(kmps)},"pipeline_msgs":$pipelined,"tcp_mbps":${f3(tcpMbps)},"tcp_kmps":${f3(tcpKmps)},"tcp_mbps_runs":[${tcpSorted.map(f3).mkString(",")}],"tcp_attempts":$tcpAttempts,"tcp_raw_mbps":${f3(tcpRawMbps)},"tcp_raw_kmps":${f3(tcpRawKmps)},"failed":$failedJson}"""
     )
     spark.stop()
   }

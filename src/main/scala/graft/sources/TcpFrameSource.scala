@@ -114,6 +114,42 @@ private[sources] case class FrameOffset(index: Long) extends Offset {
   override def json(): String = index.toString
 }
 
+/** Driver-local zero-copy chunk handoff. In local mode every task runs in
+  * the driver JVM, yet chunks embedded in partition descriptors still pay
+  * a full serialize→broadcast→deserialize round-trip per micro-batch —
+  * for a backlogged trigger that is hundreds of MB of memcpy+LZ4 on the
+  * single-threaded driver path, and it was the binding constraint that
+  * made 4 partitions beat 32 in round 2. Registering the planned chunk
+  * arrays here and shipping only (planId, partition#) in the descriptor
+  * hands tasks the SAME arrays by reference: zero copies, and partition
+  * fan-out becomes free (so batches can use the session's full
+  * parallelism). Entries live from `planInputPartitions` until `commit`
+  * (or `stop`), so task retries inside a batch still resolve; the chunks
+  * themselves are the very objects in the stream's log — no duplication.
+  * Cluster mode (remote executors) keeps the serialized-descriptor path:
+  * this registry is only consulted when the stream planned the batch in
+  * the same JVM and `SparkContext.isLocal` said tasks stay here too.
+  */
+private[sources] object TcpChunkHandoff {
+  private val plans =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Array[FrameChunk]]]()
+  private val ids = new java.util.concurrent.atomic.AtomicLong(0L)
+  def register(parts: Array[Array[FrameChunk]]): Long = {
+    val id = ids.getAndIncrement()
+    plans.put(id, parts)
+    id
+  }
+  def get(planId: Long, part: Int): Array[FrameChunk] = {
+    val p = plans.get(planId)
+    require(p != null, s"graft-tcp handoff plan $planId is gone (already committed?)")
+    p(part)
+  }
+  def release(planId: Long): Unit = {
+    plans.remove(planId)
+    ()
+  }
+}
+
 /** One decoded network read, packed: frame i of the chunk is
   * `blob[offs(i) until offs(i+1))` with type `types(i)`. Packing matters:
   * partition descriptors are Java-serialized per task, and one big
@@ -138,14 +174,17 @@ private[sources] final case class FrameChunk(
   * latestOffset stops advancing once a trigger would exceed the cap.
   */
 private[sources] object TcpFrameStream {
-  /** Partition fan-out per micro-batch. Measured on local[32] with 800 MB
-    * backlogs: 4 beats 32 (task bytes serialize sequentially on the
-    * driver, so finer splits add serialization overhead without adding
-    * execution parallelism worth the price); override for experiments via
-    * -Dgraft.tcp.parts.
+  /** Partition fan-out per micro-batch. With the zero-copy
+    * [[TcpChunkHandoff]] in local mode, fan-out costs nothing on the
+    * driver (descriptors are two longs), so batches split to the
+    * session's default parallelism and row decoding runs on every core.
+    * The round-2 finding that "4 beats 32" was an artifact of the
+    * serialized-descriptor path (task bytes serialized sequentially on
+    * the driver) and no longer holds — see ROUND_NOTES round-3 fan-out
+    * table. Override for experiments via -Dgraft.tcp.parts.
     */
-  def targetPartitions: Int =
-    Integer.getInteger("graft.tcp.parts", 4).intValue()
+  def targetPartitions(default: Int): Int =
+    Integer.getInteger("graft.tcp.parts", default).intValue()
 }
 
 private[sources] class TcpFrameStream(
@@ -265,6 +304,9 @@ private[sources] class TcpFrameStream(
     FrameOffset(v)
   }
 
+  // handoff plan ids registered for in-flight batches (released on commit/stop)
+  private val activePlans = ArrayBuffer.empty[Long]
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s0 = start.asInstanceOf[FrameOffset].index
     val e0 = end.asInstanceOf[FrameOffset].index
@@ -274,14 +316,22 @@ private[sources] class TcpFrameStream(
       val e = math.max(e0 - shift - trimmed, 0L).toInt
       log.slice(s, e).toArray
     }
-    // Chunks ride inside the partition descriptors (serializable), so the
-    // batch is correct with remote executors too. Split by BYTES, not
-    // chunk count, for balanced tasks; fan out to the session's full
-    // parallelism — a backlogged trigger can carry hundreds of MB, and
-    // under-splitting (4 tasks on 32 cores) leaves addBatch single-digit
-    // parallel.
+    // Split by BYTES, not chunk count, for balanced tasks. Two handoff
+    // modes: in local mode tasks receive the chunk arrays BY REFERENCE via
+    // [[TcpChunkHandoff]] (zero-copy — see its scaladoc for why this is
+    // the binding constraint), and the fan-out is the session's full
+    // parallelism so decoding runs on every core. With remote executors
+    // the chunks ride serialized inside the partition descriptors (the
+    // layout of Spark's own socket source) — correct on a cluster, where
+    // this single-box ingress is the PoC path anyway (the 100 TB ingress
+    // is Kafka; doc/user-guide.adoc:19-21, 75-76).
+    val (isLocal, defaultPar) =
+      try {
+        val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+        (sc.isLocal, sc.defaultParallelism)
+      } catch { case _: Throwable => (false, 8) }
     val totalBytes = chunks.map(_.blob.length.toLong).sum
-    val targetParts = TcpFrameStream.targetPartitions
+    val targetParts = TcpFrameStream.targetPartitions(if (isLocal) defaultPar else 8)
     val budget = math.max(1L, totalBytes / targetParts + 1)
     val parts = ArrayBuffer.empty[ArrayBuffer[FrameChunk]]
     var cur = ArrayBuffer.empty[FrameChunk]
@@ -294,12 +344,22 @@ private[sources] class TcpFrameStream(
       curBytes += c.blob.length
     }
     if (cur.nonEmpty) parts += cur
-    parts.map(p => TcpFramePartition(p.toArray): InputPartition).toArray
+    if (isLocal) {
+      val planId = TcpChunkHandoff.register(parts.map(_.toArray).toArray)
+      synchronized { activePlans += planId }
+      parts.indices.map(i => TcpLocalPartition(planId, i): InputPartition).toArray
+    } else {
+      parts.map(p => TcpFramePartition(p.toArray): InputPartition).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-      val chunks = partition.asInstanceOf[TcpFramePartition].chunks
+      val chunks = partition match {
+        case TcpLocalPartition(planId, idx) => TcpChunkHandoff.get(planId, idx)
+        case TcpFramePartition(cs)          => cs
+        case other => throw new IllegalArgumentException(s"unexpected partition $other")
+      }
       new PartitionReader[InternalRow] {
         private var ci = 0
         private var fi = -1
@@ -329,12 +389,27 @@ private[sources] class TcpFrameStream(
         trimmed += drop
       }
     }
+    // batches are planned and committed serially, so every registered plan
+    // belongs to a batch at or before `end` — safe to release them all
+    synchronized {
+      activePlans.foreach(TcpChunkHandoff.release)
+      activePlans.clear()
+    }
   }
 
   override def stop(): Unit = {
     running = false
     server.close()
+    synchronized {
+      activePlans.foreach(TcpChunkHandoff.release)
+      activePlans.clear()
+    }
   }
 }
 
 private[sources] case class TcpFramePartition(chunks: Array[FrameChunk]) extends InputPartition
+
+/** Local-mode partition descriptor: two longs instead of the chunk payload
+  * (resolved by reference through [[TcpChunkHandoff]]).
+  */
+private[sources] case class TcpLocalPartition(planId: Long, idx: Int) extends InputPartition
