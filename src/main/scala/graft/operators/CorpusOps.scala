@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a training-data pipeline needs between
+  * "cleaned documents" and "training batches": repetition-based quality
+  * signals, deterministic corpus splitting, and sequence packing. All
+  * arithmetic is engine-portable (exact integer counts + double division),
+  * so every operator is DuckDB-oracle-checkable end to end.
+  */
+object CorpusOps {
+
+  /** Repetition signals in the style of the Gopher quality heuristics
+    * (Rae et al. 2021, "Scaling Language Models", Table A1: fraction of
+    * duplicated n-grams / fraction of characters in the most common
+    * n-gram), token-level for this corpus's single-line documents:
+    *
+    *   - `dup_token_ratio`  = 1 − distinct_tokens / tokens
+    *   - `top_token_ratio`  = occurrences of the most frequent token / tokens
+    *   - `dup_3gram_ratio`  = 1 − distinct_3grams / 3grams
+    *
+    * Shape at 100 TB: one explode → (id, token) count → per-doc max/sum —
+    * the same two-level aggregation as word count, partial-agg friendly,
+    * shuffle keyed on (id, token) then (id); the 3-gram leg is pure
+    * per-row codegen ([[graft.functions.text.word_shingles]] + array ops),
+    * no shuffle at all. High-repetition documents are the classic
+    * low-quality signal these ratios gate on.
+    */
+  def repetitionFeatures(df: DataFrame, text: Column, idCol: Column): DataFrame = {
+    val toks = df.select(idCol.as("doc_id"), split(text, " ").as("toks"))
+    val perToken = toks
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c")
+      )
+    val grams = df.select(
+      idCol.as("doc_id"),
+      size(graft.functions.text.word_shingles(text, 3)).as("n_g"),
+      size(array_distinct(graft.functions.text.word_shingles(text, 3))).as("n_gd")
+    )
+    perToken
+      .join(grams, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")).as("dup_token_ratio"),
+        (col("top_c").cast("double") / col("n_tokens")).as("top_token_ratio"),
+        (lit(1.0) - col("n_gd").cast("double") / col("n_g")).as("dup_3gram_ratio")
+      )
+  }
+
+  /** Deterministic train/val/test split on a content-independent key hash:
+    * bucket = first two hex chars of md5(id) → 256 buckets, carved
+    * ~80/10/10 (train < 0xcd = 205 buckets, val < 0xe7 = 26, test = 25).
+    * Reproducible across engines, runs, and partitionings — md5 of the
+    * SAME id string is the same everywhere, so re-running the pipeline
+    * never migrates a document between splits (the property that matters
+    * for contamination control). Pure per-row codegen projection; zero
+    * shuffle.
+    */
+  def hashSplit(df: DataFrame, idCol: Column): DataFrame = {
+    val bucket = substring(md5(idCol.cast("string")), 1, 2)
+    df.withColumn(
+      "split",
+      when(bucket < "cd", "train").when(bucket < "e7", "val").otherwise("test")
+    )
+  }
+
+  /** Sequence packing (GPT-style): documents are concatenated in a
+    * deterministic order and chopped into fixed token-budget training
+    * sequences; a document whose tokens straddle a boundary spills into
+    * the next sequence. Computed as: running token total per shard
+    * (window), `seq_id` = tokens-before-this-doc ÷ budget.
+    *
+    * Scale note — the window is partitioned by `shard`: global greedy
+    * packing is inherently sequential (a single unbounded-window
+    * partition), so at 100 TB you shard first (by language, source, or a
+    * hash) and pack within shards — exactly how production packers
+    * parallelize; per-shard order stays deterministic via `orderCol`.
+    */
+  def packSequences(
+      df: DataFrame,
+      tokenCount: Column,
+      orderCol: Column,
+      shard: Column,
+      budget: Int
+  ): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val w = Window.partitionBy(shard).orderBy(orderCol).rowsBetween(Window.unboundedPreceding, -1)
+    // floor, not cast: Spark's double→long cast truncates but DuckDB's
+    // rounds — floor() agrees everywhere (operands are non-negative)
+    df.withColumn("n_tok", tokenCount)
+      .withColumn("seq_id", floor(coalesce(sum(col("n_tok")).over(w), lit(0L)) / budget))
+  }
+}

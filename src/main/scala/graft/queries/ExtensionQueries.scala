@@ -344,6 +344,67 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style repetition quality signals (Rae et al. 2021): duplicate
+    // token/3-gram ratios + most-frequent-token share, per document.
+    "x20_repetition" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.operators.CorpusOps
+        .repetitionFeatures(docs, col("text"), col("doc_id"))
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          round(col("dup_token_ratio"), 6).as("dup_token_ratio"),
+          round(col("top_token_ratio"), 6).as("top_token_ratio"),
+          round(col("dup_3gram_ratio"), 6).as("dup_3gram_ratio")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic 80/10/10 hash split (contamination-stable): per-split
+    // doc counts, language spread, and token mass.
+    "x21_hash_split" -> ((s, dir) => {
+      graft.operators.CorpusOps
+        .hashSplit(T(s, dir, "documents"), col("doc_id"))
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(size(split(col("text"), " "))).cast("long").as("n_tokens")
+        )
+        .orderBy(col("split"))
+    }),
+
+    // Sequence packing at a 2048-token budget, sharded by language (the
+    // parallel-packing shape — see CorpusOps.packSequences scale note):
+    // per-shard sequence counts + fill accounting.
+    "x22_seq_pack" -> ((s, dir) => {
+      graft.operators.CorpusOps
+        .packSequences(
+          T(s, dir, "documents"),
+          size(split(col("text"), " ")).cast("long"),
+          col("doc_id"),
+          col("lang"),
+          budget = 2048
+        )
+        .groupBy(col("lang"))
+        .agg(
+          (max(col("seq_id")) + 1).as("n_seqs"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("n_tokens")
+        )
+        .select(
+          col("lang"),
+          col("n_seqs"),
+          col("n_docs"),
+          col("n_tokens"),
+          round(
+            col("n_tokens").cast("double") / (col("n_seqs") * 2048).cast("double"),
+            6
+          ).as("fill_ratio")
+        )
+        .orderBy(col("lang"))
+    }),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -566,6 +627,49 @@ object ExtensionQueries {
       """SELECT doc_id, 'media/' || source AS media_type,
         |  CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS INT) AS byte_len, 3 AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x20_repetition" ->
+      """WITH s AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks, text FROM documents),
+        |tc AS (
+        |  SELECT doc_id, tok, COUNT(1) AS c
+        |  FROM (SELECT doc_id, UNNEST(toks) AS tok FROM s) GROUP BY 1, 2),
+        |t AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    COUNT(1) AS n_distinct, MAX(c) AS top_c
+        |  FROM tc GROUP BY 1),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN LEN(toks) < 3 THEN [text]
+        |         ELSE LIST_TRANSFORM(RANGE(1, LEN(toks) - 1),
+        |           i -> ARRAY_TO_STRING(toks[i:i+2], ' '))
+        |    END AS sh
+        |  FROM s)
+        |SELECT t.doc_id, n_tokens,
+        |  ROUND(1 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_token_ratio,
+        |  ROUND(CAST(top_c AS DOUBLE) / n_tokens, 6) AS top_token_ratio,
+        |  ROUND(1 - CAST(LEN(LIST_DISTINCT(sh)) AS DOUBLE) / LEN(sh), 6) AS dup_3gram_ratio
+        |FROM t JOIN g ON t.doc_id = g.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    "x21_hash_split" ->
+      """SELECT CASE WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |            WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e7' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  COUNT(1) AS n_docs,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x22_seq_pack" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang, n_tok,
+        |    CAST(FLOOR(COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS seq_id
+        |  FROM d)
+        |SELECT lang, MAX(seq_id) + 1 AS n_seqs, COUNT(1) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(SUM(n_tok) AS DOUBLE) / ((MAX(seq_id) + 1) * 2048), 6) AS fill_ratio
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "x13_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id, GREATEST(LENGTH(text) // 16 - 1, 0) AS max_idx, LENGTH(text) AS len

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusOps
+
+/** Hand-computed cases for the corpus-preparation operators (repetition
+  * signals, hash split, sequence packing) — the driver's x20/x21/x22
+  * oracles check engine-portability; these check the math itself.
+  */
+class CorpusOpsSpec extends SparkTestBase {
+
+  test("repetitionFeatures: hand-computed ratios") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a a"),          // 4 tokens, 1 distinct, top=4; 3grams: "a a a" x2 -> 1 distinct of 2
+      (2L, "w x y z"),          // all distinct; 3grams: "w x y","x y z" distinct
+      (3L, "a b")               // short doc: single whole-text shingle
+    ).toDF("doc_id", "text")
+    val rows = CorpusOps
+      .repetitionFeatures(df, col("text"), col("doc_id"))
+      .orderBy("doc_id")
+      .collect()
+
+    val r1 = rows(0)
+    assert(r1.getLong(1) == 4L)
+    assert(math.abs(r1.getDouble(2) - 0.75) < 1e-12) // 1 - 1/4
+    assert(math.abs(r1.getDouble(3) - 1.0) < 1e-12) // 4/4
+    assert(math.abs(r1.getDouble(4) - 0.5) < 1e-12) // 1 - 1/2
+
+    val r2 = rows(1)
+    assert(r2.getLong(1) == 4L)
+    assert(math.abs(r2.getDouble(2) - 0.0) < 1e-12)
+    assert(math.abs(r2.getDouble(3) - 0.25) < 1e-12)
+    assert(math.abs(r2.getDouble(4) - 0.0) < 1e-12)
+
+    val r3 = rows(2)
+    assert(r3.getLong(1) == 2L)
+    assert(math.abs(r3.getDouble(4) - 0.0) < 1e-12) // one whole-text shingle, distinct
+  }
+
+  test("hashSplit: deterministic, partition-invariant, ~80/10/10") {
+    import spark.implicits._
+    val df = spark.range(10000).select(col("id").as("doc_id"))
+    val once = CorpusOps.hashSplit(df, col("doc_id")).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // deterministic under a different partitioning
+    val again = CorpusOps.hashSplit(df.repartition(17), col("doc_id"))
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(once == again)
+    assert(once.values.sum == 10000L)
+    assert(once("train") > 7700 && once("train") < 8300, s"train=${once("train")}")
+    assert(once("val") > 700 && once("val") < 1400, s"val=${once("val")}")
+    assert(once("test") > 700 && once("test") < 1400, s"test=${once("test")}")
+    // per-id assignment is stable, not just the counts
+    val a = CorpusOps.hashSplit(df, col("doc_id")).orderBy("doc_id").collect().map(_.getString(1))
+    val b = CorpusOps.hashSplit(df.repartition(7), col("doc_id")).orderBy("doc_id").collect().map(_.getString(1))
+    assert(a.sameElements(b))
+  }
+
+  test("packSequences: boundary spill and per-shard restart") {
+    import spark.implicits._
+    // shard A: tokens 3,3,3 at budget 4 -> cum-before 0,3,6 -> seqs 0,0,1
+    // shard B: tokens 5,1   at budget 4 -> cum-before 0,5   -> seqs 0,1
+    val df = Seq(
+      ("A", 1L, 3L), ("A", 2L, 3L), ("A", 3L, 3L),
+      ("B", 1L, 5L), ("B", 2L, 1L)
+    ).toDF("shard", "ord", "n")
+    val packed = CorpusOps
+      .packSequences(df, col("n"), col("ord"), col("shard"), budget = 4)
+      .orderBy("shard", "ord")
+      .select("shard", "ord", "seq_id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(
+      packed.toSeq == Seq(("A", 1L, 0L), ("A", 2L, 0L), ("A", 3L, 1L), ("B", 1L, 0L), ("B", 2L, 1L))
+    )
+  }
+}
