@@ -189,10 +189,14 @@ object Similarity {
     *
     * Plan shape: bucket sizes come from a count window over (blk, key)
     * INSIDE the plan — the window's shuffle is on the same keys the
-    * self-join needs, and the two identical join sides collapse into one
-    * computation via Spark's exchange reuse, so the O(bits·dim) signature
-    * is still computed once per row per side at most (and once total when
-    * the exchange is reused), with zero persistence.
+    * self-join needs. Because the join references the blocked relation
+    * twice, Catalyst inlines the subtree and the signature+window pass
+    * runs once per join side (two passes total — verified in PLANS.md;
+    * CollectMetrics blocks exchange-reuse canonicalization). That is the
+    * right trade at 100 TB: two linear, embarrassingly-parallel codegen
+    * passes beat persisting a blocks×corpus-sized relation
+    * (MEMORY_AND_DISK pressure plus the construction-time job and cache
+    * leak of the r2 approach).
     */
   def cosineNearDupPairs(
       corpus: DataFrame,
