@@ -57,7 +57,9 @@ object GraftExtensions {
     "graft_hyperplane_sig" -> (es => graft.functions.vector.HyperplaneSig(es(0), off(es(1)))),
     "graft_word_shingles" -> (es => graft.functions.text.WordShingles(es(0), off(es(1)))),
     "graft_minhash_sig" -> (es => graft.functions.text.MinHashSig(es(0), off(es(1)))),
-    "graft_simhash64" -> (es => graft.functions.text.SimHash64(es(0)))
+    "graft_simhash64" -> (es => graft.functions.text.SimHash64(es(0))),
+    // deterministic train/val/test assignment (CorpusOps.hashSplit's tree)
+    "graft_split" -> (es => graft.operators.CorpusOps.splitExpr(es(0)))
   )
 
   /** Register into an already-running session (the builder-time path is

@@ -65,12 +65,35 @@ object CorpusOps {
     * for contamination control). Pure per-row codegen projection; zero
     * shuffle.
     */
-  def hashSplit(df: DataFrame, idCol: Column): DataFrame = {
-    val bucket = substring(md5(idCol.cast("string")), 1, 2)
-    df.withColumn(
-      "split",
-      when(bucket < "cd", "train").when(bucket < "e7", "val").otherwise("test")
+  def hashSplit(df: DataFrame, idCol: Column): DataFrame =
+    df.withColumn("split", splitFor(idCol))
+
+  /** The split assignment as a pure Catalyst tree — one definition serves
+    * both the Column surface ([[splitFor]]) and the SQL function
+    * `graft_split` ([[graft.GraftExtensions]]); the SQL injection path
+    * needs resolved Catalyst nodes, not Column-API ColumnNodes.
+    */
+  private[graft] def splitExpr(
+      id: org.apache.spark.sql.catalyst.expressions.Expression
+  ): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.StringType
+    val bucket = Substring(Md5(Cast(id, StringType)), Literal(1), Literal(2))
+    CaseWhen(
+      Seq(
+        (LessThan(bucket, Literal("cd")), Literal("train")),
+        (LessThan(bucket, Literal("e7")), Literal("val"))
+      ),
+      Some(Literal("test"))
     )
+  }
+
+  /** The split assignment as a column (also exposed to SQL as
+    * `graft_split(id)`).
+    */
+  def splitFor(idCol: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(splitExpr(Bridge.expression(idCol)))
   }
 
   /** Sequence packing (GPT-style): documents are concatenated in a

@@ -405,6 +405,25 @@ object ExtensionQueries {
         .orderBy(col("lang"))
     }),
 
+    // Multimodal resize + feature-extract plumbing: nearest-neighbor
+    // byte-plane downsample (factor 4) through the typed mapPartitions
+    // path, then the decode stub's REAL feature computation summarized as
+    // exact integers (resized length + count of occupied 3-bit histogram
+    // bins — DuckDB replays both via ord() on the subsampled chars).
+    "x23_media_resize" -> ((s, dir) => {
+      val media = Multimodal.fromDocuments(s, T(s, dir, "documents"))
+      val resized = Multimodal.resizeDataset(media, factor = 4)
+      Multimodal
+        .decode(resized)
+        .toDF()
+        .select(
+          col("doc_id"),
+          col("byte_len").as("resized_len"),
+          size(filter(col("features"), f => f > 0f)).as("occupied_bins")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -670,6 +689,19 @@ object ExtensionQueries {
         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         |  ROUND(CAST(SUM(n_tok) AS DOUBLE) / ((MAX(seq_id) + 1) * 2048), 6) AS fill_ratio
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x23_media_resize" ->
+      """WITH r AS (
+        |  SELECT doc_id, LENGTH(text) AS len,
+        |    (LENGTH(text) + 3) // 4 AS resized_len
+        |  FROM documents),
+        |b AS (
+        |  SELECT r.doc_id, r.resized_len,
+        |    ORD(SUBSTR(d.text, 1 + i * 4, 1)) // 32 AS bin
+        |  FROM r JOIN documents d ON r.doc_id = d.doc_id,
+        |    UNNEST(RANGE(0, r.resized_len)) AS t(i))
+        |SELECT doc_id, CAST(ANY_VALUE(resized_len) AS INT) AS resized_len,
+        |  CAST(COUNT(DISTINCT bin) AS INT) AS occupied_bins
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "x13_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id, GREATEST(LENGTH(text) // 16 - 1, 0) AS max_idx, LENGTH(text) AS len

@@ -57,6 +57,23 @@ class ExtensionsSpec extends SparkTestBase {
     assert(row.getBoolean(5) && row.getBoolean(6))
   }
 
+  test("graft_split SQL function matches CorpusOps.hashSplit") {
+    import org.apache.spark.sql.functions.col
+    GraftExtensions.register(spark)
+    val viaSql = spark
+      .sql("SELECT id, graft_split(id) AS s FROM range(1000)")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    val viaOp = graft.operators.CorpusOps
+      .hashSplit(spark.range(1000).toDF(), col("id"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(viaSql == viaOp)
+    assert(viaSql.values.toSet == Set("train", "val", "test"))
+  }
+
   test("user UDF/UDAF surface: register + SQL use (the reference's scripting-hook intent)") {
     import spark.implicits._
     // scalar UDF (the svc Lua hook would have done per-message rewrites,
