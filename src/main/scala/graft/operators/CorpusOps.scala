@@ -96,6 +96,74 @@ object CorpusOps {
     Bridge.column(splitExpr(Bridge.expression(idCol)))
   }
 
+  /** Benchmark decontamination (the GPT-3 appendix-C / Llama pre-training
+    * step): flag corpus documents sharing any `n`-gram with a benchmark
+    * set, so evaluation data can be excised from training data. Candidate
+    * generation is an equi-join on the n-gram STRING between the exploded
+    * corpus index and the (small) benchmark n-gram set — at 100 TB the
+    * benchmark side is KBs–MBs and broadcasts, so the corpus is one scan +
+    * explode with zero corpus shuffle before the distinct on flagged ids.
+    * Returns distinct (id, first matching benchmark doc) pairs.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      text: Column,
+      idCol: Column,
+      benchmark: DataFrame,
+      benchText: Column,
+      benchIdCol: Column,
+      n: Int = 8
+  ): DataFrame = {
+    val corpusGrams = corpus.select(
+      idCol.as("doc_id"),
+      explode(array_distinct(graft.functions.text.word_shingles(text, n))).as("gram")
+    )
+    val benchGrams = benchmark
+      .select(
+        benchIdCol.as("bench_id"),
+        explode(array_distinct(graft.functions.text.word_shingles(benchText, n))).as("gram")
+      )
+    corpusGrams
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("bench_id")).as("bench_id"), count(lit(1)).as("n_hits"))
+  }
+
+  /** Domain-mixture rebalancing: given per-domain token masses and a
+    * target share per domain, the deterministic per-domain sampling rate
+    * that achieves the target mix without upsampling:
+    * `rate(d) = min(1, target_tokens(d) / tokens(d))` where
+    * `target_tokens(d) = share(d) · Σ tokens`. Pure aggregation
+    * arithmetic — at scale this is the planning step that decides how
+    * much of each source (web/books/code/…) enters an epoch.
+    */
+  def domainMix(
+      df: DataFrame,
+      domain: Column,
+      tokenCount: Column,
+      shares: Map[String, Double] = Map.empty
+  ): DataFrame = {
+    val perDomain = df
+      .groupBy(domain.as("domain"))
+      .agg(sum(tokenCount).cast("long").as("tokens"))
+    val total = perDomain.agg(
+      sum(col("tokens")).cast("long").as("total_tokens"),
+      count(lit(1)).as("n_domains")
+    )
+    // explicit shares, else a uniform target across observed domains
+    val shareCol = shares.foldLeft(lit(1.0) / col("n_domains")) { case (acc, (k, v)) =>
+      when(col("domain") === k, v).otherwise(acc)
+    }
+    perDomain
+      .crossJoin(total)
+      .withColumn("share", shareCol)
+      .withColumn("target_tokens", floor(col("share") * col("total_tokens")))
+      .withColumn(
+        "sample_rate",
+        least(lit(1.0), col("target_tokens").cast("double") / col("tokens"))
+      )
+  }
+
   /** Sequence packing (GPT-style): documents are concatenated in a
     * deterministic order and chopped into fixed token-budget training
     * sequences; a document whose tokens straddle a boundary spills into

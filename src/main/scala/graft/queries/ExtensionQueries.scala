@@ -424,6 +424,46 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Benchmark decontamination (GPT-3 appendix-C shape): flag training
+    // documents sharing any 8-gram with a held-out "benchmark" slice
+    // (doc_id % 97 == 0 stands in for the eval set). Benchmark side
+    // broadcasts; the corpus is one scan + explode, no corpus shuffle
+    // before the per-doc aggregation.
+    "x24_decontaminate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.operators.CorpusOps
+        .decontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          col("text"),
+          col("doc_id"),
+          docs.filter(col("doc_id") % 97 === 0),
+          col("text"),
+          col("doc_id"),
+          n = 8
+        )
+        .orderBy(col("doc_id"))
+    }),
+
+    // Domain-mixture rebalancing: per-source token masses + deterministic
+    // sampling rates toward target shares (src0 squeezed to 1%, src1
+    // targeted at 10% and capped at 1.0 — no upsampling; the rest uniform).
+    "x25_domain_mix" -> ((s, dir) => {
+      graft.operators.CorpusOps
+        .domainMix(
+          T(s, dir, "documents"),
+          col("source"),
+          size(split(col("text"), " ")).cast("long"),
+          shares = Map("src0" -> 0.01, "src1" -> 0.10)
+        )
+        .select(
+          col("domain"),
+          col("tokens"),
+          col("target_tokens"),
+          round(col("sample_rate"), 6).as("sample_rate")
+        )
+        .orderBy(col("domain"))
+    }),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -702,6 +742,39 @@ object ExtensionQueries {
         |SELECT doc_id, CAST(ANY_VALUE(resized_len) AS INT) AS resized_len,
         |  CAST(COUNT(DISTINCT bin) AS INT) AS occupied_bins
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x24_decontaminate" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    LIST_DISTINCT(
+        |      CASE WHEN LEN(STRING_SPLIT(text, ' ')) < 8 THEN [text]
+        |           ELSE LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 6),
+        |             i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+7], ' '))
+        |      END) AS grams
+        |  FROM documents),
+        |c AS (SELECT doc_id, UNNEST(grams) AS gram FROM g WHERE doc_id % 97 != 0),
+        |b AS (SELECT doc_id AS bench_id, UNNEST(grams) AS gram FROM g WHERE doc_id % 97 = 0)
+        |SELECT c.doc_id, MIN(b.bench_id) AS bench_id, COUNT(1) AS n_hits
+        |FROM c JOIN b ON c.gram = b.gram
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // NB: share constants are CAST AS DOUBLE — DuckDB parses bare decimal
+    // literals as exact DECIMAL, whose FLOOR can differ from Spark's
+    // double arithmetic at boundaries.
+    "x25_domain_mix" ->
+      """WITH d AS (
+        |  SELECT source AS domain,
+        |    CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens, COUNT(1) AS n_domains FROM d),
+        |m AS (
+        |  SELECT domain, tokens,
+        |    CAST(FLOOR(CASE WHEN domain = 'src0' THEN CAST(0.01 AS DOUBLE)
+        |                    WHEN domain = 'src1' THEN CAST(0.10 AS DOUBLE)
+        |                    ELSE CAST(1.0 AS DOUBLE) / n_domains END * total_tokens) AS BIGINT)
+        |      AS target_tokens
+        |  FROM d, t)
+        |SELECT domain, tokens, target_tokens,
+        |  ROUND(LEAST(CAST(1.0 AS DOUBLE), CAST(target_tokens AS DOUBLE) / tokens), 6) AS sample_rate
+        |FROM m ORDER BY domain""".stripMargin,
     "x13_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id, GREATEST(LENGTH(text) // 16 - 1, 0) AS max_idx, LENGTH(text) AS len

@@ -59,6 +59,49 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("decontaminate: flags exactly the documents sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"), // shares 3-gram "quick brown fox" with bench 10
+      (2L, "totally unrelated text here"),
+      (3L, "quick brown fox again and again") // also shares with bench 10
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "a quick brown fox appeared"),
+      (11L, "nothing in common")
+    ).toDF("doc_id", "text")
+    val flagged = CorpusOps
+      .decontaminate(corpus, col("text"), col("doc_id"), bench, col("text"), col("doc_id"), n = 3)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(flagged.toSeq == Seq((1L, 10L), (3L, 10L)))
+  }
+
+  test("domainMix: rates hit targets and never upsample") {
+    import spark.implicits._
+    // domains a/b/c with 100/300/600 tokens (total 1000)
+    val df = Seq(("a", 100L), ("b", 300L), ("c", 600L)).toDF("dom", "n")
+    val mix = CorpusOps
+      .domainMix(df, col("dom"), col("n"), shares = Map("a" -> 0.5, "b" -> 0.1))
+      .orderBy("domain")
+      .collect()
+      .map(r =>
+        (
+          r.getString(r.fieldIndex("domain")),
+          r.getLong(r.fieldIndex("tokens")),
+          r.getLong(r.fieldIndex("target_tokens")),
+          r.getDouble(r.fieldIndex("sample_rate"))
+        )
+      )
+    // a: target 500 > 100 tokens -> capped at 1.0 (no upsampling)
+    // b: target 100 of 300 -> 1/3
+    // c: uniform default share 1/3 -> target 333 of 600
+    assert(mix(0) == ("a", 100L, 500L, 1.0))
+    assert(mix(1)._3 == 100L && math.abs(mix(1)._4 - 100.0 / 300.0) < 1e-12)
+    assert(mix(2)._3 == 333L && math.abs(mix(2)._4 - 333.0 / 600.0) < 1e-12)
+  }
+
   test("packSequences: boundary spill and per-shard restart") {
     import spark.implicits._
     // shard A: tokens 3,3,3 at budget 4 -> cum-before 0,3,6 -> seqs 0,0,1
