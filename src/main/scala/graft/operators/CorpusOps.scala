@@ -21,32 +21,32 @@ object CorpusOps {
     *   - `top_token_ratio`  = occurrences of the most frequent token / tokens
     *   - `dup_3gram_ratio`  = 1 − distinct_3grams / 3grams
     *
-    * Shape at 100 TB: one explode → (id, token) count → per-doc max/sum —
-    * the same two-level aggregation as word count, partial-agg friendly,
-    * shuffle keyed on (id, token) then (id); the 3-gram leg is pure
-    * per-row codegen ([[graft.functions.text.word_shingles]] + array ops),
-    * no shuffle at all. High-repetition documents are the classic
-    * low-quality signal these ratios gate on.
+    * Shape at 100 TB: ONE corpus scan — the 3-gram counts (pure per-row
+    * codegen, [[graft.functions.text.word_shingles]] + array ops) are
+    * computed in the scan projection and ride the (id, token) aggregation
+    * as two carried ints (`first()`), so there is no second scan and no
+    * re-join of a corpus-sized side; the only exchanges are the same
+    * two-level partial-agg word-count shape, keyed (id, token) then (id).
+    * High-repetition documents are the classic low-quality signal these
+    * ratios gate on.
     */
-  def repetitionFeatures(df: DataFrame, text: Column, idCol: Column): DataFrame = {
-    val toks = df.select(idCol.as("doc_id"), split(text, " ").as("toks"))
-    val perToken = toks
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
+  def repetitionFeatures(df: DataFrame, text: Column, idCol: Column): DataFrame =
+    df.select(
+        idCol.as("doc_id"),
+        explode(split(text, " ")).as("tok"),
+        size(graft.functions.text.word_shingles(text, 3)).as("n_g"),
+        size(array_distinct(graft.functions.text.word_shingles(text, 3))).as("n_gd")
+      )
       .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c"), first(col("n_g")).as("n_g"), first(col("n_gd")).as("n_gd"))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("c")).cast("long").as("n_tokens"),
         count(lit(1)).as("n_distinct"),
-        max(col("c")).as("top_c")
+        max(col("c")).as("top_c"),
+        first(col("n_g")).as("n_g"),
+        first(col("n_gd")).as("n_gd")
       )
-    val grams = df.select(
-      idCol.as("doc_id"),
-      size(graft.functions.text.word_shingles(text, 3)).as("n_g"),
-      size(array_distinct(graft.functions.text.word_shingles(text, 3))).as("n_gd")
-    )
-    perToken
-      .join(grams, Seq("doc_id"))
       .select(
         col("doc_id"),
         col("n_tokens"),
@@ -54,7 +54,6 @@ object CorpusOps {
         (col("top_c").cast("double") / col("n_tokens")).as("top_token_ratio"),
         (lit(1.0) - col("n_gd").cast("double") / col("n_g")).as("dup_3gram_ratio")
       )
-  }
 
   /** Deterministic train/val/test split on a content-independent key hash:
     * bucket = first two hex chars of md5(id) → 256 buckets, carved
