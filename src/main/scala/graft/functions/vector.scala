@@ -205,6 +205,65 @@ object vector {
     override protected def withNewChildInternal(c: Expression): HyperplaneSig = copy(child = c)
   }
 
+  /** The `n` nearest centroid ids for a vector — the per-row hot loop of
+    * IVF cell assignment ([[graft.operators.Similarity.ivfTopK]]). The
+    * HOF formulation (`slice(array_sort(transform(typedlit(cents), ...)))`)
+    * evaluates its lambda INTERPRETED once per centroid per row and
+    * allocates a struct per cell; this computes all nlist distances and
+    * the top-n selection in one JIT'd loop with zero allocation beyond the
+    * result ids. Ordering contract matches the struct-sort exactly:
+    * ascending (distance, cell id), NaN last (Double.compare semantics),
+    * distances over min(dim, centroid length) like [[L2Sq]].
+    */
+  case class NearestCells(child: Expression, cents: Seq[Seq[Double]], n: Int)
+      extends UnaryExpression {
+    require(n >= 1 && n <= cents.length, s"need 1 <= n <= ${cents.length}, got $n")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    @transient private lazy val matrix: Array[Array[Double]] =
+      cents.map(_.toArray).toArray
+
+    /** Invoked from both eval and generated code. */
+    def compute(v: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+      val m = matrix
+      val dim = v.numElements()
+      val bestD = new Array[Double](n)
+      val bestId = new Array[Int](n)
+      var filled = 0
+      var j = 0
+      while (j < m.length) {
+        val c = m(j)
+        val len = math.min(dim, c.length)
+        var d = 0.0d
+        var i = 0
+        while (i < len) { val x = v.getDouble(i) - c(i); d += x * x; i += 1 }
+        // insertion position by (d, id) ascending, NaN sorted last
+        var pos = if (filled < n) filled else -1
+        if (pos == -1 && java.lang.Double.compare(d, bestD(n - 1)) < 0) pos = n - 1
+        if (pos >= 0) {
+          while (pos > 0 && java.lang.Double.compare(bestD(pos - 1), d) > 0) {
+            bestD(pos) = bestD(pos - 1); bestId(pos) = bestId(pos - 1); pos -= 1
+          }
+          bestD(pos) = d
+          bestId(pos) = j
+          if (filled < n) filled += 1
+        }
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        java.util.Arrays.copyOf(bestId, filled)
+      )
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("nearestCells", this, classOf[NearestCells].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+    }
+    override protected def withNewChildInternal(c: Expression): NearestCells = copy(child = c)
+  }
+
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
   def cosine(a: Column, b: Column): Column =
@@ -213,4 +272,6 @@ object vector {
     Bridge.column(L2Sq(Bridge.expression(a), Bridge.expression(b)))
   def hyperplane_sig(v: Column, bits: Int): Column =
     Bridge.column(HyperplaneSig(Bridge.expression(v), bits))
+  def nearest_cells(v: Column, cents: Seq[Seq[Double]], n: Int): Column =
+    Bridge.column(NearestCells(Bridge.expression(v), cents, n))
 }

@@ -105,22 +105,17 @@ object Similarity {
   ): DataFrame = {
     val c = corpus.select(col(id).as("cid"), col(vec).as("cv"))
 
-    // `n` nearest cells of `v` as array<struct<d,cell>>: struct sort gives
-    // the (distance, cell) tie-break; index i in the literal IS the cell id.
+    // `n` nearest cells of `v` as array<int> of cell ids: ONE native
+    // codegen pass over all nlist distances with in-loop top-n selection
+    // ([[graft.functions.vector.NearestCells]]) — the HOF
+    // transform+array_sort formulation evaluated its lambda interpreted
+    // per centroid per row, the dominant per-row cost of assignment at
+    // corpus scale. Ordering (distance, cell) is bit-compatible.
     def nearestCells(v: Column, cents: Seq[Seq[Double]], n: Int): Column =
-      slice(
-        array_sort(
-          transform(
-            typedlit(cents),
-            (ct, i) => struct(l2sq(v, ct).as("d"), i.as("cell"))
-          )
-        ),
-        1,
-        n
-      )
+      graft.functions.vector.nearest_cells(v, cents, n)
 
     def withCell(df: DataFrame, vc: String, cents: Seq[Seq[Double]]): DataFrame =
-      df.withColumn("cell", element_at(nearestCells(col(vc), cents, 1), 1).getField("cell"))
+      df.withColumn("cell", element_at(nearestCells(col(vc), cents, 1), 1))
 
     // seed: first nlist vectors by id
     var cents: Seq[Seq[Double]] = c
@@ -152,8 +147,8 @@ object Similarity {
     // queries probe their nprobe nearest cells
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
     val probes = q
-      .withColumn("pc", explode(nearestCells(col("qv"), cents, nprobe)))
-      .select(col("query_id"), col("qv"), col("pc").getField("cell").as("cell"))
+      .withColumn("cell", explode(nearestCells(col("qv"), cents, nprobe)))
+      .select(col("query_id"), col("qv"), col("cell"))
 
     // rerank exactly within the probed cells
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))

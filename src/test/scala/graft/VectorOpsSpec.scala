@@ -64,6 +64,66 @@ class VectorOpsSpec extends SparkTestBase {
     assert(mismatches.count() == 0)
   }
 
+  test("native nearest_cells matches the HOF struct-sort formulation (incl. ties)") {
+    // duplicate centroids force (distance, cell-id) tie-breaks
+    val cents: Seq[Seq[Double]] = Seq(
+      Seq(0.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 0.0), // dup of cell 1
+      Seq(5.0, 5.0), Seq(-1.0, -1.0)
+    )
+    def hofCells(v: org.apache.spark.sql.Column, n: Int) =
+      slice(
+        array_sort(
+          transform(
+            typedlit(cents),
+            (ct, i) =>
+              struct(vector.l2sq(v, ct).as("d"), i.as("cell"))
+          )
+        ),
+        1,
+        n
+      )
+    val df = Seq(
+      (1L, Seq(0.9, 0.1)),
+      (2L, Seq(0.0, 0.0)),
+      (3L, Seq(1.0, 0.0)), // equidistant to cells 1 and 3 (dup centroid)
+      (4L, Seq(-0.5, -0.6))
+    ).toDF("id", "v")
+    Seq(1, 3, 6).foreach { n =>
+      val got = df
+        .select(
+          col("id"),
+          vector.nearest_cells(col("v"), cents, n).as("native"),
+          transform(hofCells(col("v"), n), s => s.getField("cell")).as("hof")
+        )
+        .collect()
+      got.foreach { r =>
+        assert(
+          r.getSeq[Int](1) == r.getSeq[Int](2),
+          s"n=$n id=${r.getLong(0)}: native=${r.getSeq[Int](1)} hof=${r.getSeq[Int](2)}"
+        )
+      }
+    }
+    // real embeddings, the x15 parameters
+    val realCents = emb.orderBy("vec_id").limit(16).collect().map(_.getSeq[Double](1).toVector).toSeq
+    val chk = emb
+      .select(
+        vector.nearest_cells(col("v"), realCents, 4).as("native"),
+        transform(
+          slice(
+            array_sort(
+              transform(typedlit(realCents), (ct, i) => struct(vector.l2sq(col("v"), ct).as("d"), i.as("cell")))
+            ),
+            1,
+            4
+          ),
+          s => s.getField("cell")
+        ).as("hof")
+      )
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(chk == 0L)
+  }
+
   test("null propagation and empty arrays") {
     val df = Seq(
       (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),
