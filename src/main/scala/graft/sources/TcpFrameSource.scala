@@ -95,18 +95,38 @@ private[sources] class TcpFrameTable(
 object TcpShedMetrics {
   private val frames = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAdder]()
   private val bytes = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAdder]()
+  /** Live per-port gauges supplied by the running stream: (open
+    * connections, buffered bytes) — the reference's `connection_count` /
+    * `tcp_buffer_size` observable surface (interfaces.hpp:184-188,
+    * svc/main.cpp:67-78). Registered at stream construction, dropped on
+    * stop, so a dead stream scrapes no stale numbers.
+    */
+  private val gauges =
+    new java.util.concurrent.ConcurrentHashMap[Int, (() => Int, () => Long)]()
   private def adder(m: java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAdder], port: Int) =
     m.computeIfAbsent(port, _ => new java.util.concurrent.atomic.LongAdder)
   private[sources] def record(port: Int, nFrames: Int, nBytes: Int): Unit = {
     adder(frames, port).add(nFrames.toLong)
     adder(bytes, port).add(nBytes.toLong)
   }
+  private[sources] def registerGauges(port: Int, connections: () => Int, buffered: () => Long): Unit = {
+    gauges.put(port, (connections, buffered))
+    ()
+  }
+  private[sources] def unregisterGauges(port: Int): Unit = {
+    gauges.remove(port)
+    ()
+  }
   def shedFrames(port: Int): Long = Option(frames.get(port)).map(_.sum()).getOrElse(0L)
   def shedBytes(port: Int): Long = Option(bytes.get(port)).map(_.sum()).getOrElse(0L)
+  def connectionCount(port: Int): Int = Option(gauges.get(port)).map(_._1()).getOrElse(0)
+  def bufferSize(port: Int): Long = Option(gauges.get(port)).map(_._2()).getOrElse(0L)
   /** Prometheus text lines for a port (appended to a /metrics scrape). */
   def scrape(port: Int): String =
     s"""drop_messages_total{drop_type="load_shed",port="$port"} ${shedFrames(port)}
        |drop_bytes_total{drop_type="load_shed",port="$port"} ${shedBytes(port)}
+       |connection_count{port="$port"} ${connectionCount(port)}
+       |tcp_buffer_size{port="$port"} ${bufferSize(port)}
        |""".stripMargin
 }
 
@@ -233,10 +253,13 @@ private[sources] class TcpFrameStream(
     FrameChunk(conn, types, offs, blob)
   }
 
+  private val openConnections = new AtomicInteger(0)
+
   private def readLoop(socket: Socket, conn: Int): Unit = {
     val decoder = new Telemetry.StreamDecoder // per-connection framing state
     val in: InputStream = socket.getInputStream
     val buf = new Array[Byte](1 << 16)
+    openConnections.incrementAndGet()
     try {
       var n = in.read(buf)
       while (running && n >= 0) {
@@ -264,8 +287,18 @@ private[sources] class TcpFrameStream(
         n = in.read(buf)
       }
     } catch { case _: java.io.IOException => () } // connection reset = close
-    finally socket.close()
+    finally {
+      openConnections.decrementAndGet()
+      socket.close()
+    }
   }
+
+  // reference observability gauges (connection_count / tcp_buffer_size)
+  TcpShedMetrics.registerGauges(
+    port,
+    () => openConnections.get(),
+    () => log.synchronized(bufferedBytes)
+  )
 
   private val acceptThread = new Thread(() => {
     try {
@@ -400,6 +433,7 @@ private[sources] class TcpFrameStream(
   override def stop(): Unit = {
     running = false
     server.close()
+    TcpShedMetrics.unregisterGauges(port)
     synchronized {
       activePlans.foreach(TcpChunkHandoff.release)
       activePlans.clear()

@@ -60,6 +60,9 @@ class ToolsSpec extends SparkTestBase {
         Thread.sleep(200); body = scrape()
       }
       assert(body.contains("process_messages_total"), s"scrape missing counters:\n$body")
+      // reference observability gauges ride the same scrape
+      assert(body.contains(s"""connection_count{port="$port"}"""), s"scrape missing connection_count:\n$body")
+      assert(body.contains(s"""tcp_buffer_size{port="$port"}"""), s"scrape missing tcp_buffer_size:\n$body")
     } finally daemon.stop()
   }
 
