@@ -58,8 +58,19 @@ final class GraftDaemon private[runtime] (
       throw new UnsupportedOperationException("daemon was built without a restart function")
     )
     if (_query.isActive) _query.stop()
-    _query = fn(cfg)
-    _config = cfg
+    try {
+      _query = fn(cfg)
+      _config = cfg
+    } catch {
+      case e: Throwable =>
+        // a config that fails to START must not leave the daemon queryless:
+        // revive the previous config, then surface the original failure
+        // (async failures after a successful start still flow through
+        // awaitTermination, as before)
+        try _query = fn(_config)
+        catch { case revive: Throwable => e.addSuppressed(revive) }
+        throw e
+    }
     _query
   }
   // SIGTERM/SIGINT → JVM shutdown → graceful query stop (daemon.hpp:97-108

@@ -195,12 +195,15 @@ class ServiceSpec extends SparkTestBase {
     val daemon = GraftService.startDaemon(
       spark,
       simCfg(72L),
-      _ =>
+      nb => {
+        if (nb.tpe == "rejected-by-factory")
+          throw new IllegalArgumentException(s"unknown northbound type '${nb.tpe}'")
         batch =>
           batch.collect().foreach { row =>
             val hb = decodeHeartbeat(decodeOne(row.getAs[Array[Byte]]("payload"), 0).get.body)
             clientIds.put(hb.clientId, ())
           }
+      }
     )
     try {
       val firstQuery = daemon.query
@@ -245,6 +248,15 @@ class ServiceSpec extends SparkTestBase {
         .asInstanceOf[java.net.HttpURLConnection]
       try assert(conn.getResponseCode == 200)
       finally conn.disconnect()
+      // a config whose pipeline fails to START revives the previous one:
+      // the sink factory rejects the unknown northbound type synchronously,
+      // and the daemon must come back up on the old config
+      val beforeBad = daemon.currentConfig
+      val badStart = GraftService.parseConfig(
+        simYaml(123L).replace("type: log", "type: rejected-by-factory")
+      )
+      intercept[IllegalArgumentException](daemon.reload(badStart))
+      assert(daemon.query.isActive && daemon.currentConfig == beforeBad)
     } finally daemon.stop()
     assert(!daemon.query.isActive)
     intercept[IllegalArgumentException](daemon.reload(simCfg(1L)))
