@@ -144,19 +144,16 @@ object Bench {
     })
     accept.setDaemon(true); accept.start()
     try {
-      val frame = graft.model.Telemetry.encodeFrame(
-        graft.model.Telemetry.TypeDynMessage,
-        Array.fill[Byte](msgSize - graft.model.Telemetry.HeaderSize)('x')
-      )
-      val chunk = Array.fill(100)(frame).flatten
       val t0 = System.nanoTime()
       val clients = (1 to nClients).map { _ =>
-        val t = new Thread(() => {
-          val s = new Socket("127.0.0.1", port)
-          val out = new java.io.BufferedOutputStream(s.getOutputStream, 1 << 20)
-          (1 to framesPerClient / 100).foreach(_ => out.write(chunk))
-          out.flush(); s.close()
-        })
+        val t = new Thread(() =>
+          // the user-facing load-gen client IS the bench client (one loop
+          // to keep in sync, dsp-tools parity)
+          graft.tools.TcpClient.run(
+            graft.tools.TcpClient
+              .Config("127.0.0.1", port, framesPerClient.toLong, msgSize, batch = 100)
+          )
+        )
         t.start(); t
       }
       clients.foreach(_.join())
@@ -221,21 +218,17 @@ object Bench {
       // warm server loop (doc/perf.adoc:36-42)
       val warmDeadline = System.currentTimeMillis() + 30000
       while (batchesSeen.get() < 1 && System.currentTimeMillis() < warmDeadline) Thread.sleep(20)
-      val frame = graft.model.Telemetry.encodeFrame(
-        graft.model.Telemetry.TypeDynMessage,
-        Array.fill[Byte](msgSize - graft.model.Telemetry.HeaderSize)('x')
-      )
-      // pre-pack 100 frames per write for realistic client batching
-      val chunk = Array.fill(100)(frame).flatten
       val t0 = System.nanoTime()
       val clients = (1 to nClients).map { _ =>
-        val t = new Thread(() => {
-          val s = new Socket("127.0.0.1", port)
-          val out = new java.io.BufferedOutputStream(s.getOutputStream, 1 << 20)
-          (1 to framesPerClient / 100).foreach(_ => out.write(chunk))
-          out.flush()
-          s.close()
-        })
+        val t = new Thread(() =>
+          // 100-frame batched writes for realistic client batching — the
+          // same user-facing TcpClient loop as tcpRaw (one copy to keep
+          // in sync)
+          graft.tools.TcpClient.run(
+            graft.tools.TcpClient
+              .Config("127.0.0.1", port, framesPerClient.toLong, msgSize, batch = 100)
+          )
+        )
         t.start(); t
       }
       clients.foreach(_.join())

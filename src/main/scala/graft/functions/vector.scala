@@ -217,7 +217,12 @@ object vector {
     */
   case class NearestCells(child: Expression, cents: Seq[Seq[Double]], n: Int)
       extends UnaryExpression {
-    require(n >= 1 && n <= cents.length, s"need 1 <= n <= ${cents.length}, got $n")
+    require(n >= 1, s"need n >= 1, got $n")
+    require(cents.nonEmpty, "need at least one centroid")
+    // like the slice() formulation it replaced, asking for more cells than
+    // exist returns what exists (a corpus smaller than nprobe must degrade,
+    // not throw)
+    private val topN = math.min(n, cents.length)
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def nullIntolerant: Boolean = true
 
@@ -228,8 +233,8 @@ object vector {
     def compute(v: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
       val m = matrix
       val dim = v.numElements()
-      val bestD = new Array[Double](n)
-      val bestId = new Array[Int](n)
+      val bestD = new Array[Double](topN)
+      val bestId = new Array[Int](topN)
       var filled = 0
       var j = 0
       while (j < m.length) {
@@ -239,15 +244,15 @@ object vector {
         var i = 0
         while (i < len) { val x = v.getDouble(i) - c(i); d += x * x; i += 1 }
         // insertion position by (d, id) ascending, NaN sorted last
-        var pos = if (filled < n) filled else -1
-        if (pos == -1 && java.lang.Double.compare(d, bestD(n - 1)) < 0) pos = n - 1
+        var pos = if (filled < topN) filled else -1
+        if (pos == -1 && java.lang.Double.compare(d, bestD(topN - 1)) < 0) pos = topN - 1
         if (pos >= 0) {
           while (pos > 0 && java.lang.Double.compare(bestD(pos - 1), d) > 0) {
             bestD(pos) = bestD(pos - 1); bestId(pos) = bestId(pos - 1); pos -= 1
           }
           bestD(pos) = d
           bestId(pos) = j
-          if (filled < n) filled += 1
+          if (filled < topN) filled += 1
         }
         j += 1
       }

@@ -177,10 +177,12 @@ object Similarity {
     * Buckets larger than `maxBucket` are dropped (they carry no near-dup
     * signal — a bucket that big means the key bits don't discriminate),
     * never silently ballooned; the drop count is surfaced LAZILY through a
-    * named observation (`cosine_neardup_shed`: dropped_rows, max_bucket —
-    * read it with a QueryExecutionListener), so the operator stays a pure
-    * `DataFrame => DataFrame` with no eager job, no cached relation to
-    * leak, and no work until the caller runs an action.
+    * named observation (`cosine_neardup_shed_<k>`: dropped_rows,
+    * max_bucket — unique per invocation, so multiple instances compose in
+    * one query), and a once-per-session QueryExecutionListener prints any
+    * non-zero shed to stderr at action time. The operator stays a pure
+    * `DataFrame => DataFrame`: no eager job, no cached relation to leak,
+    * no work until the caller runs an action.
     *
     * Plan shape: bucket sizes come from a count window over (blk, key)
     * INSIDE the plan — the window's shuffle is on the same keys the
@@ -217,10 +219,11 @@ object Similarity {
         }: _*)).as("bk")
       )
       .select(col("vid"), col("v"), col("bk.blk").as("blk"), col("bk.key").as("key"))
+    registerShedReporter(corpus.sparkSession)
     val sized = blocked
       .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("blk"), col("key"))))
       .observe(
-        "cosine_neardup_shed",
+        s"cosine_neardup_shed_${shedObservationIds.getAndIncrement()}",
         sum(when(col("bn") > maxBucket, lit(1L)).otherwise(lit(0L))).as("dropped_rows"),
         max(col("bn")).as("max_bucket")
       )
@@ -236,6 +239,40 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("vid").as("id_a"), col("vid_b").as("id_b"), col("cos"))
   }
+
+  private val shedObservationIds = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val shedReporterSessions =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()
+      )
+    )
+
+  /** Default visibility for over-full-bucket shedding: a once-per-session
+    * listener that prints any non-zero `cosine_neardup_shed_*` observation
+    * to stderr when the action completes — drops are reported without the
+    * operator running an eager job (callers needing programmatic access
+    * read the observation themselves).
+    */
+  private def registerShedReporter(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (shedReporterSessions.add(spark)) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(
+            funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long
+        ): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("cosine_neardup_shed_") && !row.isNullAt(0) && row.getLong(0) > 0L)
+              System.err.println(
+                s"[cosineNearDupPairs] $name: dropped ${row.getLong(0)} over-full-bucket rows " +
+                  s"(largest bucket ${row.get(1)}) — signature bits do not discriminate there; " +
+                  "raise bits or maxBucket to keep them"
+              )
+          }
+        override def onFailure(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      })
+    }
 
   /** ANN top-k: candidates = corpus rows whose signature matches the query
     * signature in at least one of `blocks` signature blocks (multi-probe by

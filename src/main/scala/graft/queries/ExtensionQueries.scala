@@ -735,13 +735,14 @@ object ExtensionQueries {
         |    (LENGTH(text) + 3) // 4 AS resized_len
         |  FROM documents),
         |b AS (
-        |  SELECT r.doc_id, r.resized_len,
+        |  SELECT r.doc_id,
         |    ORD(SUBSTR(d.text, 1 + i * 4, 1)) // 32 AS bin
         |  FROM r JOIN documents d ON r.doc_id = d.doc_id,
         |    UNNEST(RANGE(0, r.resized_len)) AS t(i))
-        |SELECT doc_id, CAST(ANY_VALUE(resized_len) AS INT) AS resized_len,
-        |  CAST(COUNT(DISTINCT bin) AS INT) AS occupied_bins
-        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+        |SELECT r.doc_id, CAST(r.resized_len AS INT) AS resized_len,
+        |  CAST(COUNT(DISTINCT b.bin) AS INT) AS occupied_bins
+        |FROM r LEFT JOIN b ON r.doc_id = b.doc_id
+        |GROUP BY 1, r.resized_len ORDER BY 1""".stripMargin,
     "x24_decontaminate" ->
       """WITH g AS (
         |  SELECT doc_id,

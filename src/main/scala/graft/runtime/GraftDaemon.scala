@@ -102,8 +102,10 @@ final class GraftDaemon private[runtime] (
     * an old-query stop observed here can't race the swap).
     */
   def awaitTermination(timeoutMs: Long = -1L): Boolean = {
+    require(timeoutMs != 0, "timeoutMs must be positive (or negative for no timeout)")
     val deadlineNs =
-      if (timeoutMs < 0) Long.MaxValue else System.nanoTime() + timeoutMs * 1000000L
+      if (timeoutMs < 0) Long.MaxValue
+      else System.nanoTime() + math.min(timeoutMs, Long.MaxValue / 2000000L) * 1000000L
     var terminated = false
     while (!terminated && !stopped.get()) {
       val q = synchronized(_query)

@@ -15,9 +15,16 @@ import java.nio.charset.StandardCharsets
   * reachable from the network by default (the reference ships its HTTP OAM
   * endpoint disabled for the same reason, svc/svc/main.cpp:203-230).
   */
-final class MetricsHttpServer private (server: HttpServer) {
+final class MetricsHttpServer private (
+    server: HttpServer,
+    pool: java.util.concurrent.ExecutorService
+) {
   def port: Int = server.getAddress.getPort
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdownNow()
+    ()
+  }
 
   /** Register an additional OAM endpoint (e.g. `/reload`). `fn` receives
     * the UTF-8 request body and returns (status, response body); handler
@@ -68,8 +75,18 @@ object MetricsHttpServer {
     server.createContext("/metrics", guarded { _ =>
       (200, bridge.scrape() + extraScrape())
     })
-    server.setExecutor(null) // serve on the dispatcher thread: scrapes are tiny
+    // a small pool, not the dispatcher thread: /reload runs a multi-second
+    // query stop+start and must not block concurrent /metrics scrapes
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      2,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-metrics-http")
+        t.setDaemon(true)
+        t
+      }
+    )
+    server.setExecutor(pool)
     server.start()
-    new MetricsHttpServer(server)
+    new MetricsHttpServer(server, pool)
   }
 }

@@ -103,6 +103,14 @@ class VectorOpsSpec extends SparkTestBase {
         )
       }
     }
+    // n beyond the centroid count degrades to all cells (slice semantics),
+    // never throws — a corpus smaller than nprobe must still answer
+    val clamped = df
+      .select(vector.nearest_cells(col("v"), cents.take(2), 5).as("c"))
+      .collect()
+      .map(_.getSeq[Int](0))
+    assert(clamped.forall(_.length == 2))
+
     // real embeddings, the x15 parameters
     val realCents = emb.orderBy("vec_id").limit(16).collect().map(_.getSeq[Double](1).toVector).toSeq
     val chk = emb
