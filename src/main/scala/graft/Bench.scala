@@ -129,14 +129,19 @@ object Bench {
       try while (true) {
         val sock = server.accept()
         val t = new Thread(() => {
-          val dec = new graft.model.Telemetry.StreamDecoder
-          val in = sock.getInputStream
-          val buf = new Array[Byte](1 << 16)
-          var n = in.read(buf)
-          while (n >= 0) {
-            if (n > 0) counter.addAndGet(dec.feed(java.util.Arrays.copyOf(buf, n)).length.toLong)
-            n = in.read(buf)
-          }
+          // reset = close, like TcpFrameSource.readLoop — an abrupt client
+          // close must not kill the counting thread mid-tally
+          try {
+            val dec = new graft.model.Telemetry.StreamDecoder
+            val in = sock.getInputStream
+            val buf = new Array[Byte](1 << 16)
+            var n = in.read(buf)
+            while (n >= 0) {
+              if (n > 0) counter.addAndGet(dec.feed(java.util.Arrays.copyOf(buf, n)).length.toLong)
+              n = in.read(buf)
+            }
+          } catch { case _: java.io.IOException => () }
+          finally sock.close()
         })
         t.setDaemon(true); t.start()
       }
@@ -206,12 +211,17 @@ object Bench {
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
       .start()
     try {
-      // wait for the listener to bind
+      // wait for the listener to bind — with a deadline and a query-death
+      // check (a failed query start, e.g. a TOCTOU BindException on the
+      // probed ephemeral port, must fail the round, not hang it; -1
+      // triggers the parent's bounded retry on a fresh port)
       var bound = false
-      while (!bound) {
+      val bindDeadline = System.currentTimeMillis() + 30000
+      while (!bound && q.exception.isEmpty && System.currentTimeMillis() < bindDeadline) {
         try { new Socket("127.0.0.1", port).close(); bound = true }
         catch { case _: java.io.IOException => Thread.sleep(100) }
       }
+      if (!bound) return (-1.0, -1.0)
       // steady-state measurement: let the query absorb its first-batch
       // costs (codegen, offset-log init — ~2 s) on an EMPTY batch before
       // the clock starts, like the reference perf stage which measures a

@@ -109,19 +109,36 @@ object BenchTcpStage {
   private def forkOnce(): Option[(Seq[Double], Double, Double, Double, Double, Long)] =
     try {
       val javaBin = new java.io.File(new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
+      // forward the fan-out experiment flag so a parent-side override is
+      // not silently dropped in the forked path
+      val extraProps = Option(System.getProperty("graft.tcp.parts")).toSeq
+        .map(v => s"-Dgraft.tcp.parts=$v")
       val pb = new ProcessBuilder(
-        javaBin,
-        "-Xmx24g",
-        "-cp",
-        System.getProperty("java.class.path"),
-        "graft.BenchTcpStage"
+        (Seq(javaBin, "-Xmx24g") ++ extraProps ++
+          Seq("-cp", System.getProperty("java.class.path"), "graft.BenchTcpStage")): _*
       )
       // discard child stderr (Spark banner/logs) — reading it after stdout
       // closes risks a pipe-full deadlock while the child is still running
       pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       val proc = pb.start()
-      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-      val ok = proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS) && proc.exitValue() == 0
+      // drain stdout on a side thread so the 180 s timeout actually fires:
+      // a blocking readAllBytes before waitFor would hang the parent bench
+      // forever on a hung child
+      val outBuf = new java.io.ByteArrayOutputStream()
+      val drainer = new Thread(() => {
+        try { proc.getInputStream.transferTo(outBuf); () }
+        catch { case _: Throwable => () }
+      }, "bench-child-stdout")
+      drainer.setDaemon(true)
+      drainer.start()
+      val finished = proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished) {
+        proc.destroyForcibly()
+        proc.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
+      }
+      drainer.join(5000)
+      val out = outBuf.toString("UTF-8")
+      val ok = finished && proc.exitValue() == 0
       val line = out.linesIterator.find(_.startsWith("TCPSTAGE "))
       if (!ok || line.isEmpty) None
       else {

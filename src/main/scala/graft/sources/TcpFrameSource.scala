@@ -109,12 +109,21 @@ object TcpShedMetrics {
     adder(frames, port).add(nFrames.toLong)
     adder(bytes, port).add(nBytes.toLong)
   }
-  private[sources] def registerGauges(port: Int, connections: () => Int, buffered: () => Long): Unit = {
-    gauges.put(port, (connections, buffered))
-    ()
+  private[sources] def registerGauges(
+      port: Int,
+      connections: () => Int,
+      buffered: () => Long
+  ): (() => Int, () => Long) = {
+    val entry = (connections, buffered)
+    gauges.put(port, entry)
+    entry
   }
-  private[sources] def unregisterGauges(port: Int): Unit = {
-    gauges.remove(port)
+  /** Conditional removal: only the entry the caller registered — a
+    * stopping stream must not strip gauges a replacement stream on the
+    * same port already registered.
+    */
+  private[sources] def unregisterGauges(port: Int, entry: (() => Int, () => Long)): Unit = {
+    gauges.remove(port, entry)
     ()
   }
   def shedFrames(port: Int): Long = Option(frames.get(port)).map(_.sum()).getOrElse(0L)
@@ -219,8 +228,12 @@ private[sources] class TcpFrameStream(
   // Restart semantics: a TCP stream is NOT replayable (like Spark's own
   // socket source) — frames buffered before a crash are gone. On restart
   // the checkpoint hands back an offset larger than the fresh in-memory
-  // log; `shift` re-bases logical offsets so the query continues instead
-  // of slicing negatively; the unreplayable gap is empty batches.
+  // log; `shift` re-bases logical offsets so the HEAD of the current log
+  // lands AT the restored offset: frames a fast client delivered between
+  // stream construction and offset restore stay addressable (mapping them
+  // BELOW the restored offset would silently trim them as already
+  // consumed), the unreplayable pre-crash gap is empty batches, and
+  // offsets are positional, never content-addressed.
   private var shift = 0L
   private def logicalHead: Long = shift + trimmed + log.length
 
@@ -256,11 +269,11 @@ private[sources] class TcpFrameStream(
   private val openConnections = new AtomicInteger(0)
 
   private def readLoop(socket: Socket, conn: Int): Unit = {
-    val decoder = new Telemetry.StreamDecoder // per-connection framing state
-    val in: InputStream = socket.getInputStream
-    val buf = new Array[Byte](1 << 16)
     openConnections.incrementAndGet()
     try {
+      val decoder = new Telemetry.StreamDecoder // per-connection framing state
+      val in: InputStream = socket.getInputStream // inside try: may throw on a racing close
+      val buf = new Array[Byte](1 << 16)
       var n = in.read(buf)
       while (running && n >= 0) {
         if (n > 0) {
@@ -294,7 +307,7 @@ private[sources] class TcpFrameStream(
   }
 
   // reference observability gauges (connection_count / tcp_buffer_size)
-  TcpShedMetrics.registerGauges(
+  private val gaugeEntry = TcpShedMetrics.registerGauges(
     port,
     () => openConnections.get(),
     () => log.synchronized(bufferedBytes)
@@ -333,7 +346,7 @@ private[sources] class TcpFrameStream(
   }
   override def deserializeOffset(json: String): Offset = log.synchronized {
     val v = json.toLong
-    if (v > logicalHead) shift = v - (trimmed + log.length) // restored checkpoint
+    if (v > logicalHead) shift = v - trimmed // restored checkpoint: log head → v
     FrameOffset(v)
   }
 
@@ -433,7 +446,7 @@ private[sources] class TcpFrameStream(
   override def stop(): Unit = {
     running = false
     server.close()
-    TcpShedMetrics.unregisterGauges(port)
+    TcpShedMetrics.unregisterGauges(port, gaugeEntry)
     synchronized {
       activePlans.foreach(TcpChunkHandoff.release)
       activePlans.clear()

@@ -37,7 +37,8 @@ object TcpClient {
     * this is the user-facing binary form).
     */
   def run(cfg: Config): Stats = {
-    require(cfg.size >= Telemetry.HeaderSize && cfg.size <= 0xfffd, s"size out of range: ${cfg.size}")
+    // whole-frame u16 length ⇒ max frame = 0xffff (encodeFrame's own bound)
+    require(cfg.size >= Telemetry.HeaderSize && cfg.size <= 0xffff, s"size out of range: ${cfg.size}")
     val frame = Telemetry.encodeFrame(
       Telemetry.TypeDynMessage,
       Array.fill[Byte](cfg.size - Telemetry.HeaderSize)('x')
@@ -65,11 +66,20 @@ object TcpClient {
     } finally socket.close()
   }
 
+  private val knownKeys = Set("address", "count", "size", "batch", "rate-limit")
+
   private[graft] def parse(args: Array[String]): Config = {
+    require(args.length % 2 == 0, s"arguments must be --key value pairs, got: ${args.mkString(" ")}")
     val kv = args
       .sliding(2, 2)
-      .collect { case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v }
+      .map {
+        case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+        case other => sys.error(s"expected --key value, got: ${other.mkString(" ")}")
+      }
       .toMap
+    kv.keys.find(!knownKeys.contains(_)).foreach { k =>
+      sys.error(s"unknown option --$k (known: ${knownKeys.toSeq.sorted.map("--" + _).mkString(", ")})")
+    }
     val address = kv.getOrElse("address", sys.error("--address host:port is required"))
     val Array(host, port) = address.split(":", 2)
     Config(
