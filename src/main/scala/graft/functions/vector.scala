@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -21,7 +21,10 @@ import org.apache.spark.sql.types._
 object vector {
 
   /** dot(a, b): Σ a_i·b_i over min(len) — one pass, double accumulator. */
-  case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
     override def nullSafeEval(l: Any, r: Any): Any = {
@@ -57,7 +60,10 @@ object vector {
     * (the HOF twin traverses three times). Same expression order as
     * `dot / (sqrt(na) * sqrt(nb))` so results are bit-equal.
     */
-  case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
     override def nullSafeEval(l: Any, r: Any): Any = {
@@ -106,7 +112,10 @@ object vector {
   }
 
   /** Squared L2 distance: Σ (a_i−b_i)² — one pass. */
-  case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
+  case class L2Sq(left: Expression, right: Expression)
+      extends BinaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
     override def nullSafeEval(l: Any, r: Any): Any = {
@@ -149,7 +158,10 @@ object vector {
     * reused, turning O(bits·dim) hash calls per ROW into O(bits·dim)
     * multiply-adds per row.
     */
-  case class HyperplaneSig(child: Expression, bits: Int) extends UnaryExpression {
+  case class HyperplaneSig(child: Expression, bits: Int)
+      extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
 
@@ -216,7 +228,9 @@ object vector {
     * distances over min(dim, centroid length) like [[L2Sq]].
     */
   case class NearestCells(child: Expression, cents: Seq[Seq[Double]], n: Int)
-      extends UnaryExpression {
+      extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
     require(n >= 1, s"need n >= 1, got $n")
     require(cents.nonEmpty, "need at least one centroid")
     // like the slice() formulation it replaced, asking for more cells than

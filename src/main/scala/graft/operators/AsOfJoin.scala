@@ -53,10 +53,23 @@ object AsOfJoin {
       .partitionBy(col(byCol))
       .orderBy(col(timeCol), col("_side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(when(col("_side") === 0, col(c)), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_side") === 1).drop("_side")
+    // Carry the most recent right ROW as one struct (asof attaches whole
+    // rows): per-column last(ignoreNulls) would skip a legitimate NULL in
+    // one value column and resurrect a stale value for it, producing a
+    // chimera row that matches no actual right observation. One window
+    // pass instead of one per value column, too.
+    val carried = unioned
+      .withColumn(
+        "_rv",
+        last(
+          when(col("_side") === 0, struct(valueCols.map(col): _*)),
+          ignoreNulls = true
+        ).over(w)
+      )
+    valueCols
+      .foldLeft(carried)((df, c) => df.withColumn(c, col("_rv").getField(c)))
+      .filter(col("_side") === 1)
+      .drop("_side", "_rv")
   }
 
   /** Time-series resampling: a regular grid of `every` per key over each

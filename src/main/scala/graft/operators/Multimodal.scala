@@ -65,14 +65,22 @@ object Multimodal {
   }
 
   /** "Video" frame sampling: treat content as fixed-size frame blocks and
-    * keep every `stride`-th block — pure column ops (no UDF): slice the
-    * binary into `frameSize` chunks via substring arithmetic.
+    * keep every `stride`-th FULL block — pure column ops (no UDF): slice
+    * the binary into `frameSize` chunks via substring arithmetic. Content
+    * shorter than one frame yields no frames (the row drops out), and a
+    * partial tail block is dropped — block semantics are uniform, never a
+    * phantom undersized frame.
     */
   def sampleFrames(df: DataFrame, content: String, frameSize: Int, stride: Int): DataFrame = {
     val nFrames = floor(length(col(content)) / frameSize).cast("int")
     df.withColumn(
       "frame_idx",
-      explode(filter(sequence(lit(0), greatest(nFrames - 1, lit(0))), i => i % stride === 0))
+      explode(
+        when(
+          nFrames > 0,
+          filter(sequence(lit(0), nFrames - 1), i => i % stride === 0)
+        ).otherwise(array().cast("array<int>"))
+      )
     ).withColumn(
       "frame",
       substring(col(content), (col("frame_idx") * frameSize + 1).cast("int"), lit(frameSize))

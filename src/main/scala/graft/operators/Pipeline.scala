@@ -111,7 +111,9 @@ object Pipeline {
     val parts: Seq[Column] = spec.map {
       case 'l' => concat(lit("len="), length(payload).cast("string"))
       case 'k' => concat(lit("key="), coalesce(decode(key, "UTF-8"), lit("null")))
-      case 'v' => concat(lit("value="), decode(payload, "UTF-8"))
+      // tombstones (null payload) render as the literal, like 'k' — a null
+      // here would null the whole concat and drop the field from the line
+      case 'v' => concat(lit("value="), coalesce(decode(payload, "UTF-8"), lit("null")))
       case 'h' =>
         concat(
           lit("headers=["),

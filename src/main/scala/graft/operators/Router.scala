@@ -88,7 +88,12 @@ object Router {
     * route may emit nothing, svc/handler.cpp:150-165 counts these as drops).
     */
   def dropped(df: DataFrame, rules: Seq[Rule], propsCol: String = "properties"): DataFrame = {
-    val any = rules.map(r => matchExpr(r, col(propsCol))).reduce(_ || _)
+    // no rules → nothing matches → every row is dropped (route() requires
+    // a non-empty rule set; drop ACCOUNTING of the empty set is well-defined)
+    val any = rules
+      .map(r => matchExpr(r, col(propsCol)))
+      .reduceOption(_ || _)
+      .getOrElse(org.apache.spark.sql.functions.lit(false))
     df.filter(!any)
   }
 }

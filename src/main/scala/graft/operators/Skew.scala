@@ -46,7 +46,15 @@ object Skew {
     * `aggs` must be decomposable (sum/count/min/max).
     */
   def saltedSum(df: DataFrame, key: Column, value: Column, saltFactor: Int): DataFrame = {
-    df.groupBy(key.as("k"), pmod(xxhash64(value), lit(saltFactor)).as("_salt"))
+    // salt on (value, partition id), not value alone: the degenerate hot
+    // key this guards is billions of IDENTICAL rows, whose value-hash is
+    // ONE constant — partition id spreads them while staying deterministic
+    // per task attempt (same input partition → same salt on retry; the
+    // final sum is salt-invariant either way)
+    df.groupBy(
+        key.as("k"),
+        pmod(xxhash64(value, spark_partition_id()), lit(saltFactor)).as("_salt")
+      )
       .agg(sum(value).as("partial"))
       .groupBy(col("k"))
       .agg(sum(col("partial")).as("total"))

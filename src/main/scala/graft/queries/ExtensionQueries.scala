@@ -776,14 +776,14 @@ object ExtensionQueries {
         |SELECT domain, tokens, target_tokens,
         |  ROUND(LEAST(CAST(1.0 AS DOUBLE), CAST(target_tokens AS DOUBLE) / tokens), 6) AS sample_rate
         |FROM m ORDER BY domain""".stripMargin,
+    // full blocks only (partial tails dropped, <16-byte docs emit nothing)
     "x13_frame_sample" ->
       """WITH f AS (
-        |  SELECT doc_id, GREATEST(LENGTH(text) // 16 - 1, 0) AS max_idx, LENGTH(text) AS len
-        |  FROM documents),
+        |  SELECT doc_id, LENGTH(text) // 16 AS n_frames FROM documents),
         |idx AS (
-        |  SELECT doc_id, len, UNNEST(RANGE(0, max_idx + 1)) AS i FROM f)
+        |  SELECT doc_id, UNNEST(RANGE(0, n_frames)) AS i FROM f)
         |SELECT doc_id, COUNT(1) AS n_sampled,
-        |  CAST(SUM(LEAST(16, len - i * 16)) AS BIGINT) AS sampled_bytes
+        |  CAST(COUNT(1) * 16 AS BIGINT) AS sampled_bytes
         |FROM idx WHERE i % 4 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin
   )

@@ -111,8 +111,8 @@ object GraftService {
             ).as("properties"),
             col("payload")
           )
-      case KafkaSouth(address, _, topics, batchSize) =>
-        StreamRuntime.kafkaSource(spark, address, topics, batchSize)
+      case KafkaSouth(address, groupId, topics, batchSize) =>
+        StreamRuntime.kafkaSource(spark, address, topics, batchSize, Some(groupId))
       case SimSouth(clientId, rps) =>
         StreamRuntime
           .heartbeatSimulator(spark, clientId, rps)

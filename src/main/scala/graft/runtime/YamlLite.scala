@@ -93,10 +93,20 @@ object YamlLite {
         lines = lines.tail
         if (rhs.nonEmpty) out(key) = scalarOrFlow(rhs)
         else {
-          // nested block (or empty)
+          // nested block (or empty); list items may sit at the KEY's own
+          // indentation — the other standard YAML block-list style
+          // ("rules:\n- name: hb"), which yamllint accepts and /reload
+          // configs commonly use
           lines.headOption match {
             case Some((nl, _)) if indentOf(nl) > indent =>
               val (v, rest) = parseBlock(lines, indentOf(nl))
+              out(key) = v
+              lines = rest
+            case Some((nl, _))
+                if indentOf(nl) == indent && {
+                  val t2 = nl.trim; t2.startsWith("- ") || t2 == "-"
+                } =>
+              val (v, rest) = parseList(lines, indent)
               out(key) = v
               lines = rest
             case _ => out(key) = Map.empty[String, Any]

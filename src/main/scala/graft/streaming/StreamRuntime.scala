@@ -23,9 +23,13 @@ object StreamRuntime {
       spark: SparkSession,
       bootstrap: String,
       topics: Seq[String],
-      batchSize: Option[Long] = None
+      batchSize: Option[Long] = None,
+      groupId: Option[String] = None
   ): DataFrame = {
-    val r = spark.readStream
+    val r0 = spark.readStream
+    // the configured consumer group must reach the broker (ACLs, lag
+    // monitoring key on it) — Spark accepts it via kafka.group.id
+    val r = groupId.fold(r0)(g => r0.option("kafka.group.id", g))
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topics.mkString(","))
@@ -34,19 +38,30 @@ object StreamRuntime {
     normalizeKafka(withBatch.load())
   }
 
-  /** Kafka row → canonical message envelope (SURVEY.md §1.1/§1.2). */
-  def normalizeKafka(df: DataFrame): DataFrame =
+  /** Kafka row → canonical message envelope (SURVEY.md §1.1/§1.2).
+    * Kafka headers are an ordered MULTI-map (duplicate keys are legal);
+    * the envelope's properties map is not — duplicates keep the FIRST
+    * occurrence (the reference's unordered_map insert semantics), because
+    * a raw `map_from_entries` would throw on the duplicate and turn one
+    * poison-pill record into a permanently wedged query.
+    */
+  def normalizeKafka(df: DataFrame): DataFrame = {
+    val entries = transform(
+      coalesce(col("headers"), array()),
+      h => struct(h.getField("key").as("key"), decode(h.getField("value"), "UTF-8").as("value"))
+    )
+    val firstWins = filter(
+      entries,
+      (e, i) =>
+        size(filter(slice(entries, lit(1), i), p => p.getField("key") === e.getField("key"))) === 0
+    )
     df.select(
       col("key"),
       col("topic").as("subject"),
-      map_from_entries(
-        transform(
-          coalesce(col("headers"), array()),
-          h => struct(h.getField("key"), decode(h.getField("value"), "UTF-8"))
-        )
-      ).as("properties"),
+      map_from_entries(firstWins).as("properties"),
       col("value").as("payload")
     )
+  }
 
   /** Envelope → Kafka producer columns (subject→topic, properties→headers,
     * key/payload passthrough): the exact projection [[kafkaSink]] writes,

@@ -53,6 +53,19 @@ class OperatorSpec extends SparkTestBase {
     assert(got == Set(("l1", Some("r1")), ("l2", Some("r2")), ("l3", None)))
   }
 
+  test("asof backward join: a NULL in one right value column does not resurrect stale values") {
+    // right rows (t=1: price=5, qty=2) then (t=2: price=null, qty=9);
+    // asof attaches the whole most-recent ROW, so left@t=3 must see
+    // (null, 9), never the chimera (5, 9)
+    val left = Seq((1L, 3L, "l")).toDF("k", "t", "lv")
+    val right = Seq((1L, 1L, Some(5L), 2L), (1L, 2L, None, 9L)).toDF("k", "t", "price", "qty")
+    val got = AsOfJoin
+      .asofBackward(left, right, "k", "t")
+      .select(col("price"), col("qty"))
+      .collect()(0)
+    assert(got.isNullAt(0) && got.getLong(1) == 9L)
+  }
+
   test("range join: containment with overlapping intervals, no cross product") {
     val intervals = Seq((1L, 0.0, 10.0), (2L, 5.0, 15.0)).toDF("iid", "lo", "hi")
     val points = Seq((100L, 7.0), (101L, 12.0), (102L, 20.0)).toDF("pid", "p")
@@ -105,6 +118,14 @@ class OperatorSpec extends SparkTestBase {
       .map(r => (r.getInt(0), r.getInt(1)))
       .toSet
     assert(frames == Set((0, 16), (2, 16))) // 3 frames of 16B, stride 2 keeps 0 and 2
+
+    // uniform block semantics: content shorter than one frame yields no
+    // frames (no phantom partial block), tails below frameSize drop
+    val short = Seq((2L, "tiny", "en", "src1", 4L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val none = Multimodal
+      .sampleFrames(Multimodal.fromDocuments(spark, short).toDF(), "content", frameSize = 16, stride = 1)
+      .count()
+    assert(none == 0L)
   }
 
   test("consumer FT fixtures render via :kv formatter (kafka.hpp:957-991)") {

@@ -45,6 +45,28 @@ class ServiceSpec extends SparkTestBase {
       |    subject: all
       |""".stripMargin
 
+  test("YamlLite accepts block lists at the key's own indentation (zero-indent style)") {
+    val cfg = GraftService.parseConfig(
+      """topic: hb-out
+        |interfaces:
+        |  southbound:
+        |    type: sim
+        |    clientId: 7
+        |  northbound:
+        |  - {enabled: true, name: log-nb, type: log}
+        |rules:
+        |- name: hb
+        |  priority: 1
+        |  condition: {field: type, value: heartbeat}
+        |  action: allow
+        |  destination: log-nb
+        |  subject: heartbeats
+        |""".stripMargin
+    )
+    assert(cfg.northbound.map(_.name) == Seq("log-nb"))
+    assert(cfg.rules.map(_.name) == Seq("hb"))
+  }
+
   test("YamlLite parses the reference config shape") {
     val n = YamlLite.parse(fixtureYaml.replace("%PORT%", "7200"))
     assert(n("topic").str == "dev-test")

@@ -43,6 +43,26 @@ class StreamRuntimeSpec extends SparkTestBase {
     assert(env.getAs[Map[String, String]]("properties") == Map.empty)
   }
 
+  test("kafka normalization: duplicate header keys keep the first occurrence, never crash") {
+    // Kafka headers are an ordered multi-map; a raw map_from_entries would
+    // throw 'Duplicate map key' and wedge the query on one poison record
+    val df = Seq(
+      (
+        "k".getBytes("UTF-8"),
+        "p".getBytes("UTF-8"),
+        "t",
+        Seq(
+          ("trace", "first".getBytes("UTF-8")),
+          ("other", "x".getBytes("UTF-8")),
+          ("trace", "second".getBytes("UTF-8"))
+        )
+      )
+    ).toDF("key", "value", "topic", "headers")
+      .withColumn("headers", col("headers").cast("array<struct<key:string,value:binary>>"))
+    val env = StreamRuntime.normalizeKafka(df).collect()(0)
+    assert(env.getAs[Map[String, String]]("properties") == Map("trace" -> "first", "other" -> "x"))
+  }
+
   test("heartbeat simulator transform builds reference frames (O-4)") {
     val fake = Seq((new java.sql.Timestamp(1700000000000L), 5L)).toDF("timestamp", "value")
     val frame = StreamRuntime.simulateHeartbeats(fake, clientId = 72).as[Array[Byte]].collect()(0)
