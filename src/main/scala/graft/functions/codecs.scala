@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -23,7 +23,10 @@ object codecs {
     * Null when the buffer is too short (mirrors the reference's
     * wait-for-more-bytes protocol, handler.cpp:99-102).
     */
-  case class LeU16(child: Expression, offset: Int) extends UnaryExpression {
+  case class LeU16(child: Expression, offset: Int)
+      extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
     override def dataType: DataType = IntegerType
     override def nullIntolerant: Boolean = true
     override def nullable: Boolean = true
@@ -49,7 +52,10 @@ object codecs {
     * handler.cpp:64-78) land in Long; values ≥ 2^63 wrap (documented edge,
     * SURVEY.md §7.4).
     */
-  case class LeI64(child: Expression, offset: Int) extends UnaryExpression {
+  case class LeI64(child: Expression, offset: Int)
+      extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
     override def nullable: Boolean = true
@@ -84,7 +90,10 @@ object codecs {
     * array&lt;binary&gt; of whole frames; incomplete trailing bytes are
     * dropped (batch twin of the reference's drain loop, tcp.cpp:128-139).
     */
-  case class FrameSplit(child: Expression) extends UnaryExpression {
+  case class FrameSplit(child: Expression)
+      extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
     override def dataType: DataType = ArrayType(BinaryType)
     override def nullIntolerant: Boolean = true
     override def nullSafeEval(v: Any): Any = {
@@ -192,7 +201,10 @@ object codecs {
   /** Native dyn_message-frame builder: `[u16 len][u16 type=1][payload]`;
     * throws on frames over 65535 bytes like the pure-Scala codec.
     */
-  case class DynEncode(child: Expression) extends UnaryExpression {
+  case class DynEncode(child: Expression)
+      extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
     override def dataType: DataType = BinaryType
     override def nullIntolerant: Boolean = true
     override def nullSafeEval(v: Any): Any =

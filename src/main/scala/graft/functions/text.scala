@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -21,7 +21,10 @@ object text {
     * shingle position (O(len²) per document, measured ~6.5 s of the 8.6 s
     * x6 runtime at sf0.1). This tokenizes once per row.
     */
-  case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     require(n >= 1, "shingle width must be >= 1")
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullIntolerant: Boolean = true
@@ -71,7 +74,10 @@ object text {
     * value `xxhash64(lit(seed), h)` = hashLong(h, hashInt(seed, 42)).
     * The per-seed bases are precomputed once per expression instance.
     */
-  case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+  case class MinHashSig(child: Expression, numHashes: Int)
+      extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
     require(numHashes >= 1, "numHashes must be >= 1")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
@@ -126,7 +132,10 @@ object text {
     * to the declarative twin: token hash = xxhash64(tok) (utf8 bytes,
     * seed 42), vote b from bit b of the hash, ties (vote sum 0) → 0.
     */
-  case class SimHash64(child: Expression) extends UnaryExpression {
+  case class SimHash64(child: Expression)
+      extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
 

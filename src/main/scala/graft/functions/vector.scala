@@ -16,7 +16,11 @@ import org.apache.spark.sql.types._
   *
   * Numeric contract: identical fold order (sequential, double accumulator)
   * to the HOF versions, so results are bit-equal and the DuckDB oracles and
-  * recall tests are unaffected.
+  * recall tests are unaffected — for DENSE arrays. A NULL array element
+  * reads as 0.0 here (ArrayData.getDouble), where the HOF twins propagate
+  * NULL: these kernels assume validated dense embeddings (what every
+  * caller in this repo guarantees); keep the HOF formulation if you need
+  * per-element NULL propagation.
   */
 object vector {
 

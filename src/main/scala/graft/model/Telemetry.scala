@@ -53,15 +53,26 @@ object Telemetry {
     Heartbeat(bb.getLong(0), bb.getLong(8), bb.getLong(16))
   }
 
+  /** A structurally invalid frame header — a u16 length below the header
+    * size. There is no resync point in a length-prefixed stream, so this
+    * is fatal for the connection/buffer that produced it.
+    */
+  final class FramingException(msg: String) extends RuntimeException(msg)
+
   /** Decode one frame starting at `offset`. Returns `None` when the buffer
     * holds an incomplete frame — the caller must wait for more bytes (the
-    * return-0 protocol of handler.cpp:99-102 / tcp.cpp:128-139).
+    * return-0 protocol of handler.cpp:99-102 / tcp.cpp:128-139). A length
+    * below HeaderSize is NOT 'incomplete': no amount of further bytes can
+    * complete it, and treating it as such would wedge a stateful decoder
+    * into buffering forever — it throws [[FramingException]] instead.
     */
   def decodeOne(buf: Array[Byte], offset: Int): Option[Frame] = {
     if (buf.length - offset < HeaderSize) return None
     val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
     val len = bb.getShort(offset) & 0xffff
-    if (len < HeaderSize || buf.length - offset < len) return None
+    if (len < HeaderSize)
+      throw new FramingException(s"malformed frame length $len (< $HeaderSize) at offset $offset")
+    if (buf.length - offset < len) return None
     val tpe = bb.getShort(offset + LengthPrefixSize) & 0xffff
     Some(Frame(tpe, java.util.Arrays.copyOfRange(buf, offset + HeaderSize, offset + len)))
   }

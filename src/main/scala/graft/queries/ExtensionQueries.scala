@@ -729,6 +729,10 @@ object ExtensionQueries {
         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         |  ROUND(CAST(SUM(n_tok) AS DOUBLE) / ((MAX(seq_id) + 1) * 2048), 6) AS fill_ratio
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // NB: SUBSTR/ORD here index CHARACTERS while the Spark side subsamples
+    // UTF-8 BYTES — equivalent only because this corpus is pure ASCII
+    // (verified across all testdata scales); a byte-exact twin would need
+    // DuckDB blob indexing
     "x23_media_resize" ->
       """WITH r AS (
         |  SELECT doc_id, LENGTH(text) AS len,
@@ -776,10 +780,12 @@ object ExtensionQueries {
         |SELECT domain, tokens, target_tokens,
         |  ROUND(LEAST(CAST(1.0 AS DOUBLE), CAST(target_tokens AS DOUBLE) / tokens), 6) AS sample_rate
         |FROM m ORDER BY domain""".stripMargin,
-    // full blocks only (partial tails dropped, <16-byte docs emit nothing)
+    // full blocks only (partial tails dropped, <16-byte docs emit nothing);
+    // OCTET_LENGTH on the blob, not LENGTH: the Spark side frames UTF-8
+    // BYTES, and char counting would diverge on any non-ASCII document
     "x13_frame_sample" ->
       """WITH f AS (
-        |  SELECT doc_id, LENGTH(text) // 16 AS n_frames FROM documents),
+        |  SELECT doc_id, OCTET_LENGTH(CAST(text AS BLOB)) // 16 AS n_frames FROM documents),
         |idx AS (
         |  SELECT doc_id, UNNEST(RANGE(0, n_frames)) AS i FROM f)
         |SELECT doc_id, COUNT(1) AS n_sampled,

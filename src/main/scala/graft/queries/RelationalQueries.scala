@@ -21,6 +21,20 @@ import graft.operators.AsOfJoin
   */
 object RelationalQueries {
 
+  /** Run SQL against `df` through a UNIQUE, immediately-dropped temp view:
+    * a fixed view name would mutate shared session state, so two builders
+    * racing on one session could silently bind to each other's data. The
+    * analyzed plan holds the resolved relation, so dropping the view right
+    * after `s.sql` is safe.
+    */
+  private val viewIds = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def sqlOn(s: SparkSession, df: DataFrame)(sql: String => String): DataFrame = {
+    val view = s"graft_q_${viewIds.getAndIncrement()}"
+    df.createOrReplaceTempView(view)
+    try s.sql(sql(view))
+    finally { s.catalog.dropTempView(view); () }
+  }
+
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.load(s, dir, name)
 
@@ -180,14 +194,13 @@ object RelationalQueries {
 
     // Grouping sets via SQL surface (also proves spark.sql entry).
     "q13_grouping_sets" -> ((s, dir) => {
-      T(s, dir, "orders").createOrReplaceTempView("orders_v")
-      s.sql(
-        """SELECT o_orderstatus, o_orderpriority, count(1) AS n
-          |FROM orders_v
-          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST, n
-          |""".stripMargin
-      )
+      sqlOn(s, T(s, dir, "orders")) { view =>
+        s"""SELECT o_orderstatus, o_orderpriority, count(1) AS n
+           |FROM $view
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST, n
+           |""".stripMargin
+      }
     }),
 
     // Scalar function gallery: string ops.
@@ -333,17 +346,16 @@ object RelationalQueries {
     // Correlated scalar subquery: orders above their customer's own
     // average (exact decimal avg both sides: sum/count in decimal).
     "q26_correlated_subquery" -> ((s, dir) => {
-      T(s, dir, "orders").createOrReplaceTempView("orders_c")
-      s.sql(
-        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_c o
-          |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (
-          |    SELECT COUNT(1) FROM orders_c i WHERE i.o_custkey = o.o_custkey
-          |  ) > (
-          |    SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-          |    FROM orders_c i WHERE i.o_custkey = o.o_custkey
-          |  )
-          |ORDER BY o_orderkey""".stripMargin
-      )
+      sqlOn(s, T(s, dir, "orders")) { view =>
+        s"""SELECT o_orderkey, o_custkey, o_totalprice FROM $view o
+           |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (
+           |    SELECT COUNT(1) FROM $view i WHERE i.o_custkey = o.o_custkey
+           |  ) > (
+           |    SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           |    FROM $view i WHERE i.o_custkey = o.o_custkey
+           |  )
+           |ORDER BY o_orderkey""".stripMargin
+      }
     }),
 
     // Pivot: event_type counts to columns per user.

@@ -299,8 +299,13 @@ private[sources] class TcpFrameStream(
         }
         n = in.read(buf)
       }
-    } catch { case _: java.io.IOException => () } // connection reset = close
-    finally {
+    } catch {
+      case _: java.io.IOException => () // connection reset = close
+      case e: Telemetry.FramingException =>
+        // a peer sending garbage lengths is dropped (no resync point in a
+        // length-prefixed stream); frames already decoded stay delivered
+        System.err.println(s"[graft-tcp:$port] dropping conn $conn: ${e.getMessage}")
+    } finally {
       openConnections.decrementAndGet()
       socket.close()
     }

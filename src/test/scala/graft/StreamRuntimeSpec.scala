@@ -181,6 +181,15 @@ class StreamRuntimeSpec extends SparkTestBase {
     val hdr = row.getAs[Seq[org.apache.spark.sql.Row]]("headers").head
     assert(hdr.getAs[String]("key") == "h" && new String(hdr.getAs[Array[Byte]]("value"), "UTF-8") == "v")
     assert(projected.schema.fieldNames.toSeq == Seq("key", "topic", "headers", "value"))
+    // the documented sink-edge schema IS the projection's schema — keeps
+    // Message.kafkaSinkSchema a checked contract, not duplicated truth
+    assert(
+      org.apache.spark.sql.types.DataType.equalsIgnoreNullability(
+        projected.schema,
+        graft.model.Message.kafkaSinkSchema
+      ),
+      s"toKafkaColumns schema drifted from Message.kafkaSinkSchema:\n${projected.schema}\nvs\n${graft.model.Message.kafkaSinkSchema}"
+    )
   }
 
   test("kafka deep round-trip: recorded consumer rows → normalize → route → sink rows match FT fixtures") {

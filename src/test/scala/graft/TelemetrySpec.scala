@@ -48,6 +48,18 @@ class TelemetrySpec extends AnyFunSuite {
     assert(drain(Array.emptyByteArray)._1.isEmpty)
   }
 
+  test("malformed length (< header) throws FramingException, never wedges the decoder") {
+    // len=3 < HeaderSize: no amount of further bytes completes this frame;
+    // 'incomplete' would buffer forever, so it must fail loudly
+    val bad = Array[Byte](3, 0, 1, 0, 9)
+    intercept[graft.model.Telemetry.FramingException](decodeOne(bad, 0))
+    intercept[graft.model.Telemetry.FramingException](drain(bad))
+    val dec = new graft.model.Telemetry.StreamDecoder
+    // a good frame first still surfaces before the poison bytes blow up
+    val good = encodeFrame(TypeDynMessage, Array[Byte](7))
+    intercept[graft.model.Telemetry.FramingException](dec.feed(good ++ bad))
+  }
+
   test("chunk-boundary invariance: any split decodes to the same frames (doc/test.adoc:44-50)") {
     val r = new Random(7)
     (1 to 200).foreach { _ =>
