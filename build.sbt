@@ -12,6 +12,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses the LAST stdout line of `sbt "runMain
+// graft.Bench"` (BENCH_r*.json `parsed`). Forked program output must go
+// straight to stdout (no `[info]` log prefix) and sbt's `[success] Total
+// time` footer must not trail the summary JSON, so the bare JSON line
+// Bench prints last IS the last stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

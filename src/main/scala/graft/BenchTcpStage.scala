@@ -44,6 +44,24 @@ object BenchTcpStage {
     spark.stop()
   }
 
+  /** Combined result of the forked perf stage. `allAttempts` is the engine
+    * ingest reading of EVERY fork in launch order (-1 for a fork that died
+    * or timed out), not just the per-slot survivors in `runs` — the
+    * noise-retry filtering below is auditable from the artifact itself
+    * (which readings were discarded, and in which direction), not only
+    * countable via `attempts`.
+    */
+  final case class Result(
+      runs: Seq[Double],
+      rawMbps: Double,
+      rawKmps: Double,
+      pipeMbps: Double,
+      pipeKmps: Double,
+      pipeMsgs: Long,
+      attempts: Int,
+      allAttempts: Seq[Double]
+  )
+
   /** Fork the stage into 3 fresh JVMs (one engine-ingest round each) and
     * combine: ingest runs sorted across children (median = element 1), raw
     * and pipeline best across children. None if any slot fails every try.
@@ -61,21 +79,27 @@ object BenchTcpStage {
     * silent. A child that is slow on BOTH rounds is accepted as an honest
     * measurement of a slow box.
     */
-  def forked(): Option[(Seq[Double], Double, Double, Double, Double, Long, Int)] = {
+  def forked(): Option[Result] = {
     type Child = (Seq[Double], Double, Double, Double, Double, Long)
     def ingestOf(c: Child): Double = c._1.head
     // poisoned: engine round collapsed while the child's OWN raw twin shows
     // the box moving GB/s through the same sockets+decoder
     def poisoned(c: Child): Boolean = ingestOf(c) < 150.0 && c._2 > 600.0
     var attempts = 0
+    val allAttempts = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def fork(): Option[Child] = {
+      attempts += 1
+      val c = forkOnce()
+      allAttempts += c.map(ingestOf).getOrElse(-1.0)
+      c
+    }
     val slots = scala.collection.mutable.ArrayBuffer.empty[Child]
     (1 to 3).foreach { _ =>
       var best: Option[Child] = None
       var tries = 0
       while (tries < 2 && best.forall(poisoned)) {
         tries += 1
-        attempts += 1
-        forkOnce().foreach { c =>
+        fork().foreach { c =>
           if (best.forall(b => ingestOf(c) > ingestOf(b))) best = Some(c)
         }
       }
@@ -93,8 +117,7 @@ object BenchTcpStage {
         slots.map(ingestOf).sorted.apply(1) >= 300.0
       ) {
         extra += 1
-        attempts += 1
-        forkOnce().foreach { c =>
+        fork().foreach { c =>
           val minIdx = slots.indices.minBy(i => ingestOf(slots(i)))
           if (ingestOf(c) > ingestOf(slots(minIdx))) slots(minIdx) = c
         }
@@ -102,7 +125,7 @@ object BenchTcpStage {
       val runs = slots.map(ingestOf).toSeq.sorted
       val (ra, rk) = slots.map(c => (c._2, c._3)).maxBy(_._1)
       val (pm, pk) = slots.map(c => (c._4, c._5)).maxBy(_._1)
-      Some((runs, ra, rk, pm, pk, slots.head._6, attempts))
+      Some(Result(runs, ra, rk, pm, pk, slots.head._6, attempts, allAttempts.toSeq))
     }
   }
 

@@ -135,7 +135,77 @@ object codecs {
     override protected def withNewChildInternal(c: Expression): FrameSplit = copy(child = c)
   }
 
+  /** Kafka headers (`array<struct<key:string, value:binary>>`) → the
+    * envelope's `map<string,string>` properties in ONE linear pass.
+    * Kafka headers are an ordered MULTI-map: duplicate keys keep the FIRST
+    * occurrence (the reference's unordered_map insert semantics,
+    * kafka.hpp:862-880), null keys are skipped (a raw `map_from_entries`
+    * throws on either, turning one poison-pill record into a permanently
+    * wedged streaming query), and null header values stay null map values.
+    * Native expression because the HOF formulation was O(h²) per record
+    * with every lambda evaluated interpreted — this is the per-record hot
+    * path of the Kafka ingress (O-1).
+    */
+  case class KafkaHeadersToMap(child: Expression)
+      extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(
+      ArrayType(
+        StructType(
+          Seq(StructField("key", StringType), StructField("value", BinaryType))
+        )
+      )
+    )
+    override def dataType: DataType = MapType(StringType, StringType, valueContainsNull = true)
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      codecs.firstWinsHeaders(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        h => s"${ev.value} = graft.functions.codecs.firstWinsHeaders($h);"
+      )
+    override protected def withNewChildInternal(c: Expression): KafkaHeadersToMap =
+      copy(child = c)
+  }
+
+  /** Shared kernel of [[KafkaHeadersToMap]] (called from both eval and the
+    * generated code): one pass, first-wins on duplicate keys, null keys
+    * skipped, binary values decoded as UTF-8.
+    */
+  def firstWinsHeaders(
+      arr: org.apache.spark.sql.catalyst.util.ArrayData
+  ): org.apache.spark.sql.catalyst.util.MapData = {
+    val n = arr.numElements()
+    val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](math.max(4, n))
+    val keys = new scala.collection.mutable.ArrayBuffer[Any](n)
+    val vals = new scala.collection.mutable.ArrayBuffer[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val row = arr.getStruct(i, 2)
+        if (!row.isNullAt(0)) {
+          val k = row.getUTF8String(0)
+          if (seen.add(k)) {
+            keys += k
+            vals += (if (row.isNullAt(1))
+                       null
+                     else
+                       org.apache.spark.unsafe.types.UTF8String
+                         .fromBytes(row.getBinary(1)))
+          }
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayBasedMapData(keys.toArray, vals.toArray)
+  }
+
   // ---- public Column API -------------------------------------------------
+
+  /** Kafka headers array → first-wins properties map ([[KafkaHeadersToMap]]). */
+  def kafka_headers_map(c: Column): Column = col(KafkaHeadersToMap(expr(c)))
 
   /** LE u16 at `offset` (frame `len` at 0, `type` at 2). */
   def le_u16(c: Column, offset: Int): Column = col(LeU16(expr(c), offset))

@@ -101,10 +101,24 @@ object Telemetry {
   /** Stateful incremental decoder: the carry-over buffer of the reference's
     * per-connection TCP handler (tcp.cpp:102-154) — used by the TCP DSv2
     * source's partition reader.
+    *
+    * Poison semantics: when a chunk contains a structurally invalid header
+    * mid-stream, [[feed]] RETURNS the frames decoded before the poison
+    * offset (good frames are never discarded with the garbage that follows
+    * them) and records the [[FramingException]] in [[failure]]; the caller
+    * checks `failure` after each feed and drops the connection. Any
+    * further `feed` throws the recorded exception — there is no resync
+    * point in a length-prefixed stream, so a poisoned decoder is dead.
     */
   final class StreamDecoder {
     private var carry: Array[Byte] = Array.emptyByteArray
+    private var poison: Option[FramingException] = None
+
+    /** The framing error that killed this decoder, if any. */
+    def failure: Option[FramingException] = poison
+
     def feed(chunk: Array[Byte]): Seq[Frame] = {
+      poison.foreach(e => throw e)
       val buf =
         if (carry.isEmpty) chunk
         else {
@@ -113,9 +127,26 @@ object Telemetry {
           System.arraycopy(chunk, 0, b, carry.length, chunk.length)
           b
         }
-      val (frames, consumed) = drain(buf)
-      carry = java.util.Arrays.copyOfRange(buf, consumed, buf.length)
-      frames
+      // inline drain loop, stopping AT the poison offset instead of
+      // unwinding through it: frames decoded earlier in this same chunk
+      // stay delivered (drain() alone would throw them away)
+      val out = ArrayBuffer.empty[Frame]
+      var off = 0
+      var continue = true
+      while (continue) {
+        try decodeOne(buf, off) match {
+          case Some(f) =>
+            out += f
+            off += HeaderSize + f.body.length
+          case None => continue = false
+        } catch {
+          case e: FramingException =>
+            poison = Some(e)
+            continue = false
+        }
+      }
+      carry = java.util.Arrays.copyOfRange(buf, off, buf.length)
+      out.toSeq
     }
     def pending: Int = carry.length
   }

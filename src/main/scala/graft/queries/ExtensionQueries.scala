@@ -438,14 +438,28 @@ object ExtensionQueries {
     // (doc_id % 97 == 0 stands in for the eval set). Benchmark side
     // broadcasts; the corpus is one scan + explode, no corpus shuffle
     // before the per-doc aggregation.
+    //
+    // Planted contamination (the x10/x14 pattern): a deterministic subset
+    // of the benchmark docs re-enters the CORPUS side under shifted ids.
+    // Without it the synthetic corpus shares no natural 8-gram with the
+    // benchmark slice at the gate scale and both engines compared 0 rows
+    // to 0 rows — a vacuously green gate (round-3 review). The planted
+    // rows guarantee non-empty, content-checked output: each planted doc
+    // must be flagged with bench_id = its source doc and n_hits = the
+    // full gram count, and the join/agg logic is exercised cross-engine.
     "x24_decontaminate" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val planted = bench
+        .filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0).unionByName(planted)
       graft.operators.CorpusOps
         .decontaminate(
-          docs.filter(col("doc_id") % 97 =!= 0),
+          corpus,
           col("text"),
           col("doc_id"),
-          docs.filter(col("doc_id") % 97 === 0),
+          bench,
           col("text"),
           col("doc_id"),
           n = 8
@@ -757,6 +771,8 @@ object ExtensionQueries {
         |  CAST(COUNT(DISTINCT b.bin) AS INT) AS occupied_bins
         |FROM r LEFT JOIN b ON r.doc_id = b.doc_id
         |GROUP BY 1, r.resized_len ORDER BY 1""".stripMargin,
+    // planted-contamination twin: benchmark docs with doc_id % 5 = 0
+    // re-enter the corpus under doc_id + 10000000 (see the Spark side)
     "x24_decontaminate" ->
       """WITH g AS (
         |  SELECT doc_id,
@@ -766,7 +782,11 @@ object ExtensionQueries {
         |             i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+7], ' '))
         |      END) AS grams
         |  FROM documents),
-        |c AS (SELECT doc_id, UNNEST(grams) AS gram FROM g WHERE doc_id % 97 != 0),
+        |c AS (
+        |  SELECT doc_id, UNNEST(grams) AS gram FROM g WHERE doc_id % 97 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, UNNEST(grams) AS gram FROM g
+        |  WHERE doc_id % 97 = 0 AND doc_id % 5 = 0),
         |b AS (SELECT doc_id AS bench_id, UNNEST(grams) AS gram FROM g WHERE doc_id % 97 = 0)
         |SELECT c.doc_id, MIN(b.bench_id) AS bench_id, COUNT(1) AS n_hits
         |FROM c JOIN b ON c.gram = b.gram

@@ -203,6 +203,20 @@ private[sources] final case class FrameChunk(
   * latestOffset stops advancing once a trigger would exceed the cap.
   */
 private[sources] object TcpFrameStream {
+  /** Default ingress buffer cap for a bare `format("graft-tcp")` stream:
+    * 256 MB. Without it a stalled/lagging sink grows the driver-side chunk
+    * log without bound — the exact lag-driven driver OOM the O-14
+    * drop-on-full work closes, which an unbounded DEFAULT would leave
+    * reachable on the path users hit first. Over-cap chunks are shed and
+    * counted in [[TcpShedMetrics]] (`drop_messages_total` on /metrics),
+    * never silently. Override per stream with `.option("maxBufferedBytes",
+    * n)` (GraftService wires YAML `bufferLimit` to it); tests can shrink
+    * the default via -Dgraft.tcp.defaultBufferBytes.
+    */
+  val DefaultMaxBufferedBytes: Long = 256L << 20
+  def defaultBufferCap: Long =
+    java.lang.Long.getLong("graft.tcp.defaultBufferBytes", DefaultMaxBufferedBytes)
+
   /** Partition fan-out per micro-batch. With the zero-copy
     * [[TcpChunkHandoff]] in local mode, fan-out costs nothing on the
     * driver (descriptors are two longs), so batches split to the
@@ -224,6 +238,9 @@ private[sources] class TcpFrameStream(
 
   private var lastPlannedEnd = 0L // chunk index of the previous batch end
   private var bufferedBytes = 0L // blob bytes currently in `log` (guarded by log lock)
+  // resolved once at construction: explicit option, else the bounded
+  // 256 MB default (never unbounded — see TcpFrameStream.defaultBufferCap)
+  private val bufferCap = maxBufferedBytes.getOrElse(TcpFrameStream.defaultBufferCap)
 
   // Restart semantics: a TCP stream is NOT replayable (like Spark's own
   // socket source) — frames buffered before a crash are gone. On restart
@@ -275,8 +292,12 @@ private[sources] class TcpFrameStream(
       val in: InputStream = socket.getInputStream // inside try: may throw on a racing close
       val buf = new Array[Byte](1 << 16)
       var n = in.read(buf)
-      while (running && n >= 0) {
+      while (running && n >= 0 && decoder.failure.isEmpty) {
         if (n > 0) {
+          // feed returns the frames decoded BEFORE any poison offset and
+          // records the FramingException in decoder.failure — good frames
+          // in a chunk whose tail is garbage are buffered below before the
+          // loop condition drops the connection
           val frames = decoder.feed(java.util.Arrays.copyOf(buf, n))
           if (frames.nonEmpty) {
             val chunk = pack(conn, frames)
@@ -286,8 +307,7 @@ private[sources] class TcpFrameStream(
             // the ingress buffer, and the bound that keeps the driver-side
             // log from growing without limit when downstream lags.
             log.synchronized {
-              val cap = maxBufferedBytes.getOrElse(Long.MaxValue)
-              if (bufferedBytes + chunk.blob.length > cap) {
+              if (bufferedBytes + chunk.blob.length > bufferCap) {
                 TcpShedMetrics.record(port, chunk.frames, chunk.blob.length)
               } else {
                 log += chunk
@@ -299,12 +319,14 @@ private[sources] class TcpFrameStream(
         }
         n = in.read(buf)
       }
+      // a peer sending garbage lengths is dropped (no resync point in a
+      // length-prefixed stream); every frame decoded before the poison
+      // offset — including ones earlier in the same chunk — was delivered
+      decoder.failure.foreach(e =>
+        System.err.println(s"[graft-tcp:$port] dropping conn $conn: ${e.getMessage}")
+      )
     } catch {
       case _: java.io.IOException => () // connection reset = close
-      case e: Telemetry.FramingException =>
-        // a peer sending garbage lengths is dropped (no resync point in a
-        // length-prefixed stream); frames already decoded stay delivered
-        System.err.println(s"[graft-tcp:$port] dropping conn $conn: ${e.getMessage}")
     } finally {
       openConnections.decrementAndGet()
       socket.close()

@@ -43,25 +43,22 @@ object StreamRuntime {
     * the envelope's properties map is not — duplicates keep the FIRST
     * occurrence (the reference's unordered_map insert semantics), because
     * a raw `map_from_entries` would throw on the duplicate and turn one
-    * poison-pill record into a permanently wedged query.
+    * poison-pill record into a permanently wedged query. Null header KEYS
+    * are skipped for the same reason (map keys cannot be null). The whole
+    * headers→map step is ONE native linear-pass expression
+    * ([[graft.functions.codecs.KafkaHeadersToMap]]) — the previous HOF
+    * formulation was O(h²) per record with interpreted lambdas, a real
+    * per-record cost on header-heavy topics.
     */
-  def normalizeKafka(df: DataFrame): DataFrame = {
-    val entries = transform(
-      coalesce(col("headers"), array()),
-      h => struct(h.getField("key").as("key"), decode(h.getField("value"), "UTF-8").as("value"))
-    )
-    val firstWins = filter(
-      entries,
-      (e, i) =>
-        size(filter(slice(entries, lit(1), i), p => p.getField("key") === e.getField("key"))) === 0
-    )
+  def normalizeKafka(df: DataFrame): DataFrame =
     df.select(
       col("key"),
       col("topic").as("subject"),
-      map_from_entries(firstWins).as("properties"),
+      graft.functions.codecs
+        .kafka_headers_map(coalesce(col("headers"), array()))
+        .as("properties"),
       col("value").as("payload")
     )
-  }
 
   /** Envelope → Kafka producer columns (subject→topic, properties→headers,
     * key/payload passthrough): the exact projection [[kafkaSink]] writes,

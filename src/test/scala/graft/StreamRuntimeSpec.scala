@@ -63,6 +63,28 @@ class StreamRuntimeSpec extends SparkTestBase {
     assert(env.getAs[Map[String, String]]("properties") == Map("trace" -> "first", "other" -> "x"))
   }
 
+  test("kafka normalization: null header keys are skipped, null values kept (poison-pill hardening)") {
+    // a null header KEY cannot become a map key (map_from_entries throws);
+    // a null header VALUE is legal in Kafka and stays a null map value
+    val df = Seq(
+      (
+        "k".getBytes("UTF-8"),
+        "p".getBytes("UTF-8"),
+        "t",
+        Seq(
+          (null.asInstanceOf[String], "dropme".getBytes("UTF-8")),
+          ("ok", "v".getBytes("UTF-8")),
+          ("nullval", null.asInstanceOf[Array[Byte]])
+        )
+      )
+    ).toDF("key", "value", "topic", "headers")
+      .withColumn("headers", col("headers").cast("array<struct<key:string,value:binary>>"))
+    val env = StreamRuntime.normalizeKafka(df).collect()(0)
+    assert(
+      env.getAs[Map[String, String]]("properties") == Map("ok" -> "v", "nullval" -> null)
+    )
+  }
+
   test("heartbeat simulator transform builds reference frames (O-4)") {
     val fake = Seq((new java.sql.Timestamp(1700000000000L), 5L)).toDF("timestamp", "value")
     val frame = StreamRuntime.simulateHeartbeats(fake, clientId = 72).as[Array[Byte]].collect()(0)

@@ -55,9 +55,15 @@ class TelemetrySpec extends AnyFunSuite {
     intercept[graft.model.Telemetry.FramingException](decodeOne(bad, 0))
     intercept[graft.model.Telemetry.FramingException](drain(bad))
     val dec = new graft.model.Telemetry.StreamDecoder
-    // a good frame first still surfaces before the poison bytes blow up
+    // frames decoded BEFORE the poison offset in the same chunk are
+    // DELIVERED, the exception is recorded in `failure`, and the dead
+    // decoder throws on any further feed (no resync in a length-prefixed
+    // stream)
     val good = encodeFrame(TypeDynMessage, Array[Byte](7))
-    intercept[graft.model.Telemetry.FramingException](dec.feed(good ++ bad))
+    val delivered = dec.feed(good ++ bad)
+    assert(delivered.length == 1 && delivered.head.body.toSeq == Seq[Byte](7))
+    assert(dec.failure.isDefined)
+    intercept[graft.model.Telemetry.FramingException](dec.feed(Array[Byte](1)))
   }
 
   test("chunk-boundary invariance: any split decodes to the same frames (doc/test.adoc:44-50)") {
