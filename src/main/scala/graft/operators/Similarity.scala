@@ -78,44 +78,41 @@ object Similarity {
   /** Squared L2 distance between two array columns (native, one pass). */
   def l2sq(a: Column, b: Column): Column = graft.functions.vector.l2sq(a, b)
 
-  /** IVF (inverted-file) ANN — the clustering scale path (à la FAISS IVF,
-    * public design): k-means-lite partitions the corpus into `nlist` cells;
-    * a query probes its `nprobe` nearest cells and only those are reranked
-    * exactly. At 100 TB the corpus is hash-partitioned by cell id, the
-    * centroid table (nlist × dim, KBs) broadcasts, and each query touches
-    * nprobe/nlist of the data — the scan shrinks by that factor.
+  // `n` nearest cells of `v` as array<int> of cell ids: ONE native
+  // codegen pass over all nlist distances with in-loop top-n selection
+  // ([[graft.functions.vector.NearestCells]]) — the HOF
+  // transform+array_sort formulation evaluated its lambda interpreted
+  // per centroid per row, the dominant per-row cost of assignment at
+  // corpus scale. Ordering (distance, cell) is bit-compatible.
+  private def nearestCells(v: Column, cents: Seq[Seq[Double]], n: Int): Column =
+    graft.functions.vector.nearest_cells(v, cents, n)
+
+  private def withCell(df: DataFrame, vc: String, cents: Seq[Seq[Double]]): DataFrame =
+    df.withColumn("cell", element_at(nearestCells(col(vc), cents, 1), 1))
+
+  /** IVF training (the train half of train-once / probe-many — see
+    * [[ivfProbe]]): `iters` Lloyd rounds over the corpus, centroids seeded
+    * from the first `nlist` rows by id (deterministic). Returns the
+    * centroid TABLE `(cell int, centroid array<double>)` — nlist rows,
+    * KBs — which the caller persists once (a parquet write at 100 TB
+    * scale) and reuses across every probe call; retraining per query
+    * batch was the round-3 review's top API gap.
     *
-    * Training: `iters` Lloyd rounds, centroids seeded from the first
-    * `nlist` rows by id (deterministic). Assignment is SHUFFLE-FREE: the
-    * centroid table (nlist × dim doubles, KBs) rides into the plan as one
-    * `typedlit` literal and the argmin is a pure column expression — a
-    * cross-join + window formulation would re-shuffle nlist× the corpus
-    * every Lloyd round. The only exchanges left are the (nlist × dim)-row
-    * partial-aggregated mean per round and the final per-query top-k.
+    * Assignment during training is SHUFFLE-FREE: the centroid table rides
+    * into the plan as one literal and the argmin is a pure column
+    * expression — a cross-join + window formulation would re-shuffle
+    * nlist× the corpus every Lloyd round. The only exchange per round is
+    * the (nlist × dim)-row partial-aggregated mean. Empty cells keep
+    * their previous centroid.
     */
-  def ivfTopK(
+  def ivfTrain(
       corpus: DataFrame,
-      queries: DataFrame,
       vec: String,
       id: String,
-      k: Int,
       nlist: Int = 16,
-      nprobe: Int = 4,
       iters: Int = 2
   ): DataFrame = {
     val c = corpus.select(col(id).as("cid"), col(vec).as("cv"))
-
-    // `n` nearest cells of `v` as array<int> of cell ids: ONE native
-    // codegen pass over all nlist distances with in-loop top-n selection
-    // ([[graft.functions.vector.NearestCells]]) — the HOF
-    // transform+array_sort formulation evaluated its lambda interpreted
-    // per centroid per row, the dominant per-row cost of assignment at
-    // corpus scale. Ordering (distance, cell) is bit-compatible.
-    def nearestCells(v: Column, cents: Seq[Seq[Double]], n: Int): Column =
-      graft.functions.vector.nearest_cells(v, cents, n)
-
-    def withCell(df: DataFrame, vc: String, cents: Seq[Seq[Double]]): DataFrame =
-      df.withColumn("cell", element_at(nearestCells(col(vc), cents, 1), 1))
 
     // seed: first nlist vectors by id
     var cents: Seq[Seq[Double]] = c
@@ -127,7 +124,7 @@ object Similarity {
 
     // Lloyd rounds: element-wise mean per cell (posexplode + avg per slot;
     // partial aggregation completes map-side, the exchange carries only
-    // ~nlist×dim rows per input partition). Empty cells keep old centroids.
+    // ~nlist×dim rows per input partition).
     (1 to iters).foreach { _ =>
       val means = withCell(c, "cv", cents)
         .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
@@ -142,12 +139,45 @@ object Similarity {
       cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toVector
     }
 
-    val cells = withCell(c, "cv", cents) // (cid, cv, cell) — still no shuffle
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex.map { case (cent, cell) => (cell, cent) }.toDF("cell", "centroid")
+  }
+
+  /** IVF serve path: probe a TRAINED centroid table (from [[ivfTrain]],
+    * possibly read back from storage) — centroids are computed once and
+    * reused across query batches, the 100 TB usage pattern. The tiny
+    * table (nlist × dim, KBs) is collected into one plan literal so both
+    * cell assignment and query probing stay shuffle-free native codegen;
+    * the only exchanges are the broadcast of the probe set and the final
+    * per-query top-k.
+    */
+  def ivfProbe(
+      centroids: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      vec: String,
+      id: String,
+      k: Int,
+      nprobe: Int = 4
+  ): DataFrame = {
+    val rows = centroids
+      .select(col("cell").cast("int").as("cell"), col("centroid").cast("array<double>"))
+      .collect()
+    val byCell = rows.map(r => (r.getInt(0), r.getSeq[Double](1).toVector)).sortBy(_._1)
+    require(
+      byCell.nonEmpty && byCell.map(_._1).toSeq == (0 until byCell.length),
+      s"centroid table must carry contiguous cells 0..n-1, got ${byCell.map(_._1).mkString(",")}"
+    )
+    val cents: Seq[Seq[Double]] = byCell.map(_._2).toVector
+
+    val c = corpus.select(col(id).as("cid"), col(vec).as("cv"))
+    val cells = withCell(c, "cv", cents) // (cid, cv, cell) — no shuffle
 
     // queries probe their nprobe nearest cells
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
     val probes = q
-      .withColumn("cell", explode(nearestCells(col("qv"), cents, nprobe)))
+      .withColumn("cell", explode(nearestCells(col("qv"), cents, math.min(nprobe, cents.length))))
       .select(col("query_id"), col("qv"), col("cell"))
 
     // rerank exactly within the probed cells
@@ -161,6 +191,29 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
+
+  /** IVF (inverted-file) ANN — the clustering scale path (à la FAISS IVF,
+    * public design): k-means-lite partitions the corpus into `nlist` cells;
+    * a query probes its `nprobe` nearest cells and only those are reranked
+    * exactly. At 100 TB the corpus is hash-partitioned by cell id, the
+    * centroid table (nlist × dim, KBs) broadcasts, and each query touches
+    * nprobe/nlist of the data — the scan shrinks by that factor.
+    *
+    * One-shot composition of [[ivfTrain]] + [[ivfProbe]]; production
+    * callers with recurring query batches should train once, persist the
+    * centroid table, and call [[ivfProbe]] per batch.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vec: String,
+      id: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 2
+  ): DataFrame =
+    ivfProbe(ivfTrain(corpus, vec, id, nlist, iters), corpus, queries, vec, id, k, nprobe)
 
   /** Embedding-cosine near-duplicate pairs: corpus rows whose vectors are
     * near-identical (cosine ≥ threshold), the embedding-space twin of

@@ -95,6 +95,12 @@ private[sources] class TcpFrameTable(
 object TcpShedMetrics {
   private val frames = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAdder]()
   private val bytes = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAdder]()
+  // receive_* counts everything DECODED off the wire (admitted + shed) —
+  // the reference's receive_messages_total / receive_bytes_total
+  // (svc/handler.cpp counter names, scraped by the Grafana dashboard's
+  // rate() panels); drop_* below is the shed subset
+  private val rxFrames = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAdder]()
+  private val rxBytes = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAdder]()
   /** Live per-port gauges supplied by the running stream: (open
     * connections, buffered bytes) — the reference's `connection_count` /
     * `tcp_buffer_size` observable surface (interfaces.hpp:184-188,
@@ -109,13 +115,24 @@ object TcpShedMetrics {
     adder(frames, port).add(nFrames.toLong)
     adder(bytes, port).add(nBytes.toLong)
   }
+  private[sources] def recordReceived(port: Int, nFrames: Int, nBytes: Int): Unit = {
+    adder(rxFrames, port).add(nFrames.toLong)
+    adder(rxBytes, port).add(nBytes.toLong)
+  }
+  /** Configured buffer cap per port (the reference's `tcp_buffer_capacity`
+    * gauge — size vs capacity is what its dashboard's TCP-buffer panel
+    * plots). Registered alongside the live gauges.
+    */
+  private val capacities = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
   private[sources] def registerGauges(
       port: Int,
       connections: () => Int,
-      buffered: () => Long
+      buffered: () => Long,
+      capacity: Long
   ): (() => Int, () => Long) = {
     val entry = (connections, buffered)
     gauges.put(port, entry)
+    capacities.put(port, capacity)
     entry
   }
   /** Conditional removal: only the entry the caller registered — a
@@ -128,14 +145,20 @@ object TcpShedMetrics {
   }
   def shedFrames(port: Int): Long = Option(frames.get(port)).map(_.sum()).getOrElse(0L)
   def shedBytes(port: Int): Long = Option(bytes.get(port)).map(_.sum()).getOrElse(0L)
+  def receivedFrames(port: Int): Long = Option(rxFrames.get(port)).map(_.sum()).getOrElse(0L)
+  def receivedBytes(port: Int): Long = Option(rxBytes.get(port)).map(_.sum()).getOrElse(0L)
   def connectionCount(port: Int): Int = Option(gauges.get(port)).map(_._1()).getOrElse(0)
   def bufferSize(port: Int): Long = Option(gauges.get(port)).map(_._2()).getOrElse(0L)
+  def bufferCapacity(port: Int): Long = Option(capacities.get(port)).map(_.longValue()).getOrElse(0L)
   /** Prometheus text lines for a port (appended to a /metrics scrape). */
   def scrape(port: Int): String =
-    s"""drop_messages_total{drop_type="load_shed",port="$port"} ${shedFrames(port)}
+    s"""receive_messages_total{port="$port"} ${receivedFrames(port)}
+       |receive_bytes_total{port="$port"} ${receivedBytes(port)}
+       |drop_messages_total{drop_type="load_shed",port="$port"} ${shedFrames(port)}
        |drop_bytes_total{drop_type="load_shed",port="$port"} ${shedBytes(port)}
        |connection_count{port="$port"} ${connectionCount(port)}
        |tcp_buffer_size{port="$port"} ${bufferSize(port)}
+       |tcp_buffer_capacity{port="$port"} ${bufferCapacity(port)}
        |""".stripMargin
 }
 
@@ -301,6 +324,7 @@ private[sources] class TcpFrameStream(
           val frames = decoder.feed(java.util.Arrays.copyOf(buf, n))
           if (frames.nonEmpty) {
             val chunk = pack(conn, frames)
+            TcpShedMetrics.recordReceived(port, chunk.frames, chunk.blob.length)
             // O-14 drop-on-full: with a buffer cap, an over-cap chunk is
             // SHED (dropped + counted), never buffered — the try_send
             // semantics of the reference (kafka.hpp:684-696) applied to
@@ -337,7 +361,8 @@ private[sources] class TcpFrameStream(
   private val gaugeEntry = TcpShedMetrics.registerGauges(
     port,
     () => openConnections.get(),
-    () => log.synchronized(bufferedBytes)
+    () => log.synchronized(bufferedBytes),
+    bufferCap
   )
 
   private val acceptThread = new Thread(() => {

@@ -142,6 +142,39 @@ class ExtensionsSpec extends SparkTestBase {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("IVF train/serve split: one trained centroid table serves many probe calls") {
+    val emb = graft.sources.Tables
+      .load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    // train ONCE (the persist-and-reuse path: survives a parquet round-trip)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_centroids").toString
+    Similarity.ivfTrain(emb, "embedding", "vec_id", nlist = 16, iters = 2)
+      .write.mode("overwrite").parquet(dir)
+    val centroids = spark.read.parquet(dir)
+    assert(centroids.count() == 16)
+    // two DIFFERENT query batches probe the same trained table
+    def probe(qs: org.apache.spark.sql.DataFrame) = Similarity
+      .ivfProbe(centroids, emb, qs, "embedding", "vec_id", 5, nprobe = 6)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val batch1 = probe(emb.filter(col("vec_id") < 10))
+    val batch2 = probe(emb.filter(col("vec_id") >= 10 && col("vec_id") < 20))
+    assert(batch1.groupBy(_._1).size == 10 && batch2.groupBy(_._1).size == 10)
+    // the composition (retrain-per-call) and the split path agree exactly
+    val composed = Similarity
+      .ivfTopK(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id", 5, nlist = 16, nprobe = 6)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    assert(batch1 == composed, "split train/probe must equal the one-shot composition")
+    // a centroid table with a hole is rejected loudly, not mis-assigned
+    intercept[IllegalArgumentException] {
+      Similarity.ivfProbe(centroids.filter(col("cell") =!= 3), emb,
+        emb.filter(col("vec_id") < 2), "embedding", "vec_id", 5)
+    }
+  }
+
   test("embedding-cosine near-dup pairs = exact brute-force subset, all above threshold") {
     val emb = graft.sources.Tables
       .load(spark, sfDir, "embeddings")

@@ -284,6 +284,57 @@ class ServiceSpec extends SparkTestBase {
     intercept[IllegalArgumentException](daemon.reload(simCfg(1L)))
   }
 
+  test("grafana dashboard twin: every panel metric is live on a real /metrics scrape") {
+    // res/grafana-dashboard-graft.json is the twin of the reference's
+    // res/grafana-dashboard-dsp.json; its panels must scrape only metric
+    // names the engine actually exposes — parse every target expr and
+    // demand each name on a LIVE scrape of a running TCP-ingress daemon
+    val dash = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("res/grafana-dashboard-graft.json")),
+      "UTF-8"
+    )
+    val metricNames = "\"expr\":\\s*\"(?:rate\\()?([a-zA-Z_][a-zA-Z0-9_]*)".r
+      .findAllMatchIn(dash)
+      .map(_.group(1))
+      .toSet
+    assert(metricNames.size >= 10, s"dashboard parse found too few metrics: $metricNames")
+
+    val port = { val s = new ServerSocket(0); try s.getLocalPort finally s.close() }
+    val cfg = GraftService.parseConfig(
+      s"""topic: dash-test
+         |interfaces:
+         |  southbound:
+         |    type: tcp
+         |    port: $port
+         |  northbound:
+         |    - {enabled: true, name: dash-nb, type: log}
+         |""".stripMargin
+    )
+    val daemon = GraftService.startDaemon(spark, cfg, _ => batch => { batch.count(); () })
+    def scrapeHttp(): String = {
+      val conn = new java.net.URL(s"http://127.0.0.1:${daemon.metricsPort}/metrics")
+        .openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      try new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      finally conn.disconnect()
+    }
+    try {
+      Thread.sleep(300)
+      val deadline = System.currentTimeMillis() + 20000
+      var missing = metricNames
+      while (missing.nonEmpty && System.currentTimeMillis() < deadline) {
+        // keep traffic flowing so rate gauges get real (non-NaN) values
+        val sock = new Socket("127.0.0.1", port)
+        sock.getOutputStream.write(encodeHeartbeat(Heartbeat(72, 0, 1L)))
+        sock.close()
+        Thread.sleep(300)
+        val body = scrapeHttp()
+        missing = metricNames.filterNot(body.contains)
+      }
+      assert(missing.isEmpty, s"dashboard metrics absent from live scrape: $missing")
+    } finally daemon.stop()
+  }
+
   test("service lifecycle: config → TCP ingress → router → per-destination fan-out") {
     val port = { val s = new ServerSocket(0); try s.getLocalPort finally s.close() }
     val cfg = GraftService.parseConfig(fixtureYaml.replace("%PORT%", port.toString))
