@@ -196,7 +196,8 @@ object Bench {
   private[graft] def tcpIngest(
       spark: org.apache.spark.sql.SparkSession,
       nClients: Int,
-      framesPerClient: Int
+      framesPerClient: Int,
+      batch: Int = 100
   ): (Double, Double) = {
     import java.net.Socket
     val msgSize = 200
@@ -255,18 +256,19 @@ object Bench {
       val t0 = System.nanoTime()
       val clients = (1 to nClients).map { _ =>
         val t = new Thread(() =>
-          // 100-frame batched writes for realistic client batching — the
-          // same user-facing TcpClient loop as tcpRaw (one copy to keep
-          // in sync)
+          // batched writes for realistic client batching (default 100; the
+          // reference-workload twin passes 10 to match perf-tcp.stage.sh) —
+          // the same user-facing TcpClient loop as tcpRaw (one copy to
+          // keep in sync)
           graft.tools.TcpClient.run(
             graft.tools.TcpClient
-              .Config("127.0.0.1", port, framesPerClient.toLong, msgSize, batch = 100)
+              .Config("127.0.0.1", port, framesPerClient.toLong, msgSize, batch = batch)
           )
         )
         t.start(); t
       }
       clients.foreach(_.join())
-      val totalFrames = nClients.toLong * (framesPerClient / 100) * 100
+      val totalFrames = nClients.toLong * (framesPerClient / batch) * batch
       val deadline = System.currentTimeMillis() + 120000
       while (counter.get() < totalFrames && System.currentTimeMillis() < deadline) {
         Thread.sleep(50)

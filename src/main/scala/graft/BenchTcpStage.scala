@@ -22,6 +22,21 @@ object BenchTcpStage {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.contains("ref")) {
+      // The reference's EXACT published perf-tcp workload
+      // (scripts/perf-tcp.stage.sh:36-38 → doc/perf.adoc:36-42): ONE
+      // tcp-client, 20,000,000 frames × 200 B, client batch 10 — 4.08 GB.
+      // The reference's 432.3 MBps headline is measured at this message
+      // count and client pacing; running the identical load makes the
+      // engine comparison apples-to-apples (the 3-round gate below keeps
+      // its own 4×1M batch-100 shape for run-to-run comparability with
+      // r1-r3). The concurrent `sim` heartbeat stream of the stage script
+      // (~1 frame/s against a 2.2M frame/s load) is noise and omitted.
+      val (mbps, _) = Bench.tcpIngest(spark, nClients = 1, framesPerClient = 20000000, batch = 10)
+      println(s"""TCPSTAGE {"ref_mbps":$mbps}""")
+      spark.stop()
+      return
+    }
     // ONE engine-ingest round per child JVM, run FIRST on the fresh heap:
     // any sizeable stage run before it in the same JVM (raw's 400 MB, the
     // pipeline's 3.2 GB churn) can collapse the ingest round to 70-80 MBps
@@ -129,43 +144,24 @@ object BenchTcpStage {
     }
   }
 
+  /** One forked run of the reference's exact perf-tcp workload (20 M ×
+    * 200 B, client batch 10 — see main's `ref` mode). None on fork/timeout
+    * failure; a timed-out measurement inside a healthy child reports -1.
+    */
+  def forkedRef(): Option[Double] =
+    forkRaw(Seq("ref"), timeoutSec = 300).flatMap { out =>
+      out.linesIterator
+        .find(_.startsWith("TCPSTAGE "))
+        .flatMap(l =>
+          "\"ref_mbps\":([-0-9.Ee]+)".r.findFirstMatchIn(l).map(_.group(1).toDouble)
+        )
+    }
+
   private def forkOnce(): Option[(Seq[Double], Double, Double, Double, Double, Long)] =
-    try {
-      val javaBin = new java.io.File(new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
-      // forward the fan-out experiment flag so a parent-side override is
-      // not silently dropped in the forked path
-      val extraProps = Option(System.getProperty("graft.tcp.parts")).toSeq
-        .map(v => s"-Dgraft.tcp.parts=$v")
-      val pb = new ProcessBuilder(
-        (Seq(javaBin, "-Xmx24g") ++ extraProps ++
-          Seq("-cp", System.getProperty("java.class.path"), "graft.BenchTcpStage")): _*
-      )
-      // discard child stderr (Spark banner/logs) — reading it after stdout
-      // closes risks a pipe-full deadlock while the child is still running
-      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
-      val proc = pb.start()
-      // drain stdout on a side thread so the 180 s timeout actually fires:
-      // a blocking readAllBytes before waitFor would hang the parent bench
-      // forever on a hung child
-      val outBuf = new java.io.ByteArrayOutputStream()
-      val drainer = new Thread(() => {
-        try { proc.getInputStream.transferTo(outBuf); () }
-        catch { case _: Throwable => () }
-      }, "bench-child-stdout")
-      drainer.setDaemon(true)
-      drainer.start()
-      val finished = proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)
-      if (!finished) {
-        proc.destroyForcibly()
-        proc.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
-      }
-      drainer.join(5000)
-      val out = outBuf.toString("UTF-8")
-      val ok = finished && proc.exitValue() == 0
+    forkRaw(Seq.empty, timeoutSec = 180).flatMap { out =>
       val line = out.linesIterator.find(_.startsWith("TCPSTAGE "))
-      if (!ok || line.isEmpty) None
-      else {
-        val json = line.get.stripPrefix("TCPSTAGE ")
+      line.flatMap { l =>
+        val json = l.stripPrefix("TCPSTAGE ")
         def num(key: String): Option[Double] =
           ("\"" + key + "\":([-0-9.Ee]+)").r.findFirstMatchIn(json).map(_.group(1).toDouble)
         val runs = "\"runs\":\\[([^\\]]*)\\]".r
@@ -178,5 +174,42 @@ object BenchTcpStage {
           pm <- num("pipe_mbps"); pk <- num("pipe_kmps"); pn <- num("pipe_msgs")
         } yield (r, a, k, pm, pk, pn.toLong)
       }
+    }
+
+  /** Fork this main with `args` in a fresh JVM, return its stdout (None on
+    * start failure, timeout, or non-zero exit).
+    */
+  private def forkRaw(args: Seq[String], timeoutSec: Long): Option[String] =
+    try {
+      val javaBin = new java.io.File(new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
+      // forward the fan-out experiment flag so a parent-side override is
+      // not silently dropped in the forked path
+      val extraProps = Option(System.getProperty("graft.tcp.parts")).toSeq
+        .map(v => s"-Dgraft.tcp.parts=$v")
+      val pb = new ProcessBuilder(
+        (Seq(javaBin, "-Xmx24g") ++ extraProps ++
+          Seq("-cp", System.getProperty("java.class.path"), "graft.BenchTcpStage") ++ args): _*
+      )
+      // discard child stderr (Spark banner/logs) — reading it after stdout
+      // closes risks a pipe-full deadlock while the child is still running
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      val proc = pb.start()
+      // drain stdout on a side thread so the timeout actually fires: a
+      // blocking readAllBytes before waitFor would hang the parent bench
+      // forever on a hung child
+      val outBuf = new java.io.ByteArrayOutputStream()
+      val drainer = new Thread(() => {
+        try { proc.getInputStream.transferTo(outBuf); () }
+        catch { case _: Throwable => () }
+      }, "bench-child-stdout")
+      drainer.setDaemon(true)
+      drainer.start()
+      val finished = proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished) {
+        proc.destroyForcibly()
+        proc.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
+      }
+      drainer.join(5000)
+      if (finished && proc.exitValue() == 0) Some(outBuf.toString("UTF-8")) else None
     } catch { case _: Throwable => None }
 }
