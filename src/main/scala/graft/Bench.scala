@@ -89,14 +89,26 @@ object Bench {
     // tcp_attempt_mbps: EVERY fork's engine reading in launch order (-1 =
     // dead fork) — the noise-retry filtering behind tcp_mbps_runs is
     // auditable from the artifact, not just countable via tcp_attempts.
+    // Reference-exact perf-tcp workload (20 M × 200 B, batch 10 — the
+    // message count and client pacing behind the reference's published
+    // 432.3 MBps) on demand: it moves 4 GB through one forked child
+    // (~1-2 min), so it is opt-in via SPARK_GRAFT_TCP_REF=1 rather than
+    // inflating every driver round. When run, ref_mbps rides the summary.
+    val refMbps: Option[Double] =
+      if (sys.env.get("SPARK_GRAFT_TCP_REF").contains("1")) BenchTcpStage.forkedRef()
+      else None
+    val refJson = refMbps.map(v => s""","ref_mbps":${f3(v)}""").getOrElse("")
     val summary =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","queries":$slowest,"queries_file":"bench_queries.json","n_queries":${results.size},"pipeline_mbps":${f3(mbps)},"pipeline_kmps":${f3(kmps)},"pipeline_msgs":$pipelined,"tcp_mbps":${f3(tcpMbps)},"tcp_kmps":${f3(tcpKmps)},"tcp_mbps_runs":[${tcpSorted.map(f3).mkString(",")}],"tcp_attempts":$tcpAttempts,"tcp_attempt_mbps":[${tcpAllAttempts.map(f3).mkString(",")}],"tcp_raw_mbps":${f3(tcpRawMbps)},"tcp_raw_kmps":${f3(tcpRawKmps)},"failed":$failedJson}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","queries":$slowest,"queries_file":"bench_queries.json","n_queries":${results.size},"pipeline_mbps":${f3(mbps)},"pipeline_kmps":${f3(kmps)},"pipeline_msgs":$pipelined,"tcp_mbps":${f3(tcpMbps)},"tcp_kmps":${f3(tcpKmps)},"tcp_mbps_runs":[${tcpSorted.map(f3).mkString(",")}],"tcp_attempts":$tcpAttempts,"tcp_attempt_mbps":[${tcpAllAttempts.map(f3).mkString(",")}],"tcp_raw_mbps":${f3(tcpRawMbps)},"tcp_raw_kmps":${f3(tcpRawKmps)}$refJson,"failed":$failedJson}"""
     // Session teardown BEFORE the summary so nothing (a stray shutdown log
     // line, even one misrouted to stdout) can trail it: the summary JSON
     // must be the process's LAST stdout line — paired with build.sbt's
     // StdoutOutput + showSuccess := false, it is the last line the driver
     // captures, which is what BENCH_r*.json `parsed` machine-reads.
-    spark.stop()
+    // stop() failures (executor/UI shutdown races) must not eat the
+    // summary: the bench MEASURED — teardown noise goes to stderr.
+    try spark.stop()
+    catch { case scala.util.control.NonFatal(e) => System.err.println(s"[bench] spark.stop failed: $e") }
     println(summary)
     System.out.flush()
   }
@@ -228,8 +240,15 @@ object Bench {
       // the bench measures engine throughput, not shed policy: buffer the
       // whole load (clients burst faster than the engine drains; the
       // 256 MB production default would shed under this deliberate burst
-      // and the frame-conservation check below would rightly fail)
-      .option("maxBufferedBytes", (16L << 30).toString)
+      // and the frame-conservation check below would rightly fail). Sized
+      // to THIS run's burst plus slack, not a blanket 16 GB — the
+      // in-process fallback runs in the parent sbt JVM whose heap is far
+      // smaller than the forked children's 24 g, and a cap larger than the
+      // load only raises how much a fallback run can be asked to hold.
+      .option(
+        "maxBufferedBytes",
+        (nClients.toLong * framesPerClient * msgSize + (256L << 20)).toString
+      )
       .load()
       .writeStream
       .format("noop")

@@ -140,8 +140,13 @@ object TcpShedMetrics {
     * same port already registered.
     */
   private[sources] def unregisterGauges(port: Int, entry: (() => Int, () => Long)): Unit = {
-    gauges.remove(port, entry)
-    ()
+    // capacity follows the gauges: only the stream whose entry is still
+    // current strips it, so a dead stream scrapes no stale
+    // tcp_buffer_capacity and a replacement stream's registration survives
+    if (gauges.remove(port, entry)) {
+      capacities.remove(port)
+      ()
+    }
   }
   def shedFrames(port: Int): Long = Option(frames.get(port)).map(_.sum()).getOrElse(0L)
   def shedBytes(port: Int): Long = Option(bytes.get(port)).map(_.sum()).getOrElse(0L)
@@ -341,7 +346,11 @@ private[sources] class TcpFrameStream(
             }
           }
         }
-        n = in.read(buf)
+        // a poisoned decoder means this connection is already condemned —
+        // close it NOW rather than blocking in read() waiting for a peer
+        // that sent one bad header and then went silent (that would pin
+        // the connection and its reader thread indefinitely)
+        n = if (decoder.failure.isDefined) -1 else in.read(buf)
       }
       // a peer sending garbage lengths is dropped (no resync point in a
       // length-prefixed stream); every frame decoded before the poison

@@ -150,6 +150,45 @@ class TcpSourceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("poisoned connection is dropped immediately, even if the peer goes silent") {
+    val port = freePort()
+    val df = spark.readStream
+      .format("graft-tcp")
+      .option("port", port.toString)
+      .load()
+    val q = df.writeStream.format("memory").queryName("tcp_poison").start()
+    val sock = new Socket("127.0.0.1", port)
+    try {
+      Thread.sleep(300)
+      val out = sock.getOutputStream
+      // one good frame, then a structurally invalid header (u16 len=1 < 4)
+      // — and then SILENCE with the socket held open. The read loop must
+      // bail right after the poisoning feed, not sit in a blocking read()
+      // pinning the connection and its reader thread on a peer that will
+      // never send another byte.
+      out.write(encodeHeartbeat(Heartbeat(72, 0, 1700L)) ++ Array[Byte](1, 0, 0, 0))
+      out.flush()
+      // the good frame decoded before the poison offset is delivered
+      val deadline = System.currentTimeMillis() + 15000
+      while (spark.table("tcp_poison").isEmpty && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+      assert(spark.table("tcp_poison").count() == 1)
+      // the connection is closed by the SOURCE (we never close our end)
+      while (graft.sources.TcpShedMetrics.connectionCount(port) > 0 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(graft.sources.TcpShedMetrics.connectionCount(port) == 0,
+        "poisoned connection must be dropped without waiting for peer bytes")
+    } finally {
+      q.stop()
+      sock.close()
+    }
+    // a stopped stream scrapes no stale numbers — capacity included
+    assert(graft.sources.TcpShedMetrics.bufferCapacity(port) == 0L,
+      "tcp_buffer_capacity must be unregistered with the gauges on stop")
+  }
+
   test("checkpoint restart: restored offsets re-base, fresh frames still flow") {
     val port = freePort()
     val ckpt = java.nio.file.Files.createTempDirectory("graft_tcp_ckpt").toString
