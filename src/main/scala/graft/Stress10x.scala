@@ -4,19 +4,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-out evidence for the relational spine (VERDICT r2 #7): replicate
-  * the sf0.1 tables 10× with KEY-CONSISTENT shifts (each copy offsets
+  * the sf0.1 tables N× with KEY-CONSISTENT shifts (each copy offsets
   * orderkey/custkey/partkey/suppkey by copy·stride, so join fan-outs scale
   * linearly instead of quadratically; nation/region stay singletons like
-  * real dimensions), then time the four headline queries at 1× and 10×
-  * and print each 10× plan's operator histogram next to the 1× one —
+  * real dimensions), then time the four headline queries at 1× and N×
+  * and print each N× plan's operator histogram next to the 1× one —
   * plan STABILITY under scale (same join strategies, AQE re-plans intact)
   * is the evidence, not just wall-time.
   *
-  * Run: `sbt "runMain graft.Stress10x /root/testdata/sf0.1 target/sf1x"`
+  * Run: `sbt "runMain graft.Stress10x /root/testdata/sf0.1 target/sf1x [factor]"`
+  * — factor defaults to 10; 100 puts lineitem at 60 M rows (the r3 verdict's
+  * "data-dominated regime" ask, where overhead no longer masks scaling).
   */
 object Stress10x {
 
-  private val Factor = 10
   private val Stride = 100000000L
 
   /** Tables replicated with shifted keys; col → shift applies. */
@@ -29,17 +30,17 @@ object Stress10x {
   )
   private val singleton = Seq("nation", "region", "events", "documents", "embeddings")
 
-  private def replicate(df: DataFrame, keys: Seq[String]): DataFrame =
-    (0 until Factor)
+  private def replicate(df: DataFrame, keys: Seq[String], factor: Int): DataFrame =
+    (0 until factor)
       .map { copy =>
         keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(copy * Stride)))
       }
       .reduce(_ unionByName _)
 
-  def build(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+  def build(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     shifted.foreach { case (name, keys) =>
       val src = graft.sources.Tables.load(spark, srcDir, name)
-      replicate(src, keys).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      replicate(src, keys, factor).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     }
     singleton.foreach { name =>
       graft.sources.Tables
@@ -66,6 +67,7 @@ object Stress10x {
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = if (args.length > 1) args(1) else "target/sf1x"
+    val factor = if (args.length > 2) args(2).toInt else 10
     val b = SparkSession
       .builder()
       .master("local[32]")
@@ -76,8 +78,8 @@ object Stress10x {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    println(s"[stress10x] building ${Factor}x tables from $srcDir into $outDir ...")
-    build(spark, srcDir, outDir)
+    println(s"[stress10x] building ${factor}x tables from $srcDir into $outDir ...")
+    build(spark, srcDir, outDir, factor)
 
     val headliners = Seq("q1_pricing_summary", "q2_revenue_by_nation", "q3_top_orders", "q7_window_topk")
     headliners.foreach { name =>
@@ -103,8 +105,8 @@ object Stress10x {
         joinOps.flatMap(op => h.filter(_._1.startsWith(op)).map { case (k, v) => s"$k=$v" }).mkString(",")
       val stable = joins(h1) == joins(h10)
       println(
-        f"[stress10x] $name%-22s 1x: $t1%6.2f s ($n1%9d rows)   10x: $t10%6.2f s ($n10%9d rows)   " +
-          f"ratio ${t10 / t1}%5.2f   joins[1x]=${joins(h1)} joins[10x]=${joins(h10)} stable=$stable"
+        f"[stress10x] $name%-22s 1x: $t1%6.2f s ($n1%9d rows)   ${factor}x: $t10%6.2f s ($n10%9d rows)   " +
+          f"ratio ${t10 / t1}%5.2f   joins[1x]=${joins(h1)} joins[${factor}x]=${joins(h10)} stable=$stable"
       )
     }
     spark.stop()
