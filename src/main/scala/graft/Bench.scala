@@ -89,14 +89,16 @@ object Bench {
     // tcp_attempt_mbps: EVERY fork's engine reading in launch order (-1 =
     // dead fork) — the noise-retry filtering behind tcp_mbps_runs is
     // auditable from the artifact, not just countable via tcp_attempts.
-    // Reference-exact perf-tcp workload (20 M × 200 B, batch 10 — the
-    // message count and client pacing behind the reference's published
-    // 432.3 MBps) on demand: it moves 4 GB through one forked child
-    // (~1-2 min), so it is opt-in via SPARK_GRAFT_TCP_REF=1 rather than
-    // inflating every driver round. When run, ref_mbps rides the summary.
+    // Reference-exact perf-tcp workload (20 M × 204 B wire = 200 B
+    // payload, batch 10 — the message count, byte volume, and client
+    // pacing behind the reference's published 432.3 MBps) runs by DEFAULT
+    // so the apples-to-apples headline rides the artifact of record
+    // (BENCH_r*.json parsed.ref_mbps). It moves 4.08 GB through one
+    // forked child (~10 s warm); opt out with SPARK_GRAFT_TCP_REF=0 for
+    // quick local iterations.
     val refMbps: Option[Double] =
-      if (sys.env.get("SPARK_GRAFT_TCP_REF").contains("1")) BenchTcpStage.forkedRef()
-      else None
+      if (sys.env.get("SPARK_GRAFT_TCP_REF").contains("0")) None
+      else BenchTcpStage.forkedRef()
     val refJson = refMbps.map(v => s""","ref_mbps":${f3(v)}""").getOrElse("")
     val summary =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","queries":$slowest,"queries_file":"bench_queries.json","n_queries":${results.size},"pipeline_mbps":${f3(mbps)},"pipeline_kmps":${f3(kmps)},"pipeline_msgs":$pipelined,"tcp_mbps":${f3(tcpMbps)},"tcp_kmps":${f3(tcpKmps)},"tcp_mbps_runs":[${tcpSorted.map(f3).mkString(",")}],"tcp_attempts":$tcpAttempts,"tcp_attempt_mbps":[${tcpAllAttempts.map(f3).mkString(",")}],"tcp_raw_mbps":${f3(tcpRawMbps)},"tcp_raw_kmps":${f3(tcpRawKmps)}$refJson,"failed":$failedJson}"""
@@ -209,10 +211,10 @@ object Bench {
       spark: org.apache.spark.sql.SparkSession,
       nClients: Int,
       framesPerClient: Int,
-      batch: Int = 100
+      batch: Int = 100,
+      msgSize: Int = 200
   ): (Double, Double) = {
     import java.net.Socket
-    val msgSize = 200
     val port = { val s = new java.net.ServerSocket(0); try s.getLocalPort finally s.close() }
     // count via the progress listener (no extra per-batch job) into a noop
     // sink; 250 ms trigger batches the backlog into few large jobs

@@ -25,14 +25,19 @@ object BenchTcpStage {
     if (args.contains("ref")) {
       // The reference's EXACT published perf-tcp workload
       // (scripts/perf-tcp.stage.sh:36-38 → doc/perf.adoc:36-42): ONE
-      // tcp-client, 20,000,000 frames × 200 B, client batch 10 — 4.08 GB.
-      // The reference's 432.3 MBps headline is measured at this message
-      // count and client pacing; running the identical load makes the
-      // engine comparison apples-to-apples (the 3-round gate below keeps
-      // its own 4×1M batch-100 shape for run-to-run comparability with
-      // r1-r3). The concurrent `sim` heartbeat stream of the stage script
-      // (~1 frame/s against a 2.2M frame/s load) is noise and omitted.
-      val (mbps, _) = Bench.tcpIngest(spark, nClients = 1, framesPerClient = 20000000, batch = 10)
+      // tcp-client, 20,000,000 frames, client batch 10. The reference's
+      // --size 200 is PAYLOAD size — wire frame 204 B with the 4 B header
+      // (perf.adoc totals 4,080,000,000 B / 20 M msgs = 204 B/frame) —
+      // while graft TcpClient's size is the whole wire frame, so 204 here
+      // reproduces the byte volume exactly (4.08 GB). The reference's
+      // 432.3 MBps headline is measured at this message count and client
+      // pacing; running the identical load makes the engine comparison
+      // apples-to-apples (the 3-round gate below keeps its own 4×1M
+      // batch-100 shape for run-to-run comparability with r1-r3). The
+      // concurrent `sim` heartbeat stream of the stage script (~1 frame/s
+      // against a 2.2M frame/s load) is noise and omitted.
+      val (mbps, _) =
+        Bench.tcpIngest(spark, nClients = 1, framesPerClient = 20000000, batch = 10, msgSize = 204)
       println(s"""TCPSTAGE {"ref_mbps":$mbps}""")
       spark.stop()
       return
@@ -145,8 +150,9 @@ object BenchTcpStage {
   }
 
   /** One forked run of the reference's exact perf-tcp workload (20 M ×
-    * 200 B, client batch 10 — see main's `ref` mode). None on fork/timeout
-    * failure; a timed-out measurement inside a healthy child reports -1.
+    * 204 B wire frames = 200 B payload, client batch 10 — see main's `ref`
+    * mode). None on fork/timeout failure; a timed-out measurement inside a
+    * healthy child reports -1.
     */
   def forkedRef(): Option[Double] =
     forkRaw(Seq("ref"), timeoutSec = 300).flatMap { out =>

@@ -102,13 +102,18 @@ object TcpShedMetrics {
   private val rxFrames = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAdder]()
   private val rxBytes = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAdder]()
   /** Live per-port gauges supplied by the running stream: (open
-    * connections, buffered bytes) — the reference's `connection_count` /
-    * `tcp_buffer_size` observable surface (interfaces.hpp:184-188,
+    * connections, buffered bytes, configured buffer capacity) — the
+    * reference's `connection_count` / `tcp_buffer_size` /
+    * `tcp_buffer_capacity` observable surface (interfaces.hpp:184-188,
     * svc/main.cpp:67-78). Registered at stream construction, dropped on
-    * stop, so a dead stream scrapes no stale numbers.
+    * stop, so a dead stream scrapes no stale numbers. Capacity lives
+    * INSIDE the entry so registration/unregistration is one atomic map
+    * operation — a separate capacities map let a stopping stream's
+    * remove interleave with a replacement stream's put and strip the new
+    * stream's capacity while its gauges stayed registered.
     */
   private val gauges =
-    new java.util.concurrent.ConcurrentHashMap[Int, (() => Int, () => Long)]()
+    new java.util.concurrent.ConcurrentHashMap[Int, (() => Int, () => Long, Long)]()
   private def adder(m: java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAdder], port: Int) =
     m.computeIfAbsent(port, _ => new java.util.concurrent.atomic.LongAdder)
   private[sources] def record(port: Int, nFrames: Int, nBytes: Int): Unit = {
@@ -119,34 +124,24 @@ object TcpShedMetrics {
     adder(rxFrames, port).add(nFrames.toLong)
     adder(rxBytes, port).add(nBytes.toLong)
   }
-  /** Configured buffer cap per port (the reference's `tcp_buffer_capacity`
-    * gauge — size vs capacity is what its dashboard's TCP-buffer panel
-    * plots). Registered alongside the live gauges.
-    */
-  private val capacities = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
   private[sources] def registerGauges(
       port: Int,
       connections: () => Int,
       buffered: () => Long,
       capacity: Long
-  ): (() => Int, () => Long) = {
-    val entry = (connections, buffered)
+  ): (() => Int, () => Long, Long) = {
+    val entry = (connections, buffered, capacity)
     gauges.put(port, entry)
-    capacities.put(port, capacity)
     entry
   }
   /** Conditional removal: only the entry the caller registered — a
-    * stopping stream must not strip gauges a replacement stream on the
-    * same port already registered.
+    * stopping stream must not strip gauges (or the capacity riding in the
+    * same entry) that a replacement stream on the same port already
+    * registered.
     */
-  private[sources] def unregisterGauges(port: Int, entry: (() => Int, () => Long)): Unit = {
-    // capacity follows the gauges: only the stream whose entry is still
-    // current strips it, so a dead stream scrapes no stale
-    // tcp_buffer_capacity and a replacement stream's registration survives
-    if (gauges.remove(port, entry)) {
-      capacities.remove(port)
-      ()
-    }
+  private[sources] def unregisterGauges(port: Int, entry: (() => Int, () => Long, Long)): Unit = {
+    gauges.remove(port, entry)
+    ()
   }
   def shedFrames(port: Int): Long = Option(frames.get(port)).map(_.sum()).getOrElse(0L)
   def shedBytes(port: Int): Long = Option(bytes.get(port)).map(_.sum()).getOrElse(0L)
@@ -154,7 +149,7 @@ object TcpShedMetrics {
   def receivedBytes(port: Int): Long = Option(rxBytes.get(port)).map(_.sum()).getOrElse(0L)
   def connectionCount(port: Int): Int = Option(gauges.get(port)).map(_._1()).getOrElse(0)
   def bufferSize(port: Int): Long = Option(gauges.get(port)).map(_._2()).getOrElse(0L)
-  def bufferCapacity(port: Int): Long = Option(capacities.get(port)).map(_.longValue()).getOrElse(0L)
+  def bufferCapacity(port: Int): Long = Option(gauges.get(port)).map(_._3).getOrElse(0L)
   /** Prometheus text lines for a port (appended to a /metrics scrape). */
   def scrape(port: Int): String =
     s"""receive_messages_total{port="$port"} ${receivedFrames(port)}
