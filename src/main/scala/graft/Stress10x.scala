@@ -51,7 +51,7 @@ object Stress10x {
     }
   }
 
-  private def opHistogram(df: DataFrame): Map[String, Int] = {
+  private[graft] def opHistogram(df: DataFrame): Map[String, Int] = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     // walk the FINAL adaptive plan (post-execution), descending through

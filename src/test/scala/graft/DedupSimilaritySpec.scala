@@ -177,6 +177,18 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("simhashPairs wide-key blocking (blocks=6, Manku multi-block combos) matches blocks=4 exactly") {
+    def run(blocks: Int) = Dedup
+      .simhashPairs(docs, col("text"), col("doc_id"), maxHamming = 3, blocks = blocks)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    val narrow = run(4)
+    val wide = run(6)
+    assert(wide == narrow, s"wide=${wide.size} narrow=${narrow.size}: result must not depend on key width")
+    assert(narrow.nonEmpty)
+  }
+
   test("cosine: known vectors") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)), (Seq(1.0, 0.0), Seq(-1.0, 0.0)))
