@@ -19,7 +19,11 @@ import graft.functions.codecs
   * graft_dot/graft_cosine/graft_l2sq(arr, arr),
   * graft_hyperplane_sig(arr, bits); text kernels
   * graft_word_shingles(str, n), graft_minhash_sig(arr, k),
-  * graft_simhash64(arr).
+  * graft_simhash64(arr); split assignment graft_split(id).
+  *
+  * Table functions (`SELECT * FROM graft_...`): graft_ivf_train /
+  * graft_ivf_probe — the ANN train-once / probe-many serve path from
+  * pure SQL (see [[GraftExtensions.tableFunctions]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -28,6 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
     GraftExtensions.functions.foreach { case (name, builder) =>
       ext.injectFunction(
+        (FunctionIdentifier(name), new ExpressionInfo("graft", name), builder)
+      )
+    }
+    GraftExtensions.tableFunctions.foreach { case (name, builder) =>
+      ext.injectTableFunction(
         (FunctionIdentifier(name), new ExpressionInfo("graft", name), builder)
       )
     }
@@ -62,13 +71,70 @@ object GraftExtensions {
     "graft_split" -> (es => graft.operators.CorpusOps.splitExpr(es(0)))
   )
 
+  private def str(e: Expression): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+      v.toString
+    case other =>
+      throw new IllegalArgumentException(s"expected a string literal (table/column name), got $other")
+  }
+
+  /** SQL TABLE functions: the IVF train-once / probe-many serve path from
+    * pure SQL, mirroring the Scala API
+    * ([[graft.operators.Similarity.ivfTrain]]/`ivfProbe`):
+    *
+    * {{{
+    * CREATE TEMP VIEW cents AS
+    *   SELECT * FROM graft_ivf_train('embeddings', 'embedding', 'vec_id', 16, 2);
+    * SELECT * FROM graft_ivf_probe('cents', 'embeddings', 'queries',
+    *                               'embedding', 'vec_id', 5, 4);
+    * }}}
+    *
+    * Table/column arguments are string literals resolved against the
+    * session catalog (temp views included). Like the Scala path, the
+    * centroid table is collected into a plan literal at analysis time —
+    * nlist×dim KBs, the price of shuffle-free cell assignment.
+    */
+  val tableFunctions: Seq[(String, Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    "graft_ivf_train" -> (es => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      graft.operators.Similarity
+        .ivfTrain(
+          spark.table(str(es(0))),
+          vec = str(es(1)),
+          id = str(es(2)),
+          nlist = if (es.length > 3) off(es(3)) else 16,
+          iters = if (es.length > 4) off(es(4)) else 2
+        )
+        .queryExecution.logical
+    }),
+    "graft_ivf_probe" -> (es => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      graft.operators.Similarity
+        .ivfProbe(
+          centroids = spark.table(str(es(0))),
+          corpus = spark.table(str(es(1))),
+          queries = spark.table(str(es(2))),
+          vec = str(es(3)),
+          id = str(es(4)),
+          k = off(es(5)),
+          nprobe = if (es.length > 6) off(es(6)) else 4
+        )
+        .queryExecution.logical
+    })
+  )
+
   /** Register into an already-running session (the builder-time path is
     * `withExtensions(new GraftExtensions)`; this covers sessions you don't
     * construct, e.g. notebook/shell environments).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    tableFunctions.foreach { case (name, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
 }

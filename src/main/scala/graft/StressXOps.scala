@@ -68,6 +68,10 @@ object StressXOps {
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toLong).getOrElse(5000000L)
     val nVecs = if (args.length > 1) args(1).toLong else 2000000L
+    // optional 3rd arg: comma-separated section filter
+    // (simhash,minhash,cosine,decontaminate,pack) — default all
+    val only = if (args.length > 2) args(2).split(",").toSet else Set.empty[String]
+    def section(name: String): Boolean = only.isEmpty || only(name)
     val spark = SparkSession
       .builder()
       .master("local[32]")
@@ -89,7 +93,7 @@ object StressXOps {
     println(s"[stressx] corpus materialized: $corpusN rows, planted twin pairs: $planted")
 
     // ---- simhash: candidate-mass contrast (narrow vs wide keys) + exact recall
-    locally {
+    if (section("simhash")) locally {
       val fps = operators.Dedup.simhash(corpus, col("text"), col("id")).persist()
       fps.count()
       def mass(blocks: Int): Long = operators.Dedup
@@ -119,7 +123,7 @@ object StressXOps {
     }
 
     // ---- minhash-LSH at 5x the r2 stress size
-    locally {
+    if (section("minhash")) locally {
       val pairs = operators.Dedup
         .minhashPairs(corpus, col("text"), col("id"), n = 3, numHashes = 32, bands = 16, threshold = 0.8)
       val (sec, _, h, _) = run(pairs)
@@ -133,13 +137,21 @@ object StressXOps {
       found.unpersist()
     }
 
-    // ---- cosine near-dup at 2M vectors, dim 64
-    locally {
+    // ---- cosine near-dup at 2M vectors, dim 64. KEY SIZING IS THE SCALE
+    // LEVER: the x14 defaults (16-bit block keys) put ~n/65536 vectors in
+    // every bucket — at 2 M uniform vectors that is ~30/bucket ≈ 1.2e8
+    // candidate pairs, and the verification join's vector payload turned
+    // that into a >40 GB shuffle that filled this box's disk (measured,
+    // r6). blocks=3 → 21-bit keys → bucket load ~1 → candidate mass
+    // O(n), recall for cos≥0.999 twins still ≥0.99 (per-bit flip prob
+    // ≈ 0.007 → P(no 21-bit block intact) ≈ 0.002). Both masses are
+    // printed; only the sized layout is executed.
+    if (section("cosine")) locally {
       val dim = 64
       def vecFor(noise: Boolean): Column = {
         val comps = (0 until dim).map { j =>
           val v = pmod(xxhash64(col("base_id"), lit(j)), lit(2001)).cast("double") / 1000.0 - 1.0
-          if (noise) v + (pmod(xxhash64(col("base_id"), lit(j), lit(7)), lit(2001)).cast("double") / 1000.0 - 1.0) * 0.03
+          if (noise) v + (pmod(xxhash64(col("base_id"), lit(j), lit(7)), lit(2001)).cast("double") / 1000.0 - 1.0) * 0.02
           else v
         }
         array(comps: _*)
@@ -150,30 +162,37 @@ object StressXOps {
       val vecs = vb.unionByName(vt).persist()
       vecs.count()
       val vPlanted = nVecs / 100
-      // candidate mass from the operator's own key layout (bits=64/blocks=4
-      // → 16-bit keys): Σ C(bucket,2) over (blk, key)
-      val sig = vecs.select(operators.Similarity.hyperplaneSignature(col("v"), 64).as("sig"))
-      val m = sig.select(explode(array((0 until 4).map { b =>
-          struct(lit(b).as("blk"), shiftright(col("sig"), b * 16).bitwiseAND((1L << 16) - 1).as("key"))
-        }: _*)).as("bk"))
-        .groupBy("bk").agg(count(lit(1)).as("c"))
-        .agg(sum(col("c") * (col("c") - 1) / 2).cast("long")).head().getLong(0)
+      // candidate mass Σ C(bucket,2) for both key layouts, from the
+      // operator's own key construction (bits=64; width = 64/blocks)
+      val sig = vecs.select(operators.Similarity.hyperplaneSignature(col("v"), 64).as("sig")).persist()
+      def mass(blocks: Int): Long = {
+        val width = 64 / blocks
+        sig.select(explode(array((0 until blocks).map { b =>
+            struct(lit(b).as("blk"), shiftright(col("sig"), b * width).bitwiseAND((1L << width) - 1).as("key"))
+          }: _*)).as("bk"))
+          .groupBy("bk").agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * (col("c") - 1) / 2).cast("long")).head().getLong(0)
+      }
+      val m4 = mass(4)
+      val m3 = mass(3)
+      sig.unpersist()
       val pairs = operators.Similarity
-        .cosineNearDupPairs(vecs, "v", "id", threshold = 0.99, bits = 64, blocks = 4, maxBucket = 4096)
+        .cosineNearDupPairs(vecs, "v", "id", threshold = 0.99, bits = 64, blocks = 3, maxBucket = 4096)
       val (sec, _, h, obs) = run(pairs)
       val shed = obs.collect { case (name, row) if name.startsWith("cosine_neardup_shed_") => (row.getLong(0), row.get(1)) }
       val found = pairs.persist()
       val total = found.count()
       val foundPlanted = found.filter(col("id_b") === col("id_a") + TwinOffset).count()
       val recall = foundPlanted.toDouble / vPlanted
-      println(f"[stressx] cosineNearDupPairs(bits=64): $sec%.1f s, pairs=$total, planted recall=$recall%.4f, candidate mass=$m, shed=${shed.mkString(";")}")
+      println(f"[stressx] cosineNearDupPairs(bits=64, blocks=3): $sec%.1f s, pairs=$total, planted recall=$recall%.4f, shed=${shed.mkString(";")}")
+      println(s"[stressx]   candidate mass: 16-bit keys (x14 default) = $m4 pairs vs 21-bit keys = $m3 — key width is the 100 TB lever")
       println(s"[stressx]   plan: $h")
       assert(recall >= 0.99, s"cosine near-dup recall at scale: $recall")
       found.unpersist(); vecs.unpersist()
     }
 
     // ---- decontamination: 5M-doc corpus vs a 500-doc benchmark, planted hits
-    locally {
+    if (section("decontaminate")) locally {
       val benchN = 500
       def benchTok(b: Column, j: Column): Column =
         (pmod(xxhash64(lit("bench"), b, j), lit(50000)) + 200000).cast("string")
@@ -210,7 +229,7 @@ object StressXOps {
     }
 
     // ---- sequence packing: 5M docs, 256 shards, budget 2048
-    locally {
+    if (section("pack")) locally {
       val budget = 2048
       val docs = corpus.select(
         col("id"),

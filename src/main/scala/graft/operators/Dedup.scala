@@ -274,6 +274,52 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** [[ngramJaccardPairs]] with the naive↔prefix-filter strategy picked
+    * AUTOMATICALLY from the corpus's shingle-frequency skew — the 100 TB
+    * path without asking the caller to know the crossover. The naive
+    * inverted index's candidate mass is Σ C(df(s), 2) over shingle
+    * document frequencies: benign when every df is small (measured on the
+    * oracle corpus: naive 2.2–3.1 s vs PPJoin 4.2–7.5 s at max df ≤ 25,
+    * ROUND_NOTES r5), quadratic in the hottest shingle otherwise —
+    * exactly what PPJoin's rare-prefix index removes. One cheap
+    * aggregate (max shingle df — a partial-agg count, shuffling only
+    * distinct-shingle counts, nothing pairwise) decides; like AQE's
+    * runtime re-plans, the decision spends one small job to avoid a
+    * potentially quadratic one. Results are identical either way
+    * (equivalence-tested in DedupSimilaritySpec).
+    */
+  def ngramJaccardPairsAuto(
+      df: DataFrame,
+      text: Column,
+      idCol: Column,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      maxDfNaive: Long = 64
+  ): DataFrame =
+    if (preferPrefixStrategy(df, text, n, maxDfNaive))
+      ngramJaccardPairsPrefix(df, text, idCol, n, threshold)
+    else ngramJaccardPairs(df, text, idCol, n, threshold)
+
+  /** True when the hottest shingle's document frequency exceeds
+    * `maxDfNaive` — the skew regime where the naive inverted index's
+    * Σ C(df, 2) candidate blowup outruns PPJoin's two extra narrow
+    * shuffles.
+    */
+  private[graft] def preferPrefixStrategy(
+      df: DataFrame,
+      text: Column,
+      n: Int,
+      maxDfNaive: Long
+  ): Boolean = {
+    val maxDf = df
+      .select(explode(array_distinct(shingles(text, n))).as("s"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+      .agg(max(col("df")).as("max_df"))
+      .head()
+    !maxDf.isNullAt(0) && maxDf.getLong(0) > maxDfNaive
+  }
+
   def ngramJaccardPairs(
       df: DataFrame,
       text: Column,

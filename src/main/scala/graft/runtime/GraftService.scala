@@ -133,25 +133,43 @@ object GraftService {
       spark: SparkSession,
       cfg: ServiceConfig,
       sinkFactory: Northbound => DataFrame => Unit,
-      trigger: Trigger = Trigger.ProcessingTime(0L)
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      checkpointLocation: Option[String] = None
+  ): StreamingQuery =
+    startBatches(spark, cfg, nb => { val w = sinkFactory(nb); (b, _) => w(b) }, trigger, checkpointLocation)
+
+  /** [[start]] with the micro-batch id forwarded to sinks (idempotent-sink
+    * recovery handle) and an optional checkpoint location — the
+    * production-restart shape: a daemon killed and relaunched on the same
+    * checkpoint resumes from its committed offsets instead of starting
+    * fresh (exercised end-to-end in ChaosSoakSpec).
+    */
+  def startBatches(
+      spark: SparkSession,
+      cfg: ServiceConfig,
+      sinkFactory: Northbound => (DataFrame, Long) => Unit,
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      checkpointLocation: Option[String] = None
   ): StreamingQuery = {
     val src = southboundFrame(spark, cfg)
     val routed =
       if (cfg.rules.nonEmpty) Router.route(src, cfg.rules)
       else src.withColumn("destination", org.apache.spark.sql.functions.lit("*"))
     val sinks = cfg.northbound.filter(_.enabled)
-    val writers: Map[String, DataFrame => Unit] = sinks.map { nb =>
+    val writers: Map[String, (DataFrame, Long) => Unit] = sinks.map { nb =>
       val write = sinkFactory(nb)
       // each sink sees only traffic routed to it (or broadcast '*')
-      nb.name -> { (batch: DataFrame) =>
+      nb.name -> { (batch: DataFrame, epoch: Long) =>
         write(
           batch.filter(
             org.apache.spark.sql.functions.col("destination").isin(nb.name, "*")
-          )
+          ),
+          epoch
         )
       }
     }.toMap
-    StreamRuntime.fanOutSink(routed, writers).trigger(trigger).start()
+    val writer = StreamRuntime.fanOutSinkWithEpoch(routed, writers).trigger(trigger)
+    checkpointLocation.fold(writer)(c => writer.option("checkpointLocation", c)).start()
   }
 
   /** Full daemon lifecycle: the service query plus the metrics bridge, the
@@ -166,7 +184,8 @@ object GraftService {
       cfg: ServiceConfig,
       sinkFactory: Northbound => DataFrame => Unit,
       trigger: Trigger = Trigger.ProcessingTime(0L),
-      metricsPort: Int = 0
+      metricsPort: Int = 0,
+      checkpointLocation: Option[String] = None
   ): GraftDaemon = {
     val bridge = new graft.streaming.MetricsBridge
     spark.streams.addListener(bridge)
@@ -183,9 +202,11 @@ object GraftService {
     }
     val server = graft.streaming.MetricsHttpServer.start(bridge, metricsPort, extraScrape)
     try {
-      val query = start(spark, cfg, sinkFactory, trigger)
+      val query = start(spark, cfg, sinkFactory, trigger, checkpointLocation)
+      // reload restarts reuse the checkpoint: a config swap resumes from
+      // the committed offsets instead of starting fresh
       val daemon =
-        new GraftDaemon(spark, query, bridge, server, cfg, Some(c => start(spark, c, sinkFactory, trigger)))
+        new GraftDaemon(spark, query, bridge, server, cfg, Some(c => start(spark, c, sinkFactory, trigger, checkpointLocation)))
       daemonRef = daemon
       // HTTP OAM: POST a YAML config to /reload → parse + restart-in-place
       // (the reference's svc/main.cpp:203-230 endpoint, there disabled;

@@ -402,7 +402,17 @@ private[sources] class TcpFrameStream(
   }
   override def deserializeOffset(json: String): Offset = log.synchronized {
     val v = json.toLong
-    if (v > logicalHead) shift = v - trimmed // restored checkpoint: log head → v
+    // Restored checkpoint: anchor this incarnation's OLDEST frame at the
+    // largest restored offset. Must be an unconditional max, not the old
+    // `v > logicalHead` guard: frames a fast client delivers between
+    // stream construction and this restore advance logicalHead up to (or
+    // past) v, the guard then skips the re-base, and those frames sit
+    // BELOW the restored offset — silently swallowed as already-consumed
+    // (caught by ChaosSoakSpec's cycle-2 conservation under full-suite
+    // timing). Restore-only: steady state never round-trips offsets
+    // through JSON, and the lastPlannedEnd check makes re-basing
+    // impossible once this incarnation has planned a batch.
+    if (lastPlannedEnd == 0L) shift = math.max(shift, v - trimmed)
     FrameOffset(v)
   }
 

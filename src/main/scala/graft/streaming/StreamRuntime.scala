@@ -109,9 +109,21 @@ object StreamRuntime {
       df: DataFrame,
       sinks: Map[String, DataFrame => Unit]
   ): DataStreamWriter[org.apache.spark.sql.Row] =
-    df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    fanOutSinkWithEpoch(df, sinks.map { case (k, w) => k -> ((b: DataFrame, _: Long) => w(b)) })
+
+  /** [[fanOutSink]] with the micro-batch id forwarded to each sink — the
+    * handle an idempotent sink needs to make checkpointed recovery
+    * exactly-once (a replayed batch re-arrives under the SAME id, so the
+    * sink can overwrite instead of append — Spark's documented
+    * foreachBatch contract).
+    */
+  def fanOutSinkWithEpoch(
+      df: DataFrame,
+      sinks: Map[String, (DataFrame, Long) => Unit]
+  ): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       batch.persist()
-      try sinks.values.foreach(write => write(batch))
+      try sinks.values.foreach(write => write(batch, epoch))
       finally { batch.unpersist(); () }
     }
 

@@ -177,6 +177,29 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("ngramJaccardPairsAuto: hot-shingle skew flips to the prefix strategy, results match naive") {
+    import spark.implicits._
+    // skewed corpus: every doc shares the hot trigram "the same words";
+    // distinct tails keep the docs non-duplicate
+    val skewed = ((1L to 60L).map(i => (i, s"the same words tail$i a$i b$i")) ++
+      Seq((100L, "the same words near dup pair x"), (101L, "the same words near dup pair y")))
+      .toDF("doc_id", "text")
+    assert(
+      Dedup.preferPrefixStrategy(skewed, col("text"), 3, maxDfNaive = 30),
+      "a shingle shared by 60 docs must trip the skew detector"
+    )
+    assert(
+      !Dedup.preferPrefixStrategy(docs.limit(50), col("text"), 3, maxDfNaive = 64),
+      "the oracle corpus sample is low-skew — naive must stay selected"
+    )
+    def collectPairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => ((r.getLong(0), r.getLong(1)), math.round(r.getDouble(2) * 1e9))).toSet
+    val auto = collectPairs(Dedup.ngramJaccardPairsAuto(skewed, col("text"), col("doc_id"), 3, 0.3, maxDfNaive = 30))
+    val naive = collectPairs(Dedup.ngramJaccardPairs(skewed, col("text"), col("doc_id"), 3, 0.3))
+    assert(naive.nonEmpty, "equivalence must be checked on a corpus with at least one qualifying pair")
+    assert(auto == naive, s"auto=${auto.size} naive=${naive.size}")
+  }
+
   test("simhashPairs wide-key blocking (blocks=6, Manku multi-block combos) matches blocks=4 exactly") {
     def run(blocks: Int) = Dedup
       .simhashPairs(docs, col("text"), col("doc_id"), maxHamming = 3, blocks = blocks)

@@ -175,6 +175,32 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_ivf_train/graft_ivf_probe SQL table functions round-trip the Scala serve path") {
+    GraftExtensions.register(spark)
+    val emb = graft.sources.Tables
+      .load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    emb.createOrReplaceTempView("emb_sql")
+    emb.filter(col("vec_id") < 10).createOrReplaceTempView("emb_queries_sql")
+    spark
+      .sql("SELECT * FROM graft_ivf_train('emb_sql', 'embedding', 'vec_id', 16, 2)")
+      .createOrReplaceTempView("cents_sql")
+    assert(spark.table("cents_sql").count() == 16)
+    val viaSql = spark
+      .sql(
+        "SELECT * FROM graft_ivf_probe('cents_sql', 'emb_sql', 'emb_queries_sql', 'embedding', 'vec_id', 5, 6)"
+      )
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val viaScala = Similarity
+      .ivfTopK(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id", 5, nlist = 16, nprobe = 6)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    assert(viaSql == viaScala, s"sql=${viaSql.size} scala=${viaScala.size}")
+  }
+
   test("embedding-cosine near-dup pairs = exact brute-force subset, all above threshold") {
     val emb = graft.sources.Tables
       .load(spark, sfDir, "embeddings")
