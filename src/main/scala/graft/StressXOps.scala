@@ -69,7 +69,7 @@ object StressXOps {
     val nDocs = args.headOption.map(_.toLong).getOrElse(5000000L)
     val nVecs = if (args.length > 1) args(1).toLong else 2000000L
     // optional 3rd arg: comma-separated section filter
-    // (simhash,minhash,cosine,decontaminate,pack) — default all
+    // (simhash,minhash,cosine,decontaminate,pack,cc) — default all
     val only = if (args.length > 2) args(2).split(",").toSet else Set.empty[String]
     def section(name: String): Boolean = only.isEmpty || only(name)
     val spark = SparkSession
@@ -256,6 +256,42 @@ object StressXOps {
       println(f"[stressx] packSequences: $sec%.1f s, $nRows docs -> $nSeqs sequences (budget $budget, fill $util%.3f), shard-invariant violations=$shardCheck")
       println(s"[stressx]   plan: $h")
       assert(shardCheck == 0L)
+    }
+
+    // ---- connected components: nDocs nodes in 5-node chains + 1000
+    // 100-node chains (diameter stress) — exact labels known by
+    // construction, so the gate is zero mislabels; rounds must stay
+    // logarithmic in the longest chain, not linear (the alternating
+    // algorithm's contract).
+    if (section("cc")) locally {
+      val chainLen = 5L
+      val longLen = 100L
+      val longChains = 1000L
+      val off = 10000000000L // multiple of longLen, far above node ids
+      val nShort = nDocs - (nDocs % chainLen) // whole chains only
+      val short = spark.range(nShort)
+        .filter(col("id") % chainLen =!= chainLen - 1)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      val long = spark.range(longChains * longLen)
+        .filter(col("id") % longLen =!= longLen - 1)
+        .select((col("id") + off).as("id_a"), (col("id") + off + 1).as("id_b"))
+      val edges = short.unionByName(long)
+      val t0 = System.nanoTime()
+      val (cc, rounds) = operators.ConnectedComponents.runWithRounds(edges)
+      val ccP = cc.persist()
+      val nAssigned = ccP.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val expectedComponent = when(
+        col("id") >= off,
+        col("id") - pmod(col("id") - off, lit(longLen))
+      ).otherwise(col("id") - pmod(col("id"), lit(chainLen)))
+      val bad = ccP.filter(col("component") =!= expectedComponent).count()
+      val expectedNodes = nShort + longChains * longLen
+      println(f"[stressx] connectedComponents: $sec%.1f s, $nAssigned nodes (${nShort / chainLen + longChains} components), rounds=$rounds, mislabels=$bad")
+      assert(bad == 0L, s"component labels must be exact: $bad wrong")
+      assert(nAssigned == expectedNodes, s"every edge endpoint labeled: $nAssigned != $expectedNodes")
+      assert(rounds <= 12, s"alternating CC must converge in O(log) rounds, took $rounds")
+      ccP.unpersist()
     }
 
     corpus.unpersist()

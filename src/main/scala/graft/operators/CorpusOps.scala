@@ -163,6 +163,60 @@ object CorpusOps {
       )
   }
 
+  /** Deterministic uniform-[0,1) sampling key from md5 of the id: the
+    * first 7 hex chars as a 28-bit integer over 16⁷. Like [[splitFor]]
+    * this is content-independent and engine-portable (per-char ascii
+    * arithmetic — DuckDB has no hex→int cast), so a row's fate under a
+    * given rate never changes across runs, engines, or partitionings: the
+    * property that makes sampled corpora reproducible. Pure per-row
+    * codegen projection; zero shuffle.
+    */
+  def hashUniform(idCol: Column): Column = {
+    val hex = substring(md5(idCol.cast("string")), 1, 7)
+    val value = (0 until 7)
+      .map { i =>
+        val c = ascii(substring(hex, i + 1, 1))
+        val digit = when(c >= 97, c - 87).otherwise(c - 48) // a-f → 10-15
+        digit.cast("long") * (1L << (4 * (6 - i)))
+      }
+      .reduce(_ + _)
+    value.cast("double") / 268435456.0 // 16^7
+  }
+
+  /** Deterministic per-row sampling at a (possibly per-row) `rate`:
+    * keep iff hashUniform(id) < rate. Composes with [[domainMix]] — join
+    * the mix's `sample_rate` onto the corpus by domain and the target
+    * token mixture materializes, reproducibly, with one filter and no
+    * shuffle beyond the (broadcast-sized) rate join.
+    */
+  def sampleByRate(df: DataFrame, idCol: Column, rate: Column): DataFrame =
+    df.filter(hashUniform(idCol) < rate)
+
+  /** Exact per-group quantile cutoff + filter: keep rows whose `value` is
+    * at or above the group's q-quantile (the k-th smallest value,
+    * k = max(1, ⌈q·n⌉) — `percentile_disc` semantics, deterministic under
+    * ties because the cutoff is a VALUE, not a rank). The per-domain
+    * "keep the top half by quality" gate of corpus curation.
+    *
+    * Scale shape: one window sort per group for the order statistic (the
+    * unavoidable exchange — exact quantiles need a per-group order), then
+    * a broadcast-sized (one row per group) cutoff join back. Returns the
+    * input columns plus `cutoff`.
+    */
+  def quantileFilter(df: DataFrame, group: Column, value: Column, q: Double): DataFrame = {
+    require(q > 0 && q <= 1, s"quantile must be in (0,1], got $q")
+    val w = Window.partitionBy(col("__qf_g")).orderBy(col("__qf_v"))
+    val cutoffs = df
+      .select(group.as("__qf_g"), value.as("__qf_v"))
+      .withColumn("__qf_rn", row_number().over(w))
+      .withColumn("__qf_n", count(lit(1)).over(Window.partitionBy(col("__qf_g"))))
+      .filter(col("__qf_rn") === greatest(lit(1L), ceil(lit(q) * col("__qf_n"))))
+      .select(col("__qf_g"), col("__qf_v").as("cutoff"))
+    df.join(cutoffs, group === col("__qf_g"))
+      .filter(value >= col("cutoff"))
+      .drop("__qf_g")
+  }
+
   /** Sequence packing (GPT-style): documents are concatenated in a
     * deterministic order and chopped into fixed token-budget training
     * sequences; a document whose tokens straddle a boundary spills into

@@ -91,6 +91,43 @@ object TextOps {
   def fingerprintMd5(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
+  /** PII patterns for redaction — deliberately RE2-compatible (no
+    * lookaround, no backreferences) so Java regex (Spark) and RE2 (DuckDB,
+    * the oracle) match identically: emails, dotted-quad IPs, and
+    * NNN-NNN-NNNN phone numbers. `\d`/`\b` agree across both engines
+    * (ASCII digits / word chars).
+    */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern: String = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII redaction (the scrub step a public-web training corpus runs
+    * before anything else): replace emails, IPv4 addresses, and phone
+    * numbers with typed placeholder tokens. Order matters — emails first
+    * (they contain dots and digits), then IPs, then phones (disjoint from
+    * IPs: hyphens vs dots). Pure codegen'd `regexp_replace` chain: one
+    * scan, zero shuffle, linear in corpus bytes at any scale.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern,
+        "<IP>"
+      ),
+      phonePattern,
+      "<PHONE>"
+    )
+
+  /** Per-document PII hit counts (email, ip, phone) — the audit columns
+    * that ride alongside [[redactPii]]'s scrubbed text.
+    */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit(emailPattern)).as("n_emails"),
+    regexp_count(regexp_replace(text, emailPattern, "<EMAIL>"), lit(ipv4Pattern)).as("n_ips"),
+    regexp_count(text, lit(phonePattern)).as("n_phones")
+  )
+
   /** Rolling (polynomial) hash fingerprint over tokens — Karp-Rabin style,
     * base 257 mod 2^31-1 (Mersenne; keeps acc*257+h < 2^40, no ANSI long
     * overflow), computed with Spark's `aggregate` higher-order function

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{ConnectedComponents, CorpusOps, Dedup, Multimodal, Similarity, TextOps}
 
 /** Training-data-pipeline extensions (builder prompt): deduplication,
   * similarity search, text analysis, multimodal plumbing — the operations a
@@ -51,6 +51,20 @@ object ExtensionQueries {
 
   private val perturbSql =
     "x * (1 + 0.02 * (CAST(CAST(FLOOR(ABS(x)*1000) AS BIGINT) % 7 - 3 AS DOUBLE) / 3.0))"
+
+  /** DuckDB twin of [[CorpusOps.hashUniform]]: first 7 hex chars of
+    * md5(id) as a 28-bit integer over 16⁷ (DuckDB has no hex→int cast, so
+    * per-char ascii arithmetic — identical to the Spark expression).
+    * Expects a column `h` = md5(CAST(id AS VARCHAR)) in scope.
+    */
+  private val hashUniformSql: String =
+    (1 to 7)
+      .map { i =>
+        val mult = 1L << (4 * (7 - i))
+        s"(CASE WHEN ord(SUBSTR(h, $i, 1)) >= 97 THEN ord(SUBSTR(h, $i, 1)) - 87 " +
+          s"ELSE ord(SUBSTR(h, $i, 1)) - 48 END) * $mult"
+      }
+      .mkString("(", " + ", ") / 268435456.0")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup on a 128-bit digest (shuffle carries 16-byte keys).
@@ -487,6 +501,134 @@ object ExtensionQueries {
         .orderBy(col("domain"))
     }),
 
+    // Fuzzy-dedup cluster resolution: near-dup PAIRS → connected
+    // components (alternating large-star/small-star) → one representative
+    // per cluster. Planted structure makes the graph non-trivial in both
+    // engines: identical-copy 3-cliques (doc%50 → +2M/+4M) and 2-hop
+    // BRIDGE chains (doc%100: tail(a)+head(a+1) under +3M — similar to
+    // both endpoints, which stay dissimilar to each other), so min-label
+    // propagation across multiple hops is exercised, not just clique
+    // collapse. Edges are exact n-gram Jaccard ≥ 0.25 (DuckDB-replayable);
+    // the oracle recomputes components via recursive transitive closure.
+    "x26_dedup_clusters" -> ((s, dir) => {
+      val base = T(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 2000)
+      val cliq = base.filter(col("doc_id") % 50 === 0)
+      val copies = cliq
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+        .unionByName(cliq.select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
+      val bridges = base
+        .filter(col("doc_id") % 100 === 0)
+        .alias("a")
+        .join(base.alias("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(
+          (col("a.doc_id") + 3000000L).as("doc_id"),
+          concat_ws(
+            " ",
+            concat(
+              slice(split(col("a.text"), " "), 21, 20),
+              slice(split(col("b.text"), " "), 1, 20)
+            )
+          ).as("text")
+        )
+      val corpus = base.unionByName(copies).unionByName(bridges)
+      val pairs =
+        Dedup.ngramJaccardPairs(corpus, col("text"), col("doc_id"), n = 3, threshold = 0.25)
+      ConnectedComponents
+        .assignClusters(corpus, col("doc_id"), pairs)
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII redaction with planted PII (every doc gains one email, one IP,
+    // one phone): per-doc hit counts + md5 of the scrubbed text — the
+    // strongest cross-engine check of the actual replacement output.
+    "x27_pii_redact" -> ((s, dir) => {
+      val withPii = T(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          lit(" reach user"),
+          col("doc_id").cast("string"),
+          lit("@mail.example.org from 10."),
+          (col("doc_id") % 254).cast("string"),
+          lit(".0.7 call 555-867-5309")
+        ).as("text")
+      )
+      withPii
+        .select(
+          (col("doc_id") +: TextOps.piiCounts(col("text"))) ++ Seq(
+            md5(TextOps.redactPii(col("text"))).as("fp"),
+            length(TextOps.redactPii(col("text"))).as("redacted_len")
+          ): _*
+        )
+        .orderBy(col("doc_id"))
+    }),
+
+    // Stratified deterministic sampling APPLYING x25's domain-mix rates:
+    // per-domain md5-hash sampling at the computed rate, then the achieved
+    // token mass vs target. The end-to-end rebalancing execution, fully
+    // reproducible (a row's fate depends only on md5(doc_id)).
+    "x28_stratified_sample" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val mix = CorpusOps
+        .domainMix(
+          docs,
+          col("source"),
+          size(split(col("text"), " ")).cast("long"),
+          shares = Map("src0" -> 0.01, "src1" -> 0.10)
+        )
+        .select(col("domain"), col("tokens"), col("target_tokens"), col("sample_rate"))
+      val withTok = docs.select(
+        col("doc_id"),
+        col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")
+      )
+      val kept = CorpusOps.sampleByRate(
+        withTok.join(mix.withColumnRenamed("domain", "source"), Seq("source")),
+        col("doc_id"),
+        col("sample_rate")
+      )
+      val keptAgg = kept
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).cast("long").as("kept_tokens"))
+      mix
+        .join(keptAgg.withColumnRenamed("source", "domain"), Seq("domain"), "left")
+        .select(
+          col("domain"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+          col("target_tokens"),
+          round(
+            coalesce(col("kept_tokens"), lit(0L)).cast("double") /
+              col("target_tokens").cast("double"),
+            6
+          ).as("fill_vs_target")
+        )
+        .orderBy(col("domain"))
+    }),
+
+    // Exact per-language median gate (percentile_disc semantics): keep
+    // docs at/above their language's median token count — the per-domain
+    // quantile filtering step of corpus curation, with a deterministic
+    // VALUE cutoff (tie-stable in both engines).
+    "x29_quantile_filter" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val kept = CorpusOps.quantileFilter(d, col("lang"), col("n_tok"), q = 0.5)
+      val totals = d.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+      kept
+        .groupBy(col("lang"))
+        .agg(
+          first(col("cutoff")).as("cutoff"),
+          count(lit(1)).as("n_kept"),
+          sum(col("n_tok")).cast("long").as("kept_tokens")
+        )
+        .join(totals, Seq("lang"))
+        .select(col("lang"), col("n_total"), col("cutoff"), col("n_kept"), col("kept_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -810,6 +952,124 @@ object ExtensionQueries {
         |SELECT domain, tokens, target_tokens,
         |  ROUND(LEAST(CAST(1.0 AS DOUBLE), CAST(target_tokens AS DOUBLE) / tokens), 6) AS sample_rate
         |FROM m ORDER BY domain""".stripMargin,
+    // components by recursive transitive closure over the same exact
+    // Jaccard edges the Spark side uses (UNION dedups, so cycles terminate)
+    "x26_dedup_clusters" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+        |cliq AS (
+        |  SELECT doc_id + 2000000 AS doc_id, text FROM base WHERE doc_id % 50 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 4000000 AS doc_id, text FROM base WHERE doc_id % 50 = 0),
+        |br AS (
+        |  SELECT a.doc_id + 3000000 AS doc_id,
+        |    ARRAY_TO_STRING(LIST_CONCAT(STRING_SPLIT(a.text, ' ')[21:40],
+        |      STRING_SPLIT(b.text, ' ')[1:20]), ' ') AS text
+        |  FROM base a JOIN base b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 100 = 0),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM cliq UNION ALL SELECT * FROM br),
+        |docs AS (SELECT doc_id, LIST_DISTINCT(
+        |    CASE WHEN LEN(STRING_SPLIT(text, ' ')) < 3 THEN [text]
+        |         ELSE LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+        |           i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' '))
+        |    END) AS sh FROM corpus),
+        |inv AS (SELECT doc_id, LEN(sh) AS nsh, UNNEST(sh) AS s FROM docs),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+        |  HAVING CAST(COUNT(1) AS DOUBLE) / CAST(a.nsh + b.nsh - COUNT(1) AS DOUBLE) >= 0.25),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
+        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+        |assigned AS (
+        |  SELECT c.doc_id, COALESCE(p.component, c.doc_id) AS component
+        |  FROM corpus c LEFT JOIN comp p ON c.doc_id = p.id),
+        |sizes AS (SELECT component, COUNT(1) AS n_members FROM assigned GROUP BY 1)
+        |SELECT a.doc_id, a.component, s.n_members, a.doc_id = a.component AS is_rep
+        |FROM assigned a JOIN sizes s ON a.component = s.component
+        |ORDER BY a.doc_id""".stripMargin,
+    // the same planted-PII construction + the same RE2-safe regex chain;
+    // md5 of the scrubbed text checks the actual replacement output
+    "x27_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.org from 10.' ||
+        |      CAST(doc_id % 254 AS VARCHAR) || '.0.7 call 555-867-5309' AS text
+        |  FROM documents),
+        |r1 AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM p),
+        |r2 AS (
+        |  SELECT doc_id, text, t1,
+        |    regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+        |  FROM r1),
+        |f AS (
+        |  SELECT doc_id, text, t1,
+        |    regexp_replace(t2, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+        |  FROM r2)
+        |SELECT doc_id,
+        |  LEN(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  LEN(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |  LEN(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones,
+        |  md5(redacted) AS fp,
+        |  LENGTH(redacted) AS redacted_len
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // x25's rate arithmetic replayed, then the md5-uniform keep decision
+    // per row — the share constants CAST AS DOUBLE for the same reason as
+    // x25 (DuckDB decimal literals vs Spark doubles)
+    "x28_stratified_sample" ->
+      s"""WITH d AS (
+        |  SELECT source AS domain,
+        |    CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens, COUNT(1) AS n_domains FROM d),
+        |m AS (
+        |  SELECT domain, tokens,
+        |    CAST(FLOOR(CASE WHEN domain = 'src0' THEN CAST(0.01 AS DOUBLE)
+        |                    WHEN domain = 'src1' THEN CAST(0.10 AS DOUBLE)
+        |                    ELSE CAST(1.0 AS DOUBLE) / n_domains END * total_tokens) AS BIGINT)
+        |      AS target_tokens
+        |  FROM d, t),
+        |r AS (SELECT domain, tokens, target_tokens,
+        |        LEAST(CAST(1.0 AS DOUBLE), CAST(target_tokens AS DOUBLE) / tokens) AS sample_rate
+        |      FROM m),
+        |u AS (SELECT doc_id, source, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok,
+        |        md5(CAST(doc_id AS VARCHAR)) AS h
+        |      FROM documents),
+        |k AS (
+        |  SELECT u.source AS domain, COUNT(1) AS n_kept, CAST(SUM(u.n_tok) AS BIGINT) AS kept_tokens
+        |  FROM u JOIN r ON u.source = r.domain
+        |  WHERE $hashUniformSql < r.sample_rate
+        |  GROUP BY 1)
+        |SELECT r.domain, COALESCE(k.n_kept, 0) AS n_kept,
+        |  COALESCE(k.kept_tokens, 0) AS kept_tokens, r.target_tokens,
+        |  ROUND(CAST(COALESCE(k.kept_tokens, 0) AS DOUBLE) / CAST(r.target_tokens AS DOUBLE), 6)
+        |    AS fill_vs_target
+        |FROM r LEFT JOIN k ON r.domain = k.domain
+        |ORDER BY r.domain""".stripMargin,
+    // percentile_disc semantics: cutoff = k-th smallest VALUE,
+    // k = max(1, ceil(q*n)) — tie-stable because the filter compares values
+    "x29_quantile_filter" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |rk AS (
+        |  SELECT lang, n_tok,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tok) AS rn,
+        |    COUNT(1) OVER (PARTITION BY lang) AS n
+        |  FROM d),
+        |c AS (SELECT lang, n_tok AS cutoff FROM rk
+        |      WHERE rn = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT))),
+        |k AS (
+        |  SELECT d.lang, COUNT(1) AS n_kept, CAST(SUM(d.n_tok) AS BIGINT) AS kept_tokens
+        |  FROM d JOIN c ON d.lang = c.lang WHERE d.n_tok >= c.cutoff GROUP BY 1),
+        |t AS (SELECT lang, COUNT(1) AS n_total FROM d GROUP BY 1)
+        |SELECT t.lang, t.n_total, c.cutoff, k.n_kept, k.kept_tokens
+        |FROM t JOIN c ON t.lang = c.lang JOIN k ON t.lang = k.lang
+        |ORDER BY t.lang""".stripMargin,
     // full blocks only (partial tails dropped, <16-byte docs emit nothing);
     // OCTET_LENGTH on the blob, not LENGTH: the Spark side frames UTF-8
     // BYTES, and char counting would diverge on any non-ASCII document

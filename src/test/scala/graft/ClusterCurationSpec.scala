@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ConnectedComponents, CorpusOps, TextOps}
+
+/** The round-6 curation additions: connected-components cluster dedup
+  * (large-star/small-star vs an in-memory union-find oracle), PII
+  * redaction, deterministic hash sampling, and exact group quantile
+  * filtering. The driver's x26–x29 oracles check engine portability;
+  * these check the math and the algorithmic invariants directly.
+  */
+class ClusterCurationSpec extends SparkTestBase {
+
+  /** In-memory union-find — the oracle for the distributed algorithm. */
+  private def unionFind(n: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    n.map(x => x -> find(x)).toMap
+  }
+
+  private def ccResult(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents
+      .run(edges.toDF("id_a", "id_b"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+  }
+
+  test("connectedComponents: random graph matches union-find, min id is the label") {
+    val rnd = new scala.util.Random(42)
+    val n = 300
+    val edges = Seq.fill(260)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expected = unionFind(nodes, edges)
+    assert(ccResult(edges) == expected)
+  }
+
+  test("connectedComponents: a 200-node chain converges (log rounds, not diameter)") {
+    val edges = (0L until 199L).map(i => (i, i + 1))
+    val got = ccResult(edges)
+    assert(got.size == 200 && got.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents: self-loops and duplicate edges are harmless; empty input is empty") {
+    val got = ccResult(Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L), (7L, 8L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 7L))
+    assert(ccResult(Seq.empty).isEmpty)
+  }
+
+  test("assignClusters: singletons keep their own id; sizes and representatives are right") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 9L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val rows = ConnectedComponents
+      .assignClusters(docs, col("id"), pairs)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.toSeq == Seq(
+      (1L, 1L, 3L, true),
+      (2L, 1L, 3L, false),
+      (3L, 1L, 3L, false),
+      (4L, 4L, 1L, true),
+      (9L, 9L, 1L, true)
+    ))
+  }
+
+  test("redactPii: emails, IPs, phones replaced; counts match; clean text untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail me at jane.doe+x@sub.example.co or at 10.1.2.3 tel 555-123-4567"),
+      (2L, "no pii here, just 1.5 tokens and a dash-word"),
+      (3L, "two mails a@b.io c@d.org one ip 192.168.0.1")
+    ).toDF("id", "text")
+    val rows = df
+      .select(
+        col("id") +: TextOps.piiCounts(col("text")) :+ TextOps.redactPii(col("text")).as("red"): _*
+      )
+      .orderBy("id")
+      .collect()
+    assert((rows(0).getInt(1), rows(0).getInt(2), rows(0).getInt(3)) == ((1, 1, 1)))
+    assert(rows(0).getString(4) == "mail me at <EMAIL> or at <IP> tel <PHONE>")
+    assert((rows(1).getInt(1), rows(1).getInt(2), rows(1).getInt(3)) == ((0, 0, 0)))
+    assert(rows(1).getString(4) == "no pii here, just 1.5 tokens and a dash-word")
+    assert((rows(2).getInt(1), rows(2).getInt(2), rows(2).getInt(3)) == ((2, 1, 0)))
+    assert(rows(2).getString(4) == "two mails <EMAIL> <EMAIL> one ip <IP>")
+  }
+
+  test("hashUniform: in [0,1), deterministic, and rate-monotone sampling") {
+    import spark.implicits._
+    val ids = (0L until 2000L).toDF("id")
+    val u = ids.select(CorpusOps.hashUniform(col("id")).as("u"))
+    assert(u.filter(col("u") < 0.0 || col("u") >= 1.0).count() == 0)
+    val k30 = CorpusOps.sampleByRate(ids, col("id"), lit(0.3)).collect().map(_.getLong(0)).toSet
+    val k60 = CorpusOps.sampleByRate(ids, col("id"), lit(0.6)).collect().map(_.getLong(0)).toSet
+    assert(k30.subsetOf(k60), "raising the rate must only ADD rows")
+    // law of large numbers at 2000 ids: within ±5 points of the rate
+    assert(math.abs(k30.size / 2000.0 - 0.3) < 0.05)
+    assert(math.abs(k60.size / 2000.0 - 0.6) < 0.05)
+    // determinism across partitionings
+    val again = CorpusOps
+      .sampleByRate(ids.repartition(7), col("id"), lit(0.3))
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(again == k30)
+  }
+
+  test("quantileFilter: exact median cutoff per group, tie-stable") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 5L), // median (k=3) -> 3
+      ("b", 10L), ("b", 10L), ("b", 20L), ("b", 30L), // k=2 -> 10: ties BELOW rank keep too
+      ("c", 7L) // k=1 -> 7
+    ).toDF("g", "v")
+    val kept = CorpusOps
+      .quantileFilter(df, col("g"), col("v"), q = 0.5)
+      .select(col("g"), col("v"), col("cutoff"))
+      .orderBy("g", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(kept.toSeq == Seq(
+      ("a", 3L, 3L), ("a", 4L, 3L), ("a", 5L, 3L),
+      ("b", 10L, 10L), ("b", 10L, 10L), ("b", 20L, 10L), ("b", 30L, 10L),
+      ("c", 7L, 7L)
+    ))
+  }
+}
