@@ -80,7 +80,7 @@ private[sources] class TcpFrameTable(
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = TcpFrameSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new TcpFrameStream(port, maxFramesPerTrigger, maxBufferedBytes)
+          new TcpFrameStream(port, maxFramesPerTrigger, maxBufferedBytes, Some(checkpointLocation))
       }
     }
 }
@@ -251,13 +251,60 @@ private[sources] object TcpFrameStream {
     */
   def targetPartitions(default: Int): Int =
     Integer.getInteger("graft.tcp.parts", default).intValue()
+
+  /** The largest offset this source ever planned, read from the query's
+    * offset write-ahead log — 0 for a fresh query. `sourceDir` is the
+    * `<checkpoint>/sources/<id>` path the engine hands to
+    * `toMicroBatchStream`; the offset log lives at `<checkpoint>/offsets`,
+    * one file per batch: line 0 a version tag, line 1 stream metadata,
+    * then one offset line per source in source-id order.
+    */
+  private[sources] def restoredOffset(sourceDir: String): Long =
+    try {
+      val src = new org.apache.hadoop.fs.Path(sourceDir)
+      val sourceId = scala.util.Try(src.getName.toInt).getOrElse(0)
+      val offsets = new org.apache.hadoop.fs.Path(src.getParent.getParent, "offsets")
+      val conf =
+        try org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+        catch { case _: Throwable => new org.apache.hadoop.conf.Configuration() }
+      val fs = offsets.getFileSystem(conf)
+      if (!fs.exists(offsets)) 0L
+      else {
+        val batches = fs
+          .listStatus(offsets)
+          .map(_.getPath.getName)
+          .flatMap(n => scala.util.Try(n.toLong).toOption)
+        if (batches.isEmpty) 0L
+        else {
+          val latest = new org.apache.hadoop.fs.Path(offsets, batches.max.toString)
+          val in = fs.open(latest)
+          val lines =
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+            finally in.close()
+          lines
+            .drop(2 + sourceId)
+            .headOption
+            .flatMap(l => scala.util.Try(l.trim.toLong).toOption)
+            .getOrElse(0L)
+        }
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[graft-tcp] could not read restored offset from $sourceDir: $e")
+        0L
+    }
 }
 
 private[sources] class TcpFrameStream(
     port: Int,
     maxFramesPerTrigger: Option[Long] = None,
-    maxBufferedBytes: Option[Long] = None
+    maxBufferedBytes: Option[Long] = None,
+    checkpointLocation: Option[String] = None
 ) extends MicroBatchStream {
+
+  private val debug = java.lang.Boolean.getBoolean("graft.tcp.debug")
+  private def dbg(msg: => String): Unit =
+    if (debug) System.err.println(s"[graft-tcp-dbg:$port] $msg")
 
   private var lastPlannedEnd = 0L // chunk index of the previous batch end
   private var bufferedBytes = 0L // blob bytes currently in `log` (guarded by log lock)
@@ -268,13 +315,28 @@ private[sources] class TcpFrameStream(
   // Restart semantics: a TCP stream is NOT replayable (like Spark's own
   // socket source) — frames buffered before a crash are gone. On restart
   // the checkpoint hands back an offset larger than the fresh in-memory
-  // log; `shift` re-bases logical offsets so the HEAD of the current log
-  // lands AT the restored offset: frames a fast client delivered between
-  // stream construction and offset restore stay addressable (mapping them
-  // BELOW the restored offset would silently trim them as already
+  // log; `shift` re-bases logical offsets so the OLDEST frame of this
+  // incarnation lands AT the restored offset: frames a fast client
+  // delivers from the moment the socket binds stay addressable (mapping
+  // them BELOW the restored offset silently trims them as already
   // consumed), the unreplayable pre-crash gap is empty batches, and
   // offsets are positional, never content-addressed.
-  private var shift = 0L
+  //
+  // The re-base CANNOT ride `deserializeOffset`: MicroBatchExecution
+  // compares offsets as JSON and only materializes typed offsets once it
+  // decides to construct a batch — when the fresh log's un-re-based head
+  // happens to EQUAL the restored offset (same chunk count across
+  // incarnations: common, chunking follows the same 64 KB socket reads),
+  // the engine sees "no new data" forever and never calls
+  // deserializeOffset at all, swallowing everything this incarnation
+  // buffered (ChaosSoakSpec cycle-2 flake, round 6). So the restored
+  // offset is read HERE, at construction, straight from the query's
+  // offset write-ahead log (`toMicroBatchStream` hands us
+  // `<ckpt>/sources/<id>`; the log lives at `<ckpt>/offsets`) — the
+  // re-base is in place before the engine's first call, whatever order
+  // the calls come in. `deserializeOffset` keeps a max() re-base as a
+  // second line of defense.
+  private var shift = checkpointLocation.map(TcpFrameStream.restoredOffset).getOrElse(0L)
   private def logicalHead: Long = shift + trimmed + log.length
 
   private val log = ArrayBuffer.empty[FrameChunk]
@@ -383,9 +445,13 @@ private[sources] class TcpFrameStream(
   acceptThread.setDaemon(true)
   acceptThread.start()
 
-  override def initialOffset(): Offset = FrameOffset(0L)
+  override def initialOffset(): Offset = {
+    dbg(s"initialOffset: shift=$shift trimmed=$trimmed log=${log.length}")
+    FrameOffset(0L)
+  }
   override def latestOffset(): Offset = log.synchronized {
     val head = logicalHead
+    dbg(s"latestOffset: head=$head shift=$shift trimmed=$trimmed log=${log.length}")
     maxFramesPerTrigger match {
       case None => FrameOffset(head)
       case Some(cap) =>
@@ -402,16 +468,13 @@ private[sources] class TcpFrameStream(
   }
   override def deserializeOffset(json: String): Offset = log.synchronized {
     val v = json.toLong
-    // Restored checkpoint: anchor this incarnation's OLDEST frame at the
-    // largest restored offset. Must be an unconditional max, not the old
-    // `v > logicalHead` guard: frames a fast client delivers between
-    // stream construction and this restore advance logicalHead up to (or
-    // past) v, the guard then skips the re-base, and those frames sit
-    // BELOW the restored offset — silently swallowed as already-consumed
-    // (caught by ChaosSoakSpec's cycle-2 conservation under full-suite
-    // timing). Restore-only: steady state never round-trips offsets
-    // through JSON, and the lastPlannedEnd check makes re-basing
-    // impossible once this incarnation has planned a batch.
+    // Belt-and-braces re-base: the authoritative anchor is read from the
+    // offset write-ahead log at construction (see `shift` above — the
+    // engine may never call this method at all), but if the engine hands
+    // us a LARGER restored offset than the construction-time read saw
+    // (e.g. an offsets/ write racing the read), anchor to it — guarded to
+    // pre-first-plan so a planned batch's offsets are never reinterpreted.
+    dbg(s"deserializeOffset($v): lastPlannedEnd=$lastPlannedEnd shift=$shift trimmed=$trimmed log=${log.length}")
     if (lastPlannedEnd == 0L) shift = math.max(shift, v - trimmed)
     FrameOffset(v)
   }
@@ -422,6 +485,7 @@ private[sources] class TcpFrameStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s0 = start.asInstanceOf[FrameOffset].index
     val e0 = end.asInstanceOf[FrameOffset].index
+    dbg(s"planInputPartitions($s0, $e0): shift=$shift trimmed=$trimmed log=${log.length}")
     lastPlannedEnd = e0
     val chunks = log.synchronized {
       val s = math.max(s0 - shift - trimmed, 0L).toInt
@@ -492,6 +556,7 @@ private[sources] class TcpFrameStream(
 
   override def commit(end: Offset): Unit = {
     val e = end.asInstanceOf[FrameOffset].index
+    dbg(s"commit($e): shift=$shift trimmed=$trimmed log=${log.length}")
     log.synchronized {
       val drop = math.min((e - shift - trimmed).toInt, log.length)
       if (drop > 0) {
