@@ -227,15 +227,20 @@ class ServiceSpec extends SparkTestBase {
           }
       }
     )
+    // each stage gets its OWN deadline: a shared one starves the later
+    // reload waits when the box is loaded (full-suite timing flake)
+    def await(cond: => Boolean): Unit = {
+      val d = System.currentTimeMillis() + 20000
+      while (!cond && System.currentTimeMillis() < d) Thread.sleep(200)
+    }
     try {
       val firstQuery = daemon.query
-      val deadline = System.currentTimeMillis() + 20000
-      while (!clientIds.contains(72L) && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      await(clientIds.contains(72L))
       assert(clientIds.keySet == Set(72L))
 
       val secondQuery = daemon.reload(simCfg(99L))
       assert(!firstQuery.isActive && secondQuery.isActive && (daemon.query eq secondQuery))
-      while (!clientIds.contains(99L) && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      await(clientIds.contains(99L))
       assert(clientIds.keySet == Set(72L, 99L))
 
       // HTTP OAM: POST a raw YAML config to /reload → third restart in
@@ -250,7 +255,7 @@ class ServiceSpec extends SparkTestBase {
       finally post.disconnect()
       assert((daemon.query ne secondQuery) && daemon.query.isActive && !secondQuery.isActive)
       assert(daemon.currentConfig == simCfg(123L))
-      while (!clientIds.contains(123L) && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      await(clientIds.contains(123L))
       assert(clientIds.contains(123L))
 
       // a malformed config answers 500 and leaves the current query running
