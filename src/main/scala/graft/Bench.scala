@@ -96,10 +96,12 @@ object Bench {
     // (BENCH_r*.json parsed.ref_mbps). It moves 4.08 GB through one
     // forked child (~10 s warm); opt out with SPARK_GRAFT_TCP_REF=0 for
     // quick local iterations.
-    val refMbps: Option[Double] =
-      if (sys.env.get("SPARK_GRAFT_TCP_REF").contains("0")) None
-      else BenchTcpStage.forkedRef()
-    val refJson = refMbps.map(v => s""","ref_mbps":${f3(v)}""").getOrElse("")
+    val (refMbps, refRuns) =
+      if (sys.env.get("SPARK_GRAFT_TCP_REF").contains("0")) (None, Seq.empty[Double])
+      else BenchTcpStage.forkedRefMedian()
+    val refJson = refMbps
+      .map(v => s""","ref_mbps":${f3(v)},"ref_mbps_runs":[${refRuns.map(f3).mkString(",")}]""")
+      .getOrElse("")
     val summary =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","queries":$slowest,"queries_file":"bench_queries.json","n_queries":${results.size},"pipeline_mbps":${f3(mbps)},"pipeline_kmps":${f3(kmps)},"pipeline_msgs":$pipelined,"tcp_mbps":${f3(tcpMbps)},"tcp_kmps":${f3(tcpKmps)},"tcp_mbps_runs":[${tcpSorted.map(f3).mkString(",")}],"tcp_attempts":$tcpAttempts,"tcp_attempt_mbps":[${tcpAllAttempts.map(f3).mkString(",")}],"tcp_raw_mbps":${f3(tcpRawMbps)},"tcp_raw_kmps":${f3(tcpRawKmps)}$refJson,"failed":$failedJson}"""
     // Session teardown BEFORE the summary so nothing (a stray shutdown log

@@ -77,6 +77,7 @@ object StressXOps {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.buffer.pageSize", "4m") // see Tables.sessionConfigs
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

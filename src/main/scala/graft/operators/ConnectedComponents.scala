@@ -46,12 +46,13 @@ object ConnectedComponents {
       .groupBy(col("src"))
       .agg(min(col("dst")).as("mn"))
       .select(col("src"), least(col("mn"), col("src")).as("m"))
+    // no distinct here: every consumer (smallStar's orientation, the
+    // fixpoint projection) dedups immediately after — a distinct on this
+    // intermediate would be a redundant full shuffle per round
     sym
       .join(mins, "src")
       .where(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
-      .where(col("src") =!= col("dst"))
-      .distinct()
   }
 
   /** One small-star round: orient every edge (larger, smaller); every node
@@ -129,11 +130,18 @@ object ConnectedComponents {
     var sig = signature(edges)
     if (sig._1 == 0L)
       return (spark.range(0).select(col("id"), col("id").as("component")), 0)
+    val debug = java.lang.Boolean.getBoolean("graft.cc.debug")
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
+      val t0 = System.nanoTime()
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val tCkpt = System.nanoTime()
       val nextSig = signature(next)
+      if (debug)
+        System.err.println(
+          f"[graft-cc] round $rounds: checkpoint ${(tCkpt - t0) / 1e9}%.1f s, signature ${(System.nanoTime() - tCkpt) / 1e9}%.1f s, edges ${nextSig._1}"
+        )
       converged = nextSig == sig
       sig = nextSig
       edges = next

@@ -18,7 +18,16 @@ object Tables {
   val sessionConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
-    "spark.sql.session.timeZone" -> "UTC"
+    "spark.sql.session.timeZone" -> "UTC",
+    // Sorter/aggregation page size. The default is min(64 MB, heap-derived):
+    // on a multi-GB local[32] driver every sort task allocates (and zeroes)
+    // a 64 MB heap page — G1 treats those as humongous allocations, and 32
+    // concurrent tasks turn small sorts into an allocation/GC storm
+    // (measured: the connected-components stress spent 80%+ of wall in
+    // TaskMemoryManager.allocatePage; 4 MB pages cut round time 5-10x with
+    // identical plans). 4 MB still holds ~260k sort records per page, far
+    // above what a 32-1024-partition local shuffle sees per task.
+    "spark.buffer.pageSize" -> "4m"
   )
 
   val names: Seq[String] = Seq(
