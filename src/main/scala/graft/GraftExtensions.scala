@@ -19,7 +19,8 @@ import graft.functions.codecs
   * graft_dot/graft_cosine/graft_l2sq(arr, arr),
   * graft_hyperplane_sig(arr, bits); text kernels
   * graft_word_shingles(str, n), graft_minhash_sig(arr, k),
-  * graft_simhash64(arr); split assignment graft_split(id).
+  * graft_simhash64(arr); split assignment graft_split(id); sampling key
+  * graft_uniform(id).
   *
   * Table functions (`SELECT * FROM graft_...`): graft_ivf_train /
   * graft_ivf_probe — the ANN train-once / probe-many serve path from
@@ -68,7 +69,10 @@ object GraftExtensions {
     "graft_minhash_sig" -> (es => graft.functions.text.MinHashSig(es(0), off(es(1)))),
     "graft_simhash64" -> (es => graft.functions.text.SimHash64(es(0))),
     // deterministic train/val/test assignment (CorpusOps.hashSplit's tree)
-    "graft_split" -> (es => graft.operators.CorpusOps.splitExpr(es(0)))
+    "graft_split" -> (es => graft.operators.CorpusOps.splitExpr(es(0))),
+    // deterministic uniform-[0,1) sampling key (CorpusOps.hashUniform's
+    // tree): WHERE graft_uniform(id) < rate
+    "graft_uniform" -> (es => graft.operators.CorpusOps.uniformExpr(es(0)))
   )
 
   private def str(e: Expression): String = e match {

@@ -172,15 +172,30 @@ object CorpusOps {
     * codegen projection; zero shuffle.
     */
   def hashUniform(idCol: Column): Column = {
-    val hex = substring(md5(idCol.cast("string")), 1, 7)
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(uniformExpr(Bridge.expression(idCol)))
+  }
+
+  /** The uniform-key arithmetic as a resolved Catalyst tree — one
+    * definition serves both the Column surface ([[hashUniform]]) and the
+    * SQL function `graft_uniform` ([[graft.GraftExtensions]]), the same
+    * split as [[splitExpr]]/`graft_split`.
+    */
+  private[graft] def uniformExpr(
+      id: org.apache.spark.sql.catalyst.expressions.Expression
+  ): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+    val hex = Substring(Md5(Cast(id, StringType)), Literal(1), Literal(7))
     val value = (0 until 7)
       .map { i =>
-        val c = ascii(substring(hex, i + 1, 1))
-        val digit = when(c >= 97, c - 87).otherwise(c - 48) // a-f → 10-15
-        digit.cast("long") * (1L << (4 * (6 - i)))
+        val c = Ascii(Substring(hex, Literal(i + 1), Literal(1)))
+        val digit = // a-f → 10-15
+          If(GreaterThanOrEqual(c, Literal(97)), Subtract(c, Literal(87)), Subtract(c, Literal(48)))
+        Multiply(Cast(digit, LongType), Literal(1L << (4 * (6 - i)))): Expression
       }
-      .reduce(_ + _)
-    value.cast("double") / 268435456.0 // 16^7
+      .reduce((a, b) => Add(a, b))
+    Divide(Cast(value, DoubleType), Literal(268435456.0)) // 16^7
   }
 
   /** Deterministic per-row sampling at a (possibly per-row) `rate`:

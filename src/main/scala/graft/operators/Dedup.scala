@@ -320,6 +320,30 @@ object Dedup {
     !maxDf.isNullAt(0) && maxDf.getLong(0) > maxDfNaive
   }
 
+  /** One-call fuzzy dedup — the standard web-corpus recipe end to end:
+    * MinHash-LSH near-dup pairs → connected components (transitive
+    * closure, [[ConnectedComponents]]) → cluster assignment with the
+    * smallest doc id as the kept representative. Returns one row per
+    * input document: (doc_id, component, n_members, is_rep); filter
+    * `is_rep` for the deduplicated corpus. Every stage is the bounded
+    * candidate layout documented on its operator — nothing here is
+    * all-pairs.
+    */
+  def fuzzyDedup(
+      df: DataFrame,
+      text: Column,
+      idCol: Column,
+      n: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.8
+  ): DataFrame =
+    ConnectedComponents.assignClusters(
+      df,
+      idCol,
+      minhashPairs(df, text, idCol, n, numHashes, bands, threshold)
+    )
+
   def ngramJaccardPairs(
       df: DataFrame,
       text: Column,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ConnectedComponents, CorpusOps, TextOps}
+import graft.operators.{ConnectedComponents, CorpusOps, Dedup, TextOps}
 
 /** The round-6 curation additions: connected-components cluster dedup
   * (large-star/small-star vs an in-memory union-find oracle), PII
@@ -115,6 +115,51 @@ class ClusterCurationSpec extends SparkTestBase {
       .map(_.getLong(0))
       .toSet
     assert(again == k30)
+  }
+
+  test("fuzzyDedup end-to-end: minhash pairs -> components -> representatives") {
+    import spark.implicits._
+    // three near-identical copies (one token changed), one exact pair,
+    // and two unrelated docs: expect clusters {1,2,3}, {10,11}, {20}, {21}
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("today", "tonight")),
+      (3L, base.replace("quick", "swift")),
+      (10L, "completely different text about connected component clustering at scale"),
+      (11L, "completely different text about connected component clustering at scale"),
+      (20L, "unrelated singleton document one with its own vocabulary entirely"),
+      (21L, "another standalone document two sharing nothing with the others")
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .fuzzyDedup(docs, col("text"), col("doc_id"), n = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false),
+      (20L, 20L, true), (21L, 21L, true)
+    ))
+  }
+
+  test("graft_uniform SQL function matches hashUniform and bounds") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val ids = (0L until 500L).toDF("id")
+    ids.createOrReplaceTempView("uniform_ids")
+    val viaSql = spark
+      .sql("SELECT id, graft_uniform(id) AS u FROM uniform_ids")
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    val viaColumn = ids
+      .select(col("id"), CorpusOps.hashUniform(col("id")).as("u"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    assert(viaSql == viaColumn)
+    assert(viaSql.values.forall(u => u >= 0.0 && u < 1.0))
   }
 
   test("quantileFilter: exact median cutoff per group, tie-stable") {
