@@ -11,9 +11,21 @@
 # Requirements: a Kafka broker, kcat, Spark Kafka connector jars — see
 # ft-kafka-producer.stage.sh and README §"Kafka: what is proven without
 # a broker".
+#
+# SSL brokers (reference kafka.hpp:427-441 / scripts/gen-ssl-certs.sh):
+# set BROKER_SSL to a directory holding ca.pem/cert.pem/key.pem and the
+# service YAML gains an `options:` block (generic kafka.* passthrough,
+# GraftService.parseConfig → StreamRuntime.kafkaClientOptions):
+#   options:
+#     security.protocol: SSL
+#     ssl.ca.location:          ${BROKER_SSL}/ca.pem
+#     ssl.certificate.location: ${BROKER_SSL}/cert.pem
+#     ssl.key.location:         ${BROKER_SSL}/key.pem
+# kcat needs the equivalent -X flags.
 set -u
 
 BROKER="${BROKER:-localhost:9092}"
+BROKER_SSL="${BROKER_SSL:-}"
 TOPIC="ft-test-consumer"
 KAFKA_TOPICS_CMD="${KAFKA_TOPICS_CMD:-docker exec kafka /opt/kafka/bin/kafka-topics.sh}"
 LOG_CLIENT="${LOG_CLIENT:-/tmp/graft-kafka-consumer-ft.log}"

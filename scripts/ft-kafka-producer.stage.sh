@@ -15,9 +15,16 @@
 #     (drop them into /opt/spark/jars or pass via --jars)
 #   - KAFKA_TOPICS_CMD: how to reach kafka-topics.sh for topic deletion
 #     (default matches the reference's dockerized broker)
+#
+# SSL brokers (reference kafka.hpp:427-441 / scripts/gen-ssl-certs.sh):
+# set BROKER_SSL to a directory with ca.pem/cert.pem/key.pem — the
+# service YAML's `options:` block flows any kafka client property to the
+# producer (generic kafka.* passthrough, see ft-kafka-consumer.stage.sh
+# header for the exact block); kcat needs the matching -X flags.
 set -u
 
 BROKER="${BROKER:-localhost:9092}"
+BROKER_SSL="${BROKER_SSL:-}"
 TOPIC="ft-test-producer"
 KAFKA_TOPICS_CMD="${KAFKA_TOPICS_CMD:-docker exec kafka /opt/kafka/bin/kafka-topics.sh}"
 TEST_STATUS=0

@@ -94,10 +94,13 @@ object ConnectedComponents {
 
   /** Connected components of the undirected graph given by `pairs`
     * (columns `idA`, `idB`, integral ids). Returns one row per node that
-    * appears in any pair: (id, component) where component is the SMALLEST
-    * id in the node's component (so `id === component` marks the canonical
-    * representative). Nodes absent from `pairs` (singletons) are the
-    * caller's to append — see [[assignClusters]].
+    * appears in any NON-self-loop pair: (id, component) where component is
+    * the SMALLEST id in the node's component (so `id === component` marks
+    * the canonical representative). Self-loops are dropped up front, so a
+    * node appearing ONLY as (x, x) gets no row — it is a singleton, and
+    * singletons (whether absent from `pairs` or self-loop-only) are the
+    * caller's to append — see [[assignClusters]], whose coalesce handles
+    * both cases identically.
     */
   def run(
       pairs: DataFrame,

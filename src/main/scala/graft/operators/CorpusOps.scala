@@ -216,20 +216,33 @@ object CorpusOps {
     * Scale shape: one window sort per group for the order statistic (the
     * unavoidable exchange — exact quantiles need a per-group order), then
     * a broadcast-sized (one row per group) cutoff join back. Returns the
-    * input columns plus `cutoff`.
+    * input columns plus `cutoff` — the one reserved output name: an input
+    * already carrying a `cutoff` column is rejected up front (the join
+    * would otherwise produce ambiguous duplicate columns that fail only
+    * at first downstream reference). Internal working names are
+    * collision-checked against the input, never assumed free.
     */
   def quantileFilter(df: DataFrame, group: Column, value: Column, q: Double): DataFrame = {
     require(q > 0 && q <= 1, s"quantile must be in (0,1], got $q")
-    val w = Window.partitionBy(col("__qf_g")).orderBy(col("__qf_v"))
+    require(
+      !df.columns.contains("cutoff"),
+      "quantileFilter appends a 'cutoff' column; rename the input's existing 'cutoff' first"
+    )
+    val used = df.columns.toSet
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i").filterNot(used).next()
+    val g = fresh("__qf_g")
+    val v = fresh("__qf_v")
+    val w = Window.partitionBy(col(g)).orderBy(col(v))
     val cutoffs = df
-      .select(group.as("__qf_g"), value.as("__qf_v"))
+      .select(group.as(g), value.as(v))
       .withColumn("__qf_rn", row_number().over(w))
-      .withColumn("__qf_n", count(lit(1)).over(Window.partitionBy(col("__qf_g"))))
+      .withColumn("__qf_n", count(lit(1)).over(Window.partitionBy(col(g))))
       .filter(col("__qf_rn") === greatest(lit(1L), ceil(lit(q) * col("__qf_n"))))
-      .select(col("__qf_g"), col("__qf_v").as("cutoff"))
-    df.join(cutoffs, group === col("__qf_g"))
+      .select(col(g), col(v).as("cutoff"))
+    df.join(cutoffs, group === col(g))
       .filter(value >= col("cutoff"))
-      .drop("__qf_g")
+      .drop(g)
   }
 
   /** Sequence packing (GPT-style): documents are concatenated in a

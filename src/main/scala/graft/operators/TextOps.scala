@@ -120,13 +120,22 @@ object TextOps {
     )
 
   /** Per-document PII hit counts (email, ip, phone) — the audit columns
-    * that ride alongside [[redactPii]]'s scrubbed text.
+    * that ride alongside [[redactPii]]'s scrubbed text. Each count runs on
+    * the SAME input its [[redactPii]] pass sees (ips on email-redacted
+    * text, phones on email+IP-redacted text), so the audit always agrees
+    * with the number of replacements actually made — a phone-shaped
+    * string inside an email local part ('555-123-4567@x.com') is neither
+    * counted nor redacted as a phone.
     */
-  def piiCounts(text: Column): Seq[Column] = Seq(
-    regexp_count(text, lit(emailPattern)).as("n_emails"),
-    regexp_count(regexp_replace(text, emailPattern, "<EMAIL>"), lit(ipv4Pattern)).as("n_ips"),
-    regexp_count(text, lit(phonePattern)).as("n_phones")
-  )
+  def piiCounts(text: Column): Seq[Column] = {
+    val afterEmail = regexp_replace(text, emailPattern, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, ipv4Pattern, "<IP>")
+    Seq(
+      regexp_count(text, lit(emailPattern)).as("n_emails"),
+      regexp_count(afterEmail, lit(ipv4Pattern)).as("n_ips"),
+      regexp_count(afterIp, lit(phonePattern)).as("n_phones")
+    )
+  }
 
   /** Rolling (polynomial) hash fingerprint over tokens — Karp-Rabin style,
     * base 257 mod 2^31-1 (Mersenne; keeps acc*257+h < 2^40, no ANSI long

@@ -1008,13 +1008,13 @@ object ExtensionQueries {
         |    regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
         |  FROM r1),
         |f AS (
-        |  SELECT doc_id, text, t1,
+        |  SELECT doc_id, text, t1, t2,
         |    regexp_replace(t2, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
         |  FROM r2)
         |SELECT doc_id,
         |  LEN(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
         |  LEN(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
-        |  LEN(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones,
+        |  LEN(regexp_extract_all(t2, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones,
         |  md5(redacted) AS fp,
         |  LENGTH(redacted) AS redacted_len
         |FROM f ORDER BY doc_id""".stripMargin,

@@ -22,12 +22,33 @@ object GraftService {
     */
   final case class TcpSouth(port: Int, batchSize: Option[Long] = None, bufferLimit: Option[Long] = None)
       extends Southbound
-  final case class KafkaSouth(address: String, groupId: String, topics: Seq[String], batchSize: Option[Long])
-      extends Southbound
+  /** `options` — generic Kafka client passthrough (YAML
+    * `interfaces.southbound.options`): SSL/SASL and any other
+    * consumer property flows to the connector via
+    * [[graft.streaming.StreamRuntime.kafkaClientOptions]] (reference
+    * parity: kafka.hpp:427-441's security.protocol / ssl.* block).
+    */
+  final case class KafkaSouth(
+      address: String,
+      groupId: String,
+      topics: Seq[String],
+      batchSize: Option[Long],
+      options: Map[String, String] = Map.empty
+  ) extends Southbound
   /** O-4 — the heartbeat simulator as a config-wired source (type `sim`). */
   final case class SimSouth(clientId: Long, rowsPerSecond: Int) extends Southbound
 
-  final case class Northbound(name: String, tpe: String, address: String, enabled: Boolean)
+  /** `options` — same generic Kafka client passthrough for producer-type
+    * sinks (YAML `interfaces.northbound[].options`); ignored by
+    * non-Kafka sink factories.
+    */
+  final case class Northbound(
+      name: String,
+      tpe: String,
+      address: String,
+      enabled: Boolean,
+      options: Map[String, String] = Map.empty
+  )
 
   final case class ServiceConfig(
       southbound: Southbound,
@@ -35,6 +56,20 @@ object GraftService {
       rules: Seq[Router.Rule],
       appTopic: Option[String]
   )
+
+  /** An interface block's `options:` map as plain strings (absent → empty).
+    * Keys may contain dots (`ssl.ca.location`) — read via the node's map
+    * accessor, never the dotted-path one.
+    */
+  private def optionsOf(n: YamlLite.Node): Map[String, String] =
+    n.get("options") match {
+      case Some(o) =>
+        o.value match {
+          case _: Map[_, _] => o.map.map { case (k, v) => k -> v.str }
+          case _            => Map.empty
+        }
+      case None => Map.empty
+    }
 
   /** Parse the reference-shaped YAML (keys per dsp.hpp:200-255 and
     * res/dsp.yaml:19-29).
@@ -54,7 +89,8 @@ object GraftService {
           sb("address").str,
           sb.get("groupid").map(_.str).getOrElse("graft-consumer"),
           sb("topics").list.map(_.str),
-          sb.get("batchSize").map(_.long)
+          sb.get("batchSize").map(_.long),
+          optionsOf(sb)
         )
       case "sim" =>
         SimSouth(
@@ -68,7 +104,8 @@ object GraftService {
         n("name").str,
         n("type").str,
         n.get("address").map(_.str).getOrElse(""),
-        n.get("enabled").map(_.bool).getOrElse(true)
+        n.get("enabled").map(_.bool).getOrElse(true),
+        optionsOf(n)
       )
     }
     val rules = root.get("rules").map(_.list).getOrElse(Seq.empty).map { r =>
@@ -111,8 +148,8 @@ object GraftService {
             ).as("properties"),
             col("payload")
           )
-      case KafkaSouth(address, groupId, topics, batchSize) =>
-        StreamRuntime.kafkaSource(spark, address, topics, batchSize, Some(groupId))
+      case KafkaSouth(address, groupId, topics, batchSize, options) =>
+        StreamRuntime.kafkaSource(spark, address, topics, batchSize, Some(groupId), options)
       case SimSouth(clientId, rps) =>
         StreamRuntime
           .heartbeatSimulator(spark, clientId, rps)

@@ -14,18 +14,52 @@ import graft.model.Message
   */
 object StreamRuntime {
 
-  /** O-1 — Kafka consumer source (kafka.hpp:801-925). `batchSize` maps to
-    * maxOffsetsPerTrigger, `includeHeaders` carries the properties map.
-    * Yields the canonical message schema: subject=topic, properties from
-    * headers, key/payload binary.
+  /** Spark-connector-level option keys (lowercased): these configure the
+    * Spark Kafka source/sink itself and must NOT be prefixed `kafka.` —
+    * everything else in a user options map is a Kafka CLIENT property
+    * (librdkafka-style in the reference: kafka.hpp:427-441's SSL block
+    * `security.protocol`, `ssl.ca.location`, cert/key/passwd) and reaches
+    * the consumer/producer only under Spark's `kafka.` prefix.
     */
-  def kafkaSource(
+  private val sparkKafkaOptionKeys: Set[String] = Set(
+    "subscribe", "subscribepattern", "assign", "topic",
+    "startingoffsets", "endingoffsets", "startingtimestamp", "endingtimestamp",
+    "startingoffsetsbytimestamp", "endingoffsetsbytimestamp",
+    "failondataloss", "includeheaders", "maxoffsetspertrigger",
+    "minoffsetspertrigger", "maxtriggerdelay", "minpartitions",
+    "grouptimestamptype", "kafkaconsumer.polltimeoutms",
+    "fetchoffset.numretries", "fetchoffset.retryintervalms"
+  )
+
+  /** Normalize a user-facing options map (YAML `interfaces.*.options`) to
+    * Spark Kafka reader/writer options: keys already prefixed `kafka.` or
+    * naming a Spark connector option pass verbatim; anything else is a
+    * broker client property and gains the `kafka.` prefix. This is the
+    * reference-parity path for SSL/SASL brokers (kafka.hpp:427-441):
+    * `options: {security.protocol: SSL, ssl.ca.location: /path}` in YAML
+    * reaches the Kafka client config-only, no code changes.
+    */
+  def kafkaClientOptions(options: Map[String, String]): Map[String, String] =
+    options.map { case (k, v) =>
+      val key =
+        if (k.startsWith("kafka.") || sparkKafkaOptionKeys.contains(k.toLowerCase)) k
+        else s"kafka.$k"
+      key -> v
+    }
+
+  /** The configured (un-loaded) reader behind [[kafkaSource]] — split out
+    * so brokerless tests can assert the exact option set that would reach
+    * the connector (no Kafka jar/broker in this environment means `load()`
+    * itself is untestable here).
+    */
+  def kafkaSourceReader(
       spark: SparkSession,
       bootstrap: String,
       topics: Seq[String],
       batchSize: Option[Long] = None,
-      groupId: Option[String] = None
-  ): DataFrame = {
+      groupId: Option[String] = None,
+      options: Map[String, String] = Map.empty
+  ): org.apache.spark.sql.streaming.DataStreamReader = {
     val r0 = spark.readStream
     // the configured consumer group must reach the broker (ACLs, lag
     // monitoring key on it) — Spark accepts it via kafka.group.id
@@ -35,8 +69,26 @@ object StreamRuntime {
       .option("subscribe", topics.mkString(","))
       .option("includeHeaders", "true")
     val withBatch = batchSize.fold(r)(b => r.option("maxOffsetsPerTrigger", b.toString))
-    normalizeKafka(withBatch.load())
+    // user options LAST: an explicit per-interface option (e.g. a
+    // different includeHeaders, an SSL block) overrides the defaults above
+    kafkaClientOptions(options).foldLeft(withBatch) { case (acc, (k, v)) => acc.option(k, v) }
   }
+
+  /** O-1 — Kafka consumer source (kafka.hpp:801-925). `batchSize` maps to
+    * maxOffsetsPerTrigger, `includeHeaders` carries the properties map.
+    * Yields the canonical message schema: subject=topic, properties from
+    * headers, key/payload binary. `options` is the generic client
+    * passthrough (SSL/SASL — see [[kafkaClientOptions]]).
+    */
+  def kafkaSource(
+      spark: SparkSession,
+      bootstrap: String,
+      topics: Seq[String],
+      batchSize: Option[Long] = None,
+      groupId: Option[String] = None,
+      options: Map[String, String] = Map.empty
+  ): DataFrame =
+    normalizeKafka(kafkaSourceReader(spark, bootstrap, topics, batchSize, groupId, options).load())
 
   /** Kafka row → canonical message envelope (SURVEY.md §1.1/§1.2).
     * Kafka headers are an ordered MULTI-map (duplicate keys are legal);
@@ -78,17 +130,22 @@ object StreamRuntime {
 
   /** O-5 — Kafka producer sink (kafka.hpp:557-792): map the envelope back
     * to the sink columns (subject→topic, properties→headers); delivery
-    * acks/flush are Spark's epoch commit.
+    * acks/flush are Spark's epoch commit. `options` is the generic client
+    * passthrough (SSL/SASL — see [[kafkaClientOptions]]), applied last so
+    * explicit options win.
     */
   def kafkaSink(
       df: DataFrame,
       bootstrap: String,
-      checkpoint: String
-  ): DataStreamWriter[org.apache.spark.sql.Row] =
-    toKafkaColumns(df).writeStream
+      checkpoint: String,
+      options: Map[String, String] = Map.empty
+  ): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val w = toKafkaColumns(df).writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("checkpointLocation", checkpoint)
+    kafkaClientOptions(options).foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }
+  }
 
   /** O-16 — run-until-drained: `Trigger.AvailableNow` processes everything
     * available then stops — the idiomatic twin of the reference's

@@ -97,6 +97,48 @@ class ClusterCurationSpec extends SparkTestBase {
     assert(rows(2).getString(4) == "two mails <EMAIL> <EMAIL> one ip <IP>")
   }
 
+  test("piiCounts agrees with redactPii on overlapping patterns (phone inside an email local part)") {
+    import spark.implicits._
+    // '555-123-4567@x.com' is ONE email and ZERO phones: the phone-shaped
+    // local part is consumed by the email pass before the phone pass ever
+    // sees it, and the audit must count on the same redacted input
+    // (ADVICE r6: counting phones on the raw text said n_phones=1 while
+    // the redacted output contained no <PHONE>)
+    val df = Seq(
+      (1L, "contact 555-123-4567@x.com now"),
+      (2L, "ip-shaped mail 10.1.2.3@host.org and a real phone 555-000-1111")
+    ).toDF("id", "text")
+    val rows = df
+      .select(
+        col("id") +: TextOps.piiCounts(col("text")) :+ TextOps.redactPii(col("text")).as("red"): _*
+      )
+      .orderBy("id")
+      .collect()
+    assert((rows(0).getInt(1), rows(0).getInt(2), rows(0).getInt(3)) == ((1, 0, 0)))
+    assert(rows(0).getString(4) == "contact <EMAIL> now")
+    assert(!rows(0).getString(4).contains("<PHONE>"))
+    assert((rows(1).getInt(1), rows(1).getInt(2), rows(1).getInt(3)) == ((1, 0, 1)))
+    assert(rows(1).getString(4) == "ip-shaped mail <EMAIL> and a real phone <PHONE>")
+    // invariant, property-style: replacement count == audit count, per kind
+    val planted = Seq(
+      (10L, "a@b.co 1.2.3.4 555-111-2222 c@d.io"),
+      (11L, "999-999-9999 and 8.8.8.8"),
+      (12L, "")
+    ).toDF("id", "text")
+    val chk = planted
+      .select(
+        col("id") +: TextOps.piiCounts(col("text")) :+ TextOps.redactPii(col("text")).as("red"): _*
+      )
+      .collect()
+    chk.foreach { r =>
+      val red = r.getString(4)
+      def occurrences(s: String, sub: String): Int = s.sliding(sub.length).count(_ == sub)
+      assert(occurrences(red, "<EMAIL>") == r.getInt(1), s"emails in '$red'")
+      assert(occurrences(red, "<IP>") == r.getInt(2), s"ips in '$red'")
+      assert(occurrences(red, "<PHONE>") == r.getInt(3), s"phones in '$red'")
+    }
+  }
+
   test("hashUniform: in [0,1), deterministic, and rate-monotone sampling") {
     import spark.implicits._
     val ids = (0L until 2000L).toDF("id")
@@ -180,5 +222,26 @@ class ClusterCurationSpec extends SparkTestBase {
       ("b", 10L, 10L), ("b", 10L, 10L), ("b", 20L, 10L), ("b", 30L, 10L),
       ("c", 7L, 7L)
     ))
+  }
+
+  test("quantileFilter: internal-name collisions are safe; a pre-existing 'cutoff' is rejected up front") {
+    import spark.implicits._
+    // input already using the default internal names: result must be
+    // identical to the clean-named twin, with the input columns intact
+    val clashing = Seq(("a", 1L, "x"), ("a", 2L, "y"), ("b", 5L, "z"))
+      .toDF("__qf_g", "v", "__qf_v")
+    val kept = CorpusOps
+      .quantileFilter(clashing, col("__qf_g"), col("v"), q = 0.5)
+      .orderBy("v")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(kept.toSeq == Seq(("a", 1L, "x", 1L), ("a", 2L, "y", 1L), ("b", 5L, "z", 5L)))
+    // reserved output name: fail fast with a clear message, not with
+    // ambiguous duplicate columns at first downstream col("cutoff")
+    val withCutoff = Seq(("a", 1L, 9L)).toDF("g", "v", "cutoff")
+    val e = intercept[IllegalArgumentException] {
+      CorpusOps.quantileFilter(withCutoff, col("g"), col("v"), q = 0.5)
+    }
+    assert(e.getMessage.contains("cutoff"))
   }
 }

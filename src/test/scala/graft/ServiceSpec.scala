@@ -99,6 +99,91 @@ class ServiceSpec extends SparkTestBase {
     assert(cfg.appTopic.contains("dev-test-2"))
   }
 
+  /** The private `extraOptions` CaseInsensitiveMap of a DataStreamReader /
+    * DataStreamWriter — the exact option set that would reach the
+    * connector (no broker or Kafka jar in this environment, so asserting
+    * on the configured-but-unloaded reader/writer is the testable
+    * surface).
+    */
+  private def streamOptions(obj: AnyRef): Map[String, String] = {
+    val f = obj.getClass.getDeclaredFields.find(_.getName.endsWith("extraOptions")).get
+    f.setAccessible(true)
+    // lowercase keys: CaseInsensitiveMap's iteration casing is an internal
+    // detail — the connector looks keys up case-insensitively anyway
+    f.get(obj)
+      .asInstanceOf[scala.collection.Map[String, String]]
+      .map { case (k, v) => k.toLowerCase -> v }
+      .toMap
+  }
+
+  test("kafka.* passthrough: YAML options reach the reader/writer (SSL config-only, kafka.hpp:427-441 parity)") {
+    val yaml =
+      """topic: dev-test-2
+        |interfaces:
+        |  southbound:
+        |    type: kafka
+        |    address: broker:9093
+        |    groupid: dsp-consumer
+        |    topics: [dev-test]
+        |    options:
+        |      security.protocol: SSL
+        |      ssl.ca.location: /run/secrets/ca.pem
+        |      ssl.certificate.location: /run/secrets/cert.pem
+        |      startingOffsets: earliest
+        |      kafka.ssl.key.password: hunter2
+        |  northbound:
+        |    - enabled: true
+        |      name: out-nb
+        |      type: kafka
+        |      address: broker:9093
+        |      options: {security.protocol: SSL, ssl.ca.location: /run/secrets/ca.pem}
+        |""".stripMargin
+    val cfg = GraftService.parseConfig(yaml)
+    val south = cfg.southbound.asInstanceOf[GraftService.KafkaSouth]
+    // client properties get the kafka. prefix; Spark connector options and
+    // already-prefixed keys pass verbatim
+    val reader = graft.streaming.StreamRuntime.kafkaSourceReader(
+      spark, south.address, south.topics, south.batchSize, Some(south.groupId), south.options)
+    val ro = streamOptions(reader)
+    assert(ro("kafka.ssl.ca.location") == "/run/secrets/ca.pem")
+    assert(ro("kafka.security.protocol") == "SSL")
+    assert(ro("kafka.ssl.certificate.location") == "/run/secrets/cert.pem")
+    assert(ro("kafka.ssl.key.password") == "hunter2") // already prefixed: verbatim
+    assert(ro("startingoffsets") == "earliest") // Spark-level: NOT prefixed
+    assert(!ro.contains("kafka.startingoffsets"))
+    assert(ro("kafka.bootstrap.servers") == "broker:9093")
+    assert(ro("kafka.group.id") == "dsp-consumer")
+    assert(ro("subscribe") == "dev-test")
+
+    val nb = cfg.northbound.head
+    assert(nb.options == Map("security.protocol" -> "SSL", "ssl.ca.location" -> "/run/secrets/ca.pem"))
+    import org.apache.spark.sql.functions._
+    // writeStream needs a streaming Dataset; rate → envelope projection
+    // (the writer is configured but never started — no broker needed)
+    val envelope = spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", "1")
+      .load()
+      .select(
+        lit(null).cast("binary").as("key"),
+        lit("t").as("subject"),
+        map(lit("k"), lit("v")).as("properties"),
+        col("value").cast("string").cast("binary").as("payload")
+      )
+    val writer = graft.streaming.StreamRuntime.kafkaSink(
+      envelope, nb.address, "/tmp/ckpt-unused", nb.options)
+    val wo = streamOptions(writer)
+    assert(wo("kafka.ssl.ca.location") == "/run/secrets/ca.pem")
+    assert(wo("kafka.security.protocol") == "SSL")
+    assert(wo("kafka.bootstrap.servers") == "broker:9093")
+  }
+
+  test("kafka passthrough: user option overrides a built-in default") {
+    val reader = graft.streaming.StreamRuntime.kafkaSourceReader(
+      spark, "b:9092", Seq("t"), None, None, Map("includeHeaders" -> "false"))
+    assert(streamOptions(reader)("includeheaders") == "false")
+  }
+
   test("YamlLite: block scalar lists and comments") {
     val n = YamlLite.parse(
       """topics: # inline comment
