@@ -69,7 +69,8 @@ object StressXOps {
     val nDocs = args.headOption.map(_.toLong).getOrElse(5000000L)
     val nVecs = if (args.length > 1) args(1).toLong else 2000000L
     // optional 3rd arg: comma-separated section filter
-    // (simhash,minhash,cosine,decontaminate,pack,cc) — default all
+    // (simhash,minhash,cosine,decontaminate,pack,cc,quantile,pii,sample)
+    // — default all
     val only = if (args.length > 2) args(2).split(",").toSet else Set.empty[String]
     def section(name: String): Boolean = only.isEmpty || only(name)
     val spark = SparkSession
@@ -293,6 +294,111 @@ object StressXOps {
       assert(nAssigned == expectedNodes, s"every edge endpoint labeled: $nAssigned != $expectedNodes")
       assert(rounds <= 12, s"alternating CC must converge in O(log) rounds, took $rounds")
       ccP.unpersist()
+    }
+
+    // ---- quantile gate under deliberate group skew (the r6 x29 newcomer's
+    // one plausible hot-partition risk: quantileFilter's exact contract
+    // needs a per-group order, so ONE monster group = ONE window task).
+    // Layout: half the corpus in a single hot group, the rest uniform over
+    // 1000 groups — gate is the exact per-group keep count (values are
+    // unique, so kept_g = n_g − ⌈q·n_g⌉ + 1 with zero tolerance).
+    if (section("quantile")) locally {
+      val q = 0.5
+      val nRows = nDocs
+      val rows = spark.range(nRows).select(
+        col("id"),
+        when(col("id") % 2 === 0, lit(0L))
+          .otherwise(pmod(xxhash64(col("id")), lit(1000)) + 1).as("grp"),
+        col("id").as("v") // globally unique → per-group unique values
+      ).persist()
+      rows.count()
+      val kept = operators.CorpusOps.quantileFilter(rows, col("grp"), col("v"), q)
+      val (sec, nKept, h, _) = run(kept)
+      val keptP = kept.persist()
+      val violations = keptP
+        .groupBy("grp").agg(count(lit(1)).as("kept"))
+        .join(rows.groupBy("grp").agg(count(lit(1)).as("n")), Seq("grp"))
+        .filter(col("kept") =!= col("n") - ceil(lit(q) * col("n")) + 1)
+        .count()
+      val hotShare = rows.filter(col("grp") === 0L).count().toDouble / nRows
+      println(f"[stressx] quantileFilter(q=$q): $sec%.1f s, $nRows rows -> $nKept kept, groups=1001 (hot group ${hotShare * 100}%.0f%% of corpus), exact-count violations=$violations")
+      println(s"[stressx]   plan: $h")
+      println("[stressx]   scale note: the hot group is ONE window task by contract (exact per-group order statistic); at 100 TB a group that outgrows an executor moves to approx_percentile or a pre-agg value-histogram cutoff")
+      assert(violations == 0L, s"quantile keep-count contract: $violations groups wrong")
+      keptP.unpersist(); rows.unpersist()
+    }
+
+    // ---- PII redaction at full corpus width: every doc gains one planted
+    // email + IP + phone (the x27 construction); audit counts must agree
+    // with actual replacements on ALL rows, and no pattern may survive
+    // redaction. Expression-only — the gate aggregate is the only shuffle.
+    if (section("pii")) locally {
+      // materialize the planted-PII corpus BEFORE the clock: it is input
+      // data, not part of the measured operator — and leaving it lazy lets
+      // CollapseProject clone the concat subtree into every one of the ~12
+      // regex expressions downstream
+      val withPii = corpus.select(
+        col("id"),
+        concat(
+          col("text"),
+          lit(" reach user"), col("id").cast("string"),
+          lit("@mail.example.org from 10."), (col("id") % 254).cast("string"),
+          lit(".0.7 call 555-867-5309")
+        ).as("text")
+      ).persist()
+      withPii.count()
+      val redacted = withPii.select(
+        col("id"),
+        operators.TextOps.piiScrub(col("text")).as("pii")
+      ).select(col("id"), col("pii.*"))
+      val (sec, nRows, h, _) = run(redacted)
+      val gate = redacted
+        .agg(
+          sum(when(col("n_emails") =!= 1 || col("n_ips") =!= 1 || col("n_phones") =!= 1, 1).otherwise(0)).as("bad_counts"),
+          sum(
+            when(
+              regexp_count(col("redacted"), lit(operators.TextOps.emailPattern)) +
+                regexp_count(col("redacted"), lit(operators.TextOps.ipv4Pattern)) +
+                regexp_count(col("redacted"), lit(operators.TextOps.phonePattern)) =!= 0,
+              1
+            ).otherwise(0)
+          ).as("survivors")
+        )
+        .head()
+      val mbps = nRows * 250 / 1e6 / sec // ~250 B/doc (40 tokens + planted PII)
+      println(f"[stressx] piiScrub (fused): $sec%.1f s, $nRows docs (~$mbps%.0f MBps single-pass), count-mismatch=${gate.getLong(0)}, surviving-PII=${gate.getLong(1)}")
+      println(s"[stressx]   plan: $h")
+      assert(gate.getLong(0) == 0L && gate.getLong(1) == 0L)
+      withPii.unpersist()
+    }
+
+    // ---- stratified sampling at full corpus width: md5-keyed determinism
+    // must be PARTITION-INVARIANT (the property that makes the sample
+    // reproducible on a 1000-executor relayout) and per-domain rates must
+    // land within binomial tolerance.
+    if (section("sample")) locally {
+      val nDomains = 20
+      val docs = corpus.select(col("id"), pmod(col("id"), lit(nDomains)).as("domain"))
+      val rate = (col("domain") + 1).cast("double") / (2.0 * nDomains) // 2.5%..50%
+      val kept = operators.CorpusOps.sampleByRate(docs, col("id"), rate).persist()
+      val t0 = System.nanoTime()
+      val nKept = kept.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // partition-invariance: a 13-way relayout must keep the EXACT same set
+      val relaid = operators.CorpusOps.sampleByRate(docs.repartition(13), col("id"), rate)
+      val drift = kept.select("id").unionByName(relaid.select("id"))
+        .groupBy("id").agg(count(lit(1)).as("c")).filter(col("c") =!= 2).count()
+      // per-domain achieved rate within 5 binomial sds of target
+      val offRate = kept.groupBy("domain").agg(count(lit(1)).as("k"))
+        .join(docs.groupBy("domain").agg(count(lit(1)).as("n")), Seq("domain"))
+        .withColumn("target", (col("domain") + 1).cast("double") / (2.0 * nDomains))
+        .withColumn("sd", sqrt(col("n") * col("target") * (lit(1.0) - col("target"))))
+        .filter(abs(col("k") - col("n") * col("target")) > col("sd") * 5)
+        .count()
+      println(f"[stressx] sampleByRate(stratified): $sec%.1f s, $corpusN docs -> $nKept kept across $nDomains domains, relayout-drift=$drift, off-rate-domains=$offRate")
+      assert(drift == 0L, s"sampling must be partition-invariant: $drift ids changed fate under repartition")
+      assert(offRate == 0L, s"achieved rate off-target beyond 5 sd in $offRate domains")
+      kept.unpersist()
     }
 
     corpus.unpersist()

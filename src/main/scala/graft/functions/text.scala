@@ -172,4 +172,77 @@ object text {
 
   def simhash64(tokensCol: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokensCol)))
+
+  /** Fused PII audit + redaction: ONE expression returning
+    * struct&lt;n_emails, n_ips, n_phones: int, redacted: string&gt; with
+    * the exact semantics of the declarative
+    * [[graft.operators.TextOps.piiCounts]] + `redactPii` chain (each
+    * pattern counted on the text its replacement pass sees; bit-equality
+    * asserted in ClusterCurationSpec).
+    *
+    * Why an expression and not the regexp_* composition: the declarative
+    * form is ~12 independent regex expression trees (3 counts on 3
+    * progressively-redacted texts + 3 replaces + shared subtrees). Each
+    * tree pays its own UTF8String↔String decode/encode of the document
+    * and its own scan, the generated projection balloons past what
+    * HotSpot will JIT, and measured throughput collapsed to ~5 MBps/32
+    * cores at 5 M docs where a plain JVM loop over the same patterns does
+    * ~10 MB/s/core. Here: one decode, three compiled-pattern passes each
+    * doing count+replace in a single matcher walk, one encode — the
+    * pure-JVM rate, with a one-call codegen footprint.
+    */
+  case class PiiScrub(child: Expression)
+      extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_emails", IntegerType, nullable = false),
+      StructField("n_ips", IntegerType, nullable = false),
+      StructField("n_phones", IntegerType, nullable = false),
+      StructField("redacted", StringType, nullable = false)
+    ))
+    override def nullIntolerant: Boolean = true
+
+    // Pattern is thread-safe and compiled once per expression instance;
+    // Matchers are per-call (instances are shared across a plan's tasks)
+    @transient private lazy val patterns: Array[java.util.regex.Pattern] = Array(
+      java.util.regex.Pattern.compile(graft.operators.TextOps.emailPattern),
+      java.util.regex.Pattern.compile(graft.operators.TextOps.ipv4Pattern),
+      java.util.regex.Pattern.compile(graft.operators.TextOps.phonePattern)
+    )
+    private val tokens = Array("<EMAIL>", "<IP>", "<PHONE>")
+
+    /** Invoked from both eval and generated code. */
+    def compute(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+      var text = s.toString
+      val counts = new Array[Any](4)
+      var i = 0
+      while (i < 3) {
+        val m = patterns(i).matcher(text)
+        var c = 0
+        if (m.find()) {
+          // count + replace in one matcher walk (replacement literals
+          // contain no $/\ so appendReplacement needs no quoting)
+          val sb = new java.lang.StringBuilder(text.length)
+          do { c += 1; m.appendReplacement(sb, tokens(i)) } while (m.find())
+          m.appendTail(sb)
+          text = sb.toString
+        }
+        counts(i) = c
+        i += 1
+      }
+      counts(3) = UTF8String.fromString(text)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(counts)
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("piiScrub", this, classOf[PiiScrub].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+    }
+    override protected def withNewChildInternal(c: Expression): PiiScrub = copy(child = c)
+  }
+
+  def pii_scrub(textCol: Column): Column =
+    Bridge.column(PiiScrub(Bridge.expression(textCol)))
 }

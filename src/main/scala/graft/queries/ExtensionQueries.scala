@@ -556,11 +556,14 @@ object ExtensionQueries {
         ).as("text")
       )
       withPii
+        .select(col("doc_id"), TextOps.piiScrub(col("text")).as("pii"))
         .select(
-          (col("doc_id") +: TextOps.piiCounts(col("text"))) ++ Seq(
-            md5(TextOps.redactPii(col("text"))).as("fp"),
-            length(TextOps.redactPii(col("text"))).as("redacted_len")
-          ): _*
+          col("doc_id"),
+          col("pii.n_emails").as("n_emails"),
+          col("pii.n_ips").as("n_ips"),
+          col("pii.n_phones").as("n_phones"),
+          md5(col("pii.redacted")).as("fp"),
+          length(col("pii.redacted")).as("redacted_len")
         )
         .orderBy(col("doc_id"))
     }),

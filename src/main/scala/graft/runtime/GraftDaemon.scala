@@ -45,6 +45,12 @@ final class GraftDaemon private[runtime] (
 
   private val stopped = new AtomicBoolean(false)
 
+  /** Whether [[stop]] has run — the run-loop exit condition for a blocking
+    * main (reloads swap the query underneath, so `query.isActive` alone
+    * cannot distinguish "stopping" from "mid-reload").
+    */
+  def isStopped: Boolean = stopped.get()
+
   /** Runtime reconfiguration: gracefully stop the current query and start a
     * fresh one from `cfg` — the config-reload→query-restart flow behind the
     * reference's (disabled) `/reload` OAM endpoint (svc/svc/main.cpp:203-230)

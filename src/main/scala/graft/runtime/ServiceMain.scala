@@ -1,0 +1,89 @@
+package graft.runtime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.streaming.StreamRuntime
+
+/** Production entry point: `spark-submit --class graft.runtime.ServiceMain
+  * dspspark.jar /etc/graft/graft.yaml` — the deployable twin of the
+  * reference's `svc` binary (svc/main.cpp:120-240: load config, start
+  * service + metrics exposer, block until signalled). The Spark master
+  * comes from spark-submit (local[*] single-pod, or k8s:// for
+  * cluster-mode scale-out — see deploy/), NOT from code: the same jar
+  * runs unchanged in both.
+  *
+  * Sink resolution by northbound `type` (dsp.hpp:128-176's interface
+  * registry):
+  *   - `kafka`: per-batch producer write via the envelope→Kafka column
+  *     mapping, with the interface's `options:` block flowing to the
+  *     client ([[StreamRuntime.kafkaClientOptions]] — SSL config-only);
+  *   - `log`: batch count to stdout (the reference's log sink);
+  *   - anything else fails fast at startup, not at first batch.
+  */
+object ServiceMain {
+
+  /** Resolve a northbound config to a batch writer. Public so the compose/
+    * k8s FT runs and tests exercise the SAME factory the daemon uses.
+    */
+  def productionSinkFactory(nb: GraftService.Northbound): DataFrame => Unit = nb.tpe match {
+    case "kafka" =>
+      batch =>
+        StreamRuntime
+          .toKafkaColumns(batch)
+          .write
+          .format("kafka")
+          .option("kafka.bootstrap.servers", nb.address)
+          .options(StreamRuntime.kafkaClientOptions(nb.options))
+          .save()
+    case "log" =>
+      batch => println(s"[graft:${nb.name}] batch rows=${batch.count()}")
+    case other =>
+      throw new IllegalArgumentException(
+        s"northbound '${nb.name}': unsupported sink type '$other' (expected kafka|log)"
+      )
+  }
+
+  def main(args: Array[String]): Unit = {
+    val configPath = args.headOption
+      .orElse(sys.env.get("GRAFT_CONFIG"))
+      .getOrElse(throw new IllegalArgumentException("usage: ServiceMain <config.yaml> (or GRAFT_CONFIG=)"))
+    val yaml = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(configPath)), "UTF-8")
+    val cfg = GraftService.parseConfig(yaml)
+    // fail fast on unresolvable sinks BEFORE starting the query
+    cfg.northbound.filter(_.enabled).foreach(productionSinkFactory)
+
+    val spark = SparkSession
+      .builder()
+      .appName("graft-service")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("GRAFT_LOG_LEVEL", "WARN"))
+
+    val metricsPort = sys.env.get("GRAFT_METRICS_PORT").map(_.toInt).getOrElse(9555)
+    val checkpoint = sys.env.get("GRAFT_CHECKPOINT") // survive pod restarts when set
+    val daemon = GraftService.startDaemon(
+      spark,
+      cfg,
+      productionSinkFactory,
+      metricsPort = metricsPort,
+      checkpointLocation = checkpoint
+    )
+    println(s"[graft] service up: config=$configPath metrics=:${daemon.metricsPort}/metrics")
+
+    // SIGTERM (kubectl delete / docker stop) → graceful stop: drain the
+    // in-flight epoch, then release the metrics port — daemon.hpp:80-141's
+    // signal loop, Spark-style
+    sys.addShutdownHook {
+      println("[graft] shutdown signal — stopping query")
+      try daemon.stop()
+      catch { case scala.util.control.NonFatal(e) => System.err.println(s"[graft] stop: $e") }
+    }
+    // run loop: survive /reload query swaps (awaitTermination on the OLD
+    // query returns when a reload replaces it — poll the daemon, not one
+    // query instance)
+    while (!daemon.isStopped) {
+      try daemon.query.awaitTermination(2000)
+      catch { case scala.util.control.NonFatal(_) if daemon.isStopped => () }
+    }
+  }
+}

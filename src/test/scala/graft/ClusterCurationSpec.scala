@@ -139,6 +139,46 @@ class ClusterCurationSpec extends SparkTestBase {
     }
   }
 
+  test("piiScrub (fused expression) is bit-equal to the declarative piiCounts :+ redactPii twin") {
+    import spark.implicits._
+    // adversarial corpus: overlapping patterns, repeats, adjacency,
+    // pattern-shaped near-misses, empty text, unicode, $-in-text (the
+    // appendReplacement metacharacter)
+    val docs = Seq(
+      "mail a@b.co twice a@b.co ip 10.0.0.1 tel 555-123-4567",
+      "555-123-4567@x.com phone-in-email",
+      "10.1.2.3@host.org ip-in-email then 8.8.8.8",
+      "",
+      "no pii at all, just 1.5 and a-b-c and 12345678",
+      "edge555-123-4567 and 999.999.999.999 and 1.2.3.4.5",
+      "a@b.co$1 dollar \\ backslash",
+      "üñïçödé text with x@y.de and 127.0.0.1",
+      "adjacent:a@b.io10.0.0.5 555-000-1111555-222-3333"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    // plus 2000 random-ish docs from hash soup
+    val fuzz = (0 until 2000).map { i =>
+      val r = new scala.util.Random(i)
+      val toks = (0 until 30).map { _ =>
+        r.nextInt(6) match {
+          case 0 => s"u${r.nextInt(100)}@ex${r.nextInt(10)}.org"
+          case 1 => s"${r.nextInt(300)}.${r.nextInt(300)}.${r.nextInt(300)}.${r.nextInt(300)}"
+          case 2 => s"${100 + r.nextInt(900)}-${100 + r.nextInt(900)}-${1000 + r.nextInt(9000)}"
+          case _ => r.alphanumeric.take(1 + r.nextInt(8)).mkString
+        }
+      }
+      (10000L + i, toks.mkString(" "))
+    }
+    val df = (docs ++ fuzz).toDF("id", "text")
+    val declarative = df.select(
+      col("id") +: TextOps.piiCounts(col("text")) :+ TextOps.redactPii(col("text")).as("redacted"): _*
+    )
+    val fused = df
+      .select(col("id"), TextOps.piiScrub(col("text")).as("pii"))
+      .select(col("id"), col("pii.*"))
+    val diff = declarative.exceptAll(fused).count() + fused.exceptAll(declarative).count()
+    assert(diff == 0, "fused PiiScrub diverged from the declarative twin")
+  }
+
   test("hashUniform: in [0,1), deterministic, and rate-monotone sampling") {
     import spark.implicits._
     val ids = (0L until 2000L).toDF("id")

@@ -178,6 +178,24 @@ class ServiceSpec extends SparkTestBase {
     assert(wo("kafka.bootstrap.servers") == "broker:9093")
   }
 
+  test("deploy/graft.yaml: the shipped deploy config parses and every enabled sink resolves") {
+    val yaml = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("deploy/graft.yaml")), "UTF-8")
+    val cfg = GraftService.parseConfig(yaml)
+    assert(cfg.southbound.asInstanceOf[GraftService.TcpSouth].port == 7200)
+    assert(cfg.northbound.map(_.name) == Seq("kafka-nb", "audit-nb"))
+    assert(cfg.rules.map(_.destination) == Seq("kafka-nb", "kafka-nb", "audit-nb"))
+    // ServiceMain's startup fail-fast: every enabled northbound must have
+    // a factory (an unresolvable type must throw HERE, not at first batch)
+    cfg.northbound.filter(_.enabled).foreach(graft.runtime.ServiceMain.productionSinkFactory)
+    val bad = GraftService.Northbound("x", "memory", "", enabled = true)
+    intercept[IllegalArgumentException](graft.runtime.ServiceMain.productionSinkFactory(bad))
+    // the log sink is runnable brokerless
+    graft.runtime.ServiceMain.productionSinkFactory(
+      GraftService.Northbound("audit", "log", "", enabled = true)
+    )(spark.range(3).toDF())
+  }
+
   test("kafka passthrough: user option overrides a built-in default") {
     val reader = graft.streaming.StreamRuntime.kafkaSourceReader(
       spark, "b:9092", Seq("t"), None, None, Map("includeHeaders" -> "false"))
