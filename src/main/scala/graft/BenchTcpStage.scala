@@ -238,16 +238,19 @@ object BenchTcpStage {
     * into the artifact of record while a solo rerun measured 440. The
     * median over fresh-JVM children is the same protocol the engine
     * ingest gate uses; a slot whose fork failed or lost more than
-    * [[stealPoisonSec]] steal-seconds to the hypervisor is retried once
-    * (bounded; best reading kept either way; every attempt recorded).
-    * Median is the true median: middle element for odd counts, MEAN of
-    * the two middles for even counts (an upper-middle shortcut would
-    * bias a 2-good-run outcome high).
+    * [[stealPoisonSec]] steal-seconds to the hypervisor is retried once,
+    * against a SHARED budget of 2 extra forks total (worst case 5 forks,
+    * not 2n — each ref fork can take minutes, and the bench must stay
+    * well inside any outer driver timeout; best reading kept either way;
+    * every attempt recorded). Median is the true median: middle element
+    * for odd counts, MEAN of the two middles for even counts (an
+    * upper-middle shortcut would bias a 2-good-run outcome high).
     */
   def forkedRefMedian(n: Int = 3): RefOutcome = {
     val attemptMbps = scala.collection.mutable.ArrayBuffer.empty[Double]
     val attemptSteal = scala.collection.mutable.ArrayBuffer.empty[Double]
     val attemptLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var retryBudget = 2
     def fork(): (Either[String, Double], Double) = {
       attemptLoads += EnvProbe.loadavg1()
       val s0 = EnvProbe.stealTicks()
@@ -259,8 +262,9 @@ object BenchTcpStage {
     }
     val slots = (1 to n).map { i =>
       val (r1, steal1) = fork()
-      if (r1.isRight && steal1 <= stealPoisonSec) (i, r1)
+      if ((r1.isRight && steal1 <= stealPoisonSec) || retryBudget <= 0) (i, r1)
       else {
+        retryBudget -= 1
         val (r2, _) = fork()
         // best reading either way: a Right beats a Left; two Rights keep
         // the larger (steal only ever depresses a reading)

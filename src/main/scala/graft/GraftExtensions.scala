@@ -72,7 +72,10 @@ object GraftExtensions {
     "graft_split" -> (es => graft.operators.CorpusOps.splitExpr(es(0))),
     // deterministic uniform-[0,1) sampling key (CorpusOps.hashUniform's
     // tree): WHERE graft_uniform(id) < rate
-    "graft_uniform" -> (es => graft.operators.CorpusOps.uniformExpr(es(0)))
+    "graft_uniform" -> (es => graft.operators.CorpusOps.uniformExpr(es(0))),
+    // fused PII audit+redaction: SELECT graft_pii_scrub(text).* gives
+    // (n_emails, n_ips, n_phones, redacted) in one native pass
+    "graft_pii_scrub" -> (es => graft.functions.text.PiiScrub(es(0)))
   )
 
   private def str(e: Expression): String = e match {

@@ -50,11 +50,16 @@ object GraftService {
       options: Map[String, String] = Map.empty
   )
 
+  /** `metricsPort` — `interfaces.metrics.port` when the metrics block is
+    * present and enabled (dsp.hpp:244-255's exposer wiring); None
+    * otherwise (callers pick their default).
+    */
   final case class ServiceConfig(
       southbound: Southbound,
       northbound: Seq[Northbound],
       rules: Seq[Router.Rule],
-      appTopic: Option[String]
+      appTopic: Option[String],
+      metricsPort: Option[Int] = None
   )
 
   /** An interface block's `options:` map as plain strings (absent → empty).
@@ -124,7 +129,11 @@ object GraftService {
         matcher = r("condition").get("matcher").map(_.str).getOrElse("exact")
       )
     }
-    ServiceConfig(south, norths, rules, root.get("topic").map(_.str))
+    val metricsPort = root
+      .get("interfaces.metrics")
+      .filter(m => m.get("enabled").forall(_.bool))
+      .flatMap(_.get("port").map(_.int))
+    ServiceConfig(south, norths, rules, root.get("topic").map(_.str), metricsPort)
   }
 
   /** Build the southbound DataFrame in the canonical envelope schema. */

@@ -59,7 +59,12 @@ object ServiceMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel(sys.env.getOrElse("GRAFT_LOG_LEVEL", "WARN"))
 
-    val metricsPort = sys.env.get("GRAFT_METRICS_PORT").map(_.toInt).getOrElse(9555)
+    // precedence: env override > YAML interfaces.metrics.port > 9555
+    val metricsPort = sys.env
+      .get("GRAFT_METRICS_PORT")
+      .map(_.toInt)
+      .orElse(cfg.metricsPort)
+      .getOrElse(9555)
     val checkpoint = sys.env.get("GRAFT_CHECKPOINT") // survive pod restarts when set
     val daemon = GraftService.startDaemon(
       spark,

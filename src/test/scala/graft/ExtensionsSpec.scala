@@ -57,6 +57,19 @@ class ExtensionsSpec extends SparkTestBase {
     assert(row.getBoolean(5) && row.getBoolean(6))
   }
 
+  test("graft_pii_scrub SQL function: fused audit+redaction from pure SQL") {
+    GraftExtensions.register(spark)
+    val row = spark
+      .sql(
+        """SELECT s.pii.n_emails, s.pii.n_ips, s.pii.n_phones, s.pii.redacted
+          |FROM (SELECT graft_pii_scrub('mail a@b.co at 10.0.0.1 tel 555-123-4567') AS pii) s
+          |""".stripMargin
+      )
+      .collect()(0)
+    assert((row.getInt(0), row.getInt(1), row.getInt(2)) == ((1, 1, 1)))
+    assert(row.getString(3) == "mail <EMAIL> at <IP> tel <PHONE>")
+  }
+
   test("graft_split SQL function matches CorpusOps.hashSplit") {
     import org.apache.spark.sql.functions.col
     GraftExtensions.register(spark)

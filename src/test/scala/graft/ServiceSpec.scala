@@ -185,6 +185,7 @@ class ServiceSpec extends SparkTestBase {
     assert(cfg.southbound.asInstanceOf[GraftService.TcpSouth].port == 7200)
     assert(cfg.northbound.map(_.name) == Seq("kafka-nb", "audit-nb"))
     assert(cfg.rules.map(_.destination) == Seq("kafka-nb", "kafka-nb", "audit-nb"))
+    assert(cfg.metricsPort.contains(9555)) // interfaces.metrics.port reaches ServiceMain
     // ServiceMain's startup fail-fast: every enabled northbound must have
     // a factory (an unresolvable type must throw HERE, not at first batch)
     cfg.northbound.filter(_.enabled).foreach(graft.runtime.ServiceMain.productionSinkFactory)
