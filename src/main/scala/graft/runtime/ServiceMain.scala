@@ -43,15 +43,39 @@ object ServiceMain {
       )
   }
 
-  def main(args: Array[String]): Unit = {
-    val configPath = args.headOption
-      .orElse(sys.env.get("GRAFT_CONFIG"))
-      .getOrElse(throw new IllegalArgumentException("usage: ServiceMain <config.yaml> (or GRAFT_CONFIG=)"))
+  /** Metrics-port precedence: env override > YAML
+    * `interfaces.metrics.port` > 9555. Pure so the precedence is testable
+    * without a daemon.
+    */
+  def resolveMetricsPort(cfg: GraftService.ServiceConfig, env: Map[String, String]): Int =
+    env.get("GRAFT_METRICS_PORT").map(_.toInt).orElse(cfg.metricsPort).getOrElse(9555)
+
+  /** Parse + fail-fast + start: everything main does before blocking —
+    * callable from tests (which stop the returned daemon themselves) and
+    * from operational tooling.
+    */
+  def startFromConfig(
+      spark: SparkSession,
+      configPath: String,
+      env: Map[String, String] = sys.env
+  ): GraftDaemon = {
     val yaml = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(configPath)), "UTF-8")
     val cfg = GraftService.parseConfig(yaml)
     // fail fast on unresolvable sinks BEFORE starting the query
     cfg.northbound.filter(_.enabled).foreach(productionSinkFactory)
+    GraftService.startDaemon(
+      spark,
+      cfg,
+      productionSinkFactory,
+      metricsPort = resolveMetricsPort(cfg, env),
+      checkpointLocation = env.get("GRAFT_CHECKPOINT") // survive pod restarts when set
+    )
+  }
 
+  def main(args: Array[String]): Unit = {
+    val configPath = args.headOption
+      .orElse(sys.env.get("GRAFT_CONFIG"))
+      .getOrElse(throw new IllegalArgumentException("usage: ServiceMain <config.yaml> (or GRAFT_CONFIG=)"))
     val spark = SparkSession
       .builder()
       .appName("graft-service")
@@ -59,20 +83,7 @@ object ServiceMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel(sys.env.getOrElse("GRAFT_LOG_LEVEL", "WARN"))
 
-    // precedence: env override > YAML interfaces.metrics.port > 9555
-    val metricsPort = sys.env
-      .get("GRAFT_METRICS_PORT")
-      .map(_.toInt)
-      .orElse(cfg.metricsPort)
-      .getOrElse(9555)
-    val checkpoint = sys.env.get("GRAFT_CHECKPOINT") // survive pod restarts when set
-    val daemon = GraftService.startDaemon(
-      spark,
-      cfg,
-      productionSinkFactory,
-      metricsPort = metricsPort,
-      checkpointLocation = checkpoint
-    )
+    val daemon = startFromConfig(spark, configPath)
     println(s"[graft] service up: config=$configPath metrics=:${daemon.metricsPort}/metrics")
 
     // SIGTERM (kubectl delete / docker stop) → graceful stop: drain the

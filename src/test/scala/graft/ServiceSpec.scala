@@ -197,6 +197,51 @@ class ServiceSpec extends SparkTestBase {
     )(spark.range(3).toDF())
   }
 
+  test("ServiceMain.startFromConfig: YAML file -> daemon with production sinks; metrics port precedence") {
+    val yaml =
+      """topic: sm-test
+        |interfaces:
+        |  southbound:
+        |    type: sim
+        |    clientId: 42
+        |    rowsPerSecond: 50
+        |  northbound:
+        |    - {enabled: true, name: audit, type: log}
+        |  metrics:
+        |    enabled: true
+        |    port: 0
+        |""".stripMargin
+    val p = java.nio.file.Files.createTempFile("graft-sm", ".yaml")
+    java.nio.file.Files.writeString(p, yaml)
+    // precedence is pure logic: env beats YAML beats the 9555 default
+    val cfg = GraftService.parseConfig(yaml)
+    assert(graft.runtime.ServiceMain.resolveMetricsPort(cfg, Map("GRAFT_METRICS_PORT" -> "7777")) == 7777)
+    assert(graft.runtime.ServiceMain.resolveMetricsPort(cfg, Map.empty) == 0) // YAML port wins
+    assert(graft.runtime.ServiceMain.resolveMetricsPort(cfg.copy(metricsPort = None), Map.empty) == 9555)
+    val daemon = graft.runtime.ServiceMain.startFromConfig(spark, p.toString, env = Map.empty)
+    try {
+      // the sim southbound must flow through the production log sink and
+      // the /metrics exposer must come up on the YAML-resolved (free) port
+      val deadline = System.currentTimeMillis() + 30000
+      def scrape(): String =
+        try {
+          val c = new java.net.URL(s"http://127.0.0.1:${daemon.metricsPort}/metrics").openConnection()
+          val in = c.getInputStream
+          try new String(in.readAllBytes(), "UTF-8")
+          finally in.close()
+        } catch { case _: java.io.IOException => "" }
+      var body = scrape()
+      while (!body.contains("process_messages_total") && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); body = scrape()
+      }
+      assert(body.contains("process_messages_total"), s"metrics scrape missing counters:\n$body")
+    } finally {
+      daemon.stop()
+      java.nio.file.Files.delete(p)
+    }
+    assert(daemon.isStopped && !daemon.query.isActive)
+  }
+
   test("kafka passthrough: user option overrides a built-in default") {
     val reader = graft.streaming.StreamRuntime.kafkaSourceReader(
       spark, "b:9092", Seq("t"), None, None, Map("includeHeaders" -> "false"))
