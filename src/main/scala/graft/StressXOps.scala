@@ -323,8 +323,21 @@ object StressXOps {
       val hotShare = rows.filter(col("grp") === 0L).count().toDouble / nRows
       println(f"[stressx] quantileFilter(q=$q): $sec%.1f s, $nRows rows -> $nKept kept, groups=1001 (hot group ${hotShare * 100}%.0f%% of corpus), exact-count violations=$violations")
       println(s"[stressx]   plan: $h")
-      println("[stressx]   scale note: the hot group is ONE window task by contract (exact per-group order statistic); at 100 TB a group that outgrows an executor moves to approx_percentile or a pre-agg value-histogram cutoff")
+      // the monster-group path: cutoff from a mergeable sketch — no single
+      // hot window task; keep counts must land within the documented rank
+      // error (n_g/accuracy per group)
+      val approx = operators.CorpusOps.quantileFilterApprox(rows, col("grp"), col("v"), q, accuracy = 10000)
+      val (aSec, aKept, aH, _) = run(approx)
+      val aViolations = approx
+        .groupBy("grp").agg(count(lit(1)).as("kept"))
+        .join(rows.groupBy("grp").agg(count(lit(1)).as("n")), Seq("grp"))
+        .filter(abs(col("kept") - (col("n") - ceil(lit(q) * col("n")) + 1)) > col("n") / 10000 + 1)
+        .count()
+      println(f"[stressx] quantileFilterApprox(q=$q, accuracy=10k): $aSec%.1f s, -> $aKept kept, rank-error violations=$aViolations (vs exact's per-group window sort: the any-size-group path)")
+      println(s"[stressx]   plan: $aH")
+      println("[stressx]   scale note: exact keeps the hot group in ONE window task by contract; quantileFilterApprox is the operator for groups that outgrow an executor")
       assert(violations == 0L, s"quantile keep-count contract: $violations groups wrong")
+      assert(aViolations == 0L, s"approx rank-error contract: $aViolations groups beyond n/accuracy")
       keptP.unpersist(); rows.unpersist()
     }
 

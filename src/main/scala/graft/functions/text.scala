@@ -245,4 +245,51 @@ object text {
 
   def pii_scrub(textCol: Column): Column =
     Bridge.column(PiiScrub(Bridge.expression(textCol)))
+
+  /** Karp-Rabin rolling fingerprint over space-separated tokens, base 257
+    * mod 2^31−1 — ONE native pass, bit-equal to the declarative
+    * `aggregate(split(text, " "), 0L, (acc, tok) -> pmod(acc*257 +
+    * pmod(xxhash64(tok), M), M))` twin (asserted in ClusterCurationSpec):
+    * same split semantics (single-space regex, empties kept), same
+    * per-token hash (XXH64 of utf8 bytes, seed 42), same fold. The
+    * declarative form runs its lambda INTERPRETED per token (the known
+    * Spark HOF behavior, ROUND_NOTES r1) — fine at oracle scale, wrong
+    * for a corpus-wide fingerprint pass at 100 TB.
+    */
+  case class RollingFp(child: Expression)
+      extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+
+    private val mod = 2147483647L // 2^31 - 1
+
+    /** Invoked from both eval and generated code. */
+    def compute(s: UTF8String): Long = {
+      // literal-space split, -1 limit: exactly Spark's split(text, " ")
+      val toks = s.toString.split(" ", -1)
+      var acc = 0L
+      var i = 0
+      while (i < toks.length) {
+        val t = UTF8String.fromString(toks(i))
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes(), 42L)
+        val p = ((h % mod) + mod) % mod // pmod of a possibly-negative hash
+        acc = (acc * 257 + p) % mod // acc*257+p < 2^40: no overflow
+        i += 1
+      }
+      acc
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("rollingFp", this, classOf[RollingFp].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+    }
+    override protected def withNewChildInternal(c: Expression): RollingFp = copy(child = c)
+  }
+
+  def rolling_fp(textCol: Column): Column =
+    Bridge.column(RollingFp(Bridge.expression(textCol)))
 }

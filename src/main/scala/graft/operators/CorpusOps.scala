@@ -252,6 +252,44 @@ object CorpusOps {
       .drop(g)
   }
 
+  /** [[quantileFilter]] for the monster-group regime: the cutoff comes
+    * from `approx_percentile` (a mergeable sketch aggregate — partial
+    * aggregation per partition, no per-group sort, no single hot window
+    * task), so a group of ANY size never concentrates in one task. The
+    * price is rank error ≤ n_g/`accuracy` per group (Spark's
+    * Greenwald-Khanna bound); the returned cutoff is still an actual data
+    * value, and the keep rule (`value >= cutoff`) is identical. Use the
+    * exact variant while groups fit an executor's sort budget; switch
+    * here when they don't. Same reserved `cutoff` output column.
+    */
+  def quantileFilterApprox(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      q: Double,
+      accuracy: Int = 10000
+  ): DataFrame = {
+    require(q > 0 && q <= 1, s"quantile must be in (0,1], got $q")
+    require(accuracy > 0, s"accuracy must be positive, got $accuracy")
+    require(
+      !df.columns.contains("cutoff"),
+      "quantileFilterApprox appends a 'cutoff' column; rename the input's existing 'cutoff' first"
+    )
+    val used = df.columns.toSet
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i").filterNot(used).next()
+    val g = fresh("__qf_g")
+    // approx_percentile at q maps to the same "smallest value with
+    // cume_dist >= q" target the exact variant's row_number picks, up to
+    // the sketch's rank error
+    val cutoffs = df
+      .groupBy(group.as(g))
+      .agg(percentile_approx(value, lit(q), lit(accuracy)).as("cutoff"))
+    df.join(broadcast(cutoffs), group === col(g))
+      .filter(value >= col("cutoff"))
+      .drop(g)
+  }
+
   /** Sequence packing (GPT-style): documents are concatenated in a
     * deterministic order and chopped into fixed token-budget training
     * sequences; a document whose tokens straddle a boundary spills into

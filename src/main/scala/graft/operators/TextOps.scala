@@ -150,11 +150,19 @@ object TextOps {
 
   /** Rolling (polynomial) hash fingerprint over tokens — Karp-Rabin style,
     * base 257 mod 2^31-1 (Mersenne; keeps acc*257+h < 2^40, no ANSI long
-    * overflow), computed with Spark's `aggregate` higher-order function
-    * (sequential fold, deterministic). Spark-only (verified by ScalaTest,
-    * not the SQL oracle).
+    * overflow). ONE native pass ([[graft.functions.text.RollingFp]]);
+    * Spark-only (verified by ScalaTest, not the SQL oracle). The
+    * declarative `aggregate` HOF twin remains below as the semantic spec
+    * (its lambda runs interpreted per token — wrong shape for a
+    * corpus-wide pass).
     */
-  def fingerprintRolling(text: Column): Column = {
+  def fingerprintRolling(text: Column): Column =
+    graft.functions.text.rolling_fp(text)
+
+  /** The declarative spec of [[fingerprintRolling]] — bit-equality with
+    * the native expression is asserted in ClusterCurationSpec.
+    */
+  private[graft] def fingerprintRollingDeclarative(text: Column): Column = {
     val mod = 2147483647L // 2^31 - 1
     aggregate(
       split(text, " "),

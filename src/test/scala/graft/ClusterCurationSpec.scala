@@ -179,6 +179,31 @@ class ClusterCurationSpec extends SparkTestBase {
     assert(diff == 0, "fused PiiScrub diverged from the declarative twin")
   }
 
+  test("RollingFp (native) is bit-equal to the declarative aggregate-HOF fingerprint") {
+    import spark.implicits._
+    val docs = Seq(
+      "", " ", "  ", "a", "a b c", "a  b", " leading", "trailing ",
+      "üñïçödé tokens too", "repeat repeat repeat", "x " * 200 + "end"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      (0 until 500).map { i =>
+        val r = new scala.util.Random(i)
+        (100L + i, Seq.fill(1 + r.nextInt(50))(r.alphanumeric.take(r.nextInt(9)).mkString).mkString(" "))
+      }
+    val df = docs.toDF("id", "text")
+    val diff = df
+      .select(
+        TextOps.fingerprintRolling(col("text")).as("native"),
+        TextOps.fingerprintRollingDeclarative(col("text")).as("declarative")
+      )
+      .filter(col("native") =!= col("declarative"))
+      .count()
+    assert(diff == 0, "native RollingFp diverged from the aggregate-HOF spec")
+    // order sensitivity: a rolling hash must distinguish permutations
+    val fp = (s: String) =>
+      df.sparkSession.range(1).select(TextOps.fingerprintRolling(lit(s))).head().getLong(0)
+    assert(fp("a b") != fp("b a"))
+  }
+
   test("hashUniform: in [0,1), deterministic, and rate-monotone sampling") {
     import spark.implicits._
     val ids = (0L until 2000L).toDF("id")
@@ -262,6 +287,32 @@ class ClusterCurationSpec extends SparkTestBase {
       ("b", 10L, 10L), ("b", 10L, 10L), ("b", 20L, 10L), ("b", 30L, 10L),
       ("c", 7L, 7L)
     ))
+  }
+
+  test("quantileFilterApprox: exact at high accuracy, bounded rank error at low; no hot window task") {
+    import spark.implicits._
+    // distinct values, two groups of 1000: accuracy 10000 => rank error
+    // <= n/accuracy < 1 => must match the exact variant row-for-row
+    val rows = (0 until 2000).map(i => (if (i % 2 == 0) "a" else "b", i.toLong))
+    val df = rows.toDF("g", "v")
+    val exact = CorpusOps.quantileFilter(df, col("g"), col("v"), q = 0.7)
+      .select("g", "v", "cutoff")
+    val approx = CorpusOps.quantileFilterApprox(df, col("g"), col("v"), q = 0.7, accuracy = 10000)
+      .select("g", "v", "cutoff")
+    assert(exact.exceptAll(approx).count() == 0 && approx.exceptAll(exact).count() == 0)
+    // low accuracy: cutoff must still be a real data value whose rank is
+    // within n/accuracy of the target per group
+    val loose = CorpusOps.quantileFilterApprox(df, col("g"), col("v"), q = 0.7, accuracy = 50)
+    val perGroup = loose.groupBy("g").agg(count(lit(1)).as("kept")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = 1000.0
+    val target = n - math.ceil(0.7 * n) + 1 // exact keep count
+    val tol = n / 50 + 1
+    assert(perGroup.values.forall(k => math.abs(k - target) <= tol), s"kept counts $perGroup vs $target ± $tol")
+    // the scale shape: no Window in the plan — the cutoff is a mergeable
+    // aggregate, so no group ever concentrates in one sort task
+    val plan = loose.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "approx variant must not plan a window sort")
   }
 
   test("quantileFilter: internal-name collisions are safe; a pre-existing 'cutoff' is rejected up front") {
