@@ -316,4 +316,107 @@ object CorpusOps {
     df.withColumn("n_tok", tokenCount)
       .withColumn("seq_id", floor(coalesce(sum(col("n_tok")).over(w), lit(0L)) / budget))
   }
+
+  /** Corpus-wide line-level exact dedup (the C4/CCNet boilerplate pass,
+    * Raffel et al. 2020 §2.2 / Lee et al. 2022's cheap sibling): split each
+    * document into lines, count every line's occurrences across the WHOLE
+    * corpus, and drop lines occurring ≥ `minDupCount` times — navigation
+    * chrome, cookie banners, and license footers disappear while unique
+    * prose survives. `keepFirst = true` switches to Lee-et-al. semantics:
+    * the corpus-first occurrence (smallest `(doc_id, pos)`) of a common
+    * line survives, later copies are dropped.
+    *
+    * Returns one row per input document: `doc_id`, `text` (kept lines
+    * re-joined by `sep` in original order; `""` when everything was
+    * dropped), `n_lines`, `n_kept`.
+    *
+    * Scale shape: explode to one row per line (linear), count on a 128-bit
+    * md5 digest — the shuffle key is 16 bytes regardless of line length,
+    * and the hot-key risk is inverted (the MOST duplicated lines produce
+    * the FEWEST count groups); one hash join back on the digest (AQE
+    * broadcasts the count side only if it is genuinely small), then one
+    * reassembly aggregation keyed by doc id. Nothing is quadratic and no
+    * shuffle carries document text except the final per-doc reassembly.
+    */
+  def dedupLines(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      sep: String = "\n",
+      minDupCount: Long = 3,
+      keepFirst: Boolean = false
+  ): DataFrame = {
+    require(minDupCount >= 2, s"minDupCount below 2 would drop every line, got $minDupCount")
+    val lines = df
+      .select(idCol.as("doc_id"), posexplode(split(text, java.util.regex.Pattern.quote(sep))))
+      .withColumnRenamed("col", "line")
+      .withColumn("fp", md5(col("line")))
+    val counts = lines
+      .groupBy(col("fp"))
+      .agg(
+        count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pos"))).as("first_occ")
+      )
+    val keep =
+      if (keepFirst)
+        col("n_occ") < minDupCount ||
+          (col("first_occ.doc_id") === col("doc_id") && col("first_occ.pos") === col("pos"))
+      else col("n_occ") < minDupCount
+    lines
+      .join(counts, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(keep, 1L).otherwise(0L)).cast("long").as("n_kept"),
+        // collect_list skips nulls, so dropped lines vanish; array_sort on
+        // struct(pos, line) restores original order deterministically
+        array_join(
+          transform(
+            array_sort(collect_list(when(keep, struct(col("pos"), col("line"))))),
+            s => s.getField("line")
+          ),
+          sep
+        ).as("text")
+      )
+      .select(col("doc_id"), col("text"), col("n_lines"), col("n_kept"))
+  }
+
+  /** Fixed-budget token chunking with overlap — the "split long documents
+    * into model-context windows" step before embedding or training. Chunk k
+    * starts at token `k·(chunkSize−overlap)`; the final partial window is
+    * emitted only when it contributes tokens beyond the previous chunk's
+    * overlap (`start + overlap < n`), so no chunk is a pure suffix of its
+    * predecessor. Output: one row per chunk with `doc_id`, `chunk_idx`,
+    * `start`, `chunk` (array of tokens) — dense chunk indices because the
+    * drop condition is monotone in `start`.
+    *
+    * Pure per-row projection + explode: zero shuffle, linear output
+    * (≤ n/(chunkSize−overlap)+1 rows per doc), safe at any corpus size.
+    */
+  def chunkTokens(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      chunkSize: Int,
+      overlap: Int = 0
+  ): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize, s"overlap must be in [0, chunkSize), got $overlap")
+    val step = chunkSize - overlap
+    df.select(idCol.as("doc_id"), split(text, " ").as("__ct_toks"))
+      .select(
+        col("doc_id"),
+        col("__ct_toks"),
+        posexplode(sequence(lit(0), greatest(size(col("__ct_toks")) - 1, lit(0)), lit(step)))
+      )
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "start")
+      .filter(col("chunk_idx") === 0 || col("start") + lit(overlap) < size(col("__ct_toks")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        col("start").cast("long").as("start"),
+        slice(col("__ct_toks"), col("start") + 1, lit(chunkSize)).as("chunk")
+      )
+  }
 }

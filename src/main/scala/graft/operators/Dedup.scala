@@ -24,6 +24,35 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("keep_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup — the shape every CONTINUOUSLY-INGESTING
+    * corpus needs: dedupe an incoming batch against the already-accepted
+    * corpus (anti-join on the normalized-text digest) AND within itself
+    * (smallest id per digest wins, like [[exact]]). Returns one row per
+    * surviving digest: `fp`, `keep_id`, `n_copies` (copies within the
+    * incoming batch only).
+    *
+    * Scale shape: both sides reduce to 16-byte digests before any join;
+    * the anti-join is hash-partitioned on the digest (AQE broadcasts the
+    * batch side when it is small — the common case of a daily increment
+    * against a 100 TB reference). The reference side never moves document
+    * text, only digests, so re-checking a petabyte corpus costs one
+    * digest scan.
+    */
+  def incremental(
+      incoming: DataFrame,
+      text: Column,
+      idCol: Column,
+      reference: DataFrame,
+      refText: Column
+  ): DataFrame = {
+    val incFp = incoming.select(TextOps.fingerprintMd5(text).as("fp"), idCol.as("keep_id"))
+    val refFp = reference.select(TextOps.fingerprintMd5(refText).as("fp")).distinct()
+    incFp
+      .join(refFp, Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col("keep_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
   /** Word `n`-gram shingles of a text column → array&lt;string&gt;.
     * Documents shorter than `n` tokens yield their whole text as the single
     * shingle (so they can still match exactly).

@@ -41,6 +41,29 @@ object Similarity {
     */
   def cosine(a: Column, b: Column): Column = graft.functions.vector.cosine(a, b)
 
+  /** Symmetric int8 quantization of an embedding (the storage/serving
+    * compression step before an ANN index ships): per-vector
+    * `scale = max|v| / 127`, `q_i = floor(v_i/scale + 0.5)` — half-up via
+    * `floor(x+0.5)`, which (unlike `round()`) has identical tie semantics
+    * in every engine, so the quantized bytes are reproducible
+    * cross-engine. A zero vector quantizes to zeros with scale 0. Returns
+    * `struct(scale, max_abs, q)` with `q: array&lt;long&gt;` bounded in
+    * [−127, 127] by construction (max|v|/scale = 127 exactly at the
+    * extreme; no clamp needed). Pure per-row projection — zero shuffle,
+    * embarrassingly parallel at any corpus size; dequantization error is
+    * ≤ scale/2 per component (≈ max|v|/254).
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val v = transform(vec, x => x.cast("double"))
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    val scale = maxAbs / lit(127.0)
+    val q = transform(
+      v,
+      x => when(maxAbs === lit(0.0), lit(0L)).otherwise(floor(x / scale + lit(0.5)))
+    )
+    struct(scale.as("scale"), maxAbs.as("max_abs"), q.as("q"))
+  }
+
   /** Exact top-k neighbors for each query row. `queries` must be small
     * (it is broadcast); the corpus side streams — one scan, no shuffle of
     * the corpus, a per-partition top-k via the rank window on

@@ -632,6 +632,102 @@ object ExtensionQueries {
         .orderBy(col("lang"))
     }),
 
+    // Corpus-wide line-level dedup (the C4 boilerplate pass): every doc
+    // gains a universal boilerplate line (count = corpus size → dropped),
+    // docs %7 share a semi-common footer (dropped at minDupCount=3), and
+    // docs %250==1 share a rare 2-copy line (kept — below the threshold).
+    // md5 of the reassembled text value-checks the actual output.
+    "x30_line_dedup" -> ((s, dir) => {
+      val nl = "\n"
+      val lineified = T(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          lit(nl + "subscribe now and click here"),
+          when(col("doc_id") % 7 === 0, lit(nl + "all rights reserved")).otherwise(lit("")),
+          when(col("doc_id") % 250 === 1, lit(nl + "rare twin line")).otherwise(lit(""))
+        ).as("text")
+      )
+      CorpusOps
+        .dedupLines(lineified, col("doc_id"), col("text"), sep = nl, minDupCount = 3)
+        .select(
+          col("doc_id"),
+          col("n_lines"),
+          col("n_kept"),
+          md5(col("text")).as("fp_clean")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
+    // Context-window chunking: 64-token windows, 16-token overlap; the
+    // tail window is emitted only when it adds tokens beyond the overlap.
+    // md5 of each chunk's text value-checks exact token boundaries.
+    "x31_chunk_tokens" -> ((s, dir) => {
+      CorpusOps
+        .chunkTokens(T(s, dir, "documents"), col("doc_id"), col("text"), chunkSize = 64, overlap = 16)
+        .select(
+          col("doc_id"),
+          col("chunk_idx"),
+          col("start"),
+          size(col("chunk")).cast("long").as("n_tok"),
+          md5(array_join(col("chunk"), " ")).as("fp")
+        )
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Symmetric int8 embedding quantization: every output is an exact
+    // integer (sums/extremes of quantized components; the dequantization
+    // error as floor-scaled ppm of max|v|), so the cross-engine check is
+    // bit-exact with no double in the compared values.
+    "x32_embedding_quantize" -> ((s, dir) => {
+      val q = T(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"),
+          Similarity.quantizeInt8(col("embedding")).as("qz")
+        )
+      q.select(
+          col("vec_id"),
+          size(col("qz.q")).as("n_dims"),
+          aggregate(col("qz.q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          aggregate(col("qz.q"), lit(0L), (a, x) => a + x * x).as("q_sumsq"),
+          array_min(col("qz.q")).cast("long").as("q_min"),
+          array_max(col("qz.q")).cast("long").as("q_max"),
+          when(col("qz.max_abs") === 0.0, 0L)
+            .otherwise(
+              floor(
+                array_max(
+                  zip_with(col("qz.q"), col("v"), (qi, vi) => abs(qi * col("qz.scale") - vi))
+                ) / col("qz.max_abs") * lit(1000000.0)
+              )
+            )
+            .as("err_ppm")
+        )
+        .orderBy(col("vec_id"))
+    }),
+
+    // Incremental ingest dedup: the incoming batch (odd docs + exact
+    // re-ingests of the even half + intra-batch dup plants) against the
+    // accepted reference (even docs). Re-ingests must vanish via the
+    // digest anti-join; intra-batch dups collapse to the smallest id.
+    "x33_incremental_dedup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ref = docs.filter(col("doc_id") % 2 === 0)
+      val incoming = docs
+        .filter(col("doc_id") % 2 === 1)
+        .unionByName(
+          ref.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        )
+        .unionByName(
+          docs
+            .filter(col("doc_id") % 2 === 1 && col("doc_id") % 5 === 1)
+            .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+        )
+      Dedup
+        .incremental(incoming, col("text"), col("doc_id"), ref, col("text"))
+        .orderBy(col("keep_id"))
+    }),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -1073,6 +1169,79 @@ object ExtensionQueries {
         |SELECT t.lang, t.n_total, c.cutoff, k.n_kept, k.kept_tokens
         |FROM t JOIN c ON t.lang = c.lang JOIN k ON t.lang = k.lang
         |ORDER BY t.lang""".stripMargin,
+    // the same planted-boilerplate construction; counts by md5 digest and
+    // reassembles kept lines in original order — md5 of the result checks
+    // the exact reassembled text
+    "x30_line_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'subscribe now and click here' ||
+        |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'all rights reserved' ELSE '' END ||
+        |    CASE WHEN doc_id % 250 = 1 THEN chr(10) || 'rare twin line' ELSE '' END AS text
+        |  FROM documents),
+        |sp AS (SELECT doc_id, STRING_SPLIT(text, chr(10)) AS lines FROM d),
+        |l AS (
+        |  SELECT doc_id, i AS pos, lines[i] AS line
+        |  FROM sp, UNNEST(RANGE(1, LEN(lines) + 1)) AS u(i)),
+        |c AS (SELECT md5(line) AS fp, COUNT(1) AS n_occ FROM l GROUP BY 1),
+        |j AS (SELECT l.doc_id, l.pos, l.line, c.n_occ FROM l JOIN c ON md5(l.line) = c.fp)
+        |SELECT doc_id, COUNT(1) AS n_lines,
+        |  COUNT(1) FILTER (WHERE n_occ < 3) AS n_kept,
+        |  md5(COALESCE(STRING_AGG(line, chr(10) ORDER BY pos) FILTER (WHERE n_occ < 3), ''))
+        |    AS fp_clean
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // RANGE(0, n, step) = Spark sequence(0, n-1, step); list slicing and
+    // Spark's slice() clamp identically at the array end
+    "x31_chunk_tokens" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS sp FROM documents),
+        |s AS (SELECT doc_id, sp, UNNEST(RANGE(0, LEN(sp), 48)) AS start FROM t),
+        |c AS (
+        |  SELECT doc_id, CAST(start // 48 AS INT) AS chunk_idx, CAST(start AS BIGINT) AS start,
+        |    CAST(LEN(sp[start + 1 : start + 64]) AS BIGINT) AS n_tok,
+        |    md5(ARRAY_TO_STRING(sp[start + 1 : start + 64], ' ')) AS fp
+        |  FROM s WHERE start = 0 OR start + 16 < LEN(sp))
+        |SELECT doc_id, chunk_idx, start, n_tok, fp
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // identical double arithmetic (scale = max|v|/127 computed the same
+    // way), half-up via FLOOR(x+0.5) in both engines — every compared
+    // value is an exact integer
+    "x32_embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, v, LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) AS maxabs FROM e),
+        |q AS (
+        |  SELECT vec_id, v, maxabs,
+        |    LIST_TRANSFORM(v, x -> CASE WHEN maxabs = 0 THEN 0
+        |      ELSE CAST(FLOOR(x / (maxabs / 127.0) + 0.5) AS BIGINT) END) AS qv
+        |  FROM m)
+        |SELECT vec_id, CAST(LEN(qv) AS INT) AS n_dims,
+        |  CAST(LIST_SUM(qv) AS BIGINT) AS q_sum,
+        |  CAST(LIST_SUM(LIST_TRANSFORM(qv, x -> x * x)) AS BIGINT) AS q_sumsq,
+        |  CAST(LIST_MIN(qv) AS BIGINT) AS q_min,
+        |  CAST(LIST_MAX(qv) AS BIGINT) AS q_max,
+        |  CASE WHEN maxabs = 0 THEN 0 ELSE
+        |    CAST(FLOOR(LIST_MAX(LIST_TRANSFORM(RANGE(1, LEN(qv) + 1),
+        |      i -> ABS(qv[i] * (maxabs / 127.0) - v[i]))) / maxabs * 1000000.0) AS BIGINT) END
+        |    AS err_ppm
+        |FROM q ORDER BY vec_id""".stripMargin,
+    // same normalized-digest chain as x1; LEFT JOIN ... IS NULL is the
+    // anti-join; n_copies counts within the incoming batch only
+    "x33_incremental_dedup" ->
+      """WITH ref AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |inc AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 2 = 1 AND doc_id % 5 = 1),
+        |nf AS (SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp, doc_id
+        |       FROM inc),
+        |rf AS (SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |       FROM ref)
+        |SELECT nf.fp, MIN(nf.doc_id) AS keep_id, COUNT(1) AS n_copies
+        |FROM nf LEFT JOIN rf ON nf.fp = rf.fp
+        |WHERE rf.fp IS NULL
+        |GROUP BY nf.fp ORDER BY keep_id""".stripMargin,
     // full blocks only (partial tails dropped, <16-byte docs emit nothing);
     // OCTET_LENGTH on the blob, not LENGTH: the Spark side frames UTF-8
     // BYTES, and char counting would diverge on any non-ASCII document

@@ -120,4 +120,94 @@ class CorpusOpsSpec extends SparkTestBase {
       packed.toSeq == Seq(("A", 1L, 0L), ("A", 2L, 0L), ("A", 3L, 1L), ("B", 1L, 0L), ("B", 2L, 1L))
     )
   }
+
+  test("dedupLines: corpus-wide boilerplate removal, order kept, empty-doc row survives") {
+    import spark.implicits._
+    // "boiler" appears 3x (dropped at minDupCount=3); "twice" 2x (kept);
+    // doc 3 is ALL boilerplate -> must still emit a row with empty text
+    val df = Seq(
+      (1L, "alpha\nboiler\nbeta"),
+      (2L, "boiler\ntwice\ngamma"),
+      (3L, "boiler"),
+      (4L, "twice\ndelta")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps
+      .dedupLines(df, col("doc_id"), col("text"), minDupCount = 3)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(
+      out.toSeq == Seq(
+        (1L, "alpha\nbeta", 3L, 2L),
+        (2L, "twice\ngamma", 3L, 2L),
+        (3L, "", 1L, 0L),
+        (4L, "twice\ndelta", 2L, 2L)
+      )
+    )
+  }
+
+  test("dedupLines keepFirst: corpus-first occurrence of a common line survives") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "boiler\nalpha"),
+      (2L, "beta\nboiler"),
+      (3L, "boiler\ngamma")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps
+      .dedupLines(df, col("doc_id"), col("text"), minDupCount = 3, keepFirst = true)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // smallest (doc_id, pos) occurrence is doc 1 pos 0 — it alone keeps "boiler"
+    assert(out.toSeq == Seq((1L, "boiler\nalpha"), (2L, "beta"), (3L, "gamma")))
+  }
+
+  test("dedupLines: result is partition-invariant") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"common line\nunique $i\n${if (i % 3 == 0) "semi" else s"solo $i"}"))
+    val df = docs.toDF("doc_id", "text")
+    val a = CorpusOps.dedupLines(df, col("doc_id"), col("text"), minDupCount = 3)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val b = CorpusOps.dedupLines(df.repartition(13), col("doc_id"), col("text"), minDupCount = 3)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+    // the 66 "semi" copies and 200 "common line" copies are gone everywhere
+    assert(!a.exists(_(1).asInstanceOf[String].contains("common line")))
+    assert(!a.exists(_(1).asInstanceOf[String].contains("semi")))
+  }
+
+  test("chunkTokens: boundaries, overlap, suffix-only tail dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks
+      (2L, (1 to 4).map(i => s"s$i").mkString(" ")),  // shorter than one chunk
+      (3L, (1 to 6).map(i => s"u$i").mkString(" "))   // 6 toks: start=4 is suffix-only at overlap 2
+    ).toDF("doc_id", "text")
+    val out = CorpusOps
+      .chunkTokens(df, col("doc_id"), col("text"), chunkSize = 6, overlap = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getSeq[String](3).mkString(" ")))
+    assert(
+      out.toSeq == Seq(
+        // doc 1: starts 0,4,8 — start 8 adds tokens t11.. no: 8+2=10 !< 10 -> dropped
+        (1L, 0, 0L, "t1 t2 t3 t4 t5 t6"),
+        (1L, 1, 4L, "t5 t6 t7 t8 t9 t10"),
+        (2L, 0, 0L, "s1 s2 s3 s4"),
+        (3L, 0, 0L, "u1 u2 u3 u4 u5 u6")
+      )
+    )
+  }
+
+  test("chunkTokens: zero overlap tiles exactly; every token appears once") {
+    import spark.implicits._
+    val df = Seq((1L, (1 to 13).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val out = CorpusOps
+      .chunkTokens(df, col("doc_id"), col("text"), chunkSize = 5, overlap = 0)
+      .orderBy("chunk_idx")
+      .collect()
+      .map(r => r.getSeq[String](3))
+    assert(out.map(_.size).toSeq == Seq(5, 5, 3))
+    assert(out.flatten.toSeq == (1 to 13).map(i => s"w$i"))
+  }
 }

@@ -25,6 +25,77 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(out == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("incremental dedup: reference copies vanish, intra-batch dups collapse") {
+    import spark.implicits._
+    val ref = Seq((10L, "seen before"), (11L, "also seen")).toDF("doc_id", "text")
+    val inc = Seq(
+      (100L, "brand new"),
+      (101L, "seen before"),   // exact re-ingest -> dropped by anti-join
+      (102L, "brand new"),     // intra-batch dup -> collapses onto 100
+      (103L, "Seen  Before "), // normalization: same digest as ref -> dropped
+      (104L, "fresh one")
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .incremental(inc, col("text"), col("doc_id"), ref, col("text"))
+      .collect()
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies")))
+      .toSet
+    assert(out == Set((100L, 2L), (104L, 1L)))
+  }
+
+  test("incremental dedup: empty reference degrades to exact()") {
+    import spark.implicits._
+    val inc = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
+    val ref = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val viaIncremental = Dedup
+      .incremental(inc, col("text"), col("doc_id"), ref, col("text"))
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies"))).toSet
+    val viaExact = Dedup
+      .exact(inc, col("text"), col("doc_id"))
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies"))).toSet
+    assert(viaIncremental == viaExact)
+  }
+
+  test("quantizeInt8: bounds, zero vector, dequantization error within scale/2") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, -2.0f, 0.5f, 2.0f)),   // max|v|=2 -> scale=2/127
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),    // zero vector
+      (3L, Seq(-3.5f, 3.5f, 0.0f, 1.75f))   // symmetric extremes
+    ).toDF("vec_id", "embedding")
+    val rows = df
+      .select(col("vec_id"), col("embedding"), Similarity.quantizeInt8(col("embedding")).as("qz"))
+      .orderBy("vec_id")
+      .collect()
+
+    val r1 = rows(0)
+    val q1 = r1.getStruct(2).getSeq[Long](2)
+    assert(q1 == Seq(64L, -127L, 32L, 127L), s"got $q1") // 1/(2/127)=63.5 -> half-up 64
+    val r2 = rows(1)
+    assert(r2.getStruct(2).getDouble(0) == 0.0)
+    assert(r2.getStruct(2).getSeq[Long](2) == Seq(0L, 0L, 0L, 0L))
+    val r3 = rows(2)
+    val q3 = r3.getStruct(2).getSeq[Long](2)
+    assert(q3.max == 127L && q3.min == -127L)
+
+    // property: |q*scale - v| <= scale/2 for every component, on real data
+    val viol = emb
+      .limit(200)
+      .select(col("vec_id"), col("embedding"), Similarity.quantizeInt8(col("embedding")).as("qz"))
+      .select(
+        array_max(
+          zip_with(
+            col("qz.q"),
+            col("embedding"),
+            (q, v) => abs(q * col("qz.scale") - v) - col("qz.scale") * 0.5
+          )
+        ).as("excess")
+      )
+      .filter(col("excess") > lit(1e-12))
+      .count()
+    assert(viol == 0L)
+  }
+
   test("shingles: 3-gram count and short-doc fallback") {
     import spark.implicits._
     val df = Seq(Tuple1("a b c d e"), Tuple1("a b")).toDF("text")
