@@ -38,7 +38,7 @@ object StressXOps {
 
   private def hist(df: DataFrame): String = {
     val h = Stress10x.opHistogram(df)
-    val keep = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin", "Exchange", "Window", "HashAggregate", "Generate")
+    val keep = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin", "Exchange", "Window", "HashAggregate", "ObjectHashAggregate", "SortAggregate", "Generate")
     keep.flatMap(op => h.filter(_._1.startsWith(op)).map { case (k, v) => s"$k=$v" }).mkString(",")
   }
 
@@ -69,8 +69,8 @@ object StressXOps {
     val nDocs = args.headOption.map(_.toLong).getOrElse(5000000L)
     val nVecs = if (args.length > 1) args(1).toLong else 2000000L
     // optional 3rd arg: comma-separated section filter
-    // (simhash,minhash,cosine,decontaminate,pack,cc,quantile,pii,sample)
-    // — default all
+    // (simhash,minhash,cosine,decontaminate,pack,cc,quantile,pii,sample,
+    // lines,quantize) — default all
     val only = if (args.length > 2) args(2).split(",").toSet else Set.empty[String]
     def section(name: String): Boolean = only.isEmpty || only(name)
     val spark = SparkSession
@@ -80,6 +80,11 @@ object StressXOps {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.buffer.pageSize", "4m") // see Tables.sessionConfigs
       .config("spark.ui.enabled", "false")
+      // this VM loses whole minutes to hypervisor steal (ROUND_NOTES r7);
+      // a steal burst must slow the run down, not kill it via the default
+      // 10 s heartbeat x 60-miss executor suicide
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     println(s"[stressx] corpus: $nDocs docs + 1% twins; vectors: $nVecs + 1% twins; local[32]")
@@ -412,6 +417,88 @@ object StressXOps {
       assert(drift == 0L, s"sampling must be partition-invariant: $drift ids changed fate under repartition")
       assert(offRate == 0L, s"achieved rate off-target beyond 5 sd in $offRate domains")
       kept.unpersist()
+    }
+
+    // ---- line-level dedup at full corpus width: each doc re-wrapped into
+    // 4 content lines (10 tokens each) + a universal boilerplate line
+    // (corpusN duplicates — the hot-line case: its count group partial-
+    // aggregates, and the join back is 1 count row fanned to corpusN probe
+    // rows, so the hottest possible key costs nothing extra) + a semi-
+    // common footer on id%7. Twins share content lines 2-4 with their base
+    // (count 2 < minDupCount) — near-threshold lines must SURVIVE.
+    if (section("lines")) locally {
+      def contentLine(i: Int): Column =
+        array_join(slice(split(col("text"), " "), i * 10 + 1, 10), " ")
+      val lineified = corpus.select(
+        col("id"),
+        concat(
+          concat_ws("\n", contentLine(0), contentLine(1), contentLine(2), contentLine(3)),
+          lit("\nsubscribe now and click here"),
+          when(col("id") % 7 === 0, lit("\nall rights reserved")).otherwise(lit(""))
+        ).as("text")
+      ).persist()
+      lineified.count()
+      val cleaned = operators.CorpusOps.dedupLines(lineified, col("id"), col("text"), minDupCount = 3)
+      val (sec, nRows, h, _) = run(cleaned)
+      val gate = cleaned
+        .agg(
+          sum(when(col("n_kept") =!= 4, 1).otherwise(0)).as("bad_kept"),
+          sum(
+            when(col("n_lines") =!= when(col("doc_id") % 7 === 0, 6).otherwise(5), 1).otherwise(0)
+          ).as("bad_total"),
+          sum(when(col("text").contains("subscribe") || col("text").contains("rights"), 1).otherwise(0))
+            .as("boiler_survivors")
+        )
+        .head()
+      val mbps = nRows * 290 / 1e6 / sec
+      println(f"[stressx] dedupLines: $sec%.1f s, $nRows docs (~$mbps%.0f MBps), hot line ${corpusN}x duplicated, bad-kept=${gate.getLong(0)}, bad-total=${gate.getLong(1)}, boilerplate-survivors=${gate.getLong(2)}")
+      println(s"[stressx]   plan: $h")
+      assert(nRows == corpusN, s"row conservation: $nRows != $corpusN")
+      assert(gate.getLong(0) == 0L, "every doc must keep exactly its 4 content lines (twin-shared lines are 2 < minDupCount)")
+      assert(gate.getLong(1) == 0L, "n_lines must match the planted construction")
+      assert(gate.getLong(2) == 0L, "no boilerplate may survive")
+      lineified.unpersist()
+    }
+
+    // ---- int8 quantization at full vector width: pure projection — the
+    // question at scale is raw expression throughput (HOF lambdas evaluate
+    // interpreted), measured here with the error/bounds contract asserted
+    // on every vector.
+    if (section("quantize")) locally {
+      val dim = 64
+      val vecs = spark.range(nVecs).select(
+        col("id").as("vec_id"),
+        transform(
+          sequence(lit(0), lit(dim - 1)),
+          k => (pmod(xxhash64(col("id"), k), lit(2000001)) - 1000000L).cast("float") / 1000000.0f
+        ).as("embedding")
+      ).persist()
+      vecs.count()
+      val q = vecs.select(
+        col("vec_id"),
+        col("embedding"),
+        operators.Similarity.quantizeInt8(col("embedding")).as("qz")
+      )
+      val (sec, nRows, h, _) = run(q)
+      val gate = q
+        .agg(
+          sum(when(array_max(col("qz.q")) > 127 || array_min(col("qz.q")) < -127, 1).otherwise(0))
+            .as("out_of_range"),
+          sum(
+            when(
+              array_max(
+                zip_with(col("qz.q"), col("embedding"), (qi, vi) => abs(qi * col("qz.scale") - vi))
+              ) > col("qz.scale") * 0.5 + lit(1e-12),
+              1
+            ).otherwise(0)
+          ).as("err_violations")
+        )
+        .head()
+      val mvps = nRows / 1e6 / sec
+      println(f"[stressx] quantizeInt8: $sec%.1f s, $nRows vectors x $dim dims ($mvps%.2f M vec/s), out-of-range=${gate.getLong(0)}, err>scale/2=${gate.getLong(1)}")
+      println(s"[stressx]   plan: $h")
+      assert(gate.getLong(0) == 0L && gate.getLong(1) == 0L)
+      vecs.unpersist()
     }
 
     corpus.unpersist()

@@ -330,13 +330,33 @@ object CorpusOps {
     * re-joined by `sep` in original order; `""` when everything was
     * dropped), `n_lines`, `n_kept`.
     *
-    * Scale shape: explode to one row per line (linear), count on a 128-bit
-    * md5 digest — the shuffle key is 16 bytes regardless of line length,
-    * and the hot-key risk is inverted (the MOST duplicated lines produce
-    * the FEWEST count groups); one hash join back on the digest (AQE
-    * broadcasts the count side only if it is genuinely small), then one
-    * reassembly aggregation keyed by doc id. Nothing is quadratic and no
-    * shuffle carries document text except the final per-doc reassembly.
+    * Scale shape — decisions move, text does not. The first cut of this
+    * operator carried each line's text through the count join AND a
+    * collect_list(struct(pos, line)) reassembly; at 5 M docs the object
+    * aggregation fell back to sort-based spills and the join shuffled the
+    * corpus twice (hours, not minutes). This layout shuffles document text
+    * exactly once:
+    *   1. explode to line METADATA only — `(doc_id, pos, unhex(md5(line)))`,
+    *      16-byte binary digests, ~32 B/row regardless of line length;
+    *   2. COUNT-ONLY group by digest (partial agg absorbs hot boilerplate
+    *      lines: corpusN copies of one line still produce one count row),
+    *      keep only digests with `n_occ ≥ minDupCount` — the usually-tiny
+    *      dup-line set, which AQE broadcasts when it is actually small.
+    *      Count-only is load-bearing: an earlier cut also computed
+    *      `min(struct(doc_id, pos))` here, and a struct-typed aggregation
+    *      buffer evicts the whole corpus-wide aggregation from codegen
+    *      `HashAggregate` into `ObjectHashAggregate`, which falls back to
+    *      sort-based spills past 128 distinct keys — measured as tens of
+    *      minutes of shuffle-spill merging at 5 M docs vs seconds for the
+    *      codegen count;
+    *   3. join metadata to the dup set and collect the DROP POSITIONS per
+    *      doc (an int array, empty for most docs). `keepFirst`'s
+    *      first-occurrence lookup runs only over this dup subset, as two
+    *      chained codegen `min` aggregations (min doc, then min pos within
+    *      it) — never a struct buffer, never corpus-wide;
+    *   4. one join back to the original one-row-per-doc frame rebuilds the
+    *      text in place via an index filter on split() — original order is
+    *      positional, no sort, no line strings in any aggregation buffer.
     */
   def dedupLines(
       df: DataFrame,
@@ -347,38 +367,52 @@ object CorpusOps {
       keepFirst: Boolean = false
   ): DataFrame = {
     require(minDupCount >= 2, s"minDupCount below 2 would drop every line, got $minDupCount")
-    val lines = df
-      .select(idCol.as("doc_id"), posexplode(split(text, java.util.regex.Pattern.quote(sep))))
-      .withColumnRenamed("col", "line")
-      .withColumn("fp", md5(col("line")))
-    val counts = lines
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    val lineMeta = df
+      .select(idCol.as("doc_id"), posexplode(split(text, sepLit)))
+      .select(col("doc_id"), col("pos"), unhex(md5(col("col"))).as("fp"))
+    val dupFps = lineMeta
       .groupBy(col("fp"))
-      .agg(
-        count(lit(1)).as("n_occ"),
-        min(struct(col("doc_id"), col("pos"))).as("first_occ")
-      )
-    val keep =
-      if (keepFirst)
-        col("n_occ") < minDupCount ||
-          (col("first_occ.doc_id") === col("doc_id") && col("first_occ.pos") === col("pos"))
-      else col("n_occ") < minDupCount
-    lines
-      .join(counts, Seq("fp"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minDupCount)
+      .select(col("fp"))
+    val dupRows = lineMeta.join(dupFps, Seq("fp"))
+    val dropRows =
+      if (!keepFirst) dupRows
+      else {
+        // first occurrence = lexicographic min (doc_id, pos), computed as
+        // two codegen mins over the dup subset (struct buffers would evict
+        // the agg from HashAggregate — see scaladoc step 3)
+        val firstDoc = dupRows.groupBy(col("fp")).agg(min(col("doc_id")).as("__dl_fdoc"))
+        val firstPos = dupRows
+          .join(firstDoc, Seq("fp"))
+          .filter(col("doc_id") === col("__dl_fdoc"))
+          .groupBy(col("fp"), col("__dl_fdoc"))
+          .agg(min(col("pos")).as("__dl_fpos"))
+        dupRows
+          .join(firstPos, Seq("fp"))
+          .filter(!(col("doc_id") === col("__dl_fdoc") && col("pos") === col("__dl_fpos")))
+          .select(col("fp"), col("doc_id"), col("pos"))
+      }
+    val drops = dropRows
       .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_lines"),
-        sum(when(keep, 1L).otherwise(0L)).cast("long").as("n_kept"),
-        // collect_list skips nulls, so dropped lines vanish; array_sort on
-        // struct(pos, line) restores original order deterministically
-        array_join(
-          transform(
-            array_sort(collect_list(when(keep, struct(col("pos"), col("line"))))),
-            s => s.getField("line")
-          ),
-          sep
-        ).as("text")
+      .agg(collect_list(col("pos")).as("__dl_drop"))
+    df.select(idCol.as("doc_id"), text.as("__dl_text"))
+      .join(drops, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        split(col("__dl_text"), sepLit).as("__dl_lines"),
+        coalesce(col("__dl_drop"), array().cast("array<int>")).as("__dl_drop")
       )
-      .select(col("doc_id"), col("text"), col("n_lines"), col("n_kept"))
+      .select(
+        col("doc_id"),
+        array_join(
+          filter(col("__dl_lines"), (_, i) => !array_contains(col("__dl_drop"), i)),
+          sep
+        ).as("text"),
+        size(col("__dl_lines")).cast("long").as("n_lines"),
+        (size(col("__dl_lines")) - size(col("__dl_drop"))).cast("long").as("n_kept")
+      )
   }
 
   /** Fixed-budget token chunking with overlap — the "split long documents
