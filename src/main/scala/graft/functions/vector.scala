@@ -287,6 +287,73 @@ object vector {
     override protected def withNewChildInternal(c: Expression): NearestCells = copy(child = c)
   }
 
+  /** Symmetric int8 quantization: `scale = max|v|/127`,
+    * `q_i = floor(v_i/scale + 0.5)` — one pass for max|v|, one for the
+    * quantized array, in a JIT'd loop. The HOF twin
+    * ([[graft.operators.Similarity.quantizeInt8Declarative]]) evaluates
+    * FOUR interpreted lambda traversals per row (cast, abs-max, quantize,
+    * and the when() per element); this is the same arithmetic in the same
+    * order — `v_i / (maxAbs/127.0)`, never a multiply by the inverse — so
+    * quantized longs are bit-equal cross-engine (the x32 DuckDB oracle
+    * spells the identical expression). Empty array → (null, null, []) like
+    * `array_max(empty)`; dense-array assumption as the other kernels.
+    */
+  case class QuantizeInt8(child: Expression)
+      extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+    override def dataType: DataType = StructType(
+      Seq(
+        StructField("scale", DoubleType),
+        StructField("max_abs", DoubleType),
+        StructField("q", ArrayType(LongType, containsNull = false), nullable = false)
+      )
+    )
+    override def nullIntolerant: Boolean = true
+
+    /** Invoked from both eval and generated code. */
+    def compute(v: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+      val n = v.numElements()
+      if (n == 0) {
+        return org.apache.spark.sql.catalyst.InternalRow(
+          null,
+          null,
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+        )
+      }
+      var maxAbs = 0.0d
+      var i = 0
+      while (i < n) {
+        val a = java.lang.Math.abs(v.getDouble(i))
+        // Double.compare so a NaN component wins like array_max's ordering
+        if (java.lang.Double.compare(a, maxAbs) > 0) maxAbs = a
+        i += 1
+      }
+      val q = new Array[Long](n)
+      var scale = 0.0d
+      if (maxAbs != 0.0d) {
+        scale = maxAbs / 127.0d
+        i = 0
+        while (i < n) {
+          q(i) = java.lang.Math.floor(v.getDouble(i) / scale + 0.5d).toLong
+          i += 1
+        }
+      }
+      org.apache.spark.sql.catalyst.InternalRow(
+        scale,
+        maxAbs,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(q)
+      )
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("quantizeInt8", this, classOf[QuantizeInt8].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+    }
+    override protected def withNewChildInternal(c: Expression): QuantizeInt8 = copy(child = c)
+  }
+
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
   def cosine(a: Column, b: Column): Column =
@@ -297,4 +364,6 @@ object vector {
     Bridge.column(HyperplaneSig(Bridge.expression(v), bits))
   def nearest_cells(v: Column, cents: Seq[Seq[Double]], n: Int): Column =
     Bridge.column(NearestCells(Bridge.expression(v), cents, n))
+  def quantize_int8(v: Column): Column =
+    Bridge.column(QuantizeInt8(Bridge.expression(v)))
 }

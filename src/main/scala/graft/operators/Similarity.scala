@@ -52,8 +52,20 @@ object Similarity {
     * extreme; no clamp needed). Pure per-row projection — zero shuffle,
     * embarrassingly parallel at any corpus size; dequantization error is
     * ≤ scale/2 per component (≈ max|v|/254).
+    *
+    * Runs as the native [[graft.functions.vector.QuantizeInt8]] kernel
+    * (the declarative twin's four interpreted lambda traversals per row
+    * measured 0.05 M vec/s at 2 M x 64 dims — `StressXOps quantize`);
+    * [[quantizeInt8Declarative]] is kept as the semantic spec and is
+    * asserted bit-equal in `DedupSimilaritySpec`.
     */
-  def quantizeInt8(vec: Column): Column = {
+  def quantizeInt8(vec: Column): Column = graft.functions.vector.quantize_int8(vec)
+
+  /** The declarative HOF formulation of [[quantizeInt8]] — the portable
+    * semantic spec (mirrors the x32 DuckDB oracle SQL shape). Interpreted
+    * lambda evaluation makes it ~wire-speed-only; use [[quantizeInt8]].
+    */
+  private[graft] def quantizeInt8Declarative(vec: Column): Column = {
     val v = transform(vec, x => x.cast("double"))
     val maxAbs = array_max(transform(v, x => abs(x)))
     val scale = maxAbs / lit(127.0)

@@ -96,6 +96,40 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(viol == 0L)
   }
 
+  test("quantizeInt8: native kernel bit-equal to the declarative twin") {
+    import spark.implicits._
+    val edge = Seq(
+      (100L, Seq(1.0f, -2.0f, 0.5f, 2.0f)),
+      (101L, Seq(0.0f, 0.0f)),
+      (102L, Seq(-3.5f)),
+      (103L, Seq.empty[Float]),
+      (104L, Seq(1e-30f, -1e-30f)),
+      (105L, Seq(Float.MaxValue, Float.MinValue, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val both = emb
+      .limit(300)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(edge)
+      .select(
+        col("vec_id"),
+        Similarity.quantizeInt8(col("embedding")).as("nat"),
+        Similarity.quantizeInt8Declarative(col("embedding")).as("dec")
+      )
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val (n, d) = (r.getStruct(1), r.getStruct(2))
+      assert(
+        java.lang.Double.compare(
+          if (n.isNullAt(0)) Double.NaN else n.getDouble(0),
+          if (d.isNullAt(0)) Double.NaN else d.getDouble(0)
+        ) == 0 && n.isNullAt(0) == d.isNullAt(0),
+        s"scale mismatch for ${r.getLong(0)}: $n vs $d"
+      )
+      assert(n.getSeq[Long](2) == d.getSeq[Long](2), s"q mismatch for ${r.getLong(0)}: $n vs $d")
+    }
+  }
+
   test("shingles: 3-gram count and short-doc fallback") {
     import spark.implicits._
     val df = Seq(Tuple1("a b c d e"), Tuple1("a b")).toDF("text")
