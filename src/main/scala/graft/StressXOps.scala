@@ -70,7 +70,7 @@ object StressXOps {
     val nVecs = if (args.length > 1) args(1).toLong else 2000000L
     // optional 3rd arg: comma-separated section filter
     // (simhash,minhash,cosine,decontaminate,pack,cc,quantile,pii,sample,
-    // lines,quantize) — default all
+    // lines,quantize,spans) — default all
     val only = if (args.length > 2) args(2).split(",").toSet else Set.empty[String]
     def section(name: String): Boolean = only.isEmpty || only(name)
     val spark = SparkSession
@@ -458,6 +458,55 @@ object StressXOps {
       assert(gate.getLong(1) == 0L, "n_lines must match the planted construction")
       assert(gate.getLong(2) == 0L, "no boilerplate may survive")
       lineified.unpersist()
+    }
+
+    // ---- duplicated-span removal at full corpus width: an 11-token
+    // boilerplate phrase appended to every id%3==0 doc — its 4 fully-inside
+    // 8-token windows are corpus-wide dups (the whole phrase must be cut),
+    // while a per-doc unique marker token before the phrase keeps every
+    // boundary-crossing window doc-specific (the body must survive to the
+    // span edge EXACTLY; without the marker, 1-token tails collide across
+    // 1.68 M phrase docs in a 100k vocab and the operator CORRECTLY cuts
+    // "t39 boil1..boil7" too — the first gate draft learned that the hard
+    // way). minDupCount=3 so the planted twins' shared 39-token bodies
+    // (window count 2) are near-threshold spans that must SURVIVE.
+    // ~180 M window-digest rows through the codegen count — the heaviest
+    // metadata explode in the suite.
+    if (section("spans")) locally {
+      val phrase = (1 to 11).map(i => s"boil$i").mkString(" ")
+      val spanified = corpus.select(
+        col("id"),
+        concat(
+          col("text"),
+          when(
+            col("id") % 3 === 0,
+            concat(lit(" u"), col("id").cast("string"), lit(" " + phrase))
+          ).otherwise(lit(""))
+        ).as("text")
+      ).persist()
+      spanified.count()
+      val cleaned =
+        operators.CorpusOps.dedupSpans(spanified, col("id"), col("text"), k = 8, minDupCount = 3)
+      val (sec, nRows, h, _) = run(cleaned)
+      val gate = cleaned
+        .agg(
+          sum(
+            when(
+              col("n_kept") =!=
+                when(col("doc_id") % 3 === 0, col("n_tokens") - 11).otherwise(col("n_tokens")),
+              1
+            ).otherwise(0)
+          ).as("bad_kept"),
+          sum(when(col("text").contains("boil"), 1).otherwise(0)).as("phrase_survivors")
+        )
+        .head()
+      val mbps = nRows * 300 / 1e6 / sec
+      println(f"[stressx] dedupSpans: $sec%.1f s, $nRows docs (~$mbps%.0f MBps), 4 dup window fps x ${corpusN / 3} docs, bad-kept=${gate.getLong(0)}, phrase-survivors=${gate.getLong(1)}")
+      println(s"[stressx]   plan: $h")
+      assert(nRows == corpusN, s"row conservation: $nRows != $corpusN")
+      assert(gate.getLong(0) == 0L, "every doc must keep exactly its body (twin-shared spans are 2 < minDupCount)")
+      assert(gate.getLong(1) == 0L, "no boilerplate phrase token may survive")
+      spanified.unpersist()
     }
 
     // ---- int8 quantization at full vector width: pure projection — the

@@ -292,4 +292,119 @@ object text {
 
   def rolling_fp(textCol: Column): Column =
     Bridge.column(RollingFp(Bridge.expression(textCol)))
+
+  /** MD5 digest of every k-token sliding window — the metadata pass under
+    * [[graft.operators.CorpusOps.dedupSpans]] (Lee et al. 2022 ExactSubstr
+    * family). Window at start `s` (0-based) is tokens `[s, s+k)` joined by
+    * a single space; a doc with fewer than `k` tokens yields an empty
+    * array (it has no window, so it can never be cut). Digests are the raw
+    * 16 bytes of standard MD5 over the window's UTF-8 — exactly
+    * `unhex(md5(array_join(slice(split(text," "), s+1, k), " ")))` and
+    * exactly DuckDB's `md5(...)`, so the corpus-wide duplicated-window SET
+    * is identical cross-engine. One tokenize per row; the declarative twin
+    * re-evaluates its lambda interpreted per window.
+    */
+  case class WindowMd5s(child: Expression, k: Int)
+      extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    require(k >= 2, s"window width must be >= 2 tokens, got $k")
+    override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    private val space = UTF8String.fromString(" ")
+
+    /** Invoked from both eval and generated code. */
+    def compute(s: UTF8String): GenericArrayData = {
+      val toks = s.split(space, -1)
+      val n = toks.length - (k - 1)
+      if (n <= 0) return new GenericArrayData(Array.empty[Any])
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val out = new Array[Any](n)
+      var st = 0
+      while (st < n) {
+        val w = UTF8String.concatWs(space, toks.slice(st, st + k).toSeq: _*)
+        out(st) = md.digest(w.getBytes)
+        st += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("windowMd5s", this, classOf[WindowMd5s].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+    }
+    override protected def withNewChildInternal(c: Expression): WindowMd5s = copy(child = c)
+  }
+
+  def window_md5s(textCol: Column, k: Int): Column =
+    Bridge.column(WindowMd5s(Bridge.expression(textCol), k))
+
+  /** Removes every token covered by a duplicated k-window: given the
+    * (unsorted, possibly overlapping) window start positions to drop,
+    * token `t` is cut iff some start `s` has `s <= t < s+k`. One pass:
+    * sort the starts, sweep tokens with a running coverage end — O(T +
+    * S log S), no nested scan (the declarative twin's `exists()` per token
+    * is O(T·S) interpreted). Returns `struct(text, n_tokens, n_kept)`;
+    * `text` is the kept tokens re-joined by a single space (`""` when
+    * everything was cut).
+    */
+  case class CutSpans(left: Expression, right: Expression, k: Int)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType, ArrayType(IntegerType))
+    require(k >= 2, s"window width must be >= 2 tokens, got $k")
+    override def dataType: DataType = StructType(
+      Seq(
+        StructField("text", StringType, nullable = false),
+        StructField("n_tokens", LongType, nullable = false),
+        StructField("n_kept", LongType, nullable = false)
+      )
+    )
+    override def nullIntolerant: Boolean = true
+
+    private val space = UTF8String.fromString(" ")
+
+    /** Invoked from both eval and generated code. */
+    def compute(s: UTF8String, startsData: org.apache.spark.sql.catalyst.util.ArrayData)
+        : org.apache.spark.sql.catalyst.InternalRow = {
+      val toks = s.split(space, -1)
+      val starts = startsData.toIntArray()
+      java.util.Arrays.sort(starts)
+      val kept = new Array[UTF8String](toks.length)
+      var nKept = 0
+      var p = 0
+      var coverEnd = -1
+      var t = 0
+      while (t < toks.length) {
+        while (p < starts.length && starts(p) <= t) {
+          val e = starts(p) + k
+          if (e > coverEnd) coverEnd = e
+          p += 1
+        }
+        if (t >= coverEnd) { kept(nKept) = toks(t); nKept += 1 }
+        t += 1
+      }
+      val text =
+        if (nKept == 0) UTF8String.EMPTY_UTF8
+        else UTF8String.concatWs(space, kept.take(nKept).toSeq: _*)
+      org.apache.spark.sql.catalyst.InternalRow(text, toks.length.toLong, nKept.toLong)
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      compute(
+        l.asInstanceOf[UTF8String],
+        r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      )
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cutSpans", this, classOf[CutSpans].getName)
+      nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = $ref.compute($l, $r);")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CutSpans =
+      copy(left = l, right = r)
+  }
+
+  def cut_spans(textCol: Column, starts: Column, k: Int): Column =
+    Bridge.column(CutSpans(Bridge.expression(textCol), Bridge.expression(starts), k))
 }

@@ -415,6 +415,111 @@ object CorpusOps {
       )
   }
 
+  /** Corpus-wide duplicated-substring removal (the ExactSubstr idea of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", re-expressed relationally): every k-token window that occurs
+    * ≥ `minDupCount` times across the WHOLE corpus is a duplicated span;
+    * every token covered by such a window is cut from every document.
+    * Unlike [[dedupLines]] the unit is a token range, not an atomic line —
+    * a licence paragraph pasted mid-prose disappears while the
+    * document-specific words around it survive (the windows crossing the
+    * boundary contain doc-specific tokens, so they are not corpus-wide
+    * duplicates and the cut stops at the span edge, within k−1 tokens).
+    *
+    * Returns one row per input document: `doc_id`, `text` (kept tokens
+    * re-joined by a single space; `""` when everything was cut),
+    * `n_tokens`, `n_kept`. Documents with fewer than `k` tokens have no
+    * window and always survive whole.
+    *
+    * Scale shape — [[dedupLines]]'s "decisions move, text does not",
+    * token-level:
+    *   1. one native pass per doc emits the k-window MD5 array
+    *      ([[graft.functions.text.WindowMd5s]]); explode to
+    *      `(doc_id, start, fp16)` metadata, ~32 B/row;
+    *   2. COUNT-ONLY codegen group-by on the 16-byte digest (struct-free —
+    *      the ObjectHashAggregate eviction lesson), filter to the dup set;
+    *   3. join metadata to the dup set, collect DROP STARTS per doc (an
+    *      int array, empty for most docs);
+    *   4. one join back to the one-row-per-doc frame; a native sweep
+    *      ([[graft.functions.text.CutSpans]]) merges overlapping windows
+    *      and rebuilds the kept text in O(tokens + drops·log drops).
+    * The suffix-array formulation the paper uses is a single-machine
+    * construction; this equality-join layout is the shuffle-bounded
+    * equivalent for a fixed k (their dup-threshold length), and every
+    * shuffle key is a fixed-width digest or a doc id.
+    */
+  def dedupSpans(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      k: Int = 10,
+      minDupCount: Long = 2
+  ): DataFrame = {
+    require(minDupCount >= 2, s"minDupCount below 2 would cut every token, got $minDupCount")
+    val base = df.select(idCol.as("doc_id"), text.as("__ds_text"))
+    val winMeta = base
+      .select(col("doc_id"), posexplode(graft.functions.text.window_md5s(col("__ds_text"), k)))
+      .select(col("doc_id"), col("pos"), col("col").as("fp"))
+    val dupFps = winMeta
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minDupCount)
+      .select(col("fp"))
+    val drops = winMeta
+      .join(dupFps, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("pos")).as("__ds_drop"))
+    base
+      .join(drops, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        graft.functions.text
+          .cut_spans(
+            col("__ds_text"),
+            coalesce(col("__ds_drop"), array().cast("array<int>")),
+            k
+          )
+          .as("__ds_cut")
+      )
+      .select(
+        col("doc_id"),
+        col("__ds_cut.text").as("text"),
+        col("__ds_cut.n_tokens").as("n_tokens"),
+        col("__ds_cut.n_kept").as("n_kept")
+      )
+  }
+
+  /** Declarative twin of [[graft.functions.text.WindowMd5s]] — the
+    * portable semantic spec (mirrors the x34 DuckDB oracle SQL shape);
+    * interpreted lambda per window, spec scale only.
+    */
+  private[graft] def windowMd5sDeclarative(text: Column, k: Int): Column = {
+    val toks = split(text, " ")
+    when(
+      size(toks) >= k,
+      transform(
+        sequence(lit(0), size(toks) - lit(k)),
+        s => unhex(md5(array_join(slice(toks, s + 1, lit(k)), " ")))
+      )
+    ).otherwise(array().cast("array<binary>"))
+  }
+
+  /** Declarative twin of [[graft.functions.text.CutSpans]] — exists() per
+    * token, interpreted; spec scale only.
+    */
+  private[graft] def cutSpansDeclarative(text: Column, starts: Column, k: Int): Column = {
+    val toks = split(text, " ")
+    val kept = filter(
+      toks,
+      (_, i) => !exists(starts, s => s <= i && i < s + lit(k))
+    )
+    struct(
+      array_join(kept, " ").as("text"),
+      size(toks).cast("long").as("n_tokens"),
+      size(kept).cast("long").as("n_kept")
+    )
+  }
+
   /** Fixed-budget token chunking with overlap — the "split long documents
     * into model-context windows" step before embedding or training. Chunk k
     * starts at token `k·(chunkSize−overlap)`; the final partial window is

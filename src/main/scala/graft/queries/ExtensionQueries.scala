@@ -728,6 +728,38 @@ object ExtensionQueries {
         .orderBy(col("keep_id"))
     }),
 
+    // Corpus-wide duplicated-span removal (Lee et al. ExactSubstr family,
+    // token-range unit): two boilerplate phrases planted on disjoint id
+    // residues — the 8-token windows fully inside a phrase are corpus-wide
+    // duplicates (the whole phrase is cut), the windows crossing into
+    // doc-specific prose are unique (the surrounding text survives).
+    // Compared values are exact ints + md5 of the rebuilt text.
+    "x34_span_dedup" -> ((s, dir) => {
+      val spanified = T(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          when(
+            col("doc_id") % 3 === 0,
+            lit(" please subscribe to our newsletter for daily updates and offers today")
+          ).otherwise(lit("")),
+          when(
+            col("doc_id") % 11 === 5,
+            lit(" this content is licensed under creative commons attribution terms")
+          ).otherwise(lit(""))
+        ).as("text")
+      )
+      CorpusOps
+        .dedupSpans(spanified, col("doc_id"), col("text"), k = 8, minDupCount = 2)
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          col("n_kept"),
+          md5(col("text")).as("fp_clean")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -1202,6 +1234,43 @@ object ExtensionQueries {
         |  FROM s WHERE start = 0 OR start + 16 < LEN(sp))
         |SELECT doc_id, chunk_idx, start, n_tok, fp
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // same planted phrases; windows via RANGE(0, LEN-7) = Spark's
+    // T-k+1 window starts; coverage expanded relationally (one row per
+    // covered token index) instead of nested lambdas, STRING_AGG ORDER BY
+    // restores token order
+    "x34_span_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' please subscribe to our newsletter for daily updates and offers today'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 5
+        |      THEN ' this content is licensed under creative commons attribution terms'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS sp FROM d),
+        |w AS (
+        |  SELECT doc_id, u.i AS start, md5(ARRAY_TO_STRING(sp[u.i + 1 : u.i + 8], ' ')) AS fp
+        |  FROM t, UNNEST(RANGE(0, LEN(sp) - 7)) AS u(i)),
+        |dup AS (SELECT fp FROM w GROUP BY fp HAVING COUNT(1) >= 2),
+        |dr AS (SELECT w.doc_id, w.start FROM w JOIN dup USING (fp)),
+        |cov AS (
+        |  SELECT DISTINCT dr.doc_id, c.i
+        |  FROM dr, UNNEST(RANGE(dr.start, dr.start + 8)) AS c(i)),
+        |tok AS (
+        |  SELECT t.doc_id, u.i, sp[u.i + 1] AS tk
+        |  FROM t, UNNEST(RANGE(0, LEN(sp))) AS u(i)),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.i, tok.tk
+        |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.i
+        |  WHERE cov.i IS NULL),
+        |agg AS (
+        |  SELECT doc_id, COUNT(1) AS n_kept, STRING_AGG(tk, ' ' ORDER BY i) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(LEN(t.sp) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |  md5(COALESCE(a.text, '')) AS fp_clean
+        |FROM t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
     // identical double arithmetic (scale = max|v|/127 computed the same
     // way), half-up via FLOOR(x+0.5) in both engines — every compared
     // value is an exact integer

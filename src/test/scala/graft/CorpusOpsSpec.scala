@@ -176,6 +176,102 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(!a.exists(_(1).asInstanceOf[String].contains("semi")))
   }
 
+  test("dedupSpans: duplicated k-window spans cut, unique context survives") {
+    import spark.implicits._
+    // docs 1 and 2 share the 4-token phrase "p q r s" (k=3 -> windows
+    // "p q r" and "q r s" both duplicated -> all 4 phrase tokens covered);
+    // the words around the phrase differ per doc and must survive. doc 3
+    // has no duplicated window; doc 4 is shorter than k and survives whole.
+    val df = Seq(
+      (1L, "a b p q r s c d"),
+      (2L, "x y p q r s z w"),
+      (3L, "one two three four five"),
+      (4L, "u v")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps
+      .dedupSpans(df, col("doc_id"), col("text"), k = 3, minDupCount = 2)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(
+      out.toSeq == Seq(
+        (1L, "a b c d", 8L, 4L),
+        (2L, "x y z w", 8L, 4L),
+        (3L, "one two three four five", 5L, 5L),
+        (4L, "u v", 2L, 2L)
+      )
+    )
+  }
+
+  test("dedupSpans: fully-duplicated doc empties out; overlapping spans merge") {
+    import spark.implicits._
+    // identical docs -> every window duplicated -> everything cut;
+    // doc 3 contains the whole of docs 1/2 as a substring plus a twist
+    val df = Seq(
+      (1L, "m n o p"),
+      (2L, "m n o p"),
+      (3L, "m n o p twist")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps
+      .dedupSpans(df, col("doc_id"), col("text"), k = 3, minDupCount = 2)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // windows "m n o"/"n o p" occur 3x each -> cut everywhere; doc 3's
+    // "o p twist" window is unique, but its tokens o,p are already covered
+    // -> only "twist" survives there
+    assert(
+      out.toSeq == Seq((1L, "", 4L, 0L), (2L, "", 4L, 0L), (3L, "twist", 5L, 1L))
+    )
+  }
+
+  test("dedupSpans: native window/cut kernels bit-equal to declarative twins") {
+    import spark.implicits._
+    val docs = (1L to 120L)
+      .map { i =>
+        val boiler = if (i % 4 == 0) " end of transmission stop now" else ""
+        (i, s"tok${i % 7} alpha tok${i % 5} beta tok${i % 3} gamma delta$boiler")
+      }
+      .toDF("doc_id", "text")
+    val k = 3
+    val winPairs = docs
+      .select(
+        graft.functions.text.window_md5s(col("text"), k).as("nat"),
+        CorpusOps.windowMd5sDeclarative(col("text"), k).as("dec")
+      )
+      .collect()
+    winPairs.foreach { r =>
+      val n = r.getSeq[Array[Byte]](0).map(_.toSeq)
+      val d = r.getSeq[Array[Byte]](1).map(_.toSeq)
+      assert(n == d)
+    }
+    // edge: doc shorter than k has no window in either formulation
+    val short = Seq((1L, "a b")).toDF("doc_id", "text")
+    assert(
+      short
+        .select(
+          size(graft.functions.text.window_md5s(col("text"), k)).as("n"),
+          size(CorpusOps.windowMd5sDeclarative(col("text"), k)).as("d")
+        )
+        .head() == org.apache.spark.sql.Row(0, 0)
+    )
+    val starts = Seq(
+      ("a b c d e f g h", Seq(0, 1, 5)),
+      ("a b c d e f g h", Seq.empty[Int]),
+      ("a b c", Seq(0)),
+      ("lone", Seq.empty[Int])
+    ).toDF("text", "starts")
+    val cutPairs = starts
+      .select(
+        graft.functions.text.cut_spans(col("text"), col("starts"), k).as("nat"),
+        CorpusOps.cutSpansDeclarative(col("text"), col("starts"), k).as("dec")
+      )
+      .collect()
+    cutPairs.foreach { r =>
+      assert(r.getStruct(0).toSeq == r.getStruct(1).toSeq, s"$r")
+    }
+  }
+
   test("chunkTokens: boundaries, overlap, suffix-only tail dropped") {
     import spark.implicits._
     val df = Seq(
