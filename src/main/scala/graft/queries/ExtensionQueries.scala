@@ -728,6 +728,26 @@ object ExtensionQueries {
         .orderBy(col("keep_id"))
     }),
 
+    // Incremental dedup through the Bloom-prefilter path: identical
+    // semantics to x33 (the sketch only prunes; bloom-positives are
+    // confirmed by digest equality) on a different residue split, so the
+    // oracle is the plain anti-join while the Spark plan is the
+    // zero-reference-shuffle sketch layout.
+    "x35_bloom_incremental" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ref = docs.filter(col("doc_id") % 3 === 0)
+      val incoming = docs
+        .filter(col("doc_id") % 3 =!= 0)
+        .unionByName(
+          ref
+            .filter(col("doc_id") % 2 === 0)
+            .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+        )
+      Dedup
+        .incrementalBloom(incoming, col("text"), col("doc_id"), ref, col("text"))
+        .orderBy(col("keep_id"))
+    }),
+
     // Corpus-wide duplicated-span removal (Lee et al. ExactSubstr family,
     // token-range unit): two boilerplate phrases planted on disjoint id
     // residues — the 8-token windows fully inside a phrase are corpus-wide
@@ -1303,6 +1323,22 @@ object ExtensionQueries {
         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 2 = 0
         |  UNION ALL
         |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 2 = 1 AND doc_id % 5 = 1),
+        |nf AS (SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp, doc_id
+        |       FROM inc),
+        |rf AS (SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |       FROM ref)
+        |SELECT nf.fp, MIN(nf.doc_id) AS keep_id, COUNT(1) AS n_copies
+        |FROM nf LEFT JOIN rf ON nf.fp = rf.fp
+        |WHERE rf.fp IS NULL
+        |GROUP BY nf.fp ORDER BY keep_id""".stripMargin,
+    // the Bloom prefilter is invisible in the result: the oracle is the
+    // same exact anti-join as x33, on the x35 residue split
+    "x35_bloom_incremental" ->
+      """WITH ref AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |inc AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 3 = 0 AND doc_id % 2 = 0),
         |nf AS (SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp, doc_id
         |       FROM inc),
         |rf AS (SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp

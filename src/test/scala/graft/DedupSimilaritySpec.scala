@@ -56,6 +56,42 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(viaIncremental == viaExact)
   }
 
+  test("incrementalBloom: bit-equal to incremental on real docs (sketch only prunes)") {
+    val ref = docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
+    val inc = docs
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .unionByName(ref.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val plain = Dedup
+      .incremental(inc, col("text"), col("doc_id"), ref, col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val bloomed = Dedup
+      .incrementalBloom(inc, col("text"), col("doc_id"), ref, col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bloomed == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("incrementalBloom: empty reference keeps everything (null sketch is not a drop)") {
+    import spark.implicits._
+    val inc = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
+    val ref = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Dedup
+      .incrementalBloom(inc, col("text"), col("doc_id"), ref, col("text"))
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies"))).toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("incrementalBloom: probe is in the plan and the reference is never exchanged") {
+    val ref = docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
+    val inc = docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text"))
+    val out = Dedup.incrementalBloom(inc, col("text"), col("doc_id"), ref, col("text"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom probe missing from plan:\n$plan")
+    // both reference-side joins must be broadcast (ref scanned, not shuffled)
+    assert(!plan.contains("SortMergeJoin"), s"reference side got shuffle-joined:\n$plan")
+  }
+
   test("quantizeInt8: bounds, zero vector, dequantization error within scale/2") {
     import spark.implicits._
     val df = Seq(
