@@ -170,4 +170,52 @@ object TextOps {
       (acc, tok) => pmod(acc * 257 + pmod(xxhash64(tok), lit(mod)), lit(mod))
     )
   }
+
+  /** Feature-hash bucket of a token: the first 3 hex chars of md5 as an
+    * integer in [0, 4096) — the hashing trick (Weinberger et al. '09)
+    * with an engine-portable hash, so the DuckDB oracle reproduces every
+    * bucket bit-exactly (md5 agrees everywhere; hex→int is plain
+    * substring/conv arithmetic). Codegen projection, zero shuffle.
+    */
+  val hashedFeatureDim: Int = 4096
+
+  def featureBucket(tok: Column): Column =
+    conv(substring(md5(tok), 1, 3), 16, 10).cast("long")
+
+  /** Linear text-classifier INFERENCE over hashed features — the shape of
+    * a fastText-style quality gate applied to a web corpus: tokenize,
+    * hash each token into [[hashedFeatureDim]] buckets ([[featureBucket]]),
+    * score = Σ weights(bucket), keep iff score ≥ `threshold`. Integer
+    * weights keep the cross-engine check exact (no float summation-order
+    * hazard). Training is out of scope — `weights` is the model, supplied
+    * by the caller and embedded as a plan literal probed with
+    * `element_at` (same design as the IVF centroid table: broadcast-once
+    * read-only model state).
+    *
+    * Scale shape: explode(tokens) → codegen projection → hash-agg SUM by
+    * doc. Map-side partial aggregation collapses each doc's tokens within
+    * its input partition, so the exchange carries ~one row per document,
+    * not one per token; nothing else moves. Output: one row per doc —
+    * (id, n_tokens, score, kept).
+    */
+  def scoreLinearHashed(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      weights: Array[Long],
+      threshold: Long = 0L
+  ): DataFrame = {
+    require(
+      weights.length == hashedFeatureDim,
+      s"weights must have length $hashedFeatureDim, got ${weights.length}"
+    )
+    df.select(idCol.as("id"), explode(split(text, " ")).as("tok"))
+      .select(col("id"), element_at(lit(weights), featureBucket(col("tok")).cast("int") + 1).as("w"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("w")).as("score")
+      )
+      .withColumn("kept", col("score") >= threshold)
+  }
 }

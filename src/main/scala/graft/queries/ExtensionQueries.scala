@@ -748,6 +748,21 @@ object ExtensionQueries {
         .orderBy(col("keep_id"))
     }),
 
+    // Hashed-feature linear classifier inference (fastText-style quality
+    // gate): the model is a 4096-long integer weight vector riding the
+    // plan as a literal; buckets are md5-based so DuckDB recomputes every
+    // feature bit-exactly. The oracle derives w(bucket) from the same
+    // formula the Scala side tabulates the array with.
+    "x36_quality_classifier" -> ((s, dir) => {
+      val weights = Array.tabulate(TextOps.hashedFeatureDim) { b =>
+        (b.toLong * 2654435761L) % 1001L - 500L
+      }
+      TextOps
+        .scoreLinearHashed(T(s, dir, "documents"), col("doc_id"), col("text"), weights)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("score"), col("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus-wide duplicated-span removal (Lee et al. ExactSubstr family,
     // token-range unit): two boilerplate phrases planted on disjoint id
     // residues — the 8-token windows fully inside a phrase are corpus-wide
@@ -1347,6 +1362,23 @@ object ExtensionQueries {
         |FROM nf LEFT JOIN rf ON nf.fp = rf.fp
         |WHERE rf.fp IS NULL
         |GROUP BY nf.fp ORDER BY keep_id""".stripMargin,
+    // feature bucket = first 3 hex chars of md5(token) as an int (per-char
+    // ascii arithmetic — DuckDB has no hex→int cast); weight derived from
+    // the same integer formula the Spark side tabulates its literal with
+    "x36_quality_classifier" ->
+      """WITH t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents),
+        |b AS (SELECT doc_id,
+        |    (CASE WHEN ASCII(SUBSTR(md5(tok),1,1)) >= 97 THEN ASCII(SUBSTR(md5(tok),1,1))-87
+        |          ELSE ASCII(SUBSTR(md5(tok),1,1))-48 END) * 256
+        |  + (CASE WHEN ASCII(SUBSTR(md5(tok),2,1)) >= 97 THEN ASCII(SUBSTR(md5(tok),2,1))-87
+        |          ELSE ASCII(SUBSTR(md5(tok),2,1))-48 END) * 16
+        |  + (CASE WHEN ASCII(SUBSTR(md5(tok),3,1)) >= 97 THEN ASCII(SUBSTR(md5(tok),3,1))-87
+        |          ELSE ASCII(SUBSTR(md5(tok),3,1))-48 END) AS bucket
+        |  FROM t)
+        |SELECT doc_id, COUNT(1) AS n_tokens,
+        |  CAST(SUM((bucket*2654435761) % 1001 - 500) AS BIGINT) AS score,
+        |  CAST(SUM((bucket*2654435761) % 1001 - 500) AS BIGINT) >= 0 AS kept
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // full blocks only (partial tails dropped, <16-byte docs emit nothing);
     // OCTET_LENGTH on the blob, not LENGTH: the Spark side frames UTF-8
     // BYTES, and char counting would diverge on any non-ASCII document

@@ -101,6 +101,38 @@ class OperatorSpec extends SparkTestBase {
     assert(again.toSeq == got.map(_._4).toSeq)
   }
 
+  test("scoreLinearHashed: matches an independent JVM reimplementation, gate flips on threshold") {
+    val weights = Array.tabulate(TextOps.hashedFeatureDim)(b => (b.toLong * 2654435761L) % 1001L - 500L)
+    // independent expectation: java MessageDigest, no Spark expressions
+    def bucket(tok: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(tok.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 3), 16)
+    }
+    val docs = Seq(
+      (1L, "the cat and the dog"),
+      (2L, "el gato y la casa de la playa"),
+      (3L, "xyzzy")
+    )
+    val expected = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val score = toks.map(t => weights(bucket(t))).sum
+      (id, toks.length.toLong, score, score >= 0L)
+    }.toSet
+    val got = TextOps
+      .scoreLinearHashed(docs.toDF("doc_id", "text"), col("doc_id"), col("text"), weights)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(got == expected)
+    // a threshold above every score keeps nothing
+    val none = TextOps
+      .scoreLinearHashed(docs.toDF("doc_id", "text"), col("doc_id"), col("text"), weights, threshold = Long.MaxValue)
+      .filter(col("kept"))
+      .count()
+    assert(none == 0L)
+  }
+
   test("multimodal: stub decode keeps real histogram features, frame sampling shapes") {
     val docs = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789abcdefghijkl", "en", "src1", 48L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
