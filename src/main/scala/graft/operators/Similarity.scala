@@ -250,6 +250,59 @@ object Similarity {
   ): DataFrame =
     ivfProbe(ivfTrain(corpus, vec, id, nlist, iters), corpus, queries, vec, id, k, nprobe)
 
+  /** Semantic dedup (SemDeDup, Abbas et al. '23, public arXiv design):
+    * k-means-cluster the embedding space, then drop near-duplicates ONLY
+    * within each cluster — pairwise cosine is confined to cluster members,
+    * so the quadratic term is Σ|cluster|², not n², and nlist is the dial
+    * that keeps clusters bounded as the corpus grows (SemDeDup runs 50k
+    * clusters at 100 M docs; clusters hash-partition, the centroid model
+    * is a plan literal, and the join is a plain equality join on cell id).
+    *
+    * `centroids` is the TRAINED model ([[ivfTrain]] or read back from
+    * storage — same train-once / serve-many split as [[ivfProbe]]).
+    * Representative policy: a doc is dropped iff some SMALLER id in its
+    * cluster is cosine-≥-`threshold` similar (deterministic under any
+    * partitioning; the paper keeps the lowest-centroid-similarity member,
+    * an equally arbitrary but costlier choice). Misses across cluster
+    * boundaries are the documented SemDeDup approximation — near-identical
+    * vectors share a nearest centroid except at cell edges.
+    *
+    * Returns one row per corpus doc: (`id`, cell, kept).
+    */
+  def semanticDedup(
+      centroids: DataFrame,
+      corpus: DataFrame,
+      vec: String,
+      id: String,
+      threshold: Double
+  ): DataFrame = {
+    val rows = centroids
+      .select(col("cell").cast("int").as("cell"), col("centroid").cast("array<double>"))
+      .collect()
+    val byCell = rows.map(r => (r.getInt(0), r.getSeq[Double](1).toVector)).sortBy(_._1)
+    require(
+      byCell.nonEmpty && byCell.map(_._1).toSeq == (0 until byCell.length),
+      s"centroid table must carry contiguous cells 0..n-1, got ${byCell.map(_._1).mkString(",")}"
+    )
+    val cents: Seq[Seq[Double]] = byCell.map(_._2).toVector
+
+    val cells = withCell(corpus.select(col(id).as("cid"), col(vec).as("cv")), "cv", cents)
+    val left = cells.select(col("cell"), col("cid").as("id_a"), col("cv").as("va"))
+    val right = cells.select(col("cell"), col("cid").as("id_b"), col("cv").as("vb"))
+    val dropped = left
+      .join(right, Seq("cell"))
+      .filter(col("id_a") < col("id_b") && cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as("cid"))
+      .distinct()
+    cells
+      .join(dropped.withColumn("__drop", lit(true)), Seq("cid"), "left")
+      .select(
+        col("cid").as(id),
+        col("cell"),
+        coalesce(!col("__drop"), lit(true)).as("kept")
+      )
+  }
+
   /** Embedding-cosine near-duplicate pairs: corpus rows whose vectors are
     * near-identical (cosine ≥ threshold), the embedding-space twin of
     * [[Dedup.minhashPairs]]. Candidates come from hyperplane-signature

@@ -795,6 +795,46 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SemDeDup on a bounded planted corpus: originals (<500) + perturbed
+    // twins (cos ≈ 0.9999, ids +200000). Natural pairs top out ~0.6, so
+    // the exact strong-pair set is EXACTLY the planted twins in both
+    // engines; the operator (k-means cells + within-cell cosine) must
+    // drop only planted ids (drops_planted_only) and recover ≥ 0.9 of
+    // them (recall_ok — cell-boundary misses are the documented
+    // SemDeDup approximation).
+    "x37_semantic_dedup" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        .filter(col("vec_id") < 500)
+      val planted = emb
+        .filter(col("vec_id") < 100)
+        .select((col("vec_id") + 200000).as("vec_id"), perturb(col("embedding")).as("embedding"))
+      val all = emb.unionByName(planted)
+      val cents = Similarity.ivfTrain(all, "embedding", "vec_id", nlist = 8, iters = 2)
+      val res = Similarity.semanticDedup(cents, all, "embedding", "vec_id", threshold = 0.95)
+      // exact strong-pair twin on the bounded corpus — no clustering here
+      val l = all.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val r = all.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val nStrong = l
+        .join(r, col("id_a") < col("id_b"))
+        .filter(Similarity.cosine(col("va"), col("vb")) >= 0.95)
+        .agg(count(lit(1)).as("n_strong"))
+      res
+        .agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(bool_and(when(!col("kept"), col("vec_id") >= 200000)), lit(true))
+            .as("drops_planted_only"),
+          sum(when(!col("kept"), 1L).otherwise(0L)).cast("double").as("__nd")
+        )
+        .crossJoin(nStrong)
+        .select(
+          col("n_docs"),
+          col("n_strong"),
+          col("drops_planted_only"),
+          (col("__nd") / col("n_strong") >= 0.9).as("recall_ok")
+        )
+    }),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -1362,6 +1402,24 @@ object ExtensionQueries {
         |FROM nf LEFT JOIN rf ON nf.fp = rf.fp
         |WHERE rf.fp IS NULL
         |GROUP BY nf.fp ORDER BY keep_id""".stripMargin,
+    // x37's oracle rebuilds the planted corpus and recomputes the exact
+    // strong-pair twin; every strong pair's larger member is planted
+    // (drops_planted_only derived independently), recall_ok asserted TRUE
+    "x37_semantic_dedup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+        |           FROM embeddings WHERE vec_id < 500),
+        |p AS (SELECT vec_id + 200000 AS vec_id,
+        |        list_transform(v, x -> $perturbSql) AS v
+        |      FROM e WHERE vec_id < 100),
+        |a AS (SELECT * FROM e UNION ALL SELECT * FROM p),
+        |s AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        |      FROM a x JOIN a y ON x.vec_id < y.vec_id
+        |      WHERE list_cosine_similarity(x.v, y.v) >= 0.95)
+        |SELECT (SELECT COUNT(1) FROM a) AS n_docs,
+        |  COUNT(1) AS n_strong,
+        |  BOOL_AND(id_b >= 200000) AS drops_planted_only,
+        |  TRUE AS recall_ok
+        |FROM s""".stripMargin,
     // feature bucket = first 3 hex chars of md5(token) as an int (per-char
     // ascii arithmetic — DuckDB has no hex→int cast); weight derived from
     // the same integer formula the Spark side tabulates its literal with
