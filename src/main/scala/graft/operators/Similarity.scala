@@ -267,6 +267,27 @@ object Similarity {
     * boundaries are the documented SemDeDup approximation — near-identical
     * vectors share a nearest centroid except at cell edges.
     *
+    * Over-full-cell guard: the within-cell self-join is Σ|cell|² by
+    * design, which is fine exactly as long as every cell stays bounded.
+    * A degenerate cell (near-zero embeddings, a boilerplate cluster, or
+    * nlist too small for the corpus) would silently go quadratic inside
+    * ONE join partition — a job-killer at 100 TB. Cells larger than
+    * `maxCell` are therefore excluded from the pairwise pass (all their
+    * members come back `kept = true` — deduping them needs a retrain
+    * with larger nlist, not an unbounded join), and the shed is surfaced
+    * the same way [[cosineNearDupPairs]] surfaces over-full buckets: a
+    * named lazy observation (`semantic_dedup_shed_<k>`: dropped_rows,
+    * max_cell) plus the once-per-session listener printing any non-zero
+    * shed to stderr at action time. The cell-size count is a window over
+    * `cell` — the SAME key the self-join hash-partitions on, so the
+    * guard adds no new shuffle key; the nearest-centroid projection runs
+    * once per join side (plan-literal centroids, linear codegen pass),
+    * the same inline-twice trade documented on [[cosineNearDupPairs]].
+    * Default `maxCell` = 20 000: SemDeDup's own operating point is ~2 000
+    * docs/cluster (100 M docs / 50 k clusters), so 10× that headroom
+    * means the cap only fires on genuinely degenerate cells; 20 000²/2
+    * pairwise cosines in one task is seconds of compute, not hours.
+    *
     * Returns one row per corpus doc: (`id`, cell, kept).
     */
   def semanticDedup(
@@ -274,7 +295,8 @@ object Similarity {
       corpus: DataFrame,
       vec: String,
       id: String,
-      threshold: Double
+      threshold: Double,
+      maxCell: Int = 20000
   ): DataFrame = {
     val rows = centroids
       .select(col("cell").cast("int").as("cell"), col("centroid").cast("array<double>"))
@@ -287,8 +309,18 @@ object Similarity {
     val cents: Seq[Seq[Double]] = byCell.map(_._2).toVector
 
     val cells = withCell(corpus.select(col(id).as("cid"), col(vec).as("cv")), "cv", cents)
-    val left = cells.select(col("cell"), col("cid").as("id_a"), col("cv").as("va"))
-    val right = cells.select(col("cell"), col("cid").as("id_b"), col("cv").as("vb"))
+    registerShedReporter(corpus.sparkSession)
+    val bounded = cells
+      .withColumn("cn", count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .observe(
+        s"semantic_dedup_shed_${shedObservationIds.getAndIncrement()}",
+        sum(when(col("cn") > maxCell, lit(1L)).otherwise(lit(0L))).as("dropped_rows"),
+        max(col("cn")).as("max_cell")
+      )
+      .filter(col("cn") <= maxCell)
+      .drop("cn")
+    val left = bounded.select(col("cell"), col("cid").as("id_a"), col("cv").as("va"))
+    val right = bounded.select(col("cell"), col("cid").as("id_b"), col("cv").as("vb"))
     val dropped = left
       .join(right, Seq("cell"))
       .filter(col("id_a") < col("id_b") && cosine(col("va"), col("vb")) >= threshold)
@@ -419,6 +451,12 @@ object Similarity {
                 s"[cosineNearDupPairs] $name: dropped ${row.getLong(0)} over-full-bucket rows " +
                   s"(largest bucket ${row.get(1)}) — signature bits do not discriminate there; " +
                   "raise bits or maxBucket to keep them"
+              )
+            if (name.startsWith("semantic_dedup_shed_") && !row.isNullAt(0) && row.getLong(0) > 0L)
+              System.err.println(
+                s"[semanticDedup] $name: ${row.getLong(0)} rows sit in cells past maxCell " +
+                  s"(largest cell ${row.get(1)}) and were kept UN-deduped — the centroid model " +
+                  "does not discriminate there; retrain with larger nlist to dedup them"
               )
           }
         override def onFailure(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()

@@ -363,6 +363,54 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(math.abs(sims(2) + 1.0) < 1e-12)
   }
 
+  test("semanticDedup: over-full cells shed (kept un-deduped, observed); bounded cells still dedup") {
+    import spark.implicits._
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0))).toDF("cell", "centroid")
+    // hot cell 0: 40 near-identical vectors (all pairwise cos ≈ 1)
+    val hot = (0 until 40).map(i => (i.toLong, Seq(1.0, 1e-6 * i)))
+    // cold cell 1: a twin pair (1001 must drop onto 1000) + one dissimilar member
+    val cold = Seq(
+      (1000L, Seq(0.001, 1.0)),
+      (1001L, Seq(0.0011, 1.0)),
+      (1002L, Seq(-0.9, 1.0)) // cos vs 1000 ≈ 0.74 < 0.95 -> kept
+    )
+    val corpus = (hot ++ cold).toDF("vec_id", "embedding")
+
+    // capture the shed observation at action time
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("semantic_dedup_shed_") && !row.isNullAt(0))
+            seen.put(name, (row.getLong(0), row.getAs[Number](1).longValue()))
+        }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    })
+
+    val guarded = Similarity
+      .semanticDedup(cents, corpus, "embedding", "vec_id", threshold = 0.95, maxCell = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"), r.getAs[Boolean]("kept")))
+    assert(guarded.length == 43, "one row per doc, shed cells included")
+    // over-full cell 0: ALL members come back kept (un-deduped), never lost
+    assert(guarded.filter(_._2 == 0).forall(_._3), "shed-cell members must be kept un-deduped")
+    // bounded cell 1 still dedups: 1001 drops onto 1000, dissimilar 1002 kept
+    assert(guarded.filter(_._2 == 1).map(t => t._1 -> t._3).toMap == Map(1000L -> true, 1001L -> false, 1002L -> true))
+    // the shed is surfaced: dropped_rows = 40, max_cell = 40
+    val deadline = System.currentTimeMillis() + 20000
+    while (seen.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(seen.values().stream().anyMatch(v => v._1 == 40L && v._2 == 40L),
+      s"expected shed observation (40, 40), saw ${seen}")
+
+    // same corpus, cap above the hot-cell size: the hot cell dedups down to id 0
+    val open = Similarity
+      .semanticDedup(cents, corpus, "embedding", "vec_id", threshold = 0.95, maxCell = 20000)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"), r.getAs[Boolean]("kept")))
+    assert(open.count(t => t._2 == 0 && t._3) == 1 && open.exists(t => t._1 == 0L && t._3))
+    assert(open.filter(_._2 == 1).map(t => t._1 -> t._3).toMap == Map(1000L -> true, 1001L -> false, 1002L -> true))
+  }
+
   test("LSH ANN recall ≥ 0.4 vs brute force top-5 (16 bits / 4 blocks multi-probe)") {
     val queries = emb.filter(col("vec_id") < 10)
     val bf = Similarity
