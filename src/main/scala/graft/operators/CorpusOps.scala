@@ -247,6 +247,10 @@ object CorpusOps {
     // side on the skewed key — the cutoff join must never touch the
     // corpus's partitioning). A group cardinality near executor memory
     // would be the wrong tool anyway (use approx_percentile then).
+    // CALLER CONTRACT: one row per group means the broadcast is bounded
+    // by GROUP CARDINALITY, not data size — a grouping key with tens of
+    // millions of distinct values (e.g. per-URL) makes this hint a
+    // driver OOM; pre-bucket such keys or drop to the plain join.
     df.join(broadcast(cutoffs), group === col(g))
       .filter(value >= col("cutoff"))
       .drop(g)
@@ -285,6 +289,8 @@ object CorpusOps {
     val cutoffs = df
       .groupBy(group.as(g))
       .agg(percentile_approx(value, lit(q), lit(accuracy)).as("cutoff"))
+    // same caller contract as quantileFilter: the broadcast is bounded by
+    // group cardinality — extreme-cardinality keys need pre-bucketing
     df.join(broadcast(cutoffs), group === col(g))
       .filter(value >= col("cutoff"))
       .drop(g)

@@ -75,6 +75,18 @@ object Dedup {
     * `...maxExpectedNumItems`) for reference sets past ~9 M digests, or
     * accept a higher fpp: correctness never depends on the fpp, only the
     * size of the confirm set does.
+    *
+    * Broadcast guard: the two forced `broadcast()` hints are only safe
+    * while the candidate set stays driver-sized, and a mostly-re-ingest
+    * batch (or a clamped sketch whose fpp degraded) makes candidates ≈
+    * the whole batch. The bound that matters is structural: candidates ⊆
+    * the batch's DISTINCT digests and `present` ⊆ candidates, so ONE
+    * batch-only distinct-count (no reference scan — the reference-side
+    * scan budget stays at exactly 2) decides the strategy up front: past
+    * `maxBroadcastCandidates` distinct batch digests this method returns
+    * [[incremental]]'s plain anti-join instead — the reference shuffles,
+    * which is the price of a batch too big to broadcast even in the
+    * worst case. Default 2 M digests ≈ 32 MB broadcast payload.
     */
   def incrementalBloom(
       incoming: DataFrame,
@@ -83,10 +95,14 @@ object Dedup {
       reference: DataFrame,
       refText: Column,
       expectedRefItems: Long = 4000000L,
-      fpp: Double = 0.03
+      fpp: Double = 0.03,
+      maxBroadcastCandidates: Long = 2000000L
   ): DataFrame = {
     import graft.functions.sketch
     val incFp = incoming.select(TextOps.fingerprintMd5(text).as("fp"), idCol.as("keep_id"))
+    val nBatch = incFp.select(col("fp")).distinct().count()
+    if (nBatch > maxBroadcastCandidates)
+      return incremental(incoming, text, idCol, reference, refText)
     val refFp = reference.select(TextOps.fingerprintMd5(refText).as("fp"))
     val bloom = refFp
       .select(sketch.bloom_filter_agg(xxhash64(col("fp")), expectedRefItems, fpp).as("bf"))

@@ -192,11 +192,16 @@ object TextOps {
     * `element_at` (same design as the IVF centroid table: broadcast-once
     * read-only model state).
     *
-    * Scale shape: explode(tokens) → codegen projection → hash-agg SUM by
-    * doc. Map-side partial aggregation collapses each doc's tokens within
-    * its input partition, so the exchange carries ~one row per document,
-    * not one per token; nothing else moves. Output: one row per doc —
-    * (id, n_tokens, score, kept).
+    * Scale shape: explode_outer(tokens) → codegen projection → hash-agg
+    * SUM by doc. Map-side partial aggregation collapses each doc's tokens
+    * within its input partition, so the exchange carries ~one row per
+    * document, not one per token; nothing else moves. Output: one row per
+    * doc — (id, n_tokens, score, kept) — including NULL-text docs, which
+    * score (n_tokens=0, score=0): `explode_outer` keeps them as a single
+    * null-token row whose null weight is excluded by `count(w)` /
+    * absorbed by `coalesce(sum(w), 0)`, upholding the one-row-per-doc
+    * contract the other curation operators (dedupLines/dedupSpans) keep —
+    * no re-join with the corpus needed.
     */
   def scoreLinearHashed(
       df: DataFrame,
@@ -209,12 +214,12 @@ object TextOps {
       weights.length == hashedFeatureDim,
       s"weights must have length $hashedFeatureDim, got ${weights.length}"
     )
-    df.select(idCol.as("id"), explode(split(text, " ")).as("tok"))
+    df.select(idCol.as("id"), explode_outer(split(text, " ")).as("tok"))
       .select(col("id"), element_at(lit(weights), featureBucket(col("tok")).cast("int") + 1).as("w"))
       .groupBy(col("id"))
       .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(col("w")).as("score")
+        count(col("w")).as("n_tokens"),
+        coalesce(sum(col("w")), lit(0L)).as("score")
       )
       .withColumn("kept", col("score") >= threshold)
   }

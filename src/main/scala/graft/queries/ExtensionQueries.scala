@@ -1424,7 +1424,9 @@ object ExtensionQueries {
     // ascii arithmetic — DuckDB has no hex→int cast); weight derived from
     // the same integer formula the Spark side tabulates its literal with
     "x36_quality_classifier" ->
-      """WITH t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents),
+      """WITH t AS (SELECT doc_id,
+        |    UNNEST(COALESCE(STRING_SPLIT(text, ' '), [CAST(NULL AS VARCHAR)])) AS tok
+        |  FROM documents),
         |b AS (SELECT doc_id,
         |    (CASE WHEN ASCII(SUBSTR(md5(tok),1,1)) >= 97 THEN ASCII(SUBSTR(md5(tok),1,1))-87
         |          ELSE ASCII(SUBSTR(md5(tok),1,1))-48 END) * 256
@@ -1433,9 +1435,9 @@ object ExtensionQueries {
         |  + (CASE WHEN ASCII(SUBSTR(md5(tok),3,1)) >= 97 THEN ASCII(SUBSTR(md5(tok),3,1))-87
         |          ELSE ASCII(SUBSTR(md5(tok),3,1))-48 END) AS bucket
         |  FROM t)
-        |SELECT doc_id, COUNT(1) AS n_tokens,
-        |  CAST(SUM((bucket*2654435761) % 1001 - 500) AS BIGINT) AS score,
-        |  CAST(SUM((bucket*2654435761) % 1001 - 500) AS BIGINT) >= 0 AS kept
+        |SELECT doc_id, COUNT(bucket) AS n_tokens,
+        |  COALESCE(CAST(SUM((bucket*2654435761) % 1001 - 500) AS BIGINT), 0) AS score,
+        |  COALESCE(CAST(SUM((bucket*2654435761) % 1001 - 500) AS BIGINT), 0) >= 0 AS kept
         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // full blocks only (partial tails dropped, <16-byte docs emit nothing);
     // OCTET_LENGTH on the blob, not LENGTH: the Spark side frames UTF-8

@@ -82,6 +82,24 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(out == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("incrementalBloom: oversized batch falls back to the plain anti-join (broadcast guard)") {
+    val ref = docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
+    val inc = docs
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .unionByName(ref.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val plain = Dedup
+      .incremental(inc, col("text"), col("doc_id"), ref, col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // cap below the batch's distinct digest count -> must route to incremental()
+    val guarded = Dedup.incrementalBloom(
+      inc, col("text"), col("doc_id"), ref, col("text"), maxBroadcastCandidates = 1L)
+    val plan = guarded.queryExecution.executedPlan.toString
+    assert(!plan.contains("might_contain"), s"guard did not fall back, bloom probe present:\n$plan")
+    val got = guarded.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == plain && got.nonEmpty)
+  }
+
   test("incrementalBloom: probe is in the plan and the reference is never exchanged") {
     val ref = docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
     val inc = docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text"))

@@ -131,6 +131,15 @@ class OperatorSpec extends SparkTestBase {
       .filter(col("kept"))
       .count()
     assert(none == 0L)
+    // NULL-text docs are NOT dropped: they score (0 tokens, 0) — the
+    // one-row-per-doc contract the other curation operators uphold
+    val withNull = docs :+ (4L, null.asInstanceOf[String])
+    val nulled = TextOps
+      .scoreLinearHashed(withNull.toDF("doc_id", "text"), col("doc_id"), col("text"), weights)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(nulled == expected + ((4L, 0L, 0L, true)))
   }
 
   test("multimodal: stub decode keeps real histogram features, frame sampling shapes") {
