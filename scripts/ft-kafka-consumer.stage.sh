@@ -13,15 +13,20 @@
 # a broker".
 #
 # SSL brokers (reference kafka.hpp:427-441 / scripts/gen-ssl-certs.sh):
-# set BROKER_SSL to a directory holding ca.pem/cert.pem/key.pem and the
-# service YAML gains an `options:` block (generic kafka.* passthrough,
-# GraftService.parseConfig → StreamRuntime.kafkaClientOptions):
+# set BROKER_SSL to a directory holding ca.pem/client.pem and the service
+# YAML gains an `options:` block (generic kafka.* passthrough,
+# GraftService.parseConfig → StreamRuntime.kafkaClientOptions). The
+# client behind Spark's connector is the Apache KAFKA JAVA client, so the
+# property names are its ssl.truststore.*/ssl.keystore.* family (PEM
+# support per KIP-651) — librdkafka's ssl.ca.location names, which the
+# reference uses, are unknown configs the Java client would ignore:
 #   options:
 #     security.protocol: SSL
-#     ssl.ca.location:          ${BROKER_SSL}/ca.pem
-#     ssl.certificate.location: ${BROKER_SSL}/cert.pem
-#     ssl.key.location:         ${BROKER_SSL}/key.pem
-# kcat needs the equivalent -X flags.
+#     ssl.truststore.type:     PEM
+#     ssl.truststore.location: ${BROKER_SSL}/ca.pem
+#     ssl.keystore.type:       PEM            # only for mTLS client auth
+#     ssl.keystore.location:   ${BROKER_SSL}/client.pem   # key + cert chain
+# kcat is librdkafka-based and keeps -X ssl.ca.location=... flags.
 set -u
 
 BROKER="${BROKER:-localhost:9092}"

@@ -17,10 +17,11 @@
 #     (default matches the reference's dockerized broker)
 #
 # SSL brokers (reference kafka.hpp:427-441 / scripts/gen-ssl-certs.sh):
-# set BROKER_SSL to a directory with ca.pem/cert.pem/key.pem — the
-# service YAML's `options:` block flows any kafka client property to the
-# producer (generic kafka.* passthrough, see ft-kafka-consumer.stage.sh
-# header for the exact block); kcat needs the matching -X flags.
+# set BROKER_SSL to a directory with ca.pem/client.pem — the service
+# YAML's `options:` block flows any kafka client property to the
+# producer (generic kafka.* passthrough; Java-client ssl.truststore.*
+# names, see ft-kafka-consumer.stage.sh header for the exact block);
+# kcat is librdkafka-based and keeps its -X ssl.ca.location flags.
 set -u
 
 BROKER="${BROKER:-localhost:9092}"

@@ -25,7 +25,8 @@ final class GraftDaemon private[runtime] (
     val metrics: MetricsBridge,
     metricsServer: MetricsHttpServer,
     initialConfig: GraftService.ServiceConfig,
-    restartFn: Option[GraftService.ServiceConfig => StreamingQuery] = None
+    restartFn: Option[GraftService.ServiceConfig => StreamingQuery] = None,
+    oamServer: Option[MetricsHttpServer] = None
 ) {
 
   @volatile private var _query: StreamingQuery = initialQuery
@@ -42,6 +43,13 @@ final class GraftDaemon private[runtime] (
 
   /** Port the `/metrics` endpoint is listening on. */
   def metricsPort: Int = metricsServer.port
+
+  /** Port the loopback-only OAM (`/reload`) endpoint is listening on.
+    * Equals [[metricsPort]] when the metrics bind is loopback (the two
+    * share one server); differs when the metrics server is exposed
+    * non-loopback and `/reload` got its own loopback-only server.
+    */
+  def oamPort: Int = oamServer.fold(metricsServer.port)(_.port)
 
   private val stopped = new AtomicBoolean(false)
 
@@ -89,6 +97,7 @@ final class GraftDaemon private[runtime] (
       try if (_query.isActive) _query.stop()
       finally {
         spark.streams.removeListener(metrics)
+        oamServer.foreach(_.stop())
         metricsServer.stop()
       }
     }

@@ -63,8 +63,8 @@ object GraftService {
   )
 
   /** An interface block's `options:` map as plain strings (absent → empty).
-    * Keys may contain dots (`ssl.ca.location`) — read via the node's map
-    * accessor, never the dotted-path one.
+    * Keys may contain dots (`ssl.truststore.location`) — read via the
+    * node's map accessor, never the dotted-path one.
     */
   private def optionsOf(n: YamlLite.Node): Map[String, String] =
     n.get("options") match {
@@ -224,6 +224,14 @@ object GraftService {
     * metrics push; daemon.hpp:80-141 the signal-driven stop).
     * `metricsPort = 0` picks a free port (read back via
     * [[GraftDaemon.metricsPort]]).
+    *
+    * `metricsBind` (default loopback) controls where `/metrics` listens —
+    * `Some("0.0.0.0")` for deployments whose health probe or scraper hits
+    * the pod IP. The mutating `/reload` endpoint NEVER rides a
+    * non-loopback server: with an exposed metrics bind it moves to a
+    * second loopback-only server (read its port back via
+    * [[GraftDaemon.oamPort]]), so exposing the scrape can't silently
+    * expose an unauthenticated restart endpoint with it.
     */
   def startDaemon(
       spark: SparkSession,
@@ -231,7 +239,8 @@ object GraftService {
       sinkFactory: Northbound => DataFrame => Unit,
       trigger: Trigger = Trigger.ProcessingTime(0L),
       metricsPort: Int = 0,
-      checkpointLocation: Option[String] = None
+      checkpointLocation: Option[String] = None,
+      metricsBind: Option[String] = None
   ): GraftDaemon = {
     val bridge = new graft.streaming.MetricsBridge
     spark.streams.addListener(bridge)
@@ -246,18 +255,23 @@ object GraftService {
         case _                    => ""
       }
     }
-    val server = graft.streaming.MetricsHttpServer.start(bridge, metricsPort, extraScrape)
+    val server = graft.streaming.MetricsHttpServer.start(bridge, metricsPort, extraScrape, metricsBind)
+    // mutating OAM stays loopback-only: co-host /reload with /metrics when
+    // the metrics bind is loopback, otherwise give it its own server
+    val oamServer =
+      if (server.isLoopbackOnly) None
+      else Some(graft.streaming.MetricsHttpServer.start(bridge, 0, extraScrape))
     try {
       val query = start(spark, cfg, sinkFactory, trigger, checkpointLocation)
       // reload restarts reuse the checkpoint: a config swap resumes from
       // the committed offsets instead of starting fresh
       val daemon =
-        new GraftDaemon(spark, query, bridge, server, cfg, Some(c => start(spark, c, sinkFactory, trigger, checkpointLocation)))
+        new GraftDaemon(spark, query, bridge, server, cfg, Some(c => start(spark, c, sinkFactory, trigger, checkpointLocation)), oamServer)
       daemonRef = daemon
       // HTTP OAM: POST a YAML config to /reload → parse + restart-in-place
       // (the reference's svc/main.cpp:203-230 endpoint, there disabled;
-      // loopback-only here, like the /metrics bind)
-      server.addContext("/reload") { body =>
+      // loopback-only here even when /metrics is exposed)
+      oamServer.getOrElse(server).addContext("/reload") { body =>
         val q = daemon.reload(parseConfig(body))
         (200, s"reloaded: query ${q.id}\n")
       }
@@ -265,6 +279,7 @@ object GraftService {
     } catch {
       case e: Throwable =>
         spark.streams.removeListener(bridge)
+        oamServer.foreach(_.stop())
         server.stop()
         throw e
     }

@@ -68,7 +68,11 @@ object ServiceMain {
       cfg,
       productionSinkFactory,
       metricsPort = resolveMetricsPort(cfg, env),
-      checkpointLocation = env.get("GRAFT_CHECKPOINT") // survive pod restarts when set
+      checkpointLocation = env.get("GRAFT_CHECKPOINT"), // survive pod restarts when set
+      // GRAFT_METRICS_BIND=0.0.0.0 exposes /metrics on the pod IP (kubelet
+      // readiness probes, compose port maps); /reload stays loopback-only
+      // regardless (startDaemon splits it out when the bind is exposed)
+      metricsBind = env.get("GRAFT_METRICS_BIND")
     )
   }
 
@@ -84,7 +88,10 @@ object ServiceMain {
     spark.sparkContext.setLogLevel(sys.env.getOrElse("GRAFT_LOG_LEVEL", "WARN"))
 
     val daemon = startFromConfig(spark, configPath)
-    println(s"[graft] service up: config=$configPath metrics=:${daemon.metricsPort}/metrics")
+    println(
+      s"[graft] service up: config=$configPath metrics=:${daemon.metricsPort}/metrics" +
+        (if (daemon.oamPort != daemon.metricsPort) s" reload=127.0.0.1:${daemon.oamPort}/reload" else "")
+    )
 
     // SIGTERM (kubectl delete / docker stop) → graceful stop: drain the
     // in-flight epoch, then release the metrics port — daemon.hpp:80-141's

@@ -11,15 +11,27 @@ import java.nio.charset.StandardCharsets
   * dsp.hpp:275-284 wires it into the service). JDK-built-in
   * `com.sun.net.httpserver` — a scrape endpoint needs no framework.
   *
-  * Binds the LOOPBACK address: an unauthenticated OAM surface must not be
-  * reachable from the network by default (the reference ships its HTTP OAM
-  * endpoint disabled for the same reason, svc/svc/main.cpp:203-230).
+  * Binds the LOOPBACK address BY DEFAULT: an unauthenticated OAM surface
+  * must not be reachable from the network unless asked for (the reference
+  * ships its HTTP OAM endpoint disabled for the same reason,
+  * svc/svc/main.cpp:203-230). Deployments behind a pod-IP health probe
+  * (kubelet readinessProbe, compose port mapping) pass `bind = "0.0.0.0"`
+  * — [[graft.runtime.ServiceMain]] wires that from `GRAFT_METRICS_BIND` —
+  * and the service then keeps `/reload` OFF this server: a scrape is safe
+  * to expose, an unauthenticated restart endpoint is not
+  * ([[graft.runtime.GraftService.startDaemon]] splits it onto a second
+  * loopback-only server).
   */
 final class MetricsHttpServer private (
     server: HttpServer,
     pool: java.util.concurrent.ExecutorService
 ) {
   def port: Int = server.getAddress.getPort
+
+  /** Whether this server is reachable only via loopback — the gate for
+    * co-hosting mutating OAM endpoints like `/reload`.
+    */
+  def isLoopbackOnly: Boolean = server.getAddress.getAddress.isLoopbackAddress
   def stop(): Unit = {
     server.stop(0)
     pool.shutdownNow()
@@ -63,15 +75,21 @@ object MetricsHttpServer {
   /** Start serving `bridge.scrape()` on `/metrics` (plus any extra
     * exposition lines from `extraScrape`, e.g. the TCP ingress shed
     * counters). `port = 0` picks a free ephemeral port (read it back via
-    * [[MetricsHttpServer.port]]).
+    * [[MetricsHttpServer.port]]). `bind = None` (or `"loopback"`) keeps
+    * the default loopback-only bind; any other value is resolved as a
+    * listen address (`"0.0.0.0"` for all interfaces).
     */
   def start(
       bridge: MetricsBridge,
       port: Int = 0,
-      extraScrape: () => String = () => ""
+      extraScrape: () => String = () => "",
+      bind: Option[String] = None
   ): MetricsHttpServer = {
-    val server =
-      HttpServer.create(new InetSocketAddress(InetAddress.getLoopbackAddress, port), 0)
+    val addr = bind.map(_.trim).filter(b => b.nonEmpty && b != "loopback") match {
+      case Some(host) => InetAddress.getByName(host)
+      case None       => InetAddress.getLoopbackAddress
+    }
+    val server = HttpServer.create(new InetSocketAddress(addr, port), 0)
     server.createContext("/metrics", guarded { _ =>
       (200, bridge.scrape() + extraScrape())
     })

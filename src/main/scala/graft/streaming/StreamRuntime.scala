@@ -36,8 +36,13 @@ object StreamRuntime {
     * naming a Spark connector option pass verbatim; anything else is a
     * broker client property and gains the `kafka.` prefix. This is the
     * reference-parity path for SSL/SASL brokers (kafka.hpp:427-441):
-    * `options: {security.protocol: SSL, ssl.ca.location: /path}` in YAML
-    * reaches the Kafka client config-only, no code changes.
+    * `options: {security.protocol: SSL, ssl.truststore.type: PEM,
+    * ssl.truststore.location: /path/ca.pem}` in YAML reaches the Kafka
+    * client config-only, no code changes. NOTE the property NAMES are the
+    * Apache Kafka JAVA client's (`ssl.truststore.*`/`ssl.keystore.*`, PEM
+    * per KIP-651), not librdkafka's `ssl.ca.location` family the C++
+    * reference configures — the Java client logs-and-ignores unknown
+    * librdkafka names, leaving TLS silently unconfigured.
     */
   def kafkaClientOptions(options: Map[String, String]): Map[String, String] =
     options.map { case (k, v) =>

@@ -127,8 +127,10 @@ class ServiceSpec extends SparkTestBase {
         |    topics: [dev-test]
         |    options:
         |      security.protocol: SSL
-        |      ssl.ca.location: /run/secrets/ca.pem
-        |      ssl.certificate.location: /run/secrets/cert.pem
+        |      ssl.truststore.type: PEM
+        |      ssl.truststore.location: /run/secrets/ca.pem
+        |      ssl.keystore.type: PEM
+        |      ssl.keystore.location: /run/secrets/client.pem
         |      startingOffsets: earliest
         |      kafka.ssl.key.password: hunter2
         |  northbound:
@@ -136,7 +138,7 @@ class ServiceSpec extends SparkTestBase {
         |      name: out-nb
         |      type: kafka
         |      address: broker:9093
-        |      options: {security.protocol: SSL, ssl.ca.location: /run/secrets/ca.pem}
+        |      options: {security.protocol: SSL, ssl.truststore.type: PEM, ssl.truststore.location: /run/secrets/ca.pem}
         |""".stripMargin
     val cfg = GraftService.parseConfig(yaml)
     val south = cfg.southbound.asInstanceOf[GraftService.KafkaSouth]
@@ -145,9 +147,15 @@ class ServiceSpec extends SparkTestBase {
     val reader = graft.streaming.StreamRuntime.kafkaSourceReader(
       spark, south.address, south.topics, south.batchSize, Some(south.groupId), south.options)
     val ro = streamOptions(reader)
-    assert(ro("kafka.ssl.ca.location") == "/run/secrets/ca.pem")
+    // Java-client (not librdkafka) property names: the connector's
+    // consumer/producer is the Apache Kafka client, which reads
+    // ssl.truststore.*/ssl.keystore.* (PEM supported since KIP-651) and
+    // silently ignores librdkafka's ssl.ca.location family
+    assert(ro("kafka.ssl.truststore.type") == "PEM")
+    assert(ro("kafka.ssl.truststore.location") == "/run/secrets/ca.pem")
     assert(ro("kafka.security.protocol") == "SSL")
-    assert(ro("kafka.ssl.certificate.location") == "/run/secrets/cert.pem")
+    assert(ro("kafka.ssl.keystore.type") == "PEM")
+    assert(ro("kafka.ssl.keystore.location") == "/run/secrets/client.pem")
     assert(ro("kafka.ssl.key.password") == "hunter2") // already prefixed: verbatim
     assert(ro("startingoffsets") == "earliest") // Spark-level: NOT prefixed
     assert(!ro.contains("kafka.startingoffsets"))
@@ -156,7 +164,10 @@ class ServiceSpec extends SparkTestBase {
     assert(ro("subscribe") == "dev-test")
 
     val nb = cfg.northbound.head
-    assert(nb.options == Map("security.protocol" -> "SSL", "ssl.ca.location" -> "/run/secrets/ca.pem"))
+    assert(nb.options == Map(
+      "security.protocol" -> "SSL",
+      "ssl.truststore.type" -> "PEM",
+      "ssl.truststore.location" -> "/run/secrets/ca.pem"))
     import org.apache.spark.sql.functions._
     // writeStream needs a streaming Dataset; rate → envelope projection
     // (the writer is configured but never started — no broker needed)
@@ -173,7 +184,7 @@ class ServiceSpec extends SparkTestBase {
     val writer = graft.streaming.StreamRuntime.kafkaSink(
       envelope, nb.address, "/tmp/ckpt-unused", nb.options)
     val wo = streamOptions(writer)
-    assert(wo("kafka.ssl.ca.location") == "/run/secrets/ca.pem")
+    assert(wo("kafka.ssl.truststore.location") == "/run/secrets/ca.pem")
     assert(wo("kafka.security.protocol") == "SSL")
     assert(wo("kafka.bootstrap.servers") == "broker:9093")
   }
@@ -348,6 +359,49 @@ class ServiceSpec extends SparkTestBase {
     }
     // stop() is idempotent
     daemon.stop()
+  }
+
+  test("exposed metrics bind (GRAFT_METRICS_BIND analog) splits /reload onto a loopback-only server") {
+    def simYaml(clientId: Long) =
+      s"""topic: hb-out
+         |interfaces:
+         |  southbound:
+         |    type: sim
+         |    clientId: $clientId
+         |    rowsPerSecond: 50
+         |  northbound:
+         |    - {enabled: true, name: log-nb, type: log}
+         |""".stripMargin
+    val daemon = GraftService.startDaemon(
+      spark,
+      GraftService.parseConfig(simYaml(72L)),
+      _ => batch => { batch.count(); () },
+      metricsBind = Some("0.0.0.0")
+    )
+    try {
+      // the scrape is exposed, the mutating endpoint is NOT co-hosted
+      assert(daemon.oamPort != daemon.metricsPort, "exposed bind must move /reload off the metrics server")
+      val m = new java.net.URL(s"http://127.0.0.1:${daemon.metricsPort}/metrics")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      try assert(m.getResponseCode == 200)
+      finally m.disconnect()
+      val notHere = new java.net.URL(s"http://127.0.0.1:${daemon.metricsPort}/reload")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      notHere.setRequestMethod("POST")
+      notHere.setDoOutput(true)
+      notHere.getOutputStream.write(simYaml(99L).getBytes("UTF-8"))
+      try assert(notHere.getResponseCode == 404, "/reload must not ride the exposed server")
+      finally notHere.disconnect()
+      // /reload works on the loopback-only OAM server
+      val post = new java.net.URL(s"http://127.0.0.1:${daemon.oamPort}/reload")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      post.setRequestMethod("POST")
+      post.setDoOutput(true)
+      post.getOutputStream.write(simYaml(99L).getBytes("UTF-8"))
+      try assert(post.getResponseCode == 200)
+      finally post.disconnect()
+      assert(daemon.currentConfig == GraftService.parseConfig(simYaml(99L)))
+    } finally daemon.stop()
   }
 
   test("config reload restarts the query in place; metrics and exposer survive the swap") {
