@@ -44,11 +44,29 @@ object Dedup {
       idCol: Column,
       reference: DataFrame,
       refText: Column
+  ): DataFrame =
+    incrementalOnDigests(
+      incoming,
+      text,
+      idCol,
+      reference.select(TextOps.fingerprintMd5(refText).as("fp"))
+    )
+
+  /** [[incremental]] against a PRE-DIGESTED reference — an `fp` column of
+    * [[graft.operators.TextOps.fingerprintMd5]] digests, the shape an
+    * accepted-corpus digest STORE holds (the streaming twin
+    * [[graft.streaming.StreamDedup]] persists exactly this column between
+    * micro-batches so no epoch ever re-digests the corpus).
+    */
+  def incrementalOnDigests(
+      incoming: DataFrame,
+      text: Column,
+      idCol: Column,
+      refFp: DataFrame
   ): DataFrame = {
     val incFp = incoming.select(TextOps.fingerprintMd5(text).as("fp"), idCol.as("keep_id"))
-    val refFp = reference.select(TextOps.fingerprintMd5(refText).as("fp")).distinct()
     incFp
-      .join(refFp, Seq("fp"), "left_anti")
+      .join(refFp.select(col("fp")).distinct(), Seq("fp"), "left_anti")
       .groupBy(col("fp"))
       .agg(min(col("keep_id")).as("keep_id"), count(lit(1)).as("n_copies"))
   }
@@ -97,13 +115,36 @@ object Dedup {
       expectedRefItems: Long = 4000000L,
       fpp: Double = 0.03,
       maxBroadcastCandidates: Long = 2000000L
+  ): DataFrame =
+    incrementalBloomOnDigests(
+      incoming,
+      text,
+      idCol,
+      reference.select(TextOps.fingerprintMd5(refText).as("fp")),
+      expectedRefItems,
+      fpp,
+      maxBroadcastCandidates
+    )
+
+  /** [[incrementalBloom]] against a pre-digested reference (`fp` column),
+    * see [[incrementalOnDigests]]. Same plan shape: the digest store is
+    * scanned twice (sketch fold + confirm probe), never shuffled.
+    */
+  def incrementalBloomOnDigests(
+      incoming: DataFrame,
+      text: Column,
+      idCol: Column,
+      refDigests: DataFrame,
+      expectedRefItems: Long = 4000000L,
+      fpp: Double = 0.03,
+      maxBroadcastCandidates: Long = 2000000L
   ): DataFrame = {
     import graft.functions.sketch
     val incFp = incoming.select(TextOps.fingerprintMd5(text).as("fp"), idCol.as("keep_id"))
     val nBatch = incFp.select(col("fp")).distinct().count()
     if (nBatch > maxBroadcastCandidates)
-      return incremental(incoming, text, idCol, reference, refText)
-    val refFp = reference.select(TextOps.fingerprintMd5(refText).as("fp"))
+      return incrementalOnDigests(incoming, text, idCol, refDigests)
+    val refFp = refDigests.select(col("fp"))
     val bloom = refFp
       .select(sketch.bloom_filter_agg(xxhash64(col("fp")), expectedRefItems, fpp).as("bf"))
       .scalar()

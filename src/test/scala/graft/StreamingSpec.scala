@@ -23,6 +23,45 @@ class StreamingSpec extends SparkTestBase {
     spark.table(name)
   }
 
+  test("StreamDedup: batch-2 re-ingests of batch-1 docs are dropped; replay cannot poison the store") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft-dedup-store").toString + "/digests"
+    val accepted = scala.collection.concurrent.TrieMap.empty[Long, String]
+    val input = MemoryStream[(Long, String)]
+    val q = input
+      .toDF()
+      .toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(
+        graft.streaming.StreamDedup.dedupSink(
+          col("text"),
+          col("doc_id"),
+          store,
+          (kept, _) => kept.collect().foreach(r => accepted.put(r.getLong(0), r.getString(1)))
+        )
+      )
+      .start()
+    try {
+      input.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha")) // within-batch dup: 3 collapses onto 1
+      q.processAllAvailable()
+      assert(accepted.keySet == Set(1L, 2L), s"batch 1 survivors wrong: $accepted")
+
+      input.addData((10L, "alpha"), (11L, "gamma"), (12L, "beta"), (13L, "gamma"))
+      q.processAllAvailable()
+      // cross-batch re-ingests (alpha, beta) dropped; new text survives once
+      assert(accepted.keySet == Set(1L, 2L, 11L), s"batch 2 survivors wrong: $accepted")
+    } finally q.stop()
+
+    // replay semantics: re-running an epoch AGAINST ITS OWN STORED DIGESTS
+    // must re-derive the same survivors (epoch partition self-excluded)
+    val replayAccepted = scala.collection.mutable.Set.empty[Long]
+    val replayBatch = Seq((10L, "alpha"), (11L, "gamma"), (12L, "beta"), (13L, "gamma")).toDF("doc_id", "text")
+    val n = graft.streaming.StreamDedup.dedupBatch(
+      replayBatch, col("text"), col("doc_id"), store, epoch = 1L,
+      (kept, _) => kept.collect().foreach(r => replayAccepted.add(r.getLong(0))))
+    assert(n == 1L && replayAccepted == Set(11L), s"replay diverged: n=$n, $replayAccepted")
+  }
+
   test("streaming router multicast == batch router multicast (O-13)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
