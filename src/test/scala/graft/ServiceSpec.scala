@@ -206,6 +206,18 @@ class ServiceSpec extends SparkTestBase {
     graft.runtime.ServiceMain.productionSinkFactory(
       GraftService.Northbound("audit", "log", "", enabled = true)
     )(spark.range(3).toDF())
+
+    // the ssl-profile config ships the documented Java-client TLS recipe
+    // and cannot drift either
+    val sslCfg = GraftService.parseConfig(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("deploy/graft-ssl.yaml")), "UTF-8"))
+    val kafkaNb = sslCfg.northbound.find(_.name == "kafka-nb").get
+    assert(kafkaNb.address == "kafka-ssl:9094")
+    assert(kafkaNb.options("security.protocol") == "SSL")
+    assert(kafkaNb.options("ssl.truststore.type") == "PEM")
+    assert(kafkaNb.options("ssl.truststore.location") == "/etc/graft/ssl/ca.pem")
+    assert(kafkaNb.options("ssl.keystore.location") == "/etc/graft/ssl/client.pem")
+    sslCfg.northbound.filter(_.enabled).foreach(graft.runtime.ServiceMain.productionSinkFactory)
   }
 
   test("ServiceMain.startFromConfig: YAML file -> daemon with production sinks; metrics port precedence") {
