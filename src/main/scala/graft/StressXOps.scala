@@ -550,6 +550,204 @@ object StressXOps {
       vecs.unpersist()
     }
 
+    // ---- semantic dedup (x37) with a PLANTED DEGENERATE CELL: 20% of all
+    // vectors collapse onto one centroid — unguarded, that one cell's
+    // self-join is (0.2n)²/2 pairs inside a single join partition (8e10 at
+    // n=2M: the 100 TB job-killer the r7 verdict flagged). The maxCell
+    // guard must shed it (members kept un-deduped, shed observed) while
+    // the 1279 bounded cells dedup their planted twins normally. Centroid
+    // table is explicit (no Lloyd run) so cell membership is DERIVABLE:
+    // spread vector = cent(id%1279+1) + U(-0.35,0.35)/component (within-
+    // cell cos ≈ 0.60 against unit centroids — far below the 0.95 gate),
+    // twin = base vector + 1% noise (cos ≥ 0.999), degenerate =
+    // cent(0)=2.0^16 + noise (pairwise cos ≈ 0.99 — WOULD all dedup if
+    // not shed).
+    if (section("semdedup")) locally {
+      val dim = 16
+      val nlist = 1280
+      val nDeg = nVecs / 5
+      val nSpread = nVecs - nDeg
+      val nTwins = nSpread / 100
+      // the cap under test: below the degenerate cell, above every bounded
+      // cell (~nSpread/1279), at any smoke/full scale
+      val cap = math.max(100, math.min(20000L, nDeg / 2).toInt)
+      // centroid c0 far from the unit sphere; c1..c1279 UNIT vectors from
+      // a SEEDED RNG. Two construction traps, both measured at smoke
+      // scale: a lazy (j*16+k)-hash makes the table an arithmetic
+      // progression mod the modulus (near-colliding centroids -> 69%
+      // spurious drops), and UNNORMALIZED random centroids leave per-cell
+      // |c|^2 spread (std ~1.2 around 5.3) whose high-norm cells sit at
+      // base cosine ~0.94 — half their pairs cross the 0.95 gate (48%
+      // spurious). Unit centroids + 0.35-amp noise put within-cell cosine
+      // at ~0.60 with a ~2e-5/pair aligned-noise tail.
+      val centMat: Array[Array[Double]] = {
+        val rng = new scala.util.Random(42)
+        Array.tabulate(nlist) { j =>
+          if (j == 0) Array.fill(dim)(2.0)
+          else {
+            val v = Array.fill(dim)(rng.nextDouble() * 2.0 - 1.0)
+            val n = math.sqrt(v.map(x => x * x).sum)
+            v.map(_ / n)
+          }
+        }
+      }
+      import spark.implicits._
+      val cents = (0 until nlist).map(j => (j, centMat(j).toSeq)).toDF("cell", "centroid")
+      // per-component centroid lookup arrays (16 × 1280 doubles as plan
+      // literals) so the row construction reproduces centMat exactly
+      def centAt(k: Int, cellCol: Column): Column =
+        element_at(typedlit((0 until nlist).map(j => centMat(j)(k))), (cellCol + 1).cast("int"))
+      def noise(idCol: Column, k: Int, salt: Int, amp: Double): Column =
+        (pmod(xxhash64(idCol, lit(k), lit(salt)), lit(2001)).cast("double") / 1000.0 - 1.0) * amp
+      def spreadVec(baseId: Column): Column = {
+        val cell = pmod(baseId, lit(nlist - 1)) + 1
+        array((0 until dim).map(k => centAt(k, cell) + noise(baseId, k, 0, 0.35)): _*)
+      }
+      val spread = spark.range(nSpread).select(col("id"), spreadVec(col("id")).as("v"))
+      val twinsV = spark.range(nTwins).select(
+        (col("id") + TwinOffset).as("id"),
+        array((0 until dim).map(k =>
+          centAt(k, pmod(col("id"), lit(nlist - 1)) + 1) + noise(col("id"), k, 0, 0.35) + noise(col("id"), k, 9, 0.01)
+        ): _*).as("v")
+      )
+      val degen = spark.range(nDeg).select(
+        (col("id") + 3L * TwinOffset).as("id"),
+        array((0 until dim).map(k => lit(2.0) + noise(col("id") + 3L * TwinOffset, k, 0, 0.35)): _*).as("v")
+      )
+      val all = spread.unionByName(twinsV).unionByName(degen)
+      val res = operators.Similarity.semanticDedup(cents, all, "v", "id", threshold = 0.95, maxCell = cap)
+      val (sec, nRows, h, obs) = run(res)
+      val shed = obs.collect { case (name, row) if name.startsWith("semantic_dedup_shed_") =>
+        (row.getLong(0), row.getAs[Number](1).longValue()) }.toSeq
+      val resP = res.persist()
+      val degKept = resP.filter(col("id") >= 3L * TwinOffset && col("kept")).count()
+      val twinsDropped = resP.filter(col("id") >= TwinOffset && col("id") < 3L * TwinOffset && !col("kept")).count()
+      val spuriousDrops = resP.filter(col("id") < TwinOffset && !col("kept")).count()
+      // bounded-cell pair mass (what the guarded join actually evaluates)
+      // vs what the degenerate cell alone would have added
+      val boundedMass = resP.filter(col("id") < 3L * TwinOffset)
+        .groupBy(col("cell")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * (col("c") - 1) / 2).cast("long")).head().getLong(0)
+      val degMass = nDeg * (nDeg - 1) / 2
+      val recall = twinsDropped.toDouble / nTwins
+      println(f"[stressx] semanticDedup(nlist=$nlist, maxCell=$cap): $sec%.1f s, $nRows rows (one per doc)")
+      println(f"[stressx]   degenerate cell: $nDeg members -> kept un-deduped $degKept, shed observed=${shed.mkString(";")}")
+      println(f"[stressx]   twin recall in bounded cells: $recall%.4f ($twinsDropped/$nTwins), spurious drops=$spuriousDrops")
+      println(s"[stressx]   pair mass actually joined=$boundedMass vs degenerate-cell mass avoided=$degMass")
+      println(s"[stressx]   plan: $h")
+      assert(nRows == nVecs + nTwins, s"one row per doc: $nRows")
+      assert(degKept == nDeg, s"shed-cell members must all be kept: $degKept/$nDeg")
+      assert(shed.exists { case (d, m) => d == nDeg && m == nDeg }, s"shed observation wrong: $shed")
+      assert(recall >= 0.98, s"twin recall: $recall")
+      // non-twin drops are pairs that GENUINELY cross the 0.95 gate (the
+      // aligned-noise tail) — correct behavior, bounded as a rate
+      assert(spuriousDrops.toDouble / nSpread <= 0.02, s"spurious drop rate: $spuriousDrops/$nSpread")
+      assert(boundedMass < degMass / 10, s"guard did not bound the pair mass: $boundedMass vs $degMass")
+      resP.unpersist()
+    }
+
+    // ---- incremental-dedup A/B (x33 vs x35) at a full-corpus reference:
+    // the bloom path's claim is DATA MOVEMENT, not wall (at equal wall it
+    // wins by never shuffling the reference) — measured here as shuffle
+    // records/bytes written during each strategy against the same 5M-digest
+    // reference and 50k half-re-ingest batch. Also exercises the maxNumBits
+    // clamp boundary: a sketch squeezed to 1/64 the bits must degrade fpp
+    // (bigger confirm set), never results.
+    if (section("bloominc")) locally {
+      val batchN = 50000L
+      // half re-ingests (texts of docs 0..25k), half new (salted texts)
+      val reIngest = spark.range(batchN / 2)
+        .select((col("id") + 7L * TwinOffset).as("id"), col("id").as("base_id")) // same base_id -> same text as corpus docs 0..25k
+        .select(col("id"), tokens(perturbFirst = false).as("text"))
+      val fresh = spark.range(batchN / 2)
+        .select((col("id") + 8L * TwinOffset).as("id"), col("id").as("base_id"))
+        .select(col("id"), concat_ws(" ", lit("novel"), tokens(perturbFirst = false)).as("text"))
+      val batch = reIngest.unionByName(fresh).persist()
+      batch.count()
+      val shufRec = new java.util.concurrent.atomic.AtomicLong(0)
+      val shufBytes = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            shufRec.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+            shufBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            ()
+          }
+        }
+      }
+      def measured(df: DataFrame): (Double, Long, Long, Long) = {
+        shufRec.set(0); shufBytes.set(0)
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          val t0 = System.nanoTime()
+          val n = df.queryExecution.toRdd.count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(2000) // the async listener bus drains TaskEnd events
+          (sec, n, shufRec.get(), shufBytes.get())
+        } finally spark.sparkContext.removeSparkListener(listener)
+      }
+      val (pSec, pN, pRec, pBytes) = measured(
+        operators.Dedup.incremental(batch, col("text"), col("id"), corpus, col("text")))
+      val (bSec, bN, bRec, bBytes) = measured(
+        operators.Dedup.incrementalBloom(batch, col("text"), col("id"), corpus, col("text"), expectedRefItems = corpusN))
+      println(f"[stressx] incremental (plain anti-join): $pSec%.1f s, survivors=$pN, shuffle: $pRec records / ${pBytes / 1048576}%d MiB")
+      println(f"[stressx] incrementalBloom:              $bSec%.1f s, survivors=$bN, shuffle: $bRec records / ${bBytes / 1048576}%d MiB")
+      println(f"[stressx]   reference never shuffles on the bloom path: ${pRec / math.max(bRec, 1)}%dx fewer shuffle records")
+      assert(bN == pN && bN == batchN / 2, s"strategies disagree: plain=$pN bloom=$bN expected=${batchN / 2}")
+      // the scaling claim, not a fixed ratio: plain shuffle is
+      // REFERENCE-sized (the whole digest set moves every batch), bloom
+      // shuffle is BATCH-bounded (final agg + sketch partials) no matter
+      // how big the reference grows
+      assert(pRec > corpusN, s"plain path should shuffle the reference: $pRec vs corpus $corpusN")
+      assert(bRec < batchN * 3, s"bloom path shuffle must stay batch-bounded: $bRec vs batch $batchN")
+      // maxNumBits clamp boundary: squeeze the sketch to 1M bits (~0.2
+      // bits/digest -> fpp ~1) — the confirm set inflates to ~the whole
+      // batch, results must not change (correctness never rides the fpp)
+      val prevBits = spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "1048576")
+      try {
+        val (cSec, cN, cRec, _) = measured(
+          operators.Dedup.incrementalBloom(batch, col("text"), col("id"), corpus, col("text"), expectedRefItems = corpusN))
+        println(f"[stressx] incrementalBloom @ 1M-bit clamp: $cSec%.1f s, survivors=$cN, shuffle records=$cRec (degraded fpp inflates the confirm join, not the answer)")
+        assert(cN == pN, s"clamped sketch changed results: $cN vs $pN")
+      } finally {
+        prevBits.fold(spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.maxNumBits"))(
+          v => spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", v))
+      }
+      batch.unpersist()
+    }
+
+    // ---- hashed-feature classifier (x36) at full corpus width: 40-token
+    // docs explode to 40n feature rows, but map-side partial aggregation
+    // must collapse them BEFORE the exchange — the scaladoc's "~one row
+    // per document" claim, asserted against the actual shuffle-write
+    // record count (docs are contiguous within their input partition, so
+    // each doc's partial sum leaves its mapper as exactly one row).
+    if (section("classifier")) locally {
+      val weights = Array.tabulate(operators.TextOps.hashedFeatureDim) { b =>
+        (b.toLong * 2654435761L) % 1001L - 500L
+      }
+      val shufRec = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) { shufRec.addAndGet(m.shuffleWriteMetrics.recordsWritten); () }
+        }
+      }
+      val scored = operators.TextOps.scoreLinearHashed(corpus, col("id"), col("text"), weights)
+      spark.sparkContext.addSparkListener(listener)
+      val (sec, nRows, h, _) =
+        try { val r = run(scored); Thread.sleep(2000); r }
+        finally spark.sparkContext.removeSparkListener(listener)
+      val rec = shufRec.get()
+      val perDoc = rec.toDouble / corpusN
+      println(f"[stressx] scoreLinearHashed: $sec%.1f s, $nRows docs scored (40 tokens each), exchange carried $rec records = $perDoc%.3f rows/doc")
+      println(s"[stressx]   plan: $h")
+      assert(nRows == corpusN, s"one row per doc: $nRows vs $corpusN")
+      assert(perDoc < 1.2, s"exchange must carry ~1 row/doc, got $perDoc")
+    }
+
     corpus.unpersist()
     spark.stop()
   }
