@@ -564,4 +564,85 @@ object CorpusOps {
         slice(col("__ct_toks"), col("start") + 1, lit(chunkSize)).as("chunk")
       )
   }
+
+  /** BM25 relevance scoring of the corpus against one query — the
+    * retrieval primitive a RAG-style training pipeline runs to mine
+    * related documents (Robertson et al., TREC-3; the idf form is the
+    * non-negative Lucene variant ln(1 + (N − df + 0.5)/(df + 0.5))).
+    * Returns one row per MATCHING doc: (doc_id, n_matched, score).
+    *
+    * Shape at 100 TB: the query terms are a plan LITERAL — the
+    * `isin` filter runs in the scan projection, so the only rows that
+    * ever reach an exchange are (doc, query-term) hits: O(corpus hits),
+    * not O(corpus tokens). The df table is ≤ |query| rows by
+    * construction (broadcast); N and avgdl ride a 1-row cross join (the
+    * same bounded-aggregate pattern as [[domainMix]]). Per-doc token
+    * length is computed in the same scan pass, never re-joined.
+    */
+  def bm25(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      query: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(query.nonEmpty, "query must have at least one term")
+    val toks = df.select(
+      idCol.as("doc_id"),
+      split(text, " ").as("__toks")
+    )
+    val stats = toks
+      .agg(count(lit(1)).as("__n"), avg(size(col("__toks"))).as("__avgdl"))
+    val hits = toks
+      .select(col("doc_id"), size(col("__toks")).as("dl"), explode(col("__toks")).as("term"))
+      .filter(col("term").isin(query: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    hits
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("doc_id"),
+        (log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("__avgdl")))).as("__s")
+      )
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"), round(sum(col("__s")), 6).as("score"))
+  }
+
+  /** Per-document top-`k` TF-IDF terms — the keyword-extraction pass a
+    * corpus profiler runs (tf × ln(N/df), raw tf, deterministic ties by
+    * term). Returns (doc_id, term, rank, score) with rank 1..k.
+    *
+    * Shape at 100 TB: two partial-agg exchanges — (doc, term) term
+    * counts, then term → document frequency (vocabulary-sized, the
+    * canonical shape) — followed by ONE doc-keyed window for the top-k
+    * (rank ≤ k filter pushes into the window's sort; no global sort).
+    * N rides a 1-row cross join.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: Column, text: Column, k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tf = df
+      .select(idCol.as("doc_id"), explode(split(text, " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val scored = tf
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(
+        col("doc_id"),
+        col("term"),
+        (col("tf") * log(col("__n").cast("double") / col("df"))).as("__score")
+      )
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("__score").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("rank"), round(col("__score"), 6).as("score"))
+  }
 }

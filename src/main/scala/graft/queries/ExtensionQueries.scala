@@ -748,6 +748,24 @@ object ExtensionQueries {
         .orderBy(col("keep_id"))
     }),
 
+    // BM25 retrieval scoring (Robertson; Lucene idf form) against a
+    // 3-term query literal: the isin filter runs in the scan projection,
+    // the df table is <=3 rows (broadcast by construction), N/avgdl ride
+    // a 1-row cross join. Scores rounded to 6dp on both engines.
+    "x38_bm25" -> ((s, dir) =>
+      CorpusOps
+        .bm25(T(s, dir, "documents"), col("doc_id"), col("text"), Seq("spark", "window", "merge"))
+        .orderBy(col("doc_id"))),
+
+    // Per-doc top-3 TF-IDF terms: (doc,term) partial-agg counts, a
+    // vocabulary-keyed df agg, one doc-keyed window for the top-k —
+    // deterministic ties by term; integer tf/df keep the double
+    // tf*ln(N/df) bit-identical across engines.
+    "x39_tfidf_terms" -> ((s, dir) =>
+      CorpusOps
+        .tfidfTopTerms(T(s, dir, "documents"), col("doc_id"), col("text"), k = 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
     // Hashed-feature linear classifier inference (fastText-style quality
     // gate): the model is a 4096-long integer weight vector riding the
     // plan as a literal; buckets are md5-based so DuckDB recomputes every
@@ -1420,6 +1438,38 @@ object ExtensionQueries {
         |  BOOL_AND(id_b >= 200000) AS drops_planted_only,
         |  TRUE AS recall_ok
         |FROM s""".stripMargin,
+    // BM25: same Lucene-idf formula, k1=1.2 b=0.75 inlined (tf*(k1+1) =
+    // tf*2.2); ln natural in both engines; integer tf/df/dl keep
+    // inputs exact, score rounded 6dp
+    "x38_bm25" ->
+      """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+        |stats AS (SELECT COUNT(1) AS n, AVG(LEN(tk)) AS avgdl FROM toks),
+        |flat AS (SELECT doc_id, LEN(tk) AS dl, UNNEST(tk) AS term FROM toks),
+        |hits AS (SELECT doc_id, dl, term, COUNT(1) AS tf FROM flat
+        |         WHERE term IN ('spark','window','merge') GROUP BY 1,2,3),
+        |dfreq AS (SELECT term, COUNT(1) AS df FROM hits GROUP BY 1)
+        |SELECT doc_id, COUNT(1) AS n_matched,
+        |  ROUND(SUM(LN(1 + (n - df + 0.5)/(df + 0.5)) * (tf * 2.2)
+        |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+        |FROM hits JOIN dfreq USING (term) CROSS JOIN stats
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // TF-IDF top-3: integer tf/df -> tf*ln(N/df) computes to the same
+    // double in both engines; ties (equal tf,df) break by term
+    "x39_tfidf_terms" ->
+      """WITH tf AS (SELECT doc_id, tok AS term, COUNT(1) AS tf
+        |            FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
+        |            GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(1) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(1) AS n FROM documents),
+        |scored AS (SELECT doc_id, term, tf * LN(CAST(n AS DOUBLE) / df) AS s
+        |           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term,
+        |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS rank, s
+        |      FROM scored)
+        |SELECT doc_id, term, CAST(rank AS INT) AS rank, ROUND(s, 6) AS score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
     // feature bucket = first 3 hex chars of md5(token) as an int (per-char
     // ascii arithmetic — DuckDB has no hex→int cast); weight derived from
     // the same integer formula the Spark side tabulates its literal with

@@ -306,4 +306,50 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out.map(_.size).toSeq == Seq(5, 5, 3))
     assert(out.flatten.toSeq == (1 to 13).map(i => s"w$i"))
   }
+
+  test("bm25: hand-computed scores (Lucene idf form), non-matching docs absent") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark is fast spark"), // dl=4, tf(spark)=2
+      (2L, "the engine is slow"),  // dl=4, no match
+      (3L, "spark")                // dl=1, tf(spark)=1
+    ).toDF("doc_id", "text")
+    // N=3, avgdl=3, df(spark)=2; idf = ln(1 + (3-2+0.5)/(2+0.5)) = ln(1.6)
+    val idf = math.log(1.6)
+    def tfNorm(tf: Double, dl: Double): Double =
+      tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 3.0))
+    val expect = Map(
+      1L -> BigDecimal(idf * tfNorm(2, 4)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      3L -> BigDecimal(idf * tfNorm(1, 1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    )
+    val got = CorpusOps.bm25(df, col("doc_id"), col("text"), Seq("spark", "absent"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(1L, 3L), "doc 2 has no query term and must be absent")
+    assert(got(1L)._1 == 1L && got(3L)._1 == 1L)
+    assert(math.abs(got(1L)._2 - expect(1L)) < 1e-9, s"${got(1L)} vs ${expect(1L)}")
+    assert(math.abs(got(3L)._2 - expect(3L)) < 1e-9)
+    // doc-length normalization: the shorter doc with the same tf scores higher
+    assert(got(3L)._2 > got(1L)._2 * 0.8)
+  }
+
+  test("tfidfTopTerms: hand-computed ranking, ties break by term, k bounds output") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a b c"), // tf: a=2,b=1,c=1
+      (2L, "a b b d"), // tf: a=1,b=2,d=1
+      (3L, "a c d d")  // tf: a=1,c=1,d=2
+    ).toDF("doc_id", "text")
+    // N=3; df: a=3 (idf=0), b=2, c=2, d=2; idf(b)=idf(c)=idf(d)=ln(1.5)
+    val got = CorpusOps.tfidfTopTerms(df, col("doc_id"), col("text"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    assert(got.count(_._1 == 1L) == 2)
+    // doc 1: b and c tie at 1*ln(1.5); term asc -> b rank 1, c rank 2; a scores 0
+    assert(got.filter(_._1 == 1L).map(t => (t._3, t._2)).toSet == Set((1, "b"), (2, "c")))
+    // doc 2: b top (2*ln1.5), then d (1*ln1.5 beats a's 0)
+    assert(got.filter(_._1 == 2L).sortBy(_._3).map(_._2).toSeq == Seq("b", "d"))
+    // doc 3: d top, then c
+    assert(got.filter(_._1 == 3L).sortBy(_._3).map(_._2).toSeq == Seq("d", "c"))
+    val s = got.find(t => t._1 == 2L && t._2 == "b").get._4
+    assert(math.abs(s - BigDecimal(2 * math.log(1.5)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
 }
