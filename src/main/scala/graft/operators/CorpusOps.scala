@@ -613,6 +613,49 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_matched"), round(sum(col("__s")), 6).as("score"))
   }
 
+  /** Inverted index over the corpus: one row per term with its document
+    * frequency and a bounded posting list (ascending doc ids, capped at
+    * `maxPostings`) — the retrieval-side artifact a mined corpus ships
+    * with. Returns (term, df, n_postings, postings) where `postings` is a
+    * comma-joined string (engine-portable; arrays hash differently across
+    * engines).
+    *
+    * Shape at 100 TB: per-doc `array_distinct` runs in the scan
+    * projection, so the exchange carries (term, doc) pairs once per
+    * CONTAINING doc. The posting-list payload is the one thing here that
+    * grows with df, so the cap is enforced BEFORE the collect: a
+    * term-keyed `row_number` (spill-safe external sort on the same key
+    * the aggregation uses — one exchange total) marks each doc's rank
+    * and `collect_list` only sees ranks ≤ `maxPostings` (`when` yields
+    * null past the cap and collect_list skips nulls), so no reduce ever
+    * holds more than `maxPostings` ids while `df` stays exact. A
+    * collect-then-slice formulation would hold the full df-sized list
+    * in the aggregation state — the hot-stopword OOM. Hot terms past
+    * the cap are exactly the stopwords a real index shards or elides.
+    */
+  def invertedIndex(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      maxPostings: Int = 1000
+  ): DataFrame = {
+    require(maxPostings > 0, s"maxPostings must be positive, got $maxPostings")
+    val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    df.select(idCol.as("doc_id"), explode(array_distinct(split(text, " "))).as("term"))
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        array_sort(collect_list(when(col("__rn") <= maxPostings, col("doc_id")))).as("__p")
+      )
+      .select(
+        col("term"),
+        col("df"),
+        size(col("__p")).as("n_postings"),
+        concat_ws(",", transform(col("__p"), _.cast("string"))).as("postings")
+      )
+  }
+
   /** Per-document top-`k` TF-IDF terms — the keyword-extraction pass a
     * corpus profiler runs (tf × ln(N/df), raw tf, deterministic ties by
     * term). Returns (doc_id, term, rank, score) with rank 1..k.

@@ -171,6 +171,40 @@ object TextOps {
     )
   }
 
+  /** Token-distribution Shannon entropy per document — the
+    * repetition/degeneracy gate complementing [[qualityScore]]'s ratio
+    * heuristics: generated boilerplate and stuck-token artifacts collapse
+    * to low entropy regardless of length. Computed as
+    * `ln(n) − (Σ tf·ln tf)/n` (algebraically −Σ p·ln p, but this form
+    * keeps every per-element double derived from an exact integer so the
+    * DuckDB oracle reproduces each term bit-exactly; only the summation
+    * order differs → 6dp rounding absorbs it). Returns one row per doc:
+    * (doc_id, n_tokens, entropy, kept = entropy ≥ minEntropy).
+    *
+    * Shape at 100 TB: the canonical two-level partial agg — (doc, token)
+    * counts collapse map-side, then one doc-keyed exchange carrying
+    * distinct-token rows only. No text moves past the first projection.
+    */
+  def tokenEntropy(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      minEntropy: Double = 2.0
+  ): DataFrame =
+    df.select(idCol.as("doc_id"), explode(split(text, " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        round(
+          log(sum(col("tf")).cast("double")) -
+            sum(col("tf") * log(col("tf").cast("double"))) / sum(col("tf")),
+          6
+        ).as("entropy")
+      )
+      .withColumn("kept", col("entropy") >= minEntropy)
+
   /** Feature-hash bucket of a token: the first 3 hex chars of md5 as an
     * integer in [0, 4096) — the hashing trick (Weinberger et al. '09)
     * with an engine-portable hash, so the DuckDB oracle reproduces every

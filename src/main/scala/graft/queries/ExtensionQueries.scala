@@ -766,6 +766,23 @@ object ExtensionQueries {
         .tfidfTopTerms(T(s, dir, "documents"), col("doc_id"), col("text"), k = 3)
         .orderBy(col("doc_id"), col("rank"))),
 
+    // Token-distribution entropy gate: ln(n) - (sum tf*ln tf)/n keeps
+    // every per-element double derived from exact integers; 6dp rounding
+    // absorbs the engines' summation-order ulps.
+    "x40_token_entropy" -> ((s, dir) =>
+      TextOps
+        .tokenEntropy(T(s, dir, "documents"), col("doc_id"), col("text"), minEntropy = 2.0)
+        .orderBy(col("doc_id"))),
+
+    // Inverted index with capped posting lists: the cap is enforced by a
+    // term-keyed row_number BEFORE the collect (bounded reduce state); df
+    // stays exact. Postings ride as a comma-joined string so both engines
+    // hash the same representation.
+    "x41_inverted_index" -> ((s, dir) =>
+      CorpusOps
+        .invertedIndex(T(s, dir, "documents"), col("doc_id"), col("text"), maxPostings = 100)
+        .orderBy(col("term"))),
+
     // Hashed-feature linear classifier inference (fastText-style quality
     // gate): the model is a 4096-long integer weight vector riding the
     // plan as a literal; buckets are md5-based so DuckDB recomputes every
@@ -1469,6 +1486,25 @@ object ExtensionQueries {
         |      FROM scored)
         |SELECT doc_id, term, CAST(rank AS INT) AS rank, ROUND(s, 6) AS score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // entropy: same ln(n) - sum(tf*ln tf)/n form, exact-integer inputs
+    "x40_token_entropy" ->
+      """WITH tf AS (SELECT doc_id, tok, COUNT(1) AS tf
+        |  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |  ROUND(LN(CAST(SUM(tf) AS DOUBLE)) - SUM(tf * LN(CAST(tf AS DOUBLE))) / SUM(tf), 6) AS entropy,
+        |  ROUND(LN(CAST(SUM(tf) AS DOUBLE)) - SUM(tf * LN(CAST(tf AS DOUBLE))) / SUM(tf), 6) >= 2.0 AS kept
+        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // inverted index: LIST(... ORDER BY) sliced to the same cap; df exact
+    "x41_inverted_index" ->
+      """WITH t AS (SELECT DISTINCT doc_id, term FROM
+        |    (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents))
+        |SELECT term, CAST(COUNT(1) AS BIGINT) AS df,
+        |  CAST(LEAST(COUNT(1), 100) AS INT) AS n_postings,
+        |  ARRAY_TO_STRING(LIST_SLICE(LIST(doc_id ORDER BY doc_id), 1, 100), ',') AS postings
+        |FROM t GROUP BY term ORDER BY term""".stripMargin,
 
     // feature bucket = first 3 hex chars of md5(token) as an int (per-char
     // ascii arithmetic — DuckDB has no hex→int cast); weight derived from

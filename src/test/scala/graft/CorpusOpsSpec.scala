@@ -352,4 +352,32 @@ class CorpusOpsSpec extends SparkTestBase {
     val s = got.find(t => t._1 == 2L && t._2 == "b").get._4
     assert(math.abs(s - BigDecimal(2 * math.log(1.5)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
+
+  test("tokenEntropy: hand-computed; degenerate doc gated, uniform doc kept") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a a a a a a"),               // entropy 0 -> gated
+      (2L, "t1 t2 t3 t4 t5 t6 t7 t8"),      // ln 8 = 2.079 -> kept at 2.0
+      (3L, "a a b b")                        // ln 2 = 0.693 -> gated
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.tokenEntropy(df, col("doc_id"), col("text"), minEntropy = 2.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(got(1L) == ((8L, 0.0, false)))
+    assert(math.abs(got(2L)._2 - 2.079442) < 1e-9 && got(2L)._3)
+    assert(math.abs(got(3L)._2 - 0.693147) < 1e-9 && !got(3L)._3)
+  }
+
+  test("invertedIndex: df exact, postings capped and sorted, per-doc dedup") {
+    import spark.implicits._
+    val df = Seq(
+      (5L, "x y x"),  // x twice in one doc -> one posting
+      (2L, "x z"),
+      (9L, "x")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.invertedIndex(df, col("doc_id"), col("text"), maxPostings = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2), r.getString(3))).toMap
+    assert(got("x") == ((3L, 2, "2,5")), s"got ${got("x")}") // df=3, capped to first 2 ids ascending
+    assert(got("y") == ((1L, 1, "5")))
+    assert(got("z") == ((1L, 1, "2")))
+  }
 }
