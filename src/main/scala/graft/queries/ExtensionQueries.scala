@@ -766,6 +766,18 @@ object ExtensionQueries {
         .tfidfTopTerms(T(s, dir, "documents"), col("doc_id"), col("text"), k = 3)
         .orderBy(col("doc_id"), col("rank"))),
 
+    // Int8-quantized ANN with exact rescore: the approx pass runs the
+    // same fused cosine kernel on integer-valued arrays (symmetric scales
+    // cancel), so the shortlist boundary is bit-reproducible and DuckDB
+    // can replay the whole two-stage pipeline.
+    "x42_knn_quantized" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Similarity
+        .quantizedTopK(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5, shortlist = 20)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Token-distribution entropy gate: ln(n) - (sum tf*ln tf)/n keeps
     // every per-element double derived from exact integers; 6dp rounding
     // absorbs the engines' summation-order ulps.
@@ -1486,6 +1498,30 @@ object ExtensionQueries {
         |      FROM scored)
         |SELECT doc_id, term, CAST(rank AS INT) AS rank, ROUND(s, 6) AS score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // quantized ANN: x32's quantization formula -> integer-exact approx
+    // cosine -> shortlist 20 -> exact rescore top 5; ties by neighbor id
+    "x42_knn_quantized" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |m AS (SELECT vec_id, v, LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) AS maxabs FROM e),
+        |qz AS (SELECT vec_id, v,
+        |    LIST_TRANSFORM(v, x -> CASE WHEN maxabs = 0 THEN 0.0
+        |      ELSE CAST(FLOOR(x / (maxabs / 127.0) + 0.5) AS DOUBLE) END) AS qv
+        |  FROM m),
+        |q AS (SELECT vec_id AS qid, v AS query_v, qv AS query_q FROM qz WHERE vec_id < 10),
+        |s AS (SELECT qid AS query_id, z.vec_id AS neighbor_id, z.v AS cv, query_v,
+        |        LIST_COSINE_SIMILARITY(query_q, z.qv) AS approx
+        |      FROM q, qz z WHERE z.vec_id != qid),
+        |sl AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx DESC, neighbor_id) AS ar
+        |       FROM s),
+        |r AS (SELECT query_id, neighbor_id,
+        |        LIST_COSINE_SIMILARITY(query_v, cv) AS sim
+        |      FROM sl WHERE ar <= 20),
+        |f AS (SELECT query_id, neighbor_id, sim,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM r)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, ROUND(sim, 6) AS sim
+        |FROM f WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // entropy: same ln(n) - sum(tf*ln tf)/n form, exact-integer inputs
     "x40_token_entropy" ->

@@ -429,6 +429,25 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(open.filter(_._2 == 1).map(t => t._1 -> t._3).toMap == Map(1000L -> true, 1001L -> false, 1002L -> true))
   }
 
+  test("quantizedTopK: full shortlist == bruteForceTopK exactly; tight shortlist keeps recall") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val n = emb.count().toInt
+    val bf = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))).toSet
+    // shortlist spanning the whole corpus -> the exact rescore sees every
+    // candidate, so the result must be IDENTICAL to brute force
+    val full = Similarity.quantizedTopK(emb, queries, "embedding", "vec_id", k = 5, shortlist = n)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(full == bf, "full-shortlist quantized top-k must equal brute force")
+    // tight shortlist (4x k): quantization noise may demote a true
+    // neighbor past the boundary, but recall must stay high
+    val tight = Similarity.quantizedTopK(emb, queries, "embedding", "vec_id", k = 5, shortlist = 20)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val bfPairs = bf.map(t => (t._1, t._3))
+    val recall = (bfPairs & tight).size.toDouble / bfPairs.size
+    assert(recall >= 0.9, s"tight-shortlist recall: $recall")
+  }
+
   test("LSH ANN recall ≥ 0.4 vs brute force top-5 (16 bits / 4 blocks multi-probe)") {
     val queries = emb.filter(col("vec_id") < 10)
     val bf = Similarity
