@@ -565,6 +565,29 @@ object CorpusOps {
       )
   }
 
+  /** Deterministic EXACT-k sample per group — the fixed-size eval/holdout
+    * draw completing the sampling family ([[hashUniform]]/[[sampleByRate]]
+    * are rate-based): rank group members by `md5(id)` (then id, for
+    * absolute determinism on unlikely digest ties) and keep the first
+    * `k`. The draw is partition-, run-, and engine-invariant — the same
+    * ids win on any cluster layout and in the DuckDB oracle.
+    *
+    * Shape at 100 TB: window + `rank ≤ k` compiles to
+    * `WindowGroupLimit` in Spark 4 — a partial per-partition top-k runs
+    * BEFORE the group exchange (verified in PLANS.md), so a skewed group
+    * never sorts more than k·partitions rows globally; per-task state is
+    * O(k).
+    */
+  def sampleExactK(df: DataFrame, group: Column, idCol: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(!df.columns.contains("sample_rank"), "sampleExactK appends 'sample_rank'; rename the existing column first")
+    val w = Window
+      .partitionBy(group)
+      .orderBy(md5(idCol.cast("string")), idCol)
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** BM25 relevance scoring of the corpus against one query — the
     * retrieval primitive a RAG-style training pipeline runs to mine
     * related documents (Robertson et al., TREC-3; the idf form is the

@@ -778,6 +778,13 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Deterministic exact-k per-group sample: md5-ranked draw, compiled
+    // to WindowGroupLimit (partial top-k before the exchange).
+    "x43_sample_exact_k" -> ((s, dir) =>
+      CorpusOps
+        .sampleExactK(T(s, dir, "documents").select(col("doc_id"), col("lang")), col("lang"), col("doc_id"), k = 3)
+        .orderBy(col("lang"), col("sample_rank"))),
+
     // Token-distribution entropy gate: ln(n) - (sum tf*ln tf)/n keeps
     // every per-element double derived from exact integers; 6dp rounding
     // absorbs the engines' summation-order ulps.
@@ -1522,6 +1529,14 @@ object ExtensionQueries {
         |      FROM r)
         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, ROUND(sim, 6) AS sim
         |FROM f WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // exact-k sample: same md5-ranked draw
+    "x43_sample_exact_k" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(sample_rank AS INT) AS sample_rank
+        |FROM r WHERE sample_rank <= 3 ORDER BY lang, sample_rank""".stripMargin,
 
     // entropy: same ln(n) - sum(tf*ln tf)/n form, exact-integer inputs
     "x40_token_entropy" ->

@@ -367,6 +367,26 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(math.abs(got(3L)._2 - 0.693147) < 1e-9 && !got(3L)._3)
   }
 
+  test("sampleExactK: exact k per group, partition-invariant, small groups survive whole") {
+    import spark.implicits._
+    val df = (1L to 40L).map(i => (i, if (i <= 30) "big" else if (i <= 38) "mid" else "tiny"))
+      .toDF("doc_id", "grp")
+    val s1 = CorpusOps.sampleExactK(df, col("grp"), col("doc_id"), k = 5)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2)))
+    assert(s1.count(_._1 == "big") == 5)
+    assert(s1.count(_._1 == "mid") == 5)
+    assert(s1.count(_._1 == "tiny") == 2, "groups smaller than k survive whole")
+    assert(s1.filter(_._1 == "tiny").map(_._3).sorted.toSeq == Seq(1, 2))
+    // the draw is layout-invariant: same winners at any partitioning
+    val s2 = CorpusOps.sampleExactK(df.repartition(13), col("grp"), col("doc_id"), k = 5)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2)))
+    assert(s1.toSet == s2.toSet)
+    // WindowGroupLimit (partial top-k before the exchange) is in the plan
+    val plan = CorpusOps.sampleExactK(df, col("grp"), col("doc_id"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
+  }
+
   test("invertedIndex: df exact, postings capped and sorted, per-doc dedup") {
     import spark.implicits._
     val df = Seq(
