@@ -718,6 +718,77 @@ object StressXOps {
       batch.unpersist()
     }
 
+    // ---- retrieval family (x38-x41) at full corpus width: BM25 against
+    // a 3-term query (the isin filter keeps the exchange O(hits) — ~2k
+    // docs/term out of 5M), TF-IDF top-3 (the 190M-distinct (doc,term)
+    // shuffle is the canonical vocabulary shape), capped inverted index
+    // (bounded collect after the term-keyed rank), token entropy. Corpus
+    // docs draw 40 tokens from a 100k vocab, so every invariant is
+    // predictable: 3 rows/doc from tf-idf, n_postings ≤ cap, one row per
+    // doc from entropy with entropy ≤ ln(40).
+    if (section("retrieval")) locally {
+      val bm = operators.CorpusOps.bm25(corpus, col("id"), col("text"), Seq("0", "1", "2"))
+      val (bmSec, bmRows, bmH, _) = run(bm)
+      println(f"[stressx] bm25(3 terms): $bmSec%.1f s, $bmRows matching docs of $corpusN")
+      println(s"[stressx]   plan: $bmH")
+      assert(bmRows > 0 && bmRows < corpusN / 100, s"hit count implausible: $bmRows")
+
+      val ti = operators.CorpusOps.tfidfTopTerms(corpus, col("id"), col("text"), k = 3)
+      val (tiSec, tiRows, tiH, _) = run(ti)
+      println(f"[stressx] tfidfTopTerms(k=3): $tiSec%.1f s, $tiRows rows (${tiRows / math.max(corpusN, 1)} per doc)")
+      println(s"[stressx]   plan: $tiH")
+      assert(tiRows == 3 * corpusN, s"expected exactly 3 rows/doc: $tiRows vs ${3 * corpusN}")
+
+      val ii = operators.CorpusOps.invertedIndex(corpus, col("id"), col("text"), maxPostings = 100)
+      val (iiSec, iiRows, iiH, _) = run(ii)
+      val iiBad = operators.CorpusOps
+        .invertedIndex(corpus, col("id"), col("text"), maxPostings = 100)
+        .filter(col("n_postings") > 100 || col("n_postings") =!= least(col("df"), lit(100)))
+        .count()
+      println(f"[stressx] invertedIndex(cap=100): $iiSec%.1f s, $iiRows terms, cap violations=$iiBad")
+      println(s"[stressx]   plan: $iiH")
+      assert(iiRows <= 100000 + 1, s"vocab-bounded term count: $iiRows") // 100k vocab
+      assert(iiBad == 0L)
+
+      val te = operators.TextOps.tokenEntropy(corpus, col("id"), col("text"), minEntropy = 2.0)
+      val (teSec, teRows, teH, _) = run(te)
+      val teBad = operators.TextOps
+        .tokenEntropy(corpus, col("id"), col("text"), minEntropy = 2.0)
+        .filter(col("entropy") > math.log(40.0) + 1e-9 || col("entropy") < 0.0)
+        .count()
+      println(f"[stressx] tokenEntropy: $teSec%.1f s, $teRows docs, out-of-range=$teBad (bound ln 40)")
+      println(s"[stressx]   plan: $teH")
+      assert(teRows == corpusN && teBad == 0L)
+    }
+
+    // ---- quantized ANN (x42) at full vector width: 10 queries against
+    // nVecs int8-quantized candidates, tight 4x-k shortlist, recall
+    // measured against float64 brute force on the same corpus.
+    if (section("qknn")) locally {
+      val dim = 64
+      val vecs = spark.range(nVecs).select(
+        col("id").as("vec_id"),
+        transform(
+          sequence(lit(0), lit(dim - 1)),
+          k => (pmod(xxhash64(col("id"), k), lit(2001)).cast("double") / 1000.0 - 1.0)
+        ).as("embedding")
+      ).persist()
+      vecs.count()
+      val qs = vecs.filter(col("vec_id") < 10)
+      val qk = operators.Similarity.quantizedTopK(vecs, qs, "embedding", "vec_id", k = 5, shortlist = 20)
+      val (sec, nRows, h, _) = run(qk)
+      val got = qk.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val bf = operators.Similarity
+        .bruteForceTopK(vecs, qs, "embedding", "vec_id", k = 5)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val recall = (bf & got).size.toDouble / bf.size
+      println(f"[stressx] quantizedTopK(k=5, shortlist=20) @ $nVecs%d vectors: $sec%.1f s, $nRows rows, recall vs fp64 brute force=$recall%.3f")
+      println(s"[stressx]   plan: $h")
+      assert(nRows == 50, s"10 queries x top-5: $nRows")
+      assert(recall >= 0.9, s"quantized recall: $recall")
+      vecs.unpersist()
+    }
+
     // ---- hashed-feature classifier (x36) at full corpus width: 40-token
     // docs explode to 40n feature rows, but map-side partial aggregation
     // must collapse them BEFORE the exchange — the scaladoc's "~one row
