@@ -756,9 +756,23 @@ object StressXOps {
         .tokenEntropy(corpus, col("id"), col("text"), minEntropy = 2.0)
         .filter(col("entropy") > math.log(40.0) + 1e-9 || col("entropy") < 0.0)
         .count()
-      println(f"[stressx] tokenEntropy: $teSec%.1f s, $teRows docs, out-of-range=$teBad (bound ln 40)")
-      println(s"[stressx]   plan: $teH")
-      assert(teRows == corpusN && teBad == 0L)
+      // A/B vs the two-exchange aggregation spec: same answers (6dp, up
+      // to a rounding-boundary ulp), one exchange-ful plan vs zero
+      val (tdSec, tdRows, tdH, _) =
+        run(operators.TextOps.tokenEntropyDeclarative(corpus, col("id"), col("text"), minEntropy = 2.0))
+      val teDiff = operators.TextOps.tokenEntropy(corpus, col("id"), col("text"))
+        .select(col("doc_id"), col("entropy").as("e_n"))
+        .join(
+          operators.TextOps.tokenEntropyDeclarative(corpus, col("id"), col("text"))
+            .select(col("doc_id"), col("entropy").as("e_d")),
+          "doc_id"
+        )
+        .filter(abs(col("e_n") - col("e_d")) > 1.1e-6)
+        .count()
+      println(f"[stressx] tokenEntropy NATIVE (zero-shuffle projection): $teSec%.1f s, $teRows docs, out-of-range=$teBad (bound ln 40)")
+      println(f"[stressx]   vs declarative two-exchange agg: $tdSec%.1f s ($tdRows rows) — ${tdSec / teSec}%.1fx; value diffs past 6dp+ulp: $teDiff")
+      println(s"[stressx]   plan native: $teH | declarative: $tdH")
+      assert(teRows == corpusN && teBad == 0L && tdRows == corpusN && teDiff == 0L)
     }
 
     // ---- quantized ANN (x42) at full vector width: 10 queries against

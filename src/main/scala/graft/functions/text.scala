@@ -293,6 +293,60 @@ object text {
   def rolling_fp(textCol: Column): Column =
     Bridge.column(RollingFp(Bridge.expression(textCol)))
 
+  /** Token-distribution Shannon entropy + token count in ONE tokenize
+    * pass → struct(n_tokens long, entropy double), entropy in the
+    * ln(n) − (Σ tf·ln tf)/n form of
+    * [[graft.operators.TextOps.tokenEntropy]]. The declarative
+    * formulation is a two-exchange (doc,token)→(doc) aggregation —
+    * correct, but it shuffles one row per DISTINCT TOKEN of the corpus
+    * (≈190 M rows at 5 M docs) to compute what is a per-row quantity.
+    * This is a zero-shuffle projection: one HashMap of the row's own
+    * distinct tokens, O(row) state, inside WholeStageCodegen. Summation
+    * ORDER differs from any SQL twin (map iteration vs engine agg), so
+    * equality holds at 6dp rounding, not bit-level — same contract as
+    * the x40 oracle.
+    */
+  case class TokenEntropy(child: Expression)
+      extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = StructType(
+      Seq(StructField("n_tokens", LongType, nullable = false),
+          StructField("entropy", DoubleType, nullable = false))
+    )
+    override def nullIntolerant: Boolean = true
+
+    /** Invoked from both eval and generated code. */
+    def compute(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+      val toks = s.toString.split(" ", -1)
+      val n = toks.length
+      val counts = new java.util.HashMap[String, Int](math.min(n * 2, 1 << 16))
+      var i = 0
+      while (i < n) {
+        counts.merge(toks(i), 1, (a, b) => a + b)
+        i += 1
+      }
+      var acc = 0.0
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val c = it.next().toDouble
+        acc += c * math.log(c)
+      }
+      val entropy = math.log(n.toDouble) - acc / n
+      org.apache.spark.sql.catalyst.InternalRow(n.toLong, entropy)
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("tokenEntropy", this, classOf[TokenEntropy].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+    }
+    override protected def withNewChildInternal(c: Expression): TokenEntropy = copy(child = c)
+  }
+
+  def token_entropy(textCol: Column): Column =
+    Bridge.column(TokenEntropy(Bridge.expression(textCol)))
+
   /** MD5 digest of every k-token sliding window — the metadata pass under
     * [[graft.operators.CorpusOps.dedupSpans]] (Lee et al. 2022 ExactSubstr
     * family). Window at start `s` (0-based) is tokens `[s, s+k)` joined by

@@ -181,11 +181,34 @@ object TextOps {
     * order differs → 6dp rounding absorbs it). Returns one row per doc:
     * (doc_id, n_tokens, entropy, kept = entropy ≥ minEntropy).
     *
-    * Shape at 100 TB: the canonical two-level partial agg — (doc, token)
-    * counts collapse map-side, then one doc-keyed exchange carrying
-    * distinct-token rows only. No text moves past the first projection.
+    * Shape at 100 TB: entropy is a PER-ROW quantity, so it runs as a
+    * ZERO-SHUFFLE projection — one native tokenize-and-count pass
+    * ([[graft.functions.text.TokenEntropy]], O(row) state, inside
+    * WholeStageCodegen). The aggregation formulation
+    * ([[tokenEntropyDeclarative]], kept as the semantic spec and the
+    * shape of the x40 oracle SQL) shuffles one row per distinct token of
+    * the corpus — ≈190 M rows at 5 M docs — to compute the same thing;
+    * measured A/B in `StressXOps retrieval`.
     */
   def tokenEntropy(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      minEntropy: Double = 2.0
+  ): DataFrame =
+    df.select(idCol.as("doc_id"), graft.functions.text.token_entropy(text).as("__te"))
+      .select(
+        col("doc_id"),
+        col("__te.n_tokens").as("n_tokens"),
+        round(col("__te.entropy"), 6).as("entropy")
+      )
+      .withColumn("kept", col("entropy") >= minEntropy)
+
+  /** The two-exchange aggregation formulation of [[tokenEntropy]] — the
+    * portable semantic spec (mirrors the x40 DuckDB oracle SQL shape);
+    * equality with the native kernel holds at 6dp (summation order).
+    */
+  private[graft] def tokenEntropyDeclarative(
       df: DataFrame,
       idCol: Column,
       text: Column,

@@ -365,6 +365,17 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got(1L) == ((8L, 0.0, false)))
     assert(math.abs(got(2L)._2 - 2.079442) < 1e-9 && got(2L)._3)
     assert(math.abs(got(3L)._2 - 0.693147) < 1e-9 && !got(3L)._3)
+    // native zero-shuffle kernel == the aggregation spec at 6dp, and the
+    // plan really is exchange-free (no grouping, no Generate)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val nat = graft.operators.TextOps.tokenEntropy(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val dec = graft.operators.TextOps.tokenEntropyDeclarative(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(nat == dec, "native vs declarative entropy diverged past 6dp")
+    val plan = graft.operators.TextOps.tokenEntropy(docs, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Generate"), s"expected pure projection:\n$plan")
   }
 
   test("sampleExactK: exact k per group, partition-invariant, small groups survive whole") {
