@@ -733,11 +733,37 @@ object StressXOps {
       println(s"[stressx]   plan: $bmH")
       assert(bmRows > 0 && bmRows < corpusN / 100, s"hit count implausible: $bmRows")
 
-      val ti = operators.CorpusOps.tfidfTopTerms(corpus, col("id"), col("text"), k = 3)
-      val (tiSec, tiRows, tiH, _) = run(ti)
-      println(f"[stressx] tfidfTopTerms(k=3): $tiSec%.1f s, $tiRows rows (${tiRows / math.max(corpusN, 1)} per doc)")
+      val tiRec = new java.util.concurrent.atomic.AtomicLong(0)
+      val tiListener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) { tiRec.addAndGet(m.shuffleWriteMetrics.recordsWritten); () }
+        }
+      }
+      def runCounted(df: DataFrame): (Double, Long, String, Long) = {
+        tiRec.set(0)
+        spark.sparkContext.addSparkListener(tiListener)
+        try { val (s, n, h, _) = run(df); Thread.sleep(2000); (s, n, h, tiRec.get()) }
+        finally spark.sparkContext.removeSparkListener(tiListener)
+      }
+      val (tiSec, tiRows, tiH, tiShuf) =
+        runCounted(operators.CorpusOps.tfidfTopTerms(corpus, col("id"), col("text"), k = 3))
+      println(f"[stressx] tfidfTopTerms(k=3) KERNEL (word_counts + doc-agg top-k): $tiSec%.1f s, $tiRows rows (${tiRows / math.max(corpusN, 1)} per doc), shuffle records=$tiShuf")
       println(s"[stressx]   plan: $tiH")
       assert(tiRows == 3 * corpusN, s"expected exactly 3 rows/doc: $tiRows vs ${3 * corpusN}")
+      // A/B vs the window formulation (the 3x corpus-token exchange shape)
+      val (tdSec2, tdRows2, tdH2, tdShuf2) =
+        runCounted(operators.CorpusOps.tfidfTopTermsDeclarative(corpus, col("id"), col("text"), k = 3))
+      val tiDiff = operators.CorpusOps.tfidfTopTerms(corpus, col("id"), col("text"), k = 3)
+        .select(col("doc_id"), col("term"), col("rank"), col("score"))
+        .exceptAll(
+          operators.CorpusOps.tfidfTopTermsDeclarative(corpus, col("id"), col("text"), k = 3)
+            .select(col("doc_id"), col("term"), col("rank"), col("score")))
+        .count()
+      println(f"[stressx]   vs declarative window form: $tdSec2%.1f s ($tdRows2 rows), shuffle records=$tdShuf2 — ${tdSec2 / tiSec}%.1fx wall, ${tdShuf2 / math.max(tiShuf, 1)}%dx shuffle rows; row diffs: $tiDiff")
+      println(s"[stressx]   plan declarative: $tdH2")
+      assert(tdRows2 == tiRows && tiDiff == 0L, s"kernel/window diverged: rows $tdRows2 vs $tiRows, diffs $tiDiff")
+      assert(tiShuf * 5 < tdShuf2, s"kernel path should move far fewer shuffle rows: $tiShuf vs $tdShuf2")
 
       val ii = operators.CorpusOps.invertedIndex(corpus, col("id"), col("text"), maxPostings = 100)
       val (iiSec, iiRows, iiH, _) = run(ii)

@@ -347,6 +347,59 @@ object text {
   def token_entropy(textCol: Column): Column =
     Bridge.column(TokenEntropy(Bridge.expression(textCol)))
 
+  /** Per-row word counts → map&lt;string,int&gt; in ONE tokenize pass —
+    * the kernel that deletes the (doc, token) exchange from term-count
+    * pipelines ([[graft.operators.CorpusOps.tfidfTopTerms]]): a document's
+    * token multiset is a per-row quantity, so `groupBy(doc, term)` —
+    * which moves one row per distinct token of the corpus — is wasted
+    * data movement. First-seen key order (LinkedHashMap), exact integer
+    * counts: `explode(word_counts(text))` is row-for-row equal to the
+    * `explode(split) → groupBy(doc, term) → count` formulation.
+    */
+  case class WordCounts(child: Expression)
+      extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType =
+      MapType(StringType, IntegerType, valueContainsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    /** Invoked from both eval and generated code. */
+    def compute(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayBasedMapData = {
+      val toks = s.toString.split(" ", -1)
+      val counts = new java.util.LinkedHashMap[String, Int](math.min(toks.length * 2, 1 << 16))
+      var i = 0
+      while (i < toks.length) {
+        counts.merge(toks(i), 1, (a, b) => a + b)
+        i += 1
+      }
+      val keys = new Array[Any](counts.size())
+      val vals = new Array[Any](counts.size())
+      val it = counts.entrySet().iterator()
+      var j = 0
+      while (it.hasNext) {
+        val e = it.next()
+        keys(j) = UTF8String.fromString(e.getKey)
+        vals(j) = e.getValue
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new GenericArrayData(keys),
+        new GenericArrayData(vals)
+      )
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("wordCounts", this, classOf[WordCounts].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+    }
+    override protected def withNewChildInternal(c: Expression): WordCounts = copy(child = c)
+  }
+
+  def word_counts(textCol: Column): Column =
+    Bridge.column(WordCounts(Bridge.expression(textCol)))
+
   /** MD5 digest of every k-token sliding window — the metadata pass under
     * [[graft.operators.CorpusOps.dedupSpans]] (Lee et al. 2022 ExactSubstr
     * family). Window at start `s` (0-based) is tokens `[s, s+k)` joined by

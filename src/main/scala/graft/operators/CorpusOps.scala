@@ -683,13 +683,79 @@ object CorpusOps {
     * corpus profiler runs (tf × ln(N/df), raw tf, deterministic ties by
     * term). Returns (doc_id, term, rank, score) with rank 1..k.
     *
-    * Shape at 100 TB: two partial-agg exchanges — (doc, term) term
-    * counts, then term → document frequency (vocabulary-sized, the
-    * canonical shape) — followed by ONE doc-keyed window for the top-k
-    * (rank ≤ k filter pushes into the window's sort; no global sort).
-    * N rides a 1-row cross join.
+    * Shape at 100 TB — three data-movement decisions, each replacing a
+    * corpus-token-sized exchange with a bounded one:
+    *
+    *   - per-doc term counts come from the native
+    *     [[graft.functions.text.WordCounts]] kernel (a per-row quantity),
+    *     deleting the `groupBy(doc, term)` exchange that moves one row
+    *     per distinct token of the corpus;
+    *   - the document-frequency table is VOCABULARY-sized and joins back
+    *     with a forced broadcast (pass `broadcastVocab = false` for
+    *     open-vocabulary corpora whose term table outgrows the driver —
+    *     the join then shuffles on term, the pre-kernel shape);
+    *   - the top-k is a per-doc aggregation, not a window: collect the
+    *     (−score, term) structs (state bounded by the DOC's distinct
+    *     terms — unlike an unbounded per-term group), sort, slice k —
+    *     and because a doc's rows never left their input partition, the
+    *     map-side partial agg collapses them so the final exchange
+    *     carries ~one row per document (the x36 lesson).
+    *
+    * Sum: ~(vocab + docs) rows moved instead of 3× corpus-distinct
+    * (doc,term) pairs. The window formulation remains as
+    * [[tfidfTopTermsDeclarative]] — the semantic spec, row-for-row equal
+    * (asserted in spec and A/B-stressed at 5 M docs).
     */
-  def tfidfTopTerms(df: DataFrame, idCol: Column, text: Column, k: Int = 3): DataFrame = {
+  def tfidfTopTerms(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      k: Int = 3,
+      broadcastVocab: Boolean = true
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tf = df.select(
+      idCol.as("doc_id"),
+      explode(graft.functions.text.word_counts(text)).as(Seq("term", "tf"))
+    )
+    val dfreq0 = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfreq = if (broadcastVocab) broadcast(dfreq0) else dfreq0
+    val n = df.agg(count(lit(1)).as("__n"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(
+        col("doc_id"),
+        col("term"),
+        (col("tf") * log(col("__n").cast("double") / col("df"))).as("__score")
+      )
+      .groupBy(col("doc_id"))
+      .agg(
+        slice(
+          array_sort(collect_list(struct((-col("__score")).as("ns"), col("term")))),
+          1,
+          k
+        ).as("__top")
+      )
+      .select(col("doc_id"), posexplode(col("__top")))
+      .select(
+        col("doc_id"),
+        col("col.term").as("term"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(-col("col.ns"), 6).as("score")
+      )
+  }
+
+  /** The window formulation of [[tfidfTopTerms]] — the portable semantic
+    * spec: `groupBy(doc, term)` counts, window `row_number ≤ k` (the x39
+    * oracle SQL shape). Row-for-row equal to the kernel path; kept for
+    * the A/B and the spec assertion.
+    */
+  private[graft] def tfidfTopTermsDeclarative(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      k: Int = 3
+  ): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val tf = df
       .select(idCol.as("doc_id"), explode(split(text, " ")).as("term"))

@@ -351,6 +351,13 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got.filter(_._1 == 3L).sortBy(_._3).map(_._2).toSeq == Seq("d", "c"))
     val s = got.find(t => t._1 == 2L && t._2 == "b").get._4
     assert(math.abs(s - BigDecimal(2 * math.log(1.5)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // kernel path == window formulation row-for-row on real docs
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val kern = CorpusOps.tfidfTopTerms(docs, col("doc_id"), col("text"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3))).toSet
+    val decl = CorpusOps.tfidfTopTermsDeclarative(docs, col("doc_id"), col("text"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(kern == decl, "word_counts kernel path diverged from the window formulation")
   }
 
   test("tokenEntropy: hand-computed; degenerate doc gated, uniform doc kept") {
