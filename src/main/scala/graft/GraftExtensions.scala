@@ -19,8 +19,9 @@ import graft.functions.codecs
   * graft_dot/graft_cosine/graft_l2sq(arr, arr),
   * graft_hyperplane_sig(arr, bits); text kernels
   * graft_word_shingles(str, n), graft_minhash_sig(arr, k),
-  * graft_simhash64(arr); split assignment graft_split(id); sampling key
-  * graft_uniform(id).
+  * graft_simhash64(arr), graft_pii_scrub(str), graft_token_entropy(str),
+  * graft_word_counts(str); split assignment graft_split(id); sampling
+  * key graft_uniform(id).
   *
   * Table functions (`SELECT * FROM graft_...`): graft_ivf_train /
   * graft_ivf_probe — the ANN train-once / probe-many serve path from
@@ -75,7 +76,13 @@ object GraftExtensions {
     "graft_uniform" -> (es => graft.operators.CorpusOps.uniformExpr(es(0))),
     // fused PII audit+redaction: SELECT graft_pii_scrub(text).* gives
     // (n_emails, n_ips, n_phones, redacted) in one native pass
-    "graft_pii_scrub" -> (es => graft.functions.text.PiiScrub(es(0)))
+    "graft_pii_scrub" -> (es => graft.functions.text.PiiScrub(es(0))),
+    // token-distribution entropy: SELECT graft_token_entropy(text).*
+    // gives (n_tokens, entropy) in one zero-shuffle native pass
+    "graft_token_entropy" -> (es => graft.functions.text.TokenEntropy(es(0))),
+    // per-row term counts: SELECT explode(graft_word_counts(text)) —
+    // the (doc, term, tf) table without a (doc,term) exchange
+    "graft_word_counts" -> (es => graft.functions.text.WordCounts(es(0)))
   )
 
   private def str(e: Expression): String = e match {

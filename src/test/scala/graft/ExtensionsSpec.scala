@@ -70,6 +70,19 @@ class ExtensionsSpec extends SparkTestBase {
     assert(row.getString(3) == "mail <EMAIL> at <IP> tel <PHONE>")
   }
 
+  test("graft_token_entropy / graft_word_counts SQL functions: per-row text kernels") {
+    GraftExtensions.register(spark)
+    val ent = spark
+      .sql("SELECT e.te.n_tokens, e.te.entropy FROM (SELECT graft_token_entropy('a a b b') AS te) e")
+      .collect()(0)
+    assert(ent.getLong(0) == 4L && math.abs(ent.getDouble(1) - math.log(2.0)) < 1e-12)
+    val wc = spark
+      .sql("SELECT term, tf FROM (SELECT explode(graft_word_counts('x y x')) AS (term, tf)) ORDER BY term")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    assert(wc.toSeq == Seq(("x", 2), ("y", 1)))
+  }
+
   test("graft_split SQL function matches CorpusOps.hashSplit") {
     import org.apache.spark.sql.functions.col
     GraftExtensions.register(spark)
