@@ -280,4 +280,79 @@ object TextOps {
       )
       .withColumn("kept", col("score") >= threshold)
   }
+
+  /** TRAINING twin of [[scoreLinearHashed]] — logistic regression over
+    * the same hashed-feature space (buckets via [[featureBucket]], so the
+    * learned weights plug straight into the inference gate after
+    * [[quantizeWeights]]). This is the quality-classifier BOOTSTRAP step
+    * of a curation pipeline (CCNet/GPT-style: label a seed set, train
+    * the fastText-ish gate, score the web corpus).
+    *
+    * Batch gradient descent, driver-sequenced epochs — the same
+    * bounded-model-state design as `Similarity.ivfTrain`'s Lloyd loop:
+    * the corpus collapses ONCE into one cached row per doc holding its
+    * sparse (bucket, tf) features (the only doc-keyed exchange in the
+    * whole run); each epoch is then a single pass over that cache — the
+    * per-doc margin folds over the feature array against the
+    * weight-vector plan literal, and the 4096-long dense gradient
+    * arrives via one bucket-keyed partial aggregation (≤ dim rows per
+    * partition on the exchange). The `collect()` per epoch is the
+    * gradient (dim doubles, KBs) — bounded by construction, exactly the
+    * shape the ivfTrain scaladoc defends. Do not "optimize" the epochs
+    * into one plan: each epoch's literal DEPENDS on the previous
+    * gradient.
+    *
+    * Gradients sum in partition order, so trained weights are
+    * float-deterministic only per layout — which is why training is NOT
+    * an oracle query: the e2e contract (train → quantize → gate) is
+    * spec-tested on planted separable data instead.
+    */
+  def trainLinearHashed(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      label: Column,
+      epochs: Int = 5,
+      lr: Double = 0.5
+  ): Array[Double] = {
+    require(epochs > 0, s"epochs must be positive, got $epochs")
+    val feats = df
+      .select(idCol.as("id"), label.cast("double").as("y"), explode(graft.functions.text.word_counts(text)).as(Seq("tok", "tf")))
+      .select(col("id"), col("y"), featureBucket(col("tok")).cast("int").as("b"), col("tf").cast("double").as("tf"))
+      .groupBy(col("id"), col("y"))
+      .agg(collect_list(struct(col("b"), col("tf"))).as("fs"))
+      .persist()
+    try {
+      val n = feats.count().toDouble
+      var w = new Array[Double](hashedFeatureDim)
+      var epoch = 0
+      while (epoch < epochs) {
+        val wLit = lit(w)
+        val margin = aggregate(col("fs"), lit(0.0), (acc, f) => acc + element_at(wLit, f.getField("b") + 1) * f.getField("tf"))
+        // err = sigmoid(margin) - y; gradient_b = sum(err * tf_b) / n
+        val grad = feats
+          .select((lit(1.0) / (lit(1.0) + exp(-margin)) - col("y")).as("err"), col("fs"))
+          .select(explode(col("fs")).as("f"), col("err"))
+          .groupBy(col("f.b").as("b"))
+          .agg(sum(col("err") * col("f.tf")).as("g"))
+          .collect()
+        val g = new Array[Double](hashedFeatureDim)
+        grad.foreach(r => g(r.getInt(0)) = r.getDouble(1))
+        w = Array.tabulate(hashedFeatureDim)(i => w(i) - lr * g(i) / n)
+        epoch += 1
+      }
+      w
+    } finally {
+      feats.unpersist()
+      ()
+    }
+  }
+
+  /** Fixed-point quantization of trained weights for the integer-exact
+    * inference gate: `round(w · factor)` per bucket. The gate decision
+    * `Σ q(b)·tf ≥ threshold·factor` approximates `Σ w(b)·tf ≥ threshold`
+    * with per-bucket error ≤ 0.5/factor.
+    */
+  def quantizeWeights(w: Array[Double], factor: Double = 1000.0): Array[Long] =
+    w.map(x => math.round(x * factor))
 }

@@ -142,6 +142,28 @@ class OperatorSpec extends SparkTestBase {
     assert(nulled == expected + ((4L, 0L, 0L, true)))
   }
 
+  test("trainLinearHashed: e2e train -> quantize -> gate on planted separable data") {
+    // label-1 docs carry 'signalgood' tokens, label-0 docs 'signalbad';
+    // shared filler makes the problem non-trivial but linearly separable
+    val docs = (0 until 300).map { i =>
+      val fill = s"the a of and doc$i"
+      if (i % 2 == 0) (i.toLong, s"signalgood signalgood quality text here $fill", 1)
+      else (i.toLong, s"signalbad spammy junk content $fill", 0)
+    }
+    val df = docs.toDF("doc_id", "text", "y")
+    val w = TextOps.trainLinearHashed(df, col("doc_id"), col("text"), col("y"), epochs = 30, lr = 2.0)
+    assert(w.length == TextOps.hashedFeatureDim)
+    // the learned weights, quantized, drive the integer inference gate
+    val q = TextOps.quantizeWeights(w, factor = 10000.0)
+    val scored = TextOps
+      .scoreLinearHashed(df, col("doc_id"), col("text"), q, threshold = 0L)
+      .join(df.select(col("doc_id").as("id"), col("y")), "id")
+      .collect()
+      .map(r => (r.getAs[Boolean]("kept"), r.getAs[Int]("y")))
+    val acc = scored.count { case (kept, y) => kept == (y == 1) }.toDouble / scored.length
+    assert(acc >= 0.95, s"train->quantize->gate accuracy: $acc")
+  }
+
   test("multimodal: stub decode keeps real histogram features, frame sampling shapes") {
     val docs = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789abcdefghijkl", "en", "src1", 48L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
