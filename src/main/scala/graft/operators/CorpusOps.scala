@@ -679,6 +679,63 @@ object CorpusOps {
       )
   }
 
+  /** Batched [[bm25]]: a TABLE of queries (id + term array), top-`k` docs
+    * per query — the mining shape a retrieval pipeline actually runs
+    * (per-benchmark/per-topic related-document mining). Returns
+    * (query_id, rank, doc_id, n_matched, score), rank 1..k.
+    *
+    * Shape at 100 TB: the distinct (query, term) table is broadcast —
+    * every corpus token probes it map-side, so the only rows that reach
+    * an exchange are (query, doc, term) HITS; document frequencies come
+    * from the hits (O(hits) agg, broadcast back); the per-query top-k is
+    * a window + rank filter ⇒ `WindowGroupLimit` partial top-k before
+    * the exchange. Nothing corpus-sized ever shuffles.
+    */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      queries: DataFrame,
+      queryIdCol: Column,
+      queryTerms: Column,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val qt = queries
+      .select(queryIdCol.as("query_id"), explode(array_distinct(queryTerms)).as("term"))
+    val toks = df.select(idCol.as("doc_id"), split(text, " ").as("__toks"))
+    val stats = toks.agg(count(lit(1)).as("__n"), avg(size(col("__toks"))).as("__avgdl"))
+    val hits = toks
+      .select(col("doc_id"), size(col("__toks")).as("dl"), explode(col("__toks")).as("term"))
+      .join(broadcast(qt), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = hits
+      .select(col("term"), col("doc_id"))
+      .distinct()
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val scored = hits
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("query_id"),
+        col("doc_id"),
+        (log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("__avgdl")))).as("__s")
+      )
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"), round(sum(col("__s")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_matched"), col("score"))
+  }
+
   /** Per-document top-`k` TF-IDF terms — the keyword-extraction pass a
     * corpus profiler runs (tf × ln(N/df), raw tf, deterministic ties by
     * term). Returns (doc_id, term, rank, score) with rank 1..k.

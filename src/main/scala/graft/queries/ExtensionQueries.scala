@@ -785,6 +785,20 @@ object ExtensionQueries {
         .sampleExactK(T(s, dir, "documents").select(col("doc_id"), col("lang")), col("lang"), col("doc_id"), k = 3)
         .orderBy(col("lang"), col("sample_rank"))),
 
+    // Batched BM25: query table (first-3-token queries from docs 0-2)
+    // broadcast to the corpus scan; only hits reach an exchange; top-10
+    // per query via WindowGroupLimit. Ranks on the 6dp-rounded score so
+    // both engines order identical values.
+    "x44_bm25_topk" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val qs = docs
+        .filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), slice(split(col("text"), " "), 1, 3).as("terms"))
+      CorpusOps
+        .bm25TopK(docs, col("doc_id"), col("text"), qs, col("qid"), col("terms"), k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Token-distribution entropy gate: ln(n) - (sum tf*ln tf)/n keeps
     // every per-element double derived from exact integers; 6dp rounding
     // absorbs the engines' summation-order ulps.
@@ -1537,6 +1551,27 @@ object ExtensionQueries {
         |  FROM documents)
         |SELECT doc_id, lang, CAST(sample_rank AS INT) AS sample_rank
         |FROM r WHERE sample_rank <= 3 ORDER BY lang, sample_rank""".stripMargin,
+
+    // batched bm25: same Lucene-idf formula; df = docs containing the
+    // term among hits (query-independent); rank on the ROUNDED score
+    "x44_bm25_topk" ->
+      """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+        |qd AS (SELECT DISTINCT doc_id AS query_id, UNNEST(tk[1:3]) AS term
+        |       FROM toks WHERE doc_id < 3),
+        |stats AS (SELECT COUNT(1) AS n, AVG(LEN(tk)) AS avgdl FROM toks),
+        |flat AS (SELECT doc_id, LEN(tk) AS dl, UNNEST(tk) AS term FROM toks),
+        |hits AS (SELECT query_id, f.doc_id, dl, term, COUNT(1) AS tf
+        |         FROM flat f JOIN qd USING (term) GROUP BY 1, 2, 3, 4),
+        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+        |s AS (SELECT query_id, doc_id, COUNT(1) AS n_matched,
+        |        ROUND(SUM(LN(1 + (n - df + 0.5)/(df + 0.5)) * (tf * 2.2)
+        |            / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+        |      FROM hits JOIN dfreq USING (term) CROSS JOIN stats GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, n_matched, score,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |      FROM s)
+        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, n_matched, score
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // entropy: same ln(n) - sum(tf*ln tf)/n form, exact-integer inputs
     "x40_token_entropy" ->

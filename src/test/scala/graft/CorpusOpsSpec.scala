@@ -360,6 +360,30 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(kern == decl, "word_counts kernel path diverged from the window formulation")
   }
 
+  test("bm25TopK: per-query top-k, consistent with single-query bm25, self-match ranks first") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark is fast spark"),
+      (2L, "the engine is slow"),
+      (3L, "spark"),
+      (4L, "fast spark engine")
+    ).toDF("doc_id", "text")
+    val qs = Seq((100L, Seq("spark", "fast")), (200L, Seq("slow"))).toDF("qid", "terms")
+    val got = CorpusOps.bm25TopK(df, col("doc_id"), col("text"), qs, col("qid"), col("terms"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // query 200: only doc 2 contains 'slow'
+    assert(got.filter(_._1 == 200L).map(t => (t._2, t._3)).toSeq == Seq((1, 2L)))
+    // query 100: docs 1,3,4 match; doc 2 absent; k bounds to 3
+    val q100 = got.filter(_._1 == 100L)
+    assert(q100.map(_._3).toSet == Set(1L, 3L, 4L) && q100.length == 3)
+    // doc 1 matches both terms (n_matched=2 with tf(spark)=2) and must outrank doc 3 (one term)
+    assert(q100.find(_._3 == 1L).get._4 == 2L)
+    // scores agree with the single-query operator on the same query set
+    val single = CorpusOps.bm25(df, col("doc_id"), col("text"), Seq("spark", "fast"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    q100.foreach { case (_, _, d, _, s) => assert(math.abs(s - single(d)) < 1e-9, s"doc $d: $s vs ${single(d)}") }
+  }
+
   test("tokenEntropy: hand-computed; degenerate doc gated, uniform doc kept") {
     import spark.implicits._
     val df = Seq(
