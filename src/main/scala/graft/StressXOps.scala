@@ -733,6 +733,18 @@ object StressXOps {
       println(s"[stressx]   plan: $bmH")
       assert(bmRows > 0 && bmRows < corpusN / 100, s"hit count implausible: $bmRows")
 
+      // batched bm25: 100 first-3-token queries against the full corpus —
+      // the broadcast (query,term) probe keeps the exchange O(hits)
+      val qTab = corpus
+        .filter(col("id") < 100)
+        .select(col("id").as("qid"), slice(split(col("text"), " "), 1, 3).as("terms"))
+      val bt = operators.CorpusOps.bm25TopK(corpus, col("id"), col("text"), qTab, col("qid"), col("terms"), k = 10)
+      val (btSec, btRows, btH, _) = run(bt)
+      val btOver = bt.groupBy(col("query_id")).count().filter(col("count") > 10).count()
+      println(f"[stressx] bm25TopK(100 queries, k=10): $btSec%.1f s, $btRows result rows, over-k queries=$btOver")
+      println(s"[stressx]   plan: $btH")
+      assert(btRows <= 1000 && btRows >= 100 && btOver == 0, s"top-k shape: $btRows rows, over=$btOver")
+
       val tiRec = new java.util.concurrent.atomic.AtomicLong(0)
       val tiListener = new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
