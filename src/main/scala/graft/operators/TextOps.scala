@@ -348,6 +348,84 @@ object TextOps {
     }
   }
 
+  /** LM-perplexity quality gate (CCNet-style): score every document by
+    * its average bigram log-probability under an add-one-smoothed bigram
+    * model trained on a REFERENCE corpus (the "good text" sample —
+    * CCNet uses a Wikipedia LM; the gate drops docs whose text the model
+    * finds improbable). Returns one row per doc:
+    * (doc_id, n_bigrams, avg_logprob, kept = avg_logprob ≥ minLogProb);
+    * docs with fewer than 2 tokens have no bigram and score the
+    * smoothed-unseen floor.
+    *
+    *   P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V),  V = |train vocab|
+    *
+    * All counts are exact integers (engine-portable); the per-doc mean
+    * rounds to 6dp (summation order).
+    *
+    * Shape at 100 TB: the model is TWO count tables — bigrams (bounded
+    * by the train corpus's distinct bigrams) and unigrams
+    * (vocabulary-sized) — joined LEFT to the corpus's exploded bigrams.
+    * `broadcastModel = true` (default) ships both tables to every
+    * executor so the corpus NEVER shuffles: the join, the miss→0
+    * coalesce, and the per-doc mean (map-side partial ⇒ ~1 row/doc on
+    * the only exchange) all run against broadcast state. For reference
+    * corpora whose bigram table outgrows the driver, pass `false`: the
+    * joins then hash-shuffle the corpus bigrams on their key — the
+    * pre-broadcast shape.
+    */
+  def perplexityGate(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      train: DataFrame,
+      trainText: Column,
+      minLogProb: Double = -12.0,
+      broadcastModel: Boolean = true
+  ): DataFrame = {
+    // train side: (w1, w2) and (w1) counts + vocab size
+    val trainToks = train.select(split(trainText, " ").as("t"))
+    val trainBi = trainToks
+      .select(posexplode(slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0)))).as(Seq("i", "w1")), col("t"))
+      .select(col("w1"), element_at(col("t"), col("i") + 2).as("w2"))
+    val big0 = trainBi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val uni0 = trainToks
+      .select(explode(col("t")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("cu"))
+    val vocab = uni0.agg(count(lit(1)).as("__v"))
+    val big = if (broadcastModel) broadcast(big0) else big0
+    val uni = if (broadcastModel) broadcast(uni0.withColumnRenamed("w", "w1")) else uni0.withColumnRenamed("w", "w1")
+    // corpus side: every (doc, w1, w2) bigram; posexplode_OUTER keeps
+    // bigram-less docs (<2 tokens, null text) as one null-w1 row that
+    // coalesces to the smoothed-unseen floor — one row per doc, always
+    val docBi = df
+      .select(idCol.as("doc_id"), split(text, " ").as("t"))
+      .select(
+        col("doc_id"),
+        posexplode_outer(slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0)))).as(Seq("i", "w1")),
+        col("t")
+      )
+      .select(col("doc_id"), col("w1"), element_at(col("t"), col("i") + 2).as("w2"))
+    docBi
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(
+        col("doc_id"),
+        col("w1"),
+        log(
+          (coalesce(col("cb"), lit(0L)) + lit(1.0)) /
+            (coalesce(col("cu"), lit(0L)) + col("__v"))
+        ).as("__lp")
+      )
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("w1")).as("n_bigrams"),
+        round(avg(col("__lp")), 6).as("avg_logprob")
+      )
+      .withColumn("kept", col("avg_logprob") >= minLogProb)
+  }
+
   /** Fixed-point quantization of trained weights for the integer-exact
     * inference gate: `round(w · factor)` per bucket. The gate decision
     * `Σ q(b)·tf ≥ threshold·factor` approximates `Σ w(b)·tf ≥ threshold`

@@ -799,6 +799,17 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // LM-perplexity gate (CCNet shape): add-one bigram model trained on
+    // the doc_id%10==0 reference split, scoring every doc; exact-integer
+    // counts, per-doc mean rounded 6dp.
+    "x45_perplexity_gate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextOps
+        .perplexityGate(docs, col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 10 === 0), col("text"), minLogProb = -4.0)
+        .orderBy(col("doc_id"))
+    }),
+
     // Token-distribution entropy gate: ln(n) - (sum tf*ln tf)/n keeps
     // every per-element double derived from exact integers; 6dp rounding
     // absorbs the engines' summation-order ulps.
@@ -1572,6 +1583,25 @@ object ExtensionQueries {
         |      FROM s)
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, n_matched, score
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // perplexity gate: same add-one bigram model, P(w2|w1) =
+    // (c(w1,w2)+1)/(c(w1)+V); every doc here has >=2 tokens so the
+    // bigram-less floor path never fires at this SF
+    "x45_perplexity_gate" ->
+      """WITH tr AS (SELECT STRING_SPLIT(text, ' ') AS t FROM documents WHERE doc_id % 10 = 0),
+        |trbi AS (SELECT t, UNNEST(RANGE(1, LEN(t))) AS i FROM tr),
+        |big AS (SELECT t[i] AS w1, t[i+1] AS w2, COUNT(1) AS cb FROM trbi GROUP BY 1, 2),
+        |uni AS (SELECT w1, COUNT(1) AS cu FROM (SELECT UNNEST(t) AS w1 FROM tr) GROUP BY 1),
+        |v AS (SELECT COUNT(1) AS v FROM uni),
+        |d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+        |dbi AS (SELECT doc_id, t, UNNEST(RANGE(1, LEN(t))) AS i FROM d),
+        |s AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM dbi),
+        |lp AS (SELECT doc_id, LN((COALESCE(cb, 0) + 1.0) / (COALESCE(cu, 0) + v)) AS lp
+        |       FROM s LEFT JOIN big USING (w1, w2) LEFT JOIN uni USING (w1) CROSS JOIN v)
+        |SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_bigrams,
+        |  ROUND(AVG(lp), 6) AS avg_logprob,
+        |  ROUND(AVG(lp), 6) >= -4.0 AS kept
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // entropy: same ln(n) - sum(tf*ln tf)/n form, exact-integer inputs
     "x40_token_entropy" ->

@@ -384,6 +384,33 @@ class CorpusOpsSpec extends SparkTestBase {
     q100.foreach { case (_, _, d, _, s) => assert(math.abs(s - single(d)) < 1e-9, s"doc $d: $s vs ${single(d)}") }
   }
 
+  test("perplexityGate: hand-computed bigram probs; in-domain kept, gibberish gated; short doc floors") {
+    import spark.implicits._
+    // train: "a b" x3 and "a c" -> c(a,b)=3, c(a,c)=1, c(a)=4+... let's count:
+    // tokens: a b a b a b a c -> c(a)=4, c(b)=3, c(c)=1, V=3
+    val train = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "a b"),   // P(b|a) = (3+1)/(4+3) = 4/7 -> lp = ln(4/7)
+      (11L, "z q"),   // unseen everything: (0+1)/(0+3) -> ln(1/3)
+      (12L, "a")      // no bigram: floor ln(1/3), n_bigrams = 0
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextOps
+      .perplexityGate(corpus, col("doc_id"), col("text"), train, col("text"), minLogProb = -1.0)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(10L) == ((1L, r6(math.log(4.0 / 7.0)), true)), s"got ${got(10L)}")   // -0.5596 >= -1
+    assert(got(11L) == ((1L, r6(math.log(1.0 / 3.0)), false)), s"got ${got(11L)}")  // -1.0986 < -1
+    assert(got(12L) == ((0L, r6(math.log(1.0 / 3.0)), false)), s"bigram-less doc floors: ${got(12L)}")
+    // shuffle-free corpus side when the model broadcasts: the only
+    // Exchange is the final per-doc aggregation's
+    val plan = graft.operators.TextOps
+      .perplexityGate(corpus, col("doc_id"), col("text"), train, col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"corpus side must not shuffle-join:\n$plan")
+  }
+
   test("tokenEntropy: hand-computed; degenerate doc gated, uniform doc kept") {
     import spark.implicits._
     val df = Seq(
