@@ -514,4 +514,61 @@ object text {
 
   def cut_spans(textCol: Column, starts: Column, k: Int): Column =
     Bridge.column(CutSpans(Bridge.expression(textCol), Bridge.expression(starts), k))
+
+  /** Canonical text normalization for dedup keys: lowercase + collapse
+    * every `[ \t\n\r]+` run to one space + trim — ONE native pass, the
+    * canonicalization CCNet/C4-style pipelines apply before hashing so
+    * that case and whitespace jitter (the most common benign mutation
+    * between crawls of the same page) cannot defeat exact dedup.
+    *
+    * Semantics are bit-equal to the declarative
+    * `trim(regexp_replace(lower(text), "[ \t\n\r]+", " "))` twin
+    * (asserted in ClusterCurationSpec). The chain pays a full lowercase
+    * materialization plus a regex scan with per-match copying; this is
+    * the PiiScrub lesson (ROUND_NOTES r7) applied pre-emptively: one
+    * byte walk, zero regex. Lowercasing matches Spark's `lower`
+    * (`UTF8String.toLowerCase`); the whitespace walk is byte-safe in
+    * UTF-8 (continuation bytes have the high bit set, so they can never
+    * alias ASCII space/tab/CR/LF).
+    */
+  case class NormalizeText(child: Expression)
+      extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+
+    /** Invoked from both eval and generated code. */
+    def compute(s: UTF8String): UTF8String = {
+      val bytes = s.toLowerCase.getBytes
+      val n = bytes.length
+      val out = new Array[Byte](n)
+      var i = 0
+      var o = 0
+      var pendingSpace = false
+      while (i < n) {
+        val b = bytes(i)
+        if (b == ' ' || b == '\t' || b == '\n' || b == '\r') {
+          pendingSpace = o > 0 // leading runs are trimmed, not emitted
+        } else {
+          if (pendingSpace) { out(o) = ' '; o += 1; pendingSpace = false }
+          out(o) = b
+          o += 1
+        }
+        i += 1
+      }
+      // trailing run: pendingSpace is simply dropped (right trim)
+      UTF8String.fromBytes(out, 0, o)
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("normalizeText", this, classOf[NormalizeText].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+    }
+    override protected def withNewChildInternal(c: Expression): NormalizeText = copy(child = c)
+  }
+
+  def normalize_text(textCol: Column): Column =
+    Bridge.column(NormalizeText(Bridge.expression(textCol)))
 }

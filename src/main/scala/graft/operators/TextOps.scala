@@ -148,6 +148,23 @@ object TextOps {
     */
   def piiScrub(text: Column): Column = graft.functions.text.pii_scrub(text)
 
+  /** Canonical normalization for dedup keys (lowercase, collapse
+    * `[ \t\n\r]+` runs to one space, trim) — ONE native byte walk
+    * ([[graft.functions.text.NormalizeText]]), bit-equal to
+    * [[normalizeTextDeclarative]] (asserted in ClusterCurationSpec).
+    * The canonicalization exact-dedup pipelines apply before hashing so
+    * case/whitespace jitter between crawls cannot defeat the 16-byte
+    * digest key. Pure projection: zero shuffle at any scale.
+    */
+  def normalizeText(text: Column): Column = graft.functions.text.normalize_text(text)
+
+  /** Declarative spec of [[normalizeText]] — the oracle-portable form
+    * (explicit `[ \t\n\r]` class, NOT `\s`, which adds \x0B\f in Java and
+    * unicode spaces elsewhere).
+    */
+  private[graft] def normalizeTextDeclarative(text: Column): Column =
+    trim(regexp_replace(lower(text), "[ \\t\\n\\r]+", " "))
+
   /** Rolling (polynomial) hash fingerprint over tokens — Karp-Rabin style,
     * base 257 mod 2^31-1 (Mersenne; keeps acc*257+h < 2^40, no ANSI long
     * overflow). ONE native pass ([[graft.functions.text.RollingFp]]);
