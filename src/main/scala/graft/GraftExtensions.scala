@@ -20,7 +20,8 @@ import graft.functions.codecs
   * graft_hyperplane_sig(arr, bits); text kernels
   * graft_word_shingles(str, n), graft_minhash_sig(arr, k),
   * graft_simhash64(arr), graft_pii_scrub(str), graft_token_entropy(str),
-  * graft_word_counts(str); split assignment graft_split(id); sampling
+  * graft_word_counts(str), graft_normalize_text(str); split assignment
+  * graft_split(id); sampling
   * key graft_uniform(id).
   *
   * Table functions (`SELECT * FROM graft_...`): graft_ivf_train /
@@ -82,7 +83,11 @@ object GraftExtensions {
     "graft_token_entropy" -> (es => graft.functions.text.TokenEntropy(es(0))),
     // per-row term counts: SELECT explode(graft_word_counts(text)) —
     // the (doc, term, tf) table without a (doc,term) exchange
-    "graft_word_counts" -> (es => graft.functions.text.WordCounts(es(0)))
+    "graft_word_counts" -> (es => graft.functions.text.WordCounts(es(0))),
+    // canonical dedup-key normalization (lowercase, collapse whitespace
+    // runs, trim) in one native byte walk — md5(graft_normalize_text(t))
+    // is the corpus digest key
+    "graft_normalize_text" -> (es => graft.functions.text.NormalizeText(es(0)))
   )
 
   private def str(e: Expression): String = e match {

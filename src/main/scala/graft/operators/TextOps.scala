@@ -87,9 +87,20 @@ object TextOps {
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —
     * the exact-dedup key for a 100 TB corpus (hash once, group on 128-bit
     * key instead of full text; shuffle carries 16 bytes not documents).
+    * Normalization runs as the ONE-pass native kernel [[normalizeText]];
+    * [[fingerprintMd5Declarative]] remains as the oracle-portable spec
+    * (bit-equality asserted in ClusterCurationSpec).
     */
   def fingerprintMd5(text: Column): Column =
-    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+    md5(normalizeText(text))
+
+  /** Declarative spec of [[fingerprintMd5]] — what every dedup oracle
+    * replays in DuckDB (`[ \t\n\r]+`, not `\s`: Java's `\s` adds
+    * `\x0B\f`, RE2's adds `\v`, and the native walk handles exactly the
+    * four bytes every real corpus normalizer cares about).
+    */
+  private[graft] def fingerprintMd5Declarative(text: Column): Column =
+    md5(normalizeTextDeclarative(text))
 
   /** PII patterns for redaction — deliberately RE2-compatible (no
     * lookaround, no backreferences) so Java regex (Spark) and RE2 (DuckDB,

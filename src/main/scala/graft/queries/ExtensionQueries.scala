@@ -810,6 +810,28 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Normalization-keyed exact dedup: the corpus is re-planted with
+    // case/whitespace-jittered twins (doc_id%4==0 re-crawled UPPERCASE
+    // with doubled/leading/trailing spaces — the most common benign
+    // mutation between crawls of the same page). The NormalizeText native
+    // kernel collapses every twin onto its source digest, so those fps
+    // show n_copies=2; a raw-text digest would keep all jitter copies.
+    // Normalization is a zero-shuffle projection; the group-by still
+    // moves only 16-byte keys.
+    "x46_normalized_dedup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val jitter = docs
+        .filter(col("doc_id") % 4 === 0)
+        .select(
+          (col("doc_id") + 1000000).as("doc_id"),
+          upper(concat(lit("  "), regexp_replace(col("text"), " ", "  "), lit(" ")))
+            .as("text")
+        )
+      Dedup
+        .exact(docs.unionByName(jitter), col("text"), col("doc_id"))
+        .orderBy(col("fp"))
+    }),
+
     // Token-distribution entropy gate: ln(n) - (sum tf*ln tf)/n keeps
     // every per-element double derived from exact integers; 6dp rounding
     // absorbs the engines' summation-order ulps.
@@ -929,7 +951,7 @@ object ExtensionQueries {
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" ->
-      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+      """SELECT md5(lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')))) AS fp,
         |  MIN(doc_id) AS keep_id, COUNT(1) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "x2_token_count" ->
@@ -973,7 +995,7 @@ object ExtensionQueries {
         |       ELSE 'zh' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
     "x5_fingerprint" ->
-      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x6_ngram_jaccard" ->
       """WITH docs AS (
@@ -1109,7 +1131,7 @@ object ExtensionQueries {
         |  FROM q
         |  WHERE quality >= 0.3 AND n_tokens >= 20),
         |d AS (
-        |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |  SELECT md5(lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')))) AS fp,
         |    MIN(doc_id) AS keep_id, MIN(lang_pred) AS lang_pred
         |  FROM lp GROUP BY 1)
         |SELECT lang_pred, COUNT(1) AS n_docs, MIN(keep_id) AS first_doc
@@ -1457,9 +1479,9 @@ object ExtensionQueries {
         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 2 = 0
         |  UNION ALL
         |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 2 = 1 AND doc_id % 5 = 1),
-        |nf AS (SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp, doc_id
+        |nf AS (SELECT md5(lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')))) AS fp, doc_id
         |       FROM inc),
-        |rf AS (SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |rf AS (SELECT DISTINCT md5(lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')))) AS fp
         |       FROM ref)
         |SELECT nf.fp, MIN(nf.doc_id) AS keep_id, COUNT(1) AS n_copies
         |FROM nf LEFT JOIN rf ON nf.fp = rf.fp
@@ -1473,9 +1495,9 @@ object ExtensionQueries {
         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
         |  UNION ALL
         |  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 3 = 0 AND doc_id % 2 = 0),
-        |nf AS (SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp, doc_id
+        |nf AS (SELECT md5(lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')))) AS fp, doc_id
         |       FROM inc),
-        |rf AS (SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |rf AS (SELECT DISTINCT md5(lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')))) AS fp
         |       FROM ref)
         |SELECT nf.fp, MIN(nf.doc_id) AS keep_id, COUNT(1) AS n_copies
         |FROM nf LEFT JOIN rf ON nf.fp = rf.fp
@@ -1602,6 +1624,18 @@ object ExtensionQueries {
         |  ROUND(AVG(lp), 6) AS avg_logprob,
         |  ROUND(AVG(lp), 6) >= -4.0 AS kept
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // normalized dedup: identical jitter planting; the oracle normalizes
+    // with the same explicit [ \t\n\r]+ class the native kernel implements
+    "x46_normalized_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, UPPER('  ' || REPLACE(text, ' ', '  ') || ' ')
+        |  FROM documents WHERE doc_id % 4 = 0)
+        |SELECT md5(lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')))) AS fp,
+        |  MIN(doc_id) AS keep_id, COUNT(1) AS n_copies
+        |FROM corpus GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // entropy: same ln(n) - sum(tf*ln tf)/n form, exact-integer inputs
     "x40_token_entropy" ->

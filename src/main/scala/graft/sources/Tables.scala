@@ -6,11 +6,13 @@ import org.apache.spark.sql.types.LongType
 
 /** Parquet table loader for the driver testdata.
   *
-  * The `events` table carries TIMESTAMP(NANOS) parquet timestamps, which
-  * Spark does not support natively (SPARK-40819); sessions must set
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[sessionConfigs]]) and
-  * this loader converts the resulting nano-Long back to a microsecond
-  * TimestampType column so every downstream operator sees a real timestamp.
+  * The `events` table has carried two timestamp encodings across testdata
+  * generations: TIMESTAMP(NANOS) (unsupported natively, SPARK-40819 —
+  * `spark.sql.legacy.parquet.nanosAsLong=true` + the Long rebuild below)
+  * and TIMESTAMP(MICROS, isAdjustedToUTC=false) (would infer as
+  * TIMESTAMP_NTZ — `spark.sql.parquet.inferTimestampNTZ.enabled=false`
+  * reads it as TimestampType under the UTC session zone). Sessions must
+  * apply [[sessionConfigs]]; both paths yield identical µs TimestampType.
   */
 object Tables {
 
@@ -19,6 +21,11 @@ object Tables {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
     "spark.sql.session.timeZone" -> "UTC",
+    // The testdata's `events.ts` is TIMESTAMP(isAdjustedToUTC=false):
+    // Spark 4 would infer TIMESTAMP_NTZ, which unix_millis/window reject.
+    // Reading it as TimestampType under the UTC session zone gives the
+    // same wall-clock instants DuckDB's naive read sees.
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
     // Sorter/aggregation page size. The default is min(64 MB, heap-derived):
     // on a multi-GB local[32] driver every sort task allocates (and zeroes)
     // a 64 MB heap page — G1 treats those as humongous allocations, and 32

@@ -335,4 +335,57 @@ class ClusterCurationSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("cutoff"))
   }
+
+  test("normalizeText: native kernel bit-equal to the declarative twin; edge shapes") {
+    import spark.implicits._
+    val samples = Seq(
+      "Hello  World",
+      "  leading and trailing   ",
+      "\t tabs\tand\nnewlines\r\nmixed \r",
+      "single",
+      "",
+      "   \t\n\r  ", // whitespace-only -> empty
+      "Ünïcödé ÉßÀ  Grüße", // multi-byte UTF-8 must survive the byte walk
+      "ALL CAPS SENTENCE WITH   RUNS",
+      "a", // 1-byte doc
+      "naïve \t caféé" // combining content next to whitespace
+    )
+    val df = (samples.map(Option(_)) :+ Option.empty[String]).toDF("text")
+    val got = df
+      .select(
+        TextOps.normalizeText(col("text")).as("native"),
+        TextOps.normalizeTextDeclarative(col("text")).as("twin")
+      )
+      .collect()
+    got.foreach { r =>
+      assert(r.getString(0) == r.getString(1), s"native=${r.getString(0)} twin=${r.getString(1)}")
+    }
+    // null in -> null out on both paths
+    assert(got.last.isNullAt(0) && got.last.isNullAt(1))
+    // and the digest key built on it agrees with its declarative spec
+    val fps = df
+      .filter(col("text").isNotNull)
+      .select(
+        TextOps.fingerprintMd5(col("text")).as("native"),
+        TextOps.fingerprintMd5Declarative(col("text")).as("twin")
+      )
+      .collect()
+    fps.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("normalizeText: jittered re-crawls collapse onto the source digest") {
+    import spark.implicits._
+    val base = Seq((1L, "the quick brown fox"), (2L, "pack my box with five dozen jugs"))
+      .toDF("doc_id", "text")
+    val jitter = base.select(
+      (col("doc_id") + 100).as("doc_id"),
+      upper(concat(lit("  "), regexp_replace(col("text"), " ", "  "), lit(" "))).as("text")
+    )
+    val out = graft.operators.Dedup
+      .exact(base.unionByName(jitter), col("text"), col("doc_id"))
+      .collect()
+    assert(out.length == 2, "jitter copies must not mint new digests")
+    assert(out.forall(_.getLong(2) == 2L), "each digest holds source + jitter twin")
+    assert(out.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L), "smallest id survives")
+  }
 }
