@@ -87,7 +87,9 @@ object GraftExtensions {
     // canonical dedup-key normalization (lowercase, collapse whitespace
     // runs, trim) in one native byte walk — md5(graft_normalize_text(t))
     // is the corpus digest key
-    "graft_normalize_text" -> (es => graft.functions.text.NormalizeText(es(0)))
+    "graft_normalize_text" -> (es => graft.functions.text.NormalizeText(es(0))),
+    // content-defined chunking: SELECT doc_id, explode(graft_cdc_chunks(text, 8))
+    "graft_cdc_chunks" -> (es => graft.functions.text.CdcChunks(es(0), off(es(1))))
   )
 
   private def str(e: Expression): String = e match {

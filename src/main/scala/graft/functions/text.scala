@@ -571,4 +571,100 @@ object text {
 
   def normalize_text(textCol: Column): Column =
     Bridge.column(NormalizeText(Bridge.expression(textCol)))
+
+  /** Content-defined chunking over space-separated tokens (the
+    * FastCDC/LBFS idea at token granularity): a chunk boundary falls
+    * after token `e` whenever the fingerprint of the `w`-token window
+    * ending at `e` lands in a 1-in-16 bucket — so boundaries are decided
+    * by LOCAL content, never by absolute position. Prepending or editing
+    * text upstream of a boundary cannot move any boundary more than one
+    * window away, which makes chunk fingerprints stable under the
+    * insert/delete drift that defeats fixed-size chunking (dedup at
+    * chunk granularity then catches shifted boilerplate that whole-doc
+    * digests and fixed windows both miss).
+    *
+    * Returns array&lt;struct&lt;start:int, n_tokens:int, fp:string&gt;&gt;
+    * (token offsets; fp = md5 hex of the space-rejoined chunk). Docs with
+    * fewer than `w` tokens are one chunk. The window fingerprint is the
+    * md5 high nibble == 0 — md5 (not a cheaper gear hash) so the DuckDB
+    * oracle can replay boundaries exactly: `SUBSTR(md5(win), 1, 1) = '0'`.
+    * Production corpora would swap in a rolling gear hash; the chunk
+    * STRUCTURE and the zero-shuffle plan shape are what this operator
+    * pins down. Expected chunk length is 16 tokens (geometric); no
+    * min/max clamp, so the boundary set stays position-independent (a
+    * clamp makes each boundary depend on the previous one — stateful,
+    * not oracle-expressible as a window).
+    *
+    * One pass per row inside WholeStageCodegen; O(n·w) digest bytes like
+    * [[WindowMd5s]]. A boundary after the LAST token is ignored (no empty
+    * tail chunks).
+    */
+  case class CdcChunks(child: Expression, w: Int)
+      extends UnaryExpression
+      with ImplicitCastInputTypes {
+    require(w >= 2, s"window width must be >= 2 tokens, got $w")
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("start", IntegerType, nullable = false),
+        StructField("n_tokens", IntegerType, nullable = false),
+        StructField("fp", StringType, nullable = false)
+      )),
+      containsNull = false
+    )
+    override def nullIntolerant: Boolean = true
+
+    private val space = UTF8String.fromString(" ")
+    private val hexDigits = "0123456789abcdef".getBytes
+
+    private def md5Hex(md: java.security.MessageDigest, b: Array[Byte]): UTF8String = {
+      val d = md.digest(b)
+      val out = new Array[Byte](32)
+      var i = 0
+      while (i < 16) {
+        out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+        out(2 * i + 1) = hexDigits(d(i) & 0xf)
+        i += 1
+      }
+      UTF8String.fromBytes(out)
+    }
+
+    /** Invoked from both eval and generated code. */
+    def compute(s: UTF8String): GenericArrayData = {
+      val toks = s.split(space, -1)
+      val n = toks.length
+      val md = java.security.MessageDigest.getInstance("MD5")
+      // boundary after token e (0-based) for e in [w-1, n-2]
+      val breaks = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var e = w - 1
+      while (e < n - 1) {
+        val win = UTF8String.concatWs(space, toks.slice(e - w + 1, e + 1).toSeq: _*)
+        if ((md.digest(win.getBytes)(0) & 0xf0) == 0) breaks += e
+        e += 1
+      }
+      val out = new Array[Any](breaks.length + 1)
+      var start = 0
+      var c = 0
+      while (c <= breaks.length) {
+        val end = if (c < breaks.length) breaks(c) else n - 1 // inclusive
+        val chunk = UTF8String.concatWs(space, toks.slice(start, end + 1).toSeq: _*)
+        out(c) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](start, end - start + 1, md5Hex(md, chunk.getBytes))
+        )
+        start = end + 1
+        c += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cdcChunks", this, classOf[CdcChunks].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+    }
+    override protected def withNewChildInternal(c: Expression): CdcChunks = copy(child = c)
+  }
+
+  def cdc_chunks(textCol: Column, w: Int): Column =
+    Bridge.column(CdcChunks(Bridge.expression(textCol), w))
 }

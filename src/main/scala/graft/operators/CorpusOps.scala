@@ -565,6 +565,33 @@ object CorpusOps {
       )
   }
 
+  /** Content-defined chunking ([[graft.functions.text.CdcChunks]]): one
+    * row per chunk with `doc_id`, `chunk_idx`, `start` (token offset),
+    * `n_tokens`, `fp` (md5 of the space-rejoined chunk). Boundaries are
+    * decided by local window content (1-in-16 md5-nibble rule, expected
+    * 16-token chunks), so chunk fingerprints survive upstream
+    * insertions/edits that shift token positions — grouping on `fp` then
+    * dedups SHIFTED boilerplate that whole-doc digests (position-free but
+    * all-or-nothing) and fixed windows (position-locked) both miss; the
+    * complementary span story to [[dedupSpans]], at chunk rather than
+    * 8-token granularity.
+    *
+    * Pure projection + explode: zero shuffle at any corpus size; a
+    * downstream `groupBy(fp)` moves 16-byte keys only.
+    */
+  def cdcChunks(df: DataFrame, idCol: Column, text: Column, window: Int = 8): DataFrame =
+    df.select(
+        idCol.as("doc_id"),
+        posexplode(graft.functions.text.cdc_chunks(text, window)).as(Seq("chunk_idx", "__cdc"))
+      )
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        col("__cdc.start").as("start"),
+        col("__cdc.n_tokens").as("n_tokens"),
+        col("__cdc.fp").as("fp")
+      )
+
   /** Deterministic EXACT-k sample per group — the fixed-size eval/holdout
     * draw completing the sampling family ([[hashUniform]]/[[sampleByRate]]
     * are rate-based): rank group members by `md5(id)` (then id, for

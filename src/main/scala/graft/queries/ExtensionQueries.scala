@@ -832,6 +832,14 @@ object ExtensionQueries {
         .orderBy(col("fp"))
     }),
 
+    // Content-defined chunking: boundaries from local window content
+    // (md5-nibble 1-in-16 rule), so chunk fps survive upstream token
+    // shifts — the chunk-granular dedup key. Zero-shuffle projection.
+    "x47_cdc_chunks" -> ((s, dir) =>
+      CorpusOps
+        .cdcChunks(T(s, dir, "documents"), col("doc_id"), col("text"), window = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // Token-distribution entropy gate: ln(n) - (sum tf*ln tf)/n keeps
     // every per-element double derived from exact integers; 6dp rounding
     // absorbs the engines' summation-order ulps.
@@ -1636,6 +1644,27 @@ object ExtensionQueries {
         |SELECT md5(lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')))) AS fp,
         |  MIN(doc_id) AS keep_id, COUNT(1) AS n_copies
         |FROM corpus GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // cdc chunks: boundary after 1-based token e (e in [w, len-1]) when
+    // the window md5's first hex char is '0'; chunk_idx = running count
+    // of breaks at or before each token; fp = md5 of the rejoined chunk
+    "x47_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS sp FROM documents),
+        |b AS (SELECT doc_id, u.i AS e
+        |      FROM t, UNNEST(RANGE(8, LEN(sp))) AS u(i)
+        |      WHERE SUBSTR(md5(ARRAY_TO_STRING(sp[u.i - 7 : u.i], ' ')), 1, 1) = '0'),
+        |tok AS (SELECT doc_id, u.i AS j, sp[u.i] AS tk
+        |        FROM t, UNNEST(RANGE(1, LEN(sp) + 1)) AS u(i)),
+        |f AS (SELECT tok.doc_id, tok.j, tok.tk,
+        |        CASE WHEN b.e IS NULL THEN 0 ELSE 1 END AS brk
+        |      FROM tok LEFT JOIN b ON b.doc_id = tok.doc_id AND b.e = tok.j - 1),
+        |c AS (SELECT doc_id, j, tk,
+        |        SUM(brk) OVER (PARTITION BY doc_id ORDER BY j) AS chunk_idx
+        |      FROM f)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(MIN(j) - 1 AS INT) AS start, CAST(COUNT(1) AS INT) AS n_tokens,
+        |  md5(STRING_AGG(tk, ' ' ORDER BY j)) AS fp
+        |FROM c GROUP BY doc_id, chunk_idx ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // entropy: same ln(n) - sum(tf*ln tf)/n form, exact-integer inputs
     "x40_token_entropy" ->

@@ -469,4 +469,73 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got("y") == ((1L, 1, "5")))
     assert(got("z") == ((1L, 1, "2")))
   }
+
+  /** Plain-JVM reference implementation of the CDC boundary rule — the
+    * oracle for the native kernel (the DuckDB SQL twin replays the same
+    * rule engine-portably).
+    */
+  private def cdcRef(text: String, w: Int): Seq[(Int, Int, String)] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = text.split(" ", -1)
+    val n = toks.length
+    val breaks = (w - 1 until n - 1).filter(e => md5hex(toks.slice(e - w + 1, e + 1).mkString(" ")).head == '0')
+    val bounds = (-1 +: breaks) :+ (n - 1)
+    bounds.sliding(2).zipWithIndex.map { case (Seq(a, b), _) =>
+      (a + 1, b - a, md5hex(toks.slice(a + 1, b + 1).mkString(" ")))
+    }.toSeq
+  }
+
+  test("cdcChunks: matches the reference rule on real docs; chunks tile the doc") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").limit(60).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val got = CorpusOps
+      .cdcChunks(docs.toSeq.toDF("doc_id", "text"), col("doc_id"), col("text"), window = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      .groupBy(_._1)
+    docs.foreach { case (id, text) =>
+      val exp = cdcRef(text, 8)
+      val g = got(id).sortBy(_._2).map(t => (t._3, t._4, t._5)).toSeq
+      assert(g == exp, s"doc $id")
+      // chunks tile [0, n) with no gaps or overlaps
+      val n = text.split(" ", -1).length
+      assert(g.map(_._2).sum == n && g.head._1 == 0)
+      g.sliding(2).foreach {
+        case Seq((s1, l1, _), (s2, _, _)) => assert(s1 + l1 == s2)
+        case _ =>
+      }
+    }
+  }
+
+  test("cdcChunks: boundaries survive upstream insertion (the CDC property)") {
+    import spark.implicits._
+    val base = graft.sources.Tables.load(spark, sfDir, "documents")
+      .filter(col("n_chars") > 300).select("text").head().getString(0)
+    val shifted = "freshly inserted prefix tokens " + base
+    val out = CorpusOps
+      .cdcChunks(Seq((1L, base), (2L, shifted)).toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(4)))
+    val baseFps = out.filter(_._1 == 1L).map(_._2)
+    val shiftedFps = out.filter(_._1 == 2L).map(_._2).toSet
+    assert(baseFps.length > 2, "test doc long enough to chunk")
+    // every chunk after the first boundary is content-identical in the
+    // shifted doc: only the first chunk may differ
+    baseFps.drop(1).foreach(fp => assert(shiftedFps.contains(fp), "shifted doc must keep tail chunks"))
+    // a fixed-size chunker would share NO interior chunk after a 5-token
+    // shift; CDC shares all but the head
+  }
+
+  test("cdcChunks: short and empty docs are one whole-doc chunk") {
+    import spark.implicits._
+    val out = CorpusOps
+      .cdcChunks(Seq((1L, "only three tokens"), (2L, "")).toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(out.toSet == Set((1L, 0, 0, 3), (2L, 0, 0, 1)))
+  }
 }
