@@ -592,6 +592,80 @@ object CorpusOps {
         col("__cdc.fp").as("fp")
       )
 
+  /** Pairwise vocabulary overlap between corpus splits — the
+    * cross-corpus audit run before mixing sources (how much two crawls,
+    * two snapshots, or two languages share a token space decides dedup
+    * and contamination policy between them). Returns one row per ordered
+    * group pair: exact vocab sizes, exact intersection, exact Jaccard
+    * (rounded 6dp), and `est_ok` — whether the MinHash-sketch estimate
+    * agrees with the exact value within `tol`.
+    *
+    * Scale shape: the SKETCH is the 100 TB path — per group, `numHashes`
+    * component-wise `min` aggregates over per-token hashes (the same
+    * xxhash chain as [[graft.functions.text.MinHashSig]], k=1-element
+    * arrays), so each group reduces to `numHashes` longs in ONE partial
+    * agg pass and pairs compare in O(k) regardless of corpus size; the
+    * estimate is |matching mins|/k. The exact intersection join is the
+    * verification twin (and the oracle surface) — bounded here because
+    * groups are few; at petabyte vocabularies you drop it and ship the
+    * sketch row. Group-pair enumeration is a self-join of the per-group
+    * AGGREGATE (|groups| rows, broadcast nested-loop) — never of the
+    * vocab itself.
+    */
+  def vocabOverlap(
+      df: DataFrame,
+      group: Column,
+      text: Column,
+      numHashes: Int = 64,
+      tol: Double = 0.15
+  ): DataFrame = {
+    require(numHashes >= 16, s"need >= 16 hashes for a usable estimate, got $numHashes")
+    val vocab = df
+      .select(group.as("g"), explode(split(text, " ")).as("tok"))
+      .distinct()
+    val sig = graft.functions.text.minhash_sig(array(col("tok")), numHashes)
+    val sigMins = (1 to numHashes).map(i => min(element_at(sig, i)).as(s"__h$i"))
+    val stats = vocab.groupBy(col("g")).agg(count(lit(1)).as("n"), sigMins: _*)
+    val a = stats.toDF(stats.columns.map(_ + "_a").toIndexedSeq: _*)
+    val b = stats.toDF(stats.columns.map(_ + "_b").toIndexedSeq: _*)
+    val matches = (1 to numHashes)
+      .map(i => when(col(s"__h${i}_a") === col(s"__h${i}_b"), 1).otherwise(0))
+      .reduce(_ + _)
+    val pairs = a
+      .join(b, col("g_a") < col("g_b"))
+      .select(
+        col("g_a"),
+        col("g_b"),
+        col("n_a"),
+        col("n_b"),
+        (matches.cast("double") / numHashes).as("__est")
+      )
+    val common = vocab
+      .toDF("g_a", "tok")
+      .join(vocab.toDF("g_b", "tok"), "tok")
+      .filter(col("g_a") < col("g_b"))
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).as("__common"))
+    pairs
+      .join(common, Seq("g_a", "g_b"), "left")
+      .select(
+        col("g_a").as("group_a"),
+        col("g_b").as("group_b"),
+        col("n_a"),
+        col("n_b"),
+        coalesce(col("__common"), lit(0L)).as("n_common"),
+        round(
+          coalesce(col("__common"), lit(0L)).cast("double") /
+            (col("n_a") + col("n_b") - coalesce(col("__common"), lit(0L))),
+          6
+        ).as("jaccard"),
+        (abs(
+          col("__est") - coalesce(col("__common"), lit(0L)).cast("double") /
+            (col("n_a") + col("n_b") - coalesce(col("__common"), lit(0L)))
+        ) <= tol).as("est_ok")
+      )
+  }
+
   /** Deterministic EXACT-k sample per group — the fixed-size eval/holdout
     * draw completing the sampling family ([[hashUniform]]/[[sampleByRate]]
     * are rate-based): rank group members by `md5(id)` (then id, for

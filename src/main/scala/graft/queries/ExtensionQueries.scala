@@ -840,6 +840,15 @@ object ExtensionQueries {
         .cdcChunks(T(s, dir, "documents"), col("doc_id"), col("text"), window = 8)
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // Cross-corpus vocabulary overlap per language pair: exact sizes /
+    // intersection / Jaccard (the oracle surface) + est_ok gating the
+    // MinHash-sketch estimate — the sketch is the 100 TB path (each group
+    // reduces to 64 longs before any pair is compared).
+    "x48_corpus_overlap" -> ((s, dir) =>
+      CorpusOps
+        .vocabOverlap(T(s, dir, "documents"), col("lang"), col("text"))
+        .orderBy(col("group_a"), col("group_b"))),
+
     // Token-distribution entropy gate: ln(n) - (sum tf*ln tf)/n keeps
     // every per-element double derived from exact integers; 6dp rounding
     // absorbs the engines' summation-order ulps.
@@ -1665,6 +1674,24 @@ object ExtensionQueries {
         |  CAST(MIN(j) - 1 AS INT) AS start, CAST(COUNT(1) AS INT) AS n_tokens,
         |  md5(STRING_AGG(tk, ' ' ORDER BY j)) AS fp
         |FROM c GROUP BY doc_id, chunk_idx ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // corpus overlap: exact vocab sets per lang; est_ok is the Spark-side
+    // sketch-vs-exact gate (TRUE here; a drifting estimate hash-fails)
+    "x48_corpus_overlap" ->
+      """WITH v AS (SELECT DISTINCT lang AS g, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+        |           FROM documents),
+        |n AS (SELECT g, COUNT(1) AS n FROM v GROUP BY 1),
+        |c AS (SELECT a.g AS ga, b.g AS gb, COUNT(1) AS n_common
+        |      FROM v a JOIN v b ON a.tok = b.tok AND a.g < b.g GROUP BY 1, 2),
+        |p AS (SELECT na.g AS ga, nb.g AS gb, na.n AS n_a, nb.n AS n_b
+        |      FROM n na JOIN n nb ON na.g < nb.g)
+        |SELECT p.ga AS group_a, p.gb AS group_b, n_a, n_b,
+        |  COALESCE(c.n_common, 0) AS n_common,
+        |  ROUND(CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+        |    / (n_a + n_b - COALESCE(c.n_common, 0)), 6) AS jaccard,
+        |  TRUE AS est_ok
+        |FROM p LEFT JOIN c ON c.ga = p.ga AND c.gb = p.gb
+        |ORDER BY group_a, group_b""".stripMargin,
 
     // entropy: same ln(n) - sum(tf*ln tf)/n form, exact-integer inputs
     "x40_token_entropy" ->

@@ -530,6 +530,27 @@ class CorpusOpsSpec extends SparkTestBase {
     // shift; CDC shares all but the head
   }
 
+  test("vocabOverlap: exact counts vs hand sets; sketch pins J=1 and J=0 exactly") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "w x y z"), ("a", "x y"),          // vocab(a) = {w,x,y,z}
+      ("b", "x y q"),                          // vocab(b) = {x,y,q} -> common {x,y}, union 5
+      ("c", "w x y z"),                        // identical to a -> J=1, est MUST be 1
+      ("d", "p1 p2 p3")                        // disjoint -> J=0, est MUST be 0
+    ).toDF("g", "text")
+    val got = CorpusOps.vocabOverlap(df, col("g"), col("text"), numHashes = 32, tol = 0.3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6)))
+      .toMap
+    assert(got.size == 6, "4 groups -> 6 ordered pairs, zero-overlap pairs included")
+    assert(got(("a", "b")) == ((4L, 3L, 2L, 0.4, true)))
+    assert(got(("a", "c"))._4 == 1.0 && got(("a", "c"))._5, "identical vocabs: est exactly 1")
+    assert(got(("a", "d"))._3 == 0L && got(("a", "d"))._4 == 0.0 && got(("a", "d"))._5,
+      "disjoint vocabs: est exactly 0 (64-bit mins cannot collide here)")
+    assert(got(("b", "c")) == ((3L, 4L, 2L, 0.4, true)))
+  }
+
   test("cdcChunks: short and empty docs are one whole-doc chunk") {
     import spark.implicits._
     val out = CorpusOps
