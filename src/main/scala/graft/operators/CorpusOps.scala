@@ -666,6 +666,63 @@ object CorpusOps {
       )
   }
 
+  /** Corpus-wide heavy hitters (top-`k` terms), with the estimate-side
+    * guarantee surfaced: `(rank, term, cnt, est_ok)` where `cnt` is the
+    * exact count and `est_ok` asserts the count-min-sketch estimate of
+    * that term obeys the CMS bound `cnt ≤ est ≤ cnt + ⌈eps·N⌉` (N =
+    * total tokens). Completes the sketch family (HLL distinct → q23,
+    * Bloom membership → x35, KLL quantiles → x29, MinHash/SimHash
+    * similarity → x7/x8) with the FREQUENCY sketch.
+    *
+    * Scale shape: the exact path is already 100 TB-safe — map-side
+    * partial counts collapse each partition's term multiset before the
+    * one (term)-keyed exchange, and top-k is `TakeOrderedAndProject`
+    * (never a global sort). The sketch's real large-scale role is the
+    * INCREMENTAL twin: `count_min_sketch` is a mergeable agg (partials
+    * union by counter addition, exactly like the Bloom store in
+    * [[graft.streaming.StreamDedup]]), so a ~1 MB sketch per day/shard
+    * answers "how often has this term appeared so far" across epochs
+    * without ever re-shuffling history. `eps`/`confidence` size the
+    * sketch (width ⌈2/eps⌉ × depth ⌈ln(1/(1−conf))⌉ long counters).
+    *
+    * The sketch row and the k winners are driver-materialized (both
+    * bounded: one binary + k rows — the ivfTrain centroid pattern), so
+    * the returned frame is small and eager.
+    */
+  def heavyHitters(
+      df: DataFrame,
+      text: Column,
+      k: Int,
+      eps: Double = 1e-4,
+      confidence: Double = 0.99,
+      seed: Int = 42
+  ): DataFrame = {
+    require(k > 0 && eps > 0 && eps < 1 && confidence > 0 && confidence < 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(explode(split(text, " ")).as("term"))
+    val topk = toks
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(k)
+      .collect()
+    val skRow = toks
+      .agg(
+        expr(s"count_min_sketch(term, CAST($eps AS DOUBLE), CAST($confidence AS DOUBLE), $seed)")
+          .as("sk"),
+        count(lit(1)).as("n")
+      )
+      .head()
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(skRow.getAs[Array[Byte]](0))
+    val bound = math.ceil(eps * skRow.getLong(1)).toLong
+    topk.zipWithIndex.map { case (r, i) =>
+      val (term, cnt) = (r.getString(0), r.getLong(1))
+      val est = sketch.estimateCount(term)
+      (i + 1, term, cnt, est >= cnt && est <= cnt + bound)
+    }.toSeq.toDF("rank", "term", "cnt", "est_ok")
+  }
+
   /** Deterministic EXACT-k sample per group — the fixed-size eval/holdout
     * draw completing the sampling family ([[hashUniform]]/[[sampleByRate]]
     * are rate-based): rank group members by `md5(id)` (then id, for

@@ -849,6 +849,14 @@ object ExtensionQueries {
         .vocabOverlap(T(s, dir, "documents"), col("lang"), col("text"))
         .orderBy(col("group_a"), col("group_b"))),
 
+    // Heavy hitters: exact top-20 terms (TakeOrdered over partial-agg
+    // counts) + est_ok asserting the count-min-sketch estimate stays
+    // inside its cnt <= est <= cnt + ceil(eps*N) guarantee.
+    "x49_heavy_hitters" -> ((s, dir) =>
+      CorpusOps
+        .heavyHitters(T(s, dir, "documents"), col("text"), k = 20)
+        .orderBy(col("rank"))),
+
     // Token-distribution entropy gate: ln(n) - (sum tf*ln tf)/n keeps
     // every per-element double derived from exact integers; 6dp rounding
     // absorbs the engines' summation-order ulps.
@@ -1692,6 +1700,15 @@ object ExtensionQueries {
         |  TRUE AS est_ok
         |FROM p LEFT JOIN c ON c.ga = p.ga AND c.gb = p.gb
         |ORDER BY group_a, group_b""".stripMargin,
+
+    // heavy hitters: exact top-20 replay; est_ok is the Spark-side CMS
+    // guarantee gate (TRUE here; a bound violation hash-fails)
+    "x49_heavy_hitters" ->
+      """WITH t AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
+        |c AS (SELECT term, COUNT(1) AS cnt FROM t GROUP BY 1),
+        |r AS (SELECT term, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rank FROM c)
+        |SELECT CAST(rank AS INT) AS rank, term, cnt, TRUE AS est_ok
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     // entropy: same ln(n) - sum(tf*ln tf)/n form, exact-integer inputs
     "x40_token_entropy" ->

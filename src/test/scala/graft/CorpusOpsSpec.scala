@@ -551,6 +551,21 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got(("b", "c")) == ((3L, 4L, 2L, 0.4, true)))
   }
 
+  test("heavyHitters: exact counts and ranks; CMS estimate inside its bound") {
+    import spark.implicits._
+    val df = Seq.tabulate(200)(i => s"alpha beta ${if (i % 2 == 0) "gamma" else "delta"} tok$i")
+      .toDF("text")
+    val got = CorpusOps.heavyHitters(df, col("text"), k = 4, eps = 0.001)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      (1, "alpha", 200L, true),
+      (2, "beta", 200L, true),
+      (3, "delta", 100L, true), // tie at 100: term-asc tiebreak
+      (4, "gamma", 100L, true)
+    ))
+  }
+
   test("cdcChunks: short and empty docs are one whole-doc chunk") {
     import spark.implicits._
     val out = CorpusOps
