@@ -162,6 +162,51 @@ object ConnectedComponents {
     (result, rounds)
   }
 
+  /** [[assignClusters]] with a QUALITY-aware representative: the kept doc
+    * per cluster is the highest-`quality` member (smallest id on ties —
+    * fully deterministic). This is the policy real curation pipelines
+    * want: min-id keeps an arbitrary crawl, keep-best keeps the longest /
+    * cleanest / highest-scoring copy (pass any per-doc score column:
+    * length, tokenEntropy, a classifier margin).
+    *
+    * Returns (doc_id, component, n_members, quality, keep). Scale shape:
+    * the winner is a `min_by` AGGREGATE over struct(-quality, doc_id) —
+    * map-side partial, one (component)-keyed exchange, no window sort;
+    * the result join is component-keyed like [[assignClusters]]'s size
+    * join, so no new shuffle key appears.
+    */
+  def assignClustersKeepBest(
+      df: DataFrame,
+      idCol: Column,
+      quality: Column,
+      pairs: DataFrame
+  ): DataFrame = {
+    val cc = run(pairs)
+    val assigned = df
+      .select(idCol.cast("long").as("doc_id"), quality.cast("double").as("quality"))
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("quality"),
+        coalesce(col("component"), col("doc_id")).as("component")
+      )
+    val winners = assigned
+      .groupBy(col("component"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        min_by(col("doc_id"), struct((-col("quality")).as("nq"), col("doc_id"))).as("__keep_id")
+      )
+    assigned
+      .join(winners, Seq("component"))
+      .select(
+        col("doc_id"),
+        col("component"),
+        col("n_members"),
+        col("quality"),
+        (col("doc_id") === col("__keep_id")).as("keep")
+      )
+  }
+
   /** Cluster assignment for a document table: every row of `df` gets its
     * component id (its own id when it is in no pair — a singleton), the
     * component's member count, and `is_rep` marking the kept

@@ -487,6 +487,28 @@ object Dedup {
       minhashPairs(df, text, idCol, n, numHashes, bands, threshold)
     )
 
+  /** [[fuzzyDedup]] with the keep-best representative policy
+    * ([[ConnectedComponents.assignClustersKeepBest]]): per cluster the
+    * highest-`quality` member survives instead of the smallest id.
+    * Returns (doc_id, component, n_members, quality, keep).
+    */
+  def fuzzyDedupKeepBest(
+      df: DataFrame,
+      text: Column,
+      idCol: Column,
+      quality: Column,
+      n: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.8
+  ): DataFrame =
+    ConnectedComponents.assignClustersKeepBest(
+      df,
+      idCol,
+      quality,
+      minhashPairs(df, text, idCol, n, numHashes, bands, threshold)
+    )
+
   def ngramJaccardPairs(
       df: DataFrame,
       text: Column,

@@ -857,6 +857,41 @@ object ExtensionQueries {
         .heavyHitters(T(s, dir, "documents"), col("text"), k = 20)
         .orderBy(col("rank"))),
 
+    // Keep-best cluster dedup: x26's planted near-dup corpus, but the
+    // representative is the highest-quality member (char length here;
+    // any per-doc score works) instead of the smallest id — the policy
+    // real curation pipelines run. Winner via min_by aggregate (no
+    // window sort); ties broken by id.
+    "x50_dedup_keep_best" -> ((s, dir) => {
+      val base = T(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 2000)
+      val cliq = base.filter(col("doc_id") % 50 === 0)
+      val copies = cliq
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+        .unionByName(cliq.select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
+      val bridges = base
+        .filter(col("doc_id") % 100 === 0)
+        .alias("a")
+        .join(base.alias("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(
+          (col("a.doc_id") + 3000000L).as("doc_id"),
+          concat_ws(
+            " ",
+            concat(
+              slice(split(col("a.text"), " "), 21, 20),
+              slice(split(col("b.text"), " "), 1, 20)
+            )
+          ).as("text")
+        )
+      val corpus = base.unionByName(copies).unionByName(bridges)
+      val pairs =
+        Dedup.ngramJaccardPairs(corpus, col("text"), col("doc_id"), n = 3, threshold = 0.25)
+      ConnectedComponents
+        .assignClustersKeepBest(corpus, col("doc_id"), length(col("text")), pairs)
+        .orderBy(col("doc_id"))
+    }),
+
     // Token-distribution entropy gate: ln(n) - (sum tf*ln tf)/n keeps
     // every per-element double derived from exact integers; 6dp rounding
     // absorbs the engines' summation-order ulps.
@@ -1700,6 +1735,49 @@ object ExtensionQueries {
         |  TRUE AS est_ok
         |FROM p LEFT JOIN c ON c.ga = p.ga AND c.gb = p.gb
         |ORDER BY group_a, group_b""".stripMargin,
+
+    // keep-best: x26's exact CTE chain, winner by (quality desc, id)
+    "x50_dedup_keep_best" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+        |cliq AS (
+        |  SELECT doc_id + 2000000 AS doc_id, text FROM base WHERE doc_id % 50 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 4000000 AS doc_id, text FROM base WHERE doc_id % 50 = 0),
+        |br AS (
+        |  SELECT a.doc_id + 3000000 AS doc_id,
+        |    ARRAY_TO_STRING(LIST_CONCAT(STRING_SPLIT(a.text, ' ')[21:40],
+        |      STRING_SPLIT(b.text, ' ')[1:20]), ' ') AS text
+        |  FROM base a JOIN base b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 100 = 0),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM cliq UNION ALL SELECT * FROM br),
+        |docs AS (SELECT doc_id, LIST_DISTINCT(
+        |    CASE WHEN LEN(STRING_SPLIT(text, ' ')) < 3 THEN [text]
+        |         ELSE LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+        |           i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' '))
+        |    END) AS sh FROM corpus),
+        |inv AS (SELECT doc_id, LEN(sh) AS nsh, UNNEST(sh) AS s FROM docs),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+        |  HAVING CAST(COUNT(1) AS DOUBLE) / CAST(a.nsh + b.nsh - COUNT(1) AS DOUBLE) >= 0.25),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
+        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+        |assigned AS (
+        |  SELECT c.doc_id, COALESCE(p.component, c.doc_id) AS component
+        |  FROM corpus c LEFT JOIN comp p ON c.doc_id = p.id),
+        |sizes AS (SELECT component, COUNT(1) AS n_members FROM assigned GROUP BY 1),
+        |q AS (SELECT a.doc_id, a.component, CAST(LENGTH(c.text) AS DOUBLE) AS quality
+        |      FROM assigned a JOIN corpus c ON a.doc_id = c.doc_id),
+        |w AS (SELECT doc_id, component, quality,
+        |        ROW_NUMBER() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) AS rn
+        |      FROM q)
+        |SELECT w.doc_id, w.component, s.n_members, w.quality, w.rn = 1 AS keep
+        |FROM w JOIN sizes s ON w.component = s.component ORDER BY w.doc_id""".stripMargin,
 
     // heavy hitters: exact top-20 replay; est_ok is the Spark-side CMS
     // guarantee gate (TRUE here; a bound violation hash-fails)

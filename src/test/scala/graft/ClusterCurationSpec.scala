@@ -76,6 +76,54 @@ class ClusterCurationSpec extends SparkTestBase {
     ))
   }
 
+  test("assignClustersKeepBest: highest quality wins, id breaks ties, singletons keep") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 5.0), (2L, 9.0), (3L, 9.0), // cluster {1,2,3}: quality tie 2 vs 3 -> 2 wins
+      (4L, 1.0),                       // singleton
+      (7L, 2.0), (8L, 3.0)             // cluster {7,8}: 8 wins on quality
+    ).toDF("id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val rows = ConnectedComponents
+      .assignClustersKeepBest(docs, col("id"), col("q"), pairs)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.toSeq == Seq(
+      (1L, 1L, 3L, 5.0, false),
+      (2L, 1L, 3L, 9.0, true),
+      (3L, 1L, 3L, 9.0, false),
+      (4L, 4L, 1L, 1.0, true),
+      (7L, 7L, 2L, 2.0, false),
+      (8L, 7L, 2L, 3.0, true)
+    ))
+    // exactly one keeper per component, under any layout
+    val keeps = ConnectedComponents
+      .assignClustersKeepBest(docs.repartition(7), col("id"), col("q"), pairs.repartition(3))
+      .groupBy("component")
+      .agg(org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.when(col("keep"), 1).otherwise(0)).as("n"))
+      .collect()
+    assert(keeps.forall(_.getLong(1) == 1L))
+  }
+
+  test("fuzzyDedupKeepBest: near-dup twins keep the longer copy") {
+    import org.apache.spark.sql.functions.{col, length}
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"), // longer twin
+      (20L, "completely different content about other things entirely here now")
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .fuzzyDedupKeepBest(docs, col("text"), col("doc_id"), length(col("text")), threshold = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4))
+      .toMap
+    assert(out == Map(10L -> false, 11L -> true, 20L -> true),
+      s"longer twin and the singleton survive: $out")
+  }
+
   test("redactPii: emails, IPs, phones replaced; counts match; clean text untouched") {
     import spark.implicits._
     val df = Seq(
