@@ -992,4 +992,177 @@ object CorpusOps {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("term"), col("rank"), round(col("__score"), 6).as("score"))
   }
+
+  /** DSIR importance resampling (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): pick the `k` raw-corpus
+    * documents whose hashed-unigram distribution most resembles a TARGET
+    * corpus. Per bucket b of the [[TextOps.hashedFeatureDim]]-wide space,
+    * `λ(b) = ln p̂_target(b) − ln p̂_raw(b)` (add-one smoothing over the
+    * bucket space); a doc's log importance weight is `Σ_tokens λ(bucket)`;
+    * the paper's without-replacement draw is Gumbel top-k —
+    * `key = logw − ln(−ln u)` with `u` derived from the doc-id md5, take
+    * the k largest. Returns (doc_id, n_tokens, log_weight, gumbel_key),
+    * floats rounded 6dp for the cross-engine check.
+    *
+    * Shape at 100 TB: the model is a `dim`-long double array — both
+    * bucket-count aggregations reduce to ≤ dim rows (map-side partials,
+    * then a bounded collect: the ivfTrain/trainLinearHashed pattern) and
+    * λ rides the plan as a literal probed with `element_at`, so scoring
+    * is one corpus scan whose only exchange carries ~one row per doc
+    * (map-side partial sum). The top-k is `TakeOrderedAndProject` —
+    * never a global sort. Nothing corpus-sized moves twice.
+    */
+  def dsirResample(
+      raw: DataFrame,
+      rawId: Column,
+      rawText: Column,
+      target: DataFrame,
+      targetText: Column,
+      k: Int
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val dim = TextOps.hashedFeatureDim
+    def bucketCounts(df: DataFrame, text: Column): Array[Long] = {
+      val rows = df
+        .select(explode(split(text, " ")).as("tok"))
+        .select(TextOps.featureBucket(col("tok")).cast("int").as("b"))
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+      val a = new Array[Long](dim)
+      rows.foreach(r => a(r.getInt(0)) = r.getLong(1))
+      a
+    }
+    val tc = bucketCounts(target, targetText)
+    val rc = bucketCounts(raw, rawText)
+    val tTot = tc.sum.toDouble + dim
+    val rTot = rc.sum.toDouble + dim
+    val lam =
+      Array.tabulate(dim)(b => math.log((tc(b) + 1) / tTot) - math.log((rc(b) + 1) / rTot))
+    // deterministic Gumbel noise from the id hash: u ∈ (0,1), g = −ln(−ln u)
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10).cast("double") + 1.0) /
+      (math.pow(16, 6) + 1.0)
+    raw
+      .select(rawId.as("doc_id"), explode_outer(split(rawText, " ")).as("tok"))
+      .select(
+        col("doc_id"),
+        element_at(lit(lam), TextOps.featureBucket(col("tok")).cast("int") + 1).as("l")
+      )
+      .groupBy(col("doc_id"))
+      .agg(count(col("l")).as("n_tokens"), coalesce(sum(col("l")), lit(0.0)).as("__logw"))
+      .withColumn("__key", col("__logw") - log(-log(u)))
+      .orderBy(col("__key").desc)
+      .limit(k)
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("__logw"), 6).as("log_weight"),
+        round(col("__key"), 6).as("gumbel_key")
+      )
+  }
+
+  /** Per-domain quota cap (RefinedWeb-style: bound any single site's
+    * share of the corpus): keep each domain's first `cap` documents in
+    * deterministic `(md5(id), id)` hash order. Returns (doc_id, domain,
+    * rk), rk 1..cap — exact: identical to a plain
+    * `row_number() OVER (PARTITION BY domain)` filter on any engine.
+    *
+    * Why not just the window: PARTITION BY domain puts a hot domain's
+    * ENTIRE row set in one task and sorts it — the classic web-corpus
+    * skew killer (one CDN domain can be 1% of 100 TB). Shape here:
+    *
+    *   1. per-domain counts (map-side partial agg — |domains| rows);
+    *      broadcast back (default) so the corpus never shuffles for the
+    *      probe, or hash-join (`broadcastCounts = false`, AQE-skew-
+    *      splittable) when the domain table outgrows the driver;
+    *   2. hash-quantile PREFILTER: a row survives iff its 32-bit md5
+    *      prefix `u < safety·cap/n(domain)` — uniform hash ⇒ survivors
+    *      per domain concentrate at `safety·cap`, so the exact
+    *      row_number that follows sorts ≤ ~2·safety·cap rows per domain
+    *      regardless of skew;
+    *   3. exactness fallback: the prefix order is consistent with the
+    *      full-hash order, so the prune is provably exact whenever a
+    *      domain keeps ≥ min(cap, n) survivors; domains that undershoot
+    *      (probability e^{-Θ(cap)} per domain at safety=2) are re-ranked
+    *      from the full corpus — detected by comparing survivor counts,
+    *      usually an empty broadcast.
+    */
+  def capPerDomain(
+      df: DataFrame,
+      idCol: Column,
+      domain: Column,
+      cap: Int,
+      safety: Double = 2.0,
+      broadcastCounts: Boolean = true,
+      prefilter: Boolean = true
+  ): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    require(safety >= 1.0, s"safety must be >= 1, got $safety")
+    val base = df
+      .select(idCol.as("doc_id"), domain.as("domain"))
+      .withColumn("__h", md5(col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("domain")).orderBy(col("__h"), col("doc_id"))
+    def ranked(in: DataFrame): DataFrame =
+      in.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= cap)
+        .select(col("doc_id"), col("domain"), col("rk"))
+    if (!prefilter) return ranked(base)
+    val counts0 = base.groupBy(col("domain")).agg(count(lit(1)).as("__n"))
+    val counts = if (broadcastCounts) broadcast(counts0) else counts0
+    val u = conv(substring(col("__h"), 1, 8), 16, 10).cast("double") / math.pow(16, 8)
+    val surv = base
+      .join(counts, Seq("domain"))
+      .filter(u < least(lit(1.0), lit(safety * cap) / col("__n")))
+    val survCnt = surv.groupBy(col("domain")).agg(count(lit(1)).as("__s"), first(col("__n")).as("__n"))
+    val badDomains = survCnt
+      .filter(col("__s") < least(lit(cap.toLong), col("__n")))
+      .select(col("domain"))
+    ranked(surv.join(broadcast(badDomains), Seq("domain"), "left_anti").drop("__n"))
+      .unionByName(ranked(base.join(broadcast(badDomains), Seq("domain"), "left_semi")))
+  }
+
+  /** Deterministic global training order + fixed-size shard assignment:
+    * rank = position of the doc in global `(md5(id), id)` order (0-based),
+    * `shard = rank DIV shardSize`, `pos = rank % shardSize` — the
+    * "global shuffle then cut into shards" step that turns a curated
+    * corpus into training files, reproducible across engines and runs.
+    * Returns (doc_id, rank, shard, pos), all exact ints.
+    *
+    * Why not `row_number() OVER (ORDER BY …)`: a partition-less window
+    * is a SINGLE-TASK global sort — the canonical Spark scale trap. The
+    * distributed-exact shape instead: bucket every row by the first 3
+    * hex chars of its hash (4096 buckets, which PREFIX the full sort
+    * key, so bucket order == global order), count rows per bucket (one
+    * map-side-partial agg, ≤4096 rows collected — the ivfTrain bounded-
+    * model pattern), and compute `rank = prefixOffset(bucket) +
+    * row_number within bucket − 1`. Each window partition holds ~n/4096
+    * rows at any corpus size; no task ever sees the global order.
+    */
+  def assignShards(df: DataFrame, idCol: Column, shardSize: Int): DataFrame = {
+    require(shardSize > 0, s"shardSize must be positive, got $shardSize")
+    val buckets = 4096
+    val base = df
+      .select(idCol.as("doc_id"))
+      .withColumn("__h", md5(col("doc_id").cast("string")))
+      .withColumn("__b", conv(substring(col("__h"), 1, 3), 16, 10).cast("int"))
+    val counts = base.groupBy(col("__b")).agg(count(lit(1)).as("c")).collect()
+    val sizes = new Array[Long](buckets)
+    counts.foreach(r => sizes(r.getInt(0)) = r.getLong(1))
+    val offsets = new Array[Long](buckets)
+    var acc = 0L
+    var i = 0
+    while (i < buckets) { offsets(i) = acc; acc += sizes(i); i += 1 }
+    val wB = Window.partitionBy(col("__b")).orderBy(col("__h"), col("doc_id"))
+    base
+      .withColumn(
+        "rank",
+        element_at(lit(offsets), col("__b") + 1) + row_number().over(wB).cast("long") - 1L
+      )
+      .select(
+        col("doc_id"),
+        col("rank"),
+        (col("rank") - pmod(col("rank"), lit(shardSize.toLong))).divide(lit(shardSize.toLong)).cast("long").as("shard"),
+        pmod(col("rank"), lit(shardSize.toLong)).as("pos")
+      )
+  }
 }

@@ -461,4 +461,69 @@ object TextOps {
     */
   def quantizeWeights(w: Array[Double], factor: Double = 1000.0): Array[Long] =
     w.map(x => math.round(x * factor))
+
+  /** Gopher rule-based quality gate (Rae et al. 2021, Table A1): the
+    * document-level heuristics a web corpus is filtered with BEFORE any
+    * model-based gate — word-count bounds, mean word length bounds,
+    * symbol-to-word ratio (# and …), alphabetic-word fraction, bullet- /
+    * ellipsis-line fractions, and a minimum stop-word hit count. Returns
+    * one row per doc with every signal (floats rounded 6dp) plus the
+    * conjunctive `kept`.
+    *
+    * Words split on `[ \n]+`, lines on `\n`. Pure per-row projection —
+    * zero shuffle at any corpus size; the array lambdas
+    * (`filter`/`array_intersect`) run interpreted per-row, which is fine
+    * off the hot path (and measured harmless next to the regexp work —
+    * if a profile ever says otherwise, the fusion recipe is
+    * [[graft.functions.text.TokenEntropy]]'s).
+    */
+  def gopherQualityGate(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaFrac: Double = 0.8,
+      maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3,
+      minStopHits: Int = 2
+  ): DataFrame = {
+    val stopwords = Seq("the", "be", "to", "of", "and", "a", "in", "that")
+    val t = coalesce(text, lit(""))
+    val words = split(t, "[ \n]+")
+    val lines = split(t, "\n")
+    val nWords = size(words)
+    val nLines = size(lines)
+    val nHash = length(t) - length(regexp_replace(t, "#", ""))
+    val nEllipsis = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / lit(3)
+    df.select(
+        idCol.as("doc_id"),
+        nWords.as("n_words"),
+        round(length(regexp_replace(t, "[ \n]", "")).cast("double") / nWords, 6)
+          .as("mean_word_len"),
+        round((nHash + nEllipsis).cast("double") / nWords, 6).as("symbol_ratio"),
+        round(size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("double") / nWords, 6)
+          .as("alpha_frac"),
+        round(
+          size(filter(lines, l => l.like("- %") || l.like("* %"))).cast("double") / nLines,
+          6
+        ).as("bullet_frac"),
+        round(size(filter(lines, l => l.like("%..."))).cast("double") / nLines, 6)
+          .as("ellipsis_frac"),
+        size(array_intersect(array_distinct(words), lit(stopwords.toArray))).as("stop_hits")
+      )
+      .withColumn(
+        "kept",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("bullet_frac") <= maxBulletFrac &&
+          col("ellipsis_frac") <= maxEllipsisFrac &&
+          col("stop_hits") >= minStopHits
+      )
+  }
 }

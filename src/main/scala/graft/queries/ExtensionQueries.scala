@@ -892,6 +892,60 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR importance resampling: λ = per-bucket target/raw log-ratio
+    // (bounded model collected once, riding the plan as a literal);
+    // Gumbel top-k keyed on the doc-id md5 makes the paper's
+    // without-replacement draw deterministic and engine-replayable.
+    // Target = the English split of the same corpus.
+    "x51_dsir_resample" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      CorpusOps
+        .dsirResample(
+          docs,
+          col("doc_id"),
+          col("text"),
+          docs.filter(col("lang") === "en"),
+          col("text"),
+          k = 100
+        )
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher rule gate: documents re-planted with bullet/ellipsis lines
+    // on fixed residues so the line-level rules discriminate (the corpus
+    // is single-line); every signal lands in the output for the oracle.
+    "x52_gopher_gate" -> ((s, dir) => {
+      val planted = T(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          when(col("doc_id") % 7 === 0, lit("\n- bullet item\n* second item"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 9 === 0, lit("\ntrailing teaser line..."))
+            .otherwise(lit(""))
+        ).as("text")
+      )
+      TextOps
+        .gopherQualityGate(planted, col("doc_id"), col("text"), minWords = 30)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-domain quota cap: exact window semantics via the hash-quantile
+    // prefilter + undershoot fallback (bounded window partitions at any
+    // domain skew); the oracle replays the plain window.
+    "x53_domain_cap" -> ((s, dir) =>
+      CorpusOps
+        .capPerDomain(T(s, dir, "documents"), col("doc_id"), col("source"), cap = 10)
+        .orderBy(col("domain"), col("rk"))),
+
+    // Deterministic global training order + shard cut: distributed rank
+    // via 4096 hash-prefix buckets + prefix-offset literal — never a
+    // partition-less window; the oracle replays the single-sort form.
+    "x54_assign_shards" -> ((s, dir) =>
+      CorpusOps
+        .assignShards(T(s, dir, "documents"), col("doc_id"), shardSize = 64)
+        .orderBy(col("doc_id"))),
+
     // Token-distribution entropy gate: ln(n) - (sum tf*ln tf)/n keeps
     // every per-element double derived from exact integers; 6dp rounding
     // absorbs the engines' summation-order ulps.
@@ -1778,6 +1832,105 @@ object ExtensionQueries {
         |      FROM q)
         |SELECT w.doc_id, w.component, s.n_members, w.quality, w.rn = 1 AS keep
         |FROM w JOIN sizes s ON w.component = s.component ORDER BY w.doc_id""".stripMargin,
+
+    // dsir: same 3-hex-char feature bucket as x36 (strpos digit decode),
+    // λ over all 4096 buckets via RANGE, Gumbel key from the first 6 md5
+    // hex chars of the doc id; floats rounded 6dp, selection by the
+    // continuous (tie-free) key
+    "x51_dsir_resample" ->
+      """WITH tb AS (
+        |  SELECT (STRPOS('0123456789abcdef', SUBSTR(md5(tok),1,1))-1)*256
+        |       + (STRPOS('0123456789abcdef', SUBSTR(md5(tok),2,1))-1)*16
+        |       + (STRPOS('0123456789abcdef', SUBSTR(md5(tok),3,1))-1) AS b, COUNT(1) AS c
+        |  FROM (SELECT UNNEST(STRING_SPLIT(text,' ')) AS tok FROM documents WHERE lang = 'en')
+        |  GROUP BY 1),
+        |rb AS (
+        |  SELECT (STRPOS('0123456789abcdef', SUBSTR(md5(tok),1,1))-1)*256
+        |       + (STRPOS('0123456789abcdef', SUBSTR(md5(tok),2,1))-1)*16
+        |       + (STRPOS('0123456789abcdef', SUBSTR(md5(tok),3,1))-1) AS b, COUNT(1) AS c
+        |  FROM (SELECT UNNEST(STRING_SPLIT(text,' ')) AS tok FROM documents)
+        |  GROUP BY 1),
+        |tot AS (SELECT (SELECT SUM(c) FROM tb) + 4096.0 AS tt,
+        |               (SELECT SUM(c) FROM rb) + 4096.0 AS rt),
+        |lam AS (
+        |  SELECT r.b, LN((COALESCE(tb.c,0)+1.0)/tot.tt) - LN((COALESCE(rb.c,0)+1.0)/tot.rt) AS l
+        |  FROM (SELECT UNNEST(RANGE(0,4096)) AS b) r
+        |  LEFT JOIN tb ON tb.b = r.b LEFT JOIN rb ON rb.b = r.b CROSS JOIN tot),
+        |d AS (
+        |  SELECT doc_id,
+        |    (STRPOS('0123456789abcdef', SUBSTR(md5(tok),1,1))-1)*256
+        |  + (STRPOS('0123456789abcdef', SUBSTR(md5(tok),2,1))-1)*16
+        |  + (STRPOS('0123456789abcdef', SUBSTR(md5(tok),3,1))-1) AS b
+        |  FROM (SELECT doc_id,
+        |      UNNEST(COALESCE(STRING_SPLIT(text,' '), [CAST(NULL AS VARCHAR)])) AS tok
+        |    FROM documents)),
+        |s AS (SELECT doc_id, COUNT(l) AS n_tokens, COALESCE(SUM(l), 0) AS logw
+        |  FROM d LEFT JOIN lam ON lam.b = d.b GROUP BY doc_id),
+        |g AS (SELECT doc_id, n_tokens, logw,
+        |    logw - LN(-LN((
+        |      (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),1,1))-1)*1048576.0
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),2,1))-1)*65536
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),3,1))-1)*4096
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),4,1))-1)*256
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),5,1))-1)*16
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),6,1))-1)
+        |    + 1.0) / 16777217.0)) AS key
+        |  FROM s)
+        |SELECT doc_id, n_tokens, ROUND(logw, 6) AS log_weight, ROUND(key, 6) AS gumbel_key
+        |FROM g ORDER BY key DESC LIMIT 100""".stripMargin,
+
+    // gopher gate: same planting, words split on [ \n]+, lines on \n;
+    // list lambdas replay the rule set; floats rounded 6dp
+    "x52_gopher_gate" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN chr(10) || '- bullet item' || chr(10) || '* second item' ELSE '' END ||
+        |    CASE WHEN doc_id % 9 = 0
+        |      THEN chr(10) || 'trailing teaser line...' ELSE '' END AS text
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    regexp_split_to_array(text, '[ \n]+') AS words,
+        |    STRING_SPLIT(text, chr(10)) AS lines,
+        |    LENGTH(text) - LENGTH(REPLACE(text, '#', '')) AS nhash,
+        |    (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) // 3 AS nell,
+        |    LENGTH(regexp_replace(text, '[ \n]', '', 'g')) AS chars
+        |  FROM planted),
+        |g AS (SELECT doc_id, LEN(words) AS n_words,
+        |    ROUND(CAST(chars AS DOUBLE)/LEN(words), 6) AS mean_word_len,
+        |    ROUND(CAST(nhash + nell AS DOUBLE)/LEN(words), 6) AS symbol_ratio,
+        |    ROUND(CAST(LEN(LIST_FILTER(words, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+        |      / LEN(words), 6) AS alpha_frac,
+        |    ROUND(CAST(LEN(LIST_FILTER(lines, l -> l LIKE '- %' OR l LIKE '* %')) AS DOUBLE)
+        |      / LEN(lines), 6) AS bullet_frac,
+        |    ROUND(CAST(LEN(LIST_FILTER(lines, l -> l LIKE '%...')) AS DOUBLE)
+        |      / LEN(lines), 6) AS ellipsis_frac,
+        |    LEN(LIST_INTERSECT(LIST_DISTINCT(words),
+        |      ['the','be','to','of','and','a','in','that'])) AS stop_hits
+        |  FROM f)
+        |SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len, symbol_ratio,
+        |  alpha_frac, bullet_frac, ellipsis_frac, CAST(stop_hits AS INT) AS stop_hits,
+        |  (n_words BETWEEN 30 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND bullet_frac <= 0.9
+        |    AND ellipsis_frac <= 0.3 AND stop_hits >= 2 AS kept
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // domain cap: the plain window is the semantic spec the prefiltered
+    // plan must equal exactly
+    "x53_domain_cap" ->
+      """WITH r AS (SELECT doc_id, source AS domain,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, domain, rk FROM r WHERE rk <= 10 ORDER BY domain, rk""".stripMargin,
+
+    // shards: the single-sort form the bucketed distributed rank equals
+    "x54_assign_shards" ->
+      """WITH r AS (SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rank
+        |  FROM documents)
+        |SELECT doc_id, rank, rank // 64 AS shard, rank % 64 AS pos
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // heavy hitters: exact top-20 replay; est_ok is the Spark-side CMS
     // guarantee gate (TRUE here; a bound violation hash-fails)

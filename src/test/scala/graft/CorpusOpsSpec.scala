@@ -566,6 +566,108 @@ class CorpusOpsSpec extends SparkTestBase {
     ))
   }
 
+  test("capPerDomain: prefiltered plan equals the plain window under planted skew") {
+    import spark.implicits._
+    // one hot domain (20k rows — the web-corpus skew shape), two normal,
+    // one smaller than the cap (must survive whole, ranked)
+    val df = spark
+      .range(20000).select(col("id").as("doc_id"), lit("hot").as("d"))
+      .unionByName(spark.range(20000, 20300).select(col("id").as("doc_id"), lit("mid").as("d")))
+      .unionByName(spark.range(30000, 30040).select(col("id").as("doc_id"), lit("low").as("d")))
+      .unionByName(spark.range(40000, 40003).select(col("id").as("doc_id"), lit("tiny").as("d")))
+    def asSet(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSet
+    val spec = asSet(CorpusOps.capPerDomain(df, col("doc_id"), col("d"), cap = 50, prefilter = false))
+    val fast = asSet(CorpusOps.capPerDomain(df, col("doc_id"), col("d"), cap = 50))
+    assert(fast == spec)
+    // tight safety (1.0) leans on the undershoot fallback — still exact
+    val tight = asSet(CorpusOps.capPerDomain(df, col("doc_id"), col("d"), cap = 50, safety = 1.0))
+    assert(tight == spec)
+    // shuffle-join variant for unbounded domain tables — still exact
+    val nb = asSet(
+      CorpusOps.capPerDomain(df, col("doc_id"), col("d"), cap = 50, broadcastCounts = false)
+    )
+    assert(nb == spec)
+    assert(spec.count(_._2 == "hot") == 50 && spec.count(_._2 == "tiny") == 3)
+    // partition-invariant
+    val re = asSet(CorpusOps.capPerDomain(df.repartition(17), col("doc_id"), col("d"), cap = 50))
+    assert(re == spec)
+  }
+
+  test("assignShards: equals the global-sort rank; shards cut exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(5000).select(col("id").as("doc_id"))
+    // test-only single-partition global window = the semantic spec
+    val w = Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val spec = df
+      .withColumn("rank", row_number().over(w).cast("long") - 1L)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val got = CorpusOps.assignShards(df.repartition(13), col("doc_id"), shardSize = 64).collect()
+    assert(got.length == 5000)
+    got.foreach { r =>
+      val (id, rank, shard, pos) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(rank == spec(id), s"doc $id rank $rank != ${spec(id)}")
+      assert(shard == rank / 64 && pos == rank % 64)
+    }
+    // every shard except the last holds exactly shardSize docs
+    val sizes = got.groupBy(_.getLong(2)).view.mapValues(_.length).toMap
+    val last = sizes.keys.max
+    sizes.foreach { case (s, n) => assert(if (s == last) n == 5000 % 64 else n == 64) }
+  }
+
+  test("dsirResample: prefers target-distribution docs; deterministic across partitionings") {
+    import spark.implicits._
+    val enVocab = Array("the", "cat", "sat", "on", "mat", "dog", "ran", "fast")
+    val xxVocab = Array("zq1", "zq2", "zq3", "zq4", "zq5", "zq6", "zq7", "zq8")
+    def doc(id: Long, v: Array[String]): (Long, String) =
+      id -> (0 until 30).map(i => v(((id * 31 + i * 7) % v.length).toInt)).mkString(" ")
+    val raw = ((0L until 200L).map(doc(_, enVocab)) ++ (200L until 400L).map(doc(_, xxVocab)))
+      .toDF("doc_id", "text")
+    val target = (1000L until 1050L).map(doc(_, enVocab)).toDF("doc_id", "text")
+    val picked = CorpusOps
+      .dsirResample(raw, col("doc_id"), col("text"), target, col("text"), k = 100)
+      .collect()
+    assert(picked.length == 100)
+    // Gumbel noise is O(1); the log-weight gap between vocabularies is
+    // ~30 tokens × ln-ratio >> noise, so the draw is effectively pure
+    val enPicked = picked.count(_.getLong(0) < 200L)
+    assert(enPicked == 100, s"expected all 100 picks from the target-like half, got $enPicked")
+    picked.foreach(r => assert(r.getLong(1) == 30L))
+    val again = CorpusOps
+      .dsirResample(raw.repartition(11), col("doc_id"), col("text"), target, col("text"), k = 100)
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(again == picked.map(_.getLong(0)).toSet)
+  }
+
+  test("gopherQualityGate: hand-computed signals and rule conjunction") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val df = Seq(
+      (1L, "aaa bbb ccc"),
+      (2L, "the fish is ###"),
+      (3L, "one two\n- bullet line\nend...")
+    ).toDF("doc_id", "text")
+    val rows = TextOps
+      .gopherQualityGate(df, col("doc_id"), col("text"), minWords = 2, minStopHits = 0)
+      .orderBy("doc_id")
+      .collect()
+    val r1 = rows(0)
+    assert(r1.getInt(1) == 3 && r1.getDouble(2) == 3.0 && r1.getDouble(3) == 0.0)
+    assert(r1.getDouble(4) == 1.0 && r1.getInt(7) == 0 && r1.getBoolean(8))
+    val r2 = rows(1)
+    assert(r2.getInt(1) == 4 && r2.getDouble(3) == 0.75 && r2.getInt(7) == 1)
+    assert(r2.getDouble(4) == 0.75 && !r2.getBoolean(8)) // symbol ratio over the bound
+    val r3 = rows(2)
+    assert(r3.getInt(1) == 6)
+    assert(math.abs(r3.getDouble(5) - 0.333333) < 1e-9) // 1 of 3 lines is a bullet
+    assert(math.abs(r3.getDouble(6) - 0.333333) < 1e-9) // 1 of 3 lines ends ...
+    assert(math.abs(r3.getDouble(4) - 0.833333) < 1e-9) // "-" has no alpha char
+  }
+
   test("cdcChunks: short and empty docs are one whole-doc chunk") {
     import spark.implicits._
     val out = CorpusOps
