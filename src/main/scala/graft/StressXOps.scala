@@ -70,7 +70,8 @@ object StressXOps {
     val nVecs = if (args.length > 1) args(1).toLong else 2000000L
     // optional 3rd arg: comma-separated section filter
     // (simhash,minhash,cosine,decontaminate,pack,cc,quantile,pii,sample,
-    // lines,quantize,spans) — default all
+    // lines,quantize,spans,semdedup,bloominc,retrieval,qknn,classifier,
+    // curation9) — default all
     val only = if (args.length > 2) args(2).split(",").toSet else Set.empty[String]
     def section(name: String): Boolean = only.isEmpty || only(name)
     val spark = SparkSession
@@ -869,6 +870,142 @@ object StressXOps {
       println(s"[stressx]   plan: $h")
       assert(nRows == corpusN, s"one row per doc: $nRows vs $corpusN")
       assert(perDoc < 1.2, s"exchange must carry ~1 row/doc, got $perDoc")
+    }
+
+    // ---- round-9 curation surface (x45-x54) at full corpus width
+    if (section("curation9")) locally {
+      // perplexityGate: model trained on a 1% reference sample (~2M
+      // distinct bigrams at 40 tokens/doc over the 100k vocab — the
+      // broadcast path's upper-mid range); the corpus itself must never
+      // shuffle before the per-doc mean
+      val train = corpus.filter(col("id") < TwinOffset && pmod(col("id"), lit(100)) === 0)
+      val pg = operators.TextOps
+        .perplexityGate(corpus, col("id"), col("text"), train, col("text"), minLogProb = -12.0)
+      val (pgSec, pgRows, pgH, _) = run(pg)
+      println(f"[stressx] perplexityGate(1%% train sample): $pgSec%.1f s, $pgRows docs scored")
+      println(s"[stressx]   plan: $pgH")
+      assert(pgRows == corpusN, s"one row per doc: $pgRows vs $corpusN")
+
+      // gopher gate: zero-shuffle rule projection over the whole corpus
+      val gq = operators.TextOps.gopherQualityGate(
+        corpus, col("id"), col("text"), minWords = 30, minAlphaFrac = 0.0, minStopHits = 0)
+      val (gqSec, gqRows, gqH, _) = run(gq)
+      println(f"[stressx] gopherQualityGate: $gqSec%.1f s, $gqRows docs (${corpusN / math.max(gqSec, 0.001) / 1e6}%.1f M docs/s)")
+      println(s"[stressx]   plan: $gqH")
+      assert(gqRows == corpusN)
+
+      // capPerDomain under REAL skew: one domain holds 50% of the corpus,
+      // 1000 normal domains share the rest. A/B: the default plain window
+      // (WindowGroupLimit bounds per-task state at O(cap) BEFORE the
+      // exchange — the measured winner and the reason it is the default)
+      // vs the engine-independent hash-quantile prefilter, which must be
+      // row-identical.
+      val domains = corpus.select(
+        col("id"),
+        when(pmod(col("id"), lit(2)) === 0, lit("hot"))
+          .otherwise(concat(lit("d"), pmod(xxhash64(col("id")), lit(1000)))).as("dom")
+      ).persist()
+      domains.count()
+      val capped = operators.CorpusOps
+        .capPerDomain(domains, col("id"), col("dom"), cap = 100, prefilter = true)
+      val (cpSec, cpRows, cpH, _) = run(capped)
+      val specDf = operators.CorpusOps.capPerDomain(domains, col("id"), col("dom"), cap = 100)
+      val t0 = System.nanoTime()
+      val specRows = specDf.queryExecution.toRdd.count()
+      val wSec = (System.nanoTime() - t0) / 1e9
+      val diffs = capped.exceptAll(specDf).count() + specDf.exceptAll(capped).count()
+      println(f"[stressx] capPerDomain(cap=100, 50%%-skew hot domain): $cpSec%.1f s prefiltered vs $wSec%.1f s plain WindowGroupLimit window (default; $cpRows vs $specRows rows), row diffs=$diffs")
+      println(s"[stressx]   plan prefiltered: $cpH")
+      assert(cpRows == specRows && diffs == 0L, s"prefilter must be exact: $cpRows/$specRows/$diffs")
+      domains.unpersist()
+
+      // assignShards: distributed-exact global rank — bijection 0..n-1,
+      // every shard except the last cut at exactly shardSize
+      val shardSize = 8192
+      val sh = operators.CorpusOps.assignShards(corpus, col("id"), shardSize)
+      val (shSec, shRows, shH, _) = run(sh)
+      val shStats = operators.CorpusOps.assignShards(corpus, col("id"), shardSize)
+        .agg(
+          countDistinct(col("rank")).as("dr"),
+          min(col("rank")).as("mn"),
+          max(col("rank")).as("mx")
+        ).head()
+      val shBad = operators.CorpusOps.assignShards(corpus, col("id"), shardSize)
+        .groupBy(col("shard")).count()
+        .filter(col("count") =!= shardSize && col("shard") =!= (corpusN - 1) / shardSize)
+        .count()
+      println(f"[stressx] assignShards(shardSize=$shardSize): $shSec%.1f s, $shRows rows; distinct ranks=${shStats.getLong(0)}, range [${shStats.getLong(1)}, ${shStats.getLong(2)}], off-size shards (excl. last)=$shBad")
+      println(s"[stressx]   plan: $shH")
+      assert(shRows == corpusN && shStats.getLong(0) == corpusN)
+      assert(shStats.getLong(1) == 0L && shStats.getLong(2) == corpusN - 1 && shBad == 0L)
+
+      // dsirResample: raw corpus where 10% of docs are target-like (tokens
+      // from a 100-token vocab slice; the rest from the full 100k) — the
+      // k=10k draw must land almost entirely in the target-like tenth
+      def toksMod(mod: Int): Column =
+        concat_ws(" ", (0 until 40).map(k => pmod(xxhash64(col("base_id"), lit(k)), lit(mod)).cast("string")): _*)
+      val raw2 = spark.range(nDocs).select(col("id"), col("id").as("base_id"))
+        .select(col("id"), when(pmod(col("id"), lit(10)) === 0, toksMod(100)).otherwise(toksMod(100000)).as("text"))
+      val target2 = spark.range(nDocs, nDocs + 50000).select(col("id"), col("id").as("base_id"))
+        .select(col("id"), toksMod(100).as("text"))
+      val ds = operators.CorpusOps
+        .dsirResample(raw2, col("id"), col("text"), target2, col("text"), k = 10000)
+      val (dsSec, dsRows, dsH, _) = run(ds)
+      val picked = operators.CorpusOps
+        .dsirResample(raw2, col("id"), col("text"), target2, col("text"), k = 10000)
+        .persist()
+      val inTarget = picked.filter(pmod(col("doc_id"), lit(10)) === 0).count()
+      println(f"[stressx] dsirResample(k=10000) @ $nDocs%d raw docs: $dsSec%.1f s, $dsRows rows, target-like picks=$inTarget/10000")
+      println(s"[stressx]   plan: $dsH")
+      assert(dsRows == 10000L && inTarget >= 9900L, s"DSIR must prefer the planted tenth: $inTarget")
+      picked.unpersist()
+
+      // heavyHitters over ~202M tokens: exact top-20 + CMS-bound gate
+      // (the operator materializes eagerly — time the call itself)
+      val t1 = System.nanoTime()
+      val hhRows = operators.CorpusOps.heavyHitters(corpus, col("text"), k = 20, eps = 1e-4).collect()
+      val hhSec = (System.nanoTime() - t1) / 1e9
+      val hhOk = hhRows.forall(_.getBoolean(3))
+      println(f"[stressx] heavyHitters(k=20, eps=1e-4) @ ~${corpusN * 40 / 1000000}%d M tokens: $hhSec%.1f s, ${hhRows.length} winners, all inside CMS bound=$hhOk")
+      assert(hhRows.length == 20 && hhOk)
+
+      // cdcChunks: zero-shuffle content-defined chunking; token mass must
+      // be conserved across chunk boundaries
+      val cc = operators.CorpusOps.cdcChunks(corpus, col("id"), col("text"))
+      val (ccSec, ccRows, ccH, _) = run(cc)
+      val ccToks = operators.CorpusOps.cdcChunks(corpus, col("id"), col("text"))
+        .agg(sum(col("n_tokens"))).head().getLong(0)
+      println(f"[stressx] cdcChunks: $ccSec%.1f s, $ccRows chunks (${ccRows.toDouble / corpusN}%.1f per doc), token mass $ccToks vs ${corpusN * 40}")
+      println(s"[stressx]   plan: $ccH")
+      assert(ccToks == corpusN * 40, s"chunking must conserve tokens: $ccToks")
+
+      // vocabOverlap between the corpus halves: both draw the full 100k
+      // vocab, so exact J≈1 and the 64-hash sketch must agree within tol
+      val grouped = corpus.select(
+        when(pmod(col("id"), lit(2)) === 0, lit("a")).otherwise(lit("b")).as("g"),
+        col("text")
+      )
+      val vo = operators.CorpusOps.vocabOverlap(grouped, col("g"), col("text"), numHashes = 64)
+      val t2 = System.nanoTime()
+      val voRow = vo.head()
+      val voSec = (System.nanoTime() - t2) / 1e9
+      println(f"[stressx] vocabOverlap(64 hashes): $voSec%.1f s — |A|=${voRow.getLong(2)} |B|=${voRow.getLong(3)} J=${voRow.getDouble(5)}%.4f est_ok=${voRow.getBoolean(6)}")
+      assert(voRow.getDouble(5) > 0.99 && voRow.getBoolean(6))
+
+      // normalization-keyed dedup: whitespace-jittered re-crawls of 1% of
+      // the corpus must collapse onto their source digests
+      val jit = corpus
+        .filter(col("id") < TwinOffset && pmod(col("id"), lit(100)) === 0)
+        .select((col("id") + 2 * TwinOffset).as("id"),
+          regexp_replace(col("text"), " ", "  ").as("text"))
+      val nd = operators.Dedup.exact(corpus.unionByName(jit), col("text"), col("id"))
+      val (ndSec, ndRows, ndH, _) = run(nd)
+      val collapsed = operators.Dedup.exact(corpus.unionByName(jit), col("text"), col("id"))
+        .filter(col("n_copies") >= 2).count()
+      println(f"[stressx] normalized dedup (1%% whitespace-jittered re-crawls): $ndSec%.1f s, $ndRows digests, collapsed groups=$collapsed (planted ${nDocs / 100})")
+      println(s"[stressx]   plan: $ndH")
+      assert(collapsed == nDocs / 100, s"every jittered re-crawl must collapse: $collapsed vs ${nDocs / 100}")
+      assert(ndRows == corpusN, s"digest count: $ndRows vs $corpusN")
     }
 
     corpus.unpersist()

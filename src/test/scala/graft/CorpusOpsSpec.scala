@@ -78,6 +78,34 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(flagged.toSeq == Seq((1L, 10L), (3L, 10L)))
   }
 
+  test("decontaminateBloom: equals plain decontaminate exactly (sketch is prefilter-only)") {
+    import spark.implicits._
+    val corpus = (0L until 300L)
+      .map(i => i -> s"tok${i} tok${i + 1} tok${i + 2} filler${i} pad${i % 7} end${i}")
+      .toDF("doc_id", "text")
+    val bench = (0L until 300L by 13L)
+      .map(i => (1000L + i) -> s"tok${i} tok${i + 1} tok${i + 2} other stuff entirely now")
+      .toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = norm(
+      CorpusOps.decontaminate(corpus, col("text"), col("doc_id"), bench, col("text"), col("doc_id"), n = 3)
+    )
+    val bloom = norm(
+      CorpusOps.decontaminateBloom(corpus, col("text"), col("doc_id"), bench, col("text"), col("doc_id"), n = 3)
+    )
+    assert(plain.nonEmpty, "fixture must produce contaminated docs")
+    assert(bloom == plain)
+    // a tiny, high-fpp sketch may pass extra candidates — the confirm
+    // join must still reduce to the exact answer
+    val tight = norm(
+      CorpusOps.decontaminateBloom(
+        corpus, col("text"), col("doc_id"), bench, col("text"), col("doc_id"),
+        n = 3, expectedGrams = 8L, fpp = 0.5)
+    )
+    assert(tight == plain)
+  }
+
   test("domainMix: rates hit targets and never upsample") {
     import spark.implicits._
     // domains a/b/c with 100/300/600 tokens (total 1000)
@@ -577,20 +605,27 @@ class CorpusOpsSpec extends SparkTestBase {
       .unionByName(spark.range(40000, 40003).select(col("id").as("doc_id"), lit("tiny").as("d")))
     def asSet(r: org.apache.spark.sql.DataFrame) =
       r.collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSet
-    val spec = asSet(CorpusOps.capPerDomain(df, col("doc_id"), col("d"), cap = 50, prefilter = false))
-    val fast = asSet(CorpusOps.capPerDomain(df, col("doc_id"), col("d"), cap = 50))
+    val spec = asSet(CorpusOps.capPerDomain(df, col("doc_id"), col("d"), cap = 50))
+    val fast = asSet(CorpusOps.capPerDomain(df, col("doc_id"), col("d"), cap = 50, prefilter = true))
     assert(fast == spec)
     // tight safety (1.0) leans on the undershoot fallback — still exact
-    val tight = asSet(CorpusOps.capPerDomain(df, col("doc_id"), col("d"), cap = 50, safety = 1.0))
+    val tight = asSet(
+      CorpusOps.capPerDomain(df, col("doc_id"), col("d"), cap = 50, safety = 1.0, prefilter = true)
+    )
     assert(tight == spec)
     // shuffle-join variant for unbounded domain tables — still exact
     val nb = asSet(
-      CorpusOps.capPerDomain(df, col("doc_id"), col("d"), cap = 50, broadcastCounts = false)
+      CorpusOps
+        .capPerDomain(df, col("doc_id"), col("d"), cap = 50, broadcastCounts = false, prefilter = true)
     )
     assert(nb == spec)
     assert(spec.count(_._2 == "hot") == 50 && spec.count(_._2 == "tiny") == 3)
-    // partition-invariant
-    val re = asSet(CorpusOps.capPerDomain(df.repartition(17), col("doc_id"), col("d"), cap = 50))
+    // partition-invariant (the prefiltered path's survivor ranking must
+    // not depend on layout)
+    val re = asSet(
+      CorpusOps
+        .capPerDomain(df.repartition(17), col("doc_id"), col("d"), cap = 50, prefilter = true)
+    )
     assert(re == spec)
   }
 
