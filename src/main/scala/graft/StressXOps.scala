@@ -992,6 +992,54 @@ object StressXOps {
       println(f"[stressx] vocabOverlap(64 hashes): $voSec%.1f s — |A|=${voRow.getLong(2)} |B|=${voRow.getLong(3)} J=${voRow.getDouble(5)}%.4f est_ok=${voRow.getBoolean(6)}")
       assert(voRow.getDouble(5) > 0.99 && voRow.getBoolean(6))
 
+      // sampleWeighted: one corpus scan + TakeOrdered. A-Res inclusion is
+      // weight-proportional for k << N: the 1%-at-1000x tail holds
+      // 50.5/55.55 = 90.9% of total weight, so E[heavy picks] = 9091 of
+      // 10000 (sd ~29) — gate on the binomial band, not "all heavy"
+      val weighted = corpus.select(
+        col("id"),
+        when(pmod(col("id"), lit(100)) === 0, lit(1000.0)).otherwise(lit(1.0)).as("w")
+      )
+      val sw = operators.CorpusOps.sampleWeighted(weighted, col("id"), col("w"), k = 10000)
+      val (swSec, swRows, swH, _) = run(sw)
+      val swHeavy = operators.CorpusOps.sampleWeighted(weighted, col("id"), col("w"), k = 10000)
+        .filter(pmod(col("doc_id"), lit(100)) === 0).count()
+      // expected heavy picks from the exponential key race: -key_i ~
+      // Exp(w_i); solve the top-k threshold t* with
+      // heavy·(1-e^{-1000t}) + light·(1-e^{-t}) = k, then
+      // E[heavy] = heavy·(1-e^{-1000 t*}) (≈ weight-proportional for
+      // k << pools, ≈ the whole pool when it fits inside k)
+      val heavyPool = weighted.filter(pmod(col("id"), lit(100)) === 0 && col("w") > 0).count()
+      val lightPool = corpusN - heavyPool
+      def taken(t: Double): Double =
+        heavyPool * (1 - math.exp(-1000 * t)) + lightPool * (1 - math.exp(-t))
+      var (lo, hi) = (0.0, 1.0)
+      (0 until 60).foreach { _ =>
+        val mid = (lo + hi) / 2; if (taken(mid) < 10000.0) lo = mid else hi = mid
+      }
+      val expHeavy = heavyPool * (1 - math.exp(-1000 * (lo + hi) / 2))
+      val band = 4 * math.sqrt(10000.0)
+      println(f"[stressx] sampleWeighted(k=10000, 1%% @ 1000x weight): $swSec%.1f s, heavy picks=$swHeavy/10000 (expected ~${expHeavy.round})")
+      println(s"[stressx]   plan: $swH")
+      assert(swRows == 10000L && math.abs(swHeavy - expHeavy) <= band,
+        s"heavy picks must sit in the weight-proportional band: $swHeavy vs ${expHeavy.round}±$band")
+
+      // randomProject 64 -> 8 dims over the 2M-vector corpus: zero-shuffle
+      // native-dot projection throughput
+      val dim = 64
+      val rpVecs = spark.range(nVecs).select(
+        col("id").as("vec_id"),
+        transform(
+          sequence(lit(0), lit(dim - 1)),
+          i => (pmod(xxhash64(col("id"), i), lit(2001)).cast("float") / 1000.0f - 1.0f)
+        ).as("embedding")
+      )
+      val rp = operators.Similarity.randomProject(rpVecs, col("vec_id"), col("embedding"), dim, k = 8)
+      val (rpSec, rpRows, rpH, _) = run(rp)
+      println(f"[stressx] randomProject(64->8) @ $nVecs%d vectors: $rpSec%.1f s, $rpRows rows (${nVecs / math.max(rpSec, 0.001) / 1e6}%.2f M vec/s)")
+      println(s"[stressx]   plan: $rpH")
+      assert(rpRows == nVecs * 8)
+
       // normalization-keyed dedup: whitespace-jittered re-crawls of 1% of
       // the corpus must collapse onto their source digests
       val jit = corpus

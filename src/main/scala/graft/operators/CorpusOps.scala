@@ -1041,6 +1041,34 @@ object CorpusOps {
       .select(col("doc_id"), col("term"), col("rank"), round(col("__score"), 6).as("score"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * A-Res): draw `k` documents with inclusion probability proportional
+    * to `weight` — the quality-weighted corpus subsetting step (sample
+    * by classifier score, length, or dedup-cluster mass instead of
+    * uniformly). Deterministic: the uniform draw `u` comes from the
+    * doc-id md5, so the same ids win on any layout, any run, any engine.
+    * Key in log form, `ln(u)/w` (monotone in the paper's `u^(1/w)`),
+    * largest k win. Non-positive weights are excluded (P=0). Returns
+    * (doc_id, weight, sample_key 6dp).
+    *
+    * Shape at 100 TB: one scan, one `TakeOrderedAndProject` — per-task
+    * top-k then a k-row merge on the driver; nothing else moves. The
+    * same shape as [[dsirResample]]'s draw (A-Res IS Gumbel top-k with
+    * weights in place of log-weights).
+    */
+  def sampleWeighted(df: DataFrame, idCol: Column, weight: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val base = df.select(idCol.as("doc_id"), weight.cast("double").as("weight"))
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10).cast("double") + 1.0) /
+      (math.pow(16, 6) + 1.0)
+    base
+      .filter(col("weight") > 0)
+      .withColumn("__key", log(u) / col("weight"))
+      .orderBy(col("__key").desc)
+      .limit(k)
+      .select(col("doc_id"), col("weight"), round(col("__key"), 6).as("sample_key"))
+  }
+
   /** DSIR importance resampling (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): pick the `k` raw-corpus
     * documents whose hashed-unigram distribution most resembles a TARGET

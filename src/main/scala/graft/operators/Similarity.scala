@@ -549,4 +549,35 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
+
+  /** Johnson-Lindenstrauss random projection to `k` dimensions with
+    * Achlioptas ±1 signs (Achlioptas 2003: a dense sub-Gaussian sign
+    * matrix preserves pairwise distances as well as Gaussian entries) —
+    * the dimensionality-reduction pass run before ANN / semantic dedup
+    * when the embedding width, not the corpus size, is the cost driver
+    * (y = S·v/√k, E‖y_a−y_b‖² = ‖a−b‖²). Signs derive from the md5 of
+    * `(i, j)`, so the matrix is reproducible anywhere, including the
+    * SQL oracle. Returns one row per (vec_id, j) with the 6dp-rounded
+    * component (engine-portable: both engines sum the products in
+    * ascending index order over exact float→double values).
+    *
+    * Shape at 100 TB: the sign matrix is a k×dim plan literal (the
+    * centroid-table pattern — KBs), each component is one native
+    * codegen [[graft.functions.vector.dot]] pass, and the whole operator
+    * is a zero-shuffle projection.
+    */
+  def randomProject(df: DataFrame, idCol: Column, vecCol: Column, dim: Int, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(dim > 0, s"dim must be positive, got $dim")
+    def signOf(i: Int, j: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5").digest(s"${i}_${j}".getBytes("UTF-8"))
+      if ((((md(0) >> 4) & 0xf) % 2) == 0) 1.0 else -1.0
+    }
+    val signs = Array.tabulate(k)(j => Array.tabulate(dim)(i => signOf(i, j)))
+    val vecd = transform(vecCol, _.cast("double"))
+    val comps = (0 until k).map(j =>
+      round(graft.functions.vector.dot(vecd, lit(signs(j))) / math.sqrt(k.toDouble), 6)
+    )
+    df.select(idCol.as("vec_id"), posexplode(array(comps: _*)).as(Seq("j", "y")))
+  }
 }

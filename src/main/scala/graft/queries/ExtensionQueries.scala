@@ -892,6 +892,22 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Weighted sampling without replacement (A-Res): inclusion odds
+    // proportional to n_chars; the draw key is deterministic (doc-id md5)
+    // so both engines pick identical winners.
+    "x56_sample_weighted" -> ((s, dir) =>
+      CorpusOps
+        .sampleWeighted(T(s, dir, "documents"), col("doc_id"), col("n_chars"), k = 100)
+        .orderBy(col("doc_id"))),
+
+    // JL random projection (Achlioptas ±1 signs from md5(i_j)): 64 → 8
+    // dims; one row per (vec_id, j) so the float components hash
+    // identically across engines after 6dp rounding.
+    "x57_random_project" -> ((s, dir) =>
+      graft.operators.Similarity
+        .randomProject(T(s, dir, "embeddings"), col("vec_id"), col("embedding"), dim = 64, k = 8)
+        .orderBy(col("vec_id"), col("j"))),
+
     // Bloom-prefiltered decontamination: same planted layout (and the
     // same oracle SQL) as x24 — the sketch only prefilters, the confirm
     // join keeps the result exact, so both variants must hash-match the
@@ -1856,6 +1872,35 @@ object ExtensionQueries {
         |      FROM q)
         |SELECT w.doc_id, w.component, s.n_members, w.quality, w.rn = 1 AS keep
         |FROM w JOIN sizes s ON w.component = s.component ORDER BY w.doc_id""".stripMargin,
+
+    // A-Res: ln(u)/w with u from the first 6 md5 hex chars of the id
+    // (strpos digit decode), top-100 by the continuous key
+    "x56_sample_weighted" ->
+      """WITH s AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+        |    LN((
+        |      (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),1,1))-1)*1048576.0
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),2,1))-1)*65536
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),3,1))-1)*4096
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),4,1))-1)*256
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),5,1))-1)*16
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),6,1))-1)
+        |    + 1.0) / 16777217.0) / CAST(n_chars AS DOUBLE) AS key
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, weight, ROUND(key, 6) AS sample_key
+        |FROM s ORDER BY key DESC LIMIT 100""".stripMargin,
+
+    // JL projection: the sign matrix is recomputed from the same md5
+    // parity rule; LIST_TRANSFORM multiplies in ascending index order, so
+    // the double sums match Spark's native dot-product loop bit-for-bit
+    // before the 6dp round
+    "x57_random_project" ->
+      """SELECT vec_id, CAST(j AS INT) AS j,
+        |  ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+        |    i -> embedding[i] * (CASE WHEN (STRPOS('0123456789abcdef',
+        |        SUBSTR(md5(CAST(i-1 AS VARCHAR) || '_' || CAST(j AS VARCHAR)),1,1))-1) % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END))) / SQRT(8.0), 6) AS y
+        |FROM embeddings CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS j)
+        |ORDER BY vec_id, j""".stripMargin,
 
     // bloom decontamination is EXACT (sketch = prefilter only), so its
     // oracle is x24's verbatim

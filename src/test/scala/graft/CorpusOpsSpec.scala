@@ -678,6 +678,32 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(again == picked.map(_.getLong(0)).toSet)
   }
 
+  test("sampleWeighted: weight-proportional draw, scale-invariant, deterministic") {
+    import spark.implicits._
+    // 900 weight-1 docs vs 100 weight-100 docs: the heavy tail must
+    // dominate a k=50 draw (P[a light key beats a heavy key] ~ u^100)
+    val df = spark
+      .range(900).select(col("id").as("doc_id"), lit(1.0).as("w"))
+      .unionByName(spark.range(900, 1000).select(col("id").as("doc_id"), lit(100.0).as("w")))
+    val picked = CorpusOps.sampleWeighted(df, col("doc_id"), col("w"), k = 50).collect()
+    assert(picked.length == 50)
+    val heavy = picked.count(_.getLong(0) >= 900L)
+    assert(heavy >= 45, s"heavy docs must dominate: $heavy/50")
+    // global weight scaling preserves the selection (key scales by 1/c)
+    val scaled = CorpusOps
+      .sampleWeighted(df.withColumn("w", col("w") * 7.5), col("doc_id"), col("w"), k = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(scaled == picked.map(_.getLong(0)).toSet)
+    // layout-invariant; zero/negative weights excluded
+    val re = CorpusOps
+      .sampleWeighted(df.repartition(13), col("doc_id"), col("w"), k = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(re == picked.map(_.getLong(0)).toSet)
+    val withZero = df.withColumn("w", when(col("doc_id") < 900, lit(0.0)).otherwise(col("w")))
+    val onlyHeavy = CorpusOps.sampleWeighted(withZero, col("doc_id"), col("w"), k = 200).collect()
+    assert(onlyHeavy.length == 100 && onlyHeavy.forall(_.getLong(0) >= 900L))
+  }
+
   test("gopherQualityGate: hand-computed signals and rule conjunction") {
     import spark.implicits._
     import graft.operators.TextOps

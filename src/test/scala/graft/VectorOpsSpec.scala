@@ -132,6 +132,59 @@ class VectorOpsSpec extends SparkTestBase {
     assert(chk == 0L)
   }
 
+  test("randomProject: one-hot vectors recover the sign matrix exactly; scaling is 1/sqrt(k)") {
+    import spark.implicits._
+    val dim = 16
+    val k = 8
+    // v = e_i  =>  y_j = sign(i, j) / sqrt(k), exactly
+    val oneHots = (0 until dim)
+      .map(i => (i.toLong, Array.tabulate(dim)(x => if (x == i) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = graft.operators.Similarity
+      .randomProject(oneHots, col("vec_id"), col("embedding"), dim = dim, k = k)
+      .collect()
+    assert(rows.length == dim * k)
+    def signOf(i: Int, j: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5").digest(s"${i}_${j}".getBytes("UTF-8"))
+      if ((((md(0) >> 4) & 0xf) % 2) == 0) 1.0 else -1.0
+    }
+    rows.foreach { r =>
+      val (i, j, y) = (r.getLong(0).toInt, r.getInt(1), r.getDouble(2))
+      val expected = BigDecimal(signOf(i, j) / math.sqrt(k.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(y == expected, s"e_$i comp $j: $y != $expected")
+    }
+    // both sign values actually occur (a constant matrix would be useless)
+    val ys = rows.map(_.getDouble(2)).distinct.sorted
+    assert(ys.length == 2 && ys(0) == -ys(1))
+  }
+
+  test("randomProject: JL distance preservation in expectation at k=32") {
+    import spark.implicits._
+    val dim = 64
+    val k = 32
+    val vecs = (0L until 40L)
+      .map(id =>
+        (id, Array.tabulate(dim)(i => (((id * 2654435761L + i * 40503L) % 1013L).toFloat - 506.0f) / 506.0f))
+      )
+      .toDF("vec_id", "embedding")
+    val proj = graft.operators.Similarity
+      .randomProject(vecs, col("vec_id"), col("embedding"), dim = dim, k = k)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+    val orig = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) = a.zip(b).map(t => (t._1 - t._2) * (t._1 - t._2)).sum
+    val ratios = for (a <- 0L until 20L; b <- (a + 1) until 20L) yield {
+      val da = d2(orig(a).map(_.toDouble), orig(b).map(_.toDouble))
+      d2(proj(a).map(identity), proj(b).map(identity)) / da
+    }
+    // E[ratio] = 1; at k=32 individual ratios concentrate within ~3x
+    ratios.foreach(r => assert(r > 0.3 && r < 3.0, s"distance ratio out of range: $r"))
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.8 && mean < 1.25, s"mean distance ratio drifted: $mean")
+  }
+
   test("null propagation and empty arrays") {
     val df = Seq(
       (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),
