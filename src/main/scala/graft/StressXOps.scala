@@ -1040,6 +1040,27 @@ object StressXOps {
       println(s"[stressx]   plan: $rpH")
       assert(rpRows == nVecs * 8)
 
+      // containment (quote detection): 12-token excerpts of 1% of docs —
+      // every excerpt shingle lives in its source (C=1.0), and the 100k
+      // vocab keeps background containment ≈ 0, so found == planted
+      val excerpts = corpus
+        .filter(col("id") < TwinOffset && pmod(col("id"), lit(100)) === 0)
+        .select(
+          (col("id") + 3 * TwinOffset).as("id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 12)).as("text")
+        )
+      val withEx = corpus.unionByName(excerpts)
+      val cn = operators.Dedup
+        .ngramContainmentPairs(withEx, col("text"), col("id"), n = 3, threshold = 0.9)
+      val (cnSec, cnRows, cnH, _) = run(cn)
+      val cnPlanted = operators.Dedup
+        .ngramContainmentPairs(withEx, col("text"), col("id"), n = 3, threshold = 0.9)
+        .filter(col("id_a") === col("id_b") + 3 * TwinOffset)
+        .count()
+      println(f"[stressx] ngramContainmentPairs(t=0.9, 1%% planted excerpts): $cnSec%.1f s, $cnRows pairs, excerpt→source found=$cnPlanted/${nDocs / 100}")
+      println(s"[stressx]   plan: $cnH")
+      assert(cnPlanted == nDocs / 100, s"every planted excerpt must be found: $cnPlanted")
+
       // normalization-keyed dedup: whitespace-jittered re-crawls of 1% of
       // the corpus must collapse onto their source digests
       val jit = corpus

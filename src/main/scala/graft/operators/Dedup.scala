@@ -536,4 +536,41 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Asymmetric n-gram CONTAINMENT pairs — `C(a→b) = |S(a)∩S(b)|/|S(a)|`
+    * — the quote/excerpt detector: a short document whose shingles all
+    * appear inside a longer one is contained (C→1) even though its
+    * Jaccard against the host is tiny (≈|S(a)|/|S(b)|), so symmetric
+    * near-dup misses exactly this case; dedup policy usually drops the
+    * contained copy. Returns ORDERED pairs (`id_a` contained in `id_b`):
+    * (id_a, id_b, n_common, containment), containment ≥ `threshold`,
+    * id_a ≠ id_b, 6dp.
+    *
+    * Scale shape: the same ids-plus-8-byte-hash inverted-index equi-join
+    * as [[ngramJaccardPairs]] (the self-join shuffles xxhash64 keys,
+    * never n-gram text), with ordered instead of unordered grouping (2×
+    * the candidate mass). Hot-shingle skew behaves exactly like the x6
+    * family; the PPJoin/auto-switch analysis there carries over.
+    */
+  def ngramContainmentPairs(
+      df: DataFrame,
+      text: Column,
+      idCol: Column,
+      n: Int = 3,
+      threshold: Double = 0.8
+  ): DataFrame = {
+    val docs = df.select(idCol.as("id"), array_distinct(shingles(text, n)).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+    val inv = docs.select(col("id"), col("nsh"), explode(col("sh")).as("s0"))
+      .select(col("id"), col("nsh"), xxhash64(col("s0")).as("s"))
+    val l = inv.select(col("s"), col("id").as("id_a"), col("nsh").as("n_a"))
+    val r = inv.select(col("s"), col("id").as("id_b"))
+    l.join(r, Seq("s"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("containment", round(col("n_common").cast("double") / col("n_a"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("containment"))
+  }
 }

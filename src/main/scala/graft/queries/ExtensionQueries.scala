@@ -892,6 +892,29 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Containment (quote detection): 12-token excerpts planted from
+    // doc_id%7 sources — every excerpt shingle appears in its source, so
+    // C(excerpt→source)=1.0 while Jaccard would be ~10/50; ordered pairs.
+    "x58_containment" -> ((s, dir) => {
+      val docs =
+        T(s, dir, "documents").select(col("doc_id"), col("text")).filter(col("doc_id") < 300)
+      val quotes = docs
+        .filter(col("doc_id") % 7 === 0)
+        .select(
+          (col("doc_id") + 5000000L).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 5, 12)).as("text")
+        )
+      Dedup
+        .ngramContainmentPairs(
+          docs.unionByName(quotes),
+          col("text"),
+          col("doc_id"),
+          n = 3,
+          threshold = 0.9
+        )
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Weighted sampling without replacement (A-Res): inclusion odds
     // proportional to n_chars; the draw key is deterministic (doc-id md5)
     // so both engines pick identical winners.
@@ -1872,6 +1895,27 @@ object ExtensionQueries {
         |      FROM q)
         |SELECT w.doc_id, w.component, s.n_members, w.quality, w.rn = 1 AS keep
         |FROM w JOIN sizes s ON w.component = s.component ORDER BY w.doc_id""".stripMargin,
+
+    // containment: same 3-gram CTE chain as x50, ordered pairs,
+    // normalized by the LEFT side's shingle count
+    "x58_containment" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |q AS (SELECT doc_id + 5000000 AS doc_id,
+        |    ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[5:16], ' ') AS text
+        |  FROM base WHERE doc_id % 7 = 0),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM q),
+        |docs AS (SELECT doc_id, LIST_DISTINCT(
+        |    CASE WHEN LEN(STRING_SPLIT(text, ' ')) < 3 THEN [text]
+        |         ELSE LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+        |           i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' '))
+        |    END) AS sh FROM corpus),
+        |inv AS (SELECT doc_id, LEN(sh) AS nsh, UNNEST(sh) AS s FROM docs)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(1) AS n_common,
+        |  ROUND(CAST(COUNT(1) AS DOUBLE)/a.nsh, 6) AS containment
+        |FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id != b.doc_id
+        |GROUP BY 1, 2, a.nsh
+        |HAVING ROUND(CAST(COUNT(1) AS DOUBLE)/a.nsh, 6) >= 0.9
+        |ORDER BY 1, 2""".stripMargin,
 
     // A-Res: ln(u)/w with u from the first 6 md5 hex chars of the id
     // (strpos digit decode), top-100 by the continuous key

@@ -336,6 +336,30 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("ngramContainmentPairs: excerpt scores 1.0 one-way; asymmetry and threshold hold") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // host: 6 shingles
+      (2L, "beta gamma delta epsilon"),                      // excerpt: 2 shingles, both in host
+      (3L, "totally different words here now")               // unrelated
+    ).toDF("doc_id", "text")
+    val pairs = operators.Dedup
+      .ngramContainmentPairs(df, col("text"), col("doc_id"), n = 3, threshold = 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // only the excerpt→host direction survives: C(2→1) = 2/2 = 1.0;
+    // C(1→2) = 2/6 and everything with doc 3 is 0
+    assert(pairs.toSeq == Seq((2L, 1L, 2L, 1.0)))
+    // lower threshold exposes the asymmetric twin
+    val both = operators.Dedup
+      .ngramContainmentPairs(df, col("text"), col("doc_id"), n = 3, threshold = 0.3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .toSet
+    assert(both.contains((2L, 1L, 1.0)))
+    assert(both.exists { case (a, b, c) => a == 1L && b == 2L && c == 0.333333 }) // 2/6 @ 6dp
+  }
+
   test("ngramJaccardPairsAuto: hot-shingle skew flips to the prefix strategy, results match naive") {
     import spark.implicits._
     // skewed corpus: every doc shares the hot trigram "the same words";
