@@ -117,4 +117,68 @@ object Multimodal {
       )
       .as[MediaRow]
   }
+
+  /** Perceptual average-hash (aHash) of the media byte plane: split the
+    * content into `bits` equal block ranges, bit j = (block-j mean >
+    * global mean). On a real image pipeline the input is the decoded
+    * 8×8-downsampled grayscale plane (the classic aHash); here it runs
+    * on the raw bytes the [[stubDecode]] environment provides — swapping
+    * in a real decoder changes the bytes, not the operator. Returns
+    * (id, simhash) — deliberately the [[graft.operators.Dedup.simhash]]
+    * column contract so the Manku pigeonhole blocking is shared.
+    *
+    * Zero-shuffle `mapPartitions` (same batch shape as [[decode]]).
+    */
+  def aHash(ds: Dataset[MediaRow], bits: Int = 64): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val n = r.content.length
+      var h = 0L
+      if (n > 0) {
+        var total = 0.0
+        var i = 0
+        while (i < n) { total += (r.content(i) & 0xff); i += 1 }
+        val mean = total / n
+        var j = 0
+        while (j < bits) {
+          val lo = (j.toLong * n / bits).toInt
+          val hi = ((j + 1).toLong * n / bits).toInt
+          var s = 0.0
+          var k = lo
+          while (k < hi) { s += (r.content(k) & 0xff); k += 1 }
+          if (hi > lo && s / (hi - lo) > mean) h |= (1L << j)
+          j += 1
+        }
+      }
+      (r.doc_id, h)
+    }).toDF("id", "simhash")
+  }
+
+  /** Image near-dup pairs: [[aHash]] + the Manku permute-and-block
+    * Hamming join ([[graft.operators.Dedup.simhashBlocked]]) — the dedup
+    * pass a multimodal corpus runs on its image column (re-encoded /
+    * lightly-edited copies land within a few aHash bits; pigeonhole
+    * blocking finds ALL pairs within `maxHamming` exactly, no
+    * all-pairs scan). Returns (id_a, id_b, hamming), id_a < id_b.
+    *
+    * Scale shape: identical to the text simhash path — the join carries
+    * (id, 8-byte fp, block key) rows only, never content; candidate mass
+    * is governed by the block-key width exactly as measured in
+    * `StressXOps simhash`.
+    */
+  def imageNearDupPairs(ds: Dataset[MediaRow], maxHamming: Int = 2, blocks: Int = 4): DataFrame = {
+    val blocked = Dedup.simhashBlocked(aHash(ds), maxHamming, blocks)
+    val l = blocked.select(col("bk"), col("id").as("id_a"), col("simhash").as("fp_a"))
+    val r = blocked.select(col("bk"), col("id").as("id_b"), col("simhash").as("fp_b"))
+    l.join(r, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(Dedup.hamming(col("fp_a"), col("fp_b")) <= maxHamming)
+      .select(
+        col("id_a"),
+        col("id_b"),
+        Dedup.hamming(col("fp_a"), col("fp_b")).cast("int").as("hamming")
+      )
+  }
 }

@@ -892,6 +892,43 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Image near-dup (perceptual aHash + Manku blocking) on the media
+    // twin of the corpus, planted with same-length 2-byte re-encodes —
+    // the x8 self-certifying shape: blocked pairs vs the brute-force
+    // hamming join must agree exactly (pairs_match hash-fails otherwise);
+    // n_twins pins the planted layout.
+    "x59_image_neardup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 500)
+      val corpus = docs
+        .select(col("doc_id"), col("text"), col("source"))
+        .unionByName(
+          docs
+            .filter(col("doc_id") % 20 === 0)
+            .select(
+              (col("doc_id") + 100000L).as("doc_id"),
+              concat(lit("zz"), expr("substring(text, 3)")).as("text"),
+              col("source")
+            )
+        )
+      val media = Multimodal.fromDocuments(s, corpus)
+      val pairs = Multimodal
+        .imageNearDupPairs(media, maxHamming = 2)
+        .select(col("id_a"), col("id_b"), lit(1).as("p"))
+      val fps = Multimodal.aHash(media)
+      val brute = fps
+        .select(col("id").as("id_a"), col("simhash").as("fa"))
+        .join(fps.select(col("id").as("id_b"), col("simhash").as("fb")), col("id_a") < col("id_b"))
+        .filter(Dedup.hamming(col("fa"), col("fb")) <= 2)
+        .select(col("id_a"), col("id_b"), lit(1).as("e"))
+      val mismatches = pairs
+        .join(brute, Seq("id_a", "id_b"), "full_outer")
+        .filter(col("p").isNull || col("e").isNull)
+      corpus
+        .agg(count(lit(1)).as("n_docs"), sum((col("doc_id") >= 100000L).cast("long")).as("n_twins"))
+        .crossJoin(mismatches.agg(count(lit(1)).as("nm")))
+        .select(col("n_docs"), col("n_twins"), (col("nm") === 0).as("pairs_match"))
+    }),
+
     // Containment (quote detection): 12-token excerpts planted from
     // doc_id%7 sources — every excerpt shingle appears in its source, so
     // C(excerpt→source)=1.0 while Jaccard would be ~10/50; ordered pairs.
@@ -1895,6 +1932,15 @@ object ExtensionQueries {
         |      FROM q)
         |SELECT w.doc_id, w.component, s.n_members, w.quality, w.rn = 1 AS keep
         |FROM w JOIN sizes s ON w.component = s.component ORDER BY w.doc_id""".stripMargin,
+
+    // image near-dup is self-certifying (blocked==brute checked inside
+    // the Spark query); the oracle pins the corpus layout
+    "x59_image_neardup" ->
+      """SELECT (SELECT COUNT(1) FROM documents WHERE doc_id < 500)
+        |     + (SELECT COUNT(1) FROM documents WHERE doc_id < 500 AND doc_id % 20 = 0)
+        |     AS n_docs,
+        |  (SELECT COUNT(1) FROM documents WHERE doc_id < 500 AND doc_id % 20 = 0) AS n_twins,
+        |  TRUE AS pairs_match""".stripMargin,
 
     // containment: same 3-gram CTE chain as x50, ordered pairs,
     // normalized by the LEFT side's shingle count

@@ -191,6 +191,52 @@ class OperatorSpec extends SparkTestBase {
     assert(none == 0L)
   }
 
+  test("aHash/imageNearDupPairs: structured planes hash exactly; blocked == brute") {
+    // A: dark half then bright half -> exactly the top 32 bits set;
+    // C: the inverse plane; B: A with one byte nudged (hamming <= 1)
+    val a = Multimodal.MediaRow(1L, "img", Array.fill(128)(0.toByte) ++ Array.fill(128)(200.toByte))
+    val b = Multimodal.MediaRow(2L, "img", { val c = a.content.clone(); c(0) = 40.toByte; c })
+    val cRow =
+      Multimodal.MediaRow(3L, "img", Array.fill(128)(200.toByte) ++ Array.fill(128)(0.toByte))
+    val ds = Seq(a, b, cRow).toDS()
+    val fps = Multimodal.aHash(ds).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == 0xffffffff00000000L)
+    assert(fps(3L) == 0x00000000ffffffffL)
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(2L)) <= 1)
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(3L)) == 64)
+    val pairs = Multimodal
+      .imageNearDupPairs(ds, maxHamming = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs == Set((1L, 2L)))
+
+    // pigeonhole exactness on a pseudo-random corpus + planted re-encodes
+    val rows = (0L until 200L).map { id =>
+      Multimodal.MediaRow(id, "img", Array.tabulate(256)(i => ((id * 2654435761L + i * 97L) % 251L).toByte))
+    } ++ (0L until 10L).map { id =>
+      val base = Array.tabulate(256)(i => ((id * 2654435761L + i * 97L) % 251L).toByte)
+      base(7) = (base(7) + 3).toByte
+      Multimodal.MediaRow(id + 1000L, "img", base)
+    }
+    val ds2 = rows.toDS()
+    val blocked = Multimodal
+      .imageNearDupPairs(ds2, maxHamming = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    val f2 = Multimodal.aHash(ds2).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, fa) <- f2
+      (ib, fb) <- f2
+      if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb)
+      if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(blocked == brute, "Manku blocking must find exactly the brute-force pairs")
+    assert(brute.exists { case (x, y, _) => y == x + 1000L }, "planted re-encodes must surface")
+  }
+
   test("consumer FT fixtures render via :kv formatter (kafka.hpp:957-991)") {
     // FIXTURES.md §1: keyA/hello kafka, keyB/hello again, expect
     // `key=keyA value=hello kafka`
