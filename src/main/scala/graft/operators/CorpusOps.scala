@@ -1041,6 +1041,42 @@ object CorpusOps {
       .select(col("doc_id"), col("term"), col("rank"), round(col("__score"), 6).as("score"))
   }
 
+  /** Crawl-over-crawl snapshot diff: per-document status between two
+    * corpus versions — `added` (id only in new), `removed` (only in
+    * old), `changed` (both, normalized digest differs), `unchanged`.
+    * The drift report every recurring-ingest pipeline runs before
+    * deciding how much downstream work (dedup, re-embedding,
+    * re-tokenization) a new crawl actually causes.
+    *
+    * Shape at 100 TB: both sides reduce to (id, 16-byte normalized
+    * digest) in their scan projections — the full-outer join moves
+    * digests, never text, and is id-keyed (uniform, AQE-splittable).
+    * Summing statuses afterwards is a 4-group aggregate.
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      oldId: Column,
+      oldText: Column,
+      newDf: DataFrame,
+      newId: Column,
+      newText: Column
+  ): DataFrame =
+    oldDf
+      .select(oldId.as("doc_id"), TextOps.fingerprintMd5(oldText).as("__fp_old"))
+      .join(
+        newDf.select(newId.as("doc_id"), TextOps.fingerprintMd5(newText).as("__fp_new")),
+        Seq("doc_id"),
+        "full_outer"
+      )
+      .select(
+        col("doc_id"),
+        when(col("__fp_old").isNull, "added")
+          .when(col("__fp_new").isNull, "removed")
+          .when(col("__fp_old") === col("__fp_new"), "unchanged")
+          .otherwise("changed")
+          .as("status")
+      )
+
   /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
     * A-Res): draw `k` documents with inclusion probability proportional
     * to `weight` — the quality-weighted corpus subsetting step (sample

@@ -892,6 +892,30 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Snapshot diff: the new crawl drops id%31==0, rewrites id%13==0
+    // (prepended marker), and adds 100 fresh ids — per-doc status plus
+    // the 4-group drift summary both engines replay exactly.
+    "x60_snapshot_diff" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newCrawl = docs
+        .filter(col("doc_id") % 31 =!= 0)
+        .select(
+          col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(lit("rev2 "), col("text")))
+            .otherwise(col("text")).as("text")
+        )
+        .unionByName(
+          docs
+            .filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+        )
+      CorpusOps
+        .snapshotDiff(docs, col("doc_id"), col("text"), newCrawl, col("doc_id"), col("text"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("status"))
+    }),
+
     // Image near-dup (perceptual aHash + Manku blocking) on the media
     // twin of the corpus, planted with same-length 2-byte re-encodes —
     // the x8 self-certifying shape: blocked pairs vs the brute-force
@@ -1932,6 +1956,24 @@ object ExtensionQueries {
         |      FROM q)
         |SELECT w.doc_id, w.component, s.n_members, w.quality, w.rn = 1 AS keep
         |FROM w JOIN sizes s ON w.component = s.component ORDER BY w.doc_id""".stripMargin,
+
+    // snapshot diff: digests replay via the x46 normalization formula
+    "x60_snapshot_diff" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |nw AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN 'rev2 ' || text ELSE text END AS text
+        |  FROM docs WHERE doc_id % 31 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, text FROM docs WHERE doc_id % 5 = 0),
+        |o AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')))) AS fo
+        |      FROM docs),
+        |n AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')))) AS fn
+        |      FROM nw),
+        |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, fo, fn
+        |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT CASE WHEN fo IS NULL THEN 'added' WHEN fn IS NULL THEN 'removed'
+        |            WHEN fo = fn THEN 'unchanged' ELSE 'changed' END AS status, COUNT(1) AS n
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // image near-dup is self-certifying (blocked==brute checked inside
     // the Spark query); the oracle pins the corpus layout

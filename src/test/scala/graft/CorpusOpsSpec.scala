@@ -678,6 +678,31 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(again == picked.map(_.getLong(0)).toSet)
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged classified per doc; normalization absorbs jitter") {
+    import spark.implicits._
+    val old = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon zeta")).toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, "alpha beta"),      // unchanged
+      (2L, "gamma  DELTA "),   // whitespace/case jitter -> still unchanged (normalized digest)
+      (4L, "fresh content")    // added; 3 removed
+    ).toDF("doc_id", "text")
+    val got = CorpusOps
+      .snapshotDiff(old, col("doc_id"), col("text"), neu, col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "unchanged", 3L -> "removed", 4L -> "added"))
+    val changed = CorpusOps
+      .snapshotDiff(
+        old, col("doc_id"), col("text"),
+        neu.withColumn("text", when(col("doc_id") === 2L, lit("totally new")).otherwise(col("text"))),
+        col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(changed(2L) == "changed")
+  }
+
   test("sampleWeighted: weight-proportional draw, scale-invariant, deterministic") {
     import spark.implicits._
     // 900 weight-1 docs vs 100 weight-100 docs: the heavy tail must
