@@ -1061,6 +1061,78 @@ object StressXOps {
       println(s"[stressx]   plan: $cnH")
       assert(cnPlanted == nDocs / 100, s"every planted excerpt must be found: $cnPlanted")
 
+      // image near-dup: aHash over 5M media planes, 1% planted same-length
+      // re-encodes; the blocked join must find every planted pair that is
+      // actually within the hamming bound (pigeonhole exactness, verified
+      // against the per-pair recompute). Planes are md5-hex streams (512
+      // bytes), NOT the token corpus: digit-token text collapses block
+      // means onto a few values and reads as millions of spurious
+      // hamming-0 "images" (measured: 3.35M background pairs at 204k
+      // planes) — the r1 minhash lesson again, a testbed-construction
+      // artifact real image planes don't have.
+      val planes = corpus.select(col("id")).withColumn(
+        "text",
+        concat_ws("", (0 until 16).map(k => md5(concat(col("id").cast("string"), lit(s"_$k")))): _*)
+      )
+      val mediaCorpus = planes.unionByName(
+        planes
+          .filter(col("id") < TwinOffset && pmod(col("id"), lit(100)) === 0)
+          .select((col("id") + 4 * TwinOffset).as("id"),
+            concat(lit("zz"), expr("substring(text, 3)")).as("text"))
+      )
+      val media = operators.Multimodal.fromDocuments(
+        spark,
+        mediaCorpus.select(col("id").as("doc_id"), col("text"), lit("imgsrc").as("source"))
+      )
+      val ih = operators.Multimodal.imageNearDupPairs(media, maxHamming = 2)
+      val (ihSec, ihRows, ihH, _) = run(ih)
+      val fpsA = operators.Multimodal.aHash(media)
+      val plantedEligible = fpsA
+        .select(col("id").as("id_a"), col("simhash").as("fa"))
+        .join(
+          fpsA.select((col("id") - 4 * TwinOffset).as("id_a"), col("simhash").as("fb")),
+          Seq("id_a")
+        )
+        .filter(operators.Dedup.hamming(col("fa"), col("fb")) <= 2)
+        .count()
+      val plantedFound = operators.Multimodal
+        .imageNearDupPairs(media, maxHamming = 2)
+        .filter(col("id_b") === col("id_a") + 4 * TwinOffset)
+        .count()
+      println(f"[stressx] imageNearDupPairs(aHash, h<=2) @ ${mediaCorpus.count()}%d planes: $ihSec%.1f s, $ihRows pairs; planted-eligible=$plantedEligible found=$plantedFound")
+      println(s"[stressx]   plan: $ihH")
+      assert(plantedFound == plantedEligible, s"pigeonhole recall must be total: $plantedFound != $plantedEligible")
+
+      // snapshot diff at full width: 2% rewritten, ~3.2% removed, 1%
+      // added — the id-keyed digest join; counts must tie out exactly
+      val newCrawl = corpus
+        .filter(pmod(col("id"), lit(31)) =!= 0)
+        .select(
+          col("id"),
+          when(pmod(col("id"), lit(50)) === 0, concat(lit("rev2 "), col("text")))
+            .otherwise(col("text")).as("text")
+        )
+        .unionByName(
+          corpus
+            .filter(pmod(col("id"), lit(100)) === 7)
+            .select((col("id") + 5 * TwinOffset).as("id"), col("text"))
+        )
+      val sd = operators.CorpusOps
+        .snapshotDiff(corpus, col("id"), col("text"), newCrawl, col("id"), col("text"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+      val t3 = System.nanoTime()
+      val sdRows = sd.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val sdSec = (System.nanoTime() - t3) / 1e9
+      val removedExp = corpus.filter(pmod(col("id"), lit(31)) === 0).count()
+      val changedExp = corpus
+        .filter(pmod(col("id"), lit(31)) =!= 0 && pmod(col("id"), lit(50)) === 0).count()
+      val addedExp = corpus.filter(pmod(col("id"), lit(100)) === 7).count()
+      println(f"[stressx] snapshotDiff @ $corpusN%d docs: $sdSec%.1f s — $sdRows")
+      assert(sdRows("removed") == removedExp && sdRows("changed") == changedExp &&
+        sdRows("added") == addedExp &&
+        sdRows("unchanged") == corpusN - removedExp - changedExp,
+        s"drift counts must tie out: $sdRows vs removed=$removedExp changed=$changedExp added=$addedExp")
+
       // normalization-keyed dedup: whitespace-jittered re-crawls of 1% of
       // the corpus must collapse onto their source digests
       val jit = corpus
