@@ -1061,18 +1061,30 @@ object CorpusOps {
       newId: Column,
       newText: Column
   ): DataFrame =
+    // presence rides explicit flags, NOT digest nullness: a NULL text has
+    // a NULL digest, and reading that as "absent" would misreport a
+    // present-but-empty doc as added/removed; `<=>` lets two NULL texts
+    // compare as unchanged
     oldDf
-      .select(oldId.as("doc_id"), TextOps.fingerprintMd5(oldText).as("__fp_old"))
+      .select(
+        oldId.as("doc_id"),
+        TextOps.fingerprintMd5(oldText).as("__fp_old"),
+        lit(true).as("__in_old")
+      )
       .join(
-        newDf.select(newId.as("doc_id"), TextOps.fingerprintMd5(newText).as("__fp_new")),
+        newDf.select(
+          newId.as("doc_id"),
+          TextOps.fingerprintMd5(newText).as("__fp_new"),
+          lit(true).as("__in_new")
+        ),
         Seq("doc_id"),
         "full_outer"
       )
       .select(
         col("doc_id"),
-        when(col("__fp_old").isNull, "added")
-          .when(col("__fp_new").isNull, "removed")
-          .when(col("__fp_old") === col("__fp_new"), "unchanged")
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(col("__fp_old") <=> col("__fp_new"), "unchanged")
           .otherwise("changed")
           .as("status")
       )
@@ -1082,8 +1094,9 @@ object CorpusOps {
     * to `weight` — the quality-weighted corpus subsetting step (sample
     * by classifier score, length, or dedup-cluster mass instead of
     * uniformly). Deterministic: the uniform draw `u` comes from the
-    * doc-id md5, so the same ids win on any layout, any run, any engine.
-    * Key in log form, `ln(u)/w` (monotone in the paper's `u^(1/w)`),
+    * doc-id md5 (52 bits — wide enough that equal-weight docs never tie
+    * on the draw key), so the same ids win on any layout, any run, any
+    * engine. Key in log form, `ln(u)/w` (monotone in `u^(1/w)`),
     * largest k win. Non-positive weights are excluded (P=0). Returns
     * (doc_id, weight, sample_key 6dp).
     *
@@ -1095,8 +1108,8 @@ object CorpusOps {
   def sampleWeighted(df: DataFrame, idCol: Column, weight: Column, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val base = df.select(idCol.as("doc_id"), weight.cast("double").as("weight"))
-    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10).cast("double") + 1.0) /
-      (math.pow(16, 6) + 1.0)
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10).cast("double") + 1.0) /
+      (math.pow(16, 13) + 1.0)
     base
       .filter(col("weight") > 0)
       .withColumn("__key", log(u) / col("weight"))
@@ -1151,9 +1164,10 @@ object CorpusOps {
     val rTot = rc.sum.toDouble + dim
     val lam =
       Array.tabulate(dim)(b => math.log((tc(b) + 1) / tTot) - math.log((rc(b) + 1) / rTot))
-    // deterministic Gumbel noise from the id hash: u ∈ (0,1), g = −ln(−ln u)
-    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10).cast("double") + 1.0) /
-      (math.pow(16, 6) + 1.0)
+    // deterministic Gumbel noise from the id hash (52 bits: no key ties
+    // even between exact-duplicate docs): u ∈ (0,1), g = −ln(−ln u)
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10).cast("double") + 1.0) /
+      (math.pow(16, 13) + 1.0)
     raw
       .select(rawId.as("doc_id"), explode_outer(split(rawText, " ")).as("tok"))
       .select(
@@ -1229,9 +1243,15 @@ object CorpusOps {
     val surv = base
       .join(counts, Seq("domain"))
       .filter(u < least(lit(1.0), lit(safety * cap) / col("__n")))
-    val survCnt = surv.groupBy(col("domain")).agg(count(lit(1)).as("__s"), first(col("__n")).as("__n"))
-    val badDomains = survCnt
-      .filter(col("__s") < least(lit(cap.toLong), col("__n")))
+    val survCnt = surv.groupBy(col("domain")).agg(count(lit(1)).as("__s"))
+    // join the undershoot check against the FULL domain-count table, not
+    // the survivor counts: a domain whose prune keeps ZERO rows is absent
+    // from survCnt entirely, and deriving badDomains from survivors alone
+    // would silently drop that whole domain (P ≈ e^{-safety·cap} per
+    // domain — real at web-scale domain counts)
+    val badDomains = counts0
+      .join(survCnt, Seq("domain"), "left")
+      .filter(coalesce(col("__s"), lit(0L)) < least(lit(cap.toLong), col("__n")))
       .select(col("domain"))
     ranked(surv.join(broadcast(badDomains), Seq("domain"), "left_anti").drop("__n"))
       .unionByName(ranked(base.join(broadcast(badDomains), Seq("domain"), "left_semi")))
@@ -1257,8 +1277,12 @@ object CorpusOps {
   def assignShards(df: DataFrame, idCol: Column, shardSize: Int): DataFrame = {
     require(shardSize > 0, s"shardSize must be positive, got $shardSize")
     val buckets = 4096
+    // NULL ids have no identity to order on and are excluded, like the
+    // rest of the md5-keyed family (a NULL would otherwise surface as a
+    // null bucket row in the bounded collect and NPE the offset build)
     val base = df
       .select(idCol.as("doc_id"))
+      .filter(col("doc_id").isNotNull)
       .withColumn("__h", md5(col("doc_id").cast("string")))
       .withColumn("__b", conv(substring(col("__h"), 1, 3), 16, 10).cast("int"))
     val counts = base.groupBy(col("__b")).agg(count(lit(1)).as("c")).collect()

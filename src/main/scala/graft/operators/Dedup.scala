@@ -313,8 +313,19 @@ object Dedup {
       idCol: Column,
       maxHamming: Int = 3,
       blocks: Int = 4
-  ): DataFrame = {
-    val blocked = simhashBlocked(simhash(df, text, idCol), maxHamming, blocks)
+  ): DataFrame =
+    pairsFromFps(simhash(df, text, idCol), maxHamming, blocks)
+
+  /** The shared pair-join tail of the Manku scheme — blocked equality
+    * join on the combination keys, ordered-pair dedup, exact Hamming
+    * filter — over ANY (id, simhash) fingerprint relation. One
+    * definition serves [[simhashPairs]] and the perceptual-hash image
+    * path ([[graft.operators.Multimodal.imageNearDupPairs]]), so the
+    * join contract (id ordering, dedup-before-filter, single hamming
+    * evaluation) cannot drift between modalities.
+    */
+  private[graft] def pairsFromFps(fps: DataFrame, maxHamming: Int, blocks: Int): DataFrame = {
+    val blocked = simhashBlocked(fps, maxHamming, blocks)
     val l = blocked.select(col("bk"), col("id").as("id_a"), col("simhash").as("fp_a"))
     val r = blocked.select(col("bk"), col("id").as("id_b"), col("simhash").as("fp_b"))
     l.join(r, Seq("bk"))

@@ -167,18 +167,8 @@ object Multimodal {
     * is governed by the block-key width exactly as measured in
     * `StressXOps simhash`.
     */
-  def imageNearDupPairs(ds: Dataset[MediaRow], maxHamming: Int = 2, blocks: Int = 4): DataFrame = {
-    val blocked = Dedup.simhashBlocked(aHash(ds), maxHamming, blocks)
-    val l = blocked.select(col("bk"), col("id").as("id_a"), col("simhash").as("fp_a"))
-    val r = blocked.select(col("bk"), col("id").as("id_b"), col("simhash").as("fp_b"))
-    l.join(r, Seq("bk"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .filter(Dedup.hamming(col("fp_a"), col("fp_b")) <= maxHamming)
-      .select(
-        col("id_a"),
-        col("id_b"),
-        Dedup.hamming(col("fp_a"), col("fp_b")).cast("int").as("hamming")
-      )
-  }
+  def imageNearDupPairs(ds: Dataset[MediaRow], maxHamming: Int = 2, blocks: Int = 4): DataFrame =
+    Dedup
+      .pairsFromFps(aHash(ds), maxHamming, blocks)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
 }

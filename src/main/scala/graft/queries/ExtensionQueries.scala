@@ -1054,12 +1054,20 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Per-domain quota cap: exact window semantics via the hash-quantile
-    // prefilter + undershoot fallback (bounded window partitions at any
-    // domain skew); the oracle replays the plain window.
+    // Per-domain quota cap. The oracle replays the plain window (the
+    // operator's DEFAULT path — WindowGroupLimit already bounds it, see
+    // the scaladoc); the query runs the engine-independent hash-quantile
+    // prefilter variant so the nontrivial path is the one the
+    // cross-engine gate certifies.
     "x53_domain_cap" -> ((s, dir) =>
       CorpusOps
-        .capPerDomain(T(s, dir, "documents"), col("doc_id"), col("source"), cap = 10)
+        .capPerDomain(
+          T(s, dir, "documents"),
+          col("doc_id"),
+          col("source"),
+          cap = 10,
+          prefilter = true
+        )
         .orderBy(col("domain"), col("rk"))),
 
     // Deterministic global training order + shard cut: distributed rank
@@ -2005,18 +2013,25 @@ object ExtensionQueries {
         |HAVING ROUND(CAST(COUNT(1) AS DOUBLE)/a.nsh, 6) >= 0.9
         |ORDER BY 1, 2""".stripMargin,
 
-    // A-Res: ln(u)/w with u from the first 6 md5 hex chars of the id
+    // A-Res: ln(u)/w with u from the first 13 md5 hex chars of the id (52 bits: tie-free keys)
     // (strpos digit decode), top-100 by the continuous key
     "x56_sample_weighted" ->
       """WITH s AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
         |    LN((
-        |      (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),1,1))-1)*1048576.0
-        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),2,1))-1)*65536
-        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),3,1))-1)*4096
-        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),4,1))-1)*256
-        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),5,1))-1)*16
-        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),6,1))-1)
-        |    + 1.0) / 16777217.0) / CAST(n_chars AS DOUBLE) AS key
+        |      (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),1,1))-1)*281474976710656.0
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),2,1))-1)*17592186044416
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),3,1))-1)*1099511627776
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),4,1))-1)*68719476736
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),5,1))-1)*4294967296
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),6,1))-1)*268435456
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),7,1))-1)*16777216
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),8,1))-1)*1048576
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),9,1))-1)*65536
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),10,1))-1)*4096
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),11,1))-1)*256
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),12,1))-1)*16
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),13,1))-1)
+        |    + 1.0) / 4503599627370497.0) / CAST(n_chars AS DOUBLE) AS key
         |  FROM documents WHERE n_chars > 0)
         |SELECT doc_id, weight, ROUND(key, 6) AS sample_key
         |FROM s ORDER BY key DESC LIMIT 100""".stripMargin,
@@ -2056,7 +2071,7 @@ object ExtensionQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // dsir: same 3-hex-char feature bucket as x36 (strpos digit decode),
-    // λ over all 4096 buckets via RANGE, Gumbel key from the first 6 md5
+    // λ over all 4096 buckets via RANGE, Gumbel key from the first 13 md5
     // hex chars of the doc id; floats rounded 6dp, selection by the
     // continuous (tie-free) key
     "x51_dsir_resample" ->
@@ -2090,13 +2105,20 @@ object ExtensionQueries {
         |  FROM d LEFT JOIN lam ON lam.b = d.b GROUP BY doc_id),
         |g AS (SELECT doc_id, n_tokens, logw,
         |    logw - LN(-LN((
-        |      (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),1,1))-1)*1048576.0
-        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),2,1))-1)*65536
-        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),3,1))-1)*4096
-        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),4,1))-1)*256
-        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),5,1))-1)*16
-        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),6,1))-1)
-        |    + 1.0) / 16777217.0)) AS key
+        |      (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),1,1))-1)*281474976710656.0
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),2,1))-1)*17592186044416
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),3,1))-1)*1099511627776
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),4,1))-1)*68719476736
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),5,1))-1)*4294967296
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),6,1))-1)*268435456
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),7,1))-1)*16777216
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),8,1))-1)*1048576
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),9,1))-1)*65536
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),10,1))-1)*4096
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),11,1))-1)*256
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),12,1))-1)*16
+        |    + (STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)),13,1))-1)
+        |    + 1.0) / 4503599627370497.0)) AS key
         |  FROM s)
         |SELECT doc_id, n_tokens, ROUND(logw, 6) AS log_weight, ROUND(key, 6) AS gumbel_key
         |FROM g ORDER BY key DESC LIMIT 100""".stripMargin,

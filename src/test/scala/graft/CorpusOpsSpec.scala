@@ -629,6 +629,57 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(re == spec)
   }
 
+  test("capPerDomain: a domain whose prune keeps ZERO survivors still falls back (exact)") {
+    import spark.implicits._
+    // deterministic zero-survivor fixture: cap=1, safety=1 over a 4-row
+    // domain makes thr = 0.25; pick ids whose 32-bit md5-prefix fraction
+    // is >= 0.25 so the prune removes EVERY row and only the fallback
+    // can rank the domain
+    def u(id: Long): Double = {
+      val hex = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4)
+        .map("%02x".format(_))
+        .mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / math.pow(16, 8)
+    }
+    val zIds = (500000L until 510000L).filter(u(_) >= 0.3).take(4)
+    assert(zIds.length == 4)
+    val df = zIds.map(_ -> "z").toDF("doc_id", "d")
+      .unionByName(spark.range(100).select(col("id").as("doc_id"), lit("n").as("d")))
+    def asSet(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSet
+    val spec = asSet(CorpusOps.capPerDomain(df, col("doc_id"), col("d"), cap = 1))
+    val fast =
+      asSet(CorpusOps.capPerDomain(df, col("doc_id"), col("d"), cap = 1, safety = 1.0, prefilter = true))
+    assert(fast == spec, s"zero-survivor domain must survive via fallback: $fast vs $spec")
+    assert(fast.count(_._2 == "z") == 1)
+  }
+
+  test("snapshotDiff: NULL text is presence, not absence") {
+    import spark.implicits._
+    val old = Seq((1L, null.asInstanceOf[String]), (2L, "live"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val neu = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = CorpusOps
+      .snapshotDiff(old, col("doc_id"), col("text"), neu, col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    // 1: null -> null is unchanged; 2: text -> null is changed (present in
+    // both); 3: present-with-null-text then gone is removed
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed"))
+  }
+
+  test("assignShards: NULL ids are excluded, not an NPE") {
+    import spark.implicits._
+    val df = Seq(Some(1L), Some(2L), None, Some(3L)).toDF("doc_id")
+    val got = CorpusOps.assignShards(df, col("doc_id"), shardSize = 2).collect()
+    assert(got.length == 3 && got.map(_.getLong(1)).sorted.sameElements(Array(0L, 1L, 2L)))
+  }
+
   test("assignShards: equals the global-sort rank; shards cut exactly") {
     import org.apache.spark.sql.expressions.Window
     val df = spark.range(5000).select(col("id").as("doc_id"))
