@@ -20,7 +20,8 @@ import graft.functions.codecs
   * graft_hyperplane_sig(arr, bits); text kernels
   * graft_word_shingles(str, n), graft_minhash_sig(arr, k),
   * graft_simhash64(arr), graft_pii_scrub(str), graft_token_entropy(str),
-  * graft_word_counts(str), graft_normalize_text(str); split assignment
+  * graft_word_counts(str), graft_normalize_text(str),
+  * graft_cdc_chunks(str, w); split assignment
   * graft_split(id); sampling
   * key graft_uniform(id).
   *

@@ -181,20 +181,23 @@ object ConnectedComponents {
       quality: Column,
       pairs: DataFrame
   ): DataFrame = {
-    val cc = run(pairs)
-    val assigned = df
-      .select(idCol.cast("long").as("doc_id"), quality.cast("double").as("quality"))
-      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        col("quality"),
-        coalesce(col("component"), col("doc_id")).as("component")
-      )
+    val assigned =
+      componentsFor(df, idCol, pairs, Seq("quality" -> quality.cast("double")))
+    // NULL quality must LOSE, not win: struct ordering sorts a null field
+    // FIRST, so an un-coalesced -quality would hand every cluster with a
+    // missing score to the null-quality member. +∞ sends nulls to the
+    // back (ties then break by id), matching the oracle's NULLS LAST.
     val winners = assigned
       .groupBy(col("component"))
       .agg(
         count(lit(1)).as("n_members"),
-        min_by(col("doc_id"), struct((-col("quality")).as("nq"), col("doc_id"))).as("__keep_id")
+        min_by(
+          col("doc_id"),
+          struct(
+            coalesce(-col("quality"), lit(Double.PositiveInfinity)).as("nq"),
+            col("doc_id")
+          )
+        ).as("__keep_id")
       )
     assigned
       .join(winners, Seq("component"))
@@ -214,11 +217,7 @@ object ConnectedComponents {
     * This is the "pairs in, deduplicated corpus out" surface.
     */
   def assignClusters(df: DataFrame, idCol: Column, pairs: DataFrame): DataFrame = {
-    val cc = run(pairs)
-    val assigned = df
-      .select(idCol.cast("long").as("doc_id"))
-      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+    val assigned = componentsFor(df, idCol, pairs, Nil)
     val sizes = assigned.groupBy(col("component")).agg(count(lit(1)).as("n_members"))
     assigned
       .join(sizes, Seq("component"))
@@ -228,5 +227,24 @@ object ConnectedComponents {
         col("n_members"),
         (col("doc_id") === col("component")).as("is_rep")
       )
+  }
+
+  /** Shared head of the cluster-assignment surface: run CC on the pairs,
+    * left-join every doc to its component, coalesce singletons to their
+    * own id, carrying `extra` named columns through. One definition
+    * serves [[assignClusters]] (min-id representative) and
+    * [[assignClustersKeepBest]] (quality representative) so the
+    * singleton/join shape cannot drift between the two policies.
+    */
+  private def componentsFor(
+      df: DataFrame,
+      idCol: Column,
+      pairs: DataFrame,
+      extra: Seq[(String, Column)]
+  ): DataFrame = {
+    val cc = run(pairs)
+    df.select(idCol.cast("long").as("doc_id") +: extra.map { case (n, c) => c.as(n) }: _*)
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
   }
 }

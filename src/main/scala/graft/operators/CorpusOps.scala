@@ -671,9 +671,15 @@ object CorpusOps {
     val vocab = df
       .select(group.as("g"), explode(split(text, " ")).as("tok"))
       .distinct()
-    val sig = graft.functions.text.minhash_sig(array(col("tok")), numHashes)
-    val sigMins = (1 to numHashes).map(i => min(element_at(sig, i)).as(s"__h$i"))
-    val stats = vocab.groupBy(col("g")).agg(count(lit(1)).as("n"), sigMins: _*)
+    // project the signature ONCE per vocab row — putting the minhash_sig
+    // tree inside each of the numHashes min() aggregates would duplicate
+    // the whole xxhash chain numHashes times in the update expression
+    // (numHashes² hash evals worst-case, and a codegen method big enough
+    // to fall back to interpreted eval)
+    val sigd = vocab
+      .withColumn("__sig", graft.functions.text.minhash_sig(array(col("tok")), numHashes))
+    val sigMins = (1 to numHashes).map(i => min(element_at(col("__sig"), i)).as(s"__h$i"))
+    val stats = sigd.groupBy(col("g")).agg(count(lit(1)).as("n"), sigMins: _*)
     val a = stats.toDF(stats.columns.map(_ + "_a").toIndexedSeq: _*)
     val b = stats.toDF(stats.columns.map(_ + "_b").toIndexedSeq: _*)
     val matches = (1 to numHashes)
@@ -748,20 +754,29 @@ object CorpusOps {
     require(k > 0 && eps > 0 && eps < 1 && confidence > 0 && confidence < 1)
     val spark = df.sparkSession
     import spark.implicits._
-    val toks = df.select(explode(split(text, " ")).as("term"))
-    val topk = toks
-      .groupBy(col("term"))
-      .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("term"))
-      .limit(k)
-      .collect()
-    val skRow = toks
-      .agg(
-        expr(s"count_min_sketch(term, CAST($eps AS DOUBLE), CAST($confidence AS DOUBLE), $seed)")
-          .as("sk"),
-        count(lit(1)).as("n")
-      )
-      .head()
+    // the exact top-k and the sketch are two actions over the same token
+    // stream — persist it so the corpus is tokenized once, not twice
+    val toks = df.select(explode(split(text, " ")).as("term")).persist()
+    val (topk, skRow) =
+      try {
+        val t = toks
+          .groupBy(col("term"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term"))
+          .limit(k)
+          .collect()
+        val s = toks
+          .agg(
+            expr(s"count_min_sketch(term, CAST($eps AS DOUBLE), CAST($confidence AS DOUBLE), $seed)")
+              .as("sk"),
+            count(lit(1)).as("n")
+          )
+          .head()
+        (t, s)
+      } finally {
+        toks.unpersist()
+        ()
+      }
     val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(skRow.getAs[Array[Byte]](0))
     val bound = math.ceil(eps * skRow.getLong(1)).toLong
     topk.zipWithIndex.map { case (r, i) =>

@@ -107,6 +107,24 @@ class ClusterCurationSpec extends SparkTestBase {
     assert(keeps.forall(_.getLong(1) == 1L))
   }
 
+  test("assignClustersKeepBest: NULL quality loses, never wins") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // struct ordering sorts a null field FIRST — un-coalesced, the
+    // null-score member would take every cluster it appears in
+    val docs = Seq(
+      (1L, Some(9.0)), (2L, None),            // {1,2}: scored member wins
+      (5L, None), (6L, None)                  // {5,6}: all-null -> min id wins
+    ).toDF("id", "q")
+    val pairs = Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val rows = ConnectedComponents
+      .assignClustersKeepBest(docs, col("id"), col("q"), pairs)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(4)))
+    assert(rows.toSeq == Seq((1L, true), (2L, false), (5L, true), (6L, false)))
+  }
+
   test("fuzzyDedupKeepBest: near-dup twins keep the longer copy") {
     import org.apache.spark.sql.functions.{col, length}
     import spark.implicits._
