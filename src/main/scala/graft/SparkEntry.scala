@@ -12,7 +12,7 @@ import graft.queries.{ExtensionQueries, PipelineQueries, RelationalQueries}
   *   - [[PipelineQueries]] — the reference's own operators O-5..O-17
   *     (codec, dispatch, router, relabel, throughput, fan-out), p1..p14;
   *   - [[ExtensionQueries]] — dedup / similarity / text analysis /
-  *     multimodal / corpus-curation / retrieval extensions, x1..x60.
+  *     multimodal / corpus-curation / retrieval extensions, x1..x61.
   */
 object SparkEntry {
 

@@ -1040,6 +1040,26 @@ object StressXOps {
       println(s"[stressx]   plan: $rpH")
       assert(rpRows == nVecs * 8)
 
+      // BPE: train 32 merges on the full corpus (vocab-sized rounds after
+      // one corpus collapse), then segment every doc with the native
+      // apply kernel — the tokenizer-bootstrap path at corpus scale
+      val tBpe = System.nanoTime()
+      val bpeMerges = operators.TextOps.trainBpe(corpus, col("text"), numMerges = 32)
+      val bpeTrainSec = (System.nanoTime() - tBpe) / 1e9
+      val bpeSeg = corpus.select(
+        col("id"),
+        size(graft.functions.text.bpe_segment(col("text"), bpeMerges)).as("n_sub")
+      )
+      val (bpeSec, bpeRows, bpeH, _) = run(bpeSeg)
+      val subStats = corpus
+        .select(size(graft.functions.text.bpe_segment(col("text"), bpeMerges)).as("n_sub"),
+          length(regexp_replace(col("text"), " ", "")).as("n_chars"))
+        .agg(sum(col("n_sub")).as("subs"), sum(col("n_chars")).as("chars")).head()
+      println(f"[stressx] trainBpe(32 merges) @ $corpusN%d docs: $bpeTrainSec%.1f s; bpe_segment: $bpeSec%.1f s, $bpeRows docs, ${subStats.getLong(0)} subwords vs ${subStats.getLong(1)} chars (${subStats.getLong(1).toDouble / subStats.getLong(0)}%.2f chars/subword)")
+      println(s"[stressx]   plan: $bpeH")
+      assert(bpeMerges.length == 32 && bpeRows == corpusN)
+      assert(subStats.getLong(0) < subStats.getLong(1), "merges must compress below char count")
+
       // containment (quote detection): 12-token excerpts of 1% of docs —
       // every excerpt shingle lives in its source (C=1.0), and the 100k
       // vocab keeps background containment ≈ 0, so found == planted

@@ -667,4 +667,80 @@ object text {
 
   def cdc_chunks(textCol: Column, w: Int): Column =
     Bridge.column(CdcChunks(Bridge.expression(textCol), w))
+
+  /** BPE tokenization APPLY kernel: split the text on single spaces,
+    * start each word as its code-point symbols, then apply the trained
+    * `merges` in ORDER — one greedy left-to-right pass per merge (the
+    * standard byte-pair apply: a pass merges every non-overlapping
+    * occurrence, overlaps resolve leftmost, and a merge can never
+    * re-create its own left/right symbols so one pass per rule is
+    * complete). Emits the concatenated subword array across words.
+    *
+    * The merge table is bounded model state riding the expression as a
+    * reference object (the IVF-centroid pattern); evaluation is one
+    * JIT'd walk per row — the alternative (one interpreted HOF `aggregate`
+    * layer PER MERGE stacked numMerges deep) is the shape the
+    * TokenEntropy/PiiScrub measurements rule out.
+    */
+  case class BpeSegment(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    @transient private lazy val mergeArr: Array[(String, String)] = merges.toArray
+
+    /** Invoked from both eval and generated code. */
+    def compute(s: UTF8String): GenericArrayData = {
+      val words = s.toString.split(" ", -1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var wi = 0
+      while (wi < words.length) {
+        val w = words(wi)
+        if (w.nonEmpty) {
+          var syms = new java.util.ArrayList[String](w.length)
+          var ci = 0
+          while (ci < w.length) {
+            val cp = w.codePointAt(ci)
+            val cc = Character.charCount(cp)
+            syms.add(w.substring(ci, ci + cc))
+            ci += cc
+          }
+          var m = 0
+          while (m < mergeArr.length) {
+            val a = mergeArr(m)._1
+            val b = mergeArr(m)._2
+            val next = new java.util.ArrayList[String](syms.size)
+            var i = 0
+            while (i < syms.size) {
+              if (i + 1 < syms.size && syms.get(i) == a && syms.get(i + 1) == b) {
+                next.add(a + b)
+                i += 2
+              } else {
+                next.add(syms.get(i))
+                i += 1
+              }
+            }
+            syms = next
+            m += 1
+          }
+          var k = 0
+          while (k < syms.size) { out += UTF8String.fromString(syms.get(k)); k += 1 }
+        }
+        wi += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeSegment", this, classOf[BpeSegment].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+    }
+    override protected def withNewChildInternal(c: Expression): BpeSegment = copy(child = c)
+  }
+
+  def bpe_segment(textCol: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeSegment(Bridge.expression(textCol), merges))
 }

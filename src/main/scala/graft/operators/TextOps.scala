@@ -462,6 +462,86 @@ object TextOps {
   def quantizeWeights(w: Array[Double], factor: Double = 1000.0): Array[Long] =
     w.map(x => math.round(x * factor))
 
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016): learn `numMerges`
+    * merge rules from the corpus — the "train the tokenizer on the data"
+    * step that precedes token counting, chunking, and packing in a real
+    * pipeline. Fully deterministic: counts are exact integers and ties
+    * break lexicographically on the pair, so the same corpus yields the
+    * same merge table on any cluster layout (engine-oracle replay is
+    * impossible only because the loop is data-dependent; the spec tests
+    * against an independent driver-side reimplementation instead, the
+    * scoreLinearHashed precedent).
+    *
+    * Shape at 100 TB: the corpus collapses ONCE into the word-frequency
+    * table (vocabulary-sized — the only corpus-sized pass); every round
+    * after that runs on the vocab table: a pair-count partial agg
+    * (`TakeOrdered` 1 — never a sort), a driver-side argmax (one row,
+    * the ivfTrain bounded-model pattern), and a fold that applies the
+    * merge to the symbol arrays. `localCheckpoint` per round truncates
+    * the otherwise numMerges-deep lambda lineage. Apply at corpus scale
+    * is the separate native kernel
+    * [[graft.functions.text.BpeSegment]] — merges ride it as a
+    * reference object.
+    */
+  def trainBpe(
+      df: DataFrame,
+      text: Column,
+      numMerges: Int,
+      minPairCount: Long = 2L
+  ): Seq[(String, String)] = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    var words = df
+      .select(explode(split(text, " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(split(col("w"), "").as("syms"), col("cnt"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      val best = words
+        .select(
+          explode(
+            zip_with(
+              slice(col("syms"), lit(1), size(col("syms")) - 1),
+              slice(col("syms"), lit(2), size(col("syms")) - 1),
+              (a, b) => struct(a.as("a"), b.as("b"))
+            )
+          ).as("p"),
+          col("cnt")
+        )
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty || best(0).getLong(2) < minPairCount) done = true
+      else {
+        val a = best(0).getString(0)
+        val b = best(0).getString(1)
+        merges += ((a, b))
+        // greedy left-to-right pass as a fold: merge s into the tail of
+        // acc when (last(acc), s) == (a, b) — a freshly-merged a+b can
+        // never equal a (b is non-empty), so the fold IS the pass
+        val merged = aggregate(
+          col("syms"),
+          array().cast("array<string>"),
+          (acc, s) =>
+            when(
+              size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b)))
+            ).otherwise(concat(acc, array(s)))
+        )
+        val next = words.select(merged.as("syms"), col("cnt")).localCheckpoint(true)
+        words.unpersist()
+        words = next
+      }
+    }
+    words.unpersist()
+    merges.toSeq
+  }
+
   /** Gopher rule-based quality gate (Rae et al. 2021, Table A1): the
     * document-level heuristics a web corpus is filtered with BEFORE any
     * model-based gate — word-count bounds, mean word length bounds,

@@ -892,6 +892,29 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE apply over a fixed merge table (training is x-engine-untestable
+    // by its loop; see trainBpe's scaladoc — the APPLY kernel is the hot
+    // corpus-scale path and oracle-checks here). Merges are all a!=b, so
+    // one greedy pass == all non-overlapping matches and the oracle can
+    // replay each merge with two delimiter-padded REPLACE sweeps.
+    "x61_bpe_segment" -> ((s, dir) => {
+      val merges = Seq(
+        "t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e",
+        "v" -> "a", "va" -> "l", "s" -> "c", "sc" -> "a"
+      )
+      T(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          graft.functions.text.bpe_segment(col("text"), merges).as("toks")
+        )
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_subwords"),
+          md5(concat_ws("|", col("toks"))).as("seg_fp")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
     // Snapshot diff: the new crawl drops id%31==0, rewrites id%13==0
     // (prepended marker), and adds 100 fresh ids — per-doc status plus
     // the 4-group drift summary both engines replay exactly.
@@ -1964,6 +1987,21 @@ object ExtensionQueries {
         |      FROM q)
         |SELECT w.doc_id, w.component, s.n_members, w.quality, w.rn = 1 AS keep
         |FROM w JOIN sizes s ON w.component = s.component ORDER BY w.doc_id""".stripMargin,
+
+    // bpe: chars spaced out with pad spaces, each merge = two REPLACE
+    // sweeps (the first consumes the shared delimiter of adjacent
+    // matches, the second catches the now-isolated leftovers — exactly
+    // the non-overlapping match set since every merge has a != b)
+    "x61_bpe_segment" ->
+      """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents),
+        |w AS (SELECT doc_id, words, UNNEST(RANGE(1, LEN(words)+1)) AS wi FROM d),
+        |w2 AS (SELECT doc_id, wi, words[wi] AS word FROM w),
+        |seg AS (SELECT doc_id, wi,
+        |  STRING_SPLIT(TRIM(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(' ' || ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(1, LENGTH(word)+1), i -> SUBSTR(word, i, 1)), ' ') || ' ', ' t a ', ' ta '), ' t a ', ' ta '), ' ta b ', ' tab '), ' ta b ', ' tab '), ' tab l ', ' tabl '), ' tab l ', ' tabl '), ' tabl e ', ' table '), ' tabl e ', ' table '), ' v a ', ' va '), ' v a ', ' va '), ' va l ', ' val '), ' va l ', ' val '), ' s c ', ' sc '), ' s c ', ' sc '), ' sc a ', ' sca '), ' sc a ', ' sca ')), ' ') AS toks
+        |  FROM w2)
+        |SELECT doc_id, CAST(SUM(LEN(toks)) AS INT) AS n_subwords,
+        |  md5(STRING_AGG(ARRAY_TO_STRING(toks, '|'), '|' ORDER BY wi)) AS seg_fp
+        |FROM seg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // snapshot diff: digests replay via the x46 normalization formula
     "x60_snapshot_diff" ->

@@ -191,6 +191,61 @@ class OperatorSpec extends SparkTestBase {
     assert(none == 0L)
   }
 
+  test("trainBpe + bpe_segment: match an independent reference implementation") {
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = corpus.grouped(4).map(_.mkString(" ")).toSeq.toDF("text")
+    val merges = TextOps.trainBpe(df, col("text"), numMerges = 6)
+
+    // independent driver-side reference trainer (same determinism rules:
+    // exact counts, ties break lexicographically, min pair count 2)
+    def pass(syms: List[String], a: String, b: String): List[String] = {
+      val r = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) { r += a + b; i += 2 }
+        else { r += syms(i); i += 1 }
+      }
+      r.toList
+    }
+    def refTrain(words: Map[String, Long], n: Int): Seq[(String, String)] = {
+      var w = words.toList.map { case (k, c) => k.map(_.toString).toList -> c }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var stop = false
+      while (!stop && out.length < n) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, c) <- w; i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+        val cand = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+        cand match {
+          case Some(((a, b), c)) if c >= 2 =>
+            out += ((a, b))
+            w = w.map { case (syms, cnt) => pass(syms, a, b) -> cnt }
+          case _ => stop = true
+        }
+      }
+      out.toSeq
+    }
+    val wordCounts = corpus.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val expected = refTrain(wordCounts, 6)
+    assert(merges == expected, s"trainBpe $merges != reference $expected")
+    assert(merges.length == 6)
+
+    // apply kernel == reference apply, across words in one text
+    def refApply(word: String): List[String] =
+      merges.foldLeft(word.map(_.toString).toList) { case (s, (a, b)) => pass(s, a, b) }
+    val seg = Seq("newest low lowest").toDF("text")
+      .select(graft.functions.text.bpe_segment(col("text"), merges).as("toks"))
+      .collect()(0).getSeq[String](0)
+    assert(seg.toList == List("newest", "low", "lowest").flatMap(refApply))
+
+    // greedy left-to-right on a same-symbol run: "aaaaa" + (a,a) -> [aa, aa, a]
+    val run = Seq("aaaaa").toDF("text")
+      .select(graft.functions.text.bpe_segment(col("text"), Seq(("a", "a"))).as("toks"))
+      .collect()(0).getSeq[String](0)
+    assert(run.toList == List("aa", "aa", "a"))
+  }
+
   test("aHash/imageNearDupPairs: structured planes hash exactly; blocked == brute") {
     // A: dark half then bright half -> exactly the top 32 bits set;
     // C: the inverse plane; B: A with one byte nudged (hamming <= 1)
