@@ -229,6 +229,24 @@ object ConnectedComponents {
       )
   }
 
+  /** Leakage-safe train/val/test split: assign the split at the
+    * NEAR-DUP-CLUSTER level, not the document level. A plain per-doc
+    * [[CorpusOps.hashSplit]] puts two near-identical documents on
+    * opposite sides of the train/test fence with probability
+    * 2·p·(1−p) — at web-corpus duplicate rates that is systematic
+    * eval contamination. Here every member of a connected component
+    * inherits `md5(component)`'s bucket, so a whole near-dup cluster
+    * lands on ONE side; singletons (component = own id) degrade to
+    * exactly the per-doc split, keeping the two surfaces consistent.
+    *
+    * Scale shape: [[assignClusters]]'s iterative CC (O(log diameter)
+    * bounded-key rounds) plus one pure per-row projection — the split
+    * adds zero exchanges on top of the clustering it reuses.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: Column, pairs: DataFrame): DataFrame =
+    assignClusters(df, idCol, pairs)
+      .withColumn("split", CorpusOps.splitFor(col("component")))
+
   /** Shared head of the cluster-assignment surface: run CC on the pairs,
     * left-join every doc to its component, coalesce singletons to their
     * own id, carrying `extra` named columns through. One definition

@@ -1320,4 +1320,143 @@ object CorpusOps {
         pmod(col("rank"), lit(shardSize.toLong)).as("pos")
       )
   }
+
+  /** Pointwise-mutual-information collocations: the classic corpus-health /
+    * tokenizer-prep statistic (Church & Hanks 1990) — adjacent token pairs
+    * whose joint count is far above chance,
+    * `pmi = ln(c12 · N / (c1 · c2))`, gated at `minCount` joint
+    * occurrences and returned as the top-`k` by PMI.
+    *
+    * Scale shape (the 100 TB path): bigram generation is a pure per-row
+    * projection (`transform` over the token array — zero shuffle), and
+    * BOTH count tables go through two-level hash aggregation with map-side
+    * partials, so the exchanges carry one row per DISTINCT bigram/token,
+    * not per occurrence. The `minCount` gate runs on the aggregated pair
+    * table BEFORE the two unigram joins (web-scale bigram tables are
+    * heavy-tailed — the gate drops the hapax mass, typically >60 % of
+    * distinct pairs). Unigram joins are plain equi-joins on the word (AQE
+    * broadcasts the vocab side when it fits); the final top-k is
+    * `TakeOrderedAndProject` on the ROUNDED pmi (6 dp, ties broken by the
+    * pair) — never a global sort, and the rounding makes the cut
+    * cross-engine deterministic. All counts are exact longs; products
+    * `c12·N` and `c1·c2` stay inside Long up to ~3·10⁹ tokens per shard —
+    * beyond that widen to double before the divide (the ratio is what
+    * PMI needs, and it is far from both overflow and denormal range).
+    */
+  def pmiCollocations(
+      df: DataFrame,
+      text: Column,
+      minCount: Int = 3,
+      k: Int = 100
+  ): DataFrame = {
+    val toks = df.select(split(text, " ").as("w"))
+    val pairs = toks
+      .filter(size(col("w")) >= 2)
+      .select(
+        explode(
+          transform(
+            slice(col("w"), lit(1), size(col("w")) - 1),
+            (x, i) => struct(x.as("w1"), element_at(col("w"), i + lit(2)).as("w2"))
+          )
+        ).as("p")
+      )
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val uni = toks
+      .select(explode(col("w")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).cast("long").as("n_tokens"))
+    pairs
+      .join(uni.select(col("tok").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(total)
+      .select(
+        col("w1"),
+        col("w2"),
+        col("c12"),
+        round(
+          log((col("c12") * col("n_tokens")).cast("double") / (col("c1") * col("c2")).cast("double")),
+          6
+        ).as("pmi")
+      )
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** Epoch-capped temperature mixture (the UniMax / mT5-style sampling
+    * step, Chung et al. 2023): allot a document budget `B` across domains
+    * proportional to `n_d^α` with α = 0.5 (√-temperature — the standard
+    * multilingual up-weighting of small domains), cap every domain at
+    * `maxEpochs` passes over its data, and materialize the allotment as a
+    * deterministic per-document repeat count:
+    *
+    *   budget_d  = min(⌊B·√n_d / Σ√n⌋, ⌊maxEpochs·n_d⌋)
+    *   n_repeats = ⌊budget_d/n_d⌋ (+1 for the `budget_d mod n_d` docs
+    *               ranked first by the md5-uniform key, ties by id)
+    *
+    * √ rather than a free α because IEEE sqrt is correctly rounded in
+    * every engine — `pow(x, α)` is libm-dependent and would put the floor
+    * on a cross-engine boundary. One-shot allotment (no UniMax leftover
+    * redistribution loop): the overflow a cap releases is simply unspent,
+    * which keeps the whole budget computation a two-row-group aggregate
+    * plus a broadcast join — replayable by any engine, no iteration.
+    *
+    * Scale shape: the budget table is one row per domain (KBs) —
+    * `broadcast()` by construction. The only corpus-wide work is the
+    * remainder pick: a per-domain `row_number` over the uniform key.
+    * Unlike [[capPerDomain]]'s rank≤cap filter this rank CARRIES a value
+    * (+1/+0) rather than filtering, so WindowGroupLimit cannot prune it —
+    * on a hot-domain corpus, prefilter the +1 CANDIDATES exactly as
+    * [[capPerDomain]] does (u < safety·rem/n with the undershoot
+    * fallback) before ranking; at typical web-domain cardinalities the
+    * per-domain sort is the cheapest step of the job.
+    */
+  def epochMixture(
+      df: DataFrame,
+      domain: Column,
+      idCol: Column,
+      budget: Long,
+      maxEpochs: Double = 4.0
+  ): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    val base = df
+      .select(domain.as("domain"), idCol.as("doc_id"))
+      .filter(col("doc_id").isNotNull)
+    val counts = base.groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
+    val sumW = counts.agg(sum(sqrt(col("n_docs").cast("double"))).as("sum_w"))
+    val budgets = counts
+      .crossJoin(sumW)
+      .select(
+        col("domain"),
+        col("n_docs"),
+        least(
+          floor(lit(budget.toDouble) * sqrt(col("n_docs").cast("double")) / col("sum_w")),
+          floor(lit(maxEpochs) * col("n_docs").cast("double"))
+        ).cast("long").as("budget_docs")
+      )
+      .select(
+        col("domain"),
+        col("n_docs"),
+        col("budget_docs"),
+        floor(col("budget_docs").cast("double") / col("n_docs").cast("double"))
+          .cast("long").as("epochs"),
+        (col("budget_docs") - col("n_docs") *
+          floor(col("budget_docs").cast("double") / col("n_docs").cast("double")).cast("long"))
+          .as("rem")
+      )
+    val wD = Window.partitionBy(col("domain")).orderBy(col("u"), col("doc_id"))
+    base
+      .withColumn("u", hashUniform(col("doc_id")))
+      .join(broadcast(budgets), "domain")
+      .withColumn("rk", row_number().over(wD))
+      .select(
+        col("doc_id"),
+        col("domain"),
+        (col("epochs") + when(col("rk") <= col("rem"), 1L).otherwise(0L)).as("n_repeats")
+      )
+  }
 }

@@ -580,4 +580,79 @@ object Similarity {
     )
     df.select(idCol.as("vec_id"), posexplode(array(comps: _*)).as(Seq("j", "y")))
   }
+
+  /** Embedding sanity gate on the L2-norm z-score: flags collapsed
+    * (near-zero), exploded (mis-scaled), and otherwise corrupted vectors —
+    * the failure modes an embedding-generation stage actually produces
+    * (truncated batches, fp16 overflow, double-applied normalization).
+    * For a corpus of unit-normalized embeddings the natural norm
+    * distribution is a spike at 1.0, so ANY corruption sits many σ out;
+    * for un-normalized corpora the z-score adapts to whatever the natural
+    * scale is. Returns every scoreable row (non-null vector) with its
+    * norm, z-score, and the |z| > `zThresh` flag.
+    *
+    * Scale shape: one corpus scan computing the norm in a single native
+    * codegen pass ([[graft.functions.vector.dot]] — ascending-index loop,
+    * so the double is bit-identical in any engine that sums in index
+    * order), one 1-row global aggregate for (μ, σ), and a broadcast
+    * (cross) join of that row back — zero corpus shuffles. σ = 0
+    * (all-identical norms) degrades to z = 0: nothing is an outlier of a
+    * point mass.
+    */
+  def normOutliers(
+      df: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      zThresh: Double = 5.0
+  ): DataFrame = {
+    require(zThresh > 0, s"zThresh must be positive, got $zThresh")
+    val vecd = transform(vecCol, _.cast("double"))
+    val scored = df
+      .filter(vecCol.isNotNull)
+      .select(idCol.as("vec_id"), sqrt(dot(vecd, vecd)).as("l2_norm"))
+    val stats = scored.agg(
+      avg(col("l2_norm")).as("mu"),
+      stddev_samp(col("l2_norm")).as("sd")
+    )
+    val z = when(col("sd") === 0.0 || col("sd").isNull, lit(0.0))
+      .otherwise((col("l2_norm") - col("mu")) / col("sd"))
+    scored
+      .crossJoin(stats)
+      .select(
+        col("vec_id"),
+        round(col("l2_norm"), 6).as("l2_norm"),
+        round(z, 6).as("z"),
+        (abs(z) > zThresh).as("is_outlier")
+      )
+  }
+
+  /** Mean-pool embeddings per group — the passage→document (or
+    * chunk→document) pooling step of an embedding pipeline: one averaged
+    * vector per group, components rounded to 6 dp for engine-portable
+    * comparison, plus the member count.
+    *
+    * Scale shape: `posexplode` turns the corpus into (group, index,
+    * value) rows, but the (group, index) hash aggregate runs map-side
+    * partials, so the one exchange carries `groups × dim` rows — model
+    * state, not corpus state; the second (group-level) aggregate
+    * reassembles the vector from `dim` rows per group. For very large
+    * `dim` fuse the two with a custom vector-sum `Aggregator` (one
+    * exchange of `groups` array rows); at typical embedding dims the
+    * two-level relational shape is already exchange-light and stays
+    * whole-stage-codegen end to end.
+    */
+  def meanPoolByGroup(df: DataFrame, groupCol: Column, vecCol: Column): DataFrame =
+    df.filter(vecCol.isNotNull)
+      .select(groupCol.as("group"), posexplode(transform(vecCol, _.cast("double"))).as(Seq("i", "v")))
+      .groupBy(col("group"), col("i"))
+      .agg(count(lit(1)).as("cnt"), round(avg(col("v")), 6).as("m"))
+      .groupBy(col("group"))
+      .agg(
+        max(col("cnt")).as("n_vecs"),
+        count(lit(1)).cast("int").as("dim"),
+        transform(
+          array_sort(collect_list(struct(col("i"), col("m")))),
+          e => e.getField("m")
+        ).as("vec")
+      )
 }

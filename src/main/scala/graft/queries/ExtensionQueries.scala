@@ -1205,6 +1205,99 @@ object ExtensionQueries {
         )
     }),
 
+    // PMI collocations: top-100 adjacent-pair associations at minCount=3.
+    // Counts are exact longs on both engines; the top-k cut orders on the
+    // ROUNDED pmi (ties by pair) so the k-boundary is cross-engine stable.
+    "x62_pmi_collocations" -> ((s, dir) =>
+      CorpusOps
+        .pmiCollocations(T(s, dir, "documents"), col("text"), minCount = 3, k = 100)
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))),
+
+    // Epoch-capped √-temperature mixture over the (naturally skewed)
+    // lang column: budget 600 docs, ≤1.5 epochs per domain — at sf0.01
+    // this exercises BOTH regimes (en stays sub-epoch, small langs go
+    // past one epoch, and the cap binds for the smallest).
+    "x63_epoch_mixture" -> ((s, dir) =>
+      CorpusOps
+        .epochMixture(
+          T(s, dir, "documents"),
+          col("lang"),
+          col("doc_id"),
+          budget = 600,
+          maxEpochs = 1.5
+        )
+        .orderBy(col("doc_id"))),
+
+    // Leakage-safe split on x26's planted near-dup corpus: every member
+    // of a connected component inherits md5(component)'s split bucket,
+    // so planted clique/bridge clusters can never straddle train/test.
+    "x64_leakage_split" -> ((s, dir) => {
+      val base = T(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 2000)
+      val cliq = base.filter(col("doc_id") % 50 === 0)
+      val copies = cliq
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+        .unionByName(cliq.select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
+      val bridges = base
+        .filter(col("doc_id") % 100 === 0)
+        .alias("a")
+        .join(base.alias("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(
+          (col("a.doc_id") + 3000000L).as("doc_id"),
+          concat_ws(
+            " ",
+            concat(
+              slice(split(col("a.text"), " "), 21, 20),
+              slice(split(col("b.text"), " "), 1, 20)
+            )
+          ).as("text")
+        )
+      val corpus = base.unionByName(copies).unionByName(bridges)
+      val pairs =
+        Dedup.ngramJaccardPairs(corpus, col("text"), col("doc_id"), n = 3, threshold = 0.25)
+      ConnectedComponents
+        .leakageSafeSplit(corpus, col("doc_id"), pairs)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Norm-z-score embedding sanity gate with planted corruption: 1 %
+    // zeroed (collapse) + 1 % tripled (mis-scale) vectors among the
+    // unit-normalized corpus. Natural z ≈ −0.04, planted z ≈ −4.6 / +9.0
+    // — the |z| > 3 booleans sit far from any engine boundary, and the
+    // norms themselves are bit-identical ascending-index loops.
+    "x65_norm_outliers" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val zeroed = emb
+        .filter(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), transform(col("v"), x => x * lit(0.0)).as("v"))
+      val tripled = emb
+        .filter(col("vec_id") % 100 === 1)
+        .select((col("vec_id") + 200000L).as("vec_id"), transform(col("v"), x => x * lit(3.0)).as("v"))
+      Similarity
+        .normOutliers(
+          emb.unionByName(zeroed).unionByName(tripled),
+          col("vec_id"),
+          col("v"),
+          zThresh = 3.0
+        )
+        .orderBy(col("vec_id"))
+    }),
+
+    // Per-label mean-pooled embedding (passage→document pooling),
+    // emitted as (group, n_vecs, i, component) scalar rows.
+    "x66_mean_pool" -> ((s, dir) =>
+      Similarity
+        .meanPoolByGroup(
+          T(s, dir, "embeddings")
+            .select(col("label"), col("embedding").cast("array<double>").as("v")),
+          col("label"),
+          col("v")
+        )
+        .select(col("group"), col("n_vecs"), posexplode(col("vec")).as(Seq("i", "m")))
+        .orderBy(col("group"), col("i"))),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -1219,6 +1312,109 @@ object ExtensionQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // pmi: exact long counts, ln of the same product/quotient order,
+    // ROUND 6dp on both sides; the LIMIT cut orders on the rounded value
+    "x62_pmi_collocations" ->
+      """WITH d AS (SELECT STRING_SPLIT(text, ' ') AS w FROM documents),
+        |t AS (SELECT UNNEST(w) AS tok FROM d),
+        |uni AS (SELECT tok, COUNT(1) AS c FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_tokens FROM t),
+        |bi AS (
+        |  SELECT w1, w2, COUNT(1) AS c12 FROM (
+        |    SELECT w[i] AS w1, w[i+1] AS w2
+        |    FROM (SELECT w, UNNEST(RANGE(1, LEN(w))) AS i FROM d WHERE LEN(w) >= 2))
+        |  GROUP BY 1, 2 HAVING COUNT(1) >= 3)
+        |SELECT bi.w1, bi.w2, bi.c12,
+        |  ROUND(LN(CAST(bi.c12 * tot.n_tokens AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE)), 6) AS pmi
+        |FROM bi JOIN uni u1 ON u1.tok = bi.w1 JOIN uni u2 ON u2.tok = bi.w2 CROSS JOIN tot
+        |ORDER BY pmi DESC, bi.w1, bi.w2 LIMIT 100""".stripMargin,
+    // mixture: √-weights (IEEE-exact both engines), floors on the same
+    // double products, remainder picks by the md5-uniform rank
+    "x63_epoch_mixture" ->
+      s"""WITH c AS (SELECT lang AS domain, COUNT(1) AS n_docs FROM documents GROUP BY 1),
+        |sw AS (SELECT SUM(SQRT(CAST(n_docs AS DOUBLE))) AS sum_w FROM c),
+        |b AS (SELECT domain, n_docs,
+        |    CAST(LEAST(FLOOR(600.0 * SQRT(CAST(n_docs AS DOUBLE)) / sum_w),
+        |               FLOOR(1.5 * CAST(n_docs AS DOUBLE))) AS BIGINT) AS budget_docs
+        |  FROM c CROSS JOIN sw),
+        |e AS (SELECT domain, n_docs, budget_docs,
+        |    CAST(FLOOR(CAST(budget_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS BIGINT) AS epochs,
+        |    budget_docs - n_docs * CAST(FLOOR(CAST(budget_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS BIGINT) AS rem
+        |  FROM b),
+        |r AS (SELECT doc_id, lang AS domain, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |u AS (SELECT doc_id, domain, $hashUniformSql AS u FROM r),
+        |rk AS (SELECT doc_id, domain,
+        |    ROW_NUMBER() OVER (PARTITION BY domain ORDER BY u, doc_id) AS rk FROM u)
+        |SELECT rk.doc_id, rk.domain,
+        |  e.epochs + CASE WHEN rk.rk <= e.rem THEN 1 ELSE 0 END AS n_repeats
+        |FROM rk JOIN e ON rk.domain = e.domain ORDER BY rk.doc_id""".stripMargin,
+    // leakage split: x26's recursive-CC chain + the md5(component)
+    // bucket CASE of the x21 split
+    "x64_leakage_split" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+        |cliq AS (
+        |  SELECT doc_id + 2000000 AS doc_id, text FROM base WHERE doc_id % 50 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 4000000 AS doc_id, text FROM base WHERE doc_id % 50 = 0),
+        |br AS (
+        |  SELECT a.doc_id + 3000000 AS doc_id,
+        |    ARRAY_TO_STRING(LIST_CONCAT(STRING_SPLIT(a.text, ' ')[21:40],
+        |      STRING_SPLIT(b.text, ' ')[1:20]), ' ') AS text
+        |  FROM base a JOIN base b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 100 = 0),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM cliq UNION ALL SELECT * FROM br),
+        |docs AS (SELECT doc_id, LIST_DISTINCT(
+        |    CASE WHEN LEN(STRING_SPLIT(text, ' ')) < 3 THEN [text]
+        |         ELSE LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+        |           i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' '))
+        |    END) AS sh FROM corpus),
+        |inv AS (SELECT doc_id, LEN(sh) AS nsh, UNNEST(sh) AS s FROM docs),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+        |  HAVING CAST(COUNT(1) AS DOUBLE) / CAST(a.nsh + b.nsh - COUNT(1) AS DOUBLE) >= 0.25),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
+        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+        |assigned AS (
+        |  SELECT c.doc_id, COALESCE(p.component, c.doc_id) AS component
+        |  FROM corpus c LEFT JOIN comp p ON c.doc_id = p.id),
+        |sizes AS (SELECT component, COUNT(1) AS n_members FROM assigned GROUP BY 1)
+        |SELECT a.doc_id, a.component, s.n_members, a.doc_id = a.component AS is_rep,
+        |  CASE WHEN SUBSTR(md5(CAST(a.component AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |       WHEN SUBSTR(md5(CAST(a.component AS VARCHAR)), 1, 2) < 'e7' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM assigned a JOIN sizes s ON a.component = s.component
+        |ORDER BY a.doc_id""".stripMargin,
+    // norm outliers: norms are sequential ascending-index sums (LIST_SUM
+    // ↔ the native dot loop), μ/σ a 1-row aggregate; the planted gate
+    // booleans sit ≥1.5σ from the threshold
+    "x65_norm_outliers" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, v FROM e
+        |  UNION ALL
+        |  SELECT vec_id + 100000, LIST_TRANSFORM(v, x -> x * 0.0) FROM e WHERE vec_id % 100 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 200000, LIST_TRANSFORM(v, x -> x * 3.0) FROM e WHERE vec_id % 100 = 1),
+        |n AS (SELECT vec_id, SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS nrm FROM corpus),
+        |st AS (SELECT AVG(nrm) AS mu, STDDEV_SAMP(nrm) AS sd FROM n)
+        |SELECT vec_id, ROUND(nrm, 6) AS l2_norm,
+        |  ROUND(CASE WHEN sd = 0 OR sd IS NULL THEN 0.0 ELSE (nrm - mu) / sd END, 6) AS z,
+        |  ABS(CASE WHEN sd = 0 OR sd IS NULL THEN 0.0 ELSE (nrm - mu) / sd END) > 3.0 AS is_outlier
+        |FROM n, st ORDER BY vec_id""".stripMargin,
+    // mean pool: exact per-(label, index) averages, 6dp
+    "x66_mean_pool" ->
+      """WITH e AS (SELECT label AS grp, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cnt AS (SELECT grp, COUNT(1) AS n_vecs FROM e GROUP BY 1),
+        |x AS (SELECT grp, UNNEST(v) AS val, generate_subscripts(v, 1) - 1 AS i FROM e),
+        |m AS (SELECT grp, i, ROUND(AVG(val), 6) AS m FROM x GROUP BY 1, 2)
+        |SELECT m.grp AS "group", cnt.n_vecs, CAST(m.i AS INT) AS i, m.m
+        |FROM m JOIN cnt USING (grp) ORDER BY 1, 3""".stripMargin,
     "x1_dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')))) AS fp,
         |  MIN(doc_id) AS keep_id, COUNT(1) AS n_copies

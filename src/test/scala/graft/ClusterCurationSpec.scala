@@ -454,4 +454,32 @@ class ClusterCurationSpec extends SparkTestBase {
     assert(out.forall(_.getLong(2) == 2L), "each digest holds source + jitter twin")
     assert(out.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L), "smallest id survives")
   }
+
+  test("leakageSafeSplit: every cluster lands on exactly one side; singletons match hashSplit") {
+    import spark.implicits._
+    // 1-2-3 chained, 10-11 paired, 20/21/22 singletons
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 22L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = ConnectedComponents
+      .leakageSafeSplit(docs, col("doc_id"), pairs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(4)))
+    val byComponent = out.groupBy(_._2)
+    assert(byComponent(1L).length == 3 && byComponent(10L).length == 2)
+    byComponent.values.foreach { members =>
+      assert(members.map(_._3).distinct.length == 1, s"split straddles a cluster: $members")
+    }
+    // singleton docs degrade to exactly the per-doc hash split, and a
+    // cluster's split is the split of its component id (the min member)
+    val perDoc = CorpusOps
+      .hashSplit(Seq(1L, 10L, 20L, 21L, 22L).toDF("doc_id"), col("doc_id"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    out.filter(t => t._1 >= 20L).foreach { case (id, comp, split) =>
+      assert(comp == id && split == perDoc(id))
+    }
+    assert(byComponent(1L).head._3 == perDoc(1L))
+    assert(byComponent(10L).head._3 == perDoc(10L))
+  }
 }

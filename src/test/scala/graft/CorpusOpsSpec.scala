@@ -813,4 +813,52 @@ class CorpusOpsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
     assert(out.toSet == Set((1L, 0, 0, 3), (2L, 0, 0, 1)))
   }
+
+  test("pmiCollocations: hand-computed counts and pmi on a tiny corpus") {
+    import spark.implicits._
+    // bigrams: (a,b)x3, (b,a)x1, (b,c)x1; unigrams a:3 b:3 c:1; N=7
+    val df = Seq("a b a b", "a b c").toDF("text")
+    val out = CorpusOps
+      .pmiCollocations(df, col("text"), minCount = 2, k = 10)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "a" && r.getString(1) == "b" && r.getLong(2) == 3L)
+    // ln(3*7/(3*3)) = ln(7/3)
+    assert(math.abs(r.getDouble(3) - BigDecimal(math.log(7.0 / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    // minCount=1 keeps all three pairs; single-token docs contribute no pair
+    val all = CorpusOps.pmiCollocations(Seq("a b", "x").toDF("text"), col("text"), 1, 10)
+    assert(all.count() == 1)
+  }
+
+  test("epochMixture: budgets, epochs, remainders, and the cap all land exactly") {
+    import spark.implicits._
+    // A: 4 docs, B: 16 docs; sqrt weights 2 and 4, sum 6; budget 18:
+    //   A -> floor(18*2/6)=6 (cap floor(2*4)=8 not binding): e=1, rem=2
+    //   B -> floor(18*4/6)=12 (cap 32 not binding):          e=0, rem=12
+    val docs = ((1 to 4).map(i => ("A", i.toLong)) ++ (11 to 26).map(i => ("B", i.toLong)))
+      .toDF("domain", "doc_id")
+    val out = CorpusOps
+      .epochMixture(docs, col("domain"), col("doc_id"), budget = 18L, maxEpochs = 2.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val a = out.filter(_._2 == "A").map(_._3)
+    val b = out.filter(_._2 == "B").map(_._3)
+    assert(a.sum == 6L && a.count(_ == 2L) == 2 && a.count(_ == 1L) == 2)
+    assert(b.sum == 12L && b.count(_ == 1L) == 12 && b.count(_ == 0L) == 4)
+    // a binding cap: huge budget -> every domain capped at floor(maxEpochs*n)
+    val capped = CorpusOps
+      .epochMixture(docs, col("domain"), col("doc_id"), budget = 10000L, maxEpochs = 1.5)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(capped.filter(_._1 == "A").map(_._2).sum == 6L)  // floor(1.5*4)
+    assert(capped.filter(_._1 == "B").map(_._2).sum == 24L) // floor(1.5*16)
+    // deterministic: the +1 picks are identical across runs
+    val again = CorpusOps
+      .epochMixture(docs, col("domain"), col("doc_id"), budget = 18L, maxEpochs = 2.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }

@@ -201,4 +201,50 @@ class VectorOpsSpec extends SparkTestBase {
     assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
     assert(rows(2).getDouble(0) == 0.0)
   }
+
+  test("normOutliers: flags planted corruption only; point mass degrades to z=0") {
+    import spark.implicits._
+    val emb = graft.sources.Tables
+      .load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val zeroed = emb
+      .filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), transform(col("v"), x => x * lit(0.0)).as("v"))
+    val tripled = emb
+      .filter(col("vec_id") % 100 === 1)
+      .select((col("vec_id") + 200000L).as("vec_id"), transform(col("v"), x => x * lit(3.0)).as("v"))
+    val out = graft.operators.Similarity
+      .normOutliers(emb.unionByName(zeroed).unionByName(tripled), col("vec_id"), col("v"), 3.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(3)))
+    val planted = out.filter(_._1 >= 100000L)
+    assert(planted.nonEmpty && planted.forall(_._3), "all planted corruption must be flagged")
+    assert(out.filter(_._1 < 100000L).forall(!_._3), "no natural unit vector is an outlier")
+    assert(planted.filter(_._1 < 200000L).forall(_._2 == 0.0))
+    // point mass: all-identical norms -> sd=0 -> z=0, nothing flagged
+    val same = Seq((1L, Seq(3.0, 4.0)), (2L, Seq(0.0, 5.0)), (3L, Seq(5.0, 0.0)))
+      .toDF("vec_id", "v")
+    val pm = graft.operators.Similarity.normOutliers(same, col("vec_id"), col("v"), 3.0).collect()
+    assert(pm.forall(r => r.getDouble(2) == 0.0 && !r.getBoolean(3)))
+    // null vectors are excluded, not scored
+    val withNull = Seq((1L, Some(Seq(1.0))), (2L, None)).toDF("vec_id", "v")
+    assert(graft.operators.Similarity.normOutliers(withNull, col("vec_id"), col("v"), 3.0).count() == 1)
+  }
+
+  test("meanPoolByGroup: exact hand-computed means, counts, and dims") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Seq(1.0, 2.0)),
+      (0, Seq(3.0, 6.0)),
+      (1, Seq(-1.0, 1.0))
+    ).toDF("label", "v")
+    val out = graft.operators.Similarity
+      .meanPoolByGroup(df, col("label"), col("v"))
+      .orderBy(col("group"))
+      .collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 2L && out(0).getInt(2) == 2)
+    assert(out(0).getSeq[Double](3) == Seq(2.0, 4.0))
+    assert(out(1).getLong(1) == 1L && out(1).getSeq[Double](3) == Seq(-1.0, 1.0))
+  }
 }
