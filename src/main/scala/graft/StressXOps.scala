@@ -71,7 +71,7 @@ object StressXOps {
     // optional 3rd arg: comma-separated section filter
     // (simhash,minhash,cosine,decontaminate,pack,cc,quantile,pii,sample,
     // lines,quantize,spans,semdedup,bloominc,retrieval,qknn,classifier,
-    // curation9) — default all
+    // curation9,curation10) — default all
     val only = if (args.length > 2) args(2).split(",").toSet else Set.empty[String]
     def section(name: String): Boolean = only.isEmpty || only(name)
     val spark = SparkSession
@@ -1167,6 +1167,133 @@ object StressXOps {
       println(s"[stressx]   plan: $ndH")
       assert(collapsed == nDocs / 100, s"every jittered re-crawl must collapse: $collapsed vs ${nDocs / 100}")
       assert(ndRows == corpusN, s"digest count: $ndRows vs $corpusN")
+    }
+
+    // ---- round-9 second-cohort curation ops (x62-x66) at full width
+    if (section("curation10")) locally {
+      // PMI: random-token bigrams are ~all-distinct (the worst case for
+      // the pair aggregate — the exchange carries one row per DISTINCT
+      // bigram), with one planted collocation on every 100th doc whose
+      // PMI ln(N/c12) ≈ 8.3 dwarfs the minCount=3 random ceiling (~5.1)
+      val pmiCorpus = corpus.select(
+        col("id"),
+        concat(
+          col("text"),
+          when(pmod(col("id"), lit(100)) === 3, lit(" cola colb")).otherwise(lit(""))
+        ).as("text")
+      )
+      val cPlanted = pmiCorpus.filter(col("text").endsWith(" cola colb")).count()
+      val pmi = operators.CorpusOps.pmiCollocations(pmiCorpus, col("text"), minCount = 3, k = 50)
+      val t0 = System.nanoTime()
+      val pmiRows = pmi.collect()
+      val pmiSec = (System.nanoTime() - t0) / 1e9
+      val top = pmiRows.head
+      val plantedRow = pmiRows.find(r => r.getString(0) == "cola" && r.getString(1) == "colb")
+      println(f"[stressx] pmiCollocations(minCount=3, k=50) @ $corpusN%d docs: $pmiSec%.1f s; top=(${top.getString(0)},${top.getString(1)}) c12=${top.getLong(2)} pmi=${top.getDouble(3)}%.4f, planted rank=${pmiRows.indexWhere(r => r.getString(0) == "cola") + 1}")
+      assert(plantedRow.isDefined, "planted collocation must reach the top-50")
+      assert(plantedRow.get.getLong(2) == cPlanted,
+        s"planted c12: ${plantedRow.get.getLong(2)} vs $cPlanted")
+      assert(plantedRow.get.getDouble(3) > 8.0 && pmiRows.length == 50)
+      // rank 1 only at full width: with per-token counts ~2020±45 the
+      // minCount=3 random ceiling ln(3N/c1c2) ≈ 5.2 sits far under the
+      // planted ln(N/c12) ≈ 8.3; at smoke scale (~81-count tokens) the
+      // random ceiling ~9.2 legitimately overtakes it
+      if (nDocs >= 1000000L)
+        assert(top.getString(0) == "cola" && top.getString(1) == "colb",
+          s"planted collocation must rank first at full width: $top")
+
+      // epoch mixture under 50% skew: one hot domain holds half the
+      // corpus; budgets recomputed independently from the collected
+      // per-domain counts must tie out EXACTLY with the picks
+      val domained = corpus.select(
+        col("id").as("doc_id"),
+        when(pmod(col("id"), lit(2)) === 0, lit("hot"))
+          .otherwise(concat(lit("d"), pmod(col("id"), lit(999)))).as("domain")
+      )
+      val mixBudget = corpusN
+      val mix = operators.CorpusOps
+        .epochMixture(domained, col("domain"), col("doc_id"), budget = mixBudget, maxEpochs = 2.0)
+      val t1 = System.nanoTime()
+      val picks = mix.groupBy(col("domain")).agg(sum(col("n_repeats")).as("picked"), count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val mixSec = (System.nanoTime() - t1) / 1e9
+      val sumW = picks.values.map(v => math.sqrt(v._2.toDouble)).sum
+      var expTotal = 0L
+      picks.foreach { case (_, (picked, n)) =>
+        val expect = math.min(
+          math.floor(mixBudget.toDouble * math.sqrt(n.toDouble) / sumW),
+          math.floor(2.0 * n)
+        ).toLong
+        assert(picked == expect, s"budget tie-out: picked=$picked expect=$expect n=$n")
+        expTotal += expect
+      }
+      println(f"[stressx] epochMixture(budget=$mixBudget, maxEpochs=2) @ $corpusN%d docs, 50%%-skew hot + 999 cold domains: $mixSec%.1f s; domains=${picks.size}, total picks=$expTotal (hot=${picks("hot")._1}/${picks("hot")._2})")
+
+      // leakage-safe split over the planted twin-pair graph: a (base,
+      // twin) cluster must never straddle splits, and the cluster-level
+      // assignment must keep the ~80/10/10 carve
+      val twinPairs = corpus.filter(col("id") >= TwinOffset)
+        .select((col("id") - TwinOffset).as("id_a"), col("id").as("id_b"))
+      val lss = operators.ConnectedComponents
+        .leakageSafeSplit(corpus.select(col("id")), col("id"), twinPairs)
+      val t2 = System.nanoTime()
+      val lssDf = lss.persist()
+      val lssN = lssDf.count()
+      val lssSec = (System.nanoTime() - t2) / 1e9
+      val straddle = lssDf.groupBy(col("component"))
+        .agg(countDistinct(col("split")).as("ns")).filter(col("ns") > 1).count()
+      val carve = lssDf.groupBy(col("split")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val lssH = hist(lss)
+      println(f"[stressx] leakageSafeSplit @ $lssN%d docs (${nDocs / 100}%d planted 2-clusters): $lssSec%.1f s; straddling clusters=$straddle, carve=$carve")
+      println(s"[stressx]   plan: $lssH")
+      assert(straddle == 0, s"clusters straddling splits: $straddle")
+      assert(math.abs(carve("train").toDouble / lssN - 205.0 / 256) < 0.01)
+
+      // norm outliers at nVecs: uniform-component vectors (norm ≈ 4.62,
+      // σ ≈ 0.26) + 0.5% zeroed + 0.5% doubled — planted |z| ≈ 8.7 vs a
+      // natural tail ≤ ~2.7 at 2M samples
+      val dim = 64
+      val vecComps = (0 until dim).map { j =>
+        pmod(xxhash64(col("id"), lit(j)), lit(2001)).cast("double") / 1000.0 - 1.0
+      }
+      val natural = spark.range(nVecs).select(col("id"), array(vecComps: _*).as("v"))
+      val planted2 = spark.range(nVecs / 200).select(
+        (col("id") + TwinOffset).as("id"),
+        transform(array(vecComps: _*), x => x * lit(0.0)).as("v")
+      ).unionByName(spark.range(nVecs / 200).select(
+        (col("id") + 2 * TwinOffset).as("id"),
+        transform(array(vecComps: _*), x => x * lit(2.0)).as("v")
+      ))
+      val no = operators.Similarity
+        .normOutliers(natural.unionByName(planted2), col("id"), col("v"), zThresh = 3.0)
+      val (noSec, noRows, noH, _) = run(no)
+      val noDf = no.persist()
+      val flaggedPlanted = noDf.filter(col("is_outlier") && col("vec_id") >= TwinOffset).count()
+      val flaggedNatural = noDf.filter(col("is_outlier") && col("vec_id") < TwinOffset).count()
+      println(f"[stressx] normOutliers(|z|>3) @ $noRows%d vectors (${nVecs / 100}%d planted): $noSec%.1f s; planted flagged=$flaggedPlanted, natural flagged=$flaggedNatural")
+      println(s"[stressx]   plan: $noH")
+      assert(flaggedPlanted == nVecs / 200 * 2, s"all planted corruption flagged: $flaggedPlanted")
+      assert(flaggedNatural <= 2, s"natural false positives: $flaggedNatural")
+      noDf.unpersist()
+
+      // mean pooling into 1000 groups: model-sized exchange (groups×dim
+      // rows); one group's component re-derived independently must agree
+      // to the 6dp round
+      val grouped = natural.select(pmod(col("id"), lit(1000)).as("label"), col("v"))
+      val mp = operators.Similarity.meanPoolByGroup(grouped, col("label"), col("v"))
+      val (mpSec, mpRows, mpH, _) = run(mp)
+      val mpDf = mp.persist()
+      val nSum = mpDf.agg(sum(col("n_vecs"))).head().getLong(0)
+      val g0 = mpDf.filter(col("group") === 0).select(element_at(col("vec"), 1)).head().getDouble(0)
+      val g0exp = grouped.filter(col("label") === 0)
+        .agg(avg(element_at(col("v"), 1))).head().getDouble(0)
+      println(f"[stressx] meanPoolByGroup @ $nVecs%d vectors -> $mpRows%d groups: $mpSec%.1f s; member sum=$nSum, g0[0]=$g0%.6f (independent recompute ${g0exp}%.6f)")
+      println(s"[stressx]   plan: $mpH")
+      assert(mpRows == 1000 && nSum == nVecs)
+      assert(math.abs(g0 - g0exp) < 1e-6, s"pooled component: $g0 vs $g0exp")
+      mpDf.unpersist()
+      lssDf.unpersist()
     }
 
     corpus.unpersist()
