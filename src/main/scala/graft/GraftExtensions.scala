@@ -21,7 +21,7 @@ import graft.functions.codecs
   * graft_word_shingles(str, n), graft_minhash_sig(arr, k),
   * graft_simhash64(arr), graft_pii_scrub(str), graft_token_entropy(str),
   * graft_word_counts(str), graft_normalize_text(str),
-  * graft_cdc_chunks(str, w); split assignment
+  * graft_cdc_chunks(str, w), graft_pcm_frames(bin, n); split assignment
   * graft_split(id); sampling
   * key graft_uniform(id).
   *
@@ -90,7 +90,10 @@ object GraftExtensions {
     // is the corpus digest key
     "graft_normalize_text" -> (es => graft.functions.text.NormalizeText(es(0))),
     // content-defined chunking: SELECT doc_id, explode(graft_cdc_chunks(text, 8))
-    "graft_cdc_chunks" -> (es => graft.functions.text.CdcChunks(es(0), off(es(1))))
+    "graft_cdc_chunks" -> (es => graft.functions.text.CdcChunks(es(0), off(es(1)))),
+    // per-frame PCM features over a binary byte plane:
+    // SELECT doc_id, explode(graft_pcm_frames(content, 8))
+    "graft_pcm_frames" -> (es => graft.functions.codecs.PcmFrames(es(0), off(es(1))))
   )
 
   private def str(e: Expression): String = e match {

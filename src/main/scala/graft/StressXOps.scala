@@ -71,7 +71,7 @@ object StressXOps {
     // optional 3rd arg: comma-separated section filter
     // (simhash,minhash,cosine,decontaminate,pack,cc,quantile,pii,sample,
     // lines,quantize,spans,semdedup,bloominc,retrieval,qknn,classifier,
-    // curation9,curation10) — default all
+    // curation9,curation10,curation10b,curation10c) — default all
     val only = if (args.length > 2) args(2).split(",").toSet else Set.empty[String]
     def section(name: String): Boolean = only.isEmpty || only(name)
     val spark = SparkSession
@@ -1294,6 +1294,128 @@ object StressXOps {
       assert(math.abs(g0 - g0exp) < 1e-6, s"pooled component: $g0 vs $g0exp")
       mpDf.unpersist()
       lssDf.unpersist()
+    }
+
+    // ---- novelty scoring + zipf profile (x67/x68) at full width
+    if (section("curation10b")) locally {
+      // reference = a tenth of the corpus (~500k docs, ~19M distinct
+      // 3-grams — past any broadcast-join build side): the fresh-crawl
+      // regime where ~90% of scored grams are NOVEL, i.e. exactly what
+      // the bloom prefilter exists for. Random 100k-vocab 3-grams live
+      // in a ~1e15 space, so cross-slice gram collisions are O(1k) over
+      // the whole corpus: members score EXACTLY 0, non-members ~1.
+      // SIZING LESSON (first run of this section): the sketch rides the
+      // plan as a scalar-subquery LITERAL, serialized into EVERY task
+      // closure — a 96M-gram half-corpus reference at 2% (~100 MB of
+      // bits) blew up task deserialization ("unread block data" under
+      // GC-locker pressure). ~20 MB is a sane single-filter budget;
+      // past that, shard the filter by digest prefix (sketch.scala's
+      // documented scale path).
+      val ref = corpus.filter(pmod(col("id"), lit(10)) === 0)
+      val prevItems = spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.maxExpectedNumItems")
+      val prevBits = spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxExpectedNumItems", "50000000")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", (1L << 28).toString)
+      try {
+        val nb = operators.CorpusOps
+          .noveltyScoreBloom(corpus, col("text"), col("id"), ref, col("text"),
+            n = 3, expectedGrams = nDocs * 4, fpp = 0.02)
+        val (nbSec, nbRows, nbH, _) = run(nb)
+        val nbDf = nb.persist()
+        val refBad = nbDf.filter(pmod(col("doc_id"), lit(10)) === 0 && col("novelty") =!= 0.0).count()
+        val nonRefLow = nbDf.filter(pmod(col("doc_id"), lit(10)) =!= 0 && col("n_novel") =!= col("n_grams")).count()
+        println(f"[stressx] noveltyScoreBloom @ $nbRows%d docs vs a ~19M-gram reference: $nbSec%.1f s; ref members scoring !=0: $refBad, non-members with any seen gram: $nonRefLow")
+        println(s"[stressx]   plan: $nbH")
+        assert(refBad == 0, s"reference members must score exactly 0: $refBad")
+        assert(nonRefLow <= 5000, s"cross-slice gram collisions should be O(1k): $nonRefLow")
+        nbDf.unpersist()
+
+        // A/B: the exact path shuffles the full gram stream against the
+        // reference gram set — the shape the bloom path exists to avoid
+        val ne = operators.CorpusOps
+          .noveltyScore(corpus, col("text"), col("id"), ref, col("text"), n = 3)
+        val (neSec, neRows, neH, _) = run(ne)
+        println(f"[stressx] noveltyScore (exact join path) @ $neRows%d docs: $neSec%.1f s")
+        println(s"[stressx]   plan: $neH")
+      } finally {
+        prevItems.fold(spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.maxExpectedNumItems"))(
+          v => spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxExpectedNumItems", v))
+        prevBits.fold(spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.maxNumBits"))(
+          v => spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", v))
+      }
+
+      // zipf over ~202M tokens / 100k vocab: a UNIFORM vocabulary is the
+      // anti-zipf corpus — slope ≈ 0 is exactly what the health check
+      // should report for synthetic token soup
+      val zp = operators.CorpusOps.zipfProfile(corpus, col("text"), topR = 1000)
+      val t0 = System.nanoTime()
+      val zr = zp.collect().head
+      val zpSec = (System.nanoTime() - t0) / 1e9
+      println(f"[stressx] zipfProfile(topR=1000) @ $corpusN%d docs (~202M tokens): $zpSec%.1f s; slope=${zr.getDouble(2)}%.4f r2=${zr.getDouble(4)}%.4f top_count=${zr.getLong(1)}")
+      assert(zr.getLong(0) == 1000L)
+      assert(math.abs(zr.getDouble(2)) < 0.05, s"uniform vocab must fit a near-zero slope: ${zr.getDouble(2)}")
+      // max of 100k ~Binomial(40·corpusN, 1e-5) counts: mean + ~4.4σ
+      val meanCount = corpusN * 40.0 / 100000.0
+      assert(zr.getLong(1) > meanCount && zr.getLong(1) < meanCount + 8 * math.sqrt(meanCount) + 10,
+        s"top count: ${zr.getLong(1)} vs mean $meanCount")
+    }
+
+    // ---- skip-gram co-occurrence, negative sampling, audio frames
+    // (x69-x71) at full width
+    if (section("curation10c")) locally {
+      // window=2 doubles x62's already-worst-case distinct-pair exchange
+      val co = operators.CorpusOps
+        .pmiCollocations(corpus, col("text"), minCount = 3, k = 50, window = 2)
+      val t0 = System.nanoTime()
+      val coRows = co.collect()
+      val coSec = (System.nanoTime() - t0) / 1e9
+      println(f"[stressx] pmiCollocations(window=2, minCount=3) @ $corpusN%d docs (~400M candidate pairs): $coSec%.1f s; top c12=${coRows.head.getLong(2)}")
+      assert(coRows.length == 50)
+
+      // negatives: 8 draws per doc, hot-domain corpus (50% "hot") — the
+      // rank join is uniform BY CONSTRUCTION (md5 draws), so the skewed
+      // domain column cannot skew the join; survivors from "hot" docs
+      // must all be cold-domain and vice versa
+      val domained = corpus.select(
+        col("id").as("doc_id"),
+        when(pmod(col("id"), lit(2)) === 0, lit("hot"))
+          .otherwise(concat(lit("d"), pmod(col("id"), lit(999)))).as("domain")
+      )
+      val neg = operators.CorpusOps
+        .sampleNegatives(domained, col("doc_id"), col("domain"), k = 8)
+      val (negSec, negRows, negH, _) = run(neg)
+      val negDf = neg.persist()
+      val bad = negDf
+        .join(domained.withColumnRenamed("doc_id", "j_id").withColumnRenamed("domain", "j_dom"),
+          col("doc_id") === col("j_id"))
+        .filter(col("neg_domain") === col("j_dom") || col("neg_id") === col("doc_id"))
+        .count()
+      val perDocMax = negDf.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).head().getLong(0)
+      println(f"[stressx] sampleNegatives(k=8) @ $corpusN%d docs, 50%%-hot domains: $negSec%.1f s, $negRows survivors (${negRows.toDouble / corpusN}%.2f/doc), same-domain-or-self=$bad, max/doc=$perDocMax")
+      println(s"[stressx]   plan: $negH")
+      assert(bad == 0 && perDocMax <= 8)
+      // hot docs draw uniformly: ~half their draws land cold and survive
+      val hotSurvivors = negDf.join(
+        domained.filter(col("domain") === "hot").select(col("doc_id")), Seq("doc_id")).count()
+      val hotDocs = corpusN / 2
+      assert(hotSurvivors > hotDocs * 3 && hotSurvivors < hotDocs * 5,
+        s"hot docs should keep ~4 of 8 draws: $hotSurvivors vs $hotDocs docs")
+      negDf.unpersist()
+
+      // audio frames: pure projection + native kernel over ~1 GB of
+      // byte planes; token mass ties out (40 tokens -> 235 bytes -> 29
+      // frames per doc at frameSize=8)
+      val media = corpus.select(
+        col("id").as("doc_id"),
+        encode(col("text"), "UTF-8").as("content")
+      )
+      val af = operators.Multimodal.audioFrames(media, frameSize = 8)
+      val (afSec, afRows, afH, _) = run(af)
+      val expFrames = corpus.select(sum(floor(length(col("text")) / 8)).cast("long")).head().getLong(0)
+      println(f"[stressx] audioFrames(frameSize=8) @ $corpusN%d planes: $afSec%.1f s, $afRows frames (expected $expFrames)")
+      println(s"[stressx]   plan: $afH")
+      assert(afRows == expFrames, s"frame conservation: $afRows vs $expFrames")
     }
 
     corpus.unpersist()

@@ -300,10 +300,101 @@ object codecs {
     override protected def withNewChildInternal(c: Expression): DynEncode = copy(child = c)
   }
 
+  /** Per-frame PCM features over a byte plane: treat the binary as
+    * unsigned-8-bit samples, cut into complete `frameSize`-byte frames
+    * (incomplete tail dropped — the [[FrameSplit]] convention), and emit
+    * per frame `struct<rms: double, mean: double>`. Accumulation is
+    * INTEGER (Σx and Σx² as longs — exact and order-free), the divide and
+    * sqrt are IEEE-correctly-rounded, so every engine replays the doubles
+    * bit-for-bit. One JIT'd pass per row, zero allocation beyond the
+    * output arrays — the audio twin of the image byte-plane kernels: on a
+    * real pipeline the input is the decoded PCM plane; here it runs on
+    * whatever bytes the stub environment provides, and swapping the
+    * decoder changes no plan shape.
+    */
+  case class PcmFrames(child: Expression, frameSize: Int)
+      extends UnaryExpression
+      with ImplicitCastInputTypes {
+    require(frameSize > 0, s"frameSize must be positive, got $frameSize")
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
+    override def dataType: DataType = ArrayType(
+      StructType(
+        Seq(
+          StructField("rms", DoubleType, nullable = false),
+          StructField("mean", DoubleType, nullable = false)
+        )
+      ),
+      containsNull = false
+    )
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[Array[Byte]]
+      val n = b.length / frameSize
+      val out = new Array[Any](n)
+      var f = 0
+      while (f < n) {
+        var sum = 0L
+        var sumSq = 0L
+        var i = f * frameSize
+        val end = i + frameSize
+        while (i < end) {
+          val x = (b(i) & 0xff).toLong
+          sum += x
+          sumSq += x * x
+          i += 1
+        }
+        out(f) = org.apache.spark.sql.catalyst.InternalRow(
+          math.sqrt(sumSq.toDouble / frameSize),
+          sum.toDouble / frameSize
+        )
+        f += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        b => {
+          val n = ctx.freshName("nFrames")
+          val rows = ctx.freshName("rows")
+          val f = ctx.freshName("f")
+          val i = ctx.freshName("i")
+          val end = ctx.freshName("end")
+          val sum = ctx.freshName("sum")
+          val sumSq = ctx.freshName("sumSq")
+          val x = ctx.freshName("x")
+          val row = ctx.freshName("row")
+          s"""
+          |int $n = $b.length / $frameSize;
+          |Object[] $rows = new Object[$n];
+          |for (int $f = 0; $f < $n; $f++) {
+          |  long $sum = 0L; long $sumSq = 0L;
+          |  int $i = $f * $frameSize; int $end = $i + $frameSize;
+          |  for (; $i < $end; $i++) {
+          |    long $x = (long) ($b[$i] & 0xff);
+          |    $sum += $x; $sumSq += $x * $x;
+          |  }
+          |  org.apache.spark.sql.catalyst.expressions.GenericInternalRow $row =
+          |    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2);
+          |  $row.update(0, Double.valueOf(Math.sqrt((double) $sumSq / $frameSize)));
+          |  $row.update(1, Double.valueOf((double) $sum / $frameSize));
+          |  $rows[$f] = $row;
+          |}
+          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($rows);
+          |""".stripMargin
+        }
+      )
+    override protected def withNewChildInternal(c: Expression): PcmFrames = copy(child = c)
+  }
+
   /** Heartbeat frame from (client_id, sequence, timestamp) columns. */
   def encode_heartbeat(c: Column, s: Column, t: Column): Column =
     col(HeartbeatEncode(expr(c.cast("long")), expr(s.cast("long")), expr(t.cast("long"))))
 
   /** dyn_message frame (type=1) from raw payload bytes. */
   def encode_dyn(payload: Column): Column = col(DynEncode(expr(payload)))
+
+  /** Per-frame PCM features (rms, mean) over a binary byte plane. */
+  def pcm_frames(bin: Column, frameSize: Int): Column = col(PcmFrames(expr(bin), frameSize))
 }

@@ -176,6 +176,161 @@ object CorpusOps {
       .agg(min(col("bench_id")).as("bench_id"), count(lit(1)).as("n_hits"))
   }
 
+  /** N-gram novelty score: per-document fraction of distinct n-grams NOT
+    * present anywhere in a reference corpus — the memorization-risk /
+    * freshness signal (the per-doc dual of [[decontaminate]]'s flag): a
+    * crawl re-packaging the reference scores ~0, genuinely new text
+    * scores ~1. Returns (doc_id, n_grams, n_novel, novelty) over every
+    * doc with a non-null text; counts are exact.
+    *
+    * Scale shape: the reference reduces to its DISTINCT gram set once
+    * (two-level partial agg); the corpus-side gram stream left-joins it
+    * on the gram string — an equi-join AQE broadcasts when the reference
+    * vocabulary fits, shuffles otherwise. When the reference is too big
+    * to broadcast, use [[noveltyScoreBloom]]: same result, but
+    * bloom-NEGATIVE grams (definitely novel) never reach the join.
+    */
+  def noveltyScore(
+      corpus: DataFrame,
+      text: Column,
+      idCol: Column,
+      reference: DataFrame,
+      refText: Column,
+      n: Int = 3
+  ): DataFrame = {
+    val refGrams = distinctGrams(reference, refText, n)
+    val cg = corpusGrams(corpus, text, idCol, n)
+    noveltyAgg(
+      cg.join(refGrams.withColumn("seen", lit(1)), Seq("gram"), "left")
+        .select(col("doc_id"), col("seen").isNull.as("novel"))
+    )
+  }
+
+  /** [[noveltyScore]] with the reference folded into a Bloom sketch that
+    * rides a scalar subquery (the [[decontaminateBloom]] pattern): a
+    * bloom MISS is a definite non-member, so those grams are counted
+    * novel with ZERO join traffic; only bloom-positives (true members +
+    * the fpp sliver) confirm against the exact reference gram set. The
+    * result is exactly [[noveltyScore]]'s — an undersized sketch costs
+    * confirm-join traffic, never correctness. The 100 TB shape: the
+    * reference is scanned (sketch fold + confirm probe), never shuffled
+    * against the corpus-sized gram stream.
+    */
+  def noveltyScoreBloom(
+      corpus: DataFrame,
+      text: Column,
+      idCol: Column,
+      reference: DataFrame,
+      refText: Column,
+      n: Int = 3,
+      expectedGrams: Long = 4000000L,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    import graft.functions.sketch
+    val refGrams = distinctGrams(reference, refText, n)
+    val bloom = refGrams
+      .select(sketch.bloom_filter_agg(xxhash64(col("gram")), expectedGrams, fpp).as("bf"))
+      .scalar()
+    val cg = corpusGrams(corpus, text, idCol, n)
+      .withColumn(
+        "maybe",
+        coalesce(sketch.might_contain(bloom, xxhash64(col("gram"))), lit(false))
+      )
+    val confirmed = cg
+      .filter(col("maybe"))
+      .join(refGrams.withColumn("seen", lit(1)), Seq("gram"), "left")
+      .select(col("doc_id"), col("seen").isNull.as("novel"))
+    val definiteNovel = cg
+      .filter(!col("maybe"))
+      .select(col("doc_id"), lit(true).as("novel"))
+    noveltyAgg(confirmed.unionByName(definiteNovel))
+  }
+
+  private def distinctGrams(df: DataFrame, text: Column, n: Int): DataFrame =
+    df.select(explode(array_distinct(graft.functions.text.word_shingles(text, n))).as("gram"))
+      .distinct()
+
+  private def corpusGrams(df: DataFrame, text: Column, idCol: Column, n: Int): DataFrame =
+    df.select(
+      idCol.as("doc_id"),
+      explode(array_distinct(graft.functions.text.word_shingles(text, n))).as("gram")
+    )
+
+  private def noveltyAgg(flags: DataFrame): DataFrame =
+    flags
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(col("novel").cast("long")).as("n_novel")
+      )
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6).as("novelty")
+      )
+
+  /** Zipf rank-frequency profile: OLS fit of ln(frequency) on ln(rank)
+    * over the top-`topR` terms — the corpus-health one-liner (natural
+    * language sits near slope −1; synthetic, templated, or spam-heavy
+    * corpora visibly don't). Returns one row: (n_ranks, top_count,
+    * slope, intercept, r2).
+    *
+    * Scale shape: term counts are the standard two-level partial agg
+    * (one row per distinct term on the exchange); the top-R cut is
+    * `TakeOrderedAndProject` (count desc, term — a deterministic total
+    * order); the rank window is partition-less BUT runs on ≤ topR rows
+    * post-cut — a bounded model-sized sort, not the [[assignShards]]
+    * trap. The fit reduces to five scalar sums.
+    */
+  def zipfProfile(df: DataFrame, text: Column, topR: Int = 1000): DataFrame = {
+    require(topR > 1, s"topR must exceed 1, got $topR")
+    val freq = df
+      .select(explode(split(text, " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val top = freq.orderBy(col("c").desc, col("tok")).limit(topR)
+    val ranked = top.withColumn(
+      "rank",
+      row_number().over(Window.orderBy(col("c").desc, col("tok")))
+    )
+    val xy = ranked.select(
+      col("c"),
+      log(col("rank").cast("double")).as("x"),
+      log(col("c").cast("double")).as("y")
+    )
+    xy.agg(
+        count(lit(1)).as("n"),
+        max(col("c")).as("top_count"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy")
+      )
+      .select(
+        col("n").as("n_ranks"),
+        col("top_count"),
+        round(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")),
+          6
+        ).as("slope"),
+        round(
+          (col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"),
+          6
+        ).as("intercept"),
+        round(
+          ((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy"))) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))),
+          6
+        ).as("r2")
+      )
+  }
+
   /** Domain-mixture rebalancing: given per-domain token masses and a
     * target share per domain, the deterministic per-domain sampling rate
     * that achieves the target mix without upsampling:
@@ -1347,19 +1502,27 @@ object CorpusOps {
       df: DataFrame,
       text: Column,
       minCount: Int = 3,
-      k: Int = 100
+      k: Int = 100,
+      window: Int = 1
   ): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
     val toks = df.select(split(text, " ").as("w"))
+    // ordered (w_i, w_{i+d}) pairs for every distance d in [1, window] —
+    // still a zero-shuffle projection: one guarded slice+transform per
+    // distance, flattened before the explode (window=1 is the classic
+    // adjacent-bigram PMI; window>1 is the skip-gram co-occurrence table
+    // embedding pipelines feed on)
+    val perDistance = (1 to window).map { d =>
+      // greatest(…, 0) keeps the slice length non-negative for docs
+      // shorter than d+1 tokens (empty slice -> no pairs, right type)
+      transform(
+        slice(col("w"), lit(1), greatest(size(col("w")) - d, lit(0))),
+        (x, i) => struct(x.as("w1"), element_at(col("w"), i + lit(d + 1)).as("w2"))
+      )
+    }
     val pairs = toks
       .filter(size(col("w")) >= 2)
-      .select(
-        explode(
-          transform(
-            slice(col("w"), lit(1), size(col("w")) - 1),
-            (x, i) => struct(x.as("w1"), element_at(col("w"), i + lit(2)).as("w2"))
-          )
-        ).as("p")
-      )
+      .select(explode(flatten(array(perDistance: _*))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
@@ -1458,5 +1621,45 @@ object CorpusOps {
         col("domain"),
         (col("epochs") + when(col("rk") <= col("rem"), 1L).otherwise(0L)).as("n_repeats")
       )
+  }
+
+  /** Deterministic cross-domain negative sampling — the contrastive /
+    * retrieval-training prep step (DPR-style in-corpus negatives): for
+    * every document, `k` pseudo-random draws from the corpus, keeping
+    * those that land in a DIFFERENT domain (and are not the doc itself).
+    * Returns (doc_id, draw, neg_id, neg_domain) with draw ∈ [0, k) —
+    * surviving draws only, so heavy-domain docs keep slightly fewer than
+    * `k`; pad `k` accordingly. Fully deterministic: draw j of doc d
+    * targets global rank ⌊u(md5(d ++ "#" ++ j)) · N⌋, so the negative
+    * set never changes across runs, partitionings, or engines.
+    *
+    * Scale shape: the rank table is [[assignShards]]'s distributed-exact
+    * global order (4096-bucket prefix ranking — no global-sort task) with
+    * the domain joined back id-keyed; the draws are a zero-shuffle
+    * projection + explode; resolution is ONE equi-join on the integer
+    * rank — uniform by construction (the md5 draw can't skew), so no
+    * salting is ever needed.
+    */
+  def sampleNegatives(df: DataFrame, idCol: Column, domain: Column, k: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = df.select(idCol.as("doc_id"), domain.as("domain")).filter(col("doc_id").isNotNull)
+    val ranks = assignShards(base, col("doc_id"), shardSize = Int.MaxValue)
+      .select(col("doc_id").as("neg_id"), col("rank"))
+      .join(base.select(col("doc_id").as("neg_id"), col("domain").as("neg_domain")), Seq("neg_id"))
+    val n = base.agg(count(lit(1)).as("n_docs"))
+    val draws = base
+      .crossJoin(n)
+      .select(
+        col("doc_id"),
+        col("domain"),
+        posexplode(transform(sequence(lit(0), lit(k - 1)), j => {
+          val u = hashUniform(concat(col("doc_id").cast("string"), lit("#"), j.cast("string")))
+          floor(u * col("n_docs")).cast("long")
+        })).as(Seq("draw", "rank"))
+      )
+    draws
+      .join(ranks, Seq("rank"))
+      .filter(col("neg_id") =!= col("doc_id") && !(col("neg_domain") <=> col("domain")))
+      .select(col("doc_id"), col("draw"), col("neg_id"), col("neg_domain"))
   }
 }

@@ -171,4 +171,27 @@ object Multimodal {
     Dedup
       .pairsFromFps(aHash(ds), maxHamming, blocks)
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+
+  /** Audio-style frame features over the media byte plane: cut the content
+    * into complete `frameSize`-byte frames and emit per-frame (rms, mean)
+    * of the unsigned samples — the windowed-feature pass an audio
+    * pipeline runs before VAD / silence trimming / energy gating. The
+    * kernel is the native codegen [[graft.functions.codecs.PcmFrames]]
+    * (integer accumulation — exact, order-free, engine-replayable); the
+    * operator is a pure projection + explode, zero shuffle. On a real
+    * pipeline the input is the decoded PCM plane ([[stubDecode]] note);
+    * swapping the decoder changes no plan shape.
+    */
+  def audioFrames(media: DataFrame, frameSize: Int = 8): DataFrame =
+    media.select(
+        col("doc_id"),
+        posexplode(graft.functions.codecs.pcm_frames(col("content"), frameSize))
+          .as(Seq("frame_idx", "f"))
+      )
+      .select(
+        col("doc_id"),
+        col("frame_idx"),
+        round(col("f.rms"), 6).as("rms"),
+        round(col("f.mean"), 6).as("mean")
+      )
 }

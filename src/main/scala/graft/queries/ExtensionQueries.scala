@@ -1298,6 +1298,55 @@ object ExtensionQueries {
         .select(col("group"), col("n_vecs"), posexplode(col("vec")).as(Seq("i", "m")))
         .orderBy(col("group"), col("i"))),
 
+    // N-gram novelty vs a reference corpus (docs ≡ 0 mod 3): the BLOOM
+    // path runs here (bloom-negatives never reach the confirm join) and
+    // must produce the exact answer the oracle computes relationally —
+    // reference docs score ~0, the rest score high.
+    "x67_novelty" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      CorpusOps
+        .noveltyScoreBloom(
+          docs,
+          col("text"),
+          col("doc_id"),
+          docs.filter(col("doc_id") % 3 === 0),
+          col("text"),
+          n = 3
+        )
+        .orderBy(col("doc_id"))
+    }),
+
+    // Zipf rank-frequency OLS over the top-500 terms: slope/intercept/r2
+    // from five scalar sums; the top-R cut is deterministic (count desc,
+    // term) on both engines.
+    "x68_zipf_profile" -> ((s, dir) =>
+      CorpusOps.zipfProfile(T(s, dir, "documents"), col("text"), topR = 500)),
+
+    // Skip-gram co-occurrence PMI at window 3 — the embedding-prep
+    // co-occurrence table; same exact-count machinery as x62, pair
+    // generation still a zero-shuffle projection.
+    "x69_cooccurrence" -> ((s, dir) =>
+      CorpusOps
+        .pmiCollocations(T(s, dir, "documents"), col("text"), minCount = 3, k = 100, window = 3)
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))),
+
+    // Deterministic cross-domain negative sampling (contrastive/DPR
+    // prep): draw j of doc d targets global rank ⌊u(md5(d#j))·N⌋; the
+    // oracle replays ranks, draws, and filters exactly.
+    "x70_sample_negatives" -> ((s, dir) =>
+      CorpusOps
+        .sampleNegatives(T(s, dir, "documents"), col("doc_id"), col("lang"), k = 8)
+        .orderBy(col("doc_id"), col("draw"))),
+
+    // Audio-style per-frame features over the media byte plane (native
+    // integer-accumulating PcmFrames kernel — exact, order-free doubles).
+    "x71_audio_frames" -> ((s, dir) => {
+      val media = Multimodal.fromDocuments(s, T(s, dir, "documents")).toDF()
+      Multimodal
+        .audioFrames(media, frameSize = 8)
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -1312,6 +1361,87 @@ object ExtensionQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // windowed co-occurrence: ordered (w_i, w_{i+ds}) pairs for ds 1..3
+    "x69_cooccurrence" ->
+      """WITH docs AS (SELECT STRING_SPLIT(text, ' ') AS w FROM documents),
+        |t AS (SELECT UNNEST(w) AS tok FROM docs),
+        |uni AS (SELECT tok, COUNT(1) AS c FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_tokens FROM t),
+        |bi AS (
+        |  SELECT w1, w2, COUNT(1) AS c12 FROM (
+        |    SELECT w[i] AS w1, w[i + ds] AS w2
+        |    FROM (SELECT w, UNNEST(RANGE(1, LEN(w))) AS i FROM docs WHERE LEN(w) >= 2)
+        |    CROSS JOIN (SELECT UNNEST(RANGE(1, 4)) AS ds)
+        |    WHERE i + ds <= LEN(w))
+        |  GROUP BY 1, 2 HAVING COUNT(1) >= 3)
+        |SELECT bi.w1, bi.w2, bi.c12,
+        |  ROUND(LN(CAST(bi.c12 * tot.n_tokens AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE)), 6) AS pmi
+        |FROM bi JOIN uni u1 ON u1.tok = bi.w1 JOIN uni u2 ON u2.tok = bi.w2 CROSS JOIN tot
+        |ORDER BY pmi DESC, bi.w1, bi.w2 LIMIT 100""".stripMargin,
+    // negatives: rank replay (assignShards' bucket-prefixed order ==
+    // plain (md5, id) order), the same 7-hex uniform draw, same filters
+    "x70_sample_negatives" ->
+      s"""WITH r AS (SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rank
+        |  FROM documents),
+        |nn AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_docs FROM documents),
+        |dj AS (SELECT doc_id, lang AS domain, CAST(j AS INT) AS draw,
+        |    md5(CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)) AS h
+        |  FROM documents CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS j)),
+        |c AS (SELECT doc_id, domain, draw,
+        |    CAST(FLOOR(($hashUniformSql) * n_docs) AS BIGINT) AS rank
+        |  FROM dj CROSS JOIN nn)
+        |SELECT c.doc_id, c.draw, r.doc_id AS neg_id, r.lang AS neg_domain
+        |FROM c JOIN r ON r.rank = c.rank
+        |WHERE r.doc_id != c.doc_id AND r.lang != c.domain
+        |ORDER BY 1, 2""".stripMargin,
+    // audio frames: integer Σx/Σx² replay over the ASCII byte plane
+    "x71_audio_frames" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    UNNEST(RANGE(0, LENGTH(text) // 8)) AS frame_idx FROM documents),
+        |s AS (SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |    LIST_SUM(LIST_TRANSFORM(RANGE(1, 9),
+        |      i -> ord(SUBSTR(text, CAST(frame_idx * 8 + i AS INT), 1)))) AS sm,
+        |    LIST_SUM(LIST_TRANSFORM(RANGE(1, 9),
+        |      i -> ord(SUBSTR(text, CAST(frame_idx * 8 + i AS INT), 1))
+        |         * ord(SUBSTR(text, CAST(frame_idx * 8 + i AS INT), 1)))) AS sq
+        |  FROM f)
+        |SELECT doc_id, frame_idx,
+        |  ROUND(SQRT(CAST(sq AS DOUBLE) / 8.0), 6) AS rms,
+        |  ROUND(CAST(sm AS DOUBLE) / 8.0, 6) AS mean
+        |FROM s ORDER BY 1, 2""".stripMargin,
+    // novelty: the bloom prefilter is exact by construction, so the
+    // oracle is the plain relational left join on the 3-gram CTE
+    "x67_novelty" ->
+      """WITH sh AS (SELECT doc_id, LIST_DISTINCT(
+        |    CASE WHEN LEN(STRING_SPLIT(text, ' ')) < 3 THEN [text]
+        |         ELSE LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+        |           i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' '))
+        |    END) AS g FROM documents),
+        |ref AS (SELECT DISTINCT UNNEST(g) AS gram FROM sh WHERE doc_id % 3 = 0),
+        |cg AS (SELECT doc_id, UNNEST(g) AS gram FROM sh)
+        |SELECT cg.doc_id, COUNT(1) AS n_grams,
+        |  SUM(CASE WHEN ref.gram IS NULL THEN 1 ELSE 0 END) AS n_novel,
+        |  ROUND(CAST(SUM(CASE WHEN ref.gram IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(1) AS DOUBLE), 6) AS novelty
+        |FROM cg LEFT JOIN ref ON cg.gram = ref.gram
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // zipf: same five scalar sums, same expression structure before the
+    // 6dp round; the top-500 cut is a deterministic total order
+    "x68_zipf_profile" ->
+      """WITH t AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents),
+        |f AS (SELECT tok, COUNT(1) AS c FROM t GROUP BY 1),
+        |top AS (SELECT tok, c FROM f ORDER BY c DESC, tok LIMIT 500),
+        |rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rank FROM top),
+        |xy AS (SELECT c, LN(CAST(rank AS DOUBLE)) AS x, LN(CAST(c AS DOUBLE)) AS y FROM rk),
+        |s AS (SELECT COUNT(1) AS n, MAX(c) AS top_count, SUM(x) AS sx, SUM(y) AS sy,
+        |        SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy FROM xy)
+        |SELECT n AS n_ranks, top_count,
+        |  ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+        |  ROUND((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6) AS intercept,
+        |  ROUND(((n*sxy - sx*sy) * (n*sxy - sx*sy))
+        |    / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+        |FROM s""".stripMargin,
     // pmi: exact long counts, ln of the same product/quotient order,
     // ROUND 6dp on both sides; the LIMIT cut orders on the rounded value
     "x62_pmi_collocations" ->

@@ -81,4 +81,29 @@ class CodecExpressionSpec extends SparkTestBase {
     assert(decodeOne(bytes, 0).get.msgType == Telemetry.TypeHeartbeat)
     assert(decodeHeartbeat(decodeOne(bytes, 0).get.body) == Heartbeat(5, 6, 7))
   }
+
+  test("pcm_frames: exact per-frame rms/mean, tail dropped, null-safe") {
+    import spark.implicits._
+    // "abcdefgh" + "ij" tail (dropped at frameSize=8): bytes 97..104
+    val s = "abcdefghij"
+    val expSum = (97 to 104).map(_.toLong).sum
+    val expSq = (97 to 104).map(x => x.toLong * x).sum
+    val rows = Seq(Some(s), Some("abc"), None)
+      .toDF("t")
+      .select(codecs.pcm_frames(encode(col("t"), "UTF-8"), 8).as("f"))
+      .collect()
+    val frames = rows(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(frames.length == 1, "incomplete tail must be dropped")
+    assert(frames.head.getDouble(0) == math.sqrt(expSq.toDouble / 8))
+    assert(frames.head.getDouble(1) == expSum.toDouble / 8)
+    assert(rows(1).getSeq[org.apache.spark.sql.Row](0).isEmpty, "short content -> no frames")
+    assert(rows(2).isNullAt(0), "null content -> null")
+    // parquet-backed: the kernel must stay inside whole-stage codegen
+    val plan = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(codecs.pcm_frames(encode(col("text"), "UTF-8"), 8).as("f"))
+    val codegen = plan.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegen.nonEmpty, s"expected codegen in:\n${plan.queryExecution.executedPlan}")
+  }
 }

@@ -814,6 +814,42 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out.toSet == Set((1L, 0, 0, 3), (2L, 0, 0, 1)))
   }
 
+  test("noveltyScore: hand-checked ratios; bloom path == exact path even with a degenerate sketch") {
+    import spark.implicits._
+    val ref = Seq((100L, "w1 w2 w3 w4")).toDF("doc_id", "text") // grams: w1w2w3, w2w3w4
+    val corpus = Seq(
+      (1L, "w1 w2 w3 w4"),      // both grams seen -> novelty 0
+      (2L, "w1 w2 w3 x y z"),   // grams: w1w2w3(seen), w2w3x, w3xy, xyz -> 3/4
+      (3L, "p q r")             // 1 gram, novel -> 1.0
+    ).toDF("doc_id", "text")
+    val exact = CorpusOps
+      .noveltyScore(corpus, col("text"), col("doc_id"), ref, col("text"))
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(exact.toSeq == Seq((1L, 2L, 0L, 0.0), (2L, 4L, 3L, 0.75), (3L, 1L, 1L, 1.0)))
+    // bloom path is exact regardless of sketch quality (fpp=0.5 degenerate)
+    val bloom = CorpusOps
+      .noveltyScoreBloom(corpus, col("text"), col("doc_id"), ref, col("text"),
+        expectedGrams = 4L, fpp = 0.5)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(bloom.toSeq == exact.toSeq)
+  }
+
+  test("zipfProfile: an exact 1/r corpus fits slope -1 with r2 = 1") {
+    import spark.implicits._
+    // counts 12/r at ranks 1..4: ln(c) = ln(12) - ln(rank) exactly
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++ Seq.fill(4)("c") ++ Seq.fill(3)("d"))
+      .mkString(" ")
+    val r = CorpusOps.zipfProfile(Seq(text).toDF("text"), col("text"), topR = 4).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 12L)
+    assert(math.abs(r.getDouble(2) - (-1.0)) < 1e-9, s"slope: ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - 2.484907) < 1e-9, s"intercept: ${r.getDouble(3)}") // ln 12
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-9, s"r2: ${r.getDouble(4)}")
+  }
+
   test("pmiCollocations: hand-computed counts and pmi on a tiny corpus") {
     import spark.implicits._
     // bigrams: (a,b)x3, (b,a)x1, (b,c)x1; unigrams a:3 b:3 c:1; N=7
@@ -830,6 +866,52 @@ class CorpusOpsSpec extends SparkTestBase {
     // minCount=1 keeps all three pairs; single-token docs contribute no pair
     val all = CorpusOps.pmiCollocations(Seq("a b", "x").toDF("text"), col("text"), 1, 10)
     assert(all.count() == 1)
+  }
+
+  test("pmiCollocations window: skip-gram pairs at every distance <= window, short docs safe") {
+    import spark.implicits._
+    // "a b c d": w=1 -> (a,b),(b,c),(c,d); w=3 adds (a,c),(b,d),(a,d)
+    val df = Seq("a b c d").toDF("text")
+    val w3 = CorpusOps
+      .pmiCollocations(df, col("text"), minCount = 1, k = 100, window = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(w3 == Set(
+      ("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L),
+      ("a", "c", 1L), ("b", "d", 1L), ("a", "d", 1L)
+    ).map { case (x, y, c) => (x, y, c) })
+    // a 2-token doc under window=3: only the distance-1 pair, no error
+    val short = CorpusOps
+      .pmiCollocations(Seq("x y").toDF("text"), col("text"), minCount = 1, k = 10, window = 3)
+      .collect()
+    assert(short.length == 1 && short.head.getString(0) == "x")
+  }
+
+  test("sampleNegatives: deterministic, cross-domain only, never self") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, if (i % 4 == 0) "A" else "B")).toDF("doc_id", "domain")
+    val out = CorpusOps
+      .sampleNegatives(docs, col("doc_id"), col("domain"), k = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(out.nonEmpty)
+    val domains = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, draw, negId, negDom) =>
+      assert(negId != id, s"self negative for $id")
+      assert(negDom != domains(id), s"same-domain negative for $id")
+      assert(domains(negId) == negDom)
+      assert(draw >= 0 && draw < 6)
+    }
+    // deterministic across runs
+    val again = CorpusOps
+      .sampleNegatives(docs, col("doc_id"), col("domain"), k = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(out.sortBy(t => (t._1, t._2)).toSeq == again.sortBy(t => (t._1, t._2)).toSeq)
+    // at most k draws per doc; A-docs (25% of corpus) keep more than B-docs on average
+    val perDoc = out.groupBy(_._1).view.mapValues(_.length)
+    assert(perDoc.values.forall(_ <= 6))
   }
 
   test("epochMixture: budgets, epochs, remainders, and the cap all land exactly") {

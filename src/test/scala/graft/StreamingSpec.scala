@@ -62,6 +62,48 @@ class StreamingSpec extends SparkTestBase {
     assert(n == 1L && replayAccepted == Set(11L), s"replay diverged: n=$n, $replayAccepted")
   }
 
+  test("StreamCurate: quality-gated, PII-scrubbed, cross-batch-deduped ingestion") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft-curate-store").toString + "/digests"
+    val accepted = scala.collection.concurrent.TrieMap.empty[Long, String]
+    // passes the (relaxed) gate: >= 4 words, one stopword
+    val good = "the quick brown fox jumps over reach me at bob@mail.example.org today"
+    val goodOtherPii = "the quick brown fox jumps over reach me at eve@mail.example.org today"
+    val fresh = "a completely different document with enough words to pass the gate"
+    val input = MemoryStream[(Long, String)]
+    val q = input
+      .toDF()
+      .toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(
+        graft.streaming.StreamCurate.curateSink(
+          "text",
+          col("doc_id"),
+          store,
+          (kept, _) => kept.collect().foreach(r => accepted.put(r.getLong(0), r.getString(1))),
+          minWords = 4,
+          minStopHits = 1
+        )
+      )
+      .start()
+    try {
+      input.addData((1L, good), (2L, "too short"), (3L, good))
+      q.processAllAvailable()
+      // 2 fails the gate; 3 collapses onto 1 within the batch
+      assert(accepted.keySet == Set(1L), s"batch 1 survivors wrong: $accepted")
+      assert(
+        accepted(1L).contains("<EMAIL>") && !accepted(1L).contains("bob@"),
+        s"accepted text must be redacted: ${accepted(1L)}"
+      )
+
+      // 10: re-ingest of doc 1 with DIFFERENT PII — the digest keys the
+      // scrubbed text, so it still collapses and is dropped; 11 is new
+      input.addData((10L, goodOtherPii), (11L, fresh))
+      q.processAllAvailable()
+      assert(accepted.keySet == Set(1L, 11L), s"batch 2 survivors wrong: $accepted")
+    } finally q.stop()
+  }
+
   test("streaming router multicast == batch router multicast (O-13)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
