@@ -1493,10 +1493,11 @@ object CorpusOps {
     * broadcasts the vocab side when it fits); the final top-k is
     * `TakeOrderedAndProject` on the ROUNDED pmi (6 dp, ties broken by the
     * pair) — never a global sort, and the rounding makes the cut
-    * cross-engine deterministic. All counts are exact longs; products
-    * `c12·N` and `c1·c2` stay inside Long up to ~3·10⁹ tokens per shard —
-    * beyond that widen to double before the divide (the ratio is what
-    * PMI needs, and it is far from both overflow and denormal range).
+    * cross-engine deterministic. All counts are exact longs; the pmi
+    * products widen to DOUBLE before multiplying (`c12·N` as a long
+    * overflows past ~3·10⁹ tokens — an ANSI-mode throw at corpus scale;
+    * the correctly-rounded double products keep the ratio far from both
+    * overflow and denormal range at any width).
     */
   def pmiCollocations(
       df: DataFrame,
@@ -1540,8 +1541,15 @@ object CorpusOps {
         col("w1"),
         col("w2"),
         col("c12"),
+        // counts widen to double BEFORE multiplying: c12·N as a long
+        // overflows past ~3e9 tokens (an ANSI-mode throw at corpus
+        // scale); the double products are correctly rounded and the
+        // oracle multiplies in the same order
         round(
-          log((col("c12") * col("n_tokens")).cast("double") / (col("c1") * col("c2")).cast("double")),
+          log(
+            (col("c12").cast("double") * col("n_tokens").cast("double")) /
+              (col("c1").cast("double") * col("c2").cast("double"))
+          ),
           6
         ).as("pmi")
       )
@@ -1586,9 +1594,14 @@ object CorpusOps {
   ): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    // null ids (md5-family contract) AND null domains are excluded up
+    // front: a null domain would otherwise vanish silently at the
+    // budget equi-join (null keys never match) — making the exclusion
+    // explicit keeps "every input row is either budgeted or was
+    // knowingly dropped" true
     val base = df
       .select(domain.as("domain"), idCol.as("doc_id"))
-      .filter(col("doc_id").isNotNull)
+      .filter(col("doc_id").isNotNull && col("domain").isNotNull)
     val counts = base.groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
     val sumW = counts.agg(sum(sqrt(col("n_docs").cast("double"))).as("sum_w"))
     val budgets = counts

@@ -1375,7 +1375,7 @@ object ExtensionQueries {
         |    WHERE i + ds <= LEN(w))
         |  GROUP BY 1, 2 HAVING COUNT(1) >= 3)
         |SELECT bi.w1, bi.w2, bi.c12,
-        |  ROUND(LN(CAST(bi.c12 * tot.n_tokens AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE)), 6) AS pmi
+        |  ROUND(LN((CAST(bi.c12 AS DOUBLE) * CAST(tot.n_tokens AS DOUBLE)) / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6) AS pmi
         |FROM bi JOIN uni u1 ON u1.tok = bi.w1 JOIN uni u2 ON u2.tok = bi.w2 CROSS JOIN tot
         |ORDER BY pmi DESC, bi.w1, bi.w2 LIMIT 100""".stripMargin,
     // negatives: rank replay (assignShards' bucket-prefixed order ==
@@ -1455,7 +1455,7 @@ object ExtensionQueries {
         |    FROM (SELECT w, UNNEST(RANGE(1, LEN(w))) AS i FROM d WHERE LEN(w) >= 2))
         |  GROUP BY 1, 2 HAVING COUNT(1) >= 3)
         |SELECT bi.w1, bi.w2, bi.c12,
-        |  ROUND(LN(CAST(bi.c12 * tot.n_tokens AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE)), 6) AS pmi
+        |  ROUND(LN((CAST(bi.c12 AS DOUBLE) * CAST(tot.n_tokens AS DOUBLE)) / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6) AS pmi
         |FROM bi JOIN uni u1 ON u1.tok = bi.w1 JOIN uni u2 ON u2.tok = bi.w2 CROSS JOIN tot
         |ORDER BY pmi DESC, bi.w1, bi.w2 LIMIT 100""".stripMargin,
     // mixture: √-weights (IEEE-exact both engines), floors on the same
