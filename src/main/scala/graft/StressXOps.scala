@@ -71,7 +71,7 @@ object StressXOps {
     // optional 3rd arg: comma-separated section filter
     // (simhash,minhash,cosine,decontaminate,pack,cc,quantile,pii,sample,
     // lines,quantize,spans,semdedup,bloominc,retrieval,qknn,classifier,
-    // curation9,curation10,curation10b,curation10c) — default all
+    // curation9,curation10,curation10b,curation10c,curation10d) — default all
     val only = if (args.length > 2) args(2).split(",").toSet else Set.empty[String]
     def section(name: String): Boolean = only.isEmpty || only(name)
     val spark = SparkSession
@@ -1416,6 +1416,93 @@ object StressXOps {
       println(f"[stressx] audioFrames(frameSize=8) @ $corpusN%d planes: $afSec%.1f s, $afRows frames (expected $expFrames)")
       println(s"[stressx]   plan: $afH")
       assert(afRows == expFrames, s"frame conservation: $afRows vs $expFrames")
+    }
+
+    // ---- audio segmentation, incremental fuzzy dedup, compression gate
+    // (x72-x74) at full width
+    if (section("curation10d")) locally {
+      // audio segments over ~1.2 GB of planes with a planted silence run
+      // spliced into every doc at char 64; conservation: Σ n_frames ==
+      // active-frame count
+      val media = corpus.select(
+        col("id").as("doc_id"),
+        encode(
+          concat(
+            substring(col("text"), 1, 64),
+            lit("                "),
+            substring(col("text"), 65, 1000000)
+          ),
+          "UTF-8"
+        ).as("content")
+      )
+      // stress tokens are digit strings (rms ~52, vs letters ~100 in the
+      // oracle corpus); spaces are 32 — gate at 40
+      val segs = operators.Multimodal.audioSegments(media, frameSize = 8, silenceRms = 40.0)
+      val (sgSec, sgRows, sgH, _) = run(segs)
+      val segDf = segs.persist()
+      val segFrames = segDf.agg(sum(col("n_frames"))).head().getLong(0)
+      val activeFrames = operators.Multimodal
+        .audioFrames(media, frameSize = 8)
+        .filter(col("rms") >= 40.0)
+        .count()
+      val multiSeg = segDf.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).count()
+      println(f"[stressx] audioSegments @ $corpusN%d planes: $sgSec%.1f s, $sgRows segments ($multiSeg docs split by the planted silence); frame conservation $segFrames == $activeFrames")
+      println(s"[stressx]   plan: $sgH")
+      assert(segFrames == activeFrames, s"active frames must all land in segments: $segFrames vs $activeFrames")
+      assert(multiSeg > corpusN / 2, s"the planted silence should split most docs: $multiSeg")
+      segDf.unpersist()
+
+      // incremental fuzzy gate: 50k batch (half first-token-dropped twins
+      // of corpus docs — J=37/38, recall 1-1e-11 — half salted fresh)
+      // against the 5.05M-doc reference
+      val reIngest = spark.range(nDocs / 200)
+        .select((col("id") + 11L * TwinOffset).as("id"), col("id").as("base_id"))
+        .select(col("id"), concat_ws(" ",
+          slice(split(tokens(perturbFirst = false), " "), 2, 1000)).as("text"))
+      // genuinely fresh: token streams from a base_id space the corpus
+      // never used (prepending a token to a corpus text is NOT fresh
+      // under Jaccard — 38/39 shared shingles — and the gate rightly
+      // rejected that first formulation)
+      val fresh = spark.range(nDocs / 200)
+        .select((col("id") + 12L * TwinOffset).as("id"), (col("id") + 14L * TwinOffset).as("base_id"))
+        .select(col("id"), tokens(perturbFirst = false).as("text"))
+      val fuzzBatch = reIngest.unionByName(fresh)
+      val fz = operators.Dedup.incrementalFuzzy(
+        fuzzBatch, col("text"), col("id"), corpus, col("text"), col("id"),
+        n = 3, numHashes = 32, bands = 16, threshold = 0.6)
+      val (fzSec, fzRows, fzH, _) = run(fz)
+      val fzDf = fz.persist()
+      val twinsKept = fzDf.filter(col("id") < 12L * TwinOffset && col("kept")).count()
+      val freshDropped = fzDf.filter(col("id") >= 12L * TwinOffset && !col("kept")).count()
+      println(f"[stressx] incrementalFuzzy(50k batch vs $corpusN%d-doc reference): $fzSec%.1f s, $fzRows verdicts; twins kept=$twinsKept (want 0), fresh dropped=$freshDropped (want 0)")
+      println(s"[stressx]   plan: $fzH")
+      assert(fzRows == nDocs / 100, s"one verdict per batch doc: $fzRows")
+      assert(twinsKept == 0, s"every near-dup re-ingest must be dropped: $twinsKept")
+      assert(freshDropped == 0, s"fresh docs must pass: $freshDropped")
+      fzDf.unpersist()
+
+      // compression gate at full width: 1% single-token-repeated twins
+      // must separate below 0.2 from every natural doc
+      val compCorpus = corpus.unionByName(
+        corpus.filter(pmod(col("id"), lit(100)) === 9)
+          .select((col("id") + 13L * TwinOffset).as("id"),
+            concat_ws(" ", array_repeat(element_at(split(col("text"), " "), 1), 40)).as("text"))
+      )
+      val comp = compCorpus.select(
+        col("id"),
+        operators.TextOps.compressionRatio(col("text")).as("ratio")
+      )
+      val t4 = System.nanoTime()
+      val compStats = comp.agg(
+        max(when(col("id") >= 13L * TwinOffset, col("ratio"))).as("maxp"),
+        min(when(col("id") < 13L * TwinOffset, col("ratio"))).as("minn"),
+        count(lit(1)).as("n")
+      ).head()
+      val compSec = (System.nanoTime() - t4) / 1e9
+      println(f"[stressx] compressionRatio @ ${compStats.getLong(2)}%d docs: $compSec%.1f s; planted max=${compStats.getDouble(0)}%.4f natural min=${compStats.getDouble(1)}%.4f")
+      assert(compStats.getDouble(0) < 0.2 && compStats.getDouble(1) > 0.2,
+        s"separation: ${compStats.getDouble(0)} vs ${compStats.getDouble(1)}")
     }
 
     corpus.unpersist()

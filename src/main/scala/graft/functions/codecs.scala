@@ -321,7 +321,13 @@ object codecs {
       StructType(
         Seq(
           StructField("rms", DoubleType, nullable = false),
-          StructField("mean", DoubleType, nullable = false)
+          StructField("mean", DoubleType, nullable = false),
+          // exact integer state (Σx², Σx): order-free, so downstream
+          // aggregates (segment RMS over many frames) stay bit-exact in
+          // any engine — avg-of-rounded-rms would not (measured: 6dp
+          // midpoint flips on multi-frame segments)
+          StructField("sum_sq", LongType, nullable = false),
+          StructField("sum", LongType, nullable = false)
         )
       ),
       containsNull = false
@@ -345,7 +351,9 @@ object codecs {
         }
         out(f) = org.apache.spark.sql.catalyst.InternalRow(
           math.sqrt(sumSq.toDouble / frameSize),
-          sum.toDouble / frameSize
+          sum.toDouble / frameSize,
+          sumSq,
+          sum
         )
         f += 1
       }
@@ -376,9 +384,11 @@ object codecs {
           |    $sum += $x; $sumSq += $x * $x;
           |  }
           |  org.apache.spark.sql.catalyst.expressions.GenericInternalRow $row =
-          |    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2);
+          |    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(4);
           |  $row.update(0, Double.valueOf(Math.sqrt((double) $sumSq / $frameSize)));
           |  $row.update(1, Double.valueOf((double) $sum / $frameSize));
+          |  $row.update(2, Long.valueOf($sumSq));
+          |  $row.update(3, Long.valueOf($sum));
           |  $rows[$f] = $row;
           |}
           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($rows);
@@ -397,4 +407,55 @@ object codecs {
 
   /** Per-frame PCM features (rms, mean) over a binary byte plane. */
   def pcm_frames(bin: Column, frameSize: Int): Column = col(PcmFrames(expr(bin), frameSize))
+
+  /** DEFLATE-compressed length of a binary column — the compression-ratio
+    * quality signal (Gopher/RefinedWeb-style): highly repetitive or
+    * templated documents compress far below natural text, and
+    * `deflate_len(b) / octet_length(b)` separates them with no model.
+    * Level is fixed (and part of the semantics) so the value is
+    * deterministic for a given zlib; it is NOT an engine-portable number
+    * (no DuckDB twin), so oracle checks gate on planted-separation
+    * booleans, never on raw lengths. Runs one JIT'd static call per row;
+    * each thread reuses a pooled `Deflater` (they are expensive to
+    * allocate and not thread-safe).
+    */
+  case class DeflateLen(child: Expression, level: Int = 6)
+      extends UnaryExpression
+      with ImplicitCastInputTypes {
+    require(level >= 1 && level <= 9, s"level must be in [1, 9], got $level")
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      codecs.deflateLen(v.asInstanceOf[Array[Byte]], level)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        b => s"${ev.value} = graft.functions.codecs.deflateLen($b, $level);"
+      )
+    override protected def withNewChildInternal(c: Expression): DeflateLen = copy(child = c)
+  }
+
+  private val deflaters = new ThreadLocal[java.util.zip.Deflater]()
+
+  /** Static kernel behind [[DeflateLen]] (called from generated code). */
+  def deflateLen(b: Array[Byte], level: Int): Int = {
+    var d = deflaters.get()
+    if (d == null) {
+      d = new java.util.zip.Deflater(level, true)
+      deflaters.set(d)
+    }
+    d.reset()
+    d.setLevel(level)
+    d.setInput(b)
+    d.finish()
+    val buf = new Array[Byte](math.max(64, b.length + (b.length >> 1) + 16))
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
+
+  /** DEFLATE length of a binary column (compression-ratio signal). */
+  def deflate_len(bin: Column, level: Int = 6): Column = col(DeflateLen(expr(bin), level))
 }

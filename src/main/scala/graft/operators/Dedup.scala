@@ -167,6 +167,88 @@ object Dedup {
       .agg(min(col("keep_id")).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Incremental NEAR-dup dedup: gate an ingest batch against the accepted
+    * corpus at MinHash-LSH granularity — the fuzzy sibling of
+    * [[incremental]]/[[incrementalBloom]] (which are exact-digest only),
+    * and the gate production crawls actually run: a re-crawl that
+    * reorders whitespace or drops a header must still be rejected.
+    * Returns ONE row per batch doc: (id, dup_of = smallest matching
+    * reference id or null, n_ref_matches, kept).
+    *
+    * Shape: candidates come from a band-key equi-join of the reference's
+    * band table against the BATCH's (broadcast — a batch is small by
+    * definition), so the reference is scanned, never shuffled; the exact
+    * Jaccard verify joins only the CANDIDATE reference rows (broadcast
+    * candidate ids) — the second scan-not-shuffle pass, mirroring
+    * [[incrementalBloom]]'s confirm join. Within-batch collapse is
+    * [[fuzzyDedup]]'s job; this operator is the cross-batch gate. At
+    * 100 TB the reference band table and shingle sets are the natural
+    * thing to PERSIST between batches (they are the index — build once,
+    * append accepted docs per epoch, exactly like StreamDedup's digest
+    * store).
+    *
+    * Verification note: candidates are verified with EXACT Jaccard, so
+    * false positives are impossible; recall is the standard LSH curve —
+    * at (numHashes=32, bands=16) a true pair at J=t survives with
+    * 1−(1−t²)¹⁶ (0.9997 at t=0.6, 1−1e-11 at t=0.9). Size bands for the
+    * threshold as usual.
+    */
+  def incrementalFuzzy(
+      batch: DataFrame,
+      text: Column,
+      idCol: Column,
+      reference: DataFrame,
+      refText: Column,
+      refIdCol: Column,
+      n: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      threshold: Double = 0.6
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    def prep(df: DataFrame, t: Column, id: Column): DataFrame =
+      df.select(id.as("id"), array_distinct(shingles(t, n)).as("sh"))
+        .select(col("id"), col("sh"), graft.functions.text.minhash_sig(col("sh"), numHashes).as("sig"))
+    def bandTable(d: DataFrame): DataFrame = {
+      val bandCols = (0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          xxhash64((b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*).as("bucket")
+        )
+      }
+      d.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    }
+    val bt = prep(batch, text, idCol)
+    val rf = prep(reference, refText, refIdCol)
+    val cand = bandTable(rf)
+      .join(
+        broadcast(bandTable(bt).withColumnRenamed("id", "batch_id")),
+        Seq("band", "bucket")
+      )
+      .select(col("batch_id"), col("id").as("ref_id"))
+      .dropDuplicates("batch_id", "ref_id")
+    val verified = rf
+      .select(col("id").as("ref_id"), col("sh").as("sh_r"))
+      .join(broadcast(cand), Seq("ref_id"))
+      .join(broadcast(bt.select(col("id").as("batch_id"), col("sh").as("sh_b"))), Seq("batch_id"))
+      .filter(
+        size(array_intersect(col("sh_b"), col("sh_r"))).cast("double") /
+          size(array_union(col("sh_b"), col("sh_r"))).cast("double") >= threshold
+      )
+      .groupBy(col("batch_id"))
+      .agg(min(col("ref_id")).as("dup_of"), count(lit(1)).as("n_ref_matches"))
+    bt.select(col("id"))
+      .join(verified.withColumnRenamed("batch_id", "id"), Seq("id"), "left")
+      .select(
+        col("id"),
+        col("dup_of"),
+        coalesce(col("n_ref_matches"), lit(0L)).as("n_ref_matches"),
+        col("dup_of").isNull.as("kept")
+      )
+  }
+
   /** Word `n`-gram shingles of a text column → array&lt;string&gt;.
     * Documents shorter than `n` tokens yield their whole text as the single
     * shingle (so they can still match exactly).

@@ -182,6 +182,69 @@ object Multimodal {
     * pipeline the input is the decoded PCM plane ([[stubDecode]] note);
     * swapping the decoder changes no plan shape.
     */
+  /** Energy-gated segmentation over [[audioFrames]] — the VAD / silence-
+    * trimming pass: frames with rms below `silenceRms` are gaps, maximal
+    * runs of active frames become segments (classic gaps-and-islands:
+    * run key = frame_idx − row_number within the doc). Returns one row
+    * per segment: (doc_id, seg_idx, start_frame, end_frame, n_frames,
+    * mean_rms). Because the frame features are bit-exact in any engine
+    * (integer sums), the gate boolean — and therefore the segmentation —
+    * is exactly replayable, however close a frame sits to the threshold.
+    *
+    * Scale shape: the only exchange is the per-DOC window (frames per
+    * doc are bounded by media length — thousands, not corpus-sized), so
+    * partitions stay uniform at any corpus width.
+    */
+  def audioSegments(
+      media: DataFrame,
+      frameSize: Int = 8,
+      silenceRms: Double = 80.0
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // carry the EXACT integer Σx² per frame: the segment RMS is computed
+    // over all samples from summed longs (order-free), where an
+    // avg-of-rounded-frame-rms would sit on 6dp midpoints and flip
+    // between engines (measured on the oracle corpus)
+    val active = media
+      .select(
+        col("doc_id"),
+        posexplode(graft.functions.codecs.pcm_frames(col("content"), frameSize))
+          .as(Seq("frame_idx", "f"))
+      )
+      .select(
+        col("doc_id"),
+        col("frame_idx"),
+        round(col("f.rms"), 6).as("rms"),
+        col("f.sum_sq").as("sum_sq")
+      )
+      .filter(col("rms") >= silenceRms)
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    active
+      .withColumn("__grp", col("frame_idx") - row_number().over(wDoc))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(
+        min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("sum_sq")).as("__sq")
+      )
+      .withColumn(
+        "seg_idx",
+        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("start_frame"))) - 1
+      )
+      .select(
+        col("doc_id"),
+        col("seg_idx"),
+        col("start_frame"),
+        col("end_frame"),
+        col("n_frames"),
+        round(
+          sqrt(col("__sq").cast("double") / (col("n_frames") * frameSize).cast("double")),
+          6
+        ).as("seg_rms")
+      )
+  }
+
   def audioFrames(media: DataFrame, frameSize: Int = 8): DataFrame =
     media.select(
         col("doc_id"),

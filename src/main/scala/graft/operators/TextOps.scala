@@ -557,6 +557,22 @@ object TextOps {
     * if a profile ever says otherwise, the fusion recipe is
     * [[graft.functions.text.TokenEntropy]]'s).
     */
+  /** Compression-ratio quality signal: DEFLATE-compressed bytes / raw
+    * bytes (Gopher/RefinedWeb-style — templated and repetitive documents
+    * compress far below natural prose, no model needed). Ratio is
+    * deterministic per zlib but NOT engine-portable; gate on separation
+    * (planted invariants), not raw values. Pure per-row codegen; zero
+    * shuffle.
+    */
+  def compressionRatio(text: Column, level: Int = 6): Column = {
+    val bytes = encode(text, "UTF-8")
+    round(
+      graft.functions.codecs.deflate_len(bytes, level).cast("double") /
+        octet_length(bytes).cast("double"),
+      6
+    )
+  }
+
   def gopherQualityGate(
       df: DataFrame,
       idCol: Column,

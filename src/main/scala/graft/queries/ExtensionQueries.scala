@@ -1347,6 +1347,83 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // Energy-gated audio segmentation with planted silence runs (16
+    // spaces spliced in at char 64): the frame features are bit-exact
+    // integer sums, so the gate — and the whole segmentation — replays
+    // exactly in any engine no matter how close a frame is to τ.
+    "x72_audio_segments" -> ((s, dir) => {
+      val planted = T(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          substring(col("text"), 1, 64),
+          lit("                "),
+          substring(col("text"), 65, 1000000)
+        ).as("text"),
+        col("source")
+      )
+      val media = Multimodal.fromDocuments(s, planted).toDF()
+      Multimodal
+        .audioSegments(media, frameSize = 8, silenceRms = 80.0)
+        .orderBy(col("doc_id"), col("seg_idx"))
+    }),
+
+    // Incremental near-dup gate: batch = fresh odd docs + twins of even
+    // (reference) docs with the first token dropped (J = 37/38 ≈ 0.97 —
+    // LSH recall 1−1e-11 at 16 bands × 2 rows, so the candidate set is
+    // deterministically total and the oracle can replay the EXACT
+    // Jaccard join).
+    "x73_incremental_fuzzy" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ref = docs.filter(col("doc_id") % 2 === 0)
+      val twins = ref.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 2, 1000000)).as("text")
+      )
+      val batch = docs.filter(col("doc_id") % 2 === 1).unionByName(twins)
+      Dedup
+        .incrementalFuzzy(
+          batch,
+          col("text"),
+          col("doc_id"),
+          ref,
+          col("text"),
+          col("doc_id"),
+          n = 3,
+          numHashes = 32,
+          bands = 16,
+          threshold = 0.6
+        )
+        .orderBy(col("id"))
+    }),
+
+    // Compression-ratio gate: deflate lengths are zlib-deterministic but
+    // not engine-portable, so the check is planted SEPARATION — every
+    // repetitive twin (one token × 40) must compress below 0.2 while
+    // every natural doc sits above it; the oracle pins layout + TRUEs.
+    "x74_compression_gate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val repetitive = docs
+        .filter(col("doc_id") % 10 === 0)
+        .select(
+          (col("doc_id") + 3000000L).as("doc_id"),
+          concat_ws(" ", array_repeat(element_at(split(col("text"), " "), 1), 40)).as("text")
+        )
+      val corpus = docs.unionByName(repetitive)
+        .select(col("doc_id"), TextOps.compressionRatio(col("text")).as("ratio"))
+      corpus
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum((col("doc_id") >= 3000000L).cast("long")).as("n_planted"),
+          max(when(col("doc_id") >= 3000000L, col("ratio"))).as("__maxp"),
+          min(when(col("doc_id") < 3000000L, col("ratio"))).as("__minn")
+        )
+        .select(
+          col("n_docs"),
+          col("n_planted"),
+          (col("__maxp") < 0.2 && col("__minn") > 0.2).as("separation_ok")
+        )
+    }),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -1361,6 +1438,70 @@ object ExtensionQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // audio segmentation: full replay — frames, 6dp-rounded rms gate,
+    // gaps-and-islands, per-segment aggregates
+    "x72_audio_segments" ->
+      """WITH p AS (SELECT doc_id,
+        |    SUBSTR(text, 1, 64) || '                ' || SUBSTR(text, 65, 1000000) AS text
+        |  FROM documents),
+        |f AS (SELECT doc_id, text, UNNEST(RANGE(0, LENGTH(text) // 8)) AS fi FROM p),
+        |r AS (SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |    LIST_SUM(LIST_TRANSFORM(RANGE(1, 9),
+        |      i -> ord(SUBSTR(text, CAST(fi * 8 + i AS INT), 1))
+        |         * ord(SUBSTR(text, CAST(fi * 8 + i AS INT), 1)))) AS sq
+        |  FROM f),
+        |a AS (SELECT doc_id, frame_idx, sq FROM r
+        |      WHERE ROUND(SQRT(CAST(sq AS DOUBLE) / 8.0), 6) >= 80.0),
+        |g AS (SELECT doc_id, frame_idx, sq,
+        |    frame_idx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY frame_idx) AS grp
+        |  FROM a),
+        |seg AS (SELECT doc_id, MIN(frame_idx) AS start_frame, MAX(frame_idx) AS end_frame,
+        |    COUNT(1) AS n_frames,
+        |    ROUND(SQRT(CAST(SUM(sq) AS DOUBLE) / (COUNT(1) * 8.0)), 6) AS seg_rms
+        |  FROM g GROUP BY doc_id, grp)
+        |SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_frame) - 1 AS INT) AS seg_idx,
+        |  start_frame, end_frame, n_frames, seg_rms
+        |FROM seg ORDER BY doc_id, seg_idx""".stripMargin,
+    // incremental fuzzy gate: the oracle replays the EXACT batch×ref
+    // Jaccard join (valid because LSH recall is 1−1e-11 at the planted
+    // and natural J values — see the query comment)
+    "x73_incremental_fuzzy" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |ref AS (SELECT doc_id, text FROM base WHERE doc_id % 2 = 0),
+        |twins AS (SELECT doc_id + 1000000 AS doc_id,
+        |    ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[2:], ' ') AS text FROM ref),
+        |batch AS (SELECT doc_id, text FROM base WHERE doc_id % 2 = 1
+        |          UNION ALL SELECT * FROM twins),
+        |bsh AS (SELECT doc_id, LIST_DISTINCT(
+        |    CASE WHEN LEN(STRING_SPLIT(text, ' ')) < 3 THEN [text]
+        |         ELSE LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+        |           i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' '))
+        |    END) AS sh FROM batch),
+        |rsh AS (SELECT doc_id, LIST_DISTINCT(
+        |    CASE WHEN LEN(STRING_SPLIT(text, ' ')) < 3 THEN [text]
+        |         ELSE LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+        |           i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' '))
+        |    END) AS sh FROM ref),
+        |binv AS (SELECT doc_id, LEN(sh) AS nsh, UNNEST(sh) AS s FROM bsh),
+        |rinv AS (SELECT doc_id, LEN(sh) AS nsh, UNNEST(sh) AS s FROM rsh),
+        |pairs AS (
+        |  SELECT b.doc_id AS batch_id, r.doc_id AS ref_id
+        |  FROM binv b JOIN rinv r ON b.s = r.s
+        |  GROUP BY b.doc_id, r.doc_id, b.nsh, r.nsh
+        |  HAVING CAST(COUNT(1) AS DOUBLE) / CAST(b.nsh + r.nsh - COUNT(1) AS DOUBLE) >= 0.6),
+        |v AS (SELECT batch_id, MIN(ref_id) AS dup_of, COUNT(1) AS n_ref_matches
+        |      FROM pairs GROUP BY 1)
+        |SELECT b.doc_id AS id, v.dup_of, COALESCE(v.n_ref_matches, 0) AS n_ref_matches,
+        |  v.dup_of IS NULL AS kept
+        |FROM batch b LEFT JOIN v ON v.batch_id = b.doc_id ORDER BY 1""".stripMargin,
+    // compression gate: zlib lengths are not engine-portable — the
+    // oracle pins the corpus layout and the separation booleans
+    "x74_compression_gate" ->
+      """SELECT (SELECT COUNT(1) FROM documents)
+        |     + (SELECT COUNT(1) FROM documents WHERE doc_id % 10 = 0) AS n_docs,
+        |  (SELECT COUNT(1) FROM documents WHERE doc_id % 10 = 0) AS n_planted,
+        |  TRUE AS separation_ok""".stripMargin,
     // windowed co-occurrence: ordered (w_i, w_{i+ds}) pairs for ds 1..3
     "x69_cooccurrence" ->
       """WITH docs AS (SELECT STRING_SPLIT(text, ' ') AS w FROM documents),

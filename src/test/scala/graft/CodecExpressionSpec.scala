@@ -106,4 +106,39 @@ class CodecExpressionSpec extends SparkTestBase {
     }
     assert(codegen.nonEmpty, s"expected codegen in:\n${plan.queryExecution.executedPlan}")
   }
+
+  test("audioSegments: exact gaps-and-islands over a planted silence run") {
+    import spark.implicits._
+    // 8 chars 'a' (rms 97) | 8 spaces (rms 32) | 16 chars 'b' (rms 98)
+    val content = "a" * 8 + " " * 8 + "b" * 16
+    val media = Seq((1L, content)).toDF("doc_id", "t")
+      .select(col("doc_id"), encode(col("t"), "UTF-8").as("content"))
+    val segs = graft.operators.Multimodal
+      .audioSegments(media, frameSize = 8, silenceRms = 80.0)
+      .orderBy(col("seg_idx"))
+      .collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getDouble(5)))
+    assert(segs.toSeq == Seq((0, 0, 0, 1L, 97.0), (1, 2, 3, 2L, 98.0)))
+  }
+
+  test("deflate_len: repetitive text compresses far below natural; deterministic; null-safe") {
+    import spark.implicits._
+    val rep = Seq.fill(40)("spam").mkString(" ")
+    val nat = (0 until 40).map(i => s"tok${i * 7919 % 1000}x$i").mkString(" ")
+    val rows = Seq(Some(rep), Some(nat), None)
+      .toDF("t")
+      .select(
+        codecs.deflate_len(encode(col("t"), "UTF-8")).as("n"),
+        octet_length(col("t")).as("raw")
+      )
+      .collect()
+    val repRatio = rows(0).getInt(0).toDouble / rows(0).getInt(1)
+    val natRatio = rows(1).getInt(0).toDouble / rows(1).getInt(1)
+    assert(repRatio < 0.2 && natRatio > 0.3, s"ratios: $repRatio vs $natRatio")
+    assert(rows(2).isNullAt(0))
+    // determinism across evaluations (pooled deflater reset per call)
+    val again = Seq(rep).toDF("t")
+      .select(codecs.deflate_len(encode(col("t"), "UTF-8"))).collect().head.getInt(0)
+    assert(again == rows(0).getInt(0))
+  }
 }

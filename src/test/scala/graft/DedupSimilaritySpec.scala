@@ -487,4 +487,31 @@ class DedupSimilaritySpec extends SparkTestBase {
     val recall = bf.intersect(ann).size.toDouble / bf.size
     assert(recall >= 0.4, s"ANN recall $recall too low")
   }
+
+  test("incrementalFuzzy: near-dup re-ingests dropped, fresh and below-threshold kept") {
+    import spark.implicits._
+    val words = (0 until 40).map(i => s"w$i")
+    val ref = Seq(
+      (1L, words.mkString(" ")),
+      (2L, words.map(w => w + "x").mkString(" "))
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, words.drop(1).mkString(" ")),          // twin of 1: J = 37/38 > 0.6 -> dropped
+      (11L, (100 until 140).map(i => s"f$i").mkString(" ")), // fresh -> kept
+      (12L, (words.take(10) ++ (200 until 230).map(i => s"g$i")).mkString(" ")) // J ~ 8/69 -> kept
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .incrementalFuzzy(batch, col("text"), col("doc_id"), ref, col("text"), col("doc_id"),
+        n = 3, numHashes = 32, bands = 16, threshold = 0.6)
+      .orderBy(col("id"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq((10L, 1L, 1L, false), (11L, -1L, 0L, true), (12L, -1L, 0L, true)))
+    // an exact re-ingest matches too (J = 1), and multiple matches count
+    val batch2 = Seq((20L, words.mkString(" "))).toDF("doc_id", "text")
+    val out2 = graft.operators.Dedup
+      .incrementalFuzzy(batch2, col("text"), col("doc_id"), ref, col("text"), col("doc_id"))
+      .collect()
+    assert(out2.head.getLong(1) == 1L && !out2.head.getBoolean(3))
+  }
 }
