@@ -71,7 +71,7 @@ object StressXOps {
     // optional 3rd arg: comma-separated section filter
     // (simhash,minhash,cosine,decontaminate,pack,cc,quantile,pii,sample,
     // lines,quantize,spans,semdedup,bloominc,retrieval,qknn,classifier,
-    // curation9,curation10,curation10b,curation10c,curation10d) — default all
+    // curation9,curation10,curation10b,curation10c,curation10d,curation10e) — default all
     val only = if (args.length > 2) args(2).split(",").toSet else Set.empty[String]
     def section(name: String): Boolean = only.isEmpty || only(name)
     val spark = SparkSession
@@ -1503,6 +1503,63 @@ object StressXOps {
       println(f"[stressx] compressionRatio @ ${compStats.getLong(2)}%d docs: $compSec%.1f s; planted max=${compStats.getDouble(0)}%.4f natural min=${compStats.getDouble(1)}%.4f")
       assert(compStats.getDouble(0) < 0.2 && compStats.getDouble(1) > 0.2,
         s"separation: ${compStats.getDouble(0)} vs ${compStats.getDouble(1)}")
+    }
+
+    // ---- html extraction, jsonl ingest, winnowing (x75-x77) at width
+    if (section("curation10e")) locally {
+      // html: every doc wrapped in the x75 template; the extraction must
+      // reproduce the directly-constructed expectation EXACTLY
+      val html = concat(
+        lit("<html><head><style>p { color: red }</style>" +
+          "<script>if (x < 2 && y > 1) { alert(\"hi\"); }</script></head><body><h1>Doc</h1><p>"),
+        col("text"),
+        lit("</p><div>copy &amp; paste &lt;ok&gt;&nbsp;&#39;end&#39;</div></body></html>")
+      )
+      val extracted = corpus.select(
+        col("id"),
+        operators.TextOps.htmlExtract(html).as("ex"),
+        concat(lit("Doc "), col("text"), lit(" copy & paste <ok> 'end'")).as("want")
+      )
+      val t0 = System.nanoTime()
+      val exBad = extracted.filter(col("ex") =!= col("want")).count()
+      val exSec = (System.nanoTime() - t0) / 1e9
+      println(f"[stressx] htmlExtract @ $corpusN%d docs: $exSec%.1f s; mismatches=$exBad")
+      assert(exBad == 0, s"extraction must match the constructed expectation: $exBad")
+
+      // jsonl: identical-bytes lines, every 10th truncated
+      val line = concat(
+        lit("{\"doc_id\":"), col("id"),
+        lit(",\"text\":\""), col("text"), lit("\",\"lang\":\"en\"}")
+      )
+      val built = corpus
+        .select(col("id").as("line_id"), line.as("l"))
+        .select(
+          col("line_id"),
+          when(col("line_id") % 10 === 3, expr("substring(l, 1, length(l) - 10)"))
+            .otherwise(col("l")).as("line")
+        )
+      val parsed = operators.CorpusOps.jsonlIngest(built, col("line_id"), col("line"))
+      val (pjSec, pjRows, pjH, _) = run(parsed)
+      val pjDf = parsed.persist()
+      val corrupt = pjDf.filter(col("is_corrupt")).count()
+      val idMismatch = pjDf.filter(!col("is_corrupt") && col("doc_id") =!= col("line_id")).count()
+      val corruptExp = corpus.filter(pmod(col("id"), lit(10)) === 3).count()
+      println(f"[stressx] jsonlIngest @ $pjRows%d lines: $pjSec%.1f s; corrupt=$corrupt (want $corruptExp), id mismatches=$idMismatch")
+      println(s"[stressx]   plan: $pjH")
+      assert(corrupt == corruptExp && idMismatch == 0)
+      pjDf.unpersist()
+
+      // winnowing: ~2/(w+1) density over ~187M windows; positions in range
+      val wn = operators.CorpusOps
+        .winnowFingerprints(corpus, col("text"), col("id"), k = 4, w = 4)
+      val (wnSec, wnRows, wnH, _) = run(wn)
+      val totalWindows = corpus
+        .select(sum(greatest(size(split(col("text"), " ")) - 3, lit(0))).cast("long"))
+        .head().getLong(0)
+      val density = wnRows.toDouble / totalWindows
+      println(f"[stressx] winnowFingerprints(k=4, w=4) @ $corpusN%d docs, $totalWindows%d windows: $wnSec%.1f s, $wnRows selected (density $density%.3f, theory 2/(w+1)=0.4)")
+      println(s"[stressx]   plan: $wnH")
+      assert(density > 0.3 && density < 0.5, s"winnow density off: $density")
     }
 
     corpus.unpersist()

@@ -1636,6 +1636,66 @@ object CorpusOps {
       )
   }
 
+  /** JSONL corpus ingestion with corrupt-line accounting — the interchange
+    * format of training-data pipelines: parse each line as
+    * `{doc_id, text, lang}` (PERMISSIVE — Spark's Jackson parse), carry a
+    * per-line `is_corrupt` flag instead of dropping or failing, so the
+    * drop mass is observable (the reference's load-shed accounting
+    * discipline applied to ingestion). Returns (line_id, doc_id, text,
+    * lang, is_corrupt); corrupt lines keep their line_id with null
+    * fields. Pure per-row projection; zero shuffle.
+    */
+  def jsonlIngest(df: DataFrame, lineIdCol: Column, lineCol: Column): DataFrame = {
+    val schema = "doc_id BIGINT, text STRING, lang STRING, _corrupt STRING"
+    df.select(
+        lineIdCol.as("line_id"),
+        from_json(lineCol, schema, Map("columnNameOfCorruptRecord" -> "_corrupt")).as("j")
+      )
+      .select(
+        col("line_id"),
+        col("j.doc_id").as("doc_id"),
+        col("j.text").as("text"),
+        col("j.lang").as("lang"),
+        col("j._corrupt").isNotNull.as("is_corrupt")
+      )
+  }
+
+  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm):
+    * from the k-gram digest sequence, select each window-of-`w`'s minimal
+    * digest (leftmost position on equal digests) — the guarantee-bearing
+    * fingerprint subset: any shared run of ≥ w+k−1 tokens between two
+    * documents shares at least one selected fingerprint, at ~2/(w+1)
+    * density instead of every position. The per-position digests are the
+    * native [[graft.functions.text.WindowMd5s]] kernel (engine-exact
+    * MD5), and BLOB/binary comparison is unsigned-lexicographic in both
+    * engines, so the selected SET replays exactly.
+    *
+    * Scale shape: one kernel pass + explode, then two per-DOC window
+    * functions (frames per doc are bounded by doc length); the output is
+    * the deduplicated (doc, pos, fp) set — ~2n/(w+1) rows.
+    */
+  def winnowFingerprints(
+      df: DataFrame,
+      text: Column,
+      idCol: Column,
+      k: Int = 4,
+      w: Int = 4
+  ): DataFrame = {
+    require(w >= 2, s"winnow window must be >= 2, got $w")
+    val frames = df.select(
+      idCol.as("doc_id"),
+      posexplode(graft.functions.text.window_md5s(text, k)).as(Seq("pos", "h"))
+    )
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val win = wDoc.rowsBetween(Window.currentRow, w - 1)
+    frames
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("m", min(struct(col("h"), col("pos"))).over(win))
+      .filter(col("pos") <= col("n") - w) // complete windows only
+      .select(col("doc_id"), col("m.pos").as("pos"), lower(hex(col("m.h"))).as("fp"))
+      .dropDuplicates("doc_id", "pos", "fp")
+  }
+
   /** Deterministic cross-domain negative sampling — the contrastive /
     * retrieval-training prep step (DPR-style in-corpus negatives): for
     * every document, `k` pseudo-random draws from the corpus, keeping

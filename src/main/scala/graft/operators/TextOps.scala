@@ -573,6 +573,34 @@ object TextOps {
     )
   }
 
+  /** HTML → text extraction (the trafilatura-ish first pass of a web
+    * pipeline): drop `<script>`/`<style>` blocks wholesale (their BODIES
+    * are code, and `y < 2` inside a script would otherwise survive tag
+    * stripping), strip remaining tags, decode the common entities, and
+    * collapse whitespace. Every step is an RE2-safe regex or a literal
+    * replace, so the DuckDB oracle replays the chain verbatim (the
+    * [[piiScrub]] discipline). Pure per-row projection; zero shuffle. For
+    * the hot path at corpus scale, fuse into a native expression exactly
+    * as PiiScrub did — this declarative chain is the semantics contract.
+    */
+  def htmlExtract(html: Column): Column = {
+    val noBlocks = regexp_replace(
+      html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>",
+      " "
+    )
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ",
+      "&lt;" -> "<",
+      "&gt;" -> ">",
+      "&quot;" -> "\"",
+      "&#39;" -> "'",
+      "&amp;" -> "&" // LAST: earlier entities must not double-decode
+    ).foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
+  }
+
   def gopherQualityGate(
       df: DataFrame,
       idCol: Column,

@@ -1424,6 +1424,67 @@ object ExtensionQueries {
         )
     }),
 
+    // HTML extraction: documents wrapped in a template with script/style
+    // blocks (whose bodies contain '<' and '&&'), tags, and entities —
+    // the RE2-safe chain must strip blocks wholesale, then tags, then
+    // decode entities one level.
+    "x75_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>t</title><style>p { color: red }</style>" +
+          "<script type=\"text/javascript\">if (x < 2 && y > 1) { alert(\"hi\"); }</script>" +
+          "</head><body><h1>Doc</h1><p>"),
+        col("text"),
+        lit("</p><div class=\"footer\">copy &amp; paste &lt;ok&gt;&nbsp;&#39;end&#39;</div></body></html>")
+      )
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextOps.htmlExtract(html).as("extracted"))
+        .select(
+          col("doc_id"),
+          length(col("extracted")).as("n_chars"),
+          md5(col("extracted")).as("fp")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
+    // JSONL ingestion with corrupt-line accounting: lines built as
+    // IDENTICAL bytes on both engines (text has no quotes/backslashes —
+    // verified), every 10th truncated by 10 chars (always lands inside
+    // the trailing "lang" tail, so both parsers agree it is invalid).
+    "x76_jsonl_ingest" -> ((s, dir) => {
+      val line = concat(
+        lit("{\"doc_id\":"), col("doc_id"),
+        lit(",\"text\":\""), col("text"),
+        lit("\",\"lang\":\""), col("lang"), lit("\"}")
+      )
+      // build in two steps so the truncation references the SAME line
+      val built = T(s, dir, "documents")
+        .select(col("doc_id").as("line_id"), line.as("l"))
+        .select(
+          col("line_id"),
+          when(col("line_id") % 10 === 3, expr("substring(l, 1, length(l) - 10)"))
+            .otherwise(col("l")).as("line")
+        )
+      CorpusOps
+        .jsonlIngest(built, col("line_id"), col("line"))
+        .select(
+          col("line_id"),
+          col("doc_id"),
+          md5(coalesce(col("text"), lit(""))).as("text_fp"),
+          col("lang"),
+          col("is_corrupt")
+        )
+        .orderBy(col("line_id"))
+    }),
+
+    // Winnowing fingerprints (MOSS): per-window minimal k-gram digest,
+    // leftmost on ties — the guarantee-bearing ~2/(w+1)-density
+    // fingerprint subset; digests are engine-exact MD5 and binary
+    // comparison is unsigned-lexicographic in both engines.
+    "x77_winnow" -> ((s, dir) =>
+      CorpusOps
+        .winnowFingerprints(T(s, dir, "documents"), col("text"), col("doc_id"), k = 4, w = 4)
+        .orderBy(col("doc_id"), col("pos"))),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -1438,6 +1499,62 @@ object ExtensionQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // html extraction: the same RE2-safe chain, verbatim — blocks, tags,
+    // one-level entity decode (amp LAST), whitespace collapse
+    "x75_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>t</title><style>p { color: red }</style>' ||
+        |  '<script type="text/javascript">if (x < 2 && y > 1) { alert("hi"); }</script>' ||
+        |  '</head><body><h1>Doc</h1><p>' || text ||
+        |  '</p><div class="footer">copy &amp; paste &lt;ok&gt;&nbsp;&#39;end&#39;</div></body></html>'
+        |  AS html FROM documents),
+        |x AS (SELECT doc_id,
+        |  TRIM(regexp_replace(
+        |    REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(
+        |      regexp_replace(
+        |        regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&amp;', '&'),
+        |    '[ \t\n\r]+', ' ', 'g')) AS extracted
+        |  FROM h)
+        |SELECT doc_id, CAST(LENGTH(extracted) AS INT) AS n_chars, md5(extracted) AS fp
+        |FROM x ORDER BY doc_id""".stripMargin,
+    // jsonl: identical line bytes, identical truncation; corrupt lines
+    // parse to nulls in both engines
+    "x76_jsonl_ingest" ->
+      """WITH b AS (SELECT doc_id AS line_id,
+        |    '{"doc_id":' || doc_id || ',"text":"' || text || '","lang":"' || lang || '"}' AS l
+        |  FROM documents),
+        |t AS (SELECT line_id,
+        |    CASE WHEN line_id % 10 = 3 THEN SUBSTR(l, 1, LENGTH(l) - 10) ELSE l END AS line
+        |  FROM b),
+        |p AS (SELECT line_id, line, json_valid(line) AS ok FROM t)
+        |SELECT line_id,
+        |  CASE WHEN ok THEN CAST(json_extract(line, '$.doc_id') AS BIGINT) END AS doc_id,
+        |  md5(COALESCE(CASE WHEN ok THEN json_extract_string(line, '$.text') END, '')) AS text_fp,
+        |  CASE WHEN ok THEN json_extract_string(line, '$.lang') END AS lang,
+        |  NOT ok AS is_corrupt
+        |FROM p ORDER BY line_id""".stripMargin,
+    // winnowing: per-window min via range join + leftmost tie-break;
+    // hex-string order == unsigned byte order
+    "x77_winnow" ->
+      """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS wt FROM documents),
+        |f AS (SELECT doc_id, i - 1 AS pos, md5(ARRAY_TO_STRING(wt[i:i+3], ' ')) AS h
+        |      FROM (SELECT doc_id, wt, UNNEST(RANGE(1, LEN(wt) - 2)) AS i
+        |            FROM d WHERE LEN(wt) >= 4)),
+        |n AS (SELECT doc_id, COUNT(1) AS nf FROM f GROUP BY 1),
+        |g AS (SELECT f1.doc_id, f1.pos AS s, MIN(f2.h) AS minh
+        |      FROM f f1
+        |      JOIN f f2 ON f1.doc_id = f2.doc_id AND f2.pos BETWEEN f1.pos AND f1.pos + 3
+        |      JOIN n ON n.doc_id = f1.doc_id
+        |      WHERE f1.pos <= n.nf - 4
+        |      GROUP BY 1, 2),
+        |sel AS (SELECT g.doc_id, g.s, g.minh, MIN(f.pos) AS pos
+        |        FROM g JOIN f ON f.doc_id = g.doc_id AND f.h = g.minh
+        |                     AND f.pos BETWEEN g.s AND g.s + 3
+        |        GROUP BY 1, 2, 3)
+        |SELECT DISTINCT doc_id, pos, minh AS fp FROM sel ORDER BY doc_id, pos""".stripMargin,
     // audio segmentation: full replay — frames, 6dp-rounded rms gate,
     // gaps-and-islands, per-segment aggregates
     "x72_audio_segments" ->

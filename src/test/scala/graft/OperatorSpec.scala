@@ -386,4 +386,77 @@ class OperatorSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException](AsOfJoin.asofBackward(l, r, "k", "t"))
     assert(e.getMessage.contains("v"))
   }
+
+  test("htmlExtract: blocks dropped wholesale, tags stripped, entities decode one level") {
+    val rows = Seq(
+      "<p>hello <b>world</b></p>",
+      "<script>if (x < 2 && y > 1) { bad(); }</script>keep",
+      "<style media=\"all\">p > a { }</style>ok",
+      "a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39;&nbsp;f",
+      "&amp;lt;literal",  // one-level decode: must become "&lt;literal"
+      "  spaced \n\t out  "
+    ).toDF("h").select(graft.operators.TextOps.htmlExtract(col("h")).as("t")).collect()
+    assert(rows(0).getString(0) == "hello world")
+    assert(rows(1).getString(0) == "keep")
+    assert(rows(2).getString(0) == "ok")
+    assert(rows(3).getString(0) == "a & b <c> \"d\" 'e' f")
+    assert(rows(4).getString(0) == "&lt;literal")
+    assert(rows(5).getString(0) == "spaced out")
+  }
+
+  test("jsonlIngest: valid lines parse, corrupt lines flag with null fields") {
+    val out = graft.operators.CorpusOps
+      .jsonlIngest(
+        Seq(
+          (1L, """{"doc_id":7,"text":"hi there","lang":"en"}"""),
+          (2L, """{"doc_id":8,"text":"trunc"""),
+          (3L, """{"text":"no id","lang":"de"}""")
+        ).toDF("lid", "line"),
+        col("lid"),
+        col("line")
+      )
+      .orderBy(col("line_id"))
+      .collect()
+    assert(out(0).getLong(1) == 7L && out(0).getString(2) == "hi there" && !out(0).getBoolean(4))
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2) && out(1).getBoolean(4))
+    assert(out(2).isNullAt(1) && out(2).getString(2) == "no id" && !out(2).getBoolean(4))
+  }
+
+  test("winnowFingerprints: matches brute-force winnowing; shared-run guarantee holds") {
+    def brute(text: String, k: Int, w: Int): Set[(Int, String)] = {
+      val toks = text.split(" ", -1)
+      val hs = (0 to toks.length - k).map { s =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(toks.slice(s, s + k).mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }
+      (0 to hs.length - w).flatMap { s =>
+        val win = (s until s + w).map(i => (hs(i), i))
+        Seq(win.min match { case (h, p) => (p, h) })
+      }.toSet
+    }
+    val texts = Seq(
+      (1L, (0 until 30).map(i => s"t${i % 11}").mkString(" ")), // repeats -> hash ties
+      (2L, (0 until 12).map(i => s"u$i").mkString(" ")),
+      (3L, "a b c")                                             // < k tokens: no output
+    )
+    val out = graft.operators.CorpusOps
+      .winnowFingerprints(texts.toDF("doc_id", "text"), col("text"), col("doc_id"), k = 4, w = 4)
+      .collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getString(2))))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDoc(1L) == brute(texts(0)._2, 4, 4))
+    assert(byDoc(2L) == brute(texts(1)._2, 4, 4))
+    assert(!byDoc.contains(3L))
+    // guarantee: two docs sharing a run of >= w+k-1 tokens share a fingerprint
+    val shared = "s1 s2 s3 s4 s5 s6 s7"
+    val pair = Seq((10L, s"p q r $shared x y"), (11L, s"$shared m n o"))
+    val fps = graft.operators.CorpusOps
+      .winnowFingerprints(pair.toDF("doc_id", "text"), col("text"), col("doc_id"), k = 4, w = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val a = fps.filter(_._1 == 10L).map(_._2).toSet
+    val b = fps.filter(_._1 == 11L).map(_._2).toSet
+    assert(a.intersect(b).nonEmpty, "shared 7-token run must share a fingerprint")
+  }
 }
