@@ -1649,6 +1649,7 @@ object CorpusOps {
     val schema = "doc_id BIGINT, text STRING, lang STRING, _corrupt STRING"
     df.select(
         lineIdCol.as("line_id"),
+        lineCol.isNull.as("__null_line"),
         from_json(lineCol, schema, Map("columnNameOfCorruptRecord" -> "_corrupt")).as("j")
       )
       .select(
@@ -1656,7 +1657,9 @@ object CorpusOps {
         col("j.doc_id").as("doc_id"),
         col("j.text").as("text"),
         col("j.lang").as("lang"),
-        col("j._corrupt").isNotNull.as("is_corrupt")
+        // a NULL line is corrupt input, not a valid all-null record —
+        // from_json returns null silently and would otherwise mislabel it
+        (col("j._corrupt").isNotNull || col("__null_line")).as("is_corrupt")
       )
   }
 

@@ -584,11 +584,12 @@ object TextOps {
     * as PiiScrub did — this declarative chain is the semantics contract.
     */
   def htmlExtract(html: Column): Column = {
-    val noBlocks = regexp_replace(
-      html,
-      "(?is)<(script|style)[^>]*>.*?</(script|style)>",
-      " "
-    )
+    // one pass per tag kind: the tempting single-pass alternation
+    // `<(script|style)>.*?</(script|style)>` cross-matches
+    // `<script>…</style>` (RE2 has no backreferences to pin the closer),
+    // under-stripping mismatched blocks
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noBlocks = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
     val decoded = Seq(
       "&nbsp;" -> " ",

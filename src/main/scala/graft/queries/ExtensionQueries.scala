@@ -1512,7 +1512,9 @@ object ExtensionQueries {
         |  TRIM(regexp_replace(
         |    REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(
         |      regexp_replace(
-        |        regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |        regexp_replace(
+        |          regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
         |        '<[^>]*>', ' ', 'g'),
         |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
         |      '&#39;', ''''), '&amp;', '&'),

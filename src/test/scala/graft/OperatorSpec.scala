@@ -394,7 +394,10 @@ class OperatorSpec extends SparkTestBase {
       "<style media=\"all\">p > a { }</style>ok",
       "a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39;&nbsp;f",
       "&amp;lt;literal",  // one-level decode: must become "&lt;literal"
-      "  spaced \n\t out  "
+      "  spaced \n\t out  ",
+      // mismatched closer must NOT cross-match (script pass is separate
+      // from style pass): the unterminated script survives as tag-strips
+      "<script>a</style>b"
     ).toDF("h").select(graft.operators.TextOps.htmlExtract(col("h")).as("t")).collect()
     assert(rows(0).getString(0) == "hello world")
     assert(rows(1).getString(0) == "keep")
@@ -402,6 +405,7 @@ class OperatorSpec extends SparkTestBase {
     assert(rows(3).getString(0) == "a & b <c> \"d\" 'e' f")
     assert(rows(4).getString(0) == "&lt;literal")
     assert(rows(5).getString(0) == "spaced out")
+    assert(rows(6).getString(0) == "a b")
   }
 
   test("jsonlIngest: valid lines parse, corrupt lines flag with null fields") {
@@ -411,7 +415,8 @@ class OperatorSpec extends SparkTestBase {
           (1L, """{"doc_id":7,"text":"hi there","lang":"en"}"""),
           (2L, """{"doc_id":8,"text":"trunc"""),
           (3L, """{"text":"no id","lang":"de"}""")
-        ).toDF("lid", "line"),
+        ).toDF("lid", "line")
+          .unionByName(Seq(4L).toDF("lid").selectExpr("lid", "CAST(NULL AS STRING) AS line")),
         col("lid"),
         col("line")
       )
@@ -420,6 +425,7 @@ class OperatorSpec extends SparkTestBase {
     assert(out(0).getLong(1) == 7L && out(0).getString(2) == "hi there" && !out(0).getBoolean(4))
     assert(out(1).isNullAt(1) && out(1).isNullAt(2) && out(1).getBoolean(4))
     assert(out(2).isNullAt(1) && out(2).getString(2) == "no id" && !out(2).getBoolean(4))
+    assert(out(3).isNullAt(1) && out(3).getBoolean(4), "a NULL line is corrupt input")
   }
 
   test("winnowFingerprints: matches brute-force winnowing; shared-run guarantee holds") {
