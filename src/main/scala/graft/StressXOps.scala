@@ -1304,19 +1304,16 @@ object StressXOps {
       // the bloom prefilter exists for. Random 100k-vocab 3-grams live
       // in a ~1e15 space, so cross-slice gram collisions are O(1k) over
       // the whole corpus: members score EXACTLY 0, non-members ~1.
-      // SIZING LESSON (first run of this section): the sketch rides the
-      // plan as a scalar-subquery LITERAL, serialized into EVERY task
-      // closure — a 96M-gram half-corpus reference at 2% (~100 MB of
-      // bits) blew up task deserialization ("unread block data" under
-      // GC-locker pressure). ~20 MB is a sane single-filter budget;
-      // past that, shard the filter by digest prefix (sketch.scala's
-      // documented scale path).
+      // SIZING LESSON (first run of this section): the sketch originally
+      // rode the plan as a scalar-subquery LITERAL, serialized into
+      // EVERY task closure — a 96M-gram half-corpus reference at 2%
+      // (~100 MB of bits) blew up task deserialization ("unread block
+      // data" under GC-locker pressure). noveltyScoreBloom now ships
+      // the filter as a BROADCAST (sketch.broadcastBloom: once per
+      // executor, partials merged as task results), which removes the
+      // ceiling — proven below by running the formerly-fatal regime.
       val ref = corpus.filter(pmod(col("id"), lit(10)) === 0)
-      val prevItems = spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.maxExpectedNumItems")
-      val prevBits = spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
-      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxExpectedNumItems", "50000000")
-      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", (1L << 28).toString)
-      try {
+      locally {
         val nb = operators.CorpusOps
           .noveltyScoreBloom(corpus, col("text"), col("id"), ref, col("text"),
             n = 3, expectedGrams = nDocs * 4, fpp = 0.02)
@@ -1337,11 +1334,24 @@ object StressXOps {
         val (neSec, neRows, neH, _) = run(ne)
         println(f"[stressx] noveltyScore (exact join path) @ $neRows%d docs: $neSec%.1f s")
         println(s"[stressx]   plan: $neH")
-      } finally {
-        prevItems.fold(spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.maxExpectedNumItems"))(
-          v => spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxExpectedNumItems", v))
-        prevBits.fold(spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.maxNumBits"))(
-          v => spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", v))
+      }
+
+      // the formerly-fatal regime: half-corpus reference (~96M grams,
+      // ~100 MB filter at 2%). The broadcast path must simply work.
+      // Collision mass is now 96M×96M/1e15 ≈ 9k grams -> ≤ ~9k docs.
+      locally {
+        val refBig = corpus.filter(pmod(col("id"), lit(2)) === 0)
+        val nb = operators.CorpusOps
+          .noveltyScoreBloom(corpus, col("text"), col("id"), refBig, col("text"),
+            n = 3, expectedGrams = nDocs * 20, fpp = 0.02)
+        val (nbSec, nbRows, _, _) = run(nb)
+        val nbDf = nb.persist()
+        val refBad = nbDf.filter(pmod(col("doc_id"), lit(2)) === 0 && col("novelty") =!= 0.0).count()
+        val nonRefLow = nbDf.filter(pmod(col("doc_id"), lit(2)) =!= 0 && col("n_novel") =!= col("n_grams")).count()
+        println(f"[stressx] noveltyScoreBloom @ $nbRows%d docs vs the ~96M-gram HALF-corpus reference (broadcast filter — the scalar-literal path died here): $nbSec%.1f s; ref members scoring !=0: $refBad, collision docs: $nonRefLow")
+        assert(refBad == 0, s"reference members must score exactly 0: $refBad")
+        assert(nonRefLow <= 20000, s"collision docs should be O(10k): $nonRefLow")
+        nbDf.unpersist()
       }
 
       // zipf over ~202M tokens / 100k vocab: a UNIFORM vocabulary is the

@@ -228,13 +228,21 @@ object CorpusOps {
   ): DataFrame = {
     import graft.functions.sketch
     val refGrams = distinctGrams(reference, refText, n)
-    val bloom = refGrams
-      .select(sketch.bloom_filter_agg(xxhash64(col("gram")), expectedGrams, fpp).as("bf"))
-      .scalar()
+    // the sketch ships as a BROADCAST (once per executor), not a
+    // scalar-subquery literal (once per task closure) — at web-corpus
+    // reference sizes the filter is ~100 MB+ and the literal path dies
+    // in task deserialization (measured; see sketch.broadcastBloom).
+    // EAGER: one job builds the filter at call time.
+    val bloomOpt =
+      sketch.broadcastBloom(refGrams, xxhash64(col("gram")), expectedGrams, fpp)
     val cg = corpusGrams(corpus, text, idCol, n)
       .withColumn(
         "maybe",
-        coalesce(sketch.might_contain(bloom, xxhash64(col("gram"))), lit(false))
+        bloomOpt match {
+          case Some(bf) =>
+            coalesce(sketch.might_contain_bc(bf, xxhash64(col("gram"))), lit(false))
+          case None => lit(false) // empty reference: every gram is novel
+        }
       )
     val confirmed = cg
       .filter(col("maybe"))

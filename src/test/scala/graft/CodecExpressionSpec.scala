@@ -121,6 +121,25 @@ class CodecExpressionSpec extends SparkTestBase {
     assert(segs.toSeq == Seq((0, 0, 0, 1L, 97.0), (1, 2, 3, 2L, 98.0)))
   }
 
+  test("broadcastBloom: members always hit, fpp holds, empty input -> None, codegen probe") {
+    import spark.implicits._
+    import graft.functions.sketch
+    val members = (0L until 5000L).toDF("h")
+    val bf = sketch.broadcastBloom(members, col("h"), expectedItems = 5000L, fpp = 0.01).get
+    // no false negatives, ever
+    val misses = members.filter(!sketch.might_contain_bc(bf, col("h"))).count()
+    assert(misses == 0, s"bloom false negatives: $misses")
+    // false-positive rate near nominal on a disjoint probe set
+    val fp = (1000000L until 1020000L).toDF("h")
+      .filter(sketch.might_contain_bc(bf, col("h"))).count()
+    assert(fp < 20000 * 0.05, s"fpp blowout: $fp / 20000")
+    // null hashes are not probed (nullIntolerant)
+    val withNull = Seq(Some(1L), None).toDF("h")
+    val probed = withNull.select(sketch.might_contain_bc(bf, col("h")).as("m")).collect()
+    assert(probed(0).getBoolean(0) && probed(1).isNullAt(0))
+    assert(sketch.broadcastBloom(members.filter(col("h") < 0), col("h"), 10L).isEmpty)
+  }
+
   test("deflate_len: repetitive text compresses far below natural; deterministic; null-safe") {
     import spark.implicits._
     val rep = Seq.fill(40)("spam").mkString(" ")
