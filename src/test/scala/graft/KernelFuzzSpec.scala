@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+
+import scala.util.Random
+
+import graft.functions.{codecs, text => ftext}
+
+/** Seeded randomized properties over the pure native kernels (no Spark
+  * job needed — expressions evaluate directly) plus two operator-level
+  * invariants that do need the engine. Complements the deterministic
+  * hand-case specs: the fuzz sweeps the input space the hand cases
+  * can't enumerate.
+  */
+class KernelFuzzSpec extends SparkTestBase {
+
+  test("PcmFrames: random byte planes match an independent recompute exactly") {
+    val r = new Random(1234)
+    for (_ <- 0 until 100) {
+      val n = r.nextInt(200)
+      val bytes = Array.fill(n)(r.nextInt(256).toByte)
+      val frameSize = 1 + r.nextInt(16)
+      val got = codecs
+        .PcmFrames(Literal(bytes, BinaryType), frameSize)
+        .eval(null)
+        .asInstanceOf[ArrayData]
+      val nf = n / frameSize
+      assert(got.numElements() == nf, s"frame count at n=$n fs=$frameSize")
+      for (f <- 0 until nf) {
+        val row = got.getStruct(f, 4)
+        val samples = (f * frameSize until (f + 1) * frameSize).map(i => (bytes(i) & 0xff).toLong)
+        val sq = samples.map(x => x * x).sum
+        val sm = samples.sum
+        assert(row.getLong(2) == sq && row.getLong(3) == sm)
+        assert(row.getDouble(0) == math.sqrt(sq.toDouble / frameSize))
+        assert(row.getDouble(1) == sm.toDouble / frameSize)
+      }
+    }
+  }
+
+  test("WindowMd5s: random token streams match java MessageDigest windows") {
+    val r = new Random(99)
+    for (_ <- 0 until 50) {
+      val n = r.nextInt(30)
+      val toks = Seq.fill(n)(s"t${r.nextInt(50)}")
+      val k = 2 + r.nextInt(4)
+      val got = ftext.WindowMd5s(Literal(toks.mkString(" ")), k).eval(null).asInstanceOf[ArrayData]
+      val want = (0 to n - k).map { s =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(toks.slice(s, s + k).mkString(" ").getBytes("UTF-8")).toSeq
+      }
+      val gotSeq = (0 until got.numElements()).map(i => got.getBinary(i).toSeq)
+      // a doc shorter than k tokens has no window (empty, not the whole doc)
+      assert(gotSeq == (if (n >= k) want else Seq.empty))
+    }
+  }
+
+  test("hashUniform/splitFor: random ids (incl. negatives) match a pure-JVM md5 decode") {
+    import spark.implicits._
+    val r = new Random(7)
+    val ids = Seq.fill(200)(r.nextLong()).distinct
+    val got = ids.toDF("id")
+      .select(
+        col("id"),
+        graft.operators.CorpusOps.hashUniform(col("id")).as("u"),
+        graft.operators.CorpusOps.splitFor(col("id")).as("s")
+      )
+      .collect()
+      .map(row => row.getLong(0) -> ((row.getDouble(1), row.getString(2))))
+      .toMap
+    ids.foreach { id =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val wantU = java.lang.Long.parseLong(hex.substring(0, 7), 16).toDouble / 268435456.0
+      val b = hex.substring(0, 2)
+      val wantSplit = if (b < "cd") "train" else if (b < "e7") "val" else "test"
+      assert(got(id) == ((wantU, wantSplit)), s"id $id: ${got(id)} vs ($wantU, $wantSplit)")
+    }
+  }
+
+  test("winnow guarantee fuzz: random doc pairs sharing a >=(w+k-1)-token run always share a fingerprint") {
+    import spark.implicits._
+    val r = new Random(2024)
+    val k = 4
+    val w = 4
+    val pairs = (0 until 20).map { i =>
+      val shared = Seq.fill(w + k - 1 + r.nextInt(5))(s"s${i}_${r.nextInt(1000)}")
+      val padA = Seq.fill(r.nextInt(10))(s"a${r.nextInt(1000)}")
+      val padB = Seq.fill(r.nextInt(10))(s"b${r.nextInt(1000)}")
+      val a = (padA ++ shared ++ Seq.fill(r.nextInt(6))(s"a${r.nextInt(1000)}")).mkString(" ")
+      val b = (shared ++ padB).mkString(" ")
+      (2L * i, a, 2L * i + 1, b)
+    }
+    val docs = pairs
+      .flatMap { case (ia, a, ib, b) => Seq((ia, a), (ib, b)) }
+      .toDF("doc_id", "text")
+    val fps = graft.operators.CorpusOps
+      .winnowFingerprints(docs, col("text"), col("doc_id"), k = k, w = w)
+      .collect()
+      .map(row => (row.getLong(0), row.getString(2)))
+      .groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    pairs.foreach { case (ia, _, ib, _) =>
+      assert(
+        fps(ia).intersect(fps(ib)).nonEmpty,
+        s"pair ($ia, $ib) shares a run but no fingerprint"
+      )
+    }
+  }
+
+  test("epochMixture fuzz: random domain layouts tie out against the closed-form budgets") {
+    import spark.implicits._
+    val r = new Random(31)
+    for (trial <- 0 until 5) {
+      val nDomains = 2 + r.nextInt(5)
+      val sizes = Seq.fill(nDomains)(1 + r.nextInt(60))
+      val docs = sizes.zipWithIndex.flatMap { case (n, d) =>
+        (0 until n).map(i => (s"dom$d", (d * 1000 + i).toLong))
+      }.toDF("domain", "doc_id")
+      val budget = 1L + r.nextInt(200)
+      val maxE = 0.5 + r.nextDouble() * 3
+      val picks = graft.operators.CorpusOps
+        .epochMixture(docs, col("domain"), col("doc_id"), budget, maxE)
+        .groupBy(col("domain")).agg(sum(col("n_repeats")))
+        .collect()
+        .map(row => (row.getString(0), row.getLong(1)))
+        .toMap
+      val sumW = sizes.map(n => math.sqrt(n.toDouble)).sum
+      sizes.zipWithIndex.foreach { case (n, d) =>
+        val expect = math.min(
+          math.floor(budget.toDouble * math.sqrt(n.toDouble) / sumW),
+          math.floor(maxE * n)
+        ).toLong
+        assert(
+          picks(s"dom$d") == expect,
+          s"trial $trial dom$d: ${picks(s"dom$d")} vs $expect (n=$n budget=$budget maxE=$maxE)"
+        )
+      }
+    }
+  }
+}
