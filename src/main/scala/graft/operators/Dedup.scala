@@ -88,11 +88,13 @@ object Dedup {
     *     broadcast both ways.
     *
     * Contrast with [[incremental]]'s plain anti-join, which shuffles every
-    * reference digest each batch. Sketch width clamps at
-    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` — raise it (and
-    * `...maxExpectedNumItems`) for reference sets past ~9 M digests, or
-    * accept a higher fpp: correctness never depends on the fpp, only the
-    * size of the confirm set does.
+    * reference digest each batch. Sketch distribution auto-switches: up
+    * to the session's runtime-filter caps the filter rides a scalar
+    * subquery; past them (`expectedRefItems` beyond ~9 M digests at the
+    * defaults) it builds via [[graft.functions.sketch.broadcastBloom]] —
+    * full-size, one copy per executor — instead of silently clamping to
+    * fpp ≈ 1. Correctness never depends on the fpp, only the size of the
+    * confirm set does.
     *
     * Broadcast guard: the two forced `broadcast()` hints are only safe
     * while the candidate set stays driver-sized, and a mostly-re-ingest
@@ -145,13 +147,33 @@ object Dedup {
     if (nBatch > maxBroadcastCandidates)
       return incrementalOnDigests(incoming, text, idCol, refDigests)
     val refFp = refDigests.select(col("fp"))
-    val bloom = refFp
-      .select(sketch.bloom_filter_agg(xxhash64(col("fp")), expectedRefItems, fpp).as("bf"))
-      .scalar()
-    val flagged = incFp.withColumn(
-      "__might",
-      coalesce(sketch.might_contain(bloom, xxhash64(col("fp"))), lit(false))
-    )
+    // sketch distribution auto-switch: the scalar-subquery filter rides
+    // every TASK CLOSURE, which is right up to the session's runtime-
+    // filter bit cap (~8 MB default) and fatal near ~100 MB (measured —
+    // see sketch.broadcastBloom). Past the cap the aggregate would
+    // silently clamp (fpp → 1, pure confirm-join traffic), so an
+    // accepted corpus grown beyond it — the StreamDedup store's fate —
+    // flips to the broadcast build instead: same answer, full-size
+    // filter, one copy per executor.
+    val optimalBits =
+      math.ceil(-expectedRefItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val bitCap = incoming.sparkSession.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val itemCap = incoming.sparkSession.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxExpectedNumItems", "4000000").toLong
+    val mightCol =
+      if (optimalBits > bitCap || expectedRefItems > itemCap)
+        sketch.broadcastBloom(refFp, xxhash64(col("fp")), expectedRefItems, fpp) match {
+          case Some(bf) => coalesce(sketch.might_contain_bc(bf, xxhash64(col("fp"))), lit(false))
+          case None     => lit(false)
+        }
+      else {
+        val bloom = refFp
+          .select(sketch.bloom_filter_agg(xxhash64(col("fp")), expectedRefItems, fpp).as("bf"))
+          .scalar()
+        coalesce(sketch.might_contain(bloom, xxhash64(col("fp"))), lit(false))
+      }
+    val flagged = incFp.withColumn("__might", mightCol)
     val candidates = flagged.filter(col("__might")).select(col("fp")).distinct()
     // Which candidates truly exist in the reference: broadcast the (small)
     // candidate set so the reference is only scanned, never shuffled.

@@ -37,8 +37,10 @@ import graft.operators.Dedup
   * mostly-duplicate batch degrades to the plain anti-join via
   * [[graft.operators.Dedup.incrementalBloomOnDigests]]'s broadcast guard
   * rather than an unbounded driver broadcast. Raise `expectedRefItems`
-  * (and the session's bloom `maxNumBits`) as the accepted corpus grows;
-  * an undersized sketch costs confirm-join traffic, never correctness.
+  * as the accepted corpus grows — past the session's runtime-filter caps
+  * the sketch automatically builds as a per-executor BROADCAST
+  * (full-size) instead of a clamped task-closure literal; an undersized
+  * sketch costs confirm-join traffic, never correctness.
   *
   * Reference parity: the C++ service has no cross-batch dedup stage —
   * this is part of the LLM-pipeline surface (SURVEY §2.5.1) married to

@@ -488,6 +488,23 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(recall >= 0.4, s"ANN recall $recall too low")
   }
 
+  test("incrementalBloom sketch auto-switch: broadcast path == scalar path") {
+    import spark.implicits._
+    val ref = Seq((100L, "alpha doc"), (101L, "beta doc")).toDF("doc_id", "text")
+    val refFp = ref.select(graft.operators.TextOps.fingerprintMd5(col("text")).as("fp"))
+    val batch = Seq((1L, "alpha doc"), (2L, "fresh doc"), (3L, "fresh doc")).toDF("doc_id", "text")
+    def runAt(expected: Long) = graft.operators.Dedup
+      .incrementalBloomOnDigests(batch, col("text"), col("doc_id"), refFp, expectedRefItems = expected)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+      .toSet
+    // default items stay under the session caps (scalar-subquery path);
+    // 20M forces the broadcast build — identical survivors either way
+    val scalar = runAt(1000L)
+    val bc = runAt(20000000L)
+    assert(scalar == Set((2L, 2L)) && bc == scalar)
+  }
+
   test("incrementalFuzzy: near-dup re-ingests dropped, fresh and below-threshold kept") {
     import spark.implicits._
     val words = (0 until 40).map(i => s"w$i")
