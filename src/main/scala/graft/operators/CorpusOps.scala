@@ -1746,4 +1746,82 @@ object CorpusOps {
       .filter(col("neg_id") =!= col("doc_id") && !(col("neg_domain") <=> col("domain")))
       .select(col("doc_id"), col("draw"), col("neg_id"), col("neg_domain"))
   }
+
+  /** Multi-source catalog merge with provenance (the Pile/Dolma-style
+    * corpus assembly step): reduce every catalog to (id, content digest)
+    * regardless of its wider schema, stamp each row with its catalog name
+    * and priority (list order = trust order), and content-dedup across
+    * sources keeping the highest-priority copy (ties → smallest id).
+    * Every surviving row carries `n_copies` and the sorted list of
+    * catalogs that held the content — dedup with an audit trail, never a
+    * silent drop. The winner set is (catalog, doc_id)-addressed, so full
+    * rows are recovered by a per-catalog semi-join AFTER the merge — the
+    * wide columns never ride the digest exchange.
+    *
+    * Shape at 100 TB: texts reduce to 16-byte md5 digests in the scan
+    * projection; the ONE exchange is keyed on that digest and serves both
+    * the keep-winner window and the provenance aggregate (same key — AQE
+    * reuses the exchange). Nothing corpus-sized is ever joined back by
+    * text.
+    */
+  def mergeCatalogs(
+      catalogs: Seq[(String, DataFrame)],
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    require(catalogs.nonEmpty, "need at least one catalog")
+    require(catalogs.map(_._1).distinct.size == catalogs.size, "catalog names must be unique")
+    val stamped = catalogs.zipWithIndex.map { case ((name, df), pri) =>
+      df.select(
+        col(idCol).cast("long").as("doc_id"),
+        md5(col(textCol)).as("fp"),
+        lit(name).as("catalog"),
+        lit(pri).as("priority")
+      )
+    }
+    val all = stamped.reduce(_.unionByName(_))
+    val w = Window.partitionBy(col("fp"))
+    all
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("all_sources", array_join(array_sort(collect_set(col("catalog")).over(w)), ","))
+      .withColumn(
+        "__rn",
+        row_number().over(w.orderBy(col("priority").asc, col("doc_id").asc))
+      )
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Tokenizer-fit audit: per-document vocabulary coverage against a
+    * fixed token vocabulary — the OOV-rate signal that decides whether a
+    * tokenizer (e.g. the [[graft.operators.TextOps.trainBpe]] output)
+    * actually fits a candidate corpus before a training run burns compute
+    * on it. Returns per-doc token totals, OOV counts, distinct OOV types
+    * and the OOV rate.
+    *
+    * Shape at 100 TB: the vocabulary is model state (≤ a few hundred
+    * thousand rows) and broadcasts; the corpus explodes to (doc, token)
+    * but aggregates straight back to one row per document. The distinct
+    * OOV-type count forces the two-phase distinct aggregate on the
+    * (doc_id, token) key — if that second exchange ever matters, drop
+    * `n_oov_types` and the remaining plan is a pure one-exchange partial
+    * agg.
+    */
+  def vocabCoverage(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      vocab: DataFrame
+  ): DataFrame = {
+    val toks = df.select(idCol.as("doc_id"), explode(split(coalesce(text, lit("")), " ")).as("token"))
+    toks
+      .join(broadcast(vocab.select(col("token"), lit(1).as("__in_v")).distinct()), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_v").isNull, 1L).otherwise(0L)).as("n_oov"),
+        count_distinct(when(col("__in_v").isNull, col("token"))).as("n_oov_types")
+      )
+      .withColumn("oov_rate", round(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
 }

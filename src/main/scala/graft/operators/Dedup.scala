@@ -688,4 +688,41 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("n_common"), col("containment"))
   }
+
+  /** Key-level keep-best dedup: group rows by an arbitrary key expression
+    * (e.g. a normalized URL from [[TextOps.urlNormalize]], a canonical
+    * title, a media digest) and keep the row with the highest preference
+    * score — ties break to the smallest id, deterministically. Emits ALL
+    * rows with a `kept` flag plus the group's `n_dups` (count-and-flag,
+    * never silently drop).
+    *
+    * Shape at 100 TB: one exchange keyed on the dedup key; Spark 4
+    * compiles the rank filter pattern to WindowGroupLimit (partial
+    * per-partition top-k BEFORE the exchange) when callers filter
+    * `kept`, and a skewed hot key (a crawl that hit one URL a billion
+    * times) therefore never assembles in one task — the measured
+    * capPerDomain lesson. The key should be a digest/short string, not
+    * document text.
+    */
+  def keepBestByKey(
+      df: DataFrame,
+      keyCol: Column,
+      prefCol: Column,
+      idCol: Column
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__key"))
+    df.select(
+        keyCol.as("__key"),
+        idCol.as("doc_id"),
+        prefCol.cast("double").as("pref")
+      )
+      .withColumn("n_dups", count(lit(1)).over(w))
+      .withColumn(
+        "__rn",
+        row_number().over(w.orderBy(col("pref").desc, col("doc_id").asc))
+      )
+      .withColumn("kept", col("__rn") === 1)
+      .drop("__rn")
+      .withColumnRenamed("__key", "key")
+  }
 }

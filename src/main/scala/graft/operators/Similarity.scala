@@ -655,4 +655,60 @@ object Similarity {
           e => e.getField("m")
         ).as("vec")
       )
+
+  /** Class centroids for [[topicAssign]]: per-label mean embedding via
+    * [[meanPoolByGroup]], collected to the driver. The collect is BOUNDED
+    * model state (labels × dim doubles — KBs), the same documented shape
+    * as [[ivfTrain]]'s centroid table; the 6dp component round makes the
+    * centroids engine-exact, so downstream cosine argmax runs on
+    * bit-identical inputs in any engine.
+    */
+  def trainTopicCentroids(
+      df: DataFrame,
+      labelCol: Column,
+      vecCol: Column
+  ): Seq[(Long, Array[Double])] =
+    meanPoolByGroup(df, labelCol.cast("long"), vecCol)
+      .select(col("group"), col("vec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+      .toSeq
+
+  /** Nearest-centroid topic assignment (few-shot corpus labeling /
+    * cluster-membership routing): score every vector against a bounded
+    * centroid table by cosine and emit the argmax topic, its similarity,
+    * and the margin over the runner-up — the margin is the confidence
+    * signal a routing gate thresholds on.
+    *
+    * Shape at 100 TB: the centroid table is a PLAN LITERAL (labels × dim
+    * doubles), every per-centroid cosine is one native codegen pass over
+    * the row's embedding, and argmax/margin are array expressions over
+    * that bounded array — ZERO shuffle, zero joins, one corpus scan.
+    * Ties on the (deterministic) cosine resolve to the lowest label
+    * because [[array_position]] returns the FIRST match in label order.
+    */
+  def topicAssign(
+      df: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      centroids: Seq[(Long, Array[Double])]
+  ): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val sorted = centroids.sortBy(_._1)
+    val labels = sorted.map(_._1).toArray
+    val v = transform(vecCol, _.cast("double"))
+    val cosArr = array(sorted.map { case (_, c) => cosine(v, lit(c)) }: _*)
+    df.select(idCol.as("vec_id"), cosArr.as("__cos"))
+      .select(
+        col("vec_id"),
+        element_at(lit(labels), array_position(col("__cos"), array_max(col("__cos"))).cast("int"))
+          .as("topic"),
+        round(array_max(col("__cos")), 6).as("best_cos"),
+        round(
+          array_max(col("__cos")) - element_at(array_sort(col("__cos")), -2),
+          6
+        ).as("margin")
+      )
+  }
 }

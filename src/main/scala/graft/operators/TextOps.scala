@@ -651,4 +651,115 @@ object TextOps {
           col("stop_hits") >= minStopHits
       )
   }
+
+  /** Blocklist phrase gate (the C4 "bad-words" filter, ref:
+    * `res/` corpus-curation intent): flag documents containing any phrase
+    * from a blocklist, as case-insensitive whole-word matches. The list
+    * compiles to ONE alternation regex — longest phrase FIRST, so
+    * overlapping phrases ("table scan" vs "table") resolve identically in
+    * any leftmost-first engine — and that pattern is a plan literal:
+    * compiled once per task, zero shuffle, the scan stays in
+    * WholeStageCodegen. At a real blocklist size (hundreds of phrases)
+    * the alternation is linear in text length under both RE2 and the JVM
+    * engine; past ~10k phrases fuse an Aho–Corasick native expression
+    * exactly as PiiScrub did — this declarative form is the semantics
+    * contract.
+    *
+    * Returns (doc_id, n_hits, first_hit, blocked): total occurrence
+    * count, the first matching phrase (lowercased) or NULL, and the gate
+    * decision — count-and-flag, never silently drop (the load-shed
+    * accounting discipline).
+    */
+  def blocklistGate(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      phrases: Seq[String]
+  ): DataFrame = {
+    require(phrases.nonEmpty, "blocklist must not be empty")
+    // escape regex metacharacters WITHOUT \Q…\E (JVM-only; RE2 oracles
+    // reject it) so the same pattern string runs in both engines
+    val escaped = phrases
+      .sortBy(p => (-p.length, p))
+      .map(_.replaceAll("([^a-zA-Z0-9 _])", "\\\\$1"))
+    val pat = escaped.mkString("\\b(?:", "|", ")\\b")
+    val t = lower(coalesce(text, lit("")))
+    df.select(
+      idCol.as("doc_id"),
+      regexp_count(t, lit(pat)).as("n_hits"),
+      nullif(regexp_extract(t, pat, 0), lit("")).as("first_hit")
+    ).withColumn("blocked", col("n_hits") > 0)
+  }
+
+  /** URL canonicalization (the crawl-frontier / URL-dedup key): strip the
+    * fragment, lowercase scheme and host, drop a default `:80`/`:443`
+    * port and a leading `www.`, remove tracking query parameters
+    * (`utm_*`, `fbclid`, `gclid`) while healing the separators, and trim
+    * a trailing slash. Pure per-row regex chain — zero shuffle, and every
+    * step is RE2-safe so the DuckDB oracle replays it verbatim (the
+    * [[htmlExtract]] discipline). Group-reference syntax differs ($1 vs
+    * \1) but the PATTERNS are identical.
+    */
+  def urlNormalize(url: Column): Column = {
+    val noFrag = regexp_replace(coalesce(url, lit("")), "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val afterScheme = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val host = regexp_replace(
+      regexp_replace(lower(regexp_extract(afterScheme, "^([^/?]*)", 1)), ":(80|443)$", ""),
+      "^www\\.",
+      ""
+    )
+    val pathQ = regexp_replace(afterScheme, "^[^/?]*", "")
+    // drop tracking params keeping their separator, then heal ?&& runs
+    // and trailing separators (see the spec's worked traces)
+    val noTrack =
+      regexp_replace(pathQ, "([?&])(?:utm_[a-z0-9]+|fbclid|gclid)=[^&#]*", "$1")
+    val healed =
+      regexp_replace(regexp_replace(noTrack, "([?&])&+", "$1"), "[?&]+$", "")
+    regexp_replace(concat(scheme, lit("://"), host, healed), "/+$", "")
+  }
+
+  /** Registrable-domain extraction (eTLD+1) with a bounded multi-part
+    * public-suffix seed list — the per-site aggregation key for domain
+    * caps/mixing ([[CorpusOps.capPerDomain]], [[CorpusOps.epochMixture]]).
+    * The real public-suffix list is ~9k entries and belongs in a
+    * broadcast lookup refreshed out-of-band; the operator semantics
+    * (last-2 labels, or last-3 under a listed multi-part suffix) are
+    * what this encodes. Pure expression, zero shuffle.
+    */
+  def registrableDomain(host: Column): Column = {
+    val multiPart = Seq("co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "com.au", "com.br", "co.nz", "co.in")
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val last3 = concat_ws(".", element_at(labels, -3), element_at(labels, -2), element_at(labels, -1))
+    when(n >= 3 && array_contains(lit(multiPart.toArray), last2), last3)
+      .when(n >= 2, last2)
+      .otherwise(host)
+  }
+
+  /** Encoding-corruption audit (mojibake / replacement-char / stray
+    * control bytes): the UTF-8 sanity gate a web corpus needs before any
+    * token-level processing — double-encoded UTF-8 ("Ã©", "â€™", "Â ")
+    * survives every downstream filter while poisoning the tokenizer.
+    * Counts are regex literals over the text (unicode-exact in both
+    * engines), the score normalizes by character length, and the gate is
+    * count-and-flag. Zero shuffle.
+    */
+  def encodingQuality(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    val t = coalesce(text, lit(""))
+    val mojiPat = "Ã©|Ã¨|Ã¤|Ã¶|Ã¼|â€™|â€œ|Â |�"
+    val ctrlPat = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+    df.select(
+        idCol.as("doc_id"),
+        regexp_count(t, lit(mojiPat)).as("n_moji"),
+        regexp_count(t, lit(ctrlPat)).as("n_ctrl"),
+        length(t).as("n_chars")
+      )
+      .withColumn(
+        "moji_score",
+        round((col("n_moji") + col("n_ctrl")).cast("double") / greatest(col("n_chars"), lit(1)), 6)
+      )
+      .withColumn("corrupt", col("n_moji") > 0 || col("n_ctrl") > 0)
+  }
 }

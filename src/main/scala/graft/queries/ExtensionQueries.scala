@@ -1485,6 +1485,155 @@ object ExtensionQueries {
         .winnowFingerprints(T(s, dir, "documents"), col("text"), col("doc_id"), k = 4, w = 4)
         .orderBy(col("doc_id"), col("pos"))),
 
+    // Blocklist phrase gate (C4 "bad-words" shape): one longest-first
+    // alternation regex, case-insensitive whole-word matches; the pattern
+    // STRING is identical on both engines (no JVM-only \Q…\E), so counts
+    // and first-match agree by leftmost-first semantics.
+    "x78_blocklist" -> ((s, dir) =>
+      TextOps
+        .blocklistGate(
+          T(s, dir, "documents"),
+          col("doc_id"),
+          col("text"),
+          Seq("table scan", "hash join", "slow query", "scan merge", "vector")
+        )
+        .orderBy(col("doc_id"))),
+
+    // Multi-source catalog merge: three overlapping catalogs built from
+    // the documents table (books/code re-publish slices of web's texts
+    // under new ids); priority = list order, winners carry provenance.
+    "x79_catalog_merge" -> ((s, dir) => {
+      val base = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val catA = base.filter(col("doc_id") % 3 === 0)
+      val catB = base
+        .filter(col("doc_id") % 3 === 1)
+        .unionByName(
+          base
+            .filter(col("doc_id") % 6 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        )
+      val catC = base
+        .filter(col("doc_id") % 3 === 2)
+        .unionByName(
+          base
+            .filter(col("doc_id") % 6 === 1)
+            .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+        )
+      CorpusOps
+        .mergeCatalogs(Seq("web" -> catA, "books" -> catB, "code" -> catC), "doc_id", "text")
+        .orderBy(col("fp"), col("doc_id"))
+    }),
+
+    // URL canonicalization + key-level keep-best dedup: scheme/host case,
+    // default ports, www., fragments, and tracking params (utm_*/fbclid)
+    // all planted in-query; winners keep the longest document (n_chars),
+    // ties to the smallest id; registrable domain read back off the
+    // canonical key (site%40.co.uk → 3-label eTLD+1).
+    "x80_url_dedup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val url = concat(
+        lit("HTTPS://WWW.Site"),
+        (col("doc_id") % 40).cast("string"),
+        lit(".CO.UK"),
+        when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+        lit("/p/"),
+        (col("doc_id") % 200).cast("string"),
+        when(
+          col("doc_id") % 2 === 0,
+          concat(
+            lit("?utm_source=feed&utm_campaign=c"),
+            (col("doc_id") % 5).cast("string"),
+            lit("&ref="),
+            (col("doc_id") % 3).cast("string")
+          )
+        ).otherwise(
+          concat(
+            lit("?id="),
+            (col("doc_id") % 7).cast("string"),
+            lit("&fbclid=f"),
+            col("doc_id").cast("string")
+          )
+        ),
+        when(col("doc_id") % 3 === 0, lit("#frag")).otherwise(lit(""))
+      )
+      val normed = docs.select(col("doc_id"), url.as("url"), col("n_chars"))
+      Dedup
+        .keepBestByKey(normed, TextOps.urlNormalize(col("url")), col("n_chars"), col("doc_id"))
+        .withColumn(
+          "domain",
+          TextOps.registrableDomain(regexp_extract(col("key"), "^[a-z0-9+.-]*://([^/?]*)", 1))
+        )
+        .orderBy(col("doc_id"))
+    }),
+
+    // Encoding-corruption audit: mojibake markers planted on ≡0 mod 13,
+    // a BEL control byte on ≡5 mod 13; the ASCII corpus guarantees zero
+    // natural hits, so corrupt == planted exactly.
+    "x81_encoding_quality" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val corrupted = when(
+        col("doc_id") % 13 === 0,
+        concat(
+          substring(col("text"), 1, 20),
+          lit(" Ã©vÃ©nement â€™ Â "),
+          substring(col("text"), 21, 1000000)
+        )
+      ).when(
+          col("doc_id") % 13 === 5,
+          concat(substring(col("text"), 1, 10), lit("\u0007"), substring(col("text"), 11, 1000000))
+        )
+        .otherwise(col("text"))
+      TextOps
+        .encodingQuality(
+          docs.select(col("doc_id"), corrupted.as("text")),
+          col("doc_id"),
+          col("text")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
+    // Tokenizer-fit audit: vocabulary = the deterministic md5-half of the
+    // corpus's distinct tokens (no count-tie boundary), so OOV ≈ 50% and
+    // the join exercises both hit and miss paths on every document.
+    "x82_vocab_coverage" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val vocab = docs
+        .select(explode(split(col("text"), " ")).as("token"))
+        .distinct()
+        .filter(substring(md5(col("token")), 1, 1) < "8")
+      CorpusOps
+        .vocabCoverage(docs, col("doc_id"), col("text"), vocab)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Nearest-centroid topic assignment over planted label structure
+    // (+0.5 on component label%64): centroids via the 6dp-rounded mean
+    // pool (engine-exact inputs → deterministic argmax), assignment is a
+    // zero-shuffle literal-centroid cosine argmax; planted accuracy 100%.
+    "x83_topic_assign" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select(
+        col("vec_id"),
+        col("label").cast("long").as("label"),
+        transform(
+          col("embedding"),
+          (x, i) => when(i === col("label"), x.cast("double") + 0.5).otherwise(x.cast("double"))
+        ).as("v")
+      )
+      val cents = Similarity.trainTopicCentroids(emb, col("label"), col("v"))
+      Similarity
+        .topicAssign(emb, col("vec_id"), col("v"), cents)
+        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .select(
+          col("vec_id"),
+          col("label"),
+          col("topic"),
+          (col("topic") === col("label")).as("is_correct"),
+          col("best_cos"),
+          col("margin")
+        )
+        .orderBy(col("vec_id"))
+    }),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -1540,6 +1689,136 @@ object ExtensionQueries {
         |FROM p ORDER BY line_id""".stripMargin,
     // winnowing: per-window min via range join + leftmost tie-break;
     // hex-string order == unsigned byte order
+    // blocklist gate: identical longest-first alternation pattern;
+    // leftmost-first + non-overlapping scan agree across engines
+    "x78_blocklist" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents)
+        |SELECT doc_id,
+        |  CAST(LEN(regexp_extract_all(lt,
+        |    '\b(?:scan merge|slow query|table scan|hash join|vector)\b')) AS INT) AS n_hits,
+        |  NULLIF(regexp_extract(lt,
+        |    '\b(?:scan merge|slow query|table scan|hash join|vector)\b'), '') AS first_hit,
+        |  LEN(regexp_extract_all(lt,
+        |    '\b(?:scan merge|slow query|table scan|hash join|vector)\b')) > 0 AS blocked
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // catalog merge: same digests, same priority/id winner, same sorted
+    // provenance list
+    "x79_catalog_merge" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |cats AS (
+        |  SELECT doc_id, md5(text) AS fp, 'web' AS catalog, 0 AS priority
+        |  FROM base WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, md5(text), 'books', 1 FROM base WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5(text), 'books', 1 FROM base WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT doc_id, md5(text), 'code', 2 FROM base WHERE doc_id % 3 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, md5(text), 'code', 2 FROM base WHERE doc_id % 6 = 1),
+        |g AS (SELECT fp, COUNT(1) AS n_copies,
+        |  ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT catalog)), ',') AS all_sources
+        |  FROM cats GROUP BY fp),
+        |w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY priority, doc_id) AS rn
+        |  FROM cats)
+        |SELECT w.doc_id, w.fp, w.catalog, w.priority, g.n_copies, g.all_sources
+        |FROM w JOIN g USING (fp) WHERE rn = 1 ORDER BY fp, doc_id""".stripMargin,
+    // url dedup: the normalization chain replayed verbatim (group refs
+    // are \1 here vs $1 in Spark; the PATTERNS are identical)
+    "x80_url_dedup" ->
+      """WITH u AS (SELECT doc_id, n_chars,
+        |  'HTTPS://WWW.Site' || (doc_id % 40) || '.CO.UK' ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+        |  '/p/' || (doc_id % 200) ||
+        |  (CASE WHEN doc_id % 2 = 0
+        |        THEN '?utm_source=feed&utm_campaign=c' || (doc_id % 5) || '&ref=' || (doc_id % 3)
+        |        ELSE '?id=' || (doc_id % 7) || '&fbclid=f' || doc_id END) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |n AS (SELECT doc_id, n_chars, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+        |parts AS (SELECT doc_id, n_chars,
+        |  lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS aftersch
+        |  FROM n),
+        |hp AS (SELECT doc_id, n_chars, scheme,
+        |  regexp_replace(regexp_replace(
+        |    lower(regexp_extract(aftersch, '^([^/?]*)', 1)), ':(80|443)$', ''), '^www\.', '') AS host,
+        |  regexp_replace(aftersch, '^[^/?]*', '') AS pathq
+        |  FROM parts),
+        |cleaned AS (SELECT doc_id, n_chars, scheme, host,
+        |  regexp_replace(regexp_replace(regexp_replace(pathq,
+        |    '([?&])(?:utm_[a-z0-9]+|fbclid|gclid)=[^&#]*', '\1', 'g'),
+        |    '([?&])&+', '\1', 'g'), '[?&]+$', '') AS pq
+        |  FROM hp),
+        |k AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS pref,
+        |  regexp_replace(scheme || '://' || host || pq, '/+$', '') AS key
+        |  FROM cleaned),
+        |w AS (SELECT *, COUNT(1) OVER (PARTITION BY key) AS n_dups,
+        |  ROW_NUMBER() OVER (PARTITION BY key ORDER BY pref DESC, doc_id) AS rn FROM k),
+        |d AS (SELECT key, doc_id, pref, n_dups, rn = 1 AS kept,
+        |  regexp_extract(key, '^[a-z0-9+.-]*://([^/?]*)', 1) AS host2 FROM w),
+        |dom AS (SELECT *, STRING_SPLIT(host2, '.') AS p2 FROM d)
+        |SELECT key, doc_id, pref, n_dups, kept,
+        |  CASE WHEN LEN(p2) >= 3 AND LIST_CONTAINS(
+        |         ['co.uk','org.uk','ac.uk','gov.uk','co.jp','com.au','com.br','co.nz','co.in'],
+        |         p2[-2] || '.' || p2[-1])
+        |       THEN p2[-3] || '.' || p2[-2] || '.' || p2[-1]
+        |       WHEN LEN(p2) >= 2 THEN p2[-2] || '.' || p2[-1]
+        |       ELSE host2 END AS domain
+        |FROM dom ORDER BY doc_id""".stripMargin,
+    // encoding audit: same planted corruption bytes, same unicode-literal
+    // and control-class regexes
+    "x81_encoding_quality" ->
+      """WITH c AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 0
+        |         THEN SUBSTR(text, 1, 20) || ' Ã©vÃ©nement â€™ Â ' || SUBSTR(text, 21)
+        |       WHEN doc_id % 13 = 5 THEN SUBSTR(text, 1, 10) || chr(7) || SUBSTR(text, 11)
+        |       ELSE text END AS t
+        |  FROM documents),
+        |m AS (SELECT doc_id, t,
+        |  LEN(regexp_extract_all(t, 'Ã©|Ã¨|Ã¤|Ã¶|Ã¼|â€™|â€œ|Â |�')) AS n_moji,
+        |  LEN(regexp_extract_all(t, '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS n_ctrl
+        |  FROM c)
+        |SELECT doc_id, CAST(n_moji AS INT) AS n_moji, CAST(n_ctrl AS INT) AS n_ctrl,
+        |  CAST(LENGTH(t) AS INT) AS n_chars,
+        |  ROUND(CAST(n_moji + n_ctrl AS DOUBLE) / GREATEST(LENGTH(t), 1), 6) AS moji_score,
+        |  (n_moji > 0 OR n_ctrl > 0) AS corrupt
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // vocab coverage: same md5-half vocabulary, same per-doc counts
+    "x82_vocab_coverage" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents),
+        |v AS (SELECT DISTINCT token FROM toks WHERE SUBSTR(md5(token), 1, 1) < '8')
+        |SELECT t.doc_id,
+        |  COUNT(1) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  COUNT(DISTINCT CASE WHEN v.token IS NULL THEN t.token END) AS n_oov_types,
+        |  ROUND(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(1), 6) AS oov_rate
+        |FROM toks t LEFT JOIN v ON v.token = t.token
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    // topic assignment: centroids from the SAME 6dp-rounded mean pool, so
+    // the argmax compares engine-identical inputs; planted +0.5 structure
+    // keeps every margin far from FP noise
+    "x83_topic_assign" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |  CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |s AS (SELECT vec_id, label, generate_subscripts(emb, 1) - 1 AS i, UNNEST(emb) AS x
+        |  FROM e),
+        |sv AS (SELECT vec_id, label, i, CASE WHEN i = label THEN x + 0.5 ELSE x END AS v
+        |  FROM s),
+        |c AS (SELECT label AS topic, i, ROUND(AVG(v), 6) AS m FROM sv GROUP BY 1, 2),
+        |p AS (SELECT sv.vec_id, sv.label, c.topic,
+        |  SUM(sv.v * c.m) AS dot, SUM(sv.v * sv.v) AS na, SUM(c.m * c.m) AS nb
+        |  FROM sv JOIN c ON c.i = sv.i GROUP BY 1, 2, 3),
+        |q AS (SELECT vec_id, label, topic, dot / (SQRT(na) * SQRT(nb)) AS cos FROM p),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, topic) AS rk
+        |  FROM q)
+        |SELECT r1.vec_id, r1.label, r1.topic,
+        |  r1.topic = r1.label AS is_correct,
+        |  ROUND(r1.cos, 6) AS best_cos,
+        |  ROUND(r1.cos - r2.cos, 6) AS margin
+        |FROM r r1 JOIN r r2 ON r2.vec_id = r1.vec_id AND r2.rk = 2
+        |WHERE r1.rk = 1 ORDER BY r1.vec_id""".stripMargin,
     "x77_winnow" ->
       """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS wt FROM documents),
         |f AS (SELECT doc_id, i - 1 AS pos, md5(ARRAY_TO_STRING(wt[i:i+3], ' ')) AS h

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusOps, Dedup, Similarity, TextOps}
+
+/** Hand-computed cases for the web-curation cohort (blocklist gate, URL
+  * canonicalization + registrable domain, encoding audit, catalog merge,
+  * vocab coverage, key-level keep-best, topic assignment) — the driver's
+  * x78–x83 oracles check engine-portability; these check the math itself.
+  */
+class WebCurationSpec extends SparkTestBase {
+
+  test("blocklistGate: whole-word case-insensitive hits, longest-first overlap") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a Table SCAN inside and a table scanner"), // scanner: no \b match
+      (2L, "vectorized is not vector but vector is"),  // 2 whole-word hits
+      (3L, "nothing here"),
+      (4L, "table scan table scan")                    // non-overlapping count = 2
+    ).toDF("id", "text")
+    val rows = TextOps
+      .blocklistGate(df, col("id"), col("text"), Seq("table scan", "vector"))
+      .orderBy("doc_id")
+      .collect()
+    assert(rows(0).getInt(1) == 1 && rows(0).getString(2) == "table scan")
+    assert(rows(1).getInt(1) == 2 && rows(1).getString(2) == "vector")
+    assert(rows(2).getInt(1) == 0 && rows(2).isNullAt(2) && !rows(2).getBoolean(3))
+    assert(rows(3).getInt(1) == 2 && rows(3).getBoolean(3))
+  }
+
+  test("urlNormalize: scheme/host case, ports, www, fragments, tracking params") {
+    import spark.implicits._
+    val cases = Seq(
+      ("HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&id=1#frag", "https://example.com/a/b/?id=1"),
+      ("http://site.org:80/path/", "http://site.org/path"),
+      ("https://a.co/p?utm_a=1&utm_b=2&id=3", "https://a.co/p?id=3"),
+      ("https://a.co/p?id=3&fbclid=zzz", "https://a.co/p?id=3"),
+      ("https://a.co/p?utm_a=1", "https://a.co/p"),
+      ("https://a.co:8080/p", "https://a.co:8080/p"), // non-default port kept
+      ("https://a.co", "https://a.co")
+    ).toDF("url", "expect")
+    val bad = cases
+      .select(TextOps.urlNormalize(col("url")).as("got"), col("expect"))
+      .filter(col("got") =!= col("expect"))
+      .collect()
+    assert(bad.isEmpty, bad.mkString(";"))
+  }
+
+  test("registrableDomain: eTLD+1 with multi-part suffixes") {
+    import spark.implicits._
+    val cases = Seq(
+      ("news.bbc.co.uk", "bbc.co.uk"),
+      ("a.b.example.com", "example.com"),
+      ("example.com", "example.com"),
+      ("localhost", "localhost"),
+      ("deep.shop.com.au", "shop.com.au")
+    ).toDF("host", "expect")
+    val bad = cases
+      .select(TextOps.registrableDomain(col("host")).as("got"), col("expect"))
+      .filter(col("got") =!= col("expect"))
+      .collect()
+    assert(bad.isEmpty, bad.mkString(";"))
+  }
+
+  test("encodingQuality: mojibake and control-char counts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "clean ascii text"),
+      (2L, "bad Ã©tÃ© and â€™quote"), // 3 moji
+      (3L, "ctrl\u0007here\u0002x"), // 2 ctrl (BEL, STX)
+      (4L, "tab\tand\nnewline ok")   // \t \n excluded from the ctrl class
+    ).toDF("id", "text")
+    val rows = TextOps.encodingQuality(df, col("id"), col("text")).orderBy("doc_id").collect()
+    assert(rows(0).getInt(1) == 0 && rows(0).getInt(2) == 0 && !rows(0).getBoolean(5))
+    assert(rows(1).getInt(1) == 3 && rows(1).getBoolean(5))
+    assert(rows(2).getInt(2) == 2 && rows(2).getBoolean(5))
+    assert(rows(3).getInt(1) == 0 && rows(3).getInt(2) == 0 && !rows(3).getBoolean(5))
+  }
+
+  test("mergeCatalogs: priority winner, copies, provenance") {
+    import spark.implicits._
+    val web = Seq((1L, "shared"), (2L, "webonly")).toDF("doc_id", "text")
+    val books = Seq((10L, "shared"), (11L, "bookonly"), (12L, "shared")).toDF("doc_id", "text")
+    val out = CorpusOps
+      .mergeCatalogs(Seq("web" -> web, "books" -> books), "doc_id", "text")
+      .collect()
+      .map(r => (r.getString(r.fieldIndex("catalog")), r.getLong(r.fieldIndex("doc_id")),
+        r.getLong(r.fieldIndex("n_copies")), r.getString(r.fieldIndex("all_sources"))))
+      .sortBy(_._2)
+    assert(out.length == 3)
+    // "shared": 3 copies across both catalogs; web (priority 0) id 1 wins
+    assert(out.contains(("web", 1L, 3L, "books,web")))
+    assert(out.contains(("web", 2L, 1L, "web")))
+    assert(out.contains(("books", 11L, 1L, "books")))
+  }
+
+  test("vocabCoverage: per-doc OOV accounting") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c b"), (2L, "x y"), (3L, "a a")).toDF("id", "text")
+    val vocab = Seq("a", "b").toDF("token")
+    val rows = CorpusOps
+      .vocabCoverage(docs, col("id"), col("text"), vocab)
+      .orderBy("doc_id")
+      .collect()
+    assert(rows(0).getLong(1) == 4L && rows(0).getLong(2) == 1L && rows(0).getLong(3) == 1L)
+    assert(math.abs(rows(0).getDouble(4) - 0.25) < 1e-12)
+    assert(rows(1).getLong(2) == 2L && rows(1).getLong(3) == 2L)
+    assert(rows(2).getLong(2) == 0L && rows(2).getLong(3) == 0L)
+  }
+
+  test("keepBestByKey: highest pref wins, ties to smallest id, counts exact") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "k1", 5.0),
+      (2L, "k1", 9.0),
+      (3L, "k1", 9.0), // tie with id 2 -> id 2 wins
+      (4L, "k2", 1.0)
+    ).toDF("id", "key", "pref")
+    val rows = Dedup
+      .keepBestByKey(df, col("key"), col("pref"), col("id"))
+      .orderBy("doc_id")
+      .collect()
+    assert(rows.map(_.getBoolean(4)).toSeq == Seq(false, true, false, true))
+    assert(rows(0).getLong(3) == 3L && rows(3).getLong(3) == 1L)
+  }
+
+  test("topicAssign: planted structure recovers labels with positive margin") {
+    import spark.implicits._
+    // two well-separated topics in 4-dim space
+    val vecs = Seq(
+      (1L, 0L, Array(1.0, 0.1, 0.0, 0.0)),
+      (2L, 0L, Array(0.9, 0.0, 0.1, 0.0)),
+      (3L, 1L, Array(0.0, 0.1, 1.0, 0.2)),
+      (4L, 1L, Array(0.1, 0.0, 0.8, 0.1))
+    ).toDF("vec_id", "label", "v")
+    val cents = Similarity.trainTopicCentroids(vecs, col("label"), col("v"))
+    assert(cents.map(_._1) == Seq(0L, 1L))
+    val rows = Similarity
+      .topicAssign(vecs, col("vec_id"), col("v"), cents)
+      .orderBy("vec_id")
+      .collect()
+    val labels = Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L)
+    rows.foreach { r =>
+      assert(r.getLong(1) == labels(r.getLong(0)), s"vec ${r.getLong(0)}")
+      assert(r.getDouble(3) > 0.0) // margin strictly positive
+    }
+  }
+}
