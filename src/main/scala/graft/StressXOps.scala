@@ -71,7 +71,8 @@ object StressXOps {
     // optional 3rd arg: comma-separated section filter
     // (simhash,minhash,cosine,decontaminate,pack,cc,quantile,pii,sample,
     // lines,quantize,spans,semdedup,bloominc,retrieval,qknn,classifier,
-    // curation9,curation10,curation10b,curation10c,curation10d,curation10e) — default all
+    // curation9,curation10,curation10b,curation10c,curation10d,curation10e,
+    // curation11) — default all
     val only = if (args.length > 2) args(2).split(",").toSet else Set.empty[String]
     def section(name: String): Boolean = only.isEmpty || only(name)
     val spark = SparkSession
@@ -1570,6 +1571,136 @@ object StressXOps {
       println(f"[stressx] winnowFingerprints(k=4, w=4) @ $corpusN%d docs, $totalWindows%d windows: $wnSec%.1f s, $wnRows selected (density $density%.3f, theory 2/(w+1)=0.4)")
       println(s"[stressx]   plan: $wnH")
       assert(density > 0.3 && density < 0.5, s"winnow density off: $density")
+    }
+
+    // ---- curation11: web-curation cohort (x78-x83) at width -------------
+    if (section("curation11")) locally {
+      // blocklist gate: hits must equal an independent token-level count
+      // (tokens are digit strings; \b guarantees whole-token matches)
+      val bl = operators.TextOps.blocklistGate(corpus, col("id"), col("text"), Seq("12345", "6789"))
+      val (blSec, blRows, blH, _) = run(bl)
+      val blDf = bl.persist()
+      val gateHits = blDf.agg(sum(col("n_hits")).cast("long")).head().getLong(0)
+      val refHits = corpus
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") === "12345" || col("tok") === "6789")
+        .count()
+      println(f"[stressx] blocklistGate @ $blRows%d docs: $blSec%.1f s; hits=$gateHits (token-level recount $refHits)")
+      println(s"[stressx]   plan: $blH")
+      assert(gateHits == refHits, s"blocklist hits mismatch: $gateHits != $refHits")
+      blDf.unpersist()
+
+      // encoding audit: planted corruption on id % 100 == 0, ASCII corpus
+      // elsewhere -> zero false positives
+      val dirty = corpus.select(
+        col("id"),
+        when(pmod(col("id"), lit(100)) === 0, concat(lit("Ã© â€™ "), col("text")))
+          .otherwise(col("text")).as("text")
+      )
+      val eq = operators.TextOps.encodingQuality(dirty, col("id"), col("text"))
+      val (eqSec, eqRows, _, _) = run(eq)
+      val eqDf = eq.persist()
+      val flagged = eqDf.filter(col("corrupt")).count()
+      val plantedDirty = corpus.filter(pmod(col("id"), lit(100)) === 0).count()
+      println(f"[stressx] encodingQuality @ $eqRows%d docs: $eqSec%.1f s; corrupt=$flagged (planted $plantedDirty, false positives ${flagged - plantedDirty})")
+      assert(flagged == plantedDirty, s"encoding audit: $flagged != $plantedDirty")
+      eqDf.unpersist()
+
+      // catalog merge: catalog B re-publishes every 2nd doc of A under new
+      // ids, catalog C every 4th; winner must always be A's copy, and
+      // n_copies conservation must hold exactly
+      val catA = corpus.select(col("id").as("doc_id"), col("text"))
+      val catB = corpus.filter(pmod(col("id"), lit(2)) === 0)
+        .select((col("id") + 300000000L).as("doc_id"), col("text"))
+      val catC = corpus.filter(pmod(col("id"), lit(4)) === 0)
+        .select((col("id") + 600000000L).as("doc_id"), col("text"))
+      val merged = operators.CorpusOps
+        .mergeCatalogs(Seq("a" -> catA, "b" -> catB, "c" -> catC), "doc_id", "text")
+      val (mgSec, mgRows, mgH, _) = run(merged)
+      val mgDf = merged.persist()
+      val totalIn = catA.count() + catB.count() + catC.count()
+      val copySum = mgDf.agg(sum(col("n_copies")).cast("long")).head().getLong(0)
+      val wrongWinner = mgDf.filter(col("catalog") =!= "a").count()
+      println(f"[stressx] mergeCatalogs @ $totalIn%d rows in 3 catalogs: $mgSec%.1f s; winners=$mgRows, copy-sum=$copySum, non-A winners=$wrongWinner")
+      println(s"[stressx]   plan: $mgH")
+      // every text exists in catalog A (B/C are subsets re-IDed), so A wins all
+      assert(copySum == totalIn, s"copy conservation: $copySum != $totalIn")
+      assert(wrongWinner == 0, s"priority violated on $wrongWinner winners")
+      mgDf.unpersist()
+
+      // url keep-best dedup under a 50%-skew hot key: half the corpus
+      // shares ONE canonical url (the crawl-duplicate regime that kills a
+      // window formulation); the agg+join shape must survive it
+      val urls = corpus.select(
+        col("id"),
+        when(pmod(col("id"), lit(2)) === 0, lit("HTTPS://WWW.Hot.COM/page?utm_source=x"))
+          .otherwise(concat(lit("https://site"), pmod(col("id"), lit(1000000)), lit(".com/p/"), col("id"), lit("?utm_a=1")))
+          .as("url"),
+        pmod(col("id"), lit(997)).cast("double").as("pref")
+      )
+      val kb = operators.Dedup.keepBestByKey(
+        urls, operators.TextOps.urlNormalize(col("url")), col("pref"), col("id"))
+      val (kbSec, kbRows, kbH, _) = run(kb)
+      val kbDf = kb.persist()
+      val keptN = kbDf.filter(col("kept")).count()
+      val distinctKeys = kbDf.select(col("key")).distinct().count()
+      val hotN = kbDf.filter(col("key") === "https://hot.com/page").count()
+      val hotWinnerPref = kbDf
+        .filter(col("key") === "https://hot.com/page" && col("kept"))
+        .select(max(col("pref"))).head().getDouble(0)
+      println(f"[stressx] urlNormalize+keepBestByKey @ $kbRows%d rows (hot key $hotN%d rows = ${100.0 * hotN / kbRows}%.0f%%): $kbSec%.1f s; kept=$keptN == distinct keys $distinctKeys")
+      println(s"[stressx]   plan: $kbH")
+      assert(keptN == distinctKeys, s"one winner per key: $keptN != $distinctKeys")
+      assert(hotWinnerPref == 996.0, s"hot-key winner must carry max pref, got $hotWinnerPref")
+      kbDf.unpersist()
+
+      // vocab coverage: 202M token rows vs a 50k-token broadcast vocab;
+      // OOV total must equal the independent token-level recount
+      val vocab = spark.range(50000).select(col("id").cast("string").as("token"))
+      val vc = operators.CorpusOps.vocabCoverage(corpus, col("id"), col("text"), vocab)
+      val (vcSec, vcRows, vcH, _) = run(vc)
+      val vcDf = vc.persist()
+      val oovSum = vcDf.agg(sum(col("n_oov")).cast("long")).head().getLong(0)
+      val refOov = corpus
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok").cast("long") >= 50000)
+        .count()
+      println(f"[stressx] vocabCoverage @ $vcRows%d docs (~${40L * vcRows / 1000000}%d M tokens): $vcSec%.1f s; oov=$oovSum (recount $refOov)")
+      println(s"[stressx]   plan: $vcH")
+      assert(oovSum == refOov, s"oov mismatch: $oovSum != $refOov")
+      vcDf.unpersist()
+
+      // topic assignment: planted +0.5 on component (label = id % 10);
+      // centroid training + zero-shuffle argmax must recover every label
+      val dim = 64
+      val tvecs = spark.range(nVecs).select(
+        col("id").as("vec_id"),
+        pmod(col("id"), lit(10)).as("label"),
+        transform(
+          sequence(lit(0), lit(dim - 1)),
+          // components uniform(-1,1); the planted shift must DOMINATE the
+          // per-dim noise (unlike x83's unit-norm table where ±0.125 noise
+          // lets +0.5 win): +3.0 makes dot(v, c_label) >= 6 vs < 3 for any
+          // other centroid, so argmax is provably planted
+          k => (pmod(xxhash64(col("id"), k), lit(2000001)) - 1000000L).cast("double") / 1000000.0
+            + when(k === pmod(col("id"), lit(10)), 3.0).otherwise(0.0)
+        ).as("v")
+      ).persist()
+      tvecs.count()
+      val t0c = System.nanoTime()
+      val cents = operators.Similarity.trainTopicCentroids(tvecs, col("label"), col("v"))
+      val centSec = (System.nanoTime() - t0c) / 1e9
+      val ta = operators.Similarity.topicAssign(tvecs, col("vec_id"), col("v"), cents)
+        .join(tvecs.select(col("vec_id"), col("label")), Seq("vec_id"))
+      val (taSec, taRows, taH, _) = run(ta)
+      val taDf = ta.persist()
+      val wrong = taDf.filter(col("topic") =!= col("label")).count()
+      val minMargin = taDf.select(min(col("margin"))).head().getDouble(0)
+      println(f"[stressx] topicAssign @ $taRows%d vectors, 10 centroids: train $centSec%.1f s + assign $taSec%.1f s; mislabels=$wrong, min margin=$minMargin%.4f")
+      println(s"[stressx]   plan: $taH")
+      assert(wrong == 0, s"planted labels must all recover: $wrong wrong")
+      assert(minMargin > 0.0, s"margin must be strictly positive, got $minMargin")
+      taDf.unpersist(); tvecs.unpersist()
     }
 
     corpus.unpersist()

@@ -1759,10 +1759,13 @@ object CorpusOps {
     * wide columns never ride the digest exchange.
     *
     * Shape at 100 TB: texts reduce to 16-byte md5 digests in the scan
-    * projection; the ONE exchange is keyed on that digest and serves both
-    * the keep-winner window and the provenance aggregate (same key — AQE
-    * reuses the exchange). Nothing corpus-sized is ever joined back by
-    * text.
+    * projection, and the whole merge is ONE partial-aggregating exchange
+    * on that digest — the winner rides a `min(struct(priority, doc_id,
+    * catalog))` aggregate (lexicographic = exactly the priority-then-id
+    * rule), provenance a bounded `collect_set` (≤ |catalogs| entries), so
+    * a text duplicated a billion times (boilerplate) collapses map-side
+    * per task BEFORE the shuffle. No windows (no skew mitigation exists
+    * for them), no join-back, nothing corpus-sized keyed by text.
     */
   def mergeCatalogs(
       catalogs: Seq[(String, DataFrame)],
@@ -1779,17 +1782,22 @@ object CorpusOps {
         lit(pri).as("priority")
       )
     }
-    val all = stamped.reduce(_.unionByName(_))
-    val w = Window.partitionBy(col("fp"))
-    all
-      .withColumn("n_copies", count(lit(1)).over(w))
-      .withColumn("all_sources", array_join(array_sort(collect_set(col("catalog")).over(w)), ","))
-      .withColumn(
-        "__rn",
-        row_number().over(w.orderBy(col("priority").asc, col("doc_id").asc))
+    stamped
+      .reduce(_.unionByName(_))
+      .groupBy(col("fp"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        array_join(array_sort(collect_set(col("catalog"))), ",").as("all_sources"),
+        min(struct(col("priority"), col("doc_id"), col("catalog"))).as("__w")
       )
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+      .select(
+        col("__w.doc_id").as("doc_id"),
+        col("fp"),
+        col("__w.catalog").as("catalog"),
+        col("__w.priority").as("priority"),
+        col("n_copies"),
+        col("all_sources")
+      )
   }
 
   /** Tokenizer-fit audit: per-document vocabulary coverage against a

@@ -696,13 +696,16 @@ object Dedup {
     * rows with a `kept` flag plus the group's `n_dups` (count-and-flag,
     * never silently drop).
     *
-    * Shape at 100 TB: one exchange keyed on the dedup key; Spark 4
-    * compiles the rank filter pattern to WindowGroupLimit (partial
-    * per-partition top-k BEFORE the exchange) when callers filter
-    * `kept`, and a skewed hot key (a crawl that hit one URL a billion
-    * times) therefore never assembles in one task — the measured
-    * capPerDomain lesson. The key should be a digest/short string, not
-    * document text.
+    * Shape at 100 TB: NOT a window. A `count/row_number OVER (PARTITION
+    * BY key)` puts a hot key (a crawl that captured one URL a billion
+    * times) into ONE sort task, and Spark has no skew mitigation for
+    * windows. Instead the per-key summary (count + arg-max winner) is a
+    * partial-aggregating groupBy — the hot key collapses map-side to one
+    * row per task BEFORE its exchange — and the flag comes back via an
+    * equi-join, where AQE's skew-join split handles the hot key on the
+    * probe side. Ids must be unique (standard corpus contract); the
+    * winner is then exactly the (max pref, min id) row. The key should
+    * be a digest/short string, not document text.
     */
   def keepBestByKey(
       df: DataFrame,
@@ -710,19 +713,20 @@ object Dedup {
       prefCol: Column,
       idCol: Column
   ): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__key"))
-    df.select(
-        keyCol.as("__key"),
-        idCol.as("doc_id"),
-        prefCol.cast("double").as("pref")
+    val rows = df.select(
+      keyCol.as("key"),
+      idCol.as("doc_id"),
+      prefCol.cast("double").as("pref")
+    )
+    val winners = rows
+      .groupBy(col("key"))
+      .agg(
+        count(lit(1)).as("n_dups"),
+        max_by(col("doc_id"), struct(col("pref"), -col("doc_id"))).as("__winner")
       )
-      .withColumn("n_dups", count(lit(1)).over(w))
-      .withColumn(
-        "__rn",
-        row_number().over(w.orderBy(col("pref").desc, col("doc_id").asc))
-      )
-      .withColumn("kept", col("__rn") === 1)
-      .drop("__rn")
-      .withColumnRenamed("__key", "key")
+    rows
+      .join(winners, Seq("key"))
+      .withColumn("kept", col("doc_id") === col("__winner"))
+      .select(col("key"), col("doc_id"), col("pref"), col("n_dups"), col("kept"))
   }
 }
