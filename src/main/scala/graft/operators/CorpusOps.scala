@@ -1800,6 +1800,67 @@ object CorpusOps {
       )
   }
 
+  /** Deterministic curriculum ordering: interleave quality tiers
+    * round-robin into one global training order, so every training window
+    * sees the configured tier mixture instead of consuming all of one
+    * tier first (the ordering counterpart of [[epochMixture]]'s domain
+    * budgets). Within a tier, order is the md5-of-id permutation (the
+    * [[assignShards]] contract: partition-invariant, replayable);
+    * globally, `train_order = rank_in_tier · nTiers + tier` — a
+    * collision-free round-robin (tiers exhaust at different times; later
+    * positions simply skip the exhausted tiers' residues, preserving
+    * relative order).
+    *
+    * Shape at 100 TB: the [[assignShards]] trick per tier — ranks come
+    * from 4096 md5-prefix buckets whose per-(tier, bucket) counts are a
+    * BOUNDED collect (≤ nTiers·4096 longs, a plan literal), so no
+    * single-partition window ever materializes a tier (a tier is
+    * corpus-sized — `ROW_NUMBER() OVER (PARTITION BY tier)` would be the
+    * hot-key window this library never ships). One exchange keyed
+    * (tier, bucket).
+    */
+  def curriculumOrder(df: DataFrame, idCol: Column, tierCol: Column, nTiers: Int): DataFrame = {
+    require(nTiers >= 1 && nTiers <= 64, s"nTiers must be in [1, 64], got $nTiers")
+    val buckets = 4096
+    val base = df
+      .select(idCol.as("doc_id"), tierCol.cast("int").as("tier"))
+      .filter(col("doc_id").isNotNull && col("tier").isNotNull)
+      .withColumn("__h", md5(col("doc_id").cast("string")))
+      .withColumn("__b", conv(substring(col("__h"), 1, 3), 16, 10).cast("int"))
+    val counts = base.groupBy(col("tier"), col("__b")).agg(count(lit(1)).as("c")).collect()
+    val sizes = new Array[Long](nTiers * buckets)
+    counts.foreach { r =>
+      val t = r.getInt(0)
+      require(t >= 0 && t < nTiers, s"tier $t outside [0, $nTiers)")
+      sizes(t * buckets + r.getInt(1)) = r.getLong(2)
+    }
+    val offsets = new Array[Long](nTiers * buckets)
+    val acc = new Array[Long](nTiers)
+    var i = 0
+    while (i < buckets) {
+      var t = 0
+      while (t < nTiers) {
+        offsets(t * buckets + i) = acc(t)
+        acc(t) += sizes(t * buckets + i)
+        t += 1
+      }
+      i += 1
+    }
+    val wB = Window.partitionBy(col("tier"), col("__b")).orderBy(col("__h"), col("doc_id"))
+    base
+      .withColumn(
+        "rank_in_tier",
+        element_at(lit(offsets), col("tier") * buckets + col("__b") + 1) +
+          row_number().over(wB).cast("long") - 1L
+      )
+      .select(
+        col("doc_id"),
+        col("tier"),
+        col("rank_in_tier"),
+        (col("rank_in_tier") * nTiers + col("tier")).as("train_order")
+      )
+  }
+
   /** Tokenizer-fit audit: per-document vocabulary coverage against a
     * fixed token vocabulary — the OOV-rate signal that decides whether a
     * tokenizer (e.g. the [[graft.operators.TextOps.trainBpe]] output)

@@ -688,6 +688,116 @@ object Similarity {
     * Ties on the (deterministic) cosine resolve to the lowest label
     * because [[array_position]] returns the FIRST match in label order.
     */
+  /** Cross-modal alignment gate (the CLIP-score filter of an image-text
+    * corpus, LAION-style): cosine between the two modality embeddings of
+    * each PAIRED row, thresholded — mismatched captions (scraper bugs,
+    * alt-text spam) score like random pairs and fall out. Pure per-row
+    * native cosine, zero shuffle; count-and-flag, never a silent drop.
+    * The caller supplies already-paired rows — at 100 TB the pairing
+    * join upstream is id-keyed and this gate adds no exchange to it.
+    */
+  def alignmentGate(
+      pairs: DataFrame,
+      idCol: Column,
+      vecA: Column,
+      vecB: Column,
+      threshold: Double = 0.95
+  ): DataFrame =
+    pairs
+      .select(
+        idCol.as("pair_id"),
+        round(cosine(transform(vecA, _.cast("double")), transform(vecB, _.cast("double"))), 6)
+          .as("align")
+      )
+      .withColumn("aligned", col("align") >= threshold)
+
+  /** Incremental SEMANTIC ingest gate: the embedding-space sibling of the
+    * exact-digest ([[graft.operators.Dedup.incremental]]) and fuzzy-text
+    * ([[graft.operators.Dedup.incrementalFuzzy]]) gates — drop batch
+    * items whose embedding is ≥ `threshold` cosine to anything already in
+    * the accepted corpus. Candidates come from Charikar hyperplane
+    * signatures cut into Manku-style blocks ([[cosineNearDupPairs]]'
+    * blocking): a planted twin at cos ≈ 0.9999 survives with
+    * 1−(1−p^8)^4 ≈ 1−1.6e-6, while random pairs never reach the confirm
+    * join.
+    *
+    * Shape at 100 TB: the batch's block keys and vectors BROADCAST; the
+    * reference is scanned (twice: keys pass + confirm pass) and NEVER
+    * shuffled — the x35 accepted-corpus discipline. The only exchanges
+    * are candidate-pair-sized (ids only). Degenerate signature cells
+    * (zero/near-zero embeddings sign identically) are guarded by a
+    * reference-side BUCKET-SIZE partial aggregate — 8-byte keys, output
+    * ≤ blocks·2^(bits/blocks) rows, no row shuffle — and batch keys
+    * landing in an over-full reference bucket are shed AND surfaced via
+    * the `semantic_gate_shed` observation (the x14 pattern): a shed item
+    * passes the gate unverified rather than detonating the join, and the
+    * counter tells the operator's user it happened.
+    */
+  def incrementalSemantic(
+      batch: DataFrame,
+      batchId: Column,
+      batchVec: Column,
+      ref: DataFrame,
+      refId: Column,
+      refVec: Column,
+      threshold: Double = 0.95,
+      bits: Int = 32,
+      blocks: Int = 4,
+      maxBucket: Int = 65536
+  ): DataFrame = {
+    require(bits % blocks == 0, s"bits ($bits) must divide into blocks ($blocks)")
+    val width = bits / blocks
+    def blocked(df: DataFrame, idc: Column, vc: Column, idAs: String): DataFrame =
+      df.select(idc.as(idAs), hyperplaneSignature(transform(vc, _.cast("double")), bits).as("sig"))
+        .select(
+          col(idAs),
+          explode(array((0 until blocks).map { b =>
+            struct(
+              lit(b).as("blk"),
+              shiftright(col("sig"), b * width).bitwiseAND((1L << width) - 1).as("key")
+            )
+          }: _*)).as("bk")
+        )
+        .select(col(idAs), col("bk.blk").as("blk"), col("bk.key").as("key"))
+    val bKeys = blocked(batch, batchId, batchVec, "bid")
+    val rKeys = blocked(ref, refId, refVec, "rid")
+    // over-full-cell guard: bucket SIZES aggregate map-side to ≤
+    // blocks·2^width rows; hot cells are a small join side
+    val hot = rKeys
+      .groupBy(col("blk"), col("key"))
+      .agg(count(lit(1)).as("rn"))
+      .filter(col("rn") > maxBucket)
+    registerShedReporter(batch.sparkSession)
+    val safeB = bKeys
+      .join(broadcast(hot.select(col("blk"), col("key"), lit(true).as("__hot"))), Seq("blk", "key"), "left")
+      .observe(
+        s"semantic_gate_shed_${shedObservationIds.getAndIncrement()}",
+        sum(when(col("__hot"), lit(1L)).otherwise(lit(0L))).as("dropped_rows"),
+        count(lit(1)).as("batch_keys")
+      )
+      .filter(col("__hot").isNull)
+      .drop("__hot")
+    val cand = rKeys
+      .join(broadcast(safeB), Seq("blk", "key"))
+      .select(col("bid"), col("rid"))
+      .dropDuplicates("bid", "rid")
+    val confirmed = cand
+      .join(broadcast(batch.select(batchId.as("bid"), transform(batchVec, _.cast("double")).as("bv"))), Seq("bid"))
+      .join(ref.select(refId.as("rid"), transform(refVec, _.cast("double")).as("rv")), Seq("rid"))
+      .filter(cosine(col("bv"), col("rv")) >= threshold)
+      .groupBy(col("bid"))
+      .agg(min(col("rid")).as("dup_of"), count(lit(1)).as("n_ref_matches"))
+    batch
+      .select(batchId.as("id"))
+      .join(confirmed.withColumnRenamed("bid", "id"), Seq("id"), "left")
+      .select(
+        col("id"),
+        col("dup_of"),
+        coalesce(col("n_ref_matches"), lit(0L)).as("n_ref_matches"),
+        col("dup_of").isNull.as("kept")
+      )
+  }
+
   def topicAssign(
       df: DataFrame,
       idCol: Column,

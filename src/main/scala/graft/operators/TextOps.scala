@@ -762,4 +762,28 @@ object TextOps {
       )
       .withColumn("corrupt", col("n_moji") > 0 || col("n_ctrl") > 0)
   }
+
+  /** HTML head-metadata extraction (the crawl-selection signals that ride
+    * NEXT TO [[htmlExtract]]'s body text): document title (whitespace-
+    * collapsed), the canonical URL — the dedup key of choice when
+    * present, feeding [[graft.operators.Dedup.keepBestByKey]] — and the
+    * robots noindex flag (pages that asked to be excluded; a compliant
+    * corpus pipeline must surface this). All RE2-safe single regexes over
+    * the raw HTML, zero shuffle; attributes are matched in the
+    * double-quoted `rel=`/`name=`-before-`href=`/`content=` layout (the
+    * dominant emitted form — a production parser would normalize
+    * attribute order upstream, this contract documents the fast path).
+    */
+  def htmlMeta(df: DataFrame, idCol: Column, html: Column): DataFrame = {
+    val h = coalesce(html, lit(""))
+    df.select(
+      idCol.as("doc_id"),
+      trim(regexp_replace(regexp_extract(h, "(?is)<title[^>]*>(.*?)</title>", 1), "[ \\t\\n\\r]+", " "))
+        .as("title"),
+      nullif(regexp_extract(h, "(?i)<link[^>]*rel=\"canonical\"[^>]*href=\"([^\"]*)\"", 1), lit(""))
+        .as("canonical"),
+      (regexp_count(h, lit("(?i)<meta[^>]*name=\"robots\"[^>]*content=\"[^\"]*noindex")) > 0)
+        .as("noindex")
+    )
+  }
 }

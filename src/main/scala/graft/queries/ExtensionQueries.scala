@@ -1634,6 +1634,87 @@ object ExtensionQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // HTML head metadata: title (whitespace-collapsed), canonical URL on
+    // ≡0 mod 4, robots-noindex on ≡0 mod 5 — the crawl-selection signals
+    // beside x75's body extraction.
+    "x84_html_meta" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>  Doc "),
+        col("doc_id"),
+        lit(" ::\n  "),
+        substring(col("text"), 1, 15),
+        lit("</title>"),
+        when(
+          col("doc_id") % 4 === 0,
+          concat(lit("<link rel=\"canonical\" href=\"https://canon.example/d/"), col("doc_id"), lit("\"/>"))
+        ).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("<meta name=\"robots\" content=\"noindex, nofollow\"/>"))
+          .otherwise(lit("")),
+        lit("</head><body><p>"),
+        col("text"),
+        lit("</p></body></html>")
+      )
+      TextOps
+        .htmlMeta(
+          T(s, dir, "documents").select(col("doc_id"), html.as("html")),
+          col("doc_id"),
+          col("html")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cross-modal alignment gate (CLIP-score shape): the "image" embedding
+    // is a perturbed copy (cos ≈ 0.9999 — aligned) except every 5th row,
+    // which takes the NEXT row's embedding (a caption mismatch — random
+    // cosine, far below the gate).
+    "x85_cross_modal" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("t_emb"))
+      val img = T(s, dir, "embeddings")
+        .select(col("vec_id"), perturb(transform(col("embedding"), _.cast("double"))).as("i_emb"))
+      val shifted = img.select((col("vec_id") - 1).as("vec_id"), col("i_emb").as("i_emb2"))
+      val paired = emb
+        .join(img, Seq("vec_id"))
+        .join(shifted, Seq("vec_id"), "left")
+        .select(
+          col("vec_id"),
+          col("t_emb"),
+          when(col("vec_id") % 5 === 0 && col("i_emb2").isNotNull, col("i_emb2"))
+            .otherwise(col("i_emb"))
+            .as("i_emb")
+        )
+      Similarity
+        .alignmentGate(paired, col("vec_id"), col("t_emb"), col("i_emb"), threshold = 0.95)
+        .orderBy(col("pair_id"))
+    }),
+
+    // Incremental SEMANTIC ingest gate: batch = perturbed twins of the
+    // accepted corpus (must be dropped, dup_of = their source) + fresh
+    // vectors (must be kept); the oracle replays the exact batch×ref
+    // cosine join the LSH candidates feed.
+    "x86_incremental_semantic" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val ref = emb.filter(col("vec_id") % 2 === 0)
+      val twins = ref
+        .filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"), perturb(col("v")).as("v"))
+      val batch = twins.unionByName(emb.filter(col("vec_id") % 10 === 1))
+      Similarity
+        .incrementalSemantic(batch, col("vec_id"), col("v"), ref, col("vec_id"), col("v"))
+        .orderBy(col("id"))
+    }),
+
+    // Curriculum round-robin: tiers from document length, md5 order within
+    // tier, interleaved train_order — no per-tier window anywhere.
+    "x87_curriculum" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val tier = least(floor(col("n_chars") / 150), lit(3)).cast("int")
+      CorpusOps
+        .curriculumOrder(docs.select(col("doc_id"), tier.as("tier")), col("doc_id"), col("tier"), nTiers = 4)
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -1689,6 +1770,68 @@ object ExtensionQueries {
         |FROM p ORDER BY line_id""".stripMargin,
     // winnowing: per-window min via range join + leftmost tie-break;
     // hex-string order == unsigned byte order
+    // html metadata: same regexes, same attribute-layout contract
+    "x84_html_meta" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>  Doc ' || doc_id || ' ::' || chr(10) || '  ' ||
+        |  SUBSTR(text, 1, 15) || '</title>' ||
+        |  (CASE WHEN doc_id % 4 = 0
+        |        THEN '<link rel="canonical" href="https://canon.example/d/' || doc_id || '"/>'
+        |        ELSE '' END) ||
+        |  (CASE WHEN doc_id % 5 = 0
+        |        THEN '<meta name="robots" content="noindex, nofollow"/>'
+        |        ELSE '' END) ||
+        |  '</head><body><p>' || text || '</p></body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id,
+        |  TRIM(regexp_replace(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+        |    '[ \t\n\r]+', ' ', 'g')) AS title,
+        |  NULLIF(regexp_extract(html, '(?i)<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1), '')
+        |    AS canonical,
+        |  LEN(regexp_extract_all(html,
+        |    '(?i)<meta[^>]*name="robots"[^>]*content="[^"]*noindex')) > 0 AS noindex
+        |FROM h ORDER BY doc_id""".stripMargin,
+    // cross-modal alignment: perturb replayed per-component, cosine via
+    // DuckDB's list kernel; decisions compare the 6dp-rounded value on
+    // both sides, and planted margins keep every row far from the gate
+    "x85_cross_modal" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |p AS (SELECT vec_id, LIST_TRANSFORM(emb, x -> $perturbSql) AS pemb FROM e),
+        |sh AS (SELECT vec_id - 1 AS vec_id, pemb AS pemb2 FROM p),
+        |pair AS (SELECT e.vec_id, e.emb AS t_emb,
+        |  CASE WHEN e.vec_id % 5 = 0 AND sh.pemb2 IS NOT NULL THEN sh.pemb2 ELSE p.pemb END AS i_emb
+        |  FROM e JOIN p USING (vec_id) LEFT JOIN sh USING (vec_id))
+        |SELECT vec_id AS pair_id,
+        |  ROUND(list_cosine_similarity(t_emb, i_emb), 6) AS align,
+        |  ROUND(list_cosine_similarity(t_emb, i_emb), 6) >= 0.95 AS aligned
+        |FROM pair ORDER BY pair_id""".stripMargin,
+    // incremental semantic gate: the oracle is the EXACT batch×ref cosine
+    // join (valid: planted cos ≈ 0.9999 with LSH miss probability 1.6e-6
+    // per pair; natural pairs cap ~0.6, far under the 0.95 gate)
+    "x86_incremental_semantic" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ref AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+        |twins AS (SELECT vec_id + 10000000 AS vec_id,
+        |  LIST_TRANSFORM(v, x -> $perturbSql) AS v FROM ref WHERE vec_id % 10 = 0),
+        |batch AS (SELECT * FROM twins
+        |  UNION ALL SELECT vec_id, v FROM e WHERE vec_id % 10 = 1),
+        |hits AS (SELECT b.vec_id AS id, MIN(r.vec_id) AS dup_of, COUNT(1) AS n_ref_matches
+        |  FROM batch b JOIN ref r ON list_cosine_similarity(b.v, r.v) >= 0.95
+        |  GROUP BY 1)
+        |SELECT b.vec_id AS id, h.dup_of, COALESCE(h.n_ref_matches, 0) AS n_ref_matches,
+        |  h.dup_of IS NULL AS kept
+        |FROM batch b LEFT JOIN hits h ON h.id = b.vec_id ORDER BY 1""".stripMargin,
+    // curriculum: per-tier md5 rank replayed as a window (the oracle can
+    // afford the hot partition; the engine side must not)
+    "x87_curriculum" ->
+      """WITH t AS (SELECT doc_id,
+        |  LEAST(CAST(FLOOR(n_chars / 150.0) AS INT), 3) AS tier FROM documents),
+        |r AS (SELECT doc_id, tier,
+        |  ROW_NUMBER() OVER (PARTITION BY tier
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rank_in_tier
+        |  FROM t)
+        |SELECT doc_id, tier, rank_in_tier, rank_in_tier * 4 + tier AS train_order
+        |FROM r ORDER BY doc_id""".stripMargin,
     // blocklist gate: identical longest-first alternation pattern;
     // leftmost-first + non-overlapping scan agree across engines
     "x78_blocklist" ->
