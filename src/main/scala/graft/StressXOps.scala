@@ -1703,6 +1703,134 @@ object StressXOps {
       taDf.unpersist(); tvecs.unpersist()
     }
 
+    // ---- curation12: x84-x87 + curated sink at width --------------------
+    if (section("curation12")) locally {
+      // html metadata: canonical on ≡0 mod 4, noindex on ≡0 mod 5 — counts
+      // must be exact, titles all non-empty
+      val html = concat(
+        lit("<html><head><title>Doc "), col("id"), lit("</title>"),
+        when(pmod(col("id"), lit(4)) === 0,
+          concat(lit("<link rel=\"canonical\" href=\"https://c.example/d/"), col("id"), lit("\"/>")))
+          .otherwise(lit("")),
+        when(pmod(col("id"), lit(5)) === 0, lit("<meta name=\"robots\" content=\"noindex\"/>"))
+          .otherwise(lit("")),
+        lit("</head><body><p>"), col("text"), lit("</p></body></html>")
+      )
+      val hm = operators.TextOps.htmlMeta(corpus.select(col("id"), html.as("h")), col("id"), col("h"))
+      val (hmSec, hmRows, _, _) = run(hm)
+      val hmDf = hm.persist()
+      val nCanon = hmDf.filter(col("canonical").isNotNull).count()
+      val nNoidx = hmDf.filter(col("noindex")).count()
+      val nEmptyTitle = hmDf.filter(col("title") === "").count()
+      val wantCanon = corpus.filter(pmod(col("id"), lit(4)) === 0).count()
+      val wantNoidx = corpus.filter(pmod(col("id"), lit(5)) === 0).count()
+      println(f"[stressx] htmlMeta @ $hmRows%d docs: $hmSec%.1f s; canonical=$nCanon (want $wantCanon), noindex=$nNoidx (want $wantNoidx), empty titles=$nEmptyTitle")
+      assert(nCanon == wantCanon && nNoidx == wantNoidx && nEmptyTitle == 0)
+      hmDf.unpersist()
+
+      // cross-modal alignment: every 5th pair gets a WRONG partner vector;
+      // planted counts must be exact on both sides of the gate
+      val dim = 64
+      def uvec(seedCol: Column): Column = transform(
+        sequence(lit(0), lit(dim - 1)),
+        k => (pmod(xxhash64(seedCol, k), lit(2000001)) - 1000000L).cast("double") / 1000000.0
+      )
+      val pairs = spark.range(nVecs).select(
+        col("id").as("pair_id"),
+        uvec(col("id")).as("a"),
+        when(pmod(col("id"), lit(5)) === 0, uvec(col("id") + 777777777L))
+          .otherwise(transform(uvec(col("id")), x => x * 1.000001)).as("b")
+      )
+      val ag = operators.Similarity.alignmentGate(pairs, col("pair_id"), col("a"), col("b"), 0.95)
+      val (agSec, agRows, _, _) = run(ag)
+      val agDf = ag.persist()
+      val misaligned = agDf.filter(!col("aligned")).count()
+      val wantMis = spark.range(nVecs).filter(pmod(col("id"), lit(5)) === 0).count()
+      println(f"[stressx] alignmentGate @ $agRows%d pairs: $agSec%.1f s; misaligned=$misaligned (planted $wantMis)")
+      assert(misaligned == wantMis, s"alignment gate: $misaligned != $wantMis")
+      agDf.unpersist()
+
+      // incremental semantic gate @ nVecs-ref: 20k perturbed twins (drop,
+      // exact dup_of), 20k fresh (keep), plus a degenerate all-zero cell
+      // (0.5% of ref + 1 batch item) that must SHED, not detonate
+      val nB = 20000L
+      val refV = spark.range(nVecs).select(
+        col("id").as("vec_id"),
+        when(pmod(col("id"), lit(200)) === 199, transform(sequence(lit(0), lit(dim - 1)), _ => lit(0.0)))
+          .otherwise(uvec(col("id"))).as("v")
+      )
+      // sources id*100 stay inside [0, nVecs) and never hit the ≡199 mod
+      // 200 zero rows (id*100 mod 200 ∈ {0, 100})
+      val twinsV = spark.range(nB).select(
+        (col("id") * 100 + TwinOffset).as("vec_id"),
+        transform(uvec(col("id") * 100), x => x * 1.000001).as("v")
+      )
+      val freshV = spark.range(nB).select(
+        (col("id") + 2 * TwinOffset).as("vec_id"),
+        uvec(col("id") + 555555555L).as("v")
+      )
+      val zBatch = spark.range(1).select(
+        (col("id") + 3 * TwinOffset).as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), _ => lit(0.0)).as("v")
+      )
+      val batchV = twinsV.unionByName(freshV).unionByName(zBatch)
+      // maxBucket below the 10k zero-cell size so the degenerate cell is
+      // actually over-full (the guard, not NaN luck, must protect it)
+      val isg = operators.Similarity.incrementalSemantic(
+        batchV, col("vec_id"), col("v"), refV, col("vec_id"), col("v"),
+        threshold = 0.95, maxBucket = 5000)
+      val (isSec, isRows, isH, _) = run(isg)
+      val isDf = isg.persist()
+      val twinBad = isDf
+        .filter(col("id") >= TwinOffset && col("id") < 2 * TwinOffset)
+        .filter(col("kept") || col("dup_of") =!= col("id") - TwinOffset)
+        .count()
+      require(nB * 100 <= nVecs, "twin sources must exist in the reference")
+      val freshDropped = isDf
+        .filter(col("id") >= 2 * TwinOffset && col("id") < 3 * TwinOffset && !col("kept"))
+        .count()
+      val zeroKept = isDf.filter(col("id") === 3 * TwinOffset).head().getBoolean(3)
+      println(f"[stressx] incrementalSemantic @ ${nVecs}%d ref (0.5%% degenerate zero cell), ${nB * 2 + 1}%d batch: $isSec%.1f s; twin errors=$twinBad, fresh dropped=$freshDropped, zero-cell batch item shed+kept=$zeroKept")
+      println(s"[stressx]   plan: $isH")
+      assert(twinBad == 0, s"twin gate errors: $twinBad")
+      assert(freshDropped == 0, s"fresh items dropped: $freshDropped")
+      assert(zeroKept, "degenerate-cell batch item must shed to kept")
+      isDf.unpersist()
+
+      // curriculum order @ corpus width under 70% tier skew: dense ranks,
+      // collision-free interleave, no per-tier window (bucketed exchange)
+      val tiered = corpus.select(
+        col("id"),
+        when(pmod(col("id"), lit(10)) < 7, lit(0))
+          .when(pmod(col("id"), lit(10)) < 9, lit(1))
+          .otherwise(lit(2)).as("tier")
+      )
+      val co = operators.CorpusOps.curriculumOrder(tiered, col("id"), col("tier"), nTiers = 3)
+      val (coSec, coRows, coH, _) = run(co)
+      val coDf = co.persist()
+      val tierStats = coDf.groupBy(col("tier"))
+        .agg(count(lit(1)).as("n"), max(col("rank_in_tier")).as("mx"))
+        .filter(col("mx") =!= col("n") - 1)
+        .count()
+      val distinctOrders = coDf.select(col("train_order")).distinct().count()
+      println(f"[stressx] curriculumOrder @ $coRows%d docs (70/20/10 tiers): $coSec%.1f s; non-dense tiers=$tierStats, distinct train_order=$distinctOrders")
+      println(s"[stressx]   plan: $coH")
+      assert(tierStats == 0 && distinctOrders == coRows)
+      coDf.unpersist()
+
+      // curated sink: shard + write + manifest-verify round trip at width
+      val sinkDir = java.nio.file.Files.createTempDirectory("graft-sink-stress").toString + "/out"
+      val sharded = operators.CorpusOps.assignShards(corpus, col("id"), shardSize = 100000)
+      val t0w = System.nanoTime()
+      val manifest = sources.CuratedSink.writeShards(sharded, sinkDir)
+      val nShards = manifest.count()
+      val wSec = (System.nanoTime() - t0w) / 1e9
+      val badShards = sources.CuratedSink.verifyShards(spark, sinkDir).count()
+      println(f"[stressx] writeShards @ $corpusN%d rows -> $nShards%d shards: $wSec%.1f s; verifyShards broken=$badShards")
+      assert(badShards == 0, s"broken shards: $badShards")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sinkDir).getParentFile)
+    }
+
     corpus.unpersist()
     spark.stop()
   }

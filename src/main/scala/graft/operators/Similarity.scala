@@ -709,17 +709,22 @@ object Similarity {
         round(cosine(transform(vecA, _.cast("double")), transform(vecB, _.cast("double"))), 6)
           .as("align")
       )
-      .withColumn("aligned", col("align") >= threshold)
+      // Spark orders NaN ABOVE every number, so a zero-norm embedding
+      // (align = NaN) would pass a plain >= gate; nanvl pins it to fail
+      .withColumn("aligned", nanvl(col("align"), lit(-1.0)) >= threshold)
 
   /** Incremental SEMANTIC ingest gate: the embedding-space sibling of the
     * exact-digest ([[graft.operators.Dedup.incremental]]) and fuzzy-text
     * ([[graft.operators.Dedup.incrementalFuzzy]]) gates — drop batch
     * items whose embedding is ≥ `threshold` cosine to anything already in
     * the accepted corpus. Candidates come from Charikar hyperplane
-    * signatures cut into Manku-style blocks ([[cosineNearDupPairs]]'
-    * blocking): a planted twin at cos ≈ 0.9999 survives with
-    * 1−(1−p^8)^4 ≈ 1−1.6e-6, while random pairs never reach the confirm
-    * join.
+    * signatures cut into Manku-style blocks: the default is the FULL
+    * 64-bit signature in 4×16-bit blocks — 65536 keys per block, so a
+    * 100 M-vector reference still averages ~1500 rows per bucket, where
+    * an 8-bit cut (256 keys) melts down at millions of vectors (measured:
+    * OOM at a 2 M reference). A twin at cos ≈ 0.9999 survives with
+    * 1−(1−p^16)^4 ≈ 1−2.4e-5 (p = 1−θ/π ≈ 0.9955); random pairs never
+    * reach the confirm join.
     *
     * Shape at 100 TB: the batch's block keys and vectors BROADCAST; the
     * reference is scanned (twice: keys pass + confirm pass) and NEVER
@@ -741,7 +746,7 @@ object Similarity {
       refId: Column,
       refVec: Column,
       threshold: Double = 0.95,
-      bits: Int = 32,
+      bits: Int = 64,
       blocks: Int = 4,
       maxBucket: Int = 65536
   ): DataFrame = {
@@ -784,7 +789,9 @@ object Similarity {
     val confirmed = cand
       .join(broadcast(batch.select(batchId.as("bid"), transform(batchVec, _.cast("double")).as("bv"))), Seq("bid"))
       .join(ref.select(refId.as("rid"), transform(refVec, _.cast("double")).as("rv")), Seq("rid"))
-      .filter(cosine(col("bv"), col("rv")) >= threshold)
+      // nanvl: a zero-norm vector pair cosines to NaN, which Spark orders
+      // ABOVE the threshold — it must fail the confirm, not pass it
+      .filter(nanvl(cosine(col("bv"), col("rv")), lit(-1.0)) >= threshold)
       .groupBy(col("bid"))
       .agg(min(col("rid")).as("dup_of"), count(lit(1)).as("n_ref_matches"))
     batch
