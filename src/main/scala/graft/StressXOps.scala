@@ -1831,6 +1831,91 @@ object StressXOps {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sinkDir).getParentFile)
     }
 
+    // ---- curation13: audit/metric cohort (x88-x91) at width -------------
+    if (section("curation13")) locally {
+      // dataset card over 20 synthetic sources: totals must tie out
+      // exactly against independent whole-corpus aggregates
+      val sourced = corpus.select(
+        col("id"),
+        col("text"),
+        concat(lit("src"), pmod(col("id"), lit(20))).as("source"),
+        concat(lit("l"), pmod(col("id"), lit(7))).as("lang")
+      )
+      val card = operators.CorpusOps
+        .datasetCard(sourced, col("source"), col("id"), col("text"), col("lang"))
+      val (cdSec, cdRows, cdH, _) = run(card)
+      val cdDf = card.persist()
+      val docSum = cdDf.agg(sum(col("n_docs")).cast("long")).head().getLong(0)
+      val tokSum = cdDf.agg(sum(col("n_tokens")).cast("long")).head().getLong(0)
+      val tokRef = sourced.agg(sum(size(split(col("text"), " "))).cast("long")).head().getLong(0)
+      println(f"[stressx] datasetCard @ $corpusN%d docs -> $cdRows%d sources: $cdSec%.1f s; doc-sum=$docSum, token-sum=$tokSum (recount $tokRef)")
+      println(s"[stressx]   plan: $cdH")
+      assert(docSum == corpusN && tokSum == tokRef)
+      cdDf.unpersist()
+
+      // recall@k on a 5M-query constructed set: planted recall classes
+      // must count exactly
+      val qs = spark.range(nDocs).select(col("id").as("q"))
+      val truth = qs
+        .select(col("q"), explode(sequence(lit(1), lit(3))).as("j"))
+        .select(col("q"), (col("q") * 7 + col("j") * 13).as("n"))
+      val results = qs
+        .select(col("q"), explode(sequence(lit(1), lit(5))).as("r"))
+        .select(
+          col("q"),
+          (col("q") * 7 + (col("r") + when(pmod(col("q"), lit(3)) === 0, 2).otherwise(0)) * 13).as("n"),
+          col("r")
+        )
+      val rk = operators.Similarity
+        .recallAtK(results, col("q"), col("n"), col("r"), truth, col("q"), col("n"), k = 4)
+      val (rkSec, rkRows, rkH, _) = run(rk)
+      val rkDf = rk.persist()
+      val full = rkDf.filter(col("recall") === 1.0).count()
+      val third = rkDf.filter(col("recall") === 0.333333).count()
+      val wantThird = spark.range(nDocs).filter(pmod(col("id"), lit(3)) === 0).count()
+      println(f"[stressx] recallAtK @ $rkRows%d queries (25M result rows): $rkSec%.1f s; recall=1.0 for $full, =1/3 for $third (want ${nDocs - wantThird}/$wantThird)")
+      println(s"[stressx]   plan: $rkH")
+      assert(full == nDocs - wantThird && third == wantThird)
+      rkDf.unpersist()
+
+      // split leakage at 500k pairs: conservation against the pair count
+      val pairs = corpus
+        .filter(pmod(col("id"), lit(10)) === 0)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      val lk = operators.Audit.splitLeakage(
+        pairs, col("a"), col("b"),
+        operators.CorpusOps.hashSplit(corpus, col("id")), col("id"), col("split"))
+      val (lkSec, _, lkH, _) = run(lk)
+      val lkDf = lk.persist()
+      val pairSum = lkDf.agg(sum(col("n_pairs")).cast("long")).head().getLong(0)
+      val joined = pairs
+        .join(corpus.select(col("id").as("b")), Seq("b"), "left_semi")
+        .count()
+      val leaked = lkDf.filter(col("leaked")).agg(coalesce(sum(col("n_pairs")), lit(0L)).cast("long")).head().getLong(0)
+      println(f"[stressx] splitLeakage @ $joined%d pairs: $lkSec%.1f s; conserved=$pairSum, leaked=$leaked (hash split leaks ~38%% expected)")
+      println(s"[stressx]   plan: $lkH")
+      assert(pairSum == joined, s"pair conservation: $pairSum != $joined")
+      assert(leaked > 0, "id-hash split must leak planted adjacent pairs")
+      lkDf.unpersist()
+
+      // calibration bins at width: counts conserve, uniform score means
+      // sit mid-bin, pos rate ~1/3 everywhere
+      val cb = operators.Audit.calibrationBins(
+        corpus.select(
+          operators.CorpusOps.hashUniform(col("id")).as("score"),
+          (pmod(col("id"), lit(3)) === 0).as("label")
+        ),
+        col("score"), col("label"), bins = 10)
+      val (cbSec, cbRows, _, _) = run(cb)
+      val cbDf = cb.persist()
+      val nSum = cbDf.agg(sum(col("n")).cast("long")).head().getLong(0)
+      val worstGap = cbDf
+        .agg(max(abs(col("pos_rate") - lit(1.0 / 3)))).head().getDouble(0)
+      println(f"[stressx] calibrationBins @ $corpusN%d rows -> $cbRows%d bins: $cbSec%.1f s; count-sum=$nSum, worst |pos_rate-1/3|=$worstGap%.4f")
+      assert(nSum == corpusN && cbRows == 10 && worstGap < 0.01)
+      cbDf.unpersist()
+    }
+
     corpus.unpersist()
     spark.stop()
   }

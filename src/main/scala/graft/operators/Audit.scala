@@ -37,4 +37,71 @@ object Audit {
     }
     df.agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
+
+  /** Cross-split leakage audit: given near-duplicate PAIRS and a split
+    * assignment, count pairs whose endpoints landed in different splits —
+    * the contamination [[CorpusOps.leakageSafeSplit]] prevents by
+    * construction and a plain id-hash split does not. Run it as the
+    * release gate on any train/val/test carve: a non-zero
+    * cross-split row is leaked eval signal. Output: one row per
+    * (split_a, split_b) ordered pair class (canonicalized so a↔b and b↔a
+    * count together), with `leaked = split_a != split_b`.
+    *
+    * Shape at 100 TB: pairs join the (id, split) table twice on id —
+    * near-dup pair sets are O(dups), and the split table reduces to
+    * (id, split) in the scan; both joins are plain equi-joins AQE can
+    * broadcast when the pair set is small. The final aggregate is a few
+    * rows (splits²).
+    */
+  def splitLeakage(
+      pairs: DataFrame,
+      pairA: org.apache.spark.sql.Column,
+      pairB: org.apache.spark.sql.Column,
+      splits: DataFrame,
+      splitId: org.apache.spark.sql.Column,
+      splitCol: org.apache.spark.sql.Column
+  ): DataFrame = {
+    val s = splits.select(splitId.as("__sid"), splitCol.as("__split"))
+    pairs
+      .select(pairA.as("__a"), pairB.as("__b"))
+      .join(s.select(col("__sid"), col("__split").as("__split_a")), col("__a") === col("__sid"))
+      .drop("__sid")
+      .join(s.select(col("__sid"), col("__split").as("__split_b")), col("__b") === col("__sid"))
+      .select(
+        least(col("__split_a"), col("__split_b")).as("split_a"),
+        greatest(col("__split_a"), col("__split_b")).as("split_b")
+      )
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaked", col("split_a") =!= col("split_b"))
+  }
+
+  /** Classifier reliability table: bin predictions by score and compare
+    * each bin's mean score to its observed positive rate — the
+    * calibration evidence a quality-classifier gate
+    * ([[TextOps.scoreLinearHashed]]) needs before its threshold means
+    * anything. `bin = min(floor(score·bins), bins−1)`; output per bin:
+    * count, mean score (6dp), positive fraction (6dp), and the gap.
+    * One partial-aggregating exchange of `bins` rows.
+    */
+  def calibrationBins(
+      df: DataFrame,
+      scoreCol: org.apache.spark.sql.Column,
+      labelCol: org.apache.spark.sql.Column,
+      bins: Int = 10
+  ): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    df.select(
+        least(floor(scoreCol.cast("double") * bins), lit(bins - 1)).cast("int").as("bin"),
+        scoreCol.cast("double").as("__s"),
+        labelCol.cast("int").as("__y")
+      )
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("__s")), 6).as("mean_score"),
+        round(avg(col("__y")), 6).as("pos_rate")
+      )
+      .withColumn("gap", round(col("mean_score") - col("pos_rate"), 6))
+  }
 }

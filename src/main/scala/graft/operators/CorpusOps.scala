@@ -1800,6 +1800,45 @@ object CorpusOps {
       )
   }
 
+  /** Per-source dataset card: the one-row-per-source summary a corpus
+    * release ships next to its shards — document/token/char totals,
+    * language spread, and the exact duplicate rate (1 − distinct digests
+    * / docs). Everything is engine-portable arithmetic.
+    *
+    * Shape at 100 TB: one scan; the token/char sums partial-aggregate
+    * per source, and the two exact distincts (languages, digests) plan
+    * through Catalyst's Expand — the [[graft.operators.Audit.profile]]
+    * exactness trade, documented there; output is |sources| rows.
+    */
+  def datasetCard(
+      df: DataFrame,
+      sourceCol: Column,
+      idCol: Column,
+      text: Column,
+      langCol: Column
+  ): DataFrame =
+    df.select(
+        sourceCol.as("source"),
+        idCol.as("__id"),
+        TextOps.tokenCount(text).as("__tok"),
+        length(text).as("__len"),
+        langCol.as("__lang"),
+        md5(text).as("__fp")
+      )
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__tok")).cast("long").as("n_tokens"),
+        sum(col("__len")).cast("long").as("n_chars"),
+        count_distinct(col("__lang")).as("n_langs"),
+        count_distinct(col("__fp")).as("n_distinct"),
+        round(avg(col("__tok")), 6).as("mean_tokens")
+      )
+      .withColumn(
+        "dup_rate",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 6)
+      )
+
   /** Deterministic curriculum ordering: interleave quality tiers
     * round-robin into one global training order, so every training window
     * sees the configured tier mixture instead of consuming all of one

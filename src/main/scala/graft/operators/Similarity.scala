@@ -805,6 +805,51 @@ object Similarity {
       )
   }
 
+  /** Retrieval-quality harness: recall@k of an ANN result set against a
+    * ground-truth neighbor set — the metric that decides whether an index
+    * configuration ([[ivfTopK]]'s nprobe, [[lshTopK]]'s bits/blocks) is
+    * fit to serve before it routes a corpus. Per query:
+    * `recall = |results∩truth with rank ≤ k| / min(k, |truth|)` —
+    * pure relational math, so the metric itself is oracle-checkable
+    * independently of any index's tie-breaking.
+    *
+    * Shape at 100 TB: truth and results are O(queries·k) — an equi-join
+    * on (query, neighbor) plus two per-query partial aggregates; the
+    * corpus itself never appears.
+    */
+  def recallAtK(
+      results: DataFrame,
+      rQuery: Column,
+      rNeighbor: Column,
+      rRank: Column,
+      truth: DataFrame,
+      tQuery: Column,
+      tNeighbor: Column,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val t = truth.select(tQuery.as("query_id"), tNeighbor.as("__n"))
+    val r = results
+      .filter(rRank <= k)
+      .select(rQuery.as("query_id"), rNeighbor.as("__n"))
+    val sizes = t.groupBy(col("query_id")).agg(count(lit(1)).as("n_truth"))
+    val hits = t
+      .join(r, Seq("query_id", "__n"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    sizes
+      .join(hits, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(
+          coalesce(col("n_hit"), lit(0L)).cast("double") / least(lit(k.toLong), col("n_truth")),
+          6
+        ).as("recall")
+      )
+  }
+
   def topicAssign(
       df: DataFrame,
       idCol: Column,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ConnectedComponents, CorpusOps, Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Audit, ConnectedComponents, CorpusOps, Dedup, Multimodal, Similarity, TextOps}
 
 /** Training-data-pipeline extensions (builder prompt): deduplication,
   * similarity search, text analysis, multimodal plumbing — the operations a
@@ -1715,6 +1715,72 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-source dataset card: the release-notes summary row (token/char
+    // totals, language spread, exact dup rate).
+    "x88_dataset_card" -> ((s, dir) =>
+      CorpusOps
+        .datasetCard(T(s, dir, "documents"), col("source"), col("doc_id"), col("text"), col("lang"))
+        .orderBy(col("source"))),
+
+    // Recall@k metric math on a constructed result/truth pair set:
+    // queries ≡0 mod 5; truth = offsets 1..3, results = ranks 1..5 with a
+    // +2 offset shift planted on ≡0 mod 3 queries (recall drops to 1/3).
+    "x89_recall_at_k" -> ((s, dir) => {
+      val qs = T(s, dir, "documents").filter(col("doc_id") % 5 === 0).select(col("doc_id").as("q"))
+      val truth = qs
+        .select(col("q"), explode(sequence(lit(1), lit(3))).as("j"))
+        .select(col("q"), (col("q") * 7 + col("j") * 13).as("n"))
+      val results = qs
+        .select(col("q"), explode(sequence(lit(1), lit(5))).as("rank"))
+        .select(
+          col("q"),
+          (col("q") * 7 +
+            (col("rank") + when(col("q") % 3 === 0, 2).otherwise(0)) * 13).as("n"),
+          col("rank")
+        )
+      Similarity
+        .recallAtK(results, col("q"), col("n"), col("rank"), truth, col("q"), col("n"), k = 4)
+        .orderBy(col("query_id"))
+    }),
+
+    // Cross-split leakage audit: planted near-dup pairs (id, id+1) vs the
+    // id-hash split — adjacent ids hash independently, so pairs straddle
+    // splits and the audit must count exactly how many.
+    "x90_leakage_audit" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val pairs = docs
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+      Audit
+        .splitLeakage(
+          pairs,
+          col("a"),
+          col("b"),
+          CorpusOps.hashSplit(docs, col("doc_id")),
+          col("doc_id"),
+          col("split")
+        )
+        .orderBy(col("split_a"), col("split_b"))
+    }),
+
+    // Classifier reliability table over a deterministic uniform score and
+    // an arithmetic label — the binning/average math cross-checked.
+    "x91_calibration_bins" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Audit
+        .calibrationBins(
+          docs.select(
+            col("doc_id"),
+            CorpusOps.hashUniform(col("doc_id")).as("score"),
+            (col("doc_id") % 3 === 0).as("label")
+          ),
+          col("score"),
+          col("label"),
+          bins = 10
+        )
+        .orderBy(col("bin"))
+    }),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -1832,6 +1898,53 @@ object ExtensionQueries {
         |  FROM t)
         |SELECT doc_id, tier, rank_in_tier, rank_in_tier * 4 + tier AS train_order
         |FROM r ORDER BY doc_id""".stripMargin,
+    // dataset card: straight group aggregates, exact distincts
+    "x88_dataset_card" ->
+      """SELECT source, COUNT(1) AS n_docs,
+        |  CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  COUNT(DISTINCT md5(text)) AS n_distinct,
+        |  ROUND(AVG(LEN(STRING_SPLIT(text, ' '))), 6) AS mean_tokens,
+        |  ROUND(1.0 - COUNT(DISTINCT md5(text)) / CAST(COUNT(1) AS DOUBLE), 6) AS dup_rate
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // recall@k: the same constructed result/truth sets, same metric math
+    "x89_recall_at_k" ->
+      """WITH qs AS (SELECT doc_id AS q FROM documents WHERE doc_id % 5 = 0),
+        |truth AS (SELECT q, q * 7 + j * 13 AS n FROM qs, UNNEST([1, 2, 3]) AS t(j)),
+        |results AS (SELECT q,
+        |    q * 7 + (r + CASE WHEN q % 3 = 0 THEN 2 ELSE 0 END) * 13 AS n, r AS rank
+        |  FROM qs, UNNEST([1, 2, 3, 4, 5]) AS t(r)),
+        |sizes AS (SELECT q AS query_id, COUNT(1) AS n_truth FROM truth GROUP BY 1),
+        |hits AS (SELECT t.q AS query_id, COUNT(1) AS n_hit
+        |  FROM truth t JOIN results r ON r.q = t.q AND r.n = t.n AND r.rank <= 4
+        |  GROUP BY 1)
+        |SELECT s.query_id, s.n_truth, COALESCE(h.n_hit, 0) AS n_hit,
+        |  ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / LEAST(4, s.n_truth), 6) AS recall
+        |FROM sizes s LEFT JOIN hits h USING (query_id) ORDER BY s.query_id""".stripMargin,
+    // leakage audit: split replayed via the x21 twin, canonicalized pair
+    // classes, exact counts
+    "x90_leakage_audit" ->
+      """WITH s AS (SELECT doc_id,
+        |  CASE WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |       WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e7' THEN 'val'
+        |       ELSE 'test' END AS split FROM documents),
+        |p AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 10 = 0),
+        |j AS (SELECT LEAST(sa.split, sb.split) AS split_a,
+        |             GREATEST(sa.split, sb.split) AS split_b
+        |  FROM p JOIN s sa ON sa.doc_id = p.a JOIN s sb ON sb.doc_id = p.b)
+        |SELECT split_a, split_b, COUNT(1) AS n_pairs, split_a <> split_b AS leaked
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // calibration bins: deterministic uniform score, arithmetic label
+    "x91_calibration_bins" ->
+      s"""WITH u AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |sc AS (SELECT doc_id, $hashUniformSql AS score,
+        |  CAST(doc_id % 3 = 0 AS INT) AS y FROM u),
+        |b AS (SELECT LEAST(CAST(FLOOR(score * 10) AS INT), 9) AS bin, score, y FROM sc)
+        |SELECT bin, COUNT(1) AS n, ROUND(AVG(score), 6) AS mean_score,
+        |  ROUND(AVG(y), 6) AS pos_rate,
+        |  ROUND(ROUND(AVG(score), 6) - ROUND(AVG(y), 6), 6) AS gap
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     // blocklist gate: identical longest-first alternation pattern;
     // leftmost-first + non-overlapping scan agree across engines
     "x78_blocklist" ->

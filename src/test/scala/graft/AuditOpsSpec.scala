@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Audit, CorpusOps, Similarity}
+
+/** Hand-computed cases for the audit/metric cohort (dataset card,
+  * recall@k, split leakage, calibration bins) and the streaming semantic
+  * gate's cross-batch + replay contract.
+  */
+class AuditOpsSpec extends SparkTestBase {
+
+  test("datasetCard: totals, distincts, dup rate per source") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c", "en", "web"),
+      (2L, "a b c", "en", "web"), // exact dup of 1
+      (3L, "x y", "de", "web"),
+      (4L, "solo doc", "en", "books")
+    ).toDF("doc_id", "text", "lang", "source")
+    val card = CorpusOps
+      .datasetCard(df, col("source"), col("doc_id"), col("text"), col("lang"))
+      .orderBy("source")
+      .collect()
+    val books = card(0)
+    assert(books.getLong(1) == 1L && books.getLong(2) == 2L && books.getLong(4) == 1L)
+    val web = card(1)
+    assert(web.getLong(1) == 3L)                 // n_docs
+    assert(web.getLong(2) == 8L)                 // tokens: 3+3+2
+    assert(web.getLong(4) == 2L)                 // n_langs
+    assert(web.getLong(5) == 2L)                 // n_distinct texts
+    assert(math.abs(web.getDouble(7) - (1.0 - 2.0 / 3)) < 1e-6) // dup_rate
+  }
+
+  test("recallAtK: hits bounded by rank and truth size") {
+    import spark.implicits._
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L)).toDF("q", "n")
+    val results = Seq(
+      (1L, 10L, 1), (1L, 99L, 2), (1L, 11L, 3), (1L, 12L, 5), // 12 outside k=4
+      (2L, 21L, 1), (2L, 20L, 4)
+    ).toDF("q", "n", "rank")
+    val out = Similarity
+      .recallAtK(results, col("q"), col("n"), col("rank"), truth, col("q"), col("n"), k = 4)
+      .orderBy("query_id")
+      .collect()
+    assert(out(0).getLong(1) == 3L && out(0).getLong(2) == 2L)
+    assert(math.abs(out(0).getDouble(3) - 2.0 / 3) < 1e-6)
+    assert(out(1).getLong(2) == 1L && math.abs(out(1).getDouble(3) - 1.0) < 1e-12)
+  }
+
+  test("splitLeakage: canonicalized straddle counts") {
+    import spark.implicits._
+    val splits = Seq((1L, "train"), (2L, "test"), (3L, "train"), (4L, "train")).toDF("id", "split")
+    val pairs = Seq((1L, 2L), (2L, 1L), (3L, 4L)).toDF("a", "b")
+    val out = Audit
+      .splitLeakage(pairs, col("a"), col("b"), splits, col("id"), col("split"))
+      .orderBy("split_a", "split_b")
+      .collect()
+    // (test,train) x2 (canonicalized both directions), (train,train) x1
+    assert(out.length == 2)
+    assert(out(0).getString(0) == "test" && out(0).getLong(2) == 2L && out(0).getBoolean(3))
+    assert(out(1).getString(0) == "train" && out(1).getString(1) == "train" && !out(1).getBoolean(3))
+  }
+
+  test("calibrationBins: bin edges, means, positive rates") {
+    import spark.implicits._
+    val df = Seq(
+      (0.05, 0), (0.08, 1),   // bin 0
+      (0.95, 1), (1.0, 1)     // bin 9 (score 1.0 clamps into the last bin)
+    ).toDF("score", "label")
+    val out = Audit
+      .calibrationBins(df, col("score"), col("label"), bins = 10)
+      .orderBy("bin")
+      .collect()
+    assert(out.length == 2)
+    assert(out(0).getInt(0) == 0 && out(0).getLong(1) == 2L)
+    assert(math.abs(out(0).getDouble(2) - 0.065) < 1e-9 && math.abs(out(0).getDouble(3) - 0.5) < 1e-9)
+    assert(out(1).getInt(0) == 9 && out(1).getDouble(3) == 1.0)
+  }
+
+  test("StreamSemanticGate: cross-batch near-dup drop + epoch replay idempotency") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft-semgate").toString + "/vectors"
+    val accepted = scala.collection.mutable.Set.empty[Long]
+    def acc(kept: org.apache.spark.sql.DataFrame, e: Long): Unit =
+      kept.select(col("vec_id")).collect().foreach(r => accepted.add(r.getLong(0)))
+
+    val e1 = Array(1.0, 0.0, 0.0, 0.0)
+    val e2 = Array(0.0, 1.0, 0.0, 0.0)
+    val e3 = Array(0.0, 0.0, 1.0, 0.0)
+    val b0 = Seq((1L, e1), (2L, e2)).toDF("vec_id", "v")
+    val n0 = graft.streaming.StreamSemanticGate.gateBatch(b0, col("vec_id"), col("v"), store, 0L, acc)
+    assert(n0 == 2L && accepted == Set(1L, 2L))
+
+    // batch 1: a scaled near-dup of e1 (cosine 1.0) must drop; e3 passes
+    val b1 = Seq((10L, e1.map(_ * 3.0)), (11L, e3)).toDF("vec_id", "v")
+    val n1 = graft.streaming.StreamSemanticGate.gateBatch(b1, col("vec_id"), col("v"), store, 1L, acc)
+    assert(n1 == 1L && accepted == Set(1L, 2L, 11L), s"batch 1 wrong: $accepted")
+
+    // replay epoch 1 (crash-after-store scenario): the epoch's own
+    // partition is self-excluded, so the SAME survivors re-derive
+    accepted.clear()
+    val n1r = graft.streaming.StreamSemanticGate.gateBatch(b1, col("vec_id"), col("v"), store, 1L, acc)
+    assert(n1r == 1L && accepted == Set(11L), s"replay diverged: $accepted")
+  }
+}
