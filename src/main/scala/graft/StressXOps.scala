@@ -1916,6 +1916,56 @@ object StressXOps {
       cbDf.unpersist()
     }
 
+    // ---- curation14: code gate, intra-doc dedup, chunk round trip -------
+    if (section("curation14")) locally {
+      // code gate: planted classes must flag exactly
+      val shaped = corpus.select(
+        col("id"),
+        when(pmod(col("id"), lit(9)) === 0, repeat(replace(col("text"), lit(" "), lit("")), 30))
+          .when(pmod(col("id"), lit(9)) === 1, concat(lit("// auto-generated\n"), col("text")))
+          .otherwise(col("text")).as("text")
+      )
+      val cg = operators.TextOps.codeQualityGate(shaped, col("id"), col("text"))
+      val (cgSec, cgRows, _, _) = run(cg)
+      val cgDf = cg.persist()
+      val dropped = cgDf.filter(!col("kept")).count()
+      val wantDrop = corpus.filter(pmod(col("id"), lit(9)) < 2).count()
+      println(f"[stressx] codeQualityGate @ $cgRows%d docs: $cgSec%.1f s; dropped=$dropped (planted $wantDrop)")
+      assert(dropped == wantDrop, s"code gate: $dropped != $wantDrop")
+      cgDf.unpersist()
+
+      // intra-doc line dedup: planted duplicate prefix line drops exactly
+      // once per planted doc
+      val l1 = substring(col("text"), 1, 40)
+      val withDups = corpus.select(
+        col("id"),
+        when(pmod(col("id"), lit(7)) === 0, concat(l1, lit("\n"), col("text"), lit("\n"), l1))
+          .otherwise(col("text")).as("text")
+      )
+      val idd = operators.CorpusOps.dedupLinesWithin(withDups, col("id"), col("text"))
+      val (idSec, idRows, _, _) = run(idd)
+      val idDf = idd.persist()
+      val droppedLines = idDf
+        .agg(sum(col("n_lines") - col("n_kept")).cast("long")).head().getLong(0)
+      val wantLines = corpus.filter(pmod(col("id"), lit(7)) === 0).count()
+      println(f"[stressx] dedupLinesWithin @ $idRows%d docs: $idSec%.1f s; lines dropped=$droppedLines (planted $wantLines)")
+      assert(droppedLines == wantLines, s"intra-doc dedup: $droppedLines != $wantLines")
+      idDf.unpersist()
+
+      // chunk -> reassemble round trip at width: every doc must
+      // digest-match its original
+      val chunks = operators.CorpusOps.chunkTokens(corpus, col("id"), col("text"), chunkSize = 8)
+      val back = operators.CorpusOps
+        .reassembleChunks(chunks, col("doc_id"), col("chunk_idx"), col("chunk"))
+        .join(corpus.select(col("id").as("doc_id"), md5(col("text")).as("want")), Seq("doc_id"))
+        .select(col("doc_id"), (md5(col("text")) === col("want")).as("ok"))
+      val (rtSec, rtRows, rtH, _) = run(back)
+      val rtBad = back.filter(!col("ok")).count()
+      println(f"[stressx] chunk(8)->reassemble @ $rtRows%d docs (~25M chunks): $rtSec%.1f s; mismatches=$rtBad")
+      println(s"[stressx]   plan: $rtH")
+      assert(rtBad == 0, s"round trip mismatches: $rtBad")
+    }
+
     corpus.unpersist()
     spark.stop()
   }

@@ -572,6 +572,55 @@ object text {
   def normalize_text(textCol: Column): Column =
     Bridge.column(NormalizeText(Bridge.expression(textCol)))
 
+  /** Longest line length in CHARS (lines = `\n`-separated): one byte pass
+    * counting UTF-8 char starts, max run between newlines. The
+    * declarative twin `array_max(transform(split(text, "\n"), length))`
+    * evaluates its lambda INTERPRETED and kicks the whole projection out
+    * of WholeStageCodegen — which also disables subexpression
+    * elimination, so every sibling metric re-computes the (possibly
+    * expensive) text expression; measured as the difference between a
+    * stuck 10-minute stage and a 6-second one on the 5 M-doc code-gate
+    * stress. This kernel keeps the projection in codegen.
+    */
+  case class MaxLineLen(child: Expression)
+      extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+
+    /** Invoked from both eval and generated code. */
+    def compute(s: UTF8String): Int = {
+      val bytes = s.getBytes
+      val n = bytes.length
+      var i = 0
+      var cur = 0
+      var best = 0
+      while (i < n) {
+        val b = bytes(i)
+        if (b == '\n') {
+          if (cur > best) best = cur
+          cur = 0
+        } else if ((b & 0xc0) != 0x80) { // count char starts, not bytes
+          cur += 1
+        }
+        i += 1
+      }
+      if (cur > best) best = cur
+      best
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("maxLineLen", this, classOf[MaxLineLen].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+    }
+    override protected def withNewChildInternal(c: Expression): MaxLineLen = copy(child = c)
+  }
+
+  def max_line_len(textCol: Column): Column =
+    Bridge.column(MaxLineLen(Bridge.expression(textCol)))
+
   /** Content-defined chunking over space-separated tokens (the
     * FastCDC/LBFS idea at token granularity): a chunk boundary falls
     * after token `e` whenever the fingerprint of the `w`-token window

@@ -1800,6 +1800,48 @@ object CorpusOps {
       )
   }
 
+  /** INTRA-document line dedup: drop repeated lines WITHIN each document
+    * (in-page boilerplate, pasted blocks, chat-log echoes), keeping first
+    * occurrences in order — the per-document complement of the
+    * cross-corpus [[dedupLines]]. Pure per-row array expressions, zero
+    * shuffle; the `array_position` scan is O(lines²) per document, which
+    * is the right trade while documents hold hundreds of lines (past
+    * that, split the document first — [[chunkTokens]]).
+    */
+  def dedupLinesWithin(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    val lines = split(coalesce(text, lit("")), "\n")
+    val kept = filter(lines, (l, i) => array_position(lines, l) === (i + 1).cast("long"))
+    df.select(
+      idCol.as("doc_id"),
+      size(lines).as("n_lines"),
+      size(kept).as("n_kept"),
+      md5(array_join(kept, "\n")).as("fp")
+    )
+  }
+
+  /** Inverse of [[chunkTokens]] (overlap = 0): reassemble chunk rows back
+    * into documents — the round trip a chunk-level pipeline (embed,
+    * score, filter per chunk) needs to re-emit documents. One exchange
+    * keyed doc_id; per-group state is the document's own chunks
+    * (collect_list partial-aggregates per task), so a document never
+    * exceeds its own size in any one place.
+    */
+  def reassembleChunks(
+      chunks: DataFrame,
+      idCol: Column,
+      idxCol: Column,
+      chunkCol: Column
+  ): DataFrame =
+    chunks
+      .select(idCol.as("doc_id"), struct(idxCol.cast("long").as("i"), chunkCol.as("c")).as("__s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), array_sort(collect_list(col("__s"))).as("__ss"))
+      .select(
+        col("doc_id"),
+        col("n_chunks"),
+        array_join(flatten(transform(col("__ss"), s => s.getField("c"))), " ").as("text")
+      )
+
   /** Per-source dataset card: the one-row-per-source summary a corpus
     * release ships next to its shards — document/token/char totals,
     * language spread, and the exact duplicate rate (1 − distinct digests

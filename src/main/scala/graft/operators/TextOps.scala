@@ -763,6 +763,57 @@ object TextOps {
       .withColumn("corrupt", col("n_moji") > 0 || col("n_ctrl") > 0)
   }
 
+  /** Code-corpus quality gate (the StarCoder/Codex source-file filters):
+    * line-length shape (minified/generated bundles have kilometer lines),
+    * alphanumeric fraction (data blobs and encoded payloads don't), and
+    * the auto-generated marker. Pure per-row expressions, zero shuffle;
+    * count-and-flag. `mean_line_len` is derived arithmetically from
+    * `length(text)` and the line count (single `\n` separators), so every
+    * column is engine-portable.
+    */
+  private val Alnum =
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+
+  def codeQualityGate(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      maxLineLen: Int = 800,
+      maxMeanLineLen: Int = 800,
+      minAlnumFrac: Double = 0.5
+  ): DataFrame = {
+    val t = coalesce(text, lit(""))
+    val lines = split(t, "\n")
+    val nLines = size(lines)
+    df.select(
+        idCol.as("doc_id"),
+        nLines.as("n_lines"),
+        // native kernel, NOT array_max(transform(...)): the interpreted
+        // HOF lambda evicts the projection from codegen and with it
+        // subexpression elimination — every sibling metric then
+        // re-computes `t` (see functions.text.MaxLineLen scaladoc)
+        graft.functions.text.max_line_len(t).as("max_line_len"),
+        round((length(t) - (nLines - 1)).cast("double") / nLines, 6).as("mean_line_len"),
+        // translate-delete, NOT regexp_replace("[^a-zA-Z0-9]", ""): the
+        // negated char class costs ~100 ns/char in java.util.regex on
+        // non-matching text (measured 14.2 s vs 0.3 s over 22k 6 KB
+        // minified docs); translate is a codegen'd table lookup and
+        // exists with identical semantics in DuckDB
+        round(
+          (length(t) - length(translate(t, Alnum, ""))).cast("double") / greatest(length(t), lit(1)),
+          6
+        ).as("alnum_frac"),
+        (lower(t).contains("auto-generated") || lower(t).contains("do not edit")).as("autogen")
+      )
+      .withColumn(
+        "kept",
+        !col("autogen") &&
+          col("max_line_len") <= maxLineLen &&
+          col("mean_line_len") <= maxMeanLineLen &&
+          col("alnum_frac") >= minAlnumFrac
+      )
+  }
+
   /** HTML head-metadata extraction (the crawl-selection signals that ride
     * NEXT TO [[htmlExtract]]'s body text): document title (whitespace-
     * collapsed), the canonical URL — the dedup key of choice when

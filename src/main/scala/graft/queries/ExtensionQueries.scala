@@ -1781,6 +1781,58 @@ object ExtensionQueries {
         .orderBy(col("bin"))
     }),
 
+    // Code-corpus gate: ≡0 mod 9 becomes a minified kilometer-line (must
+    // fail max_line_len), ≡1 mod 9 carries the auto-generated marker
+    // (must fail autogen), ≡2 mod 9 becomes well-shaped multi-line code
+    // (must pass); everything else is a single sub-800-char line (passes).
+    "x92_code_gate" -> ((s, dir) => {
+      val shaped = when(col("doc_id") % 9 === 0, repeat(replace(col("text"), lit(" "), lit("")), 30))
+        .when(col("doc_id") % 9 === 1, concat(lit("// auto-generated do not edit\n"), col("text")))
+        .when(col("doc_id") % 9 === 2, replace(col("text"), lit(" "), lit("\n")))
+        .otherwise(col("text"))
+      TextOps
+        .codeQualityGate(
+          T(s, dir, "documents").select(col("doc_id"), shaped.as("text")),
+          col("doc_id"),
+          col("text")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
+    // Intra-doc line dedup: ≡0 mod 7 gets its 40-char prefix planted as a
+    // duplicated line around the body — exactly one line must drop.
+    "x93_intradoc_dedup" -> ((s, dir) => {
+      val l1 = substring(col("text"), 1, 40)
+      val shaped = when(
+        col("doc_id") % 7 === 0,
+        concat(l1, lit("\n"), col("text"), lit("\n"), l1)
+      ).otherwise(col("text"))
+      CorpusOps
+        .dedupLinesWithin(
+          T(s, dir, "documents").select(col("doc_id"), shaped.as("text")),
+          col("doc_id"),
+          col("text")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
+    // Chunk → reassemble round trip (overlap = 0 is invertible): the
+    // reassembled document must digest-match the original, with the
+    // arithmetic chunk count.
+    "x94_chunk_roundtrip" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val chunks = CorpusOps.chunkTokens(docs, col("doc_id"), col("text"), chunkSize = 32)
+      CorpusOps
+        .reassembleChunks(chunks, col("doc_id"), col("chunk_idx"), col("chunk"))
+        .join(docs.select(col("doc_id"), md5(col("text")).as("__want")), Seq("doc_id"))
+        .select(
+          col("doc_id"),
+          col("n_chunks"),
+          (md5(col("text")) === col("__want")).as("roundtrip_ok")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -1898,6 +1950,49 @@ object ExtensionQueries {
         |  FROM t)
         |SELECT doc_id, tier, rank_in_tier, rank_in_tier * 4 + tier AS train_order
         |FROM r ORDER BY doc_id""".stripMargin,
+    // code gate: same shaping, same line/alnum arithmetic
+    "x92_code_gate" ->
+      """WITH sh AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0 THEN REPEAT(REPLACE(text, ' ', ''), 30)
+        |       WHEN doc_id % 9 = 1 THEN '// auto-generated do not edit' || chr(10) || text
+        |       WHEN doc_id % 9 = 2 THEN REPLACE(text, ' ', chr(10))
+        |       ELSE text END AS t
+        |  FROM documents),
+        |m AS (SELECT doc_id, t,
+        |  LEN(STRING_SPLIT(t, chr(10))) AS n_lines,
+        |  LIST_MAX(LIST_TRANSFORM(STRING_SPLIT(t, chr(10)), l -> CAST(LENGTH(l) AS INT))) AS max_line_len,
+        |  ROUND(CAST(LENGTH(t) - (LEN(STRING_SPLIT(t, chr(10))) - 1) AS DOUBLE)
+        |    / LEN(STRING_SPLIT(t, chr(10))), 6) AS mean_line_len,
+        |  ROUND(CAST(LENGTH(t) - LENGTH(TRANSLATE(t,
+        |      'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789', ''))
+        |    AS DOUBLE) / GREATEST(LENGTH(t), 1), 6) AS alnum_frac,
+        |  (CONTAINS(LOWER(t), 'auto-generated') OR CONTAINS(LOWER(t), 'do not edit')) AS autogen
+        |  FROM sh)
+        |SELECT doc_id, CAST(n_lines AS INT) AS n_lines, max_line_len, mean_line_len,
+        |  alnum_frac, autogen,
+        |  (NOT autogen AND max_line_len <= 800 AND mean_line_len <= 800
+        |   AND alnum_frac >= 0.5) AS kept
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // intra-doc dedup: first-occurrence filter replayed with DuckDB's
+    // indexed lambda (1-based, like array_position)
+    "x93_intradoc_dedup" ->
+      """WITH sh AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0
+        |       THEN SUBSTR(text, 1, 40) || chr(10) || text || chr(10) || SUBSTR(text, 1, 40)
+        |       ELSE text END AS t
+        |  FROM documents),
+        |x AS (SELECT doc_id, STRING_SPLIT(t, chr(10)) AS ls FROM sh)
+        |SELECT doc_id, CAST(LEN(ls) AS INT) AS n_lines,
+        |  CAST(LEN(LIST_FILTER(ls, (l, i) -> LIST_POSITION(ls, l) = i)) AS INT) AS n_kept,
+        |  md5(ARRAY_TO_STRING(LIST_FILTER(ls, (l, i) -> LIST_POSITION(ls, l) = i), chr(10))) AS fp
+        |FROM x ORDER BY doc_id""".stripMargin,
+    // chunk round trip: invertibility is the theorem — the oracle pins
+    // the arithmetic chunk count and asserts the digest match
+    "x94_chunk_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(CEIL(LEN(STRING_SPLIT(text, ' ')) / 32.0) AS BIGINT) AS n_chunks,
+        |  TRUE AS roundtrip_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // dataset card: straight group aggregates, exact distincts
     "x88_dataset_card" ->
       """SELECT source, COUNT(1) AS n_docs,

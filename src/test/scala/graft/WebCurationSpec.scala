@@ -125,6 +125,53 @@ class WebCurationSpec extends SparkTestBase {
     assert(rows(0).getLong(3) == 3L && rows(3).getLong(3) == 1L)
   }
 
+  test("codeQualityGate: line shape, alnum fraction, autogen marker") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "short line\nanother short line"),                 // pass
+      (2L, "x" * 900),                                        // kilometer line
+      (3L, "// auto-generated do not edit\ncode here"),       // marker
+      (4L, "@@@@ #### $$$$ %%%% ^^^^ &&&& !!!! ****")         // low alnum
+    ).toDF("id", "text")
+    val rows = TextOps.codeQualityGate(df, col("id"), col("text")).orderBy("doc_id").collect()
+    assert(rows.map(_.getBoolean(6)).toSeq == Seq(true, false, false, false))
+    assert(rows(0).getInt(1) == 2 && rows(0).getInt(2) == 18) // max line "another short line"
+    assert(rows(1).getInt(2) == 900)
+    assert(rows(2).getBoolean(5))
+    assert(rows(3).getDouble(4) < 0.01)
+  }
+
+  test("dedupLinesWithin: first occurrences kept in order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a\nb\na\nc\nb"),
+      (2L, "unique\nlines")
+    ).toDF("id", "text")
+    val rows = CorpusOps.dedupLinesWithin(df, col("id"), col("text")).orderBy("doc_id").collect()
+    assert(rows(0).getInt(1) == 5 && rows(0).getInt(2) == 3)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = md.digest("a\nb\nc".getBytes).map("%02x".format(_)).mkString
+    assert(rows(0).getString(3) == want)
+    assert(rows(1).getInt(1) == 2 && rows(1).getInt(2) == 2)
+  }
+
+  test("chunk -> reassemble round trip at several sizes and lengths") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens
+      (2L, "exactly four small tokens"),
+      (3L, "one")
+    ).toDF("id", "text")
+    Seq(1, 4, 32, 1000).foreach { size =>
+      val chunks = CorpusOps.chunkTokens(df, col("id"), col("text"), chunkSize = size)
+      val back = CorpusOps
+        .reassembleChunks(chunks, col("doc_id"), col("chunk_idx"), col("chunk"))
+        .join(df.select(col("id").as("doc_id"), col("text").as("want")), Seq("doc_id"))
+      val bad = back.filter(col("text") =!= col("want")).count()
+      assert(bad == 0, s"round trip failed at chunkSize=$size")
+    }
+  }
+
   test("topicAssign: planted structure recovers labels with positive margin") {
     import spark.implicits._
     // two well-separated topics in 4-dim space
