@@ -21,7 +21,8 @@ import graft.functions.codecs
   * graft_word_shingles(str, n), graft_minhash_sig(arr, k),
   * graft_simhash64(arr), graft_pii_scrub(str), graft_token_entropy(str),
   * graft_word_counts(str), graft_normalize_text(str),
-  * graft_cdc_chunks(str, w), graft_pcm_frames(bin, n); split assignment
+  * graft_cdc_chunks(str, w), graft_pcm_frames(bin, n),
+  * graft_max_line_len(str), graft_warc_split(str); split assignment
   * graft_split(id); sampling
   * key graft_uniform(id).
   *
@@ -93,7 +94,11 @@ object GraftExtensions {
     "graft_cdc_chunks" -> (es => graft.functions.text.CdcChunks(es(0), off(es(1)))),
     // per-frame PCM features over a binary byte plane:
     // SELECT doc_id, explode(graft_pcm_frames(content, 8))
-    "graft_pcm_frames" -> (es => graft.functions.codecs.PcmFrames(es(0), off(es(1))))
+    "graft_pcm_frames" -> (es => graft.functions.codecs.PcmFrames(es(0), off(es(1)))),
+    // longest \n-separated line in chars, one codegen byte pass
+    "graft_max_line_len" -> (es => graft.functions.text.MaxLineLen(es(0))),
+    // WARC-lite framing: SELECT posexplode(graft_warc_split(blob))
+    "graft_warc_split" -> (es => graft.functions.text.WarcSplit(es(0)))
   )
 
   private def str(e: Expression): String = e match {

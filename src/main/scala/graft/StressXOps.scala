@@ -1966,6 +1966,51 @@ object StressXOps {
       assert(rtBad == 0, s"round trip mismatches: $rtBad")
     }
 
+    // ---- curation15: truncation + WARC framing at width -----------------
+    if (section("curation15")) locally {
+      // middle-out truncation: every 40-token doc cuts to exactly 24
+      val tr = operators.CorpusOps.truncateTokens(corpus, col("id"), col("text"), maxTokens = 24)
+      val (trSec, trRows, _, _) = run(tr)
+      val trDf = tr.persist()
+      val badKeep = trDf.filter(col("truncated") && col("kept_tokens") =!= 24).count()
+      val nTrunc = trDf.filter(col("truncated")).count()
+      println(f"[stressx] truncateTokens(24, middle_out) @ $trRows%d docs: $trSec%.1f s; truncated=$nTrunc, wrong-keep=$badKeep")
+      assert(badKeep == 0 && nTrunc == trRows) // all docs are 40 tokens
+      trDf.unpersist()
+
+      // WARC framing: 5 records per blob, every 7th blob truncated — the
+      // native parser must conserve records and isolate exactly one
+      // invalid per damaged blob
+      val record = concat(
+        lit("WARC/1.0\nWARC-Target-URI: https://x/"), col("id"),
+        lit("\nContent-Length: "), octet_length(col("text")),
+        lit("\n\n"), col("text"), lit("\n\n")
+      )
+      val blobs = corpus
+        .select((col("id") - pmod(col("id"), lit(5))).divide(lit(5)).cast("long").as("g"), col("id"), record.as("rec"))
+        .groupBy(col("g"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("id"), col("rec")))), e => e.getField("rec")),
+          ""
+        ).as("blob"))
+        .select(
+          col("g"),
+          when(pmod(col("g"), lit(7)) === 0, expr("substring(blob, 1, length(blob) - 5)"))
+            .otherwise(col("blob")).as("blob")
+        )
+      val wi = operators.CorpusOps.warcIngest(blobs, col("g"), col("blob"))
+      val (wiSec, wiRows, wiH, _) = run(wi)
+      val wiDf = wi.persist()
+      val nBlobs = blobs.count()
+      val invalid = wiDf.filter(!col("is_valid")).count()
+      val damaged = blobs.filter(pmod(col("g"), lit(7)) === 0).count()
+      println(f"[stressx] warcIngest @ $nBlobs%d blobs -> $wiRows%d records: $wiSec%.1f s; invalid=$invalid (damaged blobs $damaged)")
+      println(s"[stressx]   plan: $wiH")
+      assert(wiRows == corpusN, s"record conservation: $wiRows != $corpusN")
+      assert(invalid == damaged, s"invalid records: $invalid != $damaged")
+      wiDf.unpersist()
+    }
+
     corpus.unpersist()
     spark.stop()
   }

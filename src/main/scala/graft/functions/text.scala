@@ -621,6 +621,134 @@ object text {
   def max_line_len(textCol: Column): Column =
     Bridge.column(MaxLineLen(Bridge.expression(textCol)))
 
+  /** WARC-lite record framing (crawl-archive ingest): split a blob of
+    * concatenated records into array&lt;struct&lt;uri, payload, valid&gt;&gt;.
+    * Record grammar (a fixed-layout subset of ISO 28500 — the structure
+    * and accounting are the contract, a full WARC reader adds headers,
+    * not shape):
+    *
+    * {{{
+    * "WARC/1.0\n" "WARC-Target-URI: " uri "\n"
+    * "Content-Length: " digits "\n" "\n" payload(len BYTES) "\n\n"
+    * }}}
+    *
+    * Malformed input (bad magic, missing header, non-digit length,
+    * truncated payload, absent terminator) emits ONE invalid record —
+    * null fields, `valid = false` — and the scanner RESYNCS at the next
+    * magic, so one corrupt record never poisons the rest of the blob:
+    * the load-shed accounting discipline ([[graft.operators.CorpusOps.jsonlIngest]])
+    * applied to framed archives. Content-Length counts BYTES (real WARC
+    * semantics), capped at 9 digits. One pass per row inside
+    * WholeStageCodegen; the sequential dependency lives INSIDE the row,
+    * so blobs parallelize embarrassingly across rows/partitions —
+    * exactly [[graft.functions.codecs.FrameSplit]]'s layout argument at
+    * the archive-file granularity.
+    */
+  case class WarcSplit(child: Expression)
+      extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("uri", StringType, nullable = true),
+        StructField("payload", StringType, nullable = true),
+        StructField("valid", BooleanType, nullable = false)
+      )),
+      containsNull = false
+    )
+    override def nullIntolerant: Boolean = true
+
+    private val Magic = "WARC/1.0\n".getBytes("UTF-8")
+    private val UriH = "WARC-Target-URI: ".getBytes("UTF-8")
+    private val LenH = "Content-Length: ".getBytes("UTF-8")
+
+    private def startsWith(b: Array[Byte], at: Int, p: Array[Byte]): Boolean = {
+      if (at < 0 || at + p.length > b.length) return false
+      var i = 0
+      while (i < p.length) { if (b(at + i) != p(i)) return false; i += 1 }
+      true
+    }
+    private def indexOf(b: Array[Byte], from: Int, c: Byte): Int = {
+      var i = from
+      while (i < b.length) { if (b(i) == c) return i; i += 1 }
+      -1
+    }
+    private def resync(b: Array[Byte], from: Int): Int = {
+      var i = from
+      while (i <= b.length - Magic.length) {
+        if (startsWith(b, i, Magic)) return i
+        i += 1
+      }
+      b.length
+    }
+
+    /** Invoked from both eval and generated code. */
+    def compute(s: UTF8String): GenericArrayData = {
+      val b = s.getBytes
+      val n = b.length
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var i = 0
+      while (i < n) {
+        var ok = false
+        var uri: UTF8String = null
+        var payload: UTF8String = null
+        var next = i
+        if (startsWith(b, i, Magic)) {
+          var j = i + Magic.length
+          if (startsWith(b, j, UriH)) {
+            j += UriH.length
+            val e1 = indexOf(b, j, '\n')
+            if (e1 >= j) {
+              val uriBytes = java.util.Arrays.copyOfRange(b, j, e1)
+              j = e1 + 1
+              if (startsWith(b, j, LenH)) {
+                j += LenH.length
+                val e2 = indexOf(b, j, '\n')
+                if (e2 > j && e2 - j <= 9) {
+                  var len = 0
+                  var d = j
+                  var digitsOk = true
+                  while (d < e2 && digitsOk) {
+                    val c = b(d)
+                    if (c >= '0' && c <= '9') len = len * 10 + (c - '0')
+                    else digitsOk = false
+                    d += 1
+                  }
+                  j = e2 + 1
+                  if (digitsOk && j < n && b(j) == '\n') {
+                    j += 1
+                    if (j + len + 2 <= n && b(j + len) == '\n' && b(j + len + 1) == '\n') {
+                      uri = UTF8String.fromBytes(uriBytes)
+                      payload = UTF8String.fromBytes(b, j, len)
+                      ok = true
+                      next = j + len + 2
+                    }
+                  }
+                }
+              }
+            }
+          }
+        }
+        if (!ok) next = resync(b, i + 1)
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](uri, payload, ok)
+        )
+        i = next
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("warcSplit", this, classOf[WarcSplit].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+    }
+    override protected def withNewChildInternal(c: Expression): WarcSplit = copy(child = c)
+  }
+
+  def warc_split(blobCol: Column): Column =
+    Bridge.column(WarcSplit(Bridge.expression(blobCol)))
+
   /** Content-defined chunking over space-separated tokens (the
     * FastCDC/LBFS idea at token granularity): a chunk boundary falls
     * after token `e` whenever the fingerprint of the `w`-token window

@@ -1819,6 +1819,44 @@ object CorpusOps {
     )
   }
 
+  /** Token-budget truncation (the context-window fit step before
+    * packing): cut a document to `maxTokens` under one of three
+    * policies — `head` (keep the opening), `tail` (keep the ending), or
+    * `middle_out` (keep opening + ending, drop the middle — the
+    * long-document policy that preserves both the title/lede and the
+    * conclusion). Pure per-row array slicing, zero shuffle; emits the
+    * token accounting (`n_tokens`, `kept_tokens`, `truncated`) so the
+    * drop mass is observable — never a silent cut.
+    */
+  def truncateTokens(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      maxTokens: Int,
+      policy: String = "middle_out"
+  ): DataFrame = {
+    require(maxTokens >= 2, s"maxTokens must be >= 2, got $maxTokens")
+    val toks = split(coalesce(text, lit("")), " ")
+    val n = size(toks)
+    val headN = maxTokens - maxTokens / 2
+    val tailN = maxTokens / 2
+    val cut = policy match {
+      case "head" => slice(toks, 1, maxTokens)
+      case "tail" => slice(toks, -maxTokens, maxTokens)
+      case "middle_out" =>
+        concat(slice(toks, 1, headN), slice(toks, -tailN, tailN))
+      case other => throw new IllegalArgumentException(s"unknown policy: $other")
+    }
+    val kept = when(n <= maxTokens, toks).otherwise(cut)
+    df.select(
+      idCol.as("doc_id"),
+      n.as("n_tokens"),
+      size(kept).as("kept_tokens"),
+      (n > maxTokens).as("truncated"),
+      array_join(kept, " ").as("text")
+    )
+  }
+
   /** Inverse of [[chunkTokens]] (overlap = 0): reassemble chunk rows back
     * into documents — the round trip a chunk-level pipeline (embed,
     * score, filter per chunk) needs to re-emit documents. One exchange
@@ -1840,6 +1878,26 @@ object CorpusOps {
         col("doc_id"),
         col("n_chunks"),
         array_join(flatten(transform(col("__ss"), s => s.getField("c"))), " ").as("text")
+      )
+
+  /** Crawl-archive ingestion over [[graft.functions.text.WarcSplit]]:
+    * one row per framed record with per-record `is_valid` — the
+    * [[jsonlIngest]] accounting discipline for WARC-shaped blobs. Pure
+    * projection + explode, zero shuffle; blobs (archive files)
+    * parallelize across rows, the sequential parse lives inside each
+    * row.
+    */
+  def warcIngest(df: DataFrame, blobIdCol: Column, blobCol: Column): DataFrame =
+    df.select(
+        blobIdCol.as("blob_id"),
+        posexplode(graft.functions.text.warc_split(blobCol)).as(Seq("rec_idx", "rec"))
+      )
+      .select(
+        col("blob_id"),
+        col("rec_idx"),
+        col("rec.uri").as("uri"),
+        col("rec.payload").as("payload"),
+        col("rec.valid").as("is_valid")
       )
 
   /** Per-source dataset card: the one-row-per-source summary a corpus

@@ -1833,6 +1833,61 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Middle-out token truncation to a 24-token context budget: long
+    // docs keep 12-head + 12-tail, short docs pass through untouched,
+    // and the drop mass is visible in the accounting columns.
+    "x95_truncate" -> ((s, dir) =>
+      CorpusOps
+        .truncateTokens(T(s, dir, "documents"), col("doc_id"), col("text"), maxTokens = 24)
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          col("kept_tokens"),
+          col("truncated"),
+          md5(col("text")).as("fp")
+        )
+        .orderBy(col("doc_id"))),
+
+    // WARC-lite archive ingest: 5 records per blob assembled in-query,
+    // blobs ≡0 mod 7 truncated by 5 trailing bytes — the final record
+    // must parse invalid (null fields) without poisoning the others.
+    "x96_warc_ingest" -> ((s, dir) => {
+      val record = concat(
+        lit("WARC/1.0\nWARC-Target-URI: https://ex.com/"),
+        col("doc_id"),
+        lit("\nContent-Length: "),
+        octet_length(col("text")),
+        lit("\n\n"),
+        col("text"),
+        lit("\n\n")
+      )
+      val blobs = T(s, dir, "documents")
+        .select(floor(col("doc_id") / 5).cast("long").as("g"), col("doc_id"), record.as("rec"))
+        .groupBy(col("g"))
+        .agg(
+          array_join(
+            transform(array_sort(collect_list(struct(col("doc_id"), col("rec")))), e => e.getField("rec")),
+            ""
+          ).as("blob")
+        )
+        .select(
+          col("g"),
+          when(col("g") % 7 === 0, expr("substring(blob, 1, length(blob) - 5)"))
+            .otherwise(col("blob"))
+            .as("blob")
+        )
+      CorpusOps
+        .warcIngest(blobs, col("g"), col("blob"))
+        .select(
+          col("blob_id"),
+          col("rec_idx"),
+          col("uri"),
+          md5(coalesce(col("payload"), lit(""))).as("fp"),
+          col("is_valid")
+        )
+        .orderBy(col("blob_id"), col("rec_idx"))
+    }),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -1950,6 +2005,32 @@ object ExtensionQueries {
         |  FROM t)
         |SELECT doc_id, tier, rank_in_tier, rank_in_tier * 4 + tier AS train_order
         |FROM r ORDER BY doc_id""".stripMargin,
+    // warc ingest: the oracle CONSTRUCTS the expected parse from the
+    // record grammar (payloads never contain the magic, so the planted
+    // truncation invalidates exactly the final record of ≡0 mod 7 blobs)
+    "x96_warc_ingest" ->
+      """WITH d AS (SELECT doc_id, text, doc_id // 5 AS g,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id // 5 ORDER BY doc_id) - 1 AS ri,
+        |    COUNT(1) OVER (PARTITION BY doc_id // 5) AS gn
+        |  FROM documents)
+        |SELECT g AS blob_id, CAST(ri AS INT) AS rec_idx,
+        |  CASE WHEN g % 7 = 0 AND ri = gn - 1 THEN NULL
+        |       ELSE 'https://ex.com/' || doc_id END AS uri,
+        |  md5(CASE WHEN g % 7 = 0 AND ri = gn - 1 THEN '' ELSE text END) AS fp,
+        |  NOT (g % 7 = 0 AND ri = gn - 1) AS is_valid
+        |FROM d ORDER BY blob_id, rec_idx""".stripMargin,
+    // middle-out truncation: 12-head + 12-tail slice replay
+    "x95_truncate" ->
+      """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
+        |c AS (SELECT doc_id, LEN(ts) AS n,
+        |  CASE WHEN LEN(ts) <= 24 THEN ts
+        |       ELSE LIST_CONCAT(ts[1:12], ts[-12:]) END AS kept
+        |  FROM d)
+        |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        |  CAST(LEN(kept) AS INT) AS kept_tokens,
+        |  n > 24 AS truncated,
+        |  md5(ARRAY_TO_STRING(kept, ' ')) AS fp
+        |FROM c ORDER BY doc_id""".stripMargin,
     // code gate: same shaping, same line/alnum arithmetic
     "x92_code_gate" ->
       """WITH sh AS (SELECT doc_id,

@@ -141,4 +141,72 @@ class KernelFuzzSpec extends SparkTestBase {
       }
     }
   }
+
+  test("WarcSplit: random record streams round-trip; corruption isolates and resyncs") {
+    val r = new Random(777)
+    def rec(uri: String, payload: String): String =
+      s"WARC/1.0\nWARC-Target-URI: $uri\nContent-Length: ${payload.getBytes("UTF-8").length}\n\n$payload\n\n"
+    def parse(s: String): Seq[(String, String, Boolean)] = {
+      val got = ftext
+        .WarcSplit(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+          org.apache.spark.sql.types.StringType))
+        .eval(null)
+        .asInstanceOf[ArrayData]
+      (0 until got.numElements()).map { i =>
+        val row = got.getStruct(i, 3)
+        (
+          if (row.isNullAt(0)) null else row.getUTF8String(0).toString,
+          if (row.isNullAt(1)) null else row.getUTF8String(1).toString,
+          row.getBoolean(2)
+        )
+      }
+    }
+    for (_ <- 0 until 100) {
+      val recs = (0 until r.nextInt(6)).map { i =>
+        // payloads may contain newlines, header-ish text, unicode — but
+        // never the magic (the documented resync boundary)
+        val payload = Seq.fill(r.nextInt(20))(
+          Seq("tok", "a\nb", "Content-Length: 9", "é€", "WARC-Target-URI: x")(r.nextInt(5))
+        ).mkString(" ")
+        (s"https://x/$i", payload)
+      }
+      val blob = recs.map { case (u, p) => rec(u, p) }.mkString
+      val got = parse(blob)
+      assert(got == recs.map { case (u, p) => (u, p, true) }, s"clean round trip")
+
+      if (recs.nonEmpty) {
+        // truncate the tail: last record invalid, earlier ones untouched
+        val cut = blob.substring(0, blob.length - 1 - r.nextInt(2))
+        val gotCut = parse(cut)
+        assert(gotCut.take(recs.length - 1) == recs.dropRight(1).map { case (u, p) => (u, p, true) })
+        assert(gotCut.length == recs.length && !gotCut.last._3, s"tail must invalidate")
+
+        // corrupt the FIRST record's magic: scanner resyncs at record 2
+        val broken = "X" + blob.substring(1)
+        val gotBroken = parse(broken)
+        assert(!gotBroken.head._3, "first record must invalidate")
+        assert(gotBroken.tail == recs.tail.map { case (u, p) => (u, p, true) }, "resync must recover the rest")
+      }
+    }
+  }
+
+  test("MaxLineLen: random unicode multi-line text matches the split/length recompute") {
+    val r = new Random(4242)
+    val alphabet = "abZ09 \t.é€语" // 1-, 2-, and 3-byte UTF-8 chars
+    for (_ <- 0 until 200) {
+      val nLines = r.nextInt(6)
+      val s = (0 until nLines)
+        .map(_ => Seq.fill(r.nextInt(30))(alphabet(r.nextInt(alphabet.length))).mkString)
+        .mkString("\n")
+      val got = ftext
+        .MaxLineLen(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+          org.apache.spark.sql.types.StringType))
+        .eval(null)
+        .asInstanceOf[Int]
+      // split(-1) never yields fewer than one line; CODE POINTS counted,
+      // not bytes and not UTF-16 units — the kernel counts UTF-8 starts
+      val want = s.split("\n", -1).map(l => l.codePointCount(0, l.length)).max
+      assert(got == want, s"text=${s.replace("\n", "\\n")}")
+    }
+  }
 }

@@ -172,6 +172,33 @@ class WebCurationSpec extends SparkTestBase {
     }
   }
 
+  test("truncateTokens: head/tail/middle_out policies and pass-through") {
+    import spark.implicits._
+    val df = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8"), (2L, "a b")).toDF("id", "text")
+    def text(policy: String): Seq[String] =
+      CorpusOps
+        .truncateTokens(df, col("id"), col("text"), maxTokens = 4, policy = policy)
+        .orderBy("doc_id")
+        .collect()
+        .map(_.getString(4))
+        .toSeq
+    assert(text("head") == Seq("t1 t2 t3 t4", "a b"))
+    assert(text("tail") == Seq("t5 t6 t7 t8", "a b"))
+    assert(text("middle_out") == Seq("t1 t2 t7 t8", "a b"))
+    val acct = CorpusOps
+      .truncateTokens(df, col("id"), col("text"), maxTokens = 4)
+      .orderBy("doc_id")
+      .collect()
+    assert(acct(0).getInt(1) == 8 && acct(0).getInt(2) == 4 && acct(0).getBoolean(3))
+    assert(acct(1).getInt(1) == 2 && acct(1).getInt(2) == 2 && !acct(1).getBoolean(3))
+    // odd budget: head gets the extra token
+    val odd = CorpusOps
+      .truncateTokens(df.filter(col("id") === 1), col("id"), col("text"), maxTokens = 5)
+      .collect()(0)
+      .getString(4)
+    assert(odd == "t1 t2 t3 t7 t8")
+  }
+
   test("topicAssign: planted structure recovers labels with positive margin") {
     import spark.implicits._
     // two well-separated topics in 4-dim space
