@@ -1887,11 +1887,21 @@ object CorpusOps {
     * parallelize across rows, the sequential parse lives inside each
     * row.
     */
-  def warcIngest(df: DataFrame, blobIdCol: Column, blobCol: Column): DataFrame =
-    df.select(
-        blobIdCol.as("blob_id"),
-        posexplode(graft.functions.text.warc_split(blobCol)).as(Seq("rec_idx", "rec"))
+  def warcIngest(df: DataFrame, blobIdCol: Column, blobCol: Column): DataFrame = {
+    // a NULL blob is a corrupt archive, not an absent one — surface it as
+    // one invalid record (the jsonlIngest NULL-line lesson); an EMPTY
+    // blob is a legitimately empty archive and yields no records
+    val recs = when(
+      blobCol.isNull,
+      array(
+        struct(
+          lit(null).cast("string").as("uri"),
+          lit(null).cast("string").as("payload"),
+          lit(false).as("valid")
+        )
       )
+    ).otherwise(graft.functions.text.warc_split(blobCol))
+    df.select(blobIdCol.as("blob_id"), posexplode(recs).as(Seq("rec_idx", "rec")))
       .select(
         col("blob_id"),
         col("rec_idx"),
@@ -1899,6 +1909,7 @@ object CorpusOps {
         col("rec.payload").as("payload"),
         col("rec.valid").as("is_valid")
       )
+  }
 
   /** Per-source dataset card: the one-row-per-source summary a corpus
     * release ships next to its shards — document/token/char totals,

@@ -724,8 +724,12 @@ object Dedup {
         count(lit(1)).as("n_dups"),
         max_by(col("doc_id"), struct(col("pref"), -col("doc_id"))).as("__winner")
       )
+      .withColumnRenamed("key", "__wkey")
     rows
-      .join(winners, Seq("key"))
+      // null-safe equality: a NULL key is a legitimate group (groupBy
+      // already made one row for it) and its rows must come back flagged,
+      // not silently vanish through a plain inner join
+      .join(winners, col("key") <=> col("__wkey"))
       .withColumn("kept", col("doc_id") === col("__winner"))
       .select(col("key"), col("doc_id"), col("pref"), col("n_dups"), col("kept"))
   }

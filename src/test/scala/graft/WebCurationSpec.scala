@@ -125,6 +125,36 @@ class WebCurationSpec extends SparkTestBase {
     assert(rows(0).getLong(3) == 3L && rows(3).getLong(3) == 1L)
   }
 
+  test("keepBestByKey: NULL keys form a group and come back flagged, never dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("k"), 1.0),
+      (2L, None, 5.0),
+      (3L, None, 7.0)
+    ).toDF("id", "key", "pref")
+    val rows = Dedup
+      .keepBestByKey(df, col("key"), col("pref"), col("id"))
+      .orderBy("doc_id")
+      .collect()
+    assert(rows.length == 3, "null-key rows must not vanish")
+    assert(rows(0).getBoolean(4)) // k group: sole row wins
+    assert(!rows(1).getBoolean(4) && rows(2).getBoolean(4)) // null group: id 3 wins on pref
+    assert(rows(1).getLong(3) == 2L)
+  }
+
+  test("warcIngest: NULL blob surfaces as one invalid record; empty blob yields none") {
+    import spark.implicits._
+    val df = Seq((1L, Option("WARC/1.0\nWARC-Target-URI: u\nContent-Length: 2\n\nhi\n\n")), (2L, None), (3L, Option("")))
+      .toDF("g", "blob")
+    val rows = CorpusOps
+      .warcIngest(df, col("g"), col("blob"))
+      .orderBy("blob_id", "rec_idx")
+      .collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1L && rows(0).getBoolean(4) && rows(0).getString(3) == "hi")
+    assert(rows(1).getLong(0) == 2L && !rows(1).getBoolean(4) && rows(1).isNullAt(2))
+  }
+
   test("codeQualityGate: line shape, alnum fraction, autogen marker") {
     import spark.implicits._
     val df = Seq(
