@@ -64,12 +64,17 @@ object Audit {
     val s = splits.select(splitId.as("__sid"), splitCol.as("__split"))
     pairs
       .select(pairA.as("__a"), pairB.as("__b"))
-      .join(s.select(col("__sid"), col("__split").as("__split_a")), col("__a") === col("__sid"))
+      // LEFT joins + a "missing" class: an endpoint absent from the split
+      // table is itself an audit finding (an un-assigned near-dup), not a
+      // row to silently drop
+      .join(s.select(col("__sid"), col("__split").as("__split_a")), col("__a") === col("__sid"), "left")
       .drop("__sid")
-      .join(s.select(col("__sid"), col("__split").as("__split_b")), col("__b") === col("__sid"))
+      .join(s.select(col("__sid"), col("__split").as("__split_b")), col("__b") === col("__sid"), "left")
       .select(
-        least(col("__split_a"), col("__split_b")).as("split_a"),
-        greatest(col("__split_a"), col("__split_b")).as("split_b")
+        least(coalesce(col("__split_a"), lit("missing")), coalesce(col("__split_b"), lit("missing")))
+          .as("split_a"),
+        greatest(coalesce(col("__split_a"), lit("missing")), coalesce(col("__split_b"), lit("missing")))
+          .as("split_b")
       )
       .groupBy(col("split_a"), col("split_b"))
       .agg(count(lit(1)).as("n_pairs"))

@@ -2106,9 +2106,10 @@ object ExtensionQueries {
         |       WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e7' THEN 'val'
         |       ELSE 'test' END AS split FROM documents),
         |p AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 10 = 0),
-        |j AS (SELECT LEAST(sa.split, sb.split) AS split_a,
-        |             GREATEST(sa.split, sb.split) AS split_b
-        |  FROM p JOIN s sa ON sa.doc_id = p.a JOIN s sb ON sb.doc_id = p.b)
+        |j AS (SELECT
+        |    LEAST(COALESCE(sa.split, 'missing'), COALESCE(sb.split, 'missing')) AS split_a,
+        |    GREATEST(COALESCE(sa.split, 'missing'), COALESCE(sb.split, 'missing')) AS split_b
+        |  FROM p LEFT JOIN s sa ON sa.doc_id = p.a LEFT JOIN s sb ON sb.doc_id = p.b)
         |SELECT split_a, split_b, COUNT(1) AS n_pairs, split_a <> split_b AS leaked
         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // calibration bins: deterministic uniform score, arithmetic label

@@ -60,6 +60,15 @@ class AuditOpsSpec extends SparkTestBase {
     assert(out.length == 2)
     assert(out(0).getString(0) == "test" && out(0).getLong(2) == 2L && out(0).getBoolean(3))
     assert(out(1).getString(0) == "train" && out(1).getString(1) == "train" && !out(1).getBoolean(3))
+
+    // an endpoint absent from the split table is an audit finding
+    // ("missing"), not a silently dropped pair
+    val orphan = Seq((1L, 99L)).toDF("a", "b")
+    val o = Audit
+      .splitLeakage(orphan, col("a"), col("b"), splits, col("id"), col("split"))
+      .collect()
+    assert(o.length == 1 && o(0).getString(0) == "missing" && o(0).getString(1) == "train")
+    assert(o(0).getBoolean(3))
   }
 
   test("calibrationBins: bin edges, means, positive rates") {
