@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Audit, ConnectedComponents, CorpusOps, Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Audit, ConnectedComponents, CorpusOps, Dedup, GraphOps, Multimodal, Similarity, TextOps}
 
 /** Training-data-pipeline extensions (builder prompt): deduplication,
   * similarity search, text analysis, multimodal plumbing — the operations a
@@ -1888,6 +1888,58 @@ object ExtensionQueries {
         .orderBy(col("blob_id"), col("rec_idx"))
     }),
 
+    // Link-graph construction from HTML: two deterministic internal
+    // anchors per page ((2s+1)%n, (3s+2)%n), a duplicated anchor for
+    // ≡0 mod 3 (occurrence counting), an external link for ≡0 mod 5
+    // (host-filtered out). Extraction is one RE2-safe regex scan.
+    "x97_link_graph" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val d = docs.crossJoin(broadcast(n))
+      val d1 = (col("doc_id") * 2 + 1) % col("__n")
+      val d2 = (col("doc_id") * 3 + 2) % col("__n")
+      val html = concat(
+        lit("<html><body><a href=\"https://ex.com/"), d1, lit("\">one</a>"),
+        when(
+          col("doc_id") % 3 === 0,
+          concat(lit("<a href=\"https://ex.com/"), d1, lit("\">again</a>"))
+        ).otherwise(lit("")),
+        lit("<a href=\"https://ex.com/"), d2, lit("\">two</a>"),
+        when(col("doc_id") % 5 === 0, lit("<a href=\"https://other.site/page\">ext</a>"))
+          .otherwise(lit("")),
+        lit("<p>"), col("text"), lit("</p></body></html>")
+      )
+      GraphOps
+        .htmlLinks(d.select(col("doc_id"), html.as("html")), col("doc_id"), col("html"))
+        .where(col("href").startsWith("https://ex.com/"))
+        .select(
+          col("src"),
+          regexp_extract(col("href"), "https://ex.com/([0-9]+)", 1).cast("long").as("dst")
+        )
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).cast("int").as("n_occurrences"))
+        .orderBy(col("src"), col("dst"))
+    }),
+
+    // PageRank quality prior over the deterministic 3-outlink graph
+    // (self-loops dropped): 3 synchronous iterations at d=0.85, every
+    // arithmetic step replayed double-exact by the oracle CTE chain.
+    "x98_pagerank" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val d = docs.select(col("doc_id")).crossJoin(broadcast(n))
+      val edges = Seq((2, 1), (3, 2), (4, 3))
+        .map { case (a, b) =>
+          d.select(col("doc_id").as("src"), ((col("doc_id") * a + b) % col("__n")).as("dst"))
+        }
+        .reduce(_ unionAll _)
+        .where(col("src") =!= col("dst"))
+      GraphOps
+        .pageRank(edges, iters = 3, damping = 0.85)
+        .select(col("id"), round(col("pr"), 9).as("pr"))
+        .orderBy(col("id"))
+    }),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -3559,6 +3611,66 @@ object ExtensionQueries {
         |  COALESCE(CAST(SUM((bucket*2654435761) % 1001 - 500) AS BIGINT), 0) AS score,
         |  COALESCE(CAST(SUM((bucket*2654435761) % 1001 - 500) AS BIGINT), 0) >= 0 AS kept
         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // link extraction: the same RE2-safe href pattern, same host filter,
+    // same occurrence counting
+    "x97_link_graph" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |h AS (SELECT doc_id,
+        |  '<html><body><a href="https://ex.com/' || ((doc_id*2+1) % nn.n) || '">one</a>' ||
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN '<a href="https://ex.com/' || ((doc_id*2+1) % nn.n) || '">again</a>'
+        |       ELSE '' END ||
+        |  '<a href="https://ex.com/' || ((doc_id*3+2) % nn.n) || '">two</a>' ||
+        |  CASE WHEN doc_id % 5 = 0
+        |       THEN '<a href="https://other.site/page">ext</a>' ELSE '' END ||
+        |  '<p>' || text || '</p></body></html>' AS html
+        | FROM documents, nn),
+        |l AS (SELECT doc_id AS src,
+        |  UNNEST(regexp_extract_all(html, '(?i)<a[^>]*href="([^"]*)"', 1)) AS href FROM h)
+        |SELECT src,
+        |  CAST(regexp_extract(href, 'https://ex.com/([0-9]+)', 1) AS BIGINT) AS dst,
+        |  CAST(COUNT(*) AS INT) AS n_occurrences
+        |FROM l WHERE href LIKE 'https://ex.com/%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // pagerank: 3 unrolled iterations, every float op CAST AS DOUBLE so
+    // the arithmetic sequence matches the engine's (decimal literals in
+    // DuckDB default to DECIMAL, which would diverge). The graph HAS a
+    // dangling node — 499's three outlinks are all self-loops (s+1 ≡ 0
+    // mod 500 collapses every formula) — so each round carries the
+    // dangling-mass term dm/n exactly like the engine.
+    "x98_pagerank" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |e0 AS (SELECT doc_id AS src, (doc_id*2+1) % nn.n AS dst FROM documents, nn
+        |  UNION ALL SELECT doc_id, (doc_id*3+2) % nn.n FROM documents, nn
+        |  UNION ALL SELECT doc_id, (doc_id*4+3) % nn.n FROM documents, nn),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS od FROM e GROUP BY 1),
+        |r0 AS (SELECT doc_id AS id, CAST(1 AS DOUBLE)/nn.n AS pr FROM documents, nn),
+        |s1 AS (SELECT e.dst, SUM(r0.pr/deg.od) AS s
+        |  FROM e JOIN deg USING (src) JOIN r0 ON r0.id = e.src GROUP BY 1),
+        |d1 AS (SELECT COALESCE(SUM(pr), CAST(0 AS DOUBLE)) AS dm FROM r0
+        |  WHERE id NOT IN (SELECT src FROM deg)),
+        |r1 AS (SELECT r0.id,
+        |  (CAST(1 AS DOUBLE)-CAST(0.85 AS DOUBLE))/nn.n
+        |    + CAST(0.85 AS DOUBLE)*(COALESCE(s1.s, CAST(0 AS DOUBLE)) + d1.dm/nn.n) AS pr
+        |  FROM r0 CROSS JOIN nn CROSS JOIN d1 LEFT JOIN s1 ON s1.dst = r0.id),
+        |s2 AS (SELECT e.dst, SUM(r1.pr/deg.od) AS s
+        |  FROM e JOIN deg USING (src) JOIN r1 ON r1.id = e.src GROUP BY 1),
+        |d2 AS (SELECT COALESCE(SUM(pr), CAST(0 AS DOUBLE)) AS dm FROM r1
+        |  WHERE id NOT IN (SELECT src FROM deg)),
+        |r2 AS (SELECT r1.id,
+        |  (CAST(1 AS DOUBLE)-CAST(0.85 AS DOUBLE))/nn.n
+        |    + CAST(0.85 AS DOUBLE)*(COALESCE(s2.s, CAST(0 AS DOUBLE)) + d2.dm/nn.n) AS pr
+        |  FROM r1 CROSS JOIN nn CROSS JOIN d2 LEFT JOIN s2 ON s2.dst = r1.id),
+        |s3 AS (SELECT e.dst, SUM(r2.pr/deg.od) AS s
+        |  FROM e JOIN deg USING (src) JOIN r2 ON r2.id = e.src GROUP BY 1),
+        |d3 AS (SELECT COALESCE(SUM(pr), CAST(0 AS DOUBLE)) AS dm FROM r2
+        |  WHERE id NOT IN (SELECT src FROM deg)),
+        |r3 AS (SELECT r2.id,
+        |  (CAST(1 AS DOUBLE)-CAST(0.85 AS DOUBLE))/nn.n
+        |    + CAST(0.85 AS DOUBLE)*(COALESCE(s3.s, CAST(0 AS DOUBLE)) + d3.dm/nn.n) AS pr
+        |  FROM r2 CROSS JOIN nn CROSS JOIN d3 LEFT JOIN s3 ON s3.dst = r2.id)
+        |SELECT id, ROUND(pr, 9) AS pr FROM r3 ORDER BY id""".stripMargin,
     // full blocks only (partial tails dropped, <16-byte docs emit nothing);
     // OCTET_LENGTH on the blob, not LENGTH: the Spark side frames UTF-8
     // BYTES, and char counting would diverge on any non-ASCII document
