@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Audit, ConnectedComponents, CorpusOps, Dedup, GraphOps, Multimodal, Similarity, TextOps}
+import graft.operators.{Audit, ConnectedComponents, CorpusOps, Dedup, EditDistance, GraphOps, Multimodal, Similarity, TextOps}
 
 /** Training-data-pipeline extensions (builder prompt): deduplication,
   * similarity search, text analysis, multimodal plumbing — the operations a
@@ -1940,6 +1940,29 @@ object ExtensionQueries {
         .orderBy(col("id"))
     }),
 
+    // Exact edit-distance similarity join (PassJoin partition scheme) on
+    // 80-char prefixes at k=4: docs ≡0 mod 10 get a planted twin with a
+    // 3-char substitution at positions 11-13 — the twin pairs MUST all
+    // surface with their exact distance, and the oracle brute-forces the
+    // same universe, so any natural sub-k pair must surface too.
+    "x99_editdist_pairs" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val base = docs.select(col("doc_id").as("id"), substring(col("text"), 1, 80).as("s"))
+      val twins = docs
+        .where(col("doc_id") % 10 === 0)
+        .select(
+          (col("doc_id") + 10000000L).as("id"),
+          concat(
+            substring(col("text"), 1, 10),
+            lit("QZX"),
+            substring(col("text"), 14, 67)
+          ).as("s")
+        )
+      EditDistance
+        .editDistancePairs(base.unionAll(twins), col("id"), col("s"), k = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -3671,6 +3694,23 @@ object ExtensionQueries {
         |    + CAST(0.85 AS DOUBLE)*(COALESCE(s3.s, CAST(0 AS DOUBLE)) + d3.dm/nn.n) AS pr
         |  FROM r2 CROSS JOIN nn CROSS JOIN d3 LEFT JOIN s3 ON s3.dst = r2.id)
         |SELECT id, ROUND(pr, 9) AS pr FROM r3 ORDER BY id""".stripMargin,
+    // edit-distance pairs: the oracle is the exact length-banded
+    // brute-force over the same universe (DuckDB's levenshtein is the
+    // same unit-cost character DP as Spark's), oriented shorter-first
+    "x99_editdist_pairs" ->
+      """WITH base AS (SELECT doc_id AS id, SUBSTR(text, 1, 80) AS s FROM documents),
+        |tw AS (SELECT doc_id + 10000000 AS id,
+        |    SUBSTR(text, 1, 10) || 'QZX' || SUBSTR(text, 14, 67) AS s
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM tw),
+        |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(levenshtein(a.s, b.s) AS INT) AS dist
+        |  FROM u a JOIN u b
+        |    ON (LENGTH(a.s) < LENGTH(b.s)
+        |        OR (LENGTH(a.s) = LENGTH(b.s) AND a.id < b.id))
+        |   AND LENGTH(b.s) - LENGTH(a.s) <= 4)
+        |SELECT id_a, id_b, dist FROM pairs WHERE dist <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
     // full blocks only (partial tails dropped, <16-byte docs emit nothing);
     // OCTET_LENGTH on the blob, not LENGTH: the Spark side frames UTF-8
     // BYTES, and char counting would diverge on any non-ASCII document
