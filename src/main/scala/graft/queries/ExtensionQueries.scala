@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Audit, ConnectedComponents, CorpusOps, Dedup, EditDistance, GraphOps, Multimodal, Similarity, TextOps}
+import graft.operators.{Audit, ConnectedComponents, CorpusOps, Dedup, EditDistance, GraphOps, Multimodal, Similarity, Spectral, TextOps}
 
 /** Training-data-pipeline extensions (builder prompt): deduplication,
   * similarity search, text analysis, multimodal plumbing — the operations a
@@ -1963,6 +1963,16 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Embedding second-moment (gram) matrix — the whitening/PCA prep
+    // pass: upper triangle only, map-side partial agg, components widened
+    // to double before multiply so the oracle replays bit-comparable
+    // sums (6dp round absorbs ordering).
+    "x100_gram_matrix" -> ((s, dir) =>
+      Spectral
+        .gramMatrix(T(s, dir, "embeddings"), col("embedding"))
+        .select(col("i"), col("j"), col("n_vecs"), round(col("g"), 6).as("g"))
+        .orderBy(col("i"), col("j"))),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -3711,6 +3721,14 @@ object ExtensionQueries {
         |   AND LENGTH(b.s) - LENGTH(a.s) <= 4)
         |SELECT id_a, id_b, dist FROM pairs WHERE dist <= 4
         |ORDER BY id_a, id_b""".stripMargin,
+    // gram matrix: double-widened products summed per (i, j) cell, the
+    // same upper triangle
+    "x100_gram_matrix" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT ii.i, jj.j, COUNT(*) AS n_vecs,
+        |  ROUND(SUM(v[ii.i+1] * v[jj.j+1]), 6) AS g
+        |FROM e, range(64) ii(i), range(64) jj(j)
+        |WHERE jj.j >= ii.i GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // full blocks only (partial tails dropped, <16-byte docs emit nothing);
     // OCTET_LENGTH on the blob, not LENGTH: the Spark side frames UTF-8
     // BYTES, and char counting would diverge on any non-ASCII document
