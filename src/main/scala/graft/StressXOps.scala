@@ -72,7 +72,7 @@ object StressXOps {
     // (simhash,minhash,cosine,decontaminate,pack,cc,quantile,pii,sample,
     // lines,quantize,spans,semdedup,bloominc,retrieval,qknn,classifier,
     // curation9,curation10,curation10b,curation10c,curation10d,curation10e,
-    // curation11) — default all
+    // curation11,…,graph,editdist,spectral) — default all
     val only = if (args.length > 2) args(2).split(",").toSet else Set.empty[String]
     def section(name: String): Boolean = only.isEmpty || only(name)
     val spark = SparkSession
@@ -2009,6 +2009,88 @@ object StressXOps {
       assert(wiRows == corpusN, s"record conservation: $wiRows != $corpusN")
       assert(invalid == damaged, s"invalid records: $invalid != $damaged")
       wiDf.unpersist()
+    }
+
+    // ---- pageRank: 5M nodes / ~15M edges / 5 synchronous iterations.
+    // Invariants: node conservation and total-mass conservation (the
+    // dangling redistribution makes Σpr = 1 an exact contract); the
+    // timing covers the whole iterative job (localCheckpoint is eager).
+    if (section("graph")) locally {
+      val n = nDocs
+      val ids = spark.range(n)
+      val edges = Seq((2L, 1L), (3L, 2L), (4L, 3L))
+        .map { case (a, b) =>
+          ids.select(col("id").as("src"), ((col("id") * a + b) % n).as("dst"))
+        }
+        .reduce(_ unionAll _)
+        .where(col("src") =!= col("dst"))
+      val t0 = System.nanoTime()
+      val pr = operators.GraphOps.pageRank(edges, iters = 5).persist()
+      val cnt = pr.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val total = pr.agg(sum(col("pr"))).head().getDouble(0)
+      val mx = pr.agg(max(col("pr")), min(col("pr"))).head()
+      println(f"[stressx] pageRank @ $n%d nodes / ~${n * 3}%d edges, 5 iters: $sec%.1f s; nodes=$cnt mass=$total%.9f pr∈[${mx.getDouble(1)}%.3e, ${mx.getDouble(0)}%.3e]")
+      assert(cnt == n, s"node conservation: $cnt != $n")
+      assert(math.abs(total - 1.0) < 1e-6, s"mass conservation: $total")
+      pr.unpersist()
+    }
+
+    // ---- PassJoin edit-distance pairs at 2M+ strings (60-char prefixes,
+    // k=3): the planted twins perturb token 0, so the subset within
+    // distance 3 is computable exactly from the twin mapping — PassJoin
+    // must find precisely that subset (exactness, not recall).
+    if (section("editdist")) locally {
+      val strs = corpus
+        .where(col("id") < 2000000L || col("id") >= TwinOffset)
+        .select(col("id"), substring(col("text"), 1, 60).as("s"))
+        .persist()
+      val nStr = strs.count()
+      val pairs = operators.EditDistance.editDistancePairs(strs, col("id"), col("s"), k = 3)
+      val (sec, total, h, _) = run(pairs)
+      val found = pairs.persist()
+      val foundPlanted = found
+        .filter(abs(col("id_b") - col("id_a")) === TwinOffset)
+        .count()
+      val eligible = strs
+        .where(col("id") >= TwinOffset)
+        .select((col("id") - TwinOffset).as("bid"), col("s").as("ts"))
+        .join(strs.select(col("id").as("bid"), col("s").as("bs")), "bid")
+        .filter(levenshtein(col("bs"), col("ts"), 3) >= 0)
+        .count()
+      println(f"[stressx] editDistancePairs(k=3) @ $nStr%d strings: $sec%.1f s, pairs=$total (planted-eligible=$eligible found=$foundPlanted, background=${total - foundPlanted})")
+      println(s"[stressx]   plan: $h")
+      assert(foundPlanted == eligible, s"PassJoin exactness: $foundPlanted != $eligible")
+      found.unpersist()
+      strs.unpersist()
+    }
+
+    // ---- gram matrix + power iteration at 2M × dim-64 vectors with a
+    // planted dominant direction: the corpus-scale pass is the dim²
+    // map-side-agg explode; the eigen step is driver math on the
+    // collected 64×64 matrix. Asserts cell counts, planted alignment.
+    if (section("spectral")) locally {
+      val dim = 64
+      val vecs = spark
+        .range(nVecs)
+        .select(
+          array((0 until dim).map { j =>
+            val noise = ((pmod(xxhash64(col("id"), lit(j)), lit(2001)) - 1000) / lit(1000.0))
+            val planted = lit(if (j % 2 == 0) 0.125 else -0.125) * ((pmod(col("id"), lit(7)) + 1) * lit(0.3))
+            (noise + planted).cast("double")
+          }: _*).as("v")
+        )
+      val gram = operators.Spectral.gramMatrix(vecs, col("v"))
+      val (sec, cells, h, _) = run(gram)
+      val m = operators.Spectral.gramToMatrix(gram)
+      val top = operators.Spectral.topComponent(m)
+      val s8 = 1.0 / math.sqrt(dim.toDouble)
+      val cosU = math.abs(top.zipWithIndex.map { case (x, j) => x * (if (j % 2 == 0) s8 else -s8) }.sum)
+      val lambda = operators.Spectral.rayleigh(m, top)
+      println(f"[stressx] gramMatrix @ $nVecs%d × $dim: $sec%.1f s, cells=$cells; top-component |cos|=$cosU%.4f λ=$lambda%.3e")
+      println(s"[stressx]   plan: $h")
+      assert(cells == dim.toLong * (dim + 1) / 2, s"cells: $cells")
+      assert(cosU > 0.95, s"planted direction not recovered: $cosU")
     }
 
     corpus.unpersist()

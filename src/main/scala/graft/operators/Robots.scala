@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt fetch-permission gate — the crawl-compliance filter of a
+  * web-corpus pipeline: before a URL's content may enter the corpus, the
+  * origin's robots policy must allow fetching it. Implements the
+  * longest-match subset of the Robots Exclusion Protocol (RFC 9309):
+  * groups of `User-agent` lines followed by `Allow`/`Disallow` rules;
+  * if any group names the caller's agent, ONLY those groups apply,
+  * otherwise the `*` groups; the longest matching rule prefix decides,
+  * `Allow` winning length ties; no matching rule (or no robots at all)
+  * means allowed. Documented simplifications: agent match is exact
+  * case-insensitive (not product-token substring), rule paths are
+  * literal prefixes (no `*`/`$` wildcards), and empty-valued rules are
+  * the no-op the RFC says they are.
+  *
+  * 100 TB shape: robots.txt is MODEL-side data — one small blob per
+  * domain, parsed with per-domain windows over a few dozen lines (the
+  * window partition is a single robots file, never corpus-scale), and
+  * the resulting rule table broadcasts to the URL corpus; the only
+  * corpus-scale work is one broadcast join + a per-URL partial-agg
+  * argmax on (prefix_len, is_allow). A domain with a pathological
+  * rule count inflates the broadcast, not a shuffle partition.
+  */
+object Robots {
+
+  /** Parse robots blobs into grouped directives:
+    * `(domain, gid, field, value)` with `field ∈ {user-agent, allow,
+    * disallow}`, comments/blank/unknown lines dropped, CRLF tolerated,
+    * field names case-insensitive. `gid` increments at each User-agent
+    * line that starts a new group (a run of consecutive User-agent
+    * lines shares its group, per the RFC).
+    */
+  def parseRules(robots: DataFrame, domainCol: Column, txtCol: Column): DataFrame = {
+    val lines = robots
+      .select(domainCol.as("domain"), posexplode(split(txtCol, "\r?\n")).as(Seq("ln", "raw")))
+      .select(col("domain"), col("ln"), trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+      .where(col("line") =!= "")
+      .select(
+        col("domain"),
+        col("ln"),
+        lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))).as("field"),
+        trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)).as("value")
+      )
+      .where(col("field").isin("user-agent", "allow", "disallow"))
+    val w = Window.partitionBy(col("domain")).orderBy(col("ln"))
+    lines
+      .withColumn("__prev", lag(col("field"), 1).over(w))
+      .withColumn(
+        "__new",
+        (col("field") === "user-agent" &&
+          (col("__prev").isNull || col("__prev") =!= "user-agent")).cast("int")
+      )
+      .withColumn("gid", sum(col("__new")).over(w))
+      .select(col("domain"), col("gid"), col("field"), col("value"))
+  }
+
+  /** Per-URL fetch decision for `agent`:
+    * `(url_id, domain, path, matched_len, allowed)` — `matched_len` is
+    * the winning rule's prefix length (0 when no rule matched).
+    */
+  def fetchGate(
+      urls: DataFrame,
+      urlIdCol: Column,
+      urlDomainCol: Column,
+      pathCol: Column,
+      robots: DataFrame,
+      robotsDomainCol: Column,
+      txtCol: Column,
+      agent: String
+  ): DataFrame = {
+    val parsed = parseRules(robots, robotsDomainCol, txtCol)
+    val groups = parsed
+      .where(col("field") === "user-agent")
+      .groupBy(col("domain"), col("gid"))
+      .agg(
+        max((lower(col("value")) === agent.toLowerCase).cast("int")).as("has_agent"),
+        max((col("value") === "*").cast("int")).as("has_star")
+      )
+    val domainMode = groups.groupBy(col("domain")).agg(max(col("has_agent")).as("any_agent"))
+    val selected = groups
+      .join(domainMode, "domain")
+      .where(
+        (col("any_agent") === 1 && col("has_agent") === 1) ||
+          (col("any_agent") === 0 && col("has_star") === 1)
+      )
+      .select(col("domain"), col("gid"))
+    val rules = parsed
+      .where(col("field").isin("allow", "disallow") && col("value") =!= "")
+      .join(selected, Seq("domain", "gid"))
+      .select(
+        col("domain"),
+        (col("field") === "allow").cast("int").as("__a"),
+        col("value").as("__prefix"),
+        length(col("value")).as("__plen")
+      )
+
+    val u = urls.select(urlIdCol.as("url_id"), urlDomainCol.as("domain"), pathCol.as("path"))
+    val best = u
+      .join(broadcast(rules), Seq("domain"))
+      .where(col("path").startsWith(col("__prefix")))
+      .groupBy(col("url_id"))
+      .agg(max(struct(col("__plen"), col("__a"))).as("__b"))
+      .select(
+        col("url_id"),
+        col("__b.__plen").as("__mlen"),
+        (col("__b.__a") === 1).as("__allow")
+      )
+    u.join(best, Seq("url_id"), "left")
+      .select(
+        col("url_id"),
+        col("domain"),
+        col("path"),
+        coalesce(col("__mlen"), lit(0)).cast("int").as("matched_len"),
+        coalesce(col("__allow"), lit(true)).as("allowed")
+      )
+  }
+}

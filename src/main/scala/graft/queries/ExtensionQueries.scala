@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Audit, ConnectedComponents, CorpusOps, Dedup, EditDistance, GraphOps, Multimodal, Similarity, Spectral, TextOps}
+import graft.operators.{Audit, ConnectedComponents, CorpusOps, Dedup, EditDistance, GraphOps, Multimodal, Robots, Similarity, Spectral, TextOps}
 
 /** Training-data-pipeline extensions (builder prompt): deduplication,
   * similarity search, text analysis, multimodal plumbing — the operations a
@@ -1973,6 +1973,49 @@ object ExtensionQueries {
         .select(col("i"), col("j"), col("n_vecs"), round(col("g"), 6).as("g"))
         .orderBy(col("i"), col("j"))),
 
+    // robots.txt fetch gate: per-domain robots blobs built in-query
+    // (star group: Disallow /private, Allow /private/ok, Disallow /tmp;
+    // domains ≡0 mod 3 add a graftbot-specific group that then applies
+    // EXCLUSIVELY per the RFC), six URL classes per doc_id mod 6. The
+    // oracle constructs the expected decision from the grammar.
+    "x101_robots_gate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val dnum = regexp_extract(col("domain"), "src([0-9]+)", 1).cast("int")
+      val robots = docs
+        .select(col("source").as("domain"))
+        .distinct()
+        .select(
+          col("domain"),
+          concat(
+            lit("# synthetic robots\r\nUser-agent: *\nCrawl-delay: 5\nDisallow: /private\nallow: /private/ok\nDisallow: /tmp\n\nSitemap: https://x/sitemap.xml\n"),
+            when(
+              dnum % 3 === 0,
+              lit("User-agent: graftbot\nDisallow: /graft-only\nAllow: /graft-only/open\n")
+            ).otherwise(lit(""))
+          ).as("robots_txt")
+        )
+      val urls = docs.select(
+        col("doc_id").as("url_id"),
+        col("source").as("domain"),
+        concat(
+          when(col("doc_id") % 6 === 0, lit("/private/ok/p"))
+            .when(col("doc_id") % 6 === 1, lit("/private/z"))
+            .when(col("doc_id") % 6 === 2, lit("/pub/x"))
+            .when(col("doc_id") % 6 === 3, lit("/graft-only/open/a"))
+            .when(col("doc_id") % 6 === 4, lit("/graft-only/z"))
+            .otherwise(lit("/tmp/t")),
+          col("doc_id")
+        ).as("path")
+      )
+      Robots
+        .fetchGate(
+          urls, col("url_id"), col("domain"), col("path"),
+          robots, col("domain"), col("robots_txt"),
+          agent = "GraftBot"
+        )
+        .orderBy(col("url_id"))
+    }),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -3729,6 +3772,26 @@ object ExtensionQueries {
         |  ROUND(SUM(v[ii.i+1] * v[jj.j+1]), 6) AS g
         |FROM e, range(64) ii(i), range(64) jj(j)
         |WHERE jj.j >= ii.i GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // robots gate: the oracle replays the DECISION TABLE the grammar
+    // implies (star group unless the domain publishes a graftbot group,
+    // longest prefix wins, allow wins ties, no match = allowed)
+    "x101_robots_gate" ->
+      """WITH u AS (SELECT doc_id AS url_id, source AS domain,
+        |    CAST(SUBSTR(source, 4) AS INT) % 3 = 0 AS spec,
+        |    doc_id % 6 AS c
+        |  FROM documents)
+        |SELECT url_id, domain,
+        |  CASE c WHEN 0 THEN '/private/ok/p' || url_id
+        |         WHEN 1 THEN '/private/z' || url_id
+        |         WHEN 2 THEN '/pub/x' || url_id
+        |         WHEN 3 THEN '/graft-only/open/a' || url_id
+        |         WHEN 4 THEN '/graft-only/z' || url_id
+        |         ELSE '/tmp/t' || url_id END AS path,
+        |  CAST(CASE WHEN spec THEN (CASE c WHEN 3 THEN 16 WHEN 4 THEN 11 ELSE 0 END)
+        |       ELSE (CASE c WHEN 0 THEN 11 WHEN 1 THEN 8 WHEN 5 THEN 4 ELSE 0 END)
+        |       END AS INT) AS matched_len,
+        |  CASE WHEN spec THEN c <> 4 ELSE (c <> 1 AND c <> 5) END AS allowed
+        |FROM u ORDER BY url_id""".stripMargin,
     // full blocks only (partial tails dropped, <16-byte docs emit nothing);
     // OCTET_LENGTH on the blob, not LENGTH: the Spark side frames UTF-8
     // BYTES, and char counting would diverge on any non-ASCII document
