@@ -1671,6 +1671,46 @@ object CorpusOps {
       )
   }
 
+  /** CSV corpus ingestion with corrupt-line accounting — the [[jsonlIngest]]
+    * discipline applied to RFC 4180 CSV (quoted fields, embedded
+    * commas/quotes via `""` doubling): parse each line against
+    * `doc_id BIGINT, text STRING, lang STRING, n_chars INT` in PERMISSIVE
+    * mode and carry `is_corrupt` instead of dropping or failing.
+    * Empirically-pinned Spark semantics (see `CsvIngestSpec`): a
+    * type-mismatched or missing/surplus field flags the line corrupt but
+    * KEEPS the well-formed fields (unlike JSON, which nulls the row), an
+    * unterminated quote consumes the rest of the line into the open
+    * field and flags corrupt, and a NULL input line parses to a null
+    * struct that would silently mislabel as valid — it is flagged
+    * explicitly, one invalid row, nothing poisoned. Pure per-row
+    * projection; zero shuffle.
+    */
+  def csvIngest(df: DataFrame, lineIdCol: Column, lineCol: Column): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("doc_id BIGINT, text STRING, lang STRING, n_chars INT, _corrupt STRING")
+    df.select(
+        lineIdCol.as("line_id"),
+        lineCol.isNull.as("__null_line"),
+        from_csv(
+          lineCol,
+          schema,
+          Map(
+            "mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt",
+            "escape" -> "\""
+          )
+        ).as("c")
+      )
+      .select(
+        col("line_id"),
+        col("c.doc_id").as("doc_id"),
+        col("c.text").as("text"),
+        col("c.lang").as("lang"),
+        col("c.n_chars").as("n_chars"),
+        (col("c._corrupt").isNotNull || col("__null_line")).as("is_corrupt")
+      )
+  }
+
   /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm):
     * from the k-gram digest sequence, select each window-of-`w`'s minimal
     * digest (leftmost position on equal digests) — the guarantee-bearing

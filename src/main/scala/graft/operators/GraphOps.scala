@@ -45,6 +45,32 @@ object GraphOps {
         ).as("href")
       )
 
+  /** Extract anchor ELEMENTS with their link text: one row per
+    * `<a href="…">text</a>` occurrence, `(src, href, anchor)` with the
+    * anchor text trimmed. Anchor text is the classic relevance/quality
+    * signal for the link TARGET (what the web calls a page is often
+    * better evidence than the page's own boilerplate) — aggregate it
+    * per dst for target-side features. Same RE2-safe contract as
+    * [[htmlLinks]]; anchors with markup inside the text (nested tags)
+    * are out of the fixed-layout contract and simply don't match.
+    */
+  def anchors(df: DataFrame, idCol: Column, htmlCol: Column): DataFrame =
+    df.select(
+        idCol.as("src"),
+        explode(
+          regexp_extract_all(
+            htmlCol,
+            lit("(?i)<a[^>]*href=\"[^\"]*\"[^>]*>[^<]*</a>"),
+            lit(0)
+          )
+        ).as("elem")
+      )
+      .select(
+        col("src"),
+        regexp_extract(col("elem"), "(?i)href=\"([^\"]*)\"", 1).as("href"),
+        trim(regexp_extract(col("elem"), ">([^<]*)<", 1)).as("anchor")
+      )
+
   /** PageRank over a directed edge list `(src, dst)`, `iters` synchronous
     * iterations at damping `d`: pr' = (1−d)/n + d·(Σ_in pr/out_deg + dm/n)
     * where dm is the total rank mass of dangling nodes (no outlinks),

@@ -2016,6 +2016,78 @@ object ExtensionQueries {
         .orderBy(col("url_id"))
     }),
 
+    // CSV ingest with corrupt accounting: docs ≡0 mod 3 get an embedded
+    // quote+comma planted in the text (the RFC 4180 quoting path), docs
+    // ≡3 mod 10 get a type-mismatched n_chars ('12x34') — those flag
+    // corrupt but KEEP their well-formed fields (the pinned PERMISSIVE
+    // CSV contract, unlike JSON's null-row behavior).
+    "x102_csv_ingest" -> ((s, dir) => {
+      val shaped = when(col("doc_id") % 3 === 0, concat(lit("q\"c, "), col("text")))
+        .otherwise(col("text"))
+      val line = concat(
+        col("doc_id"), lit(","),
+        lit("\""), regexp_replace(shaped, "\"", "\"\""), lit("\""), lit(","),
+        col("lang"), lit(","),
+        when(col("doc_id") % 10 === 3, lit("12x34")).otherwise(col("n_chars").cast("string"))
+      )
+      CorpusOps
+        .csvIngest(
+          T(s, dir, "documents").select(col("doc_id").as("lid"), line.as("l")),
+          col("lid"),
+          col("l")
+        )
+        .select(
+          col("line_id"),
+          col("doc_id"),
+          md5(coalesce(col("text"), lit(""))).as("text_fp"),
+          col("lang"),
+          col("n_chars"),
+          col("is_corrupt")
+        )
+        .orderBy(col("line_id"))
+    }),
+
+    // Per-target anchor-text aggregation (the link-text relevance signal):
+    // inbound anchor count, distinct-source count, and the sorted distinct
+    // anchor sample per dst — distinct-then-sort two-level agg so no
+    // unbounded list rides a single partition.
+    "x103_anchor_text" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val d = docs.crossJoin(broadcast(n))
+      val d1 = (col("doc_id") * 2 + 1) % col("__n")
+      val d2 = (col("doc_id") * 3 + 2) % col("__n")
+      val html = concat(
+        lit("<html><body><a href=\"https://ex.com/"), d1, lit("\">go "), d1, lit("</a>"),
+        when(
+          col("doc_id") % 3 === 0,
+          concat(lit("<a href=\"https://ex.com/"), d1, lit("\">again</a>"))
+        ).otherwise(lit("")),
+        lit("<a href=\"https://ex.com/"), d2, lit("\">see "), d2, lit("</a>"),
+        lit("<p>"), col("text"), lit("</p></body></html>")
+      )
+      val a = GraphOps
+        .anchors(d.select(col("doc_id"), html.as("html")), col("doc_id"), col("html"))
+        .where(col("href").startsWith("https://ex.com/"))
+        .select(
+          regexp_extract(col("href"), "https://ex.com/([0-9]+)", 1).cast("long").as("dst"),
+          col("src"),
+          col("anchor")
+        )
+      val stats = a
+        .groupBy(col("dst"))
+        .agg(count(lit(1)).as("n_anchors"), count_distinct(col("src")).as("n_sources"))
+      val terms = a
+        .select(col("dst"), col("anchor"))
+        .distinct()
+        .groupBy(col("dst"))
+        .agg(
+          array_join(slice(array_sort(collect_list(col("anchor"))), 1, 100), "|")
+            .as("anchors_sample")
+        )
+      stats.join(terms, "dst").orderBy(col("dst"))
+    }),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -3792,6 +3864,48 @@ object ExtensionQueries {
         |       END AS INT) AS matched_len,
         |  CASE WHEN spec THEN c <> 4 ELSE (c <> 1 AND c <> 5) END AS allowed
         |FROM u ORDER BY url_id""".stripMargin,
+    // csv ingest: the oracle constructs the expected parse from the
+    // line grammar — quoting round-trips the shaped text, the planted
+    // type mismatch nulls ONLY n_chars and flags the line
+    "x102_csv_ingest" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'q"c, ' || text ELSE text END AS t,
+        |    lang, n_chars
+        |  FROM documents)
+        |SELECT doc_id AS line_id, doc_id, md5(t) AS text_fp, lang,
+        |  CASE WHEN doc_id % 10 = 3 THEN NULL
+        |       ELSE CAST(n_chars AS INT) END AS n_chars,
+        |  doc_id % 10 = 3 AS is_corrupt
+        |FROM d ORDER BY line_id""".stripMargin,
+    // anchor text: the same RE2-safe element pattern, href/text
+    // extraction per element, distinct-then-sort aggregation
+    "x103_anchor_text" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |h AS (SELECT doc_id,
+        |  '<html><body><a href="https://ex.com/' || ((doc_id*2+1) % nn.n) ||
+        |    '">go ' || ((doc_id*2+1) % nn.n) || '</a>' ||
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN '<a href="https://ex.com/' || ((doc_id*2+1) % nn.n) || '">again</a>'
+        |       ELSE '' END ||
+        |  '<a href="https://ex.com/' || ((doc_id*3+2) % nn.n) ||
+        |    '">see ' || ((doc_id*3+2) % nn.n) || '</a>' ||
+        |  '<p>' || text || '</p></body></html>' AS html
+        | FROM documents, nn),
+        |el AS (SELECT doc_id AS src,
+        |  UNNEST(regexp_extract_all(html, '(?i)<a[^>]*href="[^"]*"[^>]*>[^<]*</a>')) AS elem
+        |  FROM h),
+        |a AS (SELECT src,
+        |  CAST(regexp_extract(elem, 'https://ex.com/([0-9]+)', 1) AS BIGINT) AS dst,
+        |  TRIM(regexp_extract(elem, '>([^<]*)<', 1)) AS anchor
+        |  FROM el WHERE regexp_extract(elem, '(?i)href="([^"]*)"', 1) LIKE 'https://ex.com/%'),
+        |st AS (SELECT dst, COUNT(*) AS n_anchors, COUNT(DISTINCT src) AS n_sources
+        |  FROM a GROUP BY 1),
+        |t AS (SELECT DISTINCT dst, anchor FROM a),
+        |tt AS (SELECT dst,
+        |  ARRAY_TO_STRING(LIST_SLICE(LIST(anchor ORDER BY anchor), 1, 100), '|') AS anchors_sample
+        |  FROM t GROUP BY 1)
+        |SELECT st.dst, n_anchors, n_sources, anchors_sample
+        |FROM st JOIN tt USING (dst) ORDER BY dst""".stripMargin,
     // full blocks only (partial tails dropped, <16-byte docs emit nothing);
     // OCTET_LENGTH on the blob, not LENGTH: the Spark side frames UTF-8
     // BYTES, and char counting would diverge on any non-ASCII document

@@ -60,6 +60,19 @@ class GraphOpsSpec extends SparkTestBase {
     a.foreach { case (id, v) => assert(math.abs(v - b(id)) < 1e-15) }
   }
 
+  test("anchors pairs each href with its trimmed link text; nested-markup anchors don't match") {
+    val df = Seq(
+      (1L, """<a href="https://a/x">  Go here </a><A HREF="https://b/y">see</A>
+             |<a href="https://c/z"><b>nested</b></a><a>no href</a>""".stripMargin)
+    ).toDF("id", "html")
+    val got = GraphOps
+      .anchors(df, col("id"), col("html"))
+      .as[(Long, String, String)]
+      .collect()
+      .toSet
+    assert(got == Set((1L, "https://a/x", "Go here"), (1L, "https://b/y", "see")))
+  }
+
   test("htmlLinks extracts every href occurrence in document order semantics") {
     val df = Seq(
       (1L, """<html><a href="https://a/x">A</a><a class="z" HREF="https://b/y">B</a>
