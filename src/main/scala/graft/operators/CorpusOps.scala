@@ -1711,6 +1711,71 @@ object CorpusOps {
       )
   }
 
+  /** Per-domain boilerplate removal — the template stripper of a web
+    * pipeline: a line occurring in ≥ `fracNum/fracDen` of a domain's
+    * documents (with ≥ `minDocs` documents to judge from) is that
+    * domain's template (nav bars, cookie banners, footers) and is removed
+    * from every document of the domain. This is the DOMAIN-scoped sibling
+    * of the global C4 line dedup ([[lineDedup]]): global dedup keeps one
+    * occurrence somewhere; template stripping removes all of them, but
+    * only where frequency proves them boilerplate. The threshold is
+    * INTEGER arithmetic (df·fracDen ≥ n_docs·fracNum) so no float
+    * boundary can disagree across engines.
+    *
+    * Scale shape — text never shuffles: the frequency pass carries
+    * (domain, 16-byte line digest, doc) with map-side per-doc dedup, the
+    * boiler verdicts come back to each document as a BOUNDED int-array of
+    * line indexes via one id-keyed join, and reconstruction is an indexed
+    * lambda filter over the original text column in place. Returns
+    * (doc_id, n_lines, n_boiler, text_clean).
+    */
+  def domainBoilerplate(
+      df: DataFrame,
+      idCol: Column,
+      domainCol: Column,
+      text: Column,
+      fracNum: Int = 3,
+      fracDen: Int = 10,
+      minDocs: Int = 5
+  ): DataFrame = {
+    val docs = df.select(idCol.as("doc_id"), domainCol.as("domain"), text.as("__t"))
+    val lines = docs.select(
+      col("doc_id"),
+      col("domain"),
+      posexplode(split(col("__t"), "\n")).as(Seq("idx", "line"))
+    )
+    val nDocs = docs.groupBy(col("domain")).agg(count(lit(1)).as("__nd"))
+    val lineDf = lines
+      .select(col("domain"), col("doc_id"), md5(col("line")).as("fp"))
+      .distinct() // a line repeated within one doc counts once toward df
+      .groupBy(col("domain"), col("fp"))
+      .agg(count(lit(1)).as("__df"))
+    val boiler = lineDf
+      .join(nDocs, "domain")
+      .where(col("__df") * fracDen >= col("__nd") * fracNum && col("__nd") >= minDocs)
+      .select(col("domain"), col("fp"))
+    // verdicts per doc: the bounded int-array of boilerplate line indexes
+    val badIdx = lines
+      .select(col("doc_id"), col("domain"), col("idx"), md5(col("line")).as("fp"))
+      .join(boiler, Seq("domain", "fp"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("idx")).as("__bad"))
+    docs
+      .join(badIdx, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        size(split(col("__t"), "\n")).as("n_lines"),
+        coalesce(size(col("__bad")), lit(0)).as("n_boiler"),
+        array_join(
+          filter(
+            split(col("__t"), "\n"),
+            (l, i) => !coalesce(array_contains(col("__bad"), i), lit(false))
+          ),
+          "\n"
+        ).as("text_clean")
+      )
+  }
+
   /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm):
     * from the k-gram digest sequence, select each window-of-`w`'s minimal
     * digest (leftmost position on equal digests) — the guarantee-bearing

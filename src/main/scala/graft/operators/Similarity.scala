@@ -873,4 +873,61 @@ object Similarity {
         ).as("margin")
       )
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk, "Margin-based Parallel
+    * Corpus Mining with Multilingual Sentence Embeddings", ACL 2019 —
+    * the LASER/CCMatrix recipe): pair each source-side embedding x with
+    * its best target y, scored not by raw cosine but by the RATIO margin
+    * cos(x,y) / mean(avgTopK(x→Y), avgTopK(y→X)) — the local-density
+    * normalization that kills hubness false positives — and gated on
+    * margin ≥ `threshold` AND mutual nearest neighborhood.
+    *
+    * Determinism/portability: cosines are 6dp-rounded BEFORE ranking and
+    * averaging, ranks tie-break on id, so every downstream decision
+    * replays bit-equal in any engine (the x85 discipline).
+    *
+    * Scale: this is the EXACT all-pairs variant — |X|·|Y| scored rows,
+    * then two bounded row_number windows (partitions = |Y| resp. |X|).
+    * The right 100 TB shape keeps this exact scorer but feeds it
+    * LSH/IVF-restricted candidate pairs from the existing ANN operators
+    * instead of the cross join; the margin math is unchanged, so this
+    * function doubles as the calibration oracle for that pipeline.
+    */
+  def bitextMine(
+      x: DataFrame,
+      y: DataFrame,
+      xIdCol: Column,
+      xVecCol: Column,
+      yIdCol: Column,
+      yVecCol: Column,
+      k: Int = 4,
+      threshold: Double = 1.05
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val xs = x.select(xIdCol.as("x_id"), transform(xVecCol, _.cast("double")).as("__xv"))
+    val ys = y.select(yIdCol.as("y_id"), transform(yVecCol, _.cast("double")).as("__yv"))
+    val scored = xs
+      .crossJoin(ys)
+      .select(col("x_id"), col("y_id"), round(cosine(col("__xv"), col("__yv")), 6).as("c"))
+    val wx = Window.partitionBy(col("x_id")).orderBy(col("c").desc, col("y_id").asc)
+    val wy = Window.partitionBy(col("y_id")).orderBy(col("c").desc, col("x_id").asc)
+    val ranked = scored
+      .withColumn("rx", row_number().over(wx))
+      .withColumn("ry", row_number().over(wy))
+    val ax = ranked.where(col("rx") <= k).groupBy(col("x_id")).agg(avg(col("c")).as("__ax"))
+    val ay = ranked.where(col("ry") <= k).groupBy(col("y_id")).agg(avg(col("c")).as("__ay"))
+    val margin = round(col("c") * 2 / (col("__ax") + col("__ay")), 6)
+    ranked
+      .where(col("rx") === 1)
+      .join(ax, "x_id")
+      .join(ay, "y_id")
+      .select(
+        col("x_id"),
+        col("y_id").as("y_best"),
+        col("c").as("cos"),
+        margin.as("margin"),
+        (col("ry") === 1).as("mutual"),
+        (margin >= threshold && col("ry") === 1).as("accepted")
+      )
+  }
 }

@@ -2088,6 +2088,53 @@ object ExtensionQueries {
       stats.join(terms, "dst").orderBy(col("dst"))
     }),
 
+    // Per-domain template stripping: every doc gets a domain header line
+    // (df 100% → boiler), ≡0 mod 2 a semi-common line (50% ≥ 30% →
+    // boiler), ≡0 mod 10 a rare line (10% < 30% → kept). Integer
+    // threshold arithmetic; text reconstructed by indexed-lambda filter.
+    "x104_domain_boilerplate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val shaped = concat(
+        lit("HDR "), col("source"), lit("\n"),
+        when(col("doc_id") % 2 === 0, concat(lit("SEMI "), col("source"), lit("\n")))
+          .otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 10 === 0, concat(lit("\nRARE "), col("doc_id")))
+          .otherwise(lit(""))
+      )
+      CorpusOps
+        .domainBoilerplate(
+          docs.select(col("doc_id"), col("source"), shaped.as("t")),
+          col("doc_id"),
+          col("source"),
+          col("t")
+        )
+        .select(
+          col("doc_id"),
+          col("n_lines"),
+          col("n_boiler"),
+          md5(col("text_clean")).as("clean_fp")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
+    // Margin-based bitext mining: X = even vec_ids, Y = odd vec_ids plus
+    // planted perturbed twins of X (≡0 mod 10) — twins must pair with
+    // their source at high ratio margin and mutual-NN; the raw-cosine
+    // hubness false positives fall to the margin normalization.
+    "x105_bitext_mine" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val xs = e.where(col("vec_id") % 2 === 0)
+      val twins = xs
+        .where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"), perturb(col("v")).as("v"))
+      val ys = e.where(col("vec_id") % 2 === 1).unionAll(twins)
+      Similarity
+        .bitextMine(xs, ys, col("vec_id"), col("v"), col("vec_id"), col("v"))
+        .orderBy(col("x_id"))
+    }),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -3906,6 +3953,59 @@ object ExtensionQueries {
         |  FROM t GROUP BY 1)
         |SELECT st.dst, n_anchors, n_sources, anchors_sample
         |FROM st JOIN tt USING (dst) ORDER BY dst""".stripMargin,
+    // domain boilerplate: full relational replay — per-doc-distinct line
+    // frequency, integer threshold, indexed-lambda reconstruction
+    // (DuckDB's lambda index is 1-based, the engine's 0-based)
+    "x104_domain_boilerplate" ->
+      """WITH d AS (SELECT doc_id, source AS domain,
+        |    'HDR ' || source || chr(10) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN 'SEMI ' || source || chr(10) ELSE '' END ||
+        |    text ||
+        |    CASE WHEN doc_id % 10 = 0 THEN chr(10) || 'RARE ' || doc_id ELSE '' END AS t
+        |  FROM documents),
+        |s AS (SELECT doc_id, domain, t, STRING_SPLIT(t, chr(10)) AS ts FROM d),
+        |li AS (SELECT doc_id, domain, UNNEST(ts) AS line,
+        |    UNNEST(RANGE(0, LEN(ts))) AS idx FROM s),
+        |lf AS (SELECT DISTINCT domain, doc_id, md5(line) AS fp FROM li),
+        |dfc AS (SELECT domain, fp, COUNT(*) AS dfn FROM lf GROUP BY 1, 2),
+        |nd AS (SELECT domain, COUNT(*) AS ndn FROM d GROUP BY 1),
+        |b AS (SELECT domain, fp FROM dfc JOIN nd USING (domain)
+        |  WHERE dfn * 10 >= ndn * 3 AND ndn >= 5),
+        |bad AS (SELECT li.doc_id, LIST(li.idx) AS bad FROM li
+        |  JOIN b ON b.domain = li.domain AND b.fp = md5(li.line) GROUP BY 1),
+        |f AS (SELECT s.doc_id, s.ts,
+        |    COALESCE(bad.bad, CAST([] AS BIGINT[])) AS badl
+        |  FROM s LEFT JOIN bad USING (doc_id))
+        |SELECT doc_id, CAST(LEN(ts) AS INT) AS n_lines,
+        |  CAST(LEN(badl) AS INT) AS n_boiler,
+        |  md5(ARRAY_TO_STRING(
+        |    LIST_FILTER(ts, (x, i) -> NOT LIST_CONTAINS(badl, i - 1)),
+        |    chr(10))) AS clean_fp
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // bitext mining: exact all-pairs replay — 6dp cosines ranked with id
+    // tie-breaks, top-4 density averages, ratio margin, mutual-NN gate
+    "x105_bitext_mine" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id AS xid, v FROM e WHERE vec_id % 2 = 0),
+        |tw AS (SELECT vec_id + 10000000 AS yid, LIST_TRANSFORM(v, x -> $perturbSql) AS v
+        |  FROM e WHERE vec_id % 2 = 0 AND vec_id % 10 = 0),
+        |y AS (SELECT vec_id AS yid, v FROM e WHERE vec_id % 2 = 1
+        |  UNION ALL SELECT * FROM tw),
+        |sc AS (SELECT xid, yid, ROUND(list_cosine_similarity(x.v, y.v), 6) AS c
+        |  FROM x, y),
+        |r AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY xid ORDER BY c DESC, yid) AS rx,
+        |    ROW_NUMBER() OVER (PARTITION BY yid ORDER BY c DESC, xid) AS ry
+        |  FROM sc),
+        |ax AS (SELECT xid, AVG(c) AS ax FROM r WHERE rx <= 4 GROUP BY 1),
+        |ay AS (SELECT yid, AVG(c) AS ay FROM r WHERE ry <= 4 GROUP BY 1),
+        |b AS (SELECT * FROM r WHERE rx = 1)
+        |SELECT b.xid AS x_id, b.yid AS y_best, b.c AS cos,
+        |  ROUND(b.c * 2 / (ax.ax + ay.ay), 6) AS margin,
+        |  b.ry = 1 AS mutual,
+        |  (ROUND(b.c * 2 / (ax.ax + ay.ay), 6) >= 1.05 AND b.ry = 1) AS accepted
+        |FROM b JOIN ax USING (xid) JOIN ay ON ay.yid = b.yid
+        |ORDER BY x_id""".stripMargin,
     // full blocks only (partial tails dropped, <16-byte docs emit nothing);
     // OCTET_LENGTH on the blob, not LENGTH: the Spark side frames UTF-8
     // BYTES, and char counting would diverge on any non-ASCII document

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusOps, Similarity}
+
+class BoilerplateBitextSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("domainBoilerplate strips lines above the frequency threshold, respects minDocs, keeps order") {
+    // domain "a": 6 docs, header on all (6/6), semi on 3 (3/6 = 50% >= 30%),
+    // rare on 1 (kept). domain "b": 2 docs (< minDocs=5) — nothing stripped.
+    val docs = (0 until 6).map { i =>
+      val semi = if (i % 2 == 0) "SEMI-A\n" else ""
+      val rare = if (i == 0) "\nRARE" else ""
+      (i.toLong, "a", s"HDR-A\n${semi}body $i$rare")
+    } ++ Seq((10L, "b", "HDR-B\nbody x"), (11L, "b", "HDR-B\nbody y"))
+    val got = CorpusOps
+      .domainBoilerplate(docs.toDF("id", "dom", "t"), col("id"), col("dom"), col("t"))
+      .as[(Long, Int, Int, String)]
+      .collect()
+      .map(r => r._1 -> r)
+      .toMap
+    assert(got(0L) == ((0L, 4, 2, "body 0\nRARE")))  // hdr+semi stripped, rare kept
+    assert(got(1L) == ((1L, 2, 1, "body 1")))
+    assert(got(2L) == ((2L, 3, 2, "body 2")))
+    assert(got(10L) == ((10L, 2, 0, "HDR-B\nbody x"))) // minDocs guard
+  }
+
+  test("domainBoilerplate counts a line once per doc toward frequency, strips every occurrence") {
+    // the header appears TWICE in doc 0 — df must still be 5/5 once per
+    // doc, and both occurrences must be stripped from doc 0.
+    val docs = (0 until 5).map { i =>
+      val t = if (i == 0) s"HDR\nbody $i\nHDR" else s"HDR\nbody $i"
+      (i.toLong, "d", t)
+    }
+    val got = CorpusOps
+      .domainBoilerplate(docs.toDF("id", "dom", "t"), col("id"), col("dom"), col("t"))
+      .as[(Long, Int, Int, String)]
+      .collect()
+      .map(r => r._1 -> r)
+      .toMap
+    assert(got(0L) == ((0L, 3, 2, "body 0")))
+    assert(got(1L) == ((1L, 2, 1, "body 1")))
+  }
+
+  test("bitextMine pairs planted twins at high margin with mutual-NN; margin beats raw cosine on density") {
+    // X: 20 well-separated "sentence" embeddings; Y: perturbed twins of
+    // the first 10 plus 10 unrelated distractors.
+    val dim = 16
+    // SIGNED components: an all-positive corpus is degenerate (every
+    // cosine ≈ 0.99, margins pinned to ~1.0 — no density signal).
+    def unit(seed: Int): Array[Double] = {
+      val raw = Array.tabulate(dim)(j => math.sin(seed * 31 + j * 7))
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n)
+    }
+    val xs = (0 until 20).map(i => (i.toLong, unit(i).map(_.toFloat)))
+    val twins = (0 until 10).map { i =>
+      (1000L + i, unit(i).map(v => (v * 1.001 + 0.0005).toFloat))
+    }
+    val distract = (50 until 60).map(i => (i.toLong, unit(i).map(_.toFloat)))
+    val got = Similarity
+      .bitextMine(
+        xs.toDF("id", "v"), (twins ++ distract).toDF("id", "v"),
+        col("id"), col("v"), col("id"), col("v"),
+        threshold = 1.03
+      )
+      .as[(Long, Long, Double, Double, Boolean, Boolean)]
+      .collect()
+      .map(r => r._1 -> r)
+      .toMap
+    // every planted twin is its source's best, mutual, and accepted
+    (0 until 10).foreach { i =>
+      val r = got(i.toLong)
+      assert(r._2 == 1000L + i, s"x=$i paired with ${r._2}")
+      assert(r._5 && r._6, s"x=$i not mutual/accepted: $r")
+      assert(r._4 > 1.03, s"x=$i margin ${r._4}")
+    }
+    // no unpaired source can be ACCEPTED with someone else's twin: the
+    // twin's own mutual best is its source, so ry > 1 kills the steal
+    (10 until 20).foreach { i =>
+      val r = got(i.toLong)
+      assert(!(r._2 >= 1000L && r._6), s"x=$i accepted someone's twin: $r")
+    }
+  }
+}
