@@ -2093,6 +2093,78 @@ object StressXOps {
       assert(cosU > 0.95, s"planted direction not recovered: $cosU")
     }
 
+    // ---- domain boilerplate at 5M docs / 1000 domains: planted header
+    // (100% df) + semi line (50%) stripped, rare line (1%) kept — the
+    // clean text must equal the constructed expectation doc for doc.
+    if (section("boiler")) locally {
+      val dom = pmod(col("id"), lit(1000)).cast("string")
+      val shaped = corpus.select(
+        col("id"),
+        dom.as("domain"),
+        concat(
+          lit("HDR "), dom, lit("\n"),
+          when(pmod(col("id"), lit(2)) === 0, concat(lit("SEMI "), dom, lit("\n"))).otherwise(lit("")),
+          col("text"),
+          when(pmod(col("id"), lit(100)) === 0, concat(lit("\nRARE "), col("id"))).otherwise(lit(""))
+        ).as("t")
+      )
+      val bp = operators.CorpusOps.domainBoilerplate(shaped, col("id"), col("domain"), col("t"))
+      val (sec, rows, h, _) = run(bp)
+      val bpP = bp.persist()
+      val expected = corpus.select(
+        col("id").as("doc_id"),
+        md5(
+          concat(
+            col("text"),
+            when(pmod(col("id"), lit(100)) === 0, concat(lit("\nRARE "), col("id"))).otherwise(lit(""))
+          )
+        ).as("want")
+      )
+      val mismatches = bpP
+        .join(expected, "doc_id")
+        .filter(md5(col("text_clean")) =!= col("want"))
+        .count()
+      val wrongBoiler = bpP
+        .filter(col("n_boiler") =!= lit(1) + (lit(1) - pmod(col("doc_id"), lit(2))).cast("int"))
+        .count()
+      println(f"[stressx] domainBoilerplate @ $rows%d docs / 1000 domains: $sec%.1f s; clean-text mismatches=$mismatches wrong-boiler-counts=$wrongBoiler")
+      println(s"[stressx]   plan: $h")
+      assert(rows == corpusN, s"doc conservation: $rows != $corpusN")
+      assert(mismatches == 0 && wrongBoiler == 0)
+      bpP.unpersist()
+    }
+
+    // ---- bitext mining at calibration scale (8k × 8.8k = 70M scored
+    // pairs, dim 64): every planted twin must be paired with its source,
+    // mutual, and accepted; no other source may be accepted with a twin.
+    if (section("bitext")) locally {
+      val dim = 64
+      def vec(saltCol: Column): Column =
+        array((0 until dim).map { j =>
+          ((pmod(xxhash64(saltCol, lit(j)), lit(2001)) - 1000) / lit(1000.0)).cast("double")
+        }: _*)
+      val xs = spark.range(8000).select(col("id"), vec(col("id")).as("v"))
+      val twins = spark
+        .range(800)
+        .select((col("id") * 10).as("bid"))
+        .select((col("bid") + TwinOffset).as("id"), transform(vec(col("bid")), x => x * lit(1.0005) + lit(0.0002)).as("v"))
+      val distract = spark.range(8000).select((col("id") + 5000000L).as("id"), vec(col("id") + 5000000L).as("v"))
+      val ys = twins.unionByName(distract)
+      val bt = operators.Similarity.bitextMine(xs, ys, col("id"), col("v"), col("id"), col("v"))
+      val (sec, rows, h, _) = run(bt)
+      val btP = bt.persist()
+      val twinHits = btP
+        .filter(col("y_best") === col("x_id") + TwinOffset && col("accepted"))
+        .count()
+      val steals = btP.filter(col("y_best") >= TwinOffset && col("y_best") =!= col("x_id") + TwinOffset && col("accepted")).count()
+      println(f"[stressx] bitextMine @ 8000 × 8800 (70M pairs, dim $dim): $sec%.1f s; twin-accepted=$twinHits/800 steals=$steals")
+      println(s"[stressx]   plan: $h")
+      assert(rows == 8000L, s"one row per source: $rows")
+      assert(twinHits == 800L, s"twin recall: $twinHits")
+      assert(steals == 0L)
+      btP.unpersist()
+    }
+
     corpus.unpersist()
     spark.stop()
   }
