@@ -105,6 +105,32 @@ object AsOfJoin {
     asofBackward(grid, right, byCol, timeCol)
   }
 
+  /** Forward-fill (LOCF — last observation carried forward): per entity,
+    * in time order, replace null measurements with the most recent
+    * non-null one; rows before any observation stay null. The telemetry
+    * gap-fill every downstream resample/feature join assumes. One window
+    * per entity (`last(..., ignoreNulls)` over rows-unbounded-preceding —
+    * Spark keeps only the latest non-null in state, O(1) per row);
+    * entity-skew caveat: a single monster entity serializes its own
+    * partition — chunk by session first if that is a real shape.
+    * Returns the input plus `<value>_filled` and `was_filled`.
+    */
+  def gapFill(
+      df: DataFrame,
+      byCol: String,
+      timeCol: String,
+      tieCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(byCol))
+      .orderBy(col(timeCol), col(tieCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val filled = last(col(valueCol), ignoreNulls = true).over(w)
+    df.withColumn(s"${valueCol}_filled", filled)
+      .withColumn("was_filled", col(valueCol).isNull && filled.isNotNull)
+  }
+
   /** Range join: pairs (l, r) with `r.point` in [l.lower, l.upper).
     * Bucketized: both sides explode to coarse buckets of width
     * `bucketWidth`, equi-join on (key?, bucket), then the exact range

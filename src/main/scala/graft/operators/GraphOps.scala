@@ -71,6 +71,146 @@ object GraphOps {
         trim(regexp_extract(col("elem"), ">([^<]*)<", 1)).as("anchor")
       )
 
+  /** HITS hubs-and-authorities (Kleinberg, JACM 1999) over a directed
+    * edge list — the link-spam lens that complements [[pageRank]]: a
+    * farm of pages linking each other inflates PageRank but splits into
+    * hub-ness and authority-ness here, and a page with high hub but no
+    * authority is the classic directory/spam shape. Synchronous
+    * iterations, L1 normalization after each half-step (the standard L2
+    * only rescales the ranking — L1 keeps every arithmetic op a plain
+    * sum/divide that an oracle replays exactly; documented choice).
+    * Returns `(id, hub, auth)` UNROUNDED; round at the edge.
+    *
+    * Scale shape per half-step: one equi-join of scores against the
+    * checkpointed edge list + one partial-agg exchange (identical to
+    * [[pageRank]]'s iteration), plus a 1-row L1-total broadcast. Eagerly
+    * `localCheckpoint`ed per iteration.
+    */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    val nodes = e
+      .select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    var scores = nodes.select(col("id"), lit(1.0).as("hub"), lit(1.0).as("auth"))
+    var i = 0
+    while (i < iters) {
+      val authRaw = e
+        .join(scores.select(col("id"), col("hub")), e("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg(sum(col("hub")).as("__a"))
+      val authTot = authRaw.agg(sum(col("__a")).as("__ta"))
+      val auth = nodes
+        .join(authRaw, nodes("id") === authRaw("dst"), "left")
+        .crossJoin(broadcast(authTot))
+        .select(col("id"), (coalesce(col("__a"), lit(0.0)) / col("__ta")).as("auth"))
+      val hubRaw = e
+        .join(auth.select(col("id").as("__aid"), col("auth")), e("dst") === col("__aid"))
+        .groupBy(col("src"))
+        .agg(sum(col("auth")).as("__h"))
+      val hubTot = hubRaw.agg(sum(col("__h")).as("__th"))
+      val hub = nodes
+        .join(hubRaw, nodes("id") === hubRaw("src"), "left")
+        .crossJoin(broadcast(hubTot))
+        .select(col("id").as("__hid"), (coalesce(col("__h"), lit(0.0)) / col("__th")).as("hub"))
+      scores = auth
+        .join(hub, auth("id") === hub("__hid"))
+        .select(col("id"), col("hub"), col("auth"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    scores
+  }
+
+  /** Redirect-chain resolution by pointer doubling — the crawl-side
+    * canonicalization step that [[CorpusOps]]' URL dedup needs upstream:
+    * HTTP redirects form a functional graph (each source one target;
+    * duplicates collapse to `min(dst)` for determinism), and the final
+    * landing URL of every source is the fixpoint of following it. The
+    * naive walk is O(longest chain) sequential joins; pointer doubling
+    * (f ← f∘f per round, the classic parallel list-ranking trick)
+    * resolves every chain of length ≤ L in ⌈log₂ L⌉ self-joins of the
+    * (src, dst) mapping — each round ONE equi-join on ids, eagerly
+    * checkpointed. Sources still pointing at a redirecting URL after the
+    * rounds (a cycle, or a chain longer than `maxSteps`) are flagged
+    * unresolved with a null target: count-and-flag, never an infinite
+    * loop and never a silent wrong answer.
+    *
+    * Returns `(src, final_dst, is_resolved)` for every source in the
+    * redirect table.
+    */
+  def resolveRedirects(redirects: DataFrame, maxSteps: Int = 32): DataFrame = {
+    require(maxSteps >= 1, s"maxSteps must be >= 1, got $maxSteps")
+    val m = redirects
+      .groupBy(col("src"))
+      .agg(min(col("dst")).as("dst"))
+      .localCheckpoint(true)
+    var f = m // src -> target after 2^k hops (saturating at terminals)
+    val rounds = Math.max(1, 32 - Integer.numberOfLeadingZeros(maxSteps)) // ceil(log2)+1-ish
+    var k = 0
+    while (k < rounds) {
+      val hop = f.select(col("src").as("__s2"), col("dst").as("__d2"))
+      f = f
+        .join(hop, f("dst") === col("__s2"), "left")
+        .select(col("src"), coalesce(col("__d2"), col("dst")).as("dst"))
+        .localCheckpoint(true)
+      k += 1
+    }
+    // unresolved = the final pointer still redirects somewhere (cycle or
+    // over-long chain): its dst is a key of the mapping
+    f.join(m.select(col("src").as("__k")), f("dst") === col("__k"), "left")
+      .select(
+        col("src"),
+        when(col("__k").isNull, col("dst")).as("final_dst"),
+        col("__k").isNull.as("is_resolved")
+      )
+  }
+
+  /** Link-graph release audit — the dataset-card discipline applied to a
+    * crawl graph, one row per bucket: raw vs distinct edge counts
+    * (duplicate-link mass), self-loop count, reciprocated-pair count
+    * (each unordered pair once), and the bucket's max distinct
+    * out-degree (the hub-skew signal that decides salting). All exact
+    * integer counts; the reciprocity check is a semi-join of the
+    * distinct edge set against its own transpose.
+    */
+  def linkAudit(edges: DataFrame, bucketCol: Column): DataFrame = {
+    val raw = edges.select(bucketCol.as("bucket"), col("src"), col("dst"))
+    val dist = raw.distinct()
+    val nRaw = raw.groupBy(col("bucket")).agg(count(lit(1)).as("n_raw"))
+    val nDist = dist.groupBy(col("bucket")).agg(
+      count(lit(1)).as("n_distinct"),
+      sum(when(col("src") === col("dst"), 1L).otherwise(0L)).as("n_self")
+    )
+    val recip = dist
+      .where(col("src") < col("dst"))
+      .join(
+        dist.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"),
+        "left_semi"
+      )
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_reciprocal"))
+    val outDeg = dist
+      .groupBy(col("bucket"), col("src"))
+      .agg(count(lit(1)).as("__od"))
+      .groupBy(col("bucket"))
+      .agg(max(col("__od")).as("max_out_deg"))
+    nRaw
+      .join(nDist, "bucket")
+      .join(recip, Seq("bucket"), "left")
+      .join(outDeg, "bucket")
+      .select(
+        col("bucket"),
+        col("n_raw"),
+        col("n_distinct"),
+        col("n_self"),
+        coalesce(col("n_reciprocal"), lit(0L)).as("n_reciprocal"),
+        col("max_out_deg")
+      )
+  }
+
   /** PageRank over a directed edge list `(src, dst)`, `iters` synchronous
     * iterations at damping `d`: pr' = (1−d)/n + d·(Σ_in pr/out_deg + dm/n)
     * where dm is the total rank mass of dangling nodes (no outlinks),

@@ -2135,6 +2135,89 @@ object ExtensionQueries {
         .orderBy(col("x_id"))
     }),
 
+    // HITS hubs/authorities over the same 3-outlink graph as x98, two
+    // synchronous iterations with L1 normalization per half-step — node
+    // 499 (outlinks all self-loop) must land hub 0 with nonzero auth.
+    "x106_hits" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val d = docs.select(col("doc_id")).crossJoin(broadcast(n))
+      val edges = Seq((2, 1), (3, 2), (4, 3))
+        .map { case (a, b) =>
+          d.select(col("doc_id").as("src"), ((col("doc_id") * a + b) % col("__n")).as("dst"))
+        }
+        .reduce(_ unionAll _)
+        .where(col("src") =!= col("dst"))
+      GraphOps
+        .hits(edges, iters = 2)
+        .select(col("id"), round(col("hub"), 9).as("hub"), round(col("auth"), 9).as("auth"))
+        .orderBy(col("id"))
+    }),
+
+    // Link-graph release audit over the HTML-extracted graph (dup
+    // anchors kept raw, external links filtered, self-loops kept):
+    // per-bucket raw/distinct/self/reciprocal/max-out-degree counts.
+    "x107_link_audit" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val d = docs.crossJoin(broadcast(n))
+      val d1 = (col("doc_id") * 2 + 1) % col("__n")
+      val d2 = (col("doc_id") * 3 + 2) % col("__n")
+      val html = concat(
+        lit("<html><body><a href=\"https://ex.com/"), d1, lit("\">one</a>"),
+        when(
+          col("doc_id") % 3 === 0,
+          concat(lit("<a href=\"https://ex.com/"), d1, lit("\">again</a>"))
+        ).otherwise(lit("")),
+        lit("<a href=\"https://ex.com/"), d2, lit("\">two</a>"),
+        when(col("doc_id") % 5 === 0, lit("<a href=\"https://other.site/page\">ext</a>"))
+          .otherwise(lit("")),
+        lit("<p>"), col("text"), lit("</p></body></html>")
+      )
+      val edges = GraphOps
+        .htmlLinks(d.select(col("doc_id"), html.as("html")), col("doc_id"), col("html"))
+        .where(col("href").startsWith("https://ex.com/"))
+        .select(
+          col("src"),
+          regexp_extract(col("href"), "https://ex.com/([0-9]+)", 1).cast("long").as("dst")
+        )
+      GraphOps
+        .linkAudit(edges, pmod(col("src"), lit(10)))
+        .orderBy(col("bucket"))
+    }),
+
+    // Redirect-chain resolution: descending one-hop chains toward each
+    // multiple of 4, with planted 2-cycles at ids ≡1/≡2 mod 100 — chains
+    // that touch a cycle member must flag unresolved (null target), the
+    // rest land on their terminal in ⌈log₂⌉ doubling rounds.
+    "x108_redirects" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val c = col("doc_id") % 100
+      val redirects = docs
+        .where(c.isin(1, 2) || col("doc_id") % 4 =!= 0)
+        .select(
+          col("doc_id").as("src"),
+          when(c === 1, col("doc_id") + 1).otherwise(col("doc_id") - 1).as("dst")
+        )
+      GraphOps
+        .resolveRedirects(redirects, maxSteps = 8)
+        .orderBy(col("src"))
+    }),
+
+    // Forward-fill telemetry gaps: 'error' rows lose their reading and
+    // must inherit the user's most recent non-null value (rows before
+    // any reading stay null) — LOCF per entity in (ts, event_id) order.
+    "x109_gap_fill" -> ((s, dir) => {
+      val masked = T(s, dir, "events").withColumn(
+        "v",
+        when(col("event_type") === "error", lit(null).cast("double")).otherwise(col("value"))
+      )
+      graft.operators.AsOfJoin
+        .gapFill(masked, "user_id", "ts", "event_id", "v")
+        .select(col("event_id"), col("user_id"), col("v_filled"), col("was_filled"))
+        .orderBy(col("event_id"))
+    }),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -4006,6 +4089,85 @@ object ExtensionQueries {
         |  (ROUND(b.c * 2 / (ax.ax + ay.ay), 6) >= 1.05 AND b.ry = 1) AS accepted
         |FROM b JOIN ax USING (xid) JOIN ay ON ay.yid = b.yid
         |ORDER BY x_id""".stripMargin,
+    // HITS: two unrolled iterations, auth-from-hub then hub-from-NEW-auth
+    // with an L1 total per half-step, every float op CAST AS DOUBLE
+    "x106_hits" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |e0 AS (SELECT doc_id AS src, (doc_id*2+1) % nn.n AS dst FROM documents, nn
+        |  UNION ALL SELECT doc_id, (doc_id*3+2) % nn.n FROM documents, nn
+        |  UNION ALL SELECT doc_id, (doc_id*4+3) % nn.n FROM documents, nn),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |nd AS (SELECT doc_id AS id FROM documents),
+        |a1r AS (SELECT dst, SUM(CAST(1 AS DOUBLE)) AS a FROM e GROUP BY 1),
+        |a1t AS (SELECT SUM(a) AS t FROM a1r),
+        |a1 AS (SELECT nd.id, COALESCE(a1r.a, CAST(0 AS DOUBLE))/a1t.t AS auth
+        |  FROM nd CROSS JOIN a1t LEFT JOIN a1r ON a1r.dst = nd.id),
+        |h1r AS (SELECT e.src, SUM(a1.auth) AS h FROM e JOIN a1 ON a1.id = e.dst GROUP BY 1),
+        |h1t AS (SELECT SUM(h) AS t FROM h1r),
+        |h1 AS (SELECT nd.id, COALESCE(h1r.h, CAST(0 AS DOUBLE))/h1t.t AS hub
+        |  FROM nd CROSS JOIN h1t LEFT JOIN h1r ON h1r.src = nd.id),
+        |a2r AS (SELECT e.dst, SUM(h1.hub) AS a FROM e JOIN h1 ON h1.id = e.src GROUP BY 1),
+        |a2t AS (SELECT SUM(a) AS t FROM a2r),
+        |a2 AS (SELECT nd.id, COALESCE(a2r.a, CAST(0 AS DOUBLE))/a2t.t AS auth
+        |  FROM nd CROSS JOIN a2t LEFT JOIN a2r ON a2r.dst = nd.id),
+        |h2r AS (SELECT e.src, SUM(a2.auth) AS h FROM e JOIN a2 ON a2.id = e.dst GROUP BY 1),
+        |h2t AS (SELECT SUM(h) AS t FROM h2r),
+        |h2 AS (SELECT nd.id, COALESCE(h2r.h, CAST(0 AS DOUBLE))/h2t.t AS hub
+        |  FROM nd CROSS JOIN h2t LEFT JOIN h2r ON h2r.src = nd.id)
+        |SELECT h2.id, ROUND(h2.hub, 9) AS hub, ROUND(a2.auth, 9) AS auth
+        |FROM h2 JOIN a2 ON a2.id = h2.id ORDER BY h2.id""".stripMargin,
+    // link audit: raw-edge replay (dup anchors kept), distinct set,
+    // EXISTS-transpose reciprocity counted once per unordered pair
+    "x107_link_audit" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |r AS (SELECT doc_id AS src, (doc_id*2+1) % nn.n AS dst FROM documents, nn
+        |  UNION ALL SELECT doc_id, (doc_id*2+1) % nn.n FROM documents, nn WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, (doc_id*3+2) % nn.n FROM documents, nn),
+        |rb AS (SELECT src % 10 AS bucket, src, dst FROM r),
+        |d AS (SELECT DISTINCT bucket, src, dst FROM rb),
+        |nr AS (SELECT bucket, COUNT(*) AS n_raw FROM rb GROUP BY 1),
+        |ndc AS (SELECT bucket, COUNT(*) AS n_distinct,
+        |    SUM(CASE WHEN src = dst THEN 1 ELSE 0 END) AS n_self FROM d GROUP BY 1),
+        |rc AS (SELECT d.bucket, COUNT(*) AS n_reciprocal FROM d
+        |  WHERE d.src < d.dst
+        |    AND EXISTS (SELECT 1 FROM d d2 WHERE d2.src = d.dst AND d2.dst = d.src)
+        |  GROUP BY 1),
+        |od AS (SELECT bucket, MAX(c) AS max_out_deg FROM
+        |  (SELECT bucket, src, COUNT(*) AS c FROM d GROUP BY 1, 2) GROUP BY 1)
+        |SELECT nr.bucket, n_raw, n_distinct, n_self,
+        |  COALESCE(n_reciprocal, 0) AS n_reciprocal, max_out_deg
+        |FROM nr JOIN ndc USING (bucket) LEFT JOIN rc USING (bucket)
+        |  JOIN od USING (bucket)
+        |ORDER BY nr.bucket""".stripMargin,
+    // redirects: the oracle walks the grammar — a chain id resolves to
+    // src - src%4 unless its descent path (at most 3 hops) touches a
+    // planted cycle member (≡1/≡2 mod 100), which traps it
+    "x108_redirects" ->
+      """WITH r AS (SELECT doc_id AS src FROM documents
+        |  WHERE doc_id % 100 IN (1, 2) OR doc_id % 4 <> 0),
+        |c AS (SELECT src,
+        |  (src % 100 IN (1, 2)
+        |   OR (src % 4 >= 1 AND (src - 1) % 100 IN (1, 2))
+        |   OR (src % 4 >= 2 AND (src - 2) % 100 IN (1, 2))
+        |   OR (src % 4 >= 3 AND (src - 3) % 100 IN (1, 2))) AS cyc
+        |  FROM r)
+        |SELECT src,
+        |  CASE WHEN cyc THEN NULL ELSE src - (src % 4) END AS final_dst,
+        |  NOT cyc AS is_resolved
+        |FROM c ORDER BY src""".stripMargin,
+    // gap fill: IGNORE NULLS last-value window replay, same ordering key
+    "x109_gap_fill" ->
+      """WITH m AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+        |  (v IS NULL AND LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) IS NOT NULL) AS was_filled
+        |FROM m ORDER BY event_id""".stripMargin,
     // full blocks only (partial tails dropped, <16-byte docs emit nothing);
     // OCTET_LENGTH on the blob, not LENGTH: the Spark side frames UTF-8
     // BYTES, and char counting would diverge on any non-ASCII document

@@ -60,6 +60,81 @@ class GraphOpsSpec extends SparkTestBase {
     a.foreach { case (id, v) => assert(math.abs(v - b(id)) < 1e-15) }
   }
 
+  test("hits matches a hand-rolled reference; pure-hub and pure-authority nodes separate") {
+    // 0,1,2 all point at 3 and 4 (hubs vs authorities); 4→0 closes a loop.
+    val edges = Seq((0L, 3L), (0L, 4L), (1L, 3L), (1L, 4L), (2L, 3L), (4L, 0L))
+    val got = GraphOps
+      .hits(edges.toDF("src", "dst"), iters = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+
+    // driver replay of the exact half-step/L1 formulation
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var hub = nodes.map(_ -> 1.0).toMap
+    var auth = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to 3) {
+      val aRaw = nodes.map(v => v -> edges.filter(_._2 == v).map(e => hub(e._1)).sum).toMap
+      val ta = aRaw.values.sum
+      auth = aRaw.map { case (v, a) => v -> a / ta }
+      val hRaw = nodes.map(u => u -> edges.filter(_._1 == u).map(e => auth(e._2)).sum).toMap
+      val th = hRaw.values.sum
+      hub = hRaw.map { case (u, h) => u -> h / th }
+    }
+    nodes.foreach { v =>
+      assert(math.abs(got(v)._1 - hub(v)) < 1e-12, s"hub $v")
+      assert(math.abs(got(v)._2 - auth(v)) < 1e-12, s"auth $v")
+    }
+    assert(got(2L)._2 == 0.0) // nothing points at 2: pure hub
+    assert(got(3L)._1 == 0.0) // 3 points at nothing: pure authority
+  }
+
+  test("linkAudit: raw vs distinct, self-loops, reciprocal pairs once, max out-degree") {
+    val edges = Seq(
+      (0L, 1L), (0L, 1L), // duplicate
+      (1L, 0L),           // reciprocates (0,1)
+      (2L, 2L),           // self-loop
+      (0L, 3L), (0L, 4L), (0L, 5L)
+    )
+    val got = GraphOps
+      .linkAudit(edges.toDF("src", "dst"), pmod(col("src"), lit(10)))
+      .as[(Long, Long, Long, Long, Long, Long)]
+      .collect()
+      .map(r => r._1 -> r)
+      .toMap
+    assert(got(0L) == ((0L, 5L, 4L, 0L, 1L, 4L))) // bucket 0: 5 raw, 4 distinct, recip (0,1), outdeg 4
+    assert(got(1L) == ((1L, 1L, 1L, 0L, 0L, 1L))) // (1,0): src>dst so pair counted in bucket 0 only
+    assert(got(2L) == ((2L, 1L, 1L, 1L, 0L, 1L))) // self-loop
+  }
+
+  test("resolveRedirects: chains resolve in log rounds, cycles and over-long chains flag unresolved") {
+    // chain 5→4→3→2→1→0 (length 5), cycle 10↔11, duplicate src 20
+    val redirects = Seq(
+      (5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (1L, 0L),
+      (10L, 11L), (11L, 10L),
+      (20L, 21L), (20L, 22L) // duplicate source: min(dst) wins
+    )
+    val got = GraphOps
+      .resolveRedirects(redirects.toDF("src", "dst"), maxSteps = 8)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(2)))
+      .toMap
+    Seq(5L, 4L, 3L, 2L, 1L).foreach(s => assert(got(s) == (Some(0L), true), s"chain $s"))
+    assert(got(10L) == (None, false))
+    assert(got(11L) == (None, false))
+    assert(got(20L) == (Some(21L), true))
+
+    // chain longer than maxSteps: flagged, not wrong
+    val long = (1 until 20).map(i => (i.toLong, (i - 1).toLong))
+    val got2 = GraphOps
+      .resolveRedirects(long.toDF("src", "dst"), maxSteps = 4)
+      .collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2))
+      .toMap
+    assert(!got2(19L), "over-long chain must flag unresolved")
+    assert(got2(3L), "short chain within maxSteps resolves")
+  }
+
   test("anchors pairs each href with its trimmed link text; nested-markup anchors don't match") {
     val df = Seq(
       (1L, """<a href="https://a/x">  Go here </a><A HREF="https://b/y">see</A>

@@ -104,6 +104,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("csvIngest runs unchanged under a streaming source with corrupt accounting observable") {
+    // the ingest op is a pure projection, so batch/stream symmetry is
+    // free — and corrupt lines must flag, not fail, mid-stream.
+    val in = MemoryStream[String](spark)
+    val parsed = graft.operators.CorpusOps
+      .csvIngest(
+        // monotonically_increasing_id is unsupported on streams — a
+        // content hash is the streaming-native line id
+        in.toDF().withColumn("lid", xxhash64(col("value"))),
+        col("lid"),
+        col("value")
+      )
+    in.addData(
+      "1,\"ok, quoted\",en,10",
+      "2,\"bad\",en,NOTINT",
+      "3,plain,fr,5"
+    )
+    val out = runToMemory(parsed, "csv_stream")
+    val rows = out.select("doc_id", "text", "is_corrupt").collect()
+    assert(rows.length == 3)
+    assert(rows.count(_.getBoolean(2)) == 1)
+    assert(rows.filter(!_.getBoolean(2)).map(_.getString(1)).toSet == Set("ok, quoted", "plain"))
+  }
+
   test("streaming router multicast == batch router multicast (O-13)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
