@@ -2036,6 +2036,66 @@ object StressXOps {
       pr.unpersist()
     }
 
+    // ---- HITS at 5M nodes / 15M edges / 3 iterations: both score
+    // vectors must L1-normalize to exactly-ish 1 every iteration.
+    if (section("hits")) locally {
+      val n = nDocs
+      val ids = spark.range(n)
+      val edges = Seq((2L, 1L), (3L, 2L), (4L, 3L))
+        .map { case (a, b) =>
+          ids.select(col("id").as("src"), ((col("id") * a + b) % n).as("dst"))
+        }
+        .reduce(_ unionAll _)
+        .where(col("src") =!= col("dst"))
+      val t0 = System.nanoTime()
+      val sc = operators.GraphOps.hits(edges, iters = 3).persist()
+      val cnt = sc.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val sums = sc.agg(sum(col("hub")), sum(col("auth"))).head()
+      println(f"[stressx] hits @ $n%d nodes / ~${n * 3}%d edges, 3 iters: $sec%.1f s; nodes=$cnt Σhub=${sums.getDouble(0)}%.9f Σauth=${sums.getDouble(1)}%.9f")
+      assert(cnt == n)
+      assert(math.abs(sums.getDouble(0) - 1.0) < 1e-6 && math.abs(sums.getDouble(1) - 1.0) < 1e-6)
+      sc.unpersist()
+    }
+
+    // ---- redirect resolution at 5M sources: chains of length ≤ 15
+    // toward each multiple of 16, 2-cycles planted at ≡1/≡2 mod 1000 —
+    // resolved targets and the unresolved count must match the grammar
+    // EXACTLY (pointer doubling is log-rounds, not a guess).
+    if (section("redirects")) locally {
+      val n = nDocs
+      val c = pmod(col("id"), lit(1000))
+      val redirects = spark
+        .range(n)
+        .where(c.isin(1L, 2L) || pmod(col("id"), lit(16)) =!= 0)
+        .select(
+          col("id").as("src"),
+          when(c === 1, col("id") + 1).otherwise(col("id") - 1).as("dst")
+        )
+      val t0 = System.nanoTime()
+      val res = operators.GraphOps.resolveRedirects(redirects, maxSteps = 16).persist()
+      val cnt = res.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // grammar: cyc iff some id in [src - src%16, src] is ≡1/≡2 mod 1000
+      val cycCol = (0 to 15)
+        .map(j =>
+          pmod(col("src"), lit(16)) >= j && pmod(col("src") - j, lit(1000)).isin(1L, 2L)
+        )
+        .reduce(_ || _)
+      val wrong = res
+        .withColumn("__cyc", cycCol)
+        .filter(
+          (col("__cyc") && col("is_resolved")) ||
+            (!col("__cyc") && (!col("is_resolved") ||
+              col("final_dst") =!= col("src") - pmod(col("src"), lit(16))))
+        )
+        .count()
+      val unresolved = res.filter(!col("is_resolved")).count()
+      println(f"[stressx] resolveRedirects @ $cnt%d sources (chains ≤15, cycles @ ≡1,2 mod 1000): $sec%.1f s; unresolved=$unresolved wrong=$wrong")
+      assert(wrong == 0L, s"grammar mismatches: $wrong")
+      res.unpersist()
+    }
+
     // ---- PassJoin edit-distance pairs at 2M+ strings (60-char prefixes,
     // k=3): the planted twins perturb token 0, so the subset within
     // distance 3 is computable exactly from the twin mapping — PassJoin
