@@ -837,4 +837,65 @@ object TextOps {
         .as("noindex")
     )
   }
+
+  /** Gazetteer phrase tagging — dictionary-based entity extraction (the
+    * controlled-vocabulary pass of a curation pipeline: product names,
+    * licenses, canonical citations): find every whitespace-token-aligned
+    * occurrence of each dictionary phrase and emit
+    * `(doc_id, pos, label, phrase)` per match. The multi-token strategy
+    * is anchor-then-verify: the dictionary's FIRST tokens broadcast as
+    * the anchor table (model state — a gazetteer is KBs/MBs, never
+    * corpus-scale), the corpus tokenizes map-side with positions, the
+    * anchor equi-join yields candidates, and the full-phrase check is an
+    * array-slice equality against the doc's own token array joined back
+    * BY ID — so text crosses the wire once, candidates are ids+ints.
+    * A phrase whose anchor token is a stopword-frequency token inflates
+    * candidates, not correctness; pre-filter the dictionary if that
+    * bites.
+    */
+  def gazetteerTag(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      phrases: DataFrame,
+      phraseCol: Column,
+      labelCol: Column
+  ): DataFrame = {
+    val dict = phrases
+      .select(phraseCol.as("phrase"), labelCol.as("label"))
+      .withColumn("__pt", split(col("phrase"), " "))
+      .withColumn("__anchor", element_at(col("__pt"), 1))
+      .withColumn("__plen", size(col("__pt")))
+    val docs = df.select(idCol.as("doc_id"), split(text, " ").as("__tok"))
+    val cands = docs
+      .select(col("doc_id"), posexplode(col("__tok")).as(Seq("pos", "__t")))
+      .join(broadcast(dict), col("__t") === col("__anchor"))
+      .select(col("doc_id"), col("pos"), col("label"), col("phrase"), col("__pt"), col("__plen"))
+    cands
+      .join(docs, "doc_id")
+      .where(slice(col("__tok"), col("pos") + 1, col("__plen")) === col("__pt"))
+      .select(col("doc_id"), col("pos"), col("label"), col("phrase"))
+  }
+
+  /** Markdown → training text ([[htmlExtract]]'s sibling for the
+    * documentation/README slice of a code corpus): drop fenced code
+    * blocks (counted, not silently — code belongs in the code pipeline,
+    * not the prose pipeline), unwrap inline code and links to their
+    * text, strip ATX header markers, collapse whitespace. All RE2-safe
+    * single regexes (non-greedy + (?s)/(?m) only), zero shuffle.
+    * Returns (doc_id, n_code_blocks, n_links, extracted).
+    */
+  def markdownExtract(df: DataFrame, idCol: Column, md: Column): DataFrame = {
+    val m = coalesce(md, lit(""))
+    val noFence = regexp_replace(m, "(?s)```.*?```", " ")
+    val noInline = regexp_replace(noFence, "`([^`]*)`", "$1")
+    val noLink = regexp_replace(noInline, "\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noHdr = regexp_replace(noLink, "(?m)^#{1,6} *", "")
+    df.select(
+      idCol.as("doc_id"),
+      regexp_count(m, lit("(?s)```.*?```")).as("n_code_blocks"),
+      regexp_count(m, lit("\\[([^\\]]*)\\]\\([^)]*\\)")).as("n_links"),
+      trim(regexp_replace(noHdr, "[ \\t\\n\\r]+", " ")).as("extracted")
+    )
+  }
 }

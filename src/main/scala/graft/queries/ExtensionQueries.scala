@@ -2218,6 +2218,51 @@ object ExtensionQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Gazetteer tagging: the dictionary is 3-token spans lifted from
+    // every 37th doc (guaranteed hits, possibly in other docs too) plus
+    // a never-matching phrase — anchor-then-verify, span equality on the
+    // doc's own token array.
+    "x110_gazetteer" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val fromCorpus = docs
+        .where(col("doc_id") % 37 === 0 && col("doc_id") < 370)
+        .select(
+          array_join(slice(split(col("text"), " "), 2, 3), " ").as("phrase"),
+          concat(lit("L"), col("doc_id")).as("label")
+        )
+      val phrases = fromCorpus.unionAll(
+        docs.limit(1).select(lit("zzzz qqqq vvvv").as("phrase"), lit("MISS").as("label"))
+      )
+      TextOps
+        .gazetteerTag(docs, col("doc_id"), col("text"), phrases, col("phrase"), col("label"))
+        .orderBy(col("doc_id"), col("pos"), col("label"))
+    }),
+
+    // Markdown extraction: fenced code dropped (and counted), inline
+    // code and links unwrapped, headers stripped, whitespace collapsed.
+    "x111_markdown_extract" -> ((s, dir) => {
+      val md = concat(
+        lit("# Title "), col("doc_id"), lit("\n\nSee [doc "), col("doc_id"),
+        lit("](https://ex.com/"), col("doc_id"), lit(") for *context*.\n\n```\ncode "),
+        col("doc_id"), lit("\nmore code\n```\n\n## Sub\n\n"), col("text"),
+        lit(" with `inline_code` end")
+      )
+      TextOps
+        .markdownExtract(
+          T(s, dir, "documents").select(col("doc_id"), md.as("md")),
+          col("doc_id"),
+          col("md")
+        )
+        .select(
+          col("doc_id"),
+          col("n_code_blocks"),
+          col("n_links"),
+          length(col("extracted")).as("n_chars"),
+          md5(col("extracted")).as("fp")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -4168,6 +4213,47 @@ object ExtensionQueries {
         |    ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) IS NOT NULL) AS was_filled
         |FROM m ORDER BY event_id""".stripMargin,
+    // gazetteer: anchor join + list-slice span equality replay
+    "x110_gazetteer" ->
+      """WITH ph AS (SELECT 'L' || doc_id AS label,
+        |    ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[2:4], ' ') AS phrase,
+        |    STRING_SPLIT(text, ' ')[2:4] AS pt
+        |  FROM documents WHERE doc_id % 37 = 0 AND doc_id < 370
+        |  UNION ALL SELECT 'MISS', 'zzzz qqqq vvvv', ['zzzz', 'qqqq', 'vvvv']),
+        |d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
+        |tok AS (SELECT doc_id, ts, UNNEST(ts) AS t,
+        |    UNNEST(RANGE(0, LEN(ts))) AS pos FROM d),
+        |m AS (SELECT tok.doc_id, tok.pos, ph.label, ph.phrase
+        |  FROM tok JOIN ph ON tok.t = ph.pt[1]
+        |  WHERE tok.ts[tok.pos + 1 : tok.pos + LEN(ph.pt)] = ph.pt)
+        |SELECT doc_id, CAST(pos AS INT) AS pos, label, phrase
+        |FROM m ORDER BY doc_id, pos, label""".stripMargin,
+    // markdown: the same RE2-safe chain — fences out (counted), inline
+    // code and links unwrapped, ATX headers stripped, whitespace folded
+    "x111_markdown_extract" ->
+      """WITH md AS (SELECT doc_id,
+        |  '# Title ' || doc_id || chr(10) || chr(10) || 'See [doc ' || doc_id ||
+        |  '](https://ex.com/' || doc_id || ') for *context*.' || chr(10) || chr(10) ||
+        |  '```' || chr(10) || 'code ' || doc_id || chr(10) || 'more code' || chr(10) ||
+        |  '```' || chr(10) || chr(10) || '## Sub' || chr(10) || chr(10) || text ||
+        |  ' with `inline_code` end' AS m
+        | FROM documents),
+        |x AS (SELECT doc_id, m,
+        |  TRIM(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(m, '(?s)```.*?```', ' ', 'g'),
+        |          '`([^`]*)`', '\1', 'g'),
+        |        '\[([^\]]*)\]\(([^)]*)\)', '\1', 'g'),
+        |      '(?m)^#{1,6} *', '', 'g'),
+        |    '[ \t\n\r]+', ' ', 'g')) AS extracted
+        |  FROM md)
+        |SELECT doc_id,
+        |  CAST(LEN(regexp_extract_all(m, '(?s)```.*?```')) AS INT) AS n_code_blocks,
+        |  CAST(LEN(regexp_extract_all(m, '\[([^\]]*)\]\(([^)]*)\)')) AS INT) AS n_links,
+        |  CAST(LENGTH(extracted) AS INT) AS n_chars, md5(extracted) AS fp
+        |FROM x ORDER BY doc_id""".stripMargin,
     // full blocks only (partial tails dropped, <16-byte docs emit nothing);
     // OCTET_LENGTH on the blob, not LENGTH: the Spark side frames UTF-8
     // BYTES, and char counting would diverge on any non-ASCII document
