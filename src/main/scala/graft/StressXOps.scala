@@ -2225,6 +2225,42 @@ object StressXOps {
       btP.unpersist()
     }
 
+    // ---- gazetteer + markdown at 5M docs: ~1000-phrase dictionary of
+    // corpus-lifted spans (every dict doc must self-match at pos 1,
+    // exactly), then the markdown chain with per-doc count invariants.
+    if (section("mdgaz")) locally {
+      val dictDocs = corpus.where(pmod(col("id"), lit(5000)) === 0 && col("id") < TwinOffset)
+      val nDict = dictDocs.count()
+      val phrases = dictDocs.select(
+        array_join(slice(split(col("text"), " "), 2, 3), " ").as("p"),
+        concat(lit("L"), col("id")).as("l")
+      )
+      val tags = operators.TextOps
+        .gazetteerTag(corpus, col("id"), col("text"), phrases, col("p"), col("l"))
+      val (gSec, gRows, gH, _) = run(tags)
+      val tagsP = tags.persist()
+      val selfHits = tagsP
+        .filter(col("label") === concat(lit("L"), col("doc_id")) && col("pos") === 1)
+        .count()
+      println(f"[stressx] gazetteerTag @ $corpusN%d docs × $nDict%d phrases: $gSec%.1f s, matches=$gRows (self-matches=$selfHits/$nDict)")
+      println(s"[stressx]   plan: $gH")
+      assert(selfHits == nDict, s"every dictionary span must self-match: $selfHits != $nDict")
+      tagsP.unpersist()
+
+      val md = corpus.select(
+        col("id"),
+        concat(
+          lit("# T "), col("id"), lit("\n\n[l](https://x/"), col("id"),
+          lit(")\n\n```\nc\n```\n\n"), col("text")
+        ).as("m")
+      )
+      val ex = operators.TextOps.markdownExtract(md, col("id"), col("m"))
+      val (mSec, mRows, _, _) = run(ex)
+      val bad = ex.filter(col("n_code_blocks") =!= 1 || col("n_links") =!= 1).count()
+      println(f"[stressx] markdownExtract @ $mRows%d docs: $mSec%.1f s; count-invariant violations=$bad")
+      assert(mRows == corpusN && bad == 0)
+    }
+
     corpus.unpersist()
     spark.stop()
   }
