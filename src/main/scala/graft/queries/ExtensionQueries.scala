@@ -2263,6 +2263,86 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Web-curation capstone composite — the new families chained the way
+    // a crawl pipeline runs them: robots gate (x101 grammar) decides the
+    // fetchable subset, per-domain template stripping (x104) runs ON
+    // that subset (frequencies over what was actually fetched), and the
+    // PageRank prior (x98 graph) joins on as the quality feature.
+    "x112_web_pipeline" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      // 1. robots decision (same construction as x101)
+      val dnum = regexp_extract(col("domain"), "src([0-9]+)", 1).cast("int")
+      val robots = docs
+        .select(col("source").as("domain"))
+        .distinct()
+        .select(
+          col("domain"),
+          concat(
+            lit("User-agent: *\nDisallow: /private\nAllow: /private/ok\nDisallow: /tmp\n"),
+            when(
+              dnum % 3 === 0,
+              lit("User-agent: graftbot\nDisallow: /graft-only\nAllow: /graft-only/open\n")
+            ).otherwise(lit(""))
+          ).as("robots_txt")
+        )
+      val urls = docs.select(
+        col("doc_id").as("url_id"),
+        col("source").as("domain"),
+        concat(
+          when(col("doc_id") % 6 === 0, lit("/private/ok/p"))
+            .when(col("doc_id") % 6 === 1, lit("/private/z"))
+            .when(col("doc_id") % 6 === 2, lit("/pub/x"))
+            .when(col("doc_id") % 6 === 3, lit("/graft-only/open/a"))
+            .when(col("doc_id") % 6 === 4, lit("/graft-only/z"))
+            .otherwise(lit("/tmp/t")),
+          col("doc_id")
+        ).as("path")
+      )
+      val fetchable = Robots
+        .fetchGate(urls, col("url_id"), col("domain"), col("path"), robots, col("domain"), col("robots_txt"), "GraftBot")
+        .where(col("allowed"))
+        .select(col("url_id").as("doc_id"))
+      // 2. template strip over the FETCHED subset (x104 shaping)
+      val shaped = docs
+        .join(fetchable, "doc_id")
+        .select(
+          col("doc_id"),
+          col("source"),
+          concat(
+            lit("HDR "), col("source"), lit("\n"),
+            when(col("doc_id") % 2 === 0, concat(lit("SEMI "), col("source"), lit("\n")))
+              .otherwise(lit("")),
+            col("text"),
+            when(col("doc_id") % 10 === 0, concat(lit("\nRARE "), col("doc_id")))
+              .otherwise(lit(""))
+          ).as("t")
+        )
+      val stripped = CorpusOps
+        .domainBoilerplate(shaped, col("doc_id"), col("source"), col("t"))
+      // 3. pagerank prior over the x98 link graph (global, pre-gate)
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val d = docs.select(col("doc_id")).crossJoin(broadcast(n))
+      val edges = Seq((2, 1), (3, 2), (4, 3))
+        .map { case (a, b) =>
+          d.select(col("doc_id").as("src"), ((col("doc_id") * a + b) % col("__n")).as("dst"))
+        }
+        .reduce(_ unionAll _)
+        .where(col("src") =!= col("dst"))
+      val pr = GraphOps
+        .pageRank(edges, iters = 3)
+        .select(col("id").as("doc_id"), round(col("pr"), 9).as("pr"))
+      stripped
+        .join(pr, "doc_id")
+        .select(
+          col("doc_id"),
+          col("n_lines"),
+          col("n_boiler"),
+          md5(col("text_clean")).as("clean_fp"),
+          col("pr")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -4254,6 +4334,71 @@ object ExtensionQueries {
         |  CAST(LEN(regexp_extract_all(m, '\[([^\]]*)\]\(([^)]*)\)')) AS INT) AS n_links,
         |  CAST(LENGTH(extracted) AS INT) AS n_chars, md5(extracted) AS fp
         |FROM x ORDER BY doc_id""".stripMargin,
+    // capstone composite: the three proven replays assembled — robots
+    // decision table filters the subset, boilerplate replay runs ON that
+    // subset, pagerank CTEs run on the global graph
+    "x112_web_pipeline" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |al AS (SELECT doc_id, source AS domain, text FROM documents
+        |  WHERE CASE WHEN CAST(SUBSTR(source, 4) AS INT) % 3 = 0
+        |        THEN doc_id % 6 <> 4
+        |        ELSE doc_id % 6 <> 1 AND doc_id % 6 <> 5 END),
+        |sh AS (SELECT doc_id, domain,
+        |    'HDR ' || domain || chr(10) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN 'SEMI ' || domain || chr(10) ELSE '' END ||
+        |    text ||
+        |    CASE WHEN doc_id % 10 = 0 THEN chr(10) || 'RARE ' || doc_id ELSE '' END AS t
+        |  FROM al),
+        |s AS (SELECT doc_id, domain, STRING_SPLIT(t, chr(10)) AS ts FROM sh),
+        |li AS (SELECT doc_id, domain, UNNEST(ts) AS line,
+        |    UNNEST(RANGE(0, LEN(ts))) AS idx FROM s),
+        |lf AS (SELECT DISTINCT domain, doc_id, md5(line) AS fp FROM li),
+        |dfc AS (SELECT domain, fp, COUNT(*) AS dfn FROM lf GROUP BY 1, 2),
+        |nd AS (SELECT domain, COUNT(*) AS ndn FROM sh GROUP BY 1),
+        |b AS (SELECT domain, fp FROM dfc JOIN nd USING (domain)
+        |  WHERE dfn * 10 >= ndn * 3 AND ndn >= 5),
+        |bad AS (SELECT li.doc_id, LIST(li.idx) AS bad FROM li
+        |  JOIN b ON b.domain = li.domain AND b.fp = md5(li.line) GROUP BY 1),
+        |f AS (SELECT s.doc_id, s.ts,
+        |    COALESCE(bad.bad, CAST([] AS BIGINT[])) AS badl
+        |  FROM s LEFT JOIN bad USING (doc_id)),
+        |e0 AS (SELECT doc_id AS src, (doc_id*2+1) % nn.n AS dst FROM documents, nn
+        |  UNION ALL SELECT doc_id, (doc_id*3+2) % nn.n FROM documents, nn
+        |  UNION ALL SELECT doc_id, (doc_id*4+3) % nn.n FROM documents, nn),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS od FROM e GROUP BY 1),
+        |r0 AS (SELECT doc_id AS id, CAST(1 AS DOUBLE)/nn.n AS pr FROM documents, nn),
+        |s1 AS (SELECT e.dst, SUM(r0.pr/deg.od) AS s
+        |  FROM e JOIN deg USING (src) JOIN r0 ON r0.id = e.src GROUP BY 1),
+        |d1 AS (SELECT COALESCE(SUM(pr), CAST(0 AS DOUBLE)) AS dm FROM r0
+        |  WHERE id NOT IN (SELECT src FROM deg)),
+        |r1 AS (SELECT r0.id,
+        |  (CAST(1 AS DOUBLE)-CAST(0.85 AS DOUBLE))/nn.n
+        |    + CAST(0.85 AS DOUBLE)*(COALESCE(s1.s, CAST(0 AS DOUBLE)) + d1.dm/nn.n) AS pr
+        |  FROM r0 CROSS JOIN nn CROSS JOIN d1 LEFT JOIN s1 ON s1.dst = r0.id),
+        |s2 AS (SELECT e.dst, SUM(r1.pr/deg.od) AS s
+        |  FROM e JOIN deg USING (src) JOIN r1 ON r1.id = e.src GROUP BY 1),
+        |d2 AS (SELECT COALESCE(SUM(pr), CAST(0 AS DOUBLE)) AS dm FROM r1
+        |  WHERE id NOT IN (SELECT src FROM deg)),
+        |r2 AS (SELECT r1.id,
+        |  (CAST(1 AS DOUBLE)-CAST(0.85 AS DOUBLE))/nn.n
+        |    + CAST(0.85 AS DOUBLE)*(COALESCE(s2.s, CAST(0 AS DOUBLE)) + d2.dm/nn.n) AS pr
+        |  FROM r1 CROSS JOIN nn CROSS JOIN d2 LEFT JOIN s2 ON s2.dst = r1.id),
+        |s3 AS (SELECT e.dst, SUM(r2.pr/deg.od) AS s
+        |  FROM e JOIN deg USING (src) JOIN r2 ON r2.id = e.src GROUP BY 1),
+        |d3 AS (SELECT COALESCE(SUM(pr), CAST(0 AS DOUBLE)) AS dm FROM r2
+        |  WHERE id NOT IN (SELECT src FROM deg)),
+        |r3 AS (SELECT r2.id,
+        |  (CAST(1 AS DOUBLE)-CAST(0.85 AS DOUBLE))/nn.n
+        |    + CAST(0.85 AS DOUBLE)*(COALESCE(s3.s, CAST(0 AS DOUBLE)) + d3.dm/nn.n) AS pr
+        |  FROM r2 CROSS JOIN nn CROSS JOIN d3 LEFT JOIN s3 ON s3.dst = r2.id)
+        |SELECT f.doc_id, CAST(LEN(f.ts) AS INT) AS n_lines,
+        |  CAST(LEN(f.badl) AS INT) AS n_boiler,
+        |  md5(ARRAY_TO_STRING(
+        |    LIST_FILTER(f.ts, (x, i) -> NOT LIST_CONTAINS(f.badl, i - 1)),
+        |    chr(10))) AS clean_fp,
+        |  ROUND(r3.pr, 9) AS pr
+        |FROM f JOIN r3 ON r3.id = f.doc_id ORDER BY f.doc_id""".stripMargin,
     // full blocks only (partial tails dropped, <16-byte docs emit nothing);
     // OCTET_LENGTH on the blob, not LENGTH: the Spark side frames UTF-8
     // BYTES, and char counting would diverge on any non-ASCII document
