@@ -30,6 +30,18 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Null endpoints are DROPPED from every graph operator here: an
+    * unparseable link is the extractor's corrupt-accounting concern
+    * ([[htmlLinks]] consumers count it), and letting a null ride into
+    * join keys silently detaches mass (PageRank/HITS) or fabricates a
+    * resolved-null target (redirects).
+    */
+  private def dropNullEndpoints(edges: DataFrame): DataFrame =
+    edges
+      .select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+
   /** Extract anchor hrefs from an HTML column: one output row per href
     * occurrence, `(src, href)`. The pattern is RE2-safe (no backtracking
     * constructs), so a DuckDB oracle can replay it verbatim; it matches
@@ -87,7 +99,7 @@ object GraphOps {
     * `localCheckpoint`ed per iteration.
     */
   def hits(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    val e = dropNullEndpoints(edges).localCheckpoint(true)
     val nodes = e
       .select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
@@ -142,7 +154,10 @@ object GraphOps {
     */
   def resolveRedirects(redirects: DataFrame, maxSteps: Int = 32): DataFrame = {
     require(maxSteps >= 1, s"maxSteps must be >= 1, got $maxSteps")
+    // a null endpoint would otherwise propagate through min()/the hop
+    // join and emit is_resolved=true with a null target — silent wrong
     val m = redirects
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .groupBy(col("src"))
       .agg(min(col("dst")).as("dst"))
       .localCheckpoint(true)
@@ -173,7 +188,10 @@ object GraphOps {
     * (each unordered pair once), and the bucket's max distinct
     * out-degree (the hub-skew signal that decides salting). All exact
     * integer counts; the reciprocity check is a semi-join of the
-    * distinct edge set against its own transpose.
+    * distinct edge set against its own transpose. Unlike the analytic
+    * operators, null endpoints are NOT dropped here — an audit's job is
+    * to SURFACE them (they group under a null bucket and never match a
+    * reciprocity key).
     */
   def linkAudit(edges: DataFrame, bucketCol: Column): DataFrame = {
     val raw = edges.select(bucketCol.as("bucket"), col("src"), col("dst"))
@@ -197,10 +215,14 @@ object GraphOps {
       .agg(count(lit(1)).as("__od"))
       .groupBy(col("bucket"))
       .agg(max(col("__od")).as("max_out_deg"))
-    nRaw
-      .join(nDist, "bucket")
-      .join(recip, Seq("bucket"), "left")
-      .join(outDeg, "bucket")
+    // null-safe assembly: a null bucket (null-src edges — the audit must
+    // SURFACE those, see scaladoc) would silently vanish through a plain
+    // equi-join on the bucket key
+    def ns(l: DataFrame, r: DataFrame): DataFrame = {
+      val ra = r.withColumnRenamed("bucket", "__rb")
+      l.join(ra, col("bucket") <=> col("__rb"), "left").drop("__rb")
+    }
+    ns(ns(ns(nRaw, nDist), recip), outDeg)
       .select(
         col("bucket"),
         col("n_raw"),
@@ -232,7 +254,7 @@ object GraphOps {
       checkpoint: Boolean = true
   ): DataFrame = {
     val spark = edges.sparkSession
-    val e = edges.select(col("src"), col("dst")).distinct()
+    val e = dropNullEndpoints(edges)
     val nodes = e
       .select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))

@@ -904,8 +904,14 @@ object Similarity {
       threshold: Double = 1.05
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val xs = x.select(xIdCol.as("x_id"), transform(xVecCol, _.cast("double")).as("__xv"))
-    val ys = y.select(yIdCol.as("y_id"), transform(yVecCol, _.cast("double")).as("__yv"))
+    // null vectors have no cosine: dropped here (the caller's corrupt
+    // accounting runs upstream), never ranked as null scores
+    val xs = x
+      .filter(xVecCol.isNotNull)
+      .select(xIdCol.as("x_id"), transform(xVecCol, _.cast("double")).as("__xv"))
+    val ys = y
+      .filter(yVecCol.isNotNull)
+      .select(yIdCol.as("y_id"), transform(yVecCol, _.cast("double")).as("__yv"))
     val scored = xs
       .crossJoin(ys)
       .select(col("x_id"), col("y_id"), round(cosine(col("__xv"), col("__yv")), 6).as("c"))

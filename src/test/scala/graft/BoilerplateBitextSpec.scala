@@ -44,6 +44,29 @@ class BoilerplateBitextSpec extends SparkTestBase {
     assert(got(1L) == ((1L, 2, 1, "body 1")))
   }
 
+  test("domainBoilerplate: null-text docs survive with null clean text, never counted as boiler") {
+    val docs = (0 until 5).map(i => (i.toLong, "d", s"HDR\nbody $i")) :+
+      ((9L, "d", null.asInstanceOf[String]))
+    val got = CorpusOps
+      .domainBoilerplate(docs.toDF("id", "dom", "t"), col("id"), col("dom"), col("t"))
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+    assert(got.size == 6, "the null-text doc must not vanish")
+    assert(got(9L).isNullAt(1) && got(9L).getInt(2) == 0 && got(9L).isNullAt(3))
+    assert(got(0L).getString(3) == "body 0") // header still stripped: df=5/6 >= 30%
+  }
+
+  test("bitextMine drops null vectors instead of ranking null scores") {
+    val xs = Seq((1L, Array(1.0f, 0.0f)), (2L, null.asInstanceOf[Array[Float]])).toDF("id", "v")
+    val ys = Seq((10L, Array(1.0f, 0.1f)), (11L, null.asInstanceOf[Array[Float]])).toDF("id", "v")
+    val got = Similarity
+      .bitextMine(xs, ys, col("id"), col("v"), col("id"), col("v"), k = 1, threshold = 0.5)
+      .as[(Long, Long, Double, Double, Boolean, Boolean)]
+      .collect()
+    assert(got.length == 1 && got.head._1 == 1L && got.head._2 == 10L)
+  }
+
   test("bitextMine pairs planted twins at high margin with mutual-NN; margin beats raw cosine on density") {
     // X: 20 well-separated "sentence" embeddings; Y: perturbed twins of
     // the first 10 plus 10 unrelated distractors.

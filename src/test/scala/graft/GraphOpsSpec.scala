@@ -107,6 +107,28 @@ class GraphOpsSpec extends SparkTestBase {
     assert(got(2L) == ((2L, 1L, 1L, 1L, 0L, 1L))) // self-loop
   }
 
+  test("null endpoints: dropped by analytics, surfaced by the audit, never a resolved-null redirect") {
+    val withNulls = Seq(
+      (java.lang.Long.valueOf(0L), java.lang.Long.valueOf(1L)),
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(0L)),
+      (java.lang.Long.valueOf(2L), null.asInstanceOf[java.lang.Long]),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(0L))
+    ).toDF("src", "dst")
+    // pageRank/hits: the null-endpoint edges vanish; mass still sums to 1
+    val pr = GraphOps.pageRank(withNulls, 2)
+    assert(pr.count() == 2 && math.abs(pr.agg(sum("pr")).head().getDouble(0) - 1.0) < 1e-12)
+    val sc = GraphOps.hits(withNulls, 2)
+    assert(sc.count() == 2)
+    // redirects: src 2's null target must NOT come back resolved-with-null
+    val res = GraphOps.resolveRedirects(withNulls, 4).collect().map(r => r.getLong(0)).toSet
+    assert(res == Set(0L, 1L)) // the null-dst source is dropped, not fabricated
+    // audit: nulls surface under a null bucket instead of vanishing
+    val audit = GraphOps
+      .linkAudit(withNulls, pmod(col("src"), lit(10)))
+      .collect()
+    assert(audit.exists(_.isNullAt(0)), "null-src row must appear as a null bucket")
+  }
+
   test("resolveRedirects: chains resolve in log rounds, cycles and over-long chains flag unresolved") {
     // chain 5→4→3→2→1→0 (length 5), cycle 10↔11, duplicate src 20
     val redirects = Seq(
