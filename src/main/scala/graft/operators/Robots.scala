@@ -45,7 +45,7 @@ object Robots {
         lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))).as("field"),
         trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)).as("value")
       )
-      .where(col("field").isin("user-agent", "allow", "disallow"))
+      .where(col("field").isin("user-agent", "allow", "disallow", "crawl-delay"))
     val w = Window.partitionBy(col("domain")).orderBy(col("ln"))
     lines
       .withColumn("__prev", lag(col("field"), 1).over(w))
@@ -56,6 +56,88 @@ object Robots {
       )
       .withColumn("gid", sum(col("__new")).over(w))
       .select(col("domain"), col("gid"), col("field"), col("value"))
+  }
+
+  /** The group-selection rule shared by [[fetchGate]] and
+    * [[crawlDelays]]: groups naming `agent` apply exclusively; otherwise
+    * the `*` groups.
+    */
+  private def selectedGroups(parsed: DataFrame, agent: String): DataFrame = {
+    val groups = parsed
+      .where(col("field") === "user-agent")
+      .groupBy(col("domain"), col("gid"))
+      .agg(
+        max((lower(col("value")) === agent.toLowerCase).cast("int")).as("has_agent"),
+        max((col("value") === "*").cast("int")).as("has_star")
+      )
+    val domainMode = groups.groupBy(col("domain")).agg(max(col("has_agent")).as("any_agent"))
+    groups
+      .join(domainMode, "domain")
+      .where(
+        (col("any_agent") === 1 && col("has_agent") === 1) ||
+          (col("any_agent") === 0 && col("has_star") === 1)
+      )
+      .select(col("domain"), col("gid"))
+  }
+
+  /** Per-domain Crawl-delay for `agent` (seconds): the MAX delay across
+    * the applicable groups (conservative), null when none is declared or
+    * the value isn't a number. Model-side output — one row per domain.
+    */
+  def crawlDelays(
+      robots: DataFrame,
+      robotsDomainCol: Column,
+      txtCol: Column,
+      agent: String
+  ): DataFrame = {
+    val parsed = parseRules(robots, robotsDomainCol, txtCol)
+    parsed
+      .where(col("field") === "crawl-delay")
+      .join(selectedGroups(parsed, agent), Seq("domain", "gid"))
+      .groupBy(col("domain"))
+      .agg(max(try_cast_long(col("value"))).as("crawl_delay"))
+  }
+
+  private def try_cast_long(c: Column): Column =
+    when(c.rlike("^[0-9]+$"), c.cast("long"))
+
+  /** Politeness schedule: per domain, the k-th URL (in `tieCol` order)
+    * fetches at slot `(k-1) · delay` seconds, `defaultDelay` where the
+    * domain declares none. The per-domain window IS the semantic unit —
+    * politeness serializes a domain by definition, so the partition skew
+    * ceiling is the largest single domain's URL count (the same bound
+    * any real frontier scheduler has).
+    */
+  def politenessSchedule(
+      urls: DataFrame,
+      urlIdCol: Column,
+      urlDomainCol: Column,
+      robots: DataFrame,
+      robotsDomainCol: Column,
+      txtCol: Column,
+      agent: String,
+      defaultDelay: Long = 1L
+  ): DataFrame = {
+    val delays = crawlDelays(robots, robotsDomainCol, txtCol, agent)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain"))
+      .orderBy(urlIdCol)
+    urls
+      .select(urlIdCol.as("url_id"), urlDomainCol.as("domain"))
+      .join(broadcast(delays), Seq("domain"), "left")
+      .select(
+        col("url_id"),
+        col("domain"),
+        coalesce(col("crawl_delay"), lit(defaultDelay)).as("crawl_delay")
+      )
+      .withColumn(
+        "slot_s",
+        (row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("domain"))
+            .orderBy(col("url_id"))
+        ) - 1).cast("long") * col("crawl_delay")
+      )
   }
 
   /** Per-URL fetch decision for `agent`:
@@ -73,21 +155,7 @@ object Robots {
       agent: String
   ): DataFrame = {
     val parsed = parseRules(robots, robotsDomainCol, txtCol)
-    val groups = parsed
-      .where(col("field") === "user-agent")
-      .groupBy(col("domain"), col("gid"))
-      .agg(
-        max((lower(col("value")) === agent.toLowerCase).cast("int")).as("has_agent"),
-        max((col("value") === "*").cast("int")).as("has_star")
-      )
-    val domainMode = groups.groupBy(col("domain")).agg(max(col("has_agent")).as("any_agent"))
-    val selected = groups
-      .join(domainMode, "domain")
-      .where(
-        (col("any_agent") === 1 && col("has_agent") === 1) ||
-          (col("any_agent") === 0 && col("has_star") === 1)
-      )
-      .select(col("domain"), col("gid"))
+    val selected = selectedGroups(parsed, agent)
     val rules = parsed
       .where(col("field").isin("allow", "disallow") && col("value") =!= "")
       .join(selected, Seq("domain", "gid"))

@@ -2343,6 +2343,88 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Tokenizer fertility per language — the bytes/chars-per-token table
+    // that drives mixture and tokenizer decisions; exact integer sums,
+    // one division at the edge.
+    "x113_token_fertility" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
+          sum(octet_length(col("text"))).cast("long").as("n_bytes"),
+          round(
+            sum(octet_length(col("text"))).cast("double") /
+              sum(size(split(col("text"), " "))).cast("double"),
+            6
+          ).as("bytes_per_token")
+        )
+        .orderBy(col("lang"))),
+
+    // Curation funnel report: raw → exact dedup (min-id survivor) →
+    // case-fold dedup → decontaminate vs the ≡0 mod 97 eval slice →
+    // length gate; one row per stage with exact in/out/dropped counts.
+    "x114_curation_funnel" -> ((s, dir) => {
+      val s0 = T(s, dir, "documents").select(col("doc_id"), col("text"), col("n_chars"))
+      def survivors(df: DataFrame, key: Column): DataFrame =
+        df.groupBy(key.as("__k"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+          .join(df, "doc_id")
+      val s1 = survivors(s0, md5(col("text")))
+      val s2 = survivors(s1, md5(lower(col("text"))))
+      val ev = s0.where(col("doc_id") % 97 === 0).select(md5(col("text")).as("__efp")).distinct()
+      val s3 = s2.join(ev, md5(col("text")) === col("__efp"), "left_anti")
+      val s4 = s3.where(col("n_chars") >= 100)
+      def cnt(df: DataFrame, idx: Int, stage: String): DataFrame =
+        df.agg(count(lit(1)).as("n_out"))
+          .select(lit(idx).as("stage_idx"), lit(stage).as("stage"), col("n_out"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("stage_idx"))
+      cnt(s0, 0, "raw")
+        .unionAll(cnt(s1, 1, "exact_dedup"))
+        .unionAll(cnt(s2, 2, "case_dedup"))
+        .unionAll(cnt(s3, 3, "decontaminate"))
+        .unionAll(cnt(s4, 4, "length_gate"))
+        .withColumn("n_in", lag(col("n_out"), 1).over(w))
+        .withColumn("dropped", col("n_in") - col("n_out"))
+        .select(col("stage_idx"), col("stage"), col("n_in"), col("n_out"), col("dropped"))
+        .orderBy(col("stage_idx"))
+    }),
+
+    // Politeness schedule: per-domain Crawl-delay from the applicable
+    // robots group (graftbot groups declare 7 s, star groups 1+(dnum%4));
+    // the k-th URL of a domain fetches at slot (k-1)·delay.
+    "x115_crawl_schedule" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val dnum = regexp_extract(col("domain"), "src([0-9]+)", 1).cast("int")
+      val robots = docs
+        .select(col("source").as("domain"))
+        .distinct()
+        .select(
+          col("domain"),
+          concat(
+            lit("User-agent: *\nDisallow: /private\nCrawl-delay: "),
+            (dnum % 4 + 1),
+            lit("\n"),
+            when(
+              dnum % 3 === 0,
+              lit("\nUser-agent: graftbot\nDisallow: /graft-only\nCrawl-delay: 7\n")
+            ).otherwise(lit(""))
+          ).as("robots_txt")
+        )
+      Robots
+        .politenessSchedule(
+          docs.select(col("doc_id"), col("source")),
+          col("doc_id"),
+          col("source"),
+          robots,
+          col("domain"),
+          col("robots_txt"),
+          agent = "GraftBot"
+        )
+        .orderBy(col("url_id"))
+    }),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -4399,6 +4481,44 @@ object ExtensionQueries {
         |    chr(10))) AS clean_fp,
         |  ROUND(r3.pr, 9) AS pr
         |FROM f JOIN r3 ON r3.id = f.doc_id ORDER BY f.doc_id""".stripMargin,
+    // fertility: exact sums, one edge division
+    "x113_token_fertility" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(OCTET_LENGTH(CAST(text AS BLOB))) AS BIGINT) AS n_bytes,
+        |  ROUND(CAST(SUM(OCTET_LENGTH(CAST(text AS BLOB))) AS DOUBLE)
+        |    / CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS DOUBLE), 6) AS bytes_per_token
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // funnel: the same stage definitions as CTEs, LAG for in/dropped
+    "x114_curation_funnel" ->
+      """WITH s0 AS (SELECT doc_id, text, n_chars FROM documents),
+        |m1 AS (SELECT MIN(doc_id) AS doc_id FROM s0 GROUP BY md5(text)),
+        |s1 AS (SELECT s0.* FROM s0 JOIN m1 USING (doc_id)),
+        |m2 AS (SELECT MIN(doc_id) AS doc_id FROM s1 GROUP BY md5(LOWER(text))),
+        |s2 AS (SELECT s1.* FROM s1 JOIN m2 USING (doc_id)),
+        |ev AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 97 = 0),
+        |s3 AS (SELECT * FROM s2 WHERE md5(text) NOT IN (SELECT fp FROM ev)),
+        |s4 AS (SELECT * FROM s3 WHERE n_chars >= 100),
+        |c AS (SELECT 0 AS stage_idx, 'raw' AS stage, (SELECT COUNT(*) FROM s0) AS n_out
+        |  UNION ALL SELECT 1, 'exact_dedup', (SELECT COUNT(*) FROM s1)
+        |  UNION ALL SELECT 2, 'case_dedup', (SELECT COUNT(*) FROM s2)
+        |  UNION ALL SELECT 3, 'decontaminate', (SELECT COUNT(*) FROM s3)
+        |  UNION ALL SELECT 4, 'length_gate', (SELECT COUNT(*) FROM s4))
+        |SELECT stage_idx, stage,
+        |  LAG(n_out) OVER (ORDER BY stage_idx) AS n_in, n_out,
+        |  LAG(n_out) OVER (ORDER BY stage_idx) - n_out AS dropped
+        |FROM c ORDER BY stage_idx""".stripMargin,
+    // schedule: delay from the grammar (graftbot group wins on ≡0 mod 3
+    // domains), rank replayed per domain
+    "x115_crawl_schedule" ->
+      """WITH u AS (SELECT doc_id AS url_id, source AS domain,
+        |    CAST(CASE WHEN CAST(SUBSTR(source, 4) AS INT) % 3 = 0 THEN 7
+        |         ELSE CAST(SUBSTR(source, 4) AS INT) % 4 + 1 END AS BIGINT) AS crawl_delay
+        |  FROM documents)
+        |SELECT url_id, domain, crawl_delay,
+        |  CAST((ROW_NUMBER() OVER (PARTITION BY domain ORDER BY url_id) - 1)
+        |    AS BIGINT) * crawl_delay AS slot_s
+        |FROM u ORDER BY url_id""".stripMargin,
     // full blocks only (partial tails dropped, <16-byte docs emit nothing);
     // OCTET_LENGTH on the blob, not LENGTH: the Spark side frames UTF-8
     // BYTES, and char counting would diverge on any non-ASCII document

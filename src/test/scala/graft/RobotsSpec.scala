@@ -76,6 +76,39 @@ class RobotsSpec extends SparkTestBase {
     assert(gate(Seq((2L, "nodomain", "/private/zz")), "anybot")(2L) == (0, true))
   }
 
+  test("crawlDelays: exclusive-group selection, non-numeric ignored; schedule slots per domain") {
+    val robots = Seq(
+      "a" -> "User-agent: *\nCrawl-delay: 3\n\nUser-agent: fastbot\nCrawl-delay: 1\n",
+      "b" -> "User-agent: *\nCrawl-delay: soon\n", // non-numeric -> null -> default
+      "c" -> "User-agent: *\nDisallow: /x\n"       // none declared
+    ).toDF("domain", "txt")
+    val delays = Robots
+      .crawlDelays(robots, col("domain"), col("txt"), agent = "somebot")
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(delays("a") == Some(3L)) // star group (fastbot group not selected)
+    assert(delays("b").isEmpty)
+    assert(!delays.contains("c"))
+    assert(
+      Robots
+        .crawlDelays(robots, col("domain"), col("txt"), agent = "FASTBOT")
+        .collect()
+        .collectFirst { case r if r.getString(0) == "a" => r.getLong(1) }
+        .contains(1L)
+    )
+
+    val urls = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b")).toDF("id", "d")
+    val sched = Robots
+      .politenessSchedule(urls, col("id"), col("d"), robots, col("domain"), col("txt"), "somebot", defaultDelay = 2L)
+      .as[(Long, String, Long, Long)]
+      .collect()
+      .map(r => r._1 -> (r._3, r._4))
+      .toMap
+    assert(sched(1L) == (3L, 0L) && sched(2L) == (3L, 3L) && sched(3L) == (3L, 6L))
+    assert(sched(4L) == (2L, 0L) && sched(5L) == (2L, 2L)) // null delay -> default
+  }
+
   test("CRLF, comments, mixed-case field names all parse") {
     val txt = "# c\r\nUSER-AGENT: *\r\ndisallow: /a # inline comment\r\nALLOW: /a/b\r\n"
     val got = gate(
