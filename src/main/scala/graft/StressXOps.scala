@@ -2259,6 +2259,47 @@ object StressXOps {
       val bad = ex.filter(col("n_code_blocks") =!= 1 || col("n_links") =!= 1).count()
       println(f"[stressx] markdownExtract @ $mRows%d docs: $mSec%.1f s; count-invariant violations=$bad")
       assert(mRows == corpusN && bad == 0)
+
+      // sentence + format stats: pure projections; planted shapes give
+      // exact count invariants (3 sentences + tail on ≡0 mod 4; shouty
+      // verdict on upper-cased ≡0 mod 5)
+      val sent = operators.TextOps.sentenceStats(
+        corpus.select(
+          col("id"),
+          concat(
+            col("text"), lit(". Two! Three?"),
+            when(pmod(col("id"), lit(4)) === 0, lit(" tail")).otherwise(lit(""))
+          ).as("t")
+        ),
+        col("t")
+      )
+      val (sSec, sRows, _, _) = run(sent)
+      val sBad = sent
+        .filter(
+          col("n_sentences") =!= when(pmod(col("id"), lit(4)) === 0, 4).otherwise(3) ||
+            col("has_terminal") === (pmod(col("id"), lit(4)) === 0)
+        )
+        .count()
+      println(f"[stressx] sentenceStats @ $sRows%d docs: $sSec%.1f s; invariant violations=$sBad")
+      assert(sRows == corpusN && sBad == 0)
+
+      // the stress corpus is digit tokens (no letters), so uppercasing it
+      // is a no-op — plant the letters explicitly
+      val fmt = operators.TextOps.formatStats(
+        corpus.select(
+          col("id"),
+          concat(
+            when(pmod(col("id"), lit(5)) === 0, lit("SHOUTY HEADER TEXT "))
+              .otherwise(lit("quiet header text ")),
+            col("text")
+          ).as("t")
+        ),
+        col("t")
+      )
+      val (fSec, fRows, _, _) = run(fmt)
+      val fBad = fmt.filter(col("is_shouty") =!= (pmod(col("id"), lit(5)) === 0)).count()
+      println(f"[stressx] formatStats @ $fRows%d docs: $fSec%.1f s; shouty-verdict violations=$fBad")
+      assert(fRows == corpusN && fBad == 0)
     }
 
     corpus.unpersist()

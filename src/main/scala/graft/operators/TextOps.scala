@@ -877,6 +877,68 @@ object TextOps {
       .select(col("doc_id"), col("pos"), col("label"), col("phrase"))
   }
 
+  /** Sentence segmentation stats — the sentence-level quality features
+    * ([[qualityFeatures]] is token-level): a sentence is a maximal
+    * non-terminator run followed by one-or-more `.!?` (RE2-safe — no
+    * lookbehind, so the same pattern replays in any regex engine); a
+    * non-whitespace tail after the last terminator counts as one more
+    * (truncated) sentence and clears `has_terminal`. Zero shuffle.
+    * Returns (…, n_sentences, mean_sentence_tokens, max_sentence_chars,
+    * has_terminal).
+    */
+  def sentenceStats(df: DataFrame, text: Column): DataFrame = {
+    val t = coalesce(text, lit(""))
+    val matches = regexp_extract_all(t, lit("[^.!?]*[.!?]+"), lit(0))
+    val tail = trim(regexp_replace(t, "(?s).*[.!?]", ""))
+    val all = when(tail === "", matches).otherwise(concat(matches, array(tail)))
+    val nonEmpty = filter(all, s => trim(s) =!= "")
+    val nSent = size(nonEmpty)
+    val totTok = aggregate(nonEmpty, lit(0L), (acc, s) => acc + size(split(trim(s), " ")))
+    df.withColumn("n_sentences", nSent)
+      .withColumn(
+        "mean_sentence_tokens",
+        when(nSent > 0, round(totTok.cast("double") / nSent.cast("double"), 6))
+      )
+      .withColumn(
+        "max_sentence_chars",
+        when(nSent > 0, array_max(transform(nonEmpty, s => length(trim(s)))))
+      )
+      .withColumn("has_terminal", tail === "" && nSent > 0)
+  }
+
+  /** Formatting-noise stats — the casing/digit/bullet signals of a web
+    * quality gate, all computed with `translate`-delete counting (the
+    * x92 lesson: java.util.regex negated classes cost ~100 ns/char on
+    * non-matching text; translate is a byte pass): uppercase fraction of
+    * letters, digit fraction of chars, bullet-line fraction, and the
+    * `is_shouty` verdict. Zero shuffle.
+    */
+  def formatStats(df: DataFrame, text: Column, shoutyThreshold: Double = 0.3): DataFrame = {
+    val t = coalesce(text, lit(""))
+    val upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val digits = "0123456789"
+    val nUpper = (length(t) - length(translate(t, upper, ""))).cast("double")
+    val nLower = (length(t) - length(translate(t, lower, ""))).cast("double")
+    val nDigit = (length(t) - length(translate(t, digits, ""))).cast("double")
+    val lines = split(t, "\n")
+    val nBullet = size(filter(lines, l => trim(l).rlike("^[-*•]")))
+    val alpha = nUpper + nLower
+    df.withColumn("upper_ratio", when(alpha > 0, round(nUpper / alpha, 6)).otherwise(lit(0.0)))
+      .withColumn(
+        "digit_ratio",
+        when(length(t) > 0, round(nDigit / length(t).cast("double"), 6)).otherwise(lit(0.0))
+      )
+      .withColumn(
+        "bullet_frac",
+        round(nBullet.cast("double") / size(lines).cast("double"), 6)
+      )
+      .withColumn(
+        "is_shouty",
+        alpha > 0 && nUpper / alpha > shoutyThreshold
+      )
+  }
+
   /** Markdown → training text ([[htmlExtract]]'s sibling for the
     * documentation/README slice of a code corpus): drop fenced code
     * blocks (counted, not silently — code belongs in the code pipeline,

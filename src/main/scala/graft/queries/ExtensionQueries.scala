@@ -2425,6 +2425,85 @@ object ExtensionQueries {
         .orderBy(col("url_id"))
     }),
 
+    // Sentence segmentation stats on shaped multi-sentence docs (a
+    // terminator-less tail planted on ≡0 mod 4 clears has_terminal and
+    // counts as one truncated sentence).
+    "x116_sentences" -> ((s, dir) => {
+      val shaped = concat(
+        col("text"), lit(". Second sentence here! Third one?"),
+        when(col("doc_id") % 4 === 0, lit(" trailing fragment")).otherwise(lit(""))
+      )
+      TextOps
+        .sentenceStats(
+          T(s, dir, "documents").select(col("doc_id"), shaped.as("t")),
+          col("t")
+        )
+        .select(
+          col("doc_id"),
+          col("n_sentences"),
+          col("mean_sentence_tokens"),
+          col("max_sentence_chars"),
+          col("has_terminal")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
+    // Formatting-noise stats: ≡0 mod 5 docs are upper-cased (shouty),
+    // ≡0 mod 3 get two bullet lines; translate-delete counting.
+    "x117_format_stats" -> ((s, dir) => {
+      val shaped = concat(
+        when(col("doc_id") % 5 === 0, upper(col("text"))).otherwise(col("text")),
+        when(col("doc_id") % 3 === 0, lit("\n- bullet one\n* bullet two")).otherwise(lit(""))
+      )
+      TextOps
+        .formatStats(
+          T(s, dir, "documents").select(col("doc_id"), shaped.as("t")),
+          col("t")
+        )
+        .select(
+          col("doc_id"),
+          col("upper_ratio"),
+          col("digit_ratio"),
+          col("bullet_frac"),
+          col("is_shouty")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-eval contamination report: quotes of ≡0 mod 7 docs (12-token
+    // excerpts) are the eval set; every eval doc aggregates its corpus
+    // hits (n_hits, max containment) and eval docs with no hit report
+    // clean — the release-gate view over x58's pair surface.
+    "x118_contamination_report" -> ((s, dir) => {
+      val docs =
+        T(s, dir, "documents").select(col("doc_id"), col("text")).filter(col("doc_id") < 300)
+      val evals = docs
+        .filter(col("doc_id") % 7 === 0)
+        .select(
+          (col("doc_id") + 5000000L).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 5, 12)).as("text")
+        )
+      val pairs = Dedup
+        .ngramContainmentPairs(docs.unionByName(evals), col("text"), col("doc_id"), n = 3, threshold = 0.9)
+        .where(col("id_a") >= 5000000L)
+      evals
+        .select(col("doc_id").as("eval_id"))
+        .join(
+          pairs
+            .groupBy(col("id_a"))
+            .agg(count(lit(1)).as("n_hits"), max(col("containment")).as("max_containment")),
+          col("eval_id") === col("id_a"),
+          "left"
+        )
+        .select(
+          col("eval_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          col("max_containment"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated")
+        )
+        .orderBy(col("eval_id"))
+    }),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -4519,6 +4598,74 @@ object ExtensionQueries {
         |  CAST((ROW_NUMBER() OVER (PARTITION BY domain ORDER BY url_id) - 1)
         |    AS BIGINT) * crawl_delay AS slot_s
         |FROM u ORDER BY url_id""".stripMargin,
+    // sentences: same RE2-safe pattern, greedy last-terminator tail,
+    // list arithmetic replay
+    "x116_sentences" ->
+      """WITH d AS (SELECT doc_id,
+        |    text || '. Second sentence here! Third one?' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' trailing fragment' ELSE '' END AS t
+        |  FROM documents),
+        |m AS (SELECT doc_id, regexp_extract_all(t, '[^.!?]*[.!?]+') AS ms,
+        |    TRIM(regexp_replace(t, '(?s).*[.!?]', '')) AS tail FROM d),
+        |a AS (SELECT doc_id, tail,
+        |    CASE WHEN tail = '' THEN ms ELSE LIST_CONCAT(ms, [tail]) END AS al FROM m),
+        |f AS (SELECT doc_id, tail, LIST_FILTER(al, s -> TRIM(s) <> '') AS fs FROM a)
+        |SELECT doc_id, CAST(LEN(fs) AS INT) AS n_sentences,
+        |  CASE WHEN LEN(fs) > 0 THEN ROUND(
+        |    CAST(LIST_SUM(LIST_TRANSFORM(fs, s -> LEN(STRING_SPLIT(TRIM(s), ' ')))) AS DOUBLE)
+        |      / CAST(LEN(fs) AS DOUBLE), 6) END AS mean_sentence_tokens,
+        |  CASE WHEN LEN(fs) > 0
+        |       THEN CAST(LIST_MAX(LIST_TRANSFORM(fs, s -> LENGTH(TRIM(s)))) AS INT)
+        |       END AS max_sentence_chars,
+        |  tail = '' AND LEN(fs) > 0 AS has_terminal
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // format stats: translate-delete counting, same bullet class
+    "x117_format_stats" ->
+      """WITH d AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 5 = 0 THEN UPPER(text) ELSE text END) ||
+        |    (CASE WHEN doc_id % 3 = 0
+        |          THEN chr(10) || '- bullet one' || chr(10) || '* bullet two'
+        |          ELSE '' END) AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, t,
+        |  CAST(LENGTH(t) - LENGTH(TRANSLATE(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '')) AS DOUBLE) AS nu,
+        |  CAST(LENGTH(t) - LENGTH(TRANSLATE(t, 'abcdefghijklmnopqrstuvwxyz', '')) AS DOUBLE) AS nl,
+        |  CAST(LENGTH(t) - LENGTH(TRANSLATE(t, '0123456789', '')) AS DOUBLE) AS ndg,
+        |  STRING_SPLIT(t, chr(10)) AS lines FROM d),
+        |b AS (SELECT *, LEN(LIST_FILTER(lines, l -> regexp_matches(TRIM(l), '^[-*•]'))) AS nb
+        |  FROM c)
+        |SELECT doc_id,
+        |  CASE WHEN nu + nl > 0 THEN ROUND(nu/(nu+nl), 6) ELSE 0.0 END AS upper_ratio,
+        |  CASE WHEN LENGTH(t) > 0 THEN ROUND(ndg/CAST(LENGTH(t) AS DOUBLE), 6)
+        |       ELSE 0.0 END AS digit_ratio,
+        |  ROUND(CAST(nb AS DOUBLE)/CAST(LEN(lines) AS DOUBLE), 6) AS bullet_frac,
+        |  (nu + nl > 0) AND nu/(nu+nl) > 0.3 AS is_shouty
+        |FROM b ORDER BY doc_id""".stripMargin,
+    // contamination report: x58's inverted-index replay aggregated per
+    // eval doc, clean evals kept via the left join
+    "x118_contamination_report" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |q AS (SELECT doc_id + 5000000 AS doc_id,
+        |    ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[5:16], ' ') AS text
+        |  FROM base WHERE doc_id % 7 = 0),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM q),
+        |docs AS (SELECT doc_id, LIST_DISTINCT(
+        |    CASE WHEN LEN(STRING_SPLIT(text, ' ')) < 3 THEN [text]
+        |         ELSE LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+        |           i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' '))
+        |    END) AS sh FROM corpus),
+        |inv AS (SELECT doc_id, LEN(sh) AS nsh, UNNEST(sh) AS s FROM docs),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.nsh, COUNT(1) AS n_common
+        |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id != b.doc_id
+        |  WHERE a.doc_id >= 5000000
+        |  GROUP BY 1, 2, 3
+        |  HAVING ROUND(CAST(COUNT(1) AS DOUBLE)/a.nsh, 6) >= 0.9),
+        |agg AS (SELECT id_a, COUNT(*) AS n_hits,
+        |    MAX(ROUND(CAST(n_common AS DOUBLE)/nsh, 6)) AS max_containment
+        |  FROM p GROUP BY 1)
+        |SELECT q.doc_id AS eval_id, COALESCE(agg.n_hits, 0) AS n_hits,
+        |  agg.max_containment, COALESCE(agg.n_hits, 0) > 0 AS contaminated
+        |FROM q LEFT JOIN agg ON agg.id_a = q.doc_id ORDER BY eval_id""".stripMargin,
     // full blocks only (partial tails dropped, <16-byte docs emit nothing);
     // OCTET_LENGTH on the blob, not LENGTH: the Spark side frames UTF-8
     // BYTES, and char counting would diverge on any non-ASCII document
