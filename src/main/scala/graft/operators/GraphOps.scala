@@ -161,24 +161,34 @@ object GraphOps {
       .groupBy(col("src"))
       .agg(min(col("dst")).as("dst"))
       .localCheckpoint(true)
-    var f = m // src -> target after 2^k hops (saturating at terminals)
-    val rounds = Math.max(1, 32 - Integer.numberOfLeadingZeros(maxSteps)) // ceil(log2)+1-ish
+    // f carries the TRUE hop depth alongside the pointer so the
+    // maxSteps bound is exact: doubling can over-shoot the bound by up
+    // to 2x in rounds, but a chain that RESOLVED in more than maxSteps
+    // hops is still flagged per the documented policy ("never follow
+    // more than N redirects"), not silently returned.
+    var f = m.withColumn("d", lit(1L)) // src -> target after 2^k hops + depth
+    val rounds = Math.max(1, 32 - Integer.numberOfLeadingZeros(maxSteps)) // 2^rounds >= maxSteps
     var k = 0
     while (k < rounds) {
-      val hop = f.select(col("src").as("__s2"), col("dst").as("__d2"))
+      val hop = f.select(col("src").as("__s2"), col("dst").as("__d2"), col("d").as("__dd"))
       f = f
         .join(hop, f("dst") === col("__s2"), "left")
-        .select(col("src"), coalesce(col("__d2"), col("dst")).as("dst"))
+        .select(
+          col("src"),
+          coalesce(col("__d2"), col("dst")).as("dst"),
+          (col("d") + coalesce(col("__dd"), lit(0L))).as("d")
+        )
         .localCheckpoint(true)
       k += 1
     }
     // unresolved = the final pointer still redirects somewhere (cycle or
-    // over-long chain): its dst is a key of the mapping
+    // chain longer than the rounds cover), OR the chain resolved but in
+    // more than maxSteps hops (the policy bound)
     f.join(m.select(col("src").as("__k")), f("dst") === col("__k"), "left")
       .select(
         col("src"),
-        when(col("__k").isNull, col("dst")).as("final_dst"),
-        col("__k").isNull.as("is_resolved")
+        when(col("__k").isNull && col("d") <= maxSteps, col("dst")).as("final_dst"),
+        (col("__k").isNull && col("d") <= maxSteps).as("is_resolved")
       )
   }
 
@@ -264,6 +274,10 @@ object GraphOps {
     val cachedEdges = e
       .join(outDeg, "src")
       .localCheckpoint(true) // (src, dst, out_deg): the loop-invariant side
+    // loop-invariant: the distinct source set for dangling detection —
+    // computed ONCE (rebuilding it per iteration would re-shuffle the
+    // edge table every round just to anti-join)
+    val srcSet = cachedEdges.select(col("src")).distinct().localCheckpoint(true)
     // the ONE driver scalar: |V| — model state, like CC's convergence scalar
     val n = cachedNodes.count()
     val teleport = (1.0 - damping) / n
@@ -277,7 +291,7 @@ object GraphOps {
       val sums = contribs.groupBy(col("dst")).agg(sum(col("w")).as("s"))
       // dangling mass: rank held by nodes with no outlinks (1-row aggregate)
       val dangling = ranks
-        .join(cachedEdges.select(col("src")).distinct(), ranks("id") === col("src"), "left_anti")
+        .join(srcSet, ranks("id") === col("src"), "left_anti")
         .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
       val next = cachedNodes
         .join(sums, cachedNodes("id") === sums("dst"), "left")

@@ -67,7 +67,10 @@ object Robots {
       .where(col("field") === "user-agent")
       .groupBy(col("domain"), col("gid"))
       .agg(
-        max((lower(col("value")) === agent.toLowerCase).cast("int")).as("has_agent"),
+        // Locale.ROOT: Spark's lower() is locale-independent; a default-
+        // locale toLowerCase would diverge on e.g. tr-TR dotless-i JVMs
+        max((lower(col("value")) === agent.toLowerCase(java.util.Locale.ROOT)).cast("int"))
+          .as("has_agent"),
         max((col("value") === "*").cast("int")).as("has_star")
       )
     val domainMode = groups.groupBy(col("domain")).agg(max(col("has_agent")).as("any_agent"))
@@ -101,7 +104,7 @@ object Robots {
   private def try_cast_long(c: Column): Column =
     when(c.rlike("^[0-9]+$"), c.cast("long"))
 
-  /** Politeness schedule: per domain, the k-th URL (in `tieCol` order)
+  /** Politeness schedule: per domain, the k-th URL (in url-id order)
     * fetches at slot `(k-1) · delay` seconds, `defaultDelay` where the
     * domain declares none. The per-domain window IS the semantic unit —
     * politeness serializes a domain by definition, so the partition skew
@@ -119,9 +122,6 @@ object Robots {
       defaultDelay: Long = 1L
   ): DataFrame = {
     val delays = crawlDelays(robots, robotsDomainCol, txtCol, agent)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("domain"))
-      .orderBy(urlIdCol)
     urls
       .select(urlIdCol.as("url_id"), urlDomainCol.as("domain"))
       .join(broadcast(delays), Seq("domain"), "left")

@@ -48,6 +48,10 @@ object Spectral {
       .select(col("i").cast("int"), col("j").cast("int"), col("g").cast("double"))
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    require(
+      entries.nonEmpty,
+      "gramToMatrix: empty gram (no rows, or every vector was null) — nothing to collect"
+    )
     val dim = entries.iterator.map(_._2).max + 1
     val m = Array.fill(dim, dim)(0.0)
     entries.foreach { case (i, j, g) => m(i)(j) = g; m(j)(i) = g }

@@ -2485,7 +2485,9 @@ object ExtensionQueries {
         )
       val pairs = Dedup
         .ngramContainmentPairs(docs.unionByName(evals), col("text"), col("doc_id"), n = 3, threshold = 0.9)
-        .where(col("id_a") >= 5000000L)
+        // eval side contained in a CORPUS doc only — an eval-vs-eval pair
+        // (two excerpts sharing shingles) is not corpus contamination
+        .where(col("id_a") >= 5000000L && col("id_b") < 5000000L)
       evals
         .select(col("doc_id").as("eval_id"))
         .join(
@@ -4657,7 +4659,7 @@ object ExtensionQueries {
         |inv AS (SELECT doc_id, LEN(sh) AS nsh, UNNEST(sh) AS s FROM docs),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.nsh, COUNT(1) AS n_common
         |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id != b.doc_id
-        |  WHERE a.doc_id >= 5000000
+        |  WHERE a.doc_id >= 5000000 AND b.doc_id < 5000000
         |  GROUP BY 1, 2, 3
         |  HAVING ROUND(CAST(COUNT(1) AS DOUBLE)/a.nsh, 6) >= 0.9),
         |agg AS (SELECT id_a, COUNT(*) AS n_hits,

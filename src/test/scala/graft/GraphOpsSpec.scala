@@ -146,15 +146,18 @@ class GraphOpsSpec extends SparkTestBase {
     assert(got(11L) == (None, false))
     assert(got(20L) == (Some(21L), true))
 
-    // chain longer than maxSteps: flagged, not wrong
+    // the maxSteps policy bound is EXACT (true hop depth is tracked, so
+    // the doubling rounds can't over-honor the bound): depth 4 resolves,
+    // depth 5 flags, depth 19 flags
     val long = (1 until 20).map(i => (i.toLong, (i - 1).toLong))
     val got2 = GraphOps
       .resolveRedirects(long.toDF("src", "dst"), maxSteps = 4)
       .collect()
       .map(r => r.getLong(0) -> r.getBoolean(2))
       .toMap
+    assert(got2(3L) && got2(4L), "chains within maxSteps resolve")
+    assert(!got2(5L), "depth maxSteps+1 must flag unresolved (exact bound)")
     assert(!got2(19L), "over-long chain must flag unresolved")
-    assert(got2(3L), "short chain within maxSteps resolves")
   }
 
   test("anchors pairs each href with its trimmed link text; nested-markup anchors don't match") {
