@@ -939,6 +939,65 @@ object TextOps {
       )
   }
 
+  /** Flesch reading-ease score — the classic readability quality signal:
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    * syllables estimated as vowel-group count floored at one per word
+    * (the standard heuristic; maximal `[aeiouyAEIOUY]+` runs never cross
+    * whitespace, so the text-wide count equals the per-word sum — one
+    * regexp_count pass, no per-word explode). Sentences come from
+    * [[sentenceStats]]' contract. Deterministic double arithmetic; zero
+    * shuffle. Returns (…, n_words, n_syllables, flesch, reading_grade).
+    */
+  def readability(df: DataFrame, text: Column): DataFrame = {
+    val t = coalesce(text, lit(""))
+    val nWords = size(split(t, " ")).cast("double")
+    val groups = regexp_count(t, lit("[aeiouyAEIOUY]+")).cast("double")
+    val nSyl = greatest(groups, nWords)
+    val withSent = sentenceStats(df, text)
+    val nSent = col("n_sentences").cast("double")
+    val flesch =
+      lit(206.835) - lit(1.015) * (nWords / nSent) - lit(84.6) * (nSyl / nWords)
+    withSent
+      .withColumn("n_words", nWords.cast("long"))
+      .withColumn("n_syllables", nSyl.cast("long"))
+      .withColumn("flesch", when(nSent > 0 && nWords > 0, round(flesch, 6)))
+      .withColumn(
+        "reading_grade",
+        when(col("flesch").isNull, "unknown")
+          .when(col("flesch") >= 90, "very_easy")
+          .when(col("flesch") >= 70, "easy")
+          .when(col("flesch") >= 50, "medium")
+          .when(col("flesch") >= 30, "hard")
+          .otherwise("very_hard")
+      )
+  }
+
+  /** Dialogue-structure detection — the SFT-data triage signal: a line
+    * shaped `Speaker: utterance` is a turn; a document whose lines are
+    * mostly turns with ≥ 2 distinct speakers is a dialogue (chat logs,
+    * interview transcripts — data that needs the conversation pipeline,
+    * not the prose one). One split + array expressions, zero shuffle.
+    * Returns (…, n_lines, n_turns, n_speakers, is_dialogue).
+    */
+  def dialogueStats(df: DataFrame, text: Column, minTurnFrac: Double = 0.5): DataFrame = {
+    val t = coalesce(text, lit(""))
+    val lines = split(t, "\n")
+    val speakers = filter(
+      transform(lines, l => regexp_extract(l, "^([A-Z][A-Za-z]*): ", 1)),
+      s => s =!= ""
+    )
+    val nLines = size(lines)
+    val nTurns = size(speakers)
+    df.withColumn("n_lines", nLines)
+      .withColumn("n_turns", nTurns)
+      .withColumn("n_speakers", size(array_distinct(speakers)))
+      .withColumn(
+        "is_dialogue",
+        nTurns.cast("double") / nLines.cast("double") > minTurnFrac &&
+          size(array_distinct(speakers)) >= 2
+      )
+  }
+
   /** Markdown → training text ([[htmlExtract]]'s sibling for the
     * documentation/README slice of a code corpus): drop fenced code
     * blocks (counted, not silently — code belongs in the code pipeline,

@@ -2506,6 +2506,58 @@ object ExtensionQueries {
         .orderBy(col("eval_id"))
     }),
 
+    // Flesch readability over the x116 sentence shaping (multi-sentence
+    // guaranteed, grades span the scale via the synthetic token mix).
+    "x119_readability" -> ((s, dir) => {
+      val shaped = concat(col("text"), lit(". Second sentence here! Third one?"))
+      TextOps
+        .readability(
+          T(s, dir, "documents").select(col("doc_id"), shaped.as("t")),
+          col("t")
+        )
+        .select(
+          col("doc_id"),
+          col("n_words"),
+          col("n_syllables"),
+          col("n_sentences"),
+          col("flesch"),
+          col("reading_grade")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
+    // Dialogue detection: ≡0 mod 6 docs become two-speaker chat logs
+    // (every line a turn), ≡1 mod 6 get ONE speaker-shaped line (not a
+    // dialogue — single speaker), the rest stay prose.
+    "x120_dialogue" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val shaped = when(
+        col("doc_id") % 6 === 0,
+        concat(
+          lit("Alice: "), concat_ws(" ", slice(toks, 1, 5)),
+          lit("\nBob: "), concat_ws(" ", slice(toks, 6, 5)),
+          lit("\nAlice: "), concat_ws(" ", slice(toks, 11, 5))
+        )
+      ).when(
+          col("doc_id") % 6 === 1,
+          concat(lit("Narrator: "), col("text"))
+        )
+        .otherwise(col("text"))
+      TextOps
+        .dialogueStats(
+          T(s, dir, "documents").select(col("doc_id"), shaped.as("t")),
+          col("t")
+        )
+        .select(
+          col("doc_id"),
+          col("n_lines"),
+          col("n_turns"),
+          col("n_speakers"),
+          col("is_dialogue")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -4668,6 +4720,57 @@ object ExtensionQueries {
         |SELECT q.doc_id AS eval_id, COALESCE(agg.n_hits, 0) AS n_hits,
         |  agg.max_containment, COALESCE(agg.n_hits, 0) > 0 AS contaminated
         |FROM q LEFT JOIN agg ON agg.id_a = q.doc_id ORDER BY eval_id""".stripMargin,
+    // readability: sentence replay + vowel-group syllables, grade
+    // thresholds applied to the ROUNDED score exactly like the engine
+    "x119_readability" ->
+      """WITH d AS (SELECT doc_id, text || '. Second sentence here! Third one?' AS t
+        |  FROM documents),
+        |m AS (SELECT doc_id, t, regexp_extract_all(t, '[^.!?]*[.!?]+') AS ms,
+        |    TRIM(regexp_replace(t, '(?s).*[.!?]', '')) AS tail FROM d),
+        |f AS (SELECT doc_id, t,
+        |    LIST_FILTER(CASE WHEN tail = '' THEN ms ELSE LIST_CONCAT(ms, [tail]) END,
+        |      s -> TRIM(s) <> '') AS fs FROM m),
+        |c AS (SELECT doc_id,
+        |    CAST(LEN(STRING_SPLIT(t, ' ')) AS DOUBLE) AS w,
+        |    GREATEST(CAST(LEN(regexp_extract_all(t, '[aeiouyAEIOUY]+')) AS DOUBLE),
+        |      CAST(LEN(STRING_SPLIT(t, ' ')) AS DOUBLE)) AS syl,
+        |    CAST(LEN(fs) AS DOUBLE) AS sct FROM f),
+        |g AS (SELECT doc_id, w, syl, sct,
+        |    CASE WHEN sct > 0 AND w > 0 THEN ROUND(
+        |      CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE)*(w/sct)
+        |        - CAST(84.6 AS DOUBLE)*(syl/w), 6) END AS flesch
+        |  FROM c)
+        |SELECT doc_id, CAST(w AS BIGINT) AS n_words, CAST(syl AS BIGINT) AS n_syllables,
+        |  CAST(sct AS INT) AS n_sentences, flesch,
+        |  CASE WHEN flesch IS NULL THEN 'unknown'
+        |       WHEN flesch >= 90 THEN 'very_easy'
+        |       WHEN flesch >= 70 THEN 'easy'
+        |       WHEN flesch >= 50 THEN 'medium'
+        |       WHEN flesch >= 30 THEN 'hard'
+        |       ELSE 'very_hard' END AS reading_grade
+        |FROM g ORDER BY doc_id""".stripMargin,
+    // dialogue: same speaker-line regex and list arithmetic
+    "x120_dialogue" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 6 = 0 THEN
+        |    'Alice: ' || COALESCE(ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:5], ' '), '') ||
+        |    chr(10) || 'Bob: '
+        |      || COALESCE(ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[6:10], ' '), '') ||
+        |    chr(10) || 'Alice: '
+        |      || COALESCE(ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[11:15], ' '), '')
+        |  WHEN doc_id % 6 = 1 THEN 'Narrator: ' || text
+        |  ELSE text END AS t FROM documents),
+        |l AS (SELECT doc_id, STRING_SPLIT(t, chr(10)) AS lines FROM d),
+        |s AS (SELECT doc_id, lines,
+        |    LIST_FILTER(LIST_TRANSFORM(lines,
+        |      x -> regexp_extract(x, '^([A-Z][A-Za-z]*): ', 1)), x -> x <> '') AS sp
+        |  FROM l)
+        |SELECT doc_id, CAST(LEN(lines) AS INT) AS n_lines,
+        |  CAST(LEN(sp) AS INT) AS n_turns,
+        |  CAST(LEN(LIST_DISTINCT(sp)) AS INT) AS n_speakers,
+        |  (CAST(LEN(sp) AS DOUBLE)/CAST(LEN(lines) AS DOUBLE) > 0.5
+        |    AND LEN(LIST_DISTINCT(sp)) >= 2) AS is_dialogue
+        |FROM s ORDER BY doc_id""".stripMargin,
     // full blocks only (partial tails dropped, <16-byte docs emit nothing);
     // OCTET_LENGTH on the blob, not LENGTH: the Spark side frames UTF-8
     // BYTES, and char counting would diverge on any non-ASCII document
