@@ -2302,6 +2302,44 @@ object StressXOps {
       assert(fRows == corpusN && fBad == 0)
     }
 
+    // ---- politeness schedule + curation funnel at 5M: the schedule's
+    // per-domain windows (1000 domains × ~5k URLs) must produce exact
+    // arithmetic slots; the funnel's stage counts must reconcile with
+    // the planted duplicate mass (twins duplicate nothing textually, so
+    // exact dedup keeps all; the case stage is the identity here).
+    if (section("sched")) locally {
+      val dom = concat(lit("src"), pmod(col("id"), lit(1000)))
+      val robots = corpus
+        .select(dom.as("domain"))
+        .distinct()
+        .select(
+          col("domain"),
+          concat(
+            lit("User-agent: *\nCrawl-delay: "),
+            pmod(regexp_extract(col("domain"), "src([0-9]+)", 1).cast("long"), lit(5)) + 1,
+            lit("\n")
+          ).as("txt")
+        )
+      val t0 = System.nanoTime()
+      val sched = operators.Robots
+        .politenessSchedule(
+          corpus.select(col("id"), dom.as("d")),
+          col("id"), col("d"), robots, col("domain"), col("txt"), "anybot"
+        )
+        .persist()
+      val n = sched.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // exact invariant: per domain, max slot == (n_urls-1) * delay
+      val badDomains = sched
+        .groupBy(col("domain"), col("crawl_delay"))
+        .agg(count(lit(1)).as("nu"), max(col("slot_s")).as("mx"))
+        .filter(col("mx") =!= (col("nu") - 1) * col("crawl_delay"))
+        .count()
+      println(f"[stressx] politenessSchedule @ $n%d urls / 1000 domains: $sec%.1f s; slot-arithmetic violations (domains)=$badDomains")
+      assert(n == corpusN && badDomains == 0)
+      sched.unpersist()
+    }
+
     corpus.unpersist()
     spark.stop()
   }

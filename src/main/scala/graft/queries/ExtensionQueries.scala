@@ -4511,7 +4511,7 @@ object ExtensionQueries {
     // gazetteer: anchor join + list-slice span equality replay
     "x110_gazetteer" ->
       """WITH ph AS (SELECT 'L' || doc_id AS label,
-        |    ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[2:4], ' ') AS phrase,
+        |    COALESCE(ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[2:4], ' '), '') AS phrase,
         |    STRING_SPLIT(text, ' ')[2:4] AS pt
         |  FROM documents WHERE doc_id % 37 = 0 AND doc_id < 370
         |  UNION ALL SELECT 'MISS', 'zzzz qqqq vvvv', ['zzzz', 'qqqq', 'vvvv']),
