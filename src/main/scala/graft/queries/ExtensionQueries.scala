@@ -2558,6 +2558,34 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Mixed-language detection: per-LINE langid re-aggregated per doc —
+    // code-switching docs (≡0 mod 5 get a planted German line, ≡0 mod 7
+    // a French one) need the translation pipeline, not the monolingual
+    // one. One explode + one doc-keyed partial agg.
+    "x121_mixed_lang" -> ((s, dir) => {
+      val shaped = concat(
+        col("text"),
+        when(col("doc_id") % 5 === 0, lit("\nder die und der die und")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("\nle les des le les des")).otherwise(lit(""))
+      )
+      T(s, dir, "documents")
+        .select(col("doc_id"), explode(split(shaped, "\n")).as("line"))
+        .select(col("doc_id"), TextOps.langId(col("line")).as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).cast("int").as("n_lines"),
+          collect_set(when(col("lp") =!= "und", col("lp"))).as("__ls")
+        )
+        .select(
+          col("doc_id"),
+          col("n_lines"),
+          size(col("__ls")).as("n_langs"),
+          array_join(array_sort(col("__ls")), "|").as("langs"),
+          (size(col("__ls")) >= 2).as("is_mixed")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -4771,6 +4799,40 @@ object ExtensionQueries {
         |  (CAST(LEN(sp) AS DOUBLE)/CAST(LEN(lines) AS DOUBLE) > 0.5
         |    AND LEN(LIST_DISTINCT(sp)) >= 2) AS is_dialogue
         |FROM s ORDER BY doc_id""".stripMargin,
+    // mixed-language: x4's marker CASE per line, distinct-then-sort
+    // re-aggregation
+    "x121_mixed_lang" ->
+      """WITH d AS (SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'der die und der die und' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'le les des le les des' ELSE '' END AS t
+        |  FROM documents),
+        |li AS (SELECT doc_id, UNNEST(STRING_SPLIT(t, chr(10))) AS line FROM d),
+        |sc AS (SELECT doc_id,
+        |    LEN(LIST_FILTER(STRING_SPLIT(line, ' '), x -> x IN ('the','and','of'))) AS s_en,
+        |    LEN(LIST_FILTER(STRING_SPLIT(line, ' '), x -> x IN ('el','la','de'))) AS s_es,
+        |    LEN(LIST_FILTER(STRING_SPLIT(line, ' '), x -> x IN ('der','die','und'))) AS s_de,
+        |    LEN(LIST_FILTER(STRING_SPLIT(line, ' '), x -> x IN ('le','les','des'))) AS s_fr,
+        |    LEN(LIST_FILTER(STRING_SPLIT(line, ' '), x -> x IN ('的','是','在'))) AS s_zh
+        |  FROM li),
+        |lp AS (SELECT doc_id,
+        |    CASE WHEN s_en + s_es + s_de + s_fr + s_zh = 0 THEN 'und'
+        |         WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |         WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |         WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |         WHEN s_fr >= s_zh THEN 'fr'
+        |         ELSE 'zh' END AS lp
+        |  FROM sc),
+        |nl AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_lines FROM lp GROUP BY 1),
+        |dl AS (SELECT DISTINCT doc_id, lp FROM lp WHERE lp <> 'und'),
+        |ag AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_langs,
+        |    ARRAY_TO_STRING(LIST(lp ORDER BY lp), '|') AS langs
+        |  FROM dl GROUP BY 1)
+        |SELECT nl.doc_id, nl.n_lines,
+        |  COALESCE(ag.n_langs, 0) AS n_langs,
+        |  COALESCE(ag.langs, '') AS langs,
+        |  COALESCE(ag.n_langs, 0) >= 2 AS is_mixed
+        |FROM nl LEFT JOIN ag USING (doc_id) ORDER BY nl.doc_id""".stripMargin,
     // full blocks only (partial tails dropped, <16-byte docs emit nothing);
     // OCTET_LENGTH on the blob, not LENGTH: the Spark side frames UTF-8
     // BYTES, and char counting would diverge on any non-ASCII document
