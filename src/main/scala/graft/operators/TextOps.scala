@@ -998,6 +998,32 @@ object TextOps {
       )
   }
 
+  /** Mixed-script token detection — the homoglyph-spoofing audit (a
+    * Cyrillic 'о' inside a Latin word is invisible to the eye but
+    * poisons dedup keys, URLs, and tokenizers): per doc, count tokens
+    * that mix Latin letters with Cyrillic or Greek codepoints. Script
+    * membership is regex character-class testing per token (RE2-safe
+    * unicode ranges, literal classes — no properties, so any engine
+    * replays them). Zero shuffle.
+    * Returns (…, n_tokens, n_mixed_script, mixed_frac, has_homoglyphs).
+    */
+  def mixedScriptStats(df: DataFrame, text: Column): DataFrame = {
+    val t = coalesce(text, lit(""))
+    val toks = split(t, " ")
+    val latin = "[A-Za-z]"
+    val confusable = "[Ѐ-ӿͰ-Ͽ]" // Cyrillic + Greek blocks
+    val mixed = filter(toks, tok => tok.rlike(latin) && tok.rlike(confusable))
+    val nTok = size(toks)
+    val nMixed = size(mixed)
+    df.withColumn("n_tokens", nTok)
+      .withColumn("n_mixed_script", nMixed)
+      .withColumn(
+        "mixed_frac",
+        when(nTok > 0, round(nMixed.cast("double") / nTok.cast("double"), 6)).otherwise(lit(0.0))
+      )
+      .withColumn("has_homoglyphs", nMixed > 0)
+  }
+
   /** Markdown → training text ([[htmlExtract]]'s sibling for the
     * documentation/README slice of a code corpus): drop fenced code
     * blocks (counted, not silently — code belongs in the code pipeline,

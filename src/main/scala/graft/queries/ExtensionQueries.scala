@@ -2586,6 +2586,29 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Homoglyph audit: ≡0 mod 9 docs get a Latin word with a Cyrillic
+    // 'о' spliced in plus a pure-Cyrillic word (NOT mixed — only the
+    // splice counts); detection is per-token script-class co-occurrence.
+    "x122_homoglyphs" -> ((s, dir) => {
+      val shaped = concat(
+        col("text"),
+        when(col("doc_id") % 9 === 0, lit(" fакe слово")).otherwise(lit(""))
+      )
+      TextOps
+        .mixedScriptStats(
+          T(s, dir, "documents").select(col("doc_id"), shaped.as("t")),
+          col("t")
+        )
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          col("n_mixed_script"),
+          col("mixed_frac"),
+          col("has_homoglyphs")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -4833,6 +4856,24 @@ object ExtensionQueries {
         |  COALESCE(ag.langs, '') AS langs,
         |  COALESCE(ag.n_langs, 0) >= 2 AS is_mixed
         |FROM nl LEFT JOIN ag USING (doc_id) ORDER BY nl.doc_id""".stripMargin,
+    // homoglyphs: same script classes per token ('fакe' mixes Latin f/e
+    // with Cyrillic ак; 'слово' is pure Cyrillic and must NOT count)
+    "x122_homoglyphs" ->
+      """WITH d AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 9 = 0 THEN ' fакe слово' ELSE '' END AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, STRING_SPLIT(t, ' ') AS toks FROM d),
+        |m AS (SELECT doc_id, CAST(LEN(toks) AS INT) AS n_tokens,
+        |    CAST(LEN(LIST_FILTER(toks,
+        |      x -> regexp_matches(x, '[A-Za-z]') AND regexp_matches(x, '[Ѐ-ӿͰ-Ͽ]')))
+        |      AS INT) AS n_mixed_script
+        |  FROM c)
+        |SELECT doc_id, n_tokens, n_mixed_script,
+        |  CASE WHEN n_tokens > 0
+        |       THEN ROUND(CAST(n_mixed_script AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6)
+        |       ELSE 0.0 END AS mixed_frac,
+        |  n_mixed_script > 0 AS has_homoglyphs
+        |FROM m ORDER BY doc_id""".stripMargin,
     // full blocks only (partial tails dropped, <16-byte docs emit nothing);
     // OCTET_LENGTH on the blob, not LENGTH: the Spark side frames UTF-8
     // BYTES, and char counting would diverge on any non-ASCII document
