@@ -950,9 +950,15 @@ object TextOps {
     */
   def readability(df: DataFrame, text: Column): DataFrame = {
     val t = coalesce(text, lit(""))
-    val nWords = size(split(t, " ")).cast("double")
+    val toks = split(t, " ")
+    val nWords = size(toks).cast("double")
+    // per-WORD floor, computed without an explode: Σ max(1, groups(w)) =
+    // total vowel groups + the number of zero-vowel words (numbers,
+    // acronyms, punctuation tokens — common in web text, and a global
+    // floor would systematically under-count them)
     val groups = regexp_count(t, lit("[aeiouyAEIOUY]+")).cast("double")
-    val nSyl = greatest(groups, nWords)
+    val nZeroVowel = size(filter(toks, w => !w.rlike("[aeiouyAEIOUY]"))).cast("double")
+    val nSyl = groups + nZeroVowel
     val withSent = sentenceStats(df, text)
     val nSent = col("n_sentences").cast("double")
     val flesch =
@@ -993,8 +999,8 @@ object TextOps {
       .withColumn("n_speakers", size(array_distinct(speakers)))
       .withColumn(
         "is_dialogue",
-        nTurns.cast("double") / nLines.cast("double") > minTurnFrac &&
-          size(array_distinct(speakers)) >= 2
+        col("n_turns").cast("double") / col("n_lines").cast("double") > minTurnFrac &&
+          col("n_speakers") >= 2
       )
   }
 
@@ -1009,7 +1015,11 @@ object TextOps {
     */
   def mixedScriptStats(df: DataFrame, text: Column): DataFrame = {
     val t = coalesce(text, lit(""))
-    val toks = split(t, " ")
+    // collapse-then-split: a Latin word and a Cyrillic word separated by
+    // a NEWLINE must be two tokens, not one falsely-"mixed" token (and
+    // collapse-then-split behaves identically in any engine, unlike
+    // regex-split edge cases)
+    val toks = split(regexp_replace(t, "[ \\t\\n\\r]+", " "), " ")
     val latin = "[A-Za-z]"
     val confusable = "[Ѐ-ӿͰ-Ͽ]" // Cyrillic + Greek blocks
     val mixed = filter(toks, tok => tok.rlike(latin) && tok.rlike(confusable))

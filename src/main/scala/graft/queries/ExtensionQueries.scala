@@ -2430,7 +2430,7 @@ object ExtensionQueries {
     // counts as one truncated sentence).
     "x116_sentences" -> ((s, dir) => {
       val shaped = concat(
-        col("text"), lit(". Second sentence here! Third one?"),
+        coalesce(col("text"), lit("")), lit(". Second sentence here! Third one?"),
         when(col("doc_id") % 4 === 0, lit(" trailing fragment")).otherwise(lit(""))
       )
       TextOps
@@ -2451,8 +2451,9 @@ object ExtensionQueries {
     // Formatting-noise stats: ≡0 mod 5 docs are upper-cased (shouty),
     // ≡0 mod 3 get two bullet lines; translate-delete counting.
     "x117_format_stats" -> ((s, dir) => {
+      val t0 = coalesce(col("text"), lit(""))
       val shaped = concat(
-        when(col("doc_id") % 5 === 0, upper(col("text"))).otherwise(col("text")),
+        when(col("doc_id") % 5 === 0, upper(t0)).otherwise(t0),
         when(col("doc_id") % 3 === 0, lit("\n- bullet one\n* bullet two")).otherwise(lit(""))
       )
       TextOps
@@ -2509,7 +2510,8 @@ object ExtensionQueries {
     // Flesch readability over the x116 sentence shaping (multi-sentence
     // guaranteed, grades span the scale via the synthetic token mix).
     "x119_readability" -> ((s, dir) => {
-      val shaped = concat(col("text"), lit(". Second sentence here! Third one?"))
+      val shaped =
+        concat(coalesce(col("text"), lit("")), lit(". Second sentence here! Third one?"))
       TextOps
         .readability(
           T(s, dir, "documents").select(col("doc_id"), shaped.as("t")),
@@ -2530,7 +2532,8 @@ object ExtensionQueries {
     // (every line a turn), ≡1 mod 6 get ONE speaker-shaped line (not a
     // dialogue — single speaker), the rest stay prose.
     "x120_dialogue" -> ((s, dir) => {
-      val toks = split(col("text"), " ")
+      val t0 = coalesce(col("text"), lit(""))
+      val toks = split(t0, " ")
       val shaped = when(
         col("doc_id") % 6 === 0,
         concat(
@@ -2540,9 +2543,9 @@ object ExtensionQueries {
         )
       ).when(
           col("doc_id") % 6 === 1,
-          concat(lit("Narrator: "), col("text"))
+          concat(lit("Narrator: "), t0)
         )
-        .otherwise(col("text"))
+        .otherwise(t0)
       TextOps
         .dialogueStats(
           T(s, dir, "documents").select(col("doc_id"), shaped.as("t")),
@@ -2564,7 +2567,7 @@ object ExtensionQueries {
     // one. One explode + one doc-keyed partial agg.
     "x121_mixed_lang" -> ((s, dir) => {
       val shaped = concat(
-        col("text"),
+        coalesce(col("text"), lit("")),
         when(col("doc_id") % 5 === 0, lit("\nder die und der die und")).otherwise(lit("")),
         when(col("doc_id") % 7 === 0, lit("\nle les des le les des")).otherwise(lit(""))
       )
@@ -2591,7 +2594,7 @@ object ExtensionQueries {
     // splice counts); detection is per-token script-class co-occurrence.
     "x122_homoglyphs" -> ((s, dir) => {
       val shaped = concat(
-        col("text"),
+        coalesce(col("text"), lit("")),
         when(col("doc_id") % 9 === 0, lit(" fакe слово")).otherwise(lit(""))
       )
       TextOps
@@ -4707,7 +4710,7 @@ object ExtensionQueries {
     // list arithmetic replay
     "x116_sentences" ->
       """WITH d AS (SELECT doc_id,
-        |    text || '. Second sentence here! Third one?' ||
+        |    COALESCE(text, '') || '. Second sentence here! Third one?' ||
         |    CASE WHEN doc_id % 4 = 0 THEN ' trailing fragment' ELSE '' END AS t
         |  FROM documents),
         |m AS (SELECT doc_id, regexp_extract_all(t, '[^.!?]*[.!?]+') AS ms,
@@ -4727,7 +4730,8 @@ object ExtensionQueries {
     // format stats: translate-delete counting, same bullet class
     "x117_format_stats" ->
       """WITH d AS (SELECT doc_id,
-        |    (CASE WHEN doc_id % 5 = 0 THEN UPPER(text) ELSE text END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN UPPER(COALESCE(text, ''))
+        |          ELSE COALESCE(text, '') END) ||
         |    (CASE WHEN doc_id % 3 = 0
         |          THEN chr(10) || '- bullet one' || chr(10) || '* bullet two'
         |          ELSE '' END) AS t
@@ -4774,7 +4778,8 @@ object ExtensionQueries {
     // readability: sentence replay + vowel-group syllables, grade
     // thresholds applied to the ROUNDED score exactly like the engine
     "x119_readability" ->
-      """WITH d AS (SELECT doc_id, text || '. Second sentence here! Third one?' AS t
+      """WITH d AS (SELECT doc_id,
+        |    COALESCE(text, '') || '. Second sentence here! Third one?' AS t
         |  FROM documents),
         |m AS (SELECT doc_id, t, regexp_extract_all(t, '[^.!?]*[.!?]+') AS ms,
         |    TRIM(regexp_replace(t, '(?s).*[.!?]', '')) AS tail FROM d),
@@ -4783,8 +4788,9 @@ object ExtensionQueries {
         |      s -> TRIM(s) <> '') AS fs FROM m),
         |c AS (SELECT doc_id,
         |    CAST(LEN(STRING_SPLIT(t, ' ')) AS DOUBLE) AS w,
-        |    GREATEST(CAST(LEN(regexp_extract_all(t, '[aeiouyAEIOUY]+')) AS DOUBLE),
-        |      CAST(LEN(STRING_SPLIT(t, ' ')) AS DOUBLE)) AS syl,
+        |    CAST(LEN(regexp_extract_all(t, '[aeiouyAEIOUY]+')) AS DOUBLE)
+        |      + CAST(LEN(LIST_FILTER(STRING_SPLIT(t, ' '),
+        |          w -> NOT regexp_matches(w, '[aeiouyAEIOUY]'))) AS DOUBLE) AS syl,
         |    CAST(LEN(fs) AS DOUBLE) AS sct FROM f),
         |g AS (SELECT doc_id, w, syl, sct,
         |    CASE WHEN sct > 0 AND w > 0 THEN ROUND(
@@ -4804,13 +4810,14 @@ object ExtensionQueries {
     "x120_dialogue" ->
       """WITH d AS (SELECT doc_id,
         |  CASE WHEN doc_id % 6 = 0 THEN
-        |    'Alice: ' || COALESCE(ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:5], ' '), '') ||
+        |    'Alice: '
+        |      || COALESCE(ARRAY_TO_STRING(STRING_SPLIT(COALESCE(text, ''), ' ')[1:5], ' '), '') ||
         |    chr(10) || 'Bob: '
-        |      || COALESCE(ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[6:10], ' '), '') ||
+        |      || COALESCE(ARRAY_TO_STRING(STRING_SPLIT(COALESCE(text, ''), ' ')[6:10], ' '), '') ||
         |    chr(10) || 'Alice: '
-        |      || COALESCE(ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[11:15], ' '), '')
-        |  WHEN doc_id % 6 = 1 THEN 'Narrator: ' || text
-        |  ELSE text END AS t FROM documents),
+        |      || COALESCE(ARRAY_TO_STRING(STRING_SPLIT(COALESCE(text, ''), ' ')[11:15], ' '), '')
+        |  WHEN doc_id % 6 = 1 THEN 'Narrator: ' || COALESCE(text, '')
+        |  ELSE COALESCE(text, '') END AS t FROM documents),
         |l AS (SELECT doc_id, STRING_SPLIT(t, chr(10)) AS lines FROM d),
         |s AS (SELECT doc_id, lines,
         |    LIST_FILTER(LIST_TRANSFORM(lines,
@@ -4826,7 +4833,7 @@ object ExtensionQueries {
     // re-aggregation
     "x121_mixed_lang" ->
       """WITH d AS (SELECT doc_id,
-        |    text ||
+        |    COALESCE(text, '') ||
         |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'der die und der die und' ELSE '' END ||
         |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'le les des le les des' ELSE '' END AS t
         |  FROM documents),
@@ -4860,9 +4867,11 @@ object ExtensionQueries {
     // with Cyrillic ак; 'слово' is pure Cyrillic and must NOT count)
     "x122_homoglyphs" ->
       """WITH d AS (SELECT doc_id,
-        |    text || CASE WHEN doc_id % 9 = 0 THEN ' fакe слово' ELSE '' END AS t
+        |    COALESCE(text, '') ||
+        |      CASE WHEN doc_id % 9 = 0 THEN ' fакe слово' ELSE '' END AS t
         |  FROM documents),
-        |c AS (SELECT doc_id, STRING_SPLIT(t, ' ') AS toks FROM d),
+        |c AS (SELECT doc_id,
+        |    STRING_SPLIT(regexp_replace(t, '[ \t\n\r]+', ' ', 'g'), ' ') AS toks FROM d),
         |m AS (SELECT doc_id, CAST(LEN(toks) AS INT) AS n_tokens,
         |    CAST(LEN(LIST_FILTER(toks,
         |      x -> regexp_matches(x, '[A-Za-z]') AND regexp_matches(x, '[Ѐ-ӿͰ-Ͽ]')))

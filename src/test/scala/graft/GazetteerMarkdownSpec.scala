@@ -41,6 +41,32 @@ class GazetteerMarkdownSpec extends SparkTestBase {
     assert(got._4 == "H1 See the spec and inline code. H2 tail text")
   }
 
+  test("readability: syllable floor is per WORD (zero-vowel tokens count one each)") {
+    // 'amazing xyz 123.' → groups: a-a-i (3); zero-vowel words: xyz, 123. → 5 total
+    val got = TextOps
+      .readability(Seq((1L, "amazing xyz 123.")).toDF("id", "t"), col("t"))
+      .select(col("n_words"), col("n_syllables"), col("n_sentences"))
+      .as[(Long, Long, Int)]
+      .head()
+    assert(got == ((3L, 5L, 1)))
+  }
+
+  test("mixedScriptStats: newline-separated clean bilingual text is NOT flagged; spliced homoglyphs are") {
+    val got = TextOps
+      .mixedScriptStats(
+        Seq((1L, "hello\nпривет"), (2L, "clean fакe here"), (3L, "все чисто")).toDF("id", "t"),
+        col("t")
+      )
+      .select(col("id"), col("n_mixed_script"), col("has_homoglyphs"))
+      .as[(Long, Int, Boolean)]
+      .collect()
+      .map(r => r._1 -> r)
+      .toMap
+    assert(got(1L) == ((1L, 0, false)), "newline boundary must not create a fake mixed token")
+    assert(got(2L) == ((2L, 1, true)))
+    assert(got(3L) == ((3L, 0, false)))
+  }
+
   test("markdownExtract: null input is empty, multiple fences all counted") {
     val got = TextOps
       .markdownExtract(
