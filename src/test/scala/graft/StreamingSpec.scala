@@ -128,6 +128,44 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.filter(!_.getBoolean(2)).map(_.getString(1)).toSet == Set("ok, quoted", "plain"))
   }
 
+  test("StreamWebIngest: corrupt lines counted, robots-blocked dropped, cross-batch dedup holds") {
+    import graft.streaming.StreamWebIngest
+    val dir = java.nio.file.Files.createTempDirectory("webingest").toString
+    val store = s"$dir/digests"
+    val robots = Seq(("d", "User-agent: *\nDisallow: /private\n")).toDF("domain", "txt")
+    val acceptedIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val accept: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (df, _) => acceptedIds ++= df.select("doc_id").as[Long].collect()
+
+    def mkBatch(rows: Seq[(Long, String)]) = rows.toDF("lid", "line")
+    def run(epoch: Long, rows: Seq[(Long, String)]) =
+      StreamWebIngest.ingestBatch(
+        mkBatch(rows), col("lid"), col("line"),
+        lit("d"),
+        concat(when(col("doc_id") % 2 === 0, lit("/private/x")).otherwise(lit("/pub/x")), col("doc_id")),
+        robots, col("domain"), col("txt"), "anybot",
+        store, epoch, accept
+      )
+
+    // epoch 1: doc 1 ok (/pub), doc 2 blocked (/private), corrupt line, doc 3 ok
+    val r1 = run(1L, Seq(
+      (1L, "1,\"alpha text\",en,10"),
+      (2L, "2,\"beta text\",en,9"),
+      (3L, "3,\"gamma\",fr,BAD"),
+      (4L, "3,\"gamma text\",fr,10")
+    ))
+    assert(r1 == ((2L, 1L, 1L)), s"epoch1: $r1")
+    assert(acceptedIds.sorted == Seq(1L, 3L))
+
+    // epoch 2: re-ingest doc 1 (deduped), new doc 5 accepted
+    val r2 = run(2L, Seq(
+      (5L, "1,\"alpha text\",en,10"),
+      (6L, "5,\"delta text\",de,10")
+    ))
+    assert(r2 == ((1L, 0L, 0L)), s"epoch2: $r2")
+    assert(acceptedIds.sorted == Seq(1L, 3L, 5L))
+  }
+
   test("streaming router multicast == batch router multicast (O-13)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
