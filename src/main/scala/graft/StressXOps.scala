@@ -2302,6 +2302,61 @@ object StressXOps {
       assert(fRows == corpusN && fBad == 0)
     }
 
+    // ---- candidates-restricted bitext at 200k × 202k via REAL LSH
+    // blocking (64-bit hyperplane signature → 4 × 16-bit bands): the
+    // production path the exact scorer's scaladoc promises. Asserts the
+    // margin math routes EVERY candidate-surfaced planted pair (exact),
+    // and the deterministic blocking recall stays ≥ 0.99.
+    if (section("bitextlsh")) locally {
+      val nx = 200000L
+      def vec(saltCol: Column): Column =
+        array((0 until 64).map { j =>
+          ((pmod(xxhash64(saltCol, lit(j)), lit(2001)) - 1000) / lit(1000.0)).cast("double")
+        }: _*)
+      val xs = spark.range(nx).select(col("id"), vec(col("id")).as("v"))
+      val twins = spark
+        .range(2000)
+        .select((col("id") * 100).as("bid"))
+        .select(
+          (col("bid") + TwinOffset).as("id"),
+          transform(vec(col("bid")), x => x * lit(1.0005) + lit(0.0002)).as("v")
+        )
+      val distract = spark
+        .range(nx)
+        .select((col("id") + 5000000L).as("id"), vec(col("id") + 5000000L).as("v"))
+      val ys = twins.unionByName(distract)
+      def bandKeys(df: DataFrame, idName: String): DataFrame =
+        df.select(col("id").as(idName), graft.functions.vector.hyperplane_sig(col("v"), 64).as("__sig"))
+          .select(
+            col(idName),
+            explode(array((0 until 4).map { b =>
+              concat_ws(
+                ":",
+                lit(b),
+                shiftright(col("__sig"), b * 16).bitwiseAND(lit(0xFFFFL)).cast("string")
+              )
+            }: _*)).as("bk")
+          )
+      val cands = bandKeys(xs, "x_id")
+        .join(bandKeys(ys, "y_id"), "bk")
+        .select(col("x_id"), col("y_id"))
+        .distinct()
+        .persist()
+      val mass = cands.count()
+      val eligible = cands.filter(col("y_id") === col("x_id") + TwinOffset).count()
+      val bt = operators.Similarity
+        .bitextMineCandidates(xs, ys, col("id"), col("v"), col("id"), col("v"), cands)
+      val (sec, rows, h, _) = run(bt)
+      val routed = bt
+        .filter(col("y_best") === col("x_id") + TwinOffset && col("accepted"))
+        .count()
+      println(f"[stressx] bitextMineCandidates @ LSH candidates=$mass%d (of ${nx * (nx + 2000)}%d possible): $sec%.1f s, rows=$rows; twin pairs surfaced=$eligible/2000 routed=$routed")
+      println(s"[stressx]   plan: $h")
+      assert(routed == eligible, s"margin math must route every surfaced twin: $routed != $eligible")
+      assert(eligible >= 1980, s"deterministic LSH recall fell below 0.99: $eligible")
+      cands.unpersist()
+    }
+
     // ---- politeness schedule + curation funnel at 5M: the schedule's
     // per-domain windows (1000 domains × ~5k URLs) must produce exact
     // arithmetic slots; the funnel's stage counts must reconcile with

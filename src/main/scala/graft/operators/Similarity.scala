@@ -915,6 +915,56 @@ object Similarity {
     val scored = xs
       .crossJoin(ys)
       .select(col("x_id"), col("y_id"), round(cosine(col("__xv"), col("__yv")), 6).as("c"))
+    bitextMarginPipeline(scored, k, threshold)
+  }
+
+  /** The candidates-restricted production path [[bitextMine]]'s scaladoc
+    * promises: identical margin math, but scoring only the supplied
+    * `(x_id, y_id)` candidate pairs (from the LSH/IVF generators — e.g.
+    * a banded [[graft.functions.vector.hyperplane_sig]] equality join).
+    * The neighborhood-density averages are then estimates over each
+    * side's CANDIDATE neighborhood rather than the full corpus — exactly
+    * the approximation the FAISS-retrieved-k-NN practice of the paper
+    * makes; with all-pairs candidates this is bit-equal to the exact
+    * scorer (asserted in the spec). Scale shape: one equi-join per side
+    * to attach vectors (ids-only candidates in), then the same bounded
+    * windows — candidate mass, not |X|·|Y|, bounds every stage.
+    */
+  def bitextMineCandidates(
+      x: DataFrame,
+      y: DataFrame,
+      xIdCol: Column,
+      xVecCol: Column,
+      yIdCol: Column,
+      yVecCol: Column,
+      candidates: DataFrame,
+      k: Int = 4,
+      threshold: Double = 1.05
+  ): DataFrame = {
+    val xs = x
+      .filter(xVecCol.isNotNull)
+      .select(xIdCol.as("x_id"), transform(xVecCol, _.cast("double")).as("__xv"))
+    val ys = y
+      .filter(yVecCol.isNotNull)
+      .select(yIdCol.as("y_id"), transform(yVecCol, _.cast("double")).as("__yv"))
+    val scored = candidates
+      .select(col("x_id"), col("y_id"))
+      .distinct()
+      .join(xs, "x_id")
+      .join(ys, "y_id")
+      .select(col("x_id"), col("y_id"), round(cosine(col("__xv"), col("__yv")), 6).as("c"))
+    bitextMarginPipeline(scored, k, threshold)
+  }
+
+  /** Shared margin/mutual-NN pipeline over `(x_id, y_id, c)` scored
+    * pairs — see [[bitextMine]] for the semantics and determinism notes.
+    */
+  private def bitextMarginPipeline(
+      scored: DataFrame,
+      k: Int,
+      threshold: Double
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wx = Window.partitionBy(col("x_id")).orderBy(col("c").desc, col("y_id").asc)
     val wy = Window.partitionBy(col("y_id")).orderBy(col("c").desc, col("x_id").asc)
     val ranked = scored

@@ -57,6 +57,40 @@ class BoilerplateBitextSpec extends SparkTestBase {
     assert(got(0L).getString(3) == "body 0") // header still stripped: df=5/6 >= 30%
   }
 
+  test("bitextMineCandidates: all-pairs candidates are bit-equal to the exact scorer; restricted candidates still route twins") {
+    def unit(seed: Int): Array[Float] = {
+      val raw = Array.tabulate(12)(j => math.sin(seed * 17 + j * 5))
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(v => (v / n).toFloat)
+    }
+    val xs = (0 until 15).map(i => (i.toLong, unit(i)))
+    val ys = (0 until 8).map(i => (100L + i, unit(i).map(v => v * 1.001f))) ++
+      (40 until 50).map(i => (i.toLong, unit(i)))
+    val xdf = xs.toDF("id", "v"); val ydf = ys.toDF("id", "v")
+    val allCands = (for (a <- xs; b <- ys) yield (a._1, b._1)).toDF("x_id", "y_id")
+    val exact = Similarity
+      .bitextMine(xdf, ydf, col("id"), col("v"), col("id"), col("v"))
+      .as[(Long, Long, Double, Double, Boolean, Boolean)].collect().toSet
+    val viaCands = Similarity
+      .bitextMineCandidates(xdf, ydf, col("id"), col("v"), col("id"), col("v"), allCands)
+      .as[(Long, Long, Double, Double, Boolean, Boolean)].collect().toSet
+    assert(viaCands == exact, "all-pairs candidates must reproduce the exact scorer bit-for-bit")
+
+    // restricted: each x sees only its twin (if any) plus two distractors
+    val restricted = (0 until 15).flatMap { i =>
+      Seq((i.toLong, 40L + i % 10), (i.toLong, 40L + (i + 3) % 10)) ++
+        (if (i < 8) Seq((i.toLong, 100L + i)) else Nil)
+    }.toDF("x_id", "y_id")
+    val got = Similarity
+      .bitextMineCandidates(xdf, ydf, col("id"), col("v"), col("id"), col("v"), restricted, k = 2)
+      .as[(Long, Long, Double, Double, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    (0 until 8).foreach { i =>
+      val r = got(i.toLong)
+      assert(r._2 == 100L + i && r._5, s"x=$i must route to its twin mutually: $r")
+    }
+  }
+
   test("bitextMine drops null vectors instead of ranking null scores") {
     val xs = Seq((1L, Array(1.0f, 0.0f)), (2L, null.asInstanceOf[Array[Float]])).toDF("id", "v")
     val ys = Seq((10L, Array(1.0f, 0.1f)), (11L, null.asInstanceOf[Array[Float]])).toDF("id", "v")
