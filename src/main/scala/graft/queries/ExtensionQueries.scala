@@ -2612,6 +2612,34 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Embedding release card (x88's sibling for the vector side): per
+    // label — row/null counts, dim, and the norm distribution
+    // (mean/p50/p99/min/max over 6dp-rounded norms, so the percentile
+    // interpolation runs on bit-identical inputs in both engines).
+    // Nulls planted on ≡0 mod 97 must be COUNTED and excluded from
+    // stats, never dropped silently.
+    "x123_embedding_card" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings").select(
+        col("label"),
+        when(col("vec_id") % 97 === 0, lit(null)).otherwise(col("embedding")).as("v")
+      )
+      val vd = transform(col("v"), _.cast("double"))
+      val nrm = round(sqrt(graft.functions.vector.dot(vd, vd)), 6)
+      e.withColumn("nrm", when(col("v").isNotNull, nrm))
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          sum(col("v").isNull.cast("long")).as("n_null"),
+          max(size(col("v"))).as("dim"),
+          round(avg(col("nrm")), 6).as("mean_norm"),
+          round(percentile(col("nrm"), lit(0.5)), 6).as("p50_norm"),
+          round(percentile(col("nrm"), lit(0.99)), 6).as("p99_norm"),
+          round(min(col("nrm")), 6).as("min_norm"),
+          round(max(col("nrm")), 6).as("max_norm")
+        )
+        .orderBy(col("label"))
+    }),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -4883,6 +4911,26 @@ object ExtensionQueries {
         |       ELSE 0.0 END AS mixed_frac,
         |  n_mixed_script > 0 AS has_homoglyphs
         |FROM m ORDER BY doc_id""".stripMargin,
+    // embedding card: 6dp norms then quantile_cont (the q24 percentile
+    // parity), null vectors counted and excluded
+    "x123_embedding_card" ->
+      """WITH e AS (SELECT label,
+        |    CASE WHEN vec_id % 97 = 0 THEN NULL
+        |         ELSE CAST(embedding AS DOUBLE[]) END AS v
+        |  FROM embeddings),
+        |n AS (SELECT label, v,
+        |    CASE WHEN v IS NOT NULL
+        |         THEN ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))), 6) END AS nrm
+        |  FROM e)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  MAX(LEN(v)) AS dim,
+        |  ROUND(AVG(nrm), 6) AS mean_norm,
+        |  ROUND(quantile_cont(nrm, 0.5), 6) AS p50_norm,
+        |  ROUND(quantile_cont(nrm, 0.99), 6) AS p99_norm,
+        |  ROUND(MIN(nrm), 6) AS min_norm,
+        |  ROUND(MAX(nrm), 6) AS max_norm
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
     // full blocks only (partial tails dropped, <16-byte docs emit nothing);
     // OCTET_LENGTH on the blob, not LENGTH: the Spark side frames UTF-8
     // BYTES, and char counting would diverge on any non-ASCII document
