@@ -2346,6 +2346,7 @@ object StressXOps {
       val eligible = cands.filter(col("y_id") === col("x_id") + TwinOffset).count()
       val bt = operators.Similarity
         .bitextMineCandidates(xs, ys, col("id"), col("v"), col("id"), col("v"), cands)
+        .persist() // the routed count below must not re-run the pipeline
       val (sec, rows, h, _) = run(bt)
       val routed = bt
         .filter(col("y_best") === col("x_id") + TwinOffset && col("accepted"))
@@ -2354,6 +2355,7 @@ object StressXOps {
       println(s"[stressx]   plan: $h")
       assert(routed == eligible, s"margin math must route every surfaced twin: $routed != $eligible")
       assert(eligible >= 1980, s"deterministic LSH recall fell below 0.99: $eligible")
+      bt.unpersist()
       cands.unpersist()
     }
 

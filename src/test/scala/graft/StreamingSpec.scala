@@ -147,14 +147,16 @@ class StreamingSpec extends SparkTestBase {
         store, epoch, accept
       )
 
-    // epoch 1: doc 1 ok (/pub), doc 2 blocked (/private), corrupt line, doc 3 ok
+    // epoch 1: doc 1 ok (/pub), doc 2 blocked (/private), corrupt line,
+    // a well-formed line with NULL doc_id (invalid, not corrupt), doc 3 ok
     val r1 = run(1L, Seq(
       (1L, "1,\"alpha text\",en,10"),
       (2L, "2,\"beta text\",en,9"),
       (3L, "3,\"gamma\",fr,BAD"),
+      (7L, ",\"no id text\",en,10"),
       (4L, "3,\"gamma text\",fr,10")
     ))
-    assert(r1 == ((2L, 1L, 1L)), s"epoch1: $r1")
+    assert(r1 == ((2L, 1L, 1L, 1L)), s"epoch1 (accepted,corrupt,invalid,blocked): $r1")
     assert(acceptedIds.sorted == Seq(1L, 3L))
 
     // epoch 2: re-ingest doc 1 (deduped), new doc 5 accepted
@@ -162,8 +164,25 @@ class StreamingSpec extends SparkTestBase {
       (5L, "1,\"alpha text\",en,10"),
       (6L, "5,\"delta text\",de,10")
     ))
-    assert(r2 == ((1L, 0L, 0L)), s"epoch2: $r2")
+    assert(r2 == ((1L, 0L, 0L, 0L)), s"epoch2: $r2")
     assert(acceptedIds.sorted == Seq(1L, 3L, 5L))
+
+    // duplicate doc_id with DIFFERENT paths must gate PER ROW, not per
+    // doc_id: doc 9 arrives twice, once on /pub (line 9, allowed) and
+    // once on /private (line 8, blocked) — the blocked row must not
+    // ride the allowed row's verdict
+    val r3 = StreamWebIngest.ingestBatch(
+      mkBatch(Seq(
+        (8L, "9,\"epsilon text\",en,12"),
+        (9L, "9,\"epsilon other\",en,13")
+      )),
+      col("lid"), col("line"),
+      lit("d"),
+      concat(when(col("line_id") % 2 === 0, lit("/private/x")).otherwise(lit("/pub/x")), col("doc_id")),
+      robots, col("domain"), col("txt"), "anybot",
+      store, 3L, accept
+    )
+    assert(r3 == ((1L, 0L, 0L, 1L)), s"epoch3 (per-row gating): $r3")
   }
 
   test("streaming router multicast == batch router multicast (O-13)") {
