@@ -140,6 +140,46 @@ object Robots {
       )
   }
 
+  /** Per-domain crawl-budget allocation by the largest-remainder method
+    * (Hamilton apportionment): given a global fetch budget, each domain
+    * gets ⌊budget·n/total⌋ plus one top-up for the largest remainders —
+    * ALL integer arithmetic (`div`/`mod`, ties broken by domain), so the
+    * allocation is engine-exact and Σ alloc == budget is an identity,
+    * not an approximation. The frontier-policy companion of
+    * [[politenessSchedule]]: schedule orders WITHIN a domain, this
+    * divides the budget ACROSS domains. Model-side throughout: one
+    * count aggregate per domain, a 1-row total broadcast, and a
+    * remainder-rank window over the domain table (domains, not URLs).
+    */
+  def crawlBudget(
+      urls: DataFrame,
+      urlDomainCol: Column,
+      budget: Long
+  ): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val counts = urls.groupBy(urlDomainCol.as("domain")).agg(count(lit(1)).as("n_urls"))
+    val tot = counts.agg(sum(col("n_urls")).as("__t"))
+    val based = counts
+      .crossJoin(broadcast(tot))
+      .select(
+        col("domain"),
+        col("n_urls"),
+        expr(s"($budget * n_urls) div __t").as("__base"),
+        expr(s"($budget * n_urls) % __t").as("__rem")
+      )
+    val leftover = based.agg((lit(budget) - sum(col("__base"))).as("__left"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col("domain").asc)
+    based
+      .withColumn("__rk", row_number().over(w))
+      .crossJoin(broadcast(leftover))
+      .select(
+        col("domain"),
+        col("n_urls"),
+        (col("__base") + when(col("__rk") <= col("__left"), 1L).otherwise(0L)).as("alloc")
+      )
+  }
+
   /** Per-URL fetch decision for `agent`:
     * `(url_id, domain, path, matched_len, allowed)` — `matched_len` is
     * the winning rule's prefix length (0 when no rule matched).

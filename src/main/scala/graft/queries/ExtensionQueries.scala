@@ -2640,6 +2640,18 @@ object ExtensionQueries {
         .orderBy(col("label"))
     }),
 
+    // Crawl-budget allocation across domains (largest-remainder method):
+    // 10k fetches divided by URL share — pure integer arithmetic, so
+    // Σ alloc == budget is an identity both engines must reproduce.
+    "x124_crawl_budget" -> ((s, dir) =>
+      Robots
+        .crawlBudget(
+          T(s, dir, "documents").select(col("source")),
+          col("source"),
+          budget = 10000L
+        )
+        .orderBy(col("domain"))),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -4931,6 +4943,20 @@ object ExtensionQueries {
         |  ROUND(MIN(nrm), 6) AS min_norm,
         |  ROUND(MAX(nrm), 6) AS max_norm
         |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+    // crawl budget: Hamilton apportionment replay — integer div/mod,
+    // remainder rank with domain tie-break, leftover top-ups
+    "x124_crawl_budget" ->
+      """WITH c AS (SELECT source AS domain, COUNT(*) AS n_urls FROM documents GROUP BY 1),
+        |t AS (SELECT SUM(n_urls) AS tt FROM c),
+        |b AS (SELECT domain, n_urls,
+        |    (10000 * n_urls) // t.tt AS base,
+        |    (10000 * n_urls) % t.tt AS rem
+        |  FROM c, t),
+        |l AS (SELECT 10000 - SUM(base) AS leftover FROM b),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, domain ASC) AS rk FROM b)
+        |SELECT domain, n_urls,
+        |  base + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END AS alloc
+        |FROM r, l ORDER BY domain""".stripMargin,
     // full blocks only (partial tails dropped, <16-byte docs emit nothing);
     // OCTET_LENGTH on the blob, not LENGTH: the Spark side frames UTF-8
     // BYTES, and char counting would diverge on any non-ASCII document

@@ -109,6 +109,20 @@ class RobotsSpec extends SparkTestBase {
     assert(sched(4L) == (2L, 0L) && sched(5L) == (2L, 2L)) // null delay -> default
   }
 
+  test("crawlBudget: Hamilton apportionment conserves the budget exactly, incl. budget < domains and zero") {
+    val urls = (Seq.fill(7)("a") ++ Seq.fill(2)("b") ++ Seq.fill(1)("c")).map(Tuple1(_)).toDF("d")
+    def alloc(b: Long): Map[String, Long] =
+      Robots.crawlBudget(urls, col("d"), b).as[(String, Long, Long)].collect()
+        .map(r => r._1 -> r._3).toMap
+    val a10 = alloc(10L)
+    assert(a10 == Map("a" -> 7L, "b" -> 2L, "c" -> 1L)) // exact proportions
+    val a5 = alloc(5L)
+    assert(a5.values.sum == 5L && a5("a") >= a5("b") && a5("b") >= a5("c"))
+    val a2 = alloc(2L) // budget < domains: only the largest remainders get anything
+    assert(a2.values.sum == 2L)
+    assert(alloc(0L).values.sum == 0L)
+  }
+
   test("CRLF, comments, mixed-case field names all parse") {
     val txt = "# c\r\nUSER-AGENT: *\r\ndisallow: /a # inline comment\r\nALLOW: /a/b\r\n"
     val got = gate(
