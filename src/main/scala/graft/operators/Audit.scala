@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{NumericType, StringType}
 
@@ -108,5 +108,67 @@ object Audit {
         round(avg(col("__y")), 6).as("pos_rate")
       )
       .withColumn("gap", round(col("mean_score") - col("pos_rate"), 6))
+  }
+
+  /** Distribution-drift report between two corpus snapshots (PSI — the
+    * population stability index, the standard dataset-shift gate): bin a
+    * numeric signal into fixed-width bins, estimate each snapshot's bin
+    * mass with additive smoothing, and report
+    * PSI = Σ_bins (p_a − p_b) · ln(p_a / p_b) per group.
+    *
+    * Semantics pinned for replay: bins are OBSERVED bins only (a bin with
+    * zero rows in BOTH snapshots contributes nothing); smoothing is +0.5
+    * per observed bin so one-sided zeros stay finite; `psi` is rounded 6dp
+    * on the final value only. PSI > 0.1 is the conventional "shifted"
+    * flag, > 0.25 "severely shifted".
+    *
+    * Scale shape: two stacked aggregations (group×bin, then group) plus a
+    * broadcast join of per-group totals — group cardinality is
+    * model-sized, the corpus is touched once, nothing but (group, bin,
+    * two counts) ever reaches an exchange.
+    */
+  def driftReport(
+      df: DataFrame,
+      groupCol: Column,
+      inB: Column,
+      valueCol: Column,
+      binWidth: Double,
+      nBins: Int,
+      threshold: Double = 0.1
+  ): DataFrame = {
+    val binned = df.select(
+      groupCol.as("grp"),
+      inB.as("in_b"),
+      least(floor(valueCol / binWidth), lit(nBins - 1)).cast("int").as("bin")
+    )
+    val perBin = binned
+      .groupBy(col("grp"), col("bin"))
+      .agg(
+        sum(when(!col("in_b"), 1L).otherwise(0L)).as("a_cnt"),
+        sum(when(col("in_b"), 1L).otherwise(0L)).as("b_cnt")
+      )
+    val totals = perBin
+      .groupBy(col("grp"))
+      .agg(
+        sum(col("a_cnt")).as("n_a"),
+        sum(col("b_cnt")).as("n_b"),
+        count(lit(1)).as("n_bins_observed")
+      )
+    val pa = (col("a_cnt").cast("double") + 0.5) /
+      (col("n_a").cast("double") + lit(0.5) * col("n_bins_observed").cast("double"))
+    val pb = (col("b_cnt").cast("double") + 0.5) /
+      (col("n_b").cast("double") + lit(0.5) * col("n_bins_observed").cast("double"))
+    perBin
+      .join(broadcast(totals), Seq("grp"))
+      .groupBy(col("grp"), col("n_a"), col("n_b"), col("n_bins_observed"))
+      .agg(round(sum((pa - pb) * log(pa / pb)), 6).as("psi"))
+      .select(
+        col("grp"),
+        col("n_a"),
+        col("n_b"),
+        col("n_bins_observed"),
+        col("psi"),
+        (col("psi") > threshold).as("drifted")
+      )
   }
 }

@@ -1,0 +1,284 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SFT / post-training data operators: chat-transcript structuring, loss-mask
+  * accounting, preference-pair construction, and Bradley–Terry strength
+  * fitting.
+  *
+  * The reference (ystre/dsp) stops at the message envelope; a training-data
+  * pipeline additionally needs the CONVERSATION layer — raw transcripts
+  * parsed into (role, content) turns, per-role token accounting (the SFT
+  * loss mask is "assistant tokens only"), and the preference/ranking ops
+  * that RLHF-style post-training consumes.
+  *
+  * 100 TB design notes, per operator:
+  *   - [[parseTranscript]] / [[chatStats]] / [[lossMass]] are ZERO-SHUFFLE
+  *     projections: every turn of a document lives inside that document's
+  *     own row, so parsing is array/lambda work on the row, never a join or
+  *     a window. Text never moves between executors.
+  *   - [[preferencePairs]] is ONE partial-aggregating exchange: chosen and
+  *     rejected are min/max over a struct ordering, so the map side reduces
+  *     each prompt group to two candidate structs before the shuffle —
+  *     never a per-prompt sort or window.
+  *   - [[bradleyTerry]] separates corpus-side work (reducing raw
+  *     comparisons to a (item, opponent, count) table — one exchange over
+  *     pair keys) from model-side work (the MM iteration over the
+  *     item-strength table, which is vocabulary-sized, not corpus-sized;
+  *     the per-iteration joins broadcast under AQE for any realistic item
+  *     count, exactly like the IVF centroid discipline).
+  */
+object ChatOps {
+
+  /** Turn-head marker: `role: ` at line start. Kept RE2-safe (alternation +
+    * anchor only) and shared verbatim with the DuckDB oracles.
+    */
+  private[graft] def headRe(roles: Seq[String]): String =
+    "^(" + roles.mkString("|") + "): "
+
+  val DefaultRoles: Seq[String] = Seq("system", "user", "assistant")
+
+  /** Parse a raw chat transcript into an array of (role, content) turns —
+    * in-row, zero shuffle.
+    *
+    * Grammar (the common plain-text SFT interchange shape):
+    *   - a line matching `^(system|user|assistant): ` OPENS a turn; the
+    *     remainder of that line is the first content line;
+    *   - subsequent non-head lines are continuation lines of the open turn
+    *     (joined back with '\n');
+    *   - lines before the first head are orphans (counted, not kept — the
+    *     load-shed discipline: drop mass must be observable).
+    *
+    * Output columns: the input id column, `turns`
+    * (array<struct<role,content>>), `n_lines`, `n_orphan_lines`.
+    */
+  def parseTranscript(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      roles: Seq[String] = DefaultRoles
+  ): DataFrame = {
+    val re = headRe(roles)
+    val lines = split(text, "\n")
+    val nLines = size(lines)
+    val headIdx = filter(
+      sequence(lit(0), nLines - 1),
+      i => element_at(lines, i + 1).rlike(re)
+    )
+    val nTurns = size(headIdx)
+    // next-head boundary for each head: the following head index, or n_lines
+    val nextIdx = concat(slice(headIdx, lit(2), greatest(nTurns - 1, lit(0))), array(nLines))
+    val turns = zip_with(
+      headIdx,
+      nextIdx,
+      (a, b) => {
+        val head = element_at(lines, a + 1)
+        val role = regexp_extract(head, re, 1)
+        val rem = regexp_replace(head, re, "")
+        val cont = slice(lines, a + 2, greatest(b - a - 1, lit(0)))
+        val content =
+          when(size(cont) === 0, rem)
+            .otherwise(concat(rem, lit("\n"), array_join(cont, "\n")))
+        struct(role.as("role"), content.as("content"))
+      }
+    )
+    df.select(
+      idCol,
+      // nTurns==0 must yield an EMPTY turns array: nextIdx is [n_lines]
+      // even then, and zip_with pads the short side with nulls, so the
+      // unguarded zip would fabricate one junk turn.
+      when(nTurns === 0, array().cast("array<struct<role:string,content:string>>"))
+        .otherwise(turns)
+        .as("turns"),
+      nLines.as("n_lines"),
+      when(nTurns === 0, nLines).otherwise(element_at(headIdx, 1)).as("n_orphan_lines")
+    )
+  }
+
+  /** Structure audit over parsed turns (input = [[parseTranscript]] output;
+    * still zero shuffle): per-role counts, empty turns, consecutive
+    * same-role repeats (the alternation violation SFT trainers reject),
+    * head/tail shape booleans, and a canonical fingerprint
+    * (md5 of role||U+0001||content joined by U+0002 — the turn-level identity
+    * key for conversation-level dedup).
+    */
+  def chatStats(parsed: DataFrame): DataFrame = {
+    val turns = col("turns")
+    val roles = transform(turns, t => t.getField("role"))
+    val nTurns = size(turns)
+    def roleCount(r: String): Column =
+      size(filter(roles, x => x === lit(r)))
+    val repeats = when(nTurns <= 1, lit(0)).otherwise(
+      size(
+        filter(
+          sequence(lit(1), nTurns - 1),
+          i => element_at(roles, i + 1) === element_at(roles, i)
+        )
+      )
+    )
+    val fpBody = array_join(
+      transform(
+        turns,
+        t => concat(t.getField("role"), lit("\u0001"), t.getField("content"))
+      ),
+      "\u0002"
+    )
+    parsed.select(
+      col("*"),
+      nTurns.as("n_turns"),
+      roleCount("system").as("n_system"),
+      roleCount("user").as("n_user"),
+      roleCount("assistant").as("n_assistant"),
+      size(filter(turns, t => trim(t.getField("content")) === "")).as("n_empty_turns"),
+      repeats.as("n_role_repeats"),
+      (nTurns > 0 && element_at(roles, 1) === "system").as("starts_system"),
+      (nTurns > 0 && element_at(roles, nTurns) === "assistant").as("ends_assistant"),
+      md5(fpBody).as("fp")
+    )
+  }
+
+  /** Whitespace token count of one turn's content ('' → 0). Split class is
+    * [ \n] — the only whitespace the parser can produce inside a turn.
+    */
+  private def turnTokens(content: Column): Column =
+    size(filter(split(content, "[ \n]"), t => t =!= ""))
+
+  /** SFT loss-mask accounting (input = [[parseTranscript]] output; zero
+    * shuffle): total tokens, assistant tokens (the only ones that receive
+    * loss under the standard SFT mask), and their ratio `loss_frac`
+    * (rounded 6dp so downstream averages run on bit-identical inputs in
+    * every engine). A document whose loss_frac is near zero is all prompt
+    * and no supervision — the classic wasted-sequence pathology.
+    */
+  def lossMass(parsed: DataFrame, lossRole: String = "assistant"): DataFrame = {
+    val turns = col("turns")
+    val total = aggregate(
+      transform(turns, t => turnTokens(t.getField("content"))),
+      lit(0),
+      (acc, x) => acc + x
+    )
+    val masked = aggregate(
+      transform(
+        turns,
+        t => when(t.getField("role") === lossRole, turnTokens(t.getField("content"))).otherwise(lit(0))
+      ),
+      lit(0),
+      (acc, x) => acc + x
+    )
+    parsed.select(
+      col("*"),
+      total.as("total_tokens"),
+      masked.as("loss_tokens"),
+      when(total > 0, round(masked.cast("double") / total.cast("double"), 6))
+        .otherwise(lit(0.0))
+        .as("loss_frac")
+    )
+  }
+
+  /** Preference-pair construction: for each prompt group, chosen = the
+    * max-(score, id) candidate, rejected = the min-(score, id) candidate;
+    * groups need ≥ 2 candidates and a strictly positive margin. The
+    * min/max-over-struct formulation is ONE partial-aggregating exchange —
+    * each prompt reduces to two structs on the map side, so a
+    * billion-candidate table moves ~2 rows per prompt, never a per-prompt
+    * sort.
+    */
+  def preferencePairs(
+      df: DataFrame,
+      promptCol: Column,
+      candCol: Column,
+      scoreCol: Column
+  ): DataFrame =
+    df.select(promptCol.as("prompt_id"), candCol.as("cand"), scoreCol.as("score"))
+      .groupBy(col("prompt_id"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        max(struct(col("score"), col("cand"))).as("best"),
+        min(struct(col("score"), col("cand"))).as("worst")
+      )
+      .filter(col("n_candidates") >= 2 && col("best.score") > col("worst.score"))
+      .select(
+        col("prompt_id"),
+        col("best.cand").as("chosen_id"),
+        col("worst.cand").as("rejected_id"),
+        round(col("best.score") - col("worst.score"), 6).as("margin"),
+        col("n_candidates")
+      )
+
+  /** Bradley–Terry strength fitting over pairwise comparisons via the
+    * classic MM update (Hunter 2004), regularized with one virtual win and
+    * one virtual loss against a strength-1 dummy opponent so items with
+    * one-sided records stay finite:
+    *
+    *   s_i ← (w_i + v) / ( Σ_j n_ij / (s_i + s_j)  +  2v / (s_i + 1) )
+    *
+    * then rescaled each round to Σ s = |items| (the replayable
+    * normalization; BT strengths are scale-free).
+    *
+    * Input: (winner, loser) rows, one per comparison. Corpus-side work is
+    * the two aggregations to the directed win table and the undirected
+    * (i, j, n_ij) opponent table — after that every iteration touches only
+    * item-sized model tables (joins broadcast under AQE), the pageRank /
+    * IVF-centroid discipline. `localCheckpoint` truncates loop lineage.
+    */
+  def bradleyTerry(
+      comparisons: DataFrame,
+      iters: Int = 5,
+      virtual: Double = 1.0,
+      checkpoint: Boolean = true
+  ): DataFrame = {
+    val c = comparisons
+      .select(col("winner"), col("loser"))
+      .filter(col("winner").isNotNull && col("loser").isNotNull && col("winner") =!= col("loser"))
+    val directed = c.groupBy(col("winner"), col("loser")).agg(count(lit(1)).as("w"))
+    val und = directed
+      .select(col("winner").as("i"), col("loser").as("j"), col("w"))
+      .unionByName(directed.select(col("loser").as("i"), col("winner").as("j"), col("w")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("w")).as("n_ij"))
+      .localCheckpoint(true)
+    val wins = directed.groupBy(col("winner").as("item")).agg(sum(col("w")).as("wins"))
+    val losses = directed.groupBy(col("loser").as("item")).agg(sum(col("w")).as("losses"))
+    val items = und.select(col("i").as("item")).distinct().localCheckpoint(true)
+
+    var s = items.select(col("item"), lit(1.0).as("s"))
+    var k = 0
+    while (k < iters) {
+      val den = und
+        .join(s.select(col("item").as("i"), col("s").as("s_i")), "i")
+        .join(s.select(col("item").as("j"), col("s").as("s_j")), "j")
+        .groupBy(col("i").as("item"))
+        .agg(sum(col("n_ij") / (col("s_i") + col("s_j"))).as("den"))
+      val raw = s
+        .join(wins, Seq("item"), "left")
+        .join(den, Seq("item"), "left")
+        .select(
+          col("item"),
+          ((coalesce(col("wins"), lit(0L)).cast("double") + lit(virtual)) /
+            (coalesce(col("den"), lit(0.0)) + lit(2.0 * virtual) / (col("s") + 1.0)))
+            .as("sr")
+        )
+      val tot = raw.agg(sum(col("sr")).as("tot"), count(lit(1)).as("n"))
+      val next = raw
+        .crossJoin(broadcast(tot))
+        .select(col("item"), (col("sr") * col("n").cast("double") / col("tot")).as("s"))
+      s = if (checkpoint) next.localCheckpoint(true) else next
+      k += 1
+    }
+    val ranked = s
+      .join(wins, Seq("item"), "left")
+      .join(losses, Seq("item"), "left")
+      .select(
+        col("item"),
+        round(col("s"), 6).as("strength"),
+        coalesce(col("wins"), lit(0L)).as("wins"),
+        coalesce(col("losses"), lit(0L)).as("losses")
+      )
+    ranked.withColumn(
+      "rank",
+      row_number().over(Window.orderBy(col("strength").desc, col("item")))
+    )
+  }
+}

@@ -986,4 +986,46 @@ object Similarity {
         (margin >= threshold && col("ry") === 1).as("accepted")
       )
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of N ranked retrieval
+    * lists — the standard hybrid-search combiner (BM25 + dense ANN). Input
+    * DataFrames carry (query_id, id, rank); fused score is
+    * Σ 1/(kConst + rank) over the lists that surfaced the id, rounded 6dp
+    * BEFORE the final ranking so every engine orders identical values
+    * (ties break on id — the x44 discipline).
+    *
+    * Scale shape: the inputs are already top-k lists — queries×k rows,
+    * model-sized, not corpus-sized — so the union + one partial-aggregating
+    * exchange + WindowGroupLimit top-k here is noise next to the retriever
+    * stages that produced them. The expensive parts (the BM25 inverted
+    * index, the ANN index) keep their own audited plans.
+    */
+  def rrfFuse(
+      lists: Seq[DataFrame],
+      kConst: Int = 60,
+      topK: Int = 10
+  ): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val tagged = lists.map(
+      _.select(col("query_id"), col("id"), col("rank"))
+    )
+    val u = tagged.reduce(_.unionByName(_))
+    val scored = u
+      .groupBy(col("query_id"), col("id"))
+      .agg(
+        round(sum(lit(1.0) / (lit(kConst) + col("rank"))), 6).as("rrf"),
+        count(lit(1)).as("n_lists"),
+        min(col("rank")).as("best_rank")
+      )
+    scored
+      .withColumn(
+        "fused_rank",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("rrf").desc, col("id"))
+        )
+      )
+      .filter(col("fused_rank") <= topK)
+  }
 }

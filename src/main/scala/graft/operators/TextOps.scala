@@ -1055,4 +1055,140 @@ object TextOps {
       trim(regexp_replace(noHdr, "[ \\t\\n\\r]+", " ")).as("extracted")
     )
   }
+
+  /** Structural (alpha-renamed) code canonicalization: identifiers are
+    * rewritten to `v<k>` where k is the identifier's FIRST-OCCURRENCE rank
+    * inside the document, so two functions that differ only in naming
+    * collapse to the same canonical string / digest — the code-corpus
+    * sibling of [[normalizeText]]-keyed dedup (compose with `Dedup.exact`
+    * on the returned `canonical`).
+    *
+    * Tokenization is pre-split whitespace tokens; a token is an identifier
+    * iff it matches `^[A-Za-z_][A-Za-z0-9_]*$` and is not in `keywords`
+    * (the lexer's keyword table — keywords and punctuation survive
+    * verbatim, as do numeric literals, which are usually semantic).
+    *
+    * Scale shape: first-occurrence ranks come from the relational path —
+    * explode to (id, token, pos), min(pos) per (id, token), rank via
+    * row_number partitioned by id — so the shuffle carries (id, token,
+    * int) triples, never the document text; the per-doc ordered identifier
+    * list (bounded by the doc's distinct-identifier count) joins back on
+    * id and the rewrite itself is an in-row array transform. A per-doc
+    * window sort over distinct identifiers is O(idents log idents) per
+    * task with WindowGroupLimit-free bounded state — fine at any corpus
+    * size because partitions are keyed by doc id.
+    */
+  def alphaRename(
+      df: DataFrame,
+      idCol: Column,
+      codeCol: Column,
+      keywords: Seq[String] = Seq("def", "return", "if", "else", "for", "while", "in", "lambda")
+  ): DataFrame = {
+    val identRe = "^[A-Za-z_][A-Za-z0-9_]*$"
+    val isIdent = (t: Column) => t.rlike(identRe) && !t.isin(keywords.map(x => x: Any): _*)
+    val base = df.select(idCol.as("__arid"), codeCol.as("__arcode"))
+    val toks = base.select(
+      col("__arid"),
+      posexplode(split(col("__arcode"), " ")).as(Seq("pos", "tok"))
+    )
+    val firsts = toks
+      .filter(isIdent(col("tok")))
+      .groupBy(col("__arid"), col("tok"))
+      .agg(min(col("pos")).as("first_pos"))
+    val ordered = firsts
+      .withColumn(
+        "rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__arid"))
+            .orderBy(col("first_pos"))
+        )
+      )
+      .groupBy(col("__arid"))
+      .agg(
+        array_sort(collect_list(struct(col("rk"), col("tok")))).as("__arpairs")
+      )
+      .select(
+        col("__arid"),
+        transform(col("__arpairs"), p => p.getField("tok")).as("__aridents")
+      )
+    base
+      .join(ordered, Seq("__arid"), "left")
+      .select(
+        col("__arid").as("doc_id"),
+        coalesce(col("__aridents"), array().cast("array<string>")).as("__ids"),
+        col("__arcode")
+      )
+      .select(
+        col("doc_id"),
+        size(col("__ids")).as("n_idents"),
+        array_join(
+          transform(
+            split(col("__arcode"), " "),
+            t =>
+              when(isIdent(t), concat(lit("v"), array_position(col("__ids"), t).cast("string")))
+                .otherwise(t)
+          ),
+          " "
+        ).as("canonical")
+      )
+      .withColumn("fp", md5(col("canonical")))
+  }
+
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    * absolute discount D, the fixed-D variant) trained over the corpus and
+    * reported for the top-k bigrams:
+    *
+    *   P_kn(w2|w1) = max(c(w1w2) − D, 0)/c(w1·) + D · N1+(w1·)/c(w1·) · P_cont(w2)
+    *   P_cont(w2)  = N1+(·w2) / N1+(··)
+    *
+    * where c(w1·) = Σ_w2 c(w1w2) (occurrences of w1 in non-final
+    * position), N1+(w1·)/N1+(·w2) are distinct continuation/ history type
+    * counts and N1+(··) the number of distinct bigram types.
+    *
+    * Scale shape: ONE corpus pass explodes bigrams into a two-level
+    * partial aggregation keyed by the (w1, w2) pair; every derived table
+    * (per-w1 totals, per-w2 continuation counts, the scalar type count)
+    * re-aggregates the already-vocabulary-sized bigram table, and the two
+    * final joins are vocabulary-keyed (AQE broadcasts the small side).
+    * Top-k is TakeOrderedAndProject on (count desc, w1, w2) — never a
+    * global sort. All probability inputs are exact integers; the single
+    * double formula rounds 6dp at the end.
+    */
+  def knBigram(
+      df: DataFrame,
+      textCol: Column,
+      discount: Double = 0.75,
+      topK: Int = 20
+  ): DataFrame = {
+    val t = df.select(split(textCol, " ").as("tk"))
+    val bi = t
+      .select(
+        posexplode(slice(col("tk"), lit(1), greatest(size(col("tk")) - 1, lit(0))))
+          .as(Seq("i", "w1")),
+        col("tk")
+      )
+      .select(col("w1"), element_at(col("tk"), col("i") + 2).as("w2"))
+    val big = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val hist = big.groupBy(col("w1")).agg(sum(col("c")).as("c1"), count(lit(1)).as("n_fol"))
+    val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("n_pre"))
+    val nTypes = big.agg(count(lit(1)).as("n_types"))
+    big
+      .join(hist, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(nTypes))
+      .select(
+        col("w1"),
+        col("w2"),
+        col("c"),
+        round(
+          greatest(col("c") - discount, lit(0.0)) / col("c1") +
+            lit(discount) * col("n_fol") / col("c1") *
+            (col("n_pre").cast("double") / col("n_types")),
+          6
+        ).as("p_kn")
+      )
+      .orderBy(col("c").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

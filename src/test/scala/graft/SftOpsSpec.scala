@@ -1,0 +1,218 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Audit, ChatOps, Similarity, TextOps}
+
+/** Hand-computed unit expectations for the round-9 SFT / post-training
+  * family: transcript parsing, loss-mask accounting, preference pairs,
+  * Bradley–Terry fitting, RRF fusion, alpha-rename canonicalization, PSI
+  * drift, and Kneser–Ney bigram probabilities.
+  */
+class SftOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val transcript =
+    "garbage\nsystem: be brief\nuser: hi\nmore context\nassistant: hello there\n" +
+      "assistant: extra\nuser: thanks\nassistant: "
+
+  test("parseTranscript: grammar — orphans, continuation lines, empty turns") {
+    val df = Seq((1L, transcript)).toDF("doc_id", "text")
+    val row = ChatOps.parseTranscript(df, col("doc_id"), col("text")).collect().head
+    assert(row.getAs[Int]("n_lines") == 8)
+    assert(row.getAs[Int]("n_orphan_lines") == 1)
+    val turns = row.getAs[collection.Seq[Row]]("turns").map(r => (r.getString(0), r.getString(1)))
+    assert(
+      turns.toSeq == Seq(
+        ("system", "be brief"),
+        ("user", "hi\nmore context"),
+        ("assistant", "hello there"),
+        ("assistant", "extra"),
+        ("user", "thanks"),
+        ("assistant", "")
+      )
+    )
+  }
+
+  test("parseTranscript: no heads → zero turns, all lines orphaned") {
+    val df = Seq((1L, "just some text\nsecond line")).toDF("doc_id", "text")
+    val row = ChatOps.parseTranscript(df, col("doc_id"), col("text")).collect().head
+    assert(row.getAs[collection.Seq[Row]]("turns").isEmpty)
+    assert(row.getAs[Int]("n_orphan_lines") == 2)
+  }
+
+  test("chatStats: counts, repeats, shape booleans, fp") {
+    val df = Seq((1L, transcript)).toDF("doc_id", "text")
+    val row = ChatOps
+      .chatStats(ChatOps.parseTranscript(df, col("doc_id"), col("text")))
+      .collect()
+      .head
+    assert(row.getAs[Int]("n_turns") == 6)
+    assert(row.getAs[Int]("n_system") == 1)
+    assert(row.getAs[Int]("n_user") == 2)
+    assert(row.getAs[Int]("n_assistant") == 3)
+    assert(row.getAs[Int]("n_empty_turns") == 1)
+    assert(row.getAs[Int]("n_role_repeats") == 1)
+    assert(row.getAs[Boolean]("starts_system"))
+    assert(row.getAs[Boolean]("ends_assistant"))
+    // fp is the md5 of the canonical rebuild — pin it against an
+    // independently computed digest of the expected turn structure
+    val expected = Seq(
+      ("system", "be brief"),
+      ("user", "hi\nmore context"),
+      ("assistant", "hello there"),
+      ("assistant", "extra"),
+      ("user", "thanks"),
+      ("assistant", "")
+    ).map { case (r, c) => r + "\u0001" + c }.mkString("\u0002")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(row.getAs[String]("fp") == hex)
+  }
+
+  test("lossMass: assistant-token accounting") {
+    val df = Seq((1L, transcript)).toDF("doc_id", "text")
+    val row = ChatOps
+      .lossMass(ChatOps.parseTranscript(df, col("doc_id"), col("text")))
+      .collect()
+      .head
+    // tokens per turn: 2, 3, 2, 1, 1, 0 → total 9; assistant: 2+1+0 = 3
+    assert(row.getAs[Int]("total_tokens") == 9)
+    assert(row.getAs[Int]("loss_tokens") == 3)
+    assert(row.getAs[Double]("loss_frac") == 0.333333)
+  }
+
+  test("preferencePairs: argmax/argmin with tie-breaks, margin gate") {
+    val df = Seq(
+      ("A", 1L, 0.5),
+      ("A", 2L, 0.9),
+      ("A", 3L, 0.9), // tie on score → higher cand id wins chosen
+      ("B", 4L, 0.7), // singleton → dropped
+      ("C", 5L, 0.4),
+      ("C", 6L, 0.4) // zero margin → dropped
+    ).toDF("p", "c", "s")
+    val got = ChatOps
+      .preferencePairs(df, col("p"), col("c"), col("s"))
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[String]("prompt_id") == "A")
+    assert(r.getAs[Long]("chosen_id") == 3L)
+    assert(r.getAs[Long]("rejected_id") == 1L)
+    assert(r.getAs[Double]("margin") == 0.4)
+    assert(r.getAs[Long]("n_candidates") == 3L)
+  }
+
+  test("bradleyTerry: ordering, records, normalization, determinism") {
+    val comps = Seq(
+      ("a", "b"), ("a", "b"), ("a", "b"),
+      ("b", "c"), ("b", "c"),
+      ("a", "c")
+    ).toDF("winner", "loser")
+    val got = ChatOps.bradleyTerry(comps, iters = 8).orderBy(col("rank")).collect()
+    assert(got.map(_.getAs[String]("item")).toSeq == Seq("a", "b", "c"))
+    val byItem = got.map(r => r.getAs[String]("item") -> r).toMap
+    assert(byItem("a").getAs[Long]("wins") == 4 && byItem("a").getAs[Long]("losses") == 0)
+    assert(byItem("b").getAs[Long]("wins") == 2 && byItem("b").getAs[Long]("losses") == 3)
+    assert(byItem("c").getAs[Long]("wins") == 0 && byItem("c").getAs[Long]("losses") == 3)
+    val total = got.map(_.getAs[Double]("strength")).sum
+    assert(math.abs(total - 3.0) < 1e-4)
+    val again = ChatOps.bradleyTerry(comps, iters = 8).orderBy(col("rank")).collect()
+    assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("bradleyTerry: symmetric record → equal strengths, item tie-break") {
+    val comps = Seq(("a", "b"), ("b", "a")).toDF("winner", "loser")
+    val got = ChatOps.bradleyTerry(comps, iters = 6).orderBy(col("rank")).collect()
+    assert(got.map(_.getAs[Double]("strength")).distinct.length == 1)
+    assert(got.map(_.getAs[String]("item")).toSeq == Seq("a", "b"))
+  }
+
+  test("rrfFuse: hand-computed fusion scores and ranks") {
+    val a = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3)).toDF("query_id", "id", "rank")
+    val b = Seq((0L, 11L, 1), (0L, 13L, 2)).toDF("query_id", "id", "rank")
+    val got = Similarity
+      .rrfFuse(Seq(a, b), kConst = 60, topK = 10)
+      .orderBy(col("fused_rank"))
+      .collect()
+    val byId = got.map(r => r.getAs[Long]("id") -> r).toMap
+    // 11: 1/62 + 1/61 = 0.0325224747 → 0.032522 ; 10: 1/61 = 0.016393 ; 13: 1/62 = 0.016129
+    assert(byId(11L).getAs[Double]("rrf") == 0.032522)
+    assert(byId(11L).getAs[Long]("n_lists") == 2)
+    assert(byId(10L).getAs[Double]("rrf") == 0.016393)
+    assert(byId(13L).getAs[Double]("rrf") == 0.016129)
+    assert(got.map(_.getAs[Long]("id")).toSeq == Seq(11L, 10L, 13L, 12L))
+    // 12 (1/63 = 0.015873) ranks last, below 13 (1/62)
+  }
+
+  test("alphaRename: naming-invariant, structure-sensitive, keywords survive") {
+    val df = Seq(
+      (1L, "def foo ( bar , baz ) : return bar * baz + 7"),
+      (2L, "def g ( x , y ) : return x * y + 7"), // alpha-equivalent to 1
+      (3L, "def g ( x , y ) : return y * x + 7"), // different structure
+      (4L, "1 + 2") // no identifiers
+    ).toDF("doc_id", "code")
+    val got = TextOps
+      .alphaRename(df, col("doc_id"), col("code"))
+      .orderBy(col("doc_id"))
+      .collect()
+    assert(got(0).getAs[String]("canonical") == "def v1 ( v2 , v3 ) : return v2 * v3 + 7")
+    assert(got(0).getAs[String]("fp") == got(1).getAs[String]("fp"))
+    assert(got(2).getAs[String]("canonical") == "def v1 ( v2 , v3 ) : return v3 * v2 + 7")
+    assert(got(2).getAs[String]("fp") != got(0).getAs[String]("fp"))
+    assert(got(3).getAs[String]("canonical") == "1 + 2")
+    assert(got(3).getAs[Int]("n_idents") == 0)
+    assert(got(0).getAs[Int]("n_idents") == 3)
+  }
+
+  test("driftReport: hand-computed PSI with smoothing") {
+    val df = Seq(
+      ("g", false, 10.0), ("g", false, 10.0), ("g", false, 110.0),
+      ("g", true, 10.0), ("g", true, 110.0), ("g", true, 110.0)
+    ).toDF("grp", "in_b", "v")
+    val row = Audit
+      .driftReport(df, col("grp"), col("in_b"), col("v"), binWidth = 100.0, nBins = 2)
+      .collect()
+      .head
+    assert(row.getAs[Long]("n_a") == 3 && row.getAs[Long]("n_b") == 3)
+    assert(row.getAs[Long]("n_bins_observed") == 2)
+    // pa = (2.5/4, 1.5/4), pb = (1.5/4, 2.5/4) → psi = 2 · 0.25 · ln(5/3)
+    val expected = math.floor(2 * 0.25 * math.log(2.5 / 1.5) * 1e6 + 0.5) / 1e6
+    assert(row.getAs[Double]("psi") == expected)
+    assert(row.getAs[Boolean]("drifted"))
+  }
+
+  test("driftReport: identical snapshots → psi 0, not drifted") {
+    val df = Seq(
+      ("g", false, 10.0), ("g", false, 110.0),
+      ("g", true, 10.0), ("g", true, 110.0)
+    ).toDF("grp", "in_b", "v")
+    val row = Audit
+      .driftReport(df, col("grp"), col("in_b"), col("v"), binWidth = 100.0, nBins = 2)
+      .collect()
+      .head
+    assert(row.getAs[Double]("psi") == 0.0)
+    assert(!row.getAs[Boolean]("drifted"))
+  }
+
+  test("knBigram: hand-computed interpolated Kneser–Ney probabilities") {
+    val df = Seq("a b a b c", "b a").toDF("text")
+    val got = TextOps.knBigram(df, col("text"), discount = 0.75, topK = 20).collect()
+    val m = got.map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) -> r).toMap
+    assert(m(("a", "b")).getAs[Long]("c") == 2)
+    assert(m(("b", "a")).getAs[Long]("c") == 2)
+    assert(m(("b", "c")).getAs[Long]("c") == 1)
+    // P(b|a) = 1.25/2 + 0.75·(1/2)·(1/3) = 0.75
+    assert(m(("a", "b")).getAs[Double]("p_kn") == 0.75)
+    // P(a|b) = 1.25/3 + 0.75·(2/3)·(1/3) = 0.583333
+    assert(m(("b", "a")).getAs[Double]("p_kn") == 0.583333)
+    // P(c|b) = 0.25/3 + 0.75·(2/3)·(1/3) = 0.25
+    assert(m(("b", "c")).getAs[Double]("p_kn") == 0.25)
+    // ordering: count desc, then w1, w2
+    assert(
+      got.map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"))).toSeq ==
+        Seq(("a", "b"), ("b", "a"), ("b", "c"))
+    )
+  }
+}
