@@ -72,7 +72,7 @@ object StressXOps {
     // (simhash,minhash,cosine,decontaminate,pack,cc,quantile,pii,sample,
     // lines,quantize,spans,semdedup,bloominc,retrieval,qknn,classifier,
     // curation9,curation10,curation10b,curation10c,curation10d,curation10e,
-    // curation11,…,graph,editdist,spectral) — default all
+    // curation11,…,graph,editdist,spectral,sft,curation12) — default all
     val only = if (args.length > 2) args(2).split(",").toSet else Set.empty[String]
     def section(name: String): Boolean = only.isEmpty || only(name)
     val spark = SparkSession
@@ -2395,6 +2395,205 @@ object StressXOps {
       println(f"[stressx] politenessSchedule @ $n%d urls / 1000 domains: $sec%.1f s; slot-arithmetic violations (domains)=$badDomains")
       assert(n == corpusN && badDomains == 0)
       sched.unpersist()
+    }
+
+    // ---- SFT family at width (r9): transcripts with EXACT construction
+    // invariants (the residue classes fix every count a priori), preference
+    // pairs A/B'd against the window formulation, and Bradley-Terry with a
+    // planted always-wins champion over 1000 items / ~5M comparisons.
+    if (section("sft")) locally {
+      // transcripts over the shared corpus (40 tokens/doc, so t1=t2=20)
+      val tr = {
+        val extra5 = when(col("id") % 5 === 0, lit("\nassistant: adding more detail")).otherwise(lit(""))
+        val extra7 = when(col("id") % 7 === 0, lit("\nuser: thanks\nassistant: ")).otherwise(lit(""))
+        val extra3 = when(col("id") % 3 === 0, lit("\nplease elaborate")).otherwise(lit(""))
+        val orphan = when(col("id") % 11 === 0, lit("<<corrupt header>>\n")).otherwise(lit(""))
+        val tk = split(col("text"), " ")
+        val t1 = array_join(slice(tk, lit(1), lit(20)), " ")
+        val t2 = array_join(slice(tk, lit(21), lit(20)), " ")
+        corpus.select(
+          col("id"),
+          concat(
+            orphan, lit("system: be concise"),
+            lit("\nuser: "), t1, extra3,
+            lit("\nassistant: "), t2, extra5, extra7
+          ).as("t")
+        )
+      }
+      val parsed = operators.ChatOps.parseTranscript(tr, col("id"), col("t"))
+      val stats = operators.ChatOps.chatStats(parsed)
+      val (sec1, n1, h1, _) = run(stats)
+      val agg = operators.ChatOps
+        .chatStats(operators.ChatOps.parseTranscript(tr, col("id"), col("t")))
+        .agg(
+          sum(col("n_turns").cast("long")).as("turns"),
+          sum(col("n_orphan_lines").cast("long")).as("orph"),
+          sum(col("n_empty_turns").cast("long")).as("empty"),
+          sum(col("n_role_repeats").cast("long")).as("reps")
+        )
+        .head()
+      def residue(m: Long): Long = corpus.filter(col("id") % m === 0).count()
+      val (r5, r7, r11) = (residue(5), residue(7), residue(11))
+      val expTurns = 3 * corpusN + r5 + 2 * r7
+      println(f"[stressx] chatStats @ $n1%d transcripts: $sec1%.1f s; turns=${agg.getLong(0)} (expect $expTurns), orphans=${agg.getLong(1)} (expect $r11), empty=${agg.getLong(2)} (expect $r7), repeats=${agg.getLong(3)} (expect $r5)")
+      println(s"[stressx]   plan: $h1")
+      assert(agg.getLong(0) == expTurns && agg.getLong(1) == r11 && agg.getLong(2) == r7 && agg.getLong(3) == r5,
+        "transcript construction invariants must hold exactly")
+      // loss mass: t2 has exactly 20 tokens; extras 3 (%5) and 1 (%7) are
+      // assistant-turn tokens ('thanks' is a user turn, trailing turn empty)
+      val lm = operators.ChatOps
+        .lossMass(operators.ChatOps.parseTranscript(tr, col("id"), col("t")))
+        .agg(sum(col("loss_tokens").cast("long")).as("lt"), sum(col("total_tokens").cast("long")).as("tt"))
+        .head()
+      val expLoss = 20 * corpusN + 3 * r5 + r7
+      val expTotal = (2 + 20 + 20) * corpusN + 2 * residue(3) + 3 * r5 + 2 * r7
+      println(s"[stressx] lossMass: loss=${lm.getLong(0)} (expect $expLoss), total=${lm.getLong(1)} (expect $expTotal)")
+      assert(lm.getLong(0) == expLoss && lm.getLong(1) == expTotal, "loss-mask token accounting must be exact")
+
+      // preference pairs over 5M synthetic events (500k prompts x 10):
+      // A/B the struct-agg operator against the window-rank formulation
+      val nev = 5000000L
+      val ev = spark.range(nev).select(
+        pmod(col("id"), lit(500000L)).as("user_id"),
+        col("id").as("event_id"),
+        (pmod(xxhash64(col("id"), lit(9)), lit(1000000L)).cast("double") / 1e6).as("value")
+      ).persist()
+      ev.count()
+      val pp = operators.ChatOps.preferencePairs(ev, col("user_id"), col("event_id"), col("value"))
+      val (sec2, n2, h2, _) = run(pp)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      val twin = ev
+        .select(
+          col("user_id"), col("event_id"), col("value"),
+          row_number().over(w.orderBy(col("value").desc, col("event_id").desc)).as("rb"),
+          row_number().over(w.orderBy(col("value").asc, col("event_id").asc)).as("rw"),
+          count(lit(1)).over(w).as("n")
+        )
+      val best = twin.filter(col("rb") === 1).select(col("user_id").as("prompt_id"), col("event_id").as("chosen_id"), col("value").as("bs"), col("n"))
+      val worst = twin.filter(col("rw") === 1).select(col("user_id").as("prompt_id"), col("event_id").as("rejected_id"), col("value").as("ws"))
+      val twinPairs = best.join(worst, "prompt_id").filter(col("n") >= 2 && col("bs") > col("ws"))
+        .select(col("prompt_id"), col("chosen_id"), col("rejected_id"), round(col("bs") - col("ws"), 6).as("margin"), col("n").cast("long").as("n_candidates"))
+      val mism = pp.unionByName(twinPairs).groupBy(pp.columns.map(col): _*).agg(count(lit(1)).as("c")).filter(col("c") =!= 2).count()
+      println(f"[stressx] preferencePairs @ $nev%d events / 500k prompts: $sec2%.1f s, pairs=$n2; window-twin mismatches=$mism")
+      println(s"[stressx]   plan: $h2")
+      assert(mism == 0, "struct-agg and window formulations must agree exactly")
+      ev.unpersist()
+
+      // bradley-terry: ~5M comparisons over 1000 items, item 0 planted as
+      // an always-wins champion wherever it appears
+      val nc = 5000000L
+      val comps = spark.range(nc).select(
+        pmod(xxhash64(col("id"), lit(1)), lit(1000L)).as("a"),
+        pmod(xxhash64(col("id"), lit(2)), lit(1000L)).as("b"),
+        pmod(xxhash64(col("id"), lit(3)), lit(2L)).as("coin")
+      ).filter(col("a") =!= col("b"))
+        .select(
+          when(col("a") === 0 || (col("b") =!= 0 && col("coin") === 0), col("a")).otherwise(col("b")).as("winner"),
+          when(col("a") === 0 || (col("b") =!= 0 && col("coin") === 0), col("b")).otherwise(col("a")).as("loser")
+        ).persist()
+      val ncomp = comps.count()
+      val t0 = System.nanoTime()
+      val bt = operators.ChatOps.bradleyTerry(comps, iters = 5).persist()
+      val items = bt.count()
+      val sec3 = (System.nanoTime() - t0) / 1e9
+      val top = bt.orderBy(col("rank")).limit(1).head()
+      val cons = bt.agg(sum(col("wins")).as("w"), sum(col("losses")).as("l"), sum(col("strength")).as("s")).head()
+      println(f"[stressx] bradleyTerry @ $ncomp%d comparisons / $items%d items, 5 iters: $sec3%.1f s; champion=${top.getAs[Long]("item")} (strength=${top.getAs[Double]("strength")}%.3f), sum(wins)=${cons.getLong(0)} sum(losses)=${cons.getLong(1)} sum(strength)=${cons.getDouble(2)}%.4f")
+      assert(top.getAs[Long]("item") == 0L, "planted champion must rank first")
+      assert(cons.getLong(0) == ncomp && cons.getLong(1) == ncomp, "win/loss conservation")
+      assert(math.abs(cons.getDouble(2) - items.toDouble) < 1e-3, "sum-to-N normalization")
+      bt.unpersist(); comps.unpersist()
+    }
+
+    // ---- round-9 curation newcomers at width: alphaRename with planted
+    // alpha-twins and an exact class-count tie-out; Kneser-Ney with the
+    // sum-to-one identity per history; driftReport with an exactly
+    // symmetric control group (psi must be 0.0, not just small).
+    if (section("curation12")) locally {
+      val tk = split(col("text"), " ")
+      // one shared prefix for both identifiers, so tok1==tok2 collapses
+      // v2/v3 into one variable — the structural dimension the class
+      // count must capture alongside the surviving numeric-ish literal
+      def codeOf(p: String): Column = concat_ws(
+        " ",
+        lit("def"), lit("f"), lit("("),
+        concat(lit(p), element_at(tk, 1)), lit(","),
+        concat(lit(p), element_at(tk, 2)), lit(")"), lit(":"), lit("return"),
+        concat(lit(p), element_at(tk, 1)), lit("*"),
+        concat(lit(p), element_at(tk, 2)), lit("+"), element_at(tk, 3)
+      )
+      val baseCode = corpus.filter(col("id") < TwinOffset).select(col("id"), codeOf("x").as("code"))
+      val twinCode = corpus.filter(col("id") < TwinOffset && col("id") % 100 === 0)
+        .select((col("id") + TwinOffset).as("id"), codeOf("zz").as("code"))
+      val codes = baseCode.unionByName(twinCode).persist()
+      val ncodes = codes.count()
+      val ar = operators.TextOps.alphaRename(codes, col("id"), col("code")).persist()
+      val (sec4, n4, h4, _) = run(operators.TextOps.alphaRename(codes, col("id"), col("code")))
+      // class-count tie-out: canonical classes are exactly the distinct
+      // (tok3 literal, tok1==tok2 collapse) structural keys of the base
+      // corpus (twins add no new structure by construction) — but tok3
+      // values that ARE identifiers (all of them here: bare vocab tokens)
+      // still canonicalize, so the class key is (tok3-is-new-vs-tok1/2,
+      // eq12). tok3 is a plain digit-string token from the vocab, which
+      // NEVER matches the identifier grammar only if it starts with a
+      // digit — the stress vocab is all-digit tokens, so tok3 survives
+      // verbatim and the expected-class computation below is exact.
+      val expClasses = corpus.filter(col("id") < TwinOffset)
+        .select(element_at(tk, 3).as("lit3"),
+          (element_at(tk, 1) === element_at(tk, 2)).as("eq12"))
+        .distinct().count()
+      val gotClasses = ar.select(col("fp")).distinct().count()
+      // planted twins: every twin id's fp equals its base id's fp
+      val fps = ar.select(col("doc_id"), col("fp"))
+      val twinBad = fps.filter(col("doc_id") >= TwinOffset)
+        .join(fps.filter(col("doc_id") < TwinOffset).withColumnRenamed("fp", "fp0").withColumnRenamed("doc_id", "base"),
+          col("doc_id") - TwinOffset === col("base"))
+        .filter(col("fp") =!= col("fp0")).count()
+      println(f"[stressx] alphaRename @ $ncodes%d code docs: $sec4%.1f s, rows=$n4; classes=$gotClasses (expect $expClasses), twin fp mismatches=$twinBad")
+      println(s"[stressx]   plan: $h4")
+      assert(gotClasses == expClasses, "canonical classes must equal structural keys exactly")
+      assert(twinBad == 0, "alpha-twins must collapse onto their base digest")
+      ar.unpersist(); codes.unpersist()
+
+      // kneser-ney: full table, exact count conservation + sum-to-one per
+      // history (identity of the interpolated form; 6dp rounding noise
+      // bounded by n_fol * 5e-7)
+      val t0 = System.nanoTime()
+      val kn = operators.TextOps.knBigram(corpus, col("text"), topK = 0).persist()
+      val nbig = kn.count()
+      val sec5 = (System.nanoTime() - t0) / 1e9
+      val totC = kn.agg(sum(col("c"))).head().getLong(0)
+      val expC = corpus.select(sum(size(split(col("text"), " ")) - 1)).head().getLong(0)
+      val sums = kn.groupBy(col("w1")).agg(sum(col("p_kn")).as("sp"), count(lit(1)).as("nf"))
+        .filter(abs(col("sp") - 1.0) > col("nf") * 5e-7 + 1e-9)
+        .count()
+      println(f"[stressx] knBigram @ $nbig%d bigram types / $totC%d instances: $sec5%.1f s; count conservation ${totC == expC}, sum-to-one violations=$sums")
+      assert(totC == expC && sums == 0, "KN identities must hold")
+      kn.unpersist()
+
+      // drift: snapshot halves see IDENTICAL value multisets for the
+      // control group (value keyed off id/2) -> psi exactly 0.0; the
+      // shifted group must flag
+      // pair index id>>1: ids (2k, 2k+1) share group AND value, and land
+      // one on each snapshot side — the control group is symmetric BY
+      // CONSTRUCTION, so its psi must be exactly 0.0
+      val pairIdx = shiftright(col("id"), 1)
+      val dr = corpus.filter(col("id") < TwinOffset).select(
+        when(pairIdx % 5 === 0, lit("shifted")).otherwise(lit("control")).as("grp"),
+        (col("id") % 2 === 1).as("in_b"),
+        (pmod(pairIdx, lit(500)).cast("double") +
+          when(pairIdx % 5 === 0 && col("id") % 2 === 1, 200.0).otherwise(0.0)).as("v")
+      )
+      val t1s = System.nanoTime()
+      val drr = operators.Audit.driftReport(dr, col("grp"), col("in_b"), col("v"), binWidth = 50.0, nBins = 16).persist()
+      drr.count()
+      val sec6 = (System.nanoTime() - t1s) / 1e9
+      val ctrl = drr.filter(col("grp") === "control").head()
+      val shft = drr.filter(col("grp") === "shifted").head()
+      println(f"[stressx] driftReport @ ${nDocs}%d rows: $sec6%.1f s; control psi=${ctrl.getAs[Double]("psi")} drifted=${ctrl.getAs[Boolean]("drifted")}; shifted psi=${shft.getAs[Double]("psi")}%.4f drifted=${shft.getAs[Boolean]("drifted")}")
+      assert(ctrl.getAs[Double]("psi") == 0.0 && !ctrl.getAs[Boolean]("drifted"), "symmetric control must read EXACTLY zero")
+      assert(shft.getAs[Boolean]("drifted"), "planted shift must flag")
+      drr.unpersist()
     }
 
     corpus.unpersist()

@@ -58,7 +58,8 @@ object ChatOps {
       df: DataFrame,
       idCol: Column,
       text: Column,
-      roles: Seq[String] = DefaultRoles
+      roles: Seq[String] = DefaultRoles,
+      keep: Seq[Column] = Nil
   ): DataFrame = {
     val re = headRe(roles)
     val lines = split(text, "\n")
@@ -85,7 +86,7 @@ object ChatOps {
       }
     )
     df.select(
-      idCol,
+      (idCol +: keep) ++ Seq(
       // nTurns==0 must yield an EMPTY turns array: nextIdx is [n_lines]
       // even then, and zip_with pads the short side with nulls, so the
       // unguarded zip would fabricate one junk turn.
@@ -94,7 +95,7 @@ object ChatOps {
         .as("turns"),
       nLines.as("n_lines"),
       when(nTurns === 0, nLines).otherwise(element_at(headIdx, 1)).as("n_orphan_lines")
-    )
+    ): _*)
   }
 
   /** Structure audit over parsed turns (input = [[parseTranscript]] output;
@@ -139,11 +140,13 @@ object ChatOps {
     )
   }
 
-  /** Whitespace token count of one turn's content ('' → 0). Split class is
-    * [ \n] — the only whitespace the parser can produce inside a turn.
+  /** Whitespace token count of one turn's content ('' → 0). Newlines (the
+    * only other whitespace the parser can produce inside a turn) are
+    * translated to spaces first, so the split needs no regex class — the
+    * exact formulation every engine replays with plain REPLACE + split.
     */
   private def turnTokens(content: Column): Column =
-    size(filter(split(content, "[ \n]"), t => t =!= ""))
+    size(filter(split(translate(content, "\n", " "), " "), t => t =!= ""))
 
   /** SFT loss-mask accounting (input = [[parseTranscript]] output; zero
     * shuffle): total tokens, assistant tokens (the only ones that receive

@@ -1153,7 +1153,10 @@ object TextOps {
     * final joins are vocabulary-keyed (AQE broadcasts the small side).
     * Top-k is TakeOrderedAndProject on (count desc, w1, w2) — never a
     * global sort. All probability inputs are exact integers; the single
-    * double formula rounds 6dp at the end.
+    * double formula rounds 6dp at the end. `topK <= 0` returns the FULL
+    * scored bigram table unordered (the stress path asserts
+    * Σ_w2 P_kn(w2|w1) ≡ 1 per history — an identity of the interpolated
+    * form — which needs every continuation of a history).
     */
   def knBigram(
       df: DataFrame,
@@ -1173,7 +1176,7 @@ object TextOps {
     val hist = big.groupBy(col("w1")).agg(sum(col("c")).as("c1"), count(lit(1)).as("n_fol"))
     val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("n_pre"))
     val nTypes = big.agg(count(lit(1)).as("n_types"))
-    big
+    val scored = big
       .join(hist, Seq("w1"))
       .join(cont, Seq("w2"))
       .crossJoin(broadcast(nTypes))
@@ -1188,7 +1191,7 @@ object TextOps {
           6
         ).as("p_kn")
       )
-      .orderBy(col("c").desc, col("w1"), col("w2"))
-      .limit(topK)
+    if (topK <= 0) scored
+    else scored.orderBy(col("c").desc, col("w1"), col("w2")).limit(topK)
   }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Audit, ConnectedComponents, CorpusOps, Dedup, EditDistance, GraphOps, Multimodal, Robots, Similarity, Spectral, TextOps}
+import graft.operators.{Audit, ChatOps, ConnectedComponents, CorpusOps, Dedup, EditDistance, GraphOps, Multimodal, Robots, Similarity, Spectral, TextOps}
 
 /** Training-data-pipeline extensions (builder prompt): deduplication,
   * similarity search, text analysis, multimodal plumbing — the operations a
@@ -65,6 +65,31 @@ object ExtensionQueries {
           s"ELSE ord(SUBSTR(h, $i, 1)) - 48 END) * $mult"
       }
       .mkString("(", " + ", ") / 268435456.0")
+
+  /** Deterministic chat-transcript builder for x125/x126 (expects
+    * `doc_id`, `text` in scope): planted orphan header (%11), user
+    * continuation line (%3), assistant role repeat (%5), trailing empty
+    * assistant turn (%7). Integer arithmetic only, so the DuckDB oracles
+    * replay it verbatim.
+    */
+  private def chatTranscript: Column = {
+    val tk = split(col("text"), " ")
+    val n = size(tk)
+    val h = floor(n / lit(2)).cast("int")
+    val t1 = array_join(slice(tk, lit(1), h), " ")
+    val t2 = array_join(slice(tk, h + 1, n - h), " ")
+    concat(
+      when(col("doc_id") % 11 === 0, lit("<<corrupt header>>\n")).otherwise(lit("")),
+      lit("system: be concise"),
+      lit("\nuser: "),
+      t1,
+      when(col("doc_id") % 3 === 0, lit("\nplease elaborate")).otherwise(lit("")),
+      lit("\nassistant: "),
+      t2,
+      when(col("doc_id") % 5 === 0, lit("\nassistant: adding more detail")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("\nuser: thanks\nassistant: ")).otherwise(lit(""))
+    )
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup on a 128-bit digest (shuffle carries 16-byte keys).
@@ -2652,6 +2677,177 @@ object ExtensionQueries {
         )
         .orderBy(col("domain"))),
 
+    // ---- Round-9 SFT / post-training family (x125-x132) ----
+
+    // Chat-transcript structure audit: transcripts built in-query from doc
+    // tokens (see [[chatTranscript]]); parse + stats are zero-shuffle
+    // in-row array work (ChatOps scaladoc), with orphan/continuation/
+    // repeat/empty-turn classes planted on disjoint residue classes.
+    "x125_chat_parse" -> ((s, dir) => {
+      val built = T(s, dir, "documents").select(col("doc_id"), chatTranscript.as("t"))
+      ChatOps
+        .chatStats(ChatOps.parseTranscript(built, col("doc_id"), col("t")))
+        .select(
+          col("doc_id"),
+          col("n_lines").cast("long").as("n_lines"),
+          col("n_orphan_lines").cast("long").as("n_orphan_lines"),
+          col("n_turns").cast("long").as("n_turns"),
+          col("n_system").cast("long").as("n_system"),
+          col("n_user").cast("long").as("n_user"),
+          col("n_assistant").cast("long").as("n_assistant"),
+          col("n_empty_turns").cast("long").as("n_empty_turns"),
+          col("n_role_repeats").cast("long").as("n_role_repeats"),
+          col("starts_system"),
+          col("ends_assistant"),
+          col("fp")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
+    // SFT loss-mask accounting rolled up per language: assistant tokens
+    // are the only supervised tokens; per-doc loss_frac rounds 6dp BEFORE
+    // the average so both engines aggregate bit-identical inputs (the
+    // x123 discipline).
+    "x126_loss_mass" -> ((s, dir) => {
+      val built = T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), chatTranscript.as("t"))
+      ChatOps
+        .lossMass(
+          ChatOps.parseTranscript(built, col("doc_id"), col("t"), keep = Seq(col("lang")))
+        )
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("total_tokens").cast("long")).as("sum_total_tokens"),
+          sum(col("loss_tokens").cast("long")).as("sum_loss_tokens"),
+          round(avg(col("loss_frac")), 6).as("mean_loss_frac"),
+          sum((col("loss_frac") < 0.2).cast("long")).as("n_low_signal")
+        )
+        .orderBy(col("lang"))
+    }),
+
+    // Preference-pair construction over the events stream: per prompt
+    // group (user), chosen/rejected = score argmax/argmin via min/max
+    // struct ordering (deterministic tie-breaks), strict-margin gate —
+    // one partial-aggregating exchange, never a per-prompt window.
+    "x127_preference_pairs" -> ((s, dir) =>
+      ChatOps
+        .preferencePairs(
+          T(s, dir, "events"),
+          col("user_id"),
+          col("event_id"),
+          col("value")
+        )
+        .orderBy(col("prompt_id"))),
+
+    // Bradley-Terry strength fit (arena-style ranking): comparisons are
+    // consecutive events of one user — higher value wins, value ties to
+    // the lexicographically smaller type; 5 MM iterations with
+    // virtual-opponent regularization. The oracle replays all five
+    // iterations as unrolled CTEs.
+    "x128_bradley_terry" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("event_id"))
+      val lagd = T(s, dir, "events").select(
+        col("event_type").as("cur_t"),
+        col("value").as("cur_v"),
+        lag(col("event_type"), 1).over(w).as("prev_t"),
+        lag(col("value"), 1).over(w).as("prev_v")
+      )
+      val prevWins = col("prev_v") > col("cur_v") ||
+        (col("prev_v") === col("cur_v") && col("prev_t") < col("cur_t"))
+      val comps = lagd
+        .filter(col("prev_t").isNotNull && col("prev_t") =!= col("cur_t"))
+        .select(
+          when(prevWins, col("prev_t")).otherwise(col("cur_t")).as("winner"),
+          when(prevWins, col("cur_t")).otherwise(col("prev_t")).as("loser")
+        )
+      ChatOps.bradleyTerry(comps, iters = 5).orderBy(col("rank"))
+    }),
+
+    // Hybrid retrieval: BM25 (x44's exact setting, k=10) and brute-force
+    // cosine (x9's, k=10) fused by reciprocal-rank fusion; fusion itself
+    // runs on the two queries-x-k ranked lists (model-sized) while the
+    // corpus-side retrievers keep their audited plans.
+    "x129_hybrid_rrf" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val qs = docs
+        .filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), slice(split(col("text"), " "), 1, 3).as("terms"))
+      val bm = CorpusOps
+        .bm25TopK(docs, col("doc_id"), col("text"), qs, col("qid"), col("terms"), k = 10)
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val cos = Similarity
+        .bruteForceTopK(emb, emb.filter(col("vec_id") < 3), "embedding", "vec_id", k = 10)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+      Similarity
+        .rrfFuse(Seq(bm, cos), kConst = 60, topK = 5)
+        .select(
+          col("query_id"),
+          col("id"),
+          col("rrf"),
+          col("n_lists"),
+          col("best_rank"),
+          col("fused_rank")
+        )
+        .orderBy(col("query_id"), col("fused_rank"))
+    }),
+
+    // Structural (alpha-renamed) code dedup: code built in-query from doc
+    // tokens; identifiers canonicalize to first-occurrence ranks so
+    // naming-variant twins (same structure, same trailing literal)
+    // collapse onto one digest — the code-corpus sibling of x46.
+    "x130_code_dedup" -> ((s, dir) => {
+      val tk = split(col("text"), " ")
+      val code = concat_ws(
+        " ",
+        lit("def"), element_at(tk, 1),
+        lit("("), element_at(tk, 2), lit(","), element_at(tk, 3), lit(")"),
+        lit(":"), lit("return"),
+        element_at(tk, 2), lit("*"), element_at(tk, 3),
+        lit("+"), (col("doc_id") % 4).cast("string")
+      )
+      TextOps
+        .alphaRename(
+          T(s, dir, "documents").select(col("doc_id"), code.as("code")),
+          col("doc_id"),
+          col("code")
+        )
+        .groupBy(col("fp"))
+        .agg(
+          min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"),
+          min(col("n_idents")).cast("long").as("n_idents")
+        )
+        .orderBy(col("fp"))
+    }),
+
+    // Snapshot drift report (PSI) per language: snapshot B = odd doc ids,
+    // with a planted +120-char shift for 'en' only — exactly that group
+    // must cross the 0.1 drift flag while untouched groups replay near 0.
+    "x131_drift_report" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(
+        col("lang"),
+        (col("doc_id") % 2 === 1).as("in_b"),
+        (col("n_chars") +
+          when(col("doc_id") % 2 === 1 && col("lang") === "en", 120).otherwise(0))
+          .cast("double")
+          .as("v")
+      )
+      Audit
+        .driftReport(d, col("lang"), col("in_b"), col("v"), binWidth = 100.0, nBins = 8)
+        .orderBy(col("grp"))
+    }),
+
+    // Interpolated Kneser-Ney bigram LM (top-20 bigrams): exact integer
+    // count tables off one corpus pass; the single double formula rounds
+    // 6dp; top-k is TakeOrdered on (count desc, w1, w2).
+    "x132_kn_bigram" -> ((s, dir) =>
+      TextOps.knBigram(T(s, dir, "documents"), col("text"), discount = 0.75, topK = 20)),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -4957,6 +5153,261 @@ object ExtensionQueries {
         |SELECT domain, n_urls,
         |  base + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END AS alloc
         |FROM r, l ORDER BY domain""".stripMargin,
+    // chat parse: full relational replay of the grammar — head lines
+    // open turns, continuation lines string-agg back, orphans counted;
+    // fp = md5 of the role||chr(1)||content chain joined by chr(2)
+    "x125_chat_parse" ->
+      """WITH b AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS tk FROM documents),
+        |bt AS (SELECT doc_id, lang,
+        |    (CASE WHEN doc_id % 11 = 0 THEN '<<corrupt header>>' || chr(10) ELSE '' END)
+        |    || 'system: be concise'
+        |    || chr(10) || 'user: ' || COALESCE(ARRAY_TO_STRING(tk[1:(LEN(tk)//2)], ' '), '')
+        |    || (CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'please elaborate' ELSE '' END)
+        |    || chr(10) || 'assistant: ' || COALESCE(ARRAY_TO_STRING(tk[(LEN(tk)//2+1):LEN(tk)], ' '), '')
+        |    || (CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'assistant: adding more detail' ELSE '' END)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'user: thanks' || chr(10) || 'assistant: ' ELSE '' END)
+        |    AS t
+        |  FROM b),
+        |lines AS (SELECT doc_id, lang,
+        |    UNNEST(STRING_SPLIT(t, chr(10))) AS line,
+        |    UNNEST(RANGE(0, LEN(STRING_SPLIT(t, chr(10))))) AS pos
+        |  FROM bt),
+        |cl AS (SELECT *, CASE WHEN regexp_matches(line, '^(system|user|assistant): ') THEN 1 ELSE 0 END AS is_head FROM lines),
+        |tid AS (SELECT *, SUM(is_head) OVER (PARTITION BY doc_id ORDER BY pos) AS turn_id FROM cl),
+        |turns AS (SELECT doc_id, ANY_VALUE(lang) AS lang, turn_id,
+        |    MAX(CASE WHEN is_head = 1 THEN regexp_extract(line, '^(system|user|assistant): ', 1) END) AS role,
+        |    STRING_AGG(CASE WHEN is_head = 1 THEN regexp_replace(line, '^(system|user|assistant): ', '') ELSE line END, chr(10) ORDER BY pos) AS content
+        |  FROM tid WHERE turn_id >= 1 GROUP BY doc_id, turn_id),
+        |base AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    CAST(SUM(CASE WHEN turn_id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_lines
+        |  FROM tid GROUP BY 1),
+        |rs AS (SELECT *, LAG(role) OVER (PARTITION BY doc_id ORDER BY turn_id) AS prev_role,
+        |    MAX(turn_id) OVER (PARTITION BY doc_id) AS max_t
+        |  FROM turns),
+        |st AS (SELECT doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_turns,
+        |    CAST(SUM(CASE WHEN role = 'system' THEN 1 ELSE 0 END) AS BIGINT) AS n_system,
+        |    CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+        |    CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+        |    CAST(SUM(CASE WHEN TRIM(content) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_turns,
+        |    CAST(SUM(CASE WHEN prev_role = role THEN 1 ELSE 0 END) AS BIGINT) AS n_role_repeats,
+        |    BOOL_OR(turn_id = 1 AND role = 'system') AS starts_system,
+        |    BOOL_OR(turn_id = max_t AND role = 'assistant') AS ends_assistant,
+        |    md5(STRING_AGG(role || chr(1) || content, chr(2) ORDER BY turn_id)) AS fp
+        |  FROM rs GROUP BY 1)
+        |SELECT b.doc_id, n_lines, n_orphan_lines, n_turns, n_system, n_user, n_assistant,
+        |  n_empty_turns, n_role_repeats, starts_system, ends_assistant, fp
+        |FROM base b JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // loss mass: same turn replay; per-turn token counts via the same
+    // replace-newline-then-split-and-filter formulation
+    "x126_loss_mass" ->
+      """WITH b AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS tk FROM documents),
+        |bt AS (SELECT doc_id, lang,
+        |    (CASE WHEN doc_id % 11 = 0 THEN '<<corrupt header>>' || chr(10) ELSE '' END)
+        |    || 'system: be concise'
+        |    || chr(10) || 'user: ' || COALESCE(ARRAY_TO_STRING(tk[1:(LEN(tk)//2)], ' '), '')
+        |    || (CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'please elaborate' ELSE '' END)
+        |    || chr(10) || 'assistant: ' || COALESCE(ARRAY_TO_STRING(tk[(LEN(tk)//2+1):LEN(tk)], ' '), '')
+        |    || (CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'assistant: adding more detail' ELSE '' END)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'user: thanks' || chr(10) || 'assistant: ' ELSE '' END)
+        |    AS t
+        |  FROM b),
+        |lines AS (SELECT doc_id, lang,
+        |    UNNEST(STRING_SPLIT(t, chr(10))) AS line,
+        |    UNNEST(RANGE(0, LEN(STRING_SPLIT(t, chr(10))))) AS pos
+        |  FROM bt),
+        |cl AS (SELECT *, CASE WHEN regexp_matches(line, '^(system|user|assistant): ') THEN 1 ELSE 0 END AS is_head FROM lines),
+        |tid AS (SELECT *, SUM(is_head) OVER (PARTITION BY doc_id ORDER BY pos) AS turn_id FROM cl),
+        |turns AS (SELECT doc_id, ANY_VALUE(lang) AS lang, turn_id,
+        |    MAX(CASE WHEN is_head = 1 THEN regexp_extract(line, '^(system|user|assistant): ', 1) END) AS role,
+        |    STRING_AGG(CASE WHEN is_head = 1 THEN regexp_replace(line, '^(system|user|assistant): ', '') ELSE line END, chr(10) ORDER BY pos) AS content
+        |  FROM tid WHERE turn_id >= 1 GROUP BY doc_id, turn_id),
+        |tt AS (SELECT doc_id, lang, role,
+        |    LEN(LIST_FILTER(STRING_SPLIT(REPLACE(content, chr(10), ' '), ' '), x -> x <> '')) AS toks
+        |  FROM turns),
+        |pd AS (SELECT doc_id, ANY_VALUE(lang) AS lang,
+        |    CAST(SUM(toks) AS BIGINT) AS total_tokens,
+        |    CAST(SUM(CASE WHEN role = 'assistant' THEN toks ELSE 0 END) AS BIGINT) AS loss_tokens
+        |  FROM tt GROUP BY 1),
+        |pf AS (SELECT doc_id, lang, total_tokens, loss_tokens,
+        |    CASE WHEN total_tokens > 0 THEN ROUND(CAST(loss_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6) ELSE 0.0 END AS loss_frac
+        |  FROM pd)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(total_tokens) AS BIGINT) AS sum_total_tokens,
+        |  CAST(SUM(loss_tokens) AS BIGINT) AS sum_loss_tokens,
+        |  ROUND(AVG(loss_frac), 6) AS mean_loss_frac,
+        |  CAST(SUM(CASE WHEN loss_frac < 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_signal
+        |FROM pf GROUP BY 1 ORDER BY 1""".stripMargin,
+    // preference pairs: chosen/rejected via the two row_number windows
+    // that replay the struct-ordering tie-breaks (DESC,DESC / ASC,ASC)
+    "x127_preference_pairs" ->
+      """WITH r1 AS (SELECT user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rb,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS rw,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |b AS (SELECT user_id, event_id AS chosen_id, value AS bs, CAST(n AS BIGINT) AS n FROM r1 WHERE rb = 1),
+        |w AS (SELECT user_id, event_id AS rejected_id, value AS ws FROM r1 WHERE rw = 1)
+        |SELECT b.user_id AS prompt_id, chosen_id, rejected_id,
+        |  ROUND(bs - ws, 6) AS margin, n AS n_candidates
+        |FROM b JOIN w USING (user_id)
+        |WHERE n >= 2 AND bs > ws ORDER BY 1""".stripMargin,
+    // bradley-terry: all 5 MM iterations unrolled as CTEs, virtual
+    // opponent (+1 win, +1 loss vs strength-1 dummy), per-round sum-to-N
+    // rescale — identical double arithmetic to the engine loop
+    "x128_bradley_terry" ->
+      """WITH lagd AS MATERIALIZED (SELECT event_type AS cur_t, value AS cur_v,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_t,
+        |    LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_v
+        |  FROM events),
+        |comps AS MATERIALIZED (SELECT
+        |    CASE WHEN prev_v > cur_v OR (prev_v = cur_v AND prev_t < cur_t) THEN prev_t ELSE cur_t END AS winner,
+        |    CASE WHEN prev_v > cur_v OR (prev_v = cur_v AND prev_t < cur_t) THEN cur_t ELSE prev_t END AS loser
+        |  FROM lagd WHERE prev_t IS NOT NULL AND prev_t <> cur_t),
+        |dir AS MATERIALIZED (SELECT winner, loser, COUNT(*) AS w FROM comps GROUP BY 1, 2),
+        |und AS MATERIALIZED (SELECT i, j, SUM(w) AS n_ij FROM (
+        |    SELECT winner AS i, loser AS j, w FROM dir
+        |    UNION ALL SELECT loser AS i, winner AS j, w FROM dir) GROUP BY 1, 2),
+        |wins AS MATERIALIZED (SELECT winner AS item, CAST(SUM(w) AS BIGINT) AS wins FROM dir GROUP BY 1),
+        |losses AS MATERIALIZED (SELECT loser AS item, CAST(SUM(w) AS BIGINT) AS losses FROM dir GROUP BY 1),
+        |items AS MATERIALIZED (SELECT DISTINCT i AS item FROM und),
+        |s0 AS MATERIALIZED (SELECT item, CAST(1.0 AS DOUBLE) AS s FROM items),
+        |den0 AS MATERIALIZED (SELECT u.i AS item, SUM(u.n_ij / (si.s + sj.s)) AS den
+        |  FROM und u JOIN s0 si ON u.i = si.item JOIN s0 sj ON u.j = sj.item GROUP BY 1),
+        |raw0 AS MATERIALIZED (SELECT s.item,
+        |    (CAST(COALESCE(w.wins, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE)) /
+        |    (COALESCE(d.den, CAST(0.0 AS DOUBLE)) + CAST(2.0 AS DOUBLE) / (s.s + CAST(1.0 AS DOUBLE))) AS sr
+        |  FROM s0 s LEFT JOIN wins w ON s.item = w.item LEFT JOIN den0 d ON s.item = d.item),
+        |tot0 AS MATERIALIZED (SELECT SUM(sr) AS tot, COUNT(*) AS n FROM raw0),
+        |s1 AS MATERIALIZED (SELECT item, sr * CAST(n AS DOUBLE) / tot AS s FROM raw0, tot0),
+        |den1 AS MATERIALIZED (SELECT u.i AS item, SUM(u.n_ij / (si.s + sj.s)) AS den
+        |  FROM und u JOIN s1 si ON u.i = si.item JOIN s1 sj ON u.j = sj.item GROUP BY 1),
+        |raw1 AS MATERIALIZED (SELECT s.item,
+        |    (CAST(COALESCE(w.wins, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE)) /
+        |    (COALESCE(d.den, CAST(0.0 AS DOUBLE)) + CAST(2.0 AS DOUBLE) / (s.s + CAST(1.0 AS DOUBLE))) AS sr
+        |  FROM s1 s LEFT JOIN wins w ON s.item = w.item LEFT JOIN den1 d ON s.item = d.item),
+        |tot1 AS MATERIALIZED (SELECT SUM(sr) AS tot, COUNT(*) AS n FROM raw1),
+        |s2 AS MATERIALIZED (SELECT item, sr * CAST(n AS DOUBLE) / tot AS s FROM raw1, tot1),
+        |den2 AS MATERIALIZED (SELECT u.i AS item, SUM(u.n_ij / (si.s + sj.s)) AS den
+        |  FROM und u JOIN s2 si ON u.i = si.item JOIN s2 sj ON u.j = sj.item GROUP BY 1),
+        |raw2 AS MATERIALIZED (SELECT s.item,
+        |    (CAST(COALESCE(w.wins, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE)) /
+        |    (COALESCE(d.den, CAST(0.0 AS DOUBLE)) + CAST(2.0 AS DOUBLE) / (s.s + CAST(1.0 AS DOUBLE))) AS sr
+        |  FROM s2 s LEFT JOIN wins w ON s.item = w.item LEFT JOIN den2 d ON s.item = d.item),
+        |tot2 AS MATERIALIZED (SELECT SUM(sr) AS tot, COUNT(*) AS n FROM raw2),
+        |s3 AS MATERIALIZED (SELECT item, sr * CAST(n AS DOUBLE) / tot AS s FROM raw2, tot2),
+        |den3 AS MATERIALIZED (SELECT u.i AS item, SUM(u.n_ij / (si.s + sj.s)) AS den
+        |  FROM und u JOIN s3 si ON u.i = si.item JOIN s3 sj ON u.j = sj.item GROUP BY 1),
+        |raw3 AS MATERIALIZED (SELECT s.item,
+        |    (CAST(COALESCE(w.wins, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE)) /
+        |    (COALESCE(d.den, CAST(0.0 AS DOUBLE)) + CAST(2.0 AS DOUBLE) / (s.s + CAST(1.0 AS DOUBLE))) AS sr
+        |  FROM s3 s LEFT JOIN wins w ON s.item = w.item LEFT JOIN den3 d ON s.item = d.item),
+        |tot3 AS MATERIALIZED (SELECT SUM(sr) AS tot, COUNT(*) AS n FROM raw3),
+        |s4 AS MATERIALIZED (SELECT item, sr * CAST(n AS DOUBLE) / tot AS s FROM raw3, tot3),
+        |den4 AS MATERIALIZED (SELECT u.i AS item, SUM(u.n_ij / (si.s + sj.s)) AS den
+        |  FROM und u JOIN s4 si ON u.i = si.item JOIN s4 sj ON u.j = sj.item GROUP BY 1),
+        |raw4 AS MATERIALIZED (SELECT s.item,
+        |    (CAST(COALESCE(w.wins, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE)) /
+        |    (COALESCE(d.den, CAST(0.0 AS DOUBLE)) + CAST(2.0 AS DOUBLE) / (s.s + CAST(1.0 AS DOUBLE))) AS sr
+        |  FROM s4 s LEFT JOIN wins w ON s.item = w.item LEFT JOIN den4 d ON s.item = d.item),
+        |tot4 AS MATERIALIZED (SELECT SUM(sr) AS tot, COUNT(*) AS n FROM raw4),
+        |s5 AS MATERIALIZED (SELECT item, sr * CAST(n AS DOUBLE) / tot AS s FROM raw4, tot4)
+        |SELECT s.item, ROUND(s.s, 6) AS strength,
+        |  COALESCE(w.wins, 0) AS wins, COALESCE(l.losses, 0) AS losses,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY ROUND(s.s, 6) DESC, s.item) AS INT) AS rank
+        |FROM s5 s LEFT JOIN wins w ON s.item = w.item LEFT JOIN losses l ON s.item = l.item
+        |ORDER BY rank""".stripMargin,
+    // hybrid RRF: x44's BM25 replay (k=10) + x9's cosine replay (k=10)
+    // fused on round(sum(1/(60+rank)),6), ties by id
+    "x129_hybrid_rrf" ->
+      """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+        |qd AS (SELECT DISTINCT doc_id AS query_id, UNNEST(tk[1:3]) AS term FROM toks WHERE doc_id < 3),
+        |stats AS (SELECT COUNT(1) AS n, AVG(LEN(tk)) AS avgdl FROM toks),
+        |flat AS (SELECT doc_id, LEN(tk) AS dl, UNNEST(tk) AS term FROM toks),
+        |hits AS (SELECT query_id, f.doc_id, dl, term, COUNT(1) AS tf
+        |  FROM flat f JOIN qd USING (term) GROUP BY 1, 2, 3, 4),
+        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+        |sc AS (SELECT query_id, doc_id,
+        |    ROUND(SUM(LN(1 + (n - df + 0.5)/(df + 0.5)) * (tf * 2.2)
+        |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+        |  FROM hits JOIN dfreq USING (term) CROSS JOIN stats GROUP BY 1, 2),
+        |bmr AS (SELECT query_id, doc_id AS id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sc),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+        |sim AS (SELECT qid AS query_id, e.vec_id AS id, list_cosine_similarity(qv, v) AS s
+        |  FROM q, e WHERE e.vec_id != qid),
+        |cosr AS (SELECT query_id, id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, id) AS rank FROM sim),
+        |u AS (SELECT query_id, id, rank FROM bmr WHERE rank <= 10
+        |  UNION ALL SELECT query_id, id, rank FROM cosr WHERE rank <= 10),
+        |f AS (SELECT query_id, id, ROUND(SUM(CAST(1.0 AS DOUBLE)/(60 + rank)), 6) AS rrf,
+        |    CAST(COUNT(*) AS BIGINT) AS n_lists, CAST(MIN(rank) AS INT) AS best_rank
+        |  FROM u GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, id) AS INT) AS fused_rank FROM f)
+        |SELECT query_id, id, rrf, n_lists, best_rank, fused_rank
+        |FROM r WHERE fused_rank <= 5 ORDER BY query_id, fused_rank""".stripMargin,
+    // code dedup: identical code construction; first-occurrence ranks
+    // from min-pos + ordered LIST; LIST_POSITION = array_position (both
+    // 1-based, first match)
+    "x130_code_dedup" ->
+      """WITH b AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+        |c AS (SELECT doc_id,
+        |    'def ' || tk[1] || ' ( ' || tk[2] || ' , ' || tk[3] || ' ) : return ' ||
+        |    tk[2] || ' * ' || tk[3] || ' + ' || CAST(doc_id % 4 AS VARCHAR) AS code
+        |  FROM b),
+        |t AS (SELECT doc_id, UNNEST(STRING_SPLIT(code, ' ')) AS tok,
+        |    UNNEST(RANGE(0, LEN(STRING_SPLIT(code, ' ')))) AS pos FROM c),
+        |idt AS (SELECT doc_id, tok, MIN(pos) AS fpos FROM t
+        |  WHERE regexp_matches(tok, '^[A-Za-z_][A-Za-z0-9_]*$') AND tok NOT IN ('def', 'return', 'if', 'else', 'for', 'while', 'in', 'lambda')
+        |  GROUP BY 1, 2),
+        |ordl AS (SELECT doc_id, LIST(tok ORDER BY fpos) AS il FROM idt GROUP BY 1),
+        |canon AS (SELECT c.doc_id,
+        |    ARRAY_TO_STRING(LIST_TRANSFORM(STRING_SPLIT(code, ' '),
+        |      x -> CASE WHEN regexp_matches(x, '^[A-Za-z_][A-Za-z0-9_]*$') AND x NOT IN ('def', 'return', 'if', 'else', 'for', 'while', 'in', 'lambda')
+        |                THEN 'v' || CAST(LIST_POSITION(COALESCE(il, []), x) AS VARCHAR)
+        |                ELSE x END), ' ') AS canonical,
+        |    CAST(COALESCE(LEN(il), 0) AS BIGINT) AS n_idents
+        |  FROM c LEFT JOIN ordl ON c.doc_id = ordl.doc_id)
+        |SELECT md5(canonical) AS fp, MIN(doc_id) AS keep_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies, MIN(n_idents) AS n_idents
+        |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin,
+    // drift report: identical planted shift, fixed-width bins, +0.5
+    // smoothing over observed bins only
+    "x131_drift_report" ->
+      """WITH base AS (SELECT lang, (doc_id % 2 = 1) AS in_b,
+        |    CAST(n_chars + CASE WHEN doc_id % 2 = 1 AND lang = 'en' THEN 120 ELSE 0 END AS DOUBLE) AS v
+        |  FROM documents),
+        |binned AS (SELECT lang AS grp, in_b, CAST(LEAST(FLOOR(v / 100.0), 7.0) AS INT) AS bin FROM base),
+        |pb AS (SELECT grp, bin,
+        |    CAST(SUM(CASE WHEN NOT in_b THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
+        |    CAST(SUM(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt
+        |  FROM binned GROUP BY 1, 2),
+        |tt AS (SELECT grp, CAST(SUM(a_cnt) AS BIGINT) AS n_a, CAST(SUM(b_cnt) AS BIGINT) AS n_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_bins_observed FROM pb GROUP BY 1),
+        |terms AS (SELECT grp, n_a, n_b, n_bins_observed,
+        |    (CAST(a_cnt AS DOUBLE) + 0.5) / (CAST(n_a AS DOUBLE) + 0.5 * CAST(n_bins_observed AS DOUBLE)) AS pa,
+        |    (CAST(b_cnt AS DOUBLE) + 0.5) / (CAST(n_b AS DOUBLE) + 0.5 * CAST(n_bins_observed AS DOUBLE)) AS pq
+        |  FROM pb JOIN tt USING (grp)),
+        |agg AS (SELECT grp, n_a, n_b, n_bins_observed,
+        |    ROUND(SUM((pa - pq) * LN(pa / pq)), 6) AS psi
+        |  FROM terms GROUP BY 1, 2, 3, 4)
+        |SELECT grp, n_a, n_b, n_bins_observed, psi, psi > 0.1 AS drifted FROM agg ORDER BY grp""".stripMargin,
+    // kneser-ney: same exact-integer count tables and the same
+    // double-typed formula, 6dp
+    "x132_kn_bigram" ->
+      """WITH t AS (SELECT STRING_SPLIT(text, ' ') AS tk FROM documents),
+        |ti AS (SELECT tk, UNNEST(RANGE(1, LEN(tk))) AS i FROM t),
+        |bi AS (SELECT tk[i] AS w1, tk[i+1] AS w2 FROM ti),
+        |big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bi GROUP BY 1, 2),
+        |hist AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1, CAST(COUNT(*) AS BIGINT) AS n_fol FROM big GROUP BY 1),
+        |cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_pre FROM big GROUP BY 1),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM big)
+        |SELECT w1, w2, c,
+        |  ROUND(GREATEST(CAST(c AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0.0 AS DOUBLE)) / c1
+        |    + CAST(0.75 AS DOUBLE) * n_fol / c1 * (CAST(n_pre AS DOUBLE) / n_types), 6) AS p_kn
+        |FROM big JOIN hist USING (w1) JOIN cont USING (w2) CROSS JOIN nt
+        |ORDER BY c DESC, w1, w2 LIMIT 20""".stripMargin,
     // full blocks only (partial tails dropped, <16-byte docs emit nothing);
     // OCTET_LENGTH on the blob, not LENGTH: the Spark side frames UTF-8
     // BYTES, and char counting would diverge on any non-ASCII document
