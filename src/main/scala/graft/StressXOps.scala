@@ -72,7 +72,7 @@ object StressXOps {
     // (simhash,minhash,cosine,decontaminate,pack,cc,quantile,pii,sample,
     // lines,quantize,spans,semdedup,bloominc,retrieval,qknn,classifier,
     // curation9,curation10,curation10b,curation10c,curation10d,curation10e,
-    // curation11,…,graph,editdist,spectral,sft,curation12) — default all
+    // curation11,…,graph,editdist,spectral,sft,curation16) — default all
     val only = if (args.length > 2) args(2).split(",").toSet else Set.empty[String]
     def section(name: String): Boolean = only.isEmpty || only(name)
     val spark = SparkSession
@@ -2439,14 +2439,15 @@ object StressXOps {
       println(s"[stressx]   plan: $h1")
       assert(agg.getLong(0) == expTurns && agg.getLong(1) == r11 && agg.getLong(2) == r7 && agg.getLong(3) == r5,
         "transcript construction invariants must hold exactly")
-      // loss mass: t2 has exactly 20 tokens; extras 3 (%5) and 1 (%7) are
-      // assistant-turn tokens ('thanks' is a user turn, trailing turn empty)
+      // loss mass: t2 has exactly 20 tokens; the %5 extra (3 tokens) is an
+      // assistant turn; the %7 extra is 'thanks' (ONE user token) plus an
+      // EMPTY assistant turn -- so %7 adds 1 to total and 0 to loss
       val lm = operators.ChatOps
         .lossMass(operators.ChatOps.parseTranscript(tr, col("id"), col("t")))
         .agg(sum(col("loss_tokens").cast("long")).as("lt"), sum(col("total_tokens").cast("long")).as("tt"))
         .head()
-      val expLoss = 20 * corpusN + 3 * r5 + r7
-      val expTotal = (2 + 20 + 20) * corpusN + 2 * residue(3) + 3 * r5 + 2 * r7
+      val expLoss = 20 * corpusN + 3 * r5
+      val expTotal = (2 + 20 + 20) * corpusN + 2 * residue(3) + 3 * r5 + r7
       println(s"[stressx] lossMass: loss=${lm.getLong(0)} (expect $expLoss), total=${lm.getLong(1)} (expect $expTotal)")
       assert(lm.getLong(0) == expLoss && lm.getLong(1) == expTotal, "loss-mask token accounting must be exact")
 
@@ -2509,7 +2510,7 @@ object StressXOps {
     // alpha-twins and an exact class-count tie-out; Kneser-Ney with the
     // sum-to-one identity per history; driftReport with an exactly
     // symmetric control group (psi must be 0.0, not just small).
-    if (section("curation12")) locally {
+    if (section("curation16")) locally {
       val tk = split(col("text"), " ")
       // one shared prefix for both identifiers, so tok1==tok2 collapses
       // v2/v3 into one variable — the structural dimension the class
@@ -2555,19 +2556,42 @@ object StressXOps {
       assert(twinBad == 0, "alpha-twins must collapse onto their base digest")
       ar.unpersist(); codes.unpersist()
 
-      // kneser-ney: full table, exact count conservation + sum-to-one per
-      // history (identity of the interpolated form; 6dp rounding noise
-      // bounded by n_fol * 5e-7)
+      // kneser-ney: full table, exact count conservation + the
+      // observed-continuation identity: over a history's OBSERVED
+      // continuations (full-vocab sum-to-one needs the unseen backoff
+      // mass, which the bigram table rightly does not materialize),
+      //   Σ p_kn = (c1 − D·nf)/c1 + (D·nf/c1) · Σ n_pre(w2) / n_types
+      // — every term recomputable from the returned table itself, so a
+      // mix-up in any of the three joins breaks it. 6dp rounding noise is
+      // bounded by nf·5e-7.
       val t0 = System.nanoTime()
       val kn = operators.TextOps.knBigram(corpus, col("text"), topK = 0).persist()
       val nbig = kn.count()
       val sec5 = (System.nanoTime() - t0) / 1e9
       val totC = kn.agg(sum(col("c"))).head().getLong(0)
       val expC = corpus.select(sum(size(split(col("text"), " ")) - 1)).head().getLong(0)
-      val sums = kn.groupBy(col("w1")).agg(sum(col("p_kn")).as("sp"), count(lit(1)).as("nf"))
-        .filter(abs(col("sp") - 1.0) > col("nf") * 5e-7 + 1e-9)
+      val nTypes = nbig.toDouble
+      val npre = kn.groupBy(col("w2")).agg(count(lit(1)).as("n_pre"))
+      val sums = kn
+        .join(npre, Seq("w2"))
+        .groupBy(col("w1"))
+        .agg(
+          sum(col("p_kn")).as("sp"),
+          sum(col("c")).as("c1"),
+          count(lit(1)).as("nf"),
+          sum(col("n_pre")).as("spre")
+        )
+        .select(
+          col("nf"),
+          abs(
+            col("sp") -
+              ((col("c1") - lit(0.75) * col("nf")) / col("c1") +
+                lit(0.75) * col("nf") / col("c1") * (col("spre") / lit(nTypes)))
+          ).as("err")
+        )
+        .filter(col("err") > col("nf") * 5e-7 + 1e-9)
         .count()
-      println(f"[stressx] knBigram @ $nbig%d bigram types / $totC%d instances: $sec5%.1f s; count conservation ${totC == expC}, sum-to-one violations=$sums")
+      println(f"[stressx] knBigram @ $nbig%d bigram types / $totC%d instances: $sec5%.1f s; count conservation ${totC == expC}, continuation-identity violations=$sums")
       assert(totC == expC && sums == 0, "KN identities must hold")
       kn.unpersist()
 

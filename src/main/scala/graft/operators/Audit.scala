@@ -122,10 +122,11 @@ object Audit {
     * on the final value only. PSI > 0.1 is the conventional "shifted"
     * flag, > 0.25 "severely shifted".
     *
-    * Scale shape: two stacked aggregations (group×bin, then group) plus a
-    * broadcast join of per-group totals — group cardinality is
-    * model-sized, the corpus is touched once, nothing but (group, bin,
-    * two counts) ever reaches an exchange.
+    * Scale shape: ONE corpus pass — the group×bin aggregation — and from
+    * there everything runs on the model-sized (group, bin, two counts)
+    * table: per-group totals are window sums over that tiny aggregate
+    * (NOT a second aggregation of the raw input, which would plan a
+    * second corpus scan), then one final per-group fold.
     */
   def driftReport(
       df: DataFrame,
@@ -147,19 +148,20 @@ object Audit {
         sum(when(!col("in_b"), 1L).otherwise(0L)).as("a_cnt"),
         sum(when(col("in_b"), 1L).otherwise(0L)).as("b_cnt")
       )
-    val totals = perBin
-      .groupBy(col("grp"))
-      .agg(
-        sum(col("a_cnt")).as("n_a"),
-        sum(col("b_cnt")).as("n_b"),
-        count(lit(1)).as("n_bins_observed")
-      )
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+    val withTotals = perBin.select(
+      col("grp"),
+      col("a_cnt"),
+      col("b_cnt"),
+      sum(col("a_cnt")).over(w).as("n_a"),
+      sum(col("b_cnt")).over(w).as("n_b"),
+      count(lit(1)).over(w).as("n_bins_observed")
+    )
     val pa = (col("a_cnt").cast("double") + 0.5) /
       (col("n_a").cast("double") + lit(0.5) * col("n_bins_observed").cast("double"))
     val pb = (col("b_cnt").cast("double") + 0.5) /
       (col("n_b").cast("double") + lit(0.5) * col("n_bins_observed").cast("double"))
-    perBin
-      .join(broadcast(totals), Seq("grp"))
+    withTotals
       .groupBy(col("grp"), col("n_a"), col("n_b"), col("n_bins_observed"))
       .agg(round(sum((pa - pb) * log(pa / pb)), 6).as("psi"))
       .select(
@@ -169,6 +171,56 @@ object Audit {
         col("n_bins_observed"),
         col("psi"),
         (col("psi") > threshold).as("drifted")
+      )
+  }
+
+  /** Cohen's kappa inter-annotator agreement per group: po = observed
+    * agreement, pe = chance agreement from the marginal label
+    * distributions, kappa = (po − pe)/(1 − pe) (null when pe = 1 — a
+    * constant-label degenerate cell has no chance-corrected signal).
+    *
+    * Scale shape: ONE corpus pass aggregates to (group, labelA, labelB)
+    * cells; totals, the agreement diagonal, and both marginals are
+    * re-aggregations of that model-sized cell table — the corpus is never
+    * touched again. Margin products are folded in DOUBLE (ra·cb can pass
+    * 2^63 once groups reach ~3G rows); po/pe/kappa round 6dp at the end.
+    */
+  def cohenKappa(
+      df: DataFrame,
+      groupCol: Column,
+      raterA: Column,
+      raterB: Column
+  ): DataFrame = {
+    val cells = df
+      .select(groupCol.as("grp"), raterA.as("a"), raterB.as("b"))
+      .groupBy(col("grp"), col("a"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val base = cells
+      .groupBy(col("grp"))
+      .agg(
+        sum(col("c")).as("n"),
+        sum(when(col("a") === col("b"), col("c")).otherwise(lit(0L))).as("agree")
+      )
+    val margA = cells.groupBy(col("grp"), col("a").as("k")).agg(sum(col("c")).as("ra"))
+    val margB = cells.groupBy(col("grp"), col("b").as("k")).agg(sum(col("c")).as("cb"))
+    val peTab = margA
+      .join(margB, Seq("grp", "k"))
+      .groupBy(col("grp"))
+      .agg(sum(col("ra").cast("double") * col("cb").cast("double")).as("pp"))
+    val poC = col("agree").cast("double") / col("n").cast("double")
+    val peC = coalesce(col("pp"), lit(0.0)) / (col("n").cast("double") * col("n").cast("double"))
+    base
+      .join(peTab, Seq("grp"), "left")
+      .select(
+        col("grp"),
+        col("n"),
+        round(poC, 6).as("po"),
+        round(peC, 6).as("pe"),
+        round(
+          when(peC === 1.0, lit(null).cast("double"))
+            .otherwise((poC - peC) / (lit(1.0) - peC)),
+          6
+        ).as("kappa")
       )
   }
 }

@@ -284,4 +284,73 @@ object ChatOps {
       row_number().over(Window.orderBy(col("strength").desc, col("item")))
     )
   }
+
+  /** Render parsed turns back to the plain `role: content` interchange
+    * template (zero shuffle). Because the template IS the parse grammar,
+    * render∘parse is a fixed point: re-parsing the rendered text yields
+    * the same turn structure (orphan preambles are dropped — they were
+    * never part of the structure), which the roundtrip query certifies by
+    * digest.
+    */
+  def renderTemplate(parsed: DataFrame): DataFrame =
+    parsed.withColumn(
+      "rendered",
+      array_join(
+        transform(
+          col("turns"),
+          t => concat(t.getField("role"), lit(": "), t.getField("content"))
+        ),
+        "\n"
+      )
+    )
+
+  /** Pairwise win-rate matrix (the arena heatmap companion of
+    * [[bradleyTerry]]): one row per unordered item pair — total
+    * comparisons, wins of the lexicographically smaller item, and its win
+    * rate (6dp). ONE partial-aggregating exchange over pair keys.
+    */
+  def winMatrix(comparisons: DataFrame): DataFrame = {
+    val c = comparisons
+      .select(col("winner"), col("loser"))
+      .filter(col("winner").isNotNull && col("loser").isNotNull && col("winner") =!= col("loser"))
+    c.select(
+      least(col("winner"), col("loser")).as("item_a"),
+      greatest(col("winner"), col("loser")).as("item_b"),
+      (col("winner") === least(col("winner"), col("loser"))).cast("long").as("aw")
+    ).groupBy(col("item_a"), col("item_b"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("aw")).as("wins_a")
+      )
+      .withColumn("winrate_a", round(col("wins_a").cast("double") / col("n").cast("double"), 6))
+  }
+
+  /** Best-of-n curve (rejection-sampling diagnostic): for each prompt
+    * group, candidates in `orderCol` order; the running max of `scoreCol`
+    * after k candidates is the best-of-k outcome. Reported at the given
+    * k values: number of prompts that HAVE ≥ k candidates and their mean
+    * best-of-k score (6dp). One window pass over the candidate table,
+    * then a k-sized aggregate.
+    */
+  def bestOfN(
+      df: DataFrame,
+      promptCol: Column,
+      orderCol: Column,
+      scoreCol: Column,
+      ks: Seq[Int] = Seq(1, 2, 4, 8)
+  ): DataFrame = {
+    val w = Window.partitionBy(col("__p")).orderBy(col("__o"))
+    df.select(promptCol.as("__p"), orderCol.as("__o"), scoreCol.as("__s"))
+      .select(
+        col("__p"),
+        row_number().over(w).as("k"),
+        max(col("__s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("__best")
+      )
+      .filter(col("k").isin(ks.map(x => x: Any): _*))
+      .groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("n_prompts"),
+        round(avg(col("__best")), 6).as("mean_best")
+      )
+  }
 }

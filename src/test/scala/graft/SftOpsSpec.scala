@@ -215,4 +215,72 @@ class SftOpsSpec extends SparkTestBase {
         Seq(("a", "b"), ("b", "a"), ("b", "c"))
     )
   }
+
+  test("renderTemplate: render-parse is a fixed point; exact rendering") {
+    val df = Seq((1L, transcript)).toDF("doc_id", "text")
+    val parsed = ChatOps.parseTranscript(df, col("doc_id"), col("text"))
+    val rendered = ChatOps.renderTemplate(parsed)
+    val rtext = rendered.collect().head.getAs[String]("rendered")
+    assert(
+      rtext == "system: be brief\nuser: hi\nmore context\nassistant: hello there\n" +
+        "assistant: extra\nuser: thanks\nassistant: "
+    )
+    val fp1 = ChatOps.chatStats(parsed).collect().head.getAs[String]("fp")
+    val fp2 = ChatOps
+      .chatStats(
+        ChatOps.parseTranscript(rendered.select(col("doc_id"), col("rendered")), col("doc_id"), col("rendered"))
+      )
+      .collect()
+      .head
+      .getAs[String]("fp")
+    assert(fp1 == fp2)
+  }
+
+  test("winMatrix: unordered pairs, wins of the smaller item, win rate") {
+    val comps = Seq(
+      ("a", "b"), ("a", "b"), ("a", "b"), // a beats b x3
+      ("b", "a"), // b beats a x1
+      ("c", "b"), ("c", "b") // c beats b x2
+    ).toDF("winner", "loser")
+    val got = ChatOps.winMatrix(comps).orderBy(col("item_a"), col("item_b")).collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[String]("item_a") == "a" && got(0).getAs[String]("item_b") == "b")
+    assert(got(0).getAs[Long]("n") == 4 && got(0).getAs[Long]("wins_a") == 3)
+    assert(got(0).getAs[Double]("winrate_a") == 0.75)
+    assert(got(1).getAs[String]("item_a") == "b" && got(1).getAs[String]("item_b") == "c")
+    assert(got(1).getAs[Long]("n") == 2 && got(1).getAs[Long]("wins_a") == 0)
+    assert(got(1).getAs[Double]("winrate_a") == 0.0)
+  }
+
+  test("bestOfN: running max per prompt, prompts-with->=k counting") {
+    val df = Seq(
+      ("p1", 1L, 0.3), ("p1", 2L, 0.9), ("p1", 3L, 0.1), ("p1", 4L, 0.5),
+      ("p2", 5L, 0.2), ("p2", 6L, 0.4)
+    ).toDF("p", "o", "s")
+    val got = ChatOps
+      .bestOfN(df, col("p"), col("o"), col("s"))
+      .orderBy(col("k"))
+      .collect()
+    val m = got.map(r => r.getAs[Int]("k") -> r).toMap
+    assert(m(1).getAs[Long]("n_prompts") == 2 && m(1).getAs[Double]("mean_best") == 0.25)
+    assert(m(2).getAs[Long]("n_prompts") == 2 && m(2).getAs[Double]("mean_best") == 0.65)
+    assert(m(4).getAs[Long]("n_prompts") == 1 && m(4).getAs[Double]("mean_best") == 0.9)
+    assert(!m.contains(8))
+  }
+
+  test("cohenKappa: hand-computed po/pe/kappa, perfect and degenerate cases") {
+    val df = Seq(
+      ("g", 0, 0), ("g", 0, 0), ("g", 0, 0), ("g", 1, 1), ("g", 1, 1), ("g", 0, 1),
+      ("h", 2, 2), ("h", 3, 3), // perfect, two labels
+      ("z", 5, 5), ("z", 5, 5) // constant -> pe=1 -> kappa null
+    ).toDF("grp", "a", "b")
+    val got = Audit.cohenKappa(df, col("grp"), col("a"), col("b")).collect()
+    val m = got.map(r => r.getAs[String]("grp") -> r).toMap
+    assert(m("g").getAs[Long]("n") == 6)
+    assert(m("g").getAs[Double]("po") == 0.833333)
+    assert(m("g").getAs[Double]("pe") == 0.5)
+    assert(m("g").getAs[Double]("kappa") == 0.666667)
+    assert(m("h").getAs[Double]("kappa") == 1.0)
+    assert(m("z").getAs[Double]("pe") == 1.0 && m("z").get(m("z").fieldIndex("kappa")) == null)
+  }
 }
