@@ -3353,7 +3353,7 @@ object ExtensionQueries {
         |ref AS (SELECT DISTINCT UNNEST(g) AS gram FROM sh WHERE doc_id % 3 = 0),
         |cg AS (SELECT doc_id, UNNEST(g) AS gram FROM sh)
         |SELECT cg.doc_id, COUNT(1) AS n_grams,
-        |  SUM(CASE WHEN ref.gram IS NULL THEN 1 ELSE 0 END) AS n_novel,
+        |  CAST(SUM(CASE WHEN ref.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
         |  ROUND(CAST(SUM(CASE WHEN ref.gram IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(1) AS DOUBLE), 6) AS novelty
         |FROM cg LEFT JOIN ref ON cg.gram = ref.gram
@@ -4757,7 +4757,7 @@ object ExtensionQueries {
         |d AS (SELECT DISTINCT bucket, src, dst FROM rb),
         |nr AS (SELECT bucket, COUNT(*) AS n_raw FROM rb GROUP BY 1),
         |ndc AS (SELECT bucket, COUNT(*) AS n_distinct,
-        |    SUM(CASE WHEN src = dst THEN 1 ELSE 0 END) AS n_self FROM d GROUP BY 1),
+        |    CAST(SUM(CASE WHEN src = dst THEN 1 ELSE 0 END) AS BIGINT) AS n_self FROM d GROUP BY 1),
         |rc AS (SELECT d.bucket, COUNT(*) AS n_reciprocal FROM d
         |  WHERE d.src < d.dst
         |    AND EXISTS (SELECT 1 FROM d d2 WHERE d2.src = d.dst AND d2.dst = d.src)
@@ -5143,7 +5143,7 @@ object ExtensionQueries {
     // remainder rank with domain tie-break, leftover top-ups
     "x124_crawl_budget" ->
       """WITH c AS (SELECT source AS domain, COUNT(*) AS n_urls FROM documents GROUP BY 1),
-        |t AS (SELECT SUM(n_urls) AS tt FROM c),
+        |t AS (SELECT CAST(SUM(n_urls) AS BIGINT) AS tt FROM c),
         |b AS (SELECT domain, n_urls,
         |    (10000 * n_urls) // t.tt AS base,
         |    (10000 * n_urls) % t.tt AS rem
@@ -5151,7 +5151,7 @@ object ExtensionQueries {
         |l AS (SELECT 10000 - SUM(base) AS leftover FROM b),
         |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, domain ASC) AS rk FROM b)
         |SELECT domain, n_urls,
-        |  base + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END AS alloc
+        |  CAST(base + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
         |FROM r, l ORDER BY domain""".stripMargin,
     // chat parse: full relational replay of the grammar — head lines
     // open turns, continuation lines string-agg back, orphans counted;
