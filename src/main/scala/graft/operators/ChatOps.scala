@@ -197,9 +197,16 @@ object ChatOps {
     df.select(promptCol.as("prompt_id"), candCol.as("cand"), scoreCol.as("score"))
       .groupBy(col("prompt_id"))
       .agg(
-        count(lit(1)).as("n_candidates"),
-        max(struct(col("score"), col("cand"))).as("best"),
-        min(struct(col("score"), col("cand"))).as("worst")
+        // null-score candidates are counted-and-flagged, never allowed to
+        // null the min() struct (a null score inside min(struct(...))
+        // would otherwise win the ascending sort and silently drop the
+        // whole group even when two scored candidates exist)
+        count(col("score")).as("n_candidates"),
+        count(lit(1)).as("__n_all"),
+        max(when(col("score").isNotNull, struct(col("score"), col("cand"))))
+          .as("best"),
+        min(when(col("score").isNotNull, struct(col("score"), col("cand"))))
+          .as("worst")
       )
       .filter(col("n_candidates") >= 2 && col("best.score") > col("worst.score"))
       .select(
@@ -207,7 +214,8 @@ object ChatOps {
         col("best.cand").as("chosen_id"),
         col("worst.cand").as("rejected_id"),
         round(col("best.score") - col("worst.score"), 6).as("margin"),
-        col("n_candidates")
+        col("n_candidates"),
+        (col("__n_all") - col("n_candidates")).as("n_null_scores")
       )
 
   /** Bradley–Terry strength fitting over pairwise comparisons via the

@@ -722,7 +722,13 @@ object Dedup {
       .groupBy(col("key"))
       .agg(
         count(lit(1)).as("n_dups"),
-        max_by(col("doc_id"), struct(col("pref"), -col("doc_id"))).as("__winner")
+        // (max pref, min id) winner WITHOUT negating the id — ids may be
+        // strings (URLs/digests); under min_by the ordering struct leads
+        // with an isNull flag so null-pref rows always lose to scored ones
+        min_by(
+          col("doc_id"),
+          struct(col("pref").isNull, negate(col("pref")), col("doc_id"))
+        ).as("__winner")
       )
       .withColumnRenamed("key", "__wkey")
     rows

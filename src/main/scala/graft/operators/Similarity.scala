@@ -867,9 +867,14 @@ object Similarity {
         element_at(lit(labels), array_position(col("__cos"), array_max(col("__cos"))).cast("int"))
           .as("topic"),
         round(array_max(col("__cos")), 6).as("best_cos"),
-        round(
-          array_max(col("__cos")) - element_at(array_sort(col("__cos")), -2),
-          6
+        // second-best only exists with >= 2 centroids; with one, index -2
+        // would throw under Spark 4 ANSI — the margin is null (undefined)
+        when(
+          size(col("__cos")) >= 2,
+          round(
+            array_max(col("__cos")) - element_at(array_sort(col("__cos")), -2),
+            6
+          )
         ).as("margin")
       )
   }

@@ -678,11 +678,22 @@ object TextOps {
   ): DataFrame = {
     require(phrases.nonEmpty, "blocklist must not be empty")
     // escape regex metacharacters WITHOUT \Q…\E (JVM-only; RE2 oracles
-    // reject it) so the same pattern string runs in both engines
-    val escaped = phrases
+    // reject it) so the same pattern string runs in both engines; a \b
+    // assertion is only valid against a WORD character, so each phrase
+    // gets an anchor per edge only where that edge is [A-Za-z0-9_] —
+    // otherwise "c++"/"c#"-style entries could never match
+    def isWord(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_'
+    val pat = phrases
       .sortBy(p => (-p.length, p))
-      .map(_.replaceAll("([^a-zA-Z0-9 _])", "\\\\$1"))
-    val pat = escaped.mkString("\\b(?:", "|", ")\\b")
+      .map { p =>
+        val esc = p.replaceAll("([^a-zA-Z0-9 _])", "\\\\$1")
+        val lb = if (isWord(p.head)) "\\b" else ""
+        val rb = if (isWord(p.last)) "\\b" else ""
+        lb + esc + rb
+      }
+      .mkString("(?:", "|", ")")
     val t = lower(coalesce(text, lit("")))
     df.select(
       idCol.as("doc_id"),

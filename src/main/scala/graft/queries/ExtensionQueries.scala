@@ -5241,16 +5241,17 @@ object ExtensionQueries {
     // preference pairs: chosen/rejected via the two row_number windows
     // that replay the struct-ordering tie-breaks (DESC,DESC / ASC,ASC)
     "x127_preference_pairs" ->
-      """WITH r1 AS (SELECT user_id, event_id, value,
+      """WITH nn AS (SELECT user_id, CAST(COUNT(value) AS BIGINT) AS n,
+        |    CAST(COUNT(*) - COUNT(value) AS BIGINT) AS n_null FROM events GROUP BY 1),
+        |r1 AS (SELECT user_id, event_id, value,
         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rb,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS rw,
-        |    COUNT(*) OVER (PARTITION BY user_id) AS n
-        |  FROM events),
-        |b AS (SELECT user_id, event_id AS chosen_id, value AS bs, CAST(n AS BIGINT) AS n FROM r1 WHERE rb = 1),
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS rw
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT user_id, event_id AS chosen_id, value AS bs FROM r1 WHERE rb = 1),
         |w AS (SELECT user_id, event_id AS rejected_id, value AS ws FROM r1 WHERE rw = 1)
         |SELECT b.user_id AS prompt_id, chosen_id, rejected_id,
-        |  ROUND(bs - ws, 6) AS margin, n AS n_candidates
-        |FROM b JOIN w USING (user_id)
+        |  ROUND(bs - ws, 6) AS margin, n AS n_candidates, n_null AS n_null_scores
+        |FROM b JOIN w USING (user_id) JOIN nn USING (user_id)
         |WHERE n >= 2 AND bs > ws ORDER BY 1""".stripMargin,
     // bradley-terry: all 5 MM iterations unrolled as CTEs, virtual
     // opponent (+1 win, +1 loss vs strength-1 dummy), per-round sum-to-N

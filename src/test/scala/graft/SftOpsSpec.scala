@@ -104,6 +104,27 @@ class SftOpsSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_candidates") == 3L)
   }
 
+  test("preferencePairs: null-score candidates counted out, never drop the group") {
+    val df = Seq(
+      ("A", 1L, Option(0.2)),
+      ("A", 2L, None), // null score must not null the min() struct
+      ("A", 3L, Option(0.8)),
+      ("B", 4L, None), // no scored candidates at all → gated out (n < 2)
+      ("B", 5L, None)
+    ).toDF("p", "c", "s")
+    val got = ChatOps
+      .preferencePairs(df, col("p"), col("c"), col("s"))
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[String]("prompt_id") == "A")
+    assert(r.getAs[Long]("chosen_id") == 3L)
+    assert(r.getAs[Long]("rejected_id") == 1L)
+    assert(r.getAs[Double]("margin") == 0.6)
+    assert(r.getAs[Long]("n_candidates") == 2L)
+    assert(r.getAs[Long]("n_null_scores") == 1L)
+  }
+
   test("bradleyTerry: ordering, records, normalization, determinism") {
     val comps = Seq(
       ("a", "b"), ("a", "b"), ("a", "b"),

@@ -142,6 +142,22 @@ class WebCurationSpec extends SparkTestBase {
     assert(rows(1).getLong(3) == 2L)
   }
 
+  test("keepBestByKey: string ids — lexicographic tie-break, null pref always loses") {
+    import spark.implicits._
+    val df = Seq(
+      ("urlB", "k", Option(9.0)),
+      ("urlA", "k", Option(9.0)), // pref tie → lexicographically smaller id wins
+      ("urlC", "k", None), // null pref must lose to any scored row
+      ("urlZ", "k2", None) // all-null group: sole row still wins
+    ).toDF("id", "key", "pref")
+    val rows = Dedup
+      .keepBestByKey(df, col("key"), col("pref"), col("id"))
+      .orderBy("doc_id")
+      .collect()
+    val kept = rows.map(r => r.getString(1) -> r.getBoolean(4)).toMap
+    assert(kept == Map("urlA" -> true, "urlB" -> false, "urlC" -> false, "urlZ" -> true))
+  }
+
   test("warcIngest: NULL blob surfaces as one invalid record; empty blob yields none") {
     import spark.implicits._
     val df = Seq((1L, Option("WARC/1.0\nWARC-Target-URI: u\nContent-Length: 2\n\nhi\n\n")), (2L, None), (3L, Option("")))
@@ -249,5 +265,32 @@ class WebCurationSpec extends SparkTestBase {
       assert(r.getLong(1) == labels(r.getLong(0)), s"vec ${r.getLong(0)}")
       assert(r.getDouble(3) > 0.0) // margin strictly positive
     }
+  }
+
+  test("topicAssign: single centroid — margin undefined (null), no ANSI throw") {
+    import spark.implicits._
+    val vecs = Seq((1L, Array(1.0, 0.0))).toDF("vec_id", "v")
+    val rows = Similarity
+      .topicAssign(vecs, col("vec_id"), col("v"), Seq((7L, Array(1.0, 0.0))))
+      .collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(1) == 7L && rows(0).getDouble(2) == 1.0)
+    assert(rows(0).isNullAt(3), "margin must be null with one centroid")
+  }
+
+  test("blocklistGate: non-word-edge phrases (c++, c#) match without \\b anchors") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "we write C++ and c# here"),
+      (2L, "use c++11 today"), // leading \b only — trailing edge is non-word
+      (3L, "scanner vector-free") // word-edge phrase still whole-word gated
+    ).toDF("id", "text")
+    val rows = TextOps
+      .blocklistGate(df, col("id"), col("text"), Seq("c++", "c#", "vector"))
+      .orderBy("doc_id")
+      .collect()
+    assert(rows(0).getInt(1) == 2 && rows(0).getString(2) == "c++")
+    assert(rows(1).getInt(1) == 1 && rows(1).getBoolean(3))
+    assert(rows(2).getInt(1) == 1 && rows(2).getString(2) == "vector")
   }
 }
