@@ -2848,6 +2848,43 @@ object ExtensionQueries {
     "x132_kn_bigram" -> ((s, dir) =>
       TextOps.knBigram(T(s, dir, "documents"), col("text"), discount = 0.75, topK = 20)),
 
+    // PRODUCTION bitext path (x105 is its exact calibration twin): banded
+    // sign-signature candidate generation → candidates-restricted margin
+    // pipeline. Axis-sign bands (2 bands × 8 dims) keep the equality-join
+    // blocking shape of the LSH generator while replaying bit-exact in the
+    // oracle; perturb preserves signs (multiplier 1±0.02 > 0), so every
+    // planted twin shares its source's keys in BOTH bands — recall of the
+    // planted pairs is exact by construction, not probabilistic.
+    "x133_bitext_candidates" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val xs = e.where(col("vec_id") % 2 === 0)
+      val twins = xs
+        .where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"), perturb(col("v")).as("v"))
+      val ys = e.where(col("vec_id") % 2 === 1).unionAll(twins)
+      def bandKeys(vc: Column): Column =
+        array((0 until 2).map { b =>
+          struct(
+            lit(b).as("band"),
+            (0 until 8)
+              .map(i => when(element_at(vc, b * 8 + i + 1) >= 0, lit(1L << i)).otherwise(lit(0L)))
+              .reduce(_ + _)
+              .as("key")
+          )
+        }: _*)
+      val xb = xs
+        .select(col("vec_id").as("x_id"), explode(bandKeys(col("v"))).as("bk"))
+        .select(col("x_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val yb = ys
+        .select(col("vec_id").as("y_id"), explode(bandKeys(col("v"))).as("bk"))
+        .select(col("y_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val cand = xb.join(yb, Seq("band", "key")).select(col("x_id"), col("y_id"))
+      Similarity
+        .bitextMineCandidates(xs, ys, col("vec_id"), col("v"), col("vec_id"), col("v"), cand)
+        .orderBy(col("x_id"))
+    }),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -5409,6 +5446,39 @@ object ExtensionQueries {
         |    + CAST(0.75 AS DOUBLE) * n_fol / c1 * (CAST(n_pre AS DOUBLE) / n_types), 6) AS p_kn
         |FROM big JOIN hist USING (w1) JOIN cont USING (w2) CROSS JOIN nt
         |ORDER BY c DESC, w1, w2 LIMIT 20""".stripMargin,
+    // production bitext: candidate set replayed relationally (sign-band
+    // keys, equality join), then the x105 margin pipeline verbatim over
+    // exactly those pairs — density averages are candidate-neighborhood
+    "x133_bitext_candidates" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id AS xid, v FROM e WHERE vec_id % 2 = 0),
+        |tw AS (SELECT vec_id + 10000000 AS yid, LIST_TRANSFORM(v, x -> $perturbSql) AS v
+        |  FROM e WHERE vec_id % 2 = 0 AND vec_id % 10 = 0),
+        |y AS (SELECT vec_id AS yid, v FROM e WHERE vec_id % 2 = 1
+        |  UNION ALL SELECT * FROM tw),
+        |bands AS (SELECT UNNEST([0, 1]) AS band),
+        |xb AS (SELECT xid, band, CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, 9),
+        |    i -> CASE WHEN v[band*8 + i] >= 0 THEN 1 << (i-1) ELSE 0 END)) AS BIGINT) AS key
+        |  FROM x, bands),
+        |yb AS (SELECT yid, band, CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, 9),
+        |    i -> CASE WHEN v[band*8 + i] >= 0 THEN 1 << (i-1) ELSE 0 END)) AS BIGINT) AS key
+        |  FROM y, bands),
+        |cd AS (SELECT DISTINCT xid, yid FROM xb JOIN yb USING (band, key)),
+        |sc AS (SELECT cd.xid, cd.yid, ROUND(list_cosine_similarity(x.v, y.v), 6) AS c
+        |  FROM cd JOIN x ON x.xid = cd.xid JOIN y ON y.yid = cd.yid),
+        |r AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY xid ORDER BY c DESC, yid) AS rx,
+        |    ROW_NUMBER() OVER (PARTITION BY yid ORDER BY c DESC, xid) AS ry
+        |  FROM sc),
+        |ax AS (SELECT xid, AVG(c) AS ax FROM r WHERE rx <= 4 GROUP BY 1),
+        |ay AS (SELECT yid, AVG(c) AS ay FROM r WHERE ry <= 4 GROUP BY 1),
+        |b AS (SELECT * FROM r WHERE rx = 1)
+        |SELECT b.xid AS x_id, b.yid AS y_best, b.c AS cos,
+        |  ROUND(b.c * 2 / (ax.ax + ay.ay), 6) AS margin,
+        |  b.ry = 1 AS mutual,
+        |  (ROUND(b.c * 2 / (ax.ax + ay.ay), 6) >= 1.05 AND b.ry = 1) AS accepted
+        |FROM b JOIN ax USING (xid) JOIN ay ON ay.yid = b.yid
+        |ORDER BY x_id""".stripMargin,
     // full blocks only (partial tails dropped, <16-byte docs emit nothing);
     // OCTET_LENGTH on the blob, not LENGTH: the Spark side frames UTF-8
     // BYTES, and char counting would diverge on any non-ASCII document

@@ -91,6 +91,23 @@ class BoilerplateBitextSpec extends SparkTestBase {
     }
   }
 
+  test("x133 production path: sign-band candidates recover every planted twin, accepted") {
+    // the driver-checked query itself (LSH-shaped banded candidate join →
+    // margin pipeline): perturb preserves signs, so twin recall is exact
+    val got = SparkEntry
+      .queries("x133_bitext_candidates")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+    val twins = got.keys.filter(_ % 10 == 0)
+    assert(twins.size == 50)
+    twins.foreach { x =>
+      val r = got(x)
+      assert(r.getLong(1) == x + 10000000L, s"x=$x must best-pair with its twin")
+      assert(r.getBoolean(5), s"x=$x twin pair must pass margin + mutual-NN")
+    }
+  }
+
   test("bitextMine drops null vectors instead of ranking null scores") {
     val xs = Seq((1L, Array(1.0f, 0.0f)), (2L, null.asInstanceOf[Array[Float]])).toDF("id", "v")
     val ys = Seq((10L, Array(1.0f, 0.1f)), (11L, null.asInstanceOf[Array[Float]])).toDF("id", "v")
