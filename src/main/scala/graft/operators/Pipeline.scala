@@ -77,6 +77,25 @@ object Pipeline {
       sum(sizeBytes).as("total_bytes")
     )
 
+  /** The full `summary()` REPORT of the reference formatter
+    * (stat.hpp:155-173): lifetime MBps / kMPS / totals over `uptimeSec`,
+    * tailed by the live process gauges — `CPU: x%  RSS: y MB` — from
+    * [[graft.streaming.ProcessStats]] (sys.hpp:113-162). Driver-side by
+    * design: the totals come from one distributed agg; the process stats
+    * are inherently a driver/process property, not row data.
+    */
+  def throughputSummaryLine(df: DataFrame, sizeBytes: Column, uptimeSec: Double): String = {
+    require(uptimeSec > 0.0, "uptime must be positive")
+    val r = throughputSummary(df, sizeBytes).collect()(0)
+    val msgs = r.getLong(0)
+    val bytes = if (r.isNullAt(1)) 0L else r.getAs[Number](1).longValue()
+    val s = graft.streaming.ProcessStats.refresh()
+    f"${bytes.toDouble / uptimeSec / 1048576.0}%.2f MBps  " +
+      f"${msgs.toDouble / uptimeSec / 1000.0}%.2fk MPS  " +
+      f"over $uptimeSec%.2f seconds (total: $bytes bytes, $msgs messages)  " +
+      f"CPU: ${s.cpuPercent}%5.1f%%  RSS: ${s.rssMb}%.1f MB"
+  }
+
   /** O-17 — labeled counters: metric families keyed by label values
     * (libdsp/libdsp/metrics.hpp:28-97) re-expressed as a group-by over the
     * label column(s).

@@ -46,6 +46,10 @@ final class MetricsBridge extends StreamingQueryListener {
     val sb = new StringBuilder
     counters.forEach((k, v) => { sb.append(s"$k ${v.sum()}\n"); () })
     gauges.forEach((k, v) => { if (!v.isNaN) { sb.append(s"$k $v\n"); () } })
+    // process CPU/RSS gauges (stat.hpp:52-58 via sys.hpp:113-162) — the
+    // reference refreshes these with the throughput stats; here the
+    // scrape drives the (rate-limited) refresh
+    sb.append(ProcessStats.scrapeLines())
     sb.toString
   }
 
