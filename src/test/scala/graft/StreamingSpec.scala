@@ -104,6 +104,76 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("StreamSft: parse → loss gate → pairs per prompt, cross-batch prompt dedup, replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft-sft-store").toString + "/prompts"
+    def convo(prompt: String, answer: String) = s"user: $prompt\nassistant: $answer"
+    val p1 = "what is the capital of atlantis"
+    val p2 = "summarize the maritime treaty"
+    val p3 = "translate the harbor codex"
+    val accepted = scala.collection.concurrent.TrieMap.empty[Long, (Long, Long)] // chosen -> (rejected, n_cands)
+    val input = MemoryStream[(Long, String, Double)]
+    val q = input
+      .toDF()
+      .toDF("cand_id", "text", "score")
+      .writeStream
+      .foreachBatch(
+        graft.streaming.StreamSft.sftSink(
+          "text",
+          col("cand_id"),
+          col("score"),
+          store,
+          (pairs, _) =>
+            pairs.collect().foreach { r =>
+              accepted.put(
+                r.getAs[Long]("chosen_id"),
+                (r.getAs[Long]("rejected_id"), r.getAs[Long]("n_candidates"))
+              )
+            }
+        )
+      )
+      .start()
+    try {
+      input.addData(
+        (1L, convo(p1, "a long and helpful canonical answer"), 0.9),
+        (2L, convo(p1, "nope"), 0.2),
+        (3L, convo(p2, "a vague partial answer"), 0.5),
+        (4L, convo(p2, "a careful complete answer"), 0.7),
+        (5L, s"user: $p1", 0.99) // zero supervised tokens → loss-gated out, never a candidate
+      )
+      q.processAllAvailable()
+      assert(accepted.toMap == Map(1L -> (2L, 2L), 4L -> (3L, 2L)), s"epoch-0 pairs wrong: $accepted")
+
+      input.addData(
+        (6L, convo(p1, "a brand new competitor answer"), 0.95), // p1 already shipped a pair
+        (7L, convo(p1, "another one"), 0.1),
+        (8L, convo(p3, "tide tables and star charts"), 0.8),
+        (9L, convo(p3, "illegible"), 0.3)
+      )
+      q.processAllAvailable()
+      assert(
+        accepted.toMap == Map(1L -> (2L, 2L), 4L -> (3L, 2L), 8L -> (9L, 2L)),
+        s"epoch-1 must add only the p3 pair: $accepted"
+      )
+    } finally q.stop()
+
+    // replay epoch 1 against its own stored digests: same single p3 pair,
+    // the p1 pair still suppressed, the store not poisoned
+    val replayPairs = scala.collection.mutable.Set.empty[(Long, Long)]
+    val replayBatch = Seq(
+      (6L, convo(p1, "a brand new competitor answer"), 0.95),
+      (7L, convo(p1, "another one"), 0.1),
+      (8L, convo(p3, "tide tables and star charts"), 0.8),
+      (9L, convo(p3, "illegible"), 0.3)
+    ).toDF("cand_id", "text", "score")
+    val (nPairs, nDropped) = graft.streaming.StreamSft.sftBatch(
+      replayBatch, "text", col("cand_id"), col("score"), store, epoch = 1L,
+      (pairs, _) =>
+        pairs.collect().foreach(r => replayPairs.add((r.getAs[Long]("chosen_id"), r.getAs[Long]("rejected_id"))))
+    )
+    assert(nPairs == 1L && nDropped == 0L && replayPairs == Set((8L, 9L)), s"replay diverged: $nPairs $nDropped $replayPairs")
+  }
+
   test("csvIngest runs unchanged under a streaming source with corrupt accounting observable") {
     // the ingest op is a pure projection, so batch/stream symmetry is
     // free — and corrupt lines must flag, not fail, mid-stream.
