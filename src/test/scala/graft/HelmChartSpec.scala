@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+import graft.runtime.YamlLite
+
+/** The helm chart twin (deploy/helm/graft ↔ the reference's
+  * helm/dsp-svc, deployment walkthrough doc/test.adoc:69-87): templates
+  * use ONLY scalar `{{ .Values.* }}` / `{{ .Chart.* }}` substitutions, a
+  * strict subset of Go template syntax that real `helm template`
+  * evaluates identically — so this spec can render the chart with a
+  * 20-line substituter (no helm binary in this sandbox) and assert the
+  * output is EXACTLY the hand-maintained deploy/k8s-service.yaml. The
+  * chart and the raw manifest can therefore never drift apart.
+  */
+class HelmChartSpec extends AnyFunSuite {
+
+  private val chartDir = "deploy/helm/graft"
+
+  private def read(p: String): String =
+    new String(Files.readAllBytes(Paths.get(p)), "UTF-8")
+
+  /** helm-template subset renderer: `{{ .Values.a.b }}` from values.yaml,
+    * `{{ .Chart.x }}` from Chart.yaml. Unknown constructs are a test
+    * failure — the chart must stay inside the subset or switch to real
+    * helm in CI.
+    */
+  private def render(template: String, values: YamlLite.Node, chart: YamlLite.Node): String = {
+    val expr = raw"\{\{\s*\.(Values|Chart)\.([A-Za-z0-9_.]+)\s*\}\}".r
+    val out = expr.replaceAllIn(
+      template,
+      m => {
+        val root = if (m.group(1) == "Values") values else chart
+        root.get(m.group(2)) match {
+          case Some(n) => java.util.regex.Matcher.quoteReplacement(n.str)
+          case None => fail(s"template references missing value .${m.group(1)}.${m.group(2)}")
+        }
+      }
+    )
+    assert(!out.contains("{{"), s"unrendered construct left in template:\n$out")
+    out
+  }
+
+  /** Comment/blank normalization so template-side scaladoc-style headers
+    * and hand-side margin comments don't participate in the identity.
+    */
+  private def normalize(doc: String): Seq[String] =
+    doc.linesIterator
+      .map(_.replaceAll("\\s+#.*$", "").replaceAll("\\s+$", ""))
+      .filterNot(l => l.trim.isEmpty || l.trim.startsWith("#"))
+      .toSeq
+
+  test("chart renders IDENTICALLY to the hand-maintained k8s-service.yaml") {
+    val values = YamlLite.parse(read(s"$chartDir/values.yaml"))
+    val chart = YamlLite.parse(read(s"$chartDir/Chart.yaml"))
+    val hand = read("deploy/k8s-service.yaml").split("(?m)^---$")
+    val templates = Seq(
+      "templates/configmap.yaml",
+      "templates/deployment.yaml",
+      "templates/service.yaml",
+      "templates/service-metrics.yaml"
+    )
+    assert(hand.length == templates.length, "doc count drifted between chart and manifest")
+    templates.zip(hand).foreach { case (t, handDoc) =>
+      val rendered = normalize(render(read(s"$chartDir/$t"), values, chart))
+      val expected = normalize(handDoc)
+      assert(
+        rendered == expected,
+        s"$t diverged from k8s-service.yaml:\n" +
+          rendered.zipAll(expected, "<missing>", "<missing>")
+            .filter { case (a, b) => a != b }
+            .take(5)
+            .map { case (a, b) => s"  chart: $a\n  hand : $b" }
+            .mkString("\n")
+      )
+    }
+  }
+
+  test("values.yaml knobs mirror the reference chart's surface") {
+    val values = YamlLite.parse(read(s"$chartDir/values.yaml"))
+    // the knobs shared with helm/dsp-svc/values.yaml keep its defaults
+    assert(values("replicaCount").int == 1)
+    assert(values("image.pullPolicy").str == "Never")
+    assert(values("service.type").str == "LoadBalancer")
+    assert(values("service.port").int == 7200)
+    assert(values("metrics.port").int == 9555)
+    val chart = YamlLite.parse(read(s"$chartDir/Chart.yaml"))
+    assert(chart("apiVersion").str == "v2" && chart("type").str == "application")
+  }
+}
