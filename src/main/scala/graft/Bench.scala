@@ -60,9 +60,19 @@ object Bench {
     val tcpKmps = tcpMbps * 5.0 // 1 MBps of 200 B frames = 5k msgs/s
 
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Controlled-comparison knob: SPARK_GRAFT_BENCH_ONLY=q1,...  restricts
+    // the timed suite to named queries (for like-for-like re-benches of an
+    // earlier round's subset); absent/empty = all, the driver path.
+    val only = sys.env
+      .get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+      .filter(_.nonEmpty)
     // two timed passes per query, keep the min: absorbs one-off JIT/IO
     // noise without hiding steady-state cost
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy(_._1)
+      .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
