@@ -2506,6 +2506,63 @@ object StressXOps {
       bt.unpersist(); comps.unpersist()
     }
 
+    // ---- StreamSft at width: two 1M-candidate epochs (200k prompts × 5
+    // candidates, 1% zero-supervision plants) through the full
+    // parse→loss-gate→pairs→prompt-digest-store flow, 50% prompt overlap
+    // between epochs, then an epoch replay — every count has an exact
+    // planted expectation, and the store can only GROW by the new-prompt
+    // mass (exactly-once on the digest store, the StreamDedup contract).
+    if (section("streamsft")) locally {
+      val store = java.nio.file.Files.createTempDirectory("stressx-sft").toString + "/prompts"
+      val nPrompts = 200000L
+      val candsPerPrompt = 5L
+      def epochBatch(promptBase: Long): DataFrame =
+        // id = j·nPrompts + p → candidate j (0..4) of prompt p: k is
+        // DISTINCT within every prompt group (id % 5 would not be — the
+        // stride is a multiple of 5)
+        spark.range(nPrompts * candsPerPrompt).select(
+          (col("id") + promptBase * candsPerPrompt).as("cand_id"),
+          (pmod(col("id"), lit(nPrompts)) + promptBase).as("p"),
+          floor(col("id") / lit(nPrompts)).as("k")
+        ).select(
+          col("cand_id"),
+          // 1% of prompts lose their k=2 candidate (never k=0/k=4, so
+          // min/max survive): no assistant turn → zero supervised tokens
+          // → loss-gated out
+          when(col("p") % 100 === 0 && col("k") === 2,
+            concat(lit("user: prompt "), col("p")))
+            .otherwise(concat(
+              lit("user: prompt "), col("p"),
+              lit("\nassistant: answer "), col("cand_id"), lit(" k"), col("k")
+            )).as("t"),
+          // distinct scores 0..4 per prompt → margin 4.0, chosen=k4, rejected=k0
+          col("k").cast("double").as("score")
+        )
+      def runEpoch(batch: DataFrame, epoch: Long): (Long, Long, Long, Double) = {
+        var accepted = 0L
+        val t0 = System.nanoTime()
+        val (nPairs, nDropped) = streaming.StreamSft.sftBatch(
+          batch, "t", col("cand_id"), col("score"), store, epoch,
+          (pairs, _) => accepted = pairs.count()
+        )
+        ((System.nanoTime() - t0) / 1e9) match { case sec => (nPairs, nDropped, accepted, sec) }
+      }
+      val (p0, d0, a0, s0) = runEpoch(epochBatch(0L), 0L)
+      println(f"[stressx] streamSft epoch0 @ ${nPrompts * candsPerPrompt}%d candidates / $nPrompts%d prompts: $s0%.1f s, pairs=$p0 dropped=$d0 accepted=$a0")
+      assert(p0 == nPrompts && a0 == nPrompts, s"epoch0 must pair every prompt: $p0/$a0")
+      assert(d0 == nPrompts / 100, s"zero-supervision drop accounting: $d0")
+      // epoch 1: prompts [nPrompts/2, 3·nPrompts/2) — half seen, half new
+      val (p1, d1, a1, s1) = runEpoch(epochBatch(nPrompts / 2), 1L)
+      println(f"[stressx] streamSft epoch1 (50%% overlap): $s1%.1f s, pairs=$p1 dropped=$d1 accepted=$a1")
+      assert(p1 == nPrompts / 2 && a1 == nPrompts / 2, s"only the new-prompt half may pair: $p1/$a1")
+      // replay epoch 1: same pairs re-derived, store not poisoned
+      val (p1r, _, a1r, s1r) = runEpoch(epochBatch(nPrompts / 2), 1L)
+      val storeRows = spark.read.option("basePath", store).parquet(store).count()
+      println(f"[stressx] streamSft epoch1 replay: $s1r%.1f s, pairs=$p1r accepted=$a1r; store=$storeRows digests")
+      assert(p1r == nPrompts / 2 && a1r == nPrompts / 2, s"replay must re-derive identically: $p1r")
+      assert(storeRows == nPrompts + nPrompts / 2, s"store grows only by new-prompt mass: $storeRows")
+    }
+
     // ---- round-9 curation newcomers at width: alphaRename with planted
     // alpha-twins and an exact class-count tie-out; Kneser-Ney with the
     // sum-to-one identity per history; driftReport with an exactly
