@@ -136,7 +136,11 @@ object Bench {
     // noise context for every number above: loadavg at bench start + at
     // summary time, MemAvailable now, cpu count (VERDICT r6 #6)
     val benchEnv =
-      s""""bench_env":{"load_start":${f3(loadStart)},"load_end":${f3(EnvProbe.loadavg1())},"free_mb":${EnvProbe.freeMb()},"cpus":${Runtime.getRuntime.availableProcessors()}}"""
+      // process gauges (stat.hpp:52-58 parity): lifetime cpu seconds and
+      // end-of-run RSS of the bench JVM ride the artifact of record
+      s""""bench_env":{"load_start":${f3(loadStart)},"load_end":${f3(EnvProbe.loadavg1())},"free_mb":${EnvProbe.freeMb()},"cpus":${Runtime.getRuntime.availableProcessors()},"proc_cpu_sec":${f3 {
+          val s = graft.streaming.ProcessStats.refresh(); s.userTimeSec + s.sysTimeSec
+        }},"proc_rss_mb":${f3(graft.streaming.ProcessStats.refresh().rssMb)}}"""
     val summary =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","queries":$slowest,"queries_file":"bench_queries.json","n_queries":${results.size},"pipeline_mbps":${f3(mbps)},"pipeline_kmps":${f3(kmps)},"pipeline_msgs":$pipelined,"tcp_mbps":${f3(tcpMbps)},"tcp_kmps":${f3(tcpKmps)},"tcp_mbps_runs":[${tcpSorted.map(f3).mkString(",")}],"tcp_attempts":$tcpAttempts,"tcp_attempt_mbps":[${tcpAllAttempts.map(f3).mkString(",")}],"tcp_fork_load":[${tcpForkLoads.map(f3).mkString(",")}],"tcp_fork_steal":[${tcpForkSteal.map(f3).mkString(",")}],"tcp_raw_mbps":${f3(tcpRawMbps)},"tcp_raw_kmps":${f3(tcpRawKmps)}$refJson,$benchEnv,"failed":$failedJson}"""
     // Session teardown BEFORE the summary so nothing (a stray shutdown log
