@@ -677,6 +677,7 @@ object TextOps {
       phrases: Seq[String]
   ): DataFrame = {
     require(phrases.nonEmpty, "blocklist must not be empty")
+    require(phrases.forall(_.nonEmpty), "blocklist phrases must be non-empty strings")
     // escape regex metacharacters WITHOUT \Q…\E (JVM-only; RE2 oracles
     // reject it) so the same pattern string runs in both engines; a \b
     // assertion is only valid against a WORD character, so each phrase
