@@ -218,6 +218,57 @@ object ChatOps {
         (col("__n_all") - col("n_candidates")).as("n_null_scores")
       )
 
+  /** Rejection sampling / best-of-N selection (the RFT data constructor:
+    * sample N candidates per prompt, keep the top scorers above a reward
+    * threshold — Llama-2's rejection-sampling fine-tuning recipe, Touvron
+    * et al. 2023 §3.2.2): per prompt, the top `topN` candidates by
+    * (score desc, id desc — the [[preferencePairs]] tie-break) among those
+    * with `score >= minScore`, ranked 1..topN, carrying full per-prompt
+    * accounting (scored / below-threshold / null-score counts — the
+    * count-and-flag discipline; a prompt whose every candidate fails the
+    * gate still appears in the accounting join, just with no kept rows).
+    *
+    * Shape at 100 TB: the rank filter plans as partial+final
+    * `WindowGroupLimit` (map-side top-N BEFORE the exchange — Spark 4
+    * plans this for row_number+filter automatically), so the shuffle
+    * carries ≤ topN rows per prompt per task, never the full candidate
+    * mass; the accounting side is one partial-aggregating exchange.
+    */
+  def rejectionSample(
+      df: DataFrame,
+      promptCol: Column,
+      candCol: Column,
+      scoreCol: Column,
+      minScore: Double,
+      topN: Int = 1
+  ): DataFrame = {
+    require(topN >= 1, "topN must be at least 1")
+    val rows =
+      df.select(promptCol.as("prompt_id"), candCol.as("cand_id"), scoreCol.as("score"))
+    val acct = rows
+      .groupBy(col("prompt_id"))
+      .agg(
+        count(col("score")).as("n_scored"),
+        (count(lit(1)) - count(col("score"))).as("n_null_scores"),
+        sum(when(col("score") < minScore, lit(1L)).otherwise(lit(0L))).as("n_below")
+      )
+    val w = Window.partitionBy(col("prompt_id")).orderBy(col("score").desc, col("cand_id").desc)
+    rows
+      .filter(col("score").isNotNull && col("score") >= minScore)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .join(acct, "prompt_id")
+      .select(
+        col("prompt_id"),
+        col("cand_id"),
+        col("score"),
+        col("rank"),
+        col("n_scored"),
+        col("n_below"),
+        col("n_null_scores")
+      )
+  }
+
   /** Bradley–Terry strength fitting over pairwise comparisons via the
     * classic MM update (Hunter 2004), regularized with one virtual win and
     * one virtual loss against a strength-1 dummy opponent so items with

@@ -2885,6 +2885,22 @@ object ExtensionQueries {
         .orderBy(col("x_id"))
     }),
 
+    // Rejection sampling over the events stream (prompt = user, candidate
+    // = event, reward = value): top-2 per prompt above the 0.5 gate, with
+    // per-prompt scored/below/null accounting — the WindowGroupLimit
+    // map-side top-N shape.
+    "x134_rejection_sample" -> ((s, dir) =>
+      ChatOps
+        .rejectionSample(
+          T(s, dir, "events"),
+          col("user_id"),
+          col("event_id"),
+          col("value"),
+          minScore = 0.5,
+          topN = 2
+        )
+        .orderBy(col("prompt_id"), col("rank"))),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -5479,6 +5495,22 @@ object ExtensionQueries {
         |  (ROUND(b.c * 2 / (ax.ax + ay.ay), 6) >= 1.05 AND b.ry = 1) AS accepted
         |FROM b JOIN ax USING (xid) JOIN ay ON ay.yid = b.yid
         |ORDER BY x_id""".stripMargin,
+    // rejection sampling: the same row_number ordering (value desc,
+    // event_id desc) over gated candidates; accounting CTE joined back
+    "x134_rejection_sample" ->
+      """WITH acct AS (SELECT user_id,
+        |    CAST(COUNT(value) AS BIGINT) AS n_scored,
+        |    CAST(COUNT(*) - COUNT(value) AS BIGINT) AS n_null_scores,
+        |    CAST(SUM(CASE WHEN value < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rank
+        |  FROM events WHERE value IS NOT NULL AND value >= 0.5)
+        |SELECT r.user_id AS prompt_id, r.event_id AS cand_id, r.value AS score,
+        |  CAST(r.rank AS INT) AS rank, n_scored, n_below, n_null_scores
+        |FROM r JOIN acct USING (user_id)
+        |WHERE r.rank <= 2 ORDER BY 1, 4""".stripMargin,
+
     // full blocks only (partial tails dropped, <16-byte docs emit nothing);
     // OCTET_LENGTH on the blob, not LENGTH: the Spark side frames UTF-8
     // BYTES, and char counting would diverge on any non-ASCII document

@@ -125,6 +125,31 @@ class SftOpsSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_null_scores") == 1L)
   }
 
+  test("rejectionSample: top-N above gate, tie-breaks, full accounting, map-side limit plan") {
+    val df = Seq(
+      ("A", 1L, Option(0.9)),
+      ("A", 2L, Option(0.9)), // tie with 1 → higher cand id ranks first
+      ("A", 3L, Option(0.6)),
+      ("A", 4L, Option(0.2)), // below gate
+      ("A", 5L, None), // null score
+      ("B", 6L, Option(0.1)), // all below gate → no kept rows, only accounting
+      ("C", 7L, Option(0.7))
+    ).toDF("p", "c", "s")
+    val got = ChatOps
+      .rejectionSample(df, col("p"), col("c"), col("s"), minScore = 0.5, topN = 2)
+    val rows = got.orderBy(col("prompt_id"), col("rank")).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSeq ==
+      Seq(("A", 2L, 1), ("A", 1L, 2), ("C", 7L, 1)))
+    val a = rows.head
+    assert(a.getAs[Long]("n_scored") == 4L && a.getAs[Long]("n_below") == 1L &&
+      a.getAs[Long]("n_null_scores") == 1L)
+    // the scale claim: rank<=N over the window must plan as WindowGroupLimit
+    assert(
+      got.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "top-N must plan map-side WindowGroupLimit"
+    )
+  }
+
   test("bradleyTerry: ordering, records, normalization, determinism") {
     val comps = Seq(
       ("a", "b"), ("a", "b"), ("a", "b"),
