@@ -1206,4 +1206,61 @@ object TextOps {
     if (topK <= 0) scored
     else scored.orderBy(col("c").desc, col("w1"), col("w2")).limit(topK)
   }
+
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle" — the code-model
+    * data-prep pass): deterministically rearrange a `fimRate` fraction of
+    * documents into PSM (`<PRE>prefix<SUF>suffix<MID>middle`) or, with
+    * probability `spmRate` among those, SPM
+    * (`<PRE><SUF>suffix<MID>prefix⊕middle` — the paper's joined SPM
+    * encoding); the rest (and any document shorter than `minChars`) pass
+    * through as `plain`, counted, never silently dropped.
+    *
+    * Randomness is [[CorpusOps.hashUniform]] over salted ids (md5-based),
+    * so the choice of mode and both character cut points replay bit-equal
+    * in any engine — the x21/x51 split discipline. Two independent cuts
+    * in [1, len−1] are ordered into c1 ≤ c2; equal cuts yield an empty
+    * middle (a legal FIM example teaching end-of-infill). Zero shuffle:
+    * one in-row projection.
+    *
+    * Output: id, `mode` (psm|spm|plain), `fim_text`, `n_chars`,
+    * `cut1`/`cut2` (null for plain).
+    */
+  def fimTransform(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      fimRate: Double = 0.9,
+      spmRate: Double = 0.5,
+      minChars: Int = 20,
+      pre: String = "<PRE>",
+      suf: String = "<SUF>",
+      mid: String = "<MID>"
+  ): DataFrame = {
+    require(fimRate >= 0 && fimRate <= 1 && spmRate >= 0 && spmRate <= 1)
+    require(minChars >= 2, "need at least 2 chars to cut twice")
+    val t = coalesce(text, lit(""))
+    val len = length(t)
+    def u(salt: String): Column =
+      CorpusOps.hashUniform(concat(idCol.cast("string"), lit(s":$salt")))
+    val isFim = len >= minChars && u("fim") < fimRate
+    val isSpm = u("spm") < spmRate
+    val cutA = (lit(1) + floor(u("c1") * (len - 1).cast("double")).cast("int"))
+    val cutB = (lit(1) + floor(u("c2") * (len - 1).cast("double")).cast("int"))
+    val c1 = least(cutA, cutB)
+    val c2 = greatest(cutA, cutB)
+    val prefix = t.substr(lit(1), c1)
+    val middle = t.substr(c1 + 1, c2 - c1)
+    val suffix = t.substr(c2 + 1, len - c2)
+    val psm = concat(lit(pre), prefix, lit(suf), suffix, lit(mid), middle)
+    val spm = concat(lit(pre), lit(suf), suffix, lit(mid), prefix, middle)
+    df.select(
+      idCol.as("doc_id"),
+      when(!isFim, lit("plain")).when(isSpm, lit("spm")).otherwise(lit("psm")).as("mode"),
+      when(!isFim, t).when(isSpm, spm).otherwise(psm).as("fim_text"),
+      len.as("n_chars"),
+      when(isFim, c1).as("cut1"),
+      when(isFim, c2).as("cut2")
+    )
+  }
 }

@@ -66,6 +66,12 @@ object ExtensionQueries {
       }
       .mkString("(", " + ", ") / 268435456.0")
 
+  /** [[hashUniformSql]] over an arbitrarily-named md5 column (the
+    * several-salted-uniforms case, e.g. x135's mode + two cut draws).
+    */
+  private def uniformOf(hcol: String): String =
+    hashUniformSql.replace("SUBSTR(h,", s"SUBSTR($hcol,")
+
   /** Deterministic chat-transcript builder for x125/x126 (expects
     * `doc_id`, `text` in scope): planted orphan header (%11), user
     * continuation line (%3), assistant role repeat (%5), trailing empty
@@ -2901,6 +2907,14 @@ object ExtensionQueries {
         )
         .orderBy(col("prompt_id"), col("rank"))),
 
+    // Fill-in-the-middle transform (code-model data prep): deterministic
+    // md5-uniform mode/cut selection, PSM/SPM rearrangement, plain
+    // passthrough below minChars — all in-row, zero shuffle.
+    "x135_fim_transform" -> ((s, dir) =>
+      TextOps
+        .fimTransform(T(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -5495,6 +5509,36 @@ object ExtensionQueries {
         |  (ROUND(b.c * 2 / (ax.ax + ay.ay), 6) >= 1.05 AND b.ry = 1) AS accepted
         |FROM b JOIN ax USING (xid) JOIN ay ON ay.yid = b.yid
         |ORDER BY x_id""".stripMargin,
+    // fim: the same salted md5 uniforms, ordered cuts, and substring
+    // arithmetic — character-based SUBSTR in both engines
+    "x135_fim_transform" ->
+      s"""WITH b AS (SELECT doc_id, COALESCE(text, '') AS t,
+        |    md5(CAST(doc_id AS VARCHAR) || ':fim') AS hf,
+        |    md5(CAST(doc_id AS VARCHAR) || ':spm') AS hs,
+        |    md5(CAST(doc_id AS VARCHAR) || ':c1') AS ha,
+        |    md5(CAST(doc_id AS VARCHAR) || ':c2') AS hb
+        |  FROM documents),
+        |u AS (SELECT doc_id, t, LENGTH(t) AS len,
+        |    ${uniformOf("hf")} AS uf, ${uniformOf("hs")} AS us,
+        |    ${uniformOf("ha")} AS ua, ${uniformOf("hb")} AS ub FROM b),
+        |c AS (SELECT *,
+        |    LEAST(1 + CAST(FLOOR(ua * (len - 1)) AS INT),
+        |          1 + CAST(FLOOR(ub * (len - 1)) AS INT)) AS c1,
+        |    GREATEST(1 + CAST(FLOOR(ua * (len - 1)) AS INT),
+        |             1 + CAST(FLOOR(ub * (len - 1)) AS INT)) AS c2,
+        |    (len >= 20 AND uf < 0.9) AS isfim, us < 0.5 AS isspm FROM u)
+        |SELECT doc_id,
+        |  CASE WHEN NOT isfim THEN 'plain' WHEN isspm THEN 'spm' ELSE 'psm' END AS mode,
+        |  CASE WHEN NOT isfim THEN t
+        |       WHEN isspm THEN '<PRE><SUF>' || SUBSTR(t, c2 + 1, len - c2)
+        |         || '<MID>' || SUBSTR(t, 1, c1) || SUBSTR(t, c1 + 1, c2 - c1)
+        |       ELSE '<PRE>' || SUBSTR(t, 1, c1) || '<SUF>' || SUBSTR(t, c2 + 1, len - c2)
+        |         || '<MID>' || SUBSTR(t, c1 + 1, c2 - c1) END AS fim_text,
+        |  CAST(len AS INT) AS n_chars,
+        |  CASE WHEN isfim THEN c1 END AS cut1,
+        |  CASE WHEN isfim THEN c2 END AS cut2
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     // rejection sampling: the same row_number ordering (value desc,
     // event_id desc) over gated candidates; accounting CTE joined back
     "x134_rejection_sample" ->

@@ -150,6 +150,38 @@ class SftOpsSpec extends SparkTestBase {
     )
   }
 
+  test("fimTransform: sentinel round-trip reproduces the document; gates and modes hold") {
+    val docs = (1L to 400L).map(i => (i, s"doc $i " + ("abcdefghij" * 6).take(40 + (i % 30).toInt))) ++
+      Seq((1001L, "tiny"), (1002L, "")) // below minChars → plain
+    val df = docs.toDF("id", "text")
+    val got = TextOps
+      .fimTransform(df, col("id"), col("text"), fimRate = 0.8, spmRate = 0.5, minChars = 20)
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+    assert(got(1001L).getString(1) == "plain" && got(1001L).getString(2) == "tiny")
+    assert(got(1002L).getString(1) == "plain" && got(1002L).isNullAt(4))
+    val modes = got.values.map(_.getString(1)).groupBy(identity).view.mapValues(_.size).toMap
+    assert(modes.keySet == Set("psm", "spm", "plain") && modes("psm") > 50 && modes("spm") > 50)
+    val orig = docs.toMap
+    got.values.filter(_.getString(1) != "plain").foreach { r =>
+      val (id, t) = (r.getLong(0), r.getString(2))
+      val reassembled = r.getString(1) match {
+        case "psm" => // <PRE>p<SUF>s<MID>m → p+m+s
+          val p = t.stripPrefix("<PRE>")
+          val Array(pre, rest) = p.split("<SUF>", 2)
+          val Array(sufx, midl) = rest.split("<MID>", 2)
+          pre + midl + sufx
+        case "spm" => // <PRE><SUF>s<MID>p⊕m → (p⊕m) then s
+          val rest = t.stripPrefix("<PRE><SUF>")
+          val Array(sufx, pm) = rest.split("<MID>", 2)
+          pm + sufx
+      }
+      assert(reassembled == orig(id), s"round-trip failed for doc $id mode ${r.getString(1)}")
+      assert(r.getInt(4) <= r.getInt(5) && r.getInt(4) >= 1 && r.getInt(5) <= r.getInt(3) - 1)
+    }
+  }
+
   test("bradleyTerry: ordering, records, normalization, determinism") {
     val comps = Seq(
       ("a", "b"), ("a", "b"), ("a", "b"),
