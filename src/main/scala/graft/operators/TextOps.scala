@@ -670,23 +670,17 @@ object TextOps {
     * decision — count-and-flag, never silently drop (the load-shed
     * accounting discipline).
     */
-  def blocklistGate(
-      df: DataFrame,
-      idCol: Column,
-      text: Column,
-      phrases: Seq[String]
-  ): DataFrame = {
-    require(phrases.nonEmpty, "blocklist must not be empty")
-    require(phrases.forall(_.nonEmpty), "blocklist phrases must be non-empty strings")
-    // escape regex metacharacters WITHOUT \Q…\E (JVM-only; RE2 oracles
-    // reject it) so the same pattern string runs in both engines; a \b
-    // assertion is only valid against a WORD character, so each phrase
-    // gets an anchor per edge only where that edge is [A-Za-z0-9_] —
-    // otherwise "c++"/"c#"-style entries could never match
+  /** Longest-first RE2-safe alternation over `phrases`, each edge
+    * anchored with \\b only where that edge is a word character (a \\b
+    * against a non-word edge like "c++" can never match) — shared by
+    * [[blocklistGate]] and [[lexiconCategories]].
+    */
+  private[graft] def phrasePattern(phrases: Seq[String]): String = {
+    require(phrases.forall(_.nonEmpty), "phrases must be non-empty strings")
     def isWord(c: Char): Boolean =
       (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
         (c >= '0' && c <= '9') || c == '_'
-    val pat = phrases
+    phrases
       .sortBy(p => (-p.length, p))
       .map { p =>
         val esc = p.replaceAll("([^a-zA-Z0-9 _])", "\\\\$1")
@@ -695,6 +689,18 @@ object TextOps {
         lb + esc + rb
       }
       .mkString("(?:", "|", ")")
+  }
+
+  def blocklistGate(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      phrases: Seq[String]
+  ): DataFrame = {
+    require(phrases.nonEmpty, "blocklist must not be empty")
+    require(phrases.forall(_.nonEmpty), "blocklist phrases must be non-empty strings")
+    // pattern construction (escaping + per-edge \b) shared via phrasePattern
+    val pat = phrasePattern(phrases)
     val t = lower(coalesce(text, lit("")))
     df.select(
       idCol.as("doc_id"),
@@ -1205,6 +1211,45 @@ object TextOps {
       )
     if (topK <= 0) scored
     else scored.orderBy(col("c").desc, col("w1"), col("w2")).limit(topK)
+  }
+
+  /** Multi-category lexicon scoring (the C4 "bad words" / Gopher safety
+    * filter generalized to CATEGORIES): one [[blocklistGate]]-style
+    * pattern per category, each scored per document — hits, hit density
+    * per 100 words — plus an overall `flagged` verdict when any category
+    * reaches its threshold. Per-edge word-boundary anchoring and
+    * RE2-safe escaping are [[blocklistGate]]'s (one shared helper), so
+    * every pattern replays verbatim in the oracle engine.
+    *
+    * Scale shape: one zero-shuffle projection; k categories = k codegen'd
+    * regexp_count columns riding the same scan. Lexicons are library
+    * constants (broadcast with the closure), never a joined table.
+    */
+  def lexiconCategories(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      categories: Map[String, Seq[String]],
+      maxHitsPer100Words: Double = 1.0
+  ): DataFrame = {
+    require(categories.nonEmpty, "need at least one category")
+    val t = lower(coalesce(text, lit("")))
+    val words = size(split(t, "\\s+")).cast("double")
+    val cats = categories.toSeq.sortBy(_._1)
+    val hitCols = cats.map { case (name, phrases) =>
+      regexp_count(t, lit(phrasePattern(phrases))).as(s"${name}_hits")
+    }
+    val densityCols = cats.map { case (name, _) =>
+      round(col(s"${name}_hits") * 100.0 / greatest(col("__w"), lit(1.0)), 6)
+        .as(s"${name}_per100w")
+    }
+    val flagged = cats
+      .map { case (name, _) => col(s"${name}_per100w") >= maxHitsPer100Words }
+      .reduce(_ || _)
+    df.select(idCol.as("doc_id") +: words.as("__w") +: hitCols: _*)
+      .select(col("*") +: densityCols: _*)
+      .withColumn("flagged", flagged)
+      .drop("__w")
   }
 
   /** Fill-in-the-middle transformation (Bavarian et al. 2022, "Efficient

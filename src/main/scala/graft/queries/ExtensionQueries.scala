@@ -2915,6 +2915,25 @@ object ExtensionQueries {
         .fimTransform(T(s, dir, "documents"), col("doc_id"), col("text"))
         .orderBy(col("doc_id"))),
 
+    // Multi-category lexicon scoring over documents: three categories
+    // (incl. a non-word-edge phrase), per-category hits + density per
+    // 100 words, any-category threshold verdict — one zero-shuffle
+    // projection.
+    "x136_lexicon_categories" -> ((s, dir) =>
+      TextOps
+        .lexiconCategories(
+          T(s, dir, "documents"),
+          col("doc_id"),
+          col("text"),
+          Map(
+            "db" -> Seq("table scan", "hash join", "vector"),
+            "net" -> Seq("socket", "packet loss", "tcp/ip"),
+            "perf" -> Seq("slow query", "latency")
+          ),
+          maxHitsPer100Words = 1.0
+        )
+        .orderBy(col("doc_id"))),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -5538,6 +5557,26 @@ object ExtensionQueries {
         |  CASE WHEN isfim THEN c1 END AS cut1,
         |  CASE WHEN isfim THEN c2 END AS cut2
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // lexicon categories: longest-first per-category alternations (the
+    // x78 pattern discipline), regex word-split count, rounded densities
+    "x136_lexicon_categories" ->
+      """WITH t0 AS (SELECT doc_id, lower(COALESCE(text, '')) AS lt FROM documents),
+        |w AS (SELECT doc_id, lt,
+        |    CAST(LEN(string_split_regex(lt, '\s+')) AS DOUBLE) AS nw FROM t0),
+        |h AS (SELECT doc_id, nw,
+        |    CAST(LEN(regexp_extract_all(lt, '(?:\btable scan\b|\bhash join\b|\bvector\b)')) AS INT) AS db_hits,
+        |    CAST(LEN(regexp_extract_all(lt, '(?:\bpacket loss\b|\bsocket\b|\btcp\/ip\b)')) AS INT) AS net_hits,
+        |    CAST(LEN(regexp_extract_all(lt, '(?:\bslow query\b|\blatency\b)')) AS INT) AS perf_hits
+        |  FROM w)
+        |SELECT doc_id, db_hits, net_hits, perf_hits,
+        |  ROUND(db_hits * 100.0 / GREATEST(nw, 1.0), 6) AS db_per100w,
+        |  ROUND(net_hits * 100.0 / GREATEST(nw, 1.0), 6) AS net_per100w,
+        |  ROUND(perf_hits * 100.0 / GREATEST(nw, 1.0), 6) AS perf_per100w,
+        |  (ROUND(db_hits * 100.0 / GREATEST(nw, 1.0), 6) >= 1.0
+        |   OR ROUND(net_hits * 100.0 / GREATEST(nw, 1.0), 6) >= 1.0
+        |   OR ROUND(perf_hits * 100.0 / GREATEST(nw, 1.0), 6) >= 1.0) AS flagged
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     // rejection sampling: the same row_number ordering (value desc,
     // event_id desc) over gated candidates; accounting CTE joined back

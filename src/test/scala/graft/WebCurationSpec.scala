@@ -142,6 +142,30 @@ class WebCurationSpec extends SparkTestBase {
     assert(rows(1).getLong(3) == 2L)
   }
 
+  test("lexiconCategories: per-category hits + densities, any-category threshold verdict") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the table scan hit a socket error"), // db 1, net 1; 7 words → 14.28.. each
+      (2L, "all quiet on this one here today now"), // nothing; 8 words
+      (3L, "latency latency latency") // perf 3 of 3 words → 100/100w
+    ).toDF("id", "text")
+    val rows = TextOps
+      .lexiconCategories(
+        df,
+        col("id"),
+        col("text"),
+        Map("db" -> Seq("table scan"), "net" -> Seq("socket"), "perf" -> Seq("latency")),
+        maxHitsPer100Words = 10.0
+      )
+      .orderBy("doc_id")
+      .collect()
+    val r1 = rows(0)
+    assert(r1.getAs[Int]("db_hits") == 1 && r1.getAs[Int]("net_hits") == 1 && r1.getAs[Int]("perf_hits") == 0)
+    assert(r1.getAs[Double]("db_per100w") == 14.285714 && r1.getAs[Boolean]("flagged"))
+    assert(!rows(1).getAs[Boolean]("flagged") && rows(1).getAs[Int]("db_hits") == 0)
+    assert(rows(2).getAs[Double]("perf_per100w") == 100.0 && rows(2).getAs[Boolean]("flagged"))
+  }
+
   test("keepBestByKey: string ids — lexicographic tie-break, null pref always loses") {
     import spark.implicits._
     val df = Seq(
