@@ -412,4 +412,111 @@ object ChatOps {
         round(avg(col("__best")), 6).as("mean_best")
       )
   }
+
+  /** Conversation-tree flattening (message forests → root-to-node paths),
+    * the OpenAssistant-style tree shape: every node carries `id` and
+    * `parent` (null for roots); the result gives each node its root, its
+    * depth, and an md5 fingerprint of the root→node id path.
+    *
+    * Distributed via POINTER DOUBLING (the [[GraphOps.resolveRedirects]]
+    * discipline): each round joins the partial-path table with itself, so
+    * a depth-d path resolves in ⌈log₂(d+1)⌉ self-joins instead of d
+    * sequential ones — at 100 TB the driver never walks a chain, and each
+    * round is one equi-join on the frontier ancestor key. Paths carry only
+    * fixed-width ids (never content), and the per-row array is bounded by
+    * `maxDepth`, so the wire cost per round is O(nodes × maxDepth × 8 B).
+    *
+    * Nodes deeper than `maxDepth`, on a cycle, or with a dangling parent
+    * pointer are FLAGGED (`is_resolved=false`, null root/depth/fp) — never
+    * silently dropped and never walked unboundedly. Duplicate ids collapse
+    * to their min parent, the same audit-safe normalization as redirects.
+    *
+    * Output: `id`, `root_id`, `depth` (0 for roots), `path_fp`
+    * (md5 of the '/'-joined root→node id path), `is_resolved`.
+    */
+  def flattenTree(nodes: DataFrame, maxDepth: Int = 64): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val m = nodes
+      .filter(col("id").isNotNull)
+      .groupBy(col("id"))
+      .agg(min(col("parent")).as("parent"))
+      .localCheckpoint(true)
+    // state: path = ids from the node upward (node first), anc = the next
+    // unexplored ancestor (null once the path has reached a root)
+    var f = m.select(col("id"), array(col("id")).as("path"), col("parent").as("anc"))
+    val rounds = Math.max(1, 32 - Integer.numberOfLeadingZeros(maxDepth)) // 2^rounds >= maxDepth+1
+    var k = 0
+    while (k < rounds) {
+      val jump = f.select(col("id").as("__j"), col("path").as("__jp"), col("anc").as("__ja"))
+      f = f
+        .join(jump, f("anc") === col("__j"), "left")
+        .select(
+          col("id"),
+          when(col("__j").isNotNull, concat(col("path"), col("__jp"))).otherwise(col("path")).as("path"),
+          when(col("__j").isNotNull, col("__ja")).otherwise(col("anc")).as("anc")
+        )
+        .localCheckpoint(true)
+      k += 1
+    }
+    val resolved = col("anc").isNull && size(col("path")) <= maxDepth + 1
+    f.select(
+      col("id"),
+      when(resolved, element_at(col("path"), -1)).as("root_id"),
+      when(resolved, (size(col("path")) - 1).cast("int")).as("depth"),
+      when(resolved, md5(array_join(reverse(col("path")), "/"))).as("path_fp"),
+      resolved.as("is_resolved")
+    )
+  }
+
+  /** Group-relative advantage normalization (the GRPO/RLOO reward shape,
+    * Shao 2024 §4.1): per prompt group, advantage = (reward − mean) / std
+    * with the population std, zero when the group is degenerate (std = 0),
+    * null (and counted) when the reward itself is null.
+    *
+    * Determinism discipline: the advantage is computed from the 6dp-ROUNDED
+    * group moments (and itself rounded 6dp), so every engine that agrees on
+    * the rounded moments agrees bit-exactly on the advantage — the x126
+    * pre-round-before-derive rule.
+    *
+    * Shape: one partial-aggregating exchange builds the prompt-sized moment
+    * table, then an equi-join on the prompt key (broadcast under AQE for
+    * realistic prompt counts) carries the moments back — the corpus rows
+    * shuffle at most once, and the map side reduces each group to one
+    * moment row before the wire.
+    */
+  def groupAdvantage(
+      df: DataFrame,
+      promptCol: Column,
+      candCol: Column,
+      rewardCol: Column
+  ): DataFrame = {
+    val rows = df.select(
+      promptCol.as("prompt_id"),
+      candCol.as("cand_id"),
+      rewardCol.cast("double").as("reward")
+    )
+    val g = rows
+      .groupBy(col("prompt_id"))
+      .agg(
+        count(col("reward")).as("n_scored"),
+        (count(lit(1)) - count(col("reward"))).as("n_null"),
+        round(avg(col("reward")), 6).as("mean_r"),
+        round(coalesce(stddev_pop(col("reward")), lit(0.0)), 6).as("std_r")
+      )
+    rows
+      .join(g, Seq("prompt_id"))
+      .select(
+        col("prompt_id"),
+        col("cand_id"),
+        col("reward"),
+        col("n_scored"),
+        col("n_null"),
+        col("mean_r"),
+        col("std_r"),
+        when(col("reward").isNull, lit(null).cast("double"))
+          .when(col("std_r") > 0, round((col("reward") - col("mean_r")) / col("std_r"), 6))
+          .otherwise(lit(0.0))
+          .as("advantage")
+      )
+  }
 }

@@ -1308,4 +1308,62 @@ object TextOps {
       when(isFim, c2).as("cut2")
     )
   }
+
+  /** T5-style span corruption (Raffel 2020 §3.1.4, the denoising-objective
+    * data transform): mask two non-overlapping spans with sentinel tokens
+    * and emit the (input, targets) training pair. Like [[fimTransform]],
+    * every draw is an md5-salted uniform keyed on the document id, so the
+    * transform is deterministic, shardable, and replayable by any engine —
+    * no RNG state, zero shuffle, pure in-row substring arithmetic.
+    *
+    * Span placement: one span per document half (span length =
+    * ⌊len·rate/2⌋, floored at 1), each offset by its own uniform inside
+    * its half — non-overlap holds by construction, no rejection loop.
+    * Documents under `minChars` pass through unmasked as mode `plain`
+    * (counted, never dropped — the load-shed discipline).
+    *
+    * Output: `doc_id`, `mode` (plain|corrupt), `input` (text with spans
+    * replaced by sentinels), `targets` (sentinel-prefixed span contents),
+    * `n_masked` (chars masked), `n_chars`.
+    */
+  def spanCorrupt(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      rate: Double = 0.15,
+      minChars: Int = 40,
+      sentinel0: String = "<X0>",
+      sentinel1: String = "<X1>"
+  ): DataFrame = {
+    require(rate > 0 && rate < 1, s"rate must be in (0,1), got $rate")
+    require(minChars >= 8, "need at least 8 chars to place two spans")
+    val t = coalesce(text, lit(""))
+    val len = length(t)
+    def u(salt: String): Column =
+      CorpusOps.hashUniform(concat(idCol.cast("string"), lit(s":$salt")))
+    val isCorrupt = len >= minChars
+    val half = floor(len / lit(2)).cast("int")
+    val spanLen = greatest(lit(1), floor(len.cast("double") * lit(rate / 2)).cast("int"))
+    // starts are 1-based; each span fits strictly inside its own half
+    val s1 = lit(1) + floor(u("s1") * (half - spanLen).cast("double")).cast("int")
+    val s2 = half + lit(1) + floor(u("s2") * (half - spanLen).cast("double")).cast("int")
+    val span1 = t.substr(s1, spanLen)
+    val span2 = t.substr(s2, spanLen)
+    val corrupted = concat(
+      t.substr(lit(1), s1 - 1),
+      lit(sentinel0),
+      t.substr(s1 + spanLen, s2 - s1 - spanLen),
+      lit(sentinel1),
+      t.substr(s2 + spanLen, len - s2 - spanLen + 1)
+    )
+    val targets = concat(lit(sentinel0), span1, lit(sentinel1), span2)
+    df.select(
+      idCol.as("doc_id"),
+      when(isCorrupt, lit("corrupt")).otherwise(lit("plain")).as("mode"),
+      when(isCorrupt, corrupted).otherwise(t).as("input"),
+      when(isCorrupt, targets).as("targets"),
+      when(isCorrupt, spanLen * 2).otherwise(lit(0)).as("n_masked"),
+      len.as("n_chars")
+    )
+  }
 }

@@ -2934,6 +2934,92 @@ object ExtensionQueries {
         )
         .orderBy(col("doc_id"))),
 
+    // Pairwise win-rate matrix over x128's comparison stream: one row per
+    // unordered item pair (total comparisons, wins of the lexicographically
+    // smaller item, 6dp win rate) — the arena heatmap companion of the
+    // Bradley-Terry fit, ONE partial-aggregating exchange over pair keys.
+    "x137_win_matrix" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("event_id"))
+      val lagd = T(s, dir, "events").select(
+        col("event_type").as("cur_t"),
+        col("value").as("cur_v"),
+        lag(col("event_type"), 1).over(w).as("prev_t"),
+        lag(col("value"), 1).over(w).as("prev_v")
+      )
+      val prevWins = col("prev_v") > col("cur_v") ||
+        (col("prev_v") === col("cur_v") && col("prev_t") < col("cur_t"))
+      val comps = lagd
+        .filter(col("prev_t").isNotNull && col("prev_t") =!= col("cur_t"))
+        .select(
+          when(prevWins, col("prev_t")).otherwise(col("cur_t")).as("winner"),
+          when(prevWins, col("cur_t")).otherwise(col("prev_t")).as("loser")
+        )
+      ChatOps.winMatrix(comps).orderBy(col("item_a"), col("item_b"))
+    }),
+
+    // Best-of-n curve (rejection-sampling diagnostic): candidates per
+    // prompt in arrival order; the running max after k candidates is the
+    // best-of-k outcome, reported at k ∈ {1,2,4,8,16} — one window pass,
+    // then a k-sized aggregate.
+    "x138_bestofn_curve" -> ((s, dir) =>
+      ChatOps
+        .bestOfN(
+          T(s, dir, "events"),
+          col("user_id"),
+          col("event_id"),
+          col("value"),
+          ks = Seq(1, 2, 4, 8, 16)
+        )
+        .orderBy(col("k"))),
+
+    // Conversation-tree flattening (OpenAssistant message-forest shape):
+    // a binary forest synthesized from doc ids (blocks of 300, heap
+    // parents), flattened root-to-node by pointer doubling; depth-8 nodes
+    // (i >= 255 in every full block) exceed maxDepth=7 and are flagged,
+    // never walked or dropped.
+    "x139_chat_tree" -> ((s, dir) => {
+      val i = col("doc_id") % 300
+      val nodes = T(s, dir, "documents").select(
+        col("doc_id").as("id"),
+        when(i === 0, lit(null).cast("long"))
+          .otherwise(col("doc_id") - i + floor((i - 1) / 2).cast("long"))
+          .as("parent")
+      )
+      ChatOps.flattenTree(nodes, maxDepth = 7).orderBy(col("id"))
+    }),
+
+    // Group-relative advantage normalization (GRPO reward shape) over the
+    // events stream: prompt = user, candidate = event, reward = value;
+    // advantages derive from the 6dp-rounded group moments.
+    "x140_grpo_advantage" -> ((s, dir) =>
+      ChatOps
+        .groupAdvantage(T(s, dir, "events"), col("user_id"), col("event_id"), col("value"))
+        .orderBy(col("prompt_id"), col("cand_id"))),
+
+    // T5-style span corruption over documents: two sentinel-masked spans
+    // (one per half, md5-uniform offsets), (input, targets) pair per doc —
+    // in-row substring arithmetic, zero shuffle.
+    "x141_span_corruption" -> ((s, dir) =>
+      TextOps
+        .spanCorrupt(T(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))),
+
+    // Inter-annotator agreement (Cohen's kappa) per event type: two
+    // deterministic raters derived from value (floor-based, never
+    // truncation-cast — the cross-engine double→int trap); kappa from
+    // UNROUNDED po/pe, both pure integer-count ratios.
+    "x142_cohen_kappa" -> ((s, dir) =>
+      Audit
+        .cohenKappa(
+          T(s, dir, "events"),
+          col("event_type"),
+          floor(col("value")) % 4,
+          floor(col("value") * 1.5) % 4
+        )
+        .orderBy(col("grp"))),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -5593,6 +5679,120 @@ object ExtensionQueries {
         |  CAST(r.rank AS INT) AS rank, n_scored, n_below, n_null_scores
         |FROM r JOIN acct USING (user_id)
         |WHERE r.rank <= 2 ORDER BY 1, 4""".stripMargin,
+
+    "x137_win_matrix" ->
+      """WITH lagd AS (
+        |  SELECT event_type AS cur_t, value AS cur_v,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_t,
+        |    LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_v
+        |  FROM events),
+        |comps AS (
+        |  SELECT
+        |    CASE WHEN prev_v > cur_v OR (prev_v = cur_v AND prev_t < cur_t)
+        |         THEN prev_t ELSE cur_t END AS winner,
+        |    CASE WHEN prev_v > cur_v OR (prev_v = cur_v AND prev_t < cur_t)
+        |         THEN cur_t ELSE prev_t END AS loser
+        |  FROM lagd WHERE prev_t IS NOT NULL AND prev_t <> cur_t)
+        |SELECT LEAST(winner, loser) AS item_a, GREATEST(winner, loser) AS item_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN winner = LEAST(winner, loser) THEN 1 ELSE 0 END) AS BIGINT) AS wins_a,
+        |  ROUND(CAST(SUM(CASE WHEN winner = LEAST(winner, loser) THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*), 6) AS winrate_a
+        |FROM comps GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x138_bestofn_curve" ->
+      """WITH r AS (
+        |  SELECT user_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS k,
+        |    MAX(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS best
+        |  FROM events)
+        |SELECT CAST(k AS INT) AS k, CAST(COUNT(*) AS BIGINT) AS n_prompts,
+        |  ROUND(AVG(best), 6) AS mean_best
+        |FROM r WHERE k IN (1, 2, 4, 8, 16) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the recursive CTE replays the pointer-doubled paths hop-by-hop;
+    // rpath prepends each ancestor so it lands root-first, matching the
+    // Spark side's reverse(path) join
+    "x139_chat_tree" ->
+      """WITH RECURSIVE nodes AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN doc_id % 300 = 0 THEN NULL
+        |         ELSE (doc_id - doc_id % 300) + ((doc_id % 300) - 1) // 2 END AS parent
+        |  FROM documents),
+        |walk AS (
+        |  SELECT id, id AS cur, parent AS nxt, CAST(id AS VARCHAR) AS rpath, 0 AS depth
+        |  FROM nodes
+        |  UNION ALL
+        |  SELECT w.id, n.id, n.parent, CAST(n.id AS VARCHAR) || '/' || w.rpath, w.depth + 1
+        |  FROM walk w JOIN nodes n ON w.nxt = n.id),
+        |fin AS (SELECT * FROM walk WHERE nxt IS NULL)
+        |SELECT n.id,
+        |  CASE WHEN f.depth <= 7 THEN f.cur END AS root_id,
+        |  CASE WHEN f.depth <= 7 THEN CAST(f.depth AS INT) END AS depth,
+        |  CASE WHEN f.depth <= 7 THEN md5(f.rpath) END AS path_fp,
+        |  f.depth <= 7 AS is_resolved
+        |FROM nodes n JOIN fin f ON n.id = f.id
+        |ORDER BY 1""".stripMargin,
+
+    "x140_grpo_advantage" ->
+      """WITH g AS (SELECT user_id,
+        |    CAST(COUNT(value) AS BIGINT) AS n_scored,
+        |    CAST(COUNT(*) - COUNT(value) AS BIGINT) AS n_null,
+        |    ROUND(AVG(value), 6) AS mean_r,
+        |    ROUND(COALESCE(STDDEV_POP(value), 0), 6) AS std_r
+        |  FROM events GROUP BY 1)
+        |SELECT e.user_id AS prompt_id, e.event_id AS cand_id, e.value AS reward,
+        |  n_scored, n_null, mean_r, std_r,
+        |  CASE WHEN e.value IS NULL THEN NULL
+        |       WHEN std_r > 0 THEN ROUND((e.value - mean_r) / std_r, 6)
+        |       ELSE 0.0 END AS advantage
+        |FROM events e JOIN g USING (user_id) ORDER BY 1, 2""".stripMargin,
+
+    "x141_span_corruption" ->
+      s"""WITH b AS (SELECT doc_id, COALESCE(text, '') AS t,
+        |    md5(CAST(doc_id AS VARCHAR) || ':s1') AS ha,
+        |    md5(CAST(doc_id AS VARCHAR) || ':s2') AS hb
+        |  FROM documents),
+        |u AS (SELECT doc_id, t, LENGTH(t) AS len,
+        |    ${uniformOf("ha")} AS ua, ${uniformOf("hb")} AS ub FROM b),
+        |c AS (SELECT *,
+        |    len // 2 AS half,
+        |    GREATEST(1, CAST(FLOOR(len * 0.075) AS INT)) AS sl,
+        |    len >= 40 AS corrupt FROM u),
+        |p AS (SELECT *,
+        |    1 + CAST(FLOOR(ua * (half - sl)) AS INT) AS s1,
+        |    half + 1 + CAST(FLOOR(ub * (half - sl)) AS INT) AS s2 FROM c)
+        |SELECT doc_id,
+        |  CASE WHEN corrupt THEN 'corrupt' ELSE 'plain' END AS mode,
+        |  CASE WHEN corrupt THEN SUBSTR(t, 1, s1 - 1) || '<X0>'
+        |         || SUBSTR(t, s1 + sl, s2 - s1 - sl) || '<X1>'
+        |         || SUBSTR(t, s2 + sl, len - s2 - sl + 1)
+        |       ELSE t END AS input,
+        |  CASE WHEN corrupt THEN '<X0>' || SUBSTR(t, s1, sl) || '<X1>' || SUBSTR(t, s2, sl)
+        |  END AS targets,
+        |  CASE WHEN corrupt THEN sl * 2 ELSE 0 END AS n_masked,
+        |  CAST(len AS INT) AS n_chars
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "x142_cohen_kappa" ->
+      """WITH l AS (SELECT event_type AS grp,
+        |    CAST(FLOOR(value) AS BIGINT) % 4 AS a,
+        |    CAST(FLOOR(value * 1.5) AS BIGINT) % 4 AS b
+        |  FROM events),
+        |base AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+        |  FROM l GROUP BY 1),
+        |ma AS (SELECT grp, a AS k, COUNT(*) AS ra FROM l GROUP BY 1, 2),
+        |mb AS (SELECT grp, b AS k, COUNT(*) AS cb FROM l GROUP BY 1, 2),
+        |pet AS (SELECT ma.grp, SUM(CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)) AS pp
+        |  FROM ma JOIN mb ON ma.grp = mb.grp AND ma.k = mb.k GROUP BY 1)
+        |SELECT base.grp, n, ROUND(CAST(agree AS DOUBLE) / n, 6) AS po,
+        |  ROUND(COALESCE(pp, 0) / (CAST(n AS DOUBLE) * n), 6) AS pe,
+        |  ROUND(CASE WHEN COALESCE(pp, 0) / (CAST(n AS DOUBLE) * n) = 1.0 THEN NULL
+        |    ELSE (CAST(agree AS DOUBLE) / n - COALESCE(pp, 0) / (CAST(n AS DOUBLE) * n))
+        |         / (1.0 - COALESCE(pp, 0) / (CAST(n AS DOUBLE) * n)) END, 6) AS kappa
+        |FROM base LEFT JOIN pet ON base.grp = pet.grp ORDER BY 1""".stripMargin,
 
     // full blocks only (partial tails dropped, <16-byte docs emit nothing);
     // OCTET_LENGTH on the blob, not LENGTH: the Spark side frames UTF-8

@@ -361,4 +361,86 @@ class SftOpsSpec extends SparkTestBase {
     assert(m("h").getAs[Double]("kappa") == 1.0)
     assert(m("z").getAs[Double]("pe") == 1.0 && m("z").get(m("z").fieldIndex("kappa")) == null)
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+
+  test("flattenTree: chain depths/roots/fps; cycle, dangling, over-depth flagged; dup ids collapse") {
+    val nodes = Seq(
+      (1L, None), // root
+      (2L, Some(1L)),
+      (3L, Some(2L)),
+      (4L, Some(3L)), // depth 3 > maxDepth=2 -> flagged
+      (10L, None), // isolated root
+      (20L, Some(21L)), (21L, Some(20L)), // 2-cycle
+      (30L, Some(99L)), // dangling parent
+      (5L, Some(1L)), (5L, Some(10L)) // duplicate id -> min parent (1)
+    ).toDF("id", "parent")
+    val got = ChatOps.flattenTree(nodes, maxDepth = 2).collect()
+    val m = got.map(r => r.getAs[Long]("id") -> r).toMap
+    assert(got.length == 9) // dup id collapsed
+    def res(id: Long): (Any, Any, Boolean) =
+      (m(id).get(m(id).fieldIndex("root_id")), m(id).get(m(id).fieldIndex("depth")), m(id).getAs[Boolean]("is_resolved"))
+    assert(res(1L) == (1L, 0, true))
+    assert(res(2L) == (1L, 1, true))
+    assert(res(3L) == (1L, 2, true))
+    assert(res(10L) == (10L, 0, true))
+    assert(res(5L) == (1L, 1, true))
+    assert(m(3L).getAs[String]("path_fp") == md5Hex("1/2/3"))
+    for (id <- Seq(4L, 20L, 21L, 30L)) {
+      val r = m(id)
+      assert(!r.getAs[Boolean]("is_resolved"), s"node $id must be flagged")
+      assert(r.get(r.fieldIndex("root_id")) == null && r.get(r.fieldIndex("path_fp")) == null)
+    }
+  }
+
+  test("groupAdvantage: rounded-moment normalization, degenerate std, null rewards counted") {
+    val df = Seq(
+      ("p1", 1L, Some(1.0)), ("p1", 2L, Some(2.0)), ("p1", 3L, Some(3.0)),
+      ("p2", 4L, Some(5.0)),
+      ("p3", 5L, Some(1.0)), ("p3", 6L, None)
+    ).toDF("p", "c", "r")
+    val got = ChatOps
+      .groupAdvantage(df, col("p"), col("c"), col("r"))
+      .orderBy(col("prompt_id"), col("cand_id"))
+      .collect()
+    val m = got.map(r => (r.getAs[String]("prompt_id"), r.getAs[Long]("cand_id")) -> r).toMap
+    // p1: mean 2, std_pop = sqrt(2/3) -> 0.816497 rounded; adv from ROUNDED moments
+    assert(m(("p1", 1L)).getAs[Double]("std_r") == 0.816497)
+    assert(m(("p1", 1L)).getAs[Double]("advantage") == math.rint(-1.0 / 0.816497 * 1e6) / 1e6)
+    assert(m(("p1", 2L)).getAs[Double]("advantage") == 0.0)
+    // p2: single candidate -> std 0 -> advantage 0.0 (not null, not NaN)
+    assert(m(("p2", 4L)).getAs[Double]("std_r") == 0.0 && m(("p2", 4L)).getAs[Double]("advantage") == 0.0)
+    // p3: the null reward is null-advantage and counted, the scored one normalizes
+    val r3n = m(("p3", 6L))
+    assert(r3n.get(r3n.fieldIndex("advantage")) == null)
+    assert(r3n.getAs[Long]("n_scored") == 1 && r3n.getAs[Long]("n_null") == 1)
+    assert(m(("p3", 5L)).getAs[Double]("advantage") == 0.0) // single scored -> std 0
+  }
+
+  test("spanCorrupt: sentinel round-trip reconstructs the original; short docs pass through") {
+    val text = "The quick brown fox jumps over the lazy dog while the band plays on tonight."
+    val df = Seq((7L, text), (8L, "too short")).toDF("doc_id", "text")
+    val got = TextOps.spanCorrupt(df, col("doc_id"), col("text")).collect()
+    val m = got.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val c = m(7L)
+    assert(c.getAs[String]("mode") == "corrupt")
+    val input = c.getAs[String]("input")
+    val targets = c.getAs[String]("targets")
+    // targets = <X0>span1<X1>span2; splice the spans back over the sentinels
+    val Array(_, rest) = targets.split("<X0>", 2)
+    val Array(span1, span2) = rest.split("<X1>", 2)
+    assert(span1.length == span2.length && span1.length * 2 == c.getAs[Int]("n_masked"))
+    val rebuilt = input.replace("<X0>", span1).replace("<X1>", span2)
+    assert(rebuilt == text, s"round-trip failed: $rebuilt")
+    // sentinel order: <X0> strictly before <X1>, both present exactly once
+    assert(input.indexOf("<X0>") >= 0 && input.indexOf("<X1>") > input.indexOf("<X0>"))
+    val p = m(8L)
+    assert(p.getAs[String]("mode") == "plain" && p.getAs[String]("input") == "too short")
+    assert(p.get(p.fieldIndex("targets")) == null && p.getAs[Int]("n_masked") == 0)
+  }
 }
