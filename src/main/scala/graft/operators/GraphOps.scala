@@ -306,4 +306,80 @@ object GraphOps {
     }
     ranks
   }
+
+  /** Per-node triangle counts + local clustering coefficient over the
+    * UNDIRECTED simplification of an edge list (direction, duplicates and
+    * self-loops removed) — the classic link-farm / community-density
+    * signal of web-graph curation.
+    *
+    * Algorithm: degree-ordered edge-iterator (Schank & Wagner 2005,
+    * "Finding, Counting and Listing all Triangles in Large Graphs").
+    * Every edge is ORIENTED from its lower-(degree, id) endpoint to its
+    * higher one, which makes the oriented graph acyclic with max
+    * out-degree O(√m) regardless of hub skew — so the wedge self-join
+    * (the only quadratic-risk step) is bounded by arboricity, not by the
+    * raw degree of the hottest hub. Each triangle is then generated
+    * EXACTLY once as a wedge at its lowest-rank corner closed by one
+    * oriented edge — no 6-fold overcount, no dedup pass. Shapes: two
+    * equi-joins + two partial-aggregating exchanges; only ids and degrees
+    * cross the wire.
+    *
+    * Output: `node_id`, `degree` (undirected, distinct neighbors),
+    * `n_triangles`, `clustering` (2T / d(d−1), 6dp, 0.0 for degree < 2).
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = edges
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und
+      .select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("degree"))
+    // rank = (degree, id): orient each edge low-rank -> high-rank
+    val du = deg.select(col("id").as("u"), col("degree").as("du"))
+    val dv = deg.select(col("id").as("v"), col("degree").as("dv"))
+    val ranked = und.join(du, Seq("u")).join(dv, Seq("v"))
+    def rk(d: Column, i: Column): Column = struct(d.as("d"), i.as("i"))
+    val uFirst = rk(col("du"), col("u")) < rk(col("dv"), col("v"))
+    val oriented = ranked
+      .select(
+        when(uFirst, col("u")).otherwise(col("v")).as("a"),
+        when(uFirst, rk(col("dv"), col("v"))).otherwise(rk(col("du"), col("u"))).as("hi")
+      )
+      .localCheckpoint(true)
+    // wedges at the lowest-rank corner; closing edge must itself be oriented
+    val o1 = oriented.select(col("a"), col("hi").as("b"))
+    val o2 = oriented.select(col("a"), col("hi").as("c"))
+    val wedges = o1.join(o2, Seq("a")).filter(col("b") < col("c"))
+    val closing = oriented.select(col("a").as("__ca"), col("hi").as("__chi"))
+    val tris = wedges.join(
+      closing,
+      col("b").getField("i") === col("__ca") && col("c") === col("__chi")
+    )
+    val nodeTri = tris
+      .select(
+        explode(
+          array(col("a"), col("b").getField("i"), col("c").getField("i"))
+        ).as("id")
+      )
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_triangles"))
+    deg
+      .join(nodeTri, Seq("id"), "left")
+      .select(
+        col("id").as("node_id"),
+        col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(
+          col("degree") >= 2,
+          round(
+            lit(2.0) * coalesce(col("n_triangles"), lit(0L)).cast("double") /
+              (col("degree").cast("double") * (col("degree") - 1).cast("double")),
+            6
+          )
+        ).otherwise(lit(0.0)).as("clustering")
+      )
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Audit, ChatOps, ConnectedComponents, CorpusOps, Dedup, EditDistance, GraphOps, Multimodal, Robots, Similarity, Spectral, TextOps}
+import graft.operators.{Audit, ChatOps, ConnectedComponents, CorpusOps, Dedup, EditDistance, EventOps, GraphOps, Multimodal, Robots, Similarity, Spectral, TextOps}
 
 /** Training-data-pipeline extensions (builder prompt): deduplication,
   * similarity search, text analysis, multimodal plumbing — the operations a
@@ -3020,6 +3020,43 @@ object ExtensionQueries {
         )
         .orderBy(col("grp"))),
 
+    // Per-node triangle counts + clustering coefficient over the x97-shape
+    // synthetic link graph (degree-ordered edge-iterator inside the
+    // operator; the oracle replays the id-ordered equivalent — identical
+    // result, orientation is a performance choice, not a semantic one).
+    "x143_triangles" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val d = docs.crossJoin(broadcast(n))
+      val e1 = d.select(col("doc_id").as("src"), ((col("doc_id") * 2 + 1) % col("__n")).as("dst"))
+      val e2 = d.select(col("doc_id").as("src"), ((col("doc_id") * 3 + 2) % col("__n")).as("dst"))
+      GraphOps.triangleStats(e1.unionAll(e2)).orderBy(col("node_id"))
+    }),
+
+    // Ordered funnel over the events stream (signup → click → purchase,
+    // first-touch semantics): k filtered per-user min-aggregates chained
+    // by user-keyed joins — per-user event lists never materialize.
+    "x144_event_funnel" -> ((s, dir) =>
+      EventOps
+        .funnel(
+          T(s, dir, "events"),
+          col("user_id"),
+          col("ts"),
+          col("event_type"),
+          Seq("signup", "click", "purchase")
+        )
+        .orderBy(col("step"))),
+
+    // Weekly cohort retention: first-event-week cohorts × active-week
+    // offsets; activity collapses to (user, week) rows before any join.
+    // The cohort week renders as yyyy-MM-dd — timestamp OUTPUT columns are
+    // driver-hash-unsafe (Spark parquet tz-aware vs DuckDB naive).
+    "x145_retention" -> ((s, dir) =>
+      EventOps
+        .retentionCohorts(T(s, dir, "events"), col("user_id"), col("ts"))
+        .withColumn("cohort_week", date_format(col("cohort_week"), "yyyy-MM-dd"))
+        .orderBy(col("cohort_week"), col("week_offset"))),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -5793,6 +5830,55 @@ object ExtensionQueries {
         |    ELSE (CAST(agree AS DOUBLE) / n - COALESCE(pp, 0) / (CAST(n AS DOUBLE) * n))
         |         / (1.0 - COALESCE(pp, 0) / (CAST(n AS DOUBLE) * n)) END, 6) AS kappa
         |FROM base LEFT JOIN pet ON base.grp = pet.grp ORDER BY 1""".stripMargin,
+
+    // id-ordered triangle enumeration (x<y<z) — semantically identical to
+    // the engine's degree-ordered orientation
+    "x143_triangles" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |e0 AS (SELECT doc_id AS src, (doc_id*2+1) % nn.n AS dst FROM documents, nn
+        |       UNION ALL SELECT doc_id, (doc_id*3+2) % nn.n FROM documents, nn),
+        |und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        |        FROM e0 WHERE src <> dst),
+        |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+        |        FROM (SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und) GROUP BY 1),
+        |tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+        |        FROM und a JOIN und b ON a.u = b.u AND a.v < b.v
+        |        JOIN und c ON c.u = a.v AND c.v = b.v),
+        |nt AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri
+        |       FROM (SELECT x AS id FROM tri UNION ALL SELECT y AS id FROM tri
+        |             UNION ALL SELECT z AS id FROM tri) GROUP BY 1)
+        |SELECT d.id AS node_id, d.degree, COALESCE(nt.n_tri, 0) AS n_triangles,
+        |  CASE WHEN d.degree >= 2
+        |       THEN ROUND(2.0 * COALESCE(nt.n_tri, 0) / (d.degree * (d.degree - 1.0)), 6)
+        |       ELSE 0.0 END AS clustering
+        |FROM deg d LEFT JOIN nt ON d.id = nt.id ORDER BY 1""".stripMargin,
+
+    "x144_event_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |       WHERE e.event_type = 'purchase' GROUP BY 1),
+        |u AS (SELECT 1 AS step, 'signup' AS event_type, COUNT(*) AS n FROM s1
+        |      UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+        |      UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3)
+        |SELECT CAST(step AS INT) AS step, event_type, CAST(n AS BIGINT) AS n_users,
+        |  ROUND(CAST(n AS DOUBLE) / (SELECT COUNT(*) FROM s1), 6) AS conversion
+        |FROM u ORDER BY 1""".stripMargin,
+
+    "x145_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS wk FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS c0 FROM uw GROUP BY 1),
+        |cells AS (SELECT c0, CAST((EPOCH(wk) - EPOCH(c0)) / 604800 AS INT) AS week_offset,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users
+        |  FROM uw JOIN c USING (user_id) GROUP BY 1, 2),
+        |sz AS (SELECT c0, n_users AS sz FROM cells WHERE week_offset = 0)
+        |SELECT STRFTIME(cells.c0, '%Y-%m-%d') AS cohort_week, week_offset, n_users,
+        |  ROUND(CAST(n_users AS DOUBLE) / sz, 6) AS retention
+        |FROM cells JOIN sz USING (c0) ORDER BY 1, 2""".stripMargin,
 
     // full blocks only (partial tails dropped, <16-byte docs emit nothing);
     // OCTET_LENGTH on the blob, not LENGTH: the Spark side frames UTF-8

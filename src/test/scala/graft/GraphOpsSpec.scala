@@ -189,4 +189,31 @@ class GraphOpsSpec extends SparkTestBase {
     assert(links.count(_ == (1L, "https://b/y")) == 1)
     assert(!links.exists(_._1 == 2L))
   }
+
+  test("triangleStats: K4, plain triangle, triangle-free square; dups/direction/self-loops ignored") {
+    val edges = Seq(
+      // triangle 1-2-3, with a duplicate and a reversed edge thrown in
+      (1L, 2L), (2L, 3L), (3L, 1L), (1L, 2L), (2L, 1L),
+      // square 4-5-6-7: degree 2 everywhere, zero triangles
+      (4L, 5L), (5L, 6L), (6L, 7L), (7L, 4L),
+      // K4 on 8..11: 4 triangles, 3 per node
+      (8L, 9L), (8L, 10L), (8L, 11L), (9L, 10L), (9L, 11L), (10L, 11L),
+      // self-loop must not fabricate anything
+      (1L, 1L)
+    ).toDF("src", "dst")
+    val got = GraphOps.triangleStats(edges).collect()
+    val m = got.map(r => r.getAs[Long]("node_id") -> r).toMap
+    assert(got.length == 11)
+    for (id <- Seq(1L, 2L, 3L)) {
+      assert(m(id).getAs[Long]("degree") == 2 && m(id).getAs[Long]("n_triangles") == 1)
+      assert(m(id).getAs[Double]("clustering") == 1.0)
+    }
+    for (id <- Seq(4L, 5L, 6L, 7L)) {
+      assert(m(id).getAs[Long]("n_triangles") == 0 && m(id).getAs[Double]("clustering") == 0.0)
+    }
+    for (id <- Seq(8L, 9L, 10L, 11L)) {
+      assert(m(id).getAs[Long]("degree") == 3 && m(id).getAs[Long]("n_triangles") == 3)
+      assert(m(id).getAs[Double]("clustering") == 1.0)
+    }
+  }
 }
