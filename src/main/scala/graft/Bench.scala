@@ -47,8 +47,15 @@ object Bench {
     // separate server process from the load client (doc/perf.adoc:36-42).
     // Falls back to in-process if the fork fails.
     val loadStart = EnvProbe.loadavg1()
+    // SPARK_GRAFT_PERF=0 skips every throughput fork (TCP ingest, raw, the
+    // 200 B pipeline): for controlled query-only re-benches where the
+    // throughput children would perturb the box between repeats. Throughput
+    // fields then read 0/-1 — never compare them from such an artifact.
+    val skipPerf = sys.env.get("SPARK_GRAFT_PERF").contains("0")
     val perf =
-      BenchTcpStage.forked().getOrElse {
+      if (skipPerf)
+        BenchTcpStage.Result(Seq(-1.0, -1.0, -1.0), -1, -1, -1, -1, 0L, 0, Seq.empty)
+      else BenchTcpStage.forked().getOrElse {
         System.err.println("[bench] perf stage fork failed — measuring in-process (expect interference)")
         val ing = Seq.fill(3)(tcpIngest(spark, 4, 1000000)._1).sorted
         val (ra, rk) = tcpRaw(4, 500000)
@@ -123,7 +130,7 @@ object Bench {
         case c => c.toString
       } + "\""
     val refJson =
-      if (sys.env.get("SPARK_GRAFT_TCP_REF").contains("0")) ""","ref_skipped":true"""
+      if (skipPerf || sys.env.get("SPARK_GRAFT_TCP_REF").contains("0")) ""","ref_skipped":true"""
       else {
         val r = BenchTcpStage.forkedRefMedian()
         s""","ref_mbps":${r.median.map(f3).getOrElse("-1")}""" +
