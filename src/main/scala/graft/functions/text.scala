@@ -920,4 +920,89 @@ object text {
 
   def bpe_segment(textCol: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeSegment(Bridge.expression(textCol), merges))
+
+  /** Jaro-Winkler similarity ∈ [0,1] — the record-linkage kernel (Winkler
+    * 1990, "String Comparator Metrics and Enhanced Decision Rules in the
+    * Fellegi-Sunter Model of Record Linkage") behind catalog / entity
+    * merging: edit distance over-penalizes transposed name fragments,
+    * token Jaccard can't see inside tokens — JW is the standard middle
+    * ground for short keys (names, titles, normalized URLs).
+    *
+    * Variant pinned to the classic Winkler parameters, empirically
+    * bit-matched against DuckDB's `jaro_winkler_similarity` (the oracle
+    * twin): scaling p = 0.1, common-prefix length capped at 4, boost only
+    * when jaro > 0.7, BOTH-empty (and either-empty) → 0.0, match window
+    * `max(0, ⌊max(la,lb)/2⌋ − 1)`, transpositions = half the out-of-order
+    * matched symbols. Comparison is over UTF-16 code units — identical to
+    * byte/codepoint comparison on the ASCII keys record linkage feeds it.
+    *
+    * One O(la·lb)-worst-case (O(la·w) typical) scalar kernel per pair,
+    * fully inside whole-stage codegen via the compute-method reference —
+    * no UDF, no interpreted lambda.
+    */
+  case class JaroWinkler(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+
+    /** Invoked from both eval and generated code. */
+    def compute(l: UTF8String, r: UTF8String): Double = {
+      val a = l.toString
+      val b = r.toString
+      val la = a.length
+      val lb = b.length
+      if (la == 0 || lb == 0) return 0.0
+      val w = math.max(0, math.max(la, lb) / 2 - 1)
+      val aMatch = new Array[Boolean](la)
+      val bMatch = new Array[Boolean](lb)
+      var m = 0
+      var i = 0
+      while (i < la) {
+        val lo = math.max(0, i - w)
+        val hi = math.min(i + w + 1, lb)
+        var j = lo
+        var found = false
+        while (j < hi && !found) {
+          if (!bMatch(j) && a.charAt(i) == b.charAt(j)) {
+            aMatch(i) = true; bMatch(j) = true; m += 1; found = true
+          }
+          j += 1
+        }
+        i += 1
+      }
+      if (m == 0) return 0.0
+      var t = 0
+      var k = 0
+      i = 0
+      while (i < la) {
+        if (aMatch(i)) {
+          while (!bMatch(k)) k += 1
+          if (a.charAt(i) != b.charAt(k)) t += 1
+          k += 1
+        }
+        i += 1
+      }
+      val md = m.toDouble
+      val jaro = (md / la + md / lb + (md - t / 2) / md) / 3.0
+      if (jaro <= 0.7) return jaro
+      var p = 0
+      val pMax = math.min(4, math.min(la, lb))
+      while (p < pMax && a.charAt(p) == b.charAt(p)) p += 1
+      jaro + p * 0.1 * (1.0 - jaro)
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      compute(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("jaroWinkler", this, classOf[JaroWinkler].getName)
+      nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = $ref.compute($l, $r);")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinkler =
+      copy(left = l, right = r)
+  }
+
+  def jaro_winkler(a: Column, b: Column): Column =
+    Bridge.column(JaroWinkler(Bridge.expression(a), Bridge.expression(b)))
 }

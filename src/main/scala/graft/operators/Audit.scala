@@ -223,4 +223,49 @@ object Audit {
         ).as("kappa")
       )
   }
+
+  /** k-anonymity audit (Sweeney 2002, "k-Anonymity: A Model for
+    * Protecting Privacy"): how exposed are rows whose quasi-identifier
+    * combination — the released non-key attributes that jointly
+    * re-identify (the paper's ZIP+birthdate+sex result) — is shared by
+    * fewer than k records. The release-gate twin to [[graft.operators
+    * .TextOps.redactPii]]: redaction hides direct identifiers, this
+    * measures the joint-attribute side channel.
+    *
+    * Output: one row per equivalence-class size band (`1`, `2..k-1`,
+    * `>=k`) with the number of classes and rows in it, plus the at-risk
+    * rate — an accounting table, never the per-class frame (which is
+    * corpus-sized and itself a disclosure).
+    *
+    * Shape at 100 TB: one partial-aggregating exchange on the
+    * quasi-identifier tuple (map-side combine collapses dense classes),
+    * then a 3-row band aggregate; nothing but (tuple, count) crosses the
+    * wire, and the bands broadcast-join the 1-row total.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[Column], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val keyed = df.select(quasiCols.zipWithIndex.map { case (c, i) => c.as(s"__q$i") }: _*)
+    val classes = keyed
+      .groupBy(keyed.columns.map(col).toSeq: _*)
+      .agg(count(lit(1)).as("__c"))
+    val banded = classes
+      .select(
+        when(col("__c") === 1, lit("unique"))
+          .when(col("__c") < k, lit(s"2..${k - 1}"))
+          .otherwise(lit(s">=$k"))
+          .as("band"),
+        col("__c")
+      )
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("__c")).as("n_rows"))
+    banded
+      .crossJoin(broadcast(banded.agg(sum(col("n_rows")).as("__tot"))))
+      .select(
+        col("band"),
+        col("n_classes"),
+        col("n_rows"),
+        round(col("n_rows").cast("double") / col("__tot"), 6).as("row_share")
+      )
+  }
 }

@@ -2148,4 +2148,108 @@ object CorpusOps {
       )
       .withColumn("oov_rate", round(col("n_oov").cast("double") / col("n_tokens"), 6))
   }
+
+  /** Temperature-based language rebalancing (the multilingual-pretraining
+    * mixture recipe: sample languages ∝ pₗ^α — Conneau et al. 2020
+    * "Unsupervised Cross-lingual Representation Learning at Scale" §3.1
+    * (XLM-R, α=0.3), same scheme as mC4/mT5): high-resource languages are
+    * DOWN-sampled and the tail up-weighted toward uniform as α → 0.
+    *
+    * Per language: share pₗ = nₗ/N, temperature share
+    * qₗ = pₗ^α / Σ pₘ^α, target = ⌊qₗ·B⌋ docs for budget B =
+    * ⌊budgetFraction·N⌋, keep rate rₗ = min(1, target/nₗ); a document is
+    * kept iff its [[hashUniform]] draw < rₗ (deterministic: a doc's fate
+    * never changes across runs/engines/partitionings). Rates are
+    * 6dp-ROUNDED before the draw compares (the x126 pre-round rule): the
+    * only cross-engine divergence risk is summation-order ULP in
+    * Σ pₘ^α, and rounding the rate absorbs it.
+    *
+    * Returns per-doc `(doc_id, lang, keep)`. Shape at 100 TB: one
+    * language-sized count aggregate (bounded model state), rates come
+    * back via a broadcast join, the keep flag is a zero-shuffle codegen
+    * projection — upsampling beyond rate 1.0 is out of scope (keep-rate
+    * capped; epoch-level repetition is [[epochMixture]]'s job).
+    */
+  def langTemperature(
+      df: DataFrame,
+      idCol: Column,
+      langCol: Column,
+      alpha: Double,
+      budgetFraction: Double
+  ): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(
+      budgetFraction > 0.0 && budgetFraction <= 1.0,
+      s"budgetFraction must be in (0,1], got $budgetFraction"
+    )
+    val rows = df.select(idCol.as("doc_id"), langCol.as("lang"))
+    val counts = rows.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val rates = counts
+      .withColumn("__pa", pow(col("n_docs").cast("double"), lit(alpha)))
+      .crossJoin(
+        broadcast(
+          counts.agg(
+            sum(pow(col("n_docs").cast("double"), lit(alpha))).as("__sa"),
+            sum(col("n_docs")).as("__n")
+          )
+        )
+      )
+      .withColumn("q", round(col("__pa") / col("__sa"), 6))
+      .withColumn("target", floor(col("q") * floor(col("__n") * budgetFraction)))
+      .withColumn(
+        "rate",
+        round(least(lit(1.0), col("target").cast("double") / col("n_docs")), 6)
+      )
+      .select(col("lang").as("__rl"), col("rate"))
+    rows
+      .join(broadcast(rates), col("lang") <=> col("__rl"))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        (hashUniform(col("doc_id")) < col("rate")).as("keep")
+      )
+  }
+
+  /** Per-group quantile (rank) normalization of a score column — the
+    * cross-domain calibration step before any global score threshold:
+    * quality scores from different domains/classifiers live on different
+    * scales, and percent-rank within the domain is the standard
+    * scale-free transform (each score → fraction of the domain strictly
+    * below it, ties sharing a value — PERCENT_RANK semantics).
+    *
+    * Shape at 100 TB: NEVER a per-row window over the corpus. Rows
+    * collapse to the (group, score) aggregate first (one partial-agg
+    * exchange); the cumulative count runs on THAT table, whose window
+    * partitions are bounded by distinct scores per group — for any real
+    * quality score (bounded ints, 6dp floats) orders of magnitude
+    * smaller than row count; the result joins back on (group, score)
+    * where AQE absorbs skew. percent_rank = strictly-below / (n−1),
+    * 0.0 for single-row groups, 6dp.
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      idCol: Column,
+      scoreCol: Column,
+      groupCol: Column
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df
+      .filter(scoreCol.isNotNull)
+      .select(idCol.as("doc_id"), groupCol.as("grp"), scoreCol.cast("double").as("score"))
+    val agg = rows.groupBy(col("grp"), col("score")).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("score"))
+    val ranked = agg
+      .withColumn("__below", sum(col("__c")).over(w) - col("__c"))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col("grp"))))
+      .select(
+        col("grp").as("__rg"),
+        col("score").as("__rs"),
+        when(col("__n") > 1, round(col("__below").cast("double") / (col("__n") - 1), 6))
+          .otherwise(lit(0.0))
+          .as("pr")
+      )
+    rows
+      .join(ranked, col("grp") <=> col("__rg") && col("score") === col("__rs"))
+      .select(col("doc_id"), col("grp"), col("score"), col("pr"))
+  }
 }

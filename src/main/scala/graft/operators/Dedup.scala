@@ -739,4 +739,47 @@ object Dedup {
       .withColumn("kept", col("doc_id") === col("__winner"))
       .select(col("key"), col("doc_id"), col("pref"), col("n_dups"), col("kept"))
   }
+
+  /** Pagination-stitch candidates: ordered pairs (a, b) where the LAST
+    * `w` characters of a equal the FIRST `w` characters of b — the
+    * crawl-reconstruction signal for documents that are consecutive
+    * pages/chunks of one source (paginated articles, log rotations,
+    * chunked uploads) and should be stitched or deduped as one unit.
+    * Exact-overlap boundary detection is the cheap first pass; fuzzy
+    * boundary drift belongs to [[dedupSpans]]/winnowing.
+    *
+    * Emits `(id_a, id_b, boundary)` with boundary = the shared w-char
+    * string; self-pairs excluded, both orientations possible by
+    * construction (a's tail meeting b's head is directional). Documents
+    * shorter than `w` characters have no usable boundary and are
+    * dropped from both sides (an under-w doc cannot evidence a page
+    * boundary).
+    *
+    * Shape at 100 TB: two zero-shuffle projections (head key, tail key)
+    * and ONE equi-join hash-partitioned on the w-char boundary key —
+    * ids + w chars on the wire, never document bodies. Degenerate hot
+    * boundaries (a crawl full of identical page headers) are the skew
+    * point: AQE splits the probe side, and the boundary string rides
+    * the output for exactly that audit.
+    */
+  def stitchCandidates(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      w: Int
+  ): DataFrame = {
+    require(w >= 8, s"boundary width must be >= 8 chars (shorter keys are noise), got $w")
+    val rows = df
+      .filter(textCol.isNotNull && length(textCol) >= w)
+      .select(idCol.as("id"), textCol.as("s"))
+    val tails = rows.select(
+      col("id").as("id_a"),
+      col("s").substr(length(col("s")) - (w - 1), lit(w)).as("boundary")
+    )
+    val heads = rows.select(col("id").as("id_b"), col("s").substr(lit(1), lit(w)).as("__hk"))
+    tails
+      .join(heads, col("boundary") === col("__hk"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("boundary"))
+  }
 }

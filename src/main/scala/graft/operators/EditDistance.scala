@@ -147,4 +147,48 @@ object EditDistance {
       .select(col("id_a"), col("id_b"), levenshtein(col("__sa"), col("__sb"), k).as("dist"))
       .where(col("dist") >= 0)
   }
+
+  /** Jaro-Winkler record-linkage self-join: all unordered within-block
+    * pairs whose JW similarity (the [[graft.functions.text.JaroWinkler]]
+    * kernel, DuckDB-variant-exact) reaches `threshold`, as
+    * `(block, id_a, id_b, jw)` with jw 6dp-rounded and ids oriented
+    * `id_a < id_b`. Null keys/blocks are dropped (no linkage identity).
+    *
+    * Blocking is EXPLICIT and caller-chosen — standard record-linkage
+    * practice (Fellegi-Sunter deployments block on phonetic keys, sorted
+    * neighborhoods, or source partitions): unlike edit distance, JW has
+    * no pigeonhole decomposition, so candidate generation is exactly the
+    * block equi-join and exactness holds WITHIN blocks by construction.
+    *
+    * 100 TB shape: one hash exchange on the block key; pair fan-out is
+    * Σ n_b² over block sizes, so the block key is the contract's scale
+    * knob — `blockStats` (count per block, emitted alongside by callers
+    * that need shed accounting) tells you when a block needs a finer key.
+    * The JW kernel rides whole-stage codegen (compute-method reference,
+    * no UDF); keys are short linkage strings, so carrying them through
+    * the block exchange is cheaper than an id join-back.
+    */
+  def jaroWinklerPairs(
+      df: DataFrame,
+      idCol: Column,
+      strCol: Column,
+      blockCol: Column,
+      threshold: Double
+  ): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1], got $threshold")
+    val rows = df
+      .filter(idCol.isNotNull && strCol.isNotNull && blockCol.isNotNull)
+      .select(blockCol.as("block"), idCol.as("id"), strCol.as("s"))
+    val a = rows.select(col("block"), col("id").as("id_a"), col("s").as("__sa"))
+    val b = rows.select(col("block"), col("id").as("id_b"), col("s").as("__sb"))
+    a.join(b, Seq("block"))
+      .where(col("id_a") < col("id_b"))
+      .select(
+        col("block"),
+        col("id_a"),
+        col("id_b"),
+        round(graft.functions.text.jaro_winkler(col("__sa"), col("__sb")), 6).as("jw")
+      )
+      .where(col("jw") >= threshold)
+  }
 }

@@ -1366,4 +1366,112 @@ object TextOps {
       len.as("n_chars")
     )
   }
+
+  /** ROUGE-N between a candidate and a reference text per row (Lin 2004,
+    * "ROUGE: A Package for Automatic Evaluation of Summaries" §2 —
+    * clipped/multiset n-gram overlap): the self-instruct near-duplicate
+    * filter (Wang et al. 2022 apply ROUGE similarity to drop generated
+    * instructions too close to the pool) and the summarization-eval
+    * baseline. overlap = Σ_g min(count_cand(g), count_ref(g));
+    * precision = overlap/|cand grams|, recall = overlap/|ref grams|,
+    * f1 = 2pr/(p+r) — 6dp, zero-gram and zero-overlap guarded to 0.0.
+    * Whitespace word tokens; texts shorter than `n` tokens have zero
+    * grams on that side.
+    *
+    * Shape at 100 TB: both sides explode to (pair, gram, count) via a
+    * partial-aggregating groupBy (map-side combine collapses repeated
+    * grams BEFORE the exchange), overlap is a full-outer join on
+    * (pair, gram) — hash-partitioned on the pair+gram key, so one pair's
+    * grams spread over the cluster rather than one task — and the final
+    * per-pair reduce is a second partial agg. No DP, no quadratic
+    * kernel: ROUGE-N is pure multiset arithmetic.
+    */
+  def rougeN(
+      df: DataFrame,
+      idCol: Column,
+      candCol: Column,
+      refCol: Column,
+      n: Int
+  ): DataFrame = {
+    require(n >= 1 && n <= 8, s"n must be in [1,8], got $n")
+    // native shingle kernel (one tokenize pass; the interpreted
+    // transform+slice HOF twin re-splits per position, the measured x6
+    // trap) — with the short-text case pinned to ROUGE semantics: fewer
+    // than n tokens = ZERO grams, not word_shingles' whole-text shingle
+    def grams(text: Column, side: String): Column =
+      when(size(split(text, " ")) < n, array().cast("array<string>"))
+        .otherwise(graft.functions.text.word_shingles(text, n))
+        .as(side)
+    val base = df
+      .filter(candCol.isNotNull && refCol.isNotNull)
+      .select(idCol.as("pair_id"), grams(candCol, "__cg"), grams(refCol, "__rg"))
+    def counts(side: String, out: String): DataFrame =
+      base
+        .select(col("pair_id"), explode(col(side)).as("gram"))
+        .groupBy(col("pair_id"), col("gram"))
+        .agg(count(lit(1)).as(out))
+    val c = counts("__cg", "nc")
+    val r = counts("__rg", "nr").withColumnsRenamed(Map("pair_id" -> "__rp", "gram" -> "__rgm"))
+    val joined = c
+      .join(r, col("pair_id") <=> col("__rp") && col("gram") === col("__rgm"), "full_outer")
+      .select(
+        coalesce(col("pair_id"), col("__rp")).as("pair_id"),
+        coalesce(col("nc"), lit(0L)).as("nc"),
+        coalesce(col("nr"), lit(0L)).as("nr")
+      )
+      .groupBy(col("pair_id"))
+      .agg(
+        sum(col("nc")).as("n_cand"),
+        sum(col("nr")).as("n_ref"),
+        sum(least(col("nc"), col("nr"))).as("overlap")
+      )
+    val p = when(col("n_cand") > 0, col("overlap").cast("double") / col("n_cand")).otherwise(lit(0.0))
+    val rc = when(col("n_ref") > 0, col("overlap").cast("double") / col("n_ref")).otherwise(lit(0.0))
+    joined.select(
+      col("pair_id"),
+      col("n_cand"),
+      col("n_ref"),
+      col("overlap"),
+      round(p, 6).as("precision"),
+      round(rc, 6).as("recall"),
+      round(when(p + rc > 0, lit(2.0) * p * rc / (p + rc)).otherwise(lit(0.0)), 6).as("f1")
+    )
+  }
+
+  /** Special-token / chat-template leakage audit: counts occurrences of
+    * literal control sequences (`<|im_start|>`, `<|endoftext|>`,
+    * `[INST]`, `### Instruction:` …) that must NEVER appear in
+    * pretraining text — template tokens leaking from synthetic or
+    * scraped-chat data teach the model to emit its own control syntax
+    * (the "special token injection" failure class every tokenizer card
+    * warns about). Returns one row per probe token:
+    * `(token, n_docs, n_hits)`, all probes present even at zero (absence
+    * must be evidenced, not inferred).
+    *
+    * Shape at 100 TB: one zero-shuffle projection computes ALL probe
+    * counts per doc (k literal-regex `regexp_count` columns — probes are
+    * literals, regex-escaped, no backtracking), one partial-aggregating
+    * reduce to a single row of 2k sums, then a driver-side unpivot of
+    * that one bounded row. The corpus is scanned once, nothing but the
+    * 2k-cell row crosses the wire.
+    */
+  def specialTokenScan(df: DataFrame, textCol: Column, tokens: Seq[String]): DataFrame = {
+    require(tokens.nonEmpty, "need at least one probe token")
+    require(tokens.distinct.size == tokens.size, s"probe tokens must be distinct: $tokens")
+    val t = coalesce(textCol, lit(""))
+    val aggs = tokens.zipWithIndex.flatMap { case (tok, i) =>
+      val cnt = regexp_count(t, lit(java.util.regex.Pattern.quote(tok)))
+      Seq(
+        sum(when(cnt > 0, 1L).otherwise(0L)).as(s"__d$i"),
+        sum(cnt.cast("long")).as(s"__h$i")
+      )
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val pairs = tokens.zipWithIndex.map { case (tok, i) =>
+      struct(lit(tok).as("token"), col(s"__d$i").as("n_docs"), col(s"__h$i").as("n_hits"))
+    }
+    one
+      .select(explode(array(pairs: _*)).as("r"))
+      .select(col("r.token"), col("r.n_docs"), col("r.n_hits"))
+  }
 }

@@ -3057,6 +3057,140 @@ object ExtensionQueries {
         .withColumn("cohort_week", date_format(col("cohort_week"), "yyyy-MM-dd"))
         .orderBy(col("cohort_week"), col("week_offset"))),
 
+    // Jaro-Winkler record linkage over 24-char title keys, blocked on
+    // (lang, 6-char prefix); planted twins transpose chars 7-8 and drop
+    // char 9 — inside the key, outside the block prefix. The JW kernel
+    // is bit-matched against DuckDB's jaro_winkler_similarity
+    // (EditDistanceSpec fixtures), so the oracle replays values exactly.
+    "x146_jaro_winkler" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      def blk(t: Column): Column = concat(col("lang"), lit("|"), substring(t, 1, 6))
+      val base = docs.select(
+        col("doc_id").as("id"),
+        blk(col("text")).as("b"),
+        substring(col("text"), 1, 24).as("s")
+      )
+      val twins = docs
+        .where(col("doc_id") % 8 === 0)
+        .select(
+          (col("doc_id") + 10000000L).as("id"),
+          blk(col("text")).as("b"),
+          concat(
+            substring(col("text"), 1, 6),
+            substring(col("text"), 8, 1),
+            substring(col("text"), 7, 1),
+            substring(col("text"), 10, 15)
+          ).as("s")
+        )
+      EditDistance
+        .jaroWinklerPairs(base.unionAll(twins), col("id"), col("s"), col("b"), 0.9)
+        .orderBy(col("block"), col("id_a"), col("id_b"))
+    }),
+
+    // XLM-R temperature rebalancing (α=0.3, budget = half the corpus):
+    // per-language accounting of the deterministic md5-draw keeps.
+    "x147_lang_temperature" -> ((s, dir) =>
+      CorpusOps
+        .langTemperature(T(s, dir, "documents"), col("doc_id"), col("lang"), 0.3, 0.5)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("keep").cast("long")).as("n_kept")
+        )
+        .withColumn("kept_share", round(col("n_kept").cast("double") / col("n_docs"), 6))
+        .orderBy(col("lang"))),
+
+    // Per-source percent-rank normalization of the char-length score —
+    // the cross-domain calibration transform (PERCENT_RANK semantics:
+    // strictly-below / (n-1), ties share).
+    "x148_quantile_normalize" -> ((s, dir) =>
+      CorpusOps
+        .quantileNormalize(
+          T(s, dir, "documents"),
+          col("doc_id"),
+          length(col("text")),
+          col("source")
+        )
+        .orderBy(col("doc_id"))),
+
+    // ROUGE-2 between each document's first-half and second-half tokens
+    // (the self-instruct near-dup filter kernel): clipped bigram overlap,
+    // precision/recall/F1.
+    "x149_rouge_n" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val h = ceil(size(toks).cast("double") / 2).cast("int")
+      TextOps
+        .rougeN(
+          T(s, dir, "documents").select(
+            col("doc_id"),
+            concat_ws(" ", slice(toks, lit(1), h)).as("cand"),
+            concat_ws(" ", slice(toks, h + 1, size(toks) - h)).as("ref")
+          ),
+          col("doc_id"),
+          col("cand"),
+          col("ref"),
+          n = 2
+        )
+        .orderBy(col("pair_id"))
+    }),
+
+    // Chat-template token leakage audit over planted control sequences
+    // (mod-4 template classes + a mod-10 <|endoftext|> tail); the
+    // never-planted probe must still emit its zero row — absence is
+    // evidenced, not inferred.
+    "x150_template_leakage" -> ((s, dir) => {
+      val planted = concat(
+        col("text"),
+        when(col("doc_id") % 4 === 0, lit(" <|im_start|>assistant says hi"))
+          .when(col("doc_id") % 4 === 1, lit(" [INST] do the thing [/INST]"))
+          .when(col("doc_id") % 4 === 2, lit(" ### Instruction: respond"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 10 === 0, lit(" <|endoftext|>")).otherwise(lit(""))
+      )
+      TextOps
+        .specialTokenScan(
+          T(s, dir, "documents").select(planted.as("t")),
+          col("t"),
+          Seq("<|im_start|>", "<|endoftext|>", "[INST]", "### Instruction:", "<|assistant|>")
+        )
+        .orderBy(col("token"))
+    }),
+
+    // k-anonymity audit (k=5) over the (lang, source, length-bucket)
+    // quasi-identifier tuple: class-size bands with row accounting.
+    "x151_k_anonymity" -> ((s, dir) =>
+      Audit
+        .kAnonymity(
+          T(s, dir, "documents"),
+          Seq(col("lang"), col("source"), floor(length(col("text")) / 50).cast("int")),
+          k = 5
+        )
+        .orderBy(col("band"))),
+
+    // Pagination-stitch detection: planted page pairs share a 30-char
+    // boundary (page A = chars 1..150, page B = chars 121..end, so A's
+    // tail IS B's head); short docs ride along as unpaired noise.
+    "x152_stitch" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val long = docs.where(length(col("text")) >= 200)
+      val pages = long
+        .select((col("doc_id") * 2).as("id"), substring(col("text"), 1, 150).as("s"))
+        .unionAll(
+          long.select(
+            (col("doc_id") * 2 + 1).as("id"),
+            col("text").substr(lit(121), length(col("text")) - 120).as("s")
+          )
+        )
+        .unionAll(
+          docs
+            .where(length(col("text")) < 200)
+            .select((col("doc_id") * 2).as("id"), col("text").as("s"))
+        )
+      Dedup
+        .stitchCandidates(pages, col("id"), col("s"), w = 30)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Multimodal frame sampling plumbing (every 4th 16-byte block).
     "x13_frame_sample" -> ((s, dir) => {
       val media = Multimodal
@@ -5879,6 +6013,126 @@ object ExtensionQueries {
         |SELECT STRFTIME(cells.c0, '%Y-%m-%d') AS cohort_week, week_offset, n_users,
         |  ROUND(CAST(n_users AS DOUBLE) / sz, 6) AS retention
         |FROM cells JOIN sz USING (c0) ORDER BY 1, 2""".stripMargin,
+
+    // the engine's JaroWinkler kernel is bit-matched to DuckDB's
+    // jaro_winkler_similarity (EditDistanceSpec fixtures), so the oracle
+    // replays blocking + kernel + 6dp round + threshold verbatim
+    "x146_jaro_winkler" ->
+      """WITH base AS (SELECT doc_id AS id, lang || '|' || SUBSTR(text, 1, 6) AS b,
+        |    SUBSTR(text, 1, 24) AS s FROM documents),
+        |tw AS (SELECT doc_id + 10000000 AS id, lang || '|' || SUBSTR(text, 1, 6) AS b,
+        |    SUBSTR(text, 1, 6) || SUBSTR(text, 8, 1) || SUBSTR(text, 7, 1)
+        |      || SUBSTR(text, 10, 15) AS s
+        |  FROM documents WHERE doc_id % 8 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM tw)
+        |SELECT a.b AS block, a.id AS id_a, b2.id AS id_b,
+        |  ROUND(jaro_winkler_similarity(a.s, b2.s), 6) AS jw
+        |FROM u a JOIN u b2 ON a.b = b2.b AND a.id < b2.id
+        |WHERE ROUND(jaro_winkler_similarity(a.s, b2.s), 6) >= 0.9
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    // q is 6dp-rounded BEFORE target/rate derive (the x126 pre-round
+    // rule): the only cross-engine risk is summation-order ULP in the
+    // POWER sum, and the round absorbs it
+    "x147_lang_temperature" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT SUM(POWER(n, 0.3)) AS sa, SUM(n) AS nn FROM c),
+        |r AS (SELECT lang, n, FLOOR(ROUND(POWER(n, 0.3) / t.sa, 6) * FLOOR(t.nn * 0.5))
+        |        AS target FROM c, t),
+        |r3 AS (SELECT lang, ROUND(LEAST(1.0, target / n), 6) AS rate FROM r),
+        |d AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+        |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN $hashUniformSql < r3.rate THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  ROUND(CAST(SUM(CASE WHEN $hashUniformSql < r3.rate THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS kept_share
+        |FROM d JOIN r3 USING (lang) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // PERCENT_RANK = strictly-below/(n-1) with ties sharing — exactly the
+    // engine's aggregated-cumulative formulation
+    "x148_quantile_normalize" ->
+      """SELECT doc_id, source AS grp, CAST(LENGTH(text) AS DOUBLE) AS score,
+        |  ROUND(PERCENT_RANK() OVER (PARTITION BY source ORDER BY LENGTH(text)), 6) AS pr
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ROUGE-2 replay: halves as token slices (identical multisets to the
+    // engine's rejoin-and-resplit), bigrams via RANGE, clipped overlap
+    // through a FULL OUTER join; a pair with zero grams on BOTH sides is
+    // absent from both engines by the same construction
+    "x149_rouge_n" ->
+      """WITH b AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+        |h AS (SELECT doc_id, tk, CAST(CEIL(LEN(tk) / 2.0) AS INT) AS hh FROM b),
+        |sides AS (SELECT doc_id, tk[1:hh] AS ct, tk[hh+1:LEN(tk)] AS rt FROM h),
+        |cgx AS (SELECT doc_id, ct, UNNEST(RANGE(GREATEST(LEN(ct) - 1, 0))) AS x FROM sides),
+        |cg AS (SELECT doc_id, ct[x+1] || ' ' || ct[x+2] AS gram, COUNT(*) AS nc
+        |       FROM cgx GROUP BY 1, 2),
+        |rgx AS (SELECT doc_id, rt, UNNEST(RANGE(GREATEST(LEN(rt) - 1, 0))) AS x FROM sides),
+        |rg AS (SELECT doc_id, rt[x+1] || ' ' || rt[x+2] AS gram, COUNT(*) AS nr
+        |       FROM rgx GROUP BY 1, 2),
+        |j AS (SELECT COALESCE(cg.doc_id, rg.doc_id) AS doc_id,
+        |        COALESCE(nc, 0) AS nc, COALESCE(nr, 0) AS nr
+        |      FROM cg FULL OUTER JOIN rg ON cg.doc_id = rg.doc_id AND cg.gram = rg.gram),
+        |agg AS (SELECT doc_id, CAST(SUM(nc) AS BIGINT) AS n_cand,
+        |          CAST(SUM(nr) AS BIGINT) AS n_ref,
+        |          CAST(SUM(LEAST(nc, nr)) AS BIGINT) AS overlap
+        |        FROM j GROUP BY 1)
+        |SELECT doc_id AS pair_id, n_cand, n_ref, overlap,
+        |  ROUND(CASE WHEN n_cand > 0 THEN CAST(overlap AS DOUBLE) / n_cand ELSE 0.0 END, 6)
+        |    AS precision,
+        |  ROUND(CASE WHEN n_ref > 0 THEN CAST(overlap AS DOUBLE) / n_ref ELSE 0.0 END, 6)
+        |    AS recall,
+        |  ROUND(CASE WHEN (CASE WHEN n_cand > 0 THEN CAST(overlap AS DOUBLE) / n_cand ELSE 0.0 END)
+        |           + (CASE WHEN n_ref > 0 THEN CAST(overlap AS DOUBLE) / n_ref ELSE 0.0 END) > 0
+        |        THEN 2.0 * (CASE WHEN n_cand > 0 THEN CAST(overlap AS DOUBLE) / n_cand ELSE 0.0 END)
+        |           * (CASE WHEN n_ref > 0 THEN CAST(overlap AS DOUBLE) / n_ref ELSE 0.0 END)
+        |           / ((CASE WHEN n_cand > 0 THEN CAST(overlap AS DOUBLE) / n_cand ELSE 0.0 END)
+        |              + (CASE WHEN n_ref > 0 THEN CAST(overlap AS DOUBLE) / n_ref ELSE 0.0 END))
+        |        ELSE 0.0 END, 6) AS f1
+        |FROM agg ORDER BY 1""".stripMargin,
+
+    // literal probes: POSITION for the doc flag, non-overlapping
+    // REPLACE-count (= regexp_count of the quoted literal) for hits
+    "x150_template_leakage" ->
+      """WITH t AS (SELECT text
+        |    || CASE WHEN doc_id % 4 = 0 THEN ' <|im_start|>assistant says hi'
+        |            WHEN doc_id % 4 = 1 THEN ' [INST] do the thing [/INST]'
+        |            WHEN doc_id % 4 = 2 THEN ' ### Instruction: respond' ELSE '' END
+        |    || CASE WHEN doc_id % 10 = 0 THEN ' <|endoftext|>' ELSE '' END AS t
+        |  FROM documents),
+        |p AS (SELECT UNNEST(['<|im_start|>', '<|endoftext|>', '[INST]',
+        |                     '### Instruction:', '<|assistant|>']) AS token)
+        |SELECT p.token,
+        |  CAST(SUM(CASE WHEN POSITION(p.token IN t.t) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs,
+        |  CAST(SUM((LENGTH(t.t) - LENGTH(REPLACE(t.t, p.token, ''))) // LENGTH(p.token))
+        |    AS BIGINT) AS n_hits
+        |FROM p, t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x151_k_anonymity" ->
+      """WITH k AS (SELECT lang, source, CAST(FLOOR(LENGTH(text) / 50.0) AS INT) AS lb,
+        |    COUNT(*) AS c FROM documents GROUP BY 1, 2, 3),
+        |b AS (SELECT CASE WHEN c = 1 THEN 'unique' WHEN c < 5 THEN '2..4'
+        |             ELSE '>=5' END AS band, c FROM k),
+        |g AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |        CAST(SUM(c) AS BIGINT) AS n_rows FROM b GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS tot FROM g)
+        |SELECT band, n_classes, n_rows,
+        |  ROUND(CAST(n_rows AS DOUBLE) / tot, 6) AS row_share
+        |FROM g, t ORDER BY 1""".stripMargin,
+
+    "x152_stitch" ->
+      """WITH lng AS (SELECT doc_id, text FROM documents WHERE LENGTH(text) >= 200),
+        |pages AS (
+        |  SELECT doc_id * 2 AS id, SUBSTR(text, 1, 150) AS s FROM lng
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1, SUBSTR(text, 121, LENGTH(text) - 120) FROM lng
+        |  UNION ALL
+        |  SELECT doc_id * 2, text FROM documents WHERE LENGTH(text) < 200),
+        |el AS (SELECT id, s FROM pages WHERE LENGTH(s) >= 30),
+        |tl AS (SELECT id AS id_a, SUBSTR(s, LENGTH(s) - 29, 30) AS boundary FROM el),
+        |hd AS (SELECT id AS id_b, SUBSTR(s, 1, 30) AS hk FROM el)
+        |SELECT id_a, id_b, boundary FROM tl JOIN hd ON boundary = hk AND id_a <> id_b
+        |ORDER BY 1, 2""".stripMargin,
 
     // full blocks only (partial tails dropped, <16-byte docs emit nothing);
     // OCTET_LENGTH on the blob, not LENGTH: the Spark side frames UTF-8

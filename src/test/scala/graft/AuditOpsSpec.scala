@@ -112,4 +112,27 @@ class AuditOpsSpec extends SparkTestBase {
     val n1r = graft.streaming.StreamSemanticGate.gateBatch(b1, col("vec_id"), col("v"), store, 1L, acc)
     assert(n1r == 1L && accepted == Set(11L), s"replay diverged: $accepted")
   }
+
+  test("kAnonymity: band accounting over hand-built equivalence classes, nulls are a class") {
+    import spark.implicits._
+    val rows = Seq(
+      // class (a,1): 6 rows -> >=5 band
+      ("a", 1), ("a", 1), ("a", 1), ("a", 1), ("a", 1), ("a", 1),
+      // class (a,2): 3 rows -> 2..4
+      ("a", 2), ("a", 2), ("a", 2),
+      // class (b,1): 1 row -> unique
+      ("b", 1),
+      // null zip is its own equivalence class: 2 rows -> 2..4
+      ("c", -1), ("c", -1)
+    ).toDF("city", "zip")
+      .withColumn("zip", when(col("zip") === -1, lit(null)).otherwise(col("zip")))
+    val got = Audit
+      .kAnonymity(rows, Seq(col("city"), col("zip")), k = 5)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got("unique") == ((1L, 1L, 0.083333)))
+    assert(got("2..4") == ((2L, 5L, 0.416667)))
+    assert(got(">=5") == ((1L, 6L, 0.5)))
+  }
 }

@@ -943,4 +943,68 @@ class CorpusOpsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
+
+  test("langTemperature: alpha=1 is proportional (rates equal), alpha->0 flattens toward uniform") {
+    import spark.implicits._
+    // 90 docs of 'hi', 10 of 'lo'
+    val docs = (0L until 90L).map(i => (i, "hi")).++((90L until 100L).map(i => (i, "lo"))).toDF("doc_id", "lang")
+    // alpha = 1: q = p, target = floor(p * 50) -> hi 45, lo 5, both rate 0.5
+    val a1 = CorpusOps
+      .langTemperature(docs, col("doc_id"), col("lang"), alpha = 1.0, budgetFraction = 0.5)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("keep").cast("long")).as("k"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(a1("hi")._1 == 90 && a1("lo")._1 == 10)
+    // deterministic md5 draws: kept counts are fixed, near rate*n
+    assert(a1("hi")._2 >= 35 && a1("hi")._2 <= 55)
+    assert(a1("lo")._2 >= 2 && a1("lo")._2 <= 8)
+    // small alpha: lo's keep RATE must exceed hi's (tail up-weighted);
+    // with alpha=0.1, q_lo/q_hi = (10/90)^0.1 ~ 0.80 -> rate_lo ~ 4x rate_hi
+    val a0 = CorpusOps
+      .langTemperature(docs, col("doc_id"), col("lang"), alpha = 0.1, budgetFraction = 0.5)
+      .filter(col("keep"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("k"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    // lo: target = floor(q_lo*50) with q_lo ~ 0.444 -> 22 > 10 -> rate 1.0, all kept
+    assert(a0("lo") == 10)
+    // hi: rate ~ floor(0.555*50)/90 = 27/90 ~ 0.31 -> strictly below alpha=1 keeps
+    assert(a0("hi") < a1("hi")._2)
+    // determinism: same call twice, identical keep set
+    def keeps() = CorpusOps
+      .langTemperature(docs, col("doc_id"), col("lang"), 0.3, 0.5)
+      .filter(col("keep"))
+      .select(col("doc_id"))
+      .as[Long]
+      .collect()
+      .sorted
+      .toSeq
+    assert(keeps() == keeps())
+  }
+
+  test("quantileNormalize: PERCENT_RANK semantics — ties share, min is 0, max is 1, singleton group is 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "g", 10.0), (2L, "g", 20.0), (3L, "g", 20.0), (4L, "g", 30.0), (5L, "g", 40.0),
+      (6L, "solo", 7.0)
+    ).toDF("id", "grp", "score")
+    val got = CorpusOps
+      .quantileNormalize(df, col("id"), col("score"), col("grp"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(3))
+      .toMap
+    assert(got(1L) == 0.0)
+    assert(got(2L) == 0.25 && got(3L) == 0.25) // 1 strictly below / 4
+    assert(got(4L) == 0.75)
+    assert(got(5L) == 1.0)
+    assert(got(6L) == 0.0)
+    // null scores are dropped, not ranked
+    val withNull = Seq((1L, "g", Some(1.0)), (2L, "g", None)).toDF("id", "grp", "score")
+    val g2 = CorpusOps.quantileNormalize(withNull, col("id"), col("score"), col("grp")).collect()
+    assert(g2.map(_.getLong(0)).toSet == Set(1L))
+  }
 }

@@ -531,4 +531,25 @@ class DedupSimilaritySpec extends SparkTestBase {
       .collect()
     assert(out2.head.getLong(1) == 1L && !out2.head.getBoolean(3))
   }
+
+  test("stitchCandidates: tail-meets-head pairs, direction, self-exclusion, under-w drop") {
+    import spark.implicits._
+    val boundary = "0123456789abcdefghijklmnopqrst" // 30 chars
+    val rows = Seq(
+      (1L, "PAGE-ONE-BODY " * 4 + boundary),          // tail = boundary
+      (2L, boundary + " PAGE-TWO-BODY continues on"), // head = boundary -> (1,2)
+      (3L, "unrelated document long enough to have keys"),
+      (4L, boundary),                                 // exactly w: tail AND head = boundary
+      (5L, "short")                                   // < w: dropped entirely
+    ).toDF("id", "s")
+    val got = graft.operators.Dedup
+      .stitchCandidates(rows, col("id"), col("s"), w = 30)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // 1->2, 1->4 (4's head is the boundary), 4->2, 4->4 excluded (self)
+    assert(got == Set((1L, 2L), (1L, 4L), (4L, 2L)), s"got $got")
+    // direction matters: no (2,1) — 2's tail is not 1's head
+    assert(!got.contains((2L, 1L)))
+  }
 }

@@ -443,4 +443,55 @@ class SftOpsSpec extends SparkTestBase {
     assert(p.getAs[String]("mode") == "plain" && p.getAs[String]("input") == "too short")
     assert(p.get(p.fieldIndex("targets")) == null && p.getAs[Int]("n_masked") == 0)
   }
+
+  test("rougeN: hand-computed clipped bigram overlap, zero-gram sides, multiset clipping") {
+    import spark.implicits._
+    val df = Seq(
+      // cand bigrams: {ab, bc, ca, ab}; ref bigrams: {ab, bd}
+      // clipped overlap = min(2,1)[ab] = 1; p = 1/4, r = 1/2, f1 = 1/3
+      (1L, "a b c a b", "a b d"),
+      // identical -> p = r = f1 = 1
+      (2L, "x y z", "x y z"),
+      // ref shorter than n=2 -> zero ref grams: recall 0, f1 0
+      (3L, "x y", "x"),
+      // disjoint -> overlap 0
+      (4L, "a b", "c d")
+    ).toDF("id", "cand", "ref")
+    val got = TextOps
+      .rougeN(df, col("id"), col("cand"), col("ref"), n = 2)
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+    val r1 = got(1L)
+    assert(r1.getAs[Long]("n_cand") == 4 && r1.getAs[Long]("n_ref") == 2)
+    assert(r1.getAs[Long]("overlap") == 1)
+    assert(r1.getAs[Double]("precision") == 0.25 && r1.getAs[Double]("recall") == 0.5)
+    assert(r1.getAs[Double]("f1") == 0.333333)
+    assert(got(2L).getAs[Double]("f1") == 1.0)
+    val r3 = got(3L)
+    assert(r3.getAs[Long]("n_ref") == 0 && r3.getAs[Double]("recall") == 0.0 && r3.getAs[Double]("f1") == 0.0)
+    assert(got(4L).getAs[Long]("overlap") == 0 && got(4L).getAs[Double]("f1") == 0.0)
+  }
+
+  test("specialTokenScan: zero rows evidenced, overlap-free literal counting, regex metachars inert") {
+    import spark.implicits._
+    val df = Seq(
+      "clean text",
+      "x <|im_start|>user hi <|im_start|>bot",
+      "[INST] a [/INST]",
+      null
+    ).toDF("t")
+    val got = TextOps
+      .specialTokenScan(df, col("t"), Seq("<|im_start|>", "[INST]", "### Instruction:"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(
+      got == Set(
+        ("<|im_start|>", 1L, 2L),    // one doc, two hits
+        ("[INST]", 1L, 1L),          // [/INST] must NOT count; brackets are literal
+        ("### Instruction:", 0L, 0L) // absent probe still emits its zero row
+      )
+    )
+  }
 }
