@@ -72,7 +72,7 @@ object StressXOps {
     // (simhash,minhash,cosine,decontaminate,pack,cc,quantile,pii,sample,
     // lines,quantize,spans,semdedup,bloominc,retrieval,qknn,classifier,
     // curation9,curation10,curation10b,curation10c,curation10d,curation10e,
-    // curation11,…,graph,editdist,spectral,sft,curation16) — default all
+    // curation11,…,graph,editdist,spectral,sft,curation16,linkage) — default all
     val only = if (args.length > 2) args(2).split(",").toSet else Set.empty[String]
     def section(name: String): Boolean = only.isEmpty || only(name)
     val spark = SparkSession
@@ -2677,7 +2677,98 @@ object StressXOps {
       drr.unpersist()
     }
 
+    // ---- x146/x152/x149 linkage family: JW blocking, stitch join, ROUGE-2
+    if (section("linkage")) linkageSection(spark, nDocs)
+
     corpus.unpersist()
     spark.stop()
+  }
+
+  /** x146/x152/x149 at scale (own method: main is at the JVM 64KB cap). */
+  private def linkageSection(spark: SparkSession, nDocs: Long): Unit = {
+      // Jaro-Winkler blocked linkage at nDocs: 24-hex-char keys, blocks =
+      // first-5-hex prefix (16^5 = 1M blocks → λ≈5 per block at 5M rows →
+      // ~12M kernel evaluations, the realistic record-linkage load), 1%
+      // planted twins transpose chars 7-8 — INSIDE the key, OUTSIDE the
+      // block prefix, giving a closed-form planted JW: m=24 matches with
+      // one transposition → jaro=(1+1+23/24)/3, prefix l=4 →
+      // jw = jaro + 0.4·(1−jaro) ≈ 0.991861.
+      val keyOf = substring(md5(col("base_id").cast("string")), 1, 24)
+      val lBase = spark.range(nDocs).select(col("id"), col("id").as("base_id"))
+        .select(col("id"), keyOf.as("s"))
+      val lTwin = spark.range(nDocs / 100).select((col("id") + TwinOffset).as("id"), col("id").as("base_id"))
+        .select(
+          col("id"),
+          concat(
+            substring(keyOf, 1, 6), substring(keyOf, 8, 1),
+            substring(keyOf, 7, 1), substring(keyOf, 9, 16)
+          ).as("s")
+        )
+      val lrows = lBase.unionByName(lTwin)
+      // twins whose chars 7-8 happen to be EQUAL are exact dups (jw=1),
+      // still ≥ threshold — planted recall counts both shapes
+      val jwPairs = operators.EditDistance
+        .jaroWinklerPairs(lrows, col("id"), col("s"), substring(col("s"), 1, 5), 0.98)
+      val (sec, _, h, _) = run(jwPairs)
+      val found = jwPairs.persist()
+      val total = found.count()
+      val foundPlanted = found.filter(col("id_b") === col("id_a") + TwinOffset).count()
+      println(f"[stressx] jaroWinklerPairs @ ${nDocs + nDocs / 100}%d keys (1M blocks): $sec%.1f s, pairs=$total, planted=${nDocs / 100} found=$foundPlanted, background=${total - foundPlanted}")
+      println(s"[stressx]   plan: $h")
+      assert(foundPlanted == nDocs / 100, s"planted JW recall must be total: $foundPlanted != ${nDocs / 100}")
+      found.unpersist()
+
+      // stitch detection at nDocs pages: 1% of docs split into page pairs
+      // sharing a 30-char md5-derived boundary (unique whp → zero
+      // background); the other 99% are unpaired noise
+      // EXACTLY w=30 chars: A's 30-char tail must BE B's 30-char head
+      val bnd = substring(md5(concat(col("base_id").cast("string"), lit("b"))), 1, 30)
+      val noise = spark.range(nDocs).select(col("id"), col("id").as("base_id"))
+        .select((col("id") * 2).as("id"), concat(lit("noise "), md5(concat(col("base_id").cast("string"), lit("n"))), md5(col("base_id").cast("string"))).as("s"))
+      val pagesA = spark.range(nDocs / 100).select((col("id") + TwinOffset).as("pid"), col("id").as("base_id"))
+        .select((col("pid") * 2).as("id"), concat(lit("page one body text "), bnd).as("s"))
+      val pagesB = spark.range(nDocs / 100).select((col("id") + TwinOffset).as("pid"), col("id").as("base_id"))
+        .select((col("pid") * 2 + 1).as("id"), concat(bnd, lit(" page two body text")).as("s"))
+      val stitch = operators.Dedup
+        .stitchCandidates(noise.unionByName(pagesA).unionByName(pagesB), col("id"), col("s"), w = 30)
+      val (sec2, n2, h2, _) = run(stitch)
+      val sFound = stitch.persist()
+      val sPlanted = sFound.filter(col("id_b") === col("id_a") + 1).count()
+      val sTotal = sFound.count()
+      println(f"[stressx] stitchCandidates @ ${nDocs + 2 * (nDocs / 100)}%d pages: $sec2%.1f s, pairs=$sTotal, planted=${nDocs / 100} found=$sPlanted, background=${sTotal - sPlanted}")
+      println(s"[stressx]   plan: $h2")
+      assert(sPlanted == nDocs / 100, s"planted stitch recall must be total: $sPlanted != ${nDocs / 100}")
+      assert(sTotal == sPlanted, s"md5 boundaries must have zero background: $sTotal != $sPlanted")
+      sFound.unpersist()
+
+      // ROUGE-2 at nDocs/5 pairs over 40-token docs with GLOBALLY distinct
+      // tokens (t<base*40+k>; the shared xxhash corpus can collide tokens
+      // and perturb the closed form): perturbing token 0 changes exactly
+      // bigram 0, so twin pairs read p = r = f1 = 38/39 exactly and
+      // self-pairs read 1.0 — planted ground truth with zero tolerance
+      val rN = nDocs / 5
+      def rtok(perturb: Boolean): Column = concat_ws(
+        " ",
+        (0 until 40).map { k =>
+          if (k == 0 && perturb) concat(lit("p"), col("id").cast("string"))
+          else concat(lit("t"), (col("id") * 40 + k).cast("string"))
+        }: _*
+      )
+      val rBase = spark.range(rN).select(col("id"), rtok(perturb = false).as("text"))
+      val rPairs = rBase.select(col("id"), col("text").as("cand"), col("text").as("ref"))
+        .unionByName(
+          spark.range(rN / 100)
+            .select((col("id") + TwinOffset).as("id"), rtok(perturb = true).as("cand"), rtok(perturb = false).as("ref"))
+        )
+      val rouge = operators.TextOps.rougeN(rPairs, col("id"), col("cand"), col("ref"), n = 2)
+      val (sec3, n3, h3, _) = run(rouge)
+      val rGot = rouge.persist()
+      val selfBad = rGot.filter(col("pair_id") < TwinOffset && col("f1") =!= 1.0).count()
+      val twinF1 = math.rint(1e6 * 38.0 / 39.0) / 1e6
+      val twinBad = rGot.filter(col("pair_id") >= TwinOffset && col("f1") =!= twinF1).count()
+      println(f"[stressx] rougeN(2) @ $n3%d pairs (40-token docs): $sec3%.1f s; self-pair f1≠1: $selfBad, twin f1≠$twinF1: $twinBad")
+      println(s"[stressx]   plan: $h3")
+      assert(selfBad == 0 && twinBad == 0, "planted ROUGE scores must be exact")
+      rGot.unpersist()
   }
 }
