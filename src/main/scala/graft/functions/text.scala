@@ -1005,4 +1005,78 @@ object text {
 
   def jaro_winkler(a: Column, b: Column): Column =
     Bridge.column(JaroWinkler(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Greedy longest-match-first (MaxMatch) subword segmentation — the
+    * WordPiece INFERENCE algorithm (Devlin et al. 2019 BERT §4.1 /
+    * Song et al. 2021, "Fast WordPiece Tokenization": greedy
+    * longest-prefix at each position): at position i emit the longest
+    * vocabulary piece matching `s[i..)`, else consume ONE character as
+    * `<unk>` and advance. Deterministic and local — the property that
+    * lets any engine replay it position-by-position (the x155 oracle is
+    * exactly that replay). Raw-string MaxMatch (no `##` continuation
+    * marks — the CJK-style variant; continuation-mark vocabularies are a
+    * caller-side piece rewrite).
+    *
+    * Returns `struct(pieces array<string>, n_unk int)`. One O(len·maxLen)
+    * scan per row against an immutable hash set, fully inside
+    * whole-stage codegen via the compute-method reference.
+    */
+  case class WordPieceSegment(child: Expression, vocab: Seq[String])
+      extends UnaryExpression
+      with ImplicitCastInputTypes {
+    require(vocab.nonEmpty, "vocab must be non-empty")
+    require(vocab.forall(_.nonEmpty), "vocab pieces must be non-empty strings")
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = StructType(
+      Seq(
+        StructField("pieces", ArrayType(StringType, containsNull = false), nullable = false),
+        StructField("n_unk", IntegerType, nullable = false)
+      )
+    )
+    override def nullIntolerant: Boolean = true
+
+    @transient private lazy val set: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String](vocab.size * 2)
+      vocab.foreach(s.add)
+      s
+    }
+    @transient private lazy val maxLen: Int = vocab.map(_.length).max
+    private val unk = UTF8String.fromString("<unk>")
+
+    /** Invoked from both eval and generated code. */
+    def compute(v: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+      val s = v.toString
+      val out = new scala.collection.mutable.ArrayBuffer[UTF8String](s.length / 2 + 1)
+      var nUnk = 0
+      var i = 0
+      while (i < s.length) {
+        var l = math.min(maxLen, s.length - i)
+        var hit = -1
+        while (l >= 1 && hit < 0) {
+          if (set.contains(s.substring(i, i + l))) hit = l
+          l -= 1
+        }
+        if (hit > 0) {
+          out += UTF8String.fromString(s.substring(i, i + hit))
+          i += hit
+        } else {
+          out += unk
+          nUnk += 1
+          i += 1
+        }
+      }
+      org.apache.spark.sql.catalyst.InternalRow(new GenericArrayData(out.toArray), nUnk)
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("wordPiece", this, classOf[WordPieceSegment].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+    }
+    override protected def withNewChildInternal(c: Expression): WordPieceSegment =
+      copy(child = c)
+  }
+
+  def wordpiece_segment(textCol: Column, vocab: Seq[String]): Column =
+    Bridge.column(WordPieceSegment(Bridge.expression(textCol), vocab))
 }

@@ -519,4 +519,98 @@ object ChatOps {
           .as("advantage")
       )
   }
+
+  /** Generalized Advantage Estimation (Schulman et al. 2016, "High-
+    * Dimensional Continuous Control Using Generalized Advantage
+    * Estimation" §3): per (trajectory, step) compute the TD residual
+    * δ_t = r_t + γ·V(s_{t+1}) − V(s_t) (terminal V = 0) and the
+    * exponentially-weighted advantage A_t = Σ_k (γλ)^k δ_{t+k}, plus the
+    * λ-return ret_t = A_t + V(s_t) — the PPO/RLHF advantage table.
+    *
+    * The reverse recursion A_t = δ_t + γλ·A_{t+1} is sequential; the
+    * distributed form used here is the closed suffix sum
+    * A_t = (γλ)^{−t} · Σ_{k≥t} (γλ)^k δ_k — two windows (a lead for
+    * V(s_{t+1}), a suffix sum for A) over TRAJECTORY partitions, which
+    * are bounded by episode length (RLHF horizons are ~10²–10³ steps),
+    * never corpus-sized: the standard bounded-window contract. The
+    * (γλ)^t scaling underflows past ~700 steps at γλ=0.25 (double
+    * exponent range); the documented contract is bounded horizons —
+    * require(T ≤ 512) twins live in the caller's spec.
+    *
+    * Engine-portability: with dyadic γλ (e.g. 0.25) and dyadic
+    * rewards/values all arithmetic is EXACT in binary doubles, so the
+    * 6dp rounding is cosmetic and any engine replays bit-equal — the
+    * discipline the x153 oracle leans on.
+    */
+  def gaeAdvantage(
+      df: DataFrame,
+      trajCol: Column,
+      stepCol: Column,
+      rewardCol: Column,
+      valueCol: Column,
+      gamma: Double,
+      lam: Double
+  ): DataFrame = {
+    require(gamma > 0.0 && gamma <= 1.0, s"gamma must be in (0,1], got $gamma")
+    require(lam > 0.0 && lam <= 1.0, s"lambda must be in (0,1], got $lam")
+    val gl = gamma * lam
+    val byStep = Window.partitionBy(col("traj_id")).orderBy(col("step"))
+    val suffix = Window
+      .partitionBy(col("traj_id"))
+      .orderBy(col("step"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    df.select(
+      trajCol.as("traj_id"),
+      stepCol.cast("int").as("step"),
+      rewardCol.cast("double").as("r"),
+      valueCol.cast("double").as("v")
+    ).withColumn(
+        "delta",
+        col("r") + lit(gamma) * coalesce(lead(col("v"), 1).over(byStep), lit(0.0)) - col("v")
+      )
+      .withColumn("__w", pow(lit(gl), col("step")) * col("delta"))
+      .withColumn("advantage", sum(col("__w")).over(suffix) / pow(lit(gl), col("step")))
+      .select(
+        col("traj_id"),
+        col("step"),
+        round(col("delta"), 6).as("delta"),
+        round(col("advantage"), 6).as("advantage"),
+        round(col("advantage") + col("v"), 6).as("lambda_return")
+      )
+  }
+
+  /** Per-prompt KL-divergence estimators between a reference policy p and
+    * a trained policy q from per-token log-probabilities (Schulman 2020,
+    * "Approximating KL Divergence": for x~p and r = log q(x) − log p(x),
+    * k1 = −r is unbiased/high-variance, k2 = r²/2 is low-variance/biased,
+    * k3 = (e^r − 1) − r is unbiased AND non-negative — the estimator the
+    * RLHF KL-penalty term actually uses). Output per prompt: token count,
+    * mean log-ratio, and the three estimator means (6dp).
+    *
+    * Shape at 100 TB: pure one-exchange partial aggregation on the
+    * prompt key — per-token rows collapse map-side; no windows, no
+    * joins. Null log-probs are counted and excluded (count-and-flag).
+    */
+  def klEstimators(
+      df: DataFrame,
+      promptCol: Column,
+      logpCol: Column,
+      logqCol: Column
+  ): DataFrame = {
+    val r = logqCol.cast("double") - logpCol.cast("double")
+    df.select(promptCol.as("prompt_id"), r.as("__r"))
+      .groupBy(col("prompt_id"))
+      .agg(
+        count(col("__r")).as("n_tokens"),
+        (count(lit(1)) - count(col("__r"))).as("n_null"),
+        round(avg(col("__r")), 6).as("mean_lr"),
+        round(avg(-col("__r")), 6).as("k1"),
+        round(avg(col("__r") * col("__r") / 2), 6).as("k2"),
+        // exp is the one transcendental here: its per-token value is
+        // 6dp-rounded BEFORE averaging (the x126 pre-round rule) so
+        // libm-ULP and summation-order differences cannot reach the
+        // aggregate; k1/k2/mean are exact on dyadic log-prob inputs
+        round(avg(round(exp(col("__r")) - 1 - col("__r"), 6)), 6).as("k3")
+      )
+  }
 }

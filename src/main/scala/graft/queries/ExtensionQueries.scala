@@ -23,6 +23,20 @@ object ExtensionQueries {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.load(s, dir, name)
 
+  /** x155's literal MaxMatch vocabulary: whole synthetic-corpus words,
+    * a couple of sub-word pieces, space, and single letters with
+    * 'q'/'x'/'z' deliberately missing (they must surface as `<unk>`).
+    * Shared verbatim with the oracle's VALUES list.
+    */
+  private val WordpieceVocab: Seq[String] = Seq(
+    " ", "spark", "group", "sort", "row", "table", "stream", "batch",
+    "filter", "agg", "key", "value", "scan", "fast", "slow", "big", "small",
+    "data", "query", "merge", "window", "order", "line", "part", "column",
+    "hash", "er", "ing",
+    "a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l", "m", "n",
+    "o", "p", "r", "s", "t", "u", "v", "w", "y"
+  )
+
   /** Deterministic per-component perturbation used to PLANT near-duplicate
     * twins in-query for the LSH gates (x10/x14): every arithmetic step
     * (float→double widen, ×1000, floor, bigint %, /3.0) is IEEE-exact or
@@ -3167,6 +3181,64 @@ object ExtensionQueries {
         )
         .orderBy(col("band"))),
 
+    // GAE advantage table (Schulman 2016 §3) over synthetic trajectories
+    // (4..8 steps per doc, dyadic rewards/values in 64ths, γ=λ=0.5 so
+    // γλ=0.25 is dyadic): EVERY arithmetic step is exact in binary
+    // doubles, so the suffix-sum formulation replays bit-equal in any
+    // engine — the rounding is cosmetic.
+    "x153_gae" -> ((s, dir) => {
+      val steps = T(s, dir, "documents").select(
+        col("doc_id").as("traj"),
+        explode(sequence(lit(0), (col("doc_id") % 5 + 3).cast("int"))).as("step")
+      )
+      val traj = steps.select(
+        col("traj"),
+        col("step"),
+        ((pmod(col("traj") * 7 + col("step") * 13, lit(64)) - 32) / 64.0).as("r"),
+        (pmod(col("traj") * 11 + col("step") * 17, lit(64)) / 64.0).as("v")
+      )
+      ChatOps
+        .gaeAdvantage(traj, col("traj"), col("step"), col("r"), col("v"), gamma = 0.5, lam = 0.5)
+        .orderBy(col("traj_id"), col("step"))
+    }),
+
+    // Schulman k1/k2/k3 KL estimators per prompt over dyadic per-token
+    // log-probs (16 tokens/prompt, eighths): k1/k2/mean exact; k3's exp
+    // term is per-token 6dp-pre-rounded inside the operator.
+    "x154_kl_estimate" -> ((s, dir) => {
+      val toks = T(s, dir, "documents").select(
+        col("doc_id").as("prompt"),
+        explode(sequence(lit(0), lit(15))).as("t")
+      )
+      val lp = toks.select(
+        col("prompt"),
+        (-(pmod(col("prompt") * 3 + col("t") * 5, lit(8)) + 1) / 8.0).as("logp"),
+        (-(pmod(col("prompt") * 5 + col("t") * 3, lit(8)) + 1) / 8.0).as("logq")
+      )
+      ChatOps.klEstimators(lp, col("prompt"), col("logp"), col("logq")).orderBy(col("prompt_id"))
+    }),
+
+    // WordPiece greedy longest-match segmentation (MaxMatch) with a
+    // literal vocabulary ('q'/'x'/'z' singles intentionally absent —
+    // they must surface as <unk>): per-doc piece count, unk count, and
+    // the md5 fingerprint of the piece sequence. Segments the 64-char
+    // key prefix: the oracle's step-chain recursion costs
+    // iterations × positions, and 64 bounds the iteration count (the
+    // engine kernel itself is O(len) and uncapped).
+    "x155_wordpiece" -> ((s, dir) => {
+      val seg =
+        graft.functions.text.wordpiece_segment(substring(col("text"), 1, 64), WordpieceVocab)
+      T(s, dir, "documents")
+        .select(col("doc_id"), seg.as("__s"))
+        .select(
+          col("doc_id"),
+          size(col("__s.pieces")).as("n_pieces"),
+          col("__s.n_unk").as("n_unk"),
+          md5(array_join(col("__s.pieces"), "\u0001")).as("fp")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
     // Pagination-stitch detection: planted page pairs share a 30-char
     // boundary (page A = chars 1..150, page B = chars 121..end, so A's
     // tail IS B's head); short docs ride along as unpaired noise.
@@ -6119,6 +6191,79 @@ object ExtensionQueries {
         |SELECT band, n_classes, n_rows,
         |  ROUND(CAST(n_rows AS DOUBLE) / tot, 6) AS row_share
         |FROM g, t ORDER BY 1""".stripMargin,
+
+    // dyadic construction (64ths, γλ=0.25): the suffix-sum replay is
+    // bit-exact, rounding cosmetic
+    "x153_gae" ->
+      """WITH st AS (SELECT doc_id AS traj, UNNEST(RANGE(doc_id % 5 + 4)) AS step
+        |            FROM documents),
+        |tr AS (SELECT traj, step,
+        |    ((traj*7 + step*13) % 64 - 32) / 64.0 AS r,
+        |    ((traj*11 + step*17) % 64) / 64.0 AS v FROM st),
+        |d AS (SELECT traj, step, r, v,
+        |    r + 0.5 * COALESCE(LEAD(v) OVER (PARTITION BY traj ORDER BY step), 0.0) - v
+        |      AS delta FROM tr),
+        |a AS (SELECT traj, step, v, delta,
+        |    SUM(POWER(0.25, step) * delta) OVER (PARTITION BY traj ORDER BY step
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) / POWER(0.25, step) AS adv
+        |  FROM d)
+        |SELECT traj AS traj_id, CAST(step AS INT) AS step, ROUND(delta, 6) AS delta,
+        |  ROUND(adv, 6) AS advantage, ROUND(adv + v, 6) AS lambda_return
+        |FROM a ORDER BY 1, 2""".stripMargin,
+
+    // k1/k2/mean are exact on the dyadic eighths; k3's exp term is
+    // per-token 6dp-pre-rounded on both sides
+    "x154_kl_estimate" ->
+      """WITH tk AS (SELECT doc_id AS prompt, UNNEST(RANGE(16)) AS t FROM documents),
+        |lp AS (SELECT prompt,
+        |    -(((prompt*3 + t*5) % 8) + 1) / 8.0 AS logp,
+        |    -(((prompt*5 + t*3) % 8) + 1) / 8.0 AS logq FROM tk),
+        |r AS (SELECT prompt, logq - logp AS r FROM lp)
+        |SELECT prompt AS prompt_id, CAST(COUNT(r) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) - COUNT(r) AS BIGINT) AS n_null,
+        |  ROUND(AVG(r), 6) AS mean_lr,
+        |  ROUND(AVG(-r), 6) AS k1,
+        |  ROUND(AVG(r*r/2), 6) AS k2,
+        |  ROUND(AVG(ROUND(EXP(r) - 1 - r, 6)), 6) AS k3
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // greedy longest-match replay: per-position best match length from a
+    // (position × distinct-length) probe, then the piece-start chain as a
+    // recursive CTE; vocab VALUES built from the SAME Scala constant
+    "x155_wordpiece" -> {
+      val vocabSql = WordpieceVocab.map(p => "'" + p.replace("'", "''") + "'").mkString(", ")
+      s"""WITH RECURSIVE v AS (SELECT UNNEST([$vocabSql]) AS piece),
+        |vl AS (SELECT piece, LENGTH(piece) AS l FROM v),
+        |docs AS (SELECT doc_id, SUBSTR(text, 1, 64) AS text,
+        |         LENGTH(SUBSTR(text, 1, 64)) AS len FROM documents),
+        |pos AS (SELECT doc_id, text, UNNEST(RANGE(len)) AS p0 FROM docs),
+        |lens AS (SELECT DISTINCT l FROM vl),
+        |cand AS (SELECT doc_id, p0 + 1 AS pos, SUBSTR(text, p0 + 1, lens.l) AS sub, lens.l
+        |         FROM pos, lens),
+        |m AS (SELECT c.doc_id, c.pos,
+        |        MAX(CASE WHEN vl.piece IS NOT NULL THEN c.l END) AS best
+        |      FROM cand c LEFT JOIN vl ON c.sub = vl.piece AND c.l = vl.l
+        |      GROUP BY 1, 2),
+        |st AS (SELECT doc_id, pos, COALESCE(best, 1) AS step, best FROM m),
+        |seg(doc_id, pos, idx) AS (
+        |  SELECT doc_id, 1, 0 FROM docs WHERE len >= 1
+        |  UNION ALL
+        |  SELECT s.doc_id, s.pos + st.step, s.idx + 1
+        |  FROM seg s
+        |  JOIN st ON st.doc_id = s.doc_id AND st.pos = s.pos
+        |  JOIN docs d ON d.doc_id = s.doc_id AND s.pos + st.step <= d.len),
+        |pieces AS (SELECT s.doc_id, s.idx,
+        |    CASE WHEN st.best IS NULL THEN '<unk>'
+        |         ELSE SUBSTR(d.text, s.pos, st.best) END AS piece,
+        |    CASE WHEN st.best IS NULL THEN 1 ELSE 0 END AS is_unk
+        |  FROM seg s
+        |  JOIN st ON st.doc_id = s.doc_id AND st.pos = s.pos
+        |  JOIN docs d ON d.doc_id = s.doc_id)
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_pieces,
+        |  CAST(SUM(is_unk) AS INT) AS n_unk,
+        |  md5(STRING_AGG(piece, chr(1) ORDER BY idx)) AS fp
+        |FROM pieces GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "x152_stitch" ->
       """WITH lng AS (SELECT doc_id, text FROM documents WHERE LENGTH(text) >= 200),

@@ -473,6 +473,65 @@ class SftOpsSpec extends SparkTestBase {
     assert(got(4L).getAs[Long]("overlap") == 0 && got(4L).getAs[Double]("f1") == 0.0)
   }
 
+  test("gaeAdvantage: hand-computed 3-step trajectory matches the reverse recursion") {
+    import spark.implicits._
+    // traj 1: r = [1, 0.5, 0.25], v = [0.5, 0.25, 0.125]; γ = λ = 0.5
+    // δ2 = 0.25 − 0.125 = 0.125
+    // δ1 = 0.5 + 0.5·0.125 − 0.25 = 0.3125
+    // δ0 = 1 + 0.5·0.25 − 0.5 = 0.625
+    // A2 = 0.125; A1 = 0.3125 + 0.25·0.125 = 0.34375
+    // A0 = 0.625 + 0.25·0.34375 = 0.7109375
+    val df = Seq(
+      (1L, 0, 1.0, 0.5), (1L, 1, 0.5, 0.25), (1L, 2, 0.25, 0.125),
+      // single-step trajectory: δ = A = r − v
+      (2L, 0, 1.0, 0.25)
+    ).toDF("traj", "step", "r", "v")
+    val got = ChatOps
+      .gaeAdvantage(df, col("traj"), col("step"), col("r"), col("v"), 0.5, 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got((1L, 0)) == ((0.625, 0.710938, 1.210938)))
+    assert(got((1L, 1)) == ((0.3125, 0.34375, 0.59375)))
+    assert(got((1L, 2)) == ((0.125, 0.125, 0.25)))
+    assert(got((2L, 0)) == ((0.75, 0.75, 1.0)))
+  }
+
+  test("klEstimators: p=q reads zero on all estimators; hand case; null accounting") {
+    import spark.implicits._
+    val same = Seq((1L, -0.5, -0.5), (1L, -0.25, -0.25)).toDF("p", "lp", "lq")
+    val z = ChatOps.klEstimators(same, col("p"), col("lp"), col("lq")).head()
+    assert(z.getAs[Double]("k1") == 0.0 && z.getAs[Double]("k2") == 0.0 && z.getAs[Double]("k3") == 0.0)
+    // r = 0.5 for both tokens: k1 = -0.5, k2 = 0.125,
+    // k3 = round(e^0.5 - 1.5, 6) = 0.148721
+    val df = Seq((2L, -1.0, -0.5), (2L, -0.75, -0.25)).toDF("p", "lp", "lq")
+    val g = ChatOps.klEstimators(df, col("p"), col("lp"), col("lq")).head()
+    assert(g.getAs[Long]("n_tokens") == 2 && g.getAs[Double]("mean_lr") == 0.5)
+    assert(g.getAs[Double]("k1") == -0.5 && g.getAs[Double]("k2") == 0.125)
+    assert(g.getAs[Double]("k3") == 0.148721)
+    // null log-probs are counted out, not poisoning the means
+    val withNull =
+      Seq((3L, Some(-1.0), Some(-0.5)), (3L, None, Some(-0.25))).toDF("p", "lp", "lq")
+    val n = ChatOps.klEstimators(withNull, col("p"), col("lp"), col("lq")).head()
+    assert(n.getAs[Long]("n_tokens") == 1 && n.getAs[Long]("n_null") == 1)
+    assert(n.getAs[Double]("mean_lr") == 0.5)
+  }
+
+  test("WordPieceSegment: greedy longest match, unk fallback, boundary cases") {
+    import spark.implicits._
+    val vocab = Seq("un", "related", "rel", "ated", "a", "t", "e", "d", " ")
+    val got = Seq("unrelated", "zzz", "a t", "").toDF("t")
+      .select(graft.functions.text.wordpiece_segment(col("t"), vocab).as("s"))
+      .select(col("s.pieces"), col("s.n_unk"))
+      .collect()
+      .map(r => (r.getSeq[String](0).toList, r.getInt(1)))
+    // greedy: "un" then "related" (longest at pos 2 beats "rel")
+    assert(got(0) == ((List("un", "related"), 0)))
+    assert(got(1) == ((List("<unk>", "<unk>", "<unk>"), 3)))
+    assert(got(2) == ((List("a", " ", "t"), 0)))
+    assert(got(3) == ((Nil, 0)))
+  }
+
   test("specialTokenScan: zero rows evidenced, overlap-free literal counting, regex metachars inert") {
     import spark.implicits._
     val df = Seq(
