@@ -1079,4 +1079,50 @@ object text {
 
   def wordpiece_segment(textCol: Column, vocab: Seq[String]): Column =
     Bridge.column(WordPieceSegment(Bridge.expression(textCol), vocab))
+
+  /** Unicode NFC canonicalization stats — the i18n hygiene check before
+    * any hash-keyed dedup: the SAME visible text can arrive composed
+    * (U+00E9 `é`) or decomposed (`e` + U+0301) from different crawls /
+    * OCR pipelines, and every digest-based operator in this library
+    * treats those as different documents unless the corpus is normalized
+    * first (the Unicode TR15 motivation). Returns
+    * `struct(changed boolean, len_before int, len_after int)` where
+    * lengths are UTF-16 code units (equal to code points for BMP text —
+    * matching engines that count code points, e.g. the DuckDB oracle
+    * twin, on non-astral corpora).
+    *
+    * Uses `java.text.Normalizer` NFC — the Unicode-conformant
+    * normalization every engine implements identically (utf8proc on the
+    * DuckDB side). Zero-shuffle codegen projection.
+    */
+  case class NfcStats(child: Expression)
+      extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = StructType(
+      Seq(
+        StructField("changed", BooleanType, nullable = false),
+        StructField("len_before", IntegerType, nullable = false),
+        StructField("len_after", IntegerType, nullable = false)
+      )
+    )
+    override def nullIntolerant: Boolean = true
+
+    /** Invoked from both eval and generated code. */
+    def compute(v: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+      val s = v.toString
+      val n = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      org.apache.spark.sql.catalyst.InternalRow(n != s, s.length, n.length)
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("nfcStats", this, classOf[NfcStats].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+    }
+    override protected def withNewChildInternal(c: Expression): NfcStats = copy(child = c)
+  }
+
+  def nfc_stats(textCol: Column): Column =
+    Bridge.column(NfcStats(Bridge.expression(textCol)))
 }

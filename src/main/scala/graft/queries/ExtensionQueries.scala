@@ -3239,6 +3239,71 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Entity-resolution composite: the x146 Jaro-Winkler linkage pairs
+    // resolved into clusters (alternating-star CC) — the full
+    // record-linkage pipeline (block → compare → cluster) in one query.
+    "x156_linkage_clusters" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      def blk(t: Column): Column = concat(col("lang"), lit("|"), substring(t, 1, 6))
+      val base = docs.select(
+        col("doc_id").as("id"),
+        blk(col("text")).as("b"),
+        substring(col("text"), 1, 24).as("s")
+      )
+      val twins = docs
+        .where(col("doc_id") % 8 === 0)
+        .select(
+          (col("doc_id") + 10000000L).as("id"),
+          blk(col("text")).as("b"),
+          concat(
+            substring(col("text"), 1, 6),
+            substring(col("text"), 8, 1),
+            substring(col("text"), 7, 1),
+            substring(col("text"), 10, 15)
+          ).as("s")
+        )
+      val rows = base.unionAll(twins)
+      val pairs = EditDistance
+        .jaroWinklerPairs(rows, col("id"), col("s"), col("b"), 0.9)
+        .select(col("id_a"), col("id_b"))
+      ConnectedComponents
+        .assignClusters(rows.select(col("id")), col("id"), pairs)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Unicode NFC hygiene audit over planted composed/decomposed accents:
+    // per-lang counts of docs whose NFC form differs + code-unit shrink.
+    "x157_nfc_audit" -> ((s, dir) => {
+      val planted = concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0, lit(" cafe\u0301")) // decomposed: e + U+0301
+          .when(col("doc_id") % 3 === 1, lit(" caf\u00e9")) // composed: NFC no-op
+          .otherwise(lit(""))
+      )
+      val st = graft.functions.text.nfc_stats(planted)
+      T(s, dir, "documents")
+        .select(col("lang"), st.as("__n"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("__n.changed").cast("long")).as("n_changed"),
+          sum((col("__n.len_before") - col("__n.len_after")).cast("long")).as("delta_units")
+        )
+        .orderBy(col("lang"))
+    }),
+
+    // CUPED variance-reduction accounting (Deng 2013): Y = token count
+    // adjusted by the pre-period covariate X = char count, per source.
+    "x158_cuped" -> ((s, dir) =>
+      EventOps
+        .cuped(
+          T(s, dir, "documents"),
+          col("source"),
+          size(split(col("text"), " ")).cast("double"),
+          length(col("text")).cast("double")
+        )
+        .orderBy(col("grp"))),
+
     // Pagination-stitch detection: planted page pairs share a 30-char
     // boundary (page A = chars 1..150, page B = chars 121..end, so A's
     // tail IS B's head); short docs ride along as unpaired noise.
@@ -6264,6 +6329,60 @@ object ExtensionQueries {
         |  md5(STRING_AGG(piece, chr(1) ORDER BY idx)) AS fp
         |FROM pieces GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    // the x146 pair replay composed with the x26 reach/min-label closure
+    "x156_linkage_clusters" ->
+      """WITH RECURSIVE base AS (SELECT doc_id AS id, lang || '|' || SUBSTR(text, 1, 6) AS b,
+        |    SUBSTR(text, 1, 24) AS s FROM documents),
+        |tw AS (SELECT doc_id + 10000000 AS id, lang || '|' || SUBSTR(text, 1, 6) AS b,
+        |    SUBSTR(text, 1, 6) || SUBSTR(text, 8, 1) || SUBSTR(text, 7, 1)
+        |      || SUBSTR(text, 10, 15) AS s
+        |  FROM documents WHERE doc_id % 8 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM tw),
+        |p AS (SELECT a.id AS id_a, b2.id AS id_b
+        |      FROM u a JOIN u b2 ON a.b = b2.b AND a.id < b2.id
+        |      WHERE ROUND(jaro_winkler_similarity(a.s, b2.s), 6) >= 0.9),
+        |edges AS (SELECT id_a AS uu, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT uu AS id, uu AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.uu),
+        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+        |assigned AS (SELECT n.id AS doc_id, COALESCE(c.component, n.id) AS component
+        |             FROM u n LEFT JOIN comp c ON n.id = c.id),
+        |sizes AS (SELECT component, COUNT(1) AS n_members FROM assigned GROUP BY 1)
+        |SELECT a.doc_id, a.component, s.n_members, a.doc_id = a.component AS is_rep
+        |FROM assigned a JOIN sizes s USING (component) ORDER BY 1""".stripMargin,
+
+    // chr(769) = U+0301 combining acute (decomposed), chr(233) = U+00E9
+    // (composed); DuckDB LENGTH counts code points = UTF-16 units on BMP
+    "x157_nfc_audit" ->
+      """WITH t AS (SELECT lang, text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769)
+        |            WHEN doc_id % 3 = 1 THEN ' caf' || chr(233) ELSE '' END AS t
+        |  FROM documents),
+        |n AS (SELECT lang, t, nfc_normalize(t) AS nf FROM t)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN nf <> t THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(SUM(LENGTH(t) - LENGTH(nf)) AS BIGINT) AS delta_units
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x158_cuped" ->
+      """WITH d AS (SELECT source AS grp,
+        |    CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS y,
+        |    CAST(LENGTH(text) AS DOUBLE) AS x FROM documents)
+        |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(AVG(y), 6) AS mean_y,
+        |  ROUND(CASE WHEN VAR_POP(x) > 0 THEN COVAR_POP(x, y) / VAR_POP(x)
+        |        ELSE 0.0 END, 6) AS theta,
+        |  ROUND(VAR_POP(y), 6) AS var_y,
+        |  ROUND(CASE WHEN VAR_POP(x) > 0
+        |        THEN VAR_POP(y) - COVAR_POP(x, y) * COVAR_POP(x, y) / VAR_POP(x)
+        |        ELSE VAR_POP(y) END, 6) AS var_adj,
+        |  ROUND(CASE WHEN VAR_POP(x) > 0 AND VAR_POP(y) > 0
+        |        THEN COVAR_POP(x, y) * COVAR_POP(x, y) / (VAR_POP(x) * VAR_POP(y))
+        |        ELSE 0.0 END, 6) AS var_reduction
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "x152_stitch" ->
       """WITH lng AS (SELECT doc_id, text FROM documents WHERE LENGTH(text) >= 200),

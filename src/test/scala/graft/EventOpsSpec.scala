@@ -70,4 +70,27 @@ class EventOpsSpec extends SparkTestBase {
     assert(m(("2024-01-08", 0)) == ((1L, 1.0)))
     assert(m(("2024-01-08", 1)) == ((1L, 1.0)))
   }
+
+  test("cuped: perfectly correlated covariate removes ALL variance; uncorrelated removes none") {
+    // g1: y = 2x + 3 exactly -> theta = 2, var_adj = 0, reduction = 1
+    val g1 = Seq(("g1", 1.0), ("g1", 2.0), ("g1", 3.0), ("g1", 4.0))
+      .toDF("grp", "x")
+      .withColumn("y", col("x") * 2 + 3)
+    val r1 = EventOps.cuped(g1, col("grp"), col("y"), col("x")).head()
+    assert(r1.getAs[Double]("theta") == 2.0)
+    assert(r1.getAs[Double]("var_adj") == 0.0 && r1.getAs[Double]("var_reduction") == 1.0)
+    assert(r1.getAs[Double]("mean_y") == 8.0)
+    // g2: symmetric y over constant-free x with zero covariance
+    // x = [1,2,1,2], y = [1,1,-1,-1]: cov = 0 -> theta 0, var_adj = var_y
+    val g2 = Seq(("g2", 1.0, 1.0), ("g2", 2.0, 1.0), ("g2", 1.0, -1.0), ("g2", 2.0, -1.0))
+      .toDF("grp", "x", "y")
+    val r2 = EventOps.cuped(g2, col("grp"), col("y"), col("x")).head()
+    assert(r2.getAs[Double]("theta") == 0.0)
+    assert(r2.getAs[Double]("var_adj") == r2.getAs[Double]("var_y"))
+    assert(r2.getAs[Double]("var_reduction") == 0.0)
+    // constant covariate: var(x) = 0 must not divide by zero
+    val g3 = Seq(("g3", 5.0, 1.0), ("g3", 5.0, 3.0)).toDF("grp", "x", "y")
+    val r3 = EventOps.cuped(g3, col("grp"), col("y"), col("x")).head()
+    assert(r3.getAs[Double]("theta") == 0.0 && r3.getAs[Double]("var_adj") == 1.0)
+  }
 }

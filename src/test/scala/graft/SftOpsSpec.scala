@@ -532,6 +532,25 @@ class SftOpsSpec extends SparkTestBase {
     assert(got(3) == ((Nil, 0)))
   }
 
+  test("NfcStats: decomposed composes (changed, shorter), composed and ASCII are no-ops") {
+    import spark.implicits._
+    val rows = Seq(
+      "caf" + "e\u0301",  // decomposed: e + combining acute -> composes
+      "caf\u00e9",        // already NFC
+      "plain ascii",
+      "e\u0301\u0301"     // e + acute + acute: first composes, second stays
+    ).toDF("t")
+    val got = rows
+      .select(graft.functions.text.nfc_stats(col("t")).as("s"))
+      .select(col("s.changed"), col("s.len_before"), col("s.len_after"))
+      .collect()
+      .map(r => (r.getBoolean(0), r.getInt(1), r.getInt(2)))
+    assert(got(0) == ((true, 5, 4)))
+    assert(got(1) == ((false, 4, 4)))
+    assert(got(2) == ((false, 11, 11)))
+    assert(got(3) == ((true, 3, 2)))
+  }
+
   test("specialTokenScan: zero rows evidenced, overlap-free literal counting, regex metachars inert") {
     import spark.implicits._
     val df = Seq(
