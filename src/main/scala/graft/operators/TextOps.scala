@@ -1376,7 +1376,9 @@ object TextOps {
     * precision = overlap/|cand grams|, recall = overlap/|ref grams|,
     * f1 = 2pr/(p+r) — 6dp, zero-gram and zero-overlap guarded to 0.0.
     * Whitespace word tokens; texts shorter than `n` tokens have zero
-    * grams on that side.
+    * grams on that side. A pair with zero grams on BOTH sides has
+    * nothing to score and is ABSENT from the output (not a zero row) —
+    * callers needing those pairs accounted left-join back on the id.
     *
     * Shape at 100 TB: both sides explode to (pair, gram, count) via a
     * partial-aggregating groupBy (map-side combine collapses repeated
@@ -1461,9 +1463,11 @@ object TextOps {
     val t = coalesce(textCol, lit(""))
     val aggs = tokens.zipWithIndex.flatMap { case (tok, i) =>
       val cnt = regexp_count(t, lit(java.util.regex.Pattern.quote(tok)))
+      // coalesce: a zero-row corpus must read 0, not a null sum — the
+      // zero-row-evidenced contract holds even on an empty scan
       Seq(
-        sum(when(cnt > 0, 1L).otherwise(0L)).as(s"__d$i"),
-        sum(cnt.cast("long")).as(s"__h$i")
+        coalesce(sum(when(cnt > 0, 1L).otherwise(0L)), lit(0L)).as(s"__d$i"),
+        coalesce(sum(cnt.cast("long")), lit(0L)).as(s"__h$i")
       )
     }
     val one = df.agg(aggs.head, aggs.tail: _*)

@@ -405,4 +405,57 @@ class StreamingSpec extends SparkTestBase {
     val got = runToMemory(df, "codec_stream").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((72L, 0L), (72L, 1L)))
   }
+
+  test("StreamLinkage: attach to stored entities, new entities, merge observation, replay idempotent") {
+    import spark.implicits._
+    import graft.streaming.StreamLinkage
+    val store = java.nio.file.Files.createTempDirectory("graft-link-store").toString + "/keys"
+    val accepted = scala.collection.mutable.Map.empty[Long, (Long, Boolean, Long)]
+    val acc: (org.apache.spark.sql.DataFrame, Long) => Unit = (df, _) =>
+      df.collect().foreach { r =>
+        accepted(r.getAs[Long]("id")) =
+          ((r.getAs[Long]("entity"), r.getAs[Boolean]("matched_store"), r.getAs[Long]("n_matched_entities")))
+      }
+
+    // epoch 0: 1≈2 ("alphaXX corp" / "alphaXX corp.") cluster; 4 and 5
+    // ("bravoXX/bravoYY corp") are near each other but BELOW threshold
+    // (two substitutions: jw 0.9333 < 0.95) → distinct entities; the
+    // bravo family shares no prefix with alpha, so nothing cross-matches
+    val e0 = Seq(
+      (1L, "alphaXX corp", "a"),
+      (2L, "alphaXX corp.", "a"),
+      (3L, "beta llc", "b"),
+      (4L, "bravoXX corp", "a"),
+      (5L, "bravoYY corp", "a")
+    ).toDF("id", "s", "blk")
+    val n0 = StreamLinkage.linkBatch(e0, col("id"), col("s"), col("blk"), 0.95, store, 0L, acc)
+    assert(n0 == 5)
+    assert(accepted(1L)._1 == 1L && accepted(2L)._1 == 1L, s"1,2 must share entity 1: $accepted")
+    assert(accepted(3L)._1 == 3L && accepted(4L)._1 == 4L && accepted(5L)._1 == 5L)
+    assert(accepted.values.forall(!_._2), "epoch 0 had an empty store: nothing matches it")
+
+    // epoch 1: 10 attaches to entity 1; 11+12 form a NEW entity 11;
+    // 13 = "bravoXY corp" bridges stored entities 4 and 5 (one
+    // substitution to each: jw 0.9667 ≥ 0.95) → entity = min(4,5) = 4,
+    // flagged with 2 matched entities
+    accepted.clear()
+    val e1 = Seq(
+      (10L, "alphaXX corp!", "a"),
+      (11L, "gamma inc", "g"),
+      (12L, "gamma inc.", "g"),
+      (13L, "bravoXY corp", "a")
+    ).toDF("id", "s", "blk")
+    val n1 = StreamLinkage.linkBatch(e1, col("id"), col("s"), col("blk"), 0.95, store, 1L, acc)
+    assert(n1 == 4)
+    assert(accepted(10L) == ((1L, true, 1L)), s"10 must attach to entity 1: $accepted")
+    assert(accepted(11L) == ((11L, false, 0L)) && accepted(12L) == ((11L, false, 0L)))
+    assert(accepted(13L)._1 == 4L && accepted(13L)._2, s"13 must take min entity: $accepted")
+    assert(accepted(13L)._3 == 2L, s"13 must flag the 2-entity merge observation: $accepted")
+
+    // replay epoch 1 (crash-after-store): identical assignments re-derive
+    val before = accepted.toMap
+    accepted.clear()
+    val n1r = StreamLinkage.linkBatch(e1, col("id"), col("s"), col("blk"), 0.95, store, 1L, acc)
+    assert(n1r == 4 && accepted.toMap == before, s"replay diverged: $accepted vs $before")
+  }
 }
