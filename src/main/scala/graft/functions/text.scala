@@ -1125,4 +1125,69 @@ object text {
 
   def nfc_stats(textCol: Column): Column =
     Bridge.column(NfcStats(Bridge.expression(textCol)))
+
+  /** Luhn-validated payment-card detection (ISO/IEC 7812-1 Annex B
+    * checksum): count maximal 13–19-digit runs and how many pass the
+    * Luhn check — the precision upgrade over [[PiiScrub]]'s pattern
+    * match that every DLP scanner ships (a random 16-digit number fails
+    * Luhn 90% of the time, so validation cuts false positives ~10×).
+    * Returns `struct(n_digit_runs, n_luhn_valid)`; runs are MAXIMAL
+    * (digits extended left/right disqualify, so a 20-digit run yields
+    * no candidate — not a 19-digit prefix).
+    *
+    * One byte walk per row (UTF-8 continuation bytes can't alias ASCII
+    * digits), zero regex, inside whole-stage codegen.
+    */
+  case class LuhnScan(child: Expression)
+      extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = StructType(
+      Seq(
+        StructField("n_digit_runs", IntegerType, nullable = false),
+        StructField("n_luhn_valid", IntegerType, nullable = false)
+      )
+    )
+    override def nullIntolerant: Boolean = true
+
+    /** Invoked from both eval and generated code. */
+    def compute(v: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+      val b = v.getBytes
+      var runs = 0
+      var valid = 0
+      var i = 0
+      while (i < b.length) {
+        if (b(i) >= '0' && b(i) <= '9') {
+          var j = i
+          while (j < b.length && b(j) >= '0' && b(j) <= '9') j += 1
+          val len = j - i
+          if (len >= 13 && len <= 19) {
+            runs += 1
+            // Luhn: from the rightmost digit, double every second one
+            var sum = 0
+            var k = 0
+            while (k < len) {
+              var d = b(j - 1 - k) - '0'
+              if (k % 2 == 1) { d *= 2; if (d > 9) d -= 9 }
+              sum += d
+              k += 1
+            }
+            if (sum % 10 == 0) valid += 1
+          }
+          i = j
+        } else i += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(runs, valid)
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("luhnScan", this, classOf[LuhnScan].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+    }
+    override protected def withNewChildInternal(c: Expression): LuhnScan = copy(child = c)
+  }
+
+  def luhn_scan(textCol: Column): Column =
+    Bridge.column(LuhnScan(Bridge.expression(textCol)))
 }

@@ -3304,6 +3304,33 @@ object ExtensionQueries {
         )
         .orderBy(col("grp"))),
 
+    // Luhn-validated card detection: planted 16-digit numbers whose check
+    // digit only SOMETIMES satisfies Luhn (the kernel must actually
+    // checksum, not pattern-match), a 20-digit run proving maximality
+    // (no 19-digit prefix counted), and a short run as inert noise.
+    "x159_luhn_audit" -> ((s, dir) => {
+      val card = concat(
+        lpad(pmod(col("doc_id") * 37, lit(1000000000000000L)).cast("string"), 15, "0"),
+        pmod(col("doc_id"), lit(10)).cast("string")
+      )
+      val t2 = concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" card "), card)).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" 12345678901234567890")).otherwise(lit("")),
+        lit(" ref 12345")
+      )
+      val st = graft.functions.text.luhn_scan(t2)
+      T(s, dir, "documents")
+        .select(col("lang"), st.as("__l"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("__l.n_digit_runs").cast("long")).as("n_digit_runs"),
+          sum(col("__l.n_luhn_valid").cast("long")).as("n_luhn_valid")
+        )
+        .orderBy(col("lang"))
+    }),
+
     // Pagination-stitch detection: planted page pairs share a 30-char
     // boundary (page A = chars 1..150, page B = chars 121..end, so A's
     // tail IS B's head); short docs ride along as unpaired noise.
@@ -6383,6 +6410,35 @@ object ExtensionQueries {
         |        THEN COVAR_POP(x, y) * COVAR_POP(x, y) / (VAR_POP(x) * VAR_POP(y))
         |        ELSE 0.0 END, 6) AS var_reduction
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // maximal digit runs via [0-9]+ THEN the 13..19 filter (no lookarounds
+    // in RE2, and {13,19} alone would count a 19-digit prefix of the
+    // 20-digit noise run); Luhn replayed digit-by-digit from the right
+    "x159_luhn_audit" ->
+      """WITH t AS (SELECT lang, text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' card '
+        |         || LPAD(CAST((doc_id*37) % 1000000000000000 AS VARCHAR), 15, '0')
+        |         || CAST(doc_id % 10 AS VARCHAR) ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' 12345678901234567890' ELSE '' END
+        |    || ' ref 12345' AS t
+        |  FROM documents),
+        |runs AS (SELECT lang, UNNEST(regexp_extract_all(t, '[0-9]+')) AS d FROM t),
+        |cand AS (SELECT lang, d FROM runs WHERE LENGTH(d) BETWEEN 13 AND 19),
+        |chk AS (SELECT lang,
+        |    CASE WHEN list_sum(list_transform(range(LENGTH(d)), k ->
+        |      CASE WHEN k % 2 = 1 THEN
+        |        CASE WHEN 2*CAST(SUBSTR(d, CAST(LENGTH(d) - k AS INT), 1) AS INT) > 9
+        |             THEN 2*CAST(SUBSTR(d, CAST(LENGTH(d) - k AS INT), 1) AS INT) - 9
+        |             ELSE 2*CAST(SUBSTR(d, CAST(LENGTH(d) - k AS INT), 1) AS INT) END
+        |      ELSE CAST(SUBSTR(d, CAST(LENGTH(d) - k AS INT), 1) AS INT) END)) % 10 = 0
+        |    THEN 1 ELSE 0 END AS ok
+        |  FROM cand),
+        |agg AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_runs,
+        |        CAST(SUM(ok) AS BIGINT) AS n_valid FROM chk GROUP BY 1)
+        |SELECT l.lang, l.n_docs, COALESCE(a.n_runs, 0) AS n_digit_runs,
+        |  COALESCE(a.n_valid, 0) AS n_luhn_valid
+        |FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1) l
+        |LEFT JOIN agg a USING (lang) ORDER BY 1""".stripMargin,
 
     "x152_stitch" ->
       """WITH lng AS (SELECT doc_id, text FROM documents WHERE LENGTH(text) >= 200),

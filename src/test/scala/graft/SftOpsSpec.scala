@@ -551,6 +551,31 @@ class SftOpsSpec extends SparkTestBase {
     assert(got(3) == ((true, 3, 2)))
   }
 
+  test("LuhnScan: classic vectors, check-digit flip, maximal-run rule, short-run noise") {
+    import spark.implicits._
+    val rows = Seq(
+      "pay 4111111111111111 now",          // classic Visa-16 test: valid
+      "pay 4111111111111112 now",          // check digit off by one: run counted, invalid
+      "visa13 4222222222222 ok",           // classic Visa-13 test: valid
+      "long 12345678901234567890 run",     // 20 digits: maximal rule -> no candidate
+      "short 123456789012 only",           // 12 digits: below window
+      "two 4111111111111111 and 5500005555555559 cards", // both valid (MC-16 test)
+      "no digits here"
+    ).toDF("t")
+    val got = rows
+      .select(graft.functions.text.luhn_scan(col("t")).as("s"))
+      .select(col("s.n_digit_runs"), col("s.n_luhn_valid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(got(0) == ((1, 1)))
+    assert(got(1) == ((1, 0)))
+    assert(got(2) == ((1, 1)))
+    assert(got(3) == ((0, 0)))
+    assert(got(4) == ((0, 0)))
+    assert(got(5) == ((2, 2)))
+    assert(got(6) == ((0, 0)))
+  }
+
   test("specialTokenScan: zero rows evidenced, overlap-free literal counting, regex metachars inert") {
     import spark.implicits._
     val df = Seq(
