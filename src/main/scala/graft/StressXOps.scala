@@ -72,7 +72,7 @@ object StressXOps {
     // (simhash,minhash,cosine,decontaminate,pack,cc,quantile,pii,sample,
     // lines,quantize,spans,semdedup,bloominc,retrieval,qknn,classifier,
     // curation9,curation10,curation10b,curation10c,curation10d,curation10e,
-    // curation11,…,graph,editdist,spectral,sft,curation16,linkage) — default all
+    // curation11,…,graph,editdist,spectral,sft,curation16,linkage,streamlink) — default all
     val only = if (args.length > 2) args(2).split(",").toSet else Set.empty[String]
     def section(name: String): Boolean = only.isEmpty || only(name)
     val spark = SparkSession
@@ -2567,7 +2567,20 @@ object StressXOps {
     // alpha-twins and an exact class-count tie-out; Kneser-Ney with the
     // sum-to-one identity per history; driftReport with an exactly
     // symmetric control group (psi must be 0.0, not just small).
-    if (section("curation16")) locally {
+    if (section("curation16")) curation16Section(spark, corpus, nDocs)
+
+    // ---- x146/x152/x149 linkage family: JW blocking, stitch join, ROUGE-2
+    if (section("linkage")) linkageSection(spark, nDocs)
+
+    // ---- StreamLinkage: continuous ER at 1M keys/epoch, planted attach/new
+    if (section("streamlink")) streamLinkSection(spark, math.min(nDocs, 1000000L))
+
+    corpus.unpersist()
+    spark.stop()
+  }
+
+  /** curation16 at scale (own method: main is at the JVM 64KB cap). */
+  private def curation16Section(spark: SparkSession, corpus: DataFrame, nDocs: Long): Unit = {
       val tk = split(col("text"), " ")
       // one shared prefix for both identifiers, so tok1==tok2 collapses
       // v2/v3 into one variable — the structural dimension the class
@@ -2675,13 +2688,59 @@ object StressXOps {
       assert(ctrl.getAs[Double]("psi") == 0.0 && !ctrl.getAs[Boolean]("drifted"), "symmetric control must read EXACTLY zero")
       assert(shft.getAs[Boolean]("drifted"), "planted shift must flag")
       drr.unpersist()
+  }
+
+  /** StreamLinkage at scale: epoch 0 ingests n keys (1% planted
+    * same-entity twins — the transposition construction with a
+    * closed-form jw ≈ 0.9919), epoch 1 ingests n/2 keys of which HALF are
+    * near-misses of stored keys (must attach to the stored entity) and
+    * half are fresh (must found new entities); epoch 1 then REPLAYS and
+    * must re-derive identical counts (the store's epoch self-exclusion).
+    */
+  private def streamLinkSection(spark: SparkSession, n: Long): Unit = {
+    val store = java.nio.file.Files.createTempDirectory("stress-link").toString + "/keys"
+    def keyOf = substring(md5(col("base_id").cast("string")), 1, 24)
+    def twinOf = concat(
+      substring(keyOf, 1, 6), substring(keyOf, 8, 1),
+      substring(keyOf, 7, 1), substring(keyOf, 9, 16)
+    )
+    val e0 = spark.range(n).select(col("id"), col("id").as("base_id"))
+      .select(col("id"), keyOf.as("s"), substring(keyOf, 1, 5).as("blk"))
+      .unionByName(
+        spark.range(n / 100).select((col("id") + TwinOffset).as("id"), col("id").as("base_id"))
+          .select(col("id"), twinOf.as("s"), substring(keyOf, 1, 5).as("blk"))
+      )
+    var accepted = 0L
+    var matched = 0L
+    val acc: (DataFrame, Long) => Unit = (df, _) => {
+      val a = df.agg(count(lit(1)), sum(col("matched_store").cast("long"))).head()
+      accepted = a.getLong(0); matched = if (a.isNullAt(1)) 0L else a.getLong(1)
     }
+    val t0 = System.nanoTime()
+    streaming.StreamLinkage.linkBatch(e0, col("id"), col("s"), col("blk"), 0.98, store, 0L, acc)
+    val sec0 = (System.nanoTime() - t0) / 1e9
+    println(f"[stressx] streamlink epoch0 @ ${n + n / 100}%d keys: $sec0%.1f s, accepted=$accepted matched=$matched (empty store)")
+    assert(accepted == n + n / 100 && matched == 0)
 
-    // ---- x146/x152/x149 linkage family: JW blocking, stitch join, ROUGE-2
-    if (section("linkage")) linkageSection(spark, nDocs)
+    // epoch 1: n/4 near-misses of stored ids [0, n/4) + n/4 fresh ids
+    val attach = spark.range(n / 4).select((col("id") + 2 * TwinOffset).as("id"), col("id").as("base_id"))
+      .select(col("id"), twinOf.as("s"), substring(keyOf, 1, 5).as("blk"))
+    val fresh = spark.range(n / 4).select((col("id") + 3 * TwinOffset).as("id"), (col("id") + 3 * TwinOffset).as("base_id"))
+      .select(col("id"), keyOf.as("s"), substring(keyOf, 1, 5).as("blk"))
+    val t1 = System.nanoTime()
+    streaming.StreamLinkage.linkBatch(attach.unionByName(fresh), col("id"), col("s"), col("blk"), 0.98, store, 1L, acc)
+    val sec1 = (System.nanoTime() - t1) / 1e9
+    val (acc1, m1) = (accepted, matched)
+    println(f"[stressx] streamlink epoch1 @ ${n / 2}%d keys vs ${n + n / 100}%d stored: $sec1%.1f s, accepted=$acc1 matched=$m1 (planted attach=${n / 4})")
+    assert(acc1 == n / 2, s"epoch1 must accept all: $acc1")
+    assert(m1 >= n / 4, s"every planted near-miss must attach: $m1 < ${n / 4}")
 
-    corpus.unpersist()
-    spark.stop()
+    // replay epoch 1: identical counts re-derive
+    val t2 = System.nanoTime()
+    streaming.StreamLinkage.linkBatch(attach.unionByName(fresh), col("id"), col("s"), col("blk"), 0.98, store, 1L, acc)
+    val sec2 = (System.nanoTime() - t2) / 1e9
+    println(f"[stressx] streamlink epoch1 REPLAY: $sec2%.1f s, accepted=$accepted matched=$matched")
+    assert(accepted == acc1 && matched == m1, "replay must re-derive identical assignments")
   }
 
   /** x146/x152/x149 at scale (own method: main is at the JVM 64KB cap). */
