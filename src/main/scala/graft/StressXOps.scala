@@ -72,7 +72,7 @@ object StressXOps {
     // (simhash,minhash,cosine,decontaminate,pack,cc,quantile,pii,sample,
     // lines,quantize,spans,semdedup,bloominc,retrieval,qknn,classifier,
     // curation9,curation10,curation10b,curation10c,curation10d,curation10e,
-    // curation11,…,graph,editdist,spectral,sft,curation16,linkage,streamlink) — default all
+    // curation11,…,graph,editdist,spectral,sft,curation16,linkage,streamlink,acscan) — default all
     val only = if (args.length > 2) args(2).split(",").toSet else Set.empty[String]
     def section(name: String): Boolean = only.isEmpty || only(name)
     val spark = SparkSession
@@ -2575,6 +2575,9 @@ object StressXOps {
     // ---- StreamLinkage: continuous ER at 1M keys/epoch, planted attach/new
     if (section("streamlink")) streamLinkSection(spark, math.min(nDocs, 1000000L))
 
+    // ---- x160 Aho-Corasick vs per-phrase regex chain A/B
+    if (section("acscan")) acScanSection(spark, math.min(nDocs, 1000000L))
+
     corpus.unpersist()
     spark.stop()
   }
@@ -2688,6 +2691,42 @@ object StressXOps {
       assert(ctrl.getAs[Double]("psi") == 0.0 && !ctrl.getAs[Boolean]("drifted"), "symmetric control must read EXACTLY zero")
       assert(shft.getAs[Boolean]("drifted"), "planted shift must flag")
       drr.unpersist()
+  }
+
+  /** x160 at scale: one AC automaton pass over 500 phrases vs the
+    * per-phrase `regexp_count` chain (what a blocklist without AC
+    * actually runs when it needs per-phrase counts). Equality asserted
+    * on a common subset; the regex chain is timed on n/20 docs and the
+    * AC kernel on all n — the printed ratio is the fused-kernel
+    * justification (the x75/x52 precedent).
+    */
+  private def acScanSection(spark: SparkSession, n: Long): Unit = {
+    val phrases = (0 until 500).map(_.toString)
+    val docs = spark.range(n).select(col("id"), col("id").as("base_id"))
+      .select(col("id"), tokens(perturbFirst = false).as("text")).persist()
+    docs.count()
+    val ac = docs.select(graft.functions.text.ac_count(col("text"), phrases).as("h"))
+    val t0 = System.nanoTime()
+    val acTotal = ac.agg(sum(col("h"))).head().getLong(0)
+    val acSec = (System.nanoTime() - t0) / 1e9
+    val sub = docs.filter(col("id") % 20 === 0).persist()
+    val nSub = sub.count()
+    // balanced add tree: a linear reduce nests 500 Adds and overflows
+    // Catalyst's analyzer stack; pairing keeps depth at ~log2(500)
+    def balancedSum(cs: Seq[Column]): Column =
+      if (cs.size == 1) cs.head
+      else balancedSum(cs.grouped(2).map(g => if (g.size == 2) g(0) + g(1) else g(0)).toSeq)
+    val rxCol = balancedSum(
+      phrases.map(p => regexp_count(col("text"), lit(java.util.regex.Pattern.quote(p))).cast("long"))
+    )
+    val t1 = System.nanoTime()
+    val rxTotal = sub.select(rxCol.as("h")).agg(sum(col("h"))).head().getLong(0)
+    val rxSec = (System.nanoTime() - t1) / 1e9
+    val acSubTotal = sub.select(graft.functions.text.ac_count(col("text"), phrases).as("h"))
+      .agg(sum(col("h"))).head().getLong(0)
+    println(f"[stressx] acScan @ $n%d docs x 500 phrases: AC $acSec%.1f s (hits=$acTotal); regex chain $rxSec%.1f s on $nSub docs (${rxSec / acSec * (n.toDouble / nSub)}%.0fx extrapolated); subset equality ${acSubTotal == rxTotal} ($acSubTotal vs $rxTotal)")
+    assert(acSubTotal == rxTotal, "AC must equal the per-phrase regex chain")
+    sub.unpersist(); docs.unpersist()
   }
 
   /** StreamLinkage at scale: epoch 0 ingests n keys (1% planted

@@ -1190,4 +1190,123 @@ object text {
 
   def luhn_scan(textCol: Column): Column =
     Bridge.column(LuhnScan(Bridge.expression(textCol)))
+
+  /** Aho-Corasick multi-phrase counter (Aho & Corasick 1975, "Efficient
+    * String Matching: An Aid to Bibliographic Search") — the scale path
+    * for large blocklists/lexicons: the regex alternation
+    * [[graft.operators.TextOps.phrasePattern]] compiles is scanned per
+    * alternative by the JDK engine (O(len·k) worst case and measured
+    * badly super-linear in k), while one AC automaton matches ALL k
+    * phrases in a single O(len + matches) pass.
+    *
+    * Semantics pinned to be SQL-replayable and regex-twin-equal: per
+    * phrase, NON-OVERLAPPING greedy-left occurrence count (exactly what
+    * `regexp_count(text, quoted-phrase)` and DuckDB
+    * `(LENGTH(t)-LENGTH(REPLACE(t,p,'')))/LENGTH(p)` compute), phrases
+    * counted independently (a phrase that is a substring of another
+    * still counts its own occurrences), case-sensitive, char-literal (no
+    * word boundaries — callers needing [[TextOps.phrasePattern]]'s edge
+    * anchoring pre-tokenize or post-filter). Returns the total count
+    * over all phrases as long.
+    *
+    * UTF-16 scan; automaton built once per expression instance
+    * (@transient lazy — rebuilt per executor after deserialization,
+    * never per row).
+    */
+  case class AhoCorasickCount(child: Expression, phrases: Seq[String])
+      extends UnaryExpression
+      with ImplicitCastInputTypes {
+    require(phrases.nonEmpty, "need at least one phrase")
+    require(phrases.forall(_.nonEmpty), "phrases must be non-empty")
+    require(phrases.distinct.size == phrases.size, s"phrases must be distinct: $phrases")
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+
+    // trie: per-node char→child map; fail links; output = phrase ids
+    // ending at the node PLUS the output-link chain (collapsed at build)
+    @transient private lazy val automaton: (
+        Array[java.util.HashMap[Character, Integer]],
+        Array[Int],
+        Array[Array[Int]]
+    ) = {
+      val kids = scala.collection.mutable.ArrayBuffer(new java.util.HashMap[Character, Integer]())
+      val ends = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+      phrases.zipWithIndex.foreach { case (p, pi) =>
+        var node = 0
+        p.foreach { c =>
+          val m = kids(node)
+          val nxt = m.get(c)
+          node = if (nxt != null) nxt.intValue()
+          else {
+            kids += new java.util.HashMap[Character, Integer]()
+            ends += Nil
+            m.put(c, kids.size - 1)
+            kids.size - 1
+          }
+        }
+        ends(node) = pi :: ends(node)
+      }
+      val n = kids.size
+      val fail = new Array[Int](n)
+      val out = new Array[List[Int]](n)
+      (0 until n).foreach(i => out(i) = ends(i))
+      val q = new java.util.ArrayDeque[Int]()
+      kids(0).forEach { (_, v) => fail(v) = 0; q.add(v) }
+      while (!q.isEmpty) {
+        val u = q.poll()
+        kids(u).forEach { (c, v) =>
+          var f = fail(u)
+          while (f != 0 && !kids(f).containsKey(c)) f = fail(f)
+          val fc = kids(f).get(c)
+          fail(v) = if (fc != null && fc.intValue() != v.intValue()) fc.intValue() else 0
+          out(v) = out(v) ++ out(fail(v)) // collapse output chain at build
+          q.add(v)
+        }
+      }
+      (kids.toArray, fail, out.map(_.toArray))
+    }
+    @transient private lazy val phraseLen: Array[Int] = phrases.map(_.length).toArray
+
+    /** Invoked from both eval and generated code. */
+    def compute(v: UTF8String): Long = {
+      val (kids, fail, out) = automaton
+      val s = v.toString
+      val lastEnd = new Array[Int](phrases.size)
+      java.util.Arrays.fill(lastEnd, -1)
+      var total = 0L
+      var state = 0
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        var st = state
+        while (st != 0 && !kids(st).containsKey(c)) st = fail(st)
+        val nxt = kids(st).get(c)
+        state = if (nxt != null) nxt.intValue() else 0
+        val hits = out(state)
+        var h = 0
+        while (h < hits.length) {
+          val pi = hits(h)
+          val start = i - phraseLen(pi) + 1
+          // per-phrase greedy-left non-overlap: count iff this match
+          // starts after the previous counted match of the SAME phrase
+          if (start > lastEnd(pi)) { total += 1L; lastEnd(pi) = i }
+          h += 1
+        }
+        i += 1
+      }
+      total
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("acCount", this, classOf[AhoCorasickCount].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+    }
+    override protected def withNewChildInternal(c: Expression): AhoCorasickCount =
+      copy(child = c)
+  }
+
+  def ac_count(textCol: Column, phrases: Seq[String]): Column =
+    Bridge.column(AhoCorasickCount(Bridge.expression(textCol), phrases))
 }

@@ -23,6 +23,14 @@ object ExtensionQueries {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.load(s, dir, name)
 
+  /** x160's phrase list: words that occur naturally in the synthetic
+    * corpus, with deliberate nesting ("spar" ⊂ "spark", "ar" ⊂ both) and
+    * a two-word phrase — shared verbatim with the oracle's REPLACE-count
+    * replay.
+    */
+  private val AcScanPhrases: Seq[String] =
+    Seq("spark", "spar", "ar", "group fast", "value", "row")
+
   /** x155's literal MaxMatch vocabulary: whole synthetic-corpus words,
     * a couple of sub-word pieces, space, and single letters with
     * 'q'/'x'/'z' deliberately missing (they must surface as `<unk>`).
@@ -3331,6 +3339,23 @@ object ExtensionQueries {
         .orderBy(col("lang"))
     }),
 
+    // Aho-Corasick multi-phrase scan over phrases that occur NATURALLY in
+    // the corpus, with nesting ("spar" inside "spark") and a two-word
+    // phrase — per-lang totals of per-phrase non-overlapping counts.
+    "x160_ac_scan" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(
+          col("lang"),
+          graft.functions.text.ac_count(col("text"), AcScanPhrases).as("__h")
+        )
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("__h")).as("n_hits"),
+          sum(when(col("__h") > 0, 1L).otherwise(0L)).as("n_docs_hit")
+        )
+        .orderBy(col("lang"))),
+
     // Pagination-stitch detection: planted page pairs share a 30-char
     // boundary (page A = chars 1..150, page B = chars 121..end, so A's
     // tail IS B's head); short docs ride along as unpaired noise.
@@ -6439,6 +6464,21 @@ object ExtensionQueries {
         |  COALESCE(a.n_valid, 0) AS n_luhn_valid
         |FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1) l
         |LEFT JOIN agg a USING (lang) ORDER BY 1""".stripMargin,
+
+    // per-phrase non-overlapping counts = REPLACE-count, summed; phrase
+    // VALUES built from the SAME Scala constant as the engine query
+    "x160_ac_scan" -> {
+      val phraseSql = AcScanPhrases.map(p => "'" + p.replace("'", "''") + "'").mkString(", ")
+      s"""WITH p AS (SELECT UNNEST([$phraseSql]) AS ph),
+        |h AS (SELECT d.lang, d.doc_id,
+        |    CAST(SUM((LENGTH(d.text) - LENGTH(REPLACE(d.text, p.ph, ''))) // LENGTH(p.ph))
+        |      AS BIGINT) AS hits
+        |  FROM documents d, p GROUP BY 1, 2)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(hits) AS BIGINT) AS n_hits,
+        |  CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "x152_stitch" ->
       """WITH lng AS (SELECT doc_id, text FROM documents WHERE LENGTH(text) >= 200),

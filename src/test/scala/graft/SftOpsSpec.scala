@@ -576,6 +576,32 @@ class SftOpsSpec extends SparkTestBase {
     assert(got(6) == ((0, 0)))
   }
 
+  test("AhoCorasickCount: equals the per-phrase regexp_count sum on nested/overlapping phrases") {
+    import spark.implicits._
+    val phrases = Seq("aa", "aab", "ab", "ba", "spark", "spar", "ar", "x[y]z")
+    val rows = Seq(
+      "aaaa",             // 'aa' non-overlap = 2; 'aab' 0; 'ab' 0; 'ba' 0
+      "aabab",            // 'aa' 1, 'aab' 1, 'ab' 2, 'ba' 1
+      "sparksparspark",   // 'spark' 2, 'spar' non-overlap greedy = 3, 'ar' 3
+      "x[y]z literal ok", // regex metachars must count literally
+      "",                 // zero everything
+      "no hits here!"
+    ).toDF("t")
+    val got = rows
+      .select(
+        graft.functions.text.ac_count(col("t"), phrases).as("ac"),
+        phrases
+          .map(p => regexp_count(col("t"), lit(java.util.regex.Pattern.quote(p))).cast("long"))
+          .reduce(_ + _)
+          .as("rx")
+      )
+      .as[(Long, Long)]
+      .collect()
+    got.zipWithIndex.foreach { case ((ac, rx), i) => assert(ac == rx, s"row $i: ac=$ac rx=$rx") }
+    // pin the hand-computed values too (not just self-consistency)
+    assert(got.map(_._1).toSeq == Seq(2L, 5L, 8L, 1L, 0L, 0L))
+  }
+
   test("specialTokenScan: zero rows evidenced, overlap-free literal counting, regex metachars inert") {
     import spark.implicits._
     val df = Seq(
