@@ -268,4 +268,42 @@ object Audit {
         round(col("n_rows").cast("double") / col("__tot"), 6).as("row_share")
       )
   }
+
+  /** Laplace-mechanism count release (Dwork, McSherry, Nissim, Smith
+    * 2006, "Calibrating Noise to Sensitivity in Private Data Analysis"):
+    * per-group counts published with Laplace(1/ε) noise — the sensitivity
+    * of a counting query is 1, so scale b = 1/ε gives ε-DP. Output:
+    * `(grp, n_true, noise, noisy_count, epsilon)` with noisy_count =
+    * max(0, round(n + noise)).
+    *
+    * HONESTY CONTRACT: the noise here is drawn from the DETERMINISTIC
+    * md5-seeded uniform ([[CorpusOps.hashUniform]] of the group key) via
+    * the inverse-CDF transform — which makes releases reproducible and
+    * oracle-checkable but is NOT differentially private (DP requires
+    * secret, fresh randomness; a public seed lets anyone subtract the
+    * noise). This operator is the release-PIPELINE twin: the plumbing,
+    * clipping, and accounting are production shapes; swap the uniform
+    * for a secure source (and drop `n_true`/`noise` from the output) to
+    * get the real mechanism. The ln is the one transcendental — its
+    * value is 6dp-pre-rounded before the count add (the x126 rule), so
+    * both engines round the same integer.
+    *
+    * Shape at 100 TB: one partial-aggregating exchange on the group key;
+    * the noise is a zero-shuffle projection over the group-sized result.
+    */
+  def dpCounts(df: DataFrame, groupCol: Column, epsilon: Double): DataFrame = {
+    require(epsilon > 0.0, s"epsilon must be positive, got $epsilon")
+    val b = 1.0 / epsilon
+    val counts = df.select(groupCol.as("grp")).groupBy(col("grp")).agg(count(lit(1)).as("n_true"))
+    val u = CorpusOps.hashUniform(col("grp"))
+    val noise =
+      round(-lit(b) * signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5)), 6)
+    counts.select(
+      col("grp"),
+      col("n_true"),
+      noise.as("noise"),
+      greatest(lit(0L), round(col("n_true") + noise, 0).cast("long")).as("noisy_count"),
+      lit(epsilon).as("epsilon")
+    )
+  }
 }

@@ -3356,6 +3356,19 @@ object ExtensionQueries {
         )
         .orderBy(col("lang"))),
 
+    // Laplace count release (ε=1) per (lang, source) cell — group keys
+    // as strings so the seeded-uniform replay is engine-identical.
+    "x161_dp_counts" -> ((s, dir) =>
+      Audit
+        .dpCounts(
+          T(s, dir, "documents").select(
+            concat(col("lang"), lit("|"), col("source")).as("cell")
+          ),
+          col("cell"),
+          epsilon = 1.0
+        )
+        .orderBy(col("grp"))),
+
     // Pagination-stitch detection: planted page pairs share a 30-char
     // boundary (page A = chars 1..150, page B = chars 121..end, so A's
     // tail IS B's head); short docs ride along as unpaired noise.
@@ -6479,6 +6492,21 @@ object ExtensionQueries {
         |  CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit
         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    // seeded-uniform inverse-CDF Laplace replay; ln pre-rounded 6dp
+    "x161_dp_counts" ->
+      s"""WITH c AS (SELECT lang || '|' || source AS grp, CAST(COUNT(*) AS BIGINT) AS n_true
+        |           FROM documents GROUP BY 1),
+        |d AS (SELECT grp, n_true, md5(grp) AS h FROM c),
+        |nz AS (SELECT grp, n_true,
+        |    ROUND(-1.0 * CASE WHEN ($hashUniformSql) - 0.5 > 0 THEN 1.0
+        |                      WHEN ($hashUniformSql) - 0.5 < 0 THEN -1.0 ELSE 0.0 END
+        |      * LN(1.0 - 2.0 * ABS(($hashUniformSql) - 0.5)), 6) AS noise
+        |  FROM d)
+        |SELECT grp, n_true, noise,
+        |  GREATEST(0, CAST(ROUND(n_true + noise, 0) AS BIGINT)) AS noisy_count,
+        |  CAST(1.0 AS DOUBLE) AS epsilon
+        |FROM nz ORDER BY 1""".stripMargin,
 
     "x152_stitch" ->
       """WITH lng AS (SELECT doc_id, text FROM documents WHERE LENGTH(text) >= 200),

@@ -135,4 +135,31 @@ class AuditOpsSpec extends SparkTestBase {
     assert(got("2..4") == ((2L, 5L, 0.416667)))
     assert(got(">=5") == ((1L, 6L, 0.5)))
   }
+
+  test("dpCounts: deterministic seeded release, clipping, internal consistency, epsilon scaling") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => if (i <= 70) "a" else "b").toDF("g")
+    val rel = Audit.dpCounts(df, col("g"), epsilon = 1.0).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(rel("a")._1 == 70 && rel("b")._1 == 30)
+    // noisy = max(0, round(n + noise)) holds row-by-row
+    rel.values.foreach { case (n, noise, noisy) =>
+      val rounded = BigDecimal(n + noise).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      assert(noisy == math.max(0L, rounded))
+    }
+    // determinism: the same release twice
+    val rel2 = Audit.dpCounts(df, col("g"), epsilon = 1.0).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(rel == rel2)
+    // smaller epsilon -> strictly larger |noise| (same uniform, b = 1/eps)
+    val loose = Audit.dpCounts(df, col("g"), epsilon = 0.1).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    rel.foreach { case (g, (_, noise, _)) =>
+      if (noise != 0.0) assert(math.abs(loose(g)) > math.abs(noise), s"group $g")
+    }
+    // clipping: a tiny group with a large negative draw can't go below 0
+    val all = Audit.dpCounts((1 to 3).map(_ => "solo").toDF("g"), col("g"), epsilon = 0.01)
+      .head()
+    assert(all.getLong(3) >= 0L)
+  }
 }

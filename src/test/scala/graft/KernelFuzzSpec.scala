@@ -209,4 +209,55 @@ class KernelFuzzSpec extends SparkTestBase {
       assert(got == want, s"text=${s.replace("\n", "\\n")}")
     }
   }
+
+  test("AhoCorasickCount fuzz: random dense texts match the independent per-phrase greedy recompute") {
+    val r = new Random(77)
+    // per-phrase greedy-left non-overlapping count, computed with plain
+    // String.indexOf — the independent referee (no automaton involved)
+    def refCount(s: String, phrases: Seq[String]): Long =
+      phrases.map { p =>
+        var from = 0
+        var c = 0L
+        var i = s.indexOf(p, from)
+        while (i >= 0) { c += 1; from = i + p.length; i = s.indexOf(p, from) }
+        c
+      }.sum
+    for (round <- 0 until 120) {
+      // tiny alphabet makes collisions, nesting and overlap dense
+      val alpha = "abc"
+      def rs(maxLen: Int): String =
+        (0 until (1 + r.nextInt(maxLen))).map(_ => alpha(r.nextInt(alpha.length))).mkString
+      val phrases = (0 until (1 + r.nextInt(8))).map(_ => rs(4)).distinct
+      val s = rs(60)
+      val got = ftext
+        .AhoCorasickCount(
+          Literal(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+            org.apache.spark.sql.types.StringType),
+          phrases
+        )
+        .eval(null)
+        .asInstanceOf[Long]
+      val want = refCount(s, phrases)
+      assert(got == want, s"round=$round text=$s phrases=$phrases got=$got want=$want")
+    }
+  }
+
+  test("JaroWinkler fuzz: symmetry, bounds, identity over random strings") {
+    val r = new Random(99)
+    def rs(): String = (0 until r.nextInt(14)).map(_ => ('a' + r.nextInt(5)).toChar).mkString
+    def jw(a: String, b: String): Double =
+      ftext.JaroWinkler(
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString(a),
+          org.apache.spark.sql.types.StringType),
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString(b),
+          org.apache.spark.sql.types.StringType)
+      ).eval(null).asInstanceOf[Double]
+    for (_ <- 0 until 200) {
+      val (a, b) = (rs(), rs())
+      val f = jw(a, b)
+      assert(f >= 0.0 && f <= 1.0)
+      assert(f == jw(b, a), s"asymmetric on $a / $b")
+      if (a.nonEmpty) assert(jw(a, a) == 1.0)
+    }
+  }
 }
