@@ -2149,6 +2149,76 @@ object CorpusOps {
       .withColumn("oov_rate", round(col("n_oov").cast("double") / col("n_tokens"), 6))
   }
 
+  /** Ranking-evaluation metrics per query: MRR and nDCG@k (Järvelin &
+    * Kekäläinen 2002, "Cumulated Gain-Based Evaluation of IR
+    * Techniques") over (query, rank, relevance) rows — the standard
+    * eval layer above [[bm25TopK]]/[[graft.operators.Similarity]]
+    * retrieval: DCG@k = Σ_{i≤k} rel_i/log2(i+1), IDCG from the
+    * relevance-sorted ideal ordering, nDCG = DCG/IDCG (0 when the query
+    * has no relevant results), MRR = 1/rank of the first relevant
+    * result (0 if none). All 6dp; each discount term is 6dp-PRE-ROUNDED
+    * before summation (log2 is transcendental — the x126 rule), so any
+    * engine replays the sums bit-equal.
+    *
+    * Shape at 100 TB: ONE partial-aggregating exchange on the query key
+    * — no per-query list materialization, no windows: the ideal-ordering
+    * rank needed for IDCG is itself computed relationally (count of
+    * higher-relevance rows + tie order), here specialized to BINARY
+    * relevance where IDCG@k = Σ_{i≤min(k,n_rel)} 1/log2(i+1) is a
+    * closed form of the per-query relevant count.
+    */
+  def rankingMetrics(
+      df: DataFrame,
+      queryCol: Column,
+      rankCol: Column,
+      relCol: Column,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // discount lookup 1..k, pre-rounded — shared literal on both sides
+    val disc: Array[Double] =
+      (1 to k).map(i => math.rint(1e6 / (math.log(i + 1) / math.log(2))) / 1e6).toArray
+    val rows = df.select(
+      queryCol.as("query_id"),
+      rankCol.cast("int").as("rank"),
+      (relCol.cast("int") > 0).as("rel")
+    )
+    val dcgTerm =
+      when(col("rel") && col("rank") <= k, element_at(lit(disc), col("rank"))).otherwise(lit(0.0))
+    val agg = rows
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("n_results"),
+        sum(when(col("rel"), 1L).otherwise(0L)).as("n_rel"),
+        min(when(col("rel"), col("rank"))).as("__fr"),
+        round(sum(dcgTerm), 6).as("dcg")
+      )
+    // binary-relevance IDCG@k: the ideal list packs all relevant results
+    // first, so IDCG = prefix sum of the (pre-rounded) discount table at
+    // min(k, n_rel); partials stay UNROUNDED — only the output rounds,
+    // matching the oracle's SUM-then-ROUND shape
+    val prefix: Array[Double] = disc.scanLeft(0.0)(_ + _).tail
+    // idcg is ROUNDED once and the division uses the ROUNDED value — the
+    // oracle's SUM-then-ROUND-then-divide shape exactly
+    val idcgR = round(
+      when(col("n_rel") >= 1, element_at(lit(prefix), least(col("n_rel").cast("int"), lit(k))))
+        .otherwise(lit(0.0)),
+      6
+    )
+    agg
+      .withColumn("idcg", idcgR)
+      .select(
+        col("query_id"),
+        col("n_results"),
+        col("n_rel"),
+        round(when(col("__fr").isNotNull, lit(1.0) / col("__fr")).otherwise(lit(0.0)), 6)
+          .as("mrr"),
+        col("dcg"),
+        col("idcg"),
+        round(when(col("idcg") > 0, col("dcg") / col("idcg")).otherwise(lit(0.0)), 6).as("ndcg")
+      )
+  }
+
   /** Temperature-based language rebalancing (the multilingual-pretraining
     * mixture recipe: sample languages ∝ pₗ^α — Conneau et al. 2020
     * "Unsupervised Cross-lingual Representation Learning at Scale" §3.1

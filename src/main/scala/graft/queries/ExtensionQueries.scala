@@ -3369,6 +3369,24 @@ object ExtensionQueries {
         )
         .orderBy(col("grp"))),
 
+    // MRR + nDCG@5 over synthetic ranked lists (qid = doc_id div 8,
+    // rank = doc_id mod 8 + 1, binary relevance from a mod rule —
+    // every metric component replays arithmetically).
+    "x162_ranking_metrics" -> ((s, dir) =>
+      CorpusOps
+        .rankingMetrics(
+          T(s, dir, "documents").select(
+            (col("doc_id") / 8).cast("long").as("qid"),
+            (col("doc_id") % 8 + 1).as("rank"),
+            when((col("doc_id") * 7) % 3 === 0, 1).otherwise(0).as("rel")
+          ),
+          col("qid"),
+          col("rank"),
+          col("rel"),
+          k = 5
+        )
+        .orderBy(col("query_id"))),
+
     // Pagination-stitch detection: planted page pairs share a 30-char
     // boundary (page A = chars 1..150, page B = chars 121..end, so A's
     // tail IS B's head); short docs ride along as unpaired noise.
@@ -6507,6 +6525,32 @@ object ExtensionQueries {
         |  GREATEST(0, CAST(ROUND(n_true + noise, 0) AS BIGINT)) AS noisy_count,
         |  CAST(1.0 AS DOUBLE) AS epsilon
         |FROM nz ORDER BY 1""".stripMargin,
+
+    // discounts pre-rounded 6dp per term (LOG2 is the transcendental),
+    // sums rounded once at output — the engine's exact shape
+    "x162_ranking_metrics" ->
+      """WITH r AS (SELECT CAST(doc_id // 8 AS BIGINT) AS qid,
+        |    CAST(doc_id % 8 + 1 AS INT) AS rank,
+        |    CASE WHEN (doc_id*7) % 3 = 0 THEN 1 ELSE 0 END AS rel
+        |  FROM documents),
+        |disc AS (SELECT CAST(i + 1 AS INT) AS rank, ROUND(1.0 / LOG2(i + 2), 6) AS d
+        |         FROM (SELECT UNNEST(RANGE(5)) AS i)),
+        |agg AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_results,
+        |    CAST(SUM(rel) AS BIGINT) AS n_rel,
+        |    MIN(CASE WHEN rel = 1 THEN r.rank END) AS fr,
+        |    ROUND(SUM(CASE WHEN rel = 1 AND r.rank <= 5 THEN disc.d ELSE 0.0 END), 6) AS dcg
+        |  FROM r LEFT JOIN disc ON r.rank = disc.rank GROUP BY 1),
+        |pre AS (SELECT CAST(n AS BIGINT) AS n, ROUND(SUM(d), 6) AS idcg
+        |  FROM (SELECT d1.rank AS n, d2.d FROM disc d1 JOIN disc d2 ON d2.rank <= d1.rank)
+        |  GROUP BY 1)
+        |SELECT qid AS query_id, n_results, n_rel,
+        |  ROUND(CASE WHEN fr IS NOT NULL THEN 1.0 / fr ELSE 0.0 END, 6) AS mrr,
+        |  dcg,
+        |  COALESCE(CASE WHEN n_rel >= 1 THEN pre.idcg END, 0.0) AS idcg,
+        |  ROUND(CASE WHEN n_rel >= 1 AND pre.idcg > 0 THEN dcg / pre.idcg ELSE 0.0 END, 6)
+        |    AS ndcg
+        |FROM agg LEFT JOIN pre ON pre.n = LEAST(agg.n_rel, 5)
+        |ORDER BY 1""".stripMargin,
 
     "x152_stitch" ->
       """WITH lng AS (SELECT doc_id, text FROM documents WHERE LENGTH(text) >= 200),

@@ -986,6 +986,34 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(keeps() == keeps())
   }
 
+  test("rankingMetrics: hand-computed MRR/nDCG@5 — mid-rank hit, no-rel query, beyond-k relevance") {
+    import spark.implicits._
+    val df = Seq(
+      // A: rel at rank 2 only -> mrr .5, dcg = 1/log2(3), idcg = 1
+      ("A", 1, 0), ("A", 2, 1), ("A", 3, 0),
+      // B: nothing relevant -> all zeros
+      ("B", 1, 0), ("B", 2, 0),
+      // C: rel at rank 1 and rank 7 (beyond k) -> dcg counts only rank 1,
+      // idcg uses n_rel = 2
+      ("C", 1, 1), ("C", 7, 1), ("C", 2, 0)
+    ).toDF("q", "rank", "rel")
+    val got = CorpusOps
+      .rankingMetrics(df, col("q"), col("rank"), col("rel"), k = 5)
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    val a = got("A")
+    assert(a.getAs[Double]("mrr") == 0.5)
+    assert(a.getAs[Double]("dcg") == 0.63093)
+    assert(a.getAs[Double]("idcg") == 1.0 && a.getAs[Double]("ndcg") == 0.63093)
+    val b = got("B")
+    assert(b.getAs[Double]("mrr") == 0.0 && b.getAs[Double]("idcg") == 0.0 && b.getAs[Double]("ndcg") == 0.0)
+    val c = got("C")
+    assert(c.getAs[Long]("n_rel") == 2 && c.getAs[Double]("mrr") == 1.0)
+    assert(c.getAs[Double]("dcg") == 1.0 && c.getAs[Double]("idcg") == 1.63093)
+    assert(c.getAs[Double]("ndcg") == 0.613147)
+  }
+
   test("quantileNormalize: PERCENT_RANK semantics — ties share, min is 0, max is 1, singleton group is 0") {
     import spark.implicits._
     val df = Seq(
