@@ -35,6 +35,13 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  private def isIntegral(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+        org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+      true
+    case _ => false
+  }
+
   /** One large-star round: every node u links its LARGER neighbors to the
     * minimum of its closed neighborhood m = min(N(u) ∪ {u}). Keeps all
     * connectivity (Kiveris et al. lemma 1) while halving long chains.
@@ -93,7 +100,9 @@ object ConnectedComponents {
   }
 
   /** Connected components of the undirected graph given by `pairs`
-    * (columns `idA`, `idB`, integral ids). Returns one row per node that
+    * (columns `idA`, `idB`; integral ids run as longs, any other shared
+    * orderable type — string URLs/UUIDs — runs natively). Returns one row
+    * per node that
     * appears in any NON-self-loop pair: (id, component) where component is
     * the SMALLEST id in the node's component (so `id === component` marks
     * the canonical representative). Self-loops are dropped up front, so a
@@ -120,19 +129,38 @@ object ConnectedComponents {
       maxRounds: Int = 50
   ): (DataFrame, Int) = {
     val spark = pairs.sparkSession
+    // id typing: integral ids normalize to long (the 8-byte-key wire
+    // discipline); any other orderable type (string URLs/UUIDs, the
+    // common web-corpus key) runs NATIVELY — the alternating-star rounds
+    // only need ordering + equality, which Spark's min/least/greatest
+    // give every atomic type. Mixed-type edges are rejected up front
+    // rather than silently coerced.
+    val aType = pairs.schema(idA).dataType
+    val bType = pairs.schema(idB).dataType
+    val bothIntegral = isIntegral(aType) && isIntegral(bType)
+    require(
+      bothIntegral || aType == bType,
+      s"pair id columns must both be integral or share one type, got $aType / $bType"
+    )
+    val (srcIn, dstIn) =
+      if (bothIntegral) (col(idA).cast("long"), col(idB).cast("long"))
+      else (col(idA), col(idB))
     // localCheckpoint (eager) after every round: iterative self-unions
     // grow the LOGICAL plan exponentially, and Catalyst re-optimizes the
     // whole accumulated tree each round — checkpointing truncates lineage
     // so round N plans over round N-1's materialized blocks, keeping both
     // optimizer time and retry cost O(1) per round.
     var edges = pairs
-      .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+      .select(srcIn.as("src"), dstIn.as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
     var sig = signature(edges)
     if (sig._1 == 0L)
-      return (spark.range(0).select(col("id"), col("id").as("component")), 0)
+      return (
+        pairs.limit(0).select(srcIn.as("id"), srcIn.as("component")),
+        0
+      )
     val debug = java.lang.Boolean.getBoolean("graft.cc.debug")
     var rounds = 0
     var converged = false
@@ -261,7 +289,12 @@ object ConnectedComponents {
       extra: Seq[(String, Column)]
   ): DataFrame = {
     val cc = run(pairs)
-    df.select(idCol.cast("long").as("doc_id") +: extra.map { case (n, c) => c.as(n) }: _*)
+    // mirror run's id typing: integral doc ids normalize to long so the
+    // component join keys agree; non-integral ids stay native
+    val docId =
+      if (isIntegral(df.select(idCol).schema.head.dataType)) idCol.cast("long")
+      else idCol
+    df.select(docId.as("doc_id") +: extra.map { case (n, c) => c.as(n) }: _*)
       .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .withColumn("component", coalesce(col("component"), col("doc_id")))
   }

@@ -2183,14 +2183,17 @@ object CorpusOps {
       rankCol.cast("int").as("rank"),
       (relCol.cast("int") > 0).as("rel")
     )
+    // rank >= 1 guard: a 0/negative rank must score 0, not reach
+    // element_at (ANSI throws on index 0; negative indexes from the end)
     val dcgTerm =
-      when(col("rel") && col("rank") <= k, element_at(lit(disc), col("rank"))).otherwise(lit(0.0))
+      when(col("rel") && col("rank") >= 1 && col("rank") <= k, element_at(lit(disc), col("rank")))
+        .otherwise(lit(0.0))
     val agg = rows
       .groupBy(col("query_id"))
       .agg(
         count(lit(1)).as("n_results"),
         sum(when(col("rel"), 1L).otherwise(0L)).as("n_rel"),
-        min(when(col("rel"), col("rank"))).as("__fr"),
+        min(when(col("rel") && col("rank") >= 1, col("rank"))).as("__fr"),
         round(sum(dcgTerm), 6).as("dcg")
       )
     // binary-relevance IDCG@k: the ideal list packs all relevant results

@@ -89,7 +89,11 @@ object EventOps {
       .join(cohort, Seq("__u"))
       .select(
         col("__c0"),
-        ((col("__wk").cast("long") - col("__c0").cast("long")) / 604800L).cast("int").as("week_offset")
+        // datediff on DATEs, not epoch-seconds/604800: week-trunc
+        // boundaries are exactly N*7 days apart in calendar days even
+        // when a DST transition makes the wall-clock span 604800±3600 s,
+        // so this buckets correctly in any session timezone
+        (datediff(col("__wk").cast("date"), col("__c0").cast("date")) / 7).cast("int").as("week_offset")
       )
       .groupBy(col("__c0"), col("week_offset"))
       .agg(count(lit(1)).as("n_users"))

@@ -1233,6 +1233,19 @@ object TextOps {
       maxHitsPer100Words: Double = 1.0
   ): DataFrame = {
     require(categories.nonEmpty, "need at least one category")
+    // category names become column names (<name>_hits/_per100w): restrict
+    // to identifier-safe charset so dots/backticks can't break col()
+    // resolution, and forbid the reserved output names
+    categories.keys.foreach { name =>
+      require(
+        name.matches("[A-Za-z0-9_]+"),
+        s"category name must match [A-Za-z0-9_]+, got '$name'"
+      )
+      require(
+        name != "doc_id" && name != "flagged",
+        s"category name '$name' collides with an output column"
+      )
+    }
     val t = lower(coalesce(text, lit("")))
     val words = size(split(t, "\\s+")).cast("double")
     val cats = categories.toSeq.sortBy(_._1)

@@ -6226,7 +6226,7 @@ object ExtensionQueries {
     "x145_retention" ->
       """WITH uw AS (SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS wk FROM events),
         |c AS (SELECT user_id, MIN(wk) AS c0 FROM uw GROUP BY 1),
-        |cells AS (SELECT c0, CAST((EPOCH(wk) - EPOCH(c0)) / 604800 AS INT) AS week_offset,
+        |cells AS (SELECT c0, CAST(DATE_DIFF('day', CAST(c0 AS DATE), CAST(wk AS DATE)) / 7 AS INT) AS week_offset,
         |       CAST(COUNT(*) AS BIGINT) AS n_users
         |  FROM uw JOIN c USING (user_id) GROUP BY 1, 2),
         |sz AS (SELECT c0, n_users AS sz FROM cells WHERE week_offset = 0)

@@ -72,18 +72,24 @@ object StreamLinkage {
           .parquet(keyStore)
           .filter(col("epoch") =!= epoch)
           .select(col("id"), col("block"), col("s"), col("entity"))
-      else
+      else {
+        // first-epoch fallback: derive id/entity types from THIS batch so
+        // string (or any) id types don't get coerced to the store schema
+        // of a hardcoded LongType on epoch 0 and then disagree with every
+        // later epoch's parquet schema
+        val idType = b.schema("id").dataType
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(
             Seq(
-              org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("id", idType),
               org.apache.spark.sql.types.StructField("block", org.apache.spark.sql.types.StringType),
               org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.StructField("entity", org.apache.spark.sql.types.LongType)
+              org.apache.spark.sql.types.StructField("entity", idType)
             )
           )
         )
+      }
 
     // batch ↔ store matches (within block, thresholded JW): raw
     // (id, entity) rows — distinctness is judged at COMPONENT level below

@@ -58,6 +58,29 @@ class ClusterCurationSpec extends SparkTestBase {
     assert(ccResult(Seq.empty).isEmpty)
   }
 
+  test("connectedComponents: string ids (URL keys) run natively — lexicographic min is the label") {
+    import spark.implicits._
+    val pairs = Seq(
+      ("url/b", "url/a"), ("url/b", "url/c"), // component {a,b,c}, rep "url/a"
+      ("zz/2", "zz/1") // component {zz/1, zz/2}
+    ).toDF("id_a", "id_b")
+    val docs = Seq("url/a", "url/b", "url/c", "zz/1", "zz/2", "solo").toDF("id")
+    val got = ConnectedComponents
+      .assignClusters(docs, col("id"), pairs)
+      .collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getBoolean(3)))
+      .toMap
+    assert(got("url/a") == (("url/a", true)) && got("url/b") == (("url/a", false)))
+    assert(got("url/c") == (("url/a", false)))
+    assert(got("zz/1") == (("zz/1", true)) && got("zz/2") == (("zz/1", false)))
+    assert(got("solo") == (("solo", true)))
+    // mixed-type edges are rejected up front, not silently coerced
+    val mixed = Seq(("a", 1L)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      ConnectedComponents.run(mixed).collect()
+    }
+  }
+
   test("assignClusters: singletons keep their own id; sizes and representatives are right") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 4L, 9L).toDF("id")

@@ -1014,6 +1014,29 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(c.getAs[Double]("ndcg") == 0.613147)
   }
 
+  test("rankingMetrics: rank 0 / negative ranks score 0 — never reach element_at") {
+    import spark.implicits._
+    // rank 0 would throw under ANSI (array index 0); rank -1 would
+    // silently index from the array END without the >= 1 guard
+    val df = Seq(
+      ("A", 0, 1), ("A", -1, 1), ("A", 2, 1),
+      ("B", 0, 1), ("B", -3, 1)
+    ).toDF("q", "rank", "rel")
+    val got = CorpusOps
+      .rankingMetrics(df, col("q"), col("rank"), col("rel"), k = 5)
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    val a = got("A")
+    // only rank 2 contributes: dcg = 1/log2(3); mrr from rank 2
+    assert(a.getAs[Double]("dcg") == 0.63093)
+    assert(a.getAs[Double]("mrr") == 0.5)
+    val b = got("B")
+    // all ranks out of range: zero dcg/mrr, but n_rel still counts them
+    assert(b.getAs[Double]("dcg") == 0.0 && b.getAs[Double]("mrr") == 0.0)
+    assert(b.getAs[Long]("n_rel") == 2)
+  }
+
   test("quantileNormalize: PERCENT_RANK semantics — ties share, min is 0, max is 1, singleton group is 0") {
     import spark.implicits._
     val df = Seq(

@@ -71,6 +71,26 @@ class EventOpsSpec extends SparkTestBase {
     assert(m(("2024-01-08", 1)) == ((1L, 1.0)))
   }
 
+  test("retentionCohorts: week offsets survive a DST spring-forward session timezone") {
+    // America/New_York springs forward 2024-03-10: the Mar-4 → Mar-11
+    // week-trunc boundaries are 604800-3600 wall-clock seconds apart, so
+    // the old epoch/604800 truncation read offset 0 for the second week
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val events = Seq(
+        (1L, Timestamp.valueOf("2024-03-05 12:00:00"), "e"), // week of Mon Mar 4
+        (1L, Timestamp.valueOf("2024-03-12 12:00:00"), "e")  // week of Mon Mar 11 (post-DST)
+      ).toDF("user_id", "ts", "event_type")
+      val got = EventOps
+        .retentionCohorts(events, col("user_id"), col("ts"))
+        .collect()
+        .map(r => r.getAs[Int]("week_offset") -> r.getAs[Long]("n_users"))
+        .toMap
+      assert(got == Map(0 -> 1L, 1 -> 1L), s"DST week misbucketed: $got")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("cuped: perfectly correlated covariate removes ALL variance; uncorrelated removes none") {
     // g1: y = 2x + 3 exactly -> theta = 2, var_adj = 0, reduction = 1
     val g1 = Seq(("g1", 1.0), ("g1", 2.0), ("g1", 3.0), ("g1", 4.0))

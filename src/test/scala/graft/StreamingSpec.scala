@@ -458,4 +458,33 @@ class StreamingSpec extends SparkTestBase {
     val n1r = StreamLinkage.linkBatch(e1, col("id"), col("s"), col("blk"), 0.95, store, 1L, acc)
     assert(n1r == 4 && accepted.toMap == before, s"replay diverged: $accepted vs $before")
   }
+
+  test("StreamLinkage: string ids — epoch-0 fallback schema follows the batch id type") {
+    import spark.implicits._
+    import graft.streaming.StreamLinkage
+    val store = java.nio.file.Files.createTempDirectory("graft-link-store-str").toString + "/keys"
+    val accepted = scala.collection.mutable.Map.empty[String, (String, Boolean)]
+    val acc: (org.apache.spark.sql.DataFrame, Long) => Unit = (df, _) =>
+      df.collect().foreach { r =>
+        accepted(r.getAs[String]("id")) =
+          ((r.getAs[String]("entity"), r.getAs[Boolean]("matched_store")))
+      }
+    // epoch 0 exercises the empty-store fallback: before the fix, the
+    // hardcoded LongType store schema coerced/broke string ids here
+    val e0 = Seq(
+      ("doc-1", "alphaXX corp", "a"),
+      ("doc-2", "alphaXX corp.", "a"),
+      ("doc-3", "beta llc", "b")
+    ).toDF("id", "s", "blk")
+    val n0 = StreamLinkage.linkBatch(e0, col("id"), col("s"), col("blk"), 0.95, store, 0L, acc)
+    assert(n0 == 3)
+    assert(accepted("doc-1")._1 == "doc-1" && accepted("doc-2")._1 == "doc-1")
+    assert(accepted("doc-3")._1 == "doc-3")
+    // epoch 1 reads the epoch-0 parquet store back: schemas must agree
+    accepted.clear()
+    val e1 = Seq(("doc-9", "alphaXX corp!", "a")).toDF("id", "s", "blk")
+    val n1 = StreamLinkage.linkBatch(e1, col("id"), col("s"), col("blk"), 0.95, store, 1L, acc)
+    assert(n1 == 1)
+    assert(accepted("doc-9") == (("doc-1", true)), s"string id must attach to stored entity: $accepted")
+  }
 }

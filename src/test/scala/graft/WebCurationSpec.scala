@@ -166,6 +166,22 @@ class WebCurationSpec extends SparkTestBase {
     assert(rows(2).getAs[Double]("perf_per100w") == 100.0 && rows(2).getAs[Boolean]("flagged"))
   }
 
+  test("lexiconCategories: rejects category names that would break column resolution") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("id", "text")
+    // dots/backticks in a name would break col() resolution downstream
+    for (bad <- Seq("a.b", "a`b", "a b", "")) {
+      val e = intercept[IllegalArgumentException] {
+        TextOps.lexiconCategories(df, col("id"), col("text"), Map(bad -> Seq("x")))
+      }
+      assert(e.getMessage.contains("category name"), s"'$bad' accepted: ${e.getMessage}")
+    }
+    // reserved output names are rejected too
+    intercept[IllegalArgumentException] {
+      TextOps.lexiconCategories(df, col("id"), col("text"), Map("flagged" -> Seq("x")))
+    }
+  }
+
   test("keepBestByKey: string ids — lexicographic tie-break, null pref always loses") {
     import spark.implicits._
     val df = Seq(
