@@ -300,10 +300,10 @@ object ChatOps {
       .unionByName(directed.select(col("loser").as("i"), col("winner").as("j"), col("w")))
       .groupBy(col("i"), col("j"))
       .agg(sum(col("w")).as("n_ij"))
-      .localCheckpoint(true)
+      .transform(graft.runtime.GraftCheckpoint.pin)
     val wins = directed.groupBy(col("winner").as("item")).agg(sum(col("w")).as("wins"))
     val losses = directed.groupBy(col("loser").as("item")).agg(sum(col("w")).as("losses"))
-    val items = und.select(col("i").as("item")).distinct().localCheckpoint(true)
+    val items = und.select(col("i").as("item")).distinct().transform(graft.runtime.GraftCheckpoint.pin)
 
     var s = items.select(col("item"), lit(1.0).as("s"))
     var k = 0
@@ -326,7 +326,7 @@ object ChatOps {
       val next = raw
         .crossJoin(broadcast(tot))
         .select(col("item"), (col("sr") * col("n").cast("double") / col("tot")).as("s"))
-      s = if (checkpoint) next.localCheckpoint(true) else next
+      s = if (checkpoint) next.transform(graft.runtime.GraftCheckpoint.pin) else next
       k += 1
     }
     val ranked = s
@@ -440,7 +440,7 @@ object ChatOps {
       .filter(col("id").isNotNull)
       .groupBy(col("id"))
       .agg(min(col("parent")).as("parent"))
-      .localCheckpoint(true)
+      .transform(graft.runtime.GraftCheckpoint.pin)
     // state: path = ids from the node upward (node first), anc = the next
     // unexplored ancestor (null once the path has reached a root)
     var f = m.select(col("id"), array(col("id")).as("path"), col("parent").as("anc"))
@@ -455,7 +455,7 @@ object ChatOps {
           when(col("__j").isNotNull, concat(col("path"), col("__jp"))).otherwise(col("path")).as("path"),
           when(col("__j").isNotNull, col("__ja")).otherwise(col("anc")).as("anc")
         )
-        .localCheckpoint(true)
+        .transform(graft.runtime.GraftCheckpoint.pin)
       k += 1
     }
     val resolved = col("anc").isNull && size(col("path")) <= maxDepth + 1

@@ -27,11 +27,12 @@ import org.apache.spark.sql.functions._
   *     skewed stars cost one combiner pass, not a reducer hot spot;
   *   - the driver sees only a per-round (count, checksum) scalar for the
   *     convergence test — no `.collect()` of graph data ever;
-  *   - each round is eagerly checkpointed (`localCheckpoint`), truncating
-  *     lineage so plan size, optimizer time, and retry cost stay O(1) per
-  *     round instead of compounding; on a multi-executor cluster swap in
-  *     reliable `checkpoint` (HDFS/S3 dir) for executor-loss tolerance —
-  *     the round structure is unchanged.
+  *   - each round is eagerly pinned via [[graft.runtime.GraftCheckpoint]],
+  *     truncating lineage so plan size, optimizer time, and retry cost stay
+  *     O(1) per round instead of compounding; set
+  *     `spark.graft.checkpointDir` to an HDFS/S3 path and every pin
+  *     becomes a RELIABLE checkpoint (executor-loss tolerant) with the
+  *     round structure unchanged.
   */
 object ConnectedComponents {
 
@@ -154,7 +155,7 @@ object ConnectedComponents {
       .select(srcIn.as("src"), dstIn.as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.runtime.GraftCheckpoint.pin)
     var sig = signature(edges)
     if (sig._1 == 0L)
       return (
@@ -166,7 +167,7 @@ object ConnectedComponents {
     var converged = false
     while (!converged && rounds < maxRounds) {
       val t0 = System.nanoTime()
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = smallStar(largeStar(edges)).transform(graft.runtime.GraftCheckpoint.pin)
       val tCkpt = System.nanoTime()
       val nextSig = signature(next)
       if (debug)

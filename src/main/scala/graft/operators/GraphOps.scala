@@ -99,12 +99,12 @@ object GraphOps {
     * `localCheckpoint`ed per iteration.
     */
   def hits(edges: DataFrame, iters: Int): DataFrame = {
-    val e = dropNullEndpoints(edges).localCheckpoint(true)
+    val e = dropNullEndpoints(edges).transform(graft.runtime.GraftCheckpoint.pin)
     val nodes = e
       .select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.runtime.GraftCheckpoint.pin)
     var scores = nodes.select(col("id"), lit(1.0).as("hub"), lit(1.0).as("auth"))
     var i = 0
     while (i < iters) {
@@ -129,7 +129,7 @@ object GraphOps {
       scores = auth
         .join(hub, auth("id") === hub("__hid"))
         .select(col("id"), col("hub"), col("auth"))
-        .localCheckpoint(true)
+        .transform(graft.runtime.GraftCheckpoint.pin)
       i += 1
     }
     scores
@@ -160,7 +160,7 @@ object GraphOps {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .groupBy(col("src"))
       .agg(min(col("dst")).as("dst"))
-      .localCheckpoint(true)
+      .transform(graft.runtime.GraftCheckpoint.pin)
     // f carries the TRUE hop depth alongside the pointer so the
     // maxSteps bound is exact: doubling can over-shoot the bound by up
     // to 2x in rounds, but a chain that RESOLVED in more than maxSteps
@@ -178,7 +178,7 @@ object GraphOps {
           coalesce(col("__d2"), col("dst")).as("dst"),
           (col("d") + coalesce(col("__dd"), lit(0L))).as("d")
         )
-        .localCheckpoint(true)
+        .transform(graft.runtime.GraftCheckpoint.pin)
       k += 1
     }
     // unresolved = the final pointer still redirects somewhere (cycle or
@@ -269,15 +269,15 @@ object GraphOps {
       .select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
-    val cachedNodes = nodes.localCheckpoint(true)
+    val cachedNodes = nodes.transform(graft.runtime.GraftCheckpoint.pin)
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("out_deg"))
     val cachedEdges = e
       .join(outDeg, "src")
-      .localCheckpoint(true) // (src, dst, out_deg): the loop-invariant side
+      .transform(graft.runtime.GraftCheckpoint.pin) // (src, dst, out_deg): the loop-invariant side
     // loop-invariant: the distinct source set for dangling detection —
     // computed ONCE (rebuilding it per iteration would re-shuffle the
     // edge table every round just to anti-join)
-    val srcSet = cachedEdges.select(col("src")).distinct().localCheckpoint(true)
+    val srcSet = cachedEdges.select(col("src")).distinct().transform(graft.runtime.GraftCheckpoint.pin)
     // the ONE driver scalar: |V| — model state, like CC's convergence scalar
     val n = cachedNodes.count()
     val teleport = (1.0 - damping) / n
@@ -301,7 +301,7 @@ object GraphOps {
           (lit(teleport) + lit(damping) * (coalesce(col("s"), lit(0.0)) + col("dm") / lit(n.toDouble)))
             .as("pr")
         )
-      ranks = if (checkpoint) next.localCheckpoint(true) else next
+      ranks = if (checkpoint) next.transform(graft.runtime.GraftCheckpoint.pin) else next
       i += 1
     }
     ranks
@@ -332,7 +332,7 @@ object GraphOps {
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.runtime.GraftCheckpoint.pin)
     val deg = und
       .select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy(col("id"))
@@ -348,7 +348,7 @@ object GraphOps {
         when(uFirst, col("u")).otherwise(col("v")).as("a"),
         when(uFirst, rk(col("dv"), col("v"))).otherwise(rk(col("du"), col("u"))).as("hi")
       )
-      .localCheckpoint(true)
+      .transform(graft.runtime.GraftCheckpoint.pin)
     // wedges at the lowest-rank corner; closing edge must itself be oriented
     val o1 = oriented.select(col("a"), col("hi").as("b"))
     val o2 = oriented.select(col("a"), col("hi").as("c"))

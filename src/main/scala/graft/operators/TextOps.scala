@@ -496,7 +496,7 @@ object TextOps {
       .groupBy(col("w"))
       .agg(count(lit(1)).as("cnt"))
       .select(split(col("w"), "").as("syms"), col("cnt"))
-      .localCheckpoint(true)
+      .transform(graft.runtime.GraftCheckpoint.pin)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (!done && merges.length < numMerges) {
@@ -533,7 +533,7 @@ object TextOps {
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b)))
             ).otherwise(concat(acc, array(s)))
         )
-        val next = words.select(merged.as("syms"), col("cnt")).localCheckpoint(true)
+        val next = words.select(merged.as("syms"), col("cnt")).transform(graft.runtime.GraftCheckpoint.pin)
         words.unpersist()
         words = next
       }
@@ -1190,7 +1190,7 @@ object TextOps {
         col("tk")
       )
       .select(col("w1"), element_at(col("tk"), col("i") + 2).as("w2"))
-    val big = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val big = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c")).transform(graft.runtime.GraftCheckpoint.pin)
     val hist = big.groupBy(col("w1")).agg(sum(col("c")).as("c1"), count(lit(1)).as("n_fol"))
     val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("n_pre"))
     val nTypes = big.agg(count(lit(1)).as("n_types"))

@@ -62,7 +62,7 @@ object StreamLinkage {
     val b = batch
       .filter(idCol.isNotNull && strCol.isNotNull && blockCol.isNotNull)
       .select(idCol.as("id"), blockCol.as("block"), strCol.as("s"))
-      .localCheckpoint(true)
+      .transform(graft.runtime.GraftCheckpoint.pin)
     val fs = new org.apache.hadoop.fs.Path(keyStore)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ref =
