@@ -72,7 +72,7 @@ object StressXOps {
     // (simhash,minhash,cosine,decontaminate,pack,cc,quantile,pii,sample,
     // lines,quantize,spans,semdedup,bloominc,retrieval,qknn,classifier,
     // curation9,curation10,curation10b,curation10c,curation10d,curation10e,
-    // curation11,…,graph,editdist,spectral,sft,curation16,linkage,streamlink,acscan) — default all
+    // curation11,…,graph,editdist,spectral,sft,curation16,linkage,streamlink,acscan,blocklist) — default all
     val only = if (args.length > 2) args(2).split(",").toSet else Set.empty[String]
     def section(name: String): Boolean = only.isEmpty || only(name)
     val spark = SparkSession
@@ -2577,6 +2577,7 @@ object StressXOps {
 
     // ---- x160 Aho-Corasick vs per-phrase regex chain A/B
     if (section("acscan")) acScanSection(spark, math.min(nDocs, 1000000L))
+    if (section("blocklist")) blocklistSection(spark, math.min(nDocs, 1000000L))
 
     corpus.unpersist()
     spark.stop()
@@ -2727,6 +2728,43 @@ object StressXOps {
     println(f"[stressx] acScan @ $n%d docs x 500 phrases: AC $acSec%.1f s (hits=$acTotal); regex chain $rxSec%.1f s on $nSub docs (${rxSec / acSec * (n.toDouble / nSub)}%.0fx extrapolated); subset equality ${acSubTotal == rxTotal} ($acSubTotal vs $rxTotal)")
     assert(acSubTotal == rxTotal, "AC must equal the per-phrase regex chain")
     sub.unpersist(); docs.unpersist()
+  }
+
+  /** blocklistGate past the ≥10k-phrase auto-switch: the gate must pick
+    * the Aho–Corasick path (x78's regex path is the <10k contract), stay
+    * row-identical to the regex twin on a subset, and beat it by orders
+    * of magnitude — the evidence that a production-sized blocklist
+    * (10k–100k phrases) is runnable at corpus scale at all.
+    */
+  private def blocklistSection(spark: SparkSession, n: Long): Unit = {
+    // 12k numeric "words": \b-anchored hits against the token vocabulary
+    // (each doc: 40 tokens uniform over 100k -> ~4.8 expected hits)
+    val phrases = (0 until 12000).map(_.toString)
+    val docs = spark.range(n).select(col("id"), col("id").as("base_id"))
+      .select(col("id"), tokens(perturbFirst = false).as("text")).persist()
+    docs.count()
+    val gate = operators.TextOps.blocklistGate(docs, col("id"), col("text"), phrases)
+    val t0 = System.nanoTime()
+    val agg = gate.agg(sum(col("n_hits")).cast("long").as("h"), sum(when(col("blocked"), 1L).otherwise(0L)).as("b")).head()
+    val acSec = (System.nanoTime() - t0) / 1e9
+    val (acHits, acBlocked) = (agg.getLong(0), agg.getLong(1))
+    // regex twin on a small subset (the 12k-way alternation is the path
+    // being replaced precisely because it cannot scale)
+    val sub = docs.filter(col("id") % math.max(1L, n / 1000) === 0).persist()
+    val nSub = sub.count()
+    def rowsOf(switch: Int) = operators.TextOps
+      .blocklistGate(sub, col("id"), col("text"), phrases, acSwitchAt = switch)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), Option(r.getString(2)), r.getBoolean(3))).toSeq
+    val t1 = System.nanoTime()
+    val rx = rowsOf(Int.MaxValue)
+    val rxSec = (System.nanoTime() - t1) / 1e9
+    val ac = rowsOf(1)
+    val equal = ac == rx
+    println(f"[stressx] blocklist @ $n%d docs x 12000 phrases: AC $acSec%.1f s (hits=$acHits, blocked=$acBlocked); regex $rxSec%.1f s on $nSub docs (${rxSec / acSec * (n.toDouble / nSub)}%.0fx extrapolated); subset row-equality $equal")
+    assert(equal, "AC blocklist path must be row-identical to the regex path")
+    sub.unpersist(); docs.unpersist()
+    ()
   }
 
   /** StreamLinkage at scale: epoch 0 ingests n keys (1% planted

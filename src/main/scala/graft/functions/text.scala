@@ -1309,4 +1309,157 @@ object text {
 
   def ac_count(textCol: Column, phrases: Seq[String]): Column =
     Bridge.column(AhoCorasickCount(Bridge.expression(textCol), phrases))
+
+  /** The large-blocklist scale path for
+    * [[graft.operators.TextOps.blocklistGate]]: one Aho–Corasick pass
+    * replicating the regex-alternation path's semantics EXACTLY —
+    * leftmost match wins, longest phrase wins at the same start (the
+    * alternation is sorted longest-first), matches never overlap (the
+    * scan resumes at match end), and each phrase edge is word-boundary
+    * anchored iff that edge is a word character, i.e. precisely what
+    * `regexp_count(text, phrasePattern(phrases))` +
+    * `regexp_extract(..., 0)` compute. Equality is spec-pinned at the
+    * switch boundary (TextOpsSpec) so the two paths cannot drift.
+    *
+    * Why it exists: the JDK regex engine scans a k-way literal
+    * alternation per-alternative (measured badly super-linear in k);
+    * the automaton matches all k phrases in one O(len + matches) pass —
+    * at 10k+ phrases this is the only plan that survives. Automaton is
+    * built once per expression instance (@transient lazy), never per row.
+    *
+    * Returns `struct(n_hits BIGINT, first_hit STRING)`; `first_hit` is
+    * NULL when nothing matches.
+    */
+  case class BlocklistScan(child: Expression, phrases: Seq[String])
+      extends UnaryExpression
+      with ImplicitCastInputTypes {
+    require(phrases.nonEmpty, "need at least one phrase")
+    require(phrases.forall(_.nonEmpty), "phrases must be non-empty")
+    require(phrases.size <= (1 << 20), "blocklist larger than 1M phrases (rank packing limit)")
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = StructType(
+      Seq(
+        StructField("n_hits", LongType, nullable = false),
+        StructField("first_hit", StringType, nullable = true)
+      )
+    )
+    override def nullIntolerant: Boolean = true
+
+    // the regex path's alternation order: longest first, then lexicographic
+    @transient private lazy val ordered: Array[String] =
+      phrases.distinct.sortBy(p => (-p.length, p)).toArray
+    @transient private lazy val phraseLen: Array[Int] = ordered.map(_.length)
+    // per-phrase edge anchoring, mirroring phrasePattern: \b only where
+    // the phrase edge is a word character
+    @transient private lazy val anchorHead: Array[Boolean] = ordered.map(p => isWord(p.head))
+    @transient private lazy val anchorTail: Array[Boolean] = ordered.map(p => isWord(p.last))
+
+    private def isWord(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_'
+
+    @transient private lazy val automaton: (
+        Array[java.util.HashMap[Character, Integer]],
+        Array[Int],
+        Array[Array[Int]]
+    ) = {
+      val kids = scala.collection.mutable.ArrayBuffer(new java.util.HashMap[Character, Integer]())
+      val ends = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+      ordered.zipWithIndex.foreach { case (p, pi) =>
+        var node = 0
+        p.foreach { c =>
+          val m = kids(node)
+          val nxt = m.get(c)
+          node = if (nxt != null) nxt.intValue()
+          else {
+            kids += new java.util.HashMap[Character, Integer]()
+            ends += Nil
+            m.put(c, kids.size - 1)
+            kids.size - 1
+          }
+        }
+        ends(node) = pi :: ends(node)
+      }
+      val n = kids.size
+      val fail = new Array[Int](n)
+      val out = new Array[List[Int]](n)
+      (0 until n).foreach(i => out(i) = ends(i))
+      val q = new java.util.ArrayDeque[Int]()
+      kids(0).forEach { (_, v) => fail(v) = 0; q.add(v) }
+      while (!q.isEmpty) {
+        val u = q.poll()
+        kids(u).forEach { (c, v) =>
+          var f = fail(u)
+          while (f != 0 && !kids(f).containsKey(c)) f = fail(f)
+          val fc = kids(f).get(c)
+          fail(v) = if (fc != null && fc.intValue() != v.intValue()) fc.intValue() else 0
+          out(v) = out(v) ++ out(fail(v))
+          q.add(v)
+        }
+      }
+      (kids.toArray, fail, out.map(_.toArray))
+    }
+
+    /** Invoked from both eval and generated code. */
+    def compute(v: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+      val (kids, fail, out) = automaton
+      val s = v.toString
+      // collect boundary-valid candidates (start, alternation rank); AC
+      // emits by END position so candidates need a (start, rank) sort
+      // before the greedy left-to-right sweep
+      val starts = new scala.collection.mutable.ArrayBuffer[Long]()
+      var state = 0
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        var st = state
+        while (st != 0 && !kids(st).containsKey(c)) st = fail(st)
+        val nxt = kids(st).get(c)
+        state = if (nxt != null) nxt.intValue() else 0
+        val hits = out(state)
+        var h = 0
+        while (h < hits.length) {
+          val pi = hits(h)
+          val start = i - phraseLen(pi) + 1
+          val headOk = !anchorHead(pi) || start == 0 || !isWord(s.charAt(start - 1))
+          val tailOk = !anchorTail(pi) || i == s.length - 1 || !isWord(s.charAt(i + 1))
+          if (headOk && tailOk) starts += (start.toLong << 20) | pi.toLong
+          h += 1
+        }
+        i += 1
+      }
+      if (starts.isEmpty) return org.apache.spark.sql.catalyst.InternalRow(0L, null)
+      // (start << 20 | rank) sorts by start then alternation rank — the
+      // exact order Matcher.find() tries candidates (20 bits = 1M-phrase
+      // rank headroom; start dominates)
+      val arr = starts.toArray
+      java.util.Arrays.sort(arr)
+      var total = 0L
+      var first: String = null
+      var cursor = 0L
+      var k = 0
+      while (k < arr.length) {
+        val start = arr(k) >>> 20
+        val pi = (arr(k) & 0xfffff).toInt
+        if (start >= cursor) {
+          total += 1L
+          if (first == null) first = ordered(pi)
+          cursor = start + phraseLen(pi)
+        }
+        k += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(total, UTF8String.fromString(first))
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("blScan", this, classOf[BlocklistScan].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+    }
+    override protected def withNewChildInternal(c: Expression): BlocklistScan =
+      copy(child = c)
+  }
+
+  def blocklist_scan(textCol: Column, phrases: Seq[String]): Column =
+    Bridge.column(BlocklistScan(Bridge.expression(textCol), phrases))
 }

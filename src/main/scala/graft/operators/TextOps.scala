@@ -661,9 +661,10 @@ object TextOps {
     * compiled once per task, zero shuffle, the scan stays in
     * WholeStageCodegen. At a real blocklist size (hundreds of phrases)
     * the alternation is linear in text length under both RE2 and the JVM
-    * engine; past ~10k phrases fuse an Aho–Corasick native expression
-    * exactly as PiiScrub did — this declarative form is the semantics
-    * contract.
+    * engine; at `acSwitchAt` (default 10k) phrases the gate auto-switches
+    * to ONE [[graft.functions.text.BlocklistScan]] Aho–Corasick pass —
+    * the declarative form stays the semantics contract (equality
+    * spec-pinned at the boundary), the automaton is the scale path.
     *
     * Returns (doc_id, n_hits, first_hit, blocked): total occurrence
     * count, the first matching phrase (lowercased) or NULL, and the gate
@@ -695,18 +696,34 @@ object TextOps {
       df: DataFrame,
       idCol: Column,
       text: Column,
-      phrases: Seq[String]
+      phrases: Seq[String],
+      acSwitchAt: Int = 10000
   ): DataFrame = {
     require(phrases.nonEmpty, "blocklist must not be empty")
     require(phrases.forall(_.nonEmpty), "blocklist phrases must be non-empty strings")
-    // pattern construction (escaping + per-edge \b) shared via phrasePattern
-    val pat = phrasePattern(phrases)
     val t = lower(coalesce(text, lit("")))
-    df.select(
-      idCol.as("doc_id"),
-      regexp_count(t, lit(pat)).as("n_hits"),
-      nullif(regexp_extract(t, pat, 0), lit("")).as("first_hit")
-    ).withColumn("blocked", col("n_hits") > 0)
+    if (phrases.size >= acSwitchAt) {
+      // large-blocklist path: one Aho–Corasick pass (O(len + matches))
+      // instead of a k-way regex alternation the JDK engine scans
+      // per-alternative; semantics spec-pinned equal to the regex twin
+      // (leftmost, longest-first, per-edge \b, non-overlapping)
+      val scan = graft.functions.text.blocklist_scan(t, phrases)
+      df.select(idCol.as("doc_id"), scan.as("__s"))
+        .select(
+          col("doc_id"),
+          col("__s.n_hits").cast("int").as("n_hits"), // regexp_count emits int: keep both paths schema-identical
+          col("__s.first_hit").as("first_hit")
+        )
+        .withColumn("blocked", col("n_hits") > 0)
+    } else {
+      // pattern construction (escaping + per-edge \b) shared via phrasePattern
+      val pat = phrasePattern(phrases)
+      df.select(
+        idCol.as("doc_id"),
+        regexp_count(t, lit(pat)).as("n_hits"),
+        nullif(regexp_extract(t, pat, 0), lit("")).as("first_hit")
+      ).withColumn("blocked", col("n_hits") > 0)
+    }
   }
 
   /** URL canonicalization (the crawl-frontier / URL-dedup key): strip the

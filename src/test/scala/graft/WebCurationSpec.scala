@@ -29,6 +29,57 @@ class WebCurationSpec extends SparkTestBase {
     assert(rows(3).getInt(1) == 2 && rows(3).getBoolean(3))
   }
 
+  test("blocklistGate: Aho-Corasick large-phrase path is row-identical to the regex path") {
+    import spark.implicits._
+    // adversarial shapes: overlapping phrases (longest-first), a phrase
+    // that is a prefix of another, repeated non-overlapping hits,
+    // non-word edges (no \b), word chars hugging a boundary, non-ASCII
+    // neighbors, nulls, and the empty string
+    val df = Seq(
+      (1L, Option("a Table SCAN inside and a table scanner")),
+      (2L, Option("vectorized is not vector but vector is")),
+      (3L, Option("nothing here")),
+      (4L, Option("table scan table scan table")),
+      (5L, Option("c++ and c# and c")),
+      (6L, Option("naïve vector café table scan é")),
+      (7L, Option("tabletable scan vectorvector")),
+      (8L, Option("")),
+      (9L, None),
+      (10L, Option("scan table scan tab")),
+      (11L, Option("xx_vector vector_x _vector_ vector"))
+    ).toDF("id", "text")
+    val phrases = Seq("table scan", "vector", "c++", "c#", "table", "scan tab")
+    def rowsOf(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("doc_id").collect().map { r =>
+        (r.getLong(0), r.getInt(1), Option(r.getString(2)), r.getBoolean(3))
+      }.toSeq
+    val regex = rowsOf(TextOps.blocklistGate(df, col("id"), col("text"), phrases, acSwitchAt = Int.MaxValue))
+    val ac = rowsOf(TextOps.blocklistGate(df, col("id"), col("text"), phrases, acSwitchAt = 1))
+    assert(ac == regex, s"AC path diverged from regex path:\n  ac=$ac\n  rx=$regex")
+    // schemas must agree too (both paths feed the same oracle/query)
+    val sR = TextOps.blocklistGate(df, col("id"), col("text"), phrases, acSwitchAt = Int.MaxValue).schema
+    val sA = TextOps.blocklistGate(df, col("id"), col("text"), phrases, acSwitchAt = 1).schema
+    assert(sA == sR, s"schema drift: $sA vs $sR")
+  }
+
+  test("blocklistGate: AC path equality fuzz — random texts over a random phrase set") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("table", "scan", "vector", "index", "page", "row", "split", "c++", "x")
+    val phrases = (Seq("table scan", "scan index", "index page", "c++", "row split x") ++
+      vocab).distinct
+    val texts = (0 until 200).map { i =>
+      (i.toLong, (0 until (1 + rnd.nextInt(25))).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(if (rnd.nextBoolean()) " " else ""))
+    }
+    val df = texts.toDF("id", "text")
+    def rowsOf(switch: Int) =
+      TextOps.blocklistGate(df, col("id"), col("text"), phrases, acSwitchAt = switch)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), Option(r.getString(2)))).toSeq
+    assert(rowsOf(Int.MaxValue) == rowsOf(1))
+  }
+
   test("urlNormalize: scheme/host case, ports, www, fragments, tracking params") {
     import spark.implicits._
     val cases = Seq(
