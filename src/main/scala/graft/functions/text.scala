@@ -985,6 +985,11 @@ object text {
         i += 1
       }
       val md = m.toDouble
+      // FROZEN SEMANTICS — do not edit this formula (including the
+      // INTEGER `t / 2`) without re-running EditDistanceSpec's DuckDB
+      // bit-match fixture table: the integer transposition halving is
+      // pinned to DuckDB's jaro_winkler_similarity on 40 exact-double
+      // fixtures, and the x146/x99/x156 oracles replay it verbatim.
       val jaro = (md / la + md / lb + (md - t / 2) / md) / 3.0
       if (jaro <= 0.7) return jaro
       var p = 0

@@ -284,7 +284,8 @@ object Audit {
     * noise). This operator is the release-PIPELINE twin: the plumbing,
     * clipping, and accounting are production shapes; swap the uniform
     * for a secure source (and drop `n_true`/`noise` from the output) to
-    * get the real mechanism. The ln is the one transcendental — its
+    * get the real mechanism — that is [[dpCountsSecure]]. The ln is the
+    * one transcendental — its
     * value is 6dp-pre-rounded before the count add (the x126 rule), so
     * both engines round the same integer.
     *
@@ -305,5 +306,48 @@ object Audit {
       greatest(lit(0L), round(col("n_true") + noise, 0).cast("long")).as("noisy_count"),
       lit(epsilon).as("epsilon")
     )
+  }
+
+  // per-executor-thread SecureRandom: the UDF runs on task threads; a
+  // shared instance would serialize every draw on its internal lock
+  @transient private lazy val secureRng: ThreadLocal[java.security.SecureRandom] =
+    ThreadLocal.withInitial(() => new java.security.SecureRandom())
+
+  /** One Laplace(b) draw from SecureRandom via the inverse CDF. log1p
+    * keeps precision near u = 0; the 2^-53 chance of u = -0.5 (log of
+    * exactly 0) is clamped rather than resampled so a draw can never
+    * block or return -Infinity.
+    */
+  private[graft] def laplaceSecure(b: Double): Double = {
+    val u = secureRng.get().nextDouble() - 0.5
+    val t = math.max(1.0 - 2.0 * math.abs(u), java.lang.Double.MIN_NORMAL)
+    if (u == 0.0) 0.0 else -b * math.signum(u) * math.log(t)
+  }
+
+  /** The PRODUCTION Laplace release — [[dpCounts]]' honesty contract
+    * discharged: noise from `SecureRandom` (secret, fresh — actual ε-DP
+    * for counting queries, sensitivity 1, scale 1/ε), and the output
+    * carries ONLY `(grp, noisy_count, epsilon)`: publishing `n_true` or
+    * the noise would let a reader subtract the mechanism away, so the
+    * deployable surface drops them by construction, not by caller
+    * discipline. Non-reproducible BY DESIGN — the seeded [[dpCounts]]
+    * twin remains the oracle/replay path (x161).
+    *
+    * Same shape at 100 TB as the twin: one partial-aggregating exchange
+    * on the group key; the draw is a zero-shuffle projection over the
+    * group-sized result (one SecureRandom call per GROUP, not per row).
+    */
+  def dpCountsSecure(df: DataFrame, groupCol: Column, epsilon: Double): DataFrame = {
+    require(epsilon > 0.0, s"epsilon must be positive, got $epsilon")
+    val b = 1.0 / epsilon
+    val draw = udf(() => laplaceSecure(b)).asNondeterministic()
+    df.select(groupCol.as("grp"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("__n"))
+      .select(
+        col("grp"),
+        greatest(lit(0L), round(col("__n") + draw(), 0).cast("long")).as("noisy_count"),
+        lit(epsilon).as("epsilon")
+      )
   }
 }

@@ -87,11 +87,15 @@ class EditDistanceSpec extends SparkTestBase {
     assert(got == Set((1L, 3L, 1)))
   }
 
-  // DuckDB 1.0.0 `jaro_winkler_similarity` fixture vectors (generated this
-  // round): classic pairs, empties, equal strings, transposition shapes,
-  // and 30 random pairs over a 6-letter alphabet. The kernel must match
-  // the oracle engine bit-for-bit pre-rounding — these assert EXACT
-  // doubles, not 6dp.
+  // FROZEN FIXTURE TABLE — DuckDB 1.0.0 `jaro_winkler_similarity` vectors:
+  // classic pairs, empties, equal strings, transposition shapes, and 30
+  // random pairs over a 6-letter alphabet. The kernel must match the
+  // oracle engine bit-for-bit pre-rounding — these assert EXACT doubles,
+  // not 6dp. Any edit to the JaroWinkler kernel (functions/text.scala —
+  // especially its integer `t / 2` transposition term) REQUIRES this
+  // table to pass unchanged; regenerate only against DuckDB itself
+  // (SELECT jaro_winkler_similarity(a, b)), never against another
+  // implementation.
   private val jwFixtures: Seq[(String, String, Double)] = Seq(
     ("martha", "marhta", 0.9611111111111111), ("DIXON", "DICKSONX", 0.8133333333333332),
     ("", "x", 0.0), ("", "", 0.0), ("equal", "equal", 1.0),
