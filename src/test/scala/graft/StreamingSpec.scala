@@ -359,6 +359,68 @@ class StreamingSpec extends SparkTestBase {
     assert(got.contains((1L, 2L)) && got.contains((1L, 1L)))
   }
 
+  test("watermark boundary: a row arriving BELOW the advanced watermark is dropped, not re-aggregated") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    def ts(sec: Long) = new Timestamp(base + sec * 1000)
+    val input = MemoryStream[(Timestamp, Long)]
+    val agg = input
+      .toDF()
+      .toDF("ts", "v")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "10 seconds").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("long").as("ws"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("late_agg").outputMode("append").start()
+    try {
+      // batch 1: one row in window [50,60) + a pusher at t=100
+      // -> watermark after the batch = 100 - 10 = 90s, window finalized n=1
+      input.addData((ts(55), 1L), (ts(100), 1L))
+      q.processAllAvailable()
+      // batch 2: a LATE row for the same window (t=56 < watermark 90)
+      // must be dropped at the boundary; pusher at t=200 closes the rest
+      input.addData((ts(56), 1L), (ts(200), 1L))
+      q.processAllAvailable()
+      val got = spark.table("late_agg").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got((base / 1000 + 50)) == 1L, s"late row leaked into the finalized window: $got")
+      // exactly one emission for that window (append mode can't re-emit)
+      val emissions = spark.table("late_agg").collect().count(_.getLong(0) == base / 1000 + 50)
+      assert(emissions == 1)
+      // the engine accounted for the drop (observability, not silence) —
+      // scan recentProgress: the last batch is usually a no-data batch
+      val dropped = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq).map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1L, "expected numRowsDroppedByWatermark >= 1")
+    } finally q.stop()
+  }
+
+  test("cross-batch dedup: out-of-order arrivals within the watermark dedup exactly; below it they drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    def ts(sec: Long) = new Timestamp(base + sec * 1000)
+    val input = MemoryStream[(Timestamp, String)]
+    val deduped = input
+      .toDF()
+      .toDF("ts", "k")
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("k")
+    val q = deduped.writeStream.format("memory").queryName("xbatch_dedup").outputMode("append").start()
+    try {
+      // batch 1: k1/k2 arrive OUT OF ORDER (k2's event time earlier);
+      // watermark after the batch = 35 - 10 = 25s
+      input.addData((ts(30), "k1"), (ts(25), "k2"), (ts(35), "k0"))
+      q.processAllAvailable()
+      // batch 2, reordered arrivals: k1@32 and k2@26 are cross-batch dups
+      // (state still within watermark) -> dropped as duplicates; k3@28 is
+      // out-of-order but ABOVE the 25s watermark -> kept; k4@10 is BELOW
+      // the watermark -> dropped as late
+      input.addData((ts(32), "k1"), (ts(26), "k2"), (ts(28), "k3"), (ts(10), "k4"))
+      q.processAllAvailable()
+      val got = spark.table("xbatch_dedup").collect().map(_.getString(1)).sorted.toSeq
+      assert(got == Seq("k0", "k1", "k2", "k3"), s"cross-batch dedup wrong: $got")
+    } finally q.stop()
+  }
+
   test("checkpoint recovery: restart resumes from committed offsets, no reprocessing") {
     val root = java.nio.file.Files.createTempDirectory("graft_ckpt")
     val dataDir = root.resolve("data").toString
