@@ -72,7 +72,7 @@ object StressXOps {
     // (simhash,minhash,cosine,decontaminate,pack,cc,quantile,pii,sample,
     // lines,quantize,spans,semdedup,bloominc,retrieval,qknn,classifier,
     // curation9,curation10,curation10b,curation10c,curation10d,curation10e,
-    // curation11,…,graph,editdist,spectral,sft,curation16,linkage,streamlink,acscan,blocklist) — default all
+    // curation11,…,graph,editdist,spectral,sft,curation16,linkage,streamlink,acscan,blocklist,asof) — default all
     val only = if (args.length > 2) args(2).split(",").toSet else Set.empty[String]
     def section(name: String): Boolean = only.isEmpty || only(name)
     val spark = SparkSession
@@ -2578,6 +2578,7 @@ object StressXOps {
     // ---- x160 Aho-Corasick vs per-phrase regex chain A/B
     if (section("acscan")) acScanSection(spark, math.min(nDocs, 1000000L))
     if (section("blocklist")) blocklistSection(spark, math.min(nDocs, 1000000L))
+    if (section("asof")) asofSection(spark, math.min(nDocs, 20000000L))
 
     corpus.unpersist()
     spark.stop()
@@ -2728,6 +2729,48 @@ object StressXOps {
     println(f"[stressx] acScan @ $n%d docs x 500 phrases: AC $acSec%.1f s (hits=$acTotal); regex chain $rxSec%.1f s on $nSub docs (${rxSec / acSec * (n.toDouble / nSub)}%.0fx extrapolated); subset equality ${acSubTotal == rxTotal} ($acSubTotal vs $rxTotal)")
     assert(acSubTotal == rxTotal, "AC must equal the per-phrase regex chain")
     sub.unpersist(); docs.unpersist()
+  }
+
+  /** Native as-of join (AsOfJoinExec) vs the union+window composition:
+    * A/B wall-clock on the same (key, time)-shaped workload plus an
+    * order-independent full-output checksum equality — the committed
+    * evidence row for the custom physical operator.
+    */
+  private def asofSection(spark: SparkSession, n: Long): Unit = {
+    val nKeys = math.max(1L, n / 100)
+    val left = spark.range(n).select(
+      pmod(xxhash64(col("id")), lit(nKeys)).as("k"),
+      pmod(xxhash64(col("id"), lit(1)), lit(1000000L)).as("t"),
+      col("id").as("lv")
+    )
+    val right = spark.range(n / 2).select(
+      pmod(xxhash64(col("id"), lit(2)), lit(nKeys)).as("k"),
+      pmod(xxhash64(col("id"), lit(3)), lit(1000000L)).as("t"),
+      col("id").as("price")
+    )
+    def checksum(df: DataFrame): (Double, Long, java.math.BigDecimal) = {
+      val t0 = System.nanoTime()
+      val r = df.agg(
+        count(lit(1)).as("n"),
+        coalesce(
+          sum(xxhash64(col("k"), col("t"), col("lv"), col("price")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")
+        ).as("h")
+      ).head()
+      ((System.nanoTime() - t0) / 1e9, r.getLong(0), r.getDecimal(1))
+    }
+    // right side can hold duplicate (k, t) pairs whose carried row is
+    // tie-ambiguous between the two plans; dedup to the comparable core
+    val rightDedup = right.groupBy(col("k"), col("t")).agg(max(col("price")).as("price"))
+      .persist()
+    rightDedup.count()
+    val lp = left.persist(); lp.count()
+    val (sN, cntN, sumN) = checksum(operators.AsOfJoin.asofBackwardNative(lp, rightDedup, "k", "t"))
+    val (sC, cntC, sumC) = checksum(operators.AsOfJoin.asofBackward(lp, rightDedup, "k", "t"))
+    println(f"[stressx] asof @ $n%d x ${n / 2}%d rows, $nKeys%d keys: native $sN%.1f s, composed $sC%.1f s (${sC / sN}%.2fx); checksum equal ${cntN == cntC && sumN == sumC} ($cntN rows)")
+    assert(cntN == cntC && sumN == sumC, "native as-of checksum diverged from composition")
+    lp.unpersist(); rightDedup.unpersist()
+    ()
   }
 
   /** blocklistGate past the ≥10k-phrase auto-switch: the gate must pick

@@ -72,6 +72,56 @@ object AsOfJoin {
       .drop("_side", "_rv")
   }
 
+  /** [[asofBackward]] through the NATIVE physical operator
+    * ([[graft.plans.AsOfJoinExec]]): identical contract and output
+    * (spec-asserted row-equal to the composition), but planned as a
+    * custom merge node — both sides hash-clustered on `byCol` and sorted
+    * by (`byCol`, `timeCol`), then one O(|L|+|R|) streaming pointer walk
+    * per partition with a single carried right row of state. Same
+    * exchange/sort bill as the composition, none of its union row-blowup,
+    * window buffering, or post-filter.
+    *
+    * The strategy self-registers into the session's experimental
+    * strategies on first use, so it works in sessions not built with
+    * [[graft.GraftExtensions]].
+    */
+  def asofBackwardNative(
+      left: DataFrame,
+      right: DataFrame,
+      byCol: String,
+      timeCol: String
+  ): DataFrame = {
+    val valueCols = right.columns.filterNot(c => c == byCol || c == timeCol).toSeq
+    val clash = valueCols.toSet.intersect(
+      left.columns.filterNot(c => c == byCol || c == timeCol).toSet
+    )
+    require(
+      clash.isEmpty,
+      s"asofBackwardNative requires disjoint value column names; rename on one side: ${clash.mkString(", ")}"
+    )
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    // re-alias the right side so a self-as-of (same source both sides)
+    // cannot alias attribute ids across the node
+    val rFresh = right.select(right.columns.map(c => col(c).as(c)).toSeq: _*)
+    val lPlan = org.apache.spark.sql.graftbridge.Bridge.analyzed(left)
+    val rPlan = org.apache.spark.sql.graftbridge.Bridge.analyzed(rFresh)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(s"no column '$n'"))
+    val node = graft.plans.AsOfJoinNode(
+      lPlan,
+      rPlan,
+      attr(lPlan, byCol),
+      attr(lPlan, timeCol),
+      attr(rPlan, byCol),
+      attr(rPlan, timeCol),
+      valueCols.map(attr(rPlan, _))
+    )
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, node)
+  }
+
   /** Time-series resampling: a regular grid of `every` per key over each
     * key's [floor(min ts), max ts] span, forward-filled with the latest
     * observation at or before each grid point (grid + as-of composition —

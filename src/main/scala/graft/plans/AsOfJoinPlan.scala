@@ -1,0 +1,159 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending,
+  Attribute,
+  GenericInternalRow,
+  JoinedRow,
+  RowOrdering,
+  SortOrder,
+  UnsafeProjection
+}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/** Native backward as-of join — the plan-level showcase operator: a custom
+  * `LogicalPlan` node, a `Strategy`, and a physical merge operator,
+  * registered via [[graft.GraftExtensions]] (builder path) or lazily by
+  * [[graft.operators.AsOfJoin.asofBackwardNative]] (running sessions).
+  *
+  * Physical shape: both sides hash-clustered on the match key and sorted
+  * by (key, time) — EXACTLY the exchanges + sorts the union+window
+  * composition ([[graft.operators.AsOfJoin.asofBackward]]) pays — then a
+  * single streaming MERGE pass per partition: O(|L| + |R|) pointer walk,
+  * one carried right row of state, no union row-blowup, no window
+  * buffering, no post-filter. The composition remains the semantics twin
+  * (spec-asserted equal); this node is the plan you'd want at 100 TB: the
+  * two sorted scans stream, memory is O(1) per partition, and AQE still
+  * owns the exchanges (skew/coalesce) because the node declares standard
+  * `ClusteredDistribution` requirements.
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftBy: Attribute,
+    leftTime: Attribute,
+    rightBy: Attribute,
+    rightTime: Attribute,
+    rightValues: Seq[Attribute]
+) extends BinaryNode {
+  require(
+    leftBy.dataType == rightBy.dataType,
+    s"as-of key types differ: ${leftBy.dataType} vs ${rightBy.dataType}"
+  )
+  require(
+    leftTime.dataType == rightTime.dataType,
+    s"as-of time types differ: ${leftTime.dataType} vs ${rightTime.dataType}"
+  )
+  require(
+    RowOrdering.isOrderable(leftBy.dataType) && RowOrdering.isOrderable(leftTime.dataType),
+    "as-of key/time types must be orderable"
+  )
+  override def output: Seq[Attribute] =
+    left.output ++ rightValues.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan,
+      newRight: LogicalPlan
+  ): AsOfJoinNode = copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinNode]] to [[AsOfJoinExec]]; a no-op on everything else. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lb, lt, rb, rt, rv) =>
+      AsOfJoinExec(planLater(l), planLater(r), lb, lt, rb, rt, rv) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Streaming as-of merge over co-partitioned, (key, time)-sorted children.
+  *
+  * Per partition both iterators are sorted by (key, time); the merge keeps
+  * ONE carried right row: advance the right pointer while its (key, time)
+  * is lexicographically <= the left row's — recording the row whenever its
+  * key equals the left key — then emit the left row joined to the carried
+  * values (nulls when no right row at or before it). Right rows for keys
+  * the left side has passed can never match again (sorted), so they drop
+  * as they stream; nothing is ever buffered.
+  *
+  * Null keys group together (ordering-based equality), matching the
+  * union+window twin's `partitionBy` semantics, and ties at the same
+  * (key, time) carry the LAST right row in sort order — also the twin's
+  * behavior.
+  */
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftBy: Attribute,
+    leftTime: Attribute,
+    rightBy: Attribute,
+    rightTime: Attribute,
+    rightValues: Seq[Attribute]
+) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ rightValues.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftBy)) :: ClusteredDistribution(Seq(rightBy)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftBy, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightBy, Ascending), SortOrder(rightTime, Ascending))
+  )
+
+  // the merge preserves the left side's partitioning and ordering — a
+  // downstream groupBy/join on the same key re-uses the exchange
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftBy, Ascending), SortOrder(leftTime, Ascending))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val outAttrs = output
+    val (lBy, lTime, rBy, rTime, rVals) = (leftBy, leftTime, rightBy, rightTime, rightValues)
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val keyTimeOrd =
+        RowOrdering.createNaturalAscendingOrdering(Seq(lBy.dataType, lTime.dataType))
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lBy.dataType))
+      val lKeyTime = UnsafeProjection.create(Seq(lBy, lTime), leftOut)
+      val rKeyTime = UnsafeProjection.create(Seq(rBy, rTime), rightOut)
+      val lKey = UnsafeProjection.create(Seq(lBy), leftOut)
+      val rKey = UnsafeProjection.create(Seq(rBy), rightOut)
+      val rVal = UnsafeProjection.create(rVals, rightOut)
+      val resultProj = UnsafeProjection.create(outAttrs, leftOut ++ rVals)
+      val nullRow = new GenericInternalRow(rVals.size)
+      val joined = new JoinedRow
+
+      var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
+      var carried: InternalRow = null
+      var carriedKey: InternalRow = null
+
+      lIter.map { l =>
+        val lkt = lKeyTime(l)
+        while (rRow != null && keyTimeOrd.compare(rKeyTime(rRow), lkt) <= 0) {
+          if (keyOrd.compare(rKey(rRow), lKey(l)) == 0) {
+            carried = rVal(rRow).copy()
+            carriedKey = rKey(rRow).copy()
+          }
+          rRow = if (rIter.hasNext) rIter.next() else null
+        }
+        if (carried != null && keyOrd.compare(carriedKey, lKey(l)) != 0) {
+          carried = null
+          carriedKey = null
+        }
+        resultProj(joined(l, if (carried == null) nullRow else carried))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan,
+      newRight: SparkPlan
+  ): AsOfJoinExec = copy(left = newLeft, right = newRight)
+}

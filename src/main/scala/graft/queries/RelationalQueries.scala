@@ -278,8 +278,9 @@ object RelationalQueries {
       val signups = ev
         .filter(col("event_type") === "signup")
         .select(col("user_id"), col("ts"), col("event_id").as("signup_event"))
-      AsOfJoin
-        .asofBackward(purchases, signups, "user_id", "ts")
+      AsOfJoin // native physical merge operator (AsOfJoinExec); the
+        // union+window composition is its spec-pinned semantics twin
+        .asofBackwardNative(purchases, signups, "user_id", "ts")
         .filter(col("signup_event").isNotNull) // inner as-of, DuckDB's default
         .select(col("event_id"), col("user_id"), col("signup_event"))
         .orderBy(col("event_id"))

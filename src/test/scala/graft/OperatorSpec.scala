@@ -66,6 +66,50 @@ class OperatorSpec extends SparkTestBase {
     assert(got.isNullAt(0) && got.getLong(1) == 9L)
   }
 
+  test("asofBackwardNative: plans the custom merge operator and is row-identical to the composition") {
+    import spark.implicits._
+    // randomized equality: 40 keys, irregular times, right gaps, ties at
+    // equal timestamps, keys with no right rows, null value columns
+    val rnd = new scala.util.Random(11)
+    val left = (0 until 400).map { i =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(1000).toLong, s"l$i")
+    }.toDF("k", "t", "lv")
+    val right = (0 until 300).map { i =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(1000).toLong,
+        if (i % 7 == 0) None else Some(i.toLong), s"r$i")
+    }.toDF("k", "t", "price", "tag")
+    def rowsOf(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("k"), col("t"), col("lv"), col("price"), col("tag"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)), Option(r.getString(4))))
+        .sortBy(x => (x._1, x._2, x._3))
+        .toSeq
+    val composed = rowsOf(AsOfJoin.asofBackward(left, right, "k", "t"))
+    val native = AsOfJoin.asofBackwardNative(left, right, "k", "t")
+    assert(
+      native.queryExecution.optimizedPlan.exists(_.isInstanceOf[graft.plans.AsOfJoinNode]),
+      "native as-of did not keep AsOfJoinNode in the optimized plan"
+    )
+    assert(rowsOf(native) == composed, "native as-of diverged from the composition")
+    // the custom physical operator actually executed (unwrap AQE)
+    val exec = native.queryExecution.executedPlan
+    assert(
+      planExists(exec)(_.isInstanceOf[graft.plans.AsOfJoinExec]),
+      s"native as-of did not execute AsOfJoinExec:\n$exec"
+    )
+    // the whole-row carry contract holds natively too (no chimera rows)
+    val l2 = Seq((1L, 3L, "l")).toDF("k", "t", "lv")
+    val r2 = Seq((1L, 1L, Some(5L), 2L), (1L, 2L, None, 9L)).toDF("k", "t", "price", "qty")
+    val got = AsOfJoin.asofBackwardNative(l2, r2, "k", "t").select(col("price"), col("qty")).collect()(0)
+    assert(got.isNullAt(0) && got.getLong(1) == 9L)
+    // self-as-of (same source both sides) resolves without ambiguity
+    val src = Seq((1L, 1L, "a"), (1L, 2L, "b")).toDF("k", "t", "v")
+    val selfN = AsOfJoin.asofBackwardNative(
+      src.select(col("k"), col("t")), src.withColumnRenamed("v", "w"), "k", "t")
+    assert(selfN.collect().length == 2)
+  }
+
   test("range join: containment with overlapping intervals, no cross product") {
     val intervals = Seq((1L, 0.0, 10.0), (2L, 5.0, 15.0)).toDF("iid", "lo", "hi")
     val points = Seq((100L, 7.0), (101L, 12.0), (102L, 20.0)).toDF("pid", "p")

@@ -148,4 +148,18 @@ class PlanShapeSpec extends SparkTestBase {
       s"\n${failures.size} plan-shape violations:\n${failures.mkString("\n")}"
     )
   }
+
+  test("q19_asof_join plans the native as-of operator (AsOfJoinNode -> AsOfJoinExec)") {
+    val df = SparkEntry.queries("q19_asof_join")(spark, sfDir)
+    assert(
+      df.queryExecution.optimizedPlan.exists(_.isInstanceOf[graft.plans.AsOfJoinNode]),
+      "q19 no longer plans through AsOfJoinNode"
+    )
+    df.queryExecution.toRdd.count() // execute through AQE
+    val phys = df.queryExecution.executedPlan
+    assert(
+      planExists(phys)(_.isInstanceOf[graft.plans.AsOfJoinExec]),
+      s"q19 did not execute AsOfJoinExec:\n$phys"
+    )
+  }
 }
