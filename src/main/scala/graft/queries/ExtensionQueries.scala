@@ -170,9 +170,13 @@ object ExtensionQueries {
 
     // Exact n-gram Jaccard near-dup pairs via inverted index (no LSH, no
     // cross product) — the completeness baseline for the LSH variants.
+    // AUTO strategy: naive index on benign shingle-df corpora (this one),
+    // PPJoin prefix filter when the hottest shingle df exceeds the
+    // crossover (the Zipfian skew-bench corpus) — results identical
+    // either way (equivalence-tested), so the oracle replays both.
     "x6_ngram_jaccard" -> ((s, dir) => {
       Dedup
-        .ngramJaccardPairs(T(s, dir, "documents"), col("text"), col("doc_id"), n = 3, threshold = 0.2)
+        .ngramJaccardPairsAuto(T(s, dir, "documents"), col("text"), col("doc_id"), n = 3, threshold = 0.2)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
