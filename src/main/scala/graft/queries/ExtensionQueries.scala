@@ -3391,6 +3391,25 @@ object ExtensionQueries {
         )
         .orderBy(col("query_id"))),
 
+    // Salted skew-join + salted two-phase sum, driver-checkable: both
+    // are SEMANTICS-IDENTICAL to the plain join/aggregate (the salt only
+    // reshapes the exchange), so the oracle is the plain SQL. Quantity
+    // is integer-valued double — sums are FP-exact under any grouping.
+    "x163_salted_join" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .select(col("l_partkey").as("partkey"), col("l_quantity"))
+      val pt = T(s, dir, "part").select(col("p_partkey").as("partkey"), col("p_brand"))
+      graft.operators.Skew
+        .saltedSum(
+          graft.operators.Skew.saltedJoin(li, pt, "partkey", saltFactor = 8),
+          col("p_brand"),
+          col("l_quantity"),
+          saltFactor = 8
+        )
+        .select(col("k").as("p_brand"), col("total").as("sum_qty"))
+        .orderBy(col("p_brand"))
+    }),
+
     // Pagination-stitch detection: planted page pairs share a 30-char
     // boundary (page A = chars 1..150, page B = chars 121..end, so A's
     // tail IS B's head); short docs ride along as unpaired noise.
@@ -6555,6 +6574,12 @@ object ExtensionQueries {
         |    AS ndcg
         |FROM agg LEFT JOIN pre ON pre.n = LEAST(agg.n_rel, 5)
         |ORDER BY 1""".stripMargin,
+
+    // the salt is pure exchange reshaping: the oracle is the PLAIN join+agg
+    "x163_salted_join" ->
+      """SELECT p_brand, SUM(l_quantity) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "x152_stitch" ->
       """WITH lng AS (SELECT doc_id, text FROM documents WHERE LENGTH(text) >= 200),
