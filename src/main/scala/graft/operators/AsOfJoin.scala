@@ -152,7 +152,9 @@ object AsOfJoin {
         explode(sequence(col("_mn"), col("_mx"), expr(s"interval $every"))).as(timeCol)
       )
     val right = df.select((byCol +: timeCol +: valueCols).map(col): _*)
-    asofBackward(grid, right, byCol, timeCol)
+    // through the native merge operator (q19's path); the union+window
+    // composition is its spec-pinned twin
+    asofBackwardNative(grid, right, byCol, timeCol)
   }
 
   /** Forward-fill (LOCF — last observation carried forward): per entity,

@@ -87,6 +87,35 @@ object Spectral {
     if (v(pivot) < 0) v.map(x => -x) else v
   }
 
+  /** Engine-replayable [[topComponent]] twin: FIXED iteration count and a
+    * 6dp round of the normalized vector (and its norm) after every step,
+    * so any SQL engine unrolling the same iterations over the same
+    * (6dp-rounded) gram entries reproduces the identical vector — the
+    * x126 pre-rounding discipline applied to an iterative driver-side
+    * model fit. [[topComponent]] (50 unrounded iterations) remains the
+    * production fit; this is the oracle-checkable surface (x164).
+    */
+  def topComponentReplay(m: Array[Array[Double]], iters: Int, dp: Int = 6): Array[Double] = {
+    val dim = m.length
+    val scale = math.pow(10, dp.toDouble)
+    def r(x: Double): Double = math.rint(x * scale) / scale
+    var v = Array.fill(dim)(r(1.0 / math.sqrt(dim.toDouble)))
+    var it = 0
+    while (it < iters) {
+      val w = Array.tabulate(dim) { i =>
+        var s = 0.0; var j = 0
+        while (j < dim) { s += m(i)(j) * v(j); j += 1 }
+        s
+      }
+      val norm = r(math.sqrt(w.map(x => x * x).sum))
+      require(norm > 0, "power iteration collapsed: zero matrix")
+      v = w.map(x => r(x / norm))
+      it += 1
+    }
+    val pivot = v.indices.maxBy(i => math.abs(v(i))) // first max = smallest i on ties
+    if (v(pivot) < 0) v.map(x => -x) else v
+  }
+
   /** Rayleigh quotient vᵀMv — the eigenvalue estimate for [[topComponent]]
     * (equals the variance captured along v when M is a gram/covariance).
     */

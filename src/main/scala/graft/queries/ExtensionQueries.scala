@@ -3410,6 +3410,24 @@ object ExtensionQueries {
         .orderBy(col("p_brand"))
     }),
 
+    // Full PCA pipeline, driver-checkable end to end: 6dp-rounded gram
+    // -> bounded collect -> REPLAYABLE power iteration (3 steps, vector
+    // re-rounded 6dp each step — the x126 discipline on an iterative
+    // model fit) -> zero-shuffle projection of every embedding onto the
+    // dominant direction. The oracle unrolls the same 3 iterations as
+    // CTEs over the same rounded gram.
+    "x164_pca_project" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val gram = Spectral
+        .gramMatrix(emb, col("embedding"))
+        .select(col("i"), col("j"), round(col("g"), 6).as("g"))
+      val v = Spectral.topComponentReplay(Spectral.gramToMatrix(gram), iters = 3)
+      Spectral
+        .projectOnto(emb, col("embedding"), v)
+        .select(col("vec_id"), round(col("proj"), 6).as("proj"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Pagination-stitch detection: planted page pairs share a 30-char
     // boundary (page A = chars 1..150, page B = chars 121..end, so A's
     // tail IS B's head); short docs ride along as unpaired noise.
@@ -6580,6 +6598,29 @@ object ExtensionQueries {
       """SELECT p_brand, SUM(l_quantity) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // 3 power iterations unrolled as CTEs over the 6dp-rounded gram;
+    // vector re-rounded 6dp per step (norm too); sign fixed at the
+    // largest-|x| component (smallest i on ties); v0 = 1/sqrt(64) exact
+    "x164_pca_project" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |g0 AS (SELECT ii.i AS i, jj.j AS j, ROUND(SUM(v[ii.i+1]*v[jj.j+1]), 6) AS g
+        |       FROM e, range(64) ii(i), range(64) jj(j) WHERE jj.j >= ii.i GROUP BY 1, 2),
+        |gs AS (SELECT i, j, g FROM g0 UNION ALL SELECT j AS i, i AS j, g FROM g0 WHERE i <> j),
+        |v0 AS (SELECT i, 0.125 AS x FROM range(64) t(i)),
+        |w1 AS (SELECT gs.i AS i, SUM(gs.g * v0.x) AS w FROM gs JOIN v0 ON gs.j = v0.i GROUP BY 1),
+        |n1 AS (SELECT ROUND(SQRT(SUM(w*w)), 6) AS n FROM w1),
+        |v1 AS (SELECT i, ROUND(w / (SELECT n FROM n1), 6) AS x FROM w1),
+        |w2 AS (SELECT gs.i AS i, SUM(gs.g * v1.x) AS w FROM gs JOIN v1 ON gs.j = v1.i GROUP BY 1),
+        |n2 AS (SELECT ROUND(SQRT(SUM(w*w)), 6) AS n FROM w2),
+        |v2 AS (SELECT i, ROUND(w / (SELECT n FROM n2), 6) AS x FROM w2),
+        |w3 AS (SELECT gs.i AS i, SUM(gs.g * v2.x) AS w FROM gs JOIN v2 ON gs.j = v2.i GROUP BY 1),
+        |n3 AS (SELECT ROUND(SQRT(SUM(w*w)), 6) AS n FROM w3),
+        |v3 AS (SELECT i, ROUND(w / (SELECT n FROM n3), 6) AS x FROM w3),
+        |piv AS (SELECT x FROM v3 ORDER BY ABS(x) DESC, i ASC LIMIT 1),
+        |vf AS (SELECT i, CASE WHEN (SELECT x FROM piv) < 0 THEN -x ELSE x END AS x FROM v3)
+        |SELECT e.vec_id, ROUND(SUM(e.v[vf.i+1] * vf.x), 6) AS proj
+        |FROM e, vf GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "x152_stitch" ->
       """WITH lng AS (SELECT doc_id, text FROM documents WHERE LENGTH(text) >= 200),

@@ -64,6 +64,32 @@ class SpectralSpec extends SparkTestBase {
     assert(math.abs(lambda - sumA2) / sumA2 < 0.01, s"rayleigh $lambda vs planted $sumA2")
   }
 
+  test("topComponentReplay: aligned with the production fit, deterministic, 6dp-quantized") {
+    val dim = 8
+    val s8 = 1.0 / math.sqrt(dim.toDouble)
+    val u = Array.tabulate(dim)(i => if (i % 2 == 0) s8 else -s8)
+    val rows = (1 to 200).map { r =>
+      val a = 1.0 + (r % 7) * 0.3
+      Tuple1(Array.tabulate(dim)(i => (a * u(i) + ((r % 5) - 2) * 0.01).toFloat))
+    }
+    // the replay twin consumes the 6dp-rounded gram, like x164
+    val gram = Spectral.gramToMatrix(
+      Spectral.gramMatrix(rows.toDF("v"), col("v"))
+        .select(col("i"), col("j"), round(col("g"), 6).as("g"))
+    )
+    val replay = Spectral.topComponentReplay(gram, iters = 3)
+    val full = Spectral.topComponent(gram)
+    val cos = math.abs(replay.zip(full).map { case (a, b) => a * b }.sum)
+    assert(cos > 0.999, s"replay twin diverged from the production fit: |cos|=$cos")
+    // every component is exactly 6dp-quantized (the replay contract)
+    replay.foreach(x => assert(math.rint(x * 1e6) / 1e6 == x, s"unquantized component $x"))
+    // bit-identical across runs
+    assert(Spectral.topComponentReplay(gram, iters = 3).toSeq == replay.toSeq)
+    // sign contract: the largest-|x| component is positive
+    val pivot = replay.indices.maxBy(i => math.abs(replay(i)))
+    assert(replay(pivot) > 0)
+  }
+
   test("projectOnto is the literal-direction dot product") {
     val df = Seq(Tuple1(Array(1.0f, 2.0f, 3.0f)), Tuple1(Array(-1.0f, 0.0f, 1.0f))).toDF("v")
     val got = Spectral
