@@ -89,6 +89,13 @@ object StressXOps {
       .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // GRAFT_CHECKPOINT_DIR=<path> re-runs every iterative section in
+    // RELIABLE checkpoint mode (GraftCheckpoint) — the cluster-grade
+    // evidence run; unset = default localCheckpoint mode
+    sys.env.get("GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty).foreach { d =>
+      spark.conf.set(graft.runtime.GraftCheckpoint.ConfKey, d)
+      println(s"[stressx] RELIABLE checkpoint mode: $d")
+    }
     println(s"[stressx] corpus: $nDocs docs + 1% twins; vectors: $nVecs + 1% twins; local[32]")
 
     // ---- shared text corpus: nDocs distinct + 1% planted near-dup twins
