@@ -152,6 +152,23 @@ object GraftExtensions {
           nprobe = if (es.length > 6) off(es(6)) else 4
         )
         .queryExecution.logical
+    }),
+    // native as-of join from SQL:
+    //   SELECT * FROM graft_asof('left_view', 'right_view', 'key', 'ts')
+    //   SELECT * FROM graft_asof('l', 'r', 'k', 't', 'forward')
+    // routes through the AsOfJoinExec physical merge (q19's operator)
+    "graft_asof" -> (es => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val l = spark.table(str(es(0)))
+      val r = spark.table(str(es(1)))
+      val (by, t) = (str(es(2)), str(es(3)))
+      val out = (if (es.length > 4) str(es(4)) else "backward") match {
+        case "backward" => graft.operators.AsOfJoin.asofBackwardNative(l, r, by, t)
+        case "forward" => graft.operators.AsOfJoin.asofForward(l, r, by, t)
+        case other =>
+          throw new IllegalArgumentException(s"direction must be backward|forward, got '$other'")
+      }
+      out.queryExecution.logical
     })
   )
 

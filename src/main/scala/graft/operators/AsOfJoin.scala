@@ -122,6 +122,33 @@ object AsOfJoin {
     org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, node)
   }
 
+  /** FORWARD as-of (pandas `merge_asof(direction="forward")`, DuckDB
+    * `ASOF ... ON l.t <= r.t`): for each left row, the EARLIEST right row
+    * with `right.timeCol >= left.timeCol` on the same key — the
+    * next-observation join (next signup after a touch, next deploy after
+    * a commit). Composed by time negation over the native backward merge:
+    * backward-on-(-t) ≡ forward-on-t, so the physical plan is the same
+    * [[graft.plans.AsOfJoinExec]] streaming merge (one exchange + sort
+    * per side, O(1) carried state). Both time columns must be timestamps
+    * or integral.
+    */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      byCol: String,
+      timeCol: String
+  ): DataFrame = {
+    def negT(df: DataFrame): DataFrame = {
+      val t = df.schema(timeCol).dataType
+      val asLong =
+        if (t == org.apache.spark.sql.types.TimestampType) unix_micros(col(timeCol))
+        else col(timeCol).cast("long")
+      df.withColumn("__negt", -asLong)
+    }
+    asofBackwardNative(negT(left), negT(right).drop(timeCol), byCol, "__negt")
+      .drop("__negt")
+  }
+
   /** Time-series resampling: a regular grid of `every` per key over each
     * key's [floor(min ts), max ts] span, forward-filled with the latest
     * observation at or before each grid point (grid + as-of composition —

@@ -126,7 +126,12 @@ case class AsOfJoinExec(
       val lKey = UnsafeProjection.create(Seq(lBy), leftOut)
       val rKey = UnsafeProjection.create(Seq(rBy), rightOut)
       val rVal = UnsafeProjection.create(rVals, rightOut)
-      val resultProj = UnsafeProjection.create(outAttrs, leftOut ++ rVals)
+      // bind the result projection against NULLABLE right values: the
+      // no-match case emits an all-null row, and a nullable=false input
+      // attribute would make the projection skip its null check and read
+      // garbage zeros out of it
+      val resultProj =
+        UnsafeProjection.create(outAttrs, leftOut ++ rVals.map(_.withNullability(true)))
       val nullRow = new GenericInternalRow(rVals.size)
       val joined = new JoinedRow
 

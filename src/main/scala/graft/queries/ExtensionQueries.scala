@@ -3410,6 +3410,24 @@ object ExtensionQueries {
         .orderBy(col("p_brand"))
     }),
 
+    // FORWARD as-of (next-observation join): each signup attaches the
+    // EARLIEST purchase at or after it per user — the same native merge
+    // operator as q19 run on negated time (left-join semantics: users
+    // with no later purchase keep NULL).
+    "x165_asof_forward" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val signups = ev
+        .filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_event"))
+      graft.operators.AsOfJoin
+        .asofForward(signups, purchases, "user_id", "ts")
+        .select(col("event_id"), col("user_id"), col("purchase_event"))
+        .orderBy(col("event_id"))
+    }),
+
     // Full PCA pipeline, driver-checkable end to end: 6dp-rounded gram
     // -> bounded collect -> REPLAYABLE power iteration (3 steps, vector
     // re-rounded 6dp each step — the x126 discipline on an iterative
@@ -6598,6 +6616,16 @@ object ExtensionQueries {
       """SELECT p_brand, SUM(l_quantity) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // forward direction = DuckDB ASOF with l.ts <= r.ts (earliest at/after)
+    "x165_asof_forward" ->
+      """SELECT s.event_id, s.user_id, p.purchase_event FROM
+        |  (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup') s
+        |ASOF LEFT JOIN
+        |  (SELECT user_id, ts, event_id AS purchase_event FROM events
+        |   WHERE event_type = 'purchase') p
+        |ON s.user_id = p.user_id AND s.ts <= p.ts
+        |ORDER BY s.event_id""".stripMargin,
 
     // 3 power iterations unrolled as CTEs over the 6dp-rounded gram;
     // vector re-rounded 6dp per step (norm too); sign fixed at the

@@ -227,6 +227,26 @@ class ExtensionsSpec extends SparkTestBase {
     assert(viaSql == viaScala, s"sql=${viaSql.size} scala=${viaScala.size}")
   }
 
+  test("graft_asof SQL table function: backward and forward through the native operator") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    Seq((1L, 100L, "l1"), (1L, 200L, "l2"), (2L, 50L, "l3"))
+      .toDF("k", "t", "lv").createOrReplaceTempView("asof_l")
+    Seq((1L, 90L, "r1"), (1L, 150L, "r2"), (2L, 60L, "r3"))
+      .toDF("k", "t", "rv").createOrReplaceTempView("asof_r")
+    val back = spark.sql("SELECT lv, rv FROM graft_asof('asof_l', 'asof_r', 'k', 't')")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(back == Set(("l1", Some("r1")), ("l2", Some("r2")), ("l3", None)))
+    val fwd = spark
+      .sql("SELECT lv, rv FROM graft_asof('asof_l', 'asof_r', 'k', 't', 'forward')")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    // forward: earliest right at/after — l1@100 -> r2@150, l2@200 -> none, l3@50 -> r3@60
+    assert(fwd == Set(("l1", Some("r2")), ("l2", None), ("l3", Some("r3"))))
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_asof('asof_l', 'asof_r', 'k', 't', 'sideways')").collect()
+    }
+  }
+
   test("embedding-cosine near-dup pairs = exact brute-force subset, all above threshold") {
     val emb = graft.sources.Tables
       .load(spark, sfDir, "embeddings")

@@ -108,6 +108,31 @@ class OperatorSpec extends SparkTestBase {
     val selfN = AsOfJoin.asofBackwardNative(
       src.select(col("k"), col("t")), src.withColumnRenamed("v", "w"), "k", "t")
     assert(selfN.collect().length == 2)
+    // NON-NULLABLE right value columns: the no-match row must surface
+    // NULL, not a garbage zero (the projection must null-check even when
+    // the right attribute is nullable=false — regression: resample's
+    // before-first-observation grid point read Some(0.0))
+    val l3 = Seq((1L, 5L, "early")).toDF("k", "t", "lv") // before any right row
+    val r3 = Seq((1L, 10L, 7.0)).toDF("k", "t", "m") // m is nullable=false
+    val row3 = AsOfJoin.asofBackwardNative(l3, r3, "k", "t").select(col("m")).collect()(0)
+    assert(row3.isNullAt(0), s"no-match must be NULL, got ${row3.get(0)}")
+  }
+
+  test("asofForward: earliest right >= left ts per key; equal-ts visible; timestamps negate safely") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "l1"), (1L, 200L, "l2"), (2L, 50L, "l3")).toDF("k", "t", "lv")
+    val right = Seq((1L, 100L, "r0"), (1L, 150L, "r2"), (2L, 40L, "r3")).toDF("k", "t", "rv")
+    val got = AsOfJoin.asofForward(left, right, "k", "t")
+      .select(col("lv"), col("rv"))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    // l1@100: r0@100 (equal ts visible, earliest); l2@200: none after; l3@50: none after
+    assert(got == Set(("l1", Some("r0")), ("l2", None), ("l3", None)))
+    // timestamp time column goes through unix_micros negation
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val lt = Seq((1L, ts(10), "a")).toDF("k", "t", "lv")
+    val rt = Seq((1L, ts(20), "b"), (1L, ts(5), "c")).toDF("k", "t", "rv")
+    val g2 = AsOfJoin.asofForward(lt, rt, "k", "t").select(col("rv")).collect()(0).getString(0)
+    assert(g2 == "b")
   }
 
   test("range join: containment with overlapping intervals, no cross product") {
