@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -147,6 +147,66 @@ object AsOfJoin {
     }
     asofBackwardNative(negT(left), negT(right).drop(timeCol), byCol, "__negt")
       .drop("__negt")
+  }
+
+  /** NEAREST as-of (pandas `merge_asof(direction="nearest")`): for each
+    * left row, the right row minimizing |right.time − left.time| on the
+    * same key; ties (equidistant before/after) take the BACKWARD match,
+    * pandas' rule. Composed from one backward and one forward native
+    * merge joined back on `leftIdCol` (a unique left row key — required
+    * because the two directional passes must re-align row-for-row).
+    * Cost: two [[graft.plans.AsOfJoinExec]] passes + one id-keyed join —
+    * all on the same key/id hash partitioning, no blowup.
+    */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      byCol: String,
+      timeCol: String,
+      leftIdCol: String
+  ): DataFrame = {
+    val valueCols = right.columns.filterNot(c => c == byCol || c == timeCol).toSeq
+    require(
+      !valueCols.contains(leftIdCol),
+      s"leftIdCol '$leftIdCol' collides with a right value column"
+    )
+    def toLong(df: DataFrame): Column = {
+      val t = df.schema(timeCol).dataType
+      if (t == org.apache.spark.sql.types.TimestampType) unix_micros(col(timeCol))
+      else col(timeCol).cast("long")
+    }
+    // carry the matched right TIME through each pass to compare distances
+    val rT = right.withColumn("__rt", toLong(right))
+    val b = asofBackwardNative(left, rT, byCol, timeCol)
+    val f = asofForward(left, rT, byCol, timeCol)
+    val lt = toLong(left)
+    val bSide = b.select(
+      (Seq(
+        col(leftIdCol).as("__id"),
+        abs(lt - col("__rt")).as("__db"),
+        col("__rt").isNotNull.as("__hb")
+      ) ++ valueCols.map(c => col(c).as(s"__b_$c"))): _*
+    )
+    val fSide = f.select(
+      (Seq(
+        col(leftIdCol).as("__fid"),
+        abs(lt - col("__rt")).as("__df"),
+        col("__rt").isNotNull.as("__hf")
+      ) ++ valueCols.map(c => col(c).as(s"__f_$c"))): _*
+    )
+    // backward wins ties and missing-forward; forward wins only when
+    // strictly closer (or backward missing) — pandas' nearest rule
+    val takeB = col("__hb") && (!col("__hf") || col("__db") <= col("__df"))
+    val picked = valueCols.map { c =>
+      when(takeB, col(s"__b_$c"))
+        .when(col("__hf"), col(s"__f_$c"))
+        .otherwise(lit(null))
+        .as(c)
+    }
+    left
+      .join(bSide, col(leftIdCol) === col("__id"))
+      .join(fSide, col(leftIdCol) === col("__fid"))
+      .select(left.columns.map(col) ++ picked: _*)
   }
 
   /** Time-series resampling: a regular grid of `every` per key over each

@@ -3428,6 +3428,23 @@ object ExtensionQueries {
         .orderBy(col("event_id"))
     }),
 
+    // NEAREST as-of: each click attaches the closest error event (before
+    // or after, per user; equidistant ties take the backward match —
+    // pandas' rule). Two native merges + an id-keyed recombination.
+    "x166_asof_nearest" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val errors = ev
+        .filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id").as("err_event"))
+      graft.operators.AsOfJoin
+        .asofNearest(clicks, errors, "user_id", "ts", "event_id")
+        .select(col("event_id"), col("user_id"), col("err_event"))
+        .orderBy(col("event_id"))
+    }),
+
     // Full PCA pipeline, driver-checkable end to end: 6dp-rounded gram
     // -> bounded collect -> REPLAYABLE power iteration (3 steps, vector
     // re-rounded 6dp each step — the x126 discipline on an iterative
@@ -6626,6 +6643,22 @@ object ExtensionQueries {
         |   WHERE event_type = 'purchase') p
         |ON s.user_id = p.user_id AND s.ts <= p.ts
         |ORDER BY s.event_id""".stripMargin,
+
+    // nearest = closer of the two ASOF directions; backward wins ties
+    "x166_asof_nearest" ->
+      """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |e AS (SELECT user_id, ts AS ets, event_id AS err_event FROM events
+        |      WHERE event_type = 'error'),
+        |b AS (SELECT c.event_id, c.user_id, c.ts, e.err_event AS bev, e.ets AS bts
+        |      FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts >= e.ets),
+        |f AS (SELECT c.event_id, e.err_event AS fev, e.ets AS fts
+        |      FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts <= e.ets)
+        |SELECT b.event_id, b.user_id,
+        |  CASE WHEN bts IS NOT NULL AND (fts IS NULL
+        |            OR (EPOCH_US(b.ts) - EPOCH_US(bts)) <= (EPOCH_US(fts) - EPOCH_US(b.ts)))
+        |       THEN bev
+        |       WHEN fts IS NOT NULL THEN fev END AS err_event
+        |FROM b JOIN f USING (event_id) ORDER BY 1""".stripMargin,
 
     // 3 power iterations unrolled as CTEs over the 6dp-rounded gram;
     // vector re-rounded 6dp per step (norm too); sign fixed at the

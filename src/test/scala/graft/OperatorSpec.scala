@@ -135,6 +135,27 @@ class OperatorSpec extends SparkTestBase {
     assert(g2 == "b")
   }
 
+  test("asofNearest: closest side wins, backward wins exact ties, missing sides degrade") {
+    import spark.implicits._
+    val left = Seq(
+      (10L, 1L, 100L), // b@90 (d=10) vs f@150 (d=50) -> backward r1
+      (11L, 1L, 145L), // b@90 (d=55) vs f@150 (d=5)  -> forward r2
+      (12L, 1L, 120L), // b@90 (d=30) vs f@150 (d=30) -> TIE -> backward r1
+      (13L, 2L, 50L),  // only forward exists -> r3
+      (14L, 3L, 50L)   // no right rows at all -> null
+    ).toDF("id", "k", "t")
+    val right = Seq((1L, 90L, "r1"), (1L, 150L, "r2"), (2L, 60L, "r3")).toDF("k", "t", "rv")
+    val got = AsOfJoin
+      .asofNearest(left, right, "k", "t", "id")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("rv")))
+      .toMap
+    assert(got == Map(
+      10L -> Some("r1"), 11L -> Some("r2"), 12L -> Some("r1"),
+      13L -> Some("r3"), 14L -> None
+    ), s"nearest picks wrong side: $got")
+  }
+
   test("range join: containment with overlapping intervals, no cross product") {
     val intervals = Seq((1L, 0.0, 10.0), (2L, 5.0, 15.0)).toDF("iid", "lo", "hi")
     val points = Seq((100L, 7.0), (101L, 12.0), (102L, 20.0)).toDF("pid", "p")
