@@ -22,7 +22,7 @@ object Audit {
     * numerics add `<c>_min`/`<c>_max`; strings add `<c>_distinct`.
     */
   def profile(df: DataFrame, approx: Boolean = false): DataFrame = {
-    val aggs = df.schema.fields.flatMap { f =>
+    val aggs = df.schema.fields.toSeq.flatMap { f =>
       val c = col(f.name)
       val base = Seq(count(when(c.isNull, 1)).as(s"${f.name}_nulls"))
       f.dataType match {

@@ -156,6 +156,60 @@ class OperatorSpec extends SparkTestBase {
     ), s"nearest picks wrong side: $got")
   }
 
+  test("asofNearest fuzz: matches a driver-side brute-force reference on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val left = (0 until 300).map(i => (i.toLong, rnd.nextInt(25).toLong, rnd.nextInt(500).toLong))
+    val right = (0 until 200).map(i => (rnd.nextInt(20).toLong, rnd.nextInt(500).toLong, s"r$i"))
+    // brute force: per left row, min |rt-lt|; backward (rt <= lt) wins ties;
+    // among equal (key,time,distance) rights the engine carries the LAST in
+    // sort order — mirror by picking max tag among the tied winners
+    val expected = left.map { case (id, k, t) =>
+      val cands = right.filter(_._1 == k)
+      if (cands.isEmpty) id -> None
+      else {
+        val best = cands.map { case (_, rt, tag) =>
+          (math.abs(rt - t), if (rt <= t) 0 else 1, rt, tag)
+        }.sorted.headOption.map(_._1)
+        val winners = cands
+          .map { case (_, rt, tag) => (math.abs(rt - t), if (rt <= t) 0 else 1, rt, tag) }
+          .filter(c => best.contains(c._1))
+        val side = winners.map(_._2).min // backward if any backward at best distance
+        val sameSide = winners.filter(_._2 == side)
+        // engine tie-break within a side at the same (key, time): last in
+        // (key,time) sort order = undefined among equal times; restrict the
+        // fuzz to assert the DISTANCE+SIDE contract, not the tag identity
+        id -> Some((best.get, side, sameSide.map(_._3).distinct.size))
+      }
+    }.toMap
+    val got = AsOfJoin
+      .asofNearest(
+        left.toDF("id", "k", "t"),
+        right.toDF("k", "t", "rv"),
+        "k",
+        "t",
+        "id"
+      )
+      .join(right.toDF("k2", "rt", "rv2"), col("rv") === col("rv2"), "left")
+      .select(col("id"), col("t"), col("rv"), col("rt"))
+      .collect()
+      .map { r =>
+        r.getLong(0) -> (if (r.isNullAt(2)) None
+                         else {
+                           val (t, rt) = (r.getLong(1), r.getLong(3))
+                           Some((math.abs(rt - t), if (rt <= t) 0 else 1))
+                         })
+      }
+      .toMap
+    expected.foreach { case (id, exp) =>
+      (exp, got(id)) match {
+        case (None, g) => assert(g.isEmpty, s"row $id: expected no match, got $g")
+        case (Some((d, side, _)), g) =>
+          assert(g.contains((d, side)), s"row $id: expected (dist=$d, side=$side), got $g")
+      }
+    }
+  }
+
   test("range join: containment with overlapping intervals, no cross product") {
     val intervals = Seq((1L, 0.0, 10.0), (2L, 5.0, 15.0)).toDF("iid", "lo", "hi")
     val points = Seq((100L, 7.0), (101L, 12.0), (102L, 20.0)).toDF("pid", "p")
