@@ -31,6 +31,13 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * two sorted scans stream, memory is O(1) per partition, and AQE still
   * owns the exchanges (skew/coalesce) because the node declares standard
   * `ClusteredDistribution` requirements.
+  *
+  * Hot-key caveat (shared with every order-dependent operator —
+  * [[graft.operators.AsOfJoin.gapFill]] documents the same): one monster
+  * key serializes its own partition's merge, and salting cannot apply
+  * because the carry is order-dependent within the key. If a single key
+  * approaches a partition's worth of rows, pre-chunk it on a coarser
+  * co-key (session, day) exactly as the gapFill guidance says.
   */
 case class AsOfJoinNode(
     left: LogicalPlan,

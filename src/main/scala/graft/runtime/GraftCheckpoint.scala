@@ -29,6 +29,13 @@ object GraftCheckpoint {
 
   /** Session conf key: absent/empty → localCheckpoint; set to a directory
     * → reliable `checkpoint` into it.
+    *
+    * Directory hygiene in reliable mode: each pin writes one RDD's worth
+    * of files under the dir and Spark removes them only when the RDD is
+    * GC'd AND `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+    * (default false). Long iterative jobs should set that conf (rounds
+    * become unreferenced as the loop advances) or point the dir at a
+    * location with a TTL/lifecycle policy.
     */
   val ConfKey = "spark.graft.checkpointDir"
 
