@@ -1196,6 +1196,54 @@ object text {
   def luhn_scan(textCol: Column): Column =
     Bridge.column(LuhnScan(Bridge.expression(textCol)))
 
+  /** Shared Aho-Corasick automaton builder (trie + failure links +
+    * collapsed output chains) for [[AhoCorasickCount]] and
+    * [[BlocklistScan]] — ONE copy of the construction (including the
+    * depth-1 failure-link self-loop guard) so a fix can never land in
+    * one expression and silently diverge the other.
+    */
+  private[functions] def buildAcAutomaton(phrases: Seq[String]): (
+      Array[java.util.HashMap[Character, Integer]],
+      Array[Int],
+      Array[Array[Int]]
+  ) = {
+    val kids = scala.collection.mutable.ArrayBuffer(new java.util.HashMap[Character, Integer]())
+    val ends = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+    phrases.zipWithIndex.foreach { case (p, pi) =>
+      var node = 0
+      p.foreach { c =>
+        val m = kids(node)
+        val nxt = m.get(c)
+        node = if (nxt != null) nxt.intValue()
+        else {
+          kids += new java.util.HashMap[Character, Integer]()
+          ends += Nil
+          m.put(c, kids.size - 1)
+          kids.size - 1
+        }
+      }
+      ends(node) = pi :: ends(node)
+    }
+    val n = kids.size
+    val fail = new Array[Int](n)
+    val out = new Array[List[Int]](n)
+    (0 until n).foreach(i => out(i) = ends(i))
+    val q = new java.util.ArrayDeque[Int]()
+    kids(0).forEach { (_, v) => fail(v) = 0; q.add(v) }
+    while (!q.isEmpty) {
+      val u = q.poll()
+      kids(u).forEach { (c, v) =>
+        var f = fail(u)
+        while (f != 0 && !kids(f).containsKey(c)) f = fail(f)
+        val fc = kids(f).get(c)
+        fail(v) = if (fc != null && fc.intValue() != v.intValue()) fc.intValue() else 0
+        out(v) = out(v) ++ out(fail(v)) // collapse output chain at build
+        q.add(v)
+      }
+    }
+    (kids.toArray, fail, out.map(_.toArray))
+  }
+
   /** Aho-Corasick multi-phrase counter (Aho & Corasick 1975, "Efficient
     * String Matching: An Aid to Bibliographic Search") — the scale path
     * for large blocklists/lexicons: the regex alternation
@@ -1234,43 +1282,7 @@ object text {
         Array[java.util.HashMap[Character, Integer]],
         Array[Int],
         Array[Array[Int]]
-    ) = {
-      val kids = scala.collection.mutable.ArrayBuffer(new java.util.HashMap[Character, Integer]())
-      val ends = scala.collection.mutable.ArrayBuffer(List.empty[Int])
-      phrases.zipWithIndex.foreach { case (p, pi) =>
-        var node = 0
-        p.foreach { c =>
-          val m = kids(node)
-          val nxt = m.get(c)
-          node = if (nxt != null) nxt.intValue()
-          else {
-            kids += new java.util.HashMap[Character, Integer]()
-            ends += Nil
-            m.put(c, kids.size - 1)
-            kids.size - 1
-          }
-        }
-        ends(node) = pi :: ends(node)
-      }
-      val n = kids.size
-      val fail = new Array[Int](n)
-      val out = new Array[List[Int]](n)
-      (0 until n).foreach(i => out(i) = ends(i))
-      val q = new java.util.ArrayDeque[Int]()
-      kids(0).forEach { (_, v) => fail(v) = 0; q.add(v) }
-      while (!q.isEmpty) {
-        val u = q.poll()
-        kids(u).forEach { (c, v) =>
-          var f = fail(u)
-          while (f != 0 && !kids(f).containsKey(c)) f = fail(f)
-          val fc = kids(f).get(c)
-          fail(v) = if (fc != null && fc.intValue() != v.intValue()) fc.intValue() else 0
-          out(v) = out(v) ++ out(fail(v)) // collapse output chain at build
-          q.add(v)
-        }
-      }
-      (kids.toArray, fail, out.map(_.toArray))
-    }
+    ) = buildAcAutomaton(phrases)
     @transient private lazy val phraseLen: Array[Int] = phrases.map(_.length).toArray
 
     /** Invoked from both eval and generated code. */
@@ -1367,43 +1379,7 @@ object text {
         Array[java.util.HashMap[Character, Integer]],
         Array[Int],
         Array[Array[Int]]
-    ) = {
-      val kids = scala.collection.mutable.ArrayBuffer(new java.util.HashMap[Character, Integer]())
-      val ends = scala.collection.mutable.ArrayBuffer(List.empty[Int])
-      ordered.zipWithIndex.foreach { case (p, pi) =>
-        var node = 0
-        p.foreach { c =>
-          val m = kids(node)
-          val nxt = m.get(c)
-          node = if (nxt != null) nxt.intValue()
-          else {
-            kids += new java.util.HashMap[Character, Integer]()
-            ends += Nil
-            m.put(c, kids.size - 1)
-            kids.size - 1
-          }
-        }
-        ends(node) = pi :: ends(node)
-      }
-      val n = kids.size
-      val fail = new Array[Int](n)
-      val out = new Array[List[Int]](n)
-      (0 until n).foreach(i => out(i) = ends(i))
-      val q = new java.util.ArrayDeque[Int]()
-      kids(0).forEach { (_, v) => fail(v) = 0; q.add(v) }
-      while (!q.isEmpty) {
-        val u = q.poll()
-        kids(u).forEach { (c, v) =>
-          var f = fail(u)
-          while (f != 0 && !kids(f).containsKey(c)) f = fail(f)
-          val fc = kids(f).get(c)
-          fail(v) = if (fc != null && fc.intValue() != v.intValue()) fc.intValue() else 0
-          out(v) = out(v) ++ out(fail(v))
-          q.add(v)
-        }
-      }
-      (kids.toArray, fail, out.map(_.toArray))
-    }
+    ) = buildAcAutomaton(ordered.toSeq)
 
     /** Invoked from both eval and generated code. */
     def compute(v: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {

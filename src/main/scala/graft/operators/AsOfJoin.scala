@@ -100,9 +100,15 @@ object AsOfJoin {
       s"asofBackwardNative requires disjoint value column names; rename on one side: ${clash.mkString(", ")}"
     )
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    // synchronized: extraStrategies is a plain session-global var, and an
+    // unguarded read-check-append from concurrent query builders could
+    // lose one thread's update (builder-time injection via
+    // GraftExtensions has no such race — prefer it where possible)
+    graft.plans.AsOfJoinStrategy.synchronized {
+      if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    }
     // re-alias the right side so a self-as-of (same source both sides)
     // cannot alias attribute ids across the node
     val rFresh = right.select(right.columns.map(c => col(c).as(c)).toSeq: _*)
@@ -170,6 +176,20 @@ object AsOfJoin {
       !valueCols.contains(leftIdCol),
       s"leftIdCol '$leftIdCol' collides with a right value column"
     )
+    // a NULL id would silently vanish through the recombination joins
+    // (NULL === NULL is not true) — fail LOUDLY at execution instead:
+    // assert_true returns null on pass, so the when() below is the id
+    // itself unless a null id flows, which raises. No extra job.
+    val left0 = left.withColumn(
+      leftIdCol,
+      when(
+        assert_true(
+          col(leftIdCol).isNotNull,
+          lit(s"asofNearest: NULL $leftIdCol — leftIdCol must be a unique non-null key")
+        ).isNull,
+        col(leftIdCol)
+      )
+    )
     def toLong(df: DataFrame): Column = {
       val t = df.schema(timeCol).dataType
       if (t == org.apache.spark.sql.types.TimestampType) unix_micros(col(timeCol))
@@ -177,8 +197,8 @@ object AsOfJoin {
     }
     // carry the matched right TIME through each pass to compare distances
     val rT = right.withColumn("__rt", toLong(right))
-    val b = asofBackwardNative(left, rT, byCol, timeCol)
-    val f = asofForward(left, rT, byCol, timeCol)
+    val b = asofBackwardNative(left0, rT, byCol, timeCol)
+    val f = asofForward(left0, rT, byCol, timeCol)
     val lt = toLong(left)
     val bSide = b.select(
       (Seq(
@@ -203,7 +223,7 @@ object AsOfJoin {
         .otherwise(lit(null))
         .as(c)
     }
-    left
+    left0
       .join(bSide, col(leftIdCol) === col("__id"))
       .join(fSide, col(leftIdCol) === col("__fid"))
       .select(left.columns.map(col) ++ picked: _*)

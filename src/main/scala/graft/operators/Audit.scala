@@ -320,8 +320,11 @@ object Audit {
     */
   private[graft] def laplaceSecure(b: Double): Double = {
     val u = secureRng.get().nextDouble() - 0.5
-    val t = math.max(1.0 - 2.0 * math.abs(u), java.lang.Double.MIN_NORMAL)
-    if (u == 0.0) 0.0 else -b * math.signum(u) * math.log(t)
+    // log1p(-2|u|), not log(1-2|u|): near u = 0 the subtraction from 1.0
+    // quantizes at ulp(1.0) and flattens tiny draws; the clamp guards the
+    // 2^-53 chance of u = -0.5 exactly (log of 0 -> -Infinity)
+    val a = math.max(-2.0 * math.abs(u), math.nextUp(-1.0))
+    if (u == 0.0) 0.0 else -b * math.signum(u) * math.log1p(a)
   }
 
   /** The PRODUCTION Laplace release — [[dpCounts]]' honesty contract

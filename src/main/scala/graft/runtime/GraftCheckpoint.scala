@@ -47,9 +47,28 @@ object GraftCheckpoint {
         val sc = spark.sparkContext
         // setCheckpointDir resolves to a UUID subdirectory under `dir`;
         // only (re)set when the current resolved dir is not under it, so
-        // repeated pins reuse one subdirectory instead of churning
-        if (!sc.getCheckpointDir.exists(_.startsWith(dir))) sc.setCheckpointDir(dir)
-        df.checkpoint(eager = true)
+        // repeated pins reuse one subdirectory instead of churning.
+        // getCheckpointDir returns the FULLY-QUALIFIED resolved path
+        // (e.g. file:/tmp/ck/<uuid>), so the containment test must
+        // qualify `dir` the same way or a plain posix path never matches
+        // and every pin would mkdirs a fresh sibling.
+        val qualified = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(sc.hadoopConfiguration)
+          p.makeQualified(fs.getUri, fs.getWorkingDirectory).toString
+        }
+        if (!sc.getCheckpointDir.exists(_.startsWith(qualified))) sc.setCheckpointDir(dir)
+        // persist before the reliable checkpoint: Dataset.checkpoint's
+        // eager materialization and ReliableCheckpointRDD's file-write
+        // job otherwise COMPUTE THE LINEAGE TWICE (the case
+        // RDD.checkpoint's own doc warns to persist for) — at cluster
+        // scale that doubles every round's exchange cost
+        val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try cached.checkpoint(eager = true)
+        finally {
+          cached.unpersist()
+          ()
+        }
       case None => df.localCheckpoint(eager = true)
     }
   }

@@ -154,6 +154,14 @@ class OperatorSpec extends SparkTestBase {
       10L -> Some("r1"), 11L -> Some("r2"), 12L -> Some("r1"),
       13L -> Some("r3"), 14L -> None
     ), s"nearest picks wrong side: $got")
+    // a NULL left id would silently vanish through the recombination
+    // joins — the operator must raise instead of dropping the row
+    val nullId = Seq((Option.empty[Long], 1L, 100L), (Some(1L), 1L, 100L)).toDF("id", "k", "t")
+    val e = intercept[Exception] {
+      AsOfJoin.asofNearest(nullId, right, "k", "t", "id").collect()
+    }
+    val m = Option(e.getMessage).getOrElse("") + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(m.contains("asofNearest") || m.toLowerCase.contains("assert"), s"wrong error: $e")
   }
 
   test("asofNearest fuzz: matches a driver-side brute-force reference on random data") {
