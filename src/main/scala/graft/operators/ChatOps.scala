@@ -473,10 +473,14 @@ object ChatOps {
     * with the population std, zero when the group is degenerate (std = 0),
     * null (and counted) when the reward itself is null.
     *
-    * Determinism discipline: the advantage is computed from the 6dp-ROUNDED
-    * group moments (and itself rounded 6dp), so every engine that agrees on
-    * the rounded moments agrees bit-exactly on the advantage — the x126
-    * pre-round-before-derive rule.
+    * Determinism discipline: the group moments are computed from EXACT
+    * DECIMAL(18,6) sums (Σr and Σr² — exact whenever rewards carry ≤ 6dp,
+    * the repo's portability quantum; reward magnitudes < 1e12), then
+    * derived in IEEE double from those exact sums — so the moments are
+    * identical under ANY aggregation order and in any engine: a long
+    * skewed group can never push a double-sum across the 6dp rounding
+    * boundary (the failure the skew-corpus selfcheck exposed in plain
+    * avg/stddev_pop). Moments and the advantage round 6dp at the edge.
     *
     * Shape: one partial-aggregating exchange builds the prompt-sized moment
     * table, then an equi-join on the prompt key (broadcast under AQE for
@@ -495,13 +499,37 @@ object ChatOps {
       candCol.as("cand_id"),
       rewardCol.cast("double").as("reward")
     )
+    // exact decimal sums -> order-independent double moments (scaladoc)
+    val rd = col("reward").cast("decimal(18,6)")
     val g = rows
       .groupBy(col("prompt_id"))
       .agg(
         count(col("reward")).as("n_scored"),
         (count(lit(1)) - count(col("reward"))).as("n_null"),
-        round(avg(col("reward")), 6).as("mean_r"),
-        round(coalesce(stddev_pop(col("reward")), lit(0.0)), 6).as("std_r")
+        sum(rd).as("__s1"),
+        sum(rd * rd).as("__s2")
+      )
+      .select(
+        col("prompt_id"),
+        col("n_scored"),
+        col("n_null"),
+        round(col("__s1").cast("double") / col("n_scored"), 6).as("mean_r"),
+        round(
+          when(
+            col("n_scored") > 0,
+            // mu*mu, never pow(mu, 2): Math.pow is 1-ulp, not exact, and
+            // the two engines could round its last bit differently
+            sqrt(
+              greatest(
+                col("__s2").cast("double") / col("n_scored") -
+                  (col("__s1").cast("double") / col("n_scored")) *
+                  (col("__s1").cast("double") / col("n_scored")),
+                lit(0.0)
+              )
+            )
+          ).otherwise(lit(0.0)),
+          6
+        ).as("std_r")
       )
     rows
       .join(g, Seq("prompt_id"))

@@ -1242,10 +1242,18 @@ object ExtensionQueries {
       // exact strong-pair twin on the bounded corpus — no clustering here
       val l = all.select(col("vec_id").as("id_a"), col("embedding").as("va"))
       val r = all.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-      val nStrong = l
+      // recall denominator = VERTICES with a smaller strong neighbor (the
+      // rows a perfect min-keeping dedup would drop), not strong EDGES:
+      // identical on disjoint planted twins, and correct when strong pairs
+      // form a clique (a 50%-hot-cluster corpus — the skew twin — has m-1
+      // droppable vertices but m(m-1)/2 edges, which no dedup can "recall")
+      val strong = l
         .join(r, col("id_a") < col("id_b"))
         .filter(Similarity.cosine(col("va"), col("vb")) >= 0.95)
-        .agg(count(lit(1)).as("n_strong"))
+        .agg(
+          count(lit(1)).as("n_strong"),
+          count_distinct(col("id_b")).cast("double").as("__dropTarget")
+        )
       res
         .agg(
           count(lit(1)).as("n_docs"),
@@ -1253,12 +1261,12 @@ object ExtensionQueries {
             .as("drops_planted_only"),
           sum(when(!col("kept"), 1L).otherwise(0L)).cast("double").as("__nd")
         )
-        .crossJoin(nStrong)
+        .crossJoin(strong)
         .select(
           col("n_docs"),
           col("n_strong"),
           col("drops_planted_only"),
-          (col("__nd") / col("n_strong") >= 0.9).as("recall_ok")
+          (col("__nd") / col("__dropTarget") >= 0.9).as("recall_ok")
         )
     }),
 
@@ -6202,12 +6210,21 @@ object ExtensionQueries {
         |FROM nodes n JOIN fin f ON n.id = f.id
         |ORDER BY 1""".stripMargin,
 
+    // moments from EXACT DECIMAL(18,6) sums, derived in IEEE double —
+    // order-independent, so a 7%-hot-user group (the skew twin) can never
+    // push a double-sum across the 6dp boundary; mu*mu, never POW
     "x140_grpo_advantage" ->
       """WITH g AS (SELECT user_id,
         |    CAST(COUNT(value) AS BIGINT) AS n_scored,
         |    CAST(COUNT(*) - COUNT(value) AS BIGINT) AS n_null,
-        |    ROUND(AVG(value), 6) AS mean_r,
-        |    ROUND(COALESCE(STDDEV_POP(value), 0), 6) AS std_r
+        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6)
+        |      AS mean_r,
+        |    ROUND(CASE WHEN COUNT(value) > 0 THEN SQRT(GREATEST(
+        |        CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |          / COUNT(value)
+        |        - (CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value))
+        |          * (CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value)), 0))
+        |      ELSE 0 END, 6) AS std_r
         |  FROM events GROUP BY 1)
         |SELECT e.user_id AS prompt_id, e.event_id AS cand_id, e.value AS reward,
         |  n_scored, n_null, mean_r, std_r,

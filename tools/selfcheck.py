@@ -37,8 +37,14 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sfdir: str, outdir: str) -> int:
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+        # driver testdata = single files; Spark-written twins (SkewGen) =
+        # directories named <t>.parquet — glob those
+        path = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     import glob
     bad, ok, rows_only = [], [], []
