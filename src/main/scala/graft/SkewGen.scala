@@ -65,7 +65,14 @@ object SkewGen {
     graft.sources.Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
+    generate(spark, out, src)
+    spark.stop()
+  }
+
+  /** Generate the skewed twin with a caller-owned session (the CI spec's
+    * entry — main wraps this with its own session + stop).
+    */
+  def generate(spark: SparkSession, out: String, src: String): Unit = {
 
     def write(df: DataFrame, name: String, parts: Int = 4): Unit =
       df.coalesce(parts).write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -122,7 +129,7 @@ object SkewGen {
           .otherwise(concat(lit("src"), (zipf(19, col("doc_id"), lit("src2")) + 1).cast("string")))
           .as("source")
       )
-      .withColumn("n_chars", length(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
     write(docs, "documents", parts = 2)
 
     // ---- events: Zipf users, flash-crowd day, skewed types, heavy-tail value
@@ -238,6 +245,6 @@ object SkewGen {
     val maxDf = graft.operators.Dedup
       .preferPrefixStrategy(spark.read.parquet(s"$out/documents.parquet"), col("text"), 3, 64)
     println(s"[skewgen] documents: ngramJaccardPairsAuto prefers PPJoin = $maxDf")
-    spark.stop()
+    ()
   }
 }
