@@ -242,9 +242,9 @@ object SkewGen {
       .select(md5(regexp_replace(col("text"), "^\\S+ ", "")).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("n")).orderBy(col("n").desc).head()
     println(s"[skewgen] documents: hottest near-dup cluster ~${hotDup.getLong(1)} members")
-    val maxDf = graft.operators.Dedup
-      .preferPrefixStrategy(spark.read.parquet(s"$out/documents.parquet"), col("text"), 3, 64)
-    println(s"[skewgen] documents: ngramJaccardPairsAuto prefers PPJoin = $maxDf")
+    val prefer = graft.operators.Dedup
+      .preferPrefixStrategy(spark.read.parquet(s"$out/documents.parquet"), col("text"), 3, threshold = 0.2)
+    println(s"[skewgen] documents: ngramJaccardPairsAuto(t=0.2) prefers PPJoin = $prefer (cost-based; naive is the measured winner below the crossover)")
     ()
   }
 }

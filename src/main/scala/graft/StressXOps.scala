@@ -72,7 +72,7 @@ object StressXOps {
     // (simhash,minhash,cosine,decontaminate,pack,cc,quantile,pii,sample,
     // lines,quantize,spans,semdedup,bloominc,retrieval,qknn,classifier,
     // curation9,curation10,curation10b,curation10c,curation10d,curation10e,
-    // curation11,…,graph,editdist,spectral,sft,curation16,linkage,streamlink,acscan,blocklist,asof) — default all
+    // curation11,…,graph,editdist,spectral,sft,curation16,linkage,streamlink,acscan,blocklist,asof,ngramab) — default all
     val only = if (args.length > 2) args(2).split(",").toSet else Set.empty[String]
     def section(name: String): Boolean = only.isEmpty || only(name)
     val spark = SparkSession
@@ -2586,6 +2586,7 @@ object StressXOps {
     if (section("acscan")) acScanSection(spark, math.min(nDocs, 1000000L))
     if (section("blocklist")) blocklistSection(spark, math.min(nDocs, 1000000L))
     if (section("asof")) asofSection(spark, math.min(nDocs, 20000000L))
+    if (section("ngramab")) ngramAbSection(spark)
 
     corpus.unpersist()
     spark.stop()
@@ -2778,6 +2779,104 @@ object StressXOps {
     assert(cntN == cntC && sumN == sumC, "native as-of checksum diverged from composition")
     lp.unpersist(); rightDedup.unpersist()
     ()
+  }
+
+  /** ngramJaccardPairs naive-vs-PPJoin A/B on a ZIPFIAN corpus at the
+    * dedup-grade threshold (0.8): the committed evidence that the
+    * auto-switch picks the strategy that actually WINS on skewed
+    * shingle-df data. Two regimes, both printed:
+    *   - synthesized GRAFT_NGRAM_N-doc (default 100k) Zipf(1)-token
+    *     corpus with 25% template near-dups at t=0.8 — the production
+    *     near-dup setting, where the prefix index pairs only each doc's
+    *     RAREST ~20% of shingles while the naive index pays Σ C(df,2)
+    *     over hot-shingle postings;
+    *   - the SkewGen sf0.1 twin at x6's t=0.2 completeness setting —
+    *     honesty row: a threshold that low keeps ~80% of shingles in
+    *     every prefix, so the two strategies are a documented WASH there.
+    * Pair sets asserted identical in both regimes.
+    */
+  private def ngramAbSection(spark: SparkSession): Unit = {
+    def ab(docs: DataFrame, threshold: Double, label: String): Unit = {
+      val d = docs.persist()
+      val n = d.count()
+      def run(prefix: Boolean): (Double, Long, java.math.BigDecimal) = {
+        val pairs =
+          if (prefix)
+            operators.Dedup.ngramJaccardPairsPrefix(d, col("text"), col("doc_id"), 3, threshold)
+          else operators.Dedup.ngramJaccardPairs(d, col("text"), col("doc_id"), 3, threshold)
+        val t0 = System.nanoTime()
+        val r = pairs.agg(
+          count(lit(1)).as("n"),
+          coalesce(
+            sum(xxhash64(col("id_a"), col("id_b"), round(col("jaccard"), 6)).cast("decimal(38,0)")),
+            lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")
+          ).as("h")
+        ).head()
+        ((System.nanoTime() - t0) / 1e9, r.getLong(0), r.getDecimal(1))
+      }
+      val auto = operators.Dedup.preferPrefixStrategy(d, col("text"), 3, 64)
+      // decision diagnostics: the naive index's candidate mass Σ C(df,2)
+      // vs the linear shingle mass Σ df — the COST-BASED switch variable
+      val st = d
+        .select(explode(array_distinct(operators.Dedup.shingles(col("text"), 3))).as("s"))
+        .groupBy(col("s"))
+        .agg(count(lit(1)).as("df"))
+        .agg(
+          sum(col("df")).as("mass"),
+          sum((col("df") * (col("df") - 1)).cast("long") / 2).cast("long").as("cand"),
+          max(col("df")).as("maxdf")
+        )
+        .head()
+      val (sP, nP, hP) = run(prefix = true)
+      val (sN, nN, hN) = run(prefix = false)
+      println(f"[stressx] ngramAB [$label] @ $n%d docs, t=$threshold: PPJoin $sP%.1f s vs naive $sN%.1f s (${sN / sP}%.2fx); auto prefers prefix=$auto; pairs equal ${nP == nN && hP == hN} ($nP); mass=${st.getLong(0)} cand=${st.getLong(1)} maxdf=${st.getLong(2)} cand/mass=${st.getLong(1).toDouble / st.getLong(0)}%.1f")
+      assert(nP == nN && hP == hN, s"strategies must produce identical pair sets [$label]")
+      d.unpersist()
+      ()
+    }
+    // regime 1: synthesized Zipf corpus at the production threshold
+    val nDocs = sys.env.get("GRAFT_NGRAM_N").map(_.toLong).getOrElse(100000L)
+    val vocab = (0 until 500).map(w => s"w$w").toArray
+    def ztok(seed: Column, i: Int): Column = {
+      val u = pmod(xxhash64(seed, lit(i), lit("zt")), lit(1000000007L)).cast("double") / 1000000007.0
+      element_at(
+        lit(vocab),
+        (least((floor(pow(lit(501.0), u)) - 1).cast("long"), lit(499L)) + 1).cast("int")
+      )
+    }
+    def ztext(seed: Column): Column = concat_ws(" ", (0 until 30).map(i => ztok(seed, i)): _*)
+    val zipfDocs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      // 25% near-dups over ~nDocs/20 UNIFORM templates (~5 siblings each,
+      // J ≈ 0.87 between siblings): the TOKEN distribution is the Zipf
+      // lever under test here; power-law cluster sizes would just bloat
+      // the shared verification output both strategies pay identically
+      when(
+        pmod(xxhash64(col("id"), lit("dup")), lit(4L)) === 0,
+        concat_ws(
+          " ",
+          ztok(col("id"), 999),
+          ztext(lit(10000000L) + pmod(xxhash64(col("id"), lit("tm")), lit(math.max(1L, nDocs / 20))))
+        )
+      ).otherwise(ztext(col("doc_id"))).as("text")
+    )
+    ab(zipfDocs, 0.8, "zipf-synth")
+    // regime 2: BOILERPLATE — 20% of docs share a verbatim tail phrase
+    // (web headers/footers): a handful of df≈N/5 shingles put the naive
+    // index's candidate mass in the billions while the prefix index never
+    // touches them (they are the COMMONEST shingles, the prefix keeps the
+    // rarest) — the regime the auto-switch exists for
+    val boiler = zipfDocs.select(
+      col("doc_id"),
+      when(
+        pmod(xxhash64(col("doc_id"), lit("bp")), lit(5L)) === 0,
+        concat(col("text"), lit(" subscribe to our newsletter terms apply all rights reserved"))
+      ).otherwise(col("text")).as("text")
+    )
+    ab(boiler, 0.8, "boilerplate")
+    // regime 3 (honesty row): the SkewGen twin at x6's completeness t=0.2
+    val dir = sys.env.getOrElse("GRAFT_NGRAM_DIR", "target/skewdata/sf0.1")
+    ab(spark.read.parquet(s"$dir/documents.parquet"), 0.2, "skew-sf0.1")
   }
 
   /** blocklistGate past the ≥10k-phrase auto-switch: the gate must pick

@@ -533,18 +533,27 @@ object Dedup {
   }
 
   /** [[ngramJaccardPairs]] with the naive↔prefix-filter strategy picked
-    * AUTOMATICALLY from the corpus's shingle-frequency skew — the 100 TB
-    * path without asking the caller to know the crossover. The naive
-    * inverted index's candidate mass is Σ C(df(s), 2) over shingle
-    * document frequencies: benign when every df is small (measured on the
-    * oracle corpus: naive 2.2–3.1 s vs PPJoin 4.2–7.5 s at max df ≤ 25,
-    * ROUND_NOTES r5), quadratic in the hottest shingle otherwise —
-    * exactly what PPJoin's rare-prefix index removes. One cheap
-    * aggregate (max shingle df — a partial-agg count, shuffling only
-    * distinct-shingle counts, nothing pairwise) decides; like AQE's
-    * runtime re-plans, the decision spends one small job to avoid a
-    * potentially quadratic one. Results are identical either way
-    * (equivalence-tested in DedupSimilaritySpec).
+    * AUTOMATICALLY from a COST model — the 100 TB path without asking the
+    * caller to know the crossover. The naive inverted index's work is its
+    * candidate mass Σ C(df(s), 2) over shingle document frequencies;
+    * PPJoin's advantage scales with how small its rare-shingle prefix is
+    * (≈ (1−t) of each doc's shingles), bought with two extra narrow
+    * shuffles — the prefix SHRINKS as t rises, so the crossover falls
+    * with (1−t): `cand/mass > switchRatio · (1 − threshold)` → prefix.
+    *
+    * Calibrated on measured A/B regimes (StressXOps ngramab): a 100k-doc
+    * boilerplate corpus (20% share a verbatim footer — the real web
+    * shape) has cand/mass ≈ 490 and PPJoin wins 8.3× (687 s → 82 s);
+    * a pure Zipf-token corpus at ratio ≈ 22 and the skewed sf0.1 twin at
+    * ratio ≈ 61 (t = 0.2) both run FASTER on the naive index (PPJoin
+    * 0.9×/0.6×: its extra shuffles don't pay below the crossover); the
+    * uniform oracle corpus (max df ≤ 25, ROUND_NOTES r5) is deep in naive
+    * territory. switchRatio = 320 puts the crossover at 64 for t = 0.8
+    * and 256 for t = 0.2 — separating every measured regime at both
+    * thresholds. The decision spends one partial-agg job over
+    * distinct-shingle counts — nothing pairwise — like AQE's runtime
+    * re-plans. Results are identical either way (equivalence-tested in
+    * DedupSimilaritySpec).
     */
   def ngramJaccardPairsAuto(
       df: DataFrame,
@@ -552,30 +561,36 @@ object Dedup {
       idCol: Column,
       n: Int = 3,
       threshold: Double = 0.5,
-      maxDfNaive: Long = 64
+      switchRatio: Double = 320.0
   ): DataFrame =
-    if (preferPrefixStrategy(df, text, n, maxDfNaive))
+    if (preferPrefixStrategy(df, text, n, threshold, switchRatio))
       ngramJaccardPairsPrefix(df, text, idCol, n, threshold)
     else ngramJaccardPairs(df, text, idCol, n, threshold)
 
-  /** True when the hottest shingle's document frequency exceeds
-    * `maxDfNaive` — the skew regime where the naive inverted index's
-    * Σ C(df, 2) candidate blowup outruns PPJoin's two extra narrow
-    * shuffles.
+  /** True when the naive index's candidate mass Σ C(df, 2) exceeds
+    * `switchRatio · (1 − threshold)` times the linear shingle mass Σ df —
+    * the regime where PPJoin's rare-prefix index wins (see
+    * [[ngramJaccardPairsAuto]] for the measured calibration).
     */
   private[graft] def preferPrefixStrategy(
       df: DataFrame,
       text: Column,
       n: Int,
-      maxDfNaive: Long
+      threshold: Double,
+      switchRatio: Double = 320.0
   ): Boolean = {
-    val maxDf = df
+    require(threshold > 0.0 && threshold < 1.0, s"threshold in (0,1), got $threshold")
+    val r = df
       .select(explode(array_distinct(shingles(text, n))).as("s"))
       .groupBy(col("s"))
       .agg(count(lit(1)).as("df"))
-      .agg(max(col("df")).as("max_df"))
+      .agg(
+        coalesce(sum(col("df")), lit(0L)).as("mass"),
+        coalesce(sum((col("df") * (col("df") - 1)).cast("long")), lit(0L)).as("cand2x")
+      )
       .head()
-    !maxDf.isNullAt(0) && maxDf.getLong(0) > maxDfNaive
+    val mass = r.getLong(0)
+    mass > 0 && r.getLong(1).toDouble / 2.0 / mass > switchRatio * (1.0 - threshold)
   }
 
   /** One-call fuzzy dedup — the standard web-corpus recipe end to end:

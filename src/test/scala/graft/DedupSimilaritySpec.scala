@@ -360,25 +360,36 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(both.exists { case (a, b, c) => a == 1L && b == 2L && c == 0.333333 }) // 2/6 @ 6dp
   }
 
-  test("ngramJaccardPairsAuto: hot-shingle skew flips to the prefix strategy, results match naive") {
+  test("ngramJaccardPairsAuto: boilerplate candidate mass flips to prefix, results match naive") {
     import spark.implicits._
-    // skewed corpus: every doc shares the hot trigram "the same words";
-    // distinct tails keep the docs non-duplicate
-    val skewed = ((1L to 60L).map(i => (i, s"the same words tail$i a$i b$i")) ++
-      Seq((100L, "the same words near dup pair x"), (101L, "the same words near dup pair y")))
+    // boilerplate corpus: 300 docs share a verbatim 10-token footer
+    // (8 shared shingles, df >= 300 each -> cand ~ 8*C(300,2) = 359k vs
+    // mass ~ 4000: ratio ~ 90); near-dup pair = 30 shared tokens differing
+    // at the head (J = 25/31 ~ 0.806, above the t = 0.8 gate)
+    val footer = "subscribe to our newsletter terms apply all rights reserved"
+    val nd = (1 to 20).map(i => s"tok$i").mkString(" ") + " " + footer
+    val boiler = ((1L to 300L).map(i => (i, s"head$i x$i $footer")) ++
+      Seq((1000L, s"aa $nd"), (1001L, s"bb $nd")))
       .toDF("doc_id", "text")
+    // ratio ~ 90: past the t=0.8 crossover (320*(1-0.8) = 64), below the
+    // t=0.2 crossover (256) — the (1-t) scaling in one fixture
     assert(
-      Dedup.preferPrefixStrategy(skewed, col("text"), 3, maxDfNaive = 30),
-      "a shingle shared by 60 docs must trip the skew detector"
+      Dedup.preferPrefixStrategy(boiler, col("text"), 3, threshold = 0.8),
+      "boilerplate candidate mass must trip the cost-based switch at t=0.8"
     )
     assert(
-      !Dedup.preferPrefixStrategy(docs.limit(50), col("text"), 3, maxDfNaive = 64),
-      "the oracle corpus sample is low-skew — naive must stay selected"
+      !Dedup.preferPrefixStrategy(boiler, col("text"), 3, threshold = 0.2),
+      "same corpus below the t=0.2 crossover must stay naive"
+    )
+    assert(
+      !Dedup.preferPrefixStrategy(docs.limit(50), col("text"), 3, threshold = 0.8),
+      "the oracle corpus sample is low-mass — naive must stay selected"
     )
     def collectPairs(d: org.apache.spark.sql.DataFrame) =
       d.collect().map(r => ((r.getLong(0), r.getLong(1)), math.round(r.getDouble(2) * 1e9))).toSet
-    val auto = collectPairs(Dedup.ngramJaccardPairsAuto(skewed, col("text"), col("doc_id"), 3, 0.3, maxDfNaive = 30))
-    val naive = collectPairs(Dedup.ngramJaccardPairs(skewed, col("text"), col("doc_id"), 3, 0.3))
+    // auto at t=0.8 takes the PREFIX path here; equivalence vs plain naive
+    val auto = collectPairs(Dedup.ngramJaccardPairsAuto(boiler, col("text"), col("doc_id"), 3, 0.8))
+    val naive = collectPairs(Dedup.ngramJaccardPairs(boiler, col("text"), col("doc_id"), 3, 0.8))
     assert(naive.nonEmpty, "equivalence must be checked on a corpus with at least one qualifying pair")
     assert(auto == naive, s"auto=${auto.size} naive=${naive.size}")
   }

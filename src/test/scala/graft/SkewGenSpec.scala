@@ -55,16 +55,35 @@ class SkewGenSpec extends SparkTestBase {
     assert(pairs > 100, s"hot cosine cluster too sparse: $pairs pairs in a 200-vec sample")
   }
 
-  test("skew twin: ngramJaccardPairsAuto flips to the PPJoin prefix path") {
+  test("skew twin: the cost-based auto-switch picks each regime's measured winner") {
+    import spark.implicits._
+    // Zipf tokens alone put the twin BELOW the crossover at t=0.2
+    // (measured: naive wins there, PPJoin 0.6x — StressXOps ngramab), so
+    // auto must stay on the naive index...
     assert(
-      graft.operators.Dedup.preferPrefixStrategy(t("documents"), col("text"), 3, 64),
-      "auto-switch must prefer PPJoin on the Zipf-token corpus"
+      !graft.operators.Dedup.preferPrefixStrategy(t("documents"), col("text"), 3, threshold = 0.2),
+      "the skew twin at t=0.2 is below the crossover: naive is the measured winner"
     )
-    // and stays on the naive index for the benign uniform corpus
+    // ...and so must the benign uniform corpus
     assert(
       !graft.operators.Dedup.preferPrefixStrategy(
-        graft.sources.Tables.load(spark, sfDir, "documents"), col("text"), 3, 64),
+        graft.sources.Tables.load(spark, sfDir, "documents"), col("text"), 3, threshold = 0.2),
       "auto-switch must stay naive on the uniform corpus"
+    )
+    // BOILERPLATE (shared verbatim footer — the real web shape) is the
+    // regime the prefix index exists for (measured 8.3x at 100k docs);
+    // 500 short docs sharing a 12-token footer put cand/mass ~ 200, past
+    // the t=0.8 crossover of 64
+    val boiler = spark.range(500).select(
+      col("id").as("doc_id"),
+      concat(
+        lit("h"), col("id").cast("string"), lit(" u"), col("id").cast("string"),
+        lit(" subscribe to our newsletter terms apply all rights reserved today ok")
+      ).as("text")
+    )
+    assert(
+      graft.operators.Dedup.preferPrefixStrategy(boiler, col("text"), 3, threshold = 0.8),
+      "boilerplate candidate mass must flip the switch to PPJoin"
     )
   }
 
