@@ -2814,7 +2814,7 @@ object StressXOps {
         ).head()
         ((System.nanoTime() - t0) / 1e9, r.getLong(0), r.getDecimal(1))
       }
-      val auto = operators.Dedup.preferPrefixStrategy(d, col("text"), 3, 64)
+      val auto = operators.Dedup.preferPrefixStrategy(d, col("text"), 3, threshold)
       // decision diagnostics: the naive index's candidate mass Σ C(df,2)
       // vs the linear shingle mass Σ df — the COST-BASED switch variable
       val st = d

@@ -91,15 +91,18 @@ object AsOfJoin {
       byCol: String,
       timeCol: String
   ): DataFrame = {
-    val valueCols = right.columns.filterNot(c => c == byCol || c == timeCol).toSeq
+    val spark = left.sparkSession
+    // session resolver (case-insensitive by default) so name matching
+    // agrees with the asofBackward twin's Column resolution
+    val res = spark.sessionState.conf.resolver
+    val valueCols = right.columns.filterNot(c => res(c, byCol) || res(c, timeCol)).toSeq
     val clash = valueCols.toSet.intersect(
-      left.columns.filterNot(c => c == byCol || c == timeCol).toSet
+      left.columns.filterNot(c => res(c, byCol) || res(c, timeCol)).toSet
     )
     require(
       clash.isEmpty,
       s"asofBackwardNative requires disjoint value column names; rename on one side: ${clash.mkString(", ")}"
     )
-    val spark = left.sparkSession
     // synchronized: extraStrategies is a plain session-global var, and an
     // unguarded read-check-append from concurrent query builders could
     // lose one thread's update (builder-time injection via
@@ -114,8 +117,21 @@ object AsOfJoin {
     val rFresh = right.select(right.columns.map(c => col(c).as(c)).toSeq: _*)
     val lPlan = org.apache.spark.sql.graftbridge.Bridge.analyzed(left)
     val rPlan = org.apache.spark.sql.graftbridge.Bridge.analyzed(rFresh)
-    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
-      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(s"no column '$n'"))
+    // resolve with the session's resolver (case-insensitive by default,
+    // matching the asofBackward twin's Column resolution) and fail loudly
+    // on duplicates instead of silently taking the first
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) = {
+      val resolver = spark.sessionState.conf.resolver
+      p.output.filter(a => resolver(a.name, n)) match {
+        case collection.Seq(one) => one
+        case collection.Seq() =>
+          throw new IllegalArgumentException(s"no column '$n'")
+        case many =>
+          throw new IllegalArgumentException(
+            s"ambiguous column '$n': matches ${many.map(_.name).mkString(", ")}"
+          )
+      }
+    }
     val node = graft.plans.AsOfJoinNode(
       lPlan,
       rPlan,

@@ -499,9 +499,27 @@ object ChatOps {
       candCol.as("cand_id"),
       rewardCol.cast("double").as("reward")
     )
+    // enforce the determinism contract at runtime instead of silently
+    // rounding: a reward with >6dp (or |r| >= 1e12, past decimal(18,6)
+    // range) would change value through the exact-sum cast below
+    val guarded = rows.withColumn(
+      "reward",
+      when(
+        col("reward").isNotNull &&
+          (abs(col("reward")) >= lit(1e12) || col("reward") =!= round(col("reward"), 6)),
+        raise_error(
+          concat(
+            lit("groupAdvantage requires rewards exact at 6 decimal places with |r| < 1e12 "),
+            lit("(the engine's cross-engine portability quantum); got "),
+            col("reward").cast("string"),
+            lit(" — pre-round the reward column explicitly if lossy rounding is intended")
+          )
+        ).cast("double")
+      ).otherwise(col("reward"))
+    )
     // exact decimal sums -> order-independent double moments (scaladoc)
     val rd = col("reward").cast("decimal(18,6)")
-    val g = rows
+    val g = guarded
       .groupBy(col("prompt_id"))
       .agg(
         count(col("reward")).as("n_scored"),
@@ -531,7 +549,7 @@ object ChatOps {
           6
         ).as("std_r")
       )
-    rows
+    guarded
       .join(g, Seq("prompt_id"))
       .select(
         col("prompt_id"),

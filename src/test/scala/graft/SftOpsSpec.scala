@@ -422,6 +422,23 @@ class SftOpsSpec extends SparkTestBase {
     assert(m(("p3", 5L)).getAs[Double]("advantage") == 0.0) // single scored -> std 0
   }
 
+  test("groupAdvantage: out-of-contract rewards fail loudly, never silently round") {
+    // >6dp: the decimal(18,6) exact-sum cast would silently round it
+    val sub6dp = Seq(("p1", 1L, 0.1234567)).toDF("p", "c", "r")
+    val e1 = intercept[Exception] {
+      ChatOps.groupAdvantage(sub6dp, col("p"), col("c"), col("r")).collect()
+    }
+    assert(e1.getMessage.contains("6 decimal places") || e1.getCause != null)
+    // |r| >= 1e12: past decimal(18,6) integer range (overflow -> null under non-ANSI)
+    val big = Seq(("p1", 1L, 1.5e12)).toDF("p", "c", "r")
+    intercept[Exception] {
+      ChatOps.groupAdvantage(big, col("p"), col("c"), col("r")).collect()
+    }
+    // boundary values still pass: exactly 6dp, large-but-legal magnitude
+    val ok = Seq(("p1", 1L, 0.123456), ("p1", 2L, 999999999999.0)).toDF("p", "c", "r")
+    assert(ChatOps.groupAdvantage(ok, col("p"), col("c"), col("r")).count() == 2)
+  }
+
   test("spanCorrupt: sentinel round-trip reconstructs the original; short docs pass through") {
     val text = "The quick brown fox jumps over the lazy dog while the band plays on tonight."
     val df = Seq((7L, text), (8L, "too short")).toDF("doc_id", "text")
