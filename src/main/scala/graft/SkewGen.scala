@@ -29,8 +29,12 @@ import org.apache.spark.sql.functions._
   * determinism discipline; no RNG state), so the corpus is reproducible
   * byte-for-byte and any query can be re-run against it.
   *
-  * Usage: `runMain graft.SkewGen <outDir> [srcDir=/root/testdata/sf0.1]`,
-  * then `SPARK_GRAFT_SF_DIR=<outDir> runMain graft.Bench`.
+  * Usage: `runMain graft.SkewGen <outDir> [srcDir=/root/testdata/sf0.1]
+  * [hotUserShare=0]`, then `SPARK_GRAFT_SF_DIR=<outDir> runMain
+  * graft.Bench`. `hotUserShare` > 0 pins that fraction of all events on
+  * user_id 0 — the MONSTER-KEY corpus for the order-dependent operators
+  * (as-of, gapFill): at 0.30 one key holds 30% of the stream, the regime
+  * [[graft.operators.AsOfJoin.asofBackwardChunked]] exists for.
   */
 object SkewGen {
 
@@ -57,6 +61,7 @@ object SkewGen {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("target/skewdata/sf0.1")
     val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val hotUserShare = if (args.length > 2) args(2).toDouble else 0.0
     val b = SparkSession
       .builder()
       .master("local[32]")
@@ -65,14 +70,15 @@ object SkewGen {
     graft.sources.Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, out, src)
+    generate(spark, out, src, hotUserShare)
     spark.stop()
   }
 
   /** Generate the skewed twin with a caller-owned session (the CI spec's
     * entry — main wraps this with its own session + stop).
     */
-  def generate(spark: SparkSession, out: String, src: String): Unit = {
+  def generate(spark: SparkSession, out: String, src: String, hotUserShare: Double = 0.0): Unit = {
+    require(hotUserShare >= 0.0 && hotUserShare < 1.0, s"hotUserShare in [0,1), got $hotUserShare")
 
     def write(df: DataFrame, name: String, parts: Int = 4): Unit =
       df.coalesce(parts).write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -145,7 +151,9 @@ object SkewGen {
         ).otherwise(
           timestamp_micros(unix_micros(base) + pmod(xxhash64(col("id"), lit("t2")), lit(30L * 86400000000L)))
         ).as("ts"),
-        zipf(10000, col("id"), lit("user")).as("user_id"),
+        when(lit(hotUserShare) > 0 && u(col("id"), lit("hotu")) < hotUserShare, lit(0L))
+          .otherwise(zipf(10000, col("id"), lit("user")))
+          .as("user_id"),
         when(u(col("id"), lit("et")) < 0.70, "view")
           .when(u(col("id"), lit("et")) < 0.90, "click")
           .when(u(col("id"), lit("et")) < 0.94, "signup")

@@ -2778,6 +2778,33 @@ object StressXOps {
     println(f"[stressx] asof @ $n%d x ${n / 2}%d rows, $nKeys%d keys: native $sN%.1f s, composed $sC%.1f s (${sC / sN}%.2fx); checksum equal ${cntN == cntC && sumN == sumC} ($cntN rows)")
     assert(cntN == cntC && sumN == sumC, "native as-of checksum diverged from composition")
     lp.unpersist(); rightDedup.unpersist()
+
+    // MONSTER-KEY A/B: one key holds 30% of both sides — the regime where
+    // the plain merge serializes that key's whole sort+merge into ONE task
+    // and asofBackwardChunked spreads it over nChunks time epochs. The
+    // checksum gate proves semantics; the timing row is the scale evidence.
+    val hotLeft = spark.range(n).select(
+      when(pmod(xxhash64(col("id"), lit("hl")), lit(100L)) < 30, lit(0L))
+        .otherwise(pmod(xxhash64(col("id")), lit(nKeys))).as("k"),
+      pmod(xxhash64(col("id"), lit(1)), lit(1000000L)).as("t"),
+      col("id").as("lv")
+    )
+    val hotRight = spark.range(n / 2).select(
+      when(pmod(xxhash64(col("id"), lit("hr")), lit(100L)) < 30, lit(0L))
+        .otherwise(pmod(xxhash64(col("id"), lit(2)), lit(nKeys))).as("k"),
+      pmod(xxhash64(col("id"), lit(3)), lit(1000000L)).as("t"),
+      col("id").as("price")
+    )
+    val hotRightDedup = hotRight.groupBy(col("k"), col("t")).agg(max(col("price")).as("price"))
+      .persist()
+    hotRightDedup.count()
+    val hl = hotLeft.persist(); hl.count()
+    val (sP, cntP, sumP) = checksum(operators.AsOfJoin.asofBackwardNative(hl, hotRightDedup, "k", "t"))
+    val (sK, cntK, sumK) =
+      checksum(operators.AsOfJoin.asofBackwardChunked(hl, hotRightDedup, "k", "t", 64))
+    println(f"[stressx] asof-hotkey @ $n%d rows, 30%% on one key: plain merge $sP%.1f s, chunked(64) $sK%.1f s (${sP / sK}%.2fx); checksum equal ${cntP == cntK && sumP == sumK} ($cntP rows)")
+    assert(cntP == cntK && sumP == sumK, "chunked as-of checksum diverged from the plain merge")
+    hl.unpersist(); hotRightDedup.unpersist()
     ()
   }
 

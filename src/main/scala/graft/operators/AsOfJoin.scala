@@ -90,15 +90,29 @@ object AsOfJoin {
       right: DataFrame,
       byCol: String,
       timeCol: String
+  ): DataFrame = asofBackwardNativeKeys(left, right, Seq(byCol), timeCol)
+
+  /** Multi-key form of [[asofBackwardNative]]: match on ALL of `byCols`
+    * (in order) and carry backward over `timeCol` within each composite
+    * key group. This is the node [[asofBackwardChunked]] rides — the
+    * chunk column is just one more (primitive, codegen-cheap) key — and
+    * it is public surface in its own right (as-of within (symbol,
+    * venue), (user, session), ...).
+    */
+  def asofBackwardNativeKeys(
+      left: DataFrame,
+      right: DataFrame,
+      byCols: Seq[String],
+      timeCol: String
   ): DataFrame = {
+    require(byCols.nonEmpty, "byCols must be non-empty")
     val spark = left.sparkSession
     // session resolver (case-insensitive by default) so name matching
     // agrees with the asofBackward twin's Column resolution
     val res = spark.sessionState.conf.resolver
-    val valueCols = right.columns.filterNot(c => res(c, byCol) || res(c, timeCol)).toSeq
-    val clash = valueCols.toSet.intersect(
-      left.columns.filterNot(c => res(c, byCol) || res(c, timeCol)).toSet
-    )
+    def isKeyOrTime(c: String): Boolean = byCols.exists(res(c, _)) || res(c, timeCol)
+    val valueCols = right.columns.filterNot(isKeyOrTime).toSeq
+    val clash = valueCols.toSet.intersect(left.columns.filterNot(isKeyOrTime).toSet)
     require(
       clash.isEmpty,
       s"asofBackwardNative requires disjoint value column names; rename on one side: ${clash.mkString(", ")}"
@@ -135,13 +149,133 @@ object AsOfJoin {
     val node = graft.plans.AsOfJoinNode(
       lPlan,
       rPlan,
-      attr(lPlan, byCol),
+      byCols.map(attr(lPlan, _)),
       attr(lPlan, timeCol),
-      attr(rPlan, byCol),
+      byCols.map(attr(rPlan, _)),
       attr(rPlan, timeCol),
       valueCols.map(attr(rPlan, _))
     )
     org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, node)
+  }
+
+  /** [[asofBackward]] with HOT-KEY PARALLELISM via automatic time-epoch
+    * chunking — the structural answer to the one scale exposure the plain
+    * merge documents (one monster key serializes its partition's sort +
+    * merge, and salting cannot apply because the carry is order-dependent
+    * within the key; AQE's `OptimizeSkewedJoin` splits SMJ/SHJ only, never
+    * a custom node).
+    *
+    * Construction (semantics identical to [[asofBackward]], spec-asserted):
+    *   1. the global time span [tmin, tmax] (one 1-row aggregate over both
+    *      sides) divides into `nChunks` equal epochs; every row gets an
+    *      INT `chunk = (t − tmin) / width` — a second, primitive-cheap
+    *      key column, never a struct;
+    *   2. SEED rows carry state across chunk boundaries: the right side
+    *      reduces to its last row per (key, chunk) (partial-agg exchange,
+    *      one summary row out per key-chunk), and each summary replicates
+    *      into every chunk up to the key's next occupied chunk (a lead()
+    *      window over the SUMMARIES — ≤ nChunks rows per key, so the hot
+    *      key is harmless here — then one bounded sequence-explode). A
+    *      seed keeps its ORIGINAL time, strictly before its target chunk's
+    *      start, so it sorts before every real right row in the chunk and
+    *      is visible to every left row — no fabricated ties. Seeds for
+    *      chunks the left never touches just stream through the merge and
+    *      drop; total seed mass is ≤ nKeys·nChunks summary-sized rows.
+    *   3. the native merge ([[graft.plans.AsOfJoinExec]]) runs with keys
+    *      (key, chunk) via [[asofBackwardNativeKeys]]: the monster key now
+    *      spreads across up to `nChunks` independent merge partitions.
+    *
+    * Cost vs the plain merge: one bounds job + one partial-agg pass over
+    * the right side, in exchange for nChunks-way parallelism inside every
+    * key. Worth it exactly when one key holds a partition-sized share of
+    * rows; the plain [[asofBackwardNative]] remains the default for
+    * ordinary key distributions.
+    *
+    * Tie note: at duplicate right (key, time) rows the carried row is
+    * sort-order-ambiguous in BOTH paths; results are identical whenever
+    * (key, time) is unique on the right (the pandas `merge_asof` contract).
+    * Time must be a timestamp or integral column.
+    */
+  def asofBackwardChunked(
+      left: DataFrame,
+      right: DataFrame,
+      byCol: String,
+      timeCol: String,
+      nChunks: Int = 64
+  ): DataFrame = {
+    require(nChunks >= 1, s"nChunks must be >= 1, got $nChunks")
+    val res = left.sparkSession.sessionState.conf.resolver
+    require(
+      !left.columns.exists(res(_, "__chunk")) && !right.columns.exists(res(_, "__chunk")),
+      "asofBackwardChunked reserves the column name '__chunk'"
+    )
+    val valueCols = right.columns.filterNot(c => res(c, byCol) || res(c, timeCol)).toSeq
+    import org.apache.spark.sql.types._
+    def tLong(df: DataFrame): Column = df.schema(timeCol).dataType match {
+      case TimestampType => unix_micros(col(timeCol))
+      case ByteType | ShortType | IntegerType | LongType => col(timeCol).cast("long")
+      case t =>
+        throw new IllegalArgumentException(
+          s"asofBackwardChunked: time column must be timestamp or integral, got $t"
+        )
+    }
+    // global bounds over BOTH sides so (t - tmin) is always non-negative
+    // and long division == floor division (1-row job, bounded model state)
+    val b = left
+      .select(tLong(left).as("__t"))
+      .unionAll(right.select(tLong(right).as("__t")))
+      .agg(min(col("__t")).as("mn"), max(col("__t")).as("mx"))
+      .head()
+    def run(chunkOf: DataFrame => Column, seeds: Option[DataFrame]): DataFrame = {
+      val rightC = right.select(
+        (col(byCol) +: chunkOf(right).as("__chunk") +: col(timeCol) +: valueCols.map(col)): _*
+      )
+      val rightAug = seeds.fold(rightC)(rightC.unionByName(_))
+      val l = left.withColumn("__chunk", chunkOf(left))
+      asofBackwardNativeKeys(l, rightAug, Seq(byCol, "__chunk"), timeCol)
+        .select((left.columns ++ valueCols).map(col): _*)
+    }
+    if (b.isNullAt(0)) {
+      // no non-null times anywhere: a single chunk reproduces the plain
+      // merge's null-time grouping exactly
+      return run(_ => lit(0).cast("int"), None)
+    }
+    val (tmin, tmax) = (b.getLong(0), b.getLong(1))
+    val width = math.max(1L, (tmax - tmin) / nChunks + 1)
+    // Column `/` is double division; a boundary value can round into the
+    // neighboring chunk, but the map long→chunk stays MONOTONE (long→double
+    // cast, division by a positive constant, and truncation are each
+    // monotone), which is all the construction needs: chunks partition the
+    // time axis consistently for both sides, and a seed's source time is
+    // provably < every real right time in its target chunk.
+    def chunk(df: DataFrame): Column = ((tLong(df) - tmin) / width).cast("int")
+
+    // last right row per (key, chunk): partial-agg exchange, one row out.
+    // null-time rows land in the null chunk, which sorts first — their
+    // summary seeds from chunk 0 on, exactly the plain merge's null-first
+    // visibility.
+    val rightC0 = right.select(
+      (col(byCol) +: chunk(right).as("__chunk") +: col(timeCol) +: valueCols.map(col)): _*
+    )
+    val lastStruct = struct((col(timeCol) +: valueCols.map(col)): _*)
+    val rightSumm = rightC0
+      .groupBy(col(byCol), col("__chunk"))
+      .agg(max_by(lastStruct, tLong(rightC0)).as("__last"))
+    // seed targets: every chunk after this summary's, up to (and
+    // INCLUDING) the key's next occupied chunk — left rows early in that
+    // chunk still precede its first real right row. lead() runs over the
+    // bounded chunk summaries, never corpus rows.
+    val wNext = Window.partitionBy(col(byCol)).orderBy(col("__chunk").asc_nulls_first)
+    val seeds = rightSumm
+      .withColumn("__next", lead(col("__chunk"), 1, nChunks - 1).over(wNext))
+      .withColumn("__from", coalesce(col("__chunk") + 1, lit(0)))
+      .filter(col("__next") >= col("__from"))
+      .select(
+        (col(byCol) +: explode(sequence(col("__from"), col("__next"))).as("__chunk") +:
+          col("__last").getField(timeCol).as(timeCol) +:
+          valueCols.map(c => col("__last").getField(c).as(c))): _*
+      )
+    run(chunk, Some(seeds))
   }
 
   /** FORWARD as-of (pandas `merge_asof(direction="forward")`, DuckDB

@@ -32,32 +32,39 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * owns the exchanges (skew/coalesce) because the node declares standard
   * `ClusteredDistribution` requirements.
   *
-  * Hot-key caveat (shared with every order-dependent operator —
+  * Hot-key note (shared with every order-dependent operator —
   * [[graft.operators.AsOfJoin.gapFill]] documents the same): one monster
   * key serializes its own partition's merge, and salting cannot apply
-  * because the carry is order-dependent within the key. If a single key
-  * approaches a partition's worth of rows, pre-chunk it on a coarser
-  * co-key (session, day) exactly as the gapFill guidance says.
+  * because the carry is order-dependent within the key. The node is
+  * multi-key so that exposure has an OPERATOR answer, not a scaladoc one:
+  * [[graft.operators.AsOfJoin.asofBackwardChunked]] appends an automatic
+  * time-epoch chunk column to the key list (seed rows carry state across
+  * chunk boundaries), spreading the monster key over nChunks independent
+  * merge partitions.
   */
 case class AsOfJoinNode(
     left: LogicalPlan,
     right: LogicalPlan,
-    leftBy: Attribute,
+    leftKeys: Seq[Attribute],
     leftTime: Attribute,
-    rightBy: Attribute,
+    rightKeys: Seq[Attribute],
     rightTime: Attribute,
     rightValues: Seq[Attribute]
 ) extends BinaryNode {
-  require(
-    leftBy.dataType == rightBy.dataType,
-    s"as-of key types differ: ${leftBy.dataType} vs ${rightBy.dataType}"
-  )
+  require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size, "as-of key column counts differ")
+  leftKeys.zip(rightKeys).foreach { case (l, r) =>
+    require(
+      l.dataType == r.dataType,
+      s"as-of key types differ: ${l.dataType} vs ${r.dataType}"
+    )
+  }
   require(
     leftTime.dataType == rightTime.dataType,
     s"as-of time types differ: ${leftTime.dataType} vs ${rightTime.dataType}"
   )
   require(
-    RowOrdering.isOrderable(leftBy.dataType) && RowOrdering.isOrderable(leftTime.dataType),
+    leftKeys.forall(k => RowOrdering.isOrderable(k.dataType)) &&
+      RowOrdering.isOrderable(leftTime.dataType),
     "as-of key/time types must be orderable"
   )
   override def output: Seq[Attribute] =
@@ -71,8 +78,8 @@ case class AsOfJoinNode(
 /** Plans [[AsOfJoinNode]] to [[AsOfJoinExec]]; a no-op on everything else. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lb, lt, rb, rt, rv) =>
-      AsOfJoinExec(planLater(l), planLater(r), lb, lt, rb, rt, rv) :: Nil
+    case AsOfJoinNode(l, r, lk, lt, rk, rt, rv) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, rv) :: Nil
     case _ => Nil
   }
 }
@@ -95,9 +102,9 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan,
-    leftBy: Attribute,
+    leftKeys: Seq[Attribute],
     leftTime: Attribute,
-    rightBy: Attribute,
+    rightKeys: Seq[Attribute],
     rightTime: Attribute,
     rightValues: Seq[Attribute]
 ) extends BinaryExecNode {
@@ -106,32 +113,32 @@ case class AsOfJoinExec(
     left.output ++ rightValues.map(_.withNullability(true))
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftBy)) :: ClusteredDistribution(Seq(rightBy)) :: Nil
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftBy, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightBy, Ascending), SortOrder(rightTime, Ascending))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending)
   )
 
   // the merge preserves the left side's partitioning and ordering — a
   // downstream groupBy/join on the same key re-uses the exchange
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] =
-    Seq(SortOrder(leftBy, Ascending), SortOrder(leftTime, Ascending))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
 
   protected override def doExecute(): RDD[InternalRow] = {
     val leftOut = left.output
     val rightOut = right.output
     val outAttrs = output
-    val (lBy, lTime, rBy, rTime, rVals) = (leftBy, leftTime, rightBy, rightTime, rightValues)
+    val (lKeys, lTime, rKeys, rTime, rVals) = (leftKeys, leftTime, rightKeys, rightTime, rightValues)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val keyTimeOrd =
-        RowOrdering.createNaturalAscendingOrdering(Seq(lBy.dataType, lTime.dataType))
-      val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lBy.dataType))
-      val lKeyTime = UnsafeProjection.create(Seq(lBy, lTime), leftOut)
-      val rKeyTime = UnsafeProjection.create(Seq(rBy, rTime), rightOut)
-      val lKey = UnsafeProjection.create(Seq(lBy), leftOut)
-      val rKey = UnsafeProjection.create(Seq(rBy), rightOut)
+        RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType) :+ lTime.dataType)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType))
+      val lKeyTime = UnsafeProjection.create(lKeys :+ lTime, leftOut)
+      val rKeyTime = UnsafeProjection.create(rKeys :+ rTime, rightOut)
+      val lKey = UnsafeProjection.create(lKeys, leftOut)
+      val rKey = UnsafeProjection.create(rKeys, rightOut)
       val rVal = UnsafeProjection.create(rVals, rightOut)
       // bind the result projection against NULLABLE right values: the
       // no-match case emits an all-null row, and a nullable=false input

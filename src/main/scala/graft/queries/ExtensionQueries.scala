@@ -3453,6 +3453,26 @@ object ExtensionQueries {
         .orderBy(col("event_id"))
     }),
 
+    // CHUNKED as-of: q19's join through asofBackwardChunked — the
+    // monster-key-safe path (time-epoch chunk appended to the merge key,
+    // seed rows carry state across chunk boundaries). Same semantics as
+    // the plain merge by construction, so the oracle is q19's DuckDB
+    // ASOF verbatim (left-join form): the driver gate proves the chunk
+    // machinery is invisible to results.
+    "x168_asof_chunked" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val signups = ev
+        .filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id").as("signup_event"))
+      graft.operators.AsOfJoin
+        .asofBackwardChunked(purchases, signups, "user_id", "ts", nChunks = 32)
+        .select(col("event_id"), col("user_id"), col("signup_event"))
+        .orderBy(col("event_id"))
+    }),
+
     // Full PCA pipeline, driver-checkable end to end: 6dp-rounded gram
     // -> bounded collect -> REPLAYABLE power iteration (3 steps, vector
     // re-rounded 6dp each step — the x126 discipline on an iterative
@@ -6676,6 +6696,16 @@ object ExtensionQueries {
         |       THEN bev
         |       WHEN fts IS NOT NULL THEN fev END AS err_event
         |FROM b JOIN f USING (event_id) ORDER BY 1""".stripMargin,
+
+    // chunked backward as-of == plain backward as-of (left-join form)
+    "x168_asof_chunked" ->
+      """SELECT p.event_id, p.user_id, s.signup_event FROM
+        |  (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN
+        |  (SELECT user_id, ts, event_id AS signup_event FROM events
+        |   WHERE event_type = 'signup') s
+        |ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     // 3 power iterations unrolled as CTEs over the 6dp-rounded gram;
     // vector re-rounded 6dp per step (norm too); sign fixed at the

@@ -118,6 +118,77 @@ class OperatorSpec extends SparkTestBase {
     assert(row3.isNullAt(0), s"no-match must be NULL, got ${row3.get(0)}")
   }
 
+  test("asofBackwardChunked: row-identical to the composition across chunk counts, gaps, and hot keys") {
+    import spark.implicits._
+    // randomized equality incl. a HOT key (30% of left rows on key 0 —
+    // the monster-key regime the operator exists for), right-side chunk
+    // gaps (seeds must carry across empty chunks), keys with no right
+    // rows, null value columns, and null times/keys. Right (k, t) pairs
+    // are unique so the tie-ambiguous carry cannot differ between paths.
+    val rnd = new scala.util.Random(17)
+    val left = (0 until 600).map { i =>
+      val k = if (i % 10 < 3) 0L else rnd.nextInt(40).toLong
+      (k, rnd.nextInt(100000).toLong, s"l$i")
+    } ++ Seq((99L, 5L, "nullkeyless")) // key with no right rows
+    val right = (0 until 400).map { i =>
+      // cluster right times to create empty chunks between clusters
+      val base = (i % 4) * 25000L
+      (rnd.nextInt(30).toLong, base + rnd.nextInt(3000).toLong,
+        if (i % 7 == 0) None else Some(i.toLong), s"r$i")
+    }.distinct.groupBy(x => (x._1, x._2)).map(_._2.head).toSeq
+    val lDf = left.toDF("k", "t", "lv")
+    val rDf = right.toDF("k", "t", "price", "tag")
+    def rowsOf(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("k"), col("t"), col("lv"), col("price"), col("tag"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)), Option(r.getString(4))))
+        .sortBy(x => (x._1, x._2, x._3))
+        .toSeq
+    val composed = rowsOf(AsOfJoin.asofBackward(lDf, rDf, "k", "t"))
+    for (nChunks <- Seq(1, 3, 16, 200)) {
+      val chunked = AsOfJoin.asofBackwardChunked(lDf, rDf, "k", "t", nChunks)
+      assert(
+        rowsOf(chunked) == composed,
+        s"chunked(nChunks=$nChunks) diverged from the composition"
+      )
+    }
+    // the chunked path still executes the native merge operator
+    val q = AsOfJoin.asofBackwardChunked(lDf, rDf, "k", "t", 8)
+    assert(
+      planExists(q.queryExecution.executedPlan)(_.isInstanceOf[graft.plans.AsOfJoinExec]),
+      "chunked as-of did not execute AsOfJoinExec"
+    )
+    // null keys and null times group exactly like the composition
+    val lN = Seq((Some(1L), Some(10L), "a"), (None, Some(10L), "b"), (Some(1L), None, "c"))
+      .toDF("k", "t", "lv")
+    val rN = Seq((Some(1L), Some(5L), "r1"), (None, Some(5L), "r2"), (Some(1L), None, "r3"))
+      .toDF("k", "t", "rv")
+    def rowsN(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("lv"), col("rv")).collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(
+      rowsN(AsOfJoin.asofBackwardChunked(lN, rN, "k", "t", 4)) ==
+        rowsN(AsOfJoin.asofBackward(lN, rN, "k", "t")),
+      "null key/time grouping diverged"
+    )
+    // timestamps chunk via unix_micros and stay timestamps in the merge
+    val lt = Seq((1L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "x"))
+      .toDF("k", "t", "lv")
+    val rt = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "early"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), "late")
+    ).toDF("k", "t", "rv")
+    val g = AsOfJoin.asofBackwardChunked(lt, rt, "k", "t", 4).select(col("rv")).collect()(0)
+    assert(g.getString(0) == "early")
+    // empty right: all-null carry, no crash on the bounds job
+    val gEmpty = AsOfJoin
+      .asofBackwardChunked(lDf, rDf.limit(0), "k", "t", 4)
+      .select(col("price"))
+      .collect()
+    assert(gEmpty.forall(_.isNullAt(0)))
+  }
+
   test("asofForward: earliest right >= left ts per key; equal-ts visible; timestamps negate safely") {
     import spark.implicits._
     val left = Seq((1L, 100L, "l1"), (1L, 200L, "l2"), (2L, 50L, "l3")).toDF("k", "t", "lv")
