@@ -3453,6 +3453,40 @@ object ExtensionQueries {
         .orderBy(col("event_id"))
     }),
 
+    // REAL image decode, driver-checkable: per sampled doc, render one
+    // deterministic RGB plane, encode it as PNG and as BMP (JDK ImageIO
+    // writers), decode both through the REAL decoder, and assert the
+    // format-invariance contract — dims exact, decoded luma planes
+    // byte-equal, classic 8×8 aHash identical. The booleans are the
+    // oracle surface (DuckDB can't decode PNG, but it CAN pin what must
+    // be true of a lossless round trip).
+    "x167_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = T(s, dir, "documents")
+        .select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(20)) === 0)
+        .as[Long]
+      ids
+        .mapPartitions(_.map { id =>
+          val w = 24 + (id % 17).toInt
+          val h = 24 + (id % 13).toInt
+          val png = Multimodal.syntheticImage(id, w, h, "png")
+          val bmp = Multimodal.syntheticImage(id, w, h, "bmp")
+          val dp = Multimodal.decodeImage(png).get
+          val db = Multimodal.decodeImage(bmp).get
+          val hashP = Multimodal.lumaAHash64(dp._4, dp._1, dp._2)
+          val hashB = Multimodal.lumaAHash64(db._4, db._1, db._2)
+          (
+            id,
+            dp._1 == w && dp._2 == h && db._1 == w && db._2 == h,
+            java.util.Arrays.equals(dp._4, db._4),
+            hashP == hashB
+          )
+        })
+        .toDF("doc_id", "dims_ok", "luma_equal", "hash_equal")
+        .orderBy(col("doc_id"))
+    }),
+
     // CHUNKED as-of: q19's join through asofBackwardChunked — the
     // monster-key-safe path (time-epoch chunk appended to the merge key,
     // seed rows carry state across chunk boundaries). Same semantics as
@@ -6696,6 +6730,11 @@ object ExtensionQueries {
         |       THEN bev
         |       WHEN fts IS NOT NULL THEN fev END AS err_event
         |FROM b JOIN f USING (event_id) ORDER BY 1""".stripMargin,
+
+    // lossless round-trip contract: dims exact, planes equal, hashes equal
+    "x167_image_decode" ->
+      """SELECT doc_id, TRUE AS dims_ok, TRUE AS luma_equal, TRUE AS hash_equal
+        |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""".stripMargin,
 
     // chunked backward as-of == plain backward as-of (left-join form)
     "x168_asof_chunked" ->

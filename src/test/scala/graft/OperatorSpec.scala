@@ -414,6 +414,98 @@ class OperatorSpec extends SparkTestBase {
     assert(none == 0L)
   }
 
+  test("decodeImage: real PNG/BMP decode — exact dims, identical luma planes, identical aHash") {
+    // lossless format invariance: the SAME pixel plane encoded as PNG and
+    // as BMP must decode to byte-equal luma and the same classic aHash
+    for (seed <- Seq(1L, 42L, 1234567L)) {
+      val (w, h) = (33, 21) // deliberately not multiples of 8
+      val png = Multimodal.syntheticImage(seed, w, h, "png")
+      val bmp = Multimodal.syntheticImage(seed, w, h, "bmp")
+      val Some((wp, hp, chP, lp)) = Multimodal.decodeImage(png)
+      val Some((wb, hb, _, lb)) = Multimodal.decodeImage(bmp)
+      assert(wp == w && hp == h && wb == w && hb == h && chP == 3)
+      assert(java.util.Arrays.equals(lp, lb), s"seed $seed: PNG and BMP luma differ")
+      assert(
+        Multimodal.lumaAHash64(lp, w, h) == Multimodal.lumaAHash64(lb, w, h),
+        s"seed $seed: aHash differs across lossless formats"
+      )
+    }
+    // luma formula pin: a known pixel decodes to the BT.601 integer value
+    val png1 = Multimodal.syntheticImage(7L, 4, 4, "png")
+    val Some((_, _, _, luma)) = Multimodal.decodeImage(png1)
+    var z = 7L + 2 * 0x9e3779b97f4a7c15L + 3 * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    val rgb = (z & 0xffffff).toInt
+    val expected = (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) + 29 * (rgb & 0xff)) >> 8
+    assert((luma(3 * 4 + 2) & 0xff) == expected, "BT.601 luma formula drifted")
+    // JPEG: decodable, exact dims, deterministic within this JDK (decode
+    // twice). NOT pinned cross-JDK — lossless formats carry the oracles.
+    val jpg = Multimodal.syntheticImage(9L, 16, 16, "jpg")
+    val Some((wj, hj, _, lj1)) = Multimodal.decodeImage(jpg)
+    val Some((_, _, _, lj2)) = Multimodal.decodeImage(jpg)
+    assert(wj == 16 && hj == 16 && java.util.Arrays.equals(lj1, lj2))
+    // non-image bytes are sniffed out before ImageIO ever sees them
+    assert(Multimodal.decodeImage("just some text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImage(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0, 0, 0, 0)).isEmpty)
+  }
+
+  test("imageNearDupPairs on DECODED planes: blocked == brute force, planted twins found") {
+    import spark.implicits._
+    // controlled planes: base images are luma gradients (seed-shifted);
+    // twins brighten ONE 8x8-grid box, flipping at most a couple of
+    // aHash bits — the re-encoded/lightly-edited near-dup regime
+    def plane(seed: Int, brightenBox: Boolean): Array[Byte] = {
+      val (w, h) = (32, 32)
+      val img =
+        new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        // checkerboard of WELL-SEPARATED box means (≈40 vs ≈216, global
+        // mean ≈128) + seed jitter: brightening one box flips exactly its
+        // own bit — a 1-box edit cannot drag other boxes across the mean
+        val (bx, by) = (x / 4, y / 4)
+        val jitter = (seed * 31 + bx * 7 + by * 3) % 21 - 10
+        val base = (if ((bx + by) % 2 == 0) 40 else 216) + jitter
+        val v =
+          if (brightenBox && bx == 0 && by == 0) 200
+          else base
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, if (seed % 2 == 0) "png" else "bmp", baos)
+      baos.toByteArray
+    }
+    val rows = (0 until 30).flatMap { s =>
+      Seq(
+        Multimodal.MediaRow(s.toLong * 2, "image/test", plane(s, brightenBox = false)),
+        Multimodal.MediaRow(s.toLong * 2 + 1, "image/test", plane(s, brightenBox = true))
+      )
+    }
+    val ds = spark.createDataset(rows)
+    val hashes = Multimodal
+      .aHash(ds)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val maxHamming = 2
+    val brute = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      d = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if d <= maxHamming
+    } yield (a, b, d)).toSet
+    val blocked = Multimodal
+      .imageNearDupPairs(ds, maxHamming = maxHamming)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+      .toSet
+    assert(blocked == brute, s"blocked=${blocked.size} brute=${brute.size} diverged")
+    // every planted (base, twin) pair is within the gate
+    (0 until 30).foreach { s =>
+      val d = java.lang.Long.bitCount(hashes(s.toLong * 2) ^ hashes(s.toLong * 2 + 1))
+      assert(d <= maxHamming, s"planted twin $s at hamming $d")
+    }
+  }
+
   test("trainBpe + bpe_segment: match an independent reference implementation") {
     val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
       Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
