@@ -72,7 +72,7 @@ object StressXOps {
     // (simhash,minhash,cosine,decontaminate,pack,cc,quantile,pii,sample,
     // lines,quantize,spans,semdedup,bloominc,retrieval,qknn,classifier,
     // curation9,curation10,curation10b,curation10c,curation10d,curation10e,
-    // curation11,…,graph,editdist,spectral,sft,curation16,linkage,streamlink,acscan,blocklist,asof,ngramab) — default all
+    // curation11,…,graph,editdist,spectral,sft,curation16,linkage,streamlink,acscan,blocklist,asof,ngramab,monsterrow) — default all
     val only = if (args.length > 2) args(2).split(",").toSet else Set.empty[String]
     def section(name: String): Boolean = only.isEmpty || only(name)
     val spark = SparkSession
@@ -2587,9 +2587,77 @@ object StressXOps {
     if (section("blocklist")) blocklistSection(spark, math.min(nDocs, 1000000L))
     if (section("asof")) asofSection(spark, math.min(nDocs, 20000000L))
     if (section("ngramab")) ngramAbSection(spark)
+    if (section("monsterrow")) monsterRowSection(spark, math.min(nDocs, 200000L))
 
     corpus.unpersist()
     spark.stop()
+  }
+
+  /** MONSTER-ROW robustness: one ~100 MB document (2M lines) rides a
+    * normal corpus through the two guarded per-row kernels. Without the
+    * maxLines shed, dedupLinesWithin's quadratic scan on 2M lines is
+    * ~4·10¹² comparisons — a single-task stall measured in HOURS; with it
+    * the section completes in seconds, the monster is flagged-and-counted
+    * (never silently skipped OR silently processed), and every normal doc
+    * still dedups exactly. Same for the gopher gate's maxChars shed on
+    * the regex/split chain.
+    */
+  private def monsterRowSection(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    // ~100 MB single document: 2M lines × ~52 chars, built distributed
+    // then collapsed to ONE row (concat of a collected array would OOM
+    // the driver string pool; array_join inside the row does not)
+    val monster = spark
+      .range(2000000L)
+      .select(concat(lit("line "), pmod(xxhash64(col("id")), lit(1000L)).cast("string"),
+        lit(" with some repeated boilerplate text here")).as("l"))
+      .agg(array_join(collect_list(col("l")), "\n").as("text"))
+      .select(lit(-1L).as("doc_id"), col("text"))
+    val normals = spark
+      .range(n)
+      .select(
+        col("id").as("doc_id"),
+        concat_ws(
+          "\n",
+          concat(lit("alpha "), col("id").cast("string")),
+          lit("shared boilerplate line"),
+          lit("shared boilerplate line"),
+          concat(lit("omega "), col("id").cast("string"))
+        ).as("text")
+      )
+    val docs = normals.unionByName(monster).persist()
+    val total = docs.count()
+    val mLen = docs.filter(col("doc_id") === -1L).select(length(col("text"))).head().getInt(0)
+    val d0 = System.nanoTime()
+    val dd = operators.CorpusOps
+      .dedupLinesWithin(docs, col("doc_id"), col("text"), maxLines = 100000)
+      .persist()
+    val shedRows = dd.filter(col("is_shed")).select(col("doc_id"), col("n_lines")).collect()
+    val nShed = shedRows.length
+    val dedupOk = dd
+      .filter(!col("is_shed") && col("n_kept") =!= 3)
+      .count() // every normal doc: 4 lines -> 3 kept
+    val sDedup = (System.nanoTime() - d0) / 1e9
+    val g0 = System.nanoTime()
+    val gg = operators.TextOps
+      .gopherQualityGate(docs, col("doc_id"), col("text")) // default maxChars 10 MB
+      .persist()
+    val gShed = gg.filter(col("is_shed")).select(col("doc_id")).collect()
+    val gNullOk = gg.filter(col("is_shed") && col("n_words").isNotNull).count()
+    val sGate = (System.nanoTime() - g0) / 1e9
+    println(
+      f"[stressx] monsterrow @ $total%d docs incl. ONE ${mLen / 1e6}%.0f MB / 2M-line doc: " +
+        f"dedupLinesWithin $sDedup%.1f s (shed $nShed%d, lines ${shedRows.map(_.getInt(1)).sum}%d, wrong-dedup $dedupOk%d), " +
+        f"gopherGate $sGate%.1f s (shed ${gShed.length}%d, metric-leaks $gNullOk%d)"
+    )
+    assert(nShed == 1 && shedRows(0).getLong(0) == -1L, "exactly the monster must shed in dedup")
+    assert(shedRows(0).getInt(1) == 2000000, "shed accounting must carry the true line count")
+    assert(dedupOk == 0, "every in-budget doc must dedup exactly")
+    assert(gShed.map(_.getLong(0)).toSeq == Seq(-1L), "exactly the monster must shed in the gate")
+    assert(gNullOk == 0, "shed rows must not compute gate metrics")
+    dd.unpersist(); gg.unpersist(); docs.unpersist()
+    ()
   }
 
   /** curation16 at scale (own method: main is at the JVM 64KB cap). */

@@ -1910,17 +1910,34 @@ object CorpusOps {
     * occurrences in order — the per-document complement of the
     * cross-corpus [[dedupLines]]. Pure per-row array expressions, zero
     * shuffle; the `array_position` scan is O(lines²) per document, which
-    * is the right trade while documents hold hundreds of lines (past
-    * that, split the document first — [[chunkTokens]]).
+    * is the right trade while documents hold hundreds of lines.
+    *
+    * MONSTER-ROW guard (the O-14 load-shed discipline applied to row
+    * size): a document past `maxLines` would turn the quadratic scan into
+    * a single-task stall (2M lines = 4·10¹² comparisons), so such rows
+    * are SHED — lines pass through un-deduped, `is_shed` flags them, and
+    * the shed mass is countable (never a silent skip). CaseWhen evaluates
+    * lazily, so a shed row never executes the quadratic branch. Route
+    * shed documents through [[chunkTokens]] first if they are a real
+    * shape.
     */
-  def dedupLinesWithin(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+  def dedupLinesWithin(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      maxLines: Int = 100000
+  ): DataFrame = {
+    require(maxLines >= 1, s"maxLines must be >= 1, got $maxLines")
     val lines = split(coalesce(text, lit("")), "\n")
-    val kept = filter(lines, (l, i) => array_position(lines, l) === (i + 1).cast("long"))
+    val deduped = filter(lines, (l, i) => array_position(lines, l) === (i + 1).cast("long"))
+    val inB = size(lines) <= maxLines
+    val kept = when(inB, deduped).otherwise(lines)
     df.select(
       idCol.as("doc_id"),
       size(lines).as("n_lines"),
       size(kept).as("n_kept"),
-      md5(array_join(kept, "\n")).as("fp")
+      md5(array_join(kept, "\n")).as("fp"),
+      (!inB).as("is_shed")
     )
   }
 

@@ -614,10 +614,17 @@ object TextOps {
       minAlphaFrac: Double = 0.8,
       maxBulletFrac: Double = 0.9,
       maxEllipsisFrac: Double = 0.3,
-      minStopHits: Int = 2
+      minStopHits: Int = 2,
+      maxChars: Int = 10000000
   ): DataFrame = {
+    require(maxChars >= 1, s"maxChars must be >= 1, got $maxChars")
     val stopwords = Seq("the", "be", "to", "of", "and", "a", "in", "that")
     val t = coalesce(text, lit(""))
+    // MONSTER-ROW shed (the O-14 load-shed discipline applied to row
+    // size): a row past maxChars never reaches the split/regex chain —
+    // CaseWhen evaluates lazily, so the expensive branch is skipped, the
+    // row fails the gate, and the shed mass stays observable (is_shed).
+    val inB = length(t) <= maxChars
     val words = split(t, "[ \n]+")
     val lines = split(t, "\n")
     val nWords = size(words)
@@ -626,23 +633,29 @@ object TextOps {
     val nEllipsis = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / lit(3)
     df.select(
         idCol.as("doc_id"),
-        nWords.as("n_words"),
-        round(length(regexp_replace(t, "[ \n]", "")).cast("double") / nWords, 6)
+        when(inB, nWords).as("n_words"),
+        when(inB, round(length(regexp_replace(t, "[ \n]", "")).cast("double") / nWords, 6))
           .as("mean_word_len"),
-        round((nHash + nEllipsis).cast("double") / nWords, 6).as("symbol_ratio"),
-        round(size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("double") / nWords, 6)
+        when(inB, round((nHash + nEllipsis).cast("double") / nWords, 6)).as("symbol_ratio"),
+        when(inB, round(size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("double") / nWords, 6))
           .as("alpha_frac"),
-        round(
-          size(filter(lines, l => l.like("- %") || l.like("* %"))).cast("double") / nLines,
-          6
+        when(
+          inB,
+          round(
+            size(filter(lines, l => l.like("- %") || l.like("* %"))).cast("double") / nLines,
+            6
+          )
         ).as("bullet_frac"),
-        round(size(filter(lines, l => l.like("%..."))).cast("double") / nLines, 6)
+        when(inB, round(size(filter(lines, l => l.like("%..."))).cast("double") / nLines, 6))
           .as("ellipsis_frac"),
-        size(array_intersect(array_distinct(words), lit(stopwords.toArray))).as("stop_hits")
+        when(inB, size(array_intersect(array_distinct(words), lit(stopwords.toArray))))
+          .as("stop_hits"),
+        (!inB).as("is_shed")
       )
       .withColumn(
         "kept",
-        col("n_words").between(minWords, maxWords) &&
+        !col("is_shed") &&
+          col("n_words").between(minWords, maxWords) &&
           col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
           col("symbol_ratio") <= maxSymbolRatio &&
           col("alpha_frac") >= minAlphaFrac &&

@@ -3726,7 +3726,8 @@ object ExtensionQueries {
         |x AS (SELECT doc_id, STRING_SPLIT(t, chr(10)) AS ls FROM sh)
         |SELECT doc_id, CAST(LEN(ls) AS INT) AS n_lines,
         |  CAST(LEN(LIST_FILTER(ls, (l, i) -> LIST_POSITION(ls, l) = i)) AS INT) AS n_kept,
-        |  md5(ARRAY_TO_STRING(LIST_FILTER(ls, (l, i) -> LIST_POSITION(ls, l) = i), chr(10))) AS fp
+        |  md5(ARRAY_TO_STRING(LIST_FILTER(ls, (l, i) -> LIST_POSITION(ls, l) = i), chr(10))) AS fp,
+        |  FALSE AS is_shed
         |FROM x ORDER BY doc_id""".stripMargin,
     // chunk round trip: invertibility is the theorem — the oracle pins
     // the arithmetic chunk count and asserts the digest match
@@ -5151,6 +5152,7 @@ object ExtensionQueries {
         |  FROM f)
         |SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len, symbol_ratio,
         |  alpha_frac, bullet_frac, ellipsis_frac, CAST(stop_hits AS INT) AS stop_hits,
+        |  FALSE AS is_shed,
         |  (n_words BETWEEN 30 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
         |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND bullet_frac <= 0.9
         |    AND ellipsis_frac <= 0.3 AND stop_hits >= 2 AS kept

@@ -794,15 +794,41 @@ class CorpusOpsSpec extends SparkTestBase {
       .collect()
     val r1 = rows(0)
     assert(r1.getInt(1) == 3 && r1.getDouble(2) == 3.0 && r1.getDouble(3) == 0.0)
-    assert(r1.getDouble(4) == 1.0 && r1.getInt(7) == 0 && r1.getBoolean(8))
+    assert(r1.getDouble(4) == 1.0 && r1.getInt(7) == 0 && r1.getAs[Boolean]("kept"))
     val r2 = rows(1)
     assert(r2.getInt(1) == 4 && r2.getDouble(3) == 0.75 && r2.getInt(7) == 1)
-    assert(r2.getDouble(4) == 0.75 && !r2.getBoolean(8)) // symbol ratio over the bound
+    assert(r2.getDouble(4) == 0.75 && !r2.getAs[Boolean]("kept")) // symbol ratio over the bound
     val r3 = rows(2)
     assert(r3.getInt(1) == 6)
     assert(math.abs(r3.getDouble(5) - 0.333333) < 1e-9) // 1 of 3 lines is a bullet
     assert(math.abs(r3.getDouble(6) - 0.333333) < 1e-9) // 1 of 3 lines ends ...
     assert(math.abs(r3.getDouble(4) - 0.833333) < 1e-9) // "-" has no alpha char
+    assert(rows.forall(!_.getAs[Boolean]("is_shed")))
+  }
+
+  test("gopherQualityGate: monster rows shed at maxChars — metrics null, gate fails, mass counted") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val df = Seq(
+      (1L, "the quick brown fox and the lazy dog jumped over it all day"),
+      (2L, ("word " * 50).trim) // 249 chars — over the 100-char budget below
+    ).toDF("doc_id", "text")
+    val rows = TextOps
+      .gopherQualityGate(df, col("doc_id"), col("text"), minWords = 2, maxChars = 100)
+      .orderBy("doc_id")
+      .collect()
+    val ok = rows(0)
+    assert(!ok.getAs[Boolean]("is_shed") && ok.getAs[Boolean]("kept"))
+    val shed = rows(1)
+    assert(shed.getAs[Boolean]("is_shed") && !shed.getAs[Boolean]("kept"))
+    assert(shed.isNullAt(shed.fieldIndex("n_words")), "shed row must not compute metrics")
+    assert(shed.isNullAt(shed.fieldIndex("alpha_frac")))
+    // boundary: exactly maxChars is IN budget
+    val edge = Seq((3L, "x" * 100)).toDF("doc_id", "text")
+    val er = TextOps
+      .gopherQualityGate(edge, col("doc_id"), col("text"), maxChars = 100)
+      .collect()(0)
+    assert(!er.getAs[Boolean]("is_shed") && !er.isNullAt(er.fieldIndex("n_words")))
   }
 
   test("cdcChunks: short and empty docs are one whole-doc chunk") {

@@ -290,6 +290,32 @@ class WebCurationSpec extends SparkTestBase {
     val want = md.digest("a\nb\nc".getBytes).map("%02x".format(_)).mkString
     assert(rows(0).getString(3) == want)
     assert(rows(1).getInt(1) == 2 && rows(1).getInt(2) == 2)
+    assert(rows.forall(!_.getAs[Boolean]("is_shed")))
+  }
+
+  test("dedupLinesWithin: monster docs shed at maxLines — lines untouched, flagged, counted") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a\nb\na"), // 3 lines, within budget: dedups to a\nb
+      (2L, "x\nx\nx\nx") // 4 lines, over the 3-line budget: passes through un-deduped
+    ).toDF("id", "text")
+    val rows = CorpusOps
+      .dedupLinesWithin(df, col("id"), col("text"), maxLines = 3)
+      .orderBy("doc_id")
+      .collect()
+    val inB = rows(0)
+    assert(!inB.getAs[Boolean]("is_shed") && inB.getInt(1) == 3 && inB.getInt(2) == 2)
+    val shed = rows(1)
+    assert(shed.getAs[Boolean]("is_shed"), "over-budget doc must flag")
+    assert(shed.getInt(1) == 4 && shed.getInt(2) == 4, "shed doc must pass through un-deduped")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = md.digest("x\nx\nx\nx".getBytes).map("%02x".format(_)).mkString
+    assert(shed.getString(3) == want, "shed fp must cover the UNTOUCHED lines")
+    // boundary: exactly maxLines still dedups
+    val edge = CorpusOps
+      .dedupLinesWithin(Seq((3L, "a\na\nb")).toDF("id", "text"), col("id"), col("text"), maxLines = 3)
+      .collect()(0)
+    assert(!edge.getAs[Boolean]("is_shed") && edge.getInt(2) == 2)
   }
 
   test("chunk -> reassemble round trip at several sizes and lengths") {
