@@ -72,7 +72,7 @@ object StressXOps {
     // (simhash,minhash,cosine,decontaminate,pack,cc,quantile,pii,sample,
     // lines,quantize,spans,semdedup,bloominc,retrieval,qknn,classifier,
     // curation9,curation10,curation10b,curation10c,curation10d,curation10e,
-    // curation11,…,graph,editdist,spectral,sft,curation16,linkage,streamlink,acscan,blocklist,asof,ngramab,monsterrow) — default all
+    // curation11,…,graph,editdist,spectral,sft,curation16,linkage,streamlink,acscan,blocklist,asof,ngramab,monsterrow,bpe1k) — default all
     val only = if (args.length > 2) args(2).split(",").toSet else Set.empty[String]
     def section(name: String): Boolean = only.isEmpty || only(name)
     val spark = SparkSession
@@ -2588,9 +2588,67 @@ object StressXOps {
     if (section("asof")) asofSection(spark, math.min(nDocs, 20000000L))
     if (section("ngramab")) ngramAbSection(spark)
     if (section("monsterrow")) monsterRowSection(spark, math.min(nDocs, 200000L))
+    if (section("bpe1k")) bpe1kSection(spark, math.min(nDocs, 2000000L))
 
     corpus.unpersist()
     spark.stop()
+  }
+
+  /** BPE training at PRODUCTION merge counts: ≥1k merges over a Zipfian
+    * word corpus in bounded wall time — the round-batching evidence (one
+    * job per merge would be 1k+ pair-count jobs; the exact-prefix batch
+    * accepts many merges per round without changing the result, which
+    * the randomized batched==sequential spec pins). The A/B row times a
+    * 64-merge prefix both ways on the same corpus.
+    */
+  private def bpe1kSection(spark: SparkSession, n: Long): Unit = {
+    // Zipfian "words": rank in base-26 letters — natural-language-shaped
+    // frequency decay so 1k merges stay above minPairCount
+    val ranks = spark
+      .range(n)
+      .select(
+        least(
+          (floor(pow(lit(20001.0), pmod(xxhash64(col("id")), lit(1000000007L)).cast("double") / 1000000007.0)) - 1).cast("long"),
+          lit(20000L)
+        ).as("r")
+      )
+    val words = ranks.select(
+      concat_ws(
+        "",
+        (0 until 4).map(i =>
+          when(
+            floor(col("r") / math.pow(26, i).toLong) > 0 || lit(i) === 0,
+            chr(pmod(floor(col("r") / math.pow(26, i).toLong), lit(26L)) + 97)
+          ).otherwise(lit(""))
+        ): _*
+      ).as("w")
+    )
+    val docs = words
+      .groupBy(pmod(xxhash64(col("w")), lit(100000L)).as("g"))
+      .agg(concat_ws(" ", collect_list(col("w"))).as("text"))
+      .persist()
+    val nDocs2 = docs.count()
+    val t0 = System.nanoTime()
+    val m1k = operators.TextOps.trainBpe(docs, col("text"), numMerges = 1000, batchSize = 64)
+    val s1k = (System.nanoTime() - t0) / 1e9
+    // A/B horizon 256: near the head the hot Zipf symbols make exact
+    // batches intrinsically small (sequential equality REQUIRES stopping
+    // at interacting pairs); the win compounds as the vocab diversifies
+    val tA = System.nanoTime()
+    val mB = operators.TextOps.trainBpe(docs, col("text"), numMerges = 256, batchSize = 64)
+    val sB = (System.nanoTime() - tA) / 1e9
+    val tC = System.nanoTime()
+    val mS = operators.TextOps.trainBpe(docs, col("text"), numMerges = 256, batchSize = 1)
+    val sS = (System.nanoTime() - tC) / 1e9
+    println(
+      f"[stressx] bpe1k @ $n%d words / $nDocs2%d docs: 1000 merges in $s1k%.1f s (batch 64); " +
+        f"256-merge A/B: batched $sB%.1f s vs sequential $sS%.1f s (${sS / sB}%.2fx); prefix equal ${mB == mS}"
+    )
+    assert(m1k.length == 1000, s"expected 1000 merges, got ${m1k.length}")
+    assert(mB == mS, "batched 256-merge prefix diverged from sequential")
+    assert(m1k.take(256) == mB, "1k run must extend the 256-merge prefix")
+    docs.unpersist()
+    ()
   }
 
   /** MONSTER-ROW robustness: one ~100 MB document (2M lines) rides a

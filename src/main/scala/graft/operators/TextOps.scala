@@ -472,14 +472,40 @@ object TextOps {
     * against an independent driver-side reimplementation instead, the
     * scoreLinearHashed precedent).
     *
+    * ROUND BATCHING (r12 — the production-vocab scaling fix): one Spark
+    * job per merge means 32k jobs at production vocab. Each round now
+    * accepts a PROVABLY-SEQUENTIAL-EXACT prefix of the sorted pair
+    * table — not a heuristic batch — so the result is bit-identical to
+    * one-merge-at-a-time Sennrich training:
+    *   - batch members must be pairwise symbol-disjoint and must not
+    *     touch any earlier member's created token: then applying m_j
+    *     cannot change m_i's count (merging (a,b) only destroys pairs
+    *     adjacent to a or b and creates pairs adjacent to a+b);
+    *   - a pair CREATED by accepted merge (a,b)→t is of the form (x,t)
+    *     or (t,y), and every occurrence was an occurrence of (x,a) /
+    *     (b,y) (plus any pre-existing t-string pairs), so its count is
+    *     ≤ maxEnd(a)+maxEnd(t) / maxStart(b)+maxStart(t) — per-symbol
+    *     maxima read from the SAME round's pair table. Acceptance
+    *     requires the candidate's count to STRICTLY exceed every prior
+    *     member's created-pair bound, so no created pair can out-rank
+    *     (or lex-tie) it in the sequential order;
+    *   - the first violation STOPS the batch (a skipped pair might be
+    *     sequential's next pick). The round argmax is always accepted,
+    *     so progress is guaranteed and `batchSize = 1` degrades to the
+    *     r11 behavior exactly.
+    * All accepted merges apply in ONE fold pass via a single map-literal
+    * lookup (disjointness makes one left-to-right pass equal to
+    * sequential per-merge passes). Equality with the sequential trainer
+    * is spec-pinned on randomized corpora.
+    *
     * Shape at 100 TB: the corpus collapses ONCE into the word-frequency
     * table (vocabulary-sized — the only corpus-sized pass); every round
-    * after that runs on the vocab table: a pair-count partial agg
-    * (`TakeOrdered` 1 — never a sort), a driver-side argmax (one row,
-    * the ivfTrain bounded-model pattern), and a fold that applies the
-    * merge to the symbol arrays. `localCheckpoint` per round truncates
-    * the otherwise numMerges-deep lambda lineage. Apply at corpus scale
-    * is the separate native kernel
+    * after that runs on the vocab table: one pair-count partial agg
+    * (TakeOrdered batchSize — never a full sort), one small per-symbol
+    * maxima agg over the topK's symbols, a driver-side greedy over
+    * ≤ batchSize rows (the ivfTrain bounded-model pattern), and one fold
+    * that applies the whole batch. `localCheckpoint` per round truncates
+    * the lineage. Apply at corpus scale is the separate native kernel
     * [[graft.functions.text.BpeSegment]] — merges ride it as a
     * reference object.
     */
@@ -487,9 +513,12 @@ object TextOps {
       df: DataFrame,
       text: Column,
       numMerges: Int,
-      minPairCount: Long = 2L
+      minPairCount: Long = 2L,
+      batchSize: Int = 64
   ): Seq[(String, String)] = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val sep = "\u0000"
     var words = df
       .select(explode(split(text, " ")).as("w"))
       .filter(length(col("w")) > 0)
@@ -500,7 +529,7 @@ object TextOps {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (!done && merges.length < numMerges) {
-      val best = words
+      val pc = words
         .select(
           explode(
             zip_with(
@@ -513,27 +542,71 @@ object TextOps {
         )
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("cnt")).as("c"))
+        .persist()
+      val topK = pc
         .orderBy(col("c").desc, col("a"), col("b"))
-        .limit(1)
+        .limit(math.min(batchSize, numMerges - merges.length))
         .collect()
-      if (best.isEmpty || best(0).getLong(2) < minPairCount) done = true
-      else {
-        val a = best(0).getString(0)
-        val b = best(0).getString(1)
-        merges += ((a, b))
-        // greedy left-to-right pass as a fold: merge s into the tail of
-        // acc when (last(acc), s) == (a, b) — a freshly-merged a+b can
-        // never equal a (b is non-empty), so the fold IS the pass
+      if (topK.isEmpty || topK(0).getLong(2) < minPairCount) {
+        pc.unpersist()
+        done = true
+      } else {
+        // per-symbol maxima for the created-pair bounds, restricted to
+        // the symbols the topK can touch (≤ 3·batchSize strings)
+        val needed =
+          topK.flatMap(r => Seq(r.getString(0), r.getString(1), r.getString(0) + r.getString(1)))
+            .distinct.toSeq
+        val bRows = pc
+          .filter(col("a").isin(needed: _*) || col("b").isin(needed: _*))
+          .collect()
+        pc.unpersist()
+        val maxStart = bRows.groupBy(_.getString(0)).map { case (k, v) =>
+          k -> v.map(_.getLong(2)).max
+        }
+        val maxEnd = bRows.groupBy(_.getString(1)).map { case (k, v) =>
+          k -> v.map(_.getLong(2)).max
+        }
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        var blocked = Set.empty[String]
+        var createdBound = Long.MinValue
+        var stop = false
+        for (r <- topK if !stop) {
+          val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
+          if (c < minPairCount) stop = true
+          else if (accepted.isEmpty || (!blocked(a) && !blocked(b) && c > createdBound)) {
+            accepted += ((a, b))
+            val t = a + b
+            blocked ++= Set(a, b, t)
+            createdBound = math.max(
+              createdBound,
+              math.max(
+                maxEnd.getOrElse(a, 0L) + maxEnd.getOrElse(t, 0L),
+                maxStart.getOrElse(b, 0L) + maxStart.getOrElse(t, 0L)
+              )
+            )
+          } else stop = true
+        }
+        merges ++= accepted
+        // one greedy left-to-right pass applies the WHOLE batch: merge s
+        // into the tail when (last(acc), s) is an accepted pair — one
+        // map-literal lookup; disjointness (above) makes the single pass
+        // equal sequential per-merge passes, and a freshly-merged token
+        // can never be any accepted pair's left symbol (blocked set).
+        val mapLit =
+          typedlit(accepted.map { case (a, b) => (a + sep + b) -> (a + b) }.toMap)
         val merged = aggregate(
           col("syms"),
           array().cast("array<string>"),
-          (acc, s) =>
+          (acc, s) => {
+            val hit = element_at(mapLit, concat(element_at(acc, -1), lit(sep), s))
             when(
-              size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b)))
+              size(acc) > 0 && hit.isNotNull,
+              concat(slice(acc, lit(1), size(acc) - 1), array(hit))
             ).otherwise(concat(acc, array(s)))
+          }
         )
-        val next = words.select(merged.as("syms"), col("cnt")).transform(graft.runtime.GraftCheckpoint.pin)
+        val next =
+          words.select(merged.as("syms"), col("cnt")).transform(graft.runtime.GraftCheckpoint.pin)
         words.unpersist()
         words = next
       }

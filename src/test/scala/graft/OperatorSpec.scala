@@ -506,6 +506,23 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("trainBpe: batched rounds are bit-identical to sequential (batchSize=1) on random corpora") {
+    // randomized equality: the exact-prefix batch acceptance must yield
+    // the SAME merge sequence as one-merge-at-a-time training, including
+    // under tie-heavy and chain-heavy ("abab") pair distributions
+    val rnd = new scala.util.Random(31)
+    for (trial <- 0 until 4) {
+      val alphabet = "abcde".take(3 + trial % 3)
+      val corpus = (0 until 300).map { _ =>
+        (0 until (2 + rnd.nextInt(8))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val df = corpus.grouped(10).map(_.mkString(" ")).toSeq.toDF("text")
+      val sequential = TextOps.trainBpe(df, col("text"), numMerges = 12, batchSize = 1)
+      val batched = TextOps.trainBpe(df, col("text"), numMerges = 12, batchSize = 64)
+      assert(batched == sequential, s"trial $trial: batched $batched != sequential $sequential")
+    }
+  }
+
   test("trainBpe + bpe_segment: match an independent reference implementation") {
     val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
       Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
