@@ -2930,6 +2930,33 @@ object StressXOps {
       checksum(operators.AsOfJoin.asofBackwardChunked(hl, hotRightDedup, "k", "t", 64))
     println(f"[stressx] asof-hotkey @ $n%d rows, 30%% on one key: plain merge $sP%.1f s, chunked(64) $sK%.1f s (${sP / sK}%.2fx); checksum equal ${cntP == cntK && sumP == sumK} ($cntP rows)")
     assert(cntP == cntK && sumP == sumK, "chunked as-of checksum diverged from the plain merge")
+
+    // gapFill on the same monster-entity regime: the LOCF window vs the
+    // chunked fill — one entity holding 30% of rows serializes the plain
+    // window's partition; the chunked form spreads it over time epochs
+    val gfDf = hl.select(
+      col("k"), col("t"), col("lv").as("tie"),
+      when(pmod(xxhash64(col("lv"), lit("nv")), lit(4L)) === 0, col("lv").cast("double"))
+        .otherwise(lit(null).cast("double")).as("v")
+    ).persist()
+    gfDf.count()
+    def gfChecksum(df: DataFrame): (Double, Long, java.math.BigDecimal) = {
+      val t0 = System.nanoTime()
+      val r = df.agg(
+        count(lit(1)).as("n"),
+        coalesce(
+          sum(xxhash64(col("k"), col("t"), col("tie"), col("v_filled"), col("was_filled"))
+            .cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")
+        ).as("h")
+      ).head()
+      ((System.nanoTime() - t0) / 1e9, r.getLong(0), r.getDecimal(1))
+    }
+    val (gP, gcP, gsP) = gfChecksum(operators.AsOfJoin.gapFill(gfDf, "k", "t", "tie", "v"))
+    val (gK, gcK, gsK) = gfChecksum(operators.AsOfJoin.gapFillChunked(gfDf, "k", "t", "tie", "v", 64))
+    println(f"[stressx] gapfill-hotkey @ ${gcP}%d rows, 30%% on one entity: plain window $gP%.1f s, chunked(64) $gK%.1f s (${gP / gK}%.2fx); checksum equal ${gcP == gcK && gsP == gsK}")
+    assert(gcP == gcK && gsP == gsK, "chunked gapFill checksum diverged from the plain window")
+    gfDf.unpersist()
     hl.unpersist(); hotRightDedup.unpersist()
     ()
   }

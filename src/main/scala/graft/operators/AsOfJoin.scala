@@ -305,6 +305,29 @@ object AsOfJoin {
       .drop("__negt")
   }
 
+  /** [[asofForward]] through the chunked monster-key path: forward ≡
+    * backward on negated time, so the same time-epoch chunking +
+    * boundary-seed construction applies verbatim (the chunk ids negate
+    * with the time axis; semantics spec-pinned equal to [[asofForward]]).
+    */
+  def asofForwardChunked(
+      left: DataFrame,
+      right: DataFrame,
+      byCol: String,
+      timeCol: String,
+      nChunks: Int = 64
+  ): DataFrame = {
+    def negT(df: DataFrame): DataFrame = {
+      val t = df.schema(timeCol).dataType
+      val asLong =
+        if (t == org.apache.spark.sql.types.TimestampType) unix_micros(col(timeCol))
+        else col(timeCol).cast("long")
+      df.withColumn("__negt", -asLong)
+    }
+    asofBackwardChunked(negT(left), negT(right).drop(timeCol), byCol, "__negt", nChunks)
+      .drop("__negt")
+  }
+
   /** NEAREST as-of (pandas `merge_asof(direction="nearest")`): for each
     * left row, the right row minimizing |right.time − left.time| on the
     * same key; ties (equidistant before/after) take the BACKWARD match,
@@ -438,6 +461,95 @@ object AsOfJoin {
     val filled = last(col(valueCol), ignoreNulls = true).over(w)
     df.withColumn(s"${valueCol}_filled", filled)
       .withColumn("was_filled", col(valueCol).isNull && filled.isNotNull)
+  }
+
+  /** [[gapFill]] with HOT-ENTITY PARALLELISM — the same time-epoch
+    * chunking as [[asofBackwardChunked]], applied to the LOCF window: one
+    * monster entity no longer serializes its whole history into a single
+    * window partition. Per (entity, chunk) the input reduces to its last
+    * non-null observation (partial-agg exchange, one summary row out);
+    * each summary replicates into every chunk up to the entity's next
+    * OBSERVED chunk (lead() over the bounded summaries + one
+    * sequence-explode) as a SEED row carrying its original (time, tie) —
+    * strictly before every real row of its target chunk, so the within-
+    * chunk window sees exactly the state the unbounded per-entity window
+    * would have carried in. Seeds drop after the fill. Result is
+    * spec-pinned row-identical to [[gapFill]]; time must be a timestamp
+    * or integral column (the plain [[gapFill]] stays the general-type
+    * form and the default for ordinary entity distributions).
+    */
+  def gapFillChunked(
+      df: DataFrame,
+      byCol: String,
+      timeCol: String,
+      tieCol: String,
+      valueCol: String,
+      nChunks: Int = 64
+  ): DataFrame = {
+    require(nChunks >= 1, s"nChunks must be >= 1, got $nChunks")
+    val res = df.sparkSession.sessionState.conf.resolver
+    require(
+      !df.columns.exists(c => res(c, "__chunk") || res(c, "__is_seed")),
+      "gapFillChunked reserves the column names '__chunk' and '__is_seed'"
+    )
+    import org.apache.spark.sql.types._
+    val tl: Column = df.schema(timeCol).dataType match {
+      case TimestampType => unix_micros(col(timeCol))
+      case ByteType | ShortType | IntegerType | LongType => col(timeCol).cast("long")
+      case t =>
+        throw new IllegalArgumentException(
+          s"gapFillChunked: time column must be timestamp or integral, got $t"
+        )
+    }
+    val b = df.agg(min(tl).as("mn"), max(tl).as("mx")).head()
+    if (b.isNullAt(0)) return gapFill(df, byCol, timeCol, tieCol, valueCol)
+    val (tmin, tmax) = (b.getLong(0), b.getLong(1))
+    val width = math.max(1L, (tmax - tmin) / nChunks + 1)
+    // monotone chunk map — same boundary-rounding argument as the as-of
+    val chunkC = ((tl - tmin) / width).cast("int")
+    val dfc = df.withColumn("__chunk", chunkC).withColumn("__is_seed", lit(false))
+    // last non-null observation per (entity, chunk): struct max ordered by
+    // (time, tie) — exactly the window's carry order
+    val summ = dfc
+      .groupBy(col(byCol), col("__chunk"))
+      .agg(
+        max(
+          when(
+            col(valueCol).isNotNull,
+            struct(col(timeCol).as("t"), col(tieCol).as("tb"), col(valueCol).as("v"))
+          )
+        ).as("__obs")
+      )
+      .filter(col("__obs").isNotNull)
+    val wNext = Window.partitionBy(col(byCol)).orderBy(col("__chunk").asc_nulls_first)
+    val seeds0 = summ
+      .withColumn("__next", lead(col("__chunk"), 1, nChunks - 1).over(wNext))
+      .withColumn("__from", coalesce(col("__chunk") + 1, lit(0)))
+      .filter(col("__next") >= col("__from"))
+      .select(
+        col(byCol),
+        explode(sequence(col("__from"), col("__next"))).as("__chunk"),
+        col("__obs.t").as(timeCol),
+        col("__obs.tb").as(tieCol),
+        col("__obs.v").as(valueCol)
+      )
+    val seedFull = seeds0.select(dfc.columns.map {
+      case c if res(c, "__is_seed") => lit(true).as("__is_seed")
+      case c if res(c, byCol) || res(c, timeCol) || res(c, tieCol) || res(c, valueCol) ||
+        res(c, "__chunk") => col(c)
+      case c => lit(null).cast(df.schema(c).dataType).as(c)
+    }.toSeq: _*)
+    val unioned = dfc.unionByName(seedFull)
+    val w = Window
+      .partitionBy(col(byCol), col("__chunk"))
+      .orderBy(col(timeCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = last(col(valueCol), ignoreNulls = true).over(w)
+    unioned
+      .withColumn(s"${valueCol}_filled", filled)
+      .withColumn("was_filled", col(valueCol).isNull && filled.isNotNull)
+      .filter(!col("__is_seed"))
+      .drop("__chunk", "__is_seed")
   }
 
   /** Range join: pairs (l, r) with `r.point` in [l.lower, l.upper).

@@ -189,6 +189,62 @@ class OperatorSpec extends SparkTestBase {
     assert(gEmpty.forall(_.isNullAt(0)))
   }
 
+  test("gapFillChunked + asofForwardChunked: row-identical to the plain forms across chunk counts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // gapFill twin: hot entity (40% of rows on key 0), sparse non-null
+    // values, clustered times (empty chunks between), null times
+    val rows = (0 until 800).map { i =>
+      val k = if (i % 10 < 4) 0L else rnd.nextInt(25).toLong
+      val t: Option[Long] = Some((i % 3) * 40000L + rnd.nextInt(5000))
+      (k, t, i.toLong, if (rnd.nextInt(4) == 0) Some(rnd.nextInt(100).toDouble) else None)
+    } ++ Seq(
+      (0L, Some(1L), 9001L, None),
+      (7L, Some(2L), 9002L, Some(5.0)),
+      // null times: group first in the plain window; their observations
+      // must seed every real chunk of the key in the chunked form
+      (3L, None, 9003L, Some(42.0)),
+      (3L, None, 9004L, None)
+    )
+    val df = rows.toDF("k", "t", "tie", "v")
+    def normalize(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("k"), col("t"), col("tie"), col("v"), col("v_filled"), col("was_filled"))
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) Long.MinValue else r.getLong(1),
+          r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          r.getBoolean(5)))
+        .sortBy(x => (x._1, x._2, x._3))
+        .toSeq
+    val plain = normalize(AsOfJoin.gapFill(df, "k", "t", "tie", "v"))
+    for (nChunks <- Seq(1, 4, 32)) {
+      val chunked = normalize(AsOfJoin.gapFillChunked(df, "k", "t", "tie", "v", nChunks))
+      assert(chunked == plain, s"gapFillChunked($nChunks) diverged from gapFill")
+    }
+    // forward twin: same construction as the backward chunked fuzz
+    val left = (0 until 300).map { i =>
+      (if (i % 5 == 0) 0L else rnd.nextInt(20).toLong, rnd.nextInt(50000).toLong, s"l$i")
+    }.toDF("k", "t", "lv")
+    val right = (0 until 200).map { i =>
+      (rnd.nextInt(15).toLong, rnd.nextInt(50000).toLong, s"r$i")
+    }.groupBy(x => (x._1, x._2)).map(_._2.head).toSeq.toDF("k", "t", "rv")
+    def fwdRows(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("k"), col("t"), col("lv"), col("rv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), Option(r.getString(3))))
+        .sortBy(x => (x._1, x._2, x._3))
+        .toSeq
+    val fwdPlain = fwdRows(AsOfJoin.asofForward(left, right, "k", "t"))
+    for (nChunks <- Seq(1, 8, 64)) {
+      assert(
+        fwdRows(AsOfJoin.asofForwardChunked(left, right, "k", "t", nChunks)) == fwdPlain,
+        s"asofForwardChunked($nChunks) diverged"
+      )
+    }
+  }
+
   test("asofForward: earliest right >= left ts per key; equal-ts visible; timestamps negate safely") {
     import spark.implicits._
     val left = Seq((1L, 100L, "l1"), (1L, 200L, "l2"), (2L, 50L, "l3")).toDF("k", "t", "lv")
