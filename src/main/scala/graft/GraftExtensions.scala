@@ -156,7 +156,9 @@ object GraftExtensions {
     // native as-of join from SQL:
     //   SELECT * FROM graft_asof('left_view', 'right_view', 'key', 'ts')
     //   SELECT * FROM graft_asof('l', 'r', 'k', 't', 'forward')
-    // routes through the AsOfJoinExec physical merge (q19's operator)
+    //   SELECT * FROM graft_asof('l', 'r', 'k', 't', 'backward_chunked')
+    // routes through the AsOfJoinExec physical merge (q19's operator);
+    // the *_chunked directions take the monster-key time-epoch path
     "graft_asof" -> (es => {
       val spark = org.apache.spark.sql.SparkSession.active
       val l = spark.table(str(es(0)))
@@ -165,8 +167,12 @@ object GraftExtensions {
       val out = (if (es.length > 4) str(es(4)) else "backward") match {
         case "backward" => graft.operators.AsOfJoin.asofBackwardNative(l, r, by, t)
         case "forward" => graft.operators.AsOfJoin.asofForward(l, r, by, t)
+        case "backward_chunked" => graft.operators.AsOfJoin.asofBackwardChunked(l, r, by, t)
+        case "forward_chunked" => graft.operators.AsOfJoin.asofForwardChunked(l, r, by, t)
         case other =>
-          throw new IllegalArgumentException(s"direction must be backward|forward, got '$other'")
+          throw new IllegalArgumentException(
+            s"direction must be backward|forward|backward_chunked|forward_chunked, got '$other'"
+          )
       }
       out.queryExecution.logical
     })

@@ -242,6 +242,15 @@ class ExtensionsSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
     // forward: earliest right at/after — l1@100 -> r2@150, l2@200 -> none, l3@50 -> r3@60
     assert(fwd == Set(("l1", Some("r2")), ("l2", None), ("l3", Some("r3"))))
+    // chunked directions: same answers through the monster-key path
+    val backC = spark
+      .sql("SELECT lv, rv FROM graft_asof('asof_l', 'asof_r', 'k', 't', 'backward_chunked')")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(backC == back)
+    val fwdC = spark
+      .sql("SELECT lv, rv FROM graft_asof('asof_l', 'asof_r', 'k', 't', 'forward_chunked')")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(fwdC == fwd)
     intercept[Exception] {
       spark.sql("SELECT * FROM graft_asof('asof_l', 'asof_r', 'k', 't', 'sideways')").collect()
     }
