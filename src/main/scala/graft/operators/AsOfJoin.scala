@@ -308,6 +308,54 @@ object AsOfJoin {
       .drop("__negt")
   }
 
+  /** Cost-based auto-switch between the plain native merge and the
+    * chunked monster-key path (the [[graft.operators.Dedup.ngramJaccardPairsAuto]]
+    * precedent): one partial-agg probe over both sides' key columns
+    * measures the hottest key's row share; past `hotShareThreshold`
+    * (default 10% — where the skew stress shows the chunked path winning
+    * 2–3.5×) the query routes through [[asofBackwardChunked]], otherwise
+    * through [[asofBackwardNative]]. Both paths are spec-pinned
+    * row-identical, so the switch is invisible to results — it only
+    * reshapes the exchanges. Probe cost: one ids-only partial-agg job.
+    */
+  def asofBackwardAuto(
+      left: DataFrame,
+      right: DataFrame,
+      byCol: String,
+      timeCol: String,
+      hotShareThreshold: Double = 0.10,
+      nChunks: Int = 64
+  ): DataFrame =
+    if (preferChunked(left, right, byCol, hotShareThreshold))
+      asofBackwardChunked(left, right, byCol, timeCol, nChunks)
+    else asofBackwardNative(left, right, byCol, timeCol)
+
+  /** True when either side's hottest key holds more than
+    * `hotShareThreshold` of that side's rows — the regime where one
+    * merge partition serializes the job. One partial-agg probe, ids only.
+    */
+  private[graft] def preferChunked(
+      left: DataFrame,
+      right: DataFrame,
+      byCol: String,
+      hotShareThreshold: Double
+  ): Boolean = {
+    require(
+      hotShareThreshold > 0.0 && hotShareThreshold <= 1.0,
+      s"hotShareThreshold in (0,1], got $hotShareThreshold"
+    )
+    def maxShare(df: DataFrame): Double = {
+      val r = df
+        .groupBy(col(byCol))
+        .agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).as("mx"), sum(col("n")).as("tot"))
+        .head()
+      if (r.isNullAt(1) || r.getLong(1) == 0L) 0.0
+      else r.getLong(0).toDouble / r.getLong(1)
+    }
+    maxShare(left) > hotShareThreshold || maxShare(right) > hotShareThreshold
+  }
+
   /** [[asofForward]] through the chunked monster-key path: forward ≡
     * backward on negated time, so the same time-epoch chunking +
     * boundary-seed construction applies verbatim (the chunk ids negate

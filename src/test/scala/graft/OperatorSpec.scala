@@ -189,6 +189,27 @@ class OperatorSpec extends SparkTestBase {
     assert(gEmpty.forall(_.isNullAt(0)))
   }
 
+  test("asofBackwardAuto: probe picks chunked on a hot key, plain on uniform; results identical") {
+    import spark.implicits._
+    val uniform = (0 until 400).map(i => (i.toLong % 100, i.toLong, s"l$i")).toDF("k", "t", "lv")
+    val hot = (0 until 400).map { i =>
+      (if (i % 2 == 0) 0L else i.toLong % 100, i.toLong, s"l$i")
+    }.toDF("k", "t", "lv")
+    val right = (0 until 100).map(i => (i.toLong % 50, i.toLong * 3, s"r$i")).toDF("k", "t", "rv")
+    assert(!AsOfJoin.preferChunked(uniform, right, "k", 0.10), "uniform must stay plain")
+    assert(AsOfJoin.preferChunked(hot, right, "k", 0.10), "50%-hot key must switch")
+    // the switch is invisible to results
+    def rowsOf(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("k"), col("t"), col("lv"), col("rv")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), Option(r.getString(3)))).toSet
+    assert(
+      rowsOf(AsOfJoin.asofBackwardAuto(hot, right, "k", "t")) ==
+        rowsOf(AsOfJoin.asofBackwardNative(hot, right, "k", "t"))
+    )
+    // empty sides probe to 0 share, never divide by zero
+    assert(!AsOfJoin.preferChunked(uniform.limit(0), right.limit(0), "k", 0.10))
+  }
+
   test("gapFillChunked + asofForwardChunked: row-identical to the plain forms across chunk counts") {
     import spark.implicits._
     val rnd = new scala.util.Random(29)
