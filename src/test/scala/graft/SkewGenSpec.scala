@@ -87,6 +87,22 @@ class SkewGenSpec extends SparkTestBase {
     )
   }
 
+  test("skew twin hotUserShare: one key takes the pinned share and the as-of auto-switch flips") {
+    val out = java.nio.file.Files.createTempDirectory("graft-skew-hot-ci").toString
+    SkewGen.generate(spark, out, sfDir, hotUserShare = 0.30)
+    val ev = spark.read.parquet(s"$out/events.parquet")
+    val n = ev.count().toDouble
+    val hot = ev.filter(col("user_id") === 0L).count() / n
+    // 30% pinned + the Zipf mass user 0 carries anyway
+    assert(hot > 0.28 && hot < 0.45, s"hot user share $hot")
+    // the monster-key corpus flips asofBackwardAuto to the chunked path;
+    // the plain skew twin (top user ~7%) stays on the plain merge
+    val p = ev.select(col("user_id"), col("ts"), col("event_id"))
+    assert(graft.operators.AsOfJoin.preferChunked(p, p, "user_id", 0.10))
+    val evPlain = t("events").select(col("user_id"), col("ts"), col("event_id"))
+    assert(!graft.operators.AsOfJoin.preferChunked(evPlain, evPlain, "user_id", 0.10))
+  }
+
   test("skew twin: groupAdvantage moments are aggregation-order independent on the hot group") {
     val ev = t("events")
     def moments(parts: Int) = graft.operators.ChatOps
