@@ -189,11 +189,7 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        var z = seed + x * 0x9e3779b97f4a7c15L + y * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        z = z ^ (z >>> 31)
-        img.setRGB(x, y, (z & 0xffffff).toInt)
+        img.setRGB(x, y, syntheticPixel(seed, x, y))
         x += 1
       }
       y += 1
@@ -201,6 +197,72 @@ object Multimodal {
     val baos = new java.io.ByteArrayOutputStream()
     require(javax.imageio.ImageIO.write(img, format, baos), s"no JDK writer for '$format'")
     baos.toByteArray
+  }
+
+  /** The synthetic plane's pixel formula (splitmix64-style mix), exposed
+    * so oracles can recompute expected pixels WITHOUT going through the
+    * encode/decode path under test.
+    */
+  def syntheticPixel(seed: Long, x: Int, y: Int): Int = {
+    var z = seed + x * 0x9e3779b97f4a7c15L + y * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z & 0xffffff).toInt
+  }
+
+  /** BT.601 integer luma of a packed RGB int — the [[decodeImage]] plane
+    * formula, exposed for the same oracle-recompute reason.
+    */
+  def bt601Luma(rgb: Int): Int =
+    (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) + 29 * (rgb & 0xff)) >> 8
+
+  /** REAL image resize: decode (via [[decodeImage]]) and nearest-neighbor
+    * resample the luma plane to (dstW, dstH) with exact integer index
+    * math — `src = (dst · srcDim) / dstDim` — so the result is
+    * deterministic on any JVM and replayable from the pixel formula alone
+    * (no float scaling, no interpolation rounding). Non-image rows fall
+    * back to the 1-D byte-plane stride stub ([[resizeDataset]] semantics)
+    * over dstW·dstH bytes. Output rows: (doc_id, media_type, width,
+    * height, plane) with the plane as a binary column — the embedding-
+    * prep shape (fixed-size input planes) a multimodal pipeline feeds to
+    * its encoder. Zero-shuffle mapPartitions, same batch shape as
+    * [[decode]].
+    */
+  def resizeImage(ds: Dataset[MediaRow], dstW: Int, dstH: Int): DataFrame = {
+    require(dstW >= 1 && dstH >= 1, s"target dims must be >= 1, got ${dstW}x$dstH")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val plane = decodeImage(r.content) match {
+        case Some((w, h, _, luma)) =>
+          val out = new Array[Byte](dstW * dstH)
+          var y = 0
+          while (y < dstH) {
+            val sy = (y.toLong * h / dstH).toInt
+            var x = 0
+            while (x < dstW) {
+              val sx = (x.toLong * w / dstW).toInt
+              out(y * dstW + x) = luma(sy * w + sx)
+              x += 1
+            }
+            y += 1
+          }
+          out
+        case None =>
+          // non-image: strided byte sampling over the raw plane
+          val n = r.content.length
+          val out = new Array[Byte](dstW * dstH)
+          if (n > 0) {
+            var i = 0
+            while (i < out.length) {
+              out(i) = r.content((i.toLong * n / out.length).toInt)
+              i += 1
+            }
+          }
+          out
+      }
+      (r.doc_id, r.media_type, dstW, dstH, plane)
+    }).toDF("doc_id", "media_type", "width", "height", "plane")
   }
 
   /** Build a MediaRow dataset from the documents table (text bytes stand in

@@ -3487,6 +3487,70 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL image resize through the operator: per sampled doc, encode the
+    // deterministic plane as PNG and BMP, resize BOTH through
+    // Multimodal.resizeImage (decode → 8×6 nearest-neighbor luma plane),
+    // and check (a) output dims, (b) format invariance, (c) exact match
+    // against the plane recomputed from the pixel FORMULA — an
+    // expectation that never touches the encode/decode/resize path under
+    // test. Booleans are the oracle surface.
+    "x169_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      val (dw, dh) = (8, 6)
+      val ids = T(s, dir, "documents")
+        .select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(20)) === 0)
+        .as[Long]
+      val media = ids.flatMap { id =>
+        val w = 24 + (id % 17).toInt
+        val h = 24 + (id % 13).toInt
+        Seq(
+          Multimodal.MediaRow(id * 2, "image/png", Multimodal.syntheticImage(id, w, h, "png")),
+          Multimodal.MediaRow(id * 2 + 1, "image/bmp", Multimodal.syntheticImage(id, w, h, "bmp"))
+        )
+      }
+      val resized = Multimodal.resizeImage(media, dw, dh)
+      val png = resized
+        .filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(
+          (col("doc_id") / 2).cast("long").as("doc_id"),
+          col("width"), col("height"), col("plane").as("p_png")
+        )
+      val bmp = resized
+        .filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select(((col("doc_id") - 1) / 2).cast("long").as("id2"), col("plane").as("p_bmp"))
+      val expected = ids
+        .mapPartitions(_.map { id =>
+          val w = 24 + (id % 17).toInt
+          val h = 24 + (id % 13).toInt
+          val out = new Array[Byte](dw * dh)
+          var y = 0
+          while (y < dh) {
+            val sy = (y.toLong * h / dh).toInt
+            var x = 0
+            while (x < dw) {
+              val sx = (x.toLong * w / dw).toInt
+              out(y * dw + x) =
+                Multimodal.bt601Luma(Multimodal.syntheticPixel(id, sx, sy)).toByte
+              x += 1
+            }
+            y += 1
+          }
+          (id, out)
+        })
+        .toDF("id3", "p_exp")
+      png
+        .join(bmp, col("doc_id") === col("id2"))
+        .join(expected, col("doc_id") === col("id3"))
+        .select(
+          col("doc_id"),
+          (col("width") === dw && col("height") === dh).as("dims_ok"),
+          (col("p_png") === col("p_bmp")).as("formats_equal"),
+          (col("p_png") === col("p_exp")).as("matches_formula")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
     // CHUNKED as-of: q19's join through asofBackwardChunked — the
     // monster-key-safe path (time-epoch chunk appended to the merge key,
     // seed rows carry state across chunk boundaries). Same semantics as
@@ -6736,6 +6800,12 @@ object ExtensionQueries {
     // lossless round-trip contract: dims exact, planes equal, hashes equal
     "x167_image_decode" ->
       """SELECT doc_id, TRUE AS dims_ok, TRUE AS luma_equal, TRUE AS hash_equal
+        |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""".stripMargin,
+
+    // real resize: lossless decode + exact integer nearest-neighbor ==
+    // the plane recomputed from the pixel formula, in both formats
+    "x169_image_resize" ->
+      """SELECT doc_id, TRUE AS dims_ok, TRUE AS formats_equal, TRUE AS matches_formula
         |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""".stripMargin,
 
     // chunked backward as-of == plain backward as-of (left-join form)

@@ -528,6 +528,31 @@ class OperatorSpec extends SparkTestBase {
     assert(Multimodal.decodeImage(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0, 0, 0, 0)).isEmpty)
   }
 
+  test("resizeImage: exact integer nearest-neighbor on decoded luma; non-images stride-sample") {
+    import spark.implicits._
+    val (w, h) = (20, 10)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/png", Multimodal.syntheticImage(5L, w, h, "png")),
+      Multimodal.MediaRow(2L, "image/bmp", Multimodal.syntheticImage(5L, w, h, "bmp")),
+      Multimodal.MediaRow(3L, "text", "not an image at all, just bytes".getBytes("UTF-8"))
+    )
+    val got = Multimodal
+      .resizeImage(spark.createDataset(rows), 4, 4)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("plane"))
+      .toMap
+    // formula replay: dst (x,y) <- src ((x*20)/4, (y*10)/4), BT.601 luma
+    val expected = (0 until 4).flatMap { y =>
+      (0 until 4).map { x =>
+        Multimodal.bt601Luma(Multimodal.syntheticPixel(5L, x * w / 4, y * h / 4)).toByte
+      }
+    }.toArray
+    assert(java.util.Arrays.equals(got(1L), expected), "png resize != formula")
+    assert(java.util.Arrays.equals(got(2L), expected), "bmp resize != formula (format variance)")
+    // non-image fallback: strided raw-byte sampling, 16 bytes out
+    assert(got(3L).length == 16 && got(3L)(0) == 'n'.toByte)
+  }
+
   test("imageNearDupPairs on DECODED planes: blocked == brute force, planted twins found") {
     import spark.implicits._
     // controlled planes: base images are luma gradients (seed-shifted);
