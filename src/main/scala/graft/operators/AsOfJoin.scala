@@ -393,7 +393,8 @@ object AsOfJoin {
       right: DataFrame,
       byCol: String,
       timeCol: String,
-      leftIdCol: String
+      leftIdCol: String,
+      chunked: Boolean = false
   ): DataFrame = {
     val valueCols = right.columns.filterNot(c => c == byCol || c == timeCol).toSeq
     require(
@@ -419,10 +420,16 @@ object AsOfJoin {
       if (t == org.apache.spark.sql.types.TimestampType) unix_micros(col(timeCol))
       else col(timeCol).cast("long")
     }
-    // carry the matched right TIME through each pass to compare distances
+    // carry the matched right TIME through each pass to compare distances;
+    // chunked = both directional passes take the monster-key time-epoch
+    // path (spec-pinned result-identical, so the flag is plan-only)
     val rT = right.withColumn("__rt", toLong(right))
-    val b = asofBackwardNative(left0, rT, byCol, timeCol)
-    val f = asofForward(left0, rT, byCol, timeCol)
+    val b =
+      if (chunked) asofBackwardChunked(left0, rT, byCol, timeCol)
+      else asofBackwardNative(left0, rT, byCol, timeCol)
+    val f =
+      if (chunked) asofForwardChunked(left0, rT, byCol, timeCol)
+      else asofForward(left0, rT, byCol, timeCol)
     val lt = toLong(left)
     val bSide = b.select(
       (Seq(

@@ -264,6 +264,16 @@ class OperatorSpec extends SparkTestBase {
         s"asofForwardChunked($nChunks) diverged"
       )
     }
+    // nearest with chunked passes == nearest with plain passes
+    val lId = left.withColumn("id", monotonically_increasing_id())
+    def nearRows(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("id"), col("rv")).collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(
+      nearRows(AsOfJoin.asofNearest(lId, right, "k", "t", "id", chunked = true)) ==
+        nearRows(AsOfJoin.asofNearest(lId, right, "k", "t", "id")),
+      "chunked nearest diverged from plain nearest"
+    )
   }
 
   test("asofForward: earliest right >= left ts per key; equal-ts visible; timestamps negate safely") {
