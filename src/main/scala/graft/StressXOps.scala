@@ -2480,7 +2480,10 @@ object StressXOps {
       val best = twin.filter(col("rb") === 1).select(col("user_id").as("prompt_id"), col("event_id").as("chosen_id"), col("value").as("bs"), col("n"))
       val worst = twin.filter(col("rw") === 1).select(col("user_id").as("prompt_id"), col("event_id").as("rejected_id"), col("value").as("ws"))
       val twinPairs = best.join(worst, "prompt_id").filter(col("n") >= 2 && col("bs") > col("ws"))
-        .select(col("prompt_id"), col("chosen_id"), col("rejected_id"), round(col("bs") - col("ws"), 6).as("margin"), col("n").cast("long").as("n_candidates"))
+        .select(col("prompt_id"), col("chosen_id"), col("rejected_id"), round(col("bs") - col("ws"), 6).as("margin"), col("n").cast("long").as("n_candidates"),
+          // every synthetic value is non-null, so the operator's null
+          // accounting must read exactly zero
+          lit(0L).as("n_null_scores"))
       val mism = pp.unionByName(twinPairs).groupBy(pp.columns.map(col): _*).agg(count(lit(1)).as("c")).filter(col("c") =!= 2).count()
       println(f"[stressx] preferencePairs @ $nev%d events / 500k prompts: $sec2%.1f s, pairs=$n2; window-twin mismatches=$mism")
       println(s"[stressx]   plan: $h2")
