@@ -324,36 +324,46 @@ object AsOfJoin {
       byCol: String,
       timeCol: String,
       hotShareThreshold: Double = 0.10,
-      nChunks: Int = 64
+      nChunks: Int = 64,
+      minHotRows: Long = 8000000L
   ): DataFrame =
-    if (preferChunked(left, right, byCol, hotShareThreshold))
+    if (preferChunked(left, right, byCol, hotShareThreshold, minHotRows))
       asofBackwardChunked(left, right, byCol, timeCol, nChunks)
     else asofBackwardNative(left, right, byCol, timeCol)
 
   /** True when either side's hottest key holds more than
-    * `hotShareThreshold` of that side's rows — the regime where one
-    * merge partition serializes the job. One partial-agg probe, ids only.
+    * `hotShareThreshold` of that side's rows AND at least `minHotRows`
+    * rows in absolute terms — the regime where one merge partition
+    * serializes the job. Both conditions matter (measured in
+    * `StressXOps asof`): at 30% share the chunked path breaks even
+    * around a ~1.5M-row hot key (5M corpus) and wins 2.1–3.5× at 6M
+    * (20M corpus) — a hot key's cost is its absolute sort+merge time,
+    * not its share. One partial-agg probe per side, ids only.
     */
   private[graft] def preferChunked(
       left: DataFrame,
       right: DataFrame,
       byCol: String,
-      hotShareThreshold: Double
+      hotShareThreshold: Double,
+      minHotRows: Long = 8000000L
   ): Boolean = {
     require(
       hotShareThreshold > 0.0 && hotShareThreshold <= 1.0,
       s"hotShareThreshold in (0,1], got $hotShareThreshold"
     )
-    def maxShare(df: DataFrame): Double = {
+    def hot(df: DataFrame): (Long, Long) = {
       val r = df
         .groupBy(col(byCol))
         .agg(count(lit(1)).as("n"))
         .agg(max(col("n")).as("mx"), sum(col("n")).as("tot"))
         .head()
-      if (r.isNullAt(1) || r.getLong(1) == 0L) 0.0
-      else r.getLong(0).toDouble / r.getLong(1)
+      if (r.isNullAt(1) || r.getLong(1) == 0L) (0L, 0L) else (r.getLong(0), r.getLong(1))
     }
-    maxShare(left) > hotShareThreshold || maxShare(right) > hotShareThreshold
+    def trips(df: DataFrame): Boolean = {
+      val (mx, tot) = hot(df)
+      tot > 0 && mx >= minHotRows && mx.toDouble / tot > hotShareThreshold
+    }
+    trips(left) || trips(right)
   }
 
   /** [[asofForward]] through the chunked monster-key path: forward ≡

@@ -196,8 +196,10 @@ class OperatorSpec extends SparkTestBase {
       (if (i % 2 == 0) 0L else i.toLong % 100, i.toLong, s"l$i")
     }.toDF("k", "t", "lv")
     val right = (0 until 100).map(i => (i.toLong % 50, i.toLong * 3, s"r$i")).toDF("k", "t", "rv")
-    assert(!AsOfJoin.preferChunked(uniform, right, "k", 0.10), "uniform must stay plain")
-    assert(AsOfJoin.preferChunked(hot, right, "k", 0.10), "50%-hot key must switch")
+    assert(!AsOfJoin.preferChunked(uniform, right, "k", 0.10, minHotRows = 0L), "uniform must stay plain")
+    assert(AsOfJoin.preferChunked(hot, right, "k", 0.10, minHotRows = 0L), "50%-hot key must switch")
+    // absolute-mass floor: the same hot SHARE below minHotRows stays plain
+    assert(!AsOfJoin.preferChunked(hot, right, "k", 0.10), "tiny hot key must not switch at the default floor")
     // the switch is invisible to results
     def rowsOf(d: org.apache.spark.sql.DataFrame) =
       d.select(col("k"), col("t"), col("lv"), col("rv")).collect()
@@ -207,7 +209,7 @@ class OperatorSpec extends SparkTestBase {
         rowsOf(AsOfJoin.asofBackwardNative(hot, right, "k", "t"))
     )
     // empty sides probe to 0 share, never divide by zero
-    assert(!AsOfJoin.preferChunked(uniform.limit(0), right.limit(0), "k", 0.10))
+    assert(!AsOfJoin.preferChunked(uniform.limit(0), right.limit(0), "k", 0.10, minHotRows = 0L))
   }
 
   test("gapFillChunked + asofForwardChunked: row-identical to the plain forms across chunk counts") {

@@ -98,9 +98,9 @@ class SkewGenSpec extends SparkTestBase {
     // the monster-key corpus flips asofBackwardAuto to the chunked path;
     // the plain skew twin (top user ~7%) stays on the plain merge
     val p = ev.select(col("user_id"), col("ts"), col("event_id"))
-    assert(graft.operators.AsOfJoin.preferChunked(p, p, "user_id", 0.10))
+    assert(graft.operators.AsOfJoin.preferChunked(p, p, "user_id", 0.10, minHotRows = 0L))
     val evPlain = t("events").select(col("user_id"), col("ts"), col("event_id"))
-    assert(!graft.operators.AsOfJoin.preferChunked(evPlain, evPlain, "user_id", 0.10))
+    assert(!graft.operators.AsOfJoin.preferChunked(evPlain, evPlain, "user_id", 0.10, minHotRows = 0L))
   }
 
   test("skew twin: groupAdvantage moments are aggregation-order independent on the hot group") {
