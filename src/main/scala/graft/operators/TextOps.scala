@@ -573,7 +573,11 @@ object TextOps {
         for (r <- topK if !stop) {
           val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
           if (c < minPairCount) stop = true
-          else if (accepted.isEmpty || (!blocked(a) && !blocked(b) && c > createdBound)) {
+          // the !blocked(a + b) leg closes the double-creation hole: two
+          // disjoint accepted merges whose concatenations are the SAME
+          // string (("ab","cd") and ("abc","d") -> "abcd") would ADD
+          // their created-pair masses, escaping each per-merge bound
+          else if (accepted.isEmpty || (!blocked(a) && !blocked(b) && !blocked(a + b) && c > createdBound)) {
             accepted += ((a, b))
             val t = a + b
             blocked ++= Set(a, b, t)

@@ -635,6 +635,16 @@ class OperatorSpec extends SparkTestBase {
       val batched = TextOps.trainBpe(df, col("text"), numMerges = 12, batchSize = 64)
       assert(batched == sequential, s"trial $trial: batched $batched != sequential $sequential")
     }
+    // deep-merge stress: tiny alphabet + long merge sequence builds nested
+    // multi-char tokens, the regime where same-concatenation collisions
+    // (("ab","cd") vs ("abc","d")) and tie hazards live
+    val deep = (0 until 500).map { _ =>
+      (0 until (3 + rnd.nextInt(10))).map(_ => "abcd"(rnd.nextInt(4))).mkString
+    }
+    val deepDf = deep.grouped(10).map(_.mkString(" ")).toSeq.toDF("text")
+    val seqDeep = TextOps.trainBpe(deepDf, col("text"), numMerges = 30, batchSize = 1)
+    val batDeep = TextOps.trainBpe(deepDf, col("text"), numMerges = 30, batchSize = 64)
+    assert(batDeep == seqDeep, s"deep: batched $batDeep != sequential $seqDeep")
   }
 
   test("trainBpe + bpe_segment: match an independent reference implementation") {
