@@ -83,17 +83,17 @@ object Multimodal {
         val (w, h) = (img.getWidth, img.getHeight)
         if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) None // shed absurd planes
         else {
+          // bulk getRGB: one sRGB-converted row-major int plane (same
+          // values as per-pixel getRGB, deterministic for the lossless
+          // formats) instead of w·h virtual calls
+          val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
           val luma = new Array[Byte](w * h)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y) // sRGB-converted, deterministic for lossless formats
-              val l = (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) + 29 * (rgb & 0xff)) >> 8
-              luma(y * w + x) = l.toByte
-              x += 1
-            }
-            y += 1
+          var i = 0
+          while (i < rgbs.length) {
+            val rgb = rgbs(i)
+            luma(i) =
+              ((77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) + 29 * (rgb & 0xff)) >> 8).toByte
+            i += 1
           }
           Some((w, h, img.getColorModel.getNumComponents, luma))
         }
