@@ -255,6 +255,67 @@ class StreamingSpec extends SparkTestBase {
     assert(r3 == ((1L, 0L, 0L, 1L)), s"epoch3 (per-row gating): $r3")
   }
 
+  test("StreamAsOf: events enrich against accumulated observations; replay idempotent") {
+    import graft.streaming.StreamAsOf
+    val store = java.nio.file.Files.createTempDirectory("graft_asof_store").toString
+    var delivered = Vector.empty[(Long, Seq[(Long, Long, String, Option[Double])])]
+    def acc(df: org.apache.spark.sql.DataFrame, ep: Long): Unit =
+      delivered :+= (ep -> df
+        .select(col("k"), col("t"), col("ev"), col("price"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .sortBy(x => (x._1, x._2))
+        .toSeq)
+    // epoch 0: one observation (k=1, t=100, price=10), no events
+    val obs0 = Seq((1L, 100L, 10.0)).toDF("k", "t", "price")
+    val ev0 = Seq.empty[(Long, Long, String)].toDF("k", "t", "ev")
+    assert(StreamAsOf.enrichBatch(ev0, obs0, "k", "t", store, 0L, acc) == 0L)
+    // epoch 1: fresh observations + events; an event must see BOTH the
+    // stored epoch-0 observation and its own batch's (same-batch
+    // visibility), and an event before any observation stays null
+    val obs1 = Seq((1L, 300L, 20.0), (2L, 50L, 5.0)).toDF("k", "t", "price")
+    val ev1 = Seq(
+      (1L, 250L, "a"), // after epoch-0 obs, before epoch-1 obs -> 10
+      (1L, 350L, "b"), // after the same-batch obs -> 20
+      (2L, 40L, "c"), // before k=2's first observation -> null
+      (2L, 60L, "d") // after the same-batch obs -> 5
+    ).toDF("k", "t", "ev")
+    assert(StreamAsOf.enrichBatch(ev1, obs1, "k", "t", store, 1L, acc) == 4L)
+    val want = Seq(
+      (1L, 250L, "a", Some(10.0)),
+      (1L, 350L, "b", Some(20.0)),
+      (2L, 40L, "c", None),
+      (2L, 60L, "d", Some(5.0))
+    )
+    assert(delivered(1) == (1L -> want), s"epoch-1 enrich wrong: ${delivered(1)}")
+    // REPLAY epoch 1 (crash-after-store-write): identical output — the
+    // store's own epoch partition is excluded, so the batch never joins
+    // against its first attempt twice
+    assert(StreamAsOf.enrichBatch(ev1, obs1, "k", "t", store, 1L, acc) == 4L)
+    assert(delivered(2) == (1L -> want), "replay diverged")
+    // epoch 2: history spans epochs — latest-at-or-before wins across them
+    val ev2 = Seq((1L, 275L, "e"), (1L, 999L, "f")).toDF("k", "t", "ev")
+    val obs2 = Seq.empty[(Long, Long, Double)].toDF("k", "t", "price")
+    assert(StreamAsOf.enrichBatch(ev2, obs2, "k", "t", store, 2L, acc) == 2L)
+    assert(
+      delivered(3)._2 == Seq((1L, 275L, "e", Some(10.0)), (1L, 999L, "f", Some(20.0))),
+      s"cross-epoch history wrong: ${delivered(3)}"
+    )
+    // chunked path delivers the same rows
+    var chunkedOut: Seq[(Long, Long, String, Option[Double])] = Nil
+    StreamAsOf.enrichBatch(
+      ev2, obs2, "k", "t", store, 2L,
+      (df, _) => chunkedOut = df.select(col("k"), col("t"), col("ev"), col("price"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .sortBy(x => (x._1, x._2)).toSeq,
+      chunked = true
+    )
+    assert(chunkedOut == delivered(3)._2, "chunked enrich diverged")
+  }
+
   test("streaming router multicast == batch router multicast (O-13)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
