@@ -253,6 +253,18 @@ object SkewGen {
     val prefer = graft.operators.Dedup
       .preferPrefixStrategy(spark.read.parquet(s"$out/documents.parquet"), col("text"), 3, threshold = 0.2)
     println(s"[skewgen] documents: ngramJaccardPairsAuto(t=0.2) prefers PPJoin = $prefer (cost-based; naive is the measured winner below the crossover)")
+    val evP = spark.read
+      .parquet(s"$out/events.parquet")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val asofChunked =
+      graft.operators.AsOfJoin.preferChunked(evP, evP, "user_id", hotShareThreshold = 0.10)
+    val asofShareOnly =
+      graft.operators.AsOfJoin.preferChunked(evP, evP, "user_id", 0.10, minHotRows = 0L)
+    println(
+      s"[skewgen] events: asofBackwardAuto prefers chunked = $asofChunked " +
+        s"(share-only probe = $asofShareOnly; the default 8M-row absolute floor reflects the " +
+        s"measured 5M-breakeven/20M-win crossover)"
+    )
     ()
   }
 }
