@@ -260,17 +260,30 @@ object AsOfJoin {
     val rightC0 = right.select(
       (col(byCol) +: chunk(right).as("__chunk") +: col(timeCol) +: valueCols.map(col)): _*
     )
+    // max over an ORDER-FIRST struct, not max_by: max_by skips rows whose
+    // ordering value is null, so an all-null-time (key, null-chunk) group
+    // would summarize to a NULL __last and the seeds would carry all-null
+    // time/values — while the plain merge (nulls-first) carries that
+    // row's ACTUAL values. struct comparison treats a null field as
+    // smallest, so max(struct(t, row)) picks the same latest-time row for
+    // non-null groups and a real row (tie-ambiguous, as the contract
+    // allows for duplicate (key, time)) for the null-time group.
     val lastStruct = struct((col(timeCol) +: valueCols.map(col)): _*)
     val rightSumm = rightC0
       .groupBy(col(byCol), col("__chunk"))
-      .agg(max_by(lastStruct, tLong(rightC0)).as("__last"))
+      .agg(max(struct(tLong(rightC0).as("__ord"), lastStruct.as("__s"))).as("__m"))
+      .select(col(byCol), col("__chunk"), col("__m").getField("__s").as("__last"))
     // seed targets: every chunk after this summary's, up to (and
     // INCLUDING) the key's next occupied chunk — left rows early in that
     // chunk still precede its first real right row. lead() runs over the
-    // bounded chunk summaries, never corpus rows.
+    // bounded chunk summaries, never corpus rows. The lead default is
+    // nChunks (not nChunks − 1): the double-division chunk map can in
+    // principle round a > 2^53-span row into chunk == nChunks, and the
+    // last seed range must still cover it (one extra summary-sized seed
+    // row per key).
     val wNext = Window.partitionBy(col(byCol)).orderBy(col("__chunk").asc_nulls_first)
     val seeds = rightSumm
-      .withColumn("__next", lead(col("__chunk"), 1, nChunks - 1).over(wNext))
+      .withColumn("__next", lead(col("__chunk"), 1, nChunks).over(wNext))
       .withColumn("__from", coalesce(col("__chunk") + 1, lit(0)))
       .filter(col("__next") >= col("__from"))
       .select(
@@ -589,9 +602,12 @@ object AsOfJoin {
         ).as("__obs")
       )
       .filter(col("__obs").isNotNull)
+    // lead default nChunks (not nChunks − 1): same lossy-chunk-map guard
+    // as asofBackwardChunked — a > 2^53-span row can round into chunk ==
+    // nChunks and must still sit inside the seeded range
     val wNext = Window.partitionBy(col(byCol)).orderBy(col("__chunk").asc_nulls_first)
     val seeds0 = summ
-      .withColumn("__next", lead(col("__chunk"), 1, nChunks - 1).over(wNext))
+      .withColumn("__next", lead(col("__chunk"), 1, nChunks).over(wNext))
       .withColumn("__from", coalesce(col("__chunk") + 1, lit(0)))
       .filter(col("__next") >= col("__from"))
       .select(

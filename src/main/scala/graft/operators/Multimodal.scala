@@ -303,10 +303,27 @@ object Multimodal {
     }).toDF("id", "simhash")
   }
 
+  /** Exact 128-bit compare of two non-negative Long products: a·b > c·d.
+    * The cross-multiplied mean compare overflows a 64-bit product once
+    * the plane passes ~190 MB (s ≤ 255·n makes s·n ≈ 255·n² exceed
+    * Long.MaxValue past n ≈ 1.9e8) — and the non-image fallback path
+    * feeds raw blobs unbounded, so the compare must be overflow-proof.
+    * `Math.multiplyHigh` gives the high 64 bits; the low halves compare
+    * unsigned.
+    */
+  private[graft] def prodGt(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val h1 = Math.multiplyHigh(a, b)
+    val h2 = Math.multiplyHigh(c, d)
+    if (h1 != h2) h1 > h2
+    else java.lang.Long.compareUnsigned(a * b, c * d) > 0
+  }
+
   /** 1-D block-mean aHash over a raw byte plane — the non-image fallback
     * (and the sub-64-bit form). All-integer: block mean > global mean is
-    * compared cross-multiplied (s_j · n > S · n_j), so no division ever
-    * rounds a borderline bit.
+    * compared cross-multiplied (s_j · n > S · n_j) in 128 bits
+    * ([[prodGt]]), so no division ever rounds a borderline bit and no
+    * giant blob (> ~190 MB, where the 64-bit product overflows) silently
+    * flips one.
     */
   private[graft] def planeAHash(plane: Array[Byte], bits: Int): Long = {
     val n = plane.length
@@ -322,8 +339,8 @@ object Multimodal {
         var s = 0L
         var k = lo
         while (k < hi) { s += (plane(k) & 0xff); k += 1 }
-        // s/(hi-lo) > total/n  <=>  s*n > total*(hi-lo), exact in longs
-        if (hi > lo && s * n > total * (hi - lo)) h |= (1L << j)
+        // s/(hi-lo) > total/n  <=>  s*n > total*(hi-lo), exact in 128 bits
+        if (hi > lo && prodGt(s, n, total, hi - lo)) h |= (1L << j)
         j += 1
       }
     }

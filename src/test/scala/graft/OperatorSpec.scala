@@ -212,6 +212,65 @@ class OperatorSpec extends SparkTestBase {
     assert(!AsOfJoin.preferChunked(uniform.limit(0), right.limit(0), "k", 0.10, minHotRows = 0L))
   }
 
+  test("asofBackwardChunked: a null-time-only predecessor seeds its ACTUAL values across chunks") {
+    import spark.implicits._
+    // regression (ADVICE r12): the summary used max_by(struct, t), which
+    // skips null-ordering rows — a key whose only right rows in the null
+    // chunk have null time summarized to NULL and its seeds carried
+    // all-null values into later chunks. The plain merge (nulls first)
+    // carries the row's actual values, so for a left row whose latest
+    // match IS a null-time right row the chunked path silently nulled.
+    val left = Seq(
+      (1L, Some(5L), "early"), // chunk 0: only predecessor is the null-time row
+      (1L, Some(999999L), "late") // last chunk: non-null right row masks the seed
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, None: Option[Long], Some(42L), "nullrow"), // null time — sorts first
+      (1L, Some(900000L), Some(7L), "real")
+    ).toDF("k", "t", "price", "tag")
+    def rowsOf(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("lv"), col("price"), col("tag")).collect()
+        .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          Option(r.getString(2)))).toSet
+    val plain = rowsOf(AsOfJoin.asofBackward(left, right, "k", "t"))
+    assert(plain == Set(("early", Some(42L), Some("nullrow")), ("late", Some(7L), Some("real"))))
+    for (nChunks <- Seq(2, 8, 64))
+      assert(
+        rowsOf(AsOfJoin.asofBackwardChunked(left, right, "k", "t", nChunks)) == plain,
+        s"chunked($nChunks) lost the null-time predecessor's values"
+      )
+    // forward twin rides the same summary; pin it too: the only match at
+    // or after t=5 for a key whose sole right row has null time is NONE
+    // (null times are never >= a real time), but a mixed key must still
+    // chunk without the null summary poisoning real seeds
+    val fwdL = Seq((1L, 5L, "l0")).toDF("k", "t", "lv")
+    val fwdR = Seq((1L, None: Option[Long], Some(1L)), (1L, Some(7L), Some(2L)))
+      .toDF("k", "t", "price")
+    val fwd = AsOfJoin.asofForwardChunked(fwdL, fwdR, "k", "t", 4)
+      .select(col("price")).collect()(0)
+    assert(fwd.getLong(0) == 2L)
+  }
+
+  test("planeAHash: 128-bit cross-multiply — no overflow flip on giant planes") {
+    // prodGt against a BigInt reference, including products past 2^63
+    val vals = Seq(0L, 1L, 255L, 1L << 31, (1L << 62) / 255, 3L * 100000000L,
+      255L * 150000000L, Long.MaxValue / 3)
+    for (a <- vals; b <- vals; c <- vals; d <- vals) {
+      val expected = BigInt(a) * BigInt(b) > BigInt(c) * BigInt(d)
+      assert(
+        Multimodal.prodGt(a, b, c, d) == expected,
+        s"prodGt($a,$b,$c,$d) != BigInt reference"
+      )
+    }
+    // end-to-end: a 300 MB two-block plane where the old s*n compare
+    // overflows negative and dropped bit 0 (block 0 all 0xff: mean 255 >
+    // global 127.5 — bit 0 MUST set; block 1 all zero — bit 1 must not)
+    val n = 300000000
+    val plane = new Array[Byte](n)
+    java.util.Arrays.fill(plane, 0, n / 2, 0xff.toByte)
+    assert(Multimodal.planeAHash(plane, 2) == 1L, "giant-plane bit flipped by overflow")
+  }
+
   test("gapFillChunked + asofForwardChunked: row-identical to the plain forms across chunk counts") {
     import spark.implicits._
     val rnd = new scala.util.Random(29)
