@@ -133,12 +133,21 @@ object Bench {
       if (skipPerf || sys.env.get("SPARK_GRAFT_TCP_REF").contains("0")) ""","ref_skipped":true"""
       else {
         val r = BenchTcpStage.forkedRefMedian()
+        // gate_ratio: engine TCP MBps over the CO-MEASURED native twin —
+        // the host-independent gate number, first-class in the artifact
+        // so a loaded box can never masquerade as a regression (both
+        // numerator and denominator degrade in lockstep under co-load).
+        // gate_ratio_published divides by the reference's PUBLISHED
+        // 432.3 MBps (doc/perf.adoc) — host-dependent, context only.
+        val gate = r.median.filter(_ > 0).map(m => tcpMbps / m)
         s""","ref_mbps":${r.median.map(f3).getOrElse("-1")}""" +
           s""","ref_mbps_runs":[${r.runs.map(f3).mkString(",")}]""" +
           s""","ref_fork_errors":[${r.errors.map(jstr).mkString(",")}]""" +
           s""","ref_attempt_mbps":[${r.attemptMbps.map(f3).mkString(",")}]""" +
           s""","ref_attempt_steal":[${r.attemptSteal.map(f3).mkString(",")}]""" +
-          s""","ref_attempt_load":[${r.attemptLoads.map(f3).mkString(",")}]"""
+          s""","ref_attempt_load":[${r.attemptLoads.map(f3).mkString(",")}]""" +
+          s""","gate_ratio":${gate.map(f3).getOrElse("-1")}""" +
+          s""","gate_ratio_published":${f3(tcpMbps / 432.3)}"""
       }
     // noise context for every number above: loadavg at bench start + at
     // summary time, MemAvailable now, cpu count (VERDICT r6 #6)

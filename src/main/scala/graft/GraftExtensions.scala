@@ -28,7 +28,10 @@ import graft.functions.codecs
   *
   * Table functions (`SELECT * FROM graft_...`): graft_ivf_train /
   * graft_ivf_probe — the ANN train-once / probe-many serve path from
-  * pure SQL (see [[GraftExtensions.tableFunctions]]).
+  * pure SQL; graft_asof — the native as-of merge (all four directions);
+  * graft_dedup_exact / graft_decontaminate — the exact-dedup and
+  * benchmark-decontamination passes for pure-SQL users (see
+  * [[GraftExtensions.tableFunctions]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -175,6 +178,36 @@ object GraftExtensions {
           )
       }
       out.queryExecution.logical
+    }),
+    // exact dedup from SQL (the x1 plan verbatim — digests-only exchange):
+    //   SELECT * FROM graft_dedup_exact('docs', 'text', 'doc_id')
+    // one row per distinct normalized digest: (fp, keep_id, n_copies)
+    "graft_dedup_exact" -> (es => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      import org.apache.spark.sql.functions.col
+      graft.operators.Dedup
+        .exact(spark.table(str(es(0))), col(str(es(1))), col(str(es(2))))
+        .queryExecution.logical
+    }),
+    // benchmark decontamination from SQL (the x24 plan: corpus n-gram
+    // explode equi-joined to the BROADCAST benchmark gram set):
+    //   SELECT * FROM graft_decontaminate('corpus', 'text', 'doc_id',
+    //                                     'bench', 'text', 'bench_id'[, n])
+    // one row per contaminated corpus doc: (doc_id, bench_id, n_hits)
+    "graft_decontaminate" -> (es => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      import org.apache.spark.sql.functions.col
+      graft.operators.CorpusOps
+        .decontaminate(
+          spark.table(str(es(0))),
+          col(str(es(1))),
+          col(str(es(2))),
+          spark.table(str(es(3))),
+          col(str(es(4))),
+          col(str(es(5))),
+          n = if (es.length > 6) off(es(6)) else 8
+        )
+        .queryExecution.logical
     })
   )
 

@@ -398,6 +398,98 @@ object codecs {
     override protected def withNewChildInternal(c: Expression): PcmFrames = copy(child = c)
   }
 
+  /** [[PcmFrames]] over SIGNED LITTLE-ENDIAN 16-BIT samples — the real-
+    * audio form: the binary is a decoded PCM16LE plane (the
+    * [[graft.operators.Multimodal.decodeWav]] output layout, also WAV's
+    * own data-chunk layout), `frameSize` counts SAMPLES (2 bytes each,
+    * channels interleaved), and the per-frame stats accumulate the signed
+    * sample values exactly in longs (Σx can be negative; Σx² ≤ 2³⁰·n
+    * never overflows below 2³³ samples/frame). Incomplete tails —
+    * including a dangling odd byte — drop, the [[FrameSplit]] convention.
+    */
+  case class Pcm16Frames(child: Expression, frameSize: Int)
+      extends UnaryExpression
+      with ImplicitCastInputTypes {
+    require(frameSize > 0, s"frameSize must be positive, got $frameSize")
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
+    // same shape as PcmFrames so callers can branch between the two
+    override val dataType: DataType = ArrayType(
+      StructType(
+        Seq(
+          StructField("rms", DoubleType, nullable = false),
+          StructField("mean", DoubleType, nullable = false),
+          StructField("sum_sq", LongType, nullable = false),
+          StructField("sum", LongType, nullable = false)
+        )
+      ),
+      containsNull = false
+    )
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[Array[Byte]]
+      val n = (b.length / 2) / frameSize
+      val out = new Array[Any](n)
+      var f = 0
+      while (f < n) {
+        var sum = 0L
+        var sumSq = 0L
+        var i = f * frameSize
+        val end = i + frameSize
+        while (i < end) {
+          val x = ((b(2 * i) & 0xff) | (b(2 * i + 1) << 8)).toShort.toLong
+          sum += x
+          sumSq += x * x
+          i += 1
+        }
+        out(f) = org.apache.spark.sql.catalyst.InternalRow(
+          math.sqrt(sumSq.toDouble / frameSize),
+          sum.toDouble / frameSize,
+          sumSq,
+          sum
+        )
+        f += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        b => {
+          val n = ctx.freshName("nFrames")
+          val rows = ctx.freshName("rows")
+          val f = ctx.freshName("f")
+          val i = ctx.freshName("i")
+          val end = ctx.freshName("end")
+          val sum = ctx.freshName("sum")
+          val sumSq = ctx.freshName("sumSq")
+          val x = ctx.freshName("x")
+          val row = ctx.freshName("row")
+          s"""
+          |int $n = ($b.length / 2) / $frameSize;
+          |Object[] $rows = new Object[$n];
+          |for (int $f = 0; $f < $n; $f++) {
+          |  long $sum = 0L; long $sumSq = 0L;
+          |  int $i = $f * $frameSize; int $end = $i + $frameSize;
+          |  for (; $i < $end; $i++) {
+          |    long $x = (long) ((short) (($b[2 * $i] & 0xff) | ($b[2 * $i + 1] << 8)));
+          |    $sum += $x; $sumSq += $x * $x;
+          |  }
+          |  org.apache.spark.sql.catalyst.expressions.GenericInternalRow $row =
+          |    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(4);
+          |  $row.update(0, Double.valueOf(Math.sqrt((double) $sumSq / $frameSize)));
+          |  $row.update(1, Double.valueOf((double) $sum / $frameSize));
+          |  $row.update(2, Long.valueOf($sumSq));
+          |  $row.update(3, Long.valueOf($sum));
+          |  $rows[$f] = $row;
+          |}
+          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($rows);
+          |""".stripMargin
+        }
+      )
+    override protected def withNewChildInternal(c: Expression): Pcm16Frames = copy(child = c)
+  }
+
   /** Heartbeat frame from (client_id, sequence, timestamp) columns. */
   def encode_heartbeat(c: Column, s: Column, t: Column): Column =
     col(HeartbeatEncode(expr(c.cast("long")), expr(s.cast("long")), expr(t.cast("long"))))
@@ -407,6 +499,11 @@ object codecs {
 
   /** Per-frame PCM features (rms, mean) over a binary byte plane. */
   def pcm_frames(bin: Column, frameSize: Int): Column = col(PcmFrames(expr(bin), frameSize))
+
+  /** Per-frame PCM features over signed little-endian 16-bit samples;
+    * `frameSize` counts samples, not bytes.
+    */
+  def pcm16_frames(bin: Column, frameSize: Int): Column = col(Pcm16Frames(expr(bin), frameSize))
 
   /** DEFLATE-compressed length of a binary column — the compression-ratio
     * quality signal (Gopher/RefinedWeb-style): highly repetitive or

@@ -359,24 +359,32 @@ object AsOfJoin {
       byCol: String,
       hotShareThreshold: Double,
       minHotRows: Long = 8000000L
+  ): Boolean =
+    preferChunkedOne(left, byCol, hotShareThreshold, minHotRows) ||
+      preferChunkedOne(right, byCol, hotShareThreshold, minHotRows)
+
+  /** Single-frame form of the probe — the [[gapFillAuto]] cost model
+    * (gap-fill has one input, not two). Same two-condition trip rule and
+    * the same absolute-mass floor as [[preferChunked]].
+    */
+  private[graft] def preferChunkedOne(
+      df: DataFrame,
+      byCol: String,
+      hotShareThreshold: Double,
+      minHotRows: Long = 8000000L
   ): Boolean = {
     require(
       hotShareThreshold > 0.0 && hotShareThreshold <= 1.0,
       s"hotShareThreshold in (0,1], got $hotShareThreshold"
     )
-    def hot(df: DataFrame): (Long, Long) = {
-      val r = df
-        .groupBy(col(byCol))
-        .agg(count(lit(1)).as("n"))
-        .agg(max(col("n")).as("mx"), sum(col("n")).as("tot"))
-        .head()
+    val r = df
+      .groupBy(col(byCol))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx"), sum(col("n")).as("tot"))
+      .head()
+    val (mx, tot) =
       if (r.isNullAt(1) || r.getLong(1) == 0L) (0L, 0L) else (r.getLong(0), r.getLong(1))
-    }
-    def trips(df: DataFrame): Boolean = {
-      val (mx, tot) = hot(df)
-      tot > 0 && mx >= minHotRows && mx.toDouble / tot > hotShareThreshold
-    }
-    trips(left) || trips(right)
+    tot > 0 && mx >= minHotRows && mx.toDouble / tot > hotShareThreshold
   }
 
   /** [[asofForward]] through the chunked monster-key path: forward ≡
@@ -634,6 +642,76 @@ object AsOfJoin {
       .withColumn("was_filled", col(valueCol).isNull && filled.isNotNull)
       .filter(!col("__is_seed"))
       .drop("__chunk", "__is_seed")
+  }
+
+  /** Cost-based auto-switch for [[gapFill]] — the [[asofBackwardAuto]]
+    * precedent applied to the LOCF window: one ids-only partial-agg
+    * probe measures the hottest entity's row share, and past
+    * `hotShareThreshold` AND `minHotRows` (the same two-condition rule,
+    * same absolute-mass floor) the fill routes through [[gapFillChunked]];
+    * otherwise through the plain window. Entities whose time column is
+    * not integral/timestamp always take the plain path (chunking needs a
+    * numeric time axis). Both paths are spec-pinned row-identical, so
+    * the switch only reshapes the exchanges.
+    */
+  def gapFillAuto(
+      df: DataFrame,
+      byCol: String,
+      timeCol: String,
+      tieCol: String,
+      valueCol: String,
+      hotShareThreshold: Double = 0.10,
+      nChunks: Int = 64,
+      minHotRows: Long = 8000000L
+  ): DataFrame = {
+    import org.apache.spark.sql.types._
+    val chunkable = df.schema(timeCol).dataType match {
+      case TimestampType | ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (chunkable && preferChunkedOne(df, byCol, hotShareThreshold, minHotRows))
+      gapFillChunked(df, byCol, timeCol, tieCol, valueCol, nChunks)
+    else gapFill(df, byCol, timeCol, tieCol, valueCol)
+  }
+
+  /** [[resample]] with the [[asofBackwardAuto]] cost model on the final
+    * as-of merge: a monster entity (one key holding `hotShareThreshold`+
+    * of rows AND `minHotRows` absolute) routes the grid fill through the
+    * chunked merge; ordinary distributions keep the plain native path
+    * (identical results either way, spec-pinned). The grid side is
+    * uniform by construction (≤ span/every rows per key), so the probe
+    * runs on the observation side only — no extra pass over the grid.
+    */
+  def resampleAuto(
+      df: DataFrame,
+      byCol: String,
+      timeCol: String,
+      every: String,
+      valueCols: Seq[String],
+      hotShareThreshold: Double = 0.10,
+      nChunks: Int = 64,
+      minHotRows: Long = 8000000L
+  ): DataFrame = {
+    val unit = every.split(" ")(1) match {
+      case u if u.startsWith("hour")   => "hour"
+      case u if u.startsWith("minute") => "minute"
+      case u if u.startsWith("day")    => "day"
+      case u => throw new IllegalArgumentException(s"unsupported grid unit '$u'")
+    }
+    val grid = df
+      .groupBy(col(byCol))
+      .agg(
+        date_trunc(unit, min(col(timeCol))).as("_mn"),
+        max(col(timeCol)).as("_mx")
+      )
+      .select(
+        col(byCol),
+        explode(sequence(col("_mn"), col("_mx"), expr(s"interval $every"))).as(timeCol)
+      )
+    val right = df.select((byCol +: timeCol +: valueCols).map(col): _*)
+    if (preferChunkedOne(right, byCol, hotShareThreshold, minHotRows))
+      asofBackwardChunked(grid, right, byCol, timeCol, nChunks)
+    else asofBackwardNative(grid, right, byCol, timeCol)
   }
 
   /** Range join: pairs (l, r) with `r.point` in [l.lower, l.upper).

@@ -78,26 +78,81 @@ object Multimodal {
     if (!isPng && !isBmp && !isJpg && !isGif) return None
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null) None
-      else {
-        val (w, h) = (img.getWidth, img.getHeight)
-        if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) None // shed absurd planes
-        else {
-          // bulk getRGB: one sRGB-converted row-major int plane (same
-          // values as per-pixel getRGB, deterministic for the lossless
-          // formats) instead of w·h virtual calls
-          val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
-          val luma = new Array[Byte](w * h)
-          var i = 0
-          while (i < rgbs.length) {
-            val rgb = rgbs(i)
-            luma(i) =
-              ((77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) + 29 * (rgb & 0xff)) >> 8).toByte
-            i += 1
-          }
-          Some((w, h, img.getColorModel.getNumComponents, luma))
-        }
+      // bulk getRGB in lumaOf: one sRGB-converted row-major int plane
+      // (same values as per-pixel getRGB, deterministic for the lossless
+      // formats) instead of w·h virtual calls; absurd planes shed there
+      if (img == null) None else lumaOf(img)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Integer BT.601 luma plane of a decoded BufferedImage — the shared
+    * tail of [[decodeImage]] and the per-frame GIF decode: one bulk
+    * getRGB pass, `(77R + 150G + 29B) >> 8` per pixel, None past the
+    * 64M-pixel shed bound.
+    */
+  private def lumaOf(
+      img: java.awt.image.BufferedImage
+  ): Option[(Int, Int, Int, Array[Byte])] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) None
+    else {
+      val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
+      val luma = new Array[Byte](w * h)
+      var i = 0
+      while (i < rgbs.length) {
+        val rgb = rgbs(i)
+        luma(i) =
+          ((77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) + 29 * (rgb & 0xff)) >> 8).toByte
+        i += 1
       }
+      Some((w, h, img.getColorModel.getNumComponents, luma))
+    }
+  }
+
+  /** REAL multi-frame video decode for the one animation format the JDK
+    * decodes natively: animated GIF through `ImageReader.read(i)`. Every
+    * frame decodes STANDALONE (no disposal-method compositing — exact
+    * for full-frame animations, which is what the synthetic twin writes
+    * and what frame-level dedup wants; partial-update GIFs would need a
+    * compositor this container has no seam for). Returns one
+    * (width, height, luma) per frame, or None when the bytes are not a
+    * decodable GIF (magic-sniffed; PNG/BMP/JPEG are single-frame — use
+    * [[decodeImage]]). Frames past `maxFrames` and planes past 64M
+    * pixels shed; corrupt tails yield the frames that did decode.
+    */
+  def decodeGifFrames(
+      bytes: Array[Byte],
+      maxFrames: Int = 4096
+  ): Option[IndexedSeq[(Int, Int, Array[Byte])]] = {
+    if (bytes == null || bytes.length < 8) return None
+    val isGif = bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8'
+    if (!isGif) return None
+    try {
+      val iis = javax.imageio.ImageIO
+        .createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false, true)
+          val declared = reader.getNumImages(true)
+          val n = math.min(if (declared < 0) maxFrames else declared, maxFrames)
+          val out = Vector.newBuilder[(Int, Int, Array[Byte])]
+          var k = 0
+          var truncated = false
+          while (k < n && !truncated) {
+            // a corrupt tail throws on the first unreadable frame — keep
+            // the frames that DID decode (the WarcSplit resync discipline)
+            try {
+              lumaOf(reader.read(k)).foreach { case (w, h, _, luma) => out += ((w, h, luma)) }
+            } catch { case scala.util.control.NonFatal(_) => truncated = true }
+            k += 1
+          }
+          val frames = out.result()
+          if (frames.isEmpty) None else Some(frames)
+        } finally reader.dispose()
+      } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -197,6 +252,105 @@ object Multimodal {
     val baos = new java.io.ByteArrayOutputStream()
     require(javax.imageio.ImageIO.write(img, format, baos), s"no JDK writer for '$format'")
     baos.toByteArray
+  }
+
+  /** Deterministic synthetic ANIMATED GIF encoder: `nFrames` full-size
+    * frames through the JDK GIF writer's sequence API. Each frame is a
+    * 256-level GRAYSCALE indexed plane (TYPE_BYTE_INDEXED over an
+    * identity gray palette) whose pixel (x, y) index is
+    * `syntheticPixel(frameSeed(seed, k), x, y) & 0xff` — indexed data is
+    * what GIF stores natively, so the round trip is LOSSLESS and, since
+    * BT.601 of gray g is exactly g (`(77g + 150g + 29g) >> 8 = g`), the
+    * decoded luma plane equals the index plane: expected frames are
+    * computable from the formula alone. The [[syntheticImage]] /
+    * [[syntheticWav]] twin for video.
+    */
+  def syntheticGif(
+      seed: Long,
+      w: Int,
+      h: Int,
+      nFrames: Int,
+      editFrame: Int = -1,
+      editSeedDelta: Long = 0L
+  ): Array[Byte] = {
+    require(w >= 1 && h >= 1 && nFrames >= 1)
+    val grays = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var k = 0
+      while (k < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          // editFrame (the planted shot edit for near-dup oracles) draws
+          // from a shifted seed; every other frame from frameSeed(seed, k)
+          val fSeed =
+            if (k == editFrame) frameSeed(seed, k) + editSeedDelta else frameSeed(seed, k)
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, syntheticPixel(fSeed, x, y) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        k += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    baos.toByteArray
+  }
+
+  /** Per-frame seed of [[syntheticGif]], exposed for formula replay. */
+  def frameSeed(seed: Long, k: Int): Long = seed + 131L * k
+
+  /** REAL video frame sampling + hashing: for GIF content, decode every
+    * `stride`-th frame through [[decodeGifFrames]] and hash its luma
+    * plane with the classic 8×8 aHash — (doc_id, frame_idx, width,
+    * height, simhash), the [[aHash]] column contract extended by a frame
+    * axis, so the Manku pigeonhole blocking
+    * ([[graft.operators.Dedup.pairsFromFps]]) applies to frames
+    * unchanged (near-dup SHOTS across a video corpus). Non-GIF content
+    * falls back to the block semantics of [[sampleFrames]]:
+    * `fallbackFrameSize`-byte chunks of the raw plane, 1-D
+    * [[planeAHash]] per full block (width = block bytes, height = 1).
+    * Zero-shuffle mapPartitions — one task amortizes reader init across
+    * its partition, the [[decode]] batch shape.
+    */
+  def videoFrameHashes(
+      ds: Dataset[MediaRow],
+      stride: Int = 1,
+      fallbackFrameSize: Int = 1024
+  ): DataFrame = {
+    require(stride >= 1 && fallbackFrameSize >= 1)
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { r =>
+      decodeGifFrames(r.content) match {
+        case Some(frames) =>
+          frames.iterator.zipWithIndex.collect {
+            case ((w, h, luma), k) if k % stride == 0 =>
+              (r.doc_id, k, w, h, lumaAHash64(luma, w, h))
+          }
+        case None =>
+          val n = if (r.content == null) 0 else r.content.length / fallbackFrameSize
+          (0 until n).iterator.collect {
+            case k if k % stride == 0 =>
+              val block = java.util.Arrays.copyOfRange(
+                r.content, k * fallbackFrameSize, (k + 1) * fallbackFrameSize)
+              (r.doc_id, k, fallbackFrameSize, 1, planeAHash(block, 64))
+          }
+      }
+    }).toDF("doc_id", "frame_idx", "width", "height", "simhash")
   }
 
   /** The synthetic plane's pixel formula (splitmix64-style mix), exposed
@@ -406,15 +560,162 @@ object Multimodal {
       .pairsFromFps(aHash(ds), maxHamming, blocks)
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
 
-  /** Audio-style frame features over the media byte plane: cut the content
-    * into complete `frameSize`-byte frames and emit per-frame (rms, mean)
-    * of the unsigned samples — the windowed-feature pass an audio
-    * pipeline runs before VAD / silence trimming / energy gating. The
-    * kernel is the native codegen [[graft.functions.codecs.PcmFrames]]
-    * (integer accumulation — exact, order-free, engine-replayable); the
-    * operator is a pure projection + explode, zero shuffle. On a real
-    * pipeline the input is the decoded PCM plane ([[stubDecode]] note);
-    * swapping the decoder changes no plan shape.
+  /** REAL audio decode via the JDK's own `javax.sound.sampled.AudioSystem`
+    * (zero new dependencies — the ImageIO analog for RIFF/WAV): returns
+    * (sampleRate, channels, samples) with samples as signed 16-bit values,
+    * channels interleaved, or None when the bytes are not decodable WAV
+    * (magic-sniffed "RIFF....WAVE" first, so arbitrary text blobs never
+    * reach the decoder — the [[decodeImage]] discipline). Supported
+    * encodings: PCM_SIGNED 16-bit (either endianness — normalized here)
+    * and PCM_UNSIGNED 8-bit (recentered to signed, x − 128, unscaled).
+    * Planes past 64M samples shed to None (the [[decodeImage]] bound);
+    * truncated or corrupt RIFF structures return None, never throw.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    if (bytes == null || bytes.length < 44) return None
+    val isRiff = bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+    if (!isRiff) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val ok =
+          (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED && bits == 16) ||
+            (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED && bits == 8)
+        val ch = fmt.getChannels
+        val nFrames = in.getFrameLength
+        if (!ok || ch <= 0 || nFrames < 0 || nFrames * ch > 64L * 1024 * 1024) None
+        else {
+          // manual read loop, NOT readAllBytes: AudioInputStream.read
+          // returns 0 (not −1) when a TRUNCATED container leaves a
+          // partial frame, and InputStream.readAllBytes spins forever on
+          // a 0 return — treat 0 as end-of-usable-data instead
+          val acc = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](64 * 1024)
+          var r = in.read(buf)
+          while (r > 0) {
+            acc.write(buf, 0, r)
+            r = in.read(buf)
+          }
+          val data = acc.toByteArray
+          val bytesPerSample = bits / 8
+          val n = data.length / bytesPerSample
+          val out = new Array[Short](n)
+          var i = 0
+          if (bits == 16) {
+            val be = fmt.isBigEndian
+            while (i < n) {
+              val lo = if (be) data(2 * i + 1) else data(2 * i)
+              val hi = if (be) data(2 * i) else data(2 * i + 1)
+              out(i) = ((lo & 0xff) | (hi << 8)).toShort
+              i += 1
+            }
+          } else {
+            while (i < n) { out(i) = ((data(i) & 0xff) - 128).toShort; i += 1 }
+          }
+          Some((fmt.getSampleRate.toInt, ch, out))
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic synthetic-audio sample formula (the [[syntheticPixel]]
+    * analog): sample i of seed s by a splitmix64-style integer mix, low
+    * 16 bits as a signed sample. Exposed so oracles can recompute
+    * expected PCM WITHOUT going through the encode/decode path under
+    * test.
+    */
+  def syntheticSample(seed: Long, i: Int): Short = {
+    var z = seed + i * 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z & 0xffff).toShort
+  }
+
+  /** Deterministic synthetic-WAV encoder: a hand-rolled RIFF/WAVE
+    * container (so the writer shares NO code with the `javax.sound`
+    * decode path under test) holding PCM16LE samples from
+    * [[syntheticSample]], channels interleaved. The spec/oracle
+    * construction twin of [[syntheticImage]].
+    */
+  def syntheticWav(seed: Long, nSamples: Int, sampleRate: Int = 16000, channels: Int = 1): Array[Byte] = {
+    require(nSamples >= 0 && channels >= 1)
+    val dataLen = nSamples * 2
+    val b = java.nio.ByteBuffer
+      .allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1.toShort) // PCM
+    b.putShort(channels.toShort)
+    b.putInt(sampleRate)
+    b.putInt(sampleRate * channels * 2) // byte rate
+    b.putShort((channels * 2).toShort) // block align
+    b.putShort(16.toShort) // bits per sample
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) { b.putShort(syntheticSample(seed, i)); i += 1 }
+    b.array()
+  }
+
+  /** PCM16LE byte plane of a signed sample array — the layout
+    * [[graft.functions.codecs.Pcm16Frames]] consumes (and WAV's own
+    * data-chunk layout).
+    */
+  private[graft] def shortsToLe(samples: Array[Short]): Array[Byte] = {
+    val out = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      out(2 * i) = (samples(i) & 0xff).toByte
+      out(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Decode pre-pass both audio operators share: WAV content decodes to
+    * its real PCM16LE sample plane (sample_width = 2); anything else
+    * keeps its raw bytes as unsigned 8-bit samples (sample_width = 1 —
+    * the pre-round-13 fallback, byte-identical for non-audio blobs).
+    * Zero-shuffle mapPartitions, the [[decode]] batch shape.
+    */
+  private def decodedPcm(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media
+      .select(col("doc_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, c) =>
+        decodeWav(c) match {
+          case Some((_, _, samples)) => (id, shortsToLe(samples), 2)
+          case None => (id, c, 1)
+        }
+      })
+      .toDF("doc_id", "pcm", "sample_width")
+  }
+
+  /** The per-frame feature column for a [[decodedPcm]] row: the signed-
+    * 16-bit kernel for decoded WAV planes, the unsigned-byte kernel for
+    * raw fallback blobs. `frameSize` counts samples in both.
+    */
+  private def framesCol(frameSize: Int): org.apache.spark.sql.Column =
+    when(
+      col("sample_width") === 2,
+      graft.functions.codecs.pcm16_frames(col("pcm"), frameSize)
+    ).otherwise(graft.functions.codecs.pcm_frames(col("pcm"), frameSize))
+
+  /** Audio-style frame features over the media column: REAL `javax.sound`
+    * WAV decode ([[decodeWav]]) for RIFF content — per-frame (rms, mean)
+    * of the decoded SIGNED 16-bit samples — and the raw unsigned-byte
+    * plane for everything else (the non-audio fallback, unchanged
+    * semantics). `frameSize` counts samples; incomplete tails drop. The
+    * kernels are native codegen expressions (integer accumulation —
+    * exact, order-free, engine-replayable); decode is a zero-shuffle
+    * mapPartitions pre-pass; the rest is projection + explode.
     */
   /** Energy-gated segmentation over [[audioFrames]] — the VAD / silence-
     * trimming pass: frames with rms below `silenceRms` are gaps, maximal
@@ -439,11 +740,10 @@ object Multimodal {
     // over all samples from summed longs (order-free), where an
     // avg-of-rounded-frame-rms would sit on 6dp midpoints and flip
     // between engines (measured on the oracle corpus)
-    val active = media
+    val active = decodedPcm(media)
       .select(
         col("doc_id"),
-        posexplode(graft.functions.codecs.pcm_frames(col("content"), frameSize))
-          .as(Seq("frame_idx", "f"))
+        posexplode(framesCol(frameSize)).as(Seq("frame_idx", "f"))
       )
       .select(
         col("doc_id"),
@@ -480,10 +780,10 @@ object Multimodal {
   }
 
   def audioFrames(media: DataFrame, frameSize: Int = 8): DataFrame =
-    media.select(
+    decodedPcm(media)
+      .select(
         col("doc_id"),
-        posexplode(graft.functions.codecs.pcm_frames(col("content"), frameSize))
-          .as(Seq("frame_idx", "f"))
+        posexplode(framesCol(frameSize)).as(Seq("frame_idx", "f"))
       )
       .select(
         col("doc_id"),

@@ -3571,6 +3571,151 @@ object ExtensionQueries {
         .orderBy(col("event_id"))
     }),
 
+    // REAL WAV audio decode, driver-checkable: per sampled doc,
+    // synthesize a RIFF/WAVE container (hand-rolled writer, PCM16 from
+    // the sample formula), run it through the REAL javax.sound decode
+    // path (audioFrames → decodeWav → signed-16-bit frame kernel), and
+    // compare every frame's (rms, mean) against values recomputed from
+    // the FORMULA alone — an expectation that never touches the WAV
+    // container or the decoder. One row per frame with an equality
+    // boolean as the oracle surface (DuckDB can't decode WAV, but it CAN
+    // pin the frame grid and that every frame must match).
+    "x170_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val fs = 16 // samples per frame
+      val ids = T(s, dir, "documents")
+        .select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(20)) === 0)
+        .as[Long]
+      val media = ids
+        .map(id =>
+          Multimodal.MediaRow(
+            id,
+            "audio/wav",
+            Multimodal.syntheticWav(id, 128 + (id % 13).toInt * 16)
+          )
+        )
+        .toDF()
+      val frames = Multimodal.audioFrames(media, frameSize = fs)
+      val expected = ids
+        .mapPartitions(_.flatMap { id =>
+          val n = 128 + (id % 13).toInt * 16
+          (0 until n / fs).iterator.map { f =>
+            var sm = 0L
+            var sq = 0L
+            var i = f * fs
+            while (i < (f + 1) * fs) {
+              val x = Multimodal.syntheticSample(id, i).toLong
+              sm += x; sq += x * x; i += 1
+            }
+            def r6(x: Double) =
+              BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            (id, f, r6(math.sqrt(sq.toDouble / fs)), r6(sm.toDouble / fs))
+          }
+        })
+        .toDF("id2", "f2", "rms2", "mean2")
+      frames
+        .join(expected, col("doc_id") === col("id2") && col("frame_idx") === col("f2"), "full")
+        .select(
+          coalesce(col("doc_id"), col("id2")).as("doc_id"),
+          coalesce(col("frame_idx"), col("f2")).cast("int").as("frame_idx"),
+          (col("doc_id").isNotNull && col("id2").isNotNull &&
+            col("rms") === col("rms2") && col("mean") === col("mean2")).as("frame_ok")
+        )
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // REAL video frame sampling, driver-checkable: per sampled doc,
+    // synthesize a 4-frame animated GIF (indexed grayscale — lossless
+    // round trip, decoded luma == the index plane), with docs where
+    // doc_id % 40 == 0 carrying a PLANTED EDIT at frame 2 (shifted
+    // seed). The operator decodes every frame through the real ImageIO
+    // sequence reader and hashes each luma plane (classic 8×8 aHash);
+    // the query compares each hash against the CLEAN formula replay —
+    // matches_clean must flip false exactly at planted edits, proving
+    // per-frame decode + hash detect shot-level tampering. Dims ride
+    // along to pin real decode geometry.
+    "x171_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val nf = 4
+      val ids = T(s, dir, "documents")
+        .select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(20)) === 0)
+        .as[Long]
+      val media = ids.map { id =>
+        val w = 24 + (id % 17).toInt
+        val h = 24 + (id % 13).toInt
+        val edit = if (id % 40 == 0) 2 else -1
+        Multimodal.MediaRow(
+          id,
+          "video/gif",
+          Multimodal.syntheticGif(id, w, h, nf, editFrame = edit, editSeedDelta = 7777L)
+        )
+      }
+      val frames = Multimodal.videoFrameHashes(media)
+      val expected = ids
+        .mapPartitions(_.flatMap { id =>
+          val w = 24 + (id % 17).toInt
+          val h = 24 + (id % 13).toInt
+          (0 until nf).iterator.map { k =>
+            val luma = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                luma(y * w + x) =
+                  (Multimodal.syntheticPixel(Multimodal.frameSeed(id, k), x, y) & 0xff).toByte
+                x += 1
+              }
+              y += 1
+            }
+            (id, k, Multimodal.lumaAHash64(luma, w, h))
+          }
+        })
+        .toDF("id2", "k2", "hash2")
+      frames
+        .join(expected, col("doc_id") === col("id2") && col("frame_idx") === col("k2"), "full")
+        .select(
+          coalesce(col("doc_id"), col("id2")).as("doc_id"),
+          coalesce(col("frame_idx"), col("k2")).cast("int").as("frame_idx"),
+          col("width"),
+          col("height"),
+          (col("doc_id").isNotNull && col("id2").isNotNull &&
+            col("simhash") === col("hash2")).as("matches_clean")
+        )
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // PURE-SQL exact dedup: x1's pass reached through the
+    // graft_dedup_exact TABLE function (SparkSessionExtensions surface) —
+    // the builder is the same Scala code, so the oracle is x1's SQL
+    // verbatim; the driver gate proves a SQL-only user gets the identical
+    // digest/groupBy plan.
+    "x172_sql_dedup" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      T(s, dir, "documents").createOrReplaceTempView("x172_docs")
+      s.sql("SELECT * FROM graft_dedup_exact('x172_docs', 'text', 'doc_id') ORDER BY fp")
+    }),
+
+    // PURE-SQL decontamination: x24's planted-contamination setup run
+    // through the graft_decontaminate TABLE function — same broadcast
+    // n-gram join, same oracle.
+    "x173_sql_decontaminate" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val planted = bench
+        .filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+      docs.filter(col("doc_id") % 97 =!= 0).unionByName(planted)
+        .createOrReplaceTempView("x173_corpus")
+      bench.createOrReplaceTempView("x173_bench")
+      s.sql(
+        "SELECT * FROM graft_decontaminate('x173_corpus', 'text', 'doc_id', " +
+          "'x173_bench', 'text', 'doc_id', 8) ORDER BY doc_id"
+      )
+    }),
+
     // Full PCA pipeline, driver-checkable end to end: 6dp-rounded gram
     // -> bounded collect -> REPLAYABLE power iteration (3 steps, vector
     // re-rounded 6dp each step — the x126 discipline on an iterative
@@ -6807,6 +6952,53 @@ object ExtensionQueries {
     "x169_image_resize" ->
       """SELECT doc_id, TRUE AS dims_ok, TRUE AS formats_equal, TRUE AS matches_formula
         |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""".stripMargin,
+
+    // real WAV decode: every 16-sample frame of the decoded PCM must
+    // match (rms, mean) recomputed from the sample formula alone; the
+    // oracle pins the exact frame grid (128 + (id%13)·16 samples per doc)
+    "x170_audio_decode" ->
+      """WITH d AS (SELECT doc_id, 128 + (doc_id % 13) * 16 AS n
+        |           FROM documents WHERE doc_id % 20 = 0),
+        |i AS (SELECT doc_id, UNNEST(RANGE(0, n // 16)) AS f FROM d)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx, TRUE AS frame_ok
+        |FROM i ORDER BY 1, 2""".stripMargin,
+
+    // real GIF frame decode: dims exact per frame, hash == the clean
+    // formula replay everywhere EXCEPT the planted frame-2 edits
+    "x171_video_frames" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 0),
+        |f AS (SELECT doc_id, UNNEST(RANGE(0, 4)) AS k FROM d)
+        |SELECT doc_id, CAST(k AS INT) AS frame_idx,
+        |  CAST(24 + doc_id % 17 AS INT) AS width,
+        |  CAST(24 + doc_id % 13 AS INT) AS height,
+        |  NOT (doc_id % 40 = 0 AND k = 2) AS matches_clean
+        |FROM f ORDER BY 1, 2""".stripMargin,
+
+    // SQL-path twin of x1 (same digest pass through the table function)
+    "x172_sql_dedup" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')))) AS fp,
+        |  MIN(doc_id) AS keep_id, COUNT(1) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // SQL-path twin of x24 (same planted contamination, same gram join)
+    "x173_sql_decontaminate" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    LIST_DISTINCT(
+        |      CASE WHEN LEN(STRING_SPLIT(text, ' ')) < 8 THEN [text]
+        |           ELSE LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 6),
+        |             i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+7], ' '))
+        |      END) AS grams
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, UNNEST(grams) AS gram FROM g WHERE doc_id % 97 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, UNNEST(grams) AS gram FROM g
+        |  WHERE doc_id % 97 = 0 AND doc_id % 5 = 0),
+        |b AS (SELECT doc_id AS bench_id, UNNEST(grams) AS gram FROM g WHERE doc_id % 97 = 0)
+        |SELECT c.doc_id, MIN(b.bench_id) AS bench_id, COUNT(1) AS n_hits
+        |FROM c JOIN b ON c.gram = b.gram
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // chunked backward as-of == plain backward as-of (left-join form)
     "x168_asof_chunked" ->

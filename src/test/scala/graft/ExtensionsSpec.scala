@@ -256,6 +256,44 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_dedup_exact / graft_decontaminate SQL table functions round-trip the Scala operators") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val docs = Seq((1L, "a b c"), (2L, "a  b c"), (3L, "unique text here"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("tf_docs")
+    val viaSql = spark
+      .sql("SELECT * FROM graft_dedup_exact('tf_docs', 'text', 'doc_id')")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val viaScala = graft.operators.Dedup
+      .exact(docs, col("text"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaSql == viaScala && viaSql.size == 2)
+    // normalized twins collapse: "a b c" and "a  b c" share a digest
+    assert(viaSql.exists(t => t._2 == 1L && t._3 == 2L))
+    // decontaminate: corpus doc 10 shares exactly one 8-gram with bench
+    // doc 100; doc 11 shares none
+    val corpus = Seq(
+      (10L, "one two three four five six seven eight nine"),
+      (11L, "totally different words with no overlap at all then")
+    ).toDF("doc_id", "text")
+    val bench =
+      Seq((100L, "zero one two three four five six seven eight")).toDF("doc_id", "text")
+    corpus.createOrReplaceTempView("tf_corpus")
+    bench.createOrReplaceTempView("tf_bench")
+    val hits = spark
+      .sql(
+        "SELECT * FROM graft_decontaminate('tf_corpus', 'text', 'doc_id', " +
+          "'tf_bench', 'text', 'doc_id', 8)"
+      )
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hits == Set((10L, 100L, 1L)))
+    val hitsScala = graft.operators.CorpusOps
+      .decontaminate(corpus, col("text"), col("doc_id"), bench, col("text"), col("doc_id"), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hits == hitsScala)
+  }
+
   test("embedding-cosine near-dup pairs = exact brute-force subset, all above threshold") {
     val emb = graft.sources.Tables
       .load(spark, sfDir, "embeddings")

@@ -41,6 +41,37 @@ class KernelFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("Pcm16Frames: random signed-LE16 planes match an independent recompute exactly") {
+    val r = new Random(4321)
+    for (_ <- 0 until 100) {
+      val nSamples = r.nextInt(200)
+      val samples = Array.fill(nSamples)(r.nextInt(65536).toShort)
+      // occasionally append a dangling odd byte — it must drop silently
+      val odd = r.nextBoolean()
+      val bytes = new Array[Byte](nSamples * 2 + (if (odd) 1 else 0))
+      for (i <- 0 until nSamples) {
+        bytes(2 * i) = (samples(i) & 0xff).toByte
+        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val frameSize = 1 + r.nextInt(16)
+      val got = codecs
+        .Pcm16Frames(Literal(bytes, BinaryType), frameSize)
+        .eval(null)
+        .asInstanceOf[ArrayData]
+      val nf = nSamples / frameSize
+      assert(got.numElements() == nf, s"frame count at n=$nSamples fs=$frameSize odd=$odd")
+      for (f <- 0 until nf) {
+        val row = got.getStruct(f, 4)
+        val xs = (f * frameSize until (f + 1) * frameSize).map(i => samples(i).toLong)
+        val sq = xs.map(x => x * x).sum
+        val sm = xs.sum // signed — negative sums are the point
+        assert(row.getLong(2) == sq && row.getLong(3) == sm)
+        assert(row.getDouble(0) == math.sqrt(sq.toDouble / frameSize))
+        assert(row.getDouble(1) == sm.toDouble / frameSize)
+      }
+    }
+  }
+
   test("WindowMd5s: random token streams match java MessageDigest windows") {
     val r = new Random(99)
     for (_ <- 0 until 50) {

@@ -337,6 +337,53 @@ class OperatorSpec extends SparkTestBase {
     )
   }
 
+  test("gapFillAuto / resampleAuto: probe routes hot vs uniform, results identical on both regimes") {
+    import spark.implicits._
+    def mk(hot: Boolean) = (0 until 400).map { i =>
+      val k = if (hot && i % 2 == 0) 0L else i.toLong % 50
+      (k, Some((i * 37 % 5000).toLong), i.toLong,
+        if (i % 3 == 0) Some(i.toDouble) else None)
+    }.toDF("k", "t", "tie", "v")
+    val uniform = mk(hot = false)
+    val hot = mk(hot = true)
+    assert(!AsOfJoin.preferChunkedOne(uniform, "k", 0.10, minHotRows = 0L), "uniform must stay plain")
+    assert(AsOfJoin.preferChunkedOne(hot, "k", 0.10, minHotRows = 0L), "50%-hot entity must switch")
+    assert(!AsOfJoin.preferChunkedOne(hot, "k", 0.10), "tiny hot entity must not switch at the default floor")
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("k"), col("t"), col("tie"), col("v_filled"), col("was_filled"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4)))
+        .sortBy(x => (x._1, x._2, x._3)).toSeq
+    // the switch is invisible to results on BOTH regimes
+    for (d <- Seq(uniform, hot))
+      assert(
+        norm(AsOfJoin.gapFillAuto(d, "k", "t", "tie", "v", minHotRows = 0L)) ==
+          norm(AsOfJoin.gapFill(d, "k", "t", "tie", "v"))
+      )
+    // non-chunkable time type: auto degrades to the plain window, no throw
+    val strT = Seq((1L, "2024-01-01", 1L, Option.empty[Double]),
+      (1L, "2024-01-02", 2L, Some(5.0))).toDF("k", "t", "tie", "v")
+    assert(AsOfJoin.gapFillAuto(strT, "k", "t", "tie", "v", minHotRows = 0L).count() == 2)
+    // resampleAuto: same grid + fill as resample on both regimes
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val obs = (0 until 200).map { i =>
+      val k = if (i % 2 == 0) 1L else (i % 7).toLong + 2
+      (k, ts(f"2024-01-01 ${i % 24}%02d:${(i * 13) % 60}%02d:00"), i.toDouble)
+    }.toDF("k", "t", "m")
+    def normR(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("k"), col("t"), col("m")).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        .sortBy(x => (x._1, x._2)).toSeq
+    for (floor <- Seq(0L, 8000000L)) // hot-routed and plain-routed
+      assert(
+        normR(AsOfJoin.resampleAuto(obs, "k", "t", "1 hour", Seq("m"), minHotRows = floor)) ==
+          normR(AsOfJoin.resample(obs, "k", "t", "1 hour", Seq("m"))),
+        s"resampleAuto(floor=$floor) diverged from resample"
+      )
+  }
+
   test("asofForward: earliest right >= left ts per key; equal-ts visible; timestamps negate safely") {
     import spark.implicits._
     val left = Seq((1L, 100L, "l1"), (1L, 200L, "l2"), (2L, 50L, "l3")).toDF("k", "t", "lv")
@@ -560,6 +607,165 @@ class OperatorSpec extends SparkTestBase {
       .sampleFrames(Multimodal.fromDocuments(spark, short).toDF(), "content", frameSize = 16, stride = 1)
       .count()
     assert(none == 0L)
+  }
+
+  test("decodeWav: real javax.sound decode — sample-exact round trip, stereo, 8-bit, fuzz-safe") {
+    // 16-bit mono: decoded samples == the synthesis formula, count/rate exact
+    for (seed <- Seq(0L, 7L, 123456789L)) {
+      val n = 200 + (seed % 37).toInt
+      val wav = Multimodal.syntheticWav(seed, n, sampleRate = 8000)
+      val Some((rate, ch, samples)) = Multimodal.decodeWav(wav)
+      assert(rate == 8000 && ch == 1 && samples.length == n, s"seed $seed header mismatch")
+      assert(
+        samples.indices.forall(i => samples(i) == Multimodal.syntheticSample(seed, i)),
+        s"seed $seed samples diverge from the formula"
+      )
+    }
+    // stereo: interleaved samples survive in order
+    val st = Multimodal.syntheticWav(5L, 64, sampleRate = 44100, channels = 2)
+    val Some((r2, c2, s2)) = Multimodal.decodeWav(st)
+    assert(r2 == 44100 && c2 == 2 && s2.length == 64)
+    assert(s2.indices.forall(i => s2(i) == Multimodal.syntheticSample(5L, i)))
+    // 8-bit unsigned, written via AudioSystem itself (an honest container
+    // from the OTHER writer): decode recenters to signed x − 128
+    val raw8 = Array.tabulate(100)(i => ((i * 37 + 5) % 256).toByte)
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw8), fmt8, raw8.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem
+      .write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val Some((r3, c3, s3)) = Multimodal.decodeWav(baos.toByteArray)
+    assert(r3 == 8000 && c3 == 1 && s3.length == 100)
+    assert(s3.indices.forall(i => s3(i) == ((raw8(i) & 0xff) - 128).toShort))
+    // fuzz: truncations, corrupt chunk sizes, non-RIFF — None or fewer
+    // samples, NEVER a throw (the WarcSplit resync discipline)
+    val base = Multimodal.syntheticWav(9L, 128)
+    for (len <- Seq(0, 3, 11, 12, 43, 44, 45, 60, 100, base.length - 1)) {
+      val out = Multimodal.decodeWav(java.util.Arrays.copyOf(base, len))
+      assert(out.forall(_._3.length <= 128), s"truncation at $len produced phantom samples")
+    }
+    val rnd = new scala.util.Random(33)
+    for (_ <- 0 until 200) {
+      val corrupt = base.clone()
+      val pos = rnd.nextInt(corrupt.length)
+      corrupt(pos) = rnd.nextInt(256).toByte
+      Multimodal.decodeWav(corrupt) // must not throw, whatever it parses to
+    }
+    assert(Multimodal.decodeWav("RIFFxxxxWAVE then garbage padding here".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodeWav("just some text, definitely not audio data".getBytes).isEmpty)
+    // giant declared frame count sheds (corrupt data-chunk length field)
+    val giant = base.clone()
+    giant(40) = 0xff.toByte; giant(41) = 0xff.toByte
+    giant(42) = 0xff.toByte; giant(43) = 0x7f.toByte
+    assert(Multimodal.decodeWav(giant).forall(_._3.length <= 128))
+    // audioFrames routes WAV through the REAL decode: one 4-sample frame
+    // of known samples yields the exact signed rms/mean
+    import spark.implicits._
+    val known = Array[Short](100, -200, 300, -400)
+    val wavK = {
+      val b = java.nio.ByteBuffer.allocate(44 + 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + 8).put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      b.putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+      b.put("data".getBytes("US-ASCII")).putInt(8)
+      known.foreach(b.putShort)
+      b.array()
+    }
+    val media = Seq((1L, "audio/wav", wavK), (2L, "text/plain", "abcdefgh".getBytes("UTF-8")))
+      .toDF("doc_id", "media_type", "content")
+    val fr = Multimodal.audioFrames(media, frameSize = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3))).toSet
+    val sqK = known.map(x => x.toLong * x).sum
+    val smK = known.map(_.toLong).sum
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val textBytes = "abcd".getBytes("UTF-8").map(_.toLong & 0xff)
+    val textBytes2 = "efgh".getBytes("UTF-8").map(_.toLong & 0xff)
+    def fm(xs: Array[Long]) = (r6(math.sqrt(xs.map(x => x * x).sum.toDouble / 4)), r6(xs.sum.toDouble / 4))
+    assert(fr == Set(
+      (1L, 0, r6(math.sqrt(sqK.toDouble / 4)), r6(smK.toDouble / 4)),
+      (2L, 0, fm(textBytes)._1, fm(textBytes)._2),
+      (2L, 1, fm(textBytes2)._1, fm(textBytes2)._2)
+    ), s"audioFrames routing mismatch: $fr")
+  }
+
+  test("decodeGifFrames/videoFrameHashes: lossless indexed round trip, planted edit, blocked == brute") {
+    import spark.implicits._
+    // round trip: every decoded frame's luma == the index plane from the
+    // formula (gray g has BT.601 luma exactly g)
+    for (seed <- Seq(1L, 42L)) {
+      val (w, h, nf) = (32 + (seed % 5).toInt, 24, 5)
+      val gif = Multimodal.syntheticGif(seed, w, h, nf)
+      val Some(frames) = Multimodal.decodeGifFrames(gif)
+      assert(frames.length == nf, s"seed $seed: frame count")
+      for (k <- 0 until nf) {
+        val (fw, fh, luma) = frames(k)
+        assert(fw == w && fh == h)
+        val expected = Array.tabulate(w * h)(i =>
+          (Multimodal.syntheticPixel(Multimodal.frameSeed(seed, k), i % w, i / w) & 0xff).toByte)
+        assert(java.util.Arrays.equals(luma, expected), s"seed $seed frame $k luma diverges")
+      }
+    }
+    // fuzz: truncations and corruptions never throw; a cut tail yields
+    // only the frames that did decode (never phantom extras)
+    val gif4 = Multimodal.syntheticGif(3L, 16, 16, 4)
+    for (len <- Seq(0, 5, 13, 50, gif4.length / 2, gif4.length - 1)) {
+      val got = Multimodal.decodeGifFrames(java.util.Arrays.copyOf(gif4, len))
+      assert(got.forall(_.length <= 4), s"truncation at $len produced phantom frames")
+    }
+    val rnd = new scala.util.Random(77)
+    for (_ <- 0 until 100) {
+      val corrupt = gif4.clone()
+      corrupt(rnd.nextInt(corrupt.length)) = rnd.nextInt(256).toByte
+      Multimodal.decodeGifFrames(corrupt) // must not throw
+    }
+    assert(Multimodal.decodeGifFrames("GIF8 but not really a gif".getBytes).forall(_.nonEmpty))
+    assert(Multimodal.decodeGifFrames("plain text".getBytes).isEmpty)
+    // operator: stride-2 sampling keeps frames 0 and 2; non-GIF falls
+    // back to raw 8-byte blocks hashed with planeAHash
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video/gif", Multimodal.syntheticGif(9L, 20, 20, 3)),
+      Multimodal.MediaRow(2L, "text/plain", "abcdefghijklmnopqrstuvwx".getBytes("UTF-8"))
+    ).toDS()
+    val sampled = Multimodal.videoFrameHashes(media, stride = 2, fallbackFrameSize = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    assert(sampled == Set((1L, 0, 20, 20), (1L, 2, 20, 20), (2L, 0, 8, 1), (2L, 2, 8, 1)))
+    // planted edit: the edited frame's hash differs from clean, all
+    // other frames hash identically (the x171 contract)
+    val clean = Multimodal.decodeGifFrames(Multimodal.syntheticGif(5L, 40, 30, 4)).get
+      .map { case (w, h, l) => Multimodal.lumaAHash64(l, w, h) }
+    val edited = Multimodal
+      .decodeGifFrames(Multimodal.syntheticGif(5L, 40, 30, 4, editFrame = 2, editSeedDelta = 7777L))
+      .get.map { case (w, h, l) => Multimodal.lumaAHash64(l, w, h) }
+    assert(clean(0) == edited(0) && clean(1) == edited(1) && clean(3) == edited(3))
+    assert(clean(2) != edited(2), "planted frame edit not visible in the aHash")
+    // blocked == brute over FRAME hashes: pigeonhole blocking on the
+    // (docId*16 + frameIdx, simhash) relation finds exactly the
+    // brute-force Hamming pairs (the x59 proof re-run on video frames)
+    // docs i ≡ 2 (mod 3) re-render doc i−1's GIF with frame 1 replaced:
+    // frames 0 and 2 are bit-identical across the pair (hamming 0), the
+    // edited frame and all cross-seed frames sit near hamming ~32
+    val corpus = (0 until 24).map { i =>
+      val id = i.toLong
+      val bytes =
+        if (i % 3 == 2)
+          Multimodal.syntheticGif((i - 1).toLong * 100, 24, 24, 3, editFrame = 1, editSeedDelta = 1L)
+        else Multimodal.syntheticGif(id * 100, 24, 24, 3)
+      Multimodal.MediaRow(id, "video/gif", bytes)
+    }.toDS()
+    val fps = Multimodal.videoFrameHashes(corpus)
+      .select((col("doc_id") * 16 + col("frame_idx")).as("id"), col("simhash"))
+    val maxHam = 3
+    val blocked = graft.operators.Dedup.pairsFromFps(fps, maxHam, blocks = 4)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val flat = fps.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      a <- flat; b <- flat if a._1 < b._1
+      d = java.lang.Long.bitCount(a._2 ^ b._2) if d <= maxHam
+    } yield (a._1, b._1, d.toLong)).toSet
+    assert(blocked == brute, s"blocked ${blocked.size} != brute ${brute.size}")
+    assert(brute.nonEmpty, "corpus planted no near-dup frame pairs — test is vacuous")
   }
 
   test("decodeImage: real PNG/BMP decode — exact dims, identical luma planes, identical aHash") {
