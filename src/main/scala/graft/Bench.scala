@@ -149,6 +149,21 @@ object Bench {
           s""","gate_ratio":${gate.map(f3).getOrElse("-1")}""" +
           s""","gate_ratio_published":${f3(tcpMbps / 432.3)}"""
       }
+    // Streaming feature-store stage (BenchStreamStage): N epochs of
+    // continuous as-of enrich + cross-batch dedup through a
+    // rate-micro-batch stream, median-of-3 fresh-JVM forks, with a
+    // conservation audit (wrong-but-fast can never ride the artifact
+    // unflagged). Opt out with SPARK_GRAFT_STREAM=0 (or SPARK_GRAFT_PERF=0
+    // with the other throughput stages).
+    val streamJson =
+      if (skipPerf || sys.env.get("SPARK_GRAFT_STREAM").contains("0")) ""","stream_skipped":true"""
+      else {
+        val r = BenchStreamStage.forkedMedian()
+        s""","stream_rows_s":${r.median.map(f3).getOrElse("-1")}""" +
+          s""","stream_rows_s_runs":[${r.runs.map(f3).mkString(",")}]""" +
+          s""","stream_errors":[${r.errors.map(jstr).mkString(",")}]""" +
+          s""","stream_conservation_ok":${r.conservationOk}"""
+      }
     // noise context for every number above: loadavg at bench start + at
     // summary time, MemAvailable now, cpu count (VERDICT r6 #6)
     val benchEnv =
@@ -158,7 +173,7 @@ object Bench {
           val s = graft.streaming.ProcessStats.refresh(); s.userTimeSec + s.sysTimeSec
         }},"proc_rss_mb":${f3(graft.streaming.ProcessStats.refresh().rssMb)}}"""
     val summary =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","queries":$slowest,"queries_file":"bench_queries.json","n_queries":${results.size},"pipeline_mbps":${f3(mbps)},"pipeline_kmps":${f3(kmps)},"pipeline_msgs":$pipelined,"tcp_mbps":${f3(tcpMbps)},"tcp_kmps":${f3(tcpKmps)},"tcp_mbps_runs":[${tcpSorted.map(f3).mkString(",")}],"tcp_attempts":$tcpAttempts,"tcp_attempt_mbps":[${tcpAllAttempts.map(f3).mkString(",")}],"tcp_fork_load":[${tcpForkLoads.map(f3).mkString(",")}],"tcp_fork_steal":[${tcpForkSteal.map(f3).mkString(",")}],"tcp_raw_mbps":${f3(tcpRawMbps)},"tcp_raw_kmps":${f3(tcpRawKmps)}$refJson,$benchEnv,"failed":$failedJson}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","queries":$slowest,"queries_file":"bench_queries.json","n_queries":${results.size},"pipeline_mbps":${f3(mbps)},"pipeline_kmps":${f3(kmps)},"pipeline_msgs":$pipelined,"tcp_mbps":${f3(tcpMbps)},"tcp_kmps":${f3(tcpKmps)},"tcp_mbps_runs":[${tcpSorted.map(f3).mkString(",")}],"tcp_attempts":$tcpAttempts,"tcp_attempt_mbps":[${tcpAllAttempts.map(f3).mkString(",")}],"tcp_fork_load":[${tcpForkLoads.map(f3).mkString(",")}],"tcp_fork_steal":[${tcpForkSteal.map(f3).mkString(",")}],"tcp_raw_mbps":${f3(tcpRawMbps)},"tcp_raw_kmps":${f3(tcpRawKmps)}$refJson$streamJson,$benchEnv,"failed":$failedJson}"""
     // Session teardown BEFORE the summary so nothing (a stray shutdown log
     // line, even one misrouted to stdout) can trail it: the summary JSON
     // must be the process's LAST stdout line — paired with build.sbt's

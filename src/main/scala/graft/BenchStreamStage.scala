@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming throughput stage — the FEATURE-STORE workload the streaming
+  * mirrors exist for, measured instead of only spec-verified: N epochs of
+  * a `rate-micro-batch` stream drive [[graft.streaming.StreamAsOf]]
+  * continuous as-of enrichment (epoch-partitioned observation store,
+  * growing every epoch) plus [[graft.streaming.StreamDedup]] cross-batch
+  * exact dedup (Bloom-prefiltered digest store) through the same
+  * foreachBatch sink, and the stage reports end-to-end rows/s with a
+  * CONSERVATION audit: every epoch must enrich exactly its event rows
+  * (the as-of merge preserves left rows), dedup survivors must follow the
+  * planted duplicate structure exactly (all R/2 distinct digests survive
+  * epoch 0, zero survive later epochs — every later doc is a cross-epoch
+  * duplicate), and the observation store must grow by exactly R/4 rows
+  * per epoch. A throughput number that fails conservation is reported
+  * with `conservation_ok:false` — wrong-but-fast never rides the
+  * artifact silently.
+  *
+  * As a main: runs the N-epoch workload once and prints ONE line
+  * `STREAMSTAGE {...}`. [[forkedMedian]] forks it 3× (fresh JVM each,
+  * the [[BenchTcpStage]] protocol — streaming state, page cache, and JIT
+  * cross-pollute a shared JVM) and medians the rows/s.
+  *
+  * Workload shape per epoch (R = rowsPerBatch, contiguous `value`s per
+  * rate-micro-batch epoch): 75% event rows enriched as-of against the
+  * 25% observation rows accumulated so far (key = value % 5000 — ~50
+  * rows/key/epoch, the many-small-keys regime; the monster-key regime is
+  * `StressXOps asof`'s job, not a wall-clock gate's), and one dedup pass
+  * over text `doc <value % (R/2)>` — 2 copies of every digest within
+  * epoch 0, all later epochs 100% cross-epoch duplicates (the steady
+  * state of a continuously-ingesting corpus: most of every increment is
+  * already in the store).
+  */
+object BenchStreamStage {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val epochs = sys.env.getOrElse("SPARK_GRAFT_STREAM_EPOCHS", "8").toInt
+    val rowsPerBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "200000").toInt
+    require(rowsPerBatch % 4 == 0, "rowsPerBatch must be divisible by 4")
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-bench").toString
+    val obsStore = s"$tmp/obs"
+    val digestStore = s"$tmp/digests"
+    val nKeys = 5000
+    val nDocs = rowsPerBatch / 2
+
+    val enriched = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val survivors = scala.collection.mutable.ArrayBuffer.empty[Long]
+    @volatile var done = 0
+    @volatile var tFirst = 0L
+    @volatile var tLast = 0L
+
+    val src = spark.readStream
+      .format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch.toString)
+      .option("numPartitions", cpus)
+      .load()
+
+    val sink = (batch: DataFrame, epoch: Long) => {
+      if (done < epochs) { // rate-micro-batch never ends; ignore overrun epochs
+        if (tFirst == 0L) tFirst = System.nanoTime()
+        val b = batch.select(
+          col("value"),
+          (col("value") % nKeys).as("k"),
+          col("value").as("t")
+        )
+        val events = b
+          .filter(col("value") % 4 =!= 0)
+          .select(col("k"), col("t"), col("value").as("event_id"))
+        val obs = b
+          .filter(col("value") % 4 === 0)
+          .select(col("k"), col("t"), (col("value") * 2).as("feat"))
+        val nEnriched = graft.streaming.StreamAsOf
+          .enrichBatch(events, obs, "k", "t", obsStore, epoch, (_, _) => ())
+        val docs = batch.select(
+          col("value").as("doc_id"),
+          concat(lit("doc "), col("value") % nDocs).as("text")
+        )
+        val nSurvived = graft.streaming.StreamDedup.dedupBatch(
+          docs,
+          col("text"),
+          col("doc_id"),
+          digestStore,
+          epoch,
+          (_, _) => (),
+          expectedRefItems = rowsPerBatch.toLong,
+          fpp = 0.01
+        )
+        enriched.synchronized {
+          enriched += nEnriched
+          survivors += nSurvived
+        }
+        done += 1
+        tLast = System.nanoTime()
+      }
+    }
+
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch(sink)
+      .start()
+    val deadline = System.currentTimeMillis() + 15 * 60 * 1000
+    while (done < epochs && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    q.stop()
+    q.awaitTermination(30000)
+
+    val sec = math.max(1e-9, (tLast - tFirst) / 1e9)
+    val totalRows = epochs.toLong * rowsPerBatch
+    val rowsPerSec = totalRows / sec
+    // conservation: as-of preserved every event row, dedup followed the
+    // planted duplicate structure, the store grew R/4 per epoch
+    val expectedEvents = rowsPerBatch - rowsPerBatch / 4
+    val storeRows =
+      try spark.read.parquet(obsStore).count()
+      catch { case _: Throwable => -1L }
+    val ok = done == epochs &&
+      enriched.forall(_ == expectedEvents) &&
+      survivors.headOption.contains(nDocs.toLong) &&
+      survivors.drop(1).forall(_ == 0L) &&
+      storeRows == epochs.toLong * (rowsPerBatch / 4)
+    def f1(v: Double) = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
+    println(
+      s"""STREAMSTAGE {"stream_rows_s":${f1(rowsPerSec)},"stream_sec":${f1(sec)},""" +
+        s""""stream_epochs":$done,"stream_rows":$totalRows,""" +
+        s""""stream_enriched":[${enriched.mkString(",")}],""" +
+        s""""stream_survivors":[${survivors.mkString(",")}],""" +
+        s""""stream_store_rows":$storeRows,"conservation_ok":$ok}"""
+    )
+    spark.stop()
+  }
+
+  /** Outcome of the median-of-n forked stream stage: `median` rows/s over
+    * the accepted runs, every fork's reading in `runs` (launch order),
+    * failures in `errors` ("runN: reason"), and the AND of the children's
+    * conservation audits — a fork that enriched the wrong row count can
+    * never median into the artifact unflagged.
+    */
+  final case class StreamOutcome(
+      median: Option[Double],
+      runs: Seq[Double],
+      errors: Seq[String],
+      conservationOk: Boolean
+  )
+
+  /** Median of `n` forked runs, fresh JVM each (the TCP-stage protocol:
+    * serial forks, true median — mean of middles on even counts).
+    */
+  def forkedMedian(n: Int = 3): StreamOutcome = {
+    val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    var conservation = true
+    (1 to n).foreach { i =>
+      BenchTcpStage.forkRaw(Seq.empty, timeoutSec = 600, mainClass = "graft.BenchStreamStage") match {
+        case Left(reason) => errors += s"run$i: $reason"
+        case Right(out) =>
+          out.linesIterator.find(_.startsWith("STREAMSTAGE ")) match {
+            case None => errors += s"run$i: child exited 0 but printed no STREAMSTAGE line"
+            case Some(l) =>
+              val rate = "\"stream_rows_s\":([-0-9.Ee]+)".r.findFirstMatchIn(l).map(_.group(1).toDouble)
+              val ok = l.contains("\"conservation_ok\":true")
+              rate match {
+                case Some(v) if v > 0 =>
+                  runs += v
+                  if (!ok) conservation = false
+                case _ => errors += s"run$i: unparseable STREAMSTAGE line"
+              }
+          }
+      }
+    }
+    val sorted = runs.sorted
+    val median =
+      if (sorted.isEmpty) None
+      else if (sorted.length % 2 == 1) Some(sorted(sorted.length / 2))
+      else Some((sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2)
+    StreamOutcome(median, runs.toSeq, errors.toSeq, conservation && runs.nonEmpty)
+  }
+}

@@ -311,7 +311,11 @@ object BenchTcpStage {
     * because a dead fork must be distinguishable from an opt-out in the
     * bench artifact.
     */
-  private def forkRaw(args: Seq[String], timeoutSec: Long): Either[String, String] =
+  private[graft] def forkRaw(
+      args: Seq[String],
+      timeoutSec: Long,
+      mainClass: String = "graft.BenchTcpStage"
+  ): Either[String, String] =
     try {
       val javaBin = new java.io.File(new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
       // forward the fan-out experiment flag so a parent-side override is
@@ -320,7 +324,7 @@ object BenchTcpStage {
         .map(v => s"-Dgraft.tcp.parts=$v")
       val pb = new ProcessBuilder(
         (Seq(javaBin, "-Xmx24g") ++ extraProps ++
-          Seq("-cp", System.getProperty("java.class.path"), "graft.BenchTcpStage") ++ args): _*
+          Seq("-cp", System.getProperty("java.class.path"), mainClass) ++ args): _*
       )
       // discard child stderr (Spark banner/logs) — reading it after stdout
       // closes risks a pipe-full deadlock while the child is still running

@@ -2594,8 +2594,24 @@ object StressXOps {
     if (section("bpe1k")) bpe1kSection(spark, math.min(nDocs, 2000000L))
 
     corpus.unpersist()
+    // machine-readable A/B rows (GRAFT_STRESS_JSON=<path>): the scale
+    // curves as an artifact (STRESS_r*.json), not only prose stdout —
+    // round-over-round comparable without parsing log lines
+    sys.env.get("GRAFT_STRESS_JSON").filter(_.nonEmpty).foreach { p =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p),
+        jsonRows.mkString("[\n", ",\n", "\n]")
+      )
+      println(s"[stressx] wrote ${jsonRows.length} A/B rows to $p")
+    }
     spark.stop()
   }
+
+  /** A/B rows for the GRAFT_STRESS_JSON artifact (one compact JSON object
+    * per measurement, appended by the sections that run).
+    */
+  private val jsonRows = scala.collection.mutable.ArrayBuffer.empty[String]
+  private def record(row: String): Unit = jsonRows.synchronized { jsonRows += row; () }
 
   /** BPE training at PRODUCTION merge counts: ≥1k merges over a Zipfian
     * word corpus in bounded wall time — the round-batching evidence (one
@@ -2905,6 +2921,9 @@ object StressXOps {
     val (sN, cntN, sumN) = checksum(operators.AsOfJoin.asofBackwardNative(lp, rightDedup, "k", "t"))
     val (sC, cntC, sumC) = checksum(operators.AsOfJoin.asofBackward(lp, rightDedup, "k", "t"))
     println(f"[stressx] asof @ $n%d x ${n / 2}%d rows, $nKeys%d keys: native $sN%.1f s, composed $sC%.1f s (${sC / sN}%.2fx); checksum equal ${cntN == cntC && sumN == sumC} ($cntN rows)")
+    record(
+      f"""{"stage":"asof_uniform","left_rows":$n%d,"right_rows":${n / 2}%d,"keys":$nKeys%d,"native_s":$sN%.2f,"composed_s":$sC%.2f,"speedup":${sC / sN}%.2f,"rows_out":$cntN%d,"checksum_equal":${cntN == cntC && sumN == sumC}}"""
+    )
     assert(cntN == cntC && sumN == sumC, "native as-of checksum diverged from composition")
     lp.unpersist(); rightDedup.unpersist()
 
@@ -2932,6 +2951,9 @@ object StressXOps {
     val (sK, cntK, sumK) =
       checksum(operators.AsOfJoin.asofBackwardChunked(hl, hotRightDedup, "k", "t", 64))
     println(f"[stressx] asof-hotkey @ $n%d rows, 30%% on one key: plain merge $sP%.1f s, chunked(64) $sK%.1f s (${sP / sK}%.2fx); checksum equal ${cntP == cntK && sumP == sumK} ($cntP rows)")
+    record(
+      f"""{"stage":"asof_hotkey","left_rows":$n%d,"hot_share":0.30,"n_chunks":64,"plain_s":$sP%.2f,"chunked_s":$sK%.2f,"speedup":${sP / sK}%.2f,"rows_out":$cntP%d,"checksum_equal":${cntP == cntK && sumP == sumK}}"""
+    )
     assert(cntP == cntK && sumP == sumK, "chunked as-of checksum diverged from the plain merge")
 
     // gapFill on the same monster-entity regime: the LOCF window vs the
@@ -2958,6 +2980,9 @@ object StressXOps {
     val (gP, gcP, gsP) = gfChecksum(operators.AsOfJoin.gapFill(gfDf, "k", "t", "tie", "v"))
     val (gK, gcK, gsK) = gfChecksum(operators.AsOfJoin.gapFillChunked(gfDf, "k", "t", "tie", "v", 64))
     println(f"[stressx] gapfill-hotkey @ ${gcP}%d rows, 30%% on one entity: plain window $gP%.1f s, chunked(64) $gK%.1f s (${gP / gK}%.2fx); checksum equal ${gcP == gcK && gsP == gsK}")
+    record(
+      f"""{"stage":"gapfill_hotkey","rows":$gcP%d,"hot_share":0.30,"n_chunks":64,"plain_s":$gP%.2f,"chunked_s":$gK%.2f,"speedup":${gP / gK}%.2f,"checksum_equal":${gcP == gcK && gsP == gsK}}"""
+    )
     assert(gcP == gcK && gsP == gsK, "chunked gapFill checksum diverged from the plain window")
     gfDf.unpersist()
     hl.unpersist(); hotRightDedup.unpersist()
