@@ -3716,6 +3716,41 @@ object ExtensionQueries {
       )
     }),
 
+    // x109 through gapFillAuto with the probe FORCED to the chunked
+    // route (threshold 1e-9, floor 0: any non-empty frame trips) — the
+    // driver gate proves the auto switch + time-epoch chunked LOCF are
+    // invisible to results on real timestamped data, not only on the
+    // CI fixtures. Oracle: x109's SQL verbatim.
+    "x174_gapfill_auto" -> ((s, dir) => {
+      val masked = T(s, dir, "events").withColumn(
+        "v",
+        when(col("event_type") === "error", lit(null).cast("double")).otherwise(col("value"))
+      )
+      graft.operators.AsOfJoin
+        .gapFillAuto(masked, "user_id", "ts", "event_id", "v",
+          hotShareThreshold = 1e-9, minHotRows = 0L)
+        .select(col("event_id"), col("user_id"), col("v_filled"), col("was_filled"))
+        .orderBy(col("event_id"))
+    }),
+
+    // x17 through resampleAuto, probe forced chunked the same way: the
+    // grid + chunked-merge composition must reproduce the plain resample
+    // exactly. Oracle: x17's SQL verbatim.
+    "x175_resample_auto" -> ((s, dir) => {
+      graft.operators.AsOfJoin
+        .resampleAuto(
+          T(s, dir, "events").select(col("user_id"), col("ts"), col("value")),
+          "user_id",
+          "ts",
+          "1 hour",
+          Seq("value"),
+          hotShareThreshold = 1e-9,
+          minHotRows = 0L
+        )
+        .select(col("user_id"), unix_millis(col("ts")).as("grid_ms"), col("value"))
+        .orderBy(col("user_id"), col("grid_ms"))
+    }),
+
     // Full PCA pipeline, driver-checkable end to end: 6dp-rounded gram
     // -> bounded collect -> REPLAYABLE power iteration (3 steps, vector
     // re-rounded 6dp each step — the x126 discipline on an iterative
@@ -6999,6 +7034,33 @@ object ExtensionQueries {
         |SELECT c.doc_id, MIN(b.bench_id) AS bench_id, COUNT(1) AS n_hits
         |FROM c JOIN b ON c.gram = b.gram
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // chunked-forced gapFillAuto == plain LOCF (x109's oracle verbatim)
+    "x174_gapfill_auto" ->
+      """WITH m AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+        |  (v IS NULL AND LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) IS NOT NULL) AS was_filled
+        |FROM m ORDER BY event_id""".stripMargin,
+
+    // chunked-forced resampleAuto == plain resample (x17's oracle verbatim)
+    "x175_resample_auto" ->
+      """WITH b AS (
+        |  SELECT user_id, date_trunc('hour', MIN(ts)) AS mn, MAX(ts) AS mx
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT user_id, UNNEST(generate_series(CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP), INTERVAL 1 HOUR)) AS gts
+        |  FROM b)
+        |SELECT g.user_id, epoch_ms(gts) AS grid_ms, e.value
+        |FROM g ASOF LEFT JOIN events e
+        |  ON g.user_id = e.user_id AND g.gts >= e.ts
+        |ORDER BY g.user_id, grid_ms""".stripMargin,
 
     // chunked backward as-of == plain backward as-of (left-join form)
     "x168_asof_chunked" ->
