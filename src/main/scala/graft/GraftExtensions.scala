@@ -22,6 +22,7 @@ import graft.functions.codecs
   * graft_simhash64(arr), graft_pii_scrub(str), graft_token_entropy(str),
   * graft_word_counts(str), graft_normalize_text(str),
   * graft_cdc_chunks(str, w), graft_pcm_frames(bin, n),
+  * graft_pcm16_frames(bin, nSamples),
   * graft_max_line_len(str), graft_warc_split(str); split assignment
   * graft_split(id); sampling
   * key graft_uniform(id).
@@ -100,6 +101,8 @@ object GraftExtensions {
     // per-frame PCM features over a binary byte plane:
     // SELECT doc_id, explode(graft_pcm_frames(content, 8))
     "graft_pcm_frames" -> (es => graft.functions.codecs.PcmFrames(es(0), off(es(1)))),
+    // signed-LE16 twin (frameSize counts samples) — decoded-WAV planes
+    "graft_pcm16_frames" -> (es => graft.functions.codecs.Pcm16Frames(es(0), off(es(1)))),
     // longest \n-separated line in chars, one codegen byte pass
     "graft_max_line_len" -> (es => graft.functions.text.MaxLineLen(es(0))),
     // WARC-lite framing: SELECT posexplode(graft_warc_split(blob))

@@ -353,6 +353,49 @@ object Multimodal {
     }).toDF("doc_id", "frame_idx", "width", "height", "simhash")
   }
 
+  /** VIDEO-level near-dup pairs from frame hashes — the shot-signature
+    * dedup pass a video corpus runs: [[videoFrameHashes]] per video,
+    * frame pairs within `maxHamming` found EXACTLY by the shared Manku
+    * pigeonhole blocking ([[graft.operators.Dedup.pairsFromFps]], frame
+    * identity = a (doc, frame) struct id), then cross-video pairs
+    * aggregate to (id_a, id_b, n_frame_pairs, min_hamming) and keep
+    * pairs sharing at least `minFrames` near-identical frames — a
+    * re-encoded or lightly-edited copy shares most of its shots; two
+    * unrelated videos share none. Same-video frame pairs are excluded
+    * (self-similar scenes are not duplication evidence).
+    *
+    * Scale shape: identical to the image/text simhash paths — the join
+    * carries (struct id, 8-byte fp, block key) rows only, never frames;
+    * candidate mass is governed by the block-key width; the final
+    * aggregate is one exchange on the (doc_a, doc_b) pair key.
+    */
+  def videoNearDupPairs(
+      ds: Dataset[MediaRow],
+      maxHamming: Int = 2,
+      blocks: Int = 4,
+      minFrames: Int = 2,
+      stride: Int = 1
+  ): DataFrame = {
+    val fps = videoFrameHashes(ds, stride)
+      .select(struct(col("doc_id"), col("frame_idx")).as("id"), col("simhash"))
+    Dedup
+      .pairsFromFps(fps, maxHamming, blocks)
+      .filter(col("id_a.doc_id") =!= col("id_b.doc_id"))
+      .select(
+        // normalize pair order at the DOC level (the frame-struct order
+        // used inside the blocked join can disagree with doc order)
+        least(col("id_a.doc_id"), col("id_b.doc_id")).as("id_a"),
+        greatest(col("id_a.doc_id"), col("id_b.doc_id")).as("id_b"),
+        col("hamming")
+      )
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        count(lit(1)).cast("long").as("n_frame_pairs"),
+        min(col("hamming")).cast("int").as("min_hamming")
+      )
+      .filter(col("n_frame_pairs") >= minFrames)
+  }
+
   /** The synthetic plane's pixel formula (splitmix64-style mix), exposed
     * so oracles can recompute expected pixels WITHOUT going through the
     * encode/decode path under test.

@@ -3716,6 +3716,36 @@ object ExtensionQueries {
       )
     }),
 
+    // VIDEO-level near-dup: per sampled doc, a clean 4-frame GIF and its
+    // frame-2-edited copy (the re-encoded-with-one-shot-replaced regime).
+    // The operator decodes frames for real, hashes each, blocks the
+    // frame pairs (Manku pigeonhole — exact at ≤ maxHamming), and
+    // aggregates to video pairs: each planted pair must surface with
+    // EXACTLY its 3 unedited frames matched at hamming 0, and no
+    // cross-seed pair can appear (random planes sit ~32 bits apart).
+    "x176_video_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val ids = T(s, dir, "documents")
+        .select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(20)) === 0)
+        .as[Long]
+      val media = ids.flatMap { id =>
+        val w = 24 + (id % 17).toInt
+        val h = 24 + (id % 13).toInt
+        Seq(
+          Multimodal.MediaRow(id * 2, "video/gif", Multimodal.syntheticGif(id, w, h, 4)),
+          Multimodal.MediaRow(
+            id * 2 + 1,
+            "video/gif",
+            Multimodal.syntheticGif(id, w, h, 4, editFrame = 2, editSeedDelta = 7777L)
+          )
+        )
+      }
+      Multimodal
+        .videoNearDupPairs(media, maxHamming = 2, blocks = 4, minFrames = 2)
+        .orderBy(col("id_a"))
+    }),
+
     // x109 through gapFillAuto with the probe FORCED to the chunked
     // route (threshold 1e-9, floor 0: any non-empty frame trips) — the
     // driver gate proves the auto switch + time-epoch chunked LOCF are
@@ -7034,6 +7064,13 @@ object ExtensionQueries {
         |SELECT c.doc_id, MIN(b.bench_id) AS bench_id, COUNT(1) AS n_hits
         |FROM c JOIN b ON c.gram = b.gram
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // each planted (clean, frame-2-edited) GIF pair shares exactly its
+    // 3 unedited frames at hamming 0; nothing else pairs
+    "x176_video_neardup" ->
+      """SELECT doc_id * 2 AS id_a, doc_id * 2 + 1 AS id_b,
+        |  CAST(3 AS BIGINT) AS n_frame_pairs, CAST(0 AS INT) AS min_hamming
+        |FROM documents WHERE doc_id % 20 = 0 ORDER BY id_a""".stripMargin,
 
     // chunked-forced gapFillAuto == plain LOCF (x109's oracle verbatim)
     "x174_gapfill_auto" ->

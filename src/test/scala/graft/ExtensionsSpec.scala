@@ -256,6 +256,20 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_pcm_frames / graft_pcm16_frames SQL functions: exact frame stats on byte and LE16 planes") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // unsigned bytes 1,2,3,4 → one frame: rms = sqrt(30/4), mean 2.5
+    Seq(Tuple1(Array[Byte](1, 2, 3, 4))).toDF("b").createOrReplaceTempView("pcm_v")
+    val r = spark.sql("SELECT inline(graft_pcm_frames(b, 4)) FROM pcm_v").collect()(0)
+    assert(r.getDouble(0) == math.sqrt(30.0 / 4) && r.getDouble(1) == 2.5)
+    // signed LE16 samples 100, -200 → sum −100, sum_sq 50000
+    Seq(Tuple1(Array[Byte](0x64, 0x00, 0x38.toByte, 0xff.toByte)))
+      .toDF("b").createOrReplaceTempView("pcm16_v")
+    val r2 = spark.sql("SELECT inline(graft_pcm16_frames(b, 2)) FROM pcm16_v").collect()(0)
+    assert(r2.getLong(2) == 50000L && r2.getLong(3) == -100L)
+  }
+
   test("graft_dedup_exact / graft_decontaminate SQL table functions round-trip the Scala operators") {
     import spark.implicits._
     GraftExtensions.register(spark)
