@@ -353,6 +353,83 @@ object Multimodal {
     }).toDF("doc_id", "frame_idx", "width", "height", "simhash")
   }
 
+  /** 64-bit ENERGY-PROFILE fingerprint of a PCM clip — the audio
+    * perceptual hash (echoprint-lite): the clip splits into `bits`+1
+    * equal windows (exact integer bounds, the [[planeAHash]] block
+    * convention), window energy is the exact integer Σx² of its signed
+    * samples, and bit j is set when window j+1's MEAN energy exceeds
+    * window j's — cross-multiplied in 128 bits ([[prodGt]]), so no
+    * division rounds a borderline bit and no clip length overflows.
+    * The energy-DELTA profile is EXACTLY invariant to integer amplitude
+    * scaling (samples ×k scale every window's Σx² by k², preserving all
+    * comparisons) — a re-gained copy of a clip fingerprints identically,
+    * which is what audio dedup wants. Clips shorter than `bits`+1
+    * samples degenerate to 0L (documented; they pair only with each
+    * other and the exact verify is the caller's n_frame cut).
+    */
+  private[graft] def energyFingerprint(samples: Array[Short], bits: Int = 64): Long = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
+    val w = bits + 1
+    val n = samples.length
+    if (n < w) return 0L
+    val sq = new Array[Long](w)
+    val len = new Array[Long](w)
+    var j = 0
+    while (j < w) {
+      val lo = (j.toLong * n / w).toInt
+      val hi = ((j + 1).toLong * n / w).toInt
+      var s = 0L
+      var k = lo
+      while (k < hi) { val x = samples(k).toLong; s += x * x; k += 1 }
+      sq(j) = s
+      len(j) = hi - lo
+      j += 1
+    }
+    var h = 0L
+    j = 0
+    while (j < bits) {
+      // mean[j+1] > mean[j]  <=>  sq[j+1]·len[j] > sq[j]·len[j+1]
+      if (prodGt(sq(j + 1), len(j), sq(j), len(j + 1))) h |= (1L << j)
+      j += 1
+    }
+    h
+  }
+
+  /** Per-clip audio fingerprints: REAL WAV decode ([[decodeWav]]) →
+    * [[energyFingerprint]] over the signed samples; non-audio blobs
+    * fingerprint their centered raw bytes (x − 128) so the operator is
+    * total. Returns (id, simhash) — the [[graft.operators.Dedup.simhash]]
+    * column contract, same as [[aHash]], so the Manku blocking is
+    * shared. Zero-shuffle mapPartitions.
+    */
+  def audioFingerprints(ds: Dataset[MediaRow], bits: Int = 64): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val samples = decodeWav(r.content) match {
+        case Some((_, _, s)) => s
+        case None =>
+          val c = if (r.content == null) Array.emptyByteArray else r.content
+          val out = new Array[Short](c.length)
+          var i = 0
+          while (i < c.length) { out(i) = ((c(i) & 0xff) - 128).toShort; i += 1 }
+          out
+      }
+      (r.doc_id, energyFingerprint(samples, bits))
+    }).toDF("id", "simhash")
+  }
+
+  /** Audio near-dup pairs: [[audioFingerprints]] + the shared Manku
+    * pigeonhole Hamming join — the dedup pass a multimodal corpus runs
+    * on its audio column (re-gained / re-encoded copies land within a
+    * few energy-profile bits). Exact within `maxHamming`; ids + 8-byte
+    * fingerprints only on the join. Returns (id_a, id_b, hamming),
+    * id_a < id_b.
+    */
+  def audioNearDupPairs(ds: Dataset[MediaRow], maxHamming: Int = 4, blocks: Int = 8): DataFrame =
+    Dedup
+      .pairsFromFps(audioFingerprints(ds), maxHamming, blocks)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+
   /** VIDEO-level near-dup pairs from frame hashes — the shot-signature
     * dedup pass a video corpus runs: [[videoFrameHashes]] per video,
     * frame pairs within `maxHamming` found EXACTLY by the shared Manku
@@ -686,9 +763,21 @@ object Multimodal {
     * [[syntheticSample]], channels interleaved. The spec/oracle
     * construction twin of [[syntheticImage]].
     */
-  def syntheticWav(seed: Long, nSamples: Int, sampleRate: Int = 16000, channels: Int = 1): Array[Byte] = {
-    require(nSamples >= 0 && channels >= 1)
-    val dataLen = nSamples * 2
+  def syntheticWav(seed: Long, nSamples: Int, sampleRate: Int = 16000, channels: Int = 1): Array[Byte] =
+    wavFromSamples(Array.tabulate(nSamples)(syntheticSample(seed, _)), sampleRate, channels)
+
+  /** Hand-rolled RIFF/WAVE container (PCM16LE) around an arbitrary sample
+    * array — the writer [[syntheticWav]] and ad-hoc oracle clips share;
+    * deliberately NOT `javax.sound`'s writer, so the decode path under
+    * test is exercised by an independent container construction.
+    */
+  def wavFromSamples(
+      samples: Array[Short],
+      sampleRate: Int = 16000,
+      channels: Int = 1
+  ): Array[Byte] = {
+    require(channels >= 1)
+    val dataLen = samples.length * 2
     val b = java.nio.ByteBuffer
       .allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -701,8 +790,7 @@ object Multimodal {
     b.putShort((channels * 2).toShort) // block align
     b.putShort(16.toShort) // bits per sample
     b.put("data".getBytes("US-ASCII")).putInt(dataLen)
-    var i = 0
-    while (i < nSamples) { b.putShort(syntheticSample(seed, i)); i += 1 }
+    samples.foreach(b.putShort)
     b.array()
   }
 

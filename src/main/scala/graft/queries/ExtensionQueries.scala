@@ -3746,6 +3746,32 @@ object ExtensionQueries {
         .orderBy(col("id_a"))
     }),
 
+    // AUDIO near-dup: per sampled doc, a base WAV (formula samples >> 2)
+    // and its amplitude-DOUBLED copy — integer ×2 scales every window's
+    // Σx² by exactly 4, so the energy-delta fingerprint is bit-identical
+    // and the planted pair surfaces at hamming 0 through the real
+    // decode → fingerprint → blocked-join path; cross-seed clips sit
+    // ~32 bits apart and cannot pair at maxHamming 4.
+    "x177_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val ids = T(s, dir, "documents")
+        .select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(20)) === 0)
+        .as[Long]
+      val media = ids.flatMap { id =>
+        val n = 1024 + (id % 7).toInt * 128
+        val base = Array.tabulate(n)(i => (Multimodal.syntheticSample(id, i) >> 2).toShort)
+        val doubled = base.map(x => (x * 2).toShort)
+        Seq(
+          Multimodal.MediaRow(id * 2, "audio/wav", Multimodal.wavFromSamples(base)),
+          Multimodal.MediaRow(id * 2 + 1, "audio/wav", Multimodal.wavFromSamples(doubled))
+        )
+      }
+      Multimodal
+        .audioNearDupPairs(media, maxHamming = 4, blocks = 8)
+        .orderBy(col("id_a"))
+    }),
+
     // x109 through gapFillAuto with the probe FORCED to the chunked
     // route (threshold 1e-9, floor 0: any non-empty frame trips) — the
     // driver gate proves the auto switch + time-epoch chunked LOCF are
@@ -7070,6 +7096,13 @@ object ExtensionQueries {
     "x176_video_neardup" ->
       """SELECT doc_id * 2 AS id_a, doc_id * 2 + 1 AS id_b,
         |  CAST(3 AS BIGINT) AS n_frame_pairs, CAST(0 AS INT) AS min_hamming
+        |FROM documents WHERE doc_id % 20 = 0 ORDER BY id_a""".stripMargin,
+
+    // amplitude-doubled twin fingerprints identically (exact ×4 energy
+    // scaling preserves every window comparison): hamming 0, only the
+    // planted pairs
+    "x177_audio_neardup" ->
+      """SELECT doc_id * 2 AS id_a, doc_id * 2 + 1 AS id_b, CAST(0 AS INT) AS hamming
         |FROM documents WHERE doc_id % 20 = 0 ORDER BY id_a""".stripMargin,
 
     // chunked-forced gapFillAuto == plain LOCF (x109's oracle verbatim)

@@ -768,6 +768,46 @@ class OperatorSpec extends SparkTestBase {
     assert(brute.nonEmpty, "corpus planted no near-dup frame pairs — test is vacuous")
   }
 
+  test("energyFingerprint/audioNearDupPairs: amplitude-invariant, decode-path equal, blocked == brute") {
+    import spark.implicits._
+    // EXACT amplitude invariance: integer-scaled copies fingerprint
+    // identically (×k scales every window's Σx² by k², preserving all
+    // cross-multiplied comparisons)
+    val rnd = new scala.util.Random(5)
+    for (_ <- 0 until 20) {
+      val n = 70 + rnd.nextInt(500)
+      val base = Array.fill(n)((rnd.nextInt(16384) - 8192).toShort)
+      val f = Multimodal.energyFingerprint(base)
+      assert(Multimodal.energyFingerprint(base.map(x => (x * 2).toShort)) == f)
+      assert(Multimodal.energyFingerprint(base.map(x => (x * 3).toShort)) == f)
+    }
+    // clips shorter than bits+1 samples degenerate to 0L
+    assert(Multimodal.energyFingerprint(Array.fill(64)(5.toShort)) == 0L)
+    // the REAL decode path yields the same fingerprint as the raw samples
+    val s0 = Array.tabulate(300)(i => (Multimodal.syntheticSample(3L, i) >> 2).toShort)
+    val Some((_, _, dec)) = Multimodal.decodeWav(Multimodal.wavFromSamples(s0))
+    assert(Multimodal.energyFingerprint(dec) == Multimodal.energyFingerprint(s0))
+    // blocked == brute over planted amplitude-scaled twins: pairs
+    // (2k, 2k+1) share a base clip (hamming 0), cross-seed clips sit far
+    val corpus = (0 until 30).map { i =>
+      val base = Array.tabulate(400)(j =>
+        (Multimodal.syntheticSample((i / 2).toLong * 31, j) >> 2).toShort)
+      val samples = if (i % 2 == 1) base.map(x => (x * 2).toShort) else base
+      Multimodal.MediaRow(i.toLong, "audio/wav", Multimodal.wavFromSamples(samples))
+    }.toDS()
+    val maxHam = 4
+    val blocked = Multimodal.audioNearDupPairs(corpus, maxHam, blocks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fps = Multimodal.audioFingerprints(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      a <- fps; b <- fps if a._1 < b._1
+      d = java.lang.Long.bitCount(a._2 ^ b._2) if d <= maxHam
+    } yield (a._1, b._1, d)).toSet
+    assert(blocked == brute, s"blocked ${blocked.size} != brute ${brute.size}")
+    assert(brute.size >= 15, s"planted twin pairs missing: ${brute.size}")
+  }
+
   test("decodeImage: real PNG/BMP decode — exact dims, identical luma planes, identical aHash") {
     // lossless format invariance: the SAME pixel plane encoded as PNG and
     // as BMP must decode to byte-equal luma and the same classic aHash
