@@ -644,6 +644,29 @@ object AsOfJoin {
       .drop("__chunk", "__is_seed")
   }
 
+  /** [[asofNearest]] with the cost-model probe choosing the plan for
+    * BOTH directional passes (they share the key distribution, so one
+    * probe decides both). Same contract, same floors as
+    * [[asofBackwardAuto]]; the flag is plan-only (spec-pinned).
+    */
+  def asofNearestAuto(
+      left: DataFrame,
+      right: DataFrame,
+      byCol: String,
+      timeCol: String,
+      leftIdCol: String,
+      hotShareThreshold: Double = 0.10,
+      minHotRows: Long = 8000000L
+  ): DataFrame =
+    asofNearest(
+      left,
+      right,
+      byCol,
+      timeCol,
+      leftIdCol,
+      chunked = preferChunked(left, right, byCol, hotShareThreshold, minHotRows)
+    )
+
   /** Cost-based auto-switch for [[gapFill]] — the [[asofBackwardAuto]]
     * precedent applied to the LOCF window: one ids-only partial-agg
     * probe measures the hottest entity's row share, and past

@@ -539,6 +539,50 @@ object Multimodal {
     }).toDF("doc_id", "media_type", "width", "height", "plane")
   }
 
+  /** REAL typed-metadata probe over an opaque media column — the catalog
+    * pass a multimodal corpus runs before routing blobs to decoders:
+    * per row, sniff + decode just enough to type it, and emit one
+    * uniform metadata row:
+    *
+    *   (doc_id, kind, byte_len, width, height, n_frames, sample_rate,
+    *    n_samples)
+    *
+    * kind ∈ image | video (multi-frame GIF) | audio | unknown. Images
+    * decode through [[decodeImage]] (n_frames = 1), GIFs with > 1 frame
+    * through [[decodeGifFrames]] (dims of frame 0), WAV through
+    * [[decodeWav]] (n_samples counts per-channel interleaved samples);
+    * undecodable blobs are `unknown` with only byte_len populated
+    * (−1 elsewhere — never nulls, so downstream filters are total).
+    * Zero-shuffle mapPartitions, the [[decode]] batch shape.
+    */
+  def mediaProbe(ds: Dataset[MediaRow]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val len = if (r.content == null) 0 else r.content.length
+      val isGif = len >= 4 && r.content(0) == 'G' && r.content(1) == 'I' &&
+        r.content(2) == 'F' && r.content(3) == '8'
+      val gifFrames = if (isGif) decodeGifFrames(r.content) else None
+      gifFrames match {
+        case Some(frames) if frames.length > 1 =>
+          val (w, h, _) = frames.head
+          (r.doc_id, "video", len, w, h, frames.length, -1, -1L)
+        case _ =>
+          decodeImage(r.content) match {
+            case Some((w, h, _, _)) => (r.doc_id, "image", len, w, h, 1, -1, -1L)
+            case None =>
+              decodeWav(r.content) match {
+                case Some((rate, ch, samples)) =>
+                  (r.doc_id, "audio", len, -1, -1, -1, rate, samples.length.toLong)
+                case None => (r.doc_id, "unknown", len, -1, -1, -1, -1, -1L)
+              }
+          }
+      }
+    }).toDF(
+      "doc_id", "kind", "byte_len", "width", "height",
+      "n_frames", "sample_rate", "n_samples"
+    )
+  }
+
   /** Build a MediaRow dataset from the documents table (text bytes stand in
     * for media content — the driver testdata has no true binary column).
     */

@@ -3772,6 +3772,37 @@ object ExtensionQueries {
         .orderBy(col("id_a"))
     }),
 
+    // REAL typed-metadata probe over a MIXED media corpus: per sampled
+    // doc, one of PNG image / 3-frame GIF video / WAV audio / plain
+    // text by (doc_id/20) % 4 — the probe must type every blob and
+    // report its real dims / frame count / sample rate / sample count,
+    // all replayable from the synthesis formulas (byte_len dropped:
+    // encoded PNG/GIF length is deflate-dependent, not engine-pinnable).
+    "x178_media_probe" -> ((s, dir) => {
+      import s.implicits._
+      val ids = T(s, dir, "documents")
+        .select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(20)) === 0)
+        .as[Long]
+      val media = ids.map { id =>
+        val sel = (id / 20) % 4
+        val w = 16 + (id % 9).toInt
+        val h = 16 + (id % 7).toInt
+        val n = 256 + (id % 11).toInt * 32
+        val content = sel match {
+          case 0 => Multimodal.syntheticImage(id, w, h, "png")
+          case 1 => Multimodal.syntheticGif(id, w, h, 3)
+          case 2 => Multimodal.syntheticWav(id, n)
+          case _ => s"plain text doc $id".getBytes("UTF-8")
+        }
+        Multimodal.MediaRow(id, "mixed", content)
+      }
+      Multimodal
+        .mediaProbe(media)
+        .drop("byte_len")
+        .orderBy(col("doc_id"))
+    }),
+
     // x109 through gapFillAuto with the probe FORCED to the chunked
     // route (threshold 1e-9, floor 0: any non-empty frame trips) — the
     // driver gate proves the auto switch + time-epoch chunked LOCF are
@@ -7104,6 +7135,22 @@ object ExtensionQueries {
     "x177_audio_neardup" ->
       """SELECT doc_id * 2 AS id_a, doc_id * 2 + 1 AS id_b, CAST(0 AS INT) AS hamming
         |FROM documents WHERE doc_id % 20 = 0 ORDER BY id_a""".stripMargin,
+
+    // every blob typed and measured exactly from the synthesis formulas
+    "x178_media_probe" ->
+      """WITH d AS (SELECT doc_id, (doc_id // 20) % 4 AS sel,
+        |    16 + doc_id % 9 AS w, 16 + doc_id % 7 AS h,
+        |    256 + (doc_id % 11) * 32 AS n
+        |  FROM documents WHERE doc_id % 20 = 0)
+        |SELECT doc_id,
+        |  CASE sel WHEN 0 THEN 'image' WHEN 1 THEN 'video'
+        |           WHEN 2 THEN 'audio' ELSE 'unknown' END AS kind,
+        |  CAST(CASE WHEN sel <= 1 THEN w ELSE -1 END AS INT) AS width,
+        |  CAST(CASE WHEN sel <= 1 THEN h ELSE -1 END AS INT) AS height,
+        |  CAST(CASE WHEN sel = 0 THEN 1 WHEN sel = 1 THEN 3 ELSE -1 END AS INT) AS n_frames,
+        |  CAST(CASE WHEN sel = 2 THEN 16000 ELSE -1 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN sel = 2 THEN n ELSE -1 END AS BIGINT) AS n_samples
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // chunked-forced gapFillAuto == plain LOCF (x109's oracle verbatim)
     "x174_gapfill_auto" ->

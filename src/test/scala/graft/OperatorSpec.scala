@@ -382,6 +382,21 @@ class OperatorSpec extends SparkTestBase {
           normR(AsOfJoin.resample(obs, "k", "t", "1 hour", Seq("m"))),
         s"resampleAuto(floor=$floor) diverged from resample"
       )
+    // asofNearestAuto: one probe decides both directional passes; the
+    // route (chunked at floor 0 — every 20%-share key trips; plain at
+    // the default floor) is invisible to results
+    val nl = (0 until 100).map(i => (i.toLong % 5, i.toLong * 7, i.toLong)).toDF("k", "t", "lid")
+    val nr = (0 until 40).map(i => (i.toLong % 5, i.toLong * 11, s"r$i")).toDF("k", "t", "rv")
+    def nRows(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("lid"), col("rv")).collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val nearestPlain = nRows(AsOfJoin.asofNearest(nl, nr, "k", "t", "lid"))
+    for (floor <- Seq(0L, 8000000L))
+      assert(
+        nRows(AsOfJoin.asofNearestAuto(nl, nr, "k", "t", "lid", minHotRows = floor)) ==
+          nearestPlain,
+        s"asofNearestAuto(floor=$floor) diverged from asofNearest"
+      )
   }
 
   test("asofForward: earliest right >= left ts per key; equal-ts visible; timestamps negate safely") {

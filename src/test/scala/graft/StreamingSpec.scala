@@ -610,4 +610,43 @@ class StreamingSpec extends SparkTestBase {
     assert(n1 == 1)
     assert(accepted("doc-9") == (("doc-1", true)), s"string id must attach to stored entity: $accepted")
   }
+
+  test("StreamMediaDedup: cross-batch perceptual gate — twins collapse, replay idempotent") {
+    import graft.operators.Multimodal
+    val store = java.nio.file.Files.createTempDirectory("graft-media-fp").toString + "/fps"
+    def media(rows: (Long, Array[Byte])*) =
+      rows.map { case (id, c) => Multimodal.MediaRow(id, "image", c) }.toDS()
+    // same pixel plane in two containers: identical aHash (the x167
+    // lossless contract) — the re-encoded-copy regime
+    val imgA = Multimodal.syntheticImage(1L, 32, 24, "png")
+    val imgAbmp = Multimodal.syntheticImage(1L, 32, 24, "bmp")
+    val imgC = Multimodal.syntheticImage(9L, 32, 24, "png")
+    var got = Map.empty[Long, Set[Long]]
+    def acc(df: org.apache.spark.sql.DataFrame, ep: Long): Unit =
+      got += ep -> df.select(col("id")).collect().map(_.getLong(0)).toSet
+    // epoch 0: A + its BMP twin → smaller id survives the within-batch gate
+    val n0 = graft.streaming.StreamMediaDedup
+      .dedupFpBatch(Multimodal.aHash(media(10L -> imgA, 11L -> imgAbmp)), store, 0L, acc)
+    assert(n0 == 1 && got(0L) == Set(10L), s"epoch 0: $got")
+    // epoch 1: A re-ingested (re-encoded) + fresh C → only C survives
+    val n1 = graft.streaming.StreamMediaDedup
+      .dedupFpBatch(Multimodal.aHash(media(20L -> imgAbmp, 21L -> imgC)), store, 1L, acc)
+    assert(n1 == 1 && got(1L) == Set(21L), s"epoch 1: $got")
+    // replayed epoch 1: the store excludes its own first attempt, so the
+    // same survivors re-derive (at-least-once accept, exactly-once store)
+    val n1b = graft.streaming.StreamMediaDedup
+      .dedupFpBatch(Multimodal.aHash(media(20L -> imgAbmp, 21L -> imgC)), store, 1L, acc)
+    assert(n1b == 1 && got(1L) == Set(21L), s"epoch 1 replay: $got")
+    // audio fingerprints ride the same gate: an amplitude-doubled clip
+    // of an accepted clip is dropped cross-batch
+    val base = Array.tabulate(300)(i => (Multimodal.syntheticSample(7L, i) >> 2).toShort)
+    val a0 = graft.streaming.StreamMediaDedup.dedupFpBatch(
+      Multimodal.audioFingerprints(
+        media(30L -> Multimodal.wavFromSamples(base))), store, 2L, acc)
+    assert(a0 == 1 && got(2L) == Set(30L))
+    val a1 = graft.streaming.StreamMediaDedup.dedupFpBatch(
+      Multimodal.audioFingerprints(
+        media(31L -> Multimodal.wavFromSamples(base.map(x => (x * 2).toShort)))), store, 3L, acc)
+    assert(a1 == 0 && got(3L) == Set.empty[Long], s"scaled clip must drop: $got")
+  }
 }
