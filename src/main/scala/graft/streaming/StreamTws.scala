@@ -111,28 +111,60 @@ object StreamTws {
       }
   }
 
-  /** Event-time SESSIONIZATION with native timers: per key, events
-    * accumulate into a [[ValueState]] aggregate (count, span) plus a
-    * bounded [[ListState]] of sample ids; each batch re-arms one
-    * event-time timer at `maxEventTime + gap`, and when the WATERMARK
-    * passes it the session closes — [[handleExpiredTimer]] emits exactly
-    * one [[SessionOut]] and clears the key's state. Late events inside
-    * the watermark re-open nothing (the timer was re-armed); events
-    * later than the watermark are dropped upstream by `withWatermark`,
-    * identically to the built-in `session_window` (q21) semantics.
+  /** One OPEN session in [[SessionizeProcessor]] state: `n` events over
+    * `[lo, hi]` millis with up to maxSamples retained ids.
+    */
+  private[streaming] final case class OpenSess(n: Long, lo: Long, hi: Long, samples: Seq[String])
+
+  /** Event-time SESSIONIZATION with native timers and the built-in
+    * `session_window` MERGE SEMANTICS (half-open: an event at exactly
+    * `hi + gap` starts a NEW session): per key the state is a
+    * [[ListState]] of OPEN sessions; each arriving batch interval-merges
+    * its events into that list — gap-splitting WITHIN the batch too, so
+    * a historical backfill replayed in big micro-batches produces the
+    * same sessions the live feed would, not one fused monster session —
+    * and re-arms one event-time timer at the EARLIEST open close time
+    * (`min(hi) + gap`). When the watermark passes it,
+    * [[handleExpiredTimer]] emits every session whose close time has
+    * been reached and re-arms for the rest. Events later than the
+    * watermark are dropped upstream by `withWatermark`, identically to
+    * the built-in `session_window` (q21); `TwsStateSpec` pins a
+    * randomized equivalence against the batch `session_window` plan.
+    *
+    * Scale: open sessions per key are few (bounded by disorder within
+    * the watermark delay, not by history) and only TOUCHED keys rewrite
+    * their list — state stays O(open sessions), never O(events).
     */
   private[streaming] final class SessionizeProcessor(gapMs: Long, maxSamples: Int)
       extends StatefulProcessor[String, SessionEvent, SessionOut] {
-    @transient private var agg: ValueState[(Long, Long, Long)] = _ // n, minTs, maxTs
-    @transient private var samples: ListState[String] = _
+    @transient private var open: ListState[OpenSess] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      agg = getHandle.getValueState[(Long, Long, Long)](
-        "agg",
-        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
-        TTLConfig.NONE
-      )
-      samples = getHandle.getListState[String]("samples", Encoders.STRING, TTLConfig.NONE)
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getListState[OpenSess]("open", Encoders.product[OpenSess], TTLConfig.NONE)
+
+    /** Sweep-merge sessions sorted by `lo`: adjacent sessions fuse when
+      * `next.lo < cur.hi + gap` (the half-open `session_window` rule).
+      */
+    private def merged(all: Seq[OpenSess]): Seq[OpenSess] = {
+      val sorted = all.sortBy(s => (s.lo, s.hi))
+      val out = scala.collection.mutable.ArrayBuffer.empty[OpenSess]
+      sorted.foreach { s =>
+        if (out.nonEmpty && s.lo < out.last.hi + gapMs) {
+          val c = out.remove(out.length - 1)
+          out += OpenSess(
+            c.n + s.n,
+            math.min(c.lo, s.lo),
+            math.max(c.hi, s.hi),
+            (c.samples ++ s.samples).take(maxSamples)
+          )
+        } else out += s
+      }
+      out.toSeq
+    }
+
+    private def rearm(sessions: Seq[OpenSess]): Unit = {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      if (sessions.nonEmpty) getHandle.registerTimer(sessions.map(_.hi).min + gapMs)
     }
 
     override def handleInputRows(
@@ -140,20 +172,15 @@ object StreamTws {
         rows: Iterator[SessionEvent],
         timerValues: TimerValues
     ): Iterator[SessionOut] = {
-      var (n, lo, hi) =
-        if (agg.exists()) agg.get() else (0L, Long.MaxValue, Long.MinValue)
-      rows.foreach { e =>
+      val arrived = rows.map { e =>
         val t = e.ts.getTime
-        if (n < maxSamples) samples.appendValue(e.id)
-        n += 1
-        if (t < lo) lo = t
-        if (t > hi) hi = t
-      }
-      if (n > 0) {
-        agg.update((n, lo, hi))
-        // one armed timer per key: re-arm at the newest event + gap
-        getHandle.listTimers().foreach(getHandle.deleteTimer)
-        getHandle.registerTimer(hi + gapMs)
+        OpenSess(1L, t, t, Seq(e.id))
+      }.toSeq
+      if (arrived.nonEmpty) {
+        val all = merged(open.get().toSeq ++ arrived)
+        open.clear()
+        all.foreach(open.appendValue)
+        rearm(all)
       }
       Iterator.empty
     }
@@ -163,23 +190,63 @@ object StreamTws {
         timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo
     ): Iterator[SessionOut] = {
-      val out =
-        if (!agg.exists()) Iterator.empty[SessionOut]
-        else {
-          val (n, lo, hi) = agg.get()
-          Iterator.single(
-            SessionOut(
-              key,
-              n,
-              new java.sql.Timestamp(lo),
-              new java.sql.Timestamp(hi),
-              samples.get().toSeq
-            )
-          )
+      // the timer fired, so watermark >= its expiry; close by the CURRENT
+      // watermark (not just the expiry) so one firing drains every
+      // already-due session instead of leaking later close times into
+      // later batches one timer at a time
+      val due =
+        math.max(expiredTimerInfo.getExpiryTimeInMs(), timerValues.getCurrentWatermarkInMs())
+      val (closed, still) = open.get().toSeq.partition(_.hi + gapMs <= due)
+      open.clear()
+      still.foreach(open.appendValue)
+      rearm(still)
+      closed.sortBy(_.lo).iterator.map { s =>
+        SessionOut(key, s.n, new java.sql.Timestamp(s.lo), new java.sql.Timestamp(s.hi), s.samples)
+      }
+    }
+  }
+
+  /** `(key, fp)` for per-key distinct counting. */
+  final case class KeyedFp(key: String, fp: String)
+
+  /** Running distinct count for one key. */
+  final case class KeyCount(key: String, distinct: Long)
+
+  /** Per-key DISTINCT COUNT as a [[MapState]] processor (the third typed
+    * state variable, alongside [[FirstSeenProcessor]]'s ValueState and
+    * [[SessionizeProcessor]]'s ListState): membership lives in a map
+    * column family keyed by fp, so each arriving fp costs one POINT
+    * lookup + at most one point write — the key's full membership set is
+    * never deserialized, which is what makes a 1e9-distinct key viable
+    * where a ValueState[Set] would rewrite the whole blob per batch.
+    * Emits the updated running count per touched key per batch
+    * (Update-mode sink semantics; monotone per key).
+    */
+  private[streaming] final class DistinctPerKeyProcessor
+      extends StatefulProcessor[String, KeyedFp, KeyCount] {
+    @transient private var seen: MapState[String, Boolean] = _
+    @transient private var n: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      seen = getHandle
+        .getMapState[String, Boolean]("seen", Encoders.STRING, Encoders.scalaBoolean, TTLConfig.NONE)
+      n = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[KeyedFp],
+        timerValues: TimerValues
+    ): Iterator[KeyCount] = {
+      var c = if (n.exists()) n.get() else 0L
+      rows.foreach { r =>
+        if (!seen.containsKey(r.fp)) {
+          seen.updateValue(r.fp, true)
+          c += 1
         }
-      agg.clear()
-      samples.clear()
-      out
+      }
+      n.update(c)
+      Iterator.single(KeyCount(key, c))
     }
   }
 
@@ -226,5 +293,16 @@ object StreamTws {
         TimeMode.EventTime(),
         OutputMode.Append()
       )
+  }
+
+  /** Running per-key distinct-fp count (point-lookup [[MapState]]
+    * membership; Update output — the latest row per key is the count so
+    * far). The streaming mirror of `groupBy(key).agg(countDistinct(fp))`.
+    */
+  def distinctPerKey(rows: Dataset[KeyedFp]): Dataset[KeyCount] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.key)
+      .transformWithState(new DistinctPerKeyProcessor, TimeMode.None(), OutputMode.Update())
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 import java.sql.Timestamp
 import java.time.Duration
@@ -173,6 +174,107 @@ class TwsStateSpec extends SparkTestBase {
     assert(samples.size == 2 && samples.forall(Set("e1", "e2", "e3")), s"samples: $samples")
     // k2's session never closed: no timer has expired for it
     assert(!rows.exists(_.getString(0) == "k2"), s"k2 must still be open: $rows")
+  }
+
+  test("sessionize == batch session_window: randomized twin, chunked feed AND one-batch backfill") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val gapMs = 5000L
+    val rnd = new scala.util.Random(42)
+    // 5 keys × ~24 events over 120 s: gaps both within and across batches
+    val events = (0 until 120).map { i =>
+      StreamTws.SessionEvent(
+        s"k${rnd.nextInt(5)}",
+        f"e$i%03d",
+        new Timestamp(base + rnd.nextInt(120) * 1000L + rnd.nextInt(1000))
+      )
+    }
+    // expected sessions, computed independently in plain Scala with the
+    // half-open rule (an event at exactly hi + gap starts a NEW session)
+    def expected: Set[(String, Long, Long, Long)] =
+      events
+        .groupBy(_.key)
+        .flatMap { case (k, es) =>
+          val ts = es.map(_.ts.getTime).sorted
+          val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          ts.foreach { t =>
+            if (sessions.nonEmpty && t < sessions.last._3 + gapMs) {
+              val (n, lo, _) = sessions.remove(sessions.length - 1)
+              sessions += ((n + 1, lo, t))
+            } else sessions += ((1L, t, t))
+          }
+          sessions.map { case (n, lo, hi) => (k, n, lo, hi) }
+        }
+        .toSet
+    // ... and the BATCH session_window plan agrees with that rule
+    val batch = spark
+      .createDataFrame(events)
+      .groupBy(col("key"), org.apache.spark.sql.functions.session_window(col("ts"), "5 seconds"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect()
+      .map { r =>
+        val w = r.getStruct(1)
+        (r.getString(0), r.getLong(2), w.getTimestamp(0).getTime, w.getTimestamp(1).getTime - gapMs)
+      }
+      .toSet
+    assert(batch == expected, "batch session_window disagrees with the plain-Scala rule")
+
+    def run(feedChunks: Seq[Seq[StreamTws.SessionEvent]], name: String): Set[(String, Long, Long, Long)] = {
+      val input = MemoryStream[SessionEvent]
+      val out = StreamTws.sessionize(input.toDS(), Duration.ofMillis(gapMs), "5 seconds", maxSamples = 4)
+      val far1 = StreamTws.SessionEvent("zz", "s1", new Timestamp(base + 10000 * 1000L))
+      val far2 = StreamTws.SessionEvent("zz", "s2", new Timestamp(base + 10001 * 1000L))
+      val rows = runRocks(out, name)(
+        feedChunks.map(chunk => () => { input.addData(chunk: _*); () }) ++
+          // two sentinel batches: the first advances the watermark past every
+          // real close time, the second lets the timers fire under it
+          Seq(() => input.addData(far1), () => input.addData(far2))
+      )
+      rows
+        .filter(_.getString(0) != "zz")
+        .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2).getTime, r.getTimestamp(3).getTime))
+        .toSet
+    }
+    // chunked in-order feed: watermark advances between batches
+    val sorted = events.sortBy(_.ts.getTime)
+    assert(run(sorted.grouped(15).toSeq, "tws_twin_chunked") == expected, "chunked feed diverged")
+    // ONE-batch backfill: within-batch gap-splitting must produce the
+    // same sessions, not one fused monster per key
+    assert(run(Seq(sorted), "tws_twin_backfill") == expected, "backfill feed diverged")
+  }
+
+  test("distinctPerKey (MapState): final counts equal batch countDistinct") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val all = (0 until 300).map(i => StreamTws.KeyedFp(s"d${rnd.nextInt(4)}", s"fp${rnd.nextInt(40)}"))
+    val input = MemoryStream[StreamTws.KeyedFp]
+    val out = StreamTws.distinctPerKey(input.toDS())
+    val prev = spark.conf.getOption(ProviderKey)
+    val prevCk = spark.conf.getOption(ChecksumKey)
+    spark.conf.set(ProviderKey, RocksDb)
+    spark.conf.set(ChecksumKey, "false")
+    try {
+      val q = out.writeStream.format("memory").queryName("tws_distinct").outputMode("update").start()
+      try {
+        all.grouped(100).foreach { chunk => input.addData(chunk: _*); q.processAllAvailable() }
+        // counts are monotone per key: the max over emitted rows is the final
+        val got = spark
+          .table("tws_distinct")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+          .groupBy(_._1)
+          .view
+          .mapValues(_.map(_._2).max)
+          .toMap
+        val want = all.groupBy(_.key).view.mapValues(_.map(_.fp).distinct.size.toLong).toMap
+        assert(got == want, s"got $got want $want")
+      } finally q.stop()
+    } finally {
+      spark.conf.unset(ProviderKey)
+      prev.foreach(spark.conf.set(ProviderKey, _))
+      spark.conf.unset(ChecksumKey)
+      prevCk.foreach(spark.conf.set(ChecksumKey, _))
+    }
   }
 
   test("transformWithState refuses the HDFS-backed provider (needs column families)") {
