@@ -277,6 +277,12 @@ object StreamTws {
   /** Gap-based sessions over watermarked events. `watermarkDelay` is the
     * out-of-orderness bound (`withWatermark` on `ts`); a session closes
     * when the watermark passes its last event + `gap`.
+    *
+    * Keep `watermarkDelay <= gap`: with a delay LARGER than the gap, the
+    * watermark can admit an event that event-time-overlaps a session
+    * already closed and emitted — it then opens a NEW session rather
+    * than reopening the emitted one, exactly as the built-in streaming
+    * `session_window` behaves once it evicts a window's state.
     */
   def sessionize(
       events: Dataset[SessionEvent],
