@@ -2,7 +2,8 @@ package graft.streaming
 
 import java.time.Duration
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions.{col, max, struct}
 import org.apache.spark.sql.streaming._
 
 /** Spark-4-native custom state: the `transformWithState` /
@@ -78,11 +79,13 @@ object StreamTws {
     * [[ValueState]] membership check — 8 bytes of state per accepted
     * digest, in its own RocksDB column family.
     *
-    * With `ttl` set the store itself forgets a digest `ttl` after its
-    * last write (processing time), turning the operator into a
-    * sliding-horizon dedup whose state size is bounded by the accept
-    * rate × ttl instead of corpus lifetime — the knob the parquet-store
-    * mirror lacks.
+    * With `ttl` set the store forgets a digest `ttl` after its FIRST
+    * ACCEPTANCE (processing time): duplicate sightings hit the
+    * membership check without writing state, so they do NOT slide the
+    * eviction horizon — a digest that keeps re-arriving is re-admitted
+    * (and re-emitted) once per ttl window, and state size is bounded by
+    * the accept rate × ttl instead of corpus lifetime — the knob the
+    * parquet-store mirror lacks.
     */
   private[streaming] final class FirstSeenProcessor(ttl: TTLConfig)
       extends StatefulProcessor[String, FpRow, FpRow] {
@@ -95,21 +98,62 @@ object StreamTws {
         key: String,
         rows: Iterator[FpRow],
         timerValues: TimerValues
-    ): Iterator[FpRow] =
-      if (seen.exists()) {
-        Iterator.empty
-      } else {
-        // smallest id wins within the arriving batch — iterator order is
-        // partition-dependent, the min is not
-        var best: FpRow = null
-        rows.foreach { r => if (best == null || r.id < best.id) best = r }
-        if (best == null) Iterator.empty
-        else {
-          seen.update(timerValues.getCurrentProcessingTimeInMs())
-          Iterator.single(best)
-        }
-      }
+    ): Iterator[FpRow] = StreamTws.firstSeenHandle(seen, rows, timerValues)
   }
+
+  /** [[FirstSeenProcessor]] with BATCH→STREAM STATE BOOTSTRAP
+    * ([[StatefulProcessorWithInitialState]]): identical per-batch
+    * semantics, but on the FIRST micro-batch of a fresh checkpoint the
+    * engine hands every initial-state digest to [[handleInitialState]],
+    * which marks it seen — so a streaming query taking over a corpus
+    * accumulated by the parquet-store mirror ([[StreamDedup]]) resumes
+    * from that history instead of re-accepting it. The handoff runs
+    * exactly once per checkpoint lifetime; restarts recover the marks
+    * from the state store like any other state.
+    */
+  private[streaming] final class FirstSeenSeededProcessor(ttl: TTLConfig)
+      extends StatefulProcessorWithInitialState[String, FpRow, FpRow, String] {
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong, ttl)
+
+    override def handleInitialState(
+        key: String,
+        initialState: String,
+        timerValues: TimerValues
+    ): Unit =
+      seen.update(timerValues.getCurrentProcessingTimeInMs())
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[FpRow],
+        timerValues: TimerValues
+    ): Iterator[FpRow] = StreamTws.firstSeenHandle(seen, rows, timerValues)
+  }
+
+  /** Shared first-seen batch rule of [[FirstSeenProcessor]] /
+    * [[FirstSeenSeededProcessor]]: drop if the digest is marked, else
+    * emit the smallest-id row of the arriving batch and mark it.
+    */
+  private def firstSeenHandle(
+      seen: ValueState[Long],
+      rows: Iterator[FpRow],
+      timerValues: TimerValues
+  ): Iterator[FpRow] =
+    if (seen.exists()) {
+      Iterator.empty
+    } else {
+      // smallest id wins within the arriving batch — iterator order is
+      // partition-dependent, the min is not
+      var best: FpRow = null
+      rows.foreach { r => if (best == null || r.id < best.id) best = r }
+      if (best == null) Iterator.empty
+      else {
+        seen.update(timerValues.getCurrentProcessingTimeInMs())
+        Iterator.single(best)
+      }
+    }
 
   /** One OPEN session in [[SessionizeProcessor]] state: `n` events over
     * `[lo, hi]` millis with up to maxSamples retained ids.
@@ -221,15 +265,22 @@ object StreamTws {
     * where a ValueState[Set] would rewrite the whole blob per batch.
     * Emits the updated running count per touched key per batch
     * (Update-mode sink semantics; monotone per key).
+    *
+    * With `ttl` set, each map ENTRY evicts `ttl` after its write
+    * (processing time) — the same unbounded-key-domain hygiene
+    * [[FirstSeenProcessor]] has, per fp within each key. `distinct` then
+    * counts horizon-first sightings cumulatively: an fp whose entry has
+    * been evicted counts AGAIN on its next arrival (still monotone per
+    * key — it is an admission counter, not the live map size).
     */
-  private[streaming] final class DistinctPerKeyProcessor
+  private[streaming] final class DistinctPerKeyProcessor(ttl: TTLConfig)
       extends StatefulProcessor[String, KeyedFp, KeyCount] {
     @transient private var seen: MapState[String, Boolean] = _
     @transient private var n: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       seen = getHandle
-        .getMapState[String, Boolean]("seen", Encoders.STRING, Encoders.scalaBoolean, TTLConfig.NONE)
+        .getMapState[String, Boolean]("seen", Encoders.STRING, Encoders.scalaBoolean, ttl)
       n = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
     }
 
@@ -274,25 +325,91 @@ object StreamTws {
       .transformWithState(new FirstSeenProcessor(cfg), mode, OutputMode.Append())
   }
 
+  /** [[firstSeen]] with BATCH→STREAM STATE BOOTSTRAP: every digest in
+    * `seeds` is marked seen before the first micro-batch processes, so
+    * the query RESUMES a corpus instead of restarting it — re-ingests of
+    * already-accepted documents drop from batch one, row-identical to
+    * what the parquet-store mirror ([[StreamDedup]]) would decide
+    * (TwsStateSpec pins the accept/drop parity on planted re-ingests).
+    * Feed `seeds` from [[digestSeeds]] to migrate a [[StreamDedup]]
+    * store into native typed state.
+    *
+    * Seeding semantics: the engine applies initial state ONCE, on the
+    * first micro-batch of a FRESH checkpoint (restarts recover it from
+    * the store like any accepted digest); seeds are distinct-ed here
+    * because the handoff rejects duplicate grouping keys. Scale shape:
+    * the only extra exchange is one distinct + hash-partition over the
+    * DIGEST strings (32 bytes each, the corpus's accepted-set size — the
+    * same mass the digest store itself holds), paid once at query start.
+    */
+  def firstSeenSeeded(
+      rows: Dataset[FpRow],
+      seeds: Dataset[String],
+      ttl: Option[Duration] = None
+  ): Dataset[FpRow] = {
+    import rows.sparkSession.implicits._
+    val (cfg, mode) = ttl match {
+      case Some(d) => (TTLConfig(d), TimeMode.ProcessingTime())
+      case None    => (TTLConfig.NONE, TimeMode.None())
+    }
+    rows
+      .groupByKey(_.fp)
+      .transformWithState(
+        new FirstSeenSeededProcessor(cfg),
+        mode,
+        OutputMode.Append(),
+        seeds.distinct().groupByKey(identity[String])
+      )
+  }
+
+  /** The accepted-corpus digests of a [[StreamDedup]] digest store
+    * (`<store>/epoch=<n>/part-*.parquet`, `fp` =
+    * [[graft.operators.TextOps.fingerprintMd5]] hex strings) as a seed
+    * set for [[firstSeenSeeded]] — the migration path from the
+    * foreachBatch mirror to native typed state. Reads digests only;
+    * nothing collects.
+    */
+  def digestSeeds(spark: SparkSession, digestStore: String): Dataset[String] = {
+    import spark.implicits._
+    spark.read
+      .option("basePath", digestStore)
+      .parquet(digestStore)
+      .select(col("fp").cast("string"))
+      .as[String]
+  }
+
   /** Gap-based sessions over watermarked events. `watermarkDelay` is the
     * out-of-orderness bound (`withWatermark` on `ts`); a session closes
-    * when the watermark passes its last event + `gap`.
+    * when the watermark passes its last event + `gap`. When not given,
+    * the delay DEFAULTS TO THE GAP — the largest delay that can never
+    * admit an event overlapping an already-emitted session.
     *
     * Keep `watermarkDelay <= gap`: with a delay LARGER than the gap, the
     * watermark can admit an event that event-time-overlaps a session
     * already closed and emitted — it then opens a NEW session rather
     * than reopening the emitted one, exactly as the built-in streaming
-    * `session_window` behaves once it evicts a window's state.
+    * `session_window` behaves once it evicts a window's state. An
+    * explicit delay past the gap is accepted (late-data tolerance can be
+    * worth duplicate-session risk) but logged as a warning.
     */
   def sessionize(
       events: Dataset[SessionEvent],
       gap: Duration,
-      watermarkDelay: String = "10 seconds",
+      watermarkDelay: Option[Duration] = None,
       maxSamples: Int = 8
   ): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    val delay = watermarkDelay.getOrElse(gap)
+    if (delay.toMillis > gap.toMillis)
+      org.slf4j.LoggerFactory
+        .getLogger(getClass)
+        .warn(
+          s"sessionize: watermarkDelay ${delay.toMillis} ms exceeds gap ${gap.toMillis} ms — " +
+            "an admitted late event can overlap an already-emitted session and open a " +
+            "duplicate (the documented session_window hazard)"
+        )
     events
-      .withWatermark("ts", watermarkDelay)
+      .withWatermark("ts", s"${delay.toMillis} milliseconds")
       .groupByKey(_.key)
       .transformWithState(
         new SessionizeProcessor(gap.toMillis, maxSamples),
@@ -304,11 +421,142 @@ object StreamTws {
   /** Running per-key distinct-fp count (point-lookup [[MapState]]
     * membership; Update output — the latest row per key is the count so
     * far). The streaming mirror of `groupBy(key).agg(countDistinct(fp))`.
+    *
+    * `ttl = None` remembers every fp forever — on an unbounded fp domain
+    * that is unbounded state, so long-running deployments should set
+    * `ttl`: each membership entry evicts `ttl` after its write and the
+    * count becomes cumulative horizon-first admissions (an evicted fp
+    * counts again on re-arrival). The TTL'd form runs in ProcessingTime
+    * mode and inherits the [[firstSeen]] busy-loop caveat.
     */
-  def distinctPerKey(rows: Dataset[KeyedFp]): Dataset[KeyCount] = {
+  def distinctPerKey(
+      rows: Dataset[KeyedFp],
+      ttl: Option[Duration] = None
+  ): Dataset[KeyCount] = {
+    import rows.sparkSession.implicits._
+    val (cfg, mode) = ttl match {
+      case Some(d) => (TTLConfig(d), TimeMode.ProcessingTime())
+      case None    => (TTLConfig.NONE, TimeMode.None())
+    }
+    rows
+      .groupByKey(_.key)
+      .transformWithState(new DistinctPerKeyProcessor(cfg), mode, OutputMode.Update())
+  }
+
+  /** One tagged input row for [[enrichLatest]]: an OBSERVATION
+    * (`isObs = true`, `v = Some(feature)`) or an EVENT (`isObs = false`,
+    * `id` tags the event). `t` is the row's time axis (caller-chosen
+    * units, e.g. epoch millis).
+    */
+  final case class EnrichIn(key: String, t: Long, isObs: Boolean, id: String, v: Option[Double])
+
+  /** One enriched event from [[enrichLatest]]: the newest observation at
+    * or before the event (`feat`/`featT`), or None when no such
+    * observation is retained.
+    */
+  final case class EnrichOut(key: String, t: Long, id: String, feat: Option[Double], featT: Option[Long])
+
+  /** The newest observation per key — [[LatestEnrichProcessor]]'s
+    * ValueState payload and the [[latestObsSeeds]] bootstrap row.
+    */
+  final case class ObsSeed(key: String, t: Long, v: Double)
+
+  /** Streaming AS-OF ENRICH with bootstrap — the native-typed-state
+    * mirror of [[StreamAsOf]]'s feature-store pattern: per key, a
+    * ValueState holds the newest observation (t, v); each batch's rows
+    * sort by (t, obs-before-event-at-equal-t — the asofBackward side
+    * rule) and walk once, so an event picks up the newest observation at
+    * or before it, INCLUDING one that arrived in its own micro-batch.
+    *
+    * Single-version contract (what makes state O(keys), not O(history)):
+    * only the newest-t observation per key is retained across batches.
+    * Within the retained horizon enrichment equals the batch as-of; an
+    * event OLDER than the retained observation (late event straddling a
+    * newer feature version) enriches to None rather than resurrecting a
+    * discarded version — the feature-store "current version" rule. Feeds
+    * whose per-key observation times are non-decreasing (the watermarked
+    * common case) match [[graft.operators.AsOfJoin.asofBackward]] exactly
+    * (TwsStateSpec pins it).
+    */
+  private[streaming] final class LatestEnrichProcessor
+      extends StatefulProcessorWithInitialState[String, EnrichIn, EnrichOut, ObsSeed] {
+    @transient private var latest: ValueState[ObsSeed] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      latest = getHandle.getValueState[ObsSeed]("latest", Encoders.product[ObsSeed], TTLConfig.NONE)
+
+    override def handleInitialState(
+        key: String,
+        initialState: ObsSeed,
+        timerValues: TimerValues
+    ): Unit =
+      latest.update(initialState)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[EnrichIn],
+        timerValues: TimerValues
+    ): Iterator[EnrichOut] = {
+      // obs sorts before event at equal t: an observation AT the event
+      // time is visible — asofBackward's `<=` semantic
+      val batch = rows.toArray.sortBy(r => (r.t, if (r.isObs) 0 else 1))
+      var cur: ObsSeed = if (latest.exists()) latest.get() else null
+      val out = Vector.newBuilder[EnrichOut]
+      batch.foreach { r =>
+        if (r.isObs) {
+          if (cur == null || r.t >= cur.t) cur = ObsSeed(key, r.t, r.v.getOrElse(0.0))
+        } else if (cur != null && cur.t <= r.t) {
+          out += EnrichOut(key, r.t, r.id, Some(cur.v), Some(cur.t))
+        } else {
+          out += EnrichOut(key, r.t, r.id, None, None)
+        }
+      }
+      if (cur != null) latest.update(cur)
+      out.result().iterator
+    }
+  }
+
+  /** As-of enrich a tagged stream against per-key latest observations,
+    * bootstrapped from `seeds` (feed [[latestObsSeeds]] to resume from a
+    * [[StreamAsOf]] observation store). Emits one row per EVENT row;
+    * observation rows only update state.
+    */
+  def enrichLatest(
+      rows: Dataset[EnrichIn],
+      seeds: Dataset[ObsSeed]
+  ): Dataset[EnrichOut] = {
     import rows.sparkSession.implicits._
     rows
       .groupByKey(_.key)
-      .transformWithState(new DistinctPerKeyProcessor, TimeMode.None(), OutputMode.Update())
+      .transformWithState(
+        new LatestEnrichProcessor,
+        TimeMode.None(),
+        OutputMode.Append(),
+        seeds.groupByKey(_.key)
+      )
+  }
+
+  /** The newest observation per key of a [[StreamAsOf]] observation
+    * store, as [[enrichLatest]] bootstrap seeds: one partial-agg
+    * exchange over (key, time, value) triples — one summary row out per
+    * key, never history-sized. `max(struct(t, v))` picks the
+    * latest-time row (tie rule: largest v at equal t — duplicate
+    * (key, t) observations are sort-ambiguous in the batch as-of too).
+    */
+  def latestObsSeeds(
+      spark: SparkSession,
+      obsStore: String,
+      byCol: String,
+      timeCol: String,
+      valueCol: String
+  ): Dataset[ObsSeed] = {
+    import spark.implicits._
+    spark.read
+      .option("basePath", obsStore)
+      .parquet(obsStore)
+      .groupBy(col(byCol).cast("string").as("key"))
+      .agg(max(struct(col(timeCol).cast("long").as("t"), col(valueCol).cast("double").as("v"))).as("m"))
+      .select(col("key"), col("m.t").as("t"), col("m.v").as("v"))
+      .as[ObsSeed]
   }
 }

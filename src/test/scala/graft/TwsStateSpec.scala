@@ -123,10 +123,17 @@ class TwsStateSpec extends SparkTestBase {
         }
         input.addData(FpRow("a0", "fpA"), FpRow("b0", "fpB"))
         pollUntil(Seq(("a0", "fpA"), ("b0", "fpB")), "first batch")
-        // re-sent well inside the 3 s TTL: state is live, dropped (the
-        // busy-loop processes it in ms; the later assertions prove it
-        // was consumed and not emitted)
+        // re-sent well inside the 3 s TTL: state is live, dropped. Confirm
+        // a1's batch was actually PROCESSED (input-row count over the
+        // progress log reaches 3) before starting the eviction wait — on a
+        // loaded box "the busy-loop picks it up in ms" is not a given, and
+        // an a1 processed after expiry would be re-admitted and flip the
+        // assertion.
         input.addData(FpRow("a1", "fpA"))
+        val procDeadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        def inputRows(): Long = q.recentProgress.map(_.numInputRows).sum
+        while (inputRows() < 3 && System.nanoTime() < procDeadline) Thread.sleep(50)
+        assert(inputRows() >= 3, "a1's batch was never processed")
         // 10 s ≈ 3× TTL: the value has expired — re-admitted as first-seen
         Thread.sleep(10000)
         input.addData(FpRow("a2", "fpA"))
@@ -148,8 +155,8 @@ class TwsStateSpec extends SparkTestBase {
     val base = 1700000000000L
     def ts(sec: Long) = new Timestamp(base + sec * 1000)
     val input = MemoryStream[SessionEvent]
-    // gap 5 s, watermark delay 10 s, keep at most 2 sample ids
-    val out = StreamTws.sessionize(input.toDS(), Duration.ofSeconds(5), "10 seconds", maxSamples = 2)
+    // gap 5 s, default watermark delay (= gap), keep at most 2 sample ids
+    val out = StreamTws.sessionize(input.toDS(), Duration.ofSeconds(5), maxSamples = 2)
     val rows = runRocks(out, "tws_session")(
       Seq(
         // k1's session: 3 events spanning [0 s, 2 s]; only 2 sample ids retained
@@ -221,7 +228,8 @@ class TwsStateSpec extends SparkTestBase {
 
     def run(feedChunks: Seq[Seq[StreamTws.SessionEvent]], name: String): Set[(String, Long, Long, Long)] = {
       val input = MemoryStream[SessionEvent]
-      val out = StreamTws.sessionize(input.toDS(), Duration.ofMillis(gapMs), "5 seconds", maxSamples = 4)
+      val out = StreamTws.sessionize(
+        input.toDS(), Duration.ofMillis(gapMs), Some(Duration.ofSeconds(5)), maxSamples = 4)
       val far1 = StreamTws.SessionEvent("zz", "s1", new Timestamp(base + 10000 * 1000L))
       val far2 = StreamTws.SessionEvent("zz", "s2", new Timestamp(base + 10001 * 1000L))
       val rows = runRocks(out, name)(
@@ -275,6 +283,190 @@ class TwsStateSpec extends SparkTestBase {
       spark.conf.unset(ChecksumKey)
       prevCk.foreach(spark.conf.set(ChecksumKey, _))
     }
+  }
+
+  test("distinctPerKey TTL: an evicted fp recounts, a live one does not") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamTws.KeyedFp]
+    val out = StreamTws.distinctPerKey(input.toDS(), ttl = Some(Duration.ofSeconds(3)))
+    val prev = spark.conf.getOption(ProviderKey)
+    val prevCk = spark.conf.getOption(ChecksumKey)
+    spark.conf.set(ProviderKey, RocksDb)
+    spark.conf.set(ChecksumKey, "false")
+    try {
+      // ProcessingTime mode busy-loops (the firstSeen TTL caveat): judge
+      // progress by sink content only, never processAllAvailable
+      val q = out.writeStream.format("memory").queryName("tws_dttl").outputMode("update").start()
+      try {
+        def maxCount(): Long = {
+          val rows = spark.table("tws_dttl").collect()
+          if (rows.isEmpty) -1L else rows.map(_.getLong(1)).max
+        }
+        def pollUntil(want: Long, what: String): Unit = {
+          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          while (maxCount() != want && System.nanoTime() < deadline) Thread.sleep(100)
+          assert(maxCount() == want, s"$what: max count ${maxCount()}")
+        }
+        input.addData(StreamTws.KeyedFp("k", "x"))
+        pollUntil(1L, "first sighting counts")
+        // duplicate inside the 3 s TTL: membership is live → count stays 1.
+        // Confirm the batch was PROCESSED before the eviction wait (the
+        // r13 ADVICE discipline — never assume the busy-loop raced ahead).
+        input.addData(StreamTws.KeyedFp("k", "x"))
+        val procDeadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        def inputRows(): Long = q.recentProgress.map(_.numInputRows).sum
+        while (inputRows() < 2 && System.nanoTime() < procDeadline) Thread.sleep(50)
+        assert(inputRows() >= 2, "duplicate batch was never processed")
+        assert(maxCount() == 1L, "live duplicate must not recount")
+        // 10 s ≈ 3× TTL: entry evicted — the same fp counts AGAIN
+        Thread.sleep(10000)
+        input.addData(StreamTws.KeyedFp("k", "x"))
+        pollUntil(2L, "evicted fp must recount")
+      } finally q.stop()
+    } finally {
+      spark.conf.unset(ProviderKey)
+      prev.foreach(spark.conf.set(ProviderKey, _))
+      spark.conf.unset(ChecksumKey)
+      prevCk.foreach(spark.conf.set(ChecksumKey, _))
+    }
+  }
+
+  test("firstSeenSeeded: digest-store bootstrap is accept/drop-identical to the parquet mirror") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("tws-seed").toString
+    val store = s"$tmp/digests"
+    def docs(rows: (String, String)*) =
+      spark.createDataFrame(rows).toDF("id", "text")
+    def fps(df: org.apache.spark.sql.DataFrame): Seq[FpRow] =
+      df.select(col("id"), graft.operators.TextOps.fingerprintMd5(col("text")).as("fp"))
+        .collect()
+        .toSeq
+        .map(r => FpRow(r.getString(0), r.getString(1)))
+    // epoch 0 — the history the parquet mirror accumulated before the
+    // migration: 10 distinct texts, each ingested twice
+    val history = docs((0 until 20).map(i => (f"h$i%03d", s"doc ${i % 10}")): _*)
+    val n0 = graft.streaming.StreamDedup.dedupBatch(
+      history, col("text"), col("id"), store, 0L, (_, _) => ())
+    assert(n0 == 10L, s"history must accept 10 digests, got $n0")
+    // two post-migration batches: re-ingests of history + genuinely new
+    // docs, then a full replay of batch 1's content under fresh ids
+    val batch1 = docs(
+      ("e100", "doc 3"), ("e101", "doc 5"), ("e102", "doc new A"), ("e103", "doc new B"))
+    val batch2 = docs(
+      ("e200", "doc 3"), ("e201", "doc 5"), ("e202", "doc new A"), ("e203", "doc new B"))
+    // the MIRROR path's decisions on the same store (epochs 1 and 2)
+    def mirrorKept(batch: org.apache.spark.sql.DataFrame, epoch: Long): Set[(String, String)] = {
+      var kept = Set.empty[(String, String)]
+      graft.streaming.StreamDedup.dedupBatch(
+        batch, col("text"), col("id"), store, epoch,
+        (df, _) => kept = fps(df).map(r => (r.id, r.fp)).toSet)
+      kept
+    }
+    val mirror1 = mirrorKept(batch1, 1L)
+    val mirror2 = mirrorKept(batch2, 2L)
+    assert(mirror1.map(_._1) == Set("e102", "e103"), s"mirror epoch 1: $mirror1")
+    assert(mirror2.isEmpty, s"mirror replay must drop everything: $mirror2")
+    // the NATIVE path, seeded from the store AS OF THE MIGRATION POINT
+    // (epoch 0 only — the batches above also wrote epochs 1/2)
+    val seeds = StreamTws
+      .digestSeeds(spark, store)
+      .filter(_ != null)
+    val seedSet = spark.read.option("basePath", store).parquet(store)
+      .filter(col("epoch") === 0).select(col("fp")).collect().map(_.getString(0)).toSet
+    import spark.implicits._
+    val input = MemoryStream[FpRow]
+    val out = StreamTws.firstSeenSeeded(input.toDS(), seedSet.toSeq.toDS())
+    val rows = runRocks(out, "tws_seeded")(
+      Seq(
+        () => input.addData(fps(batch1): _*),
+        () => input.addData(fps(batch2): _*)
+      )
+    )
+    val got = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    // accept/drop parity: exactly the mirror's epoch-1 survivors, nothing
+    // from the replay (replay idempotency), nothing from history
+    assert(got == mirror1, s"seeded tws decisions diverge from the mirror: got $got want $mirror1")
+    assert(seeds.count() >= 10, "digestSeeds must read the store")
+  }
+
+  test("enrichLatest: seeded as-of enrich matches the batch as-of on in-order feeds") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("tws-obs").toString
+    val store = s"$tmp/obs"
+    // the observation history a StreamAsOf mirror accumulated: k1 has two
+    // versions (the seed must pick t=20), k2 one
+    spark
+      .createDataFrame(Seq(("k1", 10L, 1.0), ("k1", 20L, 2.0), ("k2", 15L, 5.0)))
+      .toDF("k", "t", "v")
+      .write
+      .parquet(s"$store/epoch=0")
+    val seeds = StreamTws.latestObsSeeds(spark, store, "k", "t", "v")
+    assert(
+      seeds.collect().map(s => (s.key, s.t, s.v)).toSet ==
+        Set(("k1", 20L, 2.0), ("k2", 15L, 5.0)),
+      "seed must be the newest observation per key"
+    )
+    import StreamTws.{EnrichIn, ObsSeed}
+    val input = MemoryStream[EnrichIn]
+    val out = StreamTws.enrichLatest(input.toDS(), seeds)
+    val rows = runRocks(out, "tws_enrich")(
+      Seq(
+        () =>
+          input.addData(
+            // in-order events against seeded state + a same-batch obs:
+            // e1 @25 sees the seed (2.0 @20); obs (30, 3.0) arrives in
+            // the SAME batch and e2 @30 must see it (obs-first at equal t)
+            EnrichIn("k1", 25L, isObs = false, "e1", None),
+            EnrichIn("k1", 30L, isObs = true, "", Some(3.0)),
+            EnrichIn("k1", 30L, isObs = false, "e2", None),
+            EnrichIn("k2", 15L, isObs = false, "e3", None),
+            // k3 has no history anywhere → None
+            EnrichIn("k3", 7L, isObs = false, "e4", None)
+          ),
+        () =>
+          input.addData(
+            // cross-batch state carry: e5 sees batch 1's obs
+            EnrichIn("k1", 35L, isObs = false, "e5", None),
+            // the documented single-version divergence: an event OLDER
+            // than the retained observation enriches to None
+            EnrichIn("k1", 12L, isObs = false, "e6", None)
+          )
+      )
+    )
+    val got = rows
+      .map(r =>
+        (r.getString(2), (if (r.isNullAt(3)) None else Some(r.getDouble(3))),
+          (if (r.isNullAt(4)) None else Some(r.getLong(4)))))
+      .toSet
+    val want = Set(
+      ("e1", Some(2.0), Some(20L)),
+      ("e2", Some(3.0), Some(30L)),
+      ("e3", Some(5.0), Some(15L)),
+      ("e4", None, None),
+      ("e5", Some(3.0), Some(30L)),
+      ("e6", None, None)
+    )
+    assert(got == want, s"got $got")
+    // cross-check the in-order events against the BATCH as-of over the
+    // full history (store ∪ stream observations): identical rows
+    val allObs = spark
+      .createDataFrame(
+        Seq(("k1", 10L, 1.0), ("k1", 20L, 2.0), ("k2", 15L, 5.0), ("k1", 30L, 3.0)))
+      .toDF("k", "t", "v")
+    val events = spark
+      .createDataFrame(
+        Seq(("k1", 25L, "e1"), ("k1", 30L, "e2"), ("k2", 15L, "e3"), ("k3", 7L, "e4"),
+          ("k1", 35L, "e5")))
+      .toDF("k", "t", "id")
+    val batchAsOf = graft.operators.AsOfJoin
+      .asofBackward(events, allObs, "k", "t")
+      .collect()
+      .map(r => (r.getString(2), Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toSet
+    val gotFeat = got.filter(_._1 != "e6").map(t => (t._1, t._2))
+    assert(batchAsOf == gotFeat, s"batch as-of $batchAsOf vs stream $gotFeat")
   }
 
   test("transformWithState refuses the HDFS-backed provider (needs column families)") {
