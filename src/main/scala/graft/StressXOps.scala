@@ -2956,6 +2956,31 @@ object StressXOps {
     )
     assert(cntP == cntK && sumP == sumK, "chunked as-of checksum diverged from the plain merge")
 
+    // PROBE COST A/B (r14, ADVICE r13): the tiered probe (bounded head
+    // sample, exact fallback only in the uncertain band) vs the full-scan
+    // probe, on both regimes. Uniform is the payoff case — the sample
+    // decides alone and the full pass never runs; hot pays sample + exact
+    // and earns it back from the chunked plan. Decisions must agree.
+    def probeAb(df: DataFrame, regime: String, rows: Long): Unit = {
+      val t0 = System.nanoTime()
+      val (mxE, totE) = operators.AsOfJoin.exactHotProbe(df, "k")
+      val exactS = (System.nanoTime() - t0) / 1e9
+      val exactDecision = mxE >= 1000000L && mxE.toDouble / totE > 0.10
+      operators.AsOfJoin.ProbeCache.clear()
+      val t1 = System.nanoTime()
+      val tiered = operators.AsOfJoin.preferChunkedOne(df, "k", 0.10, minHotRows = 1000000L)
+      val tieredS = (System.nanoTime() - t1) / 1e9
+      println(
+        f"[stressx] asof-probe $regime%s @ $rows%d rows: exact $exactS%.2f s, tiered $tieredS%.2f s (${exactS / tieredS}%.1fx); decisions equal ${tiered == exactDecision}"
+      )
+      record(
+        f"""{"stage":"asof_probe","regime":"$regime%s","rows":$rows%d,"exact_s":$exactS%.2f,"tiered_s":$tieredS%.2f,"speedup":${exactS / tieredS}%.2f,"decision_equal":${tiered == exactDecision}}"""
+      )
+      assert(tiered == exactDecision, s"probe decision parity broke on $regime")
+    }
+    probeAb(left, "uniform", n)
+    probeAb(hotLeft, "hot", n)
+
     // gapFill on the same monster-entity regime: the LOCF window vs the
     // chunked fill — one entity holding 30% of rows serializes the plain
     // window's partition; the chunked form spreads it over time epochs

@@ -366,6 +366,38 @@ object AsOfJoin {
   /** Single-frame form of the probe — the [[gapFillAuto]] cost model
     * (gap-fill has one input, not two). Same two-condition trip rule and
     * the same absolute-mass floor as [[preferChunked]].
+    *
+    * PROBE COST (the r13 advice): the naive probe is a full
+    * `groupBy(key)` pass over the input per auto call — column-pruned
+    * and partial-aggregated, but still a second full scan at 100 TB.
+    * This probe instead runs in up to three tiers, cheapest first:
+    *
+    *   1. **session cache** — results key on (canonicalized plan, byCol),
+    *      so repeated auto calls on an unchanged frame run ZERO probe
+    *      jobs (feature pipelines call gapFillAuto/resampleAuto on the
+    *      same frame many times);
+    *   2. **bounded head sample** — one job reading at most
+    *      `ProbePerPartition` (+1) rows per partition (the iterator
+    *      stops pulling, so a parquet task touches a few pages, never
+    *      its whole split). Share is scale-invariant, so the sample
+    *      decides WITHOUT a total row count: a hottest-sample-share at
+    *      or below half the threshold is confidently uniform → plain
+    *      path, full scan avoided entirely — the common case. A sample
+    *      that covered the whole input (nothing truncated) decides
+    *      exactly.
+    *   3. **exact probe** — only when the sample lands in the uncertain
+    *      band (share above thr/2 on a truncated sample): the original
+    *      full groupBy settles both the true share and the absolute
+    *      `minHotRows` floor (which a headless sample cannot bound).
+    *      Hot corpora therefore still pay one exact pass — and earn it
+    *      back 2–3.5× from the chunked plan it enables.
+    *
+    *  A head sample is biased when partition SIZES are heavily skewed
+    *  (a monster key hiding in one giant partition can under-show);
+    *  the miss is performance-only — both routed plans are spec-pinned
+    *  row-identical — and callers who know the layout can force
+    *  [[asofBackwardChunked]] directly. Decision parity with the exact
+    *  probe on both skew fixtures is pinned in OperatorSpec/SkewGenSpec.
     */
   private[graft] def preferChunkedOne(
       df: DataFrame,
@@ -377,14 +409,110 @@ object AsOfJoin {
       hotShareThreshold > 0.0 && hotShareThreshold <= 1.0,
       s"hotShareThreshold in (0,1], got $hotShareThreshold"
     )
+    val planKey = (df.queryExecution.analyzed.canonicalized, byCol.toLowerCase)
+    def decideExact(mx: Long, tot: Long): Boolean =
+      tot > 0 && mx >= minHotRows && mx.toDouble / tot > hotShareThreshold
+    ProbeCache.exact(planKey) match {
+      case Some((mx, tot)) => decideExact(mx, tot)
+      case None =>
+        val (mxS, totS, truncated) = ProbeCache
+          .sampled(planKey)
+          .getOrElse {
+            val s = headSampleProbe(df, byCol)
+            ProbeCache.putSampled(planKey, s)
+            s
+          }
+        if (totS == 0L) false
+        else if (!truncated) decideExact(mxS, totS) // sample == whole input
+        else if (mxS.toDouble / totS <= hotShareThreshold / 2) false // confidently uniform
+        else {
+          val e = exactHotProbe(df, byCol)
+          ProbeCache.putExact(planKey, e)
+          decideExact(e._1, e._2)
+        }
+    }
+  }
+
+  /** Rows the head-sample probe pulls per partition. 4096 × the usual
+    * 32–200 partitions keeps the sample row count in the low hundreds
+    * of thousands — aggregated distributedly, never collected.
+    */
+  private[graft] val ProbePerPartition: Int = 4096
+
+  /** One bounded job: from every partition take the first
+    * [[ProbePerPartition]] key values (+1 probe row to detect
+    * truncation), then one distributed aggregate over the sample.
+    * Returns (hottest sample count, sample rows, any partition
+    * truncated).
+    */
+  private[graft] def headSampleProbe(df: DataFrame, byCol: String): (Long, Long, Boolean) = {
+    import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
+    val spark = df.sparkSession
+    val keyed = df.select(col(byCol).as("__k"))
+    val keyField = keyed.schema.head
+    val perPart = ProbePerPartition
+    val sampledRdd = keyed.rdd.mapPartitions { it =>
+      val head = it.take(perPart).map(r => org.apache.spark.sql.Row(r.get(0), false)).toVector
+      if (it.hasNext) head.iterator ++ Iterator(org.apache.spark.sql.Row(null, true))
+      else head.iterator
+    }
+    val schema = StructType(
+      Seq(keyField.copy(nullable = true), StructField("__extra", BooleanType, nullable = false))
+    )
+    val r = spark
+      .createDataFrame(sampledRdd, schema)
+      .groupBy(col("__k"), col("__extra"))
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        max(when(!col("__extra"), col("n"))).as("mx"),
+        sum(when(!col("__extra"), col("n"))).as("tot"),
+        max(when(col("__extra"), lit(1)).otherwise(lit(0))).as("trunc")
+      )
+      .head()
+    if (r.isNullAt(1) || r.getLong(1) == 0L) (0L, 0L, false)
+    else (r.getLong(0), r.getLong(1), r.getInt(2) > 0)
+  }
+
+  /** The exact full-scan probe (the pre-r14 behavior): hottest key count
+    * and total rows, one column-pruned partial-agg pass.
+    */
+  private[graft] def exactHotProbe(df: DataFrame, byCol: String): (Long, Long) = {
     val r = df
       .groupBy(col(byCol))
       .agg(count(lit(1)).as("n"))
       .agg(max(col("n")).as("mx"), sum(col("n")).as("tot"))
       .head()
-    val (mx, tot) =
-      if (r.isNullAt(1) || r.getLong(1) == 0L) (0L, 0L) else (r.getLong(0), r.getLong(1))
-    tot > 0 && mx >= minHotRows && mx.toDouble / tot > hotShareThreshold
+    if (r.isNullAt(1) || r.getLong(1) == 0L) (0L, 0L) else (r.getLong(0), r.getLong(1))
+  }
+
+  /** Session-scoped probe-result cache (r13 advice #8): keyed by the
+    * frame's CANONICALIZED analyzed plan + key column, bounded LRU, so N
+    * auto calls on an unchanged frame pay for one probe. Correctness
+    * never depends on it — a stale entry (the underlying files changed
+    * under the same plan) can only mis-route between two spec-pinned
+    * row-identical plans.
+    */
+  private[graft] object ProbeCache {
+    private val MaxEntries = 64
+    private type Key = (Any, String)
+    private val sampledM =
+      new java.util.LinkedHashMap[Key, (Long, Long, Boolean)](16, 0.75f, true) {
+        override protected def removeEldestEntry(
+            e: java.util.Map.Entry[Key, (Long, Long, Boolean)]
+        ): Boolean = size() > MaxEntries
+      }
+    private val exactM = new java.util.LinkedHashMap[Key, (Long, Long)](16, 0.75f, true) {
+      override protected def removeEldestEntry(
+          e: java.util.Map.Entry[Key, (Long, Long)]
+      ): Boolean = size() > MaxEntries
+    }
+    def sampled(k: Key): Option[(Long, Long, Boolean)] =
+      synchronized(Option(sampledM.get(k)))
+    def putSampled(k: Key, v: (Long, Long, Boolean)): Unit =
+      synchronized { sampledM.put(k, v); () }
+    def exact(k: Key): Option[(Long, Long)] = synchronized(Option(exactM.get(k)))
+    def putExact(k: Key, v: (Long, Long)): Unit = synchronized { exactM.put(k, v); () }
+    def clear(): Unit = synchronized { sampledM.clear(); exactM.clear() }
   }
 
   /** [[asofForward]] through the chunked monster-key path: forward ≡

@@ -212,6 +212,69 @@ class OperatorSpec extends SparkTestBase {
     assert(!AsOfJoin.preferChunked(uniform.limit(0), right.limit(0), "k", 0.10, minHotRows = 0L))
   }
 
+  test("probe tiers: head-sample decision parity with the exact probe on both skew regimes") {
+    // frames big enough to TRUNCATE the head sample (> partitions ×
+    // ProbePerPartition), so the sampled tier actually decides/falls back
+    val parts = spark.sparkContext.defaultParallelism
+    val n = (parts.toLong * AsOfJoin.ProbePerPartition * 3).max(300000L)
+    val uniform = spark.range(n).select(
+      pmod(xxhash64(col("id")), lit(1000L)).as("k"), col("id").as("t"))
+    val hot = spark.range(n).select(
+      when(pmod(xxhash64(col("id"), lit(7)), lit(100L)) < 30, lit(0L))
+        .otherwise(pmod(xxhash64(col("id")), lit(1000L))).as("k"),
+      col("id").as("t"))
+    for ((df, name) <- Seq((uniform, "uniform"), (hot, "hot"))) {
+      AsOfJoin.ProbeCache.clear()
+      val (mxS, totS, trunc) = AsOfJoin.headSampleProbe(df, "k")
+      assert(trunc, s"$name: sample must truncate at n=$n (sampled $totS)")
+      assert(totS > 0 && mxS <= totS)
+      val (mxE, totE) = AsOfJoin.exactHotProbe(df, "k")
+      val exactDecision = mxE >= 1000L && mxE.toDouble / totE > 0.10
+      AsOfJoin.ProbeCache.clear()
+      val tiered = AsOfJoin.preferChunkedOne(df, "k", 0.10, minHotRows = 1000L)
+      assert(tiered == exactDecision, s"$name: tiered=$tiered exact=$exactDecision")
+    }
+  }
+
+  test("probe cache: N auto probes on an unchanged frame run jobs exactly once") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    // listener events are async: read the counter only once it has been
+    // stable for a few polls
+    def settled(): Int = {
+      var prev = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val cur = jobs.get()
+        if (cur == prev) stable += 1 else stable = 0
+        prev = cur
+      }
+      prev
+    }
+    val df = spark.range(400000L).select(
+      pmod(xxhash64(col("id")), lit(1000L)).as("k"), col("id").as("t"))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      AsOfJoin.ProbeCache.clear()
+      val d1 = AsOfJoin.preferChunkedOne(df, "k", 0.10, minHotRows = 0L)
+      val after1 = settled()
+      assert(after1 >= 1, "first probe must run at least one job")
+      // second and third calls — same frame, same column: cache hits, ZERO jobs
+      val d2 = AsOfJoin.preferChunkedOne(df, "k", 0.10, minHotRows = 0L)
+      val d3 = AsOfJoin.preferChunkedOne(df, "k", 0.25, minHotRows = 0L)
+      val after3 = settled()
+      assert(d1 == d2, "cached decision diverged")
+      assert(after3 == after1, s"repeat probes ran ${after3 - after1} extra jobs")
+      // d3 re-derives from the CACHED stats under a different threshold
+      assert(!d3 || d1, "a stricter threshold cannot flip uniform to hot")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("asofBackwardChunked: a null-time-only predecessor seeds its ACTUAL values across chunks") {
     import spark.implicits._
     // regression (ADVICE r12): the summary used max_by(struct, t), which
