@@ -156,6 +156,159 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** REAL multi-frame video decode for UNCOMPRESSED video: a native
+    * YUV4MPEG2 (Y4M) parser — the raw-frame container ffmpeg/mjpegtools
+    * exchange, and the closable slice of "video beyond GIF" inside the
+    * pure-JDK ceiling (no public JDK-only H.264 path exists; raw planes
+    * need no codec at all). Returns one (width, height, luma) per frame:
+    * the luma plane IS the first w·h bytes of each frame payload, so the
+    * decode is trivially lossless and formula-replayable.
+    *
+    * Format (public spec): ASCII header `YUV4MPEG2 W<w> H<h> ...\n` with
+    * space-separated parameters, then per frame an ASCII `FRAME...\n`
+    * marker followed by the fixed-size plane payload. Supported
+    * colorspaces: C420* (any 420 flavor — chroma subsampled 2×2), C422,
+    * C444, Cmono; odd dimensions size chroma planes as ceil(w/2)·ceil(h/2)
+    * (the even-dims case every real stream uses is unaffected). Unknown
+    * colorspaces, bad magic, or absurd planes (> 64M px, the
+    * [[decodeImage]] shed bound) return None.
+    *
+    * Truncation discipline (the WarcSplit/x96 rule): a corrupt FRAME
+    * marker or a partial tail frame ends the walk and KEEPS the frames
+    * that did decode; a stream with no complete frame returns None.
+    */
+  def decodeY4mFrames(
+      bytes: Array[Byte],
+      maxFrames: Int = 4096
+  ): Option[IndexedSeq[(Int, Int, Array[Byte])]] = {
+    if (bytes == null || bytes.length < 11) return None
+    val magic = "YUV4MPEG2 "
+    var i = 0
+    while (i < magic.length) {
+      if (bytes(i) != magic.charAt(i).toByte) return None
+      i += 1
+    }
+    var hdrEnd = magic.length
+    while (hdrEnd < bytes.length && bytes(hdrEnd) != '\n') hdrEnd += 1
+    if (hdrEnd >= bytes.length) return None
+    val params = new String(bytes, magic.length, hdrEnd - magic.length, "US-ASCII")
+      .split(' ')
+      .filter(_.nonEmpty)
+    var w = -1
+    var h = -1
+    var cs = "420" // the spec default when C is absent
+    params.foreach { p =>
+      p.charAt(0) match {
+        case 'W' => w = p.drop(1).toIntOption.getOrElse(-1)
+        case 'H' => h = p.drop(1).toIntOption.getOrElse(-1)
+        case 'C' => cs = p.drop(1)
+        case _   => () // F (rate), I (interlace), A (aspect), X (comment)
+      }
+    }
+    if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
+    val lumaLen = w.toLong * h
+    val chromaPlane = ((w + 1) / 2).toLong * ((h + 1) / 2)
+    val frameLen: Long =
+      if (cs.startsWith("420")) lumaLen + 2 * chromaPlane
+      else if (cs.startsWith("422")) lumaLen + 2 * (((w + 1) / 2).toLong * h)
+      else if (cs.startsWith("444")) 3 * lumaLen
+      else if (cs.startsWith("mono")) lumaLen
+      else return None
+    val out = Vector.newBuilder[(Int, Int, Array[Byte])]
+    var n = 0
+    var pos = hdrEnd + 1
+    var done = false
+    val frameMagic = "FRAME"
+    while (!done && n < maxFrames && pos < bytes.length) {
+      // expect a FRAME marker line; anything else = corrupt tail → keep
+      // what decoded
+      var ok = pos + frameMagic.length <= bytes.length
+      var j = 0
+      while (ok && j < frameMagic.length) {
+        if (bytes(pos + j) != frameMagic.charAt(j).toByte) ok = false
+        j += 1
+      }
+      if (!ok) done = true
+      else {
+        var lineEnd = pos + frameMagic.length
+        while (lineEnd < bytes.length && bytes(lineEnd) != '\n') lineEnd += 1
+        val dataStart = lineEnd + 1L
+        if (lineEnd >= bytes.length || dataStart + frameLen > bytes.length) done = true
+        else {
+          out += ((w, h, java.util.Arrays.copyOfRange(
+            bytes, dataStart.toInt, (dataStart + lumaLen).toInt)))
+          n += 1
+          pos = (dataStart + frameLen).toInt
+        }
+      }
+    }
+    val frames = out.result()
+    if (frames.isEmpty) None else Some(frames)
+  }
+
+  /** Deterministic synthetic Y4M encoder — the raw-container twin of
+    * [[syntheticGif]], hand-rolled (shares no code with the parser under
+    * test): luma plane pixel (x, y) of frame k is
+    * `syntheticPixel(frameSeed(seed, k), x, y) & 0xff` — the SAME plane
+    * formula as the GIF twin, so the same video encoded in both
+    * containers must hash frame-identically — and chroma planes are a
+    * constant 0x80 (gray). `editFrame`/`editSeedDelta` plant a shot edit
+    * exactly as in [[syntheticGif]].
+    */
+  def syntheticY4m(
+      seed: Long,
+      w: Int,
+      h: Int,
+      nFrames: Int,
+      editFrame: Int = -1,
+      editSeedDelta: Long = 0L,
+      colorspace: String = "C420"
+  ): Array[Byte] = {
+    require(w >= 1 && h >= 1 && nFrames >= 1)
+    val chromaLen = colorspace match {
+      case c if c.startsWith("C420")  => 2 * (((w + 1) / 2) * ((h + 1) / 2))
+      case c if c.startsWith("C422")  => 2 * (((w + 1) / 2) * h)
+      case c if c.startsWith("C444")  => 2 * w * h
+      case c if c.startsWith("Cmono") => 0
+      case c => throw new IllegalArgumentException(s"unsupported colorspace '$c'")
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    baos.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 ${colorspace}\n".getBytes("US-ASCII"))
+    var k = 0
+    while (k < nFrames) {
+      baos.write("FRAME\n".getBytes("US-ASCII"))
+      val fSeed = if (k == editFrame) frameSeed(seed, k) + editSeedDelta else frameSeed(seed, k)
+      val luma = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          luma(y * w + x) = (syntheticPixel(fSeed, x, y) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      baos.write(luma)
+      if (chromaLen > 0) {
+        val chroma = new Array[Byte](chromaLen)
+        java.util.Arrays.fill(chroma, 0x80.toByte)
+        baos.write(chroma)
+      }
+      k += 1
+    }
+    baos.toByteArray
+  }
+
+  /** Multi-frame video decode across the supported containers: animated
+    * GIF ([[decodeGifFrames]]) or raw YUV4MPEG2 ([[decodeY4mFrames]]).
+    * The shared front door of [[videoFrameHashes]]/[[mediaProbe]].
+    */
+  def decodeVideoFrames(
+      bytes: Array[Byte],
+      maxFrames: Int = 4096
+  ): Option[IndexedSeq[(Int, Int, Array[Byte])]] =
+    decodeGifFrames(bytes, maxFrames).orElse(decodeY4mFrames(bytes, maxFrames))
+
   /** 8-bin L1-normalized histogram of an unsigned byte plane (the honest
     * feature vector both decode paths share).
     */
@@ -314,18 +467,20 @@ object Multimodal {
   /** Per-frame seed of [[syntheticGif]], exposed for formula replay. */
   def frameSeed(seed: Long, k: Int): Long = seed + 131L * k
 
-  /** REAL video frame sampling + hashing: for GIF content, decode every
-    * `stride`-th frame through [[decodeGifFrames]] and hash its luma
-    * plane with the classic 8×8 aHash — (doc_id, frame_idx, width,
-    * height, simhash), the [[aHash]] column contract extended by a frame
-    * axis, so the Manku pigeonhole blocking
+  /** REAL video frame sampling + hashing: for GIF or raw Y4M content,
+    * decode every `stride`-th frame through [[decodeVideoFrames]] and
+    * hash its luma plane with the classic 8×8 aHash — (doc_id,
+    * frame_idx, width, height, simhash), the [[aHash]] column contract
+    * extended by a frame axis, so the Manku pigeonhole blocking
     * ([[graft.operators.Dedup.pairsFromFps]]) applies to frames
-    * unchanged (near-dup SHOTS across a video corpus). Non-GIF content
-    * falls back to the block semantics of [[sampleFrames]]:
-    * `fallbackFrameSize`-byte chunks of the raw plane, 1-D
-    * [[planeAHash]] per full block (width = block bytes, height = 1).
-    * Zero-shuffle mapPartitions — one task amortizes reader init across
-    * its partition, the [[decode]] batch shape.
+    * unchanged (near-dup SHOTS across a video corpus) — and because both
+    * containers decode to the same luma planes, the SAME video in a GIF
+    * and a Y4M hashes frame-identically (cross-container dedup,
+    * spec-pinned). Non-video content falls back to the block semantics
+    * of [[sampleFrames]]: `fallbackFrameSize`-byte chunks of the raw
+    * plane, 1-D [[planeAHash]] per full block (width = block bytes,
+    * height = 1). Zero-shuffle mapPartitions — one task amortizes reader
+    * init across its partition, the [[decode]] batch shape.
     */
   def videoFrameHashes(
       ds: Dataset[MediaRow],
@@ -335,7 +490,7 @@ object Multimodal {
     require(stride >= 1 && fallbackFrameSize >= 1)
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.flatMap { r =>
-      decodeGifFrames(r.content) match {
+      decodeVideoFrames(r.content) match {
         case Some(frames) =>
           frames.iterator.zipWithIndex.collect {
             case ((w, h, luma), k) if k % stride == 0 =>
@@ -395,18 +550,67 @@ object Multimodal {
     h
   }
 
+  /** INTEGER-EXACT nearest-neighbor resample of an interleaved PCM
+    * sample array to a new rate: output frame i copies source frame
+    * `(i · srcRate) / dstRate` (long math — no float phase accumulator,
+    * so the mapping is bit-deterministic on any engine and replayable
+    * from the formula alone). Frames move WHOLE (all `channels` samples
+    * together), so channel alignment survives. For integer downsample
+    * ratios this is exact decimation: a 16 kHz clip resampled to 8 kHz
+    * is precisely its even frames — the property the cross-rate
+    * fingerprint invariance (x181) is built on. Nearest-neighbor adds no
+    * anti-alias filter; for FINGERPRINTING that is the right trade
+    * (determinism over fidelity) — this is not an audio-quality
+    * resampler.
+    */
+  def resampleToRate(
+      samples: Array[Short],
+      channels: Int,
+      srcRate: Int,
+      dstRate: Int
+  ): Array[Short] = {
+    require(channels >= 1 && srcRate >= 1 && dstRate >= 1)
+    if (srcRate == dstRate) return samples
+    val nFrames = samples.length / channels
+    val outFrames = (nFrames.toLong * dstRate / srcRate).toInt
+    val out = new Array[Short](outFrames * channels)
+    var i = 0
+    while (i < outFrames) {
+      val src = (i.toLong * srcRate / dstRate).toInt
+      var c = 0
+      while (c < channels) { out(i * channels + c) = samples(src * channels + c); c += 1 }
+      i += 1
+    }
+    out
+  }
+
   /** Per-clip audio fingerprints: REAL WAV decode ([[decodeWav]]) →
     * [[energyFingerprint]] over the signed samples; non-audio blobs
     * fingerprint their centered raw bytes (x − 128) so the operator is
     * total. Returns (id, simhash) — the [[graft.operators.Dedup.simhash]]
     * column contract, same as [[aHash]], so the Manku blocking is
     * shared. Zero-shuffle mapPartitions.
+    *
+    * `normalizeRate = Some(r)`: decoded clips first resample to `r` Hz
+    * ([[resampleToRate]] — integer-exact decimation), making the
+    * fingerprint RATE-invariant on top of its built-in amplitude
+    * invariance: the same recording shipped at 16 kHz and 8 kHz
+    * fingerprints identically (exactly, when one rate divides the
+    * other). Non-WAV fallbacks have no rate and skip normalization.
     */
-  def audioFingerprints(ds: Dataset[MediaRow], bits: Int = 64): DataFrame = {
+  def audioFingerprints(
+      ds: Dataset[MediaRow],
+      bits: Int = 64,
+      normalizeRate: Option[Int] = None
+  ): DataFrame = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.map { r =>
       val samples = decodeWav(r.content) match {
-        case Some((_, _, s)) => s
+        case Some((rate, ch, s)) =>
+          normalizeRate match {
+            case Some(ref) => resampleToRate(s, ch, rate, ref)
+            case None      => s
+          }
         case None =>
           val c = if (r.content == null) Array.emptyByteArray else r.content
           val out = new Array[Short](c.length)
@@ -425,9 +629,14 @@ object Multimodal {
     * fingerprints only on the join. Returns (id_a, id_b, hamming),
     * id_a < id_b.
     */
-  def audioNearDupPairs(ds: Dataset[MediaRow], maxHamming: Int = 4, blocks: Int = 8): DataFrame =
+  def audioNearDupPairs(
+      ds: Dataset[MediaRow],
+      maxHamming: Int = 4,
+      blocks: Int = 8,
+      normalizeRate: Option[Int] = None
+  ): DataFrame =
     Dedup
-      .pairsFromFps(audioFingerprints(ds), maxHamming, blocks)
+      .pairsFromFps(audioFingerprints(ds, normalizeRate = normalizeRate), maxHamming, blocks)
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
 
   /** VIDEO-level near-dup pairs from frame hashes — the shot-signature
@@ -547,9 +756,11 @@ object Multimodal {
     *   (doc_id, kind, byte_len, width, height, n_frames, sample_rate,
     *    n_samples)
     *
-    * kind ∈ image | video (multi-frame GIF) | audio | unknown. Images
+    * kind ∈ image | video (multi-frame GIF, or Y4M at any frame count —
+    * the container is video by definition) | audio | unknown. Images
     * decode through [[decodeImage]] (n_frames = 1), GIFs with > 1 frame
-    * through [[decodeGifFrames]] (dims of frame 0), WAV through
+    * through [[decodeGifFrames]] (dims of frame 0), Y4M through
+    * [[decodeY4mFrames]], WAV through
     * [[decodeWav]] (n_samples counts per-channel interleaved samples);
     * undecodable blobs are `unknown` with only byte_len populated
     * (−1 elsewhere — never nulls, so downstream filters are total).
@@ -561,9 +772,16 @@ object Multimodal {
       val len = if (r.content == null) 0 else r.content.length
       val isGif = len >= 4 && r.content(0) == 'G' && r.content(1) == 'I' &&
         r.content(2) == 'F' && r.content(3) == '8'
-      val gifFrames = if (isGif) decodeGifFrames(r.content) else None
-      gifFrames match {
-        case Some(frames) if frames.length > 1 =>
+      val isY4m = len >= 10 && r.content(0) == 'Y' && r.content(1) == 'U' &&
+        r.content(2) == 'V' && r.content(3) == '4'
+      // a Y4M is a video CONTAINER — typed video at any frame count; a
+      // 1-frame GIF stays an image (the still-photo common case)
+      val videoFrames =
+        if (isGif) decodeGifFrames(r.content).filter(_.length > 1)
+        else if (isY4m) decodeY4mFrames(r.content)
+        else None
+      videoFrames match {
+        case Some(frames) =>
           val (w, h, _) = frames.head
           (r.doc_id, "video", len, w, h, frames.length, -1, -1L)
         case _ =>

@@ -3803,6 +3803,116 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL raw-frame VIDEO decode (x171's contract on the second
+    // container): per sampled doc, a 4-frame YUV4MPEG2 stream — the
+    // uncompressed container, parsed by the native Y4M walk, luma ==
+    // the formula plane verbatim — with docs where doc_id % 40 == 0
+    // carrying a planted frame-2 edit. matches_clean must flip false
+    // exactly at the edits; dims pin the header parse.
+    "x179_y4m_frames" -> ((s, dir) => {
+      import s.implicits._
+      val nf = 4
+      val ids = T(s, dir, "documents")
+        .select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(20)) === 0)
+        .as[Long]
+      val media = ids.map { id =>
+        val w = 24 + (id % 17).toInt
+        val h = 24 + (id % 13).toInt
+        val edit = if (id % 40 == 0) 2 else -1
+        Multimodal.MediaRow(
+          id,
+          "video/y4m",
+          Multimodal.syntheticY4m(id, w, h, nf, editFrame = edit, editSeedDelta = 7777L)
+        )
+      }
+      val frames = Multimodal.videoFrameHashes(media)
+      val expected = ids
+        .mapPartitions(_.flatMap { id =>
+          val w = 24 + (id % 17).toInt
+          val h = 24 + (id % 13).toInt
+          (0 until nf).iterator.map { k =>
+            val luma = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                luma(y * w + x) =
+                  (Multimodal.syntheticPixel(Multimodal.frameSeed(id, k), x, y) & 0xff).toByte
+                x += 1
+              }
+              y += 1
+            }
+            (id, k, Multimodal.lumaAHash64(luma, w, h))
+          }
+        })
+        .toDF("id2", "k2", "hash2")
+      frames
+        .join(expected, col("doc_id") === col("id2") && col("frame_idx") === col("k2"), "full")
+        .select(
+          coalesce(col("doc_id"), col("id2")).as("doc_id"),
+          coalesce(col("frame_idx"), col("k2")).cast("int").as("frame_idx"),
+          col("width"),
+          col("height"),
+          (col("doc_id").isNotNull && col("id2").isNotNull &&
+            col("simhash") === col("hash2")).as("matches_clean")
+        )
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // CROSS-CONTAINER video near-dup: the same formula video encoded as
+    // an animated GIF (id·2) and as a raw Y4M stream (id·2 + 1) — both
+    // containers decode to identical luma planes, so every planted pair
+    // must surface with ALL 4 frames matched at hamming 0 through the
+    // real decode → per-frame aHash → blocked-join → pair-aggregate
+    // path, and nothing else pairs. The dedup pass a multimodal corpus
+    // runs when the same clip circulates re-containerized.
+    "x180_video_cross_container" -> ((s, dir) => {
+      import s.implicits._
+      val ids = T(s, dir, "documents")
+        .select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(20)) === 0)
+        .as[Long]
+      val media = ids.flatMap { id =>
+        val w = 24 + (id % 17).toInt
+        val h = 24 + (id % 13).toInt
+        Seq(
+          Multimodal.MediaRow(id * 2, "video/gif", Multimodal.syntheticGif(id, w, h, 4)),
+          Multimodal.MediaRow(id * 2 + 1, "video/y4m", Multimodal.syntheticY4m(id, w, h, 4))
+        )
+      }
+      Multimodal
+        .videoNearDupPairs(media, maxHamming = 2, blocks = 4, minFrames = 2)
+        .orderBy(col("id_a"))
+    }),
+
+    // CROSS-RATE audio near-dup: per sampled doc, the SAME recording at
+    // 16 kHz (master formula samples) and at 8 kHz (its even frames —
+    // exactly what ideal decimation produces). Without normalization the
+    // two fingerprint differently; with normalizeRate=8000 the real
+    // decode → integer-exact resample → energy fingerprint path makes
+    // them bit-identical, so every planted pair surfaces at hamming 0
+    // and cross-seed clips cannot pair.
+    "x181_audio_rate_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val ids = T(s, dir, "documents")
+        .select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(20)) === 0)
+        .as[Long]
+      val media = ids.flatMap { id =>
+        val n = 1024 + (id % 7).toInt * 128 // master frames at 16 kHz (even)
+        val hi = Array.tabulate(n)(i => (Multimodal.syntheticSample(id, i) >> 2).toShort)
+        val lo = Array.tabulate(n / 2)(j => hi(2 * j)) // the 8 kHz edition
+        Seq(
+          Multimodal.MediaRow(id * 2, "audio/wav", Multimodal.wavFromSamples(hi, 16000)),
+          Multimodal.MediaRow(id * 2 + 1, "audio/wav", Multimodal.wavFromSamples(lo, 8000))
+        )
+      }
+      Multimodal
+        .audioNearDupPairs(media, maxHamming = 4, blocks = 8, normalizeRate = Some(8000))
+        .orderBy(col("id_a"))
+    }),
+
     // x109 through gapFillAuto with the probe FORCED to the chunked
     // route (threshold 1e-9, floor 0: any non-empty frame trips) — the
     // driver gate proves the auto switch + time-epoch chunked LOCF are
@@ -7151,6 +7261,32 @@ object ExtensionQueries {
         |  CAST(CASE WHEN sel = 2 THEN 16000 ELSE -1 END AS INT) AS sample_rate,
         |  CAST(CASE WHEN sel = 2 THEN n ELSE -1 END AS BIGINT) AS n_samples
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // real Y4M frame decode: dims exact per frame, hash == the clean
+    // formula replay everywhere EXCEPT the planted frame-2 edits (the
+    // x171 contract on the raw container)
+    "x179_y4m_frames" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 0),
+        |f AS (SELECT doc_id, UNNEST(RANGE(0, 4)) AS k FROM d)
+        |SELECT doc_id, CAST(k AS INT) AS frame_idx,
+        |  CAST(24 + doc_id % 17 AS INT) AS width,
+        |  CAST(24 + doc_id % 13 AS INT) AS height,
+        |  NOT (doc_id % 40 = 0 AND k = 2) AS matches_clean
+        |FROM f ORDER BY 1, 2""".stripMargin,
+
+    // the same video re-containerized (GIF vs Y4M) decodes to identical
+    // luma planes: every planted pair shares all 4 frames at hamming 0
+    "x180_video_cross_container" ->
+      """SELECT doc_id * 2 AS id_a, doc_id * 2 + 1 AS id_b,
+        |  CAST(4 AS BIGINT) AS n_frame_pairs, CAST(0 AS INT) AS min_hamming
+        |FROM documents WHERE doc_id % 20 = 0 ORDER BY id_a""".stripMargin,
+
+    // rate-normalized twins fingerprint identically (decimation to the
+    // reference rate reproduces the 8 kHz edition exactly): hamming 0,
+    // only the planted pairs
+    "x181_audio_rate_neardup" ->
+      """SELECT doc_id * 2 AS id_a, doc_id * 2 + 1 AS id_b, CAST(0 AS INT) AS hamming
+        |FROM documents WHERE doc_id % 20 = 0 ORDER BY id_a""".stripMargin,
 
     // chunked-forced gapFillAuto == plain LOCF (x109's oracle verbatim)
     "x174_gapfill_auto" ->

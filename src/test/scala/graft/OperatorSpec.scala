@@ -846,6 +846,79 @@ class OperatorSpec extends SparkTestBase {
     assert(brute.nonEmpty, "corpus planted no near-dup frame pairs — test is vacuous")
   }
 
+  test("decodeY4mFrames: lossless luma, colorspace matrix, truncation fuzz, GIF cross-container hash parity") {
+    import spark.implicits._
+    // round trip per colorspace: the luma plane is the formula plane
+    // verbatim; chroma payload sizes differ per colorspace but never
+    // touch the luma read
+    for (cs <- Seq("C420", "C420jpeg", "C422", "C444", "Cmono"); seed <- Seq(1L, 42L)) {
+      val (w, h, nf) = (17 + (seed % 5).toInt, 13, 4) // odd dims on purpose
+      val y4m = Multimodal.syntheticY4m(seed, w, h, nf, colorspace = cs)
+      val Some(frames) = Multimodal.decodeY4mFrames(y4m)
+      assert(frames.length == nf, s"$cs seed $seed: frame count ${frames.length}")
+      for (k <- 0 until nf) {
+        val (fw, fh, luma) = frames(k)
+        assert(fw == w && fh == h)
+        val expected = Array.tabulate(w * h)(i =>
+          (Multimodal.syntheticPixel(Multimodal.frameSeed(seed, k), i % w, i / w) & 0xff).toByte)
+        assert(java.util.Arrays.equals(luma, expected), s"$cs seed $seed frame $k luma diverges")
+      }
+    }
+    // truncation: a cut tail yields exactly the frames that fully fit
+    // (the WarcSplit resync discipline), never phantom extras, never a
+    // throw; header-only and mid-header cuts yield None
+    val y4m4 = Multimodal.syntheticY4m(3L, 16, 16, 4)
+    for (len <- Seq(0, 5, 9, 20, y4m4.length / 3, y4m4.length / 2, y4m4.length - 1)) {
+      val got = Multimodal.decodeY4mFrames(java.util.Arrays.copyOf(y4m4, len))
+      assert(got.forall(_.length <= 4), s"truncation at $len produced phantom frames")
+    }
+    // exact truncation arithmetic: cutting after frame 2's payload keeps
+    // exactly 2 frames
+    val hdr = y4m4.indexOf('\n'.toByte) + 1
+    val frameBytes = 6 + 16 * 16 + 2 * 8 * 8 // "FRAME\n" + luma + 2 chroma planes
+    val cut = Multimodal.decodeY4mFrames(java.util.Arrays.copyOf(y4m4, hdr + 2 * frameBytes + 10))
+    assert(cut.map(_.length).contains(2), s"exact cut kept ${cut.map(_.length)}")
+    // corruption: random byte flips never throw
+    val rnd = new scala.util.Random(77)
+    for (_ <- 0 until 100) {
+      val corrupt = y4m4.clone()
+      corrupt(rnd.nextInt(corrupt.length)) = rnd.nextInt(256).toByte
+      Multimodal.decodeY4mFrames(corrupt) // must not throw
+    }
+    assert(Multimodal.decodeY4mFrames("YUV4MPEG2 junk header".getBytes).isEmpty)
+    assert(Multimodal.decodeY4mFrames("plain text".getBytes).isEmpty)
+    assert(Multimodal.decodeY4mFrames("YUV4MPEG2 W0 H16 C420\nFRAME\n".getBytes).isEmpty)
+    // CROSS-CONTAINER parity: the same formula video as GIF and as Y4M
+    // decodes to identical luma planes, so videoFrameHashes must hash
+    // them frame-identically — container-independent video dedup
+    val media = Seq(
+      Multimodal.MediaRow(0L, "video/gif", Multimodal.syntheticGif(9L, 20, 20, 3)),
+      Multimodal.MediaRow(1L, "video/y4m", Multimodal.syntheticY4m(9L, 20, 20, 3))
+    ).toDS()
+    val hashes = Multimodal.videoFrameHashes(media)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(4))).toMap
+    assert(hashes.size == 6)
+    for (k <- 0 until 3)
+      assert(hashes((0L, k)) == hashes((1L, k)), s"frame $k hash differs across containers")
+    // planted edit is visible through the Y4M path exactly as through GIF
+    val clean = Multimodal.decodeY4mFrames(Multimodal.syntheticY4m(5L, 40, 30, 4)).get
+      .map { case (w, h, l) => Multimodal.lumaAHash64(l, w, h) }
+    val edited = Multimodal
+      .decodeY4mFrames(Multimodal.syntheticY4m(5L, 40, 30, 4, editFrame = 2, editSeedDelta = 7777L))
+      .get.map { case (w, h, l) => Multimodal.lumaAHash64(l, w, h) }
+    assert(clean(0) == edited(0) && clean(1) == edited(1) && clean(3) == edited(3))
+    assert(clean(2) != edited(2), "planted frame edit not visible through Y4M")
+    // mediaProbe types Y4M as video at ANY frame count (container rule)
+    val probed = Multimodal
+      .mediaProbe(Seq(
+        Multimodal.MediaRow(7L, "video/y4m", Multimodal.syntheticY4m(2L, 12, 10, 1)),
+        Multimodal.MediaRow(8L, "video/y4m", Multimodal.syntheticY4m(2L, 12, 10, 3))
+      ).toDS())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3), r.getInt(4), r.getInt(5)))
+      .toSet
+    assert(probed == Set((7L, "video", 12, 10, 1), (8L, "video", 12, 10, 3)), s"probe: $probed")
+  }
+
   test("energyFingerprint/audioNearDupPairs: amplitude-invariant, decode-path equal, blocked == brute") {
     import spark.implicits._
     // EXACT amplitude invariance: integer-scaled copies fingerprint
@@ -884,6 +957,58 @@ class OperatorSpec extends SparkTestBase {
     } yield (a._1, b._1, d)).toSet
     assert(blocked == brute, s"blocked ${blocked.size} != brute ${brute.size}")
     assert(brute.size >= 15, s"planted twin pairs missing: ${brute.size}")
+  }
+
+  test("resampleToRate: integer-exact decimation, channel alignment, cross-rate fingerprint invariance") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // exact decimation: 2:1 resample IS the even frames; identity is a
+    // no-op; frame-wise stereo moves (L,R) pairs whole
+    for (_ <- 0 until 20) {
+      val n = 200 + rnd.nextInt(400) * 2
+      val mono = Array.fill(n)((rnd.nextInt(16384) - 8192).toShort)
+      assert(Multimodal.resampleToRate(mono, 1, 16000, 16000) sameElements mono)
+      val down = Multimodal.resampleToRate(mono, 1, 16000, 8000)
+      assert(down sameElements Array.tabulate(n / 2)(j => mono(2 * j)), "2:1 != even samples")
+      val stereo = Array.tabulate(2 * n)(i => (i * 7 % 1000).toShort)
+      val sDown = Multimodal.resampleToRate(stereo, 2, 16000, 8000)
+      assert(sDown.length == n) // n/2 frames × 2 channels... n samples
+      for (j <- 0 until n / 2) {
+        assert(sDown(2 * j) == stereo(4 * j) && sDown(2 * j + 1) == stereo(4 * j + 1),
+          s"frame $j split its channels")
+      }
+      // non-integer ratio: deterministic index formula, no throw, right length
+      val odd = Multimodal.resampleToRate(mono, 1, 44100, 8000)
+      assert(odd.length == (n.toLong * 8000 / 44100).toInt)
+    }
+    // cross-rate INVARIANCE: a master at 16 kHz and its ideal 8 kHz
+    // edition (even samples) fingerprint identically after normalization
+    // to 8 kHz — and WITHOUT normalization they genuinely differ (the
+    // gap x181 closes is real, not vacuous)
+    var differsUnnormalized = 0
+    for (seed <- 1L to 10L) {
+      val n = 1024 + (seed % 7).toInt * 128
+      val hi = Array.tabulate(n)(i => (Multimodal.syntheticSample(seed, i) >> 2).toShort)
+      val lo = Array.tabulate(n / 2)(j => hi(2 * j))
+      val fHi = Multimodal.energyFingerprint(Multimodal.resampleToRate(hi, 1, 16000, 8000))
+      val fLo = Multimodal.energyFingerprint(lo)
+      assert(fHi == fLo, s"seed $seed: normalized fingerprints differ")
+      if (Multimodal.energyFingerprint(hi) != fLo) differsUnnormalized += 1
+    }
+    assert(differsUnnormalized > 0, "unnormalized rates never differed — invariance test is vacuous")
+    // end-to-end through the real WAV decode + operator surface
+    val media = Seq(
+      Multimodal.MediaRow(0L, "audio/wav",
+        Multimodal.wavFromSamples(Array.tabulate(1200)(i =>
+          (Multimodal.syntheticSample(99L, i) >> 2).toShort), 16000)),
+      Multimodal.MediaRow(1L, "audio/wav",
+        Multimodal.wavFromSamples(Array.tabulate(600)(j =>
+          (Multimodal.syntheticSample(99L, 2 * j) >> 2).toShort), 8000))
+    ).toDS()
+    val pairs = Multimodal
+      .audioNearDupPairs(media, maxHamming = 0, blocks = 8, normalizeRate = Some(8000))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((0L, 1L, 0)), s"cross-rate pair not found: $pairs")
   }
 
   test("decodeImage: real PNG/BMP decode — exact dims, identical luma planes, identical aHash") {
