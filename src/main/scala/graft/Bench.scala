@@ -164,6 +164,19 @@ object Bench {
           s""","stream_errors":[${r.errors.map(jstr).mkString(",")}]""" +
           s""","stream_conservation_ok":${r.conservationOk}"""
       }
+    // transformWithState stage (BenchTwsStage): the Spark-4 native
+    // typed-state forward path (RocksDB provider) under the same
+    // median-of-3 forked protocol + conservation audit, so StreamTws has
+    // perf artifacts round-over-round. Shares the SPARK_GRAFT_STREAM knob.
+    val twsJson =
+      if (skipPerf || sys.env.get("SPARK_GRAFT_STREAM").contains("0")) ""","tws_skipped":true"""
+      else {
+        val r = BenchTwsStage.forkedMedian()
+        s""","tws_rows_s":${r.median.map(f3).getOrElse("-1")}""" +
+          s""","tws_rows_s_runs":[${r.runs.map(f3).mkString(",")}]""" +
+          s""","tws_errors":[${r.errors.map(jstr).mkString(",")}]""" +
+          s""","tws_conservation_ok":${r.conservationOk}"""
+      }
     // noise context for every number above: loadavg at bench start + at
     // summary time, MemAvailable now, cpu count (VERDICT r6 #6)
     val benchEnv =
@@ -173,7 +186,7 @@ object Bench {
           val s = graft.streaming.ProcessStats.refresh(); s.userTimeSec + s.sysTimeSec
         }},"proc_rss_mb":${f3(graft.streaming.ProcessStats.refresh().rssMb)}}"""
     val summary =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","queries":$slowest,"queries_file":"bench_queries.json","n_queries":${results.size},"pipeline_mbps":${f3(mbps)},"pipeline_kmps":${f3(kmps)},"pipeline_msgs":$pipelined,"tcp_mbps":${f3(tcpMbps)},"tcp_kmps":${f3(tcpKmps)},"tcp_mbps_runs":[${tcpSorted.map(f3).mkString(",")}],"tcp_attempts":$tcpAttempts,"tcp_attempt_mbps":[${tcpAllAttempts.map(f3).mkString(",")}],"tcp_fork_load":[${tcpForkLoads.map(f3).mkString(",")}],"tcp_fork_steal":[${tcpForkSteal.map(f3).mkString(",")}],"tcp_raw_mbps":${f3(tcpRawMbps)},"tcp_raw_kmps":${f3(tcpRawKmps)}$refJson$streamJson,$benchEnv,"failed":$failedJson}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","queries":$slowest,"queries_file":"bench_queries.json","n_queries":${results.size},"pipeline_mbps":${f3(mbps)},"pipeline_kmps":${f3(kmps)},"pipeline_msgs":$pipelined,"tcp_mbps":${f3(tcpMbps)},"tcp_kmps":${f3(tcpKmps)},"tcp_mbps_runs":[${tcpSorted.map(f3).mkString(",")}],"tcp_attempts":$tcpAttempts,"tcp_attempt_mbps":[${tcpAllAttempts.map(f3).mkString(",")}],"tcp_fork_load":[${tcpForkLoads.map(f3).mkString(",")}],"tcp_fork_steal":[${tcpForkSteal.map(f3).mkString(",")}],"tcp_raw_mbps":${f3(tcpRawMbps)},"tcp_raw_kmps":${f3(tcpRawKmps)}$refJson$streamJson$twsJson,$benchEnv,"failed":$failedJson}"""
     // Session teardown BEFORE the summary so nothing (a stray shutdown log
     // line, even one misrouted to stdout) can trail it: the summary JSON
     // must be the process's LAST stdout line — paired with build.sbt's
