@@ -28,9 +28,20 @@ class HelmChartSpec extends AnyFunSuite {
     * helm in CI.
     */
   private def render(template: String, values: YamlLite.Node, chart: YamlLite.Node): String = {
+    // {{ if .Values.flag }} body {{ end }} — non-nested boolean gates, the
+    // one extra construct the r14 parity templates (hpa, serviceaccount)
+    // need; real helm evaluates the same way for boolean scalars
+    val ifExpr = raw"(?s)\{\{\s*if \.Values\.([A-Za-z0-9_.]+)\s*\}\}\n?(.*?)\{\{\s*end\s*\}\}\n?".r
+    val gated = ifExpr.replaceAllIn(
+      template,
+      m =>
+        if (values.get(m.group(1)).exists(_.str == "true"))
+          java.util.regex.Matcher.quoteReplacement(m.group(2))
+        else ""
+    )
     val expr = raw"\{\{\s*\.(Values|Chart)\.([A-Za-z0-9_.]+)\s*\}\}".r
     val out = expr.replaceAllIn(
-      template,
+      gated,
       m => {
         val root = if (m.group(1) == "Values") values else chart
         root.get(m.group(2)) match {
@@ -60,7 +71,8 @@ class HelmChartSpec extends AnyFunSuite {
       "templates/configmap.yaml",
       "templates/deployment.yaml",
       "templates/service.yaml",
-      "templates/service-metrics.yaml"
+      "templates/service-metrics.yaml",
+      "templates/serviceaccount.yaml"
     )
     assert(hand.length == templates.length, "doc count drifted between chart and manifest")
     templates.zip(hand).foreach { case (t, handDoc) =>
@@ -86,7 +98,41 @@ class HelmChartSpec extends AnyFunSuite {
     assert(values("service.type").str == "LoadBalancer")
     assert(values("service.port").int == 7200)
     assert(values("metrics.port").int == 9555)
+    assert(values("serviceAccount.create").str == "true")
+    assert(values("serviceAccount.automount").str == "true")
+    assert(values("autoscaling.enabled").str == "false") // reference default
+    assert(values("autoscaling.minReplicas").int == 1)
     val chart = YamlLite.parse(read(s"$chartDir/Chart.yaml"))
     assert(chart("apiVersion").str == "v2" && chart("type").str == "application")
+  }
+
+  test("hpa.yaml: empty at the reference default, a full HPA when autoscaling.enabled") {
+    val values = YamlLite.parse(read(s"$chartDir/values.yaml"))
+    val chart = YamlLite.parse(read(s"$chartDir/Chart.yaml"))
+    // default (enabled: false): the gate removes the whole manifest
+    val off = normalize(render(read(s"$chartDir/templates/hpa.yaml"), values, chart))
+    assert(off.isEmpty, s"disabled autoscaling must render no HPA, got:\n${off.mkString("\n")}")
+    // enabled: the scalars land where the reference's hpa.yaml puts them
+    val enabled = YamlLite.parse(
+      read(s"$chartDir/values.yaml").replace("enabled: false", "enabled: true"))
+    val on = normalize(render(read(s"$chartDir/templates/hpa.yaml"), enabled, chart))
+    assert(on.contains("kind: HorizontalPodAutoscaler"))
+    assert(on.contains("  minReplicas: 1"))
+    assert(on.contains("  maxReplicas: 4"))
+    assert(on.contains("          averageUtilization: 80"))
+    assert(on.exists(_.contains("name: graft-svc")), "HPA must target the Deployment")
+  }
+
+  test("test-connection hook and NOTES render inside the scalar subset") {
+    val values = YamlLite.parse(read(s"$chartDir/values.yaml"))
+    val chart = YamlLite.parse(read(s"$chartDir/Chart.yaml"))
+    val hook = render(read(s"$chartDir/templates/tests/test-connection.yaml"), values, chart)
+    assert(hook.contains("\"helm.sh/hook\": test"))
+    assert(hook.contains("nc -z -w 5 graft-svc 7200"), "probe must hit the ingress port")
+    assert(hook.contains("graft-metrics:9555"), "probe must hit the metrics service")
+    val notes = render(read(s"$chartDir/templates/NOTES.txt"), values, chart)
+    assert(notes.contains("graft-svc deployed."))
+    assert(notes.contains("nc $SERVICE_IP 7200"))
+    assert(notes.contains("helm test graft"))
   }
 }
