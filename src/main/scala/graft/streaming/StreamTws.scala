@@ -211,21 +211,27 @@ object StreamTws {
       if (sessions.nonEmpty) getHandle.registerTimer(sessions.map(_.hi).min + gapMs)
     }
 
-    override def handleInputRows(
-        key: String,
-        rows: Iterator[SessionEvent],
-        timerValues: TimerValues
-    ): Iterator[SessionOut] = {
-      val arrived = rows.map { e =>
-        val t = e.ts.getTime
-        OpenSess(1L, t, t, Seq(e.id))
-      }.toSeq
+    /** Interval-merge `arrived` into the open-session list and re-arm the
+      * earliest close timer — the shared write path of event batches and
+      * [[SessionizeSeededProcessor]] bootstrap seeds.
+      */
+    private[streaming] def mergeIn(arrived: Seq[OpenSess]): Unit =
       if (arrived.nonEmpty) {
         val all = merged(open.get().toSeq ++ arrived)
         open.clear()
         all.foreach(open.appendValue)
         rearm(all)
       }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[SessionEvent],
+        timerValues: TimerValues
+    ): Iterator[SessionOut] = {
+      mergeIn(rows.map { e =>
+        val t = e.ts.getTime
+        OpenSess(1L, t, t, Seq(e.id))
+      }.toSeq)
       Iterator.empty
     }
 
@@ -248,6 +254,56 @@ object StreamTws {
         SessionOut(key, s.n, new java.sql.Timestamp(s.lo), new java.sql.Timestamp(s.hi), s.samples)
       }
     }
+  }
+
+  /** [[SessionizeProcessor]] with BATCH→STREAM STATE BOOTSTRAP: initial
+    * state rows are OPEN sessions in the [[SessionOut]] schema (what a
+    * batch sessionization pass or a drained prior deployment emits for
+    * its still-open tails). Each seed interval-merges into the key's
+    * open-session list exactly as an arriving event batch would —
+    * overlapping seeds fuse under the same half-open gap rule — and
+    * re-arms the earliest close timer, so a seeded key with NO further
+    * traffic still closes and emits once the watermark advances. The
+    * engine hands seeds over once per fresh checkpoint
+    * ([[FirstSeenSeededProcessor]]'s contract), one
+    * [[handleInitialState]] call per seed row (multi-row keys allowed).
+    */
+  private[streaming] final class SessionizeSeededProcessor(gapMs: Long, maxSamples: Int)
+      extends StatefulProcessorWithInitialState[String, SessionEvent, SessionOut, SessionOut] {
+    private val inner = new SessionizeProcessor(gapMs, maxSamples)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      inner.setHandle(getHandle)
+      inner.init(outputMode, timeMode)
+    }
+
+    override def handleInitialState(
+        key: String,
+        initialState: SessionOut,
+        timerValues: TimerValues
+    ): Unit =
+      inner.mergeIn(
+        Seq(
+          OpenSess(
+            initialState.n,
+            initialState.start.getTime,
+            initialState.end.getTime,
+            initialState.sampleIds.take(maxSamples)
+          )
+        )
+      )
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[SessionEvent],
+        timerValues: TimerValues
+    ): Iterator[SessionOut] = inner.handleInputRows(key, rows, timerValues)
+
+    override def handleExpiredTimer(
+        key: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo
+    ): Iterator[SessionOut] = inner.handleExpiredTimer(key, timerValues, expiredTimerInfo)
   }
 
   /** `(key, fp)` for per-key distinct counting. */
@@ -415,6 +471,44 @@ object StreamTws {
         new SessionizeProcessor(gap.toMillis, maxSamples),
         TimeMode.EventTime(),
         OutputMode.Append()
+      )
+  }
+
+  /** [[sessionize]] with BATCH→STREAM STATE BOOTSTRAP: `seeds` are OPEN
+    * sessions in the output schema (the still-open tails of a batch
+    * sessionization or a drained prior deployment — key, n, start, end,
+    * retained sample ids). Each seed interval-merges into its key's open
+    * list under the same half-open gap rule as arriving events, so a
+    * post-migration event inside `gap` of a seed EXTENDS it (one
+    * continuous session across the handoff) and a seeded key that never
+    * speaks again still closes once the watermark passes its end + gap.
+    * The handoff runs once per fresh checkpoint.
+    */
+  def sessionizeSeeded(
+      events: Dataset[SessionEvent],
+      gap: Duration,
+      seeds: Dataset[SessionOut],
+      watermarkDelay: Option[Duration] = None,
+      maxSamples: Int = 8
+  ): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val delay = watermarkDelay.getOrElse(gap)
+    if (delay.toMillis > gap.toMillis)
+      org.slf4j.LoggerFactory
+        .getLogger(getClass)
+        .warn(
+          s"sessionizeSeeded: watermarkDelay ${delay.toMillis} ms exceeds gap ${gap.toMillis} ms — " +
+            "an admitted late event can overlap an already-emitted session and open a " +
+            "duplicate (the documented session_window hazard)"
+        )
+    events
+      .withWatermark("ts", s"${delay.toMillis} milliseconds")
+      .groupByKey(_.key)
+      .transformWithState(
+        new SessionizeSeededProcessor(gap.toMillis, maxSamples),
+        TimeMode.EventTime(),
+        OutputMode.Append(),
+        seeds.groupByKey(_.key)
       )
   }
 

@@ -251,6 +251,96 @@ class TwsStateSpec extends SparkTestBase {
     assert(run(Seq(sorted), "tws_twin_backfill") == expected, "backfill feed diverged")
   }
 
+  test("sessionizeSeeded: open-session seeds extend, idle seeded keys still close by timer") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 1700000000000L
+    def ts(sec: Long) = new Timestamp(base + sec * 1000)
+    // the still-open tails of a prior run: k1 open over [10 s, 12 s]
+    // (2 events), k2 open at [20 s, 20 s] — k2 gets NO further traffic,
+    // so its close must come from the timer armed during the handoff
+    val seeds = Seq(
+      StreamTws.SessionOut("k1", 2L, ts(10), ts(12), Seq("s1", "s2")),
+      StreamTws.SessionOut("k2", 1L, ts(20), ts(20), Seq("s3"))
+    ).toDS()
+    val input = MemoryStream[SessionEvent]
+    val out = StreamTws.sessionizeSeeded(
+      input.toDS(), Duration.ofSeconds(5), seeds, maxSamples = 2)
+    val rows = runRocks(out, "tws_seed_sess")(
+      Seq(
+        // e1 @14 s is within gap of the k1 seed's end (12 + 5): the seed
+        // EXTENDS across the migration instead of opening a new session
+        () => input.addData(SessionEvent("k1", "e1", ts(14)), SessionEvent("k3", "e2", ts(30))),
+        // sentinels: advance the watermark past every close time, then
+        // let the timers fire under it
+        () => input.addData(SessionEvent("zz", "z1", ts(1000))),
+        () => input.addData(SessionEvent("zz", "z2", ts(1001)))
+      )
+    )
+    val got = rows
+      .filter(_.getString(0) != "zz")
+      .map(r =>
+        (r.getString(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3),
+          r.getSeq[String](4).toList))
+      .toSet
+    val want = Set(
+      ("k1", 3L, ts(10), ts(14), List("s1", "s2")), // merged seed+event, samples capped at 2
+      ("k2", 1L, ts(20), ts(20), List("s3")),       // closed with zero post-migration events
+      ("k3", 1L, ts(30), ts(30), List("e2"))        // unseeded keys behave as plain sessionize
+    )
+    assert(got == want, s"got $got")
+  }
+
+  test("firstSeen state survives a query RESTART from its checkpoint (resume, not restart)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(ProviderKey)
+    val prevCk = spark.conf.getOption(ChecksumKey)
+    spark.conf.set(ProviderKey, RocksDb)
+    spark.conf.set(ChecksumKey, "false")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("tws-restart-ckpt").toString
+      val input = MemoryStream[FpRow]
+      val out = StreamTws.firstSeen(input.toDS())
+      // memory sink refuses checkpoint recovery (not fault-tolerant) —
+      // collect through foreachBatch, the recoverable sink deployments use
+      val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+      def sink = out.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[FpRow], epoch: Long) =>
+          val rows = batch.collect()
+          emitted.synchronized { emitted ++= rows.map(r => (epoch, r.id, r.fp)); () }
+        }
+      // first incarnation: accept fpA/fpB, commit, STOP
+      val q1 = sink.start()
+      try {
+        input.addData(FpRow("a0", "fpA"), FpRow("b0", "fpB"))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      assert(
+        emitted.map(e => (e._2, e._3)).sorted == Seq(("a0", "fpA"), ("b0", "fpB")),
+        s"first incarnation: $emitted"
+      )
+      // second incarnation, SAME checkpoint: the RocksDB typed state must
+      // recover — a re-ingest of fpA drops without re-reading any source
+      val q2 = sink.start()
+      try {
+        input.addData(FpRow("a1", "fpA"), FpRow("c0", "fpC"))
+        q2.processAllAvailable()
+        val afterRestart = emitted.filter(_._1 > 0).map(e => (e._2, e._3)).sorted
+        assert(
+          afterRestart == Seq(("c0", "fpC")),
+          s"restarted query must drop the recovered digest: $emitted"
+        )
+      } finally q2.stop()
+    } finally {
+      spark.conf.unset(ProviderKey)
+      prev.foreach(spark.conf.set(ProviderKey, _))
+      spark.conf.unset(ChecksumKey)
+      prevCk.foreach(spark.conf.set(ChecksumKey, _))
+    }
+  }
+
   test("distinctPerKey (MapState): final counts equal batch countDistinct") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(7)
