@@ -299,15 +299,165 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** REAL COMPRESSED video decode inside the pure-JDK ceiling: MJPEG in
+    * an AVI (RIFF) container — every frame is an independent JPEG, the
+    * one video codec the JDK ships a decoder for. The parser walks the
+    * RIFF chunk tree to the `LIST movi` payload and decodes each video
+    * data chunk (`##dc`/`##db`) through [[decodeImage]]'s JPEG path
+    * (magic-sniffed, 64M-px shed); `LIST rec ` groupings descend flat.
+    * Returns one (width, height, luma) per DECODED frame.
+    *
+    * Exactness contract (the [[decodeImage]] JPEG rule): frame DIMS and
+    * COUNT come from the JPEG structure — pinned on any engine — but
+    * decoded PIXEL values are deterministic only within one JDK, so
+    * cross-engine oracles may pin the frame grid and EQUALITY between
+    * identically-encoded frames (two files sharing a JPEG decode it
+    * identically on any engine), never absolute hash values.
+    *
+    * Truncation discipline (WarcSplit/x96): a partial tail chunk or
+    * corrupt header ends the walk keeping the frames that did decode;
+    * no complete frame → None.
+    */
+  def decodeAviMjpegFrames(
+      bytes: Array[Byte],
+      maxFrames: Int = 4096
+  ): Option[IndexedSeq[(Int, Int, Array[Byte])]] = {
+    if (bytes == null || bytes.length < 16) return None
+    def fcc(pos: Long, s: String): Boolean =
+      pos >= 0 && pos + s.length <= bytes.length &&
+        s.indices.forall(i => bytes(pos.toInt + i) == s.charAt(i).toByte)
+    def le32(pos: Long): Long =
+      if (pos < 0 || pos + 4 > bytes.length) -1L
+      else (bytes(pos.toInt) & 0xffL) | (bytes(pos.toInt + 1) & 0xffL) << 8 |
+        (bytes(pos.toInt + 2) & 0xffL) << 16 | (bytes(pos.toInt + 3) & 0xffL) << 24
+    if (!fcc(0, "RIFF") || !fcc(8, "AVI ")) return None
+    val riffEnd = math.min(bytes.length.toLong, 8 + le32(4))
+    // top-level walk to LIST movi
+    var pos = 12L
+    var moviStart = -1L
+    var moviEnd = -1L
+    while (moviStart < 0 && pos + 12 <= riffEnd) {
+      val sz = le32(pos + 4)
+      if (sz < 0) pos = riffEnd
+      else {
+        if (fcc(pos, "LIST") && fcc(pos + 8, "movi")) {
+          moviStart = pos + 12
+          moviEnd = math.min(riffEnd, pos + 8 + sz)
+        }
+        pos += 8 + sz + (sz & 1)
+      }
+    }
+    if (moviStart < 0) return None
+    val out = Vector.newBuilder[(Int, Int, Array[Byte])]
+    var n = 0
+    var p = moviStart
+    var done = false
+    while (!done && n < maxFrames && p + 8 <= moviEnd) {
+      if (fcc(p, "LIST")) p += 12 // descend into 'rec ' groups, walk flat
+      else {
+        val sz = le32(p + 4)
+        if (sz < 0 || p + 8 + sz > bytes.length) done = true // partial tail
+        else {
+          val isVid = bytes(p.toInt + 2) == 'd' &&
+            (bytes(p.toInt + 3) == 'c' || bytes(p.toInt + 3) == 'b')
+          if (isVid && sz > 0) {
+            val sub = java.util.Arrays.copyOfRange(bytes, (p + 8).toInt, (p + 8 + sz).toInt)
+            decodeImage(sub) match {
+              case Some((w, h, _, luma)) => out += ((w, h, luma)); n += 1
+              case None                  => () // undecodable chunk: skip, keep walking
+            }
+          }
+          p += 8 + sz + (sz & 1)
+        }
+      }
+    }
+    val frames = out.result()
+    if (frames.isEmpty) None else Some(frames)
+  }
+
+  /** Deterministic synthetic MJPEG-in-AVI encoder — the COMPRESSED twin
+    * of [[syntheticGif]]/[[syntheticY4m]]: each frame is the formula
+    * plane (grayscale, `syntheticPixel(frameSeed(seed, k), x, y) & 0xff`)
+    * encoded through the JDK JPEG writer, wrapped in a hand-rolled
+    * minimal RIFF/AVI (avih + strl('vids'/'MJPG') + movi of `00dc`
+    * chunks; no idx1 — legal with AVIF_HASINDEX unset, and the parser
+    * under test shares none of this construction code). Because
+    * unedited frames of a clean file and its edited copy encode the
+    * SAME plane, their JPEG bytes are byte-identical — the engine-
+    * independent equality that AVI near-dup oracles pin.
+    */
+  def syntheticAviMjpeg(
+      seed: Long,
+      w: Int,
+      h: Int,
+      nFrames: Int,
+      editFrame: Int = -1,
+      editSeedDelta: Long = 0L
+  ): Array[Byte] = {
+    require(w >= 1 && h >= 1 && nFrames >= 1)
+    def jpegOf(k: Int): Array[Byte] = {
+      val fSeed = if (k == editFrame) frameSeed(seed, k) + editSeedDelta else frameSeed(seed, k)
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, syntheticPixel(fSeed, x, y) & 0xff); x += 1 }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "jpg", baos), "no JDK JPEG writer")
+      baos.toByteArray
+    }
+    val le = java.nio.ByteOrder.LITTLE_ENDIAN
+    def chunk(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = payload.length & 1
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length + pad).order(le)
+      b.put(fourcc.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+      b.array()
+    }
+    def list(listType: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + payload.length).order(le)
+      b.put("LIST".getBytes("US-ASCII")).putInt(4 + payload.length)
+        .put(listType.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val avih = java.nio.ByteBuffer.allocate(56).order(le)
+    avih.putInt(40000).putInt(0).putInt(0).putInt(0) // usPerFrame, maxBps, pad, flags
+      .putInt(nFrames).putInt(0).putInt(1).putInt(0) // totalFrames, initFrames, streams, bufSize
+      .putInt(w).putInt(h) // + 16 reserved bytes left zero
+    val strh = java.nio.ByteBuffer.allocate(56).order(le)
+    strh.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+      .putInt(0).putShort(0).putShort(0).putInt(0) // flags, prio, lang, initFrames
+      .putInt(1).putInt(25).putInt(0).putInt(nFrames) // scale, rate, start, length
+      .putInt(0).putInt(-1).putInt(0) // bufSize, quality, sampleSize
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+    val strf = java.nio.ByteBuffer.allocate(40).order(le)
+    strf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .put("MJPG".getBytes("US-ASCII")).putInt(w * h * 3)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    val strl = list("strl", chunk("strh", strh.array()) ++ chunk("strf", strf.array()))
+    val hdrl = list("hdrl", chunk("avih", avih.array()) ++ strl)
+    val movi = list("movi", (0 until nFrames).toArray.flatMap(k => chunk("00dc", jpegOf(k))))
+    val payload = hdrl ++ movi
+    val b = java.nio.ByteBuffer.allocate(12 + payload.length).order(le)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(4 + payload.length)
+      .put("AVI ".getBytes("US-ASCII")).put(payload)
+    b.array()
+  }
+
   /** Multi-frame video decode across the supported containers: animated
-    * GIF ([[decodeGifFrames]]) or raw YUV4MPEG2 ([[decodeY4mFrames]]).
+    * GIF ([[decodeGifFrames]]), raw YUV4MPEG2 ([[decodeY4mFrames]]), or
+    * MJPEG-in-AVI ([[decodeAviMjpegFrames]] — real compressed video).
     * The shared front door of [[videoFrameHashes]]/[[mediaProbe]].
     */
   def decodeVideoFrames(
       bytes: Array[Byte],
       maxFrames: Int = 4096
   ): Option[IndexedSeq[(Int, Int, Array[Byte])]] =
-    decodeGifFrames(bytes, maxFrames).orElse(decodeY4mFrames(bytes, maxFrames))
+    decodeGifFrames(bytes, maxFrames)
+      .orElse(decodeY4mFrames(bytes, maxFrames))
+      .orElse(decodeAviMjpegFrames(bytes, maxFrames))
 
   /** 8-bin L1-normalized histogram of an unsigned byte plane (the honest
     * feature vector both decode paths share).
@@ -756,11 +906,12 @@ object Multimodal {
     *   (doc_id, kind, byte_len, width, height, n_frames, sample_rate,
     *    n_samples)
     *
-    * kind ∈ image | video (multi-frame GIF, or Y4M at any frame count —
-    * the container is video by definition) | audio | unknown. Images
-    * decode through [[decodeImage]] (n_frames = 1), GIFs with > 1 frame
-    * through [[decodeGifFrames]] (dims of frame 0), Y4M through
-    * [[decodeY4mFrames]], WAV through
+    * kind ∈ image | video (multi-frame GIF, or Y4M/AVI at any frame
+    * count — those containers are video by definition) | audio |
+    * unknown. Images decode through [[decodeImage]] (n_frames = 1),
+    * GIFs with > 1 frame through [[decodeGifFrames]] (dims of frame 0),
+    * Y4M through [[decodeY4mFrames]], MJPEG-AVI through
+    * [[decodeAviMjpegFrames]], WAV through
     * [[decodeWav]] (n_samples counts per-channel interleaved samples);
     * undecodable blobs are `unknown` with only byte_len populated
     * (−1 elsewhere — never nulls, so downstream filters are total).
@@ -774,11 +925,15 @@ object Multimodal {
         r.content(2) == 'F' && r.content(3) == '8'
       val isY4m = len >= 10 && r.content(0) == 'Y' && r.content(1) == 'U' &&
         r.content(2) == 'V' && r.content(3) == '4'
-      // a Y4M is a video CONTAINER — typed video at any frame count; a
+      val isAvi = len >= 12 && r.content(0) == 'R' && r.content(1) == 'I' &&
+        r.content(2) == 'F' && r.content(3) == 'F' && r.content(8) == 'A' &&
+        r.content(9) == 'V' && r.content(10) == 'I'
+      // Y4M/AVI are video CONTAINERS — typed video at any frame count; a
       // 1-frame GIF stays an image (the still-photo common case)
       val videoFrames =
         if (isGif) decodeGifFrames(r.content).filter(_.length > 1)
         else if (isY4m) decodeY4mFrames(r.content)
+        else if (isAvi) decodeAviMjpegFrames(r.content)
         else None
       videoFrames match {
         case Some(frames) =>

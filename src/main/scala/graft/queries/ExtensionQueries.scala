@@ -3886,6 +3886,62 @@ object ExtensionQueries {
         .orderBy(col("id_a"))
     }),
 
+    // REAL COMPRESSED video (MJPEG-in-AVI) frame decode: per sampled
+    // doc, a 3-frame AVI whose frames are formula planes through the
+    // JDK JPEG encoder. The engine-pinned slice is the FRAME GRID —
+    // count and dims come from the JPEG/RIFF structure, identical on
+    // any engine — so the query emits (doc_id, frame_idx, width,
+    // height) and leaves pixel-derived hash VALUES out (JPEG decode is
+    // deterministic per-JDK, not across vendors; the per-frame hash
+    // semantics are pinned by OperatorSpec within this JDK).
+    "x182_avi_frames" -> ((s, dir) => {
+      import s.implicits._
+      val nf = 3
+      val ids = T(s, dir, "documents")
+        .select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(20)) === 0)
+        .as[Long]
+      val media = ids.map { id =>
+        val w = 24 + (id % 17).toInt
+        val h = 24 + (id % 13).toInt
+        Multimodal.MediaRow(id, "video/avi", Multimodal.syntheticAviMjpeg(id, w, h, nf))
+      }
+      Multimodal
+        .videoFrameHashes(media)
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // COMPRESSED-video near-dup: a clean 4-frame AVI (id·2) and its
+    // frame-2-edited copy (id·2 + 1). Unedited frames of the pair
+    // encode the SAME plane → byte-identical JPEG chunks → identical
+    // decode on ANY engine, so the pair surfaces with exactly its 3
+    // unedited frames at hamming 0 even though absolute JPEG pixel
+    // values are not cross-engine-pinned; edited and cross-seed frames
+    // sit ~32 bits apart and cannot pair at maxHamming 2.
+    "x183_avi_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val ids = T(s, dir, "documents")
+        .select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(20)) === 0)
+        .as[Long]
+      val media = ids.flatMap { id =>
+        val w = 24 + (id % 17).toInt
+        val h = 24 + (id % 13).toInt
+        Seq(
+          Multimodal.MediaRow(id * 2, "video/avi", Multimodal.syntheticAviMjpeg(id, w, h, 4)),
+          Multimodal.MediaRow(
+            id * 2 + 1,
+            "video/avi",
+            Multimodal.syntheticAviMjpeg(id, w, h, 4, editFrame = 2, editSeedDelta = 7777L)
+          )
+        )
+      }
+      Multimodal
+        .videoNearDupPairs(media, maxHamming = 2, blocks = 4, minFrames = 2)
+        .orderBy(col("id_a"))
+    }),
+
     // CROSS-RATE audio near-dup: per sampled doc, the SAME recording at
     // 16 kHz (master formula samples) and at 8 kHz (its even frames —
     // exactly what ideal decimation produces). Without normalization the
@@ -7279,6 +7335,23 @@ object ExtensionQueries {
     "x180_video_cross_container" ->
       """SELECT doc_id * 2 AS id_a, doc_id * 2 + 1 AS id_b,
         |  CAST(4 AS BIGINT) AS n_frame_pairs, CAST(0 AS INT) AS min_hamming
+        |FROM documents WHERE doc_id % 20 = 0 ORDER BY id_a""".stripMargin,
+
+    // real MJPEG/AVI decode: the frame grid (count + dims) is pinned by
+    // the JPEG/RIFF structure on any engine
+    "x182_avi_frames" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 0),
+        |f AS (SELECT doc_id, UNNEST(RANGE(0, 3)) AS k FROM d)
+        |SELECT doc_id, CAST(k AS INT) AS frame_idx,
+        |  CAST(24 + doc_id % 17 AS INT) AS width,
+        |  CAST(24 + doc_id % 13 AS INT) AS height
+        |FROM f ORDER BY 1, 2""".stripMargin,
+
+    // unedited frames of a (clean, edited) AVI pair are byte-identical
+    // JPEGs → hamming 0 on any engine: exactly 3 frame pairs each
+    "x183_avi_neardup" ->
+      """SELECT doc_id * 2 AS id_a, doc_id * 2 + 1 AS id_b,
+        |  CAST(3 AS BIGINT) AS n_frame_pairs, CAST(0 AS INT) AS min_hamming
         |FROM documents WHERE doc_id % 20 = 0 ORDER BY id_a""".stripMargin,
 
     // rate-normalized twins fingerprint identically (decimation to the

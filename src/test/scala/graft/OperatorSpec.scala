@@ -919,6 +919,64 @@ class OperatorSpec extends SparkTestBase {
     assert(probed == Set((7L, "video", 12, 10, 1), (8L, "video", 12, 10, 3)), s"probe: $probed")
   }
 
+  test("decodeAviMjpegFrames: real compressed video — frame grid, planted edit, equality invariants, fuzz") {
+    import spark.implicits._
+    // frame grid: count and dims are structural (JPEG SOF + RIFF walk)
+    for (seed <- Seq(1L, 42L)) {
+      val (w, h, nf) = (33 + (seed % 5).toInt, 21, 4)
+      val Some(frames) = Multimodal.decodeAviMjpegFrames(Multimodal.syntheticAviMjpeg(seed, w, h, nf))
+      assert(frames.length == nf && frames.forall { case (fw, fh, l) => fw == w && fh == h && l.length == w * h })
+    }
+    // the equality invariant every AVI oracle rides: unedited frames of
+    // (clean, edited) encode the same plane → byte-identical JPEG chunks
+    // → identical decoded luma and hash; the edited frame differs
+    val clean = Multimodal.decodeAviMjpegFrames(Multimodal.syntheticAviMjpeg(5L, 40, 30, 4)).get
+    val edited = Multimodal
+      .decodeAviMjpegFrames(Multimodal.syntheticAviMjpeg(5L, 40, 30, 4, editFrame = 2, editSeedDelta = 7777L))
+      .get
+    for (k <- Seq(0, 1, 3))
+      assert(java.util.Arrays.equals(clean(k)._3, edited(k)._3), s"unedited frame $k diverged")
+    assert(!java.util.Arrays.equals(clean(2)._3, edited(2)._3), "planted edit invisible")
+    val hashes = (f: IndexedSeq[(Int, Int, Array[Byte])]) =>
+      f.map { case (w, h, l) => Multimodal.lumaAHash64(l, w, h) }
+    val (hc, he) = (hashes(clean), hashes(edited))
+    assert(hc(0) == he(0) && hc(1) == he(1) && hc(3) == he(3) && hc(2) != he(2))
+    // within-JDK determinism of the lossy decode: same bytes → same luma
+    val avi = Multimodal.syntheticAviMjpeg(9L, 20, 20, 3)
+    assert(
+      Multimodal.decodeAviMjpegFrames(avi).get.map(_._3.toSeq) ==
+        Multimodal.decodeAviMjpegFrames(avi.clone()).get.map(_._3.toSeq)
+    )
+    // truncation: a cut tail keeps only fully-present frames, no throws;
+    // corruption never throws; non-AVI RIFF (WAV) and junk return None
+    for (len <- Seq(0, 7, 11, 30, avi.length / 3, avi.length / 2, avi.length - 1)) {
+      val got = Multimodal.decodeAviMjpegFrames(java.util.Arrays.copyOf(avi, len))
+      assert(got.forall(_.length <= 3), s"truncation at $len produced phantom frames")
+    }
+    val rnd = new scala.util.Random(77)
+    for (_ <- 0 until 100) {
+      val corrupt = avi.clone()
+      corrupt(rnd.nextInt(corrupt.length)) = rnd.nextInt(256).toByte
+      Multimodal.decodeAviMjpegFrames(corrupt) // must not throw
+    }
+    assert(Multimodal.decodeAviMjpegFrames(Multimodal.syntheticWav(1L, 256)).isEmpty)
+    assert(Multimodal.decodeAviMjpegFrames("RIFF but not avi".getBytes).isEmpty)
+    // operator surface: videoFrameHashes routes AVI; mediaProbe types it
+    // video at any frame count with structural dims
+    val media = Seq(Multimodal.MediaRow(1L, "video/avi", avi)).toDS()
+    val vfh = Multimodal.videoFrameHashes(media)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    assert(vfh == Set((1L, 0, 20, 20), (1L, 1, 20, 20), (1L, 2, 20, 20)))
+    val probed = Multimodal
+      .mediaProbe(Seq(
+        Multimodal.MediaRow(7L, "video/avi", Multimodal.syntheticAviMjpeg(2L, 12, 10, 1)),
+        Multimodal.MediaRow(8L, "video/avi", Multimodal.syntheticAviMjpeg(2L, 12, 10, 3))
+      ).toDS())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3), r.getInt(4), r.getInt(5)))
+      .toSet
+    assert(probed == Set((7L, "video", 12, 10, 1), (8L, "video", 12, 10, 3)), s"probe: $probed")
+  }
+
   test("energyFingerprint/audioNearDupPairs: amplitude-invariant, decode-path equal, blocked == brute") {
     import spark.implicits._
     // EXACT amplitude invariance: integer-scaled copies fingerprint
