@@ -2589,6 +2589,7 @@ object StressXOps {
     if (section("acscan")) acScanSection(spark, math.min(nDocs, 1000000L))
     if (section("blocklist")) blocklistSection(spark, math.min(nDocs, 1000000L))
     if (section("asof")) asofSection(spark, math.min(nDocs, 20000000L))
+    if (section("media")) mediaSection(spark, math.min(nDocs, 200000L))
     if (section("ngramab")) ngramAbSection(spark)
     if (section("monsterrow")) monsterRowSection(spark, math.min(nDocs, 200000L))
     if (section("bpe1k")) bpe1kSection(spark, math.min(nDocs, 2000000L))
@@ -2889,6 +2890,85 @@ object StressXOps {
     * order-independent full-output checksum equality — the committed
     * evidence row for the custom physical operator.
     */
+  /** Multimodal layer at scale: a mixed container corpus (2-frame GIF /
+    * Y4M / MJPEG-AVI videos + WAV clips, synthesized per-partition) with
+    * 1% planted edited-AVI twins, driven through the three decode
+    * operators. Measures blobs/s + MBps per operator (the zero-shuffle
+    * mapPartitions batch shape under real encode/decode work — GIF LZW,
+    * JPEG DCT, RIFF walks) and gates EXACT planted-twin recall through
+    * the blocked frame-hash join: the shared unedited frame of every
+    * (clean, edited) AVI pair is a byte-identical JPEG, so recall is a
+    * correctness property, not a probabilistic one.
+    */
+  private def mediaSection(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    val planted = n / 400 // ids ≡ 2 (mod 400) — AVI rows — get an edited twin
+    val media = spark
+      .range(n)
+      .as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val w = 16 + (id % 9).toInt
+        val h = 16 + (id % 7).toInt
+        val base = (id % 4) match {
+          case 0 => operators.Multimodal.MediaRow(id, "video/gif", operators.Multimodal.syntheticGif(id, w, h, 2))
+          case 1 => operators.Multimodal.MediaRow(id, "video/y4m", operators.Multimodal.syntheticY4m(id, w, h, 2))
+          case 2 => operators.Multimodal.MediaRow(id, "video/avi", operators.Multimodal.syntheticAviMjpeg(id, w, h, 2))
+          case _ => operators.Multimodal.MediaRow(id, "audio/wav", operators.Multimodal.syntheticWav(id, 512))
+        }
+        if (id % 400 == 2)
+          Seq(
+            base,
+            operators.Multimodal.MediaRow(
+              id + TwinOffset,
+              "video/avi",
+              operators.Multimodal.syntheticAviMjpeg(id, w, h, 2, editFrame = 1, editSeedDelta = 7777L)
+            )
+          )
+        else Seq(base)
+      })
+      .persist()
+    val rows = media.count()
+    val bytes = media.map(_.content.length.toLong).reduce(_ + _)
+    def timed[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    // typed catalog probe over everything
+    val (probeS, kindCounts) = timed {
+      operators.Multimodal.mediaProbe(media).groupBy(col("kind")).count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    }
+    assert(
+      kindCounts.getOrElse("video", 0L) == 3 * (n / 4) + planted &&
+        kindCounts.getOrElse("audio", 0L) == n / 4,
+      s"probe typed the corpus wrong: $kindCounts"
+    )
+    // frame decode + hash over everything (WAV rows take the 1-D block fallback)
+    val (framesS, nFrames) = timed(operators.Multimodal.videoFrameHashes(media).count())
+    // audio fingerprints over everything (video rows take the raw-byte fallback)
+    val (audioS, nFps) = timed(operators.Multimodal.audioFingerprints(media).count())
+    assert(nFps == rows)
+    // EXACT planted recall: every (clean, edited) AVI pair shares its
+    // byte-identical unedited frame at hamming 0
+    val (pairsS, found) = timed {
+      operators.Multimodal
+        .videoNearDupPairs(media, maxHamming = 2, blocks = 4, minFrames = 1)
+        .filter(col("id_b") - col("id_a") === TwinOffset)
+        .count()
+    }
+    def mbps(sec: Double) = bytes / 1e6 / sec
+    println(
+      f"[stressx] media @ $rows%d blobs (${bytes / 1e6}%.0f MB): probe $probeS%.1f s (${rows / probeS}%.0f blobs/s, ${mbps(probeS)}%.0f MBps), frames $framesS%.1f s ($nFrames%d frames), audio $audioS%.1f s, neardup $pairsS%.1f s — planted recall $found%d/$planted%d"
+    )
+    record(
+      f"""{"stage":"media","blobs":$rows%d,"bytes":$bytes%d,"probe_s":$probeS%.2f,"probe_blobs_s":${rows / probeS}%.0f,"frames_s":$framesS%.2f,"n_frames":$nFrames%d,"audio_s":$audioS%.2f,"neardup_s":$pairsS%.2f,"planted":$planted%d,"found":$found%d,"recall":${found.toDouble / math.max(1, planted)}%.4f}"""
+    )
+    assert(found == planted, s"planted AVI twin recall $found/$planted")
+    media.unpersist()
+    ()
+  }
+
   private def asofSection(spark: SparkSession, n: Long): Unit = {
     val nKeys = math.max(1L, n / 100)
     val left = spark.range(n).select(

@@ -357,6 +357,80 @@ object StreamTws {
     }
   }
 
+  /** [[DistinctPerKeyProcessor]] with BATCH→STREAM STATE BOOTSTRAP:
+    * initial state rows are the (key, fp) membership pairs accumulated
+    * by a batch `countDistinct` corpus (one [[handleInitialState]] call
+    * per pair — multi-row keys are the normal case here). Each seed
+    * marks membership AND counts toward the key's admission counter, so
+    * the first post-migration emission for a key continues its batch
+    * count instead of restarting from zero.
+    */
+  private[streaming] final class DistinctPerKeySeededProcessor(ttl: TTLConfig)
+      extends StatefulProcessorWithInitialState[String, KeyedFp, KeyCount, KeyedFp] {
+    @transient private var seen: MapState[String, Boolean] = _
+    @transient private var n: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      seen = getHandle
+        .getMapState[String, Boolean]("seen", Encoders.STRING, Encoders.scalaBoolean, ttl)
+      n = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInitialState(
+        key: String,
+        initialState: KeyedFp,
+        timerValues: TimerValues
+    ): Unit =
+      if (!seen.containsKey(initialState.fp)) {
+        seen.updateValue(initialState.fp, true)
+        n.update((if (n.exists()) n.get() else 0L) + 1)
+      }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[KeyedFp],
+        timerValues: TimerValues
+    ): Iterator[KeyCount] = {
+      var c = if (n.exists()) n.get() else 0L
+      rows.foreach { r =>
+        if (!seen.containsKey(r.fp)) {
+          seen.updateValue(r.fp, true)
+          c += 1
+        }
+      }
+      n.update(c)
+      Iterator.single(KeyCount(key, c))
+    }
+  }
+
+  /** [[distinctPerKey]] with BATCH→STREAM STATE BOOTSTRAP: `seeds` are
+    * the (key, fp) membership pairs of the corpus counted so far (what
+    * `groupBy(key).agg(collect_set(fp))` — or the corpus itself,
+    * projected to distinct pairs — holds). Post-migration counts
+    * CONTINUE from the seeded membership: a seeded fp re-arriving does
+    * not recount, a new fp increments from the batch total. Handoff
+    * runs once per fresh checkpoint.
+    */
+  def distinctPerKeySeeded(
+      rows: Dataset[KeyedFp],
+      seeds: Dataset[KeyedFp],
+      ttl: Option[Duration] = None
+  ): Dataset[KeyCount] = {
+    import rows.sparkSession.implicits._
+    val (cfg, mode) = ttl match {
+      case Some(d) => (TTLConfig(d), TimeMode.ProcessingTime())
+      case None    => (TTLConfig.NONE, TimeMode.None())
+    }
+    rows
+      .groupByKey(_.key)
+      .transformWithState(
+        new DistinctPerKeySeededProcessor(cfg),
+        mode,
+        OutputMode.Update(),
+        seeds.groupByKey(_.key)
+      )
+  }
+
   /** First-seen dedup over a stream of `(id, fp)` rows. `ttl = None`
     * remembers forever (TimeMode.None — no clock in the plan at all);
     * `ttl = Some(d)` bounds state to the last `d` of processing time.

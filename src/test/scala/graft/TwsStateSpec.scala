@@ -47,14 +47,15 @@ class TwsStateSpec extends SparkTestBase {
     */
   private def runRocks[T](
       df: org.apache.spark.sql.Dataset[T],
-      name: String
+      name: String,
+      outputMode: String = "append"
   )(feeds: Seq[() => Unit]): Seq[org.apache.spark.sql.Row] = {
     val prev = spark.conf.getOption(ProviderKey)
     val prevCk = spark.conf.getOption(ChecksumKey)
     spark.conf.set(ProviderKey, RocksDb)
     spark.conf.set(ChecksumKey, "false")
     try {
-      val q = df.writeStream.format("memory").queryName(name).outputMode("append").start()
+      val q = df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
       try {
         feeds.foreach { f => f(); q.processAllAvailable() }
         val rocks = q.recentProgress.toSeq
@@ -557,6 +558,44 @@ class TwsStateSpec extends SparkTestBase {
       .toSet
     val gotFeat = got.filter(_._1 != "e6").map(t => (t._1, t._2))
     assert(batchAsOf == gotFeat, s"batch as-of $batchAsOf vs stream $gotFeat")
+  }
+
+  test("distinctPerKeySeeded: counts continue from seeded membership, seeded fps never recount") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the batch corpus so far: k1 has 3 distinct fps (x duplicated —
+    // duplicate seed pairs must not double-count), k2 has 1
+    val seeds = Seq(
+      StreamTws.KeyedFp("k1", "x"), StreamTws.KeyedFp("k1", "x"),
+      StreamTws.KeyedFp("k1", "y"), StreamTws.KeyedFp("k1", "z"),
+      StreamTws.KeyedFp("k2", "q")
+    ).toDS()
+    val input = MemoryStream[StreamTws.KeyedFp]
+    val out = StreamTws.distinctPerKeySeeded(input.toDS(), seeds)
+    val rows = runRocks(out, "tws_seed_distinct", outputMode = "update")(
+      Seq(
+        // x is seeded (no recount), w is new (count continues 3 → 4);
+        // k3 is unseeded (starts at 1)
+        () =>
+          input.addData(
+            StreamTws.KeyedFp("k1", "x"),
+            StreamTws.KeyedFp("k1", "w"),
+            StreamTws.KeyedFp("k3", "a")
+          ),
+        // q re-arrives for k2: membership held, count stays 1
+        () => input.addData(StreamTws.KeyedFp("k2", "q"))
+      )
+    )
+    val finalCounts = rows
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2).max)
+      .toMap
+    assert(
+      finalCounts == Map("k1" -> 4L, "k2" -> 1L, "k3" -> 1L),
+      s"got $finalCounts"
+    )
   }
 
   test("transformWithState refuses the HDFS-backed provider (needs column families)") {
