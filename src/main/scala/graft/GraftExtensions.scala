@@ -192,6 +192,43 @@ object GraftExtensions {
         .exact(spark.table(str(es(0))), col(str(es(1))), col(str(es(2))))
         .queryExecution.logical
     }),
+    // typed media catalog from SQL (the x184 plan: magic-sniff + decode
+    // just enough to type each blob, zero-shuffle mapPartitions):
+    //   SELECT * FROM graft_media_probe('media', 'doc_id', 'content')
+    // one row per blob: (doc_id, kind, byte_len, width, height,
+    // n_frames, sample_rate, n_samples)
+    "graft_media_probe" -> (es => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      import org.apache.spark.sql.functions.{col, lit}
+      val ds = spark
+        .table(str(es(0)))
+        .select(
+          col(str(es(1))).cast("long").as("doc_id"),
+          lit("sql").as("media_type"),
+          col(str(es(2))).as("content")
+        )
+        .as(org.apache.spark.sql.Encoders.product[graft.operators.Multimodal.MediaRow])
+      graft.operators.Multimodal.mediaProbe(ds).queryExecution.logical
+    }),
+    // per-frame video hashes from SQL (GIF / Y4M / MJPEG-AVI decode +
+    // classic 8x8 aHash; non-video blobs take the raw block fallback):
+    //   SELECT * FROM graft_video_frames('media', 'doc_id', 'content'[, stride])
+    // one row per sampled frame: (doc_id, frame_idx, width, height, simhash)
+    "graft_video_frames" -> (es => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      import org.apache.spark.sql.functions.{col, lit}
+      val ds = spark
+        .table(str(es(0)))
+        .select(
+          col(str(es(1))).cast("long").as("doc_id"),
+          lit("sql").as("media_type"),
+          col(str(es(2))).as("content")
+        )
+        .as(org.apache.spark.sql.Encoders.product[graft.operators.Multimodal.MediaRow])
+      graft.operators.Multimodal
+        .videoFrameHashes(ds, stride = if (es.length > 3) off(es(3)) else 1)
+        .queryExecution.logical
+    }),
     // benchmark decontamination from SQL (the x24 plan: corpus n-gram
     // explode equi-joined to the BROADCAST benchmark gram set):
     //   SELECT * FROM graft_decontaminate('corpus', 'text', 'doc_id',

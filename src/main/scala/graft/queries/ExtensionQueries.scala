@@ -3974,6 +3974,39 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // PURE-SQL media catalog: x184's six-kind corpus reached through the
+    // graft_media_probe TABLE function (the x172/x173 discipline for the
+    // multimodal layer) — the driver gate proves a SQL-only user gets
+    // the identical typed-probe plan. Oracle: x184's SQL verbatim.
+    "x185_sql_media_probe" -> ((s, dir) => {
+      import s.implicits._
+      graft.GraftExtensions.register(s)
+      val ids = T(s, dir, "documents")
+        .select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(20)) === 0)
+        .as[Long]
+      val media = ids.map { id =>
+        val sel = (id / 20) % 6
+        val w = 16 + (id % 9).toInt
+        val h = 16 + (id % 7).toInt
+        val n = 256 + (id % 11).toInt * 32
+        val content = sel match {
+          case 0 => Multimodal.syntheticImage(id, w, h, "png")
+          case 1 => Multimodal.syntheticGif(id, w, h, 3)
+          case 2 => Multimodal.syntheticWav(id, n)
+          case 3 => Multimodal.syntheticY4m(id, w, h, 2)
+          case 4 => Multimodal.syntheticAviMjpeg(id, w, h, 2)
+          case _ => s"plain text doc $id".getBytes("UTF-8")
+        }
+        (id, content)
+      }
+      media.toDF("doc_id", "content").createOrReplaceTempView("x185_media")
+      s.sql(
+        "SELECT doc_id, kind, width, height, n_frames, sample_rate, n_samples " +
+          "FROM graft_media_probe('x185_media', 'doc_id', 'content') ORDER BY doc_id"
+      )
+    }),
+
     // CROSS-RATE audio near-dup: per sampled doc, the SAME recording at
     // 16 kHz (master formula samples) and at 8 kHz (its even frames —
     // exactly what ideal decimation produces). Without normalization the
@@ -7385,6 +7418,23 @@ object ExtensionQueries {
       """SELECT doc_id * 2 AS id_a, doc_id * 2 + 1 AS id_b,
         |  CAST(3 AS BIGINT) AS n_frame_pairs, CAST(0 AS INT) AS min_hamming
         |FROM documents WHERE doc_id % 20 = 0 ORDER BY id_a""".stripMargin,
+
+    // SQL-path twin of x184 (same typed probe through the table function)
+    "x185_sql_media_probe" ->
+      """WITH d AS (SELECT doc_id, (doc_id // 20) % 6 AS sel,
+        |    16 + doc_id % 9 AS w, 16 + doc_id % 7 AS h,
+        |    256 + (doc_id % 11) * 32 AS n
+        |  FROM documents WHERE doc_id % 20 = 0)
+        |SELECT doc_id,
+        |  CASE WHEN sel = 0 THEN 'image' WHEN sel IN (1, 3, 4) THEN 'video'
+        |       WHEN sel = 2 THEN 'audio' ELSE 'unknown' END AS kind,
+        |  CAST(CASE WHEN sel IN (0, 1, 3, 4) THEN w ELSE -1 END AS INT) AS width,
+        |  CAST(CASE WHEN sel IN (0, 1, 3, 4) THEN h ELSE -1 END AS INT) AS height,
+        |  CAST(CASE WHEN sel = 0 THEN 1 WHEN sel = 1 THEN 3
+        |            WHEN sel IN (3, 4) THEN 2 ELSE -1 END AS INT) AS n_frames,
+        |  CAST(CASE WHEN sel = 2 THEN 16000 ELSE -1 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN sel = 2 THEN n ELSE -1 END AS BIGINT) AS n_samples
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // every blob across all six kinds typed and measured from the
     // synthesis formulas / container structure

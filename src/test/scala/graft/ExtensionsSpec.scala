@@ -308,6 +308,44 @@ class ExtensionsSpec extends SparkTestBase {
     assert(hits == hitsScala)
   }
 
+  test("graft_media_probe / graft_video_frames SQL table functions round-trip the Scala operators") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    GraftExtensions.register(spark)
+    val media = Seq(
+      (1L, Multimodal.syntheticImage(1L, 12, 10, "png")),
+      (2L, Multimodal.syntheticGif(2L, 12, 10, 3)),
+      (3L, Multimodal.syntheticY4m(3L, 12, 10, 2)),
+      (4L, Multimodal.syntheticAviMjpeg(4L, 12, 10, 2)),
+      (5L, Multimodal.syntheticWav(5L, 256)),
+      (6L, "plain text".getBytes("UTF-8"))
+    ).toDF("doc_id", "content")
+    media.createOrReplaceTempView("tf_media")
+    val viaSql = spark
+      .sql("SELECT doc_id, kind, n_frames FROM graft_media_probe('tf_media', 'doc_id', 'content')")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(
+      viaSql == Set(
+        (1L, "image", 1), (2L, "video", 3), (3L, "video", 2),
+        (4L, "video", 2), (5L, "audio", -1), (6L, "unknown", -1)
+      ),
+      s"got $viaSql"
+    )
+    // frame hashes from SQL == the Scala operator, stride honored
+    val ds = media
+      .select(col("doc_id"), lit("m").as("media_type"), col("content"))
+      .as[Multimodal.MediaRow]
+    val viaScala = Multimodal.videoFrameHashes(ds, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(4))).toSet
+    val framesSql = spark
+      .sql("SELECT doc_id, frame_idx, simhash FROM graft_video_frames('tf_media', 'doc_id', 'content', 2)")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(framesSql == viaScala, s"sql $framesSql vs scala $viaScala")
+    // stride 2 keeps frames 0 and 2 of the 3-frame GIF, frame 0 of the
+    // 2-frame containers
+    assert(framesSql.map(t => (t._1, t._2)).count(t => t._1 == 2L) == 2)
+  }
+
   test("embedding-cosine near-dup pairs = exact brute-force subset, all above threshold") {
     val emb = graft.sources.Tables
       .load(spark, sfDir, "embeddings")
