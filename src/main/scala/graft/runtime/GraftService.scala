@@ -38,6 +38,24 @@ object GraftService {
   /** O-4 — the heartbeat simulator as a config-wired source (type `sim`). */
   final case class SimSouth(clientId: Long, rowsPerSecond: Int) extends Southbound
 
+  /** Optional per-northbound CROSS-BATCH DEDUP (YAML
+    * `interfaces.northbound[].dedup`): before a batch reaches the sink,
+    * rows whose `field` content was already accepted in ANY previous
+    * epoch drop against the digest store ([[graft.streaming.StreamDedup]]
+    * — Bloom-prefiltered, scanned-never-shuffled, replay-idempotent), and
+    * within-batch copies collapse to one arbitrary representative (rows
+    * identical in `field` are interchangeable for a content sink). This
+    * is the LLM-pipeline ingestion gate made config-driven: a YAML-only
+    * operator can point any sink at a store path and get
+    * exactly-once-by-content delivery.
+    */
+  final case class DedupConf(
+      store: String,
+      field: String = "payload",
+      expectedItems: Long = 4000000L,
+      fpp: Double = 0.03
+  )
+
   /** `options` — same generic Kafka client passthrough for producer-type
     * sinks (YAML `interfaces.northbound[].options`); ignored by
     * non-Kafka sink factories.
@@ -47,7 +65,8 @@ object GraftService {
       tpe: String,
       address: String,
       enabled: Boolean,
-      options: Map[String, String] = Map.empty
+      options: Map[String, String] = Map.empty,
+      dedup: Option[DedupConf] = None
   )
 
   /** `metricsPort` — `interfaces.metrics.port` when the metrics block is
@@ -110,7 +129,15 @@ object GraftService {
         n("type").str,
         n.get("address").map(_.str).getOrElse(""),
         n.get("enabled").map(_.bool).getOrElse(true),
-        optionsOf(n)
+        optionsOf(n),
+        n.get("dedup").map { d =>
+          DedupConf(
+            store = d("store").str,
+            field = d.get("field").map(_.str).getOrElse("payload"),
+            expectedItems = d.get("expectedItems").map(_.long).getOrElse(4000000L),
+            fpp = d.get("fpp").map(_.str.toDouble).getOrElse(0.03)
+          )
+        }
       )
     }
     val rules = root.get("rules").map(_.list).getOrElse(Seq.empty).map { r =>
@@ -203,7 +230,7 @@ object GraftService {
       else src.withColumn("destination", org.apache.spark.sql.functions.lit("*"))
     val sinks = cfg.northbound.filter(_.enabled)
     val writers: Map[String, (DataFrame, Long) => Unit] = sinks.map { nb =>
-      val write = sinkFactory(nb)
+      val write = nb.dedup.fold(sinkFactory(nb))(d => wrapDedup(d, sinkFactory(nb)))
       // each sink sees only traffic routed to it (or broadcast '*')
       nb.name -> { (batch: DataFrame, epoch: Long) =>
         write(
@@ -216,6 +243,41 @@ object GraftService {
     }.toMap
     val writer = StreamRuntime.fanOutSinkWithEpoch(routed, writers).trigger(trigger)
     checkpointLocation.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+  }
+
+  /** Wrap an epoch-aware sink with [[DedupConf]]'s cross-batch content
+    * dedup: binary `field`s digest via their hex form (total + injective
+    * — a lossy binary→string cast could alias distinct payloads), other
+    * types via their string form; within-batch copies collapse FIRST
+    * (`dropDuplicates(field)` — post-collapse the digest itself is a
+    * unique row id, which is what [[graft.streaming.StreamDedup.dedupBatch]]'s
+    * keep-smallest rule needs), then the store decides cross-epoch
+    * survival. Store semantics (overwrite-by-epoch, replay-idempotent)
+    * are StreamDedup's verbatim.
+    */
+  private[graft] def wrapDedup(
+      d: DedupConf,
+      accept: (DataFrame, Long) => Unit
+  ): (DataFrame, Long) => Unit = { (batch, epoch) =>
+    import org.apache.spark.sql.functions._
+    val fpSrc =
+      if (batch.schema(d.field).dataType == org.apache.spark.sql.types.BinaryType)
+        hex(col(d.field))
+      else col(d.field).cast("string")
+    val uniq = batch
+      .dropDuplicates(d.field)
+      .withColumn("__graft_dedup_id", graft.operators.TextOps.fingerprintMd5(fpSrc))
+    graft.streaming.StreamDedup.dedupBatch(
+      uniq,
+      fpSrc,
+      col("__graft_dedup_id"),
+      d.store,
+      epoch,
+      (kept, e) => accept(kept.drop("__graft_dedup_id"), e),
+      d.expectedItems,
+      d.fpp
+    )
+    ()
   }
 
   /** Full daemon lifecycle: the service query plus the metrics bridge, the

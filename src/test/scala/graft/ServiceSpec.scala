@@ -284,6 +284,71 @@ class ServiceSpec extends SparkTestBase {
     assert(n("nested.inner").str == "quoted # not a comment")
   }
 
+  test("northbound dedup block: YAML parses, sink sees each content exactly once across epochs") {
+    import org.apache.spark.sql.functions._
+    // parse: the dedup block rides any northbound entry
+    // a not-yet-created subpath: the store materializes on first write
+    // (an EXISTING-but-empty dir would fail the parquet read — same rule
+    // as StreamDedup's own callers)
+    val store =
+      java.nio.file.Files.createTempDirectory("svc-dedup").toString + "/digests"
+    val cfg = GraftService.parseConfig(
+      s"""topic: t
+         |interfaces:
+         |  southbound:
+         |    type: sim
+         |  northbound:
+         |    - name: curated
+         |      type: log
+         |      dedup:
+         |        store: $store
+         |        field: payload
+         |        expectedItems: 1000
+         |""".stripMargin
+    )
+    val d = cfg.northbound.head.dedup.get
+    assert(d.store == store && d.field == "payload" && d.expectedItems == 1000L && d.fpp == 0.03)
+    // the wrapper: within-batch copies collapse, cross-epoch re-ingests
+    // drop against the store, replays are idempotent
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val sink = GraftService.wrapDedup(
+      d,
+      (batch, epoch) =>
+        got.synchronized {
+          got ++= batch.select(col("payload").cast("string")).collect().map(r => (epoch, r.getString(0)))
+          ()
+        }
+    )
+    def batchOf(payloads: String*) =
+      spark
+        .createDataFrame(payloads.map(p => Tuple1(p.getBytes("UTF-8"))))
+        .toDF("payload")
+    sink(batchOf("A", "A", "B"), 0L)
+    assert(
+      got.filter(_._1 == 0L).map(_._2).sorted == Seq("A", "B"),
+      s"epoch 0 must collapse within-batch copies: $got"
+    )
+    sink(batchOf("A", "C"), 1L)
+    assert(
+      got.filter(_._1 == 1L).map(_._2) == Seq("C"),
+      s"epoch 1 must drop the cross-epoch re-ingest: $got"
+    )
+    // replay of epoch 1 (foreachBatch retry contract): same survivors,
+    // never deduped against its own first attempt
+    sink(batchOf("A", "C"), 1L)
+    assert(
+      got.filter(_._1 == 1L).map(_._2) == Seq("C", "C"),
+      s"epoch-1 replay must re-derive the same survivor set: $got"
+    )
+    // binary-safe digests: payloads that would collide under a lossy
+    // binary→string cast stay distinct under the hex digest
+    val b1 = Array[Byte](-1, -2, 0, 65)
+    val b2 = Array[Byte](-2, -1, 0, 65)
+    val binBatch = spark.createDataFrame(Seq(Tuple1(b1), Tuple1(b2))).toDF("payload")
+    sink(binBatch, 2L)
+    assert(got.count(_._1 == 2L) == 2, s"distinct binary payloads must both survive: $got")
+  }
+
   test("sim southbound: config-wired heartbeat simulator streams frames (O-4)") {
     val cfg = GraftService.parseConfig(
       """topic: hb-out
