@@ -3060,6 +3060,14 @@ object StressXOps {
     }
     probeAb(left, "uniform", n)
     probeAb(hotLeft, "hot", n)
+    // the same A/B on PARQUET-backed input — the deployment shape, where
+    // the exact probe's full pass pays real page reads while the head
+    // sample touches a few pages per split (iterator stops pulling)
+    val pqDir = java.nio.file.Files.createTempDirectory("graft-probe-pq").toString
+    left.write.mode("overwrite").parquet(s"$pqDir/uniform")
+    hotLeft.write.mode("overwrite").parquet(s"$pqDir/hot")
+    probeAb(spark.read.parquet(s"$pqDir/uniform"), "uniform_parquet", n)
+    probeAb(spark.read.parquet(s"$pqDir/hot"), "hot_parquet", n)
 
     // gapFill on the same monster-entity regime: the LOCF window vs the
     // chunked fill — one entity holding 30% of rows serializes the plain
