@@ -309,13 +309,21 @@ object BenchTcpStage {
     * exit, Left(reason) on spawn failure / timeout / non-zero exit. The
     * reason names the exit code (137 = SIGKILL, the OOM-killer signature)
     * because a dead fork must be distinguishable from an opt-out in the
-    * bench artifact.
+    * bench artifact — and carries the TAIL of the child's stderr, which is
+    * the only place a child-side stack (RocksDB native load, OOM, an
+    * uncaught query exception) ever appears. Stderr goes to a temp FILE,
+    * not a pipe: a file writer never blocks the child, so the pipe-full
+    * deadlock that motivated the old Redirect.DISCARD cannot occur, and
+    * the parent reads the file only after the child has exited (r14
+    * verdict: DISCARD left the intermittent "fork exited 1" undiagnosable
+    * from the artifact of record).
     */
   private[graft] def forkRaw(
       args: Seq[String],
       timeoutSec: Long,
       mainClass: String = "graft.BenchTcpStage"
-  ): Either[String, String] =
+  ): Either[String, String] = {
+    var errFile: java.io.File = null
     try {
       val javaBin = new java.io.File(new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
       // forward the fan-out experiment flag so a parent-side override is
@@ -326,9 +334,8 @@ object BenchTcpStage {
         (Seq(javaBin, "-Xmx24g") ++ extraProps ++
           Seq("-cp", System.getProperty("java.class.path"), mainClass) ++ args): _*
       )
-      // discard child stderr (Spark banner/logs) — reading it after stdout
-      // closes risks a pipe-full deadlock while the child is still running
-      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      errFile = java.io.File.createTempFile("graft-bench-child-", ".stderr")
+      pb.redirectError(errFile)
       val proc = pb.start()
       // drain stdout on a side thread so the timeout actually fires: a
       // blocking readAllBytes before waitFor would hang the parent bench
@@ -346,8 +353,37 @@ object BenchTcpStage {
         proc.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
       }
       drainer.join(5000)
-      if (!finished) Left(s"fork timeout after ${timeoutSec}s (child killed)")
-      else if (proc.exitValue() != 0) Left(s"fork exited ${proc.exitValue()}")
+      if (!finished) Left(s"fork timeout after ${timeoutSec}s (child killed); stderr tail: ${stderrTail(errFile)}")
+      else if (proc.exitValue() != 0)
+        Left(s"fork exited ${proc.exitValue()}; stderr tail: ${stderrTail(errFile)}")
       else Right(outBuf.toString("UTF-8"))
-    } catch { case e: Throwable => Left(s"fork spawn failed: ${e.getClass.getSimpleName}: ${e.getMessage}") }
+    } catch {
+      case e: Throwable => Left(s"fork spawn failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    } finally {
+      if (errFile != null) { errFile.delete(); () }
+    }
+  }
+
+  /** Last ~`maxChars` of the child's stderr file, filtered to the lines
+    * that carry diagnostic weight (exceptions, Caused-by, fatal-error
+    * banners, OOM) plus the final lines verbatim — a 420 s Spark child
+    * writes kilobytes of banner/log noise and the artifact error string
+    * must stay one line. Newlines become " | " so the string embeds
+    * cleanly in the bench JSON.
+    */
+  private def stderrTail(f: java.io.File, maxChars: Int = 600): String =
+    try {
+      if (f == null || !f.exists()) return "(no stderr file)"
+      val all = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      if (all.trim.isEmpty) return "(empty)"
+      val lines = all.linesIterator.toVector
+      val interesting = lines.filter { l =>
+        l.contains("Exception") || l.contains("Error") || l.contains("Caused by") ||
+        l.contains("fatal") || l.contains("OutOfMemory") || l.contains("SIGSEGV") ||
+        l.contains("Killed") || l.contains("at graft.")
+      }
+      val picked = (interesting.take(8) ++ lines.takeRight(4)).distinct
+      val s = picked.mkString(" | ").replace('"', '\'')
+      if (s.length <= maxChars) s else s.takeRight(maxChars)
+    } catch { case e: Throwable => s"(stderr unreadable: ${e.getClass.getSimpleName})" }
 }

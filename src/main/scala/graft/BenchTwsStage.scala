@@ -70,9 +70,20 @@ object BenchTwsStage {
       .outputMode("append")
       .option("checkpointLocation", s"$tmp/ckpt")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.StreamTws.FpRow], _: Long) =>
-        if (done < epochs) { // rate-micro-batch never ends; ignore overrun epochs
-          if (tFirst == 0L) tFirst = System.nanoTime()
-          val n = batch.count()
+        // ALWAYS materialize — including overrun epochs past the measured
+        // window. rate-micro-batch never ends, so batches keep arriving
+        // until q.stop() lands; a foreachBatch that skips consuming one
+        // leaves the plan's transformWithState stores with ZERO commits
+        // for that batch, and Spark 4.1.2's BatchCommitTracker
+        // ("Expected N commits but got 0") then kills the query with
+        // STATE_STORE_COMMIT_VALIDATION_FAILED — the root cause of the
+        // r14 intermittent "fork exited 1" (whether the overrun batch
+        // started before stop() was the coin flip). Overrun counts are
+        // simply not recorded; the measured window stays epochs × rows.
+        val record = done < epochs
+        if (record && tFirst == 0L) tFirst = System.nanoTime()
+        val n = batch.count()
+        if (record) {
           emitted.synchronized { emitted += n; () }
           done += 1
           tLast = System.nanoTime()

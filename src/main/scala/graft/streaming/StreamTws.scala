@@ -629,6 +629,26 @@ object StreamTws {
     */
   final case class ObsSeed(key: String, t: Long, v: Double)
 
+  /** [[EnrichIn]] on a true event-time axis (`ts` is the watermark
+    * column) — the input row of [[enrichLatestEventTime]].
+    */
+  final case class EnrichInTs(
+      key: String,
+      ts: java.sql.Timestamp,
+      isObs: Boolean,
+      id: String,
+      v: Option[Double]
+  )
+
+  /** One enriched event from [[enrichLatestEventTime]]. */
+  final case class EnrichOutTs(
+      key: String,
+      ts: java.sql.Timestamp,
+      id: String,
+      feat: Option[Double],
+      featT: Option[java.sql.Timestamp]
+  )
+
   /** Streaming AS-OF ENRICH with bootstrap — the native-typed-state
     * mirror of [[StreamAsOf]]'s feature-store pattern: per key, a
     * ValueState holds the newest observation (t, v); each batch's rows
@@ -672,7 +692,11 @@ object StreamTws {
       val out = Vector.newBuilder[EnrichOut]
       batch.foreach { r =>
         if (r.isObs) {
-          if (cur == null || r.t >= cur.t) cur = ObsSeed(key, r.t, r.v.getOrElse(0.0))
+          // a malformed observation (v = None) NEVER becomes a feature —
+          // [[enrichLatest]] count-and-drops these before the shuffle
+          // (the load-shed discipline); this guard keeps the invariant
+          // even for direct processor feeds, instead of inventing 0.0
+          r.v.foreach { vv => if (cur == null || r.t >= cur.t) cur = ObsSeed(key, r.t, vv) }
         } else if (cur != null && cur.t <= r.t) {
           out += EnrichOut(key, r.t, r.id, Some(cur.v), Some(cur.t))
         } else {
@@ -688,13 +712,24 @@ object StreamTws {
     * bootstrapped from `seeds` (feed [[latestObsSeeds]] to resume from a
     * [[StreamAsOf]] observation store). Emits one row per EVENT row;
     * observation rows only update state.
+    *
+    * MALFORMED-OBSERVATION ACCOUNTING: an observation row with `v = None`
+    * carries no feature and is COUNT-AND-DROPPED before the shuffle —
+    * never enriched into events as an invented value. The drop count
+    * surfaces as the named observed metric
+    * `<metricsName>.malformed_obs_dropped` on every micro-batch's
+    * `StreamingQueryProgress.observedMetrics` (alongside `rows_in`), the
+    * same accounting discipline as the pipeline's shed metrics (O-14).
+    * `metricsName` must be unique per query (Spark rejects duplicate
+    * observation names in one plan).
     */
   def enrichLatest(
       rows: Dataset[EnrichIn],
-      seeds: Dataset[ObsSeed]
+      seeds: Dataset[ObsSeed],
+      metricsName: String = "graft_enrich"
   ): Dataset[EnrichOut] = {
     import rows.sparkSession.implicits._
-    rows
+    dropMalformedObs(rows, metricsName)
       .groupByKey(_.key)
       .transformWithState(
         new LatestEnrichProcessor,
@@ -702,6 +737,134 @@ object StreamTws {
         OutputMode.Append(),
         seeds.groupByKey(_.key)
       )
+  }
+
+  /** [[LatestEnrichProcessor]] under TRUE EVENT TIME with bounded state:
+    * identical enrich semantics (newest observation at or before the
+    * event, obs-before-event at equal ts, single-version contract), plus
+    * an event-time TIMER that EVICTS a key's retained observation once
+    * the watermark passes `obsTime + staleAfter` — the bounded-state
+    * story the TimeMode.None form lacks on unbounded key domains. One
+    * timer per key at any moment (the [[SessionizeProcessor]] re-arm
+    * discipline): each observation advance deletes the old timer and
+    * arms `newObsTime + staleAfter`.
+    *
+    * EVICTION CONTRACT: a key silent for `staleAfter` of event time
+    * forgets its observation; a later event on that key enriches to
+    * None (same as a never-seen key) rather than to a stale feature.
+    * Watermark-late EVENTS are dropped by the engine before the
+    * processor (standard event-time semantics); a late OBSERVATION
+    * inside the watermark still applies under the single-version rule.
+    */
+  private[streaming] final class LatestEnrichEventTimeProcessor(staleAfterMs: Long)
+      extends StatefulProcessorWithInitialState[String, EnrichInTs, EnrichOutTs, ObsSeed] {
+    @transient private var latest: ValueState[ObsSeed] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      latest = getHandle.getValueState[ObsSeed]("latest", Encoders.product[ObsSeed], TTLConfig.NONE)
+
+    private def rearm(obsT: Long): Unit = {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(obsT + staleAfterMs)
+    }
+
+    override def handleInitialState(
+        key: String,
+        initialState: ObsSeed,
+        timerValues: TimerValues
+    ): Unit = {
+      latest.update(initialState)
+      rearm(initialState.t)
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[EnrichInTs],
+        timerValues: TimerValues
+    ): Iterator[EnrichOutTs] = {
+      val batch = rows.toArray.sortBy(r => (r.ts.getTime, if (r.isObs) 0 else 1))
+      var cur: ObsSeed = if (latest.exists()) latest.get() else null
+      var advanced = false
+      val out = Vector.newBuilder[EnrichOutTs]
+      batch.foreach { r =>
+        val t = r.ts.getTime
+        if (r.isObs) {
+          // v = None is count-and-dropped upstream; guard kept for
+          // direct feeds — never invent a feature value
+          r.v.foreach { vv =>
+            if (cur == null || t >= cur.t) { cur = ObsSeed(key, t, vv); advanced = true }
+          }
+        } else if (cur != null && cur.t <= t) {
+          out += EnrichOutTs(key, r.ts, r.id, Some(cur.v), Some(new java.sql.Timestamp(cur.t)))
+        } else {
+          out += EnrichOutTs(key, r.ts, r.id, None, None)
+        }
+      }
+      if (advanced) {
+        latest.update(cur)
+        rearm(cur.t)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(
+        key: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo
+    ): Iterator[EnrichOutTs] = {
+      // defensive staleness check: under the one-timer re-arm discipline
+      // a firing timer always matches the retained obs, but a racing
+      // same-batch advance must never evict a fresh observation
+      val due =
+        math.max(expiredTimerInfo.getExpiryTimeInMs(), timerValues.getCurrentWatermarkInMs())
+      if (latest.exists() && latest.get().t + staleAfterMs <= due) latest.clear()
+      Iterator.empty
+    }
+  }
+
+  /** [[enrichLatest]] under TRUE EVENT TIME: `ts` carries the watermark
+    * (`watermarkDelay` = out-of-orderness bound), and a key whose newest
+    * observation falls `staleAfter` behind the watermark is EVICTED by a
+    * per-key event-time timer — state stays bounded by the live-key set
+    * within the staleness horizon instead of growing with every key ever
+    * seen. Seeds bootstrap exactly as in [[enrichLatest]]; a seeded key
+    * that never speaks evicts once the watermark passes `seed.t +
+    * staleAfter`. Malformed observations (`v = None`) are count-and-
+    * dropped under `<metricsName>.malformed_obs_dropped`.
+    */
+  def enrichLatestEventTime(
+      rows: Dataset[EnrichInTs],
+      seeds: Dataset[ObsSeed],
+      staleAfter: Duration,
+      watermarkDelay: Duration,
+      metricsName: String = "graft_enrich_et"
+  ): Dataset[EnrichOutTs] = {
+    import rows.sparkSession.implicits._
+    dropMalformedObs(rows, metricsName)
+      .withWatermark("ts", s"${watermarkDelay.toMillis} milliseconds")
+      .groupByKey(_.key)
+      .transformWithState(
+        new LatestEnrichEventTimeProcessor(staleAfter.toMillis),
+        TimeMode.EventTime(),
+        OutputMode.Append(),
+        seeds.groupByKey(_.key)
+      )
+  }
+
+  /** Count-and-drop observation rows with no value (`isObs && v IS
+    * NULL`) under a named streaming observation — shared by both
+    * [[enrichLatest]] variants. One narrow filter, no extra exchange.
+    */
+  private def dropMalformedObs[T](rows: Dataset[T], metricsName: String): Dataset[T] = {
+    import org.apache.spark.sql.functions.{count, lit, when}
+    val malformed = col("isObs") && col("v").isNull
+    rows
+      .observe(
+        metricsName,
+        count(when(malformed, lit(1))).as("malformed_obs_dropped"),
+        count(lit(1)).as("rows_in")
+      )
+      .filter(!malformed)
   }
 
   /** The newest observation per key of a [[StreamAsOf]] observation

@@ -598,6 +598,150 @@ class TwsStateSpec extends SparkTestBase {
     )
   }
 
+  test("landmine pin: foreachBatch skipping a tws batch fails STATE_STORE_COMMIT_VALIDATION") {
+    // Spark 4.1.2's BatchCommitTracker demands every state store commit
+    // per batch; a foreachBatch body that returns WITHOUT materializing
+    // the batch Dataset runs zero tasks, commits zero stores, and the
+    // query dies with STATE_STORE_COMMIT_VALIDATION_FAILED. This was the
+    // r14 bench's intermittent "fork exited 1": overrun rate-micro-batch
+    // epochs past the measured window were skipped unconsumed
+    // (BenchTwsStage now always materializes). Pinned so an engine-side
+    // behavior change (or a regression to the skipping shape) is loud.
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(ProviderKey)
+    val prevCk = spark.conf.getOption(ChecksumKey)
+    spark.conf.set(ProviderKey, RocksDb)
+    spark.conf.set(ChecksumKey, "false")
+    try {
+      val input = MemoryStream[FpRow]
+      val out = StreamTws.firstSeen(input.toDS())
+      val ckpt = java.nio.file.Files.createTempDirectory("tws-skip-ckpt").toString
+      @volatile var batches = 0
+      val q = out.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[FpRow], _: Long) =>
+          if (batches == 0) { b.count(); () } // batch 0 consumed; batch 1 SKIPPED
+          batches += 1
+        }
+        .start()
+      try {
+        input.addData(FpRow("a0", "fpA"))
+        q.processAllAvailable() // batch 0: materialized, commits clean
+        input.addData(FpRow("a1", "fpB"))
+        val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable() // batch 1: skipped → 0 commits → validation kills the query
+        }
+        def chain(t: Throwable): String =
+          if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+        assert(
+          chain(ex).contains("STATE_STORE_COMMIT_VALIDATION_FAILED"),
+          s"expected commit-validation failure, got: ${chain(ex).take(500)}"
+        )
+      } finally q.stop()
+    } finally {
+      spark.conf.unset(ProviderKey)
+      prev.foreach(spark.conf.set(ProviderKey, _))
+      spark.conf.unset(ChecksumKey)
+      prevCk.foreach(spark.conf.set(ChecksumKey, _))
+    }
+  }
+
+  test("enrichLatest: malformed observation (v=None) is count-and-dropped, never enriched as 0.0") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamTws.{EnrichIn, ObsSeed}
+    val prev = spark.conf.getOption(ProviderKey)
+    val prevCk = spark.conf.getOption(ChecksumKey)
+    spark.conf.set(ProviderKey, RocksDb)
+    spark.conf.set(ChecksumKey, "false")
+    try {
+      val input = MemoryStream[EnrichIn]
+      val out = StreamTws.enrichLatest(input.toDS(), spark.emptyDataset[ObsSeed])
+      val q = out.writeStream.format("memory").queryName("tws_enrich_malformed").outputMode("append").start()
+      try {
+        input.addData(
+          EnrichIn("k1", 10L, isObs = true, "", None), // malformed: no value
+          EnrichIn("k1", 20L, isObs = false, "e1", None),
+          EnrichIn("k1", 25L, isObs = true, "", Some(7.0)),
+          EnrichIn("k1", 30L, isObs = false, "e2", None)
+        )
+        q.processAllAvailable()
+        val got = spark
+          .table("tws_enrich_malformed")
+          .collect()
+          .map(r => (r.getString(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+          .toSet
+        // e1 must be None (the old bug enriched it to 0.0); e2 sees the real obs
+        assert(got == Set(("e1", None), ("e2", Some(7.0))), s"got $got")
+        // the drop is OBSERVABLE: named metric on the batch's progress
+        val metrics = q.recentProgress.toSeq
+          .flatMap(p => Option(p.observedMetrics.get("graft_enrich")))
+        assert(metrics.nonEmpty, "no graft_enrich observed metrics on any progress")
+        val dropped = metrics.map(_.getAs[Long]("malformed_obs_dropped")).sum
+        val rowsIn = metrics.map(_.getAs[Long]("rows_in")).sum
+        assert(dropped == 1L, s"expected 1 malformed drop, got $dropped")
+        assert(rowsIn == 4L, s"expected 4 rows_in, got $rowsIn")
+      } finally q.stop()
+    } finally {
+      spark.conf.unset(ProviderKey)
+      prev.foreach(spark.conf.set(ProviderKey, _))
+      spark.conf.unset(ChecksumKey)
+      prevCk.foreach(spark.conf.set(ChecksumKey, _))
+    }
+  }
+
+  test("enrichLatestEventTime: enrich parity + watermark-driven eviction of stale keys") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamTws.{EnrichInTs, ObsSeed}
+    import java.time.Duration
+    def ts(ms: Long) = new Timestamp(ms)
+    // seeds: k5 bootstrapped at t=500
+    val seeds = Seq(ObsSeed("k5", 500L, 9.0)).toDS()
+    val input = MemoryStream[EnrichInTs]
+    val out = StreamTws.enrichLatestEventTime(
+      input.toDS(),
+      seeds,
+      staleAfter = Duration.ofMillis(10000),
+      watermarkDelay = Duration.ofMillis(0)
+    )
+    val rows = runRocks(out, "tws_enrich_et")(
+      Seq(
+        // b0: obs k1@1000=2.0; e1@2000 sees it same-batch; e_s@600 sees the k5 SEED
+        () =>
+          input.addData(
+            EnrichInTs("k1", ts(1000), isObs = true, "", Some(2.0)),
+            EnrichInTs("k1", ts(2000), isObs = false, "e1", None),
+            EnrichInTs("k5", ts(600), isObs = false, "e_s", None)
+          ),
+        // b1: within staleness horizon (1000+10000=11000 > wm 2000) → still enriched
+        () => input.addData(EnrichInTs("k1", ts(5000), isObs = false, "e2", None)),
+        // b2: dummy key pushes the watermark to 30000 (past both horizons)
+        () => input.addData(EnrichInTs("k9", ts(30000), isObs = false, "e9", None)),
+        // b3: timers fire with wm=30000 → k1 and k5 evicted (no input on them)
+        () => input.addData(EnrichInTs("k9", ts(30001), isObs = false, "e9b", None)),
+        // b4: post-eviction events → None, NOT the stale 2.0 / 9.0
+        () =>
+          input.addData(
+            EnrichInTs("k1", ts(31000), isObs = false, "e3", None),
+            EnrichInTs("k5", ts(31000), isObs = false, "e_s2", None)
+          )
+      )
+    )
+    val got = rows
+      .map(r => (r.getString(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toSet
+    val want = Set(
+      ("e1", Some(2.0)),
+      ("e_s", Some(9.0)),
+      ("e2", Some(2.0)),
+      ("e9", None),
+      ("e9b", None),
+      ("e3", None), // but-for eviction this would be Some(2.0): 1000 <= 31000
+      ("e_s2", None) // seeded key evicted too
+    )
+    assert(got == want, s"got $got")
+  }
+
   test("transformWithState refuses the HDFS-backed provider (needs column families)") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption(ProviderKey)
