@@ -2902,7 +2902,13 @@ object StressXOps {
     */
   private def mediaSection(spark: SparkSession, n: Long): Unit = {
     import spark.implicits._
-    val planted = n / 400 // ids ≡ 2 (mod 400) — AVI rows — get an edited twin
+    // exact per-class arithmetic (r14 advice: the old 3·(n/4) + n/400
+    // shortcut was only right when 400 | n — any other doc count failed
+    // the section spuriously). |{id < n : id ≡ r (mod m)}| = (n − r +
+    // m − 1) / m in integer math:
+    val planted = (n + 397) / 400 // ids ≡ 2 (mod 400) — AVI rows with an edited twin
+    val expectAudio = n / 4 // ids ≡ 3 (mod 4)
+    val expectVideo = (n - expectAudio) + planted // ids ≡ 0,1,2 (mod 4), plus the twins
     val media = spark
       .range(n)
       .as[Long]
@@ -2940,9 +2946,9 @@ object StressXOps {
         .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     }
     assert(
-      kindCounts.getOrElse("video", 0L) == 3 * (n / 4) + planted &&
-        kindCounts.getOrElse("audio", 0L) == n / 4,
-      s"probe typed the corpus wrong: $kindCounts"
+      kindCounts.getOrElse("video", 0L) == expectVideo &&
+        kindCounts.getOrElse("audio", 0L) == expectAudio,
+      s"probe typed the corpus wrong: $kindCounts (want video=$expectVideo audio=$expectAudio)"
     )
     // frame decode + hash over everything (WAV rows take the 1-D block fallback)
     val (framesS, nFrames) = timed(operators.Multimodal.videoFrameHashes(media).count())

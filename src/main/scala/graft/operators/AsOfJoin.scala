@@ -372,7 +372,7 @@ object AsOfJoin {
     * and partial-aggregated, but still a second full scan at 100 TB.
     * This probe instead runs in up to three tiers, cheapest first:
     *
-    *   1. **session cache** — results key on (canonicalized plan, byCol),
+    *   1. **session cache** — results key on (plan semantic hash, byCol),
     *      so repeated auto calls on an unchanged frame run ZERO probe
     *      jobs (feature pipelines call gapFillAuto/resampleAuto on the
     *      same frame many times);
@@ -409,7 +409,7 @@ object AsOfJoin {
       hotShareThreshold > 0.0 && hotShareThreshold <= 1.0,
       s"hotShareThreshold in (0,1], got $hotShareThreshold"
     )
-    val planKey = (df.queryExecution.analyzed.canonicalized, byCol.toLowerCase)
+    val planKey = (df.queryExecution.analyzed.canonicalized.semanticHash(), byCol.toLowerCase)
     def decideExact(mx: Long, tot: Long): Boolean =
       tot > 0 && mx >= minHotRows && mx.toDouble / tot > hotShareThreshold
     ProbeCache.exact(planKey) match {
@@ -486,32 +486,39 @@ object AsOfJoin {
   }
 
   /** Session-scoped probe-result cache (r13 advice #8): keyed by the
-    * frame's CANONICALIZED analyzed plan + key column, bounded LRU, so N
-    * auto calls on an unchanged frame pay for one probe. Correctness
-    * never depends on it — a stale entry (the underlying files changed
-    * under the same plan) can only mis-route between two spec-pinned
-    * row-identical plans.
+    * SEMANTIC HASH of the frame's canonicalized analyzed plan + key
+    * column (a compact fingerprint — holding the plan object itself
+    * would pin LocalRelation rows and FileIndex state on the heap for
+    * the JVM lifetime, the r14 advice finding), bounded LRU, so N auto
+    * calls on an unchanged frame pay for one probe. Entries expire
+    * after [[TtlMs]] (`-Dgraft.asof.probe.ttlMs`, default 15 min) so a
+    * long-lived session whose data is overwritten under the same plan
+    * re-probes instead of keeping the wrong routing forever.
+    * Correctness never depends on it — a stale or hash-colliding entry
+    * can only mis-route between two spec-pinned row-identical plans.
     */
   private[graft] object ProbeCache {
     private val MaxEntries = 64
-    private type Key = (Any, String)
-    private val sampledM =
-      new java.util.LinkedHashMap[Key, (Long, Long, Boolean)](16, 0.75f, true) {
+    private[graft] def TtlMs: Long =
+      java.lang.Long.getLong("graft.asof.probe.ttlMs", 15L * 60 * 1000)
+    private type Key = (Int, String)
+    private def lru[V](): java.util.LinkedHashMap[Key, (V, Long)] =
+      new java.util.LinkedHashMap[Key, (V, Long)](16, 0.75f, true) {
         override protected def removeEldestEntry(
-            e: java.util.Map.Entry[Key, (Long, Long, Boolean)]
+            e: java.util.Map.Entry[Key, (V, Long)]
         ): Boolean = size() > MaxEntries
       }
-    private val exactM = new java.util.LinkedHashMap[Key, (Long, Long)](16, 0.75f, true) {
-      override protected def removeEldestEntry(
-          e: java.util.Map.Entry[Key, (Long, Long)]
-      ): Boolean = size() > MaxEntries
-    }
+    private val sampledM = lru[(Long, Long, Boolean)]()
+    private val exactM = lru[(Long, Long)]()
+    private def fresh[V](e: (V, Long)): Option[V] =
+      Option(e).collect { case (v, t) if System.currentTimeMillis() - t <= TtlMs => v }
     def sampled(k: Key): Option[(Long, Long, Boolean)] =
-      synchronized(Option(sampledM.get(k)))
+      synchronized(fresh(sampledM.get(k)))
     def putSampled(k: Key, v: (Long, Long, Boolean)): Unit =
-      synchronized { sampledM.put(k, v); () }
-    def exact(k: Key): Option[(Long, Long)] = synchronized(Option(exactM.get(k)))
-    def putExact(k: Key, v: (Long, Long)): Unit = synchronized { exactM.put(k, v); () }
+      synchronized { sampledM.put(k, (v, System.currentTimeMillis())); () }
+    def exact(k: Key): Option[(Long, Long)] = synchronized(fresh(exactM.get(k)))
+    def putExact(k: Key, v: (Long, Long)): Unit =
+      synchronized { exactM.put(k, (v, System.currentTimeMillis())); () }
     def clear(): Unit = synchronized { sampledM.clear(); exactM.clear() }
   }
 

@@ -375,6 +375,91 @@ object Multimodal {
     if (frames.isEmpty) None else Some(frames)
   }
 
+  /** AUDIO stream probe of an AVI container — the half of the catalog
+    * row [[decodeAviMjpegFrames]]'s video-only walk ignores: parses the
+    * `strl('auds')` header (strf = WAVEFORMATEX: channels, rate,
+    * bits/sample) and counts the interleaved `##wb` audio-chunk payload
+    * bytes in `movi`, returning (sampleRate, nSamples) with nSamples
+    * counting per-channel interleaved samples (the [[decodeAudio]]
+    * contract: payloadBytes / bytesPerSample). None when the container
+    * carries no audio stream. Same truncation discipline as the video
+    * walk: a partial tail chunk ends the count at the samples that are
+    * actually present.
+    */
+  def aviAudioInfo(bytes: Array[Byte]): Option[(Int, Long)] = {
+    if (bytes == null || bytes.length < 16) return None
+    def fcc(pos: Long, s: String): Boolean =
+      pos >= 0 && pos + s.length <= bytes.length &&
+        s.indices.forall(i => bytes(pos.toInt + i) == s.charAt(i).toByte)
+    def le32(pos: Long): Long =
+      if (pos < 0 || pos + 4 > bytes.length) -1L
+      else (bytes(pos.toInt) & 0xffL) | (bytes(pos.toInt + 1) & 0xffL) << 8 |
+        (bytes(pos.toInt + 2) & 0xffL) << 16 | (bytes(pos.toInt + 3) & 0xffL) << 24
+    def le16(pos: Long): Int =
+      if (pos < 0 || pos + 2 > bytes.length) -1
+      else (bytes(pos.toInt) & 0xff) | (bytes(pos.toInt + 1) & 0xff) << 8
+    if (!fcc(0, "RIFF") || !fcc(8, "AVI ")) return None
+    val riffEnd = math.min(bytes.length.toLong, 8 + le32(4))
+    // pass 1: hdrl → strl('auds') → strf (WAVEFORMATEX) for rate + bits.
+    // strl lists nest inside hdrl, so this walk DESCENDS into LIST
+    // chunks rather than stepping over them (flat walk, bounded depth).
+    var rate = -1
+    var bitsPerSample = 16
+    var pos = 12L
+    def walkForAuds(start: Long, end: Long, depth: Int): Unit = {
+      var p = start
+      var inAuds = false
+      while (rate < 0 && p + 8 <= end) {
+        val sz = le32(p + 4)
+        if (sz < 0) return
+        if (fcc(p, "LIST") && depth < 4) walkForAuds(p + 12, math.min(end, p + 8 + sz), depth + 1)
+        else if (fcc(p, "strh") && sz >= 8 && fcc(p + 8, "auds")) inAuds = true
+        else if (fcc(p, "strf") && inAuds && sz >= 16) {
+          val r = le32(p + 8 + 4) // nSamplesPerSec
+          val b = if (sz >= 16) le16(p + 8 + 14) else 16 // wBitsPerSample
+          if (r > 0) { rate = r.toInt; bitsPerSample = if (b > 0) b else 16 }
+        }
+        p += 8 + sz + (sz & 1)
+      }
+    }
+    walkForAuds(pos, riffEnd, 0)
+    if (rate < 0) return None
+    // pass 2: movi → sum ##wb payload bytes (the video walk's chunk
+    // discipline: partial tail ends the count)
+    pos = 12L
+    var moviStart = -1L
+    var moviEnd = -1L
+    while (moviStart < 0 && pos + 12 <= riffEnd) {
+      val sz = le32(pos + 4)
+      if (sz < 0) pos = riffEnd
+      else {
+        if (fcc(pos, "LIST") && fcc(pos + 8, "movi")) {
+          moviStart = pos + 12
+          moviEnd = math.min(riffEnd, pos + 8 + sz)
+        }
+        pos += 8 + sz + (sz & 1)
+      }
+    }
+    if (moviStart < 0) return None
+    var audioBytes = 0L
+    var p = moviStart
+    var done = false
+    while (!done && p + 8 <= moviEnd) {
+      if (fcc(p, "LIST")) p += 12
+      else {
+        val sz = le32(p + 4)
+        if (sz < 0 || p + 8 + sz > bytes.length) done = true
+        else {
+          val isAud = bytes(p.toInt + 2) == 'w' && bytes(p.toInt + 3) == 'b'
+          if (isAud) audioBytes += sz
+          p += 8 + sz + (sz & 1)
+        }
+      }
+    }
+    val bytesPerSample = math.max(1, bitsPerSample / 8)
+    if (audioBytes <= 0) None else Some((rate, audioBytes / bytesPerSample))
+  }
+
   /** Deterministic synthetic MJPEG-in-AVI encoder — the COMPRESSED twin
     * of [[syntheticGif]]/[[syntheticY4m]]: each frame is the formula
     * plane (grayscale, `syntheticPixel(frameSeed(seed, k), x, y) & 0xff`)
@@ -392,9 +477,12 @@ object Multimodal {
       h: Int,
       nFrames: Int,
       editFrame: Int = -1,
-      editSeedDelta: Long = 0L
+      editSeedDelta: Long = 0L,
+      audioSamples: Array[Short] = null,
+      audioRate: Int = 16000
   ): Array[Byte] = {
     require(w >= 1 && h >= 1 && nFrames >= 1)
+    val hasAudio = audioSamples != null && audioSamples.length > 0
     def jpegOf(k: Int): Array[Byte] = {
       val fSeed = if (k == editFrame) frameSeed(seed, k) + editSeedDelta else frameSeed(seed, k)
       val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -424,7 +512,7 @@ object Multimodal {
     }
     val avih = java.nio.ByteBuffer.allocate(56).order(le)
     avih.putInt(40000).putInt(0).putInt(0).putInt(0) // usPerFrame, maxBps, pad, flags
-      .putInt(nFrames).putInt(0).putInt(1).putInt(0) // totalFrames, initFrames, streams, bufSize
+      .putInt(nFrames).putInt(0).putInt(if (hasAudio) 2 else 1).putInt(0) // totalFrames, initFrames, streams, bufSize
       .putInt(w).putInt(h) // + 16 reserved bytes left zero
     val strh = java.nio.ByteBuffer.allocate(56).order(le)
     strh.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
@@ -437,8 +525,38 @@ object Multimodal {
       .put("MJPG".getBytes("US-ASCII")).putInt(w * h * 3)
       .putInt(0).putInt(0).putInt(0).putInt(0)
     val strl = list("strl", chunk("strh", strh.array()) ++ chunk("strf", strf.array()))
-    val hdrl = list("hdrl", chunk("avih", avih.array()) ++ strl)
-    val movi = list("movi", (0 until nFrames).toArray.flatMap(k => chunk("00dc", jpegOf(k))))
+    // optional interleaved PCM16LE audio stream (stream 1): strl('auds')
+    // with a WAVEFORMATEX strf, samples split evenly into one '01wb'
+    // chunk after each video frame's '00dc' — the classic AVI interleave
+    val audioStrl =
+      if (!hasAudio) Array.emptyByteArray
+      else {
+        val strhA = java.nio.ByteBuffer.allocate(56).order(le)
+        strhA.put("auds".getBytes("US-ASCII")).putInt(0) // fccType, fccHandler (0 = PCM)
+          .putInt(0).putShort(0).putShort(0).putInt(0) // flags, prio, lang, initFrames
+          .putInt(1).putInt(audioRate).putInt(0).putInt(audioSamples.length) // scale, rate, start, length
+          .putInt(0).putInt(-1).putInt(2) // bufSize, quality, sampleSize
+          .putShort(0).putShort(0).putShort(0).putShort(0)
+        val strfA = java.nio.ByteBuffer.allocate(16).order(le)
+        strfA.putShort(1) // WAVE_FORMAT_PCM
+          .putShort(1) // mono
+          .putInt(audioRate)
+          .putInt(audioRate * 2) // avg bytes/sec
+          .putShort(2) // block align
+          .putShort(16) // bits per sample
+        list("strl", chunk("strh", strhA.array()) ++ chunk("strf", strfA.array()))
+      }
+    val hdrl = list("hdrl", chunk("avih", avih.array()) ++ strl ++ audioStrl)
+    val moviPayload = (0 until nFrames).toArray.flatMap { k =>
+      val vid = chunk("00dc", jpegOf(k))
+      if (!hasAudio) vid
+      else {
+        val lo = (k.toLong * audioSamples.length / nFrames).toInt
+        val hi = ((k + 1).toLong * audioSamples.length / nFrames).toInt
+        vid ++ chunk("01wb", shortsToLe(java.util.Arrays.copyOfRange(audioSamples, lo, hi)))
+      }
+    }
+    val movi = list("movi", moviPayload)
     val payload = hdrl ++ movi
     val b = java.nio.ByteBuffer.allocate(12 + payload.length).order(le)
     b.put("RIFF".getBytes("US-ASCII")).putInt(4 + payload.length)
@@ -712,6 +830,17 @@ object Multimodal {
     * anti-alias filter; for FINGERPRINTING that is the right trade
     * (determinism over fidelity) — this is not an audio-quality
     * resampler.
+    *
+    * NON-INTEGER ratios (44.1 kHz → 16 kHz): the phase walk lands within
+    * ±1 source frame of the ideal position. For BAND-LIMITED content —
+    * real audio, adjacent samples correlated — that jitter perturbs
+    * window energies negligibly and [[energyFingerprint]] proximity is
+    * preserved (pinned ≤ a few bits in OperatorSpec's 44.1k-path fuzz);
+    * for noise-like content no such guarantee exists (window-energy
+    * comparisons are coin flips under any resample jitter — the spec
+    * demonstrates the counterexample). Cross-rate DEDUP contracts
+    * (hamming 0) should therefore normalize between divisible rates;
+    * non-divisible pairs get near-dup proximity, not equality.
     */
   def resampleToRate(
       samples: Array[Short],
@@ -734,7 +863,8 @@ object Multimodal {
     out
   }
 
-  /** Per-clip audio fingerprints: REAL WAV decode ([[decodeWav]]) →
+  /** Per-clip audio fingerprints: REAL audio decode ([[decodeAudio]] —
+    * WAV, AIFF, and Sun AU containers) →
     * [[energyFingerprint]] over the signed samples; non-audio blobs
     * fingerprint their centered raw bytes (x − 128) so the operator is
     * total. Returns (id, simhash) — the [[graft.operators.Dedup.simhash]]
@@ -746,7 +876,7 @@ object Multimodal {
     * fingerprint RATE-invariant on top of its built-in amplitude
     * invariance: the same recording shipped at 16 kHz and 8 kHz
     * fingerprints identically (exactly, when one rate divides the
-    * other). Non-WAV fallbacks have no rate and skip normalization.
+    * other). Non-audio fallbacks have no rate and skip normalization.
     */
   def audioFingerprints(
       ds: Dataset[MediaRow],
@@ -755,7 +885,7 @@ object Multimodal {
   ): DataFrame = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.map { r =>
-      val samples = decodeWav(r.content) match {
+      val samples = decodeAudio(r.content) match {
         case Some((rate, ch, s)) =>
           normalizeRate match {
             case Some(ref) => resampleToRate(s, ch, rate, ref)
@@ -912,7 +1042,11 @@ object Multimodal {
     * GIFs with > 1 frame through [[decodeGifFrames]] (dims of frame 0),
     * Y4M through [[decodeY4mFrames]], MJPEG-AVI through
     * [[decodeAviMjpegFrames]], WAV through
-    * [[decodeWav]] (n_samples counts per-channel interleaved samples);
+    * audio (WAV/AIFF/AU) through [[decodeAudio]] (n_samples counts
+    * per-channel interleaved samples); an INTERLEAVED AVI additionally
+    * surfaces its audio stream's (sample_rate, n_samples) on the video
+    * row via [[aviAudioInfo]] — kind stays video, but the catalog row
+    * is fully typed;
     * undecodable blobs are `unknown` with only byte_len populated
     * (−1 elsewhere — never nulls, so downstream filters are total).
     * Zero-shuffle mapPartitions, the [[decode]] batch shape.
@@ -920,40 +1054,165 @@ object Multimodal {
   def mediaProbe(ds: Dataset[MediaRow]): DataFrame = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.map { r =>
-      val len = if (r.content == null) 0 else r.content.length
-      val isGif = len >= 4 && r.content(0) == 'G' && r.content(1) == 'I' &&
-        r.content(2) == 'F' && r.content(3) == '8'
-      val isY4m = len >= 10 && r.content(0) == 'Y' && r.content(1) == 'U' &&
-        r.content(2) == 'V' && r.content(3) == '4'
-      val isAvi = len >= 12 && r.content(0) == 'R' && r.content(1) == 'I' &&
-        r.content(2) == 'F' && r.content(3) == 'F' && r.content(8) == 'A' &&
-        r.content(9) == 'V' && r.content(10) == 'I'
-      // Y4M/AVI are video CONTAINERS — typed video at any frame count; a
-      // 1-frame GIF stays an image (the still-photo common case)
-      val videoFrames =
-        if (isGif) decodeGifFrames(r.content).filter(_.length > 1)
-        else if (isY4m) decodeY4mFrames(r.content)
-        else if (isAvi) decodeAviMjpegFrames(r.content)
-        else None
-      videoFrames match {
-        case Some(frames) =>
-          val (w, h, _) = frames.head
-          (r.doc_id, "video", len, w, h, frames.length, -1, -1L)
-        case _ =>
-          decodeImage(r.content) match {
-            case Some((w, h, _, _)) => (r.doc_id, "image", len, w, h, 1, -1, -1L)
-            case None =>
-              decodeWav(r.content) match {
-                case Some((rate, ch, samples)) =>
-                  (r.doc_id, "audio", len, -1, -1, -1, rate, samples.length.toLong)
-                case None => (r.doc_id, "unknown", len, -1, -1, -1, -1, -1L)
-              }
-          }
-      }
+      val t = typeAndFingerprint(r, None)
+      (t.doc_id, t.kind, t.byte_len, t.width, t.height, t.n_frames, t.sample_rate, t.n_samples)
     }).toDF(
       "doc_id", "kind", "byte_len", "width", "height",
       "n_frames", "sample_rate", "n_samples"
     )
+  }
+
+  /** One fully-typed AND fingerprinted media row — the shared per-row
+    * decode behind [[mediaProbe]] (which projects the typing columns)
+    * and [[mediaDedupCatalog]] (which also consumes the per-kind
+    * fingerprint payload): `fp` is the image aHash / audio energy
+    * fingerprint, `frame_hashes` the per-frame video aHashes. One
+    * definition, so the catalog's typing rules and the probe's cannot
+    * drift.
+    */
+  private[graft] final case class TypedMedia(
+      doc_id: Long,
+      kind: String,
+      byte_len: Int,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      sample_rate: Int,
+      n_samples: Long,
+      fp: Option[Long],
+      frame_hashes: Option[Seq[Long]]
+  )
+
+  /** [[mediaProbe]]'s per-row typing rules (verbatim) plus the
+    * kind-appropriate fingerprint, computed in the SAME decode — blobs
+    * decode once, not once per downstream pass. `normalizeRate` applies
+    * [[resampleToRate]] before the audio fingerprint (the x181
+    * rate-invariance knob); typing metadata always reports the NATIVE
+    * rate/sample count.
+    */
+  private[graft] def typeAndFingerprint(r: MediaRow, normalizeRate: Option[Int]): TypedMedia = {
+    val len = if (r.content == null) 0 else r.content.length
+    val isGif = len >= 4 && r.content(0) == 'G' && r.content(1) == 'I' &&
+      r.content(2) == 'F' && r.content(3) == '8'
+    val isY4m = len >= 10 && r.content(0) == 'Y' && r.content(1) == 'U' &&
+      r.content(2) == 'V' && r.content(3) == '4'
+    val isAvi = len >= 12 && r.content(0) == 'R' && r.content(1) == 'I' &&
+      r.content(2) == 'F' && r.content(3) == 'F' && r.content(8) == 'A' &&
+      r.content(9) == 'V' && r.content(10) == 'I'
+    // Y4M/AVI are video CONTAINERS — typed video at any frame count; a
+    // 1-frame GIF stays an image (the still-photo common case)
+    val videoFrames =
+      if (isGif) decodeGifFrames(r.content).filter(_.length > 1)
+      else if (isY4m) decodeY4mFrames(r.content)
+      else if (isAvi) decodeAviMjpegFrames(r.content)
+      else None
+    videoFrames match {
+      case Some(frames) =>
+        val (w, h, _) = frames.head
+        // an interleaved AVI carries an audio stream too — surface its
+        // (rate, samples) on the video row instead of half-typing the
+        // most common real container (GIF/Y4M have no audio track)
+        val (aRate, aSamples) =
+          if (isAvi) aviAudioInfo(r.content).getOrElse((-1, -1L)) else (-1, -1L)
+        TypedMedia(r.doc_id, "video", len, w, h, frames.length, aRate, aSamples,
+          None, Some(frames.map { case (fw, fh, luma) => lumaAHash64(luma, fw, fh) }))
+      case _ =>
+        decodeImage(r.content) match {
+          case Some((w, h, _, luma)) =>
+            TypedMedia(r.doc_id, "image", len, w, h, 1, -1, -1L,
+              Some(lumaAHash64(luma, w, h)), None)
+          case None =>
+            decodeAudio(r.content) match {
+              case Some((rate, ch, samples)) =>
+                val s = normalizeRate match {
+                  case Some(ref) => resampleToRate(samples, ch, rate, ref)
+                  case None      => samples
+                }
+                TypedMedia(r.doc_id, "audio", len, -1, -1, -1, rate, samples.length.toLong,
+                  Some(energyFingerprint(s)), None)
+              case None =>
+                TypedMedia(r.doc_id, "unknown", len, -1, -1, -1, -1, -1L, None, None)
+            }
+        }
+    }
+  }
+
+  /** CAPSTONE media pipeline (the x112 discipline for the multimodal
+    * layer): probe → per-kind near-dup → ONE deduped typed catalog with
+    * per-kind drop accounting, assembled from the already-proven parts:
+    *
+    *   1. ONE decode pass ([[typeAndFingerprint]]) types every blob and
+    *      computes its kind's fingerprint — image aHash, audio energy
+    *      fingerprint (rate-normalized when `normalizeRate` is set),
+    *      per-frame video aHashes. Pinned ([[graft.runtime.GraftCheckpoint]])
+    *      so the three pair passes and the catalog reuse ONE decode of
+    *      the corpus, not four.
+    *   2. Per-kind near-dup pairs through the shared Manku pigeonhole
+    *      blocking — kinds never cross-pair (an audio fingerprint can
+    *      never collide into the image pass), and each pass carries ids
+    *      + 8-byte fingerprints only.
+    *   3. Pair edges union into ONE checkpointed connected-components
+    *      run; each cluster keeps its smallest doc_id (the batch
+    *      operators' deterministic keep rule).
+    *
+    * Returns the FULL catalog — every input blob's typed metadata row
+    * ([[mediaProbe]] columns) plus `kept` (false = dropped as a
+    * near-dup) and `n_members` (its cluster size) — so per-kind drop
+    * accounting is `groupBy(kind, kept)` away and nothing is silently
+    * discarded (the load-shed discipline). `unknown` blobs never pair
+    * and are always kept.
+    *
+    * Scale shape: decode is zero-shuffle mapPartitions; the only
+    * exchanges are the per-kind blocked self-joins (bounded keys), the
+    * CC rounds (checkpointed, ids only), and one id-keyed join back to
+    * the typed rows. No corpus-sized collect, window, or cartesian.
+    */
+  def mediaDedupCatalog(
+      ds: Dataset[MediaRow],
+      imageMaxHamming: Int = 0,
+      audioMaxHamming: Int = 0,
+      videoMaxHamming: Int = 2,
+      videoMinFrames: Int = 2,
+      normalizeRate: Option[Int] = None,
+      blocks: Int = 4
+  ): DataFrame = {
+    import ds.sparkSession.implicits._
+    val typed = graft.runtime.GraftCheckpoint
+      .pin(ds.mapPartitions(_.map(typeAndFingerprint(_, normalizeRate))).toDF())
+    def kindPairs(kind: String, maxHamming: Int): DataFrame =
+      Dedup.pairsFromFps(
+        typed.filter(col("kind") === kind && col("fp").isNotNull)
+          .select(col("doc_id").as("id"), col("fp").as("simhash")),
+        maxHamming, blocks
+      ).select(col("id_a"), col("id_b"))
+    val videoPairs = Dedup
+      .pairsFromFps(
+        typed.filter(col("kind") === "video")
+          .select(col("doc_id"), posexplode(col("frame_hashes")))
+          .select(struct(col("doc_id"), col("pos").as("frame_idx")).as("id"), col("col").as("simhash")),
+        videoMaxHamming, blocks
+      )
+      .filter(col("id_a.doc_id") =!= col("id_b.doc_id"))
+      .select(
+        least(col("id_a.doc_id"), col("id_b.doc_id")).as("id_a"),
+        greatest(col("id_a.doc_id"), col("id_b.doc_id")).as("id_b")
+      )
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_frame_pairs"))
+      .filter(col("n_frame_pairs") >= videoMinFrames)
+      .select(col("id_a"), col("id_b"))
+    val edges = kindPairs("image", imageMaxHamming)
+      .unionByName(kindPairs("audio", audioMaxHamming))
+      .unionByName(videoPairs)
+    ConnectedComponents
+      .assignClusters(typed, col("doc_id"), edges)
+      .select(col("doc_id"), col("n_members"), col("is_rep").as("kept"))
+      .join(typed.drop("fp", "frame_hashes"), Seq("doc_id"))
+      .select(
+        col("doc_id"), col("kind"), col("byte_len"), col("width"), col("height"),
+        col("n_frames"), col("sample_rate"), col("n_samples"),
+        col("kept"), col("n_members")
+      )
   }
 
   /** Build a MediaRow dataset from the documents table (text bytes stand in
@@ -1108,14 +1367,56 @@ object Multimodal {
     * Planes past 64M samples shed to None (the [[decodeImage]] bound);
     * truncated or corrupt RIFF structures return None, never throw.
     */
-  def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
-    if (bytes == null || bytes.length < 44) return None
-    val isRiff = bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] =
+    if (bytes != null && bytes.length >= 44 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')
+      decodeAudio(bytes)
+    else None
+
+  /** REAL audio decode across ALL the containers the JDK's
+    * `javax.sound.sampled` reads natively: RIFF/WAVE, FORM/AIFF, and
+    * Sun AU (".snd") — the general front door [[decodeWav]] routes
+    * through (it keeps its RIFF-only sniff for back-compat). A real
+    * multimodal corpus carries mixed containers; before this, non-WAV
+    * audio silently took the centered-byte fallback fingerprint.
+    *
+    * Same contract as [[decodeWav]]: (sampleRate, channels, samples)
+    * with samples signed 16-bit, channels interleaved, or None.
+    * Supported encodings: PCM_SIGNED 16-bit (either endianness — WAV is
+    * LE, AIFF/AU are BE, normalized here), PCM_UNSIGNED 8-bit
+    * (recentered, x − 128, unscaled), and 8-bit G.711 ULAW/ALAW (the
+    * classic AU payloads — expanded to PCM16 through the engine's fixed
+    * G.711 table conversion, deterministic by spec). 64M-sample shed;
+    * truncated or corrupt containers return None, never throw.
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    if (bytes == null || bytes.length < 24) return None
+    val isWav = bytes.length >= 44 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
       bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
-    if (!isRiff) return None
+    val isAiff = bytes.length >= 54 &&
+      bytes(0) == 'F' && bytes(1) == 'O' && bytes(2) == 'R' && bytes(3) == 'M' &&
+      bytes(8) == 'A' && bytes(9) == 'I' && bytes(10) == 'F' && bytes(11) == 'F'
+    val isAu = bytes(0) == '.' && bytes(1) == 's' && bytes(2) == 'n' && bytes(3) == 'd'
+    if (!isWav && !isAiff && !isAu) return None
     try {
-      val in = javax.sound.sampled.AudioSystem
+      val in0 = javax.sound.sampled.AudioSystem
         .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      // G.711 companded payloads expand to PCM16 via the fixed table the
+      // format defines — the engine's converter is deterministic by spec
+      val rawEnc = in0.getFormat.getEncoding
+      val in =
+        if (rawEnc == javax.sound.sampled.AudioFormat.Encoding.ULAW ||
+          rawEnc == javax.sound.sampled.AudioFormat.Encoding.ALAW) {
+          val f = in0.getFormat
+          javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new javax.sound.sampled.AudioFormat(
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              f.getSampleRate, 16, f.getChannels, f.getChannels * 2, f.getSampleRate, false),
+            in0
+          )
+        } else in0
       try {
         val fmt = in.getFormat
         val enc = fmt.getEncoding
@@ -1125,19 +1426,24 @@ object Multimodal {
             (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED && bits == 8)
         val ch = fmt.getChannels
         val nFrames = in.getFrameLength
-        if (!ok || ch <= 0 || nFrames < 0 || nFrames * ch > 64L * 1024 * 1024) None
+        if (!ok || ch <= 0 || nFrames * ch > 64L * 1024 * 1024) None
         else {
           // manual read loop, NOT readAllBytes: AudioInputStream.read
           // returns 0 (not −1) when a TRUNCATED container leaves a
           // partial frame, and InputStream.readAllBytes spins forever on
           // a 0 return — treat 0 as end-of-usable-data instead
+          // 128 MB byte cap backs the 64M-sample shed for streams that
+          // report unknown frame length (-1 — e.g. the G.711-converted
+          // AU path), where the frame-count check above cannot bound
+          val byteCap = 128L * 1024 * 1024
           val acc = new java.io.ByteArrayOutputStream()
           val buf = new Array[Byte](64 * 1024)
           var r = in.read(buf)
-          while (r > 0) {
+          while (r > 0 && acc.size() <= byteCap) {
             acc.write(buf, 0, r)
             r = in.read(buf)
           }
+          if (acc.size() > byteCap) return None
           val data = acc.toByteArray
           val bytesPerSample = bits / 8
           val n = data.length / bytesPerSample
@@ -1211,6 +1517,79 @@ object Multimodal {
     b.array()
   }
 
+  /** Hand-rolled FORM/AIFF container (PCM16 BIG-endian, the AIFF spec's
+    * only byte order) around an arbitrary sample array — the
+    * [[wavFromSamples]] discipline for the second `javax.sound`-native
+    * container: shares NO code with the decode path under test,
+    * including its own 80-bit IEEE-754-extended sample-rate encoder
+    * (the COMM chunk's historic format).
+    */
+  def aiffFromSamples(
+      samples: Array[Short],
+      sampleRate: Int = 16000,
+      channels: Int = 1
+  ): Array[Byte] = {
+    require(channels >= 1 && samples.length % channels == 0 && sampleRate >= 1)
+    // 80-bit extended: 1 sign + 15 exponent (bias 16383) + 64 mantissa
+    // with EXPLICIT integer bit; an integer rate v normalizes to
+    // mantissa = v << (63 − floor(log2 v)), exponent = 16383 + floor(log2 v)
+    val ext = new Array[Byte](10)
+    val top = 63 - java.lang.Long.numberOfLeadingZeros(sampleRate.toLong)
+    val e = 16383 + top
+    val m = sampleRate.toLong << (63 - top)
+    ext(0) = ((e >> 8) & 0xff).toByte
+    ext(1) = (e & 0xff).toByte
+    var i = 0
+    while (i < 8) { ext(2 + i) = ((m >>> (56 - 8 * i)) & 0xff).toByte; i += 1 }
+    val dataLen = samples.length * 2
+    val be = java.nio.ByteOrder.BIG_ENDIAN
+    val b = java.nio.ByteBuffer.allocate(54 + dataLen).order(be)
+    b.put("FORM".getBytes("US-ASCII")).putInt(46 + dataLen).put("AIFF".getBytes("US-ASCII"))
+    b.put("COMM".getBytes("US-ASCII")).putInt(18)
+    b.putShort(channels.toShort)
+    b.putInt(samples.length / channels) // numSampleFrames
+    b.putShort(16.toShort) // sampleSize
+    b.put(ext)
+    b.put("SSND".getBytes("US-ASCII")).putInt(8 + dataLen)
+    b.putInt(0).putInt(0) // offset, blockSize
+    samples.foreach(b.putShort) // big-endian via buffer order
+    b.array()
+  }
+
+  /** Hand-rolled Sun AU (".snd") container (encoding 3 = PCM16
+    * big-endian) around an arbitrary sample array — the third
+    * `javax.sound`-native container's independent writer.
+    */
+  def auFromSamples(
+      samples: Array[Short],
+      sampleRate: Int = 16000,
+      channels: Int = 1
+  ): Array[Byte] = {
+    require(channels >= 1 && sampleRate >= 1)
+    val dataLen = samples.length * 2
+    val b = java.nio.ByteBuffer.allocate(24 + dataLen).order(java.nio.ByteOrder.BIG_ENDIAN)
+    b.put(".snd".getBytes("US-ASCII"))
+    b.putInt(24) // data offset
+    b.putInt(dataLen)
+    b.putInt(3) // 16-bit linear PCM
+    b.putInt(sampleRate)
+    b.putInt(channels)
+    samples.foreach(b.putShort)
+    b.array()
+  }
+
+  /** [[syntheticWav]]'s AIFF edition: the SAME formula samples in the
+    * FORM/AIFF container — the cross-container audio twin of the
+    * x180 video discipline (same content, different container, must
+    * fingerprint identically).
+    */
+  def syntheticAiff(seed: Long, nSamples: Int, sampleRate: Int = 16000, channels: Int = 1): Array[Byte] =
+    aiffFromSamples(Array.tabulate(nSamples)(syntheticSample(seed, _)), sampleRate, channels)
+
+  /** [[syntheticWav]]'s Sun-AU edition (PCM16BE payload). */
+  def syntheticAu(seed: Long, nSamples: Int, sampleRate: Int = 16000, channels: Int = 1): Array[Byte] =
+    auFromSamples(Array.tabulate(nSamples)(syntheticSample(seed, _)), sampleRate, channels)
+
   /** PCM16LE byte plane of a signed sample array — the layout
     * [[graft.functions.codecs.Pcm16Frames]] consumes (and WAV's own
     * data-chunk layout).
@@ -1226,11 +1605,12 @@ object Multimodal {
     out
   }
 
-  /** Decode pre-pass both audio operators share: WAV content decodes to
-    * its real PCM16LE sample plane (sample_width = 2); anything else
-    * keeps its raw bytes as unsigned 8-bit samples (sample_width = 1 —
-    * the pre-round-13 fallback, byte-identical for non-audio blobs).
-    * Zero-shuffle mapPartitions, the [[decode]] batch shape.
+  /** Decode pre-pass both audio operators share: audio content
+    * (WAV/AIFF/AU via [[decodeAudio]]) decodes to its real PCM16LE
+    * sample plane (sample_width = 2); anything else keeps its raw bytes
+    * as unsigned 8-bit samples (sample_width = 1 — the pre-round-13
+    * fallback, byte-identical for non-audio blobs). Zero-shuffle
+    * mapPartitions, the [[decode]] batch shape.
     */
   private def decodedPcm(media: DataFrame): DataFrame = {
     import media.sparkSession.implicits._
@@ -1238,7 +1618,7 @@ object Multimodal {
       .select(col("doc_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, c) =>
-        decodeWav(c) match {
+        decodeAudio(c) match {
           case Some((_, _, samples)) => (id, shortsToLe(samples), 2)
           case None => (id, c, 1)
         }
@@ -1257,7 +1637,7 @@ object Multimodal {
     ).otherwise(graft.functions.codecs.pcm_frames(col("pcm"), frameSize))
 
   /** Audio-style frame features over the media column: REAL `javax.sound`
-    * WAV decode ([[decodeWav]]) for RIFF content — per-frame (rms, mean)
+    * audio decode ([[decodeAudio]]) for WAV/AIFF/AU content — per-frame (rms, mean)
     * of the decoded SIGNED 16-bit samples — and the raw unsigned-byte
     * plane for everything else (the non-audio fallback, unchanged
     * semantics). `frameSize` counts samples; incomplete tails drop. The

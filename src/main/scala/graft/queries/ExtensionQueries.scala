@@ -3942,11 +3942,13 @@ object ExtensionQueries {
         .orderBy(col("id_a"))
     }),
 
-    // FULL media catalog probe across all SIX kinds the engine now
+    // FULL media catalog probe across all SEVEN kinds the engine now
     // decodes: PNG image, animated GIF, WAV audio, raw Y4M video,
-    // compressed MJPEG-AVI video, and plain text — every typed field
-    // (kind, dims, frame count, sample rate, sample count) replayable
-    // from the synthesis formulas and container structure alone.
+    // compressed MJPEG-AVI video, an INTERLEAVED audio-bearing AVI
+    // (typed video with its audio stream's rate/samples populated), and
+    // plain text — every typed field (kind, dims, frame count, sample
+    // rate, sample count) replayable from the synthesis formulas and
+    // container structure alone.
     "x184_media_catalog" -> ((s, dir) => {
       import s.implicits._
       val ids = T(s, dir, "documents")
@@ -3954,7 +3956,7 @@ object ExtensionQueries {
         .filter(pmod(col("doc_id"), lit(20)) === 0)
         .as[Long]
       val media = ids.map { id =>
-        val sel = (id / 20) % 6
+        val sel = (id / 20) % 7
         val w = 16 + (id % 9).toInt
         val h = 16 + (id % 7).toInt
         val n = 256 + (id % 11).toInt * 32
@@ -3964,6 +3966,8 @@ object ExtensionQueries {
           case 2 => Multimodal.syntheticWav(id, n)
           case 3 => Multimodal.syntheticY4m(id, w, h, 2)
           case 4 => Multimodal.syntheticAviMjpeg(id, w, h, 2)
+          case 5 => Multimodal.syntheticAviMjpeg(id, w, h, 2,
+            audioSamples = Array.tabulate(n)(Multimodal.syntheticSample(id, _)), audioRate = 8000)
           case _ => s"plain text doc $id".getBytes("UTF-8")
         }
         Multimodal.MediaRow(id, "catalog", content)
@@ -3974,7 +3978,7 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // PURE-SQL media catalog: x184's six-kind corpus reached through the
+    // PURE-SQL media catalog: x184's seven-kind corpus reached through the
     // graft_media_probe TABLE function (the x172/x173 discipline for the
     // multimodal layer) — the driver gate proves a SQL-only user gets
     // the identical typed-probe plan. Oracle: x184's SQL verbatim.
@@ -3986,7 +3990,7 @@ object ExtensionQueries {
         .filter(pmod(col("doc_id"), lit(20)) === 0)
         .as[Long]
       val media = ids.map { id =>
-        val sel = (id / 20) % 6
+        val sel = (id / 20) % 7
         val w = 16 + (id % 9).toInt
         val h = 16 + (id % 7).toInt
         val n = 256 + (id % 11).toInt * 32
@@ -3996,6 +4000,8 @@ object ExtensionQueries {
           case 2 => Multimodal.syntheticWav(id, n)
           case 3 => Multimodal.syntheticY4m(id, w, h, 2)
           case 4 => Multimodal.syntheticAviMjpeg(id, w, h, 2)
+          case 5 => Multimodal.syntheticAviMjpeg(id, w, h, 2,
+            audioSamples = Array.tabulate(n)(Multimodal.syntheticSample(id, _)), audioRate = 8000)
           case _ => s"plain text doc $id".getBytes("UTF-8")
         }
         (id, content)
@@ -4032,6 +4038,87 @@ object ExtensionQueries {
       Multimodal
         .audioNearDupPairs(media, maxHamming = 4, blocks = 8, normalizeRate = Some(8000))
         .orderBy(col("id_a"))
+    }),
+
+    // CROSS-CONTAINER audio near-dup (the x180 discipline for audio):
+    // the SAME formula clip shipped as WAV (id·3), AIFF (id·3 + 1), and
+    // Sun AU (id·3 + 2) — all three javax.sound-native containers
+    // decode sample-exact, so each planted triple surfaces as exactly
+    // its 3 pairs at hamming 0, and cross-seed clips cannot pair.
+    // Before r15, non-WAV audio silently took the byte-fallback
+    // fingerprint and none of these pairs existed.
+    "x186_audio_cross_container" -> ((s, dir) => {
+      import s.implicits._
+      val ids = T(s, dir, "documents")
+        .select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(20)) === 0)
+        .as[Long]
+      val media = ids.flatMap { id =>
+        val n = 256 + (id % 11).toInt * 32
+        val samples = Array.tabulate(n)(i => (Multimodal.syntheticSample(id, i) >> 2).toShort)
+        Seq(
+          Multimodal.MediaRow(id * 3, "audio/wav", Multimodal.wavFromSamples(samples, 16000)),
+          Multimodal.MediaRow(id * 3 + 1, "audio/aiff", Multimodal.aiffFromSamples(samples, 16000)),
+          Multimodal.MediaRow(id * 3 + 2, "audio/basic", Multimodal.auFromSamples(samples, 16000))
+        )
+      }
+      Multimodal
+        .audioNearDupPairs(media, maxHamming = 0, blocks = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // MULTIMODAL CAPSTONE: probe → per-kind near-dup → ONE deduped typed
+    // catalog with per-kind drop accounting (mediaDedupCatalog — one
+    // decode pass, kind-routed pair joins, CC keep-best). Planted
+    // layout per sampled doc: an (original, edition) pair of ONE kind —
+    // image as PNG+BMP (same plane), audio as 16 kHz WAV + 8 kHz AIFF
+    // edition (rate- AND container-crossed), video as GIF+Y4M — plus an
+    // unpaired text blob. The aggregate pins per-kind in/kept/dropped
+    // counts AND the kept-identity mass (which ids survived, not just
+    // how many): every pair keeps its smaller id, every unknown is kept.
+    "x187_media_dedup_catalog" -> ((s, dir) => {
+      import s.implicits._
+      val ids = T(s, dir, "documents")
+        .select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(20)) === 0)
+        .as[Long]
+      val media = ids.flatMap { id =>
+        val sel = (id / 20) % 3
+        val w = 16 + (id % 9).toInt
+        val h = 16 + (id % 7).toInt
+        val n = 256 + (id % 11).toInt * 32
+        val pair = sel match {
+          case 0 =>
+            Seq(
+              Multimodal.MediaRow(id * 2, "image/png", Multimodal.syntheticImage(id, w, h, "png")),
+              Multimodal.MediaRow(id * 2 + 1, "image/bmp", Multimodal.syntheticImage(id, w, h, "bmp"))
+            )
+          case 1 =>
+            val hi = Array.tabulate(n)(i => (Multimodal.syntheticSample(id, i) >> 2).toShort)
+            val lo = Array.tabulate(n / 2)(j => hi(2 * j))
+            Seq(
+              Multimodal.MediaRow(id * 2, "audio/wav", Multimodal.wavFromSamples(hi, 16000)),
+              Multimodal.MediaRow(id * 2 + 1, "audio/aiff", Multimodal.aiffFromSamples(lo, 8000))
+            )
+          case _ =>
+            Seq(
+              Multimodal.MediaRow(id * 2, "video/gif", Multimodal.syntheticGif(id, w, h, 4)),
+              Multimodal.MediaRow(id * 2 + 1, "video/y4m", Multimodal.syntheticY4m(id, w, h, 4))
+            )
+        }
+        pair :+ Multimodal.MediaRow(
+          id * 2 + 100000001L, "text/plain", s"caption for doc $id".getBytes("UTF-8"))
+      }
+      Multimodal
+        .mediaDedupCatalog(media, normalizeRate = Some(8000))
+        .groupBy(col("kind"))
+        .agg(
+          count(lit(1)).as("n_in"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+          sum(when(col("kept"), col("doc_id")).otherwise(0L)).as("kept_id_sum")
+        )
+        .orderBy(col("kind"))
     }),
 
     // x109 through gapFillAuto with the probe FORCED to the chunked
@@ -7421,37 +7508,37 @@ object ExtensionQueries {
 
     // SQL-path twin of x184 (same typed probe through the table function)
     "x185_sql_media_probe" ->
-      """WITH d AS (SELECT doc_id, (doc_id // 20) % 6 AS sel,
+      """WITH d AS (SELECT doc_id, (doc_id // 20) % 7 AS sel,
         |    16 + doc_id % 9 AS w, 16 + doc_id % 7 AS h,
         |    256 + (doc_id % 11) * 32 AS n
         |  FROM documents WHERE doc_id % 20 = 0)
         |SELECT doc_id,
-        |  CASE WHEN sel = 0 THEN 'image' WHEN sel IN (1, 3, 4) THEN 'video'
+        |  CASE WHEN sel = 0 THEN 'image' WHEN sel IN (1, 3, 4, 5) THEN 'video'
         |       WHEN sel = 2 THEN 'audio' ELSE 'unknown' END AS kind,
-        |  CAST(CASE WHEN sel IN (0, 1, 3, 4) THEN w ELSE -1 END AS INT) AS width,
-        |  CAST(CASE WHEN sel IN (0, 1, 3, 4) THEN h ELSE -1 END AS INT) AS height,
+        |  CAST(CASE WHEN sel IN (0, 1, 3, 4, 5) THEN w ELSE -1 END AS INT) AS width,
+        |  CAST(CASE WHEN sel IN (0, 1, 3, 4, 5) THEN h ELSE -1 END AS INT) AS height,
         |  CAST(CASE WHEN sel = 0 THEN 1 WHEN sel = 1 THEN 3
-        |            WHEN sel IN (3, 4) THEN 2 ELSE -1 END AS INT) AS n_frames,
-        |  CAST(CASE WHEN sel = 2 THEN 16000 ELSE -1 END AS INT) AS sample_rate,
-        |  CAST(CASE WHEN sel = 2 THEN n ELSE -1 END AS BIGINT) AS n_samples
+        |            WHEN sel IN (3, 4, 5) THEN 2 ELSE -1 END AS INT) AS n_frames,
+        |  CAST(CASE WHEN sel = 2 THEN 16000 WHEN sel = 5 THEN 8000 ELSE -1 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN sel IN (2, 5) THEN n ELSE -1 END AS BIGINT) AS n_samples
         |FROM d ORDER BY doc_id""".stripMargin,
 
     // every blob across all six kinds typed and measured from the
     // synthesis formulas / container structure
     "x184_media_catalog" ->
-      """WITH d AS (SELECT doc_id, (doc_id // 20) % 6 AS sel,
+      """WITH d AS (SELECT doc_id, (doc_id // 20) % 7 AS sel,
         |    16 + doc_id % 9 AS w, 16 + doc_id % 7 AS h,
         |    256 + (doc_id % 11) * 32 AS n
         |  FROM documents WHERE doc_id % 20 = 0)
         |SELECT doc_id,
-        |  CASE WHEN sel = 0 THEN 'image' WHEN sel IN (1, 3, 4) THEN 'video'
+        |  CASE WHEN sel = 0 THEN 'image' WHEN sel IN (1, 3, 4, 5) THEN 'video'
         |       WHEN sel = 2 THEN 'audio' ELSE 'unknown' END AS kind,
-        |  CAST(CASE WHEN sel IN (0, 1, 3, 4) THEN w ELSE -1 END AS INT) AS width,
-        |  CAST(CASE WHEN sel IN (0, 1, 3, 4) THEN h ELSE -1 END AS INT) AS height,
+        |  CAST(CASE WHEN sel IN (0, 1, 3, 4, 5) THEN w ELSE -1 END AS INT) AS width,
+        |  CAST(CASE WHEN sel IN (0, 1, 3, 4, 5) THEN h ELSE -1 END AS INT) AS height,
         |  CAST(CASE WHEN sel = 0 THEN 1 WHEN sel = 1 THEN 3
-        |            WHEN sel IN (3, 4) THEN 2 ELSE -1 END AS INT) AS n_frames,
-        |  CAST(CASE WHEN sel = 2 THEN 16000 ELSE -1 END AS INT) AS sample_rate,
-        |  CAST(CASE WHEN sel = 2 THEN n ELSE -1 END AS BIGINT) AS n_samples
+        |            WHEN sel IN (3, 4, 5) THEN 2 ELSE -1 END AS INT) AS n_frames,
+        |  CAST(CASE WHEN sel = 2 THEN 16000 WHEN sel = 5 THEN 8000 ELSE -1 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN sel IN (2, 5) THEN n ELSE -1 END AS BIGINT) AS n_samples
         |FROM d ORDER BY doc_id""".stripMargin,
 
     // rate-normalized twins fingerprint identically (decimation to the
@@ -7460,6 +7547,40 @@ object ExtensionQueries {
     "x181_audio_rate_neardup" ->
       """SELECT doc_id * 2 AS id_a, doc_id * 2 + 1 AS id_b, CAST(0 AS INT) AS hamming
         |FROM documents WHERE doc_id % 20 = 0 ORDER BY id_a""".stripMargin,
+
+    // the same clip re-containerized (WAV/AIFF/AU) decodes sample-exact:
+    // each planted triple yields exactly its 3 pairs at hamming 0
+    "x186_audio_cross_container" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 0)
+        |SELECT id_a, id_b, CAST(0 AS INT) AS hamming FROM (
+        |  SELECT doc_id * 3 AS id_a, doc_id * 3 + 1 AS id_b FROM d
+        |  UNION ALL SELECT doc_id * 3, doc_id * 3 + 2 FROM d
+        |  UNION ALL SELECT doc_id * 3 + 1, doc_id * 3 + 2 FROM d)
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // capstone accounting: every planted (original, edition) pair keeps
+    // its smaller (even) id and drops the edition; unknowns always kept
+    "x187_media_dedup_catalog" ->
+      """WITH d AS (SELECT doc_id, (doc_id // 20) % 3 AS sel
+        |  FROM documents WHERE doc_id % 20 = 0)
+        |SELECT * FROM (
+        |  SELECT 'audio' AS kind, CAST(2 * COUNT(*) AS BIGINT) AS n_in,
+        |    CAST(COUNT(*) AS BIGINT) AS n_kept, CAST(COUNT(*) AS BIGINT) AS n_dropped,
+        |    CAST(SUM(doc_id * 2) AS BIGINT) AS kept_id_sum
+        |  FROM d WHERE sel = 1 HAVING COUNT(*) > 0
+        |  UNION ALL
+        |  SELECT 'image', CAST(2 * COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id * 2) AS BIGINT)
+        |  FROM d WHERE sel = 0 HAVING COUNT(*) > 0
+        |  UNION ALL
+        |  SELECT 'unknown', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |    CAST(0 AS BIGINT), CAST(SUM(doc_id * 2 + 100000001) AS BIGINT)
+        |  FROM d HAVING COUNT(*) > 0
+        |  UNION ALL
+        |  SELECT 'video', CAST(2 * COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id * 2) AS BIGINT)
+        |  FROM d WHERE sel = 2 HAVING COUNT(*) > 0)
+        |ORDER BY kind""".stripMargin,
 
     // chunked-forced gapFillAuto == plain LOCF (x109's oracle verbatim)
     "x174_gapfill_auto" ->

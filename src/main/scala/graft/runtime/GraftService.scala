@@ -248,9 +248,14 @@ object GraftService {
   /** Wrap an epoch-aware sink with [[DedupConf]]'s cross-batch content
     * dedup: binary `field`s digest via their hex form (total + injective
     * — a lossy binary→string cast could alias distinct payloads), other
-    * types via their string form; within-batch copies collapse FIRST
-    * (`dropDuplicates(field)` — post-collapse the digest itself is a
-    * unique row id, which is what [[graft.streaming.StreamDedup.dedupBatch]]'s
+    * types via their string form; within-batch copies collapse FIRST,
+    * ON THE DIGEST (`dropDuplicates(__graft_dedup_id)` — the digest is
+    * [[graft.operators.TextOps.fingerprintMd5]], whitespace/case-
+    * normalized for strings, so two same-batch payloads that differ
+    * only in normalization collapse HERE exactly as they would across
+    * epochs — one exactly-once-by-content contract on both sides of the
+    * batch boundary, and post-collapse the digest is a unique row id,
+    * which is what [[graft.streaming.StreamDedup.dedupBatch]]'s
     * keep-smallest rule needs), then the store decides cross-epoch
     * survival. Store semantics (overwrite-by-epoch, replay-idempotent)
     * are StreamDedup's verbatim.
@@ -265,8 +270,8 @@ object GraftService {
         hex(col(d.field))
       else col(d.field).cast("string")
     val uniq = batch
-      .dropDuplicates(d.field)
       .withColumn("__graft_dedup_id", graft.operators.TextOps.fingerprintMd5(fpSrc))
+      .dropDuplicates("__graft_dedup_id")
     graft.streaming.StreamDedup.dedupBatch(
       uniq,
       fpSrc,

@@ -22,12 +22,49 @@ class HelmChartSpec extends AnyFunSuite {
   private def read(p: String): String =
     new String(Files.readAllBytes(Paths.get(p)), "UTF-8")
 
+  /** Named templates from `templates/_helpers.tpl`: `{{- define "x" -}}
+    * body {{- end }}` blocks, bodies trimmed (the `-` markers strip the
+    * surrounding whitespace in real helm the same way).
+    */
+  private lazy val helpers: Map[String, String] = {
+    val src = read(s"$chartDir/templates/_helpers.tpl")
+    raw"""(?s)\{\{-?\s*define "([^"]+)"\s*-?\}\}(.*?)\{\{-?\s*end\s*-?\}\}""".r
+      .findAllMatchIn(src)
+      .map(m => m.group(1) -> m.group(2).trim)
+      .toMap
+  }
+
   /** helm-template subset renderer: `{{ .Values.a.b }}` from values.yaml,
-    * `{{ .Chart.x }}` from Chart.yaml. Unknown constructs are a test
-    * failure — the chart must stay inside the subset or switch to real
-    * helm in CI.
+    * `{{ .Chart.X }}` from Chart.yaml (capitalized built-ins only, as
+    * real helm), `{{ include "x" . }}` from [[helpers]] (recursive,
+    * bounded). Unknown constructs are a test failure — the chart must
+    * stay inside the subset or switch to real helm in CI.
     */
   private def render(template: String, values: YamlLite.Node, chart: YamlLite.Node): String = {
+    // include expansion first (helper bodies may reference .Values or
+    // other helpers; depth-bounded so a define cycle fails loudly)
+    val includeExpr = raw"""\{\{-?\s*include "([^"]+)" \.\s*-?\}\}""".r
+    var expanded = template
+    var depth = 0
+    while (includeExpr.findFirstIn(expanded).isDefined && depth < 10) {
+      expanded = includeExpr.replaceAllIn(
+        expanded,
+        m =>
+          helpers.get(m.group(1)) match {
+            case Some(body) => java.util.regex.Matcher.quoteReplacement(body)
+            case None => fail(s"""include "${m.group(1)}" has no define in _helpers.tpl""")
+          }
+      )
+      depth += 1
+    }
+    assert(
+      includeExpr.findFirstIn(expanded).isEmpty,
+      "include expansion did not converge in 10 rounds — define cycle?"
+    )
+    renderScalars(expanded, values, chart)
+  }
+
+  private def renderScalars(template: String, values: YamlLite.Node, chart: YamlLite.Node): String = {
     // {{ if .Values.flag }} body {{ end }} — non-nested boolean gates, the
     // one extra construct the r14 parity templates (hpa, serviceaccount)
     // need; real helm evaluates the same way for boolean scalars
@@ -44,7 +81,20 @@ class HelmChartSpec extends AnyFunSuite {
       gated,
       m => {
         val root = if (m.group(1) == "Values") values else chart
-        root.get(m.group(2)) match {
+        // real Helm 3 exposes Chart metadata CAPITALIZED (.Chart.Name,
+        // .Chart.Version, .Chart.AppVersion) and FAILS rendering on a
+        // lowercase field — reject it here too, so this renderer can
+        // never mask drift real helm aborts on (the r14 .Chart.name bug
+        // shipped precisely because the renderer resolved lowercase keys
+        // straight from Chart.yaml)
+        val key =
+          if (m.group(1) == "Chart") {
+            val f = m.group(2)
+            if (!f.head.isUpper)
+              fail(s".Chart.$f is not a valid Helm built-in (Chart fields are capitalized: .Chart.${f.head.toUpper}${f.tail})")
+            f.head.toLower.toString + f.tail // .Chart.Name -> Chart.yaml's name:
+          } else m.group(2)
+        root.get(key) match {
           case Some(n) => java.util.regex.Matcher.quoteReplacement(n.str)
           case None => fail(s"template references missing value .${m.group(1)}.${m.group(2)}")
         }
@@ -121,6 +171,31 @@ class HelmChartSpec extends AnyFunSuite {
     assert(on.contains("  maxReplicas: 4"))
     assert(on.contains("          averageUtilization: 80"))
     assert(on.exists(_.contains("name: graft-svc")), "HPA must target the Deployment")
+  }
+
+  test("_helpers.tpl: one values-driven rename reaches every template (no fan-out edits)") {
+    val chart = YamlLite.parse(read(s"$chartDir/Chart.yaml"))
+    val renamed = YamlLite.parse(
+      read(s"$chartDir/values.yaml")
+        .replace("nameOverride: graft-svc", "nameOverride: acme-svc")
+        .replace("enabled: false", "enabled: true") // render the HPA too
+    )
+    def r(t: String) = render(read(s"$chartDir/templates/$t"), renamed, chart)
+    val dep = r("deployment.yaml")
+    assert(dep.contains("name: acme-svc") && dep.contains("labels: {app: acme-svc}") &&
+      dep.contains("matchLabels: {app: acme-svc}"), "deployment identity did not follow the rename")
+    val svc = r("service.yaml")
+    assert(svc.contains("name: acme-svc") && svc.contains("selector: {app: acme-svc}"))
+    assert(r("service-metrics.yaml").contains("selector: {app: acme-svc}"))
+    assert(r("hpa.yaml").contains("    name: acme-svc"), "HPA must retarget the renamed Deployment")
+    assert(r("serviceaccount.yaml").contains("labels: {app: acme-svc}"))
+    assert(r("tests/test-connection.yaml").contains("name: acme-svc-test-connection"))
+    assert(r("NOTES.txt").contains("kubectl get svc acme-svc -w"))
+    // nothing keeps the old app identity anywhere
+    Seq("deployment.yaml", "service.yaml", "service-metrics.yaml", "hpa.yaml",
+      "serviceaccount.yaml", "tests/test-connection.yaml").foreach { t =>
+      assert(!r(t).contains("app: graft-svc"), s"$t kept the old identity after the rename")
+    }
   }
 
   test("test-connection hook and NOTES render inside the scalar subset") {

@@ -347,6 +347,22 @@ class ServiceSpec extends SparkTestBase {
     val binBatch = spark.createDataFrame(Seq(Tuple1(b1), Tuple1(b2))).toDF("payload")
     sink(binBatch, 2L)
     assert(got.count(_._1 == 2L) == 2, s"distinct binary payloads must both survive: $got")
+    // normalization-colliding SAME-BATCH strings collapse to ONE delivery:
+    // the within-batch collapse keys on the DIGEST (whitespace/case-
+    // normalized), so the in-batch rule is the cross-epoch rule — before
+    // r15, both copies survived the batch-local dropDuplicates(field) and
+    // the sink delivered two rows for one content fingerprint
+    val strBatch = spark
+      .createDataFrame(Seq(Tuple1("Hello  World"), Tuple1("hello world"), Tuple1("other")))
+      .toDF("payload")
+    sink(strBatch, 3L)
+    assert(
+      got.count(_._1 == 3L) == 2,
+      s"normalization-colliding strings must collapse in-batch: ${got.filter(_._1 == 3L)}"
+    )
+    // and cross-epoch: the surviving normalization class never re-delivers
+    sink(spark.createDataFrame(Seq(Tuple1("HELLO WORLD"))).toDF("payload"), 4L)
+    assert(got.count(_._1 == 4L) == 0, s"epoch 4 re-ingest must drop: ${got.filter(_._1 == 4L)}")
   }
 
   test("sim southbound: config-wired heartbeat simulator streams frames (O-4)") {
