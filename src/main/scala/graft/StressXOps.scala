@@ -2963,12 +2963,33 @@ object StressXOps {
         .filter(col("id_b") - col("id_a") === TwinOffset)
         .count()
     }
+    // CAPSTONE at scale (r15): the full probe → per-kind near-dup → CC
+    // keep-best catalog in one call. The only planted duplicate
+    // structure is the AVI twins (videoMinFrames = 1: a twin shares 1
+    // of its 2 frames byte-identically), so the catalog must drop
+    // EXACTLY the `planted` twin rows (min-id keep rule keeps every
+    // clean id) and keep everything else — exact accounting at corpus
+    // scale, not just recall.
+    val (catalogS, (nKept, nDropped)) = timed {
+      val acc = operators.Multimodal
+        .mediaDedupCatalog(media, videoMinFrames = 1)
+        .agg(
+          sum(when(col("kept"), 1L).otherwise(0L)),
+          sum(when(col("kept"), 0L).otherwise(1L))
+        )
+        .head()
+      (acc.getLong(0), acc.getLong(1))
+    }
+    assert(
+      nDropped == planted && nKept == rows - planted,
+      s"capstone accounting: kept $nKept dropped $nDropped (want ${rows - planted}/$planted)"
+    )
     def mbps(sec: Double) = bytes / 1e6 / sec
     println(
-      f"[stressx] media @ $rows%d blobs (${bytes / 1e6}%.0f MB): probe $probeS%.1f s (${rows / probeS}%.0f blobs/s, ${mbps(probeS)}%.0f MBps), frames $framesS%.1f s ($nFrames%d frames), audio $audioS%.1f s, neardup $pairsS%.1f s — planted recall $found%d/$planted%d"
+      f"[stressx] media @ $rows%d blobs (${bytes / 1e6}%.0f MB): probe $probeS%.1f s (${rows / probeS}%.0f blobs/s, ${mbps(probeS)}%.0f MBps), frames $framesS%.1f s ($nFrames%d frames), audio $audioS%.1f s, neardup $pairsS%.1f s, catalog $catalogS%.1f s — planted recall $found%d/$planted%d, capstone dropped $nDropped%d"
     )
     record(
-      f"""{"stage":"media","blobs":$rows%d,"bytes":$bytes%d,"probe_s":$probeS%.2f,"probe_blobs_s":${rows / probeS}%.0f,"frames_s":$framesS%.2f,"n_frames":$nFrames%d,"audio_s":$audioS%.2f,"neardup_s":$pairsS%.2f,"planted":$planted%d,"found":$found%d,"recall":${found.toDouble / math.max(1, planted)}%.4f}"""
+      f"""{"stage":"media","blobs":$rows%d,"bytes":$bytes%d,"probe_s":$probeS%.2f,"probe_blobs_s":${rows / probeS}%.0f,"frames_s":$framesS%.2f,"n_frames":$nFrames%d,"audio_s":$audioS%.2f,"neardup_s":$pairsS%.2f,"catalog_s":$catalogS%.2f,"catalog_kept":$nKept%d,"catalog_dropped":$nDropped%d,"planted":$planted%d,"found":$found%d,"recall":${found.toDouble / math.max(1, planted)}%.4f}"""
     )
     assert(found == planted, s"planted AVI twin recall $found/$planted")
     media.unpersist()
