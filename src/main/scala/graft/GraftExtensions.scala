@@ -210,6 +210,26 @@ object GraftExtensions {
         .as(org.apache.spark.sql.Encoders.product[graft.operators.Multimodal.MediaRow])
       graft.operators.Multimodal.mediaProbe(ds).queryExecution.logical
     }),
+    // the CAPSTONE media pipeline from SQL (the x187 plan: one decode
+    // pass types + fingerprints, kind-routed near-dup, CC keep-best):
+    //   SELECT * FROM graft_media_dedup('media', 'doc_id', 'content'[, normalizeRate])
+    // one row per blob: the graft_media_probe columns + kept + n_members
+    "graft_media_dedup" -> (es => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      import org.apache.spark.sql.functions.{col, lit}
+      val ds = spark
+        .table(str(es(0)))
+        .select(
+          col(str(es(1))).cast("long").as("doc_id"),
+          lit("sql").as("media_type"),
+          col(str(es(2))).as("content")
+        )
+        .as(org.apache.spark.sql.Encoders.product[graft.operators.Multimodal.MediaRow])
+      val rate = if (es.length > 3) Some(off(es(3))) else None
+      graft.operators.Multimodal
+        .mediaDedupCatalog(ds, normalizeRate = rate)
+        .queryExecution.logical
+    }),
     // per-frame video hashes from SQL (GIF / Y4M / MJPEG-AVI decode +
     // classic 8x8 aHash; non-video blobs take the raw block fallback):
     //   SELECT * FROM graft_video_frames('media', 'doc_id', 'content'[, stride])

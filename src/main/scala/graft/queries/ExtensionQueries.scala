@@ -4121,6 +4121,54 @@ object ExtensionQueries {
         .orderBy(col("kind"))
     }),
 
+    // PURE-SQL capstone: x187's corpus through the graft_media_dedup
+    // TABLE function (the x185 discipline for the dedup pipeline) — a
+    // SQL-only user gets the identical one-decode-pass, kind-routed,
+    // CC-keep-best catalog. Oracle: x187's SQL verbatim.
+    "x188_sql_media_dedup" -> ((s, dir) => {
+      import s.implicits._
+      graft.GraftExtensions.register(s)
+      val ids = T(s, dir, "documents")
+        .select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(20)) === 0)
+        .as[Long]
+      val media = ids.flatMap { id =>
+        val sel = (id / 20) % 3
+        val w = 16 + (id % 9).toInt
+        val h = 16 + (id % 7).toInt
+        val n = 256 + (id % 11).toInt * 32
+        val pair = sel match {
+          case 0 =>
+            Seq(
+              (id * 2, Multimodal.syntheticImage(id, w, h, "png")),
+              (id * 2 + 1, Multimodal.syntheticImage(id, w, h, "bmp"))
+            )
+          case 1 =>
+            val hi = Array.tabulate(n)(i => (Multimodal.syntheticSample(id, i) >> 2).toShort)
+            val lo = Array.tabulate(n / 2)(j => hi(2 * j))
+            Seq(
+              (id * 2, Multimodal.wavFromSamples(hi, 16000)),
+              (id * 2 + 1, Multimodal.aiffFromSamples(lo, 8000))
+            )
+          case _ =>
+            Seq(
+              (id * 2, Multimodal.syntheticGif(id, w, h, 4)),
+              (id * 2 + 1, Multimodal.syntheticY4m(id, w, h, 4))
+            )
+        }
+        pair :+ ((id * 2 + 100000001L, s"caption for doc $id".getBytes("UTF-8")))
+      }
+      media.toDF("doc_id", "content").createOrReplaceTempView("x188_media")
+      s.sql(
+        """SELECT kind, COUNT(*) AS n_in,
+          |  SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+          |  SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS n_dropped,
+          |  SUM(CASE WHEN kept THEN doc_id ELSE 0 END) AS kept_id_sum
+          |FROM graft_media_dedup('x188_media', 'doc_id', 'content', 8000)
+          |GROUP BY kind ORDER BY kind""".stripMargin
+      )
+    }),
+
     // x109 through gapFillAuto with the probe FORCED to the chunked
     // route (threshold 1e-9, floor 0: any non-empty frame trips) — the
     // driver gate proves the auto switch + time-epoch chunked LOCF are
@@ -7561,6 +7609,29 @@ object ExtensionQueries {
     // capstone accounting: every planted (original, edition) pair keeps
     // its smaller (even) id and drops the edition; unknowns always kept
     "x187_media_dedup_catalog" ->
+      """WITH d AS (SELECT doc_id, (doc_id // 20) % 3 AS sel
+        |  FROM documents WHERE doc_id % 20 = 0)
+        |SELECT * FROM (
+        |  SELECT 'audio' AS kind, CAST(2 * COUNT(*) AS BIGINT) AS n_in,
+        |    CAST(COUNT(*) AS BIGINT) AS n_kept, CAST(COUNT(*) AS BIGINT) AS n_dropped,
+        |    CAST(SUM(doc_id * 2) AS BIGINT) AS kept_id_sum
+        |  FROM d WHERE sel = 1 HAVING COUNT(*) > 0
+        |  UNION ALL
+        |  SELECT 'image', CAST(2 * COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id * 2) AS BIGINT)
+        |  FROM d WHERE sel = 0 HAVING COUNT(*) > 0
+        |  UNION ALL
+        |  SELECT 'unknown', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |    CAST(0 AS BIGINT), CAST(SUM(doc_id * 2 + 100000001) AS BIGINT)
+        |  FROM d HAVING COUNT(*) > 0
+        |  UNION ALL
+        |  SELECT 'video', CAST(2 * COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id * 2) AS BIGINT)
+        |  FROM d WHERE sel = 2 HAVING COUNT(*) > 0)
+        |ORDER BY kind""".stripMargin,
+
+    // SQL-path twin of x187 (same capstone through the table function)
+    "x188_sql_media_dedup" ->
       """WITH d AS (SELECT doc_id, (doc_id // 20) % 3 AS sel
         |  FROM documents WHERE doc_id % 20 = 0)
         |SELECT * FROM (
