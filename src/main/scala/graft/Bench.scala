@@ -162,7 +162,9 @@ object Bench {
         s""","stream_rows_s":${r.median.map(f3).getOrElse("-1")}""" +
           s""","stream_rows_s_runs":[${r.runs.map(f3).mkString(",")}]""" +
           s""","stream_errors":[${r.errors.map(jstr).mkString(",")}]""" +
-          s""","stream_conservation_ok":${r.conservationOk}"""
+          s""","stream_conservation_ok":${r.conservationOk}""" +
+          s""","stream_fork_steal":[${r.attemptSteal.map(f3).mkString(",")}]""" +
+          s""","stream_fork_load":[${r.attemptLoads.map(f3).mkString(",")}]"""
       }
     // transformWithState stage (BenchTwsStage): the Spark-4 native
     // typed-state forward path (RocksDB provider) under the same
@@ -175,7 +177,9 @@ object Bench {
         s""","tws_rows_s":${r.median.map(f3).getOrElse("-1")}""" +
           s""","tws_rows_s_runs":[${r.runs.map(f3).mkString(",")}]""" +
           s""","tws_errors":[${r.errors.map(jstr).mkString(",")}]""" +
-          s""","tws_conservation_ok":${r.conservationOk}"""
+          s""","tws_conservation_ok":${r.conservationOk}""" +
+          s""","tws_fork_steal":[${r.attemptSteal.map(f3).mkString(",")}]""" +
+          s""","tws_fork_load":[${r.attemptLoads.map(f3).mkString(",")}]"""
       }
     // noise context for every number above: loadavg at bench start + at
     // summary time, MemAvailable now, cpu count (VERDICT r6 #6)

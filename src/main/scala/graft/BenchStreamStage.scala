@@ -150,18 +150,30 @@ object BenchStreamStage {
       median: Option[Double],
       runs: Seq[Double],
       errors: Seq[String],
-      conservationOk: Boolean
+      conservationOk: Boolean,
+      attemptSteal: Seq[Double] = Seq.empty,
+      attemptLoads: Seq[Double] = Seq.empty
   )
 
   /** Median of `n` forked runs, fresh JVM each (the TCP-stage protocol:
     * serial forks, true median — mean of middles on even counts).
+    * Each fork's launch-time 1-min loadavg and accrued hypervisor-steal
+    * seconds ride the outcome — the same environment evidence the TCP
+    * stage records, so a slow or failed fork is arbitrable from the
+    * artifact alone.
     */
   def forkedMedian(n: Int = 3): StreamOutcome = {
     val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    val steal = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
     var conservation = true
     (1 to n).foreach { i =>
-      BenchTcpStage.forkRaw(Seq.empty, timeoutSec = 600, mainClass = "graft.BenchStreamStage") match {
+      loads += EnvProbe.loadavg1()
+      val s0 = EnvProbe.stealTicks()
+      val res = BenchTcpStage.forkRaw(Seq.empty, timeoutSec = 600, mainClass = "graft.BenchStreamStage")
+      steal += EnvProbe.stealSec(s0, EnvProbe.stealTicks())
+      res match {
         case Left(reason) => errors += s"run$i: $reason"
         case Right(out) =>
           out.linesIterator.find(_.startsWith("STREAMSTAGE ")) match {
@@ -183,6 +195,7 @@ object BenchStreamStage {
       if (sorted.isEmpty) None
       else if (sorted.length % 2 == 1) Some(sorted(sorted.length / 2))
       else Some((sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2)
-    StreamOutcome(median, runs.toSeq, errors.toSeq, conservation && runs.nonEmpty)
+    StreamOutcome(median, runs.toSeq, errors.toSeq, conservation && runs.nonEmpty,
+      steal.toSeq, loads.toSeq)
   }
 }

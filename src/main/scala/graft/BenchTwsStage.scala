@@ -118,9 +118,15 @@ object BenchTwsStage {
   def forkedMedian(n: Int = 3): BenchStreamStage.StreamOutcome = {
     val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    val steal = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
     var conservation = true
     (1 to n).foreach { i =>
-      BenchTcpStage.forkRaw(Seq.empty, timeoutSec = 600, mainClass = "graft.BenchTwsStage") match {
+      loads += EnvProbe.loadavg1()
+      val s0 = EnvProbe.stealTicks()
+      val res = BenchTcpStage.forkRaw(Seq.empty, timeoutSec = 600, mainClass = "graft.BenchTwsStage")
+      steal += EnvProbe.stealSec(s0, EnvProbe.stealTicks())
+      res match {
         case Left(reason) => errors += s"run$i: $reason"
         case Right(out) =>
           out.linesIterator.find(_.startsWith("TWSSTAGE ")) match {
@@ -142,6 +148,7 @@ object BenchTwsStage {
       if (sorted.isEmpty) None
       else if (sorted.length % 2 == 1) Some(sorted(sorted.length / 2))
       else Some((sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2)
-    BenchStreamStage.StreamOutcome(median, runs.toSeq, errors.toSeq, conservation && runs.nonEmpty)
+    BenchStreamStage.StreamOutcome(median, runs.toSeq, errors.toSeq, conservation && runs.nonEmpty,
+      steal.toSeq, loads.toSeq)
   }
 }

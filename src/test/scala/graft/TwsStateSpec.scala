@@ -742,6 +742,68 @@ class TwsStateSpec extends SparkTestBase {
     assert(got == want, s"got $got")
   }
 
+  test("enrichLatestEventTime: state AND eviction timers survive a query RESTART") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamTws.{EnrichInTs, ObsSeed}
+    import java.time.Duration
+    def ts(ms: Long) = new Timestamp(ms)
+    val prev = spark.conf.getOption(ProviderKey)
+    val prevCk = spark.conf.getOption(ChecksumKey)
+    spark.conf.set(ProviderKey, RocksDb)
+    spark.conf.set(ChecksumKey, "false")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("tws-et-restart").toString
+      val input = MemoryStream[EnrichInTs]
+      val out = StreamTws.enrichLatestEventTime(
+        input.toDS(),
+        spark.emptyDataset[ObsSeed],
+        staleAfter = Duration.ofMillis(10000),
+        watermarkDelay = Duration.ofMillis(0)
+      )
+      val emitted = scala.collection.mutable.ArrayBuffer.empty[(String, Option[Double])]
+      def sink = out.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamTws.EnrichOutTs], _: Long) =>
+          val rows = batch.collect()
+          emitted.synchronized { emitted ++= rows.map(r => (r.id, r.feat)); () }
+        }
+      // incarnation 1: observation + enriched event, then STOP mid-horizon
+      val q1 = sink.start()
+      try {
+        input.addData(
+          EnrichInTs("k1", ts(1000), isObs = true, "", Some(2.0)),
+          EnrichInTs("k1", ts(2000), isObs = false, "e1", None)
+        )
+        q1.processAllAvailable()
+      } finally q1.stop()
+      assert(emitted.toSeq == Seq(("e1", Some(2.0))), s"inc 1: $emitted")
+      // incarnation 2, same checkpoint: the ValueState recovered (e2 still
+      // enriches), and the EVICTION TIMER recovered too — once the
+      // watermark passes 1000 + staleAfter, k1 forgets with NO further k1
+      // observation to re-arm anything, so e3 must be None
+      val q2 = sink.start()
+      try {
+        input.addData(EnrichInTs("k1", ts(5000), isObs = false, "e2", None))
+        q2.processAllAvailable()
+        input.addData(EnrichInTs("k9", ts(30000), isObs = false, "e9", None)) // wm -> 30000
+        q2.processAllAvailable()
+        input.addData(EnrichInTs("k9", ts(30001), isObs = false, "e9b", None)) // timer fires
+        q2.processAllAvailable()
+        input.addData(EnrichInTs("k1", ts(31000), isObs = false, "e3", None))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val got = emitted.toMap
+      assert(got("e2") == Some(2.0), s"recovered state must still enrich: $emitted")
+      assert(got("e3") == None, s"recovered timer must have evicted k1: $emitted")
+    } finally {
+      spark.conf.unset(ProviderKey)
+      prev.foreach(spark.conf.set(ProviderKey, _))
+      spark.conf.unset(ChecksumKey)
+      prevCk.foreach(spark.conf.set(ChecksumKey, _))
+    }
+  }
+
   test("transformWithState refuses the HDFS-backed provider (needs column families)") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption(ProviderKey)
