@@ -1097,6 +1097,34 @@ class OperatorSpec extends SparkTestBase {
       // segment up to full scale with margin
       assert(err <= 1024, s"u-law sample $i: wrote ${pcm(i)}, decoded ${sm(i)} (err $err)")
     }
+    // G.711 A-law AU (encoding 27): the CCITT reference encoder (seg
+    // table + 0x55/0xD5 toggle), again sharing nothing with the engine
+    def alaw(s: Short): Byte = {
+      val segEnd = Array(0x1f, 0x3f, 0x7f, 0xff, 0x1ff, 0x3ff, 0x7ff, 0xfff)
+      var x = s.toInt >> 3 // 16 -> 13 bit
+      val mask = if (x >= 0) 0xd5 else { x = -x - 1; 0x55 }
+      val seg = segEnd.indexWhere(x <= _) match { case -1 => 8; case i => i }
+      val aval =
+        if (seg >= 8) 0x7f
+        else (seg << 4) | (if (seg < 2) (x >> 1) & 0xf else (x >> seg) & 0xf)
+      (aval ^ mask).toByte
+    }
+    val alawBytes = pcm.map(alaw)
+    val auA = {
+      val b = java.nio.ByteBuffer.allocate(24 + alawBytes.length).order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.put(".snd".getBytes("US-ASCII")).putInt(24).putInt(alawBytes.length)
+        .putInt(27).putInt(8000).putInt(1) // encoding 27 = G.711 A-law
+      b.put(alawBytes)
+      b.array()
+    }
+    val Some((ra2, ca2, sa2)) = Multimodal.decodeAudio(auA)
+    assert(ra2 == 8000 && ca2 == 1 && sa2.length == pcm.length, "a-law AU header mismatch")
+    pcm.indices.foreach { i =>
+      val err = math.abs(sa2(i) - pcm(i))
+      // a-law step for |x| up to full scale is bounded by 2^(seg+4);
+      // 2048 covers the top segment with margin
+      assert(err <= 2048, s"a-law sample $i: wrote ${pcm(i)}, decoded ${sa2(i)} (err $err)")
+    }
     // truncation/corruption fuzz on both containers — None or fewer
     // samples, never a throw
     val baseA = Multimodal.syntheticAiff(9L, 128)
