@@ -15,3 +15,7 @@
 {{- define "graft.selectorLabels" -}}
 {app: {{ include "graft.name" . }}}
 {{- end }}
+
+{{- define "graft.metricsName" -}}
+{{ .Values.metrics.serviceName }}
+{{- end }}

@@ -510,13 +510,19 @@ object AsOfJoin {
       }
     private val sampledM = lru[(Long, Long, Boolean)]()
     private val exactM = lru[(Long, Long)]()
-    private def fresh[V](e: (V, Long)): Option[V] =
-      Option(e).collect { case (v, t) if System.currentTimeMillis() - t <= TtlMs => v }
+    // an expired entry is REMOVED on the miss (not just skipped): the
+    // access-order get() would otherwise promote the dead entry to MRU
+    // and let it evict a still-fresh one
+    private def fresh[V](m: java.util.LinkedHashMap[Key, (V, Long)], k: Key): Option[V] =
+      Option(m.get(k)).flatMap {
+        case (v, t) if System.currentTimeMillis() - t <= TtlMs => Some(v)
+        case _ => m.remove(k); None
+      }
     def sampled(k: Key): Option[(Long, Long, Boolean)] =
-      synchronized(fresh(sampledM.get(k)))
+      synchronized(fresh(sampledM, k))
     def putSampled(k: Key, v: (Long, Long, Boolean)): Unit =
       synchronized { sampledM.put(k, (v, System.currentTimeMillis())); () }
-    def exact(k: Key): Option[(Long, Long)] = synchronized(fresh(exactM.get(k)))
+    def exact(k: Key): Option[(Long, Long)] = synchronized(fresh(exactM, k))
     def putExact(k: Key, v: (Long, Long)): Unit =
       synchronized { exactM.put(k, (v, System.currentTimeMillis())); () }
     def clear(): Unit = synchronized { sampledM.clear(); exactM.clear() }

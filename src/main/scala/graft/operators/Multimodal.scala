@@ -322,40 +322,19 @@ object Multimodal {
       bytes: Array[Byte],
       maxFrames: Int = 4096
   ): Option[IndexedSeq[(Int, Int, Array[Byte])]] = {
-    if (bytes == null || bytes.length < 16) return None
-    def fcc(pos: Long, s: String): Boolean =
-      pos >= 0 && pos + s.length <= bytes.length &&
-        s.indices.forall(i => bytes(pos.toInt + i) == s.charAt(i).toByte)
-    def le32(pos: Long): Long =
-      if (pos < 0 || pos + 4 > bytes.length) -1L
-      else (bytes(pos.toInt) & 0xffL) | (bytes(pos.toInt + 1) & 0xffL) << 8 |
-        (bytes(pos.toInt + 2) & 0xffL) << 16 | (bytes(pos.toInt + 3) & 0xffL) << 24
-    if (!fcc(0, "RIFF") || !fcc(8, "AVI ")) return None
-    val riffEnd = math.min(bytes.length.toLong, 8 + le32(4))
-    // top-level walk to LIST movi
-    var pos = 12L
-    var moviStart = -1L
-    var moviEnd = -1L
-    while (moviStart < 0 && pos + 12 <= riffEnd) {
-      val sz = le32(pos + 4)
-      if (sz < 0) pos = riffEnd
-      else {
-        if (fcc(pos, "LIST") && fcc(pos + 8, "movi")) {
-          moviStart = pos + 12
-          moviEnd = math.min(riffEnd, pos + 8 + sz)
-        }
-        pos += 8 + sz + (sz & 1)
-      }
+    if (!RiffAvi.isAvi(bytes)) return None
+    val (moviStart, moviEnd) = RiffAvi.movi(bytes) match {
+      case Some(m) => m
+      case None    => return None
     }
-    if (moviStart < 0) return None
     val out = Vector.newBuilder[(Int, Int, Array[Byte])]
     var n = 0
     var p = moviStart
     var done = false
     while (!done && n < maxFrames && p + 8 <= moviEnd) {
-      if (fcc(p, "LIST")) p += 12 // descend into 'rec ' groups, walk flat
+      if (RiffAvi.fcc(bytes, p, "LIST")) p += 12 // descend into 'rec ' groups, walk flat
       else {
-        val sz = le32(p + 4)
+        val sz = RiffAvi.le32(bytes, p + 4)
         if (sz < 0 || p + 8 + sz > bytes.length) done = true // partial tail
         else {
           val isVid = bytes(p.toInt + 2) == 'd' &&
@@ -375,84 +354,124 @@ object Multimodal {
     if (frames.isEmpty) None else Some(frames)
   }
 
-  /** AUDIO stream probe of an AVI container — the half of the catalog
-    * row [[decodeAviMjpegFrames]]'s video-only walk ignores: parses the
-    * `strl('auds')` header (strf = WAVEFORMATEX: channels, rate,
-    * bits/sample) and counts the interleaved `##wb` audio-chunk payload
-    * bytes in `movi`, returning (sampleRate, nSamples) with nSamples
-    * counting per-channel interleaved samples (the [[decodeAudio]]
-    * contract: payloadBytes / bytesPerSample). None when the container
-    * carries no audio stream. Same truncation discipline as the video
-    * walk: a partial tail chunk ends the count at the samples that are
-    * actually present.
+  /** Shared RIFF/AVI walking primitives of [[decodeAviMjpegFrames]] and
+    * [[aviAudioInfo]] — ONE sniff / movi locator / chunk-step discipline,
+    * so the two walks (and their partial-tail truncation rule) cannot
+    * silently diverge.
     */
-  def aviAudioInfo(bytes: Array[Byte]): Option[(Int, Long)] = {
-    if (bytes == null || bytes.length < 16) return None
-    def fcc(pos: Long, s: String): Boolean =
+  private object RiffAvi {
+    def fcc(bytes: Array[Byte], pos: Long, s: String): Boolean =
       pos >= 0 && pos + s.length <= bytes.length &&
         s.indices.forall(i => bytes(pos.toInt + i) == s.charAt(i).toByte)
-    def le32(pos: Long): Long =
+    def le32(bytes: Array[Byte], pos: Long): Long =
       if (pos < 0 || pos + 4 > bytes.length) -1L
       else (bytes(pos.toInt) & 0xffL) | (bytes(pos.toInt + 1) & 0xffL) << 8 |
         (bytes(pos.toInt + 2) & 0xffL) << 16 | (bytes(pos.toInt + 3) & 0xffL) << 24
-    def le16(pos: Long): Int =
+    def le16(bytes: Array[Byte], pos: Long): Int =
       if (pos < 0 || pos + 2 > bytes.length) -1
       else (bytes(pos.toInt) & 0xff) | (bytes(pos.toInt + 1) & 0xff) << 8
-    if (!fcc(0, "RIFF") || !fcc(8, "AVI ")) return None
-    val riffEnd = math.min(bytes.length.toLong, 8 + le32(4))
-    // pass 1: hdrl → strl('auds') → strf (WAVEFORMATEX) for rate + bits.
-    // strl lists nest inside hdrl, so this walk DESCENDS into LIST
-    // chunks rather than stepping over them (flat walk, bounded depth).
-    var rate = -1
-    var bitsPerSample = 16
-    var pos = 12L
-    def walkForAuds(start: Long, end: Long, depth: Int): Unit = {
-      var p = start
-      var inAuds = false
-      while (rate < 0 && p + 8 <= end) {
-        val sz = le32(p + 4)
-        if (sz < 0) return
-        if (fcc(p, "LIST") && depth < 4) walkForAuds(p + 12, math.min(end, p + 8 + sz), depth + 1)
-        else if (fcc(p, "strh") && sz >= 8 && fcc(p + 8, "auds")) inAuds = true
-        else if (fcc(p, "strf") && inAuds && sz >= 16) {
-          val r = le32(p + 8 + 4) // nSamplesPerSec
-          val b = if (sz >= 16) le16(p + 8 + 14) else 16 // wBitsPerSample
-          if (r > 0) { rate = r.toInt; bitsPerSample = if (b > 0) b else 16 }
-        }
-        p += 8 + sz + (sz & 1)
-      }
-    }
-    walkForAuds(pos, riffEnd, 0)
-    if (rate < 0) return None
-    // pass 2: movi → sum ##wb payload bytes (the video walk's chunk
-    // discipline: partial tail ends the count)
-    pos = 12L
-    var moviStart = -1L
-    var moviEnd = -1L
-    while (moviStart < 0 && pos + 12 <= riffEnd) {
-      val sz = le32(pos + 4)
-      if (sz < 0) pos = riffEnd
-      else {
-        if (fcc(pos, "LIST") && fcc(pos + 8, "movi")) {
-          moviStart = pos + 12
-          moviEnd = math.min(riffEnd, pos + 8 + sz)
-        }
+    def isAvi(bytes: Array[Byte]): Boolean =
+      bytes != null && bytes.length >= 16 && fcc(bytes, 0, "RIFF") && fcc(bytes, 8, "AVI ")
+    def riffEnd(bytes: Array[Byte]): Long =
+      math.min(bytes.length.toLong, 8 + le32(bytes, 4))
+
+    /** `[start, end)` of the top-level `LIST movi` payload, if present. */
+    def movi(bytes: Array[Byte]): Option[(Long, Long)] = {
+      val end = riffEnd(bytes)
+      var pos = 12L
+      while (pos + 12 <= end) {
+        val sz = le32(bytes, pos + 4)
+        if (sz < 0) return None
+        if (fcc(bytes, pos, "LIST") && fcc(bytes, pos + 8, "movi"))
+          return Some((pos + 12, math.min(end, pos + 8 + sz)))
         pos += 8 + sz + (sz & 1)
       }
+      None
     }
-    if (moviStart < 0) return None
+  }
+
+  /** AUDIO stream probe of an AVI container — the half of the catalog
+    * row [[decodeAviMjpegFrames]]'s video-only walk ignores: walks the
+    * `hdrl` stream headers IN STREAM ORDER (the n-th `strl` is stream n,
+    * whose movi chunks are tagged `<nn>wb`), takes the FIRST
+    * `strl('auds')` stream's strf (WAVEFORMATEX: rate, bits/sample), and
+    * counts ONLY THAT stream's `##wb` payload bytes in `movi`, returning
+    * (sampleRate, nSamples) with nSamples counting per-channel
+    * interleaved samples (the [[decodeAudio]] contract: payloadBytes /
+    * bytesPerSample). None when the container carries no audio stream —
+    * or a NON-PCM one (`wFormatTag != 1`, e.g. MP3-in-AVI): a compressed
+    * payload's byte count is not a sample count, and fabricating typed
+    * metadata would poison the catalog row, so the probe refuses rather
+    * than guesses. Same truncation discipline as the video walk (shared
+    * [[RiffAvi]] primitives): a partial tail chunk ends the count at the
+    * samples that are actually present.
+    */
+  def aviAudioInfo(bytes: Array[Byte]): Option[(Int, Long)] = {
+    if (!RiffAvi.isAvi(bytes)) return None
+    val end = RiffAvi.riffEnd(bytes)
+    // pass 1: hdrl -> strl (stream-ordered) -> strh('auds') + strf
+    var streamIdx = -1
+    var audsIdx = -1
+    var rate = -1
+    var bitsPerSample = 16
+    var p = 12L
+    while (audsIdx < 0 && p + 12 <= end) {
+      val sz = RiffAvi.le32(bytes, p + 4)
+      if (sz < 0) return None
+      if (RiffAvi.fcc(bytes, p, "LIST") && RiffAvi.fcc(bytes, p + 8, "hdrl")) {
+        val hEnd = math.min(end, p + 8 + sz)
+        var q = p + 12
+        while (audsIdx < 0 && q + 8 <= hEnd) {
+          val qsz = RiffAvi.le32(bytes, q + 4)
+          if (qsz < 0) return None
+          if (RiffAvi.fcc(bytes, q, "LIST") && RiffAvi.fcc(bytes, q + 8, "strl")) {
+            streamIdx += 1
+            val sEnd = math.min(hEnd, q + 8 + qsz)
+            var r = q + 12
+            var isAuds = false
+            while (audsIdx < 0 && r + 8 <= sEnd) {
+              val rsz = RiffAvi.le32(bytes, r + 4)
+              if (rsz < 0) return None
+              if (RiffAvi.fcc(bytes, r, "strh") && rsz >= 8 && RiffAvi.fcc(bytes, r + 8, "auds"))
+                isAuds = true
+              else if (RiffAvi.fcc(bytes, r, "strf") && isAuds && rsz >= 16) {
+                if (RiffAvi.le16(bytes, r + 8) != 1) return None // non-PCM: refuse to fabricate
+                val rt = RiffAvi.le32(bytes, r + 8 + 4) // nSamplesPerSec
+                val b = RiffAvi.le16(bytes, r + 8 + 14) // wBitsPerSample
+                if (rt > 0) {
+                  rate = rt.toInt
+                  bitsPerSample = if (b > 0) b else 16
+                  audsIdx = streamIdx
+                }
+              }
+              r += 8 + rsz + (rsz & 1)
+            }
+          }
+          q += 8 + qsz + (qsz & 1)
+        }
+      }
+      p += 8 + sz + (sz & 1)
+    }
+    if (audsIdx < 0 || rate <= 0) return None
+    // pass 2: movi -> sum ONLY stream audsIdx's '##wb' payload bytes
+    val (moviStart, moviEnd) = RiffAvi.movi(bytes) match {
+      case Some(m) => m
+      case None    => return None
+    }
+    val d0 = ('0' + audsIdx / 10).toByte
+    val d1 = ('0' + audsIdx % 10).toByte
     var audioBytes = 0L
-    var p = moviStart
+    var m = moviStart
     var done = false
-    while (!done && p + 8 <= moviEnd) {
-      if (fcc(p, "LIST")) p += 12
+    while (!done && m + 8 <= moviEnd) {
+      if (RiffAvi.fcc(bytes, m, "LIST")) m += 12
       else {
-        val sz = le32(p + 4)
-        if (sz < 0 || p + 8 + sz > bytes.length) done = true
+        val sz = RiffAvi.le32(bytes, m + 4)
+        if (sz < 0 || m + 8 + sz > bytes.length) done = true
         else {
-          val isAud = bytes(p.toInt + 2) == 'w' && bytes(p.toInt + 3) == 'b'
-          if (isAud) audioBytes += sz
-          p += 8 + sz + (sz & 1)
+          if (bytes(m.toInt) == d0 && bytes(m.toInt + 1) == d1 &&
+            bytes(m.toInt + 2) == 'w' && bytes(m.toInt + 3) == 'b') audioBytes += sz
+          m += 8 + sz + (sz & 1)
         }
       }
     }
@@ -1054,7 +1073,8 @@ object Multimodal {
   def mediaProbe(ds: Dataset[MediaRow]): DataFrame = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.map { r =>
-      val t = typeAndFingerprint(r, None)
+      // typing only — the probe never pays for fingerprints it discards
+      val t = typeAndFingerprint(r, None, computeFps = false)
       (t.doc_id, t.kind, t.byte_len, t.width, t.height, t.n_frames, t.sample_rate, t.n_samples)
     }).toDF(
       "doc_id", "kind", "byte_len", "width", "height",
@@ -1083,14 +1103,20 @@ object Multimodal {
       frame_hashes: Option[Seq[Long]]
   )
 
-  /** [[mediaProbe]]'s per-row typing rules (verbatim) plus the
-    * kind-appropriate fingerprint, computed in the SAME decode — blobs
-    * decode once, not once per downstream pass. `normalizeRate` applies
-    * [[resampleToRate]] before the audio fingerprint (the x181
-    * rate-invariance knob); typing metadata always reports the NATIVE
-    * rate/sample count.
+  /** [[mediaProbe]]'s per-row typing rules (verbatim) plus — when
+    * `computeFps` — the kind-appropriate fingerprint, computed in the
+    * SAME decode: blobs decode once, not once per downstream pass.
+    * `computeFps = false` (the probe's mode) keeps the decode-for-typing
+    * cost only, skipping the O(pixels)/O(samples) hash work whose output
+    * would be discarded. `normalizeRate` applies [[resampleToRate]]
+    * before the audio fingerprint (the x181 rate-invariance knob);
+    * typing metadata always reports the NATIVE rate/sample count.
     */
-  private[graft] def typeAndFingerprint(r: MediaRow, normalizeRate: Option[Int]): TypedMedia = {
+  private[graft] def typeAndFingerprint(
+      r: MediaRow,
+      normalizeRate: Option[Int],
+      computeFps: Boolean = true
+  ): TypedMedia = {
     val len = if (r.content == null) 0 else r.content.length
     val isGif = len >= 4 && r.content(0) == 'G' && r.content(1) == 'I' &&
       r.content(2) == 'F' && r.content(3) == '8'
@@ -1115,21 +1141,28 @@ object Multimodal {
         val (aRate, aSamples) =
           if (isAvi) aviAudioInfo(r.content).getOrElse((-1, -1L)) else (-1, -1L)
         TypedMedia(r.doc_id, "video", len, w, h, frames.length, aRate, aSamples,
-          None, Some(frames.map { case (fw, fh, luma) => lumaAHash64(luma, fw, fh) }))
+          None,
+          if (computeFps) Some(frames.map { case (fw, fh, luma) => lumaAHash64(luma, fw, fh) })
+          else None)
       case _ =>
         decodeImage(r.content) match {
           case Some((w, h, _, luma)) =>
             TypedMedia(r.doc_id, "image", len, w, h, 1, -1, -1L,
-              Some(lumaAHash64(luma, w, h)), None)
+              if (computeFps) Some(lumaAHash64(luma, w, h)) else None, None)
           case None =>
             decodeAudio(r.content) match {
               case Some((rate, ch, samples)) =>
-                val s = normalizeRate match {
-                  case Some(ref) => resampleToRate(samples, ch, rate, ref)
-                  case None      => samples
-                }
+                val fp =
+                  if (!computeFps) None
+                  else {
+                    val s = normalizeRate match {
+                      case Some(ref) => resampleToRate(samples, ch, rate, ref)
+                      case None      => samples
+                    }
+                    Some(energyFingerprint(s))
+                  }
                 TypedMedia(r.doc_id, "audio", len, -1, -1, -1, rate, samples.length.toLong,
-                  Some(energyFingerprint(s)), None)
+                  fp, None)
               case None =>
                 TypedMedia(r.doc_id, "unknown", len, -1, -1, -1, -1, -1L, None, None)
             }

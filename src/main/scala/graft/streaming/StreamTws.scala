@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.time.Duration
 
-import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions.{col, max, struct}
 import org.apache.spark.sql.streaming._
 
@@ -840,7 +840,7 @@ object StreamTws {
       metricsName: String = "graft_enrich_et"
   ): Dataset[EnrichOutTs] = {
     import rows.sparkSession.implicits._
-    dropMalformedObs(rows, metricsName)
+    dropMalformedObs(rows, metricsName, alsoMalformed = col("ts").isNull)
       .withWatermark("ts", s"${watermarkDelay.toMillis} milliseconds")
       .groupByKey(_.key)
       .transformWithState(
@@ -851,13 +851,22 @@ object StreamTws {
       )
   }
 
-  /** Count-and-drop observation rows with no value (`isObs && v IS
-    * NULL`) under a named streaming observation — shared by both
-    * [[enrichLatest]] variants. One narrow filter, no extra exchange.
+  /** Count-and-drop malformed rows under a named streaming observation —
+    * shared by both [[enrichLatest]] variants. Malformed = an
+    * observation with no value (`isObs && v IS NULL`), plus whatever the
+    * caller adds via `alsoMalformed` (the event-time variant adds
+    * `ts IS NULL`: a null event time is undeliverable under a watermark
+    * and would NPE the processor's sort — and `null < watermark` is
+    * NULL, not true, so the engine's late-row filter never drops it).
+    * One narrow filter, no extra exchange.
     */
-  private def dropMalformedObs[T](rows: Dataset[T], metricsName: String): Dataset[T] = {
+  private def dropMalformedObs[T](
+      rows: Dataset[T],
+      metricsName: String,
+      alsoMalformed: Column = org.apache.spark.sql.functions.lit(false)
+  ): Dataset[T] = {
     import org.apache.spark.sql.functions.{count, lit, when}
-    val malformed = col("isObs") && col("v").isNull
+    val malformed = (col("isObs") && col("v").isNull) || alsoMalformed
     rows
       .observe(
         metricsName,

@@ -178,6 +178,7 @@ class HelmChartSpec extends AnyFunSuite {
     val renamed = YamlLite.parse(
       read(s"$chartDir/values.yaml")
         .replace("nameOverride: graft-svc", "nameOverride: acme-svc")
+        .replace("serviceName: graft-metrics", "serviceName: acme-metrics")
         .replace("enabled: false", "enabled: true") // render the HPA too
     )
     def r(t: String) = render(read(s"$chartDir/templates/$t"), renamed, chart)
@@ -186,7 +187,12 @@ class HelmChartSpec extends AnyFunSuite {
       dep.contains("matchLabels: {app: acme-svc}"), "deployment identity did not follow the rename")
     val svc = r("service.yaml")
     assert(svc.contains("name: acme-svc") && svc.contains("selector: {app: acme-svc}"))
-    assert(r("service-metrics.yaml").contains("selector: {app: acme-svc}"))
+    val met = r("service-metrics.yaml")
+    assert(met.contains("selector: {app: acme-svc}"))
+    // the metrics Service's NAME renames too (two releases in one
+    // namespace must not fight over a hardcoded 'graft-metrics')
+    assert(met.contains("name: acme-metrics"), "metrics Service kept the old name")
+    assert(r("tests/test-connection.yaml").contains("http://acme-metrics:"))
     assert(r("hpa.yaml").contains("    name: acme-svc"), "HPA must retarget the renamed Deployment")
     assert(r("serviceaccount.yaml").contains("labels: {app: acme-svc}"))
     assert(r("tests/test-connection.yaml").contains("name: acme-svc-test-connection"))

@@ -1178,6 +1178,36 @@ class OperatorSpec extends SparkTestBase {
       probe == Set((0L, "video", 5, 8000, 1600L), (1L, "video", 5, -1, -1L)),
       s"mediaProbe row not fully typed: $probe"
     )
+    // NON-PCM audio (wFormatTag != 1, e.g. MP3-in-AVI): the probe refuses
+    // rather than fabricating a sample count from compressed bytes —
+    // patch the audio strf's wFormatTag (second strf in the file) to 0x55
+    def indexOfNth(hay: Array[Byte], needle: String, nth: Int): Int = {
+      var found = 0
+      var i = 0
+      while (i <= hay.length - needle.length) {
+        if (needle.indices.forall(k => hay(i + k) == needle.charAt(k).toByte)) {
+          found += 1
+          if (found == nth) return i
+        }
+        i += 1
+      }
+      -1
+    }
+    val mp3ish = avi.clone()
+    val strfA = indexOfNth(mp3ish, "strf", 2)
+    assert(strfA > 0, "synthetic AVI lost its audio strf")
+    mp3ish(strfA + 8) = 0x55.toByte // WAVE_FORMAT_MPEGLAYER3
+    mp3ish(strfA + 9) = 0x00.toByte
+    assert(Multimodal.aviAudioInfo(mp3ish).isEmpty, "non-PCM audio must probe to None")
+    assert(Multimodal.decodeAviMjpegFrames(mp3ish).exists(_.length == 5), "video walk unaffected")
+    // stream-selective count: a chunk re-tagged to a THIRD stream ('02wb')
+    // must not count toward stream 1's samples
+    val retagged = avi.clone()
+    val wb = indexOfNth(retagged, "01wb", 2) // skip the strh 'length' false positive? ids only in movi
+    assert(wb > 0)
+    retagged(wb + 1) = '2'.toByte // '01wb' -> '02wb'
+    val recount = Multimodal.aviAudioInfo(retagged)
+    assert(recount.exists(_._2 < 1600L), s"re-tagged chunk still counted: $recount")
     // truncation walks keep the samples that are present; fuzz never throws
     val rnd = new scala.util.Random(55)
     for (len <- Seq(0, 8, 12, 100, avi.length / 2, avi.length - 1)) {

@@ -706,11 +706,14 @@ class TwsStateSpec extends SparkTestBase {
     )
     val rows = runRocks(out, "tws_enrich_et")(
       Seq(
-        // b0: obs k1@1000=2.0; e1@2000 sees it same-batch; e_s@600 sees the k5 SEED
+        // b0: obs k1@1000=2.0; e1@2000 sees it same-batch; e_s@600 sees the k5 SEED;
+        // a NULL-ts row (undeliverable under event time — null never
+        // compares late) is count-and-dropped, not an NPE in the sort
         () =>
           input.addData(
             EnrichInTs("k1", ts(1000), isObs = true, "", Some(2.0)),
             EnrichInTs("k1", ts(2000), isObs = false, "e1", None),
+            EnrichInTs("k1", null, isObs = false, "e_null", None),
             EnrichInTs("k5", ts(600), isObs = false, "e_s", None)
           ),
         // b1: within staleness horizon (1000+10000=11000 > wm 2000) → still enriched
@@ -739,7 +742,7 @@ class TwsStateSpec extends SparkTestBase {
       ("e3", None), // but-for eviction this would be Some(2.0): 1000 <= 31000
       ("e_s2", None) // seeded key evicted too
     )
-    assert(got == want, s"got $got")
+    assert(got == want, s"got $got") // and e_null never surfaced
   }
 
   test("enrichLatestEventTime: state AND eviction timers survive a query RESTART") {
