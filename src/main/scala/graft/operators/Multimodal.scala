@@ -479,6 +479,277 @@ object Multimodal {
     if (audioBytes <= 0) None else Some((rate, audioBytes / bytesPerSample))
   }
 
+  /** STRUCTURE-ONLY typing probe for MPEG-1/2/2.5 Layer III audio (the
+    * most common real-corpus audio container, outside the pure-JDK
+    * DECODE ceiling — no PCM is ever claimed): skips an ID3v2 tag
+    * (synchsafe size), then walks the frame-header chain — each 4-byte
+    * header carries version, layer, bitrate and sample-rate indices
+    * that determine the frame's exact byte length, so the walk counts
+    * frames (VBR included: every frame declares its own bitrate) with
+    * no codec at all. Returns (sampleRate, nSamples) with nSamples =
+    * frames × samplesPerFrame (1152 MPEG-1, 576 MPEG-2/2.5 — the Layer
+    * III constants).
+    *
+    * Anti-false-positive discipline: a bare 0xFFE sync is two bytes any
+    * blob can contain, so without an ID3v2 preamble the walk demands at
+    * least TWO chained valid frames (header → computed length → next
+    * header) before typing; arbitrary binary cannot satisfy the chain.
+    * Truncation keeps the frames that are complete (the AVI walk's
+    * partial-tail rule); layers I/II and invalid indices end the walk.
+    */
+  def probeMp3(bytes: Array[Byte]): Option[(Int, Long)] = {
+    if (bytes == null || bytes.length < 4) return None
+    val hasId3 = bytes.length >= 10 &&
+      bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3'
+    var pos = 0L
+    if (hasId3) {
+      // synchsafe 28-bit size at bytes 6..9, tag header is 10 bytes
+      val sz = ((bytes(6) & 0x7fL) << 21) | ((bytes(7) & 0x7fL) << 14) |
+        ((bytes(8) & 0x7fL) << 7) | (bytes(9) & 0x7fL)
+      pos = 10L + sz
+    }
+    // bitrate tables (kbps), Layer III; index 0 = free (rejected), 15 = bad
+    val v1l3 = Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
+    val v2l3 = Array(-1, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, -1)
+    val rates1 = Array(44100, 48000, 32000, -1)
+    val rates2 = Array(22050, 24000, 16000, -1)
+    val rates25 = Array(11025, 12000, 8000, -1)
+    var frames = 0L
+    var rate = -1
+    var samplesPerFrame = 0L
+    var done = false
+    while (!done && pos + 4 <= bytes.length) {
+      val b1 = bytes(pos.toInt) & 0xff
+      val b2 = bytes(pos.toInt + 1) & 0xff
+      val b3 = bytes(pos.toInt + 2) & 0xff
+      if (b1 != 0xff || (b2 & 0xe0) != 0xe0) done = true
+      else {
+        val version = (b2 >> 3) & 0x3 // 0=2.5, 2=2, 3=1 (1=reserved)
+        val layer = (b2 >> 1) & 0x3 // 1=III
+        val brIdx = (b3 >> 4) & 0xf
+        val srIdx = (b3 >> 2) & 0x3
+        val pad = (b3 >> 1) & 0x1
+        if (version == 1 || layer != 1) done = true // reserved version / not Layer III
+        else {
+          val br = (if (version == 3) v1l3 else v2l3)(brIdx)
+          val sr = (version match {
+            case 3 => rates1
+            case 2 => rates2
+            case _ => rates25
+          })(srIdx)
+          if (br <= 0 || sr <= 0) done = true
+          else {
+            val spf = if (version == 3) 1152L else 576L
+            val frameLen = spf / 8 * (br * 1000L) / sr + pad
+            if (pos + frameLen > bytes.length) done = true // partial tail
+            else {
+              if (rate < 0) { rate = sr; samplesPerFrame = spf }
+              else if (sr != rate) done = true // rate must not change mid-stream
+              if (!done) { frames += 1; pos += frameLen }
+            }
+          }
+        }
+      }
+    }
+    val minFrames = if (hasId3) 1L else 2L
+    if (rate > 0 && frames >= minFrames) Some((rate, frames * samplesPerFrame)) else None
+  }
+
+  /** Deterministic synthetic MP3 frame-chain writer — valid headers
+    * (VBR: per-frame bitrate index from the seed formula) around JUNK
+    * payload bytes (never decoded; the probe under test reads structure
+    * only). `withId3` prepends a minimal ID3v2 tag. MPEG version is
+    * derived from the rate (44.1/48/32 kHz → V1, 22.05/24/16 → V2,
+    * 11.025/12/8 → V2.5), so the writer covers all three header layouts.
+    */
+  def syntheticMp3(
+      seed: Long,
+      nFrames: Int,
+      sampleRate: Int = 44100,
+      withId3: Boolean = false
+  ): Array[Byte] = {
+    require(nFrames >= 1)
+    val (version, srIdx) = sampleRate match {
+      case 44100 => (3, 0); case 48000 => (3, 1); case 32000 => (3, 2)
+      case 22050 => (2, 0); case 24000 => (2, 1); case 16000 => (2, 2)
+      case 11025 => (0, 0); case 12000 => (0, 1); case 8000 => (0, 2)
+      case other => throw new IllegalArgumentException(s"unsupported MP3 rate $other")
+    }
+    val v1l3 = Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
+    val v2l3 = Array(-1, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, -1)
+    val spf = if (version == 3) 1152L else 576L
+    val out = new java.io.ByteArrayOutputStream()
+    if (withId3) {
+      val tagBody = 32
+      out.write(Array[Byte]('I', 'D', '3', 4, 0, 0))
+      out.write(Array[Byte](0, 0, (tagBody >> 7).toByte, (tagBody & 0x7f).toByte))
+      (0 until tagBody).foreach(i => out.write((syntheticSample(seed ^ 0x1d3L, i) & 0x7f)))
+    }
+    (0 until nFrames).foreach { k =>
+      val brIdx = 1 + (math.abs(frameSeed(seed, k)) % 13).toInt // 1..13, VBR
+      val br = (if (version == 3) v1l3 else v2l3)(brIdx)
+      val pad = (frameSeed(seed, k) >>> 7) & 1L
+      val frameLen = (spf / 8 * (br * 1000L) / sampleRate + pad).toInt
+      val b2 = 0xe0 | (version << 3) | (1 << 1) // sync low bits + version + Layer III
+      val b3 = (brIdx << 4) | (srIdx << 2) | (pad.toInt << 1)
+      out.write(0xff); out.write(b2); out.write(b3); out.write(0xc0)
+      (4 until frameLen).foreach { i =>
+        var v = syntheticSample(frameSeed(seed, k), i) & 0xff
+        if (i == 4 && v == 0xff) v = 0xfe // junk must not fake a sync mid-check
+        out.write(v)
+      }
+    }
+    out.toByteArray
+  }
+
+  /** STRUCTURE-ONLY typing probe for ISO-BMFF containers (MP4/M4A/MOV —
+    * the dominant real-corpus video container, outside the pure-JDK
+    * DECODE ceiling; no pixel or PCM is ever claimed): sniffs `ftyp`,
+    * walks the box tree to `moov`, and reads per-`trak` typed metadata —
+    * `tkhd` width/height (16.16 fixed), `hdlr` handler ('vide'/'soun'),
+    * `mdhd` timescale/duration (audio timescale IS the sample rate, so
+    * duration is the per-channel sample count), `stbl/stsz` sample
+    * count (the video frame count). Returns
+    * (width, height, videoFrames, audioRate, audioSamples) with −1
+    * sentinels for absent tracks; None when no `moov`/`trak` parses.
+    * Version-0 and version-1 (64-bit) box layouts both handled;
+    * truncated trees keep the tracks that parsed (the shared partial-
+    * tail discipline).
+    */
+  def probeMp4(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Long)] = {
+    if (bytes == null || bytes.length < 12) return None
+    def be32(pos: Long): Long =
+      if (pos < 0 || pos + 4 > bytes.length) -1L
+      else (bytes(pos.toInt) & 0xffL) << 24 | (bytes(pos.toInt + 1) & 0xffL) << 16 |
+        (bytes(pos.toInt + 2) & 0xffL) << 8 | (bytes(pos.toInt + 3) & 0xffL)
+    def be64(pos: Long): Long =
+      if (pos < 0 || pos + 8 > bytes.length) -1L else (be32(pos) << 32) | be32(pos + 4)
+    def typ(pos: Long): String =
+      if (pos + 4 > bytes.length) ""
+      else new String(bytes, pos.toInt, 4, "US-ASCII")
+    if (typ(4) != "ftyp") return None
+    /** children of the box span [start, end): (type, payloadStart, boxEnd). */
+    def children(start: Long, end: Long): Iterator[(String, Long, Long)] =
+      new Iterator[(String, Long, Long)] {
+        private var p = start
+        private var nxt: (String, Long, Long) = advance()
+        private def advance(): (String, Long, Long) = {
+          if (p + 8 > end) return null
+          val sz0 = be32(p)
+          val t = typ(p + 4)
+          val (sz, hdr) =
+            if (sz0 == 1) (be64(p + 8), 16L)
+            else if (sz0 == 0) (end - p, 8L)
+            else (sz0, 8L)
+          if (sz < hdr || p + sz > end || t.isEmpty) return null // truncated/corrupt tail
+          val out = (t, p + hdr, p + sz)
+          p += sz
+          out
+        }
+        def hasNext: Boolean = nxt != null
+        def next(): (String, Long, Long) = { val o = nxt; nxt = advance(); o }
+      }
+    def find(start: Long, end: Long, t: String): Option[(Long, Long)] =
+      children(start, end).collectFirst { case (`t`, ps, pe) => (ps, pe) }
+    val moov = find(0L, bytes.length.toLong, "moov").getOrElse(return None)
+    var w = -1; var h = -1; var vFrames = -1
+    var aRate = -1; var aSamples = -1L
+    children(moov._1, moov._2).foreach {
+      case ("trak", ts, te) =>
+        val handler = (for {
+          (ms, me) <- find(ts, te, "mdia")
+          (hs, _) <- find(ms, me, "hdlr")
+        } yield typ(hs + 8)).getOrElse("")
+        val mdhd = for {
+          (ms, me) <- find(ts, te, "mdia")
+          (ds, _) <- find(ms, me, "mdhd")
+        } yield {
+          val v = bytes(ds.toInt) & 0xff
+          if (v == 1) (be32(ds + 20), be64(ds + 24)) // timescale, duration (64-bit)
+          else (be32(ds + 12), be32(ds + 16))
+        }
+        val stszCount = (for {
+          (ms, me) <- find(ts, te, "mdia")
+          (mi, mie) <- find(ms, me, "minf")
+          (sb, sbe) <- find(mi, mie, "stbl")
+          (ss, _) <- find(sb, sbe, "stsz")
+        } yield be32(ss + 8)).getOrElse(-1L)
+        if (handler == "vide") {
+          find(ts, te, "tkhd").foreach { case (ks, _) =>
+            val v = bytes(ks.toInt) & 0xff
+            val off = if (v == 1) 88L else 76L // width's payload offset per version
+            val fw = be32(ks + off); val fh = be32(ks + off + 4)
+            if (fw > 0) w = (fw >> 16).toInt
+            if (fh > 0) h = (fh >> 16).toInt
+          }
+          if (stszCount >= 0) vFrames = stszCount.toInt
+        } else if (handler == "soun") {
+          mdhd.foreach { case (ts2, dur) =>
+            if (ts2 > 0) { aRate = ts2.toInt; aSamples = dur }
+          }
+        }
+      case _ => ()
+    }
+    if (vFrames < 0 && aRate < 0) None
+    else Some((w, h, vFrames, aRate, aSamples))
+  }
+
+  /** Deterministic minimal ISO-BMFF writer — `ftyp` + `moov` (video
+    * trak: tkhd dims + hdlr 'vide' + stsz frame count; optional audio
+    * trak: mdhd timescale = rate, duration = samples + hdlr 'soun') +
+    * a junk `mdat` (never decoded; the probe under test reads structure
+    * only). Omitting the video trak (`w <= 0`) writes an audio-only
+    * container (the .m4a shape).
+    */
+  def syntheticMp4(
+      seed: Long,
+      w: Int,
+      h: Int,
+      nFrames: Int,
+      audioRate: Int = -1,
+      audioSamples: Long = -1L
+  ): Array[Byte] = {
+    val be = java.nio.ByteOrder.BIG_ENDIAN
+    def box(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length).order(be)
+      b.putInt(8 + payload.length).put(fourcc.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    def full(fourcc: String, body: Array[Byte]): Array[Byte] =
+      box(fourcc, Array[Byte](0, 0, 0, 0) ++ body) // version 0 + flags
+    def be32a(vs: Long*): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 * vs.length).order(be)
+      vs.foreach(v => b.putInt(v.toInt))
+      b.array()
+    }
+    def hdlr(kind: String): Array[Byte] =
+      full("hdlr", be32a(0) ++ kind.getBytes("US-ASCII") ++ be32a(0, 0, 0) ++ Array[Byte](0))
+    def mdhd(timescale: Long, duration: Long): Array[Byte] =
+      full("mdhd", be32a(0, 0, timescale, duration) ++ Array[Byte](0x55, 0xc4.toByte, 0, 0))
+    def stsz(n: Long): Array[Byte] = full("stsz", be32a(0, n))
+    def trak(kind: String, tw: Int, th: Int, timescale: Long, duration: Long, samples: Long): Array[Byte] = {
+      val tkhd = full("tkhd",
+        be32a(0, 0, 1, 0, duration) ++ be32a(0, 0) ++
+          Array[Byte](0, 0, 0, 0, 0, 0, 0, 0) ++ // layer, alt, volume, reserved
+          be32a(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000) ++ // identity matrix
+          be32a(tw.toLong << 16, th.toLong << 16))
+      val stbl = box("stbl", stsz(samples))
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", mdhd(timescale, duration) ++ hdlr(kind) ++ minf)
+      box("trak", tkhd ++ mdia)
+    }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32a(0x200) ++ "isomiso2".getBytes("US-ASCII"))
+    val mvhd = full("mvhd", be32a(0, 0, 1000, 1000) ++ be32a(0x10000, 0) ++ new Array[Byte](76))
+    val vTrak =
+      if (w > 0) trak("vide", w, h, 1000L, 1000L, nFrames.toLong) else Array.emptyByteArray
+    val aTrak =
+      if (audioRate > 0) trak("soun", 0, 0, audioRate.toLong, audioSamples, audioSamples)
+      else Array.emptyByteArray
+    val moov = box("moov", mvhd ++ vTrak ++ aTrak)
+    val junk = Array.tabulate(64)(i => (syntheticSample(seed, i) & 0xff).toByte)
+    ftyp ++ moov ++ box("mdat", junk)
+  }
+
   /** Deterministic synthetic MJPEG-in-AVI encoder — the COMPRESSED twin
     * of [[syntheticGif]]/[[syntheticY4m]]: each frame is the formula
     * plane (grayscale, `syntheticPixel(frameSeed(seed, k), x, y) & 0xff`)
@@ -1164,7 +1435,26 @@ object Multimodal {
                 TypedMedia(r.doc_id, "audio", len, -1, -1, -1, rate, samples.length.toLong,
                   fp, None)
               case None =>
-                TypedMedia(r.doc_id, "unknown", len, -1, -1, -1, -1, -1L, None, None)
+                // STRUCTURE-ONLY typing beyond the decode ceiling: MP4/
+                // M4A (box tree) and MP3 (frame-header chain) carry
+                // exact typed metadata with no codec — they type as
+                // video/audio with NO fingerprint (fp/frame_hashes stay
+                // None, so [[mediaDedupCatalog]] never pairs them; like
+                // `unknown`, they are always kept)
+                probeMp4(r.content) match {
+                  case Some((w, h, vf, ar, as)) =>
+                    if (vf >= 0)
+                      TypedMedia(r.doc_id, "video", len, w, h, vf, ar, as, None, None)
+                    else
+                      TypedMedia(r.doc_id, "audio", len, -1, -1, -1, ar, as, None, None)
+                  case None =>
+                    probeMp3(r.content) match {
+                      case Some((rate, n)) =>
+                        TypedMedia(r.doc_id, "audio", len, -1, -1, -1, rate, n, None, None)
+                      case None =>
+                        TypedMedia(r.doc_id, "unknown", len, -1, -1, -1, -1, -1L, None, None)
+                    }
+                }
             }
         }
     }

@@ -4121,6 +4121,41 @@ object ExtensionQueries {
         .orderBy(col("kind"))
     }),
 
+    // STRUCTURE-ONLY container typing (beyond the decode ceiling): MP3
+    // frame chains and MP4/M4A box trees carry exact typed metadata —
+    // rate, per-channel samples, dims, frame counts — with NO codec at
+    // all, so the catalog row for the two most common real-corpus
+    // containers is fully typed instead of 'unknown'. Every field is
+    // replayable from the synthesis arithmetic alone.
+    "x189_container_probe" -> ((s, dir) => {
+      import s.implicits._
+      val ids = T(s, dir, "documents")
+        .select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(20)) === 0)
+        .as[Long]
+      val media = ids.map { id =>
+        val sel = (id / 20) % 3
+        val w = 16 + (id % 9).toInt
+        val h = 16 + (id % 7).toInt
+        val n = 256 + (id % 11).toInt * 32
+        val content = sel match {
+          case 0 =>
+            val rate = (id % 3) match { case 0 => 44100; case 1 => 22050; case _ => 8000 }
+            Multimodal.syntheticMp3(id, 5 + (id % 7).toInt, rate, withId3 = id % 2 == 0)
+          case 1 =>
+            Multimodal.syntheticMp4(id, w, h, 2 + (id % 5).toInt,
+              audioRate = 44100, audioSamples = n.toLong)
+          case _ =>
+            Multimodal.syntheticMp4(id, -1, -1, 0, audioRate = 16000, audioSamples = n.toLong)
+        }
+        Multimodal.MediaRow(id, "container", content)
+      }
+      Multimodal
+        .mediaProbe(media)
+        .drop("byte_len")
+        .orderBy(col("doc_id"))
+    }),
+
     // PURE-SQL capstone: x187's corpus through the graft_media_dedup
     // TABLE function (the x185 discipline for the dedup pipeline) — a
     // SQL-only user gets the identical one-decode-pass, kind-routed,
@@ -7629,6 +7664,26 @@ object ExtensionQueries {
         |    CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id * 2) AS BIGINT)
         |  FROM d WHERE sel = 2 HAVING COUNT(*) > 0)
         |ORDER BY kind""".stripMargin,
+
+    // structure-only MP3/MP4 typing: every field from the synthesis
+    // arithmetic — no decode exists, and none is claimed
+    "x189_container_probe" ->
+      """WITH d AS (SELECT doc_id, (doc_id // 20) % 3 AS sel, doc_id % 3 AS r3,
+        |    16 + doc_id % 9 AS w, 16 + doc_id % 7 AS h,
+        |    256 + (doc_id % 11) * 32 AS n,
+        |    5 + doc_id % 7 AS mf, 2 + doc_id % 5 AS vf
+        |  FROM documents WHERE doc_id % 20 = 0)
+        |SELECT doc_id,
+        |  CASE WHEN sel = 1 THEN 'video' ELSE 'audio' END AS kind,
+        |  CAST(CASE WHEN sel = 1 THEN w ELSE -1 END AS INT) AS width,
+        |  CAST(CASE WHEN sel = 1 THEN h ELSE -1 END AS INT) AS height,
+        |  CAST(CASE WHEN sel = 1 THEN vf ELSE -1 END AS INT) AS n_frames,
+        |  CAST(CASE WHEN sel = 0 THEN
+        |         CASE WHEN r3 = 0 THEN 44100 WHEN r3 = 1 THEN 22050 ELSE 8000 END
+        |       WHEN sel = 1 THEN 44100 ELSE 16000 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN sel = 0 THEN mf * (CASE WHEN r3 = 0 THEN 1152 ELSE 576 END)
+        |       ELSE n END AS BIGINT) AS n_samples
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // SQL-path twin of x187 (same capstone through the table function)
     "x188_sql_media_dedup" ->

@@ -1221,6 +1221,81 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("probeMp3/probeMp4: structure-only typing — exact metadata, false-positive-proof, fuzz-safe") {
+    import spark.implicits._
+    // MP3: every version family, VBR frame chain, with and without ID3
+    for ((rate, spf) <- Seq((44100, 1152L), (48000, 1152L), (22050, 576L), (8000, 576L));
+         id3 <- Seq(false, true)) {
+      val n = 7 + (rate % 5)
+      val mp3 = Multimodal.syntheticMp3(9L + rate, n, rate, withId3 = id3)
+      assert(
+        Multimodal.probeMp3(mp3).contains((rate, n * spf)),
+        s"rate $rate id3 $id3: got ${Multimodal.probeMp3(mp3)}"
+      )
+    }
+    // anti-false-positive: text, random bytes, and a single bare sync
+    // never type (the 2-chained-frames rule)
+    assert(Multimodal.probeMp3("plain text, not audio at all".getBytes).isEmpty)
+    val rnd = new scala.util.Random(66)
+    for (_ <- 0 until 300) {
+      val junk = Array.fill(200 + rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      Multimodal.probeMp3(junk) // must not throw; typing junk is allowed
+    }
+    val oneFrame = Multimodal.syntheticMp3(3L, 1, 44100)
+    assert(Multimodal.probeMp3(oneFrame).isEmpty, "a single untagged frame must not type")
+    // truncation: keeps complete frames only
+    val base = Multimodal.syntheticMp3(5L, 10, 44100)
+    for (len <- Seq(0, 3, 4, 100, base.length / 2, base.length - 1)) {
+      val out = Multimodal.probeMp3(java.util.Arrays.copyOf(base, len))
+      assert(out.forall(_._2 <= 10 * 1152L), s"truncation at $len produced phantom samples")
+    }
+    for (_ <- 0 until 200) {
+      val corrupt = base.clone()
+      corrupt(rnd.nextInt(corrupt.length)) = rnd.nextInt(256).toByte
+      Multimodal.probeMp3(corrupt) // never throws
+    }
+    // MP4: video+audio, exact dims / frames / rate / samples
+    val mp4 = Multimodal.syntheticMp4(1L, 320, 240, 48, audioRate = 44100, audioSamples = 88200L)
+    assert(Multimodal.probeMp4(mp4).contains((320, 240, 48, 44100, 88200L)),
+      s"got ${Multimodal.probeMp4(mp4)}")
+    // audio-only (.m4a shape) and video-only
+    val m4a = Multimodal.syntheticMp4(2L, -1, -1, 0, audioRate = 16000, audioSamples = 32000L)
+    assert(Multimodal.probeMp4(m4a).contains((-1, -1, -1, 16000, 32000L)))
+    val vOnly = Multimodal.syntheticMp4(3L, 64, 36, 12)
+    assert(Multimodal.probeMp4(vOnly).contains((64, 36, 12, -1, -1L)))
+    assert(Multimodal.probeMp4("not an mp4 container".getBytes).isEmpty)
+    for (len <- Seq(0, 8, 12, 40, mp4.length / 2, mp4.length - 1)) {
+      Multimodal.probeMp4(java.util.Arrays.copyOf(mp4, len)) // never throws
+    }
+    for (_ <- 0 until 200) {
+      val corrupt = mp4.clone()
+      corrupt(rnd.nextInt(corrupt.length)) = rnd.nextInt(256).toByte
+      Multimodal.probeMp4(corrupt) // never throws
+    }
+    // mediaProbe types both WITHOUT claiming a decode: full typed rows
+    val probe = Multimodal.mediaProbe(Seq(
+      Multimodal.MediaRow(0L, "audio/mpeg", Multimodal.syntheticMp3(7L, 20, 22050, withId3 = true)),
+      Multimodal.MediaRow(1L, "video/mp4", mp4),
+      Multimodal.MediaRow(2L, "audio/mp4", m4a)
+    ).toDS()).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6), r.getLong(7))).toSet
+    assert(
+      probe == Set(
+        (0L, "audio", -1, -1, -1, 22050, 20 * 576L),
+        (1L, "video", 320, 240, 48, 44100, 88200L),
+        (2L, "audio", -1, -1, -1, 16000, 32000L)
+      ),
+      s"mediaProbe mistyped a structure-only container: $probe"
+    )
+    // and in the dedup catalog they are typed but NEVER pair (no
+    // fingerprint exists — two identical MP3s both survive, like unknowns)
+    val cat = Multimodal.mediaDedupCatalog(Seq(
+      Multimodal.MediaRow(10L, "audio/mpeg", Multimodal.syntheticMp3(7L, 20, 22050)),
+      Multimodal.MediaRow(11L, "audio/mpeg", Multimodal.syntheticMp3(7L, 20, 22050))
+    ).toDS()).collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(8))).toSet
+    assert(cat == Set((10L, "audio", true), (11L, "audio", true)), s"got $cat")
+  }
+
   test("mediaDedupCatalog: one-pass typed catalog, kind-routed dedup, keep-best + accounting") {
     import spark.implicits._
     val n = 512
