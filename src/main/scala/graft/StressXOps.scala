@@ -35,6 +35,7 @@ object StressXOps {
     * without a lookup table.
     */
   private val TwinOffset = 100000000L
+  private val Mp3Offset = 300000000L
 
   private def hist(df: DataFrame): String = {
     val h = Stress10x.opHistogram(df)
@@ -2907,8 +2908,12 @@ object StressXOps {
     // the section spuriously). |{id < n : id ≡ r (mod m)}| = (n − r +
     // m − 1) / m in integer math:
     val planted = (n + 397) / 400 // ids ≡ 2 (mod 400) — AVI rows with an edited twin
-    val expectAudio = n / 4 // ids ≡ 3 (mod 4)
-    val expectVideo = (n - expectAudio) + planted // ids ≡ 0,1,2 (mod 4), plus the twins
+    // ids ≡ 103 (mod 400) additionally plant a BYTE-IDENTICAL MP3 pair
+    // (fingerprint-less rows: structure-only typing, digest-edge dedup —
+    // the r15 capstone gap, exact-accounted at scale like the AVI twins)
+    val digestPlanted = (n + 296) / 400
+    val expectAudio = n / 4 + 2 * digestPlanted // ids ≡ 3 (mod 4), plus the MP3 pairs
+    val expectVideo = (n - n / 4) + planted // ids ≡ 0,1,2 (mod 4), plus the twins
     val media = spark
       .range(n)
       .as[Long]
@@ -2930,7 +2935,16 @@ object StressXOps {
               operators.Multimodal.syntheticAviMjpeg(id, w, h, 2, editFrame = 1, editSeedDelta = 7777L)
             )
           )
-        else Seq(base)
+        else if (id % 400 == 103) {
+          // byte-identical MP3 pair: undecodable (structure-only typed),
+          // dedupable ONLY through the content-digest edges
+          val mp3 = operators.Multimodal.syntheticMp3(id, 4, 44100)
+          Seq(
+            base,
+            operators.Multimodal.MediaRow(id + Mp3Offset, "audio/mpeg", mp3),
+            operators.Multimodal.MediaRow(id + Mp3Offset + TwinOffset, "audio/mpeg", mp3.clone())
+          )
+        } else Seq(base)
       })
       .persist()
     val rows = media.count()
@@ -2956,20 +2970,23 @@ object StressXOps {
     val (audioS, nFps) = timed(operators.Multimodal.audioFingerprints(media).count())
     assert(nFps == rows)
     // EXACT planted recall: every (clean, edited) AVI pair shares its
-    // byte-identical unedited frame at hamming 0
+    // byte-identical unedited frame at hamming 0 — and the byte-identical
+    // MP3 pairs surface here too (non-video rows take the 1-D block
+    // fallback hashes, which agree exactly on identical bytes)
     val (pairsS, found) = timed {
       operators.Multimodal
         .videoNearDupPairs(media, maxHamming = 2, blocks = 4, minFrames = 1)
         .filter(col("id_b") - col("id_a") === TwinOffset)
         .count()
     }
-    // CAPSTONE at scale (r15): the full probe → per-kind near-dup → CC
-    // keep-best catalog in one call. The only planted duplicate
-    // structure is the AVI twins (videoMinFrames = 1: a twin shares 1
-    // of its 2 frames byte-identically), so the catalog must drop
-    // EXACTLY the `planted` twin rows (min-id keep rule keeps every
-    // clean id) and keep everything else — exact accounting at corpus
-    // scale, not just recall.
+    // CAPSTONE at scale (r15/r16): the full probe → per-kind near-dup →
+    // digest-edge → CC keep-best catalog in one call. The planted
+    // duplicate structure is the AVI twins (videoMinFrames = 1: a twin
+    // shares 1 of its 2 frames byte-identically) plus the byte-identical
+    // MP3 pairs (fingerprint-LESS — only the content-digest edges can
+    // drop them), so the catalog must drop EXACTLY planted +
+    // digestPlanted rows (min-id keep rule keeps every clean id) and
+    // keep everything else — exact accounting at corpus scale.
     val (catalogS, (nKept, nDropped)) = timed {
       val acc = operators.Multimodal
         .mediaDedupCatalog(media, videoMinFrames = 1)
@@ -2981,17 +2998,19 @@ object StressXOps {
       (acc.getLong(0), acc.getLong(1))
     }
     assert(
-      nDropped == planted && nKept == rows - planted,
-      s"capstone accounting: kept $nKept dropped $nDropped (want ${rows - planted}/$planted)"
+      nDropped == planted + digestPlanted && nKept == rows - planted - digestPlanted,
+      s"capstone accounting: kept $nKept dropped $nDropped " +
+        s"(want ${rows - planted - digestPlanted}/${planted + digestPlanted})"
     )
     def mbps(sec: Double) = bytes / 1e6 / sec
     println(
-      f"[stressx] media @ $rows%d blobs (${bytes / 1e6}%.0f MB): probe $probeS%.1f s (${rows / probeS}%.0f blobs/s, ${mbps(probeS)}%.0f MBps), frames $framesS%.1f s ($nFrames%d frames), audio $audioS%.1f s, neardup $pairsS%.1f s, catalog $catalogS%.1f s — planted recall $found%d/$planted%d, capstone dropped $nDropped%d"
+      f"[stressx] media @ $rows%d blobs (${bytes / 1e6}%.0f MB): probe $probeS%.1f s (${rows / probeS}%.0f blobs/s, ${mbps(probeS)}%.0f MBps), frames $framesS%.1f s ($nFrames%d frames), audio $audioS%.1f s, neardup $pairsS%.1f s, catalog $catalogS%.1f s — planted recall $found%d/${planted + digestPlanted}%d (incl. $digestPlanted%d digest twins), capstone dropped $nDropped%d"
     )
     record(
-      f"""{"stage":"media","blobs":$rows%d,"bytes":$bytes%d,"probe_s":$probeS%.2f,"probe_blobs_s":${rows / probeS}%.0f,"frames_s":$framesS%.2f,"n_frames":$nFrames%d,"audio_s":$audioS%.2f,"neardup_s":$pairsS%.2f,"catalog_s":$catalogS%.2f,"catalog_kept":$nKept%d,"catalog_dropped":$nDropped%d,"planted":$planted%d,"found":$found%d,"recall":${found.toDouble / math.max(1, planted)}%.4f}"""
+      f"""{"stage":"media","blobs":$rows%d,"bytes":$bytes%d,"probe_s":$probeS%.2f,"probe_blobs_s":${rows / probeS}%.0f,"frames_s":$framesS%.2f,"n_frames":$nFrames%d,"audio_s":$audioS%.2f,"neardup_s":$pairsS%.2f,"catalog_s":$catalogS%.2f,"catalog_kept":$nKept%d,"catalog_dropped":$nDropped%d,"planted":$planted%d,"digest_planted":$digestPlanted%d,"found":$found%d,"recall":${found.toDouble / math.max(1, planted + digestPlanted)}%.4f}"""
     )
-    assert(found == planted, s"planted AVI twin recall $found/$planted")
+    assert(found == planted + digestPlanted,
+      s"planted twin recall $found/${planted + digestPlanted}")
     media.unpersist()
     ()
   }

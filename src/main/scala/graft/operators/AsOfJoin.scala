@@ -409,7 +409,11 @@ object AsOfJoin {
       hotShareThreshold > 0.0 && hotShareThreshold <= 1.0,
       s"hotShareThreshold in (0,1], got $hotShareThreshold"
     )
-    val planKey = (df.queryExecution.analyzed.canonicalized.semanticHash(), byCol.toLowerCase)
+    val planKey = (
+      df.queryExecution.analyzed.canonicalized.semanticHash(),
+      df.schema.treeString.hashCode,
+      byCol.toLowerCase
+    )
     def decideExact(mx: Long, tot: Long): Boolean =
       tot > 0 && mx >= minHotRows && mx.toDouble / tot > hotShareThreshold
     ProbeCache.exact(planKey) match {
@@ -501,7 +505,13 @@ object AsOfJoin {
     private val MaxEntries = 64
     private[graft] def TtlMs: Long =
       java.lang.Long.getLong("graft.asof.probe.ttlMs", 15L * 60 * 1000)
-    private type Key = (Int, String)
+    // (semanticHash, schema-string hash, byCol): the 32-bit semanticHash
+    // alone gives two DIFFERENT frames a 2^-32-per-pair collision domain
+    // in which one silently reuses the other's probe stats (r15 advice);
+    // mixing in the schema treeString hash makes a cross-frame collision
+    // require both 32-bit hashes to collide at once while staying a
+    // compact fingerprint (no plan objects retained on the heap)
+    private type Key = (Int, Int, String)
     private def lru[V](): java.util.LinkedHashMap[Key, (V, Long)] =
       new java.util.LinkedHashMap[Key, (V, Long)](16, 0.75f, true) {
         override protected def removeEldestEntry(

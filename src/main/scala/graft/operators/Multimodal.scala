@@ -398,11 +398,13 @@ object Multimodal {
     * counts ONLY THAT stream's `##wb` payload bytes in `movi`, returning
     * (sampleRate, nSamples) with nSamples counting per-channel
     * interleaved samples (the [[decodeAudio]] contract: payloadBytes /
-    * bytesPerSample). None when the container carries no audio stream —
-    * or a NON-PCM one (`wFormatTag != 1`, e.g. MP3-in-AVI): a compressed
-    * payload's byte count is not a sample count, and fabricating typed
-    * metadata would poison the catalog row, so the probe refuses rather
-    * than guesses. Same truncation discipline as the video walk (shared
+    * bytesPerSample). None when the container carries no PCM audio
+    * stream: a NON-PCM stream (`wFormatTag != 1`, e.g. MP3-in-AVI) is
+    * skipped — a compressed payload's byte count is not a sample count,
+    * and fabricating typed metadata would poison the catalog row — but
+    * the scan continues past it, so a later PCM audio stream still
+    * types; the probe refuses only when none of the audio streams is
+    * PCM. Same truncation discipline as the video walk (shared
     * [[RiffAvi]] primitives): a partial tail chunk ends the count at the
     * samples that are actually present.
     */
@@ -435,13 +437,20 @@ object Multimodal {
               if (RiffAvi.fcc(bytes, r, "strh") && rsz >= 8 && RiffAvi.fcc(bytes, r + 8, "auds"))
                 isAuds = true
               else if (RiffAvi.fcc(bytes, r, "strf") && isAuds && rsz >= 16) {
-                if (RiffAvi.le16(bytes, r + 8) != 1) return None // non-PCM: refuse to fabricate
-                val rt = RiffAvi.le32(bytes, r + 8 + 4) // nSamplesPerSec
-                val b = RiffAvi.le16(bytes, r + 8 + 14) // wBitsPerSample
-                if (rt > 0) {
-                  rate = rt.toInt
-                  bitsPerSample = if (b > 0) b else 16
-                  audsIdx = streamIdx
+                // non-PCM (wFormatTag != 1, e.g. MP3-in-AVI): SKIP this
+                // stream — a compressed payload's byte count is not a
+                // sample count — but keep scanning later strls; a second,
+                // PCM audio stream is still typable. Refusal (None) is
+                // only for containers with NO PCM audio stream at all.
+                if (RiffAvi.le16(bytes, r + 8) != 1) isAuds = false
+                else {
+                  val rt = RiffAvi.le32(bytes, r + 8 + 4) // nSamplesPerSec
+                  val b = RiffAvi.le16(bytes, r + 8 + 14) // wBitsPerSample
+                  if (rt > 0) {
+                    rate = rt.toInt
+                    bitsPerSample = if (b > 0) b else 16
+                    audsIdx = streamIdx
+                  }
                 }
               }
               r += 8 + rsz + (rsz & 1)
@@ -491,9 +500,11 @@ object Multimodal {
     * III constants).
     *
     * Anti-false-positive discipline: a bare 0xFFE sync is two bytes any
-    * blob can contain, so without an ID3v2 preamble the walk demands at
-    * least TWO chained valid frames (header → computed length → next
-    * header) before typing; arbitrary binary cannot satisfy the chain.
+    * blob can contain, so the walk demands at least TWO chained valid
+    * frames (header → computed length → next header) before typing —
+    * with or without an ID3v2 preamble (text data is if anything MORE
+    * likely to start with 'ID3'); arbitrary binary cannot satisfy the
+    * chain.
     * Truncation keeps the frames that are complete (the AVI walk's
     * partial-tail rule); layers I/II and invalid indices end the walk.
     */
@@ -551,8 +562,12 @@ object Multimodal {
         }
       }
     }
-    val minFrames = if (hasId3) 1L else 2L
-    if (rate > 0 && frames >= minFrames) Some((rate, frames * samplesPerFrame)) else None
+    // TWO chained frames required regardless of an ID3 preamble: any blob
+    // can start with the 3 ASCII bytes 'ID3' plus one coincidentally valid
+    // header — the chain discipline must hold exactly where attacker-shaped
+    // or text data is likeliest to begin with 'ID3'. Synthetic writers emit
+    // >= 2 frames, so no real container loses typing to this.
+    if (rate > 0 && frames >= 2L) Some((rate, frames * samplesPerFrame)) else None
   }
 
   /** Deterministic synthetic MP3 frame-chain writer — valid headers
@@ -609,12 +624,15 @@ object Multimodal {
     * `tkhd` width/height (16.16 fixed), `hdlr` handler ('vide'/'soun'),
     * `mdhd` timescale/duration (audio timescale IS the sample rate, so
     * duration is the per-channel sample count), `stbl/stsz` sample
-    * count (the video frame count). Returns
-    * (width, height, videoFrames, audioRate, audioSamples) with −1
-    * sentinels for absent tracks; None when no `moov`/`trak` parses.
-    * Version-0 and version-1 (64-bit) box layouts both handled;
-    * truncated trees keep the tracks that parsed (the shared partial-
-    * tail discipline).
+    * count (the video frame count). A FRAGMENTED layout (fMP4/DASH:
+    * stsz declares 0 samples) falls through to the movie fragments —
+    * the video frame count is the sum of the video track's
+    * `moof/traf/trun` sample counts, matched on the `tfhd` track id.
+    * Returns (width, height, videoFrames, audioRate, audioSamples)
+    * with −1 sentinels for absent tracks; None when no `moov`/`trak`
+    * parses. Version-0 and version-1 (64-bit) box layouts both handled;
+    * truncated trees keep the tracks (and truns) that parsed (the
+    * shared partial-tail discipline).
     */
   def probeMp4(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Long)] = {
     if (bytes == null || bytes.length < 12) return None
@@ -654,6 +672,7 @@ object Multimodal {
     val moov = find(0L, bytes.length.toLong, "moov").getOrElse(return None)
     var w = -1; var h = -1; var vFrames = -1
     var aRate = -1; var aSamples = -1L
+    var vTrackId = -1L
     children(moov._1, moov._2).foreach {
       case ("trak", ts, te) =>
         val handler = (for {
@@ -677,6 +696,8 @@ object Multimodal {
         if (handler == "vide") {
           find(ts, te, "tkhd").foreach { case (ks, _) =>
             val v = bytes(ks.toInt) & 0xff
+            // ver/flags(4) + creation + modification precede the id
+            vTrackId = be32(ks + (if (v == 1) 20L else 12L))
             val off = if (v == 1) 88L else 76L // width's payload offset per version
             val fw = be32(ks + off); val fh = be32(ks + off + 4)
             if (fw > 0) w = (fw >> 16).toInt
@@ -690,6 +711,32 @@ object Multimodal {
         }
       case _ => ()
     }
+    // FRAGMENTED layout (fMP4/DASH): an stsz declaring 0 samples means
+    // the samples live in movie fragments — sum the video track's
+    // `moof/traf/trun` sample counts (tfhd carries the track id, trun's
+    // fixed header its sample_count; both fixed-offset full boxes).
+    // Truncated fragment tails keep the truns that parsed, the shared
+    // partial-tail discipline.
+    if (vFrames == 0 && vTrackId > 0) {
+      var fragFrames = 0L
+      children(0L, bytes.length.toLong).foreach {
+        case ("moof", fs, fe) =>
+          children(fs, fe).foreach {
+            case ("traf", rs, re) =>
+              val tid = find(rs, re, "tfhd").map(t => be32(t._1 + 4)).getOrElse(-1L)
+              if (tid == vTrackId)
+                children(rs, re).foreach {
+                  case ("trun", us, _) =>
+                    val sc = be32(us + 4)
+                    if (sc > 0) fragFrames += sc
+                  case _ => ()
+                }
+            case _ => ()
+          }
+        case _ => ()
+      }
+      if (fragFrames > 0) vFrames = math.min(fragFrames, Int.MaxValue.toLong).toInt
+    }
     if (vFrames < 0 && aRate < 0) None
     else Some((w, h, vFrames, aRate, aSamples))
   }
@@ -699,7 +746,9 @@ object Multimodal {
     * trak: mdhd timescale = rate, duration = samples + hdlr 'soun') +
     * a junk `mdat` (never decoded; the probe under test reads structure
     * only). Omitting the video trak (`w <= 0`) writes an audio-only
-    * container (the .m4a shape).
+    * container (the .m4a shape). `fragments > 0` writes the FRAGMENTED
+    * shape instead: stsz declares 0 and nFrames split evenly across
+    * that many `moof/traf/tfhd+trun` boxes (video track id 1).
     */
   def syntheticMp4(
       seed: Long,
@@ -707,8 +756,11 @@ object Multimodal {
       h: Int,
       nFrames: Int,
       audioRate: Int = -1,
-      audioSamples: Long = -1L
+      audioSamples: Long = -1L,
+      fragments: Int = 0
   ): Array[Byte] = {
+    require(fragments == 0 || (w > 0 && nFrames >= 1),
+      "fragmented mode needs a video track with frames to fragment")
     val be = java.nio.ByteOrder.BIG_ENDIAN
     def box(fourcc: String, payload: Array[Byte]): Array[Byte] = {
       val b = java.nio.ByteBuffer.allocate(8 + payload.length).order(be)
@@ -727,9 +779,10 @@ object Multimodal {
     def mdhd(timescale: Long, duration: Long): Array[Byte] =
       full("mdhd", be32a(0, 0, timescale, duration) ++ Array[Byte](0x55, 0xc4.toByte, 0, 0))
     def stsz(n: Long): Array[Byte] = full("stsz", be32a(0, n))
-    def trak(kind: String, tw: Int, th: Int, timescale: Long, duration: Long, samples: Long): Array[Byte] = {
+    def trak(kind: String, tw: Int, th: Int, timescale: Long, duration: Long, samples: Long,
+        trackId: Long = 1L): Array[Byte] = {
       val tkhd = full("tkhd",
-        be32a(0, 0, 1, 0, duration) ++ be32a(0, 0) ++
+        be32a(0, 0, trackId, 0, duration) ++ be32a(0, 0) ++
           Array[Byte](0, 0, 0, 0, 0, 0, 0, 0) ++ // layer, alt, volume, reserved
           be32a(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000) ++ // identity matrix
           be32a(tw.toLong << 16, th.toLong << 16))
@@ -740,14 +793,251 @@ object Multimodal {
     }
     val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32a(0x200) ++ "isomiso2".getBytes("US-ASCII"))
     val mvhd = full("mvhd", be32a(0, 0, 1000, 1000) ++ be32a(0x10000, 0) ++ new Array[Byte](76))
+    // fragmented mode (the fMP4/DASH shape): the video stsz declares 0
+    // samples and the frames live in `fragments` moof boxes, each a
+    // traf(tfhd: track id 1, trun: an even share of nFrames)
+    val fragged = fragments > 0
     val vTrak =
-      if (w > 0) trak("vide", w, h, 1000L, 1000L, nFrames.toLong) else Array.emptyByteArray
+      if (w > 0)
+        trak("vide", w, h, 1000L, 1000L, if (fragged) 0L else nFrames.toLong, trackId = 1L)
+      else Array.emptyByteArray
     val aTrak =
-      if (audioRate > 0) trak("soun", 0, 0, audioRate.toLong, audioSamples, audioSamples)
+      if (audioRate > 0)
+        trak("soun", 0, 0, audioRate.toLong, audioSamples, audioSamples, trackId = 2L)
       else Array.emptyByteArray
     val moov = box("moov", mvhd ++ vTrak ++ aTrak)
+    val moofs =
+      if (!fragged) Array.emptyByteArray
+      else (1 to fragments).toArray.flatMap { k =>
+        val lo = (k - 1).toLong * nFrames / fragments
+        val hi = k.toLong * nFrames / fragments
+        val mfhd = full("mfhd", be32a(k.toLong))
+        val tfhd = full("tfhd", be32a(1L)) // track id 1, no optional fields
+        val trun = full("trun", be32a(hi - lo)) // sample_count only
+        box("moof", mfhd ++ box("traf", tfhd ++ trun))
+      }
     val junk = Array.tabulate(64)(i => (syntheticSample(seed, i) & 0xff).toByte)
-    ftyp ++ moov ++ box("mdat", junk)
+    ftyp ++ moov ++ moofs ++ box("mdat", junk)
+  }
+
+  /** STRUCTURE-ONLY typing probe for FLAC — the x189 discipline for the
+    * most common lossless-audio container: the mandatory first metadata
+    * block (STREAMINFO, type 0, exactly 34 bytes) carries the sample
+    * rate in 20 bits, channels−1 in 3, bits-per-sample−1 in 5, and the
+    * total inter-channel sample count in 36, all at fixed bit offsets —
+    * exact typed metadata with no codec at all. Returns
+    * (sampleRate, channels, totalSamples); totalSamples is the
+    * PER-CHANNEL count (the field's definition — same convention as the
+    * MP3/MP4 structure probes, NOT ×channels like [[decodeAudio]]).
+    *
+    * Anti-false-positive discipline: beyond the 4-byte `fLaC` magic the
+    * probe demands the first block be type 0 with length exactly 34,
+    * the block-size bounds ordered and within the format's legal range
+    * (16..65535), a non-zero in-range sample rate (1..655350), and —
+    * because the format marks "unknown" with a zero field — a POSITIVE
+    * total-sample count; a stream whose length the header does not
+    * declare is refused rather than guessed (the aviAudioInfo rule).
+    * Later metadata blocks are walked only for well-formedness (type
+    * 127 is invalid by spec); a truncated tail past a valid STREAMINFO
+    * keeps the typing (the shared partial-tail discipline).
+    */
+  def probeFlac(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (bytes == null || bytes.length < 4 + 4 + 34) return None
+    if (bytes(0) != 'f' || bytes(1) != 'L' || bytes(2) != 'a' || bytes(3) != 'C') return None
+    def u8(p: Int): Int = bytes(p) & 0xff
+    val hdr = u8(4)
+    val blockType = hdr & 0x7f
+    val len = (u8(5) << 16) | (u8(6) << 8) | u8(7)
+    if (blockType != 0 || len != 34) return None // STREAMINFO must be first, fixed-size
+    val si = 8 // STREAMINFO payload start
+    val minBlock = (u8(si) << 8) | u8(si + 1)
+    val maxBlock = (u8(si + 2) << 8) | u8(si + 3)
+    if (minBlock < 16 || maxBlock < minBlock) return None // spec: block size >= 16
+    // bytes si+10..si+17: rate(20) | ch-1(3) | bps-1(5) | totalSamples(36)
+    val rate = (u8(si + 10) << 12) | (u8(si + 11) << 4) | (u8(si + 12) >> 4)
+    val channels = ((u8(si + 12) >> 1) & 0x7) + 1
+    val totalSamples = ((u8(si + 13).toLong & 0x0f) << 32) |
+      (u8(si + 14).toLong << 24) | (u8(si + 15).toLong << 16) |
+      (u8(si + 16).toLong << 8) | u8(si + 17).toLong
+    if (rate <= 0 || rate > 655350) return None
+    if (totalSamples <= 0) return None // 0 = unknown by spec: refuse to guess
+    // walk the remaining metadata blocks for well-formedness; truncation
+    // past the valid STREAMINFO keeps the typing
+    var p = 8 + 34
+    var last = (hdr & 0x80) != 0
+    while (!last && p + 4 <= bytes.length) {
+      val h = u8(p)
+      if ((h & 0x7f) == 127) return None // invalid block type by spec
+      val l = (u8(p + 1) << 16) | (u8(p + 2) << 8) | u8(p + 3)
+      last = (h & 0x80) != 0
+      p += 4 + l
+    }
+    Some((rate, channels, totalSamples))
+  }
+
+  /** Deterministic synthetic FLAC writer — `fLaC` magic + a valid
+    * STREAMINFO (exact rate/channels/totalSamples at the spec's bit
+    * offsets, seed-derived fake md5) + a PADDING metadata block carrying
+    * the last-block flag + junk "frame" bytes (never decoded; the probe
+    * under test reads structure only). Shares no code with [[probeFlac]].
+    */
+  def syntheticFlac(
+      seed: Long,
+      nSamples: Long,
+      sampleRate: Int = 44100,
+      channels: Int = 1
+  ): Array[Byte] = {
+    require(sampleRate >= 1 && sampleRate <= 655350 && channels >= 1 && channels <= 8)
+    require(nSamples >= 1 && nSamples < (1L << 36))
+    val b = java.nio.ByteBuffer.allocate(4 + 4 + 34 + 4 + 16 + 32)
+    b.put("fLaC".getBytes("US-ASCII"))
+    b.put(0x00.toByte) // STREAMINFO, not last
+    b.put(0.toByte).put(0.toByte).put(34.toByte)
+    b.putShort(4096.toShort).putShort(4096.toShort) // min/max block size
+    b.put(0.toByte).put(0.toByte).put(0.toByte) // min frame size (0 = unknown, legal)
+    b.put(0.toByte).put(0.toByte).put(0.toByte) // max frame size
+    // rate(20) | ch-1(3) | bps-1(5) | totalSamples(36), big-endian bit packing
+    val packed = (sampleRate.toLong << 44) | ((channels - 1).toLong << 41) |
+      (15L << 36) | (nSamples & ((1L << 36) - 1)) // bps 16
+    b.putLong(packed)
+    for (i <- 0 until 16) b.put((syntheticSample(seed, i) & 0xff).toByte) // fake md5
+    b.put(0x81.toByte) // PADDING, LAST metadata block
+    b.put(0.toByte).put(0.toByte).put(16.toByte)
+    b.put(new Array[Byte](16))
+    for (i <- 16 until 48) b.put((syntheticSample(seed, i) & 0xff).toByte) // junk frames
+    b.array()
+  }
+
+  /** STRUCTURE-ONLY typing probe for OGG (Vorbis or Opus) — the page
+    * walk: every page is `OggS` + version 0 + flags + a 64-bit LE
+    * granule position + serial/sequence/CRC + a segment-count byte +
+    * the segment lacing table + payload. The FIRST page must carry the
+    * beginning-of-stream flag and an id header the probe recognizes —
+    * `vorbis` (rate at payload offset 12, LE) or `OpusHead`
+    * (version 1, pre-skip at 10, 48 kHz granule timebase by spec) —
+    * and the LAST page's granule position is the stream's total sample
+    * count (Vorbis: at the id-header rate; Opus: at 48 kHz minus the
+    * pre-skip). Returns (sampleRate, channels, nSamples).
+    *
+    * Anti-false-positive discipline: the 8-byte codec magic + version
+    * byte + BOS flag must all hold, and at least one LATER page must
+    * carry a POSITIVE granule (an id page alone declares no length —
+    * refused rather than guessed, the probeFlac rule). Page CRCs are
+    * NOT validated (structure-only, like every probe here — corrupt
+    * payloads yield wrong-but-bounded metadata, never a crash).
+    * Truncation keeps the last complete page's granule.
+    */
+  def probeOgg(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (bytes == null || bytes.length < 27) return None
+    def u8(p: Long): Int = bytes(p.toInt) & 0xff
+    def le32(p: Long): Long =
+      u8(p).toLong | (u8(p + 1).toLong << 8) | (u8(p + 2).toLong << 16) | (u8(p + 3).toLong << 24)
+    def le64(p: Long): Long = le32(p) | (le32(p + 4) << 32)
+    // returns (headerType, granule, payloadStart, payloadLen, nextPage) or null
+    def page(p: Long): (Int, Long, Long, Long, Long) = {
+      if (p + 27 > bytes.length) return null
+      if (bytes(p.toInt) != 'O' || bytes(p.toInt + 1) != 'g' ||
+        bytes(p.toInt + 2) != 'g' || bytes(p.toInt + 3) != 'S') return null
+      if (u8(p + 4) != 0) return null // stream structure version
+      val hType = u8(p + 5)
+      val granule = le64(p + 6)
+      val nSegs = u8(p + 26)
+      if (p + 27 + nSegs > bytes.length) return null
+      var payloadLen = 0L
+      var i = 0
+      while (i < nSegs) { payloadLen += u8(p + 27 + i); i += 1 }
+      val payloadStart = p + 27 + nSegs
+      if (payloadStart + payloadLen > bytes.length) return null
+      (hType, granule, payloadStart, payloadLen, payloadStart + payloadLen)
+    }
+    val first = page(0L)
+    if (first == null) return None
+    val (hType0, _, ps0, pl0, next0) = first
+    if ((hType0 & 0x02) == 0) return None // first page must be BOS
+    def asc(p: Long, s: String): Boolean =
+      p + s.length <= ps0 + pl0 && s.indices.forall(k => bytes((p + k).toInt) == s.charAt(k).toByte)
+    val (rate, channels, preSkip) =
+      if (pl0 >= 16 && u8(ps0) == 0x01 && asc(ps0 + 1, "vorbis")) {
+        if (le32(ps0 + 7) != 0L) return None // vorbis id version must be 0
+        (le32(ps0 + 12).toInt, u8(ps0 + 11), 0L)
+      } else if (pl0 >= 19 && asc(ps0, "OpusHead")) {
+        if (u8(ps0 + 8) != 1) return None // OpusHead version must be 1
+        // granule timebase is 48 kHz by spec regardless of input rate
+        (48000, u8(ps0 + 9), u8(ps0 + 10).toLong | (u8(ps0 + 11).toLong << 8))
+      } else return None
+    if (rate <= 0) return None
+    var lastGranule = -1L
+    var p = next0
+    var pg = page(p)
+    while (pg != null) {
+      if (pg._2 >= 0) lastGranule = pg._2
+      p = pg._5
+      pg = page(p)
+    }
+    if (lastGranule <= 0) return None // no audio page declared a length
+    val n = lastGranule - preSkip
+    if (n <= 0) None else Some((rate, channels, n))
+  }
+
+  /** Deterministic synthetic OGG writer (Vorbis or Opus id header) —
+    * BOS id page, `pages` junk audio pages with running granule
+    * positions (at least one page's payload exceeds 255 bytes so the
+    * 255-lacing segment chain is exercised), EOS page carrying the
+    * final granule (= nSamples, + pre-skip 312 for Opus). Page CRCs are
+    * zeroed (the probe under test is structure-only). Shares no code
+    * with [[probeOgg]].
+    */
+  def syntheticOgg(
+      seed: Long,
+      nSamples: Long,
+      sampleRate: Int = 44100,
+      channels: Int = 1,
+      codec: String = "vorbis",
+      pages: Int = 3
+  ): Array[Byte] = {
+    require(nSamples >= 1 && pages >= 1 && channels >= 1)
+    val opusPreSkip = 312
+    def page(hType: Int, granule: Long, seq: Int, payload: Array[Byte]): Array[Byte] = {
+      val nSegs = payload.length / 255 + 1 // lacing: k full 255s + one terminator < 255
+      val b = java.nio.ByteBuffer
+        .allocate(27 + nSegs + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("OggS".getBytes("US-ASCII")).put(0.toByte).put(hType.toByte)
+      b.putLong(granule).putInt(0x6772614f).putInt(seq).putInt(0) // serial, seq, crc 0
+      b.put(nSegs.toByte)
+      var rem = payload.length
+      while (rem >= 255) { b.put(255.toByte); rem -= 255 }
+      b.put(rem.toByte)
+      b.put(payload)
+      b.array()
+    }
+    val idPayload =
+      if (codec == "vorbis") {
+        val b = java.nio.ByteBuffer.allocate(30).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put(0x01.toByte).put("vorbis".getBytes("US-ASCII"))
+        b.putInt(0) // vorbis version
+        b.put(channels.toByte).putInt(sampleRate)
+        b.putInt(0).putInt(0).putInt(0) // bitrate max/nominal/min
+        b.put(0xb8.toByte).put(0x01.toByte) // blocksizes + framing
+        b.array()
+      } else {
+        val b = java.nio.ByteBuffer.allocate(19).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put("OpusHead".getBytes("US-ASCII")).put(1.toByte).put(channels.toByte)
+        b.putShort(opusPreSkip.toShort).putInt(sampleRate).putShort(0.toShort).put(0.toByte)
+        b.array()
+      }
+    val finalGranule = if (codec == "vorbis") nSamples else nSamples + opusPreSkip
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(page(0x02, 0L, 0, idPayload)) // BOS, granule 0
+    for (k <- 1 to pages) {
+      // middle pages carry running granules; page 1 is >255 B for lacing
+      val sz = if (k == 1) 600 else 40 + (seed % 17).toInt
+      val junk = Array.tabulate(sz)(i => (syntheticSample(seed + k, i) & 0xff).toByte)
+      val granule = finalGranule * k / pages
+      val hType = if (k == pages) 0x04 else 0x00 // EOS on the last page
+      out.write(page(hType, granule, k, junk))
+    }
+    out.toByteArray
   }
 
   /** Deterministic synthetic MJPEG-in-AVI encoder — the COMPRESSED twin
@@ -769,10 +1059,12 @@ object Multimodal {
       editFrame: Int = -1,
       editSeedDelta: Long = 0L,
       audioSamples: Array[Short] = null,
-      audioRate: Int = 16000
+      audioRate: Int = 16000,
+      nonPcmLeadAudio: Boolean = false
   ): Array[Byte] = {
     require(w >= 1 && h >= 1 && nFrames >= 1)
     val hasAudio = audioSamples != null && audioSamples.length > 0
+    require(!nonPcmLeadAudio || hasAudio, "nonPcmLeadAudio needs a PCM stream to shadow")
     def jpegOf(k: Int): Array[Byte] = {
       val fSeed = if (k == editFrame) frameSeed(seed, k) + editSeedDelta else frameSeed(seed, k)
       val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -802,7 +1094,9 @@ object Multimodal {
     }
     val avih = java.nio.ByteBuffer.allocate(56).order(le)
     avih.putInt(40000).putInt(0).putInt(0).putInt(0) // usPerFrame, maxBps, pad, flags
-      .putInt(nFrames).putInt(0).putInt(if (hasAudio) 2 else 1).putInt(0) // totalFrames, initFrames, streams, bufSize
+      .putInt(nFrames).putInt(0)
+      .putInt(1 + (if (hasAudio) 1 else 0) + (if (nonPcmLeadAudio) 1 else 0))
+      .putInt(0) // totalFrames, initFrames, streams, bufSize
       .putInt(w).putInt(h) // + 16 reserved bytes left zero
     val strh = java.nio.ByteBuffer.allocate(56).order(le)
     strh.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
@@ -817,7 +1111,25 @@ object Multimodal {
     val strl = list("strl", chunk("strh", strh.array()) ++ chunk("strf", strf.array()))
     // optional interleaved PCM16LE audio stream (stream 1): strl('auds')
     // with a WAVEFORMATEX strf, samples split evenly into one '01wb'
-    // chunk after each video frame's '00dc' — the classic AVI interleave
+    // chunk after each video frame's '00dc' — the classic AVI interleave.
+    // `nonPcmLeadAudio` inserts a compressed (MP3-tagged) auds strl as
+    // stream 1 FIRST, shifting the PCM stream to 2 ('02wb' chunks) — the
+    // two-audio-stream layout that pins aviAudioInfo's skip-and-continue.
+    val nonPcmStrl =
+      if (!nonPcmLeadAudio) Array.emptyByteArray
+      else {
+        val strhX = java.nio.ByteBuffer.allocate(56).order(le)
+        strhX.put("auds".getBytes("US-ASCII")).putInt(0)
+          .putInt(0).putShort(0).putShort(0).putInt(0)
+          .putInt(1).putInt(audioRate).putInt(0).putInt(0) // scale, rate, start, length
+          .putInt(0).putInt(-1).putInt(1)
+          .putShort(0).putShort(0).putShort(0).putShort(0)
+        val strfX = java.nio.ByteBuffer.allocate(16).order(le)
+        strfX.putShort(0x55) // WAVE_FORMAT_MPEGLAYER3: not a sample-countable payload
+          .putShort(1).putInt(audioRate).putInt(audioRate / 8).putShort(1).putShort(0)
+        list("strl", chunk("strh", strhX.array()) ++ chunk("strf", strfX.array()))
+      }
+    val pcmStreamId = if (nonPcmLeadAudio) "02" else "01"
     val audioStrl =
       if (!hasAudio) Array.emptyByteArray
       else {
@@ -836,14 +1148,16 @@ object Multimodal {
           .putShort(16) // bits per sample
         list("strl", chunk("strh", strhA.array()) ++ chunk("strf", strfA.array()))
       }
-    val hdrl = list("hdrl", chunk("avih", avih.array()) ++ strl ++ audioStrl)
+    val hdrl = list("hdrl", chunk("avih", avih.array()) ++ strl ++ nonPcmStrl ++ audioStrl)
     val moviPayload = (0 until nFrames).toArray.flatMap { k =>
       val vid = chunk("00dc", jpegOf(k))
       if (!hasAudio) vid
       else {
         val lo = (k.toLong * audioSamples.length / nFrames).toInt
         val hi = ((k + 1).toLong * audioSamples.length / nFrames).toInt
-        vid ++ chunk("01wb", shortsToLe(java.util.Arrays.copyOfRange(audioSamples, lo, hi)))
+        vid ++ chunk(
+          pcmStreamId + "wb",
+          shortsToLe(java.util.Arrays.copyOfRange(audioSamples, lo, hi)))
       }
     }
     val movi = list("movi", moviPayload)
@@ -1220,6 +1534,17 @@ object Multimodal {
     * unrelated videos share none. Same-video frame pairs are excluded
     * (self-similar scenes are not duplication evidence).
     *
+    * `n_frame_pairs` is deliberately the RAW matched-pair count (it is
+    * part of this operator's output contract): a frame repeated n×m
+    * times across the two videos contributes n×m pairs, so two clips
+    * that each repeat one near-identical frame (blank/intro padding)
+    * can clear `minFrames` on a single shared frame. Callers that need
+    * the stricter distinct-matched-positions gate get it from
+    * [[mediaDedupCatalog]], which collapses hash-identical repeats and
+    * counts distinct positions per side; here, raising `minFrames` or
+    * post-filtering on `n_frame_pairs` keeps the evidence visible
+    * rather than pre-judged.
+    *
     * Scale shape: identical to the image/text simhash paths — the join
     * carries (struct id, 8-byte fp, block key) rows only, never frames;
     * candidate mass is governed by the block-key width; the final
@@ -1359,7 +1684,11 @@ object Multimodal {
     * fingerprint payload): `fp` is the image aHash / audio energy
     * fingerprint, `frame_hashes` the per-frame video aHashes. One
     * definition, so the catalog's typing rules and the probe's cannot
-    * drift.
+    * drift. `digest` is the 16-byte md5 of the raw content — computed
+    * ONLY for fingerprint-less rows (structure-only MP3/MP4 typing,
+    * unknown), where it is the one dedup signal the bytes still carry
+    * (the [[Dedup.exact]] key discipline); fingerprinted rows leave it
+    * None (byte-identical copies already pair at Hamming 0).
     */
   private[graft] final case class TypedMedia(
       doc_id: Long,
@@ -1371,8 +1700,18 @@ object Multimodal {
       sample_rate: Int,
       n_samples: Long,
       fp: Option[Long],
-      frame_hashes: Option[Seq[Long]]
+      frame_hashes: Option[Seq[Long]],
+      digest: Option[Array[Byte]]
   )
+
+  /** md5 of the raw content bytes — 16-byte exact-duplicate key for
+    * rows whose kind has no perceptual fingerprint. MessageDigest is
+    * allocated per call (it is NOT thread-safe, and a mapPartitions
+    * lambda shares the object across the task's rows otherwise).
+    */
+  private def contentMd5(bytes: Array[Byte]): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(if (bytes == null) Array.emptyByteArray else bytes)
 
   /** [[mediaProbe]]'s per-row typing rules (verbatim) plus — when
     * `computeFps` — the kind-appropriate fingerprint, computed in the
@@ -1414,12 +1753,13 @@ object Multimodal {
         TypedMedia(r.doc_id, "video", len, w, h, frames.length, aRate, aSamples,
           None,
           if (computeFps) Some(frames.map { case (fw, fh, luma) => lumaAHash64(luma, fw, fh) })
-          else None)
+          else None,
+          None)
       case _ =>
         decodeImage(r.content) match {
           case Some((w, h, _, luma)) =>
             TypedMedia(r.doc_id, "image", len, w, h, 1, -1, -1L,
-              if (computeFps) Some(lumaAHash64(luma, w, h)) else None, None)
+              if (computeFps) Some(lumaAHash64(luma, w, h)) else None, None, None)
           case None =>
             decodeAudio(r.content) match {
               case Some((rate, ch, samples)) =>
@@ -1433,28 +1773,32 @@ object Multimodal {
                     Some(energyFingerprint(s))
                   }
                 TypedMedia(r.doc_id, "audio", len, -1, -1, -1, rate, samples.length.toLong,
-                  fp, None)
+                  fp, None, None)
               case None =>
-                // STRUCTURE-ONLY typing beyond the decode ceiling: MP4/
-                // M4A (box tree) and MP3 (frame-header chain) carry
+                // STRUCTURE-ONLY typing beyond the decode ceiling:
+                // MP4/M4A (box tree), MP3 (frame-header chain), FLAC
+                // (STREAMINFO) and OGG Vorbis/Opus (page walk) carry
                 // exact typed metadata with no codec — they type as
-                // video/audio with NO fingerprint (fp/frame_hashes stay
-                // None, so [[mediaDedupCatalog]] never pairs them; like
-                // `unknown`, they are always kept)
-                probeMp4(r.content) match {
-                  case Some((w, h, vf, ar, as)) =>
+                // video/audio with NO perceptual fingerprint. Their one
+                // remaining dedup signal is the content md5 `digest`
+                // (computed here, in the same pass), which
+                // [[mediaDedupCatalog]] turns into exact-duplicate
+                // edges; near-identical-but-not-byte-identical copies
+                // are correctly kept. Same for `unknown`.
+                val dg = if (computeFps) Some(contentMd5(r.content)) else None
+                def audioTyped(rate: Int, n: Long): TypedMedia =
+                  TypedMedia(r.doc_id, "audio", len, -1, -1, -1, rate, n, None, None, dg)
+                probeMp4(r.content)
+                  .map { case (w, h, vf, ar, as) =>
                     if (vf >= 0)
-                      TypedMedia(r.doc_id, "video", len, w, h, vf, ar, as, None, None)
-                    else
-                      TypedMedia(r.doc_id, "audio", len, -1, -1, -1, ar, as, None, None)
-                  case None =>
-                    probeMp3(r.content) match {
-                      case Some((rate, n)) =>
-                        TypedMedia(r.doc_id, "audio", len, -1, -1, -1, rate, n, None, None)
-                      case None =>
-                        TypedMedia(r.doc_id, "unknown", len, -1, -1, -1, -1, -1L, None, None)
-                    }
-                }
+                      TypedMedia(r.doc_id, "video", len, w, h, vf, ar, as, None, None, dg)
+                    else audioTyped(ar, as)
+                  }
+                  .orElse(probeMp3(r.content).map { case (rate, n) => audioTyped(rate, n) })
+                  .orElse(probeFlac(r.content).map { case (rate, _, n) => audioTyped(rate, n) })
+                  .orElse(probeOgg(r.content).map { case (rate, _, n) => audioTyped(rate, n) })
+                  .getOrElse(
+                    TypedMedia(r.doc_id, "unknown", len, -1, -1, -1, -1, -1L, None, None, dg))
             }
         }
     }
@@ -1478,17 +1822,31 @@ object Multimodal {
     *      run; each cluster keeps its smallest doc_id (the batch
     *      operators' deterministic keep rule).
     *
+    * Two videos pair when at least `videoMinFrames` DISTINCT frame
+    * positions match on EACH side (not raw frame-hash pairs: two
+    * unrelated clips that each repeat one near-identical frame —
+    * blank/intro padding — would otherwise mint n×m pairs from a
+    * single shared frame and merge); a video's hash-identical repeated
+    * frames collapse to one voting unit before pairing.
+    *
+    * Fingerprint-LESS rows (structure-only MP3/MP4 typing, `unknown`)
+    * still dedupe EXACTLY: rows sharing a content md5 `digest` edge into
+    * the same cluster (star edges to the group's smallest id — linear,
+    * never a within-group cross product), so byte-identical undecodable
+    * blobs drop while near-identical ones are kept. A fingerprint-less
+    * row with a unique digest never pairs and is always kept.
+    *
     * Returns the FULL catalog — every input blob's typed metadata row
     * ([[mediaProbe]] columns) plus `kept` (false = dropped as a
     * near-dup) and `n_members` (its cluster size) — so per-kind drop
     * accounting is `groupBy(kind, kept)` away and nothing is silently
-    * discarded (the load-shed discipline). `unknown` blobs never pair
-    * and are always kept.
+    * discarded (the load-shed discipline).
     *
     * Scale shape: decode is zero-shuffle mapPartitions; the only
     * exchanges are the per-kind blocked self-joins (bounded keys), the
-    * CC rounds (checkpointed, ids only), and one id-keyed join back to
-    * the typed rows. No corpus-sized collect, window, or cartesian.
+    * digest groupBy (16-byte keys), the CC rounds (checkpointed, ids
+    * only), and one id-keyed join back to the typed rows. No
+    * corpus-sized collect, window, or cartesian.
     */
   def mediaDedupCatalog(
       ds: Dataset[MediaRow],
@@ -1508,29 +1866,59 @@ object Multimodal {
           .select(col("doc_id").as("id"), col("fp").as("simhash")),
         maxHamming, blocks
       ).select(col("id_a"), col("id_b"))
+    // The videoMinFrames gate counts DISTINCT matched frame positions on
+    // EACH side (r15 advice), not raw frame-hash pairs: a single shared
+    // frame repeated n×m times across two unrelated clips is ONE match,
+    // not n×m. Two layers enforce it: (1) a video's byte-identical
+    // repeated frames (hash-equal — blank/intro padding) collapse to one
+    // voting unit at their first position before pairing; (2) the gate
+    // takes the SMALLER side's distinct matched position count, so an
+    // asymmetric repeat (1 frame in A matching m in B) still counts 1.
+    // Struct ids order (doc_id, frame_idx) lexicographically and
+    // pairsFromFps emits id_a < id_b, so after the same-doc filter
+    // id_a.doc_id < id_b.doc_id always — the pair is already canonical.
+    val videoFrameUnits = typed.filter(col("kind") === "video")
+      .select(col("doc_id"), posexplode(col("frame_hashes")))
+      .groupBy(col("doc_id"), col("col").as("simhash"))
+      .agg(min(col("pos")).as("frame_idx"))
+      .select(struct(col("doc_id"), col("frame_idx")).as("id"), col("simhash"))
     val videoPairs = Dedup
-      .pairsFromFps(
-        typed.filter(col("kind") === "video")
-          .select(col("doc_id"), posexplode(col("frame_hashes")))
-          .select(struct(col("doc_id"), col("pos").as("frame_idx")).as("id"), col("col").as("simhash")),
-        videoMaxHamming, blocks
-      )
+      .pairsFromFps(videoFrameUnits, videoMaxHamming, blocks)
       .filter(col("id_a.doc_id") =!= col("id_b.doc_id"))
       .select(
-        least(col("id_a.doc_id"), col("id_b.doc_id")).as("id_a"),
-        greatest(col("id_a.doc_id"), col("id_b.doc_id")).as("id_b")
+        col("id_a.doc_id").as("doc_a"),
+        col("id_b.doc_id").as("doc_b"),
+        col("id_a.frame_idx").as("fidx_a"),
+        col("id_b.frame_idx").as("fidx_b")
       )
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_frame_pairs"))
-      .filter(col("n_frame_pairs") >= videoMinFrames)
-      .select(col("id_a"), col("id_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        countDistinct(col("fidx_a")).as("__na"),
+        countDistinct(col("fidx_b")).as("__nb")
+      )
+      .filter(least(col("__na"), col("__nb")) >= videoMinFrames)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+    // exact-duplicate edges for fingerprint-less rows: star to the
+    // digest group's smallest id — |group|−1 edges, never C(n,2); one
+    // digest-keyed exchange (a window min, no self-join)
+    val digestPairs = typed
+      .filter(col("fp").isNull && col("frame_hashes").isNull && col("digest").isNotNull)
+      .select(
+        col("doc_id"),
+        min(col("doc_id"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("digest")))
+          .as("__hub")
+      )
+      .filter(col("doc_id") =!= col("__hub"))
+      .select(col("__hub").as("id_a"), col("doc_id").as("id_b"))
     val edges = kindPairs("image", imageMaxHamming)
       .unionByName(kindPairs("audio", audioMaxHamming))
       .unionByName(videoPairs)
+      .unionByName(digestPairs)
     ConnectedComponents
       .assignClusters(typed, col("doc_id"), edges)
       .select(col("doc_id"), col("n_members"), col("is_rep").as("kept"))
-      .join(typed.drop("fp", "frame_hashes"), Seq("doc_id"))
+      .join(typed.drop("fp", "frame_hashes", "digest"), Seq("doc_id"))
       .select(
         col("doc_id"), col("kind"), col("byte_len"), col("width"), col("height"),
         col("n_frames"), col("sample_rate"), col("n_samples"),
@@ -1706,11 +2094,16 @@ object Multimodal {
     *
     * Same contract as [[decodeWav]]: (sampleRate, channels, samples)
     * with samples signed 16-bit, channels interleaved, or None.
-    * Supported encodings: PCM_SIGNED 16-bit (either endianness — WAV is
-    * LE, AIFF/AU are BE, normalized here), PCM_UNSIGNED 8-bit
-    * (recentered, x − 128, unscaled), and 8-bit G.711 ULAW/ALAW (the
-    * classic AU payloads — expanded to PCM16 through the engine's fixed
-    * G.711 table conversion, deterministic by spec). 64M-sample shed;
+    * Supported encodings: PCM_SIGNED 16/24/32-bit (either endianness —
+    * WAV is LE, AIFF/AU are BE, normalized here; widths beyond 16 keep
+    * their top 16 bits, exact for material mastered from 16-bit
+    * sources), IEEE-float 32/64-bit (WAV format tag 3 — scaled by
+    * 32768, round-half-up, saturated), PCM_UNSIGNED 8-bit (recentered,
+    * x − 128, unscaled), and 8-bit G.711 ULAW/ALAW (the classic AU
+    * payloads — expanded to PCM16 through the engine's fixed G.711
+    * table conversion, deterministic by spec). Every supported
+    * (encoding, width) pair has exactly ONE pinned sample mapping; any
+    * other yields None — never a silently wrong plane. 64M-sample shed;
     * truncated or corrupt containers return None, never throw.
     */
   def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
@@ -1744,9 +2137,12 @@ object Multimodal {
         val fmt = in.getFormat
         val enc = fmt.getEncoding
         val bits = fmt.getSampleSizeInBits
+        val isSigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val isFloat = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_FLOAT
         val ok =
-          (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED && bits == 16) ||
-            (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED && bits == 8)
+          (isSigned && (bits == 16 || bits == 24 || bits == 32)) ||
+            (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED && bits == 8) ||
+            (isFloat && (bits == 32 || bits == 64))
         val ch = fmt.getChannels
         val nFrames = in.getFrameLength
         if (!ok || ch <= 0 || nFrames * ch > 64L * 1024 * 1024) None
@@ -1771,17 +2167,55 @@ object Multimodal {
           val bytesPerSample = bits / 8
           val n = data.length / bytesPerSample
           val out = new Array[Short](n)
+          val be = fmt.isBigEndian
+          // wider-than-16-bit planes reduce DETERMINISTICALLY to the
+          // contract's PCM16: integer PCM keeps its top 16 bits (exact
+          // for material mastered from 16-bit sources, truncation — not
+          // rounding — otherwise, so the map is bit-stable); IEEE float
+          // scales by 32768 with round-half-up and saturation. Never a
+          // silent wrong plane: every supported (encoding, width) pair
+          // has exactly one pinned mapping, all else returns None above.
+          def byteAt(base: Int, k: Int): Int = // k-th LSB-first byte of sample
+            data(base + (if (be) bytesPerSample - 1 - k else k)).toInt
           var i = 0
-          if (bits == 16) {
-            val be = fmt.isBigEndian
-            while (i < n) {
-              val lo = if (be) data(2 * i + 1) else data(2 * i)
-              val hi = if (be) data(2 * i) else data(2 * i + 1)
-              out(i) = ((lo & 0xff) | (hi << 8)).toShort
-              i += 1
-            }
-          } else {
-            while (i < n) { out(i) = ((data(i) & 0xff) - 128).toShort; i += 1 }
+          (bits, isFloat) match {
+            case (16, false) =>
+              while (i < n) {
+                val b0 = byteAt(2 * i, 0); val b1 = byteAt(2 * i, 1)
+                out(i) = ((b0 & 0xff) | (b1 << 8)).toShort
+                i += 1
+              }
+            case (24, false) =>
+              while (i < n) {
+                out(i) = ((byteAt(3 * i, 2) << 8) | (byteAt(3 * i, 1) & 0xff)).toShort
+                i += 1
+              }
+            case (32, false) =>
+              while (i < n) {
+                out(i) = ((byteAt(4 * i, 3) << 8) | (byteAt(4 * i, 2) & 0xff)).toShort
+                i += 1
+              }
+            case (32, true) =>
+              while (i < n) {
+                val v = (byteAt(4 * i, 3) << 24) | ((byteAt(4 * i, 2) & 0xff) << 16) |
+                  ((byteAt(4 * i, 1) & 0xff) << 8) | (byteAt(4 * i, 0) & 0xff)
+                val f = java.lang.Float.intBitsToFloat(v)
+                val s = math.round(f * 32768f)
+                out(i) = math.max(-32768, math.min(32767, s)).toShort
+                i += 1
+              }
+            case (64, true) =>
+              while (i < n) {
+                var v = 0L
+                var k = 7
+                while (k >= 0) { v = (v << 8) | (byteAt(8 * i, k) & 0xffL); k -= 1 }
+                val d = java.lang.Double.longBitsToDouble(v)
+                val s = math.round(d * 32768.0)
+                out(i) = math.max(-32768L, math.min(32767L, s)).toShort
+                i += 1
+              }
+            case _ => // (8, false) PCM_UNSIGNED: recenter, unscaled
+              while (i < n) { out(i) = ((data(i) & 0xff) - 128).toShort; i += 1 }
           }
           Some((fmt.getSampleRate.toInt, ch, out))
         }
@@ -1837,6 +2271,68 @@ object Multimodal {
     b.putShort(16.toShort) // bits per sample
     b.put("data".getBytes("US-ASCII")).putInt(dataLen)
     samples.foreach(b.putShort)
+    b.array()
+  }
+
+  /** Hand-rolled 24-bit PCM RIFF/WAVE writer — the common real-WAV
+    * variant beyond PCM16 (studio masters). Each 16-bit input sample is
+    * written as its 24-bit widening (`s << 8`), so the [[decodeAudio]]
+    * top-16-bits contract round-trips SAMPLE-EXACT — the spec leg that
+    * pins the 24-bit mapping. Shares no code with the decode path.
+    */
+  def wavFromSamples24(
+      samples: Array[Short],
+      sampleRate: Int = 16000,
+      channels: Int = 1
+  ): Array[Byte] = {
+    require(channels >= 1)
+    val dataLen = samples.length * 3
+    val b = java.nio.ByteBuffer
+      .allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1.toShort) // PCM
+    b.putShort(channels.toShort)
+    b.putInt(sampleRate)
+    b.putInt(sampleRate * channels * 3)
+    b.putShort((channels * 3).toShort)
+    b.putShort(24.toShort)
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach { s =>
+      val v = s.toInt << 8 // 24-bit widening; LE bytes low→high
+      b.put((v & 0xff).toByte).put(((v >> 8) & 0xff).toByte).put(((v >> 16) & 0xff).toByte)
+      ()
+    }
+    b.array()
+  }
+
+  /** Hand-rolled IEEE-float RIFF/WAVE writer (format tag 3, 32-bit) —
+    * the other common real-WAV variant (DAW exports). Each input sample
+    * is written as `s / 32768f` (exact in binary32 for every |s| < 2¹⁵),
+    * so the [[decodeAudio]] round-half-up ×32768 contract round-trips
+    * SAMPLE-EXACT. Shares no code with the decode path.
+    */
+  def wavFromSamplesFloat(
+      samples: Array[Short],
+      sampleRate: Int = 16000,
+      channels: Int = 1
+  ): Array[Byte] = {
+    require(channels >= 1)
+    val dataLen = samples.length * 4
+    val b = java.nio.ByteBuffer
+      .allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(3.toShort) // WAVE_FORMAT_IEEE_FLOAT
+    b.putShort(channels.toShort)
+    b.putInt(sampleRate)
+    b.putInt(sampleRate * channels * 4)
+    b.putShort((channels * 4).toShort)
+    b.putShort(32.toShort)
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => b.putFloat(s / 32768f))
     b.array()
   }
 

@@ -4122,11 +4122,13 @@ object ExtensionQueries {
     }),
 
     // STRUCTURE-ONLY container typing (beyond the decode ceiling): MP3
-    // frame chains and MP4/M4A box trees carry exact typed metadata —
-    // rate, per-channel samples, dims, frame counts — with NO codec at
-    // all, so the catalog row for the two most common real-corpus
-    // containers is fully typed instead of 'unknown'. Every field is
-    // replayable from the synthesis arithmetic alone.
+    // frame chains and MP4/M4A box trees — including the FRAGMENTED
+    // fMP4/DASH layout, whose frame count is the sum of moof/traf/trun
+    // sample counts — carry exact typed metadata — rate, per-channel
+    // samples, dims, frame counts — with NO codec at all, so the
+    // catalog row for the most common real-corpus containers is fully
+    // typed instead of 'unknown'. Every field is replayable from the
+    // synthesis arithmetic alone.
     "x189_container_probe" -> ((s, dir) => {
       import s.implicits._
       val ids = T(s, dir, "documents")
@@ -4134,7 +4136,7 @@ object ExtensionQueries {
         .filter(pmod(col("doc_id"), lit(20)) === 0)
         .as[Long]
       val media = ids.map { id =>
-        val sel = (id / 20) % 3
+        val sel = (id / 20) % 4
         val w = 16 + (id % 9).toInt
         val h = 16 + (id % 7).toInt
         val n = 256 + (id % 11).toInt * 32
@@ -4145,8 +4147,10 @@ object ExtensionQueries {
           case 1 =>
             Multimodal.syntheticMp4(id, w, h, 2 + (id % 5).toInt,
               audioRate = 44100, audioSamples = n.toLong)
-          case _ =>
+          case 2 =>
             Multimodal.syntheticMp4(id, -1, -1, 0, audioRate = 16000, audioSamples = n.toLong)
+          case _ => // fragmented: stsz 0, frames split across 2 moofs
+            Multimodal.syntheticMp4(id, w, h, 2 + (id % 5).toInt, fragments = 2)
         }
         Multimodal.MediaRow(id, "container", content)
       }
@@ -4154,6 +4158,98 @@ object ExtensionQueries {
         .mediaProbe(media)
         .drop("byte_len")
         .orderBy(col("doc_id"))
+    }),
+
+    // FLAC structure-only typing: STREAMINFO is a fixed-bit-layout
+    // header block (rate 20 bits, channels 3, total samples 36) — the
+    // x189 discipline verbatim for the dominant lossless container.
+    "x191_flac_probe" -> ((s, dir) => {
+      import s.implicits._
+      val ids = T(s, dir, "documents")
+        .select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(20)) === 0)
+        .as[Long]
+      val media = ids.map { id =>
+        val rate = (id % 3) match { case 0 => 44100; case 1 => 96000; case _ => 8000 }
+        val n = 1000L + (id % 13) * 77
+        Multimodal.MediaRow(
+          id, "audio/flac",
+          Multimodal.syntheticFlac(id, n, rate, channels = 1 + (id % 2).toInt))
+      }
+      Multimodal
+        .mediaProbe(media)
+        .drop("byte_len")
+        .orderBy(col("doc_id"))
+    }),
+
+    // OGG page-walk typing: the LAST page's granule position is the
+    // stream's total sample count — Vorbis at the id-header rate, Opus
+    // at the spec's 48 kHz timebase minus the id header's pre-skip.
+    // Both codecs planted; every field replays from the arithmetic.
+    "x192_ogg_probe" -> ((s, dir) => {
+      import s.implicits._
+      val ids = T(s, dir, "documents")
+        .select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(20)) === 0)
+        .as[Long]
+      val media = ids.map { id =>
+        val n = 2000L + (id % 11) * 111
+        val pages = 3 + (id % 3).toInt
+        val content =
+          if (id % 40 == 0) {
+            val rate = (id % 3) match { case 0 => 48000; case 1 => 44100; case _ => 16000 }
+            Multimodal.syntheticOgg(id, n, rate, channels = 2, codec = "vorbis", pages = pages)
+          } else
+            Multimodal.syntheticOgg(id, n, 48000, channels = 1, codec = "opus", pages = pages)
+        Multimodal.MediaRow(id, "audio/ogg", content)
+      }
+      Multimodal
+        .mediaProbe(media)
+        .drop("byte_len")
+        .orderBy(col("doc_id"))
+    }),
+
+    // EXACT-duplicate edges for FINGERPRINT-LESS media (the one dup class
+    // the catalog used to pass silently): byte-identical MP3 / MP4 /
+    // unknown twins share a content md5 and drop through the digest star
+    // edges, while a near-identical sibling (same structure and typed
+    // metadata, different payload bytes) is correctly kept. Per planted
+    // triple (twin, twin-copy, near-sibling): 3 in, 2 kept (the smaller
+    // twin id + the sibling), 1 dropped — pinned per kind with
+    // kept-identity mass, the x187 accounting discipline.
+    "x190_digest_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val ids = T(s, dir, "documents")
+        .select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(20)) === 0)
+        .as[Long]
+      val media = ids.flatMap { id =>
+        val sel = (id / 20) % 3
+        val w = 16 + (id % 9).toInt
+        val h = 16 + (id % 7).toInt
+        val nf = 2 + (id % 5).toInt
+        def blob(seed: Long): Array[Byte] = sel match {
+          case 0 => Multimodal.syntheticMp3(seed, 5 + (id % 7).toInt, 44100)
+          case 1 => Multimodal.syntheticMp4(seed, w, h, nf)
+          case _ => s"opaque payload $seed for doc $id".getBytes("UTF-8")
+        }
+        val twin = blob(id * 7919L)
+        Seq(
+          Multimodal.MediaRow(id * 4, "bin", twin),
+          Multimodal.MediaRow(id * 4 + 1, "bin", twin.clone()),
+          Multimodal.MediaRow(id * 4 + 2, "bin", blob(id * 7919L + 1))
+        )
+      }
+      Multimodal
+        .mediaDedupCatalog(media)
+        .groupBy(col("kind"))
+        .agg(
+          count(lit(1)).as("n_in"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+          sum(when(col("kept"), col("doc_id")).otherwise(0L)).as("kept_id_sum")
+        )
+        .orderBy(col("kind"))
     }),
 
     // PURE-SQL capstone: x187's corpus through the graft_media_dedup
@@ -7665,25 +7761,76 @@ object ExtensionQueries {
         |  FROM d WHERE sel = 2 HAVING COUNT(*) > 0)
         |ORDER BY kind""".stripMargin,
 
-    // structure-only MP3/MP4 typing: every field from the synthesis
+    // structure-only MP3/MP4 typing (incl. fragmented MP4, sel 3: frame
+    // count from the trun arithmetic): every field from the synthesis
     // arithmetic — no decode exists, and none is claimed
     "x189_container_probe" ->
-      """WITH d AS (SELECT doc_id, (doc_id // 20) % 3 AS sel, doc_id % 3 AS r3,
+      """WITH d AS (SELECT doc_id, (doc_id // 20) % 4 AS sel, doc_id % 3 AS r3,
         |    16 + doc_id % 9 AS w, 16 + doc_id % 7 AS h,
         |    256 + (doc_id % 11) * 32 AS n,
         |    5 + doc_id % 7 AS mf, 2 + doc_id % 5 AS vf
         |  FROM documents WHERE doc_id % 20 = 0)
         |SELECT doc_id,
-        |  CASE WHEN sel = 1 THEN 'video' ELSE 'audio' END AS kind,
-        |  CAST(CASE WHEN sel = 1 THEN w ELSE -1 END AS INT) AS width,
-        |  CAST(CASE WHEN sel = 1 THEN h ELSE -1 END AS INT) AS height,
-        |  CAST(CASE WHEN sel = 1 THEN vf ELSE -1 END AS INT) AS n_frames,
+        |  CASE WHEN sel IN (1, 3) THEN 'video' ELSE 'audio' END AS kind,
+        |  CAST(CASE WHEN sel IN (1, 3) THEN w ELSE -1 END AS INT) AS width,
+        |  CAST(CASE WHEN sel IN (1, 3) THEN h ELSE -1 END AS INT) AS height,
+        |  CAST(CASE WHEN sel IN (1, 3) THEN vf ELSE -1 END AS INT) AS n_frames,
         |  CAST(CASE WHEN sel = 0 THEN
         |         CASE WHEN r3 = 0 THEN 44100 WHEN r3 = 1 THEN 22050 ELSE 8000 END
-        |       WHEN sel = 1 THEN 44100 ELSE 16000 END AS INT) AS sample_rate,
+        |       WHEN sel = 1 THEN 44100 WHEN sel = 2 THEN 16000
+        |       ELSE -1 END AS INT) AS sample_rate,
         |  CAST(CASE WHEN sel = 0 THEN mf * (CASE WHEN r3 = 0 THEN 1152 ELSE 576 END)
-        |       ELSE n END AS BIGINT) AS n_samples
+        |       WHEN sel = 3 THEN -1 ELSE n END AS BIGINT) AS n_samples
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // FLAC STREAMINFO typing: rate/channels/total-samples at fixed bit
+    // offsets — replayed from the synthesis arithmetic alone
+    "x191_flac_probe" ->
+      """WITH d AS (SELECT doc_id, doc_id % 3 AS r3,
+        |    1000 + (doc_id % 13) * 77 AS n
+        |  FROM documents WHERE doc_id % 20 = 0)
+        |SELECT doc_id, 'audio' AS kind,
+        |  CAST(-1 AS INT) AS width, CAST(-1 AS INT) AS height,
+        |  CAST(-1 AS INT) AS n_frames,
+        |  CAST(CASE WHEN r3 = 0 THEN 44100 WHEN r3 = 1 THEN 96000
+        |       ELSE 8000 END AS INT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // OGG page-walk typing: Vorbis reports the id-header rate, Opus the
+    // 48 kHz granule timebase; samples = last granule (− Opus pre-skip)
+    "x192_ogg_probe" ->
+      """WITH d AS (SELECT doc_id, doc_id % 3 AS r3, doc_id % 40 = 0 AS vorbis,
+        |    2000 + (doc_id % 11) * 111 AS n
+        |  FROM documents WHERE doc_id % 20 = 0)
+        |SELECT doc_id, 'audio' AS kind,
+        |  CAST(-1 AS INT) AS width, CAST(-1 AS INT) AS height,
+        |  CAST(-1 AS INT) AS n_frames,
+        |  CAST(CASE WHEN vorbis THEN
+        |         CASE WHEN r3 = 0 THEN 48000 WHEN r3 = 1 THEN 44100 ELSE 16000 END
+        |       ELSE 48000 END AS INT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // digest exact-dup accounting: every planted byte-identical twin pair
+    // keeps its smaller id, every near-identical sibling is kept
+    "x190_digest_dedup" ->
+      """WITH d AS (SELECT doc_id, (doc_id // 20) % 3 AS sel
+        |  FROM documents WHERE doc_id % 20 = 0)
+        |SELECT * FROM (
+        |  SELECT 'audio' AS kind, CAST(3 * COUNT(*) AS BIGINT) AS n_in,
+        |    CAST(2 * COUNT(*) AS BIGINT) AS n_kept, CAST(COUNT(*) AS BIGINT) AS n_dropped,
+        |    CAST(SUM(doc_id * 8 + 2) AS BIGINT) AS kept_id_sum
+        |  FROM d WHERE sel = 0 HAVING COUNT(*) > 0
+        |  UNION ALL
+        |  SELECT 'unknown', CAST(3 * COUNT(*) AS BIGINT), CAST(2 * COUNT(*) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id * 8 + 2) AS BIGINT)
+        |  FROM d WHERE sel = 2 HAVING COUNT(*) > 0
+        |  UNION ALL
+        |  SELECT 'video', CAST(3 * COUNT(*) AS BIGINT), CAST(2 * COUNT(*) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id * 8 + 2) AS BIGINT)
+        |  FROM d WHERE sel = 1 HAVING COUNT(*) > 0)
+        |ORDER BY kind""".stripMargin,
 
     // SQL-path twin of x187 (same capstone through the table function)
     "x188_sql_media_dedup" ->

@@ -39,8 +39,35 @@ object GraftCheckpoint {
     */
   val ConfKey = "spark.graft.checkpointDir"
 
-  /** Pin `df` eagerly, truncating lineage, in the configured mode. */
+  /** Pin `df` eagerly, truncating lineage, in the configured mode.
+    *
+    * Constraint propagation is DISABLED for the duration of the pin:
+    * Spark 4.1's `Dataset.checkpoint`/`localCheckpoint` freeze the
+    * optimized plan's constraint set into the resulting `LogicalRDD` as
+    * `originConstraints`, and an iterative round-N plan (self-unions +
+    * alias-rewritten joins, the CC/PageRank shape) can carry constraint
+    * expressions referencing attributes ABSENT from the new output;
+    * `LogicalRDD.constraints` bypasses the usual output-subset filter,
+    * so any later Union over the pinned frame crashes in
+    * `UnionBase.rewriteConstraints` (`key not found: src#N`). Capturing
+    * with propagation off stores no constraints at all — pure optimizer
+    * metadata, results unaffected — and every downstream plan over the
+    * pinned blocks stays well-formed. The previous conf value is
+    * restored on exit either way.
+    */
   def pin(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val cpPrev = spark.conf.getOption(cpKey)
+    spark.conf.set(cpKey, "false")
+    try pinInner(df)
+    finally cpPrev match {
+      case Some(v) => spark.conf.set(cpKey, v)
+      case None => spark.conf.unset(cpKey)
+    }
+  }
+
+  private def pinInner(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey).map(_.trim).filter(_.nonEmpty) match {
       case Some(dir) =>

@@ -748,6 +748,36 @@ class OperatorSpec extends SparkTestBase {
     giant(40) = 0xff.toByte; giant(41) = 0xff.toByte
     giant(42) = 0xff.toByte; giant(43) = 0x7f.toByte
     assert(Multimodal.decodeWav(giant).forall(_._3.length <= 128))
+    // 24-bit PCM and IEEE-float WAV (the common real variants beyond
+    // PCM16): hand-rolled writers, SAMPLE-EXACT decode pinned — 24-bit
+    // keeps the top 16 bits (exact for the <<8 widening), float rounds
+    // half-up from s/32768f. Never a silent wrong plane or wrong count.
+    for (seed <- Seq(0L, 11L)) {
+      val n = 150 + (seed % 13).toInt
+      val want = Array.tabulate(n)(Multimodal.syntheticSample(seed, _))
+      val w24 = Multimodal.wavFromSamples24(want, sampleRate = 22050)
+      val Some((r24, c24, s24)) = Multimodal.decodeWav(w24)
+      assert(r24 == 22050 && c24 == 1 && s24.length == n, s"24-bit header mismatch seed $seed")
+      assert(s24.sameElements(want), s"24-bit decode not sample-exact at seed $seed")
+      val wf = Multimodal.wavFromSamplesFloat(want, sampleRate = 48000)
+      val Some((rf, cf, sf)) = Multimodal.decodeWav(wf)
+      assert(rf == 48000 && cf == 1 && sf.length == n, s"float header mismatch seed $seed")
+      assert(sf.sameElements(want), s"float decode not sample-exact at seed $seed")
+    }
+    // stereo 24-bit: interleaving preserved
+    val st24 = Array.tabulate(80)(Multimodal.syntheticSample(3L, _))
+    val Some((_, cSt, sSt)) = Multimodal.decodeWav(Multimodal.wavFromSamples24(st24, 16000, 2))
+    assert(cSt == 2 && sSt.sameElements(st24))
+    // fuzz the new layouts too: truncation/corruption never throws
+    val f24 = Multimodal.wavFromSamples24(st24)
+    val ff = Multimodal.wavFromSamplesFloat(st24)
+    for (src <- Seq(f24, ff); len <- Seq(0, 20, 44, 47, src.length / 2, src.length - 1))
+      Multimodal.decodeWav(java.util.Arrays.copyOf(src, len))
+    for (_ <- 0 until 100) {
+      val c = (if (rnd.nextBoolean()) f24 else ff).clone()
+      c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+      Multimodal.decodeWav(c)
+    }
     // audioFrames routes WAV through the REAL decode: one 4-sample frame
     // of known samples yields the exact signed rms/mean
     import spark.implicits._
@@ -1200,6 +1230,16 @@ class OperatorSpec extends SparkTestBase {
     mp3ish(strfA + 9) = 0x00.toByte
     assert(Multimodal.aviAudioInfo(mp3ish).isEmpty, "non-PCM audio must probe to None")
     assert(Multimodal.decodeAviMjpegFrames(mp3ish).exists(_.length == 5), "video walk unaffected")
+    // skip-and-continue (r15 advice): a non-PCM FIRST audio stream must
+    // not refuse the whole container — the scan continues to the PCM
+    // stream behind it (stream 2, '02wb' chunks) and types from that
+    val twoAudio = Multimodal.syntheticAviMjpeg(
+      7L, 32, 24, nFrames = 5, audioSamples = audio, audioRate = 8000, nonPcmLeadAudio = true)
+    assert(
+      Multimodal.aviAudioInfo(twoAudio).contains((8000, 1600L)),
+      s"non-PCM lead stream must be skipped, got ${Multimodal.aviAudioInfo(twoAudio)}"
+    )
+    assert(Multimodal.decodeAviMjpegFrames(twoAudio).exists(_.length == 5))
     // stream-selective count: a chunk re-tagged to a THIRD stream ('02wb')
     // must not count toward stream 1's samples
     val retagged = avi.clone()
@@ -1243,6 +1283,13 @@ class OperatorSpec extends SparkTestBase {
     }
     val oneFrame = Multimodal.syntheticMp3(3L, 1, 44100)
     assert(Multimodal.probeMp3(oneFrame).isEmpty, "a single untagged frame must not type")
+    // the 2-chained-frames rule holds THROUGH an ID3 preamble too (r15
+    // advice): 'ID3' is 3 ASCII bytes any text blob can start with, so a
+    // tag plus ONE coincidentally valid header must not type
+    val oneFrameId3 = Multimodal.syntheticMp3(3L, 1, 44100, withId3 = true)
+    assert(Multimodal.probeMp3(oneFrameId3).isEmpty, "ID3 + a single frame must not type")
+    val twoFrameId3 = Multimodal.syntheticMp3(3L, 2, 44100, withId3 = true)
+    assert(Multimodal.probeMp3(twoFrameId3).contains((44100, 2 * 1152L)))
     // truncation: keeps complete frames only
     val base = Multimodal.syntheticMp3(5L, 10, 44100)
     for (len <- Seq(0, 3, 4, 100, base.length / 2, base.length - 1)) {
@@ -1287,13 +1334,97 @@ class OperatorSpec extends SparkTestBase {
       ),
       s"mediaProbe mistyped a structure-only container: $probe"
     )
-    // and in the dedup catalog they are typed but NEVER pair (no
-    // fingerprint exists — two identical MP3s both survive, like unknowns)
+    // and in the dedup catalog fingerprint-less rows still dedupe
+    // EXACTLY: byte-identical MP3s share a content digest (smaller id
+    // kept), while a near-identical sibling — same structure and typed
+    // metadata, different payload bytes — is correctly kept
     val cat = Multimodal.mediaDedupCatalog(Seq(
       Multimodal.MediaRow(10L, "audio/mpeg", Multimodal.syntheticMp3(7L, 20, 22050)),
-      Multimodal.MediaRow(11L, "audio/mpeg", Multimodal.syntheticMp3(7L, 20, 22050))
+      Multimodal.MediaRow(11L, "audio/mpeg", Multimodal.syntheticMp3(7L, 20, 22050)),
+      Multimodal.MediaRow(12L, "audio/mpeg", Multimodal.syntheticMp3(8L, 20, 22050))
     ).toDS()).collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(8))).toSet
-    assert(cat == Set((10L, "audio", true), (11L, "audio", true)), s"got $cat")
+    assert(cat == Set((10L, "audio", true), (11L, "audio", false), (12L, "audio", true)),
+      s"got $cat")
+  }
+
+  test("probeFlac/probeOgg/fMP4: structure-only typing — exact metadata, false-positive-proof, fuzz-safe") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    // FLAC: exact rate/channels/total-samples across the bit-packing range
+    for ((rate, ch, n) <- Seq((44100, 1, 3000L), (96000, 2, 1L), (8000, 8, (1L << 35) + 17L))) {
+      val flac = Multimodal.syntheticFlac(5L, n, rate, ch)
+      assert(Multimodal.probeFlac(flac).contains((rate, ch, n)),
+        s"flac $rate/$ch/$n: got ${Multimodal.probeFlac(flac)}")
+    }
+    // false positives: magic alone, wrong first-block type/size, rate 0,
+    // unknown length (totalSamples 0) all refuse
+    assert(Multimodal.probeFlac("fLaC followed by text is not a stream".getBytes).isEmpty)
+    val base = Multimodal.syntheticFlac(6L, 4096L, 22050, 1)
+    val wrongType = base.clone(); wrongType(4) = 0x04.toByte // VORBIS_COMMENT first
+    assert(Multimodal.probeFlac(wrongType).isEmpty, "first block must be STREAMINFO")
+    val zeroLen = base.clone()
+    // zero the 36-bit total-samples field (low nibble of byte 21 + bytes 22..25)
+    zeroLen(21) = (zeroLen(21) & 0xf0).toByte
+    for (i <- 22 to 25) zeroLen(i) = 0
+    assert(Multimodal.probeFlac(zeroLen).isEmpty, "unknown length must refuse, not guess")
+    for (len <- Seq(0, 4, 8, 41, 42, base.length - 1))
+      Multimodal.probeFlac(java.util.Arrays.copyOf(base, len)) // never throws
+    for (_ <- 0 until 300) {
+      val c = base.clone(); c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+      Multimodal.probeFlac(c) // never throws
+    }
+    // OGG: Vorbis at the id rate, Opus at 48 kHz minus pre-skip; the
+    // >255-byte page exercises the 255-lacing chain
+    val ov = Multimodal.syntheticOgg(9L, 12345L, 32000, 2, "vorbis", pages = 4)
+    assert(Multimodal.probeOgg(ov).contains((32000, 2, 12345L)), s"got ${Multimodal.probeOgg(ov)}")
+    val oo = Multimodal.syntheticOgg(9L, 960L, 48000, 1, "opus", pages = 2)
+    assert(Multimodal.probeOgg(oo).contains((48000, 1, 960L)), s"got ${Multimodal.probeOgg(oo)}")
+    // false positives: OggS + junk payload (no codec magic), a lone BOS
+    // page (no length declared), non-OGG bytes
+    assert(Multimodal.probeOgg("OggS and then some arbitrary text padding".getBytes).isEmpty)
+    val onePage = java.util.Arrays.copyOf(ov, 27 + 1 + 30) // BOS page only
+    assert(Multimodal.probeOgg(onePage).isEmpty, "an id page alone declares no length")
+    assert(Multimodal.probeOgg("definitely not an ogg container".getBytes).isEmpty)
+    // truncation keeps the last complete page's granule (<= planted)
+    for (len <- Seq(0, 26, 27, 60, ov.length / 2, ov.length - 1)) {
+      val out = Multimodal.probeOgg(java.util.Arrays.copyOf(ov, len))
+      assert(out.forall(_._3 <= 12345L), s"truncation at $len produced phantom samples")
+    }
+    for (_ <- 0 until 300) {
+      val c = ov.clone(); c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+      Multimodal.probeOgg(c) // never throws
+    }
+    // fragmented MP4: stsz 0, frames summed from moof/traf/trun
+    val fmp4 = Multimodal.syntheticMp4(4L, 128, 96, 11, fragments = 3)
+    assert(Multimodal.probeMp4(fmp4).contains((128, 96, 11, -1, -1L)),
+      s"got ${Multimodal.probeMp4(fmp4)}")
+    // a truncated fragment tail keeps the truns that parsed — cutting
+    // into the moof train loses frames, never invents them
+    for (cut <- Seq(70, 80, 150, 220)) {
+      val fOut = Multimodal.probeMp4(java.util.Arrays.copyOf(fmp4, fmp4.length - cut))
+      assert(fOut.forall(_._3 <= 11), s"phantom fragment frames at cut $cut: $fOut")
+    }
+    for (_ <- 0 until 200) {
+      val c = fmp4.clone(); c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+      Multimodal.probeMp4(c) // never throws
+    }
+    // mediaProbe end-to-end: all three new containers fully typed
+    val probe = Multimodal.mediaProbe(Seq(
+      Multimodal.MediaRow(0L, "audio/flac", Multimodal.syntheticFlac(1L, 5000L, 44100, 2)),
+      Multimodal.MediaRow(1L, "audio/ogg", Multimodal.syntheticOgg(1L, 7777L, 16000, 1, "vorbis")),
+      Multimodal.MediaRow(2L, "audio/opus", Multimodal.syntheticOgg(1L, 480L, 48000, 1, "opus")),
+      Multimodal.MediaRow(3L, "video/mp4", fmp4)
+    ).toDS()).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6), r.getLong(7))).toSet
+    assert(
+      probe == Set(
+        (0L, "audio", -1, -1, -1, 44100, 5000L),
+        (1L, "audio", -1, -1, -1, 16000, 7777L),
+        (2L, "audio", -1, -1, -1, 48000, 480L),
+        (3L, "video", 128, 96, 11, -1, -1L)
+      ),
+      s"mediaProbe mistyped a structure-only container: $probe"
+    )
   }
 
   test("mediaDedupCatalog: one-pass typed catalog, kind-routed dedup, keep-best + accounting") {
@@ -1311,11 +1442,13 @@ class OperatorSpec extends SparkTestBase {
       // video pair: same formula video, two containers
       Multimodal.MediaRow(30L, "video/gif", Multimodal.syntheticGif(5L, 24, 20, 4)),
       Multimodal.MediaRow(31L, "video/y4m", Multimodal.syntheticY4m(5L, 24, 20, 4)),
-      // two BYTE-IDENTICAL text blobs: unknown kind never enters a pair
-      // pass, so both must survive (dedup of unknowns is not this
-      // operator's contract — it has no fingerprint to trust)
+      // two BYTE-IDENTICAL text blobs: unknown kind has no perceptual
+      // fingerprint, but byte-identity is still provable — the content
+      // digest pairs them exactly (smaller id kept)
       Multimodal.MediaRow(40L, "text/plain", "same caption".getBytes("UTF-8")),
       Multimodal.MediaRow(41L, "text/plain", "same caption".getBytes("UTF-8")),
+      // near-identical unknown: one byte differs, no digest edge — kept
+      Multimodal.MediaRow(42L, "text/plain", "same caption!".getBytes("UTF-8")),
       // singleton image: different seed, pairs with nothing
       Multimodal.MediaRow(50L, "image/png", Multimodal.syntheticImage(99L, 20, 18, "png"))
     ).toDS()
@@ -1323,15 +1456,54 @@ class OperatorSpec extends SparkTestBase {
       .collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(8), r.getLong(9))))
       .toMap
-    assert(rows.size == 9, s"catalog must cover every input blob, got ${rows.keySet}")
+    assert(rows.size == 10, s"catalog must cover every input blob, got ${rows.keySet}")
     val want = Map(
       10L -> (("image", true, 2L)), 11L -> (("image", false, 2L)),
       20L -> (("audio", true, 2L)), 21L -> (("audio", false, 2L)),
       30L -> (("video", true, 2L)), 31L -> (("video", false, 2L)),
-      40L -> (("unknown", true, 1L)), 41L -> (("unknown", true, 1L)),
+      40L -> (("unknown", true, 2L)), 41L -> (("unknown", false, 2L)),
+      42L -> (("unknown", true, 1L)),
       50L -> (("image", true, 1L))
     )
     assert(rows == want, s"got $rows")
+    // videoMinFrames counts DISTINCT matched frame positions, not raw
+    // pairs (r15 advice): two UNRELATED clips that both open with the
+    // same two blank frames would mint 2×2 = 4 raw pairs from one
+    // distinct shared frame — they must NOT merge. A true edited copy
+    // (all shared frames at distinct positions) still must.
+    def y4mOfSeeds(w: Int, h: Int, seeds: Seq[Long]): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      baos.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n".getBytes("US-ASCII"))
+      for (fSeed <- seeds) {
+        baos.write("FRAME\n".getBytes("US-ASCII"))
+        val luma = Array.tabulate(w * h)(i =>
+          (Multimodal.syntheticPixel(fSeed, i % w, i / w) & 0xff).toByte)
+        baos.write(luma)
+        val chroma = new Array[Byte](2 * (((w + 1) / 2) * ((h + 1) / 2)))
+        java.util.Arrays.fill(chroma, 0x80.toByte)
+        baos.write(chroma)
+      }
+      baos.toByteArray
+    }
+    val blank = 777L
+    val fpMedia = Seq(
+      // unrelated clips sharing ONLY a repeated blank intro frame
+      Multimodal.MediaRow(60L, "video/y4m", y4mOfSeeds(24, 20, Seq(blank, blank, 601L, 602L))),
+      Multimodal.MediaRow(61L, "video/y4m", y4mOfSeeds(24, 20, Seq(blank, blank, 611L, 612L))),
+      // a genuine copy of 60 with one frame edited: 3 distinct matched
+      // positions on each side — merges
+      Multimodal.MediaRow(62L, "video/y4m", y4mOfSeeds(24, 20, Seq(blank, blank, 601L, 999L)))
+    ).toDS()
+    val fpRows = Multimodal.mediaDedupCatalog(fpMedia)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(8), r.getLong(9)))).toMap
+    assert(
+      fpRows == Map(
+        60L -> ((true, 2L)), // cluster {60, 62}, smaller id kept
+        61L -> ((true, 1L)), // UNRELATED: must stay a singleton
+        62L -> ((false, 2L))
+      ),
+      s"repeated-frame gate wrong: $fpRows"
+    )
     // native metadata survives normalization: the 8 kHz edition reports
     // its OWN rate and sample count, not the normalized ones
     val audio21 = Multimodal.mediaDedupCatalog(media, normalizeRate = Some(8000))

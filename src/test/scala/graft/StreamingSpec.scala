@@ -649,4 +649,65 @@ class StreamingSpec extends SparkTestBase {
         media(31L -> Multimodal.wavFromSamples(base.map(x => (x * 2).toShort)))), store, 3L, acc)
     assert(a1 == 0 && got(3L) == Set.empty[Long], s"scaled clip must drop: $got")
   }
+
+  test("StreamMediaDedup.typedDedupBatch: typed catalog mirror — kind gates, digest gate, replay idempotent") {
+    import graft.operators.Multimodal
+    val store = java.nio.file.Files.createTempDirectory("graft-typed-fp").toString + "/fps"
+    def media(rows: (Long, Array[Byte])*) =
+      rows.map { case (id, c) => Multimodal.MediaRow(id, "blob", c) }.toDS()
+    var got = Map.empty[Long, Map[Long, (String, Long)]]
+    def acc(df: org.apache.spark.sql.DataFrame, ep: Long): Unit =
+      got += ep -> df
+        .select(col("doc_id"), col("kind"), col("n_samples"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+        .toMap
+    val samples = Array.tabulate(400)(i => (Multimodal.syntheticSample(4L, i) >> 2).toShort)
+    val mp3 = Multimodal.syntheticMp3(11L, 6, 44100)
+    // epoch 0: one of each kind + a within-batch image twin — survivors
+    // carry the FULL typed catalog columns (the x187 row shape)
+    val n0 = graft.streaming.StreamMediaDedup.typedDedupBatch(
+      media(
+        10L -> Multimodal.syntheticImage(1L, 24, 20, "png"),
+        11L -> Multimodal.syntheticImage(1L, 24, 20, "bmp"), // twin: drops within-batch
+        20L -> Multimodal.wavFromSamples(samples, 16000),
+        30L -> Multimodal.syntheticGif(2L, 24, 20, 4),
+        40L -> mp3 // fingerprint-less: typed audio, digest-gated
+      ),
+      store, 0L, acc)
+    assert(n0 == 4, s"epoch 0 survivors: $got")
+    assert(got(0L).keySet == Set(10L, 20L, 30L, 40L), s"epoch 0: $got")
+    assert(got(0L)(20L) == (("audio", 400L)), s"typed columns must ride accept: $got")
+    assert(got(0L)(40L) == (("audio", 6 * 1152L)), s"MP3 typed via structure: $got")
+    assert(got(0L)(30L)._1 == "video", s"epoch 0: $got")
+    // epoch 1: re-ingests — image re-encoded (bmp), video re-containered
+    // (y4m), audio re-gained, the SAME mp3 bytes (digest hit), plus one
+    // fresh image: only the fresh image survives
+    val n1 = graft.streaming.StreamMediaDedup.typedDedupBatch(
+      media(
+        50L -> Multimodal.syntheticImage(1L, 24, 20, "bmp"),
+        51L -> Multimodal.wavFromSamples(samples.map(x => (x * 2).toShort), 16000),
+        52L -> Multimodal.syntheticY4m(2L, 24, 20, 4),
+        53L -> mp3.clone(),
+        60L -> Multimodal.syntheticImage(77L, 24, 20, "png")
+      ),
+      store, 1L, acc)
+    assert(n1 == 1 && got(1L).keySet == Set(60L), s"epoch 1: $got")
+    // replayed epoch 1: store excludes its own first attempt → same result
+    val n1b = graft.streaming.StreamMediaDedup.typedDedupBatch(
+      media(
+        50L -> Multimodal.syntheticImage(1L, 24, 20, "bmp"),
+        51L -> Multimodal.wavFromSamples(samples.map(x => (x * 2).toShort), 16000),
+        52L -> Multimodal.syntheticY4m(2L, 24, 20, 4),
+        53L -> mp3.clone(),
+        60L -> Multimodal.syntheticImage(77L, 24, 20, "png")
+      ),
+      store, 1L, acc)
+    assert(n1b == 1 && got(1L).keySet == Set(60L), s"epoch 1 replay: $got")
+    // a NEAR-identical mp3 (different payload bytes, same structure) is
+    // NOT digest-dropped — fingerprint-less rows dedupe on byte identity only
+    val n2 = graft.streaming.StreamMediaDedup.typedDedupBatch(
+      media(70L -> Multimodal.syntheticMp3(12L, 6, 44100)), store, 2L, acc)
+    assert(n2 == 1 && got(2L).keySet == Set(70L), s"epoch 2: $got")
+  }
 }
