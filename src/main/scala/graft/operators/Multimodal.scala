@@ -75,7 +75,13 @@ object Multimodal {
     val isBmp = bytes(0) == 'B' && bytes(1) == 'M'
     val isJpg = (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8
     val isGif = bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8'
-    if (!isPng && !isBmp && !isJpg && !isGif) return None
+    // baseline TIFF decodes through the JDK's ImageIO TIFF plugin (JDK 9+)
+    // — lossless, so the luma plane is deterministic like PNG/BMP; a
+    // multi-page file decodes its FIRST page (the fingerprintable one).
+    // Exotic/corrupt TIFFs fall back to [[probeTiff]]'s structure typing.
+    val isTif = (bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 0x2a && bytes(3) == 0) ||
+      (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 && bytes(3) == 0x2a)
+    if (!isPng && !isBmp && !isJpg && !isGif && !isTif) return None
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       // bulk getRGB in lumaOf: one sRGB-converted row-major int plane
@@ -1040,6 +1046,245 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** STRUCTURE-ONLY typing probe for WebP — the modern web image
+    * container the JDK cannot decode: a RIFF wrapper whose first
+    * bitstream chunk carries exact dimensions at fixed offsets. All
+    * three layouts handled: `VP8 ` (lossy: 3-byte frame tag, the
+    * 0x9d012a start code, then 14-bit LE width/height), `VP8L`
+    * (lossless: 0x2f signature, then width−1/height−1 in 14-bit fields
+    * of one LE u32), `VP8X` (extended: canvas width−1/height−1 as LE
+    * u24s; its ANIM flag + `ANMF` frame chunks make the container a
+    * VIDEO with an exact frame count — the Y4M/AVI container rule).
+    * Returns (width, height, animFrames) with animFrames 0 for a still
+    * image.
+    *
+    * Anti-false-positive discipline: the double magic (`RIFF`+`WEBP`)
+    * plus each layout's own signature (start code / 0x2f / reserved
+    * semantics) must hold — a recognized bitstream chunk whose
+    * signature fails REFUSES the whole container rather than skipping
+    * (a corrupt WebP should not type as an honest one). Truncated tails
+    * keep what parsed; never throws.
+    */
+  def probeWebp(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (bytes == null || bytes.length < 20) return None
+    def u8(p: Int): Int = bytes(p) & 0xff
+    def fcc(p: Int, s: String): Boolean =
+      s.indices.forall(k => bytes(p + k) == s.charAt(k).toByte)
+    if (!fcc(0, "RIFF") || !fcc(8, "WEBP")) return None
+    def le16(p: Int): Int = u8(p) | (u8(p + 1) << 8)
+    def le24(p: Int): Int = u8(p) | (u8(p + 1) << 8) | (u8(p + 2) << 16)
+    def le32(p: Int): Long =
+      u8(p).toLong | (u8(p + 1).toLong << 8) | (u8(p + 2).toLong << 16) | (u8(p + 3).toLong << 24)
+    var p = 12
+    var w = -1; var h = -1
+    var anim = false
+    var frames = 0
+    var done = false
+    while (!done && p + 8 <= bytes.length) {
+      val sz = le32(p + 4)
+      if (sz < 0 || p + 8 + sz > bytes.length) done = true // truncated tail
+      else {
+        val ps = p + 8
+        val t = new String(bytes, p, 4, "US-ASCII")
+        t match {
+          case "VP8 " =>
+            if (sz < 10 || u8(ps + 3) != 0x9d || u8(ps + 4) != 0x01 || u8(ps + 5) != 0x2a)
+              return None // bad start code: corrupt, refuse
+            if (w < 0) { w = le16(ps + 6) & 0x3fff; h = le16(ps + 8) & 0x3fff }
+          case "VP8L" =>
+            if (sz < 5 || u8(ps) != 0x2f) return None // bad signature
+            if (w < 0) {
+              val b = le32(ps + 1)
+              w = (b & 0x3fff).toInt + 1
+              h = ((b >> 14) & 0x3fff).toInt + 1
+            }
+          case "VP8X" =>
+            if (sz < 10) return None
+            anim = (u8(ps) & 0x02) != 0
+            if (w < 0) { w = le24(ps + 4) + 1; h = le24(ps + 7) + 1 }
+          case "ANMF" => frames += 1
+          case _ => () // ALPH/ICCP/EXIF/XMP/ANIM metadata: skip
+        }
+        p += 8 + sz.toInt + (sz.toInt & 1)
+      }
+    }
+    if (w <= 0 || h <= 0) None
+    else if (anim) Some((w, h, math.max(frames, 1)))
+    else Some((w, h, 0))
+  }
+
+  /** Deterministic synthetic WebP writer covering all three layouts —
+    * `variant` ∈ vp8 | vp8l | anim (VP8X + ANIM + `animFrames` ANMF
+    * chunks, each wrapping a junk VP8 payload). Junk bytes are
+    * seed-derived (never decoded; the probe under test reads structure
+    * only). Shares no code with [[probeWebp]].
+    */
+  def syntheticWebp(
+      seed: Long,
+      w: Int,
+      h: Int,
+      variant: String = "vp8",
+      animFrames: Int = 0
+  ): Array[Byte] = {
+    require(w >= 1 && w <= 0x4000 && h >= 1 && h <= 0x4000)
+    val le = java.nio.ByteOrder.LITTLE_ENDIAN
+    def chunk(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = payload.length & 1
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length + pad).order(le)
+      b.put(fourcc.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+      b.array()
+    }
+    def junk(n: Int, salt: Long): Array[Byte] =
+      Array.tabulate(n)(i => (syntheticSample(seed + salt, i) & 0xff).toByte)
+    def vp8Payload(fw: Int, fh: Int, salt: Long): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(10 + 16).order(le)
+      b.put(junk(3, salt)) // frame tag (never parsed structurally)
+      b.put(0x9d.toByte).put(0x01.toByte).put(0x2a.toByte)
+      b.putShort((fw & 0x3fff).toShort).putShort((fh & 0x3fff).toShort)
+      b.put(junk(16, salt + 1))
+      b.array()
+    }
+    val payload: Array[Byte] = variant match {
+      case "vp8" => chunk("VP8 ", vp8Payload(w, h, 0L))
+      case "vp8l" =>
+        val b = java.nio.ByteBuffer.allocate(5 + 12).order(le)
+        b.put(0x2f.toByte)
+        b.putInt(((h - 1) << 14) | (w - 1)) // 14-bit fields, version bits 0
+        b.put(junk(12, 2L))
+        chunk("VP8L", b.array())
+      case "anim" =>
+        require(animFrames >= 1)
+        val vp8x = java.nio.ByteBuffer.allocate(10).order(le)
+        vp8x.put(0x02.toByte).put(new Array[Byte](3)) // ANIM flag + reserved
+        vp8x.put((((w - 1) >> 0) & 0xff).toByte).put((((w - 1) >> 8) & 0xff).toByte)
+          .put((((w - 1) >> 16) & 0xff).toByte)
+        vp8x.put((((h - 1) >> 0) & 0xff).toByte).put((((h - 1) >> 8) & 0xff).toByte)
+          .put((((h - 1) >> 16) & 0xff).toByte)
+        val animChunk = chunk("ANIM", junk(6, 3L))
+        val anmf = (0 until animFrames).toArray.flatMap { k =>
+          // ANMF payload: 16 bytes of frame geometry (junk here) + a
+          // nested VP8 bitstream chunk
+          chunk("ANMF", junk(16, 10L + k) ++ chunk("VP8 ", vp8Payload(w, h, 20L + k)))
+        }
+        chunk("VP8X", vp8x.array()) ++ animChunk ++ anmf
+      case other => throw new IllegalArgumentException(s"unknown webp variant '$other'")
+    }
+    val b = java.nio.ByteBuffer.allocate(12 + payload.length).order(le)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(4 + payload.length)
+      .put("WEBP".getBytes("US-ASCII")).put(payload)
+    b.array()
+  }
+
+  /** STRUCTURE-ONLY typing probe for TIFF — the scanned-document staple
+    * (multi-page faxes, archival scans) the JDK cannot decode: both
+    * byte orders (`II` little, `MM` big), IFD walk reading the FIRST
+    * page's ImageWidth (tag 256) / ImageLength (tag 257) — SHORT and
+    * LONG entry types both handled, with the format's
+    * value-left-justified-in-4-bytes rule for inline SHORTs — and the
+    * next-IFD chain counted for the page count. Returns
+    * (width, height, pages).
+    *
+    * Anti-false-positive discipline: magic + version 42 + an in-bounds
+    * first IFD with ≥ 1 well-formed entry carrying BOTH dimension tags
+    * with positive values; the page walk is cycle-proof (a next-IFD
+    * offset must strictly increase — linkers emit them in file order;
+    * a backward link is treated as a truncated tail, keeping the pages
+    * already counted). Never throws.
+    */
+  def probeTiff(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (bytes == null || bytes.length < 8) return None
+    val le =
+      if (bytes(0) == 'I' && bytes(1) == 'I') true
+      else if (bytes(0) == 'M' && bytes(1) == 'M') false
+      else return None
+    def u8(p: Long): Int = bytes(p.toInt) & 0xff
+    def u16(p: Long): Int =
+      if (p < 0 || p + 2 > bytes.length) -1
+      else if (le) u8(p) | (u8(p + 1) << 8)
+      else (u8(p) << 8) | u8(p + 1)
+    def u32(p: Long): Long =
+      if (p < 0 || p + 4 > bytes.length) -1L
+      else if (le) u8(p).toLong | (u8(p + 1).toLong << 8) | (u8(p + 2).toLong << 16) | (u8(p + 3).toLong << 24)
+      else (u8(p).toLong << 24) | (u8(p + 1).toLong << 16) | (u8(p + 2).toLong << 8) | u8(p + 3).toLong
+    if (u16(2) != 42) return None
+    var ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > bytes.length) return None
+    var w = -1L; var h = -1L
+    var pages = 0
+    var prev = 0L
+    var done = false
+    while (!done && ifd > prev && ifd + 2 <= bytes.length) {
+      prev = ifd
+      val n = u16(ifd)
+      if (n <= 0) done = true
+      else {
+        if (ifd + 2 + 12L * n + 4 > bytes.length) done = true // truncated IFD
+        else {
+          pages += 1
+          if (pages == 1) {
+            var i = 0
+            while (i < n) {
+              val e = ifd + 2 + 12L * i
+              val tag = u16(e)
+              val typ = u16(e + 2)
+              // SHORT (3) is left-justified in the 4-byte value field;
+              // LONG (4) fills it — both with the header's byte order
+              val v =
+                if (typ == 3) u16(e + 8).toLong
+                else if (typ == 4) u32(e + 8)
+                else -1L
+              if (tag == 256) w = v else if (tag == 257) h = v
+              i += 1
+            }
+          }
+          ifd = u32(ifd + 2 + 12L * n)
+          if (ifd == 0) done = true
+        }
+      }
+    }
+    if (pages >= 1 && w > 0 && h > 0) Some((w.toInt, h.toInt, pages)) else None
+  }
+
+  /** Deterministic synthetic TIFF writer — both byte orders, `pages`
+    * chained IFDs each carrying ImageWidth/ImageLength (page 1 as LONG
+    * entries, later pages as SHORTs — both entry types exercised) plus
+    * junk strip bytes (never decoded). Shares no code with
+    * [[probeTiff]].
+    */
+  def syntheticTiff(
+      seed: Long,
+      w: Int,
+      h: Int,
+      pages: Int = 1,
+      littleEndian: Boolean = true
+  ): Array[Byte] = {
+    require(w >= 1 && h >= 1 && pages >= 1)
+    val order = if (littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN
+    // per page: IFD with 2 entries (2 + 24 + 4 bytes) + 8 junk strip bytes
+    val perPage = 2 + 2 * 12 + 4 + 8
+    val b = java.nio.ByteBuffer.allocate(8 + pages * perPage).order(order)
+    b.put((if (littleEndian) "II" else "MM").getBytes("US-ASCII"))
+    b.putShort(42.toShort)
+    b.putInt(8) // first IFD right after the header
+    for (k <- 0 until pages) {
+      val base = 8 + k * perPage
+      b.position(base)
+      b.putShort(2.toShort)
+      if (k == 0) {
+        // LONG entries: tag, type 4, count 1, full 4-byte value
+        b.putShort(256.toShort).putShort(4.toShort).putInt(1).putInt(w)
+        b.putShort(257.toShort).putShort(4.toShort).putInt(1).putInt(h)
+      } else {
+        // SHORT entries: value left-justified in the 4-byte field
+        b.putShort(256.toShort).putShort(3.toShort).putInt(1).putShort(w.toShort).putShort(0.toShort)
+        b.putShort(257.toShort).putShort(3.toShort).putInt(1).putShort(h.toShort).putShort(0.toShort)
+      }
+      b.putInt(if (k == pages - 1) 0 else base + perPage) // next-IFD link
+      for (i <- 0 until 8) b.put((syntheticSample(seed + k, i) & 0xff).toByte)
+    }
+    b.array()
+  }
+
   /** Deterministic synthetic MJPEG-in-AVI encoder — the COMPRESSED twin
     * of [[syntheticGif]]/[[syntheticY4m]]: each frame is the formula
     * plane (grayscale, `syntheticPixel(frameSeed(seed, k), x, y) & 0xff`)
@@ -1797,6 +2042,21 @@ object Multimodal {
                   .orElse(probeMp3(r.content).map { case (rate, n) => audioTyped(rate, n) })
                   .orElse(probeFlac(r.content).map { case (rate, _, n) => audioTyped(rate, n) })
                   .orElse(probeOgg(r.content).map { case (rate, _, n) => audioTyped(rate, n) })
+                  .orElse(probeWebp(r.content).map { case (w, h, nf) =>
+                    // animated WebP (VP8X ANIM + ANMF chain) is a video
+                    // CONTAINER — typed video with its exact frame count
+                    // (the Y4M/AVI rule); a still WebP is an image
+                    if (nf > 0)
+                      TypedMedia(r.doc_id, "video", len, w, h, nf, -1, -1L, None, None, dg)
+                    else
+                      TypedMedia(r.doc_id, "image", len, w, h, 1, -1, -1L, None, None, dg)
+                  })
+                  .orElse(probeTiff(r.content).map { case (w, h, pages) =>
+                    // a multi-page TIFF stays an IMAGE container (scanned
+                    // document, not motion video) — n_frames carries the
+                    // exact page count
+                    TypedMedia(r.doc_id, "image", len, w, h, pages, -1, -1L, None, None, dg)
+                  })
                   .getOrElse(
                     TypedMedia(r.doc_id, "unknown", len, -1, -1, -1, -1, -1L, None, None, dg))
             }

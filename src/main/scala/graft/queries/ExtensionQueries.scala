@@ -4252,6 +4252,57 @@ object ExtensionQueries {
         .orderBy(col("kind"))
     }),
 
+    // WebP structure-only typing: dims at the three layouts' fixed
+    // offsets (VP8 start-code, VP8L packed u32, VP8X u24 canvas), and
+    // the animated container types as VIDEO with its exact ANMF frame
+    // count. Every field replays from the synthesis arithmetic.
+    "x193_webp_probe" -> ((s, dir) => {
+      import s.implicits._
+      val ids = T(s, dir, "documents")
+        .select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(20)) === 0)
+        .as[Long]
+      val media = ids.map { id =>
+        val w = 16 + (id % 9).toInt
+        val h = 16 + (id % 7).toInt
+        val content = (id / 20) % 3 match {
+          case 0 => Multimodal.syntheticWebp(id, w, h, "vp8")
+          case 1 => Multimodal.syntheticWebp(id, w, h, "vp8l")
+          case _ => Multimodal.syntheticWebp(id, w, h, "anim", animFrames = 2 + (id % 5).toInt)
+        }
+        Multimodal.MediaRow(id, "image/webp", content)
+      }
+      Multimodal
+        .mediaProbe(media)
+        .drop("byte_len")
+        .orderBy(col("doc_id"))
+    }),
+
+    // TIFF structure-only typing: both byte orders, SHORT and LONG
+    // dimension entries, multi-page next-IFD chains — the scanned-
+    // document container typed exactly with no codec (these synthetic
+    // strips are junk, so the ImageIO decode path refuses and the IFD
+    // probe must carry the row). Every field replays from arithmetic.
+    "x194_tiff_probe" -> ((s, dir) => {
+      import s.implicits._
+      val ids = T(s, dir, "documents")
+        .select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(20)) === 0)
+        .as[Long]
+      val media = ids.map { id =>
+        val w = 100 + (id % 9).toInt
+        val h = 80 + (id % 7).toInt
+        val pages = 1 + (id % 4).toInt
+        Multimodal.MediaRow(
+          id, "image/tiff",
+          Multimodal.syntheticTiff(id, w, h, pages, littleEndian = id % 2 == 0))
+      }
+      Multimodal
+        .mediaProbe(media)
+        .drop("byte_len")
+        .orderBy(col("doc_id"))
+    }),
+
     // PURE-SQL capstone: x187's corpus through the graft_media_dedup
     // TABLE function (the x185 discipline for the dedup pipeline) — a
     // SQL-only user gets the identical one-decode-pass, kind-routed,
@@ -7831,6 +7882,32 @@ object ExtensionQueries {
         |    CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id * 8 + 2) AS BIGINT)
         |  FROM d WHERE sel = 1 HAVING COUNT(*) > 0)
         |ORDER BY kind""".stripMargin,
+
+    // WebP typing: still layouts are images (n_frames 1), the animated
+    // container is video with its exact ANMF count; no rate/samples
+    "x193_webp_probe" ->
+      """WITH d AS (SELECT doc_id, (doc_id // 20) % 3 AS sel,
+        |    16 + doc_id % 9 AS w, 16 + doc_id % 7 AS h,
+        |    2 + doc_id % 5 AS af
+        |  FROM documents WHERE doc_id % 20 = 0)
+        |SELECT doc_id,
+        |  CASE WHEN sel = 2 THEN 'video' ELSE 'image' END AS kind,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(CASE WHEN sel = 2 THEN af ELSE 1 END AS INT) AS n_frames,
+        |  CAST(-1 AS INT) AS sample_rate, CAST(-1 AS BIGINT) AS n_samples
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // TIFF typing: image kind, exact dims, n_frames = IFD page count
+    "x194_tiff_probe" ->
+      """WITH d AS (SELECT doc_id,
+        |    100 + doc_id % 9 AS w, 80 + doc_id % 7 AS h,
+        |    1 + doc_id % 4 AS pages
+        |  FROM documents WHERE doc_id % 20 = 0)
+        |SELECT doc_id, 'image' AS kind,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(pages AS INT) AS n_frames,
+        |  CAST(-1 AS INT) AS sample_rate, CAST(-1 AS BIGINT) AS n_samples
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // SQL-path twin of x187 (same capstone through the table function)
     "x188_sql_media_dedup" ->

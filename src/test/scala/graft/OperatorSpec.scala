@@ -1347,7 +1347,7 @@ class OperatorSpec extends SparkTestBase {
       s"got $cat")
   }
 
-  test("probeFlac/probeOgg/fMP4: structure-only typing — exact metadata, false-positive-proof, fuzz-safe") {
+  test("probeFlac/probeOgg/fMP4/WebP/TIFF: structure-only typing — exact metadata, false-positive-proof, fuzz-safe") {
     import spark.implicits._
     val rnd = new scala.util.Random(77)
     // FLAC: exact rate/channels/total-samples across the bit-packing range
@@ -1408,12 +1408,71 @@ class OperatorSpec extends SparkTestBase {
       val c = fmp4.clone(); c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
       Multimodal.probeMp4(c) // never throws
     }
-    // mediaProbe end-to-end: all three new containers fully typed
+    // WebP: all three layouts — exact dims, animated = video with the
+    // exact ANMF frame count, stills = image
+    assert(Multimodal.probeWebp(Multimodal.syntheticWebp(1L, 320, 240, "vp8")).contains((320, 240, 0)))
+    assert(Multimodal.probeWebp(Multimodal.syntheticWebp(1L, 17, 4001, "vp8l")).contains((17, 4001, 0)))
+    assert(Multimodal.probeWebp(Multimodal.syntheticWebp(1L, 64, 48, "anim", 7)).contains((64, 48, 7)))
+    // false positives: double magic alone, corrupt start code, non-RIFF
+    assert(Multimodal.probeWebp("RIFFxxxxWEBP then some text tail padding".getBytes).isEmpty)
+    val badWebp = Multimodal.syntheticWebp(1L, 32, 32, "vp8")
+    badWebp(12 + 8 + 3) = 0x00.toByte // break the 0x9d012a start code
+    assert(Multimodal.probeWebp(badWebp).isEmpty, "corrupt start code must refuse")
+    assert(Multimodal.probeWebp("no container at all".getBytes).isEmpty)
+    val goodWebp = Multimodal.syntheticWebp(2L, 100, 50, "vp8")
+    for (len <- Seq(0, 11, 12, 19, 20, goodWebp.length - 1))
+      Multimodal.probeWebp(java.util.Arrays.copyOf(goodWebp, len)) // never throws
+    for (_ <- 0 until 300) {
+      val c = goodWebp.clone(); c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+      Multimodal.probeWebp(c) // never throws
+    }
+    // TIFF: both byte orders, SHORT + LONG entries, multi-page chains
+    assert(Multimodal.probeTiff(Multimodal.syntheticTiff(1L, 640, 480, 1, littleEndian = true))
+      .contains((640, 480, 1)))
+    assert(Multimodal.probeTiff(Multimodal.syntheticTiff(1L, 99, 77, 5, littleEndian = false))
+      .contains((99, 77, 5)))
+    // false positives: magic alone, version != 42, text
+    assert(Multimodal.probeTiff("IIx.and then some text that is not a tiff".getBytes).isEmpty)
+    val bad42 = Multimodal.syntheticTiff(1L, 10, 10)
+    bad42(2) = 41.toByte
+    assert(Multimodal.probeTiff(bad42).isEmpty, "version must be 42")
+    assert(Multimodal.probeTiff("MM no tiff here either, just words".getBytes).isEmpty)
+    // truncation keeps parsed pages; corruption never throws
+    val tif5 = Multimodal.syntheticTiff(3L, 50, 40, 5)
+    for (len <- Seq(0, 4, 8, 9, 40, tif5.length / 2, tif5.length - 1)) {
+      val out = Multimodal.probeTiff(java.util.Arrays.copyOf(tif5, len))
+      assert(out.forall(_._3 <= 5), s"truncation at $len produced phantom pages")
+    }
+    for (_ <- 0 until 300) {
+      val c = tif5.clone(); c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+      Multimodal.probeTiff(c) // never throws
+    }
+    // a REAL (decodable) TIFF takes the ImageIO DECODE path instead:
+    // same plane written as TIFF and PNG → identical luma → identical
+    // aHash (the x167 lossless cross-container contract)
+    // RGB plane (not TYPE_BYTE_GRAY — Java's gray ColorSpace is linear
+    // and getRGB gamma-converts it): same formula pixels as the PNG twin
+    val plane = new java.awt.image.BufferedImage(24, 20, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 20; x <- 0 until 24)
+      plane.setRGB(x, y, Multimodal.syntheticPixel(9L, x, y))
+    val tifBaos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(plane, "tiff", tifBaos), "no JDK TIFF writer")
+    val realTif = tifBaos.toByteArray
+    val Some((tw, th, _, tLuma)) = Multimodal.decodeImage(realTif)
+    val Some((pw, ph, _, pLuma)) =
+      Multimodal.decodeImage(Multimodal.syntheticImage(9L, 24, 20, "png"))
+    assert(tw == pw && th == ph && tLuma.sameElements(pLuma),
+      "decodable TIFF must take the REAL decode path with the PNG-identical plane")
+    // mediaProbe end-to-end: all the new containers fully typed
     val probe = Multimodal.mediaProbe(Seq(
       Multimodal.MediaRow(0L, "audio/flac", Multimodal.syntheticFlac(1L, 5000L, 44100, 2)),
       Multimodal.MediaRow(1L, "audio/ogg", Multimodal.syntheticOgg(1L, 7777L, 16000, 1, "vorbis")),
       Multimodal.MediaRow(2L, "audio/opus", Multimodal.syntheticOgg(1L, 480L, 48000, 1, "opus")),
-      Multimodal.MediaRow(3L, "video/mp4", fmp4)
+      Multimodal.MediaRow(3L, "video/mp4", fmp4),
+      Multimodal.MediaRow(4L, "image/webp", Multimodal.syntheticWebp(1L, 320, 240, "vp8")),
+      Multimodal.MediaRow(5L, "image/webp", Multimodal.syntheticWebp(1L, 64, 48, "anim", 7)),
+      Multimodal.MediaRow(6L, "image/tiff", Multimodal.syntheticTiff(1L, 200, 150, 3)),
+      Multimodal.MediaRow(7L, "image/tiff", realTif) // decodable: REAL decode path
     ).toDS()).collect().map(r =>
       (r.getLong(0), r.getString(1), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6), r.getLong(7))).toSet
     assert(
@@ -1421,7 +1480,11 @@ class OperatorSpec extends SparkTestBase {
         (0L, "audio", -1, -1, -1, 44100, 5000L),
         (1L, "audio", -1, -1, -1, 16000, 7777L),
         (2L, "audio", -1, -1, -1, 48000, 480L),
-        (3L, "video", 128, 96, 11, -1, -1L)
+        (3L, "video", 128, 96, 11, -1, -1L),
+        (4L, "image", 320, 240, 1, -1, -1L),
+        (5L, "video", 64, 48, 7, -1, -1L),
+        (6L, "image", 200, 150, 3, -1, -1L),
+        (7L, "image", 24, 20, 1, -1, -1L)
       ),
       s"mediaProbe mistyped a structure-only container: $probe"
     )
