@@ -2937,8 +2937,12 @@ object StressXOps {
           )
         else if (id % 400 == 103) {
           // byte-identical MP3 pair: undecodable (structure-only typed),
-          // dedupable ONLY through the content-digest edges
-          val mp3 = operators.Multimodal.syntheticMp3(id, 4, 44100)
+          // dedupable ONLY through the content-digest edges. 12 frames:
+          // even at the smallest VBR bitrate the blob clears the 1024-byte
+          // fallback frame, so the videoNearDupPairs recall leg sees the
+          // byte-identical pair too (4-frame clips can be < 1 fallback
+          // frame and carry NO raw-block hash at all — measured r16)
+          val mp3 = operators.Multimodal.syntheticMp3(id, 12, 44100)
           Seq(
             base,
             operators.Multimodal.MediaRow(id + Mp3Offset, "audio/mpeg", mp3),
