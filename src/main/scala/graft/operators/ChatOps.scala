@@ -294,16 +294,34 @@ object ChatOps {
     val c = comparisons
       .select(col("winner"), col("loser"))
       .filter(col("winner").isNotNull && col("loser").isNotNull && col("winner") =!= col("loser"))
-    val directed = c.groupBy(col("winner"), col("loser")).agg(count(lit(1)).as("w"))
+    def mp(df: DataFrame): DataFrame =
+      if (checkpoint) graft.runtime.GraftCheckpoint.pin(df) else df
+    // directed is THE corpus aggregation — pin it so the single pass over
+    // the comparison corpus happens exactly once. Before this pin, the
+    // unpinned wins/losses tables re-executed the whole upstream (corpus
+    // scan + whatever windows fed `comparisons`) once per MM iteration
+    // plus twice in the final ranking join — 7 corpus passes for 5 iters
+    // (measured on x128: 4.2 s → see OPTIMIZATION_r16.md). Everything
+    // below is pair-/item-sized model state derived from this pin.
+    val directed = c
+      .groupBy(col("winner"), col("loser"))
+      .agg(count(lit(1)).as("w"))
+      .transform(mp)
     val und = directed
       .select(col("winner").as("i"), col("loser").as("j"), col("w"))
       .unionByName(directed.select(col("loser").as("i"), col("winner").as("j"), col("w")))
       .groupBy(col("i"), col("j"))
       .agg(sum(col("w")).as("n_ij"))
-      .transform(graft.runtime.GraftCheckpoint.pin)
-    val wins = directed.groupBy(col("winner").as("item")).agg(sum(col("w")).as("wins"))
-    val losses = directed.groupBy(col("loser").as("item")).agg(sum(col("w")).as("losses"))
-    val items = und.select(col("i").as("item")).distinct().transform(graft.runtime.GraftCheckpoint.pin)
+      .transform(mp)
+    val wins = directed
+      .groupBy(col("winner").as("item"))
+      .agg(sum(col("w")).as("wins"))
+      .transform(mp)
+    val losses = directed
+      .groupBy(col("loser").as("item"))
+      .agg(sum(col("w")).as("losses"))
+      .transform(mp)
+    val items = und.select(col("i").as("item")).distinct().transform(mp)
 
     var s = items.select(col("item"), lit(1.0).as("s"))
     var k = 0
@@ -326,7 +344,7 @@ object ChatOps {
       val next = raw
         .crossJoin(broadcast(tot))
         .select(col("item"), (col("sr") * col("n").cast("double") / col("tot")).as("s"))
-      s = if (checkpoint) next.transform(graft.runtime.GraftCheckpoint.pin) else next
+      s = if (checkpoint) next.transform(mp) else next
       k += 1
     }
     val ranked = s

@@ -93,10 +93,13 @@ object GraphOps {
     * sum/divide that an oracle replays exactly; documented choice).
     * Returns `(id, hub, auth)` UNROUNDED; round at the edge.
     *
-    * Scale shape per half-step: one equi-join of scores against the
-    * checkpointed edge list + one partial-agg exchange (identical to
-    * [[pageRank]]'s iteration), plus a 1-row L1-total broadcast. Eagerly
-    * `localCheckpoint`ed per iteration.
+    * Scale shape per half-step: one equi-join of the SPARSE score frame
+    * against the checkpointed edge list + one partial-agg exchange
+    * (identical to [[pageRank]]'s iteration), pinned, with the L1 total
+    * read as a 1-row driver scalar (model state, like [[pageRank]]'s
+    * |V|). Zero-score nodes carry no rows through the loop — their 0.0
+    * contributions are arithmetic no-ops — and are re-densified once in
+    * the final assembly.
     */
   def hits(edges: DataFrame, iters: Int): DataFrame = {
     val e = dropNullEndpoints(edges).transform(graft.runtime.GraftCheckpoint.pin)
@@ -105,34 +108,52 @@ object GraphOps {
       .union(e.select(col("dst").as("id")))
       .distinct()
       .transform(graft.runtime.GraftCheckpoint.pin)
-    var scores = nodes.select(col("id"), lit(1.0).as("hub"), lit(1.0).as("auth"))
+    // The loop carries SPARSE score frames: only nodes with a nonzero
+    // score appear ((id, hub) / (id, auth)); zero-score nodes contribute
+    // exactly 0.0 to every downstream sum, so dropping their rows changes
+    // no arithmetic (x + 0.0 ≡ x; the L1 totals never saw them either) —
+    // but it removes the per-half-step dense `nodes LEFT JOIN` that the
+    // old formulation paid twice per iteration, and with it ~half the
+    // stages (old: 2 dense joins + 2 broadcast-nested-loop total joins +
+    // one pinned join of two aggregate subtrees per iteration — where the
+    // auth subtree executed 2–3x because the totals and the final join
+    // each re-derived it; measured on x106: 33 stages, 2.7–9.0 s
+    // run-to-run). Each half-step is now ONE equi-join + ONE
+    // partial-aggregating exchange, pinned, with the L1 total read as a
+    // 1-row driver scalar off the pinned aggregate (model state, the
+    // pageRank |V| discipline). Zeros are re-densified once at the end.
+    var hubS = nodes.select(col("id"), lit(1.0).as("hub")) // dense init: all 1.0
+    var authS: DataFrame = null
     var i = 0
     while (i < iters) {
       val authRaw = e
-        .join(scores.select(col("id"), col("hub")), e("src") === col("id"))
+        .join(hubS, e("src") === hubS("id"))
         .groupBy(col("dst"))
         .agg(sum(col("hub")).as("__a"))
-      val authTot = authRaw.agg(sum(col("__a")).as("__ta"))
-      val auth = nodes
-        .join(authRaw, nodes("id") === authRaw("dst"), "left")
-        .crossJoin(broadcast(authTot))
-        .select(col("id"), (coalesce(col("__a"), lit(0.0)) / col("__ta")).as("auth"))
+        .transform(graft.runtime.GraftCheckpoint.pin)
+      // coalesce: an empty edge set has no rows to sum (the output is
+      // empty anyway — nodes is empty — but the scalar read must not NPE)
+      val ta = authRaw.agg(coalesce(sum(col("__a")), lit(Double.NaN)).as("t")).head().getDouble(0)
+      authS = authRaw.select(col("dst").as("id"), (col("__a") / lit(ta)).as("auth"))
       val hubRaw = e
-        .join(auth.select(col("id").as("__aid"), col("auth")), e("dst") === col("__aid"))
+        .join(authS, e("dst") === authS("id"))
         .groupBy(col("src"))
         .agg(sum(col("auth")).as("__h"))
-      val hubTot = hubRaw.agg(sum(col("__h")).as("__th"))
-      val hub = nodes
-        .join(hubRaw, nodes("id") === hubRaw("src"), "left")
-        .crossJoin(broadcast(hubTot))
-        .select(col("id").as("__hid"), (coalesce(col("__h"), lit(0.0)) / col("__th")).as("hub"))
-      scores = auth
-        .join(hub, auth("id") === hub("__hid"))
-        .select(col("id"), col("hub"), col("auth"))
         .transform(graft.runtime.GraftCheckpoint.pin)
+      val th = hubRaw.agg(coalesce(sum(col("__h")), lit(Double.NaN)).as("t")).head().getDouble(0)
+      hubS = hubRaw.select(col("src").as("id"), (col("__h") / lit(th)).as("hub"))
       i += 1
     }
-    scores
+    if (iters == 0) nodes.select(col("id"), lit(1.0).as("hub"), lit(1.0).as("auth"))
+    else
+      nodes
+        .join(hubS.withColumnRenamed("id", "__hid"), nodes("id") === col("__hid"), "left")
+        .join(authS.withColumnRenamed("id", "__aid"), nodes("id") === col("__aid"), "left")
+        .select(
+          col("id"),
+          coalesce(col("hub"), lit(0.0)).as("hub"),
+          coalesce(col("auth"), lit(0.0)).as("auth")
+        )
   }
 
   /** Redirect-chain resolution by pointer doubling — the crawl-side

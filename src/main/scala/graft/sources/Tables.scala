@@ -37,6 +37,46 @@ object Tables {
     "spark.buffer.pageSize" -> "4m"
   )
 
+  /** On-disk size of one table (0 when unknown) — the input-size signal
+    * behind [[loadFanned]]'s scale-adaptive fan-out decision.
+    */
+  def tableBytes(dir: String, name: String): Long =
+    try {
+      val f = new java.io.File(new java.io.File(dir), s"$name.parquet")
+      if (f.isFile) f.length()
+      else if (f.isDirectory) f.listFiles().map(_.length()).sum
+      else 0L
+    } catch { case _: Throwable => 0L }
+
+  /** [[load]] plus a SIZE-GATED round-robin fan-out, for pipelines whose
+    * first stage does heavy per-row CPU work (shingling + MinHash, media
+    * decode/probe, edit-distance segment explode, dense cosine kernels).
+    *
+    * Why (guide §2, scale-adaptive partitioning): scan parallelism is
+    * bounded by parquet ROW GROUPS, not by split arithmetic — this
+    * corpus's tables are single-row-group files, so every scan-rooted
+    * stage runs as ONE task while the other cores idle (measured: x6's
+    * shingle+hash stage = 1 task, 1.4 s of a 2.5 s query; x187's decode
+    * pass = 1 task, 0.5 s). A keyless repartition to the session's
+    * default parallelism costs one exchange of the (small by the gate's
+    * construction) raw rows and parallelizes everything downstream.
+    *
+    * The gate derives from input size and core count, never a local[32]
+    * constant: fan out only when the table is smaller than cores x 4 MB
+    * (4 MB = Spark's stock `files.openCostInBytes` split floor, i.e.
+    * exactly the regime where the scan CANNOT reach `cores` splits by
+    * itself). At cluster scale the same table is orders of magnitude past
+    * the gate and the code is the identity — no shuffle is ever added to
+    * a corpus that already scans wide.
+    */
+  def loadFanned(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = load(spark, dir, name)
+    val cores = spark.sparkContext.defaultParallelism
+    val bytes = tableBytes(dir, name)
+    if (bytes > 0L && bytes < cores.toLong * (4L << 20)) df.repartition(cores)
+    else df
+  }
+
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings"
