@@ -333,22 +333,31 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val docs = df.select(idCol.as("id"), array_distinct(shingles(text, n)).as("sh"))
+    // pinned: the shingle arrays feed the signature pass AND the exact
+    // Jaccard verify joins (2 sides) — unpinned, shingling re-ran 4x
+    // (band self-join sides + both verify sides)
+    val docs = graft.runtime.GraftCheckpoint.pin(
+      df.select(idCol.as("id"), array_distinct(shingles(text, n)).as("sh"))
+    )
     // signature as ONE native-expression pass per row — no explode, no
     // aggregation, no shuffle at all until the band join (the former
     // explode + 32-min-agg stage dominated the 1M-doc stress at 86 s;
     // bit-identical hash chain, see graft.functions.text.MinHashSig)
     val sig = docs.select(col("id"), graft.functions.text.minhash_sig(col("sh"), numHashes).as("sig"))
     // band keys: hash each signature slice; candidates join on (band, key)
-    // carrying ONLY ids — document shingles never ride the band shuffle
+    // carrying ONLY ids — document shingles never ride the band shuffle.
+    // Pinned (ids + band keys, the mass the join shuffles anyway) so the
+    // self-join's two sides share one signature pass.
     val bandCols = (0 until bands).map { b =>
       struct(
         lit(b).as("band"),
         xxhash64((b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*).as("bucket")
       )
     }
-    val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val banded = graft.runtime.GraftCheckpoint.pin(
+      sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    )
     val cand = banded
       .join(banded.withColumnRenamed("id", "id_b"), Seq("band", "bucket"))
       .filter(col("id") < col("id_b"))
@@ -429,7 +438,15 @@ object Dedup {
     * evaluation) cannot drift between modalities.
     */
   private[graft] def pairsFromFps(fps: DataFrame, maxHamming: Int, blocks: Int): DataFrame = {
-    val blocked = simhashBlocked(fps, maxHamming, blocks)
+    // pin the blocked key relation: the self-join's two sides otherwise
+    // each re-execute the fingerprint upstream — for the media callers
+    // that is a FULL second decode pass of every blob (image/audio/video
+    // near-dup all route here). The pinned frame is ids + 8-byte hashes +
+    // combo keys — the exact mass the join shuffles anyway, so the
+    // materialization adds one linear write in exchange for halving the
+    // upstream cost at any scale.
+    val blocked =
+      graft.runtime.GraftCheckpoint.pin(simhashBlocked(fps, maxHamming, blocks))
     val l = blocked.select(col("bk"), col("id").as("id_a"), col("simhash").as("fp_a"))
     val r = blocked.select(col("bk"), col("id").as("id_b"), col("simhash").as("fp_b"))
     l.join(r, Seq("bk"))
@@ -499,19 +516,43 @@ object Dedup {
       idCol: Column,
       n: Int = 3,
       threshold: Double = 0.5
-  ): DataFrame = {
-    val docs = df.select(idCol.as("id"), array_distinct(shingles(text, n)).as("sh0"))
-      .select(col("id"), transform(col("sh0"), s => xxhash64(s)).as("sh"))
-      .withColumn("nsh", size(col("sh")))
+  ): DataFrame =
+    prefixPairsOn(hashedShingleDocs(df, text, idCol, n), threshold)
+
+  /** Pinned (id, sh: array<hashed shingle>, nsh) corpus frame shared by
+    * every strategy of the n-gram Jaccard family: shingling + hashing is
+    * the dominant per-row CPU of these operators, and the unpinned
+    * formulation re-ran it once per self-join side plus once for the
+    * auto-switch cost model (3x; measured on x6 — the shingle stage was
+    * 1.4 s of a 2.5 s query). One pinned pass at any scale.
+    */
+  private def hashedShingleDocs(
+      df: DataFrame,
+      text: Column,
+      idCol: Column,
+      n: Int
+  ): DataFrame =
+    graft.runtime.GraftCheckpoint.pin(
+      df.select(idCol.as("id"), transform(array_distinct(shingles(text, n)), s => xxhash64(s)).as("sh"))
+        .withColumn("nsh", size(col("sh")))
+    )
+
+  /** PPJoin body over a pinned [[hashedShingleDocs]] frame. The ranked
+    * prefix-key relation is itself pinned — its self-join would otherwise
+    * re-run the frequency join + per-doc sort twice.
+    */
+  private def prefixPairsOn(docs: DataFrame, threshold: Double): DataFrame = {
     val inv = docs.select(col("id"), col("nsh"), explode(col("sh")).as("s"))
     val freq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // global order: (frequency asc, hash asc); prefix keeps the rarest
-    val ranked = inv
-      .join(freq, Seq("s"))
-      .groupBy(col("id"), col("nsh"))
-      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("ordered"))
-      .withColumn("plen", (col("nsh") - ceil(col("nsh") * threshold) + 1).cast("int"))
-      .select(col("id"), col("nsh"), explode(slice(transform(col("ordered"), e => e.getField("s")), lit(1), greatest(col("plen"), lit(1)))).as("s"))
+    val ranked = graft.runtime.GraftCheckpoint.pin(
+      inv
+        .join(freq, Seq("s"))
+        .groupBy(col("id"), col("nsh"))
+        .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("ordered"))
+        .withColumn("plen", (col("nsh") - ceil(col("nsh") * threshold) + 1).cast("int"))
+        .select(col("id"), col("nsh"), explode(slice(transform(col("ordered"), e => e.getField("s")), lit(1), greatest(col("plen"), lit(1)))).as("s"))
+    )
     val cand = ranked
       .select(col("s"), col("id").as("id_a"), col("nsh").as("n_a"))
       .join(ranked.select(col("s"), col("id").as("id_b"), col("nsh").as("n_b")), Seq("s"))
@@ -562,10 +603,24 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.5,
       switchRatio: Double = 320.0
-  ): DataFrame =
-    if (preferPrefixStrategy(df, text, n, threshold, switchRatio))
-      ngramJaccardPairsPrefix(df, text, idCol, n, threshold)
-    else ngramJaccardPairs(df, text, idCol, n, threshold)
+  ): DataFrame = {
+    // one pinned shingle pass feeds the cost model AND the chosen
+    // strategy (the decision aggregate runs over the pinned frame, so the
+    // former third shingling pass is now a cheap explode+agg)
+    val docs = hashedShingleDocs(df, text, idCol, n)
+    val r = docs
+      .select(explode(col("sh")).as("s"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+      .agg(
+        coalesce(sum(col("df")), lit(0L)).as("mass"),
+        coalesce(sum((col("df") * (col("df") - 1)).cast("long")), lit(0L)).as("cand2x")
+      )
+      .head()
+    val mass = r.getLong(0)
+    val prefer = mass > 0 && r.getLong(1).toDouble / 2.0 / mass > switchRatio * (1.0 - threshold)
+    if (prefer) prefixPairsOn(docs, threshold) else naivePairsOn(docs, threshold)
+  }
 
   /** True when the naive index's candidate mass Σ C(df, 2) exceeds
     * `switchRatio · (1 − threshold)` times the linear shingle mass Σ df —
@@ -645,14 +700,18 @@ object Dedup {
       idCol: Column,
       n: Int = 3,
       threshold: Double = 0.5
-  ): DataFrame = {
-    val docs = df.select(idCol.as("id"), array_distinct(shingles(text, n)).as("sh"))
-      .withColumn("nsh", size(col("sh")))
-    // join on the 64-bit shingle hash, not the string: the self-join
-    // shuffles 8-byte keys instead of n-gram text (collision odds across
-    // distinct shingles are ~|S|^2 / 2^65 — negligible below ~10^8 shingles)
-    val inv = docs.select(col("id"), col("nsh"), explode(col("sh")).as("s0"))
-      .select(col("id"), col("nsh"), xxhash64(col("s0")).as("s"))
+  ): DataFrame =
+    naivePairsOn(hashedShingleDocs(df, text, idCol, n), threshold)
+
+  /** Naive-inverted-index body over a pinned [[hashedShingleDocs]] frame.
+    * The join is on the 64-bit shingle hash, not the string: the self-join
+    * shuffles 8-byte keys instead of n-gram text (collision odds across
+    * distinct shingles are ~|S|^2 / 2^65 — negligible below ~10^8
+    * shingles). Both join sides explode the SAME pinned frame, so the
+    * shingle pass runs once.
+    */
+  private def naivePairsOn(docs: DataFrame, threshold: Double): DataFrame = {
+    val inv = docs.select(col("id"), col("nsh"), explode(col("sh")).as("s"))
     val l = inv.select(col("s"), col("id").as("id_a"), col("nsh").as("n_a"))
     val r = inv.select(col("s"), col("id").as("id_b"), col("nsh").as("n_b"))
     l.join(r, Seq("s"))

@@ -225,8 +225,17 @@ object GraphOps {
     * reciprocity key).
     */
   def linkAudit(edges: DataFrame, bucketCol: Column): DataFrame = {
-    val raw = edges.select(bucketCol.as("bucket"), col("src"), col("dst"))
-    val dist = raw.distinct()
+    // pin the raw and distinct edge frames: the four audit branches
+    // (raw count, distinct+self count, reciprocity semi-join — which
+    // reads dist twice — and out-degree) otherwise each re-run the
+    // caller's edge EXTRACTION (regex explode over HTML in x107's case:
+    // 10 scans / 5 generates in the unpinned plan). Both frames are
+    // ids+bucket rows — the smallest thing in the pipeline — and the
+    // extraction is the expensive part at any scale.
+    val raw = graft.runtime.GraftCheckpoint.pin(
+      edges.select(bucketCol.as("bucket"), col("src"), col("dst"))
+    )
+    val dist = graft.runtime.GraftCheckpoint.pin(raw.distinct())
     val nRaw = raw.groupBy(col("bucket")).agg(count(lit(1)).as("n_raw"))
     val nDist = dist.groupBy(col("bucket")).agg(
       count(lit(1)).as("n_distinct"),

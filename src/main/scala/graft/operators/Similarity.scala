@@ -972,9 +972,19 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val wx = Window.partitionBy(col("x_id")).orderBy(col("c").desc, col("y_id").asc)
     val wy = Window.partitionBy(col("y_id")).orderBy(col("c").desc, col("x_id").asc)
-    val ranked = scored
-      .withColumn("rx", row_number().over(wx))
-      .withColumn("ry", row_number().over(wy))
+    // Pin the ranked frame: three consumers (ax, ay, the best-row join)
+    // otherwise each re-execute the scorer + both rank windows — for the
+    // exact path that is the FULL |X|x|Y| cosine pass run three times
+    // (measured on x105: 3 near-identical ~5 s stages with KB-sized
+    // outputs). One materialization of the scored-pair frame (bounded by
+    // candidate mass on the production path, by the scorer's own output
+    // on the exact path — never a new asymptotic term) replaces the two
+    // redundant scoring passes.
+    val ranked = graft.runtime.GraftCheckpoint.pin(
+      scored
+        .withColumn("rx", row_number().over(wx))
+        .withColumn("ry", row_number().over(wy))
+    )
     val ax = ranked.where(col("rx") <= k).groupBy(col("x_id")).agg(avg(col("c")).as("__ax"))
     val ay = ranked.where(col("ry") <= k).groupBy(col("y_id")).agg(avg(col("c")).as("__ay"))
     val margin = round(col("c") * 2 / (col("__ax") + col("__ay")), 6)

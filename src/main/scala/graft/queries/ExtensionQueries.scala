@@ -201,7 +201,7 @@ object ExtensionQueries {
     // recall_ok (strong-subset recall >= 0.9) is a deterministic boolean
     // the oracle asserts as TRUE.
     "x7_minhash_lsh" -> ((s, dir) => {
-      val docs = Tf(s, dir, "documents")
+      val docs = T(s, dir, "documents")
       val strong = Dedup
         .ngramJaccardPairsPrefix(
           docs.filter(col("doc_id") < 500), col("text"), col("doc_id"), n = 3, threshold = 0.5)
@@ -273,7 +273,7 @@ object ExtensionQueries {
     // parameters, so the boolean is deterministic and strict (r2's 0.4
     // random-collision bar is gone).
     "x10_knn_lsh" -> ((s, dir) => {
-      val emb = Tf(s, dir, "embeddings")
+      val emb = T(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val queries = emb
         .filter(col("vec_id") < 50)
@@ -299,7 +299,7 @@ object ExtensionQueries {
     // old random-data bar (0.5 vs brute force on isotropic noise) only
     // measured the probe-coverage fraction.
     "x15_knn_ivf" -> ((s, dir) => {
-      val emb = Tf(s, dir, "embeddings")
+      val emb = T(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val queries = emb
         .filter(col("vec_id") < 50)
@@ -372,7 +372,7 @@ object ExtensionQueries {
     // per-language cleaned counts. Each stage is an already-oracle-checked
     // operator; this query proves they compose.
     "x19_corpus_clean" -> ((s, dir) => {
-      val docs = Tf(s, dir, "documents")
+      val docs = T(s, dir, "documents")
       val scored = TextOps
         .qualityFeatures(docs, col("text"))
         .withColumn("quality", TextOps.qualityScore)
@@ -577,7 +577,7 @@ object ExtensionQueries {
     // collapse. Edges are exact n-gram Jaccard ≥ 0.25 (DuckDB-replayable);
     // the oracle recomputes components via recursive transitive closure.
     "x26_dedup_clusters" -> ((s, dir) => {
-      val base = Tf(s, dir, "documents")
+      val base = T(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         .filter(col("doc_id") < 2000)
       val cliq = base.filter(col("doc_id") % 50 === 0)
@@ -800,7 +800,7 @@ object ExtensionQueries {
     // oracle is the plain anti-join while the Spark plan is the
     // zero-reference-shuffle sketch layout.
     "x35_bloom_incremental" -> ((s, dir) => {
-      val docs = Tf(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
       val ref = docs.filter(col("doc_id") % 3 === 0)
       val incoming = docs
         .filter(col("doc_id") % 3 =!= 0)
@@ -856,7 +856,7 @@ object ExtensionQueries {
     // per query via WindowGroupLimit. Ranks on the 6dp-rounded score so
     // both engines order identical values.
     "x44_bm25_topk" -> ((s, dir) => {
-      val docs = Tf(s, dir, "documents")
+      val docs = T(s, dir, "documents")
       val qs = docs
         .filter(col("doc_id") < 3)
         .select(col("doc_id").as("qid"), slice(split(col("text"), " "), 1, 3).as("terms"))
@@ -920,7 +920,7 @@ object ExtensionQueries {
     // inside its cnt <= est <= cnt + ceil(eps*N) guarantee.
     "x49_heavy_hitters" -> ((s, dir) =>
       CorpusOps
-        .heavyHitters(Tf(s, dir, "documents"), col("text"), k = 20)
+        .heavyHitters(T(s, dir, "documents"), col("text"), k = 20)
         .orderBy(col("rank"))),
 
     // Keep-best cluster dedup: x26's planted near-dup corpus, but the
@@ -929,7 +929,7 @@ object ExtensionQueries {
     // real curation pipelines run. Winner via min_by aggregate (no
     // window sort); ties broken by id.
     "x50_dedup_keep_best" -> ((s, dir) => {
-      val base = Tf(s, dir, "documents")
+      val base = T(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         .filter(col("doc_id") < 2000)
       val cliq = base.filter(col("doc_id") % 50 === 0)
@@ -1086,7 +1086,7 @@ object ExtensionQueries {
     // join keeps the result exact, so both variants must hash-match the
     // one oracle.
     "x55_decontaminate_bloom" -> ((s, dir) => {
-      val docs = Tf(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
       val bench = docs.filter(col("doc_id") % 97 === 0)
       val planted = bench
         .filter(col("doc_id") % 5 === 0)
@@ -1111,7 +1111,7 @@ object ExtensionQueries {
     // without-replacement draw deterministic and engine-replayable.
     // Target = the English split of the same corpus.
     "x51_dsir_resample" -> ((s, dir) => {
-      val docs = Tf(s, dir, "documents")
+      val docs = T(s, dir, "documents")
       CorpusOps
         .dsirResample(
           docs,
@@ -1151,7 +1151,7 @@ object ExtensionQueries {
     "x53_domain_cap" -> ((s, dir) =>
       CorpusOps
         .capPerDomain(
-          Tf(s, dir, "documents"),
+          T(s, dir, "documents"),
           col("doc_id"),
           col("source"),
           cap = 10,
@@ -1239,7 +1239,7 @@ object ExtensionQueries {
     // them (recall_ok — cell-boundary misses are the documented
     // SemDeDup approximation).
     "x37_semantic_dedup" -> ((s, dir) => {
-      val emb = Tf(s, dir, "embeddings")
+      val emb = T(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
         .filter(col("vec_id") < 500)
       val planted = emb
@@ -1284,7 +1284,7 @@ object ExtensionQueries {
     // ROUNDED pmi (ties by pair) so the k-boundary is cross-engine stable.
     "x62_pmi_collocations" -> ((s, dir) =>
       CorpusOps
-        .pmiCollocations(Tf(s, dir, "documents"), col("text"), minCount = 3, k = 100)
+        .pmiCollocations(T(s, dir, "documents"), col("text"), minCount = 3, k = 100)
         .orderBy(col("pmi").desc, col("w1"), col("w2"))),
 
     // Epoch-capped √-temperature mixture over the (naturally skewed)
@@ -1306,7 +1306,7 @@ object ExtensionQueries {
     // of a connected component inherits md5(component)'s split bucket,
     // so planted clique/bridge clusters can never straddle train/test.
     "x64_leakage_split" -> ((s, dir) => {
-      val base = Tf(s, dir, "documents")
+      val base = T(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         .filter(col("doc_id") < 2000)
       val cliq = base.filter(col("doc_id") % 50 === 0)
@@ -1377,7 +1377,7 @@ object ExtensionQueries {
     // must produce the exact answer the oracle computes relationally —
     // reference docs score ~0, the rest score high.
     "x67_novelty" -> ((s, dir) => {
-      val docs = Tf(s, dir, "documents")
+      val docs = T(s, dir, "documents")
       CorpusOps
         .noveltyScoreBloom(
           docs,
@@ -1401,7 +1401,7 @@ object ExtensionQueries {
     // generation still a zero-shuffle projection.
     "x69_cooccurrence" -> ((s, dir) =>
       CorpusOps
-        .pmiCollocations(Tf(s, dir, "documents"), col("text"), minCount = 3, k = 100, window = 3)
+        .pmiCollocations(T(s, dir, "documents"), col("text"), minCount = 3, k = 100, window = 3)
         .orderBy(col("pmi").desc, col("w1"), col("w2"))),
 
     // Deterministic cross-domain negative sampling (contrastive/DPR
@@ -1409,7 +1409,7 @@ object ExtensionQueries {
     // oracle replays ranks, draws, and filters exactly.
     "x70_sample_negatives" -> ((s, dir) =>
       CorpusOps
-        .sampleNegatives(Tf(s, dir, "documents"), col("doc_id"), col("lang"), k = 8)
+        .sampleNegatives(T(s, dir, "documents"), col("doc_id"), col("lang"), k = 8)
         .orderBy(col("doc_id"), col("draw"))),
 
     // Audio-style per-frame features over the media byte plane (native
@@ -1556,7 +1556,7 @@ object ExtensionQueries {
     // comparison is unsigned-lexicographic in both engines.
     "x77_winnow" -> ((s, dir) =>
       CorpusOps
-        .winnowFingerprints(Tf(s, dir, "documents"), col("text"), col("doc_id"), k = 4, w = 4)
+        .winnowFingerprints(T(s, dir, "documents"), col("text"), col("doc_id"), k = 4, w = 4)
         .orderBy(col("doc_id"), col("pos"))),
 
     // Blocklist phrase gate (C4 "bad-words" shape): one longest-first
@@ -2020,7 +2020,7 @@ object ExtensionQueries {
     // surface with their exact distance, and the oracle brute-forces the
     // same universe, so any natural sub-k pair must surface too.
     "x99_editdist_pairs" -> ((s, dir) => {
-      val docs = Tf(s, dir, "documents")
+      val docs = T(s, dir, "documents")
       val base = docs.select(col("doc_id").as("id"), substring(col("text"), 1, 80).as("s"))
       val twins = docs
         .where(col("doc_id") % 10 === 0)
@@ -2828,14 +2828,14 @@ object ExtensionQueries {
     // runs on the two queries-x-k ranked lists (model-sized) while the
     // corpus-side retrievers keep their audited plans.
     "x129_hybrid_rrf" -> ((s, dir) => {
-      val docs = Tf(s, dir, "documents")
+      val docs = T(s, dir, "documents")
       val qs = docs
         .filter(col("doc_id") < 3)
         .select(col("doc_id").as("qid"), slice(split(col("text"), " "), 1, 3).as("terms"))
       val bm = CorpusOps
         .bm25TopK(docs, col("doc_id"), col("text"), qs, col("qid"), col("terms"), k = 10)
         .select(col("query_id"), col("doc_id").as("id"), col("rank"))
-      val emb = Tf(s, dir, "embeddings")
+      val emb = T(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val cos = Similarity
         .bruteForceTopK(emb, emb.filter(col("vec_id") < 3), "embedding", "vec_id", k = 10)
@@ -2869,7 +2869,7 @@ object ExtensionQueries {
       )
       TextOps
         .alphaRename(
-          Tf(s, dir, "documents").select(col("doc_id"), code.as("code")),
+          T(s, dir, "documents").select(col("doc_id"), code.as("code")),
           col("doc_id"),
           col("code")
         )
@@ -2913,7 +2913,7 @@ object ExtensionQueries {
     // planted twin shares its source's keys in BOTH bands — recall of the
     // planted pairs is exact by construction, not probabilistic.
     "x133_bitext_candidates" -> ((s, dir) => {
-      val e = Tf(s, dir, "embeddings")
+      val e = T(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val xs = e.where(col("vec_id") % 2 === 0)
       val twins = xs
@@ -3172,7 +3172,7 @@ object ExtensionQueries {
       val h = ceil(size(toks).cast("double") / 2).cast("int")
       TextOps
         .rougeN(
-          Tf(s, dir, "documents").select(
+          T(s, dir, "documents").select(
             col("doc_id"),
             concat_ws(" ", slice(toks, lit(1), h)).as("cand"),
             concat_ws(" ", slice(toks, h + 1, size(toks) - h)).as("ref")
@@ -3280,7 +3280,7 @@ object ExtensionQueries {
     // resolved into clusters (alternating-star CC) — the full
     // record-linkage pipeline (block → compare → cluster) in one query.
     "x156_linkage_clusters" -> ((s, dir) => {
-      val docs = Tf(s, dir, "documents")
+      val docs = T(s, dir, "documents")
       def blk(t: Column): Column = concat(col("lang"), lit("|"), substring(t, 1, 6))
       val base = docs.select(
         col("doc_id").as("id"),
@@ -3421,9 +3421,9 @@ object ExtensionQueries {
     // reshapes the exchange), so the oracle is the plain SQL. Quantity
     // is integer-valued double — sums are FP-exact under any grouping.
     "x163_salted_join" -> ((s, dir) => {
-      val li = Tf(s, dir, "lineitem")
+      val li = T(s, dir, "lineitem")
         .select(col("l_partkey").as("partkey"), col("l_quantity"))
-      val pt = Tf(s, dir, "part").select(col("p_partkey").as("partkey"), col("p_brand"))
+      val pt = T(s, dir, "part").select(col("p_partkey").as("partkey"), col("p_brand"))
       graft.operators.Skew
         .saltedSum(
           graft.operators.Skew.saltedJoin(li, pt, "partkey", saltFactor = 8),
@@ -3742,7 +3742,7 @@ object ExtensionQueries {
     // cross-seed pair can appear (random planes sit ~32 bits apart).
     "x176_video_neardup" -> ((s, dir) => {
       import s.implicits._
-      val ids = Tf(s, dir, "documents")
+      val ids = T(s, dir, "documents")
         .select(col("doc_id"))
         .filter(pmod(col("doc_id"), lit(20)) === 0)
         .as[Long]
@@ -3771,7 +3771,7 @@ object ExtensionQueries {
     // ~32 bits apart and cannot pair at maxHamming 4.
     "x177_audio_neardup" -> ((s, dir) => {
       import s.implicits._
-      val ids = Tf(s, dir, "documents")
+      val ids = T(s, dir, "documents")
         .select(col("doc_id"))
         .filter(pmod(col("doc_id"), lit(20)) === 0)
         .as[Long]
@@ -3886,7 +3886,7 @@ object ExtensionQueries {
     // runs when the same clip circulates re-containerized.
     "x180_video_cross_container" -> ((s, dir) => {
       import s.implicits._
-      val ids = Tf(s, dir, "documents")
+      val ids = T(s, dir, "documents")
         .select(col("doc_id"))
         .filter(pmod(col("doc_id"), lit(20)) === 0)
         .as[Long]
@@ -3938,7 +3938,7 @@ object ExtensionQueries {
     // sit ~32 bits apart and cannot pair at maxHamming 2.
     "x183_avi_neardup" -> ((s, dir) => {
       import s.implicits._
-      val ids = Tf(s, dir, "documents")
+      val ids = T(s, dir, "documents")
         .select(col("doc_id"))
         .filter(pmod(col("doc_id"), lit(20)) === 0)
         .as[Long]
@@ -4039,7 +4039,7 @@ object ExtensionQueries {
     // and cross-seed clips cannot pair.
     "x181_audio_rate_neardup" -> ((s, dir) => {
       import s.implicits._
-      val ids = Tf(s, dir, "documents")
+      val ids = T(s, dir, "documents")
         .select(col("doc_id"))
         .filter(pmod(col("doc_id"), lit(20)) === 0)
         .as[Long]
@@ -4095,7 +4095,7 @@ object ExtensionQueries {
     // how many): every pair keeps its smaller id, every unknown is kept.
     "x187_media_dedup_catalog" -> ((s, dir) => {
       import s.implicits._
-      val ids = Tf(s, dir, "documents")
+      val ids = T(s, dir, "documents")
         .select(col("doc_id"))
         .filter(pmod(col("doc_id"), lit(20)) === 0)
         .as[Long]
@@ -4236,7 +4236,7 @@ object ExtensionQueries {
     // kept-identity mass, the x187 accounting discipline.
     "x190_digest_dedup" -> ((s, dir) => {
       import s.implicits._
-      val ids = Tf(s, dir, "documents")
+      val ids = T(s, dir, "documents")
         .select(col("doc_id"))
         .filter(pmod(col("doc_id"), lit(20)) === 0)
         .as[Long]
