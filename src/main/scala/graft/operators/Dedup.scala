@@ -142,7 +142,12 @@ object Dedup {
       maxBroadcastCandidates: Long = 2000000L
   ): DataFrame = {
     import graft.functions.sketch
-    val incFp = incoming.select(TextOps.fingerprintMd5(text).as("fp"), idCol.as("keep_id"))
+    // pinned: the batch digest frame feeds the strategy count, the flag
+    // pass, and both survivor branches — a batch is small by definition,
+    // and unpinned each consumer re-digested the incoming text
+    val incFp = graft.runtime.GraftCheckpoint.pin(
+      incoming.select(TextOps.fingerprintMd5(text).as("fp"), idCol.as("keep_id"))
+    )
     val nBatch = incFp.select(col("fp")).distinct().count()
     if (nBatch > maxBroadcastCandidates)
       return incrementalOnDigests(incoming, text, idCol, refDigests)
@@ -173,6 +178,11 @@ object Dedup {
           .scalar()
         coalesce(sketch.might_contain(bloom, xxhash64(col("fp"))), lit(false))
       }
+    // NOT pinned: the three consumers land in ONE action whose plan
+    // carries the bloom probe as a scalar subquery — ReuseSubquery/
+    // ReuseExchange evaluate the reference-side build once per execution
+    // already (and the probe must stay visible in the executed plan, the
+    // DedupSimilaritySpec plan-shape contract)
     val flagged = incFp.withColumn("__might", mightCol)
     val candidates = flagged.filter(col("__might")).select(col("fp")).distinct()
     // Which candidates truly exist in the reference: broadcast the (small)

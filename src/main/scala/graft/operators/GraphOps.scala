@@ -190,7 +190,16 @@ object GraphOps {
     var f = m.withColumn("d", lit(1L)) // src -> target after 2^k hops + depth
     val rounds = Math.max(1, 32 - Integer.numberOfLeadingZeros(maxSteps)) // 2^rounds >= maxSteps
     var k = 0
-    while (k < rounds) {
+    // fixpoint early-exit: d grows monotonically whenever any pointer
+    // still hops, so an unchanged Σd means no chain advanced this round
+    // and every later round is the identity — stop paying for them. Real
+    // chains are a few hops (2-3 rounds); only a cycle runs the full
+    // log₂(maxSteps) budget, exactly as before. One cheap aggregate over
+    // the already-pinned round frame; results are bit-identical (the
+    // skipped rounds would not have changed f).
+    var dSum = -1L
+    var converged = false
+    while (k < rounds && !converged) {
       val hop = f.select(col("src").as("__s2"), col("dst").as("__d2"), col("d").as("__dd"))
       f = f
         .join(hop, f("dst") === col("__s2"), "left")
@@ -200,6 +209,9 @@ object GraphOps {
           (col("d") + coalesce(col("__dd"), lit(0L))).as("d")
         )
         .transform(graft.runtime.GraftCheckpoint.pin)
+      val nd = f.agg(coalesce(sum(col("d")), lit(0L)).as("s")).head().getLong(0)
+      converged = nd == dSum
+      dSum = nd
       k += 1
     }
     // unresolved = the final pointer still redirects somewhere (cycle or

@@ -1527,20 +1527,25 @@ object TextOps {
     val base = df
       .filter(candCol.isNotNull && refCol.isNotNull)
       .select(idCol.as("pair_id"), grams(candCol, "__cg"), grams(refCol, "__rg"))
-    def counts(side: String, out: String): DataFrame =
-      base
-        .select(col("pair_id"), explode(col(side)).as("gram"))
-        .groupBy(col("pair_id"), col("gram"))
-        .agg(count(lit(1)).as(out))
-    val c = counts("__cg", "nc")
-    val r = counts("__rg", "nr").withColumnsRenamed(Map("pair_id" -> "__rp", "gram" -> "__rgm"))
-    val joined = c
-      .join(r, col("pair_id") <=> col("__rp") && col("gram") === col("__rgm"), "full_outer")
-      .select(
-        coalesce(col("pair_id"), col("__rp")).as("pair_id"),
-        coalesce(col("nc"), lit(0L)).as("nc"),
-        coalesce(col("nr"), lit(0L)).as("nr")
-      )
+    // ONE tagged explode instead of two per-side count aggregations glued
+    // by a full-outer join: each gram carries a side bit in-row, so the
+    // per-(pair, gram) cand/ref counts come out of a single
+    // partial-aggregating exchange — the corpus is tokenized once, the
+    // (pair_id, gram) full-outer exchange disappears, and the output is
+    // row-identical (a gram present on only one side sums 0 on the other,
+    // exactly the old coalesce).
+    val tagged = base.select(
+      col("pair_id"),
+      explode(
+        concat(
+          transform(col("__cg"), g => struct(g.as("gram"), lit(1L).as("c"))),
+          transform(col("__rg"), g => struct(g.as("gram"), lit(0L).as("c")))
+        )
+      ).as("t")
+    )
+    val joined = tagged
+      .groupBy(col("pair_id"), col("t.gram").as("gram"))
+      .agg(sum(col("t.c")).as("nc"), sum(lit(1L) - col("t.c")).as("nr"))
       .groupBy(col("pair_id"))
       .agg(
         sum(col("nc")).as("n_cand"),
