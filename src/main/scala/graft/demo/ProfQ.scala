@@ -25,6 +25,11 @@ object ProfQ {
   )
 
   def main(args: Array[String]): Unit = {
+    // dev knob: GRAFT_SYSPROPS=k1=v1,k2=v2 sets system properties in the
+    // forked run JVM (e.g. graft.cc.debug=true for CC round tracing)
+    sys.env.get("GRAFT_SYSPROPS").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); System.setProperty(k, v); ()
+    })
     val sfDir = args(0)
     val names = args.drop(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -56,8 +61,12 @@ object ProfQ {
       val warmSec = (System.nanoTime() - tw) / 1e9
 
       val stages = mutable.LinkedHashMap.empty[Int, StageAgg]
+      var nJobs = 0
       val lock = new Object
       val listener = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit = lock.synchronized {
+          nJobs += 1
+        }
         override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = lock.synchronized {
           val si = sc.stageInfo
           val agg = stages.getOrElseUpdate(si.stageId, StageAgg(si.name.takeWhile(_ != '\n')))
@@ -82,16 +91,20 @@ object ProfQ {
       val cnt = graft.SparkEntry.queries(n)(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
       // drain the async listener bus before reading the aggregates
-      Thread.sleep(600)
+      // (waitUntilEmpty, not a fixed sleep — r16 ADVICE: task-end events
+      // can trail a sleep on a loaded box and undercount the aggregates)
+      org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext, 10000L)
       spark.sparkContext.removeSparkListener(listener)
       val persisted = spark.sparkContext.getPersistentRDDs
+      val storage = try spark.sparkContext.getRDDStorageInfo
+      catch { case _: Throwable => Array.empty[org.apache.spark.storage.RDDInfo] }
       val persistedMb = persisted.values.map { r =>
-        try spark.sparkContext.getRDDStorageInfo.filter(_.id == r.id).map(_.memSize).sum
-        catch { case _: Throwable => 0L }
+        storage.filter(_.id == r.id).map(_.memSize).sum
       }.sum / (1024 * 1024)
+      val wallSum = lock.synchronized(stages.values.map(_.wallMs).sum)
       println(
-        f"===== $n  warm=$warmSec%.2f s  timed=$sec%.2f s  rows=$cnt  stages=${stages.size}  " +
-          f"persistedRDDs=${persisted.size}  persistedMB=$persistedMb ====="
+        f"===== $n  warm=$warmSec%.2f s  timed=$sec%.2f s  rows=$cnt  jobs=$nJobs  stages=${stages.size}  " +
+          f"stageWallSum=${wallSum / 1000.0}%.2f s  persistedRDDs=${persisted.size}  persistedMB=$persistedMb ====="
       )
       lock.synchronized {
         stages.toSeq.sortBy(-_._2.taskMs).take(25).foreach { case (id, a) =>
