@@ -82,22 +82,57 @@ object ConnectedComponents {
     relink.union(mins.select(col("src"), col("m").as("dst"))).distinct()
   }
 
-  /** (row count, order-independent checksum) of an edge set — the
-    * convergence probe. One aggregate job over the (already checkpointed)
-    * round result; the checksum sums 64-bit row hashes in decimal(38) so
-    * it cannot overflow.
+  /** Convergence probe: is the edge set a (member → root)-oriented star
+    * forest? That is the alternating iteration's UNIQUE fixpoint (Kiveris
+    * et al. §3: the rounds converge to stars rooted at each component's
+    * minimum), characterised by three per-node conditions:
+    *
+    *   1. every edge points strictly downward (dst < src),
+    *   2. no node is both a member (src) and a root (dst),
+    *   3. every member has exactly one distinct root.
+    *
+    * If they hold, one more largeStar∘smallStar round is the identity
+    * (verified algebraically: largeStar re-emits (member, root) verbatim
+    * since each root is its own closed-neighborhood min, and smallStar's
+    * relink set is empty), so stopping HERE returns bit-identical results
+    * to the previous signature-equality probe — one full round earlier.
+    * The old probe could only detect the fixpoint by paying a complete
+    * identity round (5-6 exchanges) to see the signature repeat; this is
+    * one groupBy over the pinned round output (ids only), and it also
+    * fires on inputs that ARRIVE as stars (digest-edge dedup graphs),
+    * skipping the rounds entirely. Conditions 1-3 also imply every root
+    * is its component's minimum (a root undercuts all its members and
+    * stars are maximal), the representative contract [[run]] documents.
     */
-  private def signature(edges: DataFrame): (Long, java.math.BigDecimal) = {
-    val r = edges
+  private def isStarForest(edges: DataFrame): Boolean = {
+    val roles = edges
+      .select(
+        explode(
+          array(
+            struct(col("src").as("n"), col("dst").as("peer"), lit(true).as("as_src")),
+            struct(col("dst").as("n"), col("src").as("peer"), lit(false).as("as_src"))
+          )
+        ).as("x")
+      )
+      .select(col("x.n").as("n"), col("x.peer").as("peer"), col("x.as_src").as("as_src"))
+    val r = roles
+      .groupBy(col("n"))
       .agg(
-        count(lit(1)).as("n"),
-        coalesce(
-          sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
-          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")
-        ).as("h")
+        max(when(col("as_src"), 1).otherwise(0)).as("is_src"),
+        max(when(!col("as_src"), 1).otherwise(0)).as("is_dst"),
+        // "exactly one distinct root" as min==max — single-phase partial
+        // aggregation, unlike count_distinct's Expand two-phase shape
+        min(when(col("as_src"), col("peer"))).as("root_lo"),
+        max(when(col("as_src"), col("peer"))).as("root_hi"),
+        max(when(col("as_src") && col("peer") >= col("n"), 1).otherwise(0)).as("bad_orient")
+      )
+      .agg(
+        max(col("is_src") * col("is_dst")).as("overlap"),
+        max(when(!(col("root_lo") <=> col("root_hi")), 1).otherwise(0)).as("multi_root"),
+        max(col("bad_orient")).as("bad")
       )
       .head()
-    (r.getLong(0), r.getDecimal(1))
+    r.getInt(0) == 0 && r.getInt(1) == 0 && r.getInt(2) == 0
   }
 
   /** Connected components of the undirected graph given by `pairs`
@@ -156,32 +191,32 @@ object ConnectedComponents {
       .where(col("src") =!= col("dst"))
       .distinct()
       .transform(graft.runtime.GraftCheckpoint.pin)
-    var sig = signature(edges)
-    if (sig._1 == 0L)
+    if (edges.isEmpty)
       return (
         pairs.limit(0).select(srcIn.as("id"), srcIn.as("component")),
         0
       )
     val debug = java.lang.Boolean.getBoolean("graft.cc.debug")
     var rounds = 0
-    var converged = false
+    // the star-forest probe fires BEFORE the first round too: dedup edge
+    // generators that already emit (member → root) stars (digest-edge
+    // exact-dup graphs) skip the alternating rounds entirely
+    var converged = isStarForest(edges)
     while (!converged && rounds < maxRounds) {
       val t0 = System.nanoTime()
       val next = smallStar(largeStar(edges)).transform(graft.runtime.GraftCheckpoint.pin)
       val tCkpt = System.nanoTime()
-      val nextSig = signature(next)
+      converged = isStarForest(next)
       if (debug)
         System.err.println(
-          f"[graft-cc] round $rounds: checkpoint ${(tCkpt - t0) / 1e9}%.1f s, signature ${(System.nanoTime() - tCkpt) / 1e9}%.1f s, edges ${nextSig._1}"
+          f"[graft-cc] round $rounds: checkpoint ${(tCkpt - t0) / 1e9}%.1f s, star probe ${(System.nanoTime() - tCkpt) / 1e9}%.1f s, converged=$converged"
         )
-      converged = nextSig == sig
-      sig = nextSig
       edges = next
       rounds += 1
     }
     if (!converged)
       throw new IllegalStateException(
-        s"connected components did not converge in $maxRounds rounds (${sig._1} edges)"
+        s"connected components did not converge in $maxRounds rounds"
       )
     // fixpoint edges form stars (member → root); roots map to themselves
     val result = edges

@@ -447,7 +447,24 @@ object Dedup {
     * join contract (id ordering, dedup-before-filter, single hamming
     * evaluation) cannot drift between modalities.
     */
-  private[graft] def pairsFromFps(fps: DataFrame, maxHamming: Int, blocks: Int): DataFrame = {
+  private[graft] def pairsFromFps(fps: DataFrame, maxHamming: Int, blocks: Int): DataFrame =
+    pairsFromFps(fps, maxHamming, blocks, pinBlocked = true)
+
+  /** [[pairsFromFps]] with the blocked-relation pin made opt-out:
+    * `pinBlocked = false` is for callers whose `fps` is ALREADY a pinned
+    * frame (or a cheap projection of one) — re-pinning there buys nothing
+    * (the join sides would re-read materialized blocks either way) and
+    * costs one eager materialization job per call, which is what made the
+    * x187/x188 capstones pay four pin jobs per pass for one decode pass
+    * (three near-dup legs re-pinned trivially-derived key relations on
+    * top of the already-pinned typed frame).
+    */
+  private[graft] def pairsFromFps(
+      fps: DataFrame,
+      maxHamming: Int,
+      blocks: Int,
+      pinBlocked: Boolean
+  ): DataFrame = {
     // pin the blocked key relation: the self-join's two sides otherwise
     // each re-execute the fingerprint upstream — for the media callers
     // that is a FULL second decode pass of every blob (image/audio/video
@@ -455,8 +472,9 @@ object Dedup {
     // combo keys — the exact mass the join shuffles anyway, so the
     // materialization adds one linear write in exchange for halving the
     // upstream cost at any scale.
+    val raw = simhashBlocked(fps, maxHamming, blocks)
     val blocked =
-      graft.runtime.GraftCheckpoint.pin(simhashBlocked(fps, maxHamming, blocks))
+      if (pinBlocked) graft.runtime.GraftCheckpoint.pin(raw) else raw
     val l = blocked.select(col("bk"), col("id").as("id_a"), col("simhash").as("fp_a"))
     val r = blocked.select(col("bk"), col("id").as("id_b"), col("simhash").as("fp_b"))
     l.join(r, Seq("bk"))

@@ -48,10 +48,24 @@ object EditDistance {
     */
   def editDistancePairs(df: DataFrame, idCol: Column, strCol: Column, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val strs = df
+    val strsRaw = df
       .filter(strCol.isNotNull)
       .select(idCol.as("id"), strCol.as("s"))
       .withColumn("len", length(col("s")))
+    // Pin the (id, s, len) relation: SIX consumers below (index explode,
+    // probe explode, the short path's two sides, both verify join-backs)
+    // otherwise re-execute the caller's upstream six times (guide §1.2).
+    // Fan to the session's default parallelism first when the input
+    // arrives narrower than the cores (single-row-group scans plan ONE
+    // task, and the ~(k+1)²(2k+1)x probe-key explode then runs on one
+    // core while the rest idle — measured on x99: an 831 ms 2-task
+    // stage in a 2.9 s query). The gate is partition-count-derived, so
+    // at cluster scale (scans already core-wide) it is the identity and
+    // no string mass is ever re-shuffled.
+    val cores = strsRaw.sparkSession.sparkContext.defaultParallelism
+    val strs = graft.runtime.GraftCheckpoint.pin(
+      if (strsRaw.rdd.getNumPartitions < cores) strsRaw.repartition(cores) else strsRaw
+    )
 
     val kw = k + 1
     // ---- segment path: pairs whose SHORTER side has len > k -------------

@@ -2118,13 +2118,27 @@ object Multimodal {
       blocks: Int = 4
   ): DataFrame = {
     import ds.sparkSession.implicits._
+    // NOT fanned: a decode-fan experiment (repartition(cores) before the
+    // mapPartitions when the input arrives narrow) was A/B'd this round
+    // and REVERTED — the pinned typed frame then carries `cores` blocks,
+    // so every one of its ~8 consumer stages schedules `cores` tasks
+    // (measured on x187: 6 stages × 32 tasks × ~100 ms contended CPU,
+    // total 4.41 s → 8.89 s). Same conclusion as r16's loadFanned
+    // retreat: on sub-second per-task CPU, pass-count reduction beats
+    // parallelism redistribution.
     val typed = graft.runtime.GraftCheckpoint
       .pin(ds.mapPartitions(_.map(typeAndFingerprint(_, normalizeRate))).toDF())
+    // pinBlocked = false on all three near-dup legs: their fingerprint
+    // upstream is the ONE pinned `typed` frame (or the pinned video
+    // frame-unit aggregate below), so the blocked key relation is a
+    // trivial projection of materialized blocks — re-pinning it per leg
+    // cost the capstone three extra eager jobs per pass for zero saved
+    // work (the join sides re-read pinned blocks either way).
     def kindPairs(kind: String, maxHamming: Int): DataFrame =
       Dedup.pairsFromFps(
         typed.filter(col("kind") === kind && col("fp").isNotNull)
           .select(col("doc_id").as("id"), col("fp").as("simhash")),
-        maxHamming, blocks
+        maxHamming, blocks, pinBlocked = false
       ).select(col("id_a"), col("id_b"))
     // The videoMinFrames gate counts DISTINCT matched frame positions on
     // EACH side (r15 advice), not raw frame-hash pairs: a single shared
@@ -2137,13 +2151,20 @@ object Multimodal {
     // Struct ids order (doc_id, frame_idx) lexicographically and
     // pairsFromFps emits id_a < id_b, so after the same-doc filter
     // id_a.doc_id < id_b.doc_id always — the pair is already canonical.
-    val videoFrameUnits = typed.filter(col("kind") === "video")
-      .select(col("doc_id"), posexplode(col("frame_hashes")))
-      .groupBy(col("doc_id"), col("col").as("simhash"))
-      .agg(min(col("pos")).as("frame_idx"))
-      .select(struct(col("doc_id"), col("frame_idx")).as("id"), col("simhash"))
+    // the frame-unit aggregate (one row per distinct (doc, frame hash))
+    // is pinned INSTEAD of its derived blocked relation: it is the
+    // smaller frame (no C(blocks, agree) key fan-out) and pinning here
+    // keeps the posexplode+groupBy at one execution while the self-join
+    // sides derive their keys from materialized blocks.
+    val videoFrameUnits = graft.runtime.GraftCheckpoint.pin(
+      typed.filter(col("kind") === "video")
+        .select(col("doc_id"), posexplode(col("frame_hashes")))
+        .groupBy(col("doc_id"), col("col").as("simhash"))
+        .agg(min(col("pos")).as("frame_idx"))
+        .select(struct(col("doc_id"), col("frame_idx")).as("id"), col("simhash"))
+    )
     val videoPairs = Dedup
-      .pairsFromFps(videoFrameUnits, videoMaxHamming, blocks)
+      .pairsFromFps(videoFrameUnits, videoMaxHamming, blocks, pinBlocked = false)
       .filter(col("id_a.doc_id") =!= col("id_b.doc_id"))
       .select(
         col("id_a.doc_id").as("doc_a"),
