@@ -294,7 +294,13 @@ object ChatOps {
     val c = comparisons
       .select(col("winner"), col("loser"))
       .filter(col("winner").isNotNull && col("loser").isNotNull && col("winner") =!= col("loser"))
-    def mp(df: DataFrame): DataFrame =
+    // Setup frames are pinned UNCONDITIONALLY — they are corpus-pass
+    // results (pair-/item-sized model state), not loop state, and with
+    // checkpoint=false the MM loop would silently re-execute the corpus
+    // aggregation every iteration (r16 ADVICE). The `checkpoint` flag
+    // gates only the per-iteration strength pin below.
+    def mp(df: DataFrame): DataFrame = graft.runtime.GraftCheckpoint.pin(df)
+    def mpIter(df: DataFrame): DataFrame =
       if (checkpoint) graft.runtime.GraftCheckpoint.pin(df) else df
     // directed is THE corpus aggregation — pin it so the single pass over
     // the comparison corpus happens exactly once. Before this pin, the
@@ -331,6 +337,14 @@ object ChatOps {
         .join(s.select(col("item").as("j"), col("s").as("s_j")), "j")
         .groupBy(col("i").as("item"))
         .agg(sum(col("n_ij") / (col("s_i") + col("s_j"))).as("den"))
+      // pin the UN-normalized update: the old shape computed `raw` twice
+      // per iteration (once under the 1-row `tot` broadcast, once as the
+      // main branch — each execution is the full den join chain) and then
+      // pinned the normalized frame. With raw pinned, the normalization
+      // total is a 1-row driver scalar (model state, the hits/pageRank
+      // discipline) and `s` becomes a pure PROJECTION over the pinned
+      // blocks — next iteration's two joins against it cost zero re-
+      // execution and lineage stays O(1) per round without a second pin.
       val raw = s
         .join(wins, Seq("item"), "left")
         .join(den, Seq("item"), "left")
@@ -340,11 +354,18 @@ object ChatOps {
             (coalesce(col("den"), lit(0.0)) + lit(2.0 * virtual) / (col("s") + 1.0)))
             .as("sr")
         )
-      val tot = raw.agg(sum(col("sr")).as("tot"), count(lit(1)).as("n"))
-      val next = raw
-        .crossJoin(broadcast(tot))
-        .select(col("item"), (col("sr") * col("n").cast("double") / col("tot")).as("s"))
-      s = if (checkpoint) next.transform(mp) else next
+        .transform(mpIter)
+      val r = raw
+        .agg(
+          coalesce(sum(col("sr")), lit(Double.NaN)).as("tot"),
+          count(lit(1)).as("n")
+        )
+        .head()
+      val (tot, nItems) = (r.getDouble(0), r.getLong(1))
+      s = raw.select(
+        col("item"),
+        (col("sr") * lit(nItems.toDouble) / lit(tot)).as("s")
+      )
       k += 1
     }
     val ranked = s

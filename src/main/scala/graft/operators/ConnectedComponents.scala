@@ -56,10 +56,14 @@ object ConnectedComponents {
       .select(col("src"), least(col("mn"), col("src")).as("m"))
     // no distinct here: every consumer (smallStar's orientation, the
     // fixpoint projection) dedups immediately after — a distinct on this
-    // intermediate would be a redundant full shuffle per round
+    // intermediate would be a redundant full shuffle per round.
+    // The dst > src filter is applied BEFORE the join (it only involves
+    // probe-side columns): each undirected edge then crosses the join
+    // exchange once instead of twice — half the shuffled bytes of the
+    // round's biggest exchange, same output rows (guide §2.3).
     sym
-      .join(mins, "src")
       .where(col("dst") > col("src"))
+      .join(mins, "src")
       .select(col("dst").as("src"), col("m").as("dst"))
   }
 
@@ -245,8 +249,9 @@ object ConnectedComponents {
       quality: Column,
       pairs: DataFrame
   ): DataFrame = {
-    val assigned =
+    val assigned = graft.runtime.GraftCheckpoint.pin(
       componentsFor(df, idCol, pairs, Seq("quality" -> quality.cast("double")))
+    )
     // NULL quality must LOSE, not win: struct ordering sorts a null field
     // FIRST, so an un-coalesced -quality would hand every cluster with a
     // missing score to the null-quality member. +∞ sends nulls to the
@@ -281,7 +286,7 @@ object ConnectedComponents {
     * This is the "pairs in, deduplicated corpus out" surface.
     */
   def assignClusters(df: DataFrame, idCol: Column, pairs: DataFrame): DataFrame = {
-    val assigned = componentsFor(df, idCol, pairs, Nil)
+    val assigned = graft.runtime.GraftCheckpoint.pin(componentsFor(df, idCol, pairs, Nil))
     val sizes = assigned.groupBy(col("component")).agg(count(lit(1)).as("n_members"))
     assigned
       .join(sizes, Seq("component"))

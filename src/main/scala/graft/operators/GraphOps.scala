@@ -306,7 +306,12 @@ object GraphOps {
       checkpoint: Boolean = true
   ): DataFrame = {
     val spark = edges.sparkSession
-    val e = dropNullEndpoints(edges)
+    // pin the cleaned edge list FIRST (the hits discipline): the caller's
+    // edge derivation otherwise re-executes four times across the setup
+    // frames (twice in the node union, twice more through outDeg + the
+    // degree join) — for corpus-derived edges that is four corpus passes
+    // before the first iteration
+    val e = dropNullEndpoints(edges).transform(graft.runtime.GraftCheckpoint.pin)
     val nodes = e
       .select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))

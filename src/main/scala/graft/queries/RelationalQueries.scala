@@ -38,14 +38,6 @@ object RelationalQueries {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.load(s, dir, name)
 
-  /** [[T]] with the size-gated fan-out
-    * ([[graft.sources.Tables.loadFanned]]): used where a full-table sort
-    * or wide aggregation roots directly on the scan, whose parallelism is
-    * bounded by parquet row groups (1 here). Identity at cluster scale.
-    */
-  private def Tf(s: SparkSession, dir: String, name: String): DataFrame =
-    graft.sources.Tables.loadFanned(s, dir, name)
-
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
   // Scale-preserving result type for sums of (18,2)x(19,2) products: never

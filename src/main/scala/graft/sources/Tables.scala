@@ -44,8 +44,17 @@ object Tables {
     try {
       val f = new java.io.File(new java.io.File(dir), s"$name.parquet")
       if (f.isFile) f.length()
-      else if (f.isDirectory) f.listFiles().map(_.length()).sum
-      else 0L
+      else if (f.isDirectory) {
+        // recursive: a partitioned/nested parquet directory's top-level
+        // entries are subdirectories whose File.length() is the dirent
+        // size — a non-recursive sum undercounts a big table below the
+        // fan-out gate and would add a pointless full shuffle (r16
+        // ADVICE). Files.walk sums regular files at any depth.
+        val s = java.nio.file.Files.walk(f.toPath)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      } else 0L
     } catch { case _: Throwable => 0L }
 
   /** [[load]] plus a SIZE-GATED round-robin fan-out, for pipelines whose
