@@ -976,14 +976,21 @@ object Similarity {
     // otherwise each re-execute the scorer + both rank windows — for the
     // exact path that is the FULL |X|x|Y| cosine pass run three times
     // (measured on x105: 3 near-identical ~5 s stages with KB-sized
-    // outputs). One materialization of the scored-pair frame (bounded by
-    // candidate mass on the production path, by the scorer's own output
-    // on the exact path — never a new asymptotic term) replaces the two
-    // redundant scoring passes.
+    // outputs). One materialization of the scored-pair frame replaces the
+    // two redundant scoring passes — and it is filtered to the union of
+    // both top-k neighborhoods BEFORE the pin: every consumer reads only
+    // rx <= k (ax, and the best row via rx == 1), or ry <= k (ay), so
+    // rows outside the union are dead weight. On the exact path that
+    // shrinks the materialized frame from |X|·|Y| scored pairs to
+    // ~(|X|+|Y|)·k (measured on x105 at sf0.1: 247 MB pinned → KBs); the
+    // rank windows themselves still see the full mass once, which the
+    // margin definition requires.
+    val kk = math.max(k, 1) // the best-row consumer reads rx == 1 even at k = 0
     val ranked = graft.runtime.GraftCheckpoint.pin(
       scored
         .withColumn("rx", row_number().over(wx))
         .withColumn("ry", row_number().over(wy))
+        .where(col("rx") <= kk || col("ry") <= kk)
     )
     val ax = ranked.where(col("rx") <= k).groupBy(col("x_id")).agg(avg(col("c")).as("__ax"))
     val ay = ranked.where(col("ry") <= k).groupBy(col("y_id")).agg(avg(col("c")).as("__ay"))
