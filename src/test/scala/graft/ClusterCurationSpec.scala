@@ -58,6 +58,27 @@ class ClusterCurationSpec extends SparkTestBase {
     assert(ccResult(Seq.empty).isEmpty)
   }
 
+  test("connectedComponents: star-forest probe — star input converges in 0 rounds, non-stars don't") {
+    import spark.implicits._
+    // (member -> root) stars: downward edges, src/dst disjoint, one root
+    // per member — the convergence probe must fire BEFORE the first round
+    val stars = Seq((10L, 3L), (11L, 3L), (12L, 3L), (20L, 15L)).toDF("id_a", "id_b")
+    val (res, rounds) = ConnectedComponents.runWithRounds(stars)
+    assert(rounds == 0, s"star input should take 0 rounds, took $rounds")
+    val got = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 3L, 11L -> 3L, 12L -> 3L, 3L -> 3L, 20L -> 15L, 15L -> 15L))
+    // multi-root member (5 -> 1 and 5 -> 2): stars in shape but NOT a
+    // fixpoint — the probe must keep iterating and merge {1, 2, 5}
+    val multi = ccResult(Seq((5L, 1L), (5L, 2L)))
+    assert(multi == Map(1L -> 1L, 2L -> 1L, 5L -> 1L))
+    // root-as-member chain (3 -> 2 -> 1): src/dst overlap — not converged
+    val chain = ccResult(Seq((3L, 2L), (2L, 1L)))
+    assert(chain == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // upward-oriented single edge (root stored first): needs its round
+    val up = ccResult(Seq((1L, 9L)))
+    assert(up == Map(1L -> 1L, 9L -> 1L))
+  }
+
   test("connectedComponents: string ids (URL keys) run natively — lexicographic min is the label") {
     import spark.implicits._
     val pairs = Seq(

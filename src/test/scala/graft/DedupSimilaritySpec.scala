@@ -336,6 +336,21 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("pairsFromFps: pinBlocked=false is row-identical to the pinned path") {
+    // the media catalog's near-dup legs skip the blocked-relation pin
+    // (their fingerprint upstream is already pinned) — the join contract
+    // must not depend on the materialization mode
+    val fps = Dedup.simhash(docs, col("text"), col("doc_id"))
+    def collect(pin: Boolean) = Dedup
+      .pairsFromFps(fps, maxHamming = 3, blocks = 4, pinBlocked = pin)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    val pinned = collect(true)
+    val unpinned = collect(false)
+    assert(pinned == unpinned && pinned.nonEmpty)
+  }
+
   test("ngramContainmentPairs: excerpt scores 1.0 one-way; asymmetry and threshold hold") {
     import spark.implicits._
     val df = Seq(
